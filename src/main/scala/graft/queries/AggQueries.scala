@@ -1,0 +1,280 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 reductions (vendor/ibis/expr/operations/reductions.py):
+  * Count/CountStar/CountDistinct, Sum/Mean/Min/Max, Median/Quantile,
+  * Variance/StandardDev, Correlation/Covariance, Mode, ArgMax/ArgMin,
+  * First/Last/Arbitrary, BitAnd/Or/Xor, GroupConcat, ArrayCollect,
+  * All/Any, filtered aggregates (Filterable :27), ApproxCountDistinct,
+  * ApproxQuantile.
+  *
+  * Scale notes: all of these are hash-aggregates with map-side partial
+  * aggregation in Spark — one shuffle on the group keys, no skew risk at
+  * TPC-H cardinalities. Approx variants (HLL++, t-digest-style quantiles)
+  * exist precisely for the 100 TB path where exact distinct/quantile would
+  * shuffle the full column.
+  */
+object AggQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape — the flagship aggregate (Aggregate relations.py:307).
+    q("agg_basic",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+        |       round(avg(l_quantity) + 1e-9, 2) AS avg_qty,
+        |       round(avg(l_extendedprice) + 1e-9, 2) AS avg_price,
+        |       round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""", bench = true) { c =>
+      c.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          r2(avg(col("l_extendedprice"))).as("avg_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Count / CountStar / CountDistinct / CountDistinctStar
+    // (reductions.py:32/:41/:359/:54).
+    q("agg_count_distinct",
+      """SELECT l_returnflag,
+        |       count(*) AS n_rows,
+        |       count(l_orderkey) AS n_ok,
+        |       count(DISTINCT l_orderkey) AS n_distinct_ok,
+        |       count(DISTINCT l_suppkey) AS n_distinct_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_ok"),
+          countDistinct(col("l_orderkey")).as("n_distinct_ok"),
+          countDistinct(col("l_suppkey")).as("n_distinct_supp"))
+        .orderBy("l_returnflag")
+    },
+
+    // ApproxCountDistinct (reductions.py:368) — HLL++ sketches differ
+    // across engines by construction → rows-only check; the exact variant
+    // above is the correctness anchor.
+    qNoOracle("agg_approx_distinct") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_ok"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_pk"))
+        .orderBy("l_returnflag")
+    },
+
+    // Filtered aggregates — every reduction carries `where` (Filterable :27).
+    q("agg_filtered",
+      """SELECT l_linestatus,
+        |       round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A') + 1e-9, 2) AS qty_a,
+        |       count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |       round(avg(l_extendedprice) FILTER (WHERE l_quantity > 25) + 1e-9, 2) AS avg_big
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""") { c =>
+      c.lineitem.groupBy("l_linestatus")
+        .agg(
+          r2(sum(when(col("l_returnflag") === "A", col("l_quantity")))).as("qty_a"),
+          count(when(col("l_discount") > 0.05, lit(1))).as("n_disc"),
+          r2(avg(when(col("l_quantity") > 25, col("l_extendedprice"))))
+            .as("avg_big"))
+        .orderBy("l_linestatus")
+    },
+
+    // Variance / StandardDev sample+pop (reductions.py:254-277),
+    // Correlation / Covariance (:279/:290).
+    q("agg_stats",
+      """SELECT l_returnflag,
+        |       round(var_samp(l_quantity) + 1e-9, 2) AS var_s,
+        |       round(var_pop(l_quantity) + 1e-9, 2) AS var_p,
+        |       round(stddev_samp(l_extendedprice) + 1e-9, 2) AS sd_s,
+        |       round(stddev_pop(l_extendedprice) + 1e-9, 2) AS sd_p,
+        |       round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS cor,
+        |       round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 1) AS cov_s,
+        |       round(covar_pop(l_quantity, l_extendedprice) + 1e-9, 1) AS cov_p
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(r2(var_samp(col("l_quantity"))).as("var_s"),
+          r2(var_pop(col("l_quantity"))).as("var_p"),
+          r2(stddev_samp(col("l_extendedprice"))).as("sd_s"),
+          r2(stddev_pop(col("l_extendedprice"))).as("sd_p"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("cor"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 1).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")) + lit(1e-9), 1).as("cov_p"))
+        .orderBy("l_returnflag")
+    },
+
+    // Median / Quantile / MultiQuantile exact (reductions.py:209-248);
+    // both engines use linear interpolation (percentile ≡ quantile_cont).
+    q("agg_quantile",
+      """SELECT l_returnflag,
+        |       round(median(l_quantity) + 1e-9, 2) AS med_qty,
+        |       round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 2) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 2) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 2) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(r2(percentile(col("l_quantity"), lit(0.5))).as("med_qty"),
+          r2(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
+          r2(percentile(col("l_extendedprice"), lit(0.75))).as("p75"),
+          r2(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
+        .orderBy("l_returnflag")
+    },
+
+    // ApproxMedian / ApproxQuantile (reductions.py:214/:226) — sketch-based,
+    // engine-specific → rows-only.
+    qNoOracle("agg_approx_quantile") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_med"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.75)), lit(1000)).as("approx_pq"))
+        .orderBy("l_returnflag")
+    },
+
+    // ArgMax / ArgMin (reductions.py:328/:338) → max_by/min_by with a
+    // composite (value, unique-key) rank so ties cannot flip the result.
+    q("agg_argminmax",
+      """SELECT o_orderpriority,
+        |       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+        |       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { c =>
+      c.orders.groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_order"))
+        .orderBy("o_orderpriority")
+    },
+
+    // First / Last / Arbitrary (reductions.py:79/:90/:67) — made
+    // deterministic the same way the reference's tests do: explicit order,
+    // here via min_by/max_by on the event ordering key.
+    q("agg_first_last",
+      """SELECT user_id,
+        |       max(CASE WHEN rfirst = 1 THEN event_type END) AS first_type,
+        |       max(CASE WHEN rlast = 1 THEN event_type END) AS last_type,
+        |       count(*) AS n
+        |FROM (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts ASC, event_id ASC) AS rfirst,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rlast
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id LIMIT 2000""") { c =>
+      c.events.groupBy("user_id")
+        .agg(min_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("first_type"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id").limit(2000)
+    },
+
+    // BitAnd / BitOr / BitXor (reductions.py:101-155).
+    q("agg_bits",
+      """SELECT l_returnflag,
+        |       bit_and(l_suppkey) AS band,
+        |       bit_or(l_suppkey) AS bor,
+        |       bit_xor(l_suppkey) AS bxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(bit_and(col("l_suppkey")).as("band"),
+          bit_or(col("l_suppkey")).as("bor"),
+          bit_xor(col("l_suppkey")).as("bxor"))
+        .orderBy("l_returnflag")
+    },
+
+    // All / Any (reductions.py:386/:395) → bool_and / bool_or.
+    q("agg_bool",
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 0) AS all_pos,
+        |       bool_or(l_discount > 0.09) AS any_big_disc,
+        |       bool_and(l_quantity > 25) AS all_big
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+          bool_and(col("l_quantity") > 25).as("all_big"))
+        .orderBy("l_returnflag")
+    },
+
+    // GroupConcat (reductions.py:348) — order pinned on both engines.
+    q("agg_group_concat",
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { c =>
+      c.nation.groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("names"))
+        .orderBy("n_regionkey")
+    },
+
+    // ArrayCollect (reductions.py:373) — sorted so the list value is
+    // deterministic; compared as an array column.
+    q("agg_collect",
+      """SELECT n_regionkey, list_sort(list(n_nationkey)) AS keys
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { c =>
+      c.nation.groupBy("n_regionkey")
+        .agg(array_sort(collect_list(col("n_nationkey"))).as("keys"))
+        .orderBy("n_regionkey")
+    },
+
+    // Mode (reductions.py:301) — defined deterministically as the smallest
+    // most-frequent value (plain mode() tie-breaks arbitrarily in both
+    // engines), computed with the same rank-based plan on both sides.
+    q("agg_mode",
+      """SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val counted = c.lineitem.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity"))
+      counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Grouping sets / cube / rollup — absent from the reference IR
+    // (SURVEY §2.3 note) but free on Spark; declared as surplus coverage.
+    q("agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity) + 1e-9, 2) AS qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { c =>
+      c.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(r2(sum(col("l_quantity"))).as("qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }
+  )
+}
