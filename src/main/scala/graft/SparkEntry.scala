@@ -14,7 +14,9 @@ object SparkEntry {
   /** Every declared operator query, grouped by SURVEY §2 family. */
   val all: Seq[QueryDef] =
     _root_.graft.queries.RelationalQueries.defs ++
-    _root_.graft.queries.AggQueries.defs
+    _root_.graft.queries.AggQueries.defs ++
+    _root_.graft.queries.JoinQueries.defs ++
+    _root_.graft.queries.WindowQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem revenue ranking — joins,

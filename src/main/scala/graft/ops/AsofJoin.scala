@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join (nearest-key ≤ match), the reference's
+  * `asof_join` (xorq vendor/ibis/expr/types/relations.py:3034-3077:
+  * `on` time key, `predicates` equi-keys, optional `tolerance`).
+  *
+  * Vanilla Spark has no ASOF JOIN; the naive range-join + pick-latest
+  * explodes to O(|L|·|R|) pairs per key before deduplication. This
+  * implementation is the scalable union–sort–backfill formulation:
+  *
+  *   1. union left (tagged 1) and right (tagged 0) rows with aligned
+  *      schemas (right payload nulled on left rows and vice versa);
+  *   2. one shuffle: window partitioned by the equi-keys, ordered by
+  *      (time, tag) — right rows sort before left rows at equal time,
+  *      making the match inclusive like DuckDB's `ON l.ts >= r.ts`;
+  *   3. `last(right_col, ignoreNulls)` over unbounded-preceding frame
+  *      back-fills each left row with the latest right row at-or-before
+  *      its timestamp;
+  *   4. keep left rows; apply the tolerance filter post-hoc.
+  *
+  * Cost: ONE shuffle of |L|+|R| rows keyed by the equi-keys + a
+  * partition-local sort — the same plan shape Spark uses for a
+  * sort-merge join, so it scales to 100 TB the same way (no broadcast,
+  * no cartesian blow-up; skewed keys behave like any skewed sort-merge
+  * join and can be salted upstream).
+  */
+object AsofJoin {
+
+  /** @param left       probe side (each row gets ≤1 match)
+    * @param right      reference side
+    * @param on         equi-join key names (must exist on both sides)
+    * @param leftTime   left event-time column name
+    * @param rightTime  right event-time column name
+    * @param rightCols  right payload columns to carry (renamed as given:
+    *                   (rightName, outName))
+    * @param tolerance  optional max left.ts − right.ts as a Column of
+    *                   interval/long-compatible type; matches farther back
+    *                   are nulled out
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[(String, String)],
+      tolerance: Option[Column] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val t = "__asof_t"
+    val tag = "__asof_tag"
+    val matchedT = "__asof_matched_t"
+
+    val lNorm = left
+      .withColumn(t, col(leftTime))
+      .withColumn(tag, lit(1))
+      .select(on.map(col) ++ Seq(col(t), col(tag)) ++
+        leftCols.filterNot(on.contains).map(col) ++
+        rightCols.map { case (_, out) => lit(null).as(out) }: _*)
+
+    val rNorm = right
+      .withColumn(t, col(rightTime))
+      .withColumn(tag, lit(0))
+      .select(on.map(col) ++ Seq(col(t), col(tag)) ++
+        leftCols.filterNot(on.contains).map(n => lit(null).as(n)) ++
+        rightCols.map { case (in, out) => col(in).as(out) }: _*)
+
+    val w = Window.partitionBy(on.map(col): _*).orderBy(col(t), col(tag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val backfilled = lNorm.unionByName(rNorm)
+      .withColumn(matchedT,
+        last(when(col(tag) === 0, col(t)), ignoreNulls = true).over(w))
+      .select(Seq(col(tag), col(t), col(matchedT)) ++
+        on.map(col) ++ leftCols.filterNot(on.contains).map(col) ++
+        rightCols.map { case (_, out) =>
+          last(when(col(tag) === 0, col(out)), ignoreNulls = true).over(w)
+            .as(out)
+        }: _*)
+      .filter(col(tag) === 1)
+
+    val withTol = tolerance match {
+      case Some(tol) =>
+        val inRange = col(matchedT).isNotNull && col(t) - col(matchedT) <= tol
+        rightCols.foldLeft(backfilled) { case (df, (_, out)) =>
+          df.withColumn(out, when(inRange, col(out)))
+        }
+      case None => backfilled
+    }
+
+    withTol.select(leftCols.map(col) ++
+      rightCols.map { case (_, out) => col(out) } :+
+      col(matchedT).as("matched_time"): _*)
+  }
+}

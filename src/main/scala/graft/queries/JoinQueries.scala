@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.1 join surface: JoinChain/JoinLink with kinds
+  * inner/left/right/outer/cross/semi/anti/any_inner/any_left/positional
+  * (vendor relations.py:202-259, API types/relations.py:2853) and
+  * asof_join (types/relations.py:3034-3077) + subqueries
+  * (operations/subqueries.py: Exists :28, Scalar :36, In :60).
+  *
+  * Scale notes: dimension joins (nation/region/supplier) are broadcast —
+  * Spark auto-broadcasts under the 10 MB threshold and we assert the
+  * intent with `broadcast()` so the plan survives statistics drift at
+  * 100 TB. Fact-fact joins (lineitem⋈orders) shuffle on the join key;
+  * AQE handles skew. The as-of join is the one-shuffle union-sort
+  * formulation in [[graft.ops.AsofJoin]].
+  */
+object JoinQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Inner equi-join chain, TPC-H Q3 shape (JoinChain relations.py:218).
+    q("join_inner",
+      """SELECT l_orderkey, o_orderdate,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 100""", bench = true) { c =>
+      c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(100)
+    },
+
+    // Left outer join with unmatched rows surviving (how="left" :202).
+    q("join_left",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > 400000
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST LIMIT 2000""") { c =>
+      c.customer.join(c.orders,
+          col("c_custkey") === col("o_custkey") &&
+            col("o_totalprice") > 400000, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+        .limit(2000)
+    },
+
+    // Full outer join on deliberately partial key overlap (how="outer").
+    q("join_full_outer",
+      """WITH a AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey < 15),
+        |     b AS (SELECT n_nationkey AS k, n_regionkey FROM nation WHERE n_nationkey >= 10)
+        |SELECT coalesce(a.k, b.k) AS k, a.n_name, b.n_regionkey
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |ORDER BY k""") { c =>
+      val a = c.nation.filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey").as("k"), col("n_name"))
+      val b = c.nation.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey").as("ka"), col("n_regionkey"))
+      a.join(b, col("k") === col("ka"), "full")
+        .select(coalesce(col("k"), col("ka")).as("k"), col("n_name"),
+          col("n_regionkey"))
+        .orderBy("k")
+    },
+
+    // Semi join — EXISTS (subqueries.py:28; how="semi").
+    q("join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_totalprice > 450000)
+        |ORDER BY c_custkey""") { c =>
+      c.customer.join(
+          c.orders.filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Anti join — NOT EXISTS (how="anti").
+    q("join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > 450000)
+        |ORDER BY c_custkey""") { c =>
+      c.customer.join(
+          c.orders.filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Cross join (types/relations.py:3078) — dims only; never facts.
+    q("join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""") { c =>
+      c.region.crossJoin(c.nation)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+
+    // any_inner rewrite (relations.py:212): dedup right on key, then inner
+    // join — "match if any right row matches" without row multiplication.
+    q("join_any_inner",
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier
+        |JOIN (SELECT DISTINCT n_nationkey FROM nation WHERE n_regionkey <= 2) n
+        |  ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""") { c =>
+      val anyRight = c.nation.filter(col("n_regionkey") <= 2)
+        .select("n_nationkey").distinct()
+      c.supplier.join(broadcast(anyRight),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    },
+
+    // Positional join (relations.py:216) — zip by row position via
+    // row_number over an explicit total order (position is only
+    // well-defined under an order at scale).
+    q("join_positional",
+      """WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn
+        |           FROM nation),
+        |     b AS (SELECT s_name, row_number() OVER (ORDER BY s_suppkey) AS rn
+        |           FROM supplier WHERE s_suppkey <= 25)
+        |SELECT a.rn, a.n_name, b.s_name
+        |FROM a JOIN b ON a.rn = b.rn
+        |ORDER BY a.rn""") { c =>
+      val wa = Window.orderBy(col("n_nationkey"))
+      val wb = Window.orderBy(col("s_suppkey"))
+      val a = c.nation.select(col("n_name"), row_number().over(wa).as("rn"))
+      val b = c.supplier.filter(col("s_suppkey") <= 25)
+        .select(col("s_name"), row_number().over(wb).as("rn"))
+      a.join(b, "rn").select(col("rn"), col("n_name"), col("s_name"))
+        .orderBy("rn")
+    },
+
+    // As-of join (types/relations.py:3034): for each click, the user's
+    // most recent signup at-or-before the click. DuckDB has native ASOF.
+    q("join_asof",
+      """SELECT c.event_id, c.user_id, round(c.value + 1e-9, 2) AS click_value,
+        |       round(s.value + 1e-9, 2) AS signup_value,
+        |       CAST(s.ts AS TIMESTAMP) AS matched_time
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""", bench = true) { c =>
+      val clicks = c.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          r2(col("value")).as("click_value"))
+      val signups = c.events.filter(col("event_type") === "signup")
+      AsofJoin.backward(
+          clicks, signups,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("value" -> "signup_value"))
+        .select(col("event_id"), col("user_id"), col("click_value"),
+          r2(col("signup_value")).as("signup_value"), col("matched_time"))
+        .orderBy("event_id")
+    },
+
+    // As-of join with tolerance (`tolerance=` kwarg :3077): only matches
+    // within 1 hour count.
+    q("join_asof_tolerance",
+      """SELECT event_id, user_id,
+        |       CASE WHEN c_ts - s_ts <= INTERVAL 1 HOUR THEN round(s_value + 1e-9, 2) END AS signup_value
+        |FROM (
+        |  SELECT c.event_id AS event_id, c.user_id AS user_id,
+        |         c.ts AS c_ts, s.ts AS s_ts, s.value AS s_value
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON c.user_id = s.user_id AND c.ts >= s.ts)
+        |ORDER BY event_id""") { c =>
+      val clicks = c.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = c.events.filter(col("event_type") === "signup")
+      AsofJoin.backward(
+          clicks, signups,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("value" -> "signup_value"),
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"),
+          r2(col("signup_value")).as("signup_value"))
+        .orderBy("event_id")
+    },
+
+    // IN-subquery (subqueries.py:60) → semi join on the subquery result.
+    q("join_in_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""") { c =>
+      c.orders.join(
+          c.customer.filter(col("c_acctbal") > 9000).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Scalar subquery (subqueries.py:36) → cross join of a 1-row aggregate
+    // (Catalyst plans it as a broadcast nested loop over one row).
+    q("join_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""") { c =>
+      val avgPrice = c.orders.agg(avg(col("o_totalprice")).as("__avg"))
+      c.orders.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > lit(1.8) * col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.4 window/analytic surface (vendor/ibis/expr/operations/
+  * window.py + analytic.py): Lag :33, Lead :38, MinRank :50, DenseRank :55,
+  * RowNumber :60, PercentRank :65, CumeDist :72, NTile :79, NthValue :88,
+  * First/LastValue (rewrites.py:72-96), frames rows|range with
+  * preceding/following bounds (WindowBoundary :30), any reduction
+  * `.over(window)`, and WindowAggregate / window_by time bucketing
+  * (temporal_windows.py:18).
+  *
+  * Scale notes: every window here partitions by a key (supplier, user,
+  * flag) — one shuffle per distinct (partitionBy, orderBy) pair; Spark
+  * reuses the exchange across functions sharing the spec. Unpartitioned
+  * windows (a single global sort) are avoided except where semantically
+  * required on small inputs (join_positional).
+  */
+object WindowQueries {
+
+  private val wSupp = Window.partitionBy("l_suppkey")
+    .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Ranking family over a deterministic (unique-key-extended) order.
+    q("win_rank",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       row_number() OVER w AS rn,
+        |       rank()       OVER w2 AS rk,
+        |       dense_rank() OVER w2 AS drk,
+        |       ntile(4)     OVER w AS nt
+        |FROM lineitem
+        |WHERE l_suppkey <= 10
+        |WINDOW w  AS (PARTITION BY l_suppkey
+        |              ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |       w2 AS (PARTITION BY l_suppkey ORDER BY l_quantity)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { c =>
+      val w2 = Window.partitionBy("l_suppkey").orderBy(col("l_quantity"))
+      c.lineitem.filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(wSupp).as("rn"),
+          rank().over(w2).as("rk"),
+          dense_rank().over(w2).as("drk"),
+          ntile(4).over(wSupp).as("nt"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // percent_rank / cume_dist (analytic.py:65/:72).
+    q("win_percent",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       round(percent_rank() OVER w + 1e-9, 4) AS prk,
+        |       round(cume_dist()    OVER w + 1e-9, 4) AS cd
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { c =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      c.lineitem.filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          r4(percent_rank().over(w)).as("prk"),
+          r4(cume_dist().over(w)).as("cd"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // Lag / Lead with offsets and defaults (analytic.py:33/:38).
+    q("win_lag_lead",
+      """SELECT user_id, event_id,
+        |       lag(event_type)        OVER w AS prev_type,
+        |       lead(event_type)       OVER w AS next_type,
+        |       lag(event_type, 2, 'none') OVER w AS prev2_type
+        |FROM events WHERE user_id <= 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""") { c =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      c.events.filter(col("user_id") <= 20)
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lag(col("event_type"), 2, "none").over(w).as("prev2_type"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ROWS frame: moving sum/avg over the preceding 5 rows
+    // (WindowBoundary preceding/following, how="rows").
+    q("win_rows_frame",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       round(sum(l_quantity) OVER w + 1e-9, 2) AS mov_sum,
+        |       round(avg(l_quantity) OVER w + 1e-9, 2) AS mov_avg,
+        |       round(sum(l_quantity) OVER wcum + 1e-9, 2) AS cum_sum
+        |FROM lineitem WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+        |       wcum AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""", bench = true) { c =>
+      val w = wSupp.rowsBetween(-5, Window.currentRow)
+      val wcum = wSupp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.lineitem.filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          r2(sum(col("l_quantity")).over(w)).as("mov_sum"),
+          r2(avg(col("l_quantity")).over(w)).as("mov_avg"),
+          r2(sum(col("l_quantity")).over(wcum)).as("cum_sum"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // RANGE frame on a numeric key (how="range"): all rows within ±2
+    // quantity units.
+    q("win_range_frame",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       count(*) OVER w AS n_close,
+        |       round(sum(l_extendedprice) OVER w + 1e-9, 2) AS sum_close
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity
+        |             RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { c =>
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity"))
+        .rangeBetween(-2, 2)
+      c.lineitem.filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          count(lit(1)).over(w).as("n_close"),
+          r2(sum(col("l_extendedprice")).over(w)).as("sum_close"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // first_value / last_value / nth_value with explicit frames
+    // (FirstValue/LastValue rewrite, NthValue analytic.py:88).
+    q("win_nth",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       first_value(l_orderkey) OVER w AS first_ok,
+        |       last_value(l_orderkey)  OVER wfull AS last_ok,
+        |       nth_value(l_orderkey, 3) OVER wfull AS third_ok
+        |FROM lineitem WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |       wfull AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { c =>
+      val wfull = wSupp.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      c.lineitem.filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          first(col("l_orderkey")).over(wSupp).as("first_ok"),
+          last(col("l_orderkey")).over(wfull).as("last_ok"),
+          nth_value(col("l_orderkey"), 3).over(wfull).as("third_ok"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // Share-of-total: aggregate over an unordered partition window.
+    q("win_share",
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |       round(l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_returnflag) + 1e-9, 6) AS share
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""") { c =>
+      val w = Window.partitionBy("l_returnflag")
+      c.lineitem.filter(col("l_orderkey") <= 100)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          r6(col("l_extendedprice") / sum(col("l_extendedprice")).over(w))
+            .as("share"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+
+    // WindowAggregate / window_by (temporal_windows.py:18): tumbling
+    // 1-day buckets — Spark `window()` on event time; oracle date_trunc.
+    q("win_time_bucket",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+        |       count(*) AS n, round(sum(value) + 1e-9, 2) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""") { c =>
+      c.events
+        .groupBy(window(col("ts"), "1 day").as("wnd"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("v"))
+        .select(col("wnd.start").cast("timestamp_ntz").as("bucket"),
+          col("event_type"), col("n"), col("v"))
+        .orderBy("bucket", "event_type")
+    }
+  )
+}
