@@ -1,17 +1,35 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs the headline (bench-flagged) queries against
   * `SPARK_GRAFT_SF_DIR` and prints exactly one JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`,
+  * also written to `SPARK_GRAFT_BENCH_OUT` (default
+  * /root/repo/bench_out.json) so the driver can parse it even when sbt
+  * prefixes stdout with [info] (r1: BENCH_r01.json parsed null).
   *
-  * Timing = full action (plan + execute + count); a trivial warmup action
-  * first so JVM/session startup isn't attributed to the first query.
+  * Timing = full materialization of every output column: a checksum
+  * aggregate (`count + sum(hash(*))`) over the result forces each
+  * projected/window column to be computed, unlike `.count()`, which lets
+  * Catalyst prune unused columns and under-measure (r1 finding #5).
+  * A failed query is reported as `-1` and the process exits nonzero —
+  * failures are never folded into a plausible-looking total (finding #4).
   */
 object Bench {
+  /** Force full computation of df: xor-fold a hash over all columns
+    * (xor, not sum: a Long sum overflows under ANSI mode). */
+  private def checksum(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)), bit_xor(col("h"))).collect()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,19 +41,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch every table footer + run one tiny job
+    // warmup: touch every table footer + run one tiny shuffle job so JVM
+    // and codegen startup aren't attributed to the first query
     Tables.names.foreach(n => Tables(spark, sfDir, n).schema)
-    spark.range(1000).count()
+    spark.range(100000).selectExpr("id % 7 k", "id v")
+      .groupBy("k").count().collect()
 
+    var failed = List.empty[String]
     val results = SparkEntry.benchQueries.map { d =>
       val t0 = System.nanoTime()
-      try { d.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try { checksum(d.fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}")
+          failed ::= d.name
+          -1.0
+        }
+      d.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
+    // the driver greps stdout too: print the JSON alone on its own line
+    println(json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -69,31 +69,37 @@ object AsofJoin {
         leftCols.filterNot(on.contains).map(n => lit(null).as(n)) ++
         rightCols.map { case (in, out) => col(in).as(out) }: _*)
 
-    val w = Window.partitionBy(on.map(col): _*).orderBy(col(t), col(tag))
+    // Tie-break: among right rows at equal (key, t) the window order is
+    // made total by the payload struct, so `last` deterministically picks
+    // the greatest payload (reference/DuckDB pick arbitrarily; we pin it).
+    val payloadStruct = struct(rightCols.map { case (_, out) => col(out) }: _*)
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col(t), col(tag), payloadStruct)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Backfill ONE struct of (matched time, payload) so time and payload
+    // always come from the SAME matched right row — per-column backfill
+    // would skip a NULL payload value and mix rows (ADVICE r1).
+    val m = "__asof_match"
+    val matchStruct = struct(col(t).as(matchedT) +:
+      rightCols.map { case (_, out) => col(out) }: _*)
     val backfilled = lNorm.unionByName(rNorm)
-      .withColumn(matchedT,
-        last(when(col(tag) === 0, col(t)), ignoreNulls = true).over(w))
-      .select(Seq(col(tag), col(t), col(matchedT)) ++
-        on.map(col) ++ leftCols.filterNot(on.contains).map(col) ++
-        rightCols.map { case (_, out) =>
-          last(when(col(tag) === 0, col(out)), ignoreNulls = true).over(w)
-            .as(out)
-        }: _*)
+      .withColumn(m,
+        last(when(col(tag) === 0, matchStruct), ignoreNulls = true).over(w))
       .filter(col(tag) === 1)
 
-    val withTol = tolerance match {
+    // Out-of-tolerance ⇒ the row is simply unmatched: null the WHOLE
+    // match (matched_time included), like the reference's asof tolerance.
+    val matched = tolerance match {
       case Some(tol) =>
-        val inRange = col(matchedT).isNotNull && col(t) - col(matchedT) <= tol
-        rightCols.foldLeft(backfilled) { case (df, (_, out)) =>
-          df.withColumn(out, when(inRange, col(out)))
-        }
+        backfilled.withColumn(m,
+          when(col(m).isNotNull &&
+            col(t) - col(m).getField(matchedT) <= tol, col(m)))
       case None => backfilled
     }
 
-    withTol.select(leftCols.map(col) ++
-      rightCols.map { case (_, out) => col(out) } :+
-      col(matchedT).as("matched_time"): _*)
+    matched.select(leftCols.map(col) ++
+      rightCols.map { case (_, out) => col(m).getField(out).as(out) } :+
+      col(m).getField(matchedT).as("matched_time"): _*)
   }
 }

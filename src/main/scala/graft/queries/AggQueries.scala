@@ -69,13 +69,25 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
-    // ApproxCountDistinct (reductions.py:368) — HLL++ sketches differ
-    // across engines by construction → rows-only check; the exact variant
-    // above is the correctness anchor.
-    qNoOracle("agg_approx_distinct") { c =>
+    // ApproxCountDistinct (reductions.py:368) — HLL++ sketch values are
+    // engine-specific, so the hash-checkable contract is the ERROR BOUND:
+    // we emit the exact distinct plus booleans asserting the approx is
+    // within 5 % / 2 % of it; the oracle asserts the same bounds hold
+    // (trivially TRUE on the oracle side, where approx = exact).
+    q("agg_approx_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS exact_ok,
+        |       TRUE AS ok_within_5pct,
+        |       TRUE AS pk_within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
       c.lineitem.groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_ok"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_pk"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_ok"),
+          (abs(approx_count_distinct(col("l_orderkey"), 0.01) -
+            countDistinct(col("l_orderkey"))).cast("double") /
+            countDistinct(col("l_orderkey")) < 0.05).as("ok_within_5pct"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.01) -
+            countDistinct(col("l_partkey"))).cast("double") /
+            countDistinct(col("l_partkey")) < 0.02).as("pk_within_2pct"))
         .orderBy("l_returnflag")
     },
 
@@ -135,14 +147,26 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
-    // ApproxMedian / ApproxQuantile (reductions.py:214/:226) — sketch-based,
-    // engine-specific → rows-only.
-    qNoOracle("agg_approx_quantile") { c =>
+    // ApproxMedian / ApproxQuantile (reductions.py:214/:226) — sketch
+    // values are engine-specific, so (like agg_approx_distinct) the
+    // checkable contract is the error bound vs the exact quantile:
+    // scalar boolean columns only, no raw arrays (r1 harness fix).
+    q("agg_approx_quantile",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS exact_med,
+        |       TRUE AS med_within_2pct,
+        |       TRUE AS p25_within_2pct,
+        |       TRUE AS p75_within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      def within(p: Double): org.apache.spark.sql.Column =
+        abs(percentile_approx(col("l_extendedprice"), lit(p), lit(10000)) -
+          percentile(col("l_extendedprice"), lit(p))) /
+          percentile(col("l_extendedprice"), lit(p)) < 0.02
       c.lineitem.groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_med"),
-          percentile_approx(col("l_extendedprice"),
-            array(lit(0.25), lit(0.75)), lit(1000)).as("approx_pq"))
+        .agg(r2(percentile(col("l_extendedprice"), lit(0.5))).as("exact_med"),
+          within(0.5).as("med_within_2pct"),
+          within(0.25).as("p25_within_2pct"),
+          within(0.75).as("p75_within_2pct"))
         .orderBy("l_returnflag")
     },
 
@@ -232,13 +256,19 @@ object AggQueries {
         .orderBy("n_regionkey")
     },
 
-    // ArrayCollect (reductions.py:373) — sorted so the list value is
-    // deterministic; compared as an array column.
+    // ArrayCollect (reductions.py:373) — the list is sorted then compared
+    // as its canonical string encoding: the driver's harness hashes scalar
+    // cells, so raw array columns are serialized via array_join (r1 fix).
+    // A size column keeps the cardinality independently checkable.
     q("agg_collect",
-      """SELECT n_regionkey, list_sort(list(n_nationkey)) AS keys
+      """SELECT n_regionkey,
+        |       array_to_string(list_sort(list(n_nationkey)), ',') AS keys,
+        |       len(list(n_nationkey)) AS n_keys
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { c =>
       c.nation.groupBy("n_regionkey")
-        .agg(array_sort(collect_list(col("n_nationkey"))).as("keys"))
+        .agg(array_join(array_sort(collect_list(col("n_nationkey"))), ",")
+            .as("keys"),
+          size(collect_list(col("n_nationkey"))).as("n_keys"))
         .orderBy("n_regionkey")
     },
 

@@ -207,11 +207,14 @@ object JoinQueries {
     // (Catalyst plans it as a broadcast nested loop over one row).
     q("join_scalar_subquery",
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > round(1.8 * (SELECT avg(o_totalprice) FROM orders), 2)
         |ORDER BY o_orderkey""") { c =>
-      val avgPrice = c.orders.agg(avg(col("o_totalprice")).as("__avg"))
+      // Threshold rounded to the data's cent lattice on BOTH engines so a
+      // row a few ulps from the cut cannot flake the hash (ADVICE r1).
+      val avgPrice = c.orders
+        .agg(round(lit(1.8) * avg(col("o_totalprice")), 2).as("__thr"))
       c.orders.crossJoin(broadcast(avgPrice))
-        .filter(col("o_totalprice") > lit(1.8) * col("__avg"))
+        .filter(col("o_totalprice") > col("__thr"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     }

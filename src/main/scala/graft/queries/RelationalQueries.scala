@@ -217,11 +217,35 @@ object RelationalQueries {
         .orderBy("c_custkey", "m")
     },
 
-    // describe (types/relations.py:2717) — Spark df.summary(); stats of
-    // doubles are engine-order-dependent, so this is a rows-only check.
-    qNoOracle("rel_describe") { c =>
-      c.lineitem.select("l_quantity", "l_extendedprice", "l_discount")
-        .summary("count", "min", "max")
+    // describe (types/relations.py:2717) — summary()'s count/min/max rows
+    // are EXACT (unlike mean/stddev, which are summation-order-dependent),
+    // so this long-format describe gets a real oracle (r1 fix: was
+    // rows-only). Numeric columns, not summary()'s strings, so the hash
+    // cannot be flipped by double-formatting differences.
+    q("rel_describe",
+      """SELECT 'count' AS metric, CAST(count(l_quantity) AS DOUBLE) AS qty,
+        |       CAST(count(l_extendedprice) AS DOUBLE) AS price,
+        |       CAST(count(l_discount) AS DOUBLE) AS disc
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'min', min(l_quantity), min(l_extendedprice), min(l_discount) FROM lineitem
+        |UNION ALL
+        |SELECT 'max', max(l_quantity), max(l_extendedprice), max(l_discount) FROM lineitem
+        |ORDER BY metric""") { c =>
+      val li = c.lineitem
+      val cnt = li.select(lit("count").as("metric"),
+        count(col("l_quantity")).cast("double").as("qty"),
+        count(col("l_extendedprice")).cast("double").as("price"),
+        count(col("l_discount")).cast("double").as("disc"))
+      val mn = li.select(lit("min").as("metric"),
+        min(col("l_quantity")).as("qty"),
+        min(col("l_extendedprice")).as("price"),
+        min(col("l_discount")).as("disc"))
+      val mx = li.select(lit("max").as("metric"),
+        max(col("l_quantity")).as("qty"),
+        max(col("l_extendedprice")).as("price"),
+        max(col("l_discount")).as("disc"))
+      cnt.unionByName(mn).unionByName(mx).orderBy("metric")
     },
 
     // SQLStringView (relations.py:459): raw SQL over a registered view.

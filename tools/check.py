@@ -27,13 +27,15 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples so sort/compare works
+    # the DRIVER's harness cannot hash array cells (unhashable ndarray in
+    # pandas sort) — mirror that here so a raw-array output fails locally
+    # too instead of passing via a local-only tuple normalization (r1 bug)
     for c in df.columns:
         if df[c].dtype == object and df[c].map(
                 lambda v: isinstance(v, (list, np.ndarray))).any():
-            df[c] = df[c].map(lambda v: tuple(v.tolist())
-                              if isinstance(v, np.ndarray) else
-                              (tuple(v) if isinstance(v, list) else v))
+            raise TypeError(
+                f"column {c} holds array cells — driver harness would "
+                "crash; serialize with array_join/to_json in the query")
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if str(df[c].dtype) in ("float32",):
