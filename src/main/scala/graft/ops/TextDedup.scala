@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text dedup primitives for LLM-data pipelines: shingling, MinHash
+  * signatures, banded LSH candidate generation, SimHash.
+  *
+  * Design for 100 TB (the reference's pipelines run dedup as a batch op;
+  * see e.g. xorq's UDXF exchange model, expr/relations.py:661-823 — here
+  * re-expressed as pure Spark column algebra):
+  *
+  *  - Shingling + MinHash + banding are PER-ROW array expressions
+  *    (transform/aggregate lambdas) — no explode until the band key
+  *    emission, so a doc costs O(shingles × k) hash calls inside
+  *    whole-stage codegen and the only shuffle is the band-key groupBy.
+  *  - Candidate generation is `groupBy(band, key)` on 64-bit keys —
+  *    never an all-pairs crossJoin. At 1000 executors this is one
+  *    shuffle of (bands × docs) narrow rows.
+  *  - Verification (exact Jaccard) joins shingle SETS back only for the
+  *    candidate pairs (bucket-mates), which for realistic thresholds is
+  *    ~0.1 % of the cross product.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    * array column. IMPORTANT: pass an attribute (a `withColumn` output),
+    * not a raw `split(...)` expression — higher-order functions are
+    * interpreted, and an inlined sub-expression would be re-evaluated
+    * per lambda reference (observed 100× slowdowns). */
+  def wordShingles(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array(concat_ws(" ", toks))))
+
+  /** Distinct character n-gram shingles over a MATERIALIZED (already
+    * length-capped, lower-cased) text column — see [[wordShingles]]. */
+  def charShingles(t: Column, n: Int): Column =
+    array_distinct(
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array(t)))
+
+  /** MinHash signatures + shingle sets, computed the aggregate way:
+    * explode shingles to rows, then sig[s] = min(xxhash64(s, shingle))
+    * as k plain `min` aggregate columns `h0..h{k-1}` plus
+    * `collect_set` of the shingles (for later exact verification).
+    *
+    * This shape stays inside whole-stage codegen and gets map-side
+    * partial aggregation — ONE shuffle of ~1 partial row per doc per
+    * partition. (A pure array-lambda formulation is interpreted and,
+    * worse, Catalyst's CollapseProject inlines each stage into its
+    * consumers, re-evaluating the shingling O(k·bands) times per row.)
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int): DataFrame = {
+    val shRows = shingleRows(docs, idCol, textCol, shingleN)
+    shRows.groupBy("id").agg(
+      min(xxhash64(lit(0), col("shingle"))).as("h0"),
+      (1 until k).map(s =>
+        min(xxhash64(lit(s), col("shingle"))).as(s"h$s")): _*)
+  }
+
+  /** (id, shingle) rows — shared by signature and set building.
+    *
+    * Formulated as posexplode(tokens) + window `lead`s so everything is
+    * whole-stage-codegen'd and the text is split exactly once per doc
+    * (an array-lambda shingler is interpreted and re-evaluates the
+    * split per lambda reference — measured ~240 splits/doc). The window
+    * shuffle partitions by doc id, which the downstream groupBy(id)
+    * aggregations then reuse — one exchange total. */
+  def shingleRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .toDF("id", "pos", "tok")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = col("tok") +:
+      (1 until shingleN).map(j => lead(col("tok"), j).over(w))
+    tokRows
+      .select(col("id"), leads.last.isNotNull.as("full"),
+        concat_ws(" ", leads: _*).as("shingle"))
+      .filter(col("full"))
+      .select("id", "shingle")
+  }
+
+  /** Distinct shingle SETS as arrays, one row per doc. Used only for
+    * exact verification — call on the (small) candidate subset, not
+    * the full corpus: collect_set is an object aggregate and must not
+    * sit on the 100 TB path. */
+  def shingleSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, shingleN)
+      .groupBy("id").agg(collect_set(col("shingle")).as("sh"))
+
+  /** LSH band keys over the `h0..h{k-1}` signature columns of
+    * [[minhashSignatures]]: one xxhash64 per band over its
+    * `rowsPerBand` plain columns — pure codegen'd projection. Output:
+    * array<struct<band:int, key:long>> to explode + groupBy(band, key)
+    * (s-curve: P(bucket) = 1-(1-s^r)^b). */
+  def lshBandKeyArray(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(lit(b) +:
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"h$i")): _*).as("key"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** `bits`-bit SimHash per doc, aggregate-style: explode tokens, one
+    * signed bit-count `sum` aggregate per bit, then assemble the long
+    * in a plain projection. Codegen'd; one map-side-combined shuffle.
+    * Output: (id, sim). */
+  def simhashAgg(
+      docs: DataFrame,
+      idCol: String,
+      tokens: Column,
+      bits: Int): DataFrame = {
+    val tokRows = docs
+      .select(col(idCol).as("id"), explode(tokens).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val sums = tokRows.groupBy("id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as("b0"),
+      (1 until bits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1)
+          .otherwise(-1)).as(s"b$b")): _*)
+    sums.select(col("id"),
+      (0 until bits).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Candidate near-dup pairs (idA < idB) from banded LSH over word
+    * shingles, verified with exact Jaccard ≥ `threshold`.
+    *
+    * @return columns: a_id, b_id, wjac (word-shingle Jaccard)
+    */
+  def minhashDedupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = k / bands
+    // narrow (id + k longs) and consumed by BOTH sides of the bucket
+    // self-join — persist so the shingle/signature agg runs once
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sig
+      .select(col("id"), explode(lshBandKeyArray(bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    // bucket-mate pairs: self-join restricted to the same (band, key);
+    // distinct because a pair can share several bands. Persisted — it is
+    // consumed three times below and is tiny by construction.
+    val cands = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-verification sets ONLY for candidate docs (semi-join first):
+    // collect_set never touches the full corpus
+    val candIds = cands.select(col("a_id").as("id"))
+      .union(cands.select(col("b_id").as("id"))).distinct()
+    val sets = shingleSets(
+      docs.join(candIds, col(idCol) === col("id"), "left_semi"),
+      idCol, textCol, shingleN)
+    cands
+      .join(sets.as("sa"), col("a_id") === col("sa.id"))
+      .join(sets.as("sb"), col("b_id") === col("sb.id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("wjac"))
+      .filter(col("wjac") >= threshold)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search for LLM-data pipelines: exact cosine,
+  * brute-force top-k (the correctness baseline), and random-hyperplane
+  * LSH bucketing (the 100 TB path).
+  *
+  * Scale design: brute-force top-k is broadcast(queries) × corpus — only
+  * valid when |queries| is small; the corpus side streams partition-local
+  * with no shuffle (ranking shuffles only |queries|×k rows). The ANN path
+  * buckets the CORPUS once by hyperplane sign bits (one narrow column),
+  * then joins probes to buckets — candidate volume is
+  * (probes/2^planes) × corpus instead of the full cross product, and the
+  * bucket ids can be a partition/bucketing key for co-located joins.
+  * Hyperplane components are derived from xxhash64(plane, dim) so the
+  * "model" is deterministic, serializable, and needs no driver state.
+  */
+object VectorSim {
+
+  /** Dot product of two equal-length double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+
+  /** Cosine similarity (inputs cast to double element-wise). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k neighbors for each query vector by brute force.
+    * Output: q_id, rank (1..k), n_id, cos. Deterministic: ranked on
+    * (cos rounded to 1e-6, id) so FP noise cannot flip the order. */
+  def topKBruteForce(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (n_id, n_vec)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos") + lit(1e-9), 6).desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-1, 1), derived from xxhash64 — no RNG state. */
+  private def planeComp(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000000L)).cast("double") -
+      1000000.0) / 1000000.0
+
+  /** Random-hyperplane LSH bucket id: bit p = sign(v · plane_p). */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val vd = transform(vec, _.cast("double"))
+    (0 until planes).map { p =>
+      val d = aggregate(
+        zip_with(vd, sequence(lit(0L), size(vd).cast("long") - 1),
+          (x, j) => x * planeComp(p, j)),
+        lit(0.0), (s, x) => s + x)
+      when(d >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Multiprobe bucket list: the query's own bucket plus every bucket
+    * within Hamming distance `probeHamming` (1 or 2) of it. */
+  def probeBuckets(bucket: Column, planes: Int, probeHamming: Int): Column = {
+    val h1 = (0 until planes).map(b => bucket.bitwiseXOR(1 << b))
+    val h2 =
+      if (probeHamming >= 2)
+        for (i <- 0 until planes; j <- (i + 1) until planes)
+          yield bucket.bitwiseXOR((1 << i) | (1 << j))
+      else Seq.empty[Column]
+    array(bucket +: (h1 ++ h2): _*)
+  }
+
+  /** ANN top-k via LSH buckets + multiprobe. Same output shape as
+    * [[topKBruteForce]]; recall < 1 by construction. */
+  def topKAnn(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (n_id, n_vec)
+      k: Int,
+      planes: Int,
+      probeHamming: Int): DataFrame = {
+    val bucketed = corpus
+      .withColumn("bucket", lshBucket(col("n_vec"), planes))
+    val probes = queries
+      .withColumn("probe",
+        explode(probeBuckets(lshBucket(col("q_vec"), planes), planes,
+          probeHamming)))
+    val scored = bucketed.join(broadcast(probes),
+        col("bucket") === col("probe") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos") + lit(1e-9), 6).desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+}

@@ -1,0 +1,303 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Multimodal, TextDedup, VectorSim}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the driver ships these tables for exactly this): text statistics and
+  * quality filters, language-ID heuristic, token counting, document
+  * fingerprinting, exact + MinHash-LSH + SimHash dedup, brute-force and
+  * LSH-ANN similarity search, and multimodal binary-column plumbing.
+  *
+  * Scale notes: every dedup/similarity query here avoids the all-pairs
+  * cross product — candidates come from `groupBy(band, key)` (MinHash
+  * LSH) or hyperplane buckets (ANN); brute force appears only as the
+  * sf0.01 correctness oracle and on the broadcast-sized query side of
+  * top-k. Text metrics are per-row codegen expressions on the scan.
+  */
+object LlmQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Text statistics + quality scoring: length, token counts, character
+    // class ratios, composite keep/drop — the standard pre-train corpus
+    // filters, all row-local expressions.
+    q("text_stats",
+      """SELECT doc_id,
+        |       length(text) AS len_chars,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |             / length(text) + 1e-9, 4) AS alpha_ratio,
+        |       round(length(regexp_replace(text, '[^aeiou]', '', 'g'))::DOUBLE
+        |             / length(text) + 1e-9, 4) AS vowel_ratio,
+        |       round(length(regexp_replace(text, '[^\s]', '', 'g'))::DOUBLE
+        |             / length(text) + 1e-9, 4) AS space_ratio,
+        |       round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+        |             / len(string_split_regex(trim(text), '\s+')) + 1e-9, 4) AS avg_tok_len,
+        |       len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 500
+        |         AND length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |             / length(text) > 0.5 AS keep
+        |FROM documents ORDER BY doc_id""") { c =>
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      c.documents.select(col("doc_id"),
+          length(col("text")).as("len_chars"),
+          nTok.as("n_tokens"),
+          r4(alphaRatio).as("alpha_ratio"),
+          r4(length(regexp_replace(col("text"), "[^aeiou]", ""))
+            .cast("double") / length(col("text"))).as("vowel_ratio"),
+          r4(length(regexp_replace(col("text"), "[^\\s]", ""))
+            .cast("double") / length(col("text"))).as("space_ratio"),
+          r4(length(regexp_replace(col("text"), "\\s", ""))
+            .cast("double") / nTok).as("avg_tok_len"),
+          (nTok.between(5, 500) && alphaRatio > 0.5).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace words vs a BPE-ish regex tokenizer
+    // (letter runs | digit runs | single punctuation).
+    q("text_tokens",
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+        |       round(length(text)::DOUBLE
+        |             / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) + 1e-9, 4) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""") { c =>
+      val nBpe = regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+      c.documents.select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_words"),
+          nBpe.as("n_bpeish"),
+          r4(length(col("text")).cast("double") / nBpe).as("chars_per_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: function-word profile scores + argmax with
+    // fixed tie-break (en > es > de > fr > und). On this synthetic corpus
+    // every language shares one vocabulary, so the *contract under test*
+    // is the deterministic scoring pipeline, mirrored in the oracle.
+    q("text_lang_id",
+      """SELECT doc_id, lang,
+        |       len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       t -> t IN ('the', 'a', 'of', 'and'))) AS s_en,
+        |       len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       t -> t IN ('el', 'la', 'de', 'y'))) AS s_es,
+        |       len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       t -> t IN ('der', 'die', 'das', 'und'))) AS s_de,
+        |       len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       t -> t IN ('le', 'les', 'et', 'une'))) AS s_fr,
+        |       CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |            WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |            WHEN s_de >= s_fr THEN 'de'
+        |            ELSE 'fr' END AS pred
+        |FROM documents ORDER BY doc_id""") { c =>
+      val toks = split(lower(col("text")), "\\s+")
+      def score(words: String*) =
+        size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+      val sEn = score("the", "a", "of", "and")
+      val sEs = score("el", "la", "de", "y")
+      val sDe = score("der", "die", "das", "und")
+      val sFr = score("le", "les", "et", "une")
+      c.documents.select(col("doc_id"), col("lang"),
+          sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"))
+        .withColumn("pred",
+          when(greatest(col("s_en"), col("s_es"), col("s_de"),
+            col("s_fr")) === 0, "und")
+            .when(col("s_en") >= greatest(col("s_es"), col("s_de"),
+              col("s_fr")), "en")
+            .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: winnowing-style rolling scheme — char
+    // 8-gram md5 hashes, min per 4-window, distinct fingerprints.
+    // md5 (not xxhash) so the oracle can mirror the exact values.
+    q("text_fingerprint",
+      """WITH t AS (SELECT doc_id, substr(lower(text), 1, 160) tx
+        |           FROM documents WHERE length(text) >= 11),
+        |h AS (SELECT doc_id,
+        |        [md5(substr(tx, i, 8)) for i in generate_series(1, length(tx) - 7)] hs
+        |      FROM t),
+        |w AS (SELECT doc_id,
+        |        list_distinct([list_aggregate(hs[j:j+3], 'min')
+        |                       for j in generate_series(1, len(hs) - 3)]) fps
+        |      FROM h)
+        |SELECT doc_id, len(fps) AS n_fp,
+        |       list_aggregate(fps, 'min') AS min_fp,
+        |       list_aggregate(fps, 'max') AS max_fp
+        |FROM w ORDER BY doc_id""", bench = true) { c =>
+      // streaming-winnowing shape: posexplode the gram hashes to rows,
+      // rolling 4-window min via a window frame, then one distinct-agg —
+      // codegen'd end to end (an array-lambda formulation is interpreted
+      // and its stages get re-inlined by CollapseProject).
+      import org.apache.spark.sql.expressions.Window
+      val grams = c.documents.filter(length(col("text")) >= 11)
+        .select(col("doc_id"),
+          substring(lower(col("text")), 1, 160).as("tx"))
+        .select(col("doc_id"), (length(col("tx")) - 7).as("n"), posexplode(
+          transform(sequence(lit(1), length(col("tx")) - 7),
+            i => md5(col("tx").substr(i, lit(8)).cast("binary")))))
+        .toDF("doc_id", "n", "pos", "h")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+      grams
+        .withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") <= col("n") - 4) // full 4-windows only
+        .groupBy("doc_id")
+        .agg(countDistinct(col("fp")).as("n_fp"),
+          min(col("fp")).as("min_fp"),
+          max(col("fp")).as("max_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: hash-groupBy on full text, keep the smallest doc_id
+    // per identical text. One shuffle on the text hash at scale.
+    q("dedup_exact",
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper""") { c =>
+      c.documents.groupBy("text")
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"))
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    },
+
+    // MinHash-LSH near-dup detection: banded LSH candidates (never
+    // all-pairs), verified with exact word-shingle Jaccard; char-4-gram
+    // Jaccard added per pair. Oracle = brute-force pairs at sf0.01.
+    q("dedup_minhash_lsh",
+      """WITH d AS (SELECT doc_id, lower(trim(text)) t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(t, '\s+') toks,
+        |               substr(t, 1, 200) tc FROM d),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in generate_series(1, len(toks) - 2)]) ws,
+        |         list_distinct([substr(tc, i, 4)
+        |                        for i in generate_series(1, length(tc) - 3)]) cs
+        |       FROM tok),
+        |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id,
+        |            len(list_intersect(a.ws, b.ws))::DOUBLE
+        |              / len(list_distinct(a.ws || b.ws)) wj,
+        |            len(list_intersect(a.cs, b.cs))::DOUBLE
+        |              / len(list_distinct(a.cs || b.cs)) cj
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(wj + 1e-9, 4) AS wjac,
+        |       round(cj + 1e-9, 4) AS cjac
+        |FROM pairs WHERE wj >= 0.8 ORDER BY a_id, b_id""",
+      bench = true) { c =>
+      val pairs = TextDedup.minhashDedupPairs(c.documents, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+      val csets = c.documents
+        .select(col("doc_id").as("id"),
+          substring(lower(trim(col("text"))), 1, 200).as("tc"))
+        .select(col("id"), TextDedup.charShingles(col("tc"), 4).as("cs"))
+      pairs
+        .join(csets.as("ca"), col("a_id") === col("ca.id"))
+        .join(csets.as("cb"), col("b_id") === col("cb.id"))
+        .select(col("a_id"), col("b_id"), r4(col("wjac")).as("wjac"),
+          r4(TextDedup.jaccard(col("ca.cs"), col("cb.cs"))).as("cjac"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // SimHash near-dup check: for every verified near-dup pair (word
+    // Jaccard ≥ 0.9 via LSH), the 32-bit SimHashes must be within a
+    // small Hamming distance — the dedup property SimHash is used for.
+    q("dedup_simhash",
+      """WITH d AS (SELECT doc_id, lower(trim(text)) t FROM documents),
+        |sh AS (SELECT doc_id, string_split_regex(t, '\s+') toks FROM d),
+        |g AS (SELECT doc_id,
+        |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                       for i in generate_series(1, len(toks) - 2)]) ws
+        |      FROM sh),
+        |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id,
+        |            len(list_intersect(a.ws, b.ws))::DOUBLE
+        |              / len(list_distinct(a.ws || b.ws)) wj
+        |          FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, TRUE AS hamming_close
+        |FROM pairs WHERE wj >= 0.9 ORDER BY a_id, b_id""") { c =>
+      val pairs = TextDedup.minhashDedupPairs(c.documents, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.9)
+      val sims = TextDedup.simhashAgg(c.documents, "doc_id",
+        split(lower(trim(col("text"))), "\\s+"), 32)
+      pairs
+        .join(sims.as("sa"), col("a_id") === col("sa.id"))
+        .join(sims.as("sb"), col("b_id") === col("sb.id"))
+        .select(col("a_id"), col("b_id"),
+          (TextDedup.hamming(col("sa.sim"), col("sb.sim")) <= 10)
+            .as("hamming_close"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Similarity search baseline: exact cosine top-3 for 10 query
+    // vectors by brute force (broadcast queries × corpus — the oracle
+    // path; the scale path is sim_ann_lsh below).
+    q("sim_topk",
+      """WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] q_vec
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id n_id, embedding::DOUBLE[] n_vec FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) cos
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |            ORDER BY round(cos + 1e-9, 6) DESC, n_id) rnk
+        |      FROM s)
+        |SELECT q_id, rnk, n_id, round(cos + 1e-9, 6) AS cos
+        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""",
+      bench = true) { c =>
+      val queries = c.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = c.embeddings
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      VectorSim.topKBruteForce(queries, corpus, 3)
+        .select(col("q_id"), col("rank").as("rnk"), col("n_id"),
+          r6(col("cos")).as("cos"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // ANN via random-hyperplane LSH + multiprobe: recall vs the exact
+    // top-3 is the checked contract (the bucket join is the 100 TB
+    // shape; the embeddings here are unclustered random vectors, the
+    // hardest case for LSH).
+    q("sim_ann_lsh",
+      """SELECT 20 AS n_q, TRUE AS recall_ok""") { c =>
+      val queries = c.embeddings.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = c.embeddings
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val bf = VectorSim.topKBruteForce(queries, corpus, 3)
+        .select(col("q_id"), col("n_id"))
+      val ann = VectorSim.topKAnn(queries, corpus, 3, planes = 6,
+          probeHamming = 2)
+        .select(col("q_id").as("aq"), col("n_id").as("an"))
+      val hits = bf.join(ann,
+        col("q_id") === col("aq") && col("n_id") === col("an"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(20).as("n_q"),
+          (col("n_hit").cast("double") / col("n_bf") >= 0.5).as("recall_ok"))
+    },
+
+    // Multimodal plumbing: opaque binary payload + typed partition-local
+    // stub decode (see graft.ops.Multimodal — decode is a deterministic
+    // fake; schema/encoder/partitioning are the real contract).
+    q("mm_decode_stub",
+      """SELECT doc_id,
+        |       strlen(text) AS n_bytes,
+        |       CAST(strlen(text) % 640 AS INT) AS width,
+        |       CAST(strlen(text) % 480 AS INT) AS height,
+        |       CAST(1 + strlen(text) % 3 AS INT) AS channels,
+        |       concat(ascii(substr(text, 1, 1)), ',',
+        |              ascii(substr(text, 2, 1)), ',',
+        |              ascii(substr(text, 3, 1))) AS head_csv
+        |FROM documents ORDER BY doc_id""") { c =>
+      Multimodal.decodeStub(
+          Multimodal.withBinaryPayload(c.documents, "text"), "doc_id")
+        .toDF()
+        .orderBy("doc_id")
+    }
+  )
+}
