@@ -1,0 +1,163 @@
+package graft.cache
+
+import graft.rel._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import scala.collection.mutable
+
+/** Expression-keyed caching — the reference's flagship feature
+  * (`expr.cache(storage)`, caching/__init__.py:23-286, CachedNode
+  * expr/relations.py:144-146).
+  *
+  * Key = cache hash of the sub-plan ([[RelHash.cacheHash]] — metadata
+  * wrappers stripped) combined with the strategy's source token:
+  *
+  *  - `snapshot`  — token is empty: the first materialization is
+  *    authoritative until dropped (caching/strategy SnapshotStrategy).
+  *  - `mtime`     — token hashes (path, modificationTime, length) of
+  *    every input file of the sub-plan's leaves, so ANY source change
+  *    yields a new key and the stale artifact is simply not found
+  *    (ModificationTimeStrategy).
+  *
+  * Artifacts are parquet directories — durable across sessions, unlike
+  * `df.cache()`. Resolution happens BEFORE lowering: each [[Cache]]
+  * node is replaced by a [[PinnedRead]] of its artifact (computing and
+  * storing on miss), so Catalyst sees a plain parquet scan and the
+  * entire subtree is pruned from execution on a hit — the "cache-hit
+  * pruning" optimization of SURVEY §4.
+  */
+final class CacheManager(
+    spark: SparkSession,
+    storages: Map[String, CacheStorage]) {
+
+  /** originalHash → original sub-plan; makes pinning invertible
+    * (pin_cache/unpin_cache, expr/relations.py:149-405). */
+  private val registry = mutable.Map.empty[String, Rel]
+
+  /** Number of cache misses served (computed + stored) — test/metrics. */
+  @volatile var misses: Int = 0
+  /** Number of cache hits served. */
+  @volatile var hits: Int = 0
+
+  /** Compute the full cache key of a Cache node's input under a
+    * strategy. */
+  def key(input: Rel, strategy: String): String = {
+    val base = RelHash.cacheHash(input)
+    strategy match {
+      case "snapshot" => base
+      case "mtime" =>
+        RelHash.sha256(base + "|" + sourceToken(input))
+      case other =>
+        throw new IllegalArgumentException(s"unknown strategy '$other'")
+    }
+  }
+
+  /** Replace every [[Cache]] node bottom-up with a [[PinnedRead]] of
+    * its (computed-on-miss) artifact. */
+  def resolve(rel: Rel, bindings: Map[String, DataFrame] = Map.empty): Rel =
+    rel.transformUp {
+      case Cache(input, storageName, strategy) =>
+        val storage = storages.getOrElse(storageName,
+          throw new IllegalArgumentException(
+            s"unknown cache storage '$storageName'"))
+        val k = key(input, strategy)
+        registry(k) = input
+        if (!storage.exists(k)) {
+          misses += 1
+          val df = new Lower(spark, bindings).lower(input)
+          storage.store(k, df)
+        } else hits += 1
+        PinnedRead(storage.path(k), k)
+    }
+
+  /** Freeze resolved cache points permanently: like [[resolve]] but
+    * fails on miss instead of computing (a pin must reference an
+    * existing artifact). */
+  def pin(rel: Rel): Rel = rel.transformUp {
+    case Cache(input, storageName, strategy) =>
+      val storage = storages(storageName)
+      val k = key(input, strategy)
+      require(storage.exists(k), s"cannot pin: no artifact for $k")
+      registry(k) = input
+      PinnedRead(storage.path(k), k)
+  }
+
+  /** Invert [[pin]]/[[resolve]]: restore the original sub-plans from
+    * the registry (keyed by the hash carried in [[PinnedRead]]). */
+  def unpin(rel: Rel, storage: String = "default",
+      strategy: String = "snapshot"): Rel = rel.transformUp {
+    case PinnedRead(_, h) if registry.contains(h) =>
+      Cache(registry(h), storage, strategy)
+  }
+
+  /** Resolve caches then lower — the `expr.execute()` path. */
+  def execute(rel: Rel,
+      bindings: Map[String, DataFrame] = Map.empty): DataFrame =
+    new Lower(spark, bindings).lower(resolve(rel, bindings))
+
+  /** mtime-strategy token: FileStatus of every file under every leaf
+    * source path, hashed order-independently (sorted). Uses the Hadoop
+    * FileSystem API so it works on HDFS/S3 exactly as on local disk. */
+  private def sourceToken(rel: Rel): String = {
+    val paths = mutable.ListBuffer.empty[String]
+    def walk(r: Rel): Unit = {
+      r match {
+        case ScanParquet(p) => paths += p
+        case ReadCsv(p, _, _, _) => paths += p
+        case PinnedRead(p, _) => paths += p
+        case _ =>
+      }
+      r.children.foreach(walk)
+    }
+    walk(rel)
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = paths.distinct.sorted.flatMap { p =>
+      val hp = new Path(p)
+      val fs = FileSystem.get(hp.toUri, conf)
+      if (!fs.exists(hp)) Seq(s"$p|missing")
+      else {
+        val it = fs.listFiles(hp, true)
+        val b = mutable.ListBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          b += s"${st.getPath}|${st.getModificationTime}|${st.getLen}"
+        }
+        b.sorted
+      }
+    }
+    RelHash.sha256(entries.mkString(";"))
+  }
+}
+
+/** Artifact store: key → durable relation. */
+trait CacheStorage {
+  def exists(key: String): Boolean
+  def path(key: String): String
+  def store(key: String, df: DataFrame): Unit
+  def drop(key: String): Unit
+}
+
+/** Parquet-directory store under `root` (the reference's ParquetStorage,
+  * caching/__init__.py). Write is atomic-enough via _SUCCESS: a key
+  * exists only when the parquet commit protocol finished. */
+final class ParquetDirStorage(spark: SparkSession, root: String)
+    extends CacheStorage {
+  private def dir(key: String) = s"$root/$key"
+
+  def exists(key: String): Boolean = {
+    val p = new Path(dir(key), "_SUCCESS")
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    fs.exists(p)
+  }
+
+  def path(key: String): String = dir(key)
+
+  def store(key: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(dir(key))
+
+  def drop(key: String): Unit = {
+    val p = new Path(dir(key))
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.cache.{CacheManager, ParquetDirStorage}
+import graft.rel._
+
+/** End-to-end proof of the deferred algebra (SURVEY §7 steps 1+3+4+5):
+  * each query here is BUILT AS A [[graft.rel.Rel]] PLAN — serializable,
+  * hashable case classes — then lowered to a DataFrame; two of them
+  * additionally route through JSON serialization, the expression-keyed
+  * cache, and the exchange barrier before executing. The DuckDB oracle
+  * checks the final rows, so the whole algebra→lowering→Catalyst path
+  * is under the driver's correctness gate.
+  */
+object AlgebraQueries {
+
+  /** Revenue-by-nation plan, pure algebra (no DataFrame code). */
+  private def revenuePlan(dir: String): Rel =
+    Sort(
+      Aggregate(
+        Join(
+          Join(
+            Filter(ScanParquet(s"$dir/lineitem.parquet"),
+              RBin("<=", RCol("l_shipdate"),
+                RCast(RLit("1998-09-02", "string"), "timestamp_ntz"))),
+            ScanParquet(s"$dir/supplier.parquet"), "inner",
+            Seq(RBin("=", RCol("l_suppkey"), RCol("s_suppkey")))),
+          ScanParquet(s"$dir/nation.parquet"), "inner",
+          Seq(RBin("=", RCol("s_nationkey"), RCol("n_nationkey")))),
+        keys = Seq("n_name" -> RCol("n_name")),
+        aggs = Seq(
+          "revenue" -> RCast(RAgg("sum", Seq(RCast(
+            RRaw("l_extendedprice * (1 - l_discount)"),
+            "decimal(18,4)"))), "double"),
+          "n" -> RAgg("count", Nil))),
+      Seq(SortKey(RCol("n_name"), asc = true, nullsFirst = true)))
+
+  private val revenueOracle =
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY n_name ORDER BY n_name"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Plan built as serializable case classes, lowered, executed.
+    q("alg_revenue", revenueOracle) { c =>
+      new Lower(c.spark).lower(revenuePlan(c.dir))
+    },
+
+    // Same plan routed through canonical JSON and BACK (build → save →
+    // load → run, the `xorq build`/`run` lifecycle of SURVEY §3.2).
+    q("alg_serialize_roundtrip", revenueOracle) { c =>
+      val json = RelJson.write(revenuePlan(c.dir))
+      val reloaded = RelJson.parse(json)
+      require(RelHash.buildHash(reloaded) ==
+        RelHash.buildHash(revenuePlan(c.dir)), "hash drift after roundtrip")
+      new Lower(c.spark).lower(reloaded)
+    },
+
+    // Scalar parameter bound at execution (bind_params).
+    q("alg_param",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { c =>
+      val plan = Sort(
+        Aggregate(
+          Filter(ScanParquet(s"${c.dir}/orders.parquet"),
+            RBin(">", RCol("o_totalprice"),
+              RParam("min_price", "double", Some("100000")))),
+          keys = Seq("o_orderpriority" -> RCol("o_orderpriority")),
+          aggs = Seq(
+            "n" -> RAgg("count", Nil),
+            "total" -> RCast(RAgg("sum",
+              Seq(RCast(RCol("o_totalprice"), "decimal(18,4)"))), "double"))),
+        Seq(SortKey(RCol("o_orderpriority"), true, true)))
+      new Lower(c.spark).lower(Params.bind(plan, Map("min_price" -> "150000")))
+    },
+
+    // Expression-keyed cache: the aggregate sub-plan is cached under its
+    // content hash on first run and read back as a parquet artifact on
+    // every later run — the result must be identical either way.
+    q("alg_cached",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_query_cache"
+      val mgr = new CacheManager(c.spark,
+        Map("default" -> new ParquetDirStorage(c.spark, root)))
+      val plan = Sort(
+        Cache(
+          Aggregate(ScanParquet(s"${c.dir}/lineitem.parquet"),
+            keys = Seq("l_returnflag" -> RCol("l_returnflag"),
+              "l_linestatus" -> RCol("l_linestatus")),
+            aggs = Seq("n" -> RAgg("count", Nil))),
+          "default", "mtime"),
+        Seq(SortKey(RCol("l_returnflag"), true, true),
+          SortKey(RCol("l_linestatus"), true, true)))
+      mgr.execute(plan)
+    },
+
+    // Exchange barrier (into_backend analogue): the subtree result is
+    // materialized at the barrier; downstream sees a fresh scan.
+    q("alg_exchange",
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_quantity) + 1e-9, 2) AS qty
+        |FROM lineitem WHERE l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      val plan = Sort(
+        Aggregate(
+          Exchange(
+            Filter(ScanParquet(s"${c.dir}/lineitem.parquet"),
+              RBin(">", RCol("l_discount"), RLit("0.05", "double"))),
+            "warehouse"),
+          keys = Seq("l_returnflag" -> RCol("l_returnflag")),
+          aggs = Seq(
+            "n" -> RAgg("count", Nil),
+            "qty" -> RCall("round", Seq(
+              RBin("+", RAgg("sum", Seq(RCol("l_quantity"))),
+                RLit("1e-9", "double")),
+              RLit("2", "int"))))),
+        Seq(SortKey(RCol("l_returnflag"), true, true)))
+      new Lower(c.spark).lower(plan)
+    }
+  )
+}

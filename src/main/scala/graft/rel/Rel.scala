@@ -1,0 +1,244 @@
+package graft.rel
+
+/** The deferred, serializable relational algebra — the layer Catalyst
+  * does NOT provide and the heart of the reference's identity: compose →
+  * serialize → hash → cache/exchange/rerun (xorq's Ibis-IR + YAML-build
+  * stack, vendor/ibis/expr/operations/relations.py:41-88 and
+  * ibis_yaml/compiler.py:283/:397/:994).
+  *
+  * Design stance (SURVEY §7): a THIN algebra of immutable case classes
+  * that lowers to `DataFrame` transformations ([[Lower]]) — Catalyst is
+  * the only optimizer/executor. Nodes carry no Spark objects, so every
+  * plan is serializable to canonical JSON ([[RelJson]]) with a stable
+  * content hash ([[RelHash]]); caching ([[graft.cache.CacheManager]]),
+  * build artifacts and exchange barriers key off those hashes.
+  *
+  * Scalar expressions ([[RExpr]]) name Spark functions directly
+  * (`call_function` resolves them at lowering) — we deliberately do NOT
+  * re-type ~150 scalar ops the way Ibis does; Spark's analyzer is the
+  * type checker, and [[RRaw]] is the SQL escape hatch.
+  */
+sealed trait Rel extends Product with Serializable {
+  def children: Seq[Rel]
+
+  /** Bottom-up structural rewrite. */
+  def transformUp(f: PartialFunction[Rel, Rel]): Rel = {
+    val next = this.mapChildren(_.transformUp(f))
+    f.applyOrElse(next, identity[Rel])
+  }
+
+  def mapChildren(f: Rel => Rel): Rel = this match {
+    case r: ScanParquet => r
+    case r: ReadCsv => r
+    case r: UnboundTable => r
+    case r: SqlView => r.copy(deps = r.deps.map { case (n, d) => (n, f(d)) })
+    case r: PinnedRead => r
+    case r: Project => r.copy(input = f(r.input))
+    case r: Filter => r.copy(input = f(r.input))
+    case r: Join => r.copy(left = f(r.left), right = f(r.right))
+    case r: Aggregate => r.copy(input = f(r.input))
+    case r: WindowProject => r.copy(input = f(r.input))
+    case r: Sort => r.copy(input = f(r.input))
+    case r: Limit => r.copy(input = f(r.input))
+    case r: Distinct => r.copy(input = f(r.input))
+    case r: SetOp => r.copy(left = f(r.left), right = f(r.right))
+    case r: Sample => r.copy(input = f(r.input))
+    case r: FillNull => r.copy(input = f(r.input))
+    case r: DropNull => r.copy(input = f(r.input))
+    case r: Unnest => r.copy(input = f(r.input))
+    case r: Cache => r.copy(input = f(r.input))
+    case r: Exchange => r.copy(input = f(r.input))
+    case r: Tag => r.copy(input = f(r.input))
+    case r: Tee => r.copy(input = f(r.input))
+  }
+}
+
+// ---------------------------------------------------------------- leaves
+
+/** Deferred parquet read (the reference's `Read`,
+  * expr/relations.py:826-845: method+path captured, resolved at the
+  * execution boundary; participates in the content hash). */
+final case class ScanParquet(path: String) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Deferred CSV read with explicit options (defer_utils.py:147). */
+final case class ReadCsv(
+    path: String,
+    header: Boolean = true,
+    inferSchema: Boolean = true,
+    delimiter: String = ",") extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Serializable placeholder bound from a runtime catalog at lowering
+  * (ops.UnboundTable, vendor relations.py:404-411). `schema` is the
+  * declared (name, dataType DDL) list — validated against the bound
+  * table at lowering. */
+final case class UnboundTable(
+    name: String,
+    schema: Seq[(String, String)]) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Raw SQL over named dependency relations (SQLStringView,
+  * vendor relations.py:459). */
+final case class SqlView(sql: String, deps: Seq[(String, Rel)]) extends Rel {
+  def children: Seq[Rel] = deps.map(_._2)
+}
+
+/** A cache artifact frozen into a direct read (pin_cache,
+  * expr/relations.py:149-405): carries the original subtree's cache
+  * hash so unpinning is invertible and audit is possible. */
+final case class PinnedRead(artifactPath: String, originalHash: String)
+    extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+// ------------------------------------------------------------- operators
+
+final case class Project(input: Rel, exprs: Seq[(String, RExpr)]) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+final case class Filter(input: Rel, predicate: RExpr) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** how ∈ inner|left|right|full|cross|left_semi|left_anti (vendor
+  * relations.py:202-216; any/asof/positional joins are API rewrites). */
+final case class Join(left: Rel, right: Rel, how: String, on: Seq[RExpr])
+    extends Rel {
+  def children: Seq[Rel] = Seq(left, right)
+}
+
+final case class Aggregate(
+    input: Rel,
+    keys: Seq[(String, RExpr)],
+    aggs: Seq[(String, RExpr)]) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Windowed projection: each output column is `fn OVER (partition/order/
+  * frame)` (vendor window.py:30-120). frame: None | rows | range with
+  * Long bounds (MinValue/MaxValue = unbounded). */
+final case class WindowProject(
+    input: Rel,
+    keep: Seq[String],
+    wins: Seq[WinExpr]) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+final case class WinExpr(
+    name: String,
+    fn: RExpr,
+    partitionBy: Seq[RExpr],
+    orderBy: Seq[SortKey],
+    frame: Option[Frame])
+
+final case class Frame(kind: String, start: Long, end: Long) // rows|range
+
+final case class SortKey(expr: RExpr, asc: Boolean, nullsFirst: Boolean)
+
+final case class Sort(input: Rel, keys: Seq[SortKey]) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+final case class Limit(input: Rel, n: Long, offset: Long = 0) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Distinct with optional subset + keep=first/last (vendor
+  * relations.py:504, API types/relations.py:1010). */
+final case class Distinct(
+    input: Rel,
+    on: Seq[String] = Nil,
+    orderBy: Seq[SortKey] = Nil,
+    keepFirst: Boolean = true) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** kind ∈ union_all|union|intersect|except (relations.py:333-383). */
+final case class SetOp(kind: String, left: Rel, right: Rel) extends Rel {
+  def children: Seq[Rel] = Seq(left, right)
+}
+
+/** Deterministic-by-seed sampling (relations.py:495). */
+final case class Sample(input: Rel, fraction: Double, seed: Long)
+    extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+final case class FillNull(input: Rel, replacements: Seq[(String, String)])
+    extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+final case class DropNull(input: Rel, how: String, subset: Seq[String])
+    extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Explode an array column to rows (TableUnnest, relations.py:509). */
+final case class Unnest(input: Rel, column: String, keepEmpty: Boolean)
+    extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+// ------------------------------------------- xorq-specific differentiators
+
+/** Expression-keyed cache point (CachedNode, expr/relations.py:144-146):
+  * resolved by [[graft.cache.CacheManager]] — key = cache hash of
+  * `input` (+ strategy source token), hit → artifact read, miss →
+  * compute + store. `storage`/`strategy` are symbolic names bound at
+  * execution. */
+final case class Cache(input: Rel, storage: String, strategy: String)
+    extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Materialization barrier between catalogs (RemoteTable/into_backend,
+  * expr/relations.py:416-431): the subtree is computed, written to the
+  * exchange location, and re-read — downstream operators see a fresh
+  * scan in the target catalog. */
+final case class Exchange(input: Rel, target: String) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Metadata pass-through (Tag/HashingTag, expr/relations.py:79-99):
+  * stripped before execution; `hashing=false` tags are ALSO stripped
+  * from the cache hash (ADR-0015 two-hash split). */
+final case class Tag(input: Rel, key: String, value: String,
+    hashing: Boolean = false) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Write-through (TeeNode, expr/relations.py:102-137): the input is
+  * written to `sinkPath` (parquet) when executed AND flows on
+  * unchanged. Never part of the cache hash. */
+final case class Tee(input: Rel, sinkPath: String) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+// ------------------------------------------------------------ expressions
+
+/** Scalar/aggregate expression sub-language. Function calls are by
+  * Spark function name (lowered via `call_function`); `RRaw` embeds
+  * SQL text for anything else. Params (NamedScalarParameter,
+  * expr/operations.py:35-82) are substituted before lowering. */
+sealed trait RExpr extends Product with Serializable
+
+final case class RCol(name: String) extends RExpr
+/** value is the canonical string encoding; dtype is a Spark DDL type. */
+final case class RLit(value: String, dtype: String) extends RExpr
+final case class RCall(fn: String, args: Seq[RExpr]) extends RExpr
+final case class RBin(op: String, left: RExpr, right: RExpr) extends RExpr
+final case class RCast(arg: RExpr, dtype: String) extends RExpr
+/** Aggregate call with optional FILTER (Filterable, reductions.py:27). */
+final case class RAgg(fn: String, args: Seq[RExpr],
+    distinct: Boolean = false, filter: Option[RExpr] = None) extends RExpr
+/** Named scalar parameter; bound via [[Params.bind]]. */
+final case class RParam(name: String, dtype: String,
+    default: Option[String] = None) extends RExpr
+/** SQL escape hatch. */
+final case class RRaw(sql: String) extends RExpr

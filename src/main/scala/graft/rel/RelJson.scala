@@ -1,0 +1,443 @@
+package graft.rel
+
+import scala.collection.mutable
+
+/** Canonical JSON serialization of [[Rel]] plans — the substrate for
+  * content hashing ([[RelHash]]) and build artifacts ([[graft.build]]).
+  * Mirrors the reference's YAML expr artifacts (ibis_yaml/translate.py,
+  * canonicalize_expr compiler.py:397).
+  *
+  * Canonical form: every node is `{"t": <type>, ...fields in declared
+  * order}`; strings are minimally escaped; no whitespace. Serialization
+  * is total and `parse(write(r)) == r` (round-trip tested).
+  */
+object RelJson {
+
+  // ------------------------------------------------------------- writing
+
+  def write(rel: Rel): String = {
+    val sb = new StringBuilder
+    wRel(rel, sb)
+    sb.toString
+  }
+
+  def writeExpr(e: RExpr): String = {
+    val sb = new StringBuilder
+    wExpr(e, sb)
+    sb.toString
+  }
+
+  private def s(v: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    v.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  private def wRel(r: Rel, sb: StringBuilder): Unit = {
+    def obj(t: String)(body: => Unit): Unit = {
+      sb.append("{\"t\":"); s(t, sb); body; sb.append('}')
+    }
+    def f(name: String)(body: => Unit): Unit = {
+      sb.append(',').append('"').append(name).append("\":"); body
+    }
+    def fs(name: String, v: String): Unit = f(name)(s(v, sb))
+    def arr[A](xs: Seq[A])(each: A => Unit): Unit = {
+      sb.append('[')
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (i > 0) sb.append(','); each(x)
+      }
+      sb.append(']')
+    }
+    def pairs(name: String, xs: Seq[(String, RExpr)]): Unit =
+      f(name)(arr(xs) { case (n, e) =>
+        sb.append('['); s(n, sb); sb.append(','); wExpr(e, sb); sb.append(']')
+      })
+    def sortKeys(name: String, ks: Seq[SortKey]): Unit =
+      f(name)(arr(ks) { k =>
+        sb.append('['); wExpr(k.expr, sb)
+        sb.append(',').append(k.asc).append(',').append(k.nullsFirst)
+        sb.append(']')
+      })
+
+    r match {
+      case ScanParquet(p) => obj("scan_parquet")(fs("path", p))
+      case ReadCsv(p, h, i, d) => obj("read_csv") {
+        fs("path", p); f("header")(sb.append(h))
+        f("inferSchema")(sb.append(i)); fs("delimiter", d)
+      }
+      case UnboundTable(n, schema) => obj("unbound") {
+        fs("name", n)
+        f("schema")(arr(schema) { case (cn, ct) =>
+          sb.append('['); s(cn, sb); sb.append(','); s(ct, sb); sb.append(']')
+        })
+      }
+      case SqlView(sql, deps) => obj("sql_view") {
+        fs("sql", sql)
+        f("deps")(arr(deps) { case (n, d) =>
+          sb.append('['); s(n, sb); sb.append(','); wRel(d, sb); sb.append(']')
+        })
+      }
+      case PinnedRead(p, h) =>
+        obj("pinned_read")(fs("path", p), fs("hash", h))
+      case Project(in, exprs) => obj("project") {
+        f("input")(wRel(in, sb)); pairs("exprs", exprs)
+      }
+      case Filter(in, p) => obj("filter") {
+        f("input")(wRel(in, sb)); f("pred")(wExpr(p, sb))
+      }
+      case Join(l, rr, how, on) => obj("join") {
+        f("left")(wRel(l, sb)); f("right")(wRel(rr, sb)); fs("how", how)
+        f("on")(arr(on)(wExpr(_, sb)))
+      }
+      case Aggregate(in, keys, aggs) => obj("aggregate") {
+        f("input")(wRel(in, sb)); pairs("keys", keys); pairs("aggs", aggs)
+      }
+      case WindowProject(in, keep, wins) => obj("window") {
+        f("input")(wRel(in, sb))
+        f("keep")(arr(keep)(s(_, sb)))
+        f("wins")(arr(wins) { w =>
+          sb.append("{\"name\":"); s(w.name, sb)
+          sb.append(",\"fn\":"); wExpr(w.fn, sb)
+          sb.append(",\"partitionBy\":"); arr(w.partitionBy)(wExpr(_, sb))
+          sb.append(",\"orderBy\":"); arr(w.orderBy) { k =>
+            sb.append('['); wExpr(k.expr, sb)
+            sb.append(',').append(k.asc).append(',').append(k.nullsFirst)
+            sb.append(']')
+          }
+          sb.append(",\"frame\":")
+          w.frame match {
+            case Some(Frame(kind, st, en)) =>
+              sb.append("[\""); sb.append(kind); sb.append("\",")
+              sb.append(st).append(',').append(en).append(']')
+            case None => sb.append("null")
+          }
+          sb.append('}')
+        })
+      }
+      case Sort(in, keys) => obj("sort") {
+        f("input")(wRel(in, sb)); sortKeys("keys", keys)
+      }
+      case Limit(in, n, off) => obj("limit") {
+        f("input")(wRel(in, sb)); f("n")(sb.append(n))
+        f("offset")(sb.append(off))
+      }
+      case Distinct(in, on, ob, kf) => obj("distinct") {
+        f("input")(wRel(in, sb)); f("on")(arr(on)(s(_, sb)))
+        sortKeys("orderBy", ob); f("keepFirst")(sb.append(kf))
+      }
+      case SetOp(kind, l, rr) => obj("setop") {
+        fs("kind", kind); f("left")(wRel(l, sb)); f("right")(wRel(rr, sb))
+      }
+      case Sample(in, fr, seed) => obj("sample") {
+        f("input")(wRel(in, sb)); f("fraction")(sb.append(fr))
+        f("seed")(sb.append(seed))
+      }
+      case FillNull(in, repl) => obj("fill_null") {
+        f("input")(wRel(in, sb))
+        f("repl")(arr(repl) { case (c, v) =>
+          sb.append('['); s(c, sb); sb.append(','); s(v, sb); sb.append(']')
+        })
+      }
+      case DropNull(in, how, subset) => obj("drop_null") {
+        f("input")(wRel(in, sb)); fs("how", how)
+        f("subset")(arr(subset)(s(_, sb)))
+      }
+      case Unnest(in, c, ke) => obj("unnest") {
+        f("input")(wRel(in, sb)); fs("column", c)
+        f("keepEmpty")(sb.append(ke))
+      }
+      case Cache(in, st, sg) => obj("cache") {
+        f("input")(wRel(in, sb)); fs("storage", st); fs("strategy", sg)
+      }
+      case Exchange(in, tg) => obj("exchange") {
+        f("input")(wRel(in, sb)); fs("target", tg)
+      }
+      case Tag(in, k, v, h) => obj("tag") {
+        f("input")(wRel(in, sb)); fs("key", k); fs("value", v)
+        f("hashing")(sb.append(h))
+      }
+      case Tee(in, sink) => obj("tee") {
+        f("input")(wRel(in, sb)); fs("sink", sink)
+      }
+    }
+  }
+
+  private def wExpr(e: RExpr, sb: StringBuilder): Unit = {
+    def arr(xs: Seq[RExpr]): Unit = {
+      sb.append('[')
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (i > 0) sb.append(','); wExpr(x, sb)
+      }
+      sb.append(']')
+    }
+    e match {
+      case RCol(n) => sb.append("{\"e\":\"col\",\"name\":"); s(n, sb); sb.append('}')
+      case RLit(v, d) =>
+        sb.append("{\"e\":\"lit\",\"value\":"); s(v, sb)
+        sb.append(",\"dtype\":"); s(d, sb); sb.append('}')
+      case RCall(fn, args) =>
+        sb.append("{\"e\":\"call\",\"fn\":"); s(fn, sb)
+        sb.append(",\"args\":"); arr(args); sb.append('}')
+      case RBin(op, l, r) =>
+        sb.append("{\"e\":\"bin\",\"op\":"); s(op, sb)
+        sb.append(",\"left\":"); wExpr(l, sb)
+        sb.append(",\"right\":"); wExpr(r, sb); sb.append('}')
+      case RCast(a, d) =>
+        sb.append("{\"e\":\"cast\",\"arg\":"); wExpr(a, sb)
+        sb.append(",\"dtype\":"); s(d, sb); sb.append('}')
+      case RAgg(fn, args, dist, fl) =>
+        sb.append("{\"e\":\"agg\",\"fn\":"); s(fn, sb)
+        sb.append(",\"args\":"); arr(args)
+        sb.append(",\"distinct\":").append(dist)
+        sb.append(",\"filter\":")
+        fl match { case Some(x) => wExpr(x, sb); case None => sb.append("null") }
+        sb.append('}')
+      case RParam(n, d, df) =>
+        sb.append("{\"e\":\"param\",\"name\":"); s(n, sb)
+        sb.append(",\"dtype\":"); s(d, sb)
+        sb.append(",\"default\":")
+        df match { case Some(x) => s(x, sb); case None => sb.append("null") }
+        sb.append('}')
+      case RRaw(sql) =>
+        sb.append("{\"e\":\"raw\",\"sql\":"); s(sql, sb); sb.append('}')
+    }
+  }
+
+  // ------------------------------------------------------------- parsing
+
+  def parse(json: String): Rel = new P(json).rel()
+  def parseExpr(json: String): RExpr = new P(json).expr()
+
+  /** Minimal recursive-descent JSON reader specialized to the canonical
+    * shapes produced by [[write]]. */
+  private final class P(in: String) {
+    private var i = 0
+
+    def rel(): Rel = relDecode(obj())
+
+    def expr(): RExpr = decodeExpr(value())
+
+    private def relDecode(m: Map[String, Any]): Rel = {
+      def str0(k: String) = m(k).asInstanceOf[String]
+      def bool0(k: String) = m(k).asInstanceOf[Boolean]
+      def long0(k: String) = m(k).asInstanceOf[Double].toLong
+      def list0(k: String) = m(k).asInstanceOf[List[Any]]
+      def pairs0(k: String) = list0(k).map { x =>
+        val p = x.asInstanceOf[List[Any]]
+        (p(0).asInstanceOf[String], decodeExpr(p(1)))
+      }
+      m("t").asInstanceOf[String] match {
+        case "scan_parquet" => ScanParquet(str0("path"))
+        case "read_csv" => ReadCsv(str0("path"), bool0("header"),
+          bool0("inferSchema"), str0("delimiter"))
+        case "unbound" => UnboundTable(str0("name"),
+          list0("schema").map { x =>
+            val p = x.asInstanceOf[List[Any]]
+            (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+          })
+        case "sql_view" => SqlView(str0("sql"),
+          list0("deps").map { x =>
+            val p = x.asInstanceOf[List[Any]]
+            (p(0).asInstanceOf[String],
+              relDecode(p(1).asInstanceOf[Map[String, Any]]))
+          })
+        case "pinned_read" => PinnedRead(str0("path"), str0("hash"))
+        case "project" =>
+          Project(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            pairs0("exprs"))
+        case "filter" =>
+          Filter(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            decodeExpr(m("pred")))
+        case "join" =>
+          Join(relDecode(m("left").asInstanceOf[Map[String, Any]]),
+            relDecode(m("right").asInstanceOf[Map[String, Any]]),
+            str0("how"), list0("on").map(decodeExpr))
+        case "aggregate" =>
+          Aggregate(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            pairs0("keys"), pairs0("aggs"))
+        case "window" =>
+          WindowProject(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            list0("keep").map(_.asInstanceOf[String]),
+            list0("wins").map { x =>
+              val w = x.asInstanceOf[Map[String, Any]]
+              WinExpr(w("name").asInstanceOf[String], decodeExpr(w("fn")),
+                w("partitionBy").asInstanceOf[List[Any]].map(decodeExpr),
+                w("orderBy").asInstanceOf[List[Any]].map(decodeSortKey),
+                w("frame") match {
+                  case null => None
+                  case fr: List[Any @unchecked] => Some(Frame(
+                    fr(0).asInstanceOf[String],
+                    fr(1).asInstanceOf[Double].toLong,
+                    fr(2).asInstanceOf[Double].toLong))
+                })
+            })
+        case "sort" =>
+          Sort(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            list0("keys").map(decodeSortKey))
+        case "limit" =>
+          Limit(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            long0("n"), long0("offset"))
+        case "distinct" =>
+          Distinct(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            list0("on").map(_.asInstanceOf[String]),
+            list0("orderBy").map(decodeSortKey), bool0("keepFirst"))
+        case "setop" => SetOp(str0("kind"),
+          relDecode(m("left").asInstanceOf[Map[String, Any]]),
+          relDecode(m("right").asInstanceOf[Map[String, Any]]))
+        case "sample" =>
+          Sample(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            m("fraction").asInstanceOf[Double], long0("seed"))
+        case "fill_null" =>
+          FillNull(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            list0("repl").map { x =>
+              val p = x.asInstanceOf[List[Any]]
+              (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+            })
+        case "drop_null" =>
+          DropNull(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("how"), list0("subset").map(_.asInstanceOf[String]))
+        case "unnest" =>
+          Unnest(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("column"), bool0("keepEmpty"))
+        case "cache" =>
+          Cache(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("storage"), str0("strategy"))
+        case "exchange" =>
+          Exchange(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("target"))
+        case "tag" =>
+          Tag(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("key"), str0("value"), bool0("hashing"))
+        case "tee" =>
+          Tee(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("sink"))
+        case other => throw new IllegalArgumentException(s"bad node $other")
+      }
+    }
+
+    private def decodeSortKey(v: Any): SortKey = {
+      val p = v.asInstanceOf[List[Any]]
+      SortKey(decodeExpr(p(0)), p(1).asInstanceOf[Boolean],
+        p(2).asInstanceOf[Boolean])
+    }
+
+    private def decodeExpr(v: Any): RExpr = {
+      val m = v.asInstanceOf[Map[String, Any]]
+      m("e").asInstanceOf[String] match {
+        case "col" => RCol(m("name").asInstanceOf[String])
+        case "lit" => RLit(m("value").asInstanceOf[String],
+          m("dtype").asInstanceOf[String])
+        case "call" => RCall(m("fn").asInstanceOf[String],
+          m("args").asInstanceOf[List[Any]].map(decodeExpr))
+        case "bin" => RBin(m("op").asInstanceOf[String],
+          decodeExpr(m("left")), decodeExpr(m("right")))
+        case "cast" => RCast(decodeExpr(m("arg")),
+          m("dtype").asInstanceOf[String])
+        case "agg" => RAgg(m("fn").asInstanceOf[String],
+          m("args").asInstanceOf[List[Any]].map(decodeExpr),
+          m("distinct").asInstanceOf[Boolean],
+          m("filter") match {
+            case null => None
+            case x => Some(decodeExpr(x))
+          })
+        case "param" => RParam(m("name").asInstanceOf[String],
+          m("dtype").asInstanceOf[String],
+          m("default") match {
+            case null => None
+            case x => Some(x.asInstanceOf[String])
+          })
+        case "raw" => RRaw(m("sql").asInstanceOf[String])
+        case other => throw new IllegalArgumentException(s"bad expr $other")
+      }
+    }
+
+    // ---- generic JSON tokenizer ----
+
+    private def ws(): Unit = while (i < in.length && in(i).isWhitespace) i += 1
+
+    private def value(): Any = {
+      ws()
+      in(i) match {
+        case '{' => objValue()
+        case '[' => arrValue()
+        case '"' => strValue()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ => numValue()
+      }
+    }
+
+    private def obj(): Map[String, Any] = { ws(); objValue() }
+
+    private def objValue(): Map[String, Any] = {
+      val m = mutable.LinkedHashMap.empty[String, Any]
+      i += 1 // {
+      ws()
+      if (in(i) == '}') { i += 1; return m.toMap }
+      while (true) {
+        ws()
+        val k = strValue()
+        ws(); require(in(i) == ':'); i += 1
+        m(k) = value()
+        ws()
+        if (in(i) == ',') i += 1
+        else { require(in(i) == '}'); i += 1; return m.toMap }
+      }
+      m.toMap
+    }
+
+    private def arrValue(): List[Any] = {
+      val b = mutable.ListBuffer.empty[Any]
+      i += 1 // [
+      ws()
+      if (in(i) == ']') { i += 1; return b.toList }
+      while (true) {
+        b += value()
+        ws()
+        if (in(i) == ',') i += 1
+        else { require(in(i) == ']'); i += 1; return b.toList }
+      }
+      b.toList
+    }
+
+    private def strValue(): String = {
+      require(in(i) == '"'); i += 1
+      val sb = new StringBuilder
+      while (in(i) != '"') {
+        if (in(i) == '\\') {
+          i += 1
+          in(i) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'u' =>
+              sb.append(Integer.parseInt(in.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case c => sb.append(c)
+          }
+          i += 1
+        } else { sb.append(in(i)); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+
+    private def numValue(): Double = {
+      val start = i
+      while (i < in.length &&
+        (in(i).isDigit || "+-.eE".contains(in(i)))) i += 1
+      in.substring(start, i).toDouble
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.cache
+
+import graft.SparkSpec
+import graft.rel._
+import java.nio.file.{Files, Paths}
+
+class CacheSpec extends SparkSpec {
+
+  private def freshManager(): (CacheManager, ParquetDirStorage, String) = {
+    val root = Files.createTempDirectory("graft_cache_").toString
+    val storage = new ParquetDirStorage(spark, root)
+    (new CacheManager(spark, Map("default" -> storage)), storage, root)
+  }
+
+  def plan(src: String): Rel = Cache(
+    Aggregate(
+      ScanParquet(src),
+      keys = Seq("rf" -> RCol("l_returnflag")),
+      aggs = Seq("n" -> RAgg("count", Nil))),
+    "default", "snapshot")
+
+  test("miss computes and stores; hit reads the artifact without recompute") {
+    val (mgr, storage, _) = freshManager()
+    val p = plan(s"$sfDir/lineitem.parquet")
+
+    val r1 = mgr.execute(p).collect().sortBy(_.getString(0))
+    assert(mgr.misses == 1 && mgr.hits == 0)
+
+    val r2 = mgr.execute(p).collect().sortBy(_.getString(0))
+    assert(mgr.misses == 1 && mgr.hits == 1)
+    assert(r1.toSeq == r2.toSeq)
+
+    // the resolved plan is a plain artifact read — whole subtree pruned
+    val resolved = mgr.resolve(p)
+    assert(resolved.isInstanceOf[PinnedRead])
+    assert(storage.exists(
+      resolved.asInstanceOf[PinnedRead].artifactPath.split("/").last))
+  }
+
+  test("cache key is stable across plan reconstructions") {
+    val (mgr, _, _) = freshManager()
+    val k1 = mgr.key(plan(s"$sfDir/lineitem.parquet")
+      .asInstanceOf[Cache].input, "snapshot")
+    val k2 = mgr.key(plan(s"$sfDir/lineitem.parquet")
+      .asInstanceOf[Cache].input, "snapshot")
+    assert(k1 == k2)
+  }
+
+  test("mtime strategy: touching the source invalidates the key") {
+    // private copy of the source so we can bump its mtime
+    val tmp = Files.createTempDirectory("graft_src_").toString
+    val src = s"$tmp/li.parquet"
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100)
+      .write.parquet(src)
+
+    val (mgr, _, _) = freshManager()
+    val inner = Aggregate(ScanParquet(src), Nil,
+      Seq("n" -> RAgg("count", Nil)))
+    val k1 = mgr.key(inner, "mtime")
+    val k1again = mgr.key(inner, "mtime")
+    assert(k1 == k1again)
+
+    // bump mtime of one data file
+    val dir = Paths.get(src)
+    val dataFile = Files.list(dir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.setLastModifiedTime(dataFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000))
+    val k2 = mgr.key(inner, "mtime")
+    assert(k1 != k2, "mtime change must produce a new cache key")
+
+    // snapshot strategy is insensitive to the same change
+    assert(mgr.key(inner, "snapshot") == mgr.key(inner, "snapshot"))
+  }
+
+  test("pin requires an artifact; pin/unpin round-trips the plan") {
+    val (mgr, _, _) = freshManager()
+    val p = plan(s"$sfDir/lineitem.parquet")
+
+    intercept[IllegalArgumentException](mgr.pin(p)) // nothing cached yet
+
+    mgr.execute(p).collect()
+    val pinned = mgr.pin(p)
+    assert(pinned.isInstanceOf[PinnedRead])
+
+    // pinned plan reads straight from the artifact
+    val viaPin = mgr.execute(pinned).collect()
+    assert(viaPin.length == 3)
+
+    val unpinned = mgr.unpin(pinned)
+    assert(unpinned == p) // exact original Cache(subtree) restored
+  }
+
+  test("different sub-plans never share a key; drop forces recompute") {
+    val (mgr, storage, _) = freshManager()
+    val a = plan(s"$sfDir/lineitem.parquet")
+    val b = Cache(
+      Aggregate(ScanParquet(s"$sfDir/lineitem.parquet"),
+        keys = Seq("ls" -> RCol("l_linestatus")),
+        aggs = Seq("n" -> RAgg("count", Nil))),
+      "default", "snapshot")
+    val ka = mgr.key(a.asInstanceOf[Cache].input, "snapshot")
+    val kb = mgr.key(b.asInstanceOf[Cache].input, "snapshot")
+    assert(ka != kb)
+
+    mgr.execute(a).collect()
+    assert(storage.exists(ka))
+    storage.drop(ka)
+    assert(!storage.exists(ka))
+    mgr.execute(a).collect()
+    assert(mgr.misses == 2)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LowerSpec extends SparkSpec {
+
+  def li: Rel = ScanParquet(s"$sfDir/lineitem.parquet")
+  def lower = new Lower(spark)
+
+  test("project + filter + aggregate + sort lowers to the DataFrame result") {
+    val rel = Sort(
+      Aggregate(
+        Filter(li, RBin("<=", RCol("l_quantity"), RLit("25", "int"))),
+        keys = Seq("rf" -> RCol("l_returnflag")),
+        aggs = Seq(
+          "qty" -> RCall("round", Seq(RAgg("sum", Seq(RCol("l_quantity"))),
+            RLit("2", "int"))),
+          "n" -> RAgg("count", Nil))),
+      Seq(SortKey(RCol("rf"), asc = true, nullsFirst = true)))
+
+    val got = lower(rel).collect()
+    val exp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") <= 25)
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        count(lit(1)).as("n"))
+      .orderBy("rf").collect()
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("join lowers with condition and how") {
+    val ord = ScanParquet(s"$sfDir/orders.parquet")
+    val rel = Limit(Sort(
+      Project(
+        Join(li, ord, "inner",
+          Seq(RBin("=", RCol("l_orderkey"), RCol("o_orderkey")))),
+        Seq("k" -> RCol("l_orderkey"), "p" -> RCol("o_totalprice"))),
+      Seq(SortKey(RCol("k"), true, true), SortKey(RCol("p"), true, true))),
+      10)
+    assert(lower(rel).collect().length == 10)
+  }
+
+  test("unbound tables resolve from bindings and validate schema") {
+    val rel = Aggregate(
+      UnboundTable("t", Seq("l_orderkey" -> "BIGINT")),
+      keys = Nil, aggs = Seq("n" -> RAgg("count", Nil)))
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val n = new Lower(spark, Map("t" -> df)).lower(rel).collect()(0).getLong(0)
+    assert(n == df.count())
+
+    val bad = UnboundTable("t", Seq("l_orderkey" -> "STRING"))
+    val err = intercept[IllegalArgumentException] {
+      new Lower(spark, Map("t" -> df)).lower(bad)
+    }
+    assert(err.getMessage.contains("declared"))
+
+    val missing = UnboundTable("nope", Nil)
+    intercept[IllegalArgumentException](lower.lower(missing))
+  }
+
+  test("window projection lowers with frame") {
+    val rel = WindowProject(
+      Project(li, Seq("k" -> RCol("l_orderkey"), "q" -> RCol("l_quantity"))),
+      keep = Seq("k", "q"),
+      wins = Seq(WinExpr("rn", RCall("row_number", Nil),
+        Seq(RCol("k")), Seq(SortKey(RCol("q"), false, false)), None)))
+    val df = lower(rel)
+    assert(df.columns.toSeq == Seq("k", "q", "rn"))
+    assert(df.filter(col("rn") === 1).count() > 0)
+  }
+
+  test("params bind before lowering; defaults apply; unbound fails") {
+    val rel = Filter(li,
+      RBin(">", RCol("l_quantity"), RParam("cut", "int", Some("45"))))
+    val n45 = lower(Params.bind(rel, Map.empty)).count()
+    val n10 = lower(Params.bind(rel, Map("cut" -> "10"))).count()
+    assert(n10 > n45)
+
+    val noDefault = Filter(li,
+      RBin(">", RCol("l_quantity"), RParam("cut", "int", None)))
+    intercept[IllegalArgumentException] {
+      lower(Params.bind(noDefault, Map.empty))
+    }
+  }
+
+  test("sql view lowers over registered deps") {
+    val rel = SqlView(
+      "SELECT l_returnflag, count(*) AS n FROM li_view GROUP BY 1",
+      Seq("li_view" -> li))
+    assert(lower(rel).count() == 3)
+  }
+
+  test("set ops, distinct-on, limit/offset lower correctly") {
+    val proj = Project(li, Seq("k" -> RCol("l_orderkey")))
+    val union = SetOp("union_all", proj, proj)
+    assert(lower(union).count() == 2 * lower(proj).count())
+    val dedup = Distinct(union, on = Seq("k"),
+      orderBy = Seq(SortKey(RCol("k"), true, true)))
+    assert(lower(dedup).count() == lower(Distinct(proj)).count())
+    val lim = Limit(Sort(Distinct(proj),
+      Seq(SortKey(RCol("k"), true, true))), 10, 5)
+    assert(lower(lim).count() == 10)
+  }
+}
