@@ -19,7 +19,8 @@ object SparkEntry {
     _root_.graft.queries.WindowQueries.defs ++
     _root_.graft.queries.FunctionQueries.defs ++
     _root_.graft.queries.LlmQueries.defs ++
-    _root_.graft.queries.AlgebraQueries.defs
+    _root_.graft.queries.AlgebraQueries.defs ++
+    _root_.graft.queries.UdfQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem revenue ranking — joins,

@@ -1,0 +1,136 @@
+package graft.udf
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The UDF family (SURVEY §2.7), Spark-native:
+  *
+  *  - scalar UDFs — `functions.udf` (JVM lambdas, already batched by
+  *    Tungsten; the arrow-batch machinery the reference needs for
+  *    Python, expr/udf.py:55-127, is unnecessary in-JVM);
+  *  - UDAFs — [[Aggregator]]: its zero/reduce/merge/finish contract IS
+  *    the reference PyAggregator's state/update/merge/evaluate
+  *    (expr/pyaggregator.py:25-79), with distributed partial
+  *    aggregation for free;
+  *  - computed-kwarg UDFs — [[computedKwarg]]: a sub-plan's result is
+  *    evaluated once and closed over (broadcast by the closure) before
+  *    the per-row function runs — the deferred-ML enabler
+  *    (make_pandas_expr_udf, expr/udf.py:79-336);
+  *  - UDXFs — [[Udxf]]: named table-in/table-out functions with an
+  *    explicit schema contract, run partition-local via mapPartitions
+  *    (flight_udxf, expr/relations.py:661-823 — in-process instead of
+  *    an Arrow Flight hop);
+  *  - UDWFs — [[Udwf]]: a window-evaluator harness (partition rows
+  *    arrive ordered; the evaluator emits one value per row) mirroring
+  *    the DataFusion WindowEvaluator contract (internal.py:78-107).
+  *
+  * Scale notes: scalar UDFs and Aggregators ride the normal codegen'd
+  * pipelines (the lambda itself is a black box — prefer builtins when
+  * one exists). UDXF/UDWF are partition-local `mapPartitions`/
+  * `flatMapGroups`: no driver collect, no extra shuffle beyond the
+  * required groupBy for UDWF. The computed-kwarg evaluation collects
+  * exactly ONE small row to the driver (the sub-plan must aggregate).
+  */
+object GraftUdf {
+
+  /** Evaluate `subplan` (must yield exactly one row) and pass its row
+    * to `mk`, which builds the per-row function with the computed
+    * values closed over. */
+  def computedKwarg[T](subplan: DataFrame)(mk: Row => T): T = {
+    val rows = subplan.collect()
+    require(rows.length == 1,
+      s"computed-kwarg sub-plan must yield exactly 1 row, got ${rows.length}")
+    mk(rows(0))
+  }
+}
+
+/** Table-in/table-out function with a declared schema contract,
+  * validated fail-fast against the actual input (the reference
+  * validates via Flight schema negotiation, flight/exchanger.py). */
+final case class Udxf(
+    name: String,
+    schemaIn: StructType,
+    schemaOut: StructType,
+    process: Iterator[Row] => Iterator[Row]) {
+
+  def apply(df: DataFrame): DataFrame = {
+    val actual = df.schema
+    schemaIn.fields.foreach { f =>
+      val g = actual.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"udxf $name: input missing column '${f.name}'"))
+      require(g.dataType == f.dataType,
+        s"udxf $name: column '${f.name}' is ${g.dataType}, " +
+          s"contract wants ${f.dataType}")
+    }
+    val projected = df.select(schemaIn.fieldNames.map(col).toSeq: _*)
+    projected.mapPartitions(process)(Encoders.row(schemaOut))
+  }
+}
+
+/** User-defined window function harness: rows of each partition are
+  * sorted by `orderBy` and handed to `evaluate`, which must return one
+  * output value per input row (the WindowEvaluator `evaluate_all`
+  * mode). Output = input columns + `outName`. */
+final case class Udwf(
+    partitionBy: Seq[String],
+    orderBy: Seq[String],
+    outName: String,
+    outType: org.apache.spark.sql.types.DataType,
+    evaluate: Seq[Row] => Seq[Any]) {
+
+  def apply(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(outName, outType)
+    val rowEnc = Encoders.row(outSchema)
+    val keyEnc = Encoders.row(StructType(
+      partitionBy.map(n => inSchema(n)).toArray))
+    val pIdx = partitionBy.map(inSchema.fieldIndex)
+    val oIdx = orderBy.map(inSchema.fieldIndex)
+
+    val cmp: Ordering[Row] = (a: Row, b: Row) => {
+      var r = 0
+      val it = oIdx.iterator
+      while (r == 0 && it.hasNext) {
+        val i = it.next()
+        r = (a.get(i), b.get(i)) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (x: java.lang.Comparable[Any @unchecked], y) => x.compareTo(y)
+          case (x, y) => x.toString.compareTo(y.toString)
+        }
+      }
+      r
+    }
+
+    df.groupByKey((r: Row) => Row.fromSeq(pIdx.map(r.get)))(keyEnc)
+      .flatMapGroups { (_: Row, it: Iterator[Row]) =>
+        val rows = it.toVector.sorted(cmp)
+        val outs = evaluate(rows)
+        require(outs.length == rows.length,
+          s"udwf $outName: evaluator returned ${outs.length} values " +
+            s"for ${rows.length} rows")
+        rows.zip(outs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v) }
+      }(rowEnc)
+  }
+}
+
+/** Weighted mean as a typed [[Aggregator]] — the update/merge/evaluate
+  * contract of the reference's PyAggregator (pyaggregator.py:25-79):
+  * zero=initial state, reduce=update, merge=combine partials (runs
+  * map-side), finish=evaluate. */
+object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+  def zero: (Double, Double) = (0.0, 0.0)
+  def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+    (b._1 + a._1 * a._2, b._2 + a._2)
+  def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+    (b1._1 + b2._1, b1._2 + b2._2)
+  def finish(r: (Double, Double)): Double =
+    if (r._2 == 0) Double.NaN else r._1 / r._2
+  def bufferEncoder: Encoder[(Double, Double)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
