@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ml._
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.8 deferred ML under the correctness gate. The portable
+  * (md5-bucket) split/fold variants are used here so DuckDB can
+  * reproduce the EXACT row→split assignment; production code uses the
+  * xxhash64 variants (same contract, engine-native speed).
+  */
+object MlQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic hash-bucket split (ref ml/split_lib.py:68-252 —
+    // hash(key, seed) % buckets, NOT randomSplit): the oracle recomputes
+    // every row's assignment from its key alone.
+    q("ml_split",
+      """SELECT o_orderkey,
+        |       CASE WHEN b < 700 THEN 0 WHEN b < 900 THEN 1 ELSE 2 END AS split_idx
+        |FROM (SELECT o_orderkey,
+        |             ('0x' || substr(md5('42|' || o_orderkey), 1, 8))::BIGINT % 1000 AS b
+        |      FROM orders)
+        |WHERE o_orderkey < 3000 ORDER BY o_orderkey""") { c =>
+      Splits.withSplitColumn(
+          c.orders.filter(col("o_orderkey") < 3000),
+          keys = Seq("o_orderkey"),
+          testSizes = Seq(0.7, 0.2, 0.1),
+          numBuckets = 1000, seed = 42L, portable = true)
+        .select("o_orderkey", "split_idx")
+        .orderBy("o_orderkey")
+    },
+
+    // Split size/disjointness audit: fractions land on the bucket
+    // lattice; sum of counts is total (exhaustive + disjoint).
+    q("ml_split_sizes",
+      """SELECT CASE WHEN b < 700 THEN 0 WHEN b < 900 THEN 1 ELSE 2 END AS split_idx,
+        |       count(*) AS n, count(DISTINCT o_orderkey) AS n_keys
+        |FROM (SELECT o_orderkey,
+        |             ('0x' || substr(md5('42|' || o_orderkey), 1, 8))::BIGINT % 1000 AS b
+        |      FROM orders)
+        |GROUP BY 1 ORDER BY 1""") { c =>
+      Splits.withSplitColumn(c.orders, Seq("o_orderkey"),
+          Seq(0.7, 0.2, 0.1), 1000, 42L, portable = true)
+        .groupBy("split_idx")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .orderBy("split_idx")
+    },
+
+    // Deferred pipeline: StandardScaler → closed-form linear regression
+    // (fit = one aggregate per step; transform = pure projection; the
+    // model params ARE the artifact — pipeline_lib.py Step/Fitted*).
+    q("ml_pipeline_linreg",
+      """WITH s AS (SELECT avg(l_quantity) mu, stddev_samp(l_quantity) sigma FROM lineitem),
+        |t AS (SELECT l_orderkey, l_linenumber, (l_quantity - mu) / sigma AS qs,
+        |             l_extendedprice FROM lineitem, s),
+        |m AS (SELECT regr_slope(l_extendedprice, qs) a,
+        |             regr_intercept(l_extendedprice, qs) b FROM t)
+        |SELECT l_orderkey, l_linenumber, round(b + a * qs + 1e-9, 2) AS pred
+        |FROM t, m WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""") { c =>
+      val pipe = Pipeline(Seq(
+        StandardScaler("l_quantity", "qs"),
+        LinearRegression("qs", "l_extendedprice", "pred")))
+      val fitted = pipe.fit(c.lineitem)
+      fitted.transform(c.lineitem)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r2(col("pred")).as("pred"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Deferred metrics (metrics.py:513): mse/mae/r2 as one aggregate
+    // over (y, prediction).
+    q("ml_metrics",
+      """WITH m AS (SELECT regr_slope(l_extendedprice, l_quantity) a,
+        |                  regr_intercept(l_extendedprice, l_quantity) b FROM lineitem),
+        |scored AS (SELECT l_extendedprice y, b + a * l_quantity AS pred
+        |           FROM lineitem, m)
+        |SELECT round(avg((y - pred) * (y - pred)) / 1e6 + 1e-9, 2) AS mse_m,
+        |       round(avg(abs(y - pred)) + 1e-9, 2) AS mae,
+        |       round(1.0 - sum((y - pred) * (y - pred))
+        |                   / (var_pop(y) * count(*)) + 1e-9, 6) AS r2
+        |FROM scored""") { c =>
+      val fitted = Pipeline(Seq(
+        LinearRegression("l_quantity", "l_extendedprice", "pred")))
+        .fit(c.lineitem)
+      val scored = fitted.transform(c.lineitem)
+      Metrics.regression(scored, "l_extendedprice", "pred")
+        .select(r2(col("mse") / 1e6).as("mse_m"),
+          r2(col("mae")).as("mae"),
+          r6(col("r2")).as("r2"))
+    },
+
+    // K-fold CV on deterministic hash folds (cross_validation.py):
+    // fold i fits on buckets != i, scores mse on bucket == i.
+    q("ml_cv",
+      """WITH f AS (SELECT l_extendedprice y, l_quantity x,
+        |                  CAST(('0x' || substr(md5('7|' || l_orderkey || '|' || l_linenumber), 1, 8))::BIGINT % 3 AS INT) AS fold
+        |           FROM lineitem),
+        |m AS (SELECT k.fold, regr_slope(t.y, t.x) a, regr_intercept(t.y, t.x) b
+        |      FROM (SELECT DISTINCT fold FROM f) k
+        |      JOIN f t ON t.fold <> k.fold
+        |      GROUP BY k.fold)
+        |SELECT t.fold,
+        |       round(avg((t.y - (m.b + m.a * t.x)) * (t.y - (m.b + m.a * t.x))) / 1e6 + 1e-9, 2) AS mse_m
+        |FROM f t JOIN m ON m.fold = t.fold
+        |GROUP BY t.fold ORDER BY t.fold""") { c =>
+      val spark = c.spark
+      import spark.implicits._
+      val results = CrossVal.crossValMse(
+        c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        keys = Seq("l_orderkey", "l_linenumber"),
+        pipeline = Pipeline(Seq(
+          LinearRegression("l_quantity", "l_extendedprice", "pred"))),
+        y = "l_extendedprice", pred = "pred",
+        k = 3, seed = 7L, portable = true)
+      results.map { case (fold, mse) =>
+        (fold, BigDecimal(mse / 1e6 + 1e-9)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("fold", "mse_m").orderBy("fold")
+    }
+  )
+}
