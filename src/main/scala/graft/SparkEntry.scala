@@ -21,7 +21,9 @@ object SparkEntry {
     _root_.graft.queries.LlmQueries.defs ++
     _root_.graft.queries.AlgebraQueries.defs ++
     _root_.graft.queries.UdfQueries.defs ++
-    _root_.graft.queries.MlQueries.defs
+    _root_.graft.queries.MlQueries.defs ++
+    _root_.graft.queries.SourceQueries.defs ++
+    _root_.graft.queries.CoverageQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem revenue ranking — joins,

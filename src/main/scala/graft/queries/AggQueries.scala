@@ -138,7 +138,7 @@ object AggQueries {
         |       round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 2) AS p25,
         |       round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 2) AS p75,
         |       round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 2) AS p95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", bench = true) { c =>
       c.lineitem.groupBy("l_returnflag")
         .agg(r2(percentile(col("l_quantity"), lit(0.5))).as("med_qty"),
           r2(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.rel._
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.6 sources/sinks: CSV and JSON writers + readers round-trip
+  * through real files (to_csv/to_json, ref expr/api.py:679-777;
+  * deferred read_csv, common/utils/defer_utils.py:147), the deferred
+  * [[ReadCsv]] algebra node, and the Tee write-through node. The oracle
+  * computes the same aggregate from the ORIGINAL parquet — so column
+  * fidelity across the format round-trip is exactly what is checked.
+  */
+object SourceQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_src/$name"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // to_csv → deferred ReadCsv node (schema inference) → aggregate.
+    q("src_csv_roundtrip",
+      """SELECT n_regionkey, count(*) AS n,
+        |       round(sum(CAST(n_nationkey AS DOUBLE)) + 1e-9, 2) AS s
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { c =>
+      val out = tmp("nation_csv")
+      c.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val rel = Sort(
+        Aggregate(ReadCsv(out),
+          keys = Seq("n_regionkey" -> RCol("n_regionkey")),
+          aggs = Seq(
+            "n" -> RAgg("count", Nil),
+            "s" -> RCall("round", Seq(
+              RBin("+", RAgg("sum",
+                Seq(RCast(RCol("n_nationkey"), "double"))),
+                RLit("1e-9", "double")),
+              RLit("2", "int"))))),
+        Seq(SortKey(RCol("n_regionkey"), true, true)))
+      new Lower(c.spark).lower(rel)
+    },
+
+    // to_json → read back (schema inferred) → aggregate; doubles must
+    // survive the text round-trip bit-exactly (Java shortest-repr).
+    q("src_json_roundtrip",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey < 5000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { c =>
+      val out = tmp("orders_json")
+      c.orders.filter(col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").json(out)
+      c.spark.read.json(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Tee write-through (ref expr/relations.py:102-137): the node
+    // writes its input to the sink AND the same rows flow downstream;
+    // the oracle checks the flowed-through result.
+    q("src_tee_write_through",
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem WHERE l_quantity > 45
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      val sink = tmp("tee_sink")
+      val rel = Sort(
+        Aggregate(
+          Tee(
+            Filter(ScanParquet(s"${c.dir}/lineitem.parquet"),
+              RBin(">", RCol("l_quantity"), RLit("45", "int"))),
+            sink),
+          keys = Seq("l_returnflag" -> RCol("l_returnflag")),
+          aggs = Seq("n" -> RAgg("count", Nil))),
+        Seq(SortKey(RCol("l_returnflag"), true, true)))
+      val result = new Lower(c.spark).lower(rel)
+      // write-through contract: the sink holds exactly the teed rows
+      require(c.spark.read.parquet(sink).count() ==
+        c.lineitem.filter(col("l_quantity") > 45).count(),
+        "tee sink row count mismatch")
+      result
+    }
+  )
+}

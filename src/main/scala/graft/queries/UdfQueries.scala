@@ -39,7 +39,7 @@ object UdfQueries {
     q("udf_agg",
       """SELECT l_returnflag,
         |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity) + 1e-9, 2) AS wavg
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", bench = true) { c =>
       val wavg = udaf(WeightedMean)
       c.lineitem.groupBy("l_returnflag")
         .agg(r2(wavg(col("l_extendedprice"), col("l_quantity"))).as("wavg"))

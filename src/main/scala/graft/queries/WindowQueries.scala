@@ -141,7 +141,7 @@ object WindowQueries {
         |       wfull AS (PARTITION BY l_suppkey
         |             ORDER BY l_shipdate, l_orderkey, l_linenumber
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""") { c =>
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""", bench = true) { c =>
       val wfull = wSupp.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       c.lineitem.filter(col("l_suppkey") <= 10)
