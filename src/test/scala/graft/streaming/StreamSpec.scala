@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed aggregation over a stream emits per-window counts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.windowedAgg(
+      input.toDF.toDF("ts", "k", "v"),
+      tsCol = "ts", watermark = "10 minutes", windowLen = "5 minutes",
+      keys = Seq("k"),
+      aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+
+    val q = agg.writeStream.format("memory")
+      .queryName("win_agg").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "a", 1.0),
+        (ts("2024-01-01 00:02:00"), "a", 2.0),
+        (ts("2024-01-01 00:06:00"), "a", 4.0),
+        (ts("2024-01-01 00:03:00"), "b", 8.0))
+      q.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT k, n, s FROM win_agg ORDER BY window.start, k")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 8.0), ("a", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = StreamOps.dedup(input.toDF.toDF("ts", "k"),
+      "ts", "1 hour", Seq("k"))
+
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "x"),
+        (ts("2024-01-01 00:00:00"), "x"), // exact dup (same key+ts)
+        (ts("2024-01-01 00:00:00"), "y"))
+      q.processAllAvailable()
+      assert(sp.sql("SELECT count(*) FROM dedup_stream")
+        .collect()(0).getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-key running counts across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[String]
+    val counts = StreamOps.runningCountsTyped(input.toDF.toDF("k"), "k")
+
+    val q = counts.writeStream.format("memory")
+      .queryName("running_counts").outputMode("update").start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a", "b")
+      q.processAllAvailable()
+      val last = sp.sql(
+        """SELECT key, max(n) FROM running_counts GROUP BY key ORDER BY key""")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(last.toSeq == Seq(("a", 3L), ("b", 2L)))
+    } finally q.stop()
+  }
+
+  test("the same transform runs unchanged on a BATCH frame " +
+    "(one algebra, two execution modes)") {
+    val sp = spark
+    import sp.implicits._
+    val batch = Seq(
+      (ts("2024-01-01 00:01:00"), "a", 1.0),
+      (ts("2024-01-01 00:06:00"), "a", 4.0)).toDF("ts", "k", "v")
+    val out = StreamOps.windowedAgg(batch, "ts", "10 minutes", "5 minutes",
+      Seq("k"), Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+    assert(out.collect().length == 2)
+  }
+}
