@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSimSpec extends SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash LSH finds every exact duplicate (jaccard 1 pairs)") {
+    val sp = spark
+    import sp.implicits._
+    // plant exact dups: copy 5 docs under new ids
+    val dups = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(dups)
+    val pairs = TextDedup.minhashDedupPairs(corpus, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.limit(5).select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed exact-dup pairs: ${expected.diff(pairs)}")
+  }
+
+  test("jaccard is exact on known sets") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TextDedup.jaccard(col("x"), col("y"))).collect()(0)
+      .getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("simhash of identical token streams is identical; disjoint " +
+    "streams differ") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "zeta omega theta lambda sigma epsilon delta gamma beta alpha"))
+      .toDF("id", "text")
+    val sims = TextDedup.simhashAgg(df, "id",
+        split(col("text"), " "), 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+    val dist = spark.range(1).select(
+      TextDedup.hamming(lit(sims(1L)), lit(sims(3L))).as("d"))
+      .collect()(0).getInt(0)
+    assert(dist > 0 && dist <= 32)
+  }
+
+  test("cosine matches a hand computation and is symmetric") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val c1 = df.select(VectorSim.cosine(col("a"), col("b"))).collect()(0)
+      .getDouble(0)
+    val c2 = df.select(VectorSim.cosine(col("b"), col("a"))).collect()(0)
+      .getDouble(0)
+    assert(math.abs(c1 - 0.5) < 1e-12) // 1 / (sqrt2 * sqrt2)
+    assert(c1 == c2)
+  }
+
+  test("brute-force top-k is deterministic, self-excluding, and ranked") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_vec"))
+    val top = VectorSim.topKBruteForce(queries, corpus, 5).collect()
+    assert(top.length == 15)
+    assert(!top.exists(r => r.getLong(0) == r.getLong(2)),
+      "a vector must not be its own neighbor")
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b - 1e-9 },
+        "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("ANN candidates are a subset of the corpus and respect k") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_vec"))
+    val ann = VectorSim.topKAnn(queries, corpus, 3, planes = 6,
+      probeHamming = 2).collect()
+    assert(ann.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+  }
+}
