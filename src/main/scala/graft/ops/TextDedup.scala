@@ -189,8 +189,10 @@ object TextDedup {
     // collect_set never touches the full corpus
     val candIds = cands.select(col("a_id").as("id"))
       .union(cands.select(col("b_id").as("id"))).distinct()
+    // candidates are rare by construction → broadcast the semi-join so
+    // the corpus is filtered scan-side with no shuffle
     val sets = shingleSets(
-      docs.join(candIds, col(idCol) === col("id"), "left_semi"),
+      docs.join(broadcast(candIds), col(idCol) === col("id"), "left_semi"),
       idCol, textCol, shingleN)
     cands
       .join(sets.as("sa"), col("a_id") === col("sa.id"))
