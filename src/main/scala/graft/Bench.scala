@@ -48,22 +48,32 @@ object Bench {
       .groupBy("k").count().collect()
 
     var failed = List.empty[String]
+    // cold = first run (includes planning + codegen compilation; what a
+    // one-shot pipeline pays); warm = second run (steady-state engine
+    // throughput). Primary metric stays cold — honest for batch jobs.
     val results = SparkEntry.benchQueries.map { d =>
-      val t0 = System.nanoTime()
-      val sec =
-        try { checksum(d.fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        checksum(d.fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (cold, warm) =
+        try { val c = once(); (c, once()) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}")
           failed ::= d.name
-          -1.0
+          (-1.0, -1.0)
         }
-      d.name -> sec
+      (d.name, cold, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val warms = results.map { case (k, _, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalWarm = results.map(_._3).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$totalWarm,"warm":$warms,"sf":"$sfDir","failed":${failed.size}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     // the driver greps stdout too: print the JSON alone on its own line
     println(json)

@@ -139,11 +139,17 @@ object AggQueries {
         |       round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 2) AS p75,
         |       round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 2) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", bench = true) { c =>
+      // MultiQuantile: ONE percentile aggregate evaluates all three
+      // price quantiles in a single pass (3× less sort work than three
+      // scalar percentile calls); elements are then projected out.
       c.lineitem.groupBy("l_returnflag")
         .agg(r2(percentile(col("l_quantity"), lit(0.5))).as("med_qty"),
-          r2(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
-          r2(percentile(col("l_extendedprice"), lit(0.75))).as("p75"),
-          r2(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.75), lit(0.95))).as("pq"))
+        .select(col("l_returnflag"), col("med_qty"),
+          r2(element_at(col("pq"), 1)).as("p25"),
+          r2(element_at(col("pq"), 2)).as("p75"),
+          r2(element_at(col("pq"), 3)).as("p95"))
         .orderBy("l_returnflag")
     },
 
