@@ -103,6 +103,65 @@ object AlgebraQueries {
       mgr.execute(plan)
     },
 
+    // As-of join as an ALGEBRA NODE (serializable/hashable/cacheable),
+    // routed through a JSON round-trip before lowering to the
+    // union–sort–backfill operator.
+    q("alg_asof",
+      """SELECT c.event_id, c.user_id,
+        |       round(s.value + 1e-9, 2) AS signup_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""") { c =>
+      // events binds as an UnboundTable (it needs the ns-timestamp fix
+      // from Tables, applied by the binding — the serialized plan stays
+      // source-agnostic, exactly the unbound-expr contract)
+      val ev = UnboundTable("events_in",
+        Seq("event_id" -> "BIGINT", "user_id" -> "BIGINT"))
+      val plan = Sort(
+        Project(
+          AsofJoinRel(
+            Project(Filter(ev, RBin("=", RCol("event_type"),
+              RLit("click", "string"))),
+              Seq("event_id" -> RCol("event_id"),
+                "user_id" -> RCol("user_id"), "ts" -> RCol("ts"))),
+            Filter(ev, RBin("=", RCol("event_type"),
+              RLit("signup", "string"))),
+            on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            rightCols = Seq("value" -> "sv")),
+          Seq("event_id" -> RCol("event_id"), "user_id" -> RCol("user_id"),
+            "signup_value" -> RCall("round", Seq(
+              RBin("+", RCol("sv"), RLit("1e-9", "double")),
+              RLit("2", "int"))))),
+        Seq(SortKey(RCol("event_id"), true, true)))
+      new Lower(c.spark, Map("events_in" -> c.events))
+        .lower(RelJson.parse(RelJson.write(plan)))
+    },
+
+    // InMemoryTable leaf: a literal dimension joined against a scan —
+    // the literal rows are part of the serialized, hashed plan.
+    q("alg_inmemory",
+      """SELECT r.rname, count(*) AS n
+        |FROM nation n
+        |JOIN (VALUES (0, 'AFRICA_X'), (1, 'AMERICA_X'), (2, 'ASIA_X'),
+        |             (3, 'EUROPE_X'), (4, 'MIDEAST_X')) r(rk, rname)
+        |  ON n.n_regionkey = r.rk
+        |GROUP BY r.rname ORDER BY r.rname""") { c =>
+      val dim = InMemory(
+        columns = Seq("rk" -> "INT", "rname" -> "STRING"),
+        rows = Seq(
+          Seq("0", "AFRICA_X"), Seq("1", "AMERICA_X"), Seq("2", "ASIA_X"),
+          Seq("3", "EUROPE_X"), Seq("4", "MIDEAST_X")))
+      val plan = Sort(
+        Aggregate(
+          Join(ScanParquet(s"${c.dir}/nation.parquet"), dim, "inner",
+            Seq(RBin("=", RCol("n_regionkey"), RCol("rk")))),
+          keys = Seq("rname" -> RCol("rname")),
+          aggs = Seq("n" -> RAgg("count", Nil))),
+        Seq(SortKey(RCol("rname"), true, true)))
+      new Lower(c.spark).lower(RelJson.parse(RelJson.write(plan)))
+    },
+
     // Exchange barrier (into_backend analogue): the subtree result is
     // materialized at the barrier; downstream sees a fresh scan.
     q("alg_exchange",

@@ -54,6 +54,24 @@ final class Lower(
       deps.foreach { case (n, d) => lower(d).createOrReplaceTempView(n) }
       spark.sql(sql)
 
+    case InMemory(columns, rows) =>
+      import scala.jdk.CollectionConverters._
+      val stringSchema = org.apache.spark.sql.types.StructType(
+        columns.map { case (n, _) =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType)
+        })
+      val raw = spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava,
+        stringSchema)
+      raw.select(columns.map { case (n, ddl) =>
+        col(n).cast(ddl).as(n)
+      }: _*)
+
+    case AsofJoinRel(l, r, on, lt, rt, rightCols, tol) =>
+      graft.ops.AsofJoin.backward(lower(l), lower(r), on, lt, rt,
+        rightCols, tol.map(expr))
+
     case PinnedRead(path, _) => spark.read.parquet(path)
 
     case Project(in, exprs) =>

@@ -31,8 +31,10 @@ sealed trait Rel extends Product with Serializable {
     case r: ScanParquet => r
     case r: ReadCsv => r
     case r: UnboundTable => r
+    case r: InMemory => r
     case r: SqlView => r.copy(deps = r.deps.map { case (n, d) => (n, f(d)) })
     case r: PinnedRead => r
+    case r: AsofJoinRel => r.copy(left = f(r.left), right = f(r.right))
     case r: Project => r.copy(input = f(r.input))
     case r: Filter => r.copy(input = f(r.input))
     case r: Join => r.copy(left = f(r.left), right = f(r.right))
@@ -85,6 +87,32 @@ final case class UnboundTable(
   * vendor relations.py:459). */
 final case class SqlView(sql: String, deps: Seq[(String, Rel)]) extends Rel {
   def children: Seq[Rel] = deps.map(_._2)
+}
+
+/** Literal in-memory relation (ops.InMemoryTable, vendor
+  * relations.py:421-436): cells are canonical strings cast to the
+  * declared DDL types at lowering, so the table is fully serializable
+  * and participates in content hashes. */
+final case class InMemory(
+    columns: Seq[(String, String)],
+    rows: Seq[Seq[String]]) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** As-of join as a first-class algebra node (asof_join, vendor
+  * types/relations.py:3034-3077) lowering to the one-shuffle
+  * union–sort–backfill operator [[graft.ops.AsofJoin]]; being in the
+  * algebra makes the op serializable, hashable, and cacheable like any
+  * other relation. `toleranceSql` is an interval/numeric SQL expr. */
+final case class AsofJoinRel(
+    left: Rel,
+    right: Rel,
+    on: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    rightCols: Seq[(String, String)],
+    toleranceSql: Option[String] = None) extends Rel {
+  def children: Seq[Rel] = Seq(left, right)
 }
 
 /** A cache artifact frozen into a direct read (pin_cache,

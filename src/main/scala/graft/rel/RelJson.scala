@@ -87,6 +87,30 @@ object RelJson {
       }
       case PinnedRead(p, h) =>
         obj("pinned_read")(fs("path", p), fs("hash", h))
+      case InMemory(columns, rows) => obj("in_memory") {
+        f("columns")(arr(columns) { case (cn, ct) =>
+          sb.append('['); s(cn, sb); sb.append(','); s(ct, sb); sb.append(']')
+        })
+        f("rows")(arr(rows) { row =>
+          sb.append('[')
+          row.zipWithIndex.foreach { case (cell, i) =>
+            if (i > 0) sb.append(','); s(cell, sb)
+          }
+          sb.append(']')
+        })
+      }
+      case AsofJoinRel(l, rr, on, lt, rt, rightCols, tol) => obj("asof_join") {
+        f("left")(wRel(l, sb)); f("right")(wRel(rr, sb))
+        f("on")(arr(on)(s(_, sb)))
+        fs("leftTime", lt); fs("rightTime", rt)
+        f("rightCols")(arr(rightCols) { case (a, b) =>
+          sb.append('['); s(a, sb); sb.append(','); s(b, sb); sb.append(']')
+        })
+        f("tolerance")(tol match {
+          case Some(x) => s(x, sb)
+          case None => sb.append("null")
+        })
+      }
       case Project(in, exprs) => obj("project") {
         f("input")(wRel(in, sb)); pairs("exprs", exprs)
       }
@@ -250,6 +274,26 @@ object RelJson {
               relDecode(p(1).asInstanceOf[Map[String, Any]]))
           })
         case "pinned_read" => PinnedRead(str0("path"), str0("hash"))
+        case "in_memory" => InMemory(
+          list0("columns").map { x =>
+            val p = x.asInstanceOf[List[Any]]
+            (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+          },
+          list0("rows").map(_.asInstanceOf[List[Any]]
+            .map(_.asInstanceOf[String])))
+        case "asof_join" => AsofJoinRel(
+          relDecode(m("left").asInstanceOf[Map[String, Any]]),
+          relDecode(m("right").asInstanceOf[Map[String, Any]]),
+          list0("on").map(_.asInstanceOf[String]),
+          str0("leftTime"), str0("rightTime"),
+          list0("rightCols").map { x =>
+            val p = x.asInstanceOf[List[Any]]
+            (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+          },
+          m("tolerance") match {
+            case null => None
+            case x => Some(x.asInstanceOf[String])
+          })
         case "project" =>
           Project(relDecode(m("input").asInstanceOf[Map[String, Any]]),
             pairs0("exprs"))

@@ -6,9 +6,18 @@ class RelJsonSpec extends AnyFunSuite {
 
   /** A plan exercising every node and expression type. */
   def fullPlan: Rel = {
-    val li = ScanParquet("/data/lineitem.parquet")
-    val ord = UnboundTable("orders",
-      Seq("o_orderkey" -> "BIGINT", "o_totalprice" -> "DOUBLE"))
+    val li = AsofJoinRel(
+      ScanParquet("/data/lineitem.parquet"),
+      ReadCsv("/data/quotes.csv", header = false, inferSchema = true, "\t"),
+      on = Seq("sym"), leftTime = "t", rightTime = "qt",
+      rightCols = Seq("px" -> "quote_px"),
+      toleranceSql = Some("INTERVAL 5 MINUTES"))
+    val ord = Join(
+      UnboundTable("orders",
+        Seq("o_orderkey" -> "BIGINT", "o_totalprice" -> "DOUBLE")),
+      InMemory(Seq("k" -> "INT", "v" -> "STRING"),
+        Seq(Seq("1", "a"), Seq("2", "b"))),
+      "left", Seq(RBin("=", RCol("o_orderkey"), RCol("k"))))
     val joined = Join(li, ord, "inner",
       Seq(RBin("=", RCol("l_orderkey"), RCol("o_orderkey"))))
     val filtered = Filter(joined,
