@@ -134,11 +134,18 @@ object JoinQueries {
         |SELECT a.rn, a.n_name, b.s_name
         |FROM a JOIN b ON a.rn = b.rn
         |ORDER BY a.rn""") { c =>
-      val wa = Window.orderBy(col("n_nationkey"))
-      val wb = Window.orderBy(col("s_suppkey"))
-      val a = c.nation.select(col("n_name"), row_number().over(wa).as("rn"))
-      val b = c.supplier.filter(col("s_suppkey") <= 25)
-        .select(col("s_name"), row_number().over(wb).as("rn"))
+      // scale-safe global row numbers (range exchange + per-partition
+      // offsets, graft.ops.Positional) — NOT an unpartitioned window,
+      // which would single-reduce a fact table (r1 weak flag)
+      val a = graft.ops.Positional.withRowNumber(
+          c.nation.select("n_name", "n_nationkey"),
+          Seq(col("n_nationkey")))
+        .select(col("n_name"), col("rn"))
+      val b = graft.ops.Positional.withRowNumber(
+          c.supplier.filter(col("s_suppkey") <= 25)
+            .select("s_name", "s_suppkey"),
+          Seq(col("s_suppkey")))
+        .select(col("s_name"), col("rn"))
       a.join(b, "rn").select(col("rn"), col("n_name"), col("s_name"))
         .orderBy("rn")
     },
