@@ -1,0 +1,155 @@
+package graft.api
+
+import graft.build.Build
+import graft.cache.{CacheManager, CacheStorage, ParquetDirStorage}
+import graft.rel._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The user-facing fluent surface — the analogue of the reference's
+  * `Expr` API (vendor/ibis/expr/types/relations.py): every call builds
+  * a new immutable [[Rel]] and EAGERLY validates it by analyzing the
+  * lowered plan (`df.schema` — analysis only, no job), matching xorq's
+  * fail-fast construction UX (vendor relations.py:225-259) instead of
+  * Spark's lazy analysis.
+  *
+  * A [[GraftSession]] owns the Spark session, the unbound-table
+  * bindings, and the cache storages; tables flow through the algebra so
+  * everything remains serializable/hashable/cacheable at any point.
+  */
+final class GraftSession(
+    val spark: SparkSession,
+    val bindings: Map[String, DataFrame] = Map.empty,
+    storages: Map[String, CacheStorage] = Map.empty) {
+
+  lazy val cacheManager = new CacheManager(spark,
+    if (storages.nonEmpty) storages
+    else Map("default" -> new ParquetDirStorage(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_cache")))
+
+  def readParquet(path: String): GraftTable =
+    GraftTable(ScanParquet(path), this)
+
+  def readCsv(path: String, header: Boolean = true,
+      inferSchema: Boolean = true, delimiter: String = ","): GraftTable =
+    GraftTable(ReadCsv(path, header, inferSchema, delimiter), this)
+
+  /** Serializable placeholder resolved from `bindings` at execution. */
+  def table(name: String, schema: (String, String)*): GraftTable =
+    GraftTable(UnboundTable(name, schema), this)
+
+  def values(columns: Seq[(String, String)],
+      rows: Seq[Seq[String]]): GraftTable =
+    GraftTable(InMemory(columns, rows), this)
+
+  def bind(more: (String, DataFrame)*): GraftSession =
+    new GraftSession(spark, bindings ++ more, storages)
+
+  def load(buildsDir: String, hash: String): GraftTable =
+    GraftTable(Build.load(buildsDir, hash), this)
+}
+
+final case class GraftTable(rel: Rel, session: GraftSession) {
+
+  /** Analyzed lowering (no execution) — also the fail-fast validation:
+    * construction of an invalid plan throws here, eagerly. */
+  lazy val df: DataFrame =
+    new Lower(session.spark, session.bindings).lower(rel)
+
+  lazy val schema: StructType = df.schema
+
+  private def next(r: Rel): GraftTable = {
+    val t = GraftTable(r, session)
+    t.schema // force analysis: fail at construction, xorq-style
+    t
+  }
+
+  // ------------------------------------------------------- relational
+  def select(exprs: (String, RExpr)*): GraftTable =
+    next(Project(rel, exprs))
+  def filter(pred: RExpr): GraftTable = next(Filter(rel, pred))
+  def join(other: GraftTable, how: String, on: RExpr*): GraftTable =
+    next(Join(rel, other.rel, how, on))
+  def asofJoin(other: GraftTable, on: Seq[String], leftTime: String,
+      rightTime: String, rightCols: Seq[(String, String)],
+      tolerance: Option[String] = None): GraftTable =
+    next(AsofJoinRel(rel, other.rel, on, leftTime, rightTime, rightCols,
+      tolerance))
+  def groupBy(keys: (String, RExpr)*)(aggs: (String, RExpr)*): GraftTable =
+    next(Aggregate(rel, keys, aggs))
+  def orderBy(keys: SortKey*): GraftTable = next(Sort(rel, keys))
+  def limit(n: Long, offset: Long = 0): GraftTable =
+    next(Limit(rel, n, offset))
+  def distinct: GraftTable = next(Distinct(rel))
+  def distinctOn(on: Seq[String], orderBy: Seq[SortKey],
+      keepFirst: Boolean = true): GraftTable =
+    next(Distinct(rel, on, orderBy, keepFirst))
+  def unionAll(o: GraftTable): GraftTable =
+    next(SetOp("union_all", rel, o.rel))
+  def union(o: GraftTable): GraftTable = next(SetOp("union", rel, o.rel))
+  def intersect(o: GraftTable): GraftTable =
+    next(SetOp("intersect", rel, o.rel))
+  def except(o: GraftTable): GraftTable = next(SetOp("except", rel, o.rel))
+  def sample(fraction: Double, seed: Long): GraftTable =
+    next(Sample(rel, fraction, seed))
+  def fillNull(repl: (String, String)*): GraftTable =
+    next(FillNull(rel, repl))
+  def dropNull(how: String = "any", subset: Seq[String] = Nil): GraftTable =
+    next(DropNull(rel, how, subset))
+  def unnest(column: String, keepEmpty: Boolean = false): GraftTable =
+    next(Unnest(rel, column, keepEmpty))
+
+  // --------------------------------------------------- differentiators
+  def cache(storage: String = "default",
+      strategy: String = "snapshot"): GraftTable =
+    next(Cache(rel, storage, strategy))
+  def intoCatalog(target: String): GraftTable = next(Exchange(rel, target))
+  def tag(key: String, value: String, hashing: Boolean = false): GraftTable =
+    next(Tag(rel, key, value, hashing))
+  def tee(sinkPath: String): GraftTable = GraftTable(Tee(rel, sinkPath),
+    session) // NOT validated eagerly: Tee lowering writes its sink
+
+  // --------------------------------------------------------- lifecycle
+  def bindParams(values: (String, String)*): GraftTable =
+    next(Params.bind(rel, values.toMap))
+  def buildHash: String = RelHash.buildHash(rel)
+  def cacheHash: String = RelHash.cacheHash(rel)
+  def toJson: String = RelJson.write(rel)
+  def save(buildsDir: String): Build.Artifact = Build.save(rel, buildsDir)
+
+  /** Resolve caches, lower, return the executable frame. */
+  def execute(): DataFrame =
+    session.cacheManager.execute(rel, session.bindings)
+}
+
+/** Expression DSL: `import graft.api.dsl._` then `c("x") > L(1)` etc. */
+object dsl {
+  def c(name: String): RExpr = RCol(name)
+  def L(v: String, dtype: String = "string"): RExpr = RLit(v, dtype)
+  def i(v: Long): RExpr = RLit(v.toString, "bigint")
+  def d(v: Double): RExpr = RLit(v.toString, "double")
+  def fn(name: String, args: RExpr*): RExpr = RCall(name, args)
+  def agg(name: String, args: RExpr*): RExpr = RAgg(name, args)
+  def countAll: RExpr = RAgg("count", Nil)
+  def raw(sql: String): RExpr = RRaw(sql)
+  def param(name: String, dtype: String,
+      default: Option[String] = None): RExpr = RParam(name, dtype, default)
+  def asc(e: RExpr): SortKey = SortKey(e, asc = true, nullsFirst = true)
+  def desc(e: RExpr): SortKey = SortKey(e, asc = false, nullsFirst = false)
+
+  implicit final class ExprOps(private val e: RExpr) extends AnyVal {
+    def +(o: RExpr): RExpr = RBin("+", e, o)
+    def -(o: RExpr): RExpr = RBin("-", e, o)
+    def *(o: RExpr): RExpr = RBin("*", e, o)
+    def /(o: RExpr): RExpr = RBin("/", e, o)
+    def ===(o: RExpr): RExpr = RBin("=", e, o)
+    def =!=(o: RExpr): RExpr = RBin("!=", e, o)
+    def <(o: RExpr): RExpr = RBin("<", e, o)
+    def <=(o: RExpr): RExpr = RBin("<=", e, o)
+    def >(o: RExpr): RExpr = RBin(">", e, o)
+    def >=(o: RExpr): RExpr = RBin(">=", e, o)
+    def &&(o: RExpr): RExpr = RBin("and", e, o)
+    def ||(o: RExpr): RExpr = RBin("or", e, o)
+    def cast(dtype: String): RExpr = RCast(e, dtype)
+  }
+}

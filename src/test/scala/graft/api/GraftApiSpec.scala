@@ -1,0 +1,97 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.api.dsl._
+import graft.rel.RelHash
+import java.nio.file.Files
+
+class GraftApiSpec extends SparkSpec {
+
+  def session = new GraftSession(spark)
+
+  test("fluent pipeline builds, hashes, serializes, and executes") {
+    val g = session
+    val revenue = g.readParquet(s"$sfDir/lineitem.parquet")
+      .filter(c("l_quantity") > i(30))
+      .groupBy("rf" -> c("l_returnflag"))(
+        "n" -> countAll,
+        "qty" -> fn("round", agg("sum", c("l_quantity")), i(2)))
+      .orderBy(asc(c("rf")))
+
+    assert(revenue.schema.fieldNames.toSeq == Seq("rf", "n", "qty"))
+    assert(revenue.buildHash.length == 64)
+    // structural identity: rebuilding the same pipeline → same hash
+    val again = g.readParquet(s"$sfDir/lineitem.parquet")
+      .filter(c("l_quantity") > i(30))
+      .groupBy("rf" -> c("l_returnflag"))(
+        "n" -> countAll,
+        "qty" -> fn("round", agg("sum", c("l_quantity")), i(2)))
+      .orderBy(asc(c("rf")))
+    assert(revenue.buildHash == again.buildHash)
+
+    val rows = revenue.execute().collect()
+    assert(rows.length == 3)
+  }
+
+  test("construction is fail-fast: a bad column throws at build time") {
+    val g = session
+    val t = g.readParquet(s"$sfDir/nation.parquet")
+    intercept[Exception] { t.select("x" -> c("no_such_column")) }
+    intercept[Exception] { t.filter(c("n_name") > c("missing")) }
+  }
+
+  test("cache() + execute() round-trips through the artifact store") {
+    val root = Files.createTempDirectory("graft_api_cache_").toString
+    val g = new GraftSession(spark, storages = Map("default" ->
+      new graft.cache.ParquetDirStorage(spark, root)))
+    val t = g.readParquet(s"$sfDir/orders.parquet")
+      .groupBy("st" -> c("o_orderstatus"))("n" -> countAll)
+      .cache()
+      .orderBy(asc(c("st")))
+    val first = t.execute().collect()
+    val second = t.execute().collect()
+    assert(first.toSeq == second.toSeq)
+    assert(g.cacheManager.misses == 1 && g.cacheManager.hits == 1)
+  }
+
+  test("unbound tables + params rebind per execution") {
+    val g = session.bind(
+      "src" -> spark.read.parquet(s"$sfDir/orders.parquet"))
+    val t = g.table("src", "o_totalprice" -> "DOUBLE")
+      .filter(c("o_totalprice") > param("cut", "double", Some("100000")))
+      .groupBy()("n" -> countAll)
+    val nDefault = t.bindParams().execute().collect()(0).getLong(0)
+    val nLow = t.bindParams("cut" -> "10000").execute().collect()(0)
+      .getLong(0)
+    assert(nLow > nDefault)
+  }
+
+  test("save/load round-trip via the build dir") {
+    val g = session
+    val dir = Files.createTempDirectory("graft_api_builds_").toString
+    val t = g.readParquet(s"$sfDir/region.parquet")
+      .select("r" -> c("r_name")).orderBy(asc(c("r")))
+    val art = t.save(dir)
+    val loaded = g.load(dir, art.hash)
+    assert(loaded.execute().collect().toSeq == t.execute().collect().toSeq)
+    assert(RelHash.buildHash(loaded.rel) == art.hash)
+  }
+
+  test("asofJoin and intoCatalog compose through the fluent surface") {
+    val g = session.bind(
+      "ev" -> graft.Tables(spark, sfDir, "events"))
+    val clicks = g.table("ev")
+      .filter(c("event_type") === L("click"))
+      .select("event_id" -> c("event_id"), "user_id" -> c("user_id"),
+        "ts" -> c("ts"))
+    val signups = g.table("ev")
+      .filter(c("event_type") === L("signup"))
+    val joined = clicks
+      .asofJoin(signups, Seq("user_id"), "ts", "ts",
+        Seq("value" -> "signup_value"))
+      .intoCatalog("warehouse")
+      .limit(10)
+    assert(joined.schema.fieldNames.contains("signup_value"))
+    assert(joined.execute().collect().length == 10)
+  }
+}
