@@ -98,6 +98,8 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
     next(DropNull(rel, how, subset))
   def unnest(column: String, keepEmpty: Boolean = false): GraftTable =
     next(Unnest(rel, column, keepEmpty))
+  def windowProject(keep: Seq[String], wins: WinExpr*): GraftTable =
+    next(WindowProject(rel, keep, wins))
 
   // --------------------------------------------------- differentiators
   def cache(storage: String = "default",

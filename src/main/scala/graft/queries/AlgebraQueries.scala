@@ -138,6 +138,45 @@ object AlgebraQueries {
         .lower(RelJson.parse(RelJson.write(plan)))
     },
 
+    // Window functions as algebra nodes (WindowProject + frames).
+    q("alg_window",
+      """SELECT o_custkey, o_orderkey,
+        |       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |                                     ORDER BY o_orderkey
+        |                                     ROWS UNBOUNDED PRECEDING) + 1e-9, 2) AS running
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""") { c =>
+      val plan = Sort(
+        Project(
+          WindowProject(
+            Filter(ScanParquet(s"${c.dir}/orders.parquet"),
+              RBin("<", RCol("o_custkey"), RLit("200", "int"))),
+            keep = Seq("o_custkey", "o_orderkey"),
+            wins = Seq(
+              WinExpr("rk", RCall("rank", Nil),
+                Seq(RCol("o_custkey")),
+                Seq(SortKey(RCol("o_totalprice"), asc = false,
+                  nullsFirst = false),
+                  SortKey(RCol("o_orderkey"), asc = true,
+                    nullsFirst = true)),
+                None),
+              WinExpr("running_raw", RAgg("sum", Seq(RCol("o_totalprice"))),
+                Seq(RCol("o_custkey")),
+                Seq(SortKey(RCol("o_orderkey"), asc = true,
+                  nullsFirst = true)),
+                Some(Frame("rows", Long.MinValue, 0))))),
+          Seq("o_custkey" -> RCol("o_custkey"),
+            "o_orderkey" -> RCol("o_orderkey"),
+            "rk" -> RCol("rk"),
+            "running" -> RCall("round", Seq(
+              RBin("+", RCol("running_raw"), RLit("1e-9", "double")),
+              RLit("2", "int"))))),
+        Seq(SortKey(RCol("o_custkey"), true, true),
+          SortKey(RCol("o_orderkey"), true, true)))
+      new Lower(c.spark).lower(RelJson.parse(RelJson.write(plan)))
+    },
+
     // InMemoryTable leaf: a literal dimension joined against a scan —
     // the literal rows are part of the serialized, hashed plan.
     q("alg_inmemory",
