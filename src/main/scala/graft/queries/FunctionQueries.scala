@@ -374,6 +374,58 @@ object FunctionQueries {
         .orderBy("p_partkey")
     },
 
+    // URL-field extraction (strings.py:316-362 → parse_url) +
+    // FindInSet (:156). DuckDB has no parse_url; the oracle rebuilds
+    // each field from the constructed URL's parts.
+    q("fn_strings_url",
+      """SELECT n_nationkey,
+        |       replace(lower(n_name), '_', '-') || '.example.com' AS host,
+        |       '/region/' || n_regionkey AS path,
+        |       'k=' || n_nationkey AS query_str,
+        |       CAST(n_nationkey AS VARCHAR) AS k_param,
+        |       CAST(coalesce(array_position(string_split('alpha,beta,gamma', ','),
+        |            CASE WHEN n_regionkey = 1 THEN 'beta' ELSE 'delta' END), 0)
+        |            AS INT) AS fis
+        |FROM nation ORDER BY n_nationkey""") { c =>
+      // hostname must be URI-legal (no underscores) for parse_url
+      val url = concat(lit("http://"),
+        regexp_replace(lower(col("n_name")), "_", "-"),
+        lit(".example.com/region/"), col("n_regionkey"),
+        lit("?k="), col("n_nationkey"))
+      c.nation.select(col("n_nationkey"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY")).as("query_str"),
+          parse_url(url, lit("QUERY"), lit("k")).as("k_param"),
+          find_in_set(when(col("n_regionkey") === 1, "beta")
+            .otherwise("delta"), lit("alpha,beta,gamma")).as("fis"))
+        .orderBy("n_nationkey")
+    },
+
+    // Timestamp construction (temporal.py: TimestampFromYMDHMS :246,
+    // TimestampFromUNIX :261, StringToTimestamp :81, DateFromYMD :222).
+    q("fn_temporal_make",
+      """SELECT o_orderkey,
+        |       make_timestamp(year(o_orderdate), month(o_orderdate),
+        |                      day(o_orderdate), 12, 30, 45.0) AS mk_ts,
+        |       CAST(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)) AS TIMESTAMP) AS from_unix,
+        |       strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed,
+        |       CAST(make_date(year(o_orderdate), 6, 15) AS TIMESTAMP) AS mk_date
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""") { c =>
+      c.orders.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          make_timestamp_ntz(year(col("o_orderdate")),
+            month(col("o_orderdate")), dayofmonth(col("o_orderdate")),
+            lit(12), lit(30), lit(45.0)).as("mk_ts"),
+          timestamp_seconds(unix_timestamp(col("o_orderdate")))
+            .cast("timestamp_ntz").as("from_unix"),
+          to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            "yyyy-MM-dd").cast("timestamp_ntz").as("reparsed"),
+          make_date(year(col("o_orderdate")), lit(6), lit(15))
+            .cast("timestamp_ntz").as("mk_date"))
+        .orderBy("o_orderkey")
+    },
+
     // Bucket / histogram (histograms.py:18, lowered to a CASE chain at
     // sql/rewrites.py:530-583) — fixed bin edges over l_quantity.
     q("fn_bucket",
