@@ -26,20 +26,26 @@ object SparkEntry {
     _root_.graft.queries.CoverageQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem revenue ranking — joins,
-    * filter pushdown, aggregation and ordering in one plan. */
+    * TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem revenue ranking) built
+    * through the ENGINE'S OWN fluent algebra API — the plan is
+    * serializable/hashable and executes via cache resolution + lowering,
+    * i.e. the library's primary user path. */
   def entry(spark: SparkSession): DataFrame = {
+    import _root_.graft.api._, _root_.graft.api.dsl._
     val dir = "/root/testdata/sf0.001"
-    val cust = Tables.customer(spark, dir)
-    val ord = Tables.orders(spark, dir)
-    val li = Tables.lineitem(spark, dir)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+    val g = new GraftSession(spark)
+    g.readParquet(s"$dir/lineitem.parquet")
+      .join(g.readParquet(s"$dir/orders.parquet"), "inner",
+        c("l_orderkey") === c("o_orderkey"))
+      .join(g.readParquet(s"$dir/customer.parquet"), "inner",
+        c("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey" -> c("l_orderkey"),
+        "o_orderdate" -> c("o_orderdate"))(
+        "revenue" -> fn("round",
+          agg("sum", raw("l_extendedprice * (1 - l_discount)")), i(2)))
+      .orderBy(desc(c("revenue")), asc(c("l_orderkey")))
       .limit(20)
+      .execute()
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

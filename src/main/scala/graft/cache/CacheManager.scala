@@ -31,8 +31,9 @@ final class CacheManager(
     storages: Map[String, CacheStorage]) {
 
   /** originalHash → original sub-plan; makes pinning invertible
-    * (pin_cache/unpin_cache, expr/relations.py:149-405). */
-  private val registry = mutable.Map.empty[String, Rel]
+    * (pin_cache/unpin_cache, expr/relations.py:149-405). Concurrent —
+    * one manager may serve many threads. */
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, Rel]
 
   /** Number of cache misses served (computed + stored) — test/metrics. */
   @volatile var misses: Int = 0

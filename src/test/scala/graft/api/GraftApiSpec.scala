@@ -66,6 +66,14 @@ class GraftApiSpec extends SparkSpec {
     assert(nLow > nDefault)
   }
 
+  test("the driver entry point (flagship query via the fluent API) " +
+    "returns ranked revenue rows") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.length == 20)
+    val revenues = rows.map(_.getAs[Double]("revenue"))
+    assert(revenues.zip(revenues.tail).forall { case (a, b) => a >= b })
+  }
+
   test("save/load round-trip via the build dir") {
     val g = session
     val dir = Files.createTempDirectory("graft_api_builds_").toString
