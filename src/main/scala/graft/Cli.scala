@@ -1,0 +1,73 @@
+package graft
+
+import graft.build.{Build, Catalog}
+import graft.rel.{Lower, RelHash, RelJson}
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** `xorq build`/`run`-style artifact lifecycle over saved plans
+  * (ref cli.py: build_command :233, run_command :306):
+  *
+  *   runMain graft.Cli list <buildsDir>
+  *   runMain graft.Cli show <buildsDir> <hash|alias>
+  *   runMain graft.Cli run  <buildsDir> <hash|alias> <outParquetDir>
+  *   runMain graft.Cli alias <buildsDir> <name> <hash>
+  *
+  * `run` re-executes a serialized plan with no access to the code that
+  * built it — the artifact IS the program.
+  */
+object Cli {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "build" :: planJson :: dir :: Nil =>
+      val rel = RelJson.parse(Files.readString(Paths.get(planJson)))
+      val art = Build.save(rel, dir)
+      println(art.hash)
+
+    case "list" :: dir :: Nil =>
+      val cat = new Catalog(dir).aliases
+      Build.list(dir).foreach { h =>
+        val names = cat.collect { case (n, hh) if hh == h => n }
+        println(s"$h${if (names.nonEmpty) names.mkString("  [", ",", "]") else ""}")
+      }
+
+    case "show" :: dir :: ref :: Nil =>
+      val hash = resolve(dir, ref)
+      println(Files.readString(Paths.get(dir, hash, "metadata.json")))
+      println(RelJson.write(Build.load(dir, hash)))
+
+    case "run" :: dir :: ref :: out :: Nil =>
+      val hash = resolve(dir, ref)
+      val rel = Build.load(dir, hash)
+      val spark = session()
+      val df = new Lower(spark).lower(rel)
+      df.write.mode("overwrite").parquet(out)
+      println(s"""{"hash":"$hash","rows":${spark.read.parquet(out).count()},"out":"$out"}""")
+      spark.stop()
+
+    case "alias" :: dir :: name :: hash :: Nil =>
+      new Catalog(dir).register(name, hash)
+      println(s"$name -> $hash")
+
+    case other =>
+      System.err.println(s"usage: list|show|run|alias ... (got $other)")
+      sys.exit(2)
+  }
+
+  private def resolve(dir: String, ref: String): String =
+    if (ref.length == 64) ref
+    else new Catalog(dir).resolve(ref).getOrElse(
+      sys.error(s"unknown alias '$ref'"))
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

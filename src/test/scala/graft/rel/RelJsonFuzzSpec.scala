@@ -1,0 +1,113 @@
+package graft.rel
+
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized serializer round-trip: `parse(write(r)) == r` for
+  * generator-built plans over every node/expression type, including
+  * adversarial strings (quotes, backslashes, control chars, unicode). */
+class RelJsonFuzzSpec extends AnyFunSuite {
+
+  private val nastyString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.const("with \"quotes\" and \\back\\slashes"),
+    Gen.const("tabs\tnewlines\nand\rreturns"),
+    Gen.const("unicode: ü λ 漢字 🚀"),
+    Gen.const(""),
+    Gen.listOfN(5, Gen.choose(0.toChar, 31.toChar)).map(_.mkString))
+
+  private val genLeafExpr: Gen[RExpr] = Gen.oneOf(
+    nastyString.map(RCol),
+    Gen.zip(nastyString, Gen.oneOf("int", "double", "string", "boolean"))
+      .map { case (v, t) => RLit(v, t) },
+    nastyString.map(RRaw),
+    Gen.zip(nastyString, Gen.oneOf("int", "bigint"),
+      Gen.option(nastyString)).map { case (n, t, d) => RParam(n, t, d) })
+
+  private def genExpr(depth: Int): Gen[RExpr] =
+    if (depth <= 0) genLeafExpr
+    else Gen.frequency(
+      3 -> genLeafExpr,
+      1 -> Gen.zip(nastyString, Gen.listOfN(2, genExpr(depth - 1)))
+        .map { case (f, a) => RCall(f, a) },
+      1 -> Gen.zip(Gen.oneOf("+", "-", "=", "<", "and"),
+        genExpr(depth - 1), genExpr(depth - 1))
+        .map { case (o, l, r) => RBin(o, l, r) },
+      1 -> Gen.zip(genExpr(depth - 1), Gen.oneOf("int", "string"))
+        .map { case (a, t) => RCast(a, t) },
+      1 -> Gen.zip(nastyString, Gen.listOfN(1, genExpr(depth - 1)),
+        Gen.oneOf(true, false), Gen.option(genExpr(depth - 1)))
+        .map { case (f, a, d, fl) => RAgg(f, a, d, fl) })
+
+  private val genLeafRel: Gen[Rel] = Gen.oneOf(
+    nastyString.map(ScanParquet),
+    Gen.zip(nastyString, Gen.oneOf(true, false), Gen.oneOf(true, false),
+      Gen.oneOf(",", ";", "\t")).map { case (p, h, i, d) =>
+      ReadCsv(p, h, i, d)
+    },
+    Gen.zip(nastyString,
+      Gen.listOfN(2, Gen.zip(nastyString, Gen.const("BIGINT"))))
+      .map { case (n, s) => UnboundTable(n, s) },
+    Gen.zip(Gen.listOfN(2, Gen.zip(nastyString, Gen.const("STRING"))),
+      Gen.listOfN(2, Gen.listOfN(2, nastyString)))
+      .map { case (c, r) => InMemory(c, r) },
+    Gen.zip(nastyString, nastyString).map { case (p, h) => PinnedRead(p, h) })
+
+  private def genRel(depth: Int): Gen[Rel] =
+    if (depth <= 0) genLeafRel
+    else Gen.frequency(
+      2 -> genLeafRel,
+      1 -> Gen.zip(genRel(depth - 1),
+        Gen.listOfN(2, Gen.zip(nastyString, genExpr(2))))
+        .map { case (in, e) => Project(in, e) },
+      1 -> Gen.zip(genRel(depth - 1), genExpr(2))
+        .map { case (in, p) => Filter(in, p) },
+      1 -> Gen.zip(genRel(depth - 1), genRel(depth - 1),
+        Gen.oneOf("inner", "left", "full"), Gen.listOfN(1, genExpr(1)))
+        .map { case (l, r, h, on) => Join(l, r, h, on) },
+      1 -> Gen.zip(genRel(depth - 1),
+        Gen.listOfN(1, Gen.zip(nastyString, genExpr(1))),
+        Gen.listOfN(2, Gen.zip(nastyString, genExpr(1))))
+        .map { case (in, k, a) => Aggregate(in, k, a) },
+      1 -> Gen.zip(genRel(depth - 1), Gen.listOfN(1,
+        Gen.zip(genExpr(1), Gen.oneOf(true, false),
+          Gen.oneOf(true, false))
+          .map { case (e, a, n) => SortKey(e, a, n) }))
+        .map { case (in, k) => Sort(in, k) },
+      1 -> Gen.zip(genRel(depth - 1), Gen.choose(0L, 1000L),
+        Gen.choose(0L, 10L)).map { case (in, n, o) => Limit(in, n, o) },
+      1 -> Gen.zip(genRel(depth - 1), nastyString, nastyString,
+        Gen.oneOf(true, false))
+        .map { case (in, k, v, h) => Tag(in, k, v, h) },
+      1 -> Gen.zip(genRel(depth - 1), Gen.oneOf("snapshot", "mtime"))
+        .map { case (in, s) => Cache(in, "default", s) },
+      1 -> Gen.zip(genRel(depth - 1), genRel(depth - 1),
+        Gen.oneOf("union_all", "union", "intersect", "except"))
+        .map { case (l, r, k) => SetOp(k, l, r) },
+      1 -> Gen.zip(genRel(depth - 1), genRel(depth - 1),
+        Gen.listOfN(1, nastyString), nastyString, nastyString,
+        Gen.listOfN(1, Gen.zip(nastyString, nastyString)),
+        Gen.option(nastyString))
+        .map { case (l, r, on, lt, rt, rc, tol) =>
+          AsofJoinRel(l, r, on, lt, rt, rc, tol)
+        })
+
+  test("random plans round-trip byte-identically (500 cases)") {
+    val params = Gen.Parameters.default
+    var seed = rng.Seed(42L)
+    var checked = 0
+    while (checked < 500) {
+      genRel(3).apply(params, seed) match {
+        case Some(plan) =>
+          val json = RelJson.write(plan)
+          val back = RelJson.parse(json)
+          assert(back == plan, s"plan mismatch for:\n$json")
+          assert(RelJson.write(back) == json)
+          assert(RelHash.buildHash(plan) == RelHash.buildHash(back))
+          checked += 1
+        case None =>
+      }
+      seed = seed.next
+    }
+  }
+}
