@@ -281,6 +281,48 @@ object LlmQueries {
           (col("n_hit").cast("double") / col("n_bf") >= 0.5).as("recall_ok"))
     },
 
+    // End-to-end corpus prep — the composed pipeline a training-data
+    // run actually executes: quality filter → near-dup removal (LSH
+    // pairs, keep-smallest-id policy) → per-language corpus stats.
+    // Oracle replicates with brute-force pairs at sf0.01.
+    q("llm_corpus_prep",
+      """WITH d AS (SELECT doc_id, lang, text, lower(trim(text)) t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(t, '\s+') toks FROM d),
+        |g AS (SELECT doc_id,
+        |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                       for i in generate_series(1, len(toks) - 2)]) ws
+        |      FROM tok),
+        |dups AS (SELECT DISTINCT b.doc_id AS drop_id
+        |         FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |         WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |               / len(list_distinct(a.ws || b.ws)) >= 0.9),
+        |kept AS (SELECT d.* FROM d
+        |         LEFT JOIN dups ON d.doc_id = dups.drop_id
+        |         WHERE dups.drop_id IS NULL
+        |           AND len(string_split_regex(trim(text), '\s+')) >= 10
+        |           AND length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |               / length(text) > 0.5)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+        |       round(avg(length(text)) + 1e-9, 2) AS avg_chars
+        |FROM kept GROUP BY lang ORDER BY lang""") { c =>
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("double") / length(col("text"))
+      val dropIds = TextDedup.minhashDedupPairs(c.documents, "doc_id",
+          "text", shingleN = 3, k = 32, bands = 16, threshold = 0.9)
+        .select(col("b_id").as("drop_id")).distinct()
+      c.documents
+        .filter(nTok >= 10 && alphaRatio > 0.5)
+        .join(broadcast(dropIds), col("doc_id") === col("drop_id"),
+          "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTok).cast("long").as("total_tokens"),
+          r2(avg(length(col("text")))).as("avg_chars"))
+        .orderBy("lang")
+    },
+
     // Multimodal plumbing: opaque binary payload + typed partition-local
     // stub decode (see graft.ops.Multimodal — decode is a deterministic
     // fake; schema/encoder/partitioning are the real contract).
