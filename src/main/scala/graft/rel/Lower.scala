@@ -118,11 +118,15 @@ final class Lower(
     case Distinct(in, Nil, _, _) => lower(in).distinct()
     case Distinct(in, on, orderBy, keepFirst) =>
       val df = lower(in)
-      val ord =
-        if (orderBy.nonEmpty) orderBy.map(sort)
-        else on.map(df.col(_).asc)
-      val effOrd = if (keepFirst) ord else ord.map(_.desc)
-      val w = Window.partitionBy(on.map(df.col): _*).orderBy(effOrd: _*)
+      val keys =
+        if (orderBy.nonEmpty) orderBy
+        else on.map(n => SortKey(RCol(n), asc = true, nullsFirst = true))
+      // keep=last ≡ keep=first under the reversed ordering (flip at the
+      // SortKey level — a SortOrder column cannot be re-wrapped)
+      val effKeys = if (keepFirst) keys
+        else keys.map(k => k.copy(asc = !k.asc, nullsFirst = !k.nullsFirst))
+      val w = Window.partitionBy(on.map(df.col): _*)
+        .orderBy(effKeys.map(sort): _*)
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
 

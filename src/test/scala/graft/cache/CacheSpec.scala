@@ -92,6 +92,23 @@ class CacheSpec extends SparkSpec {
     assert(unpinned == p) // exact original Cache(subtree) restored
   }
 
+  test("artifacts persist across managers: a NEW manager over the same " +
+    "storage serves a hit (durable cache, unlike df.cache)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cache_")
+      .toString
+    val p = plan(s"$sfDir/lineitem.parquet")
+    val m1 = new CacheManager(spark,
+      Map("default" -> new ParquetDirStorage(spark, root)))
+    m1.execute(p).collect()
+    assert(m1.misses == 1)
+    // brand-new manager (fresh session state) → artifact still hits
+    val m2 = new CacheManager(spark,
+      Map("default" -> new ParquetDirStorage(spark, root)))
+    val rows = m2.execute(p).collect()
+    assert(m2.hits == 1 && m2.misses == 0)
+    assert(rows.length == 3)
+  }
+
   test("different sub-plans never share a key; drop forces recompute") {
     val (mgr, storage, _) = freshManager()
     val a = plan(s"$sfDir/lineitem.parquet")

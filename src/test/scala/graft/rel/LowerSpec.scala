@@ -102,4 +102,18 @@ class LowerSpec extends SparkSpec {
       Seq(SortKey(RCol("k"), true, true))), 10, 5)
     assert(lower(lim).count() == 10)
   }
+
+  test("distinct-on keep=last picks the opposite row from keep=first") {
+    val proj = Project(li, Seq("k" -> RCol("l_orderkey"),
+      "ln" -> RCol("l_linenumber")))
+    val ord = Seq(SortKey(RCol("ln"), asc = true, nullsFirst = true))
+    val first = lower(Distinct(proj, Seq("k"), ord, keepFirst = true))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val last = lower(Distinct(proj, Seq("k"), ord, keepFirst = false))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(first.keySet == last.keySet)
+    assert(first.forall { case (k, ln) => ln <= last(k) })
+    assert(first.exists { case (k, ln) => ln < last(k) },
+      "multi-line orders must differ between first and last")
+  }
 }

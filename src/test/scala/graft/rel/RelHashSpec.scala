@@ -59,6 +59,14 @@ class RelHashSpec extends AnyFunSuite {
     assert(RelHash.cacheHash(c) == RelHash.cacheHash(q1))
   }
 
+  test("golden: cache hash of a Cache-wrapped plan is pinned " +
+    "(artifact keys must survive releases)") {
+    val cached = Cache(q1, "default", "snapshot")
+    assert(RelHash.cacheHash(cached) == RelHash.cacheHash(q1))
+    assert(RelHash.cacheHash(q1) ==
+      "281de0c063375009185b06d92bf0fe95c12850ebc9fb3930a221442f409af433")
+  }
+
   test("param binding changes the hash the way a literal would") {
     val p = Filter(ScanParquet("/d/t.parquet"),
       RBin(">", RCol("x"), RParam("cut", "int", Some("5"))))
