@@ -426,6 +426,37 @@ object FunctionQueries {
         .orderBy("o_orderkey")
     },
 
+    // Misc long-tail: calendar-month delta (computed identically on
+    // both engines — Spark timestampdiff(MONTH) counts COMPLETE months
+    // while DuckDB date_diff('month') counts boundary crossings, so
+    // neither is used directly), TryCast-family division, E/Pi
+    // constants (generic.py:222/:229), ArrayExcept.
+    q("fn_misc",
+      """SELECT o_orderkey,
+        |       (1998 - year(o_orderdate)) * 12 + (6 - month(o_orderdate)) AS cal_months_to_jun98,
+        |       coalesce(CAST(NULL AS DOUBLE), -1.0) AS div_by_zero,
+        |       round(o_totalprice / nullif(year(o_orderdate) - 1995, 0) + 1e-9, 2) AS try_div,
+        |       round(pi() + 1e-9, 6) AS pi_c,
+        |       round(exp(1.0) + 1e-9, 6) AS e_c,
+        |       coalesce(array_to_string(list_sort(list_filter([year(o_orderdate), 1997, 1998],
+        |                         x -> NOT list_contains([1997, 1998], x))), ','), '') AS yr_except
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""") { c =>
+      val yr = year(col("o_orderdate"))
+      c.orders.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          ((lit(1998) - yr) * 12 + (lit(6) - month(col("o_orderdate"))))
+            .as("cal_months_to_jun98"),
+          coalesce(expr("try_divide(o_totalprice, 0)"), lit(-1.0))
+            .as("div_by_zero"),
+          r2(expr("try_divide(o_totalprice, nullif(year(o_orderdate) - 1995, 0))"))
+            .as("try_div"),
+          r6(expr("pi()")).as("pi_c"),
+          r6(expr("e()")).as("e_c"),
+          ajoin(array_sort(array_except(array(yr, lit(1997), lit(1998)),
+            array(lit(1997), lit(1998))))).as("yr_except"))
+        .orderBy("o_orderkey")
+    },
+
     // Bucket / histogram (histograms.py:18, lowered to a CASE chain at
     // sql/rewrites.py:530-583) — fixed bin edges over l_quantity.
     q("fn_bucket",
