@@ -58,6 +58,26 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Partitioned parquet sink + partition-pruned read-back: the
+    // standard 100 TB layout (hive-style directories per key); the
+    // filter on the partition column prunes directories at planning
+    // time, so the scan reads only one partition's files.
+    q("src_partitioned_write",
+      """SELECT l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity) + 1e-9, 2) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""") { c =>
+      val out = tmp("lineitem_parts")
+      c.lineitem
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      c.spark.read.parquet(out)
+        .filter(col("l_returnflag") === "R") // directory-pruned
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .orderBy("l_linestatus")
+    },
+
     // Tee write-through (ref expr/relations.py:102-137): the node
     // writes its input to the sink AND the same rows flow downstream;
     // the oracle checks the flowed-through result.
