@@ -252,7 +252,8 @@ object LlmQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
-      VectorSim.topKBruteForce(queries, corpus, 3)
+      graft.functions.GraftFunctions.register(c.spark)
+      VectorSim.topKBruteForce(queries, corpus, 3, native = true)
         .select(col("q_id"), col("rank").as("rnk"), col("n_id"),
           r6(col("cos")).as("cos"))
         .orderBy("q_id", "rnk")
@@ -268,10 +269,11 @@ object LlmQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
-      val bf = VectorSim.topKBruteForce(queries, corpus, 3)
+      graft.functions.GraftFunctions.register(c.spark)
+      val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
         .select(col("q_id"), col("n_id"))
       val ann = VectorSim.topKAnn(queries, corpus, 3, planes = 6,
-          probeHamming = 2)
+          probeHamming = 2, native = true)
         .select(col("q_id").as("aq"), col("n_id").as("an"))
       val hits = bf.join(ann,
         col("q_id") === col("aq") && col("n_id") === col("an"), "left_semi")
