@@ -103,6 +103,35 @@ class LowerSpec extends SparkSpec {
     assert(lower(lim).count() == 10)
   }
 
+  test("sample, fill/drop null, and unnest lower correctly") {
+    val sampled = lower(Sample(li, 0.1, 42L)).count()
+    val total = lower(li).count()
+    assert(sampled > 0 && sampled < total)
+    assert(sampled == lower(Sample(li, 0.1, 42L)).count(),
+      "seeded sample must be deterministic")
+
+    val sp = spark
+    import sp.implicits._
+    val withNulls = Seq((1, Option("a")), (2, None), (3, Option("c")))
+      .toDF("k", "v")
+    withNulls.createOrReplaceTempView("nulls_in")
+    val filled = new Lower(spark).lower(
+      FillNull(SqlView("SELECT * FROM nulls_in", Nil),
+        Seq("v" -> "missing")))
+    assert(filled.filter(col("v") === "missing").count() == 1)
+    val dropped = new Lower(spark).lower(
+      DropNull(SqlView("SELECT * FROM nulls_in", Nil), "any", Seq("v")))
+    assert(dropped.count() == 2)
+
+    val arrs = Seq((1, Seq("x", "y")), (2, Seq.empty[String]))
+      .toDF("k", "arr")
+    arrs.createOrReplaceTempView("arrs_in")
+    val exploded = new Lower(spark).lower(
+      Unnest(SqlView("SELECT * FROM arrs_in", Nil), "arr",
+        keepEmpty = true))
+    assert(exploded.count() == 3) // x, y, and the empty row kept as null
+  }
+
   test("distinct-on keep=last picks the opposite row from keep=first") {
     val proj = Project(li, Seq("k" -> RCol("l_orderkey"),
       "ln" -> RCol("l_linenumber")))
