@@ -138,6 +138,24 @@ trait CacheStorage {
   def drop(key: String): Unit
 }
 
+/** TTL wrapper: an artifact counts as existing only while younger than
+  * `ttlMillis` (the reference's ParquetTTLStorage family) — expired
+  * artifacts read as missing, so the next execute recomputes and
+  * overwrites in place. */
+final class TtlStorage(inner: CacheStorage, spark: SparkSession,
+    ttlMillis: Long) extends CacheStorage {
+  def exists(key: String): Boolean =
+    inner.exists(key) && {
+      val p = new Path(inner.path(key), "_SUCCESS")
+      val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+      System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime < ttlMillis
+    }
+  def path(key: String): String = inner.path(key)
+  def store(key: String, df: DataFrame): Unit = inner.store(key, df)
+  def drop(key: String): Unit = inner.drop(key)
+}
+
 /** Parquet-directory store under `root` (the reference's ParquetStorage,
   * caching/__init__.py). Write is atomic-enough via _SUCCESS: a key
   * exists only when the parquet commit protocol finished. */

@@ -109,6 +109,24 @@ class CacheSpec extends SparkSpec {
     assert(rows.length == 3)
   }
 
+  test("TTL storage: fresh artifacts hit; expired ones recompute") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ttl_")
+      .toString
+    val inner = new ParquetDirStorage(spark, root)
+    val longTtl = new CacheManager(spark,
+      Map("default" -> new TtlStorage(inner, spark, 60 * 60 * 1000L)))
+    val p = plan(s"$sfDir/lineitem.parquet")
+    longTtl.execute(p).collect()
+    longTtl.execute(p).collect()
+    assert(longTtl.misses == 1 && longTtl.hits == 1)
+
+    // a 0-ms TTL manager over the SAME artifacts sees them as expired
+    val zeroTtl = new CacheManager(spark,
+      Map("default" -> new TtlStorage(inner, spark, 0L)))
+    zeroTtl.execute(p).collect()
+    assert(zeroTtl.misses == 1, "expired artifact must recompute")
+  }
+
   test("different sub-plans never share a key; drop forces recompute") {
     val (mgr, storage, _) = freshManager()
     val a = plan(s"$sfDir/lineitem.parquet")

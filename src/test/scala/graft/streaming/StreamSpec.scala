@@ -78,6 +78,43 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a FILE stream over the real events table produces the same " +
+    "windowed aggregate as the batch run") {
+    val sp = spark
+    // watermarks need TIMESTAMP (ltz); session tz is UTC so the cast
+    // keeps the same instants on both paths
+    val batchEvents = graft.Tables(sp, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = (df: org.apache.spark.sql.DataFrame) =>
+      StreamOps.windowedAgg(df.withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "10 days", "1 hour",
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n")))
+    val expected = agg(batchEvents)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+
+    // file streams watch a DIRECTORY: stage the (ts-fixed) events there
+    // so stream and batch read identical data with identical schemas
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_src_").toString
+    batchEvents.write.mode("overwrite").parquet(stageDir)
+    val streamed = sp.readStream.schema(batchEvents.schema)
+      .format("parquet")
+      .load(stageDir)
+    val q = agg(streamed)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("file_stream_agg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = sp.sql("SELECT * FROM file_stream_agg").collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("the same transform runs unchanged on a BATCH frame " +
     "(one algebra, two execution modes)") {
     val sp = spark
