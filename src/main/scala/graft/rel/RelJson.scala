@@ -252,7 +252,10 @@ object RelJson {
     private def relDecode(m: Map[String, Any]): Rel = {
       def str0(k: String) = m(k).asInstanceOf[String]
       def bool0(k: String) = m(k).asInstanceOf[Boolean]
-      def long0(k: String) = m(k).asInstanceOf[Double].toLong
+      def long0(k: String) = m(k) match {
+        case l: Long => l
+        case d: Double => d.toLong
+      }
       def list0(k: String) = m(k).asInstanceOf[List[Any]]
       def pairs0(k: String) = list0(k).map { x =>
         val p = x.asInstanceOf[List[Any]]
@@ -319,8 +322,7 @@ object RelJson {
                   case null => None
                   case fr: List[Any @unchecked] => Some(Frame(
                     fr(0).asInstanceOf[String],
-                    fr(1).asInstanceOf[Double].toLong,
-                    fr(2).asInstanceOf[Double].toLong))
+                    numLong(fr(1)), numLong(fr(2))))
                 })
             })
         case "sort" =>
@@ -338,7 +340,10 @@ object RelJson {
           relDecode(m("right").asInstanceOf[Map[String, Any]]))
         case "sample" =>
           Sample(relDecode(m("input").asInstanceOf[Map[String, Any]]),
-            m("fraction").asInstanceOf[Double], long0("seed"))
+            m("fraction") match {
+              case d: Double => d
+              case l: Long => l.toDouble
+            }, long0("seed"))
         case "fill_null" =>
           FillNull(relDecode(m("input").asInstanceOf[Map[String, Any]]),
             list0("repl").map { x =>
@@ -365,6 +370,11 @@ object RelJson {
             str0("sink"))
         case other => throw new IllegalArgumentException(s"bad node $other")
       }
+    }
+
+    private def numLong(v: Any): Long = v match {
+      case l: Long => l
+      case d: Double => d.toLong
     }
 
     private def decodeSortKey(v: Any): SortKey = {
@@ -477,11 +487,15 @@ object RelJson {
       sb.toString
     }
 
-    private def numValue(): Double = {
+    private def numValue(): Any = {
       val start = i
       while (i < in.length &&
         (in(i).isDigit || "+-.eE".contains(in(i)))) i += 1
-      in.substring(start, i).toDouble
+      val text = in.substring(start, i)
+      // integral literals MUST stay Long: routing a 64-bit seed through
+      // Double silently corrupts values beyond 2^53 (fuzz-caught)
+      if (text.exists(c => c == '.' || c == 'e' || c == 'E')) text.toDouble
+      else text.toLong
     }
   }
 }

@@ -90,7 +90,43 @@ class RelJsonFuzzSpec extends AnyFunSuite {
         Gen.option(nastyString))
         .map { case (l, r, on, lt, rt, rc, tol) =>
           AsofJoinRel(l, r, on, lt, rt, rc, tol)
-        })
+        },
+      1 -> Gen.zip(genRel(depth - 1), Gen.listOfN(2, nastyString),
+        Gen.listOfN(1, Gen.zip(nastyString, genExpr(1), genExpr(1),
+          Gen.option(Gen.zip(Gen.oneOf("rows", "range"),
+            Gen.oneOf(Long.MinValue, -5L, 0L),
+            Gen.oneOf(0L, 5L, Long.MaxValue))
+            .map { case (k, s, e) => Frame(k, s, e) }))
+          .map { case (n, f, ob, fr) =>
+            WinExpr(n, f, Seq(ob),
+              Seq(SortKey(ob, asc = true, nullsFirst = false)), fr)
+          }))
+        .map { case (in, keep, wins) => WindowProject(in, keep, wins) },
+      1 -> Gen.zip(genRel(depth - 1), Gen.listOfN(1, nastyString),
+        Gen.oneOf(true, false))
+        .map { case (in, on, kf) =>
+          Distinct(in, on,
+            on.map(n => SortKey(RCol(n), asc = false, nullsFirst = true)),
+            kf)
+        },
+      1 -> Gen.zip(genRel(depth - 1), nastyString, Gen.oneOf(true, false))
+        .map { case (in, c, ke) => Unnest(in, c, ke) },
+      1 -> Gen.zip(genRel(depth - 1), Gen.choose(0.0, 1.0),
+        Gen.choose(Long.MinValue, Long.MaxValue))
+        .map { case (in, f, s) => Sample(in, f, s) },
+      1 -> Gen.zip(genRel(depth - 1),
+        Gen.listOfN(2, Gen.zip(nastyString, nastyString)))
+        .map { case (in, r) => FillNull(in, r) },
+      1 -> Gen.zip(genRel(depth - 1), Gen.oneOf("any", "all"),
+        Gen.listOfN(1, nastyString))
+        .map { case (in, h, s) => DropNull(in, h, s) },
+      1 -> Gen.zip(genRel(depth - 1), nastyString)
+        .map { case (in, t) => Exchange(in, t) },
+      1 -> Gen.zip(genRel(depth - 1), nastyString)
+        .map { case (in, s) => Tee(in, s) },
+      1 -> Gen.zip(nastyString,
+        Gen.listOfN(1, Gen.zip(nastyString, genRel(depth - 1))))
+        .map { case (sql, deps) => SqlView(sql, deps) })
 
   test("random plans round-trip byte-identically (500 cases)") {
     val params = Gen.Parameters.default
