@@ -286,7 +286,10 @@ object LlmQueries {
     // End-to-end corpus prep — the composed pipeline a training-data
     // run actually executes: quality filter → near-dup removal (LSH
     // pairs, keep-smallest-id policy) → per-language corpus stats.
-    // Oracle replicates with brute-force pairs at sf0.01.
+    // Oracle replicates with brute-force pairs at sf0.01. The ::BIGINT on
+    // total_tokens is load-bearing: DuckDB's sum(BIGINT) is HUGEINT, which
+    // the driver's pandas bridge widens to float64 ("27165.0") while Spark
+    // emits int64 — a guaranteed hash mismatch on identical values.
     q("llm_corpus_prep",
       """WITH d AS (SELECT doc_id, lang, text, lower(trim(text)) t FROM documents),
         |tok AS (SELECT doc_id, string_split_regex(t, '\s+') toks FROM d),
@@ -305,7 +308,7 @@ object LlmQueries {
         |           AND length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
         |               / length(text) > 0.5)
         |SELECT lang, count(*) AS n_docs,
-        |       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+        |       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
         |       round(avg(length(text)) + 1e-9, 2) AS avg_chars
         |FROM kept GROUP BY lang ORDER BY lang""") { c =>
       val nTok = size(split(trim(col("text")), "\\s+"))

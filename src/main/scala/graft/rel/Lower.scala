@@ -205,17 +205,26 @@ final class Lower(
       }
     case RCast(a, dtype) => toCol(a).cast(dtype)
     case RAgg(fn, args, distinct, filterOpt) =>
-      val base = filterOpt match {
-        case Some(f) if fn == "count" && args.isEmpty =>
-          count(when(toCol(f), lit(1)))
-        case Some(f) =>
-          call_function(fn, args.map(a => when(toCol(f), toCol(a))): _*)
-        case None if fn == "count" && args.isEmpty => count(lit(1))
-        case None if distinct =>
-          count_distinct(toCol(args.head), args.tail.map(toCol): _*)
-        case None => call_function(fn, args.map(toCol): _*)
+      // FILTER (WHERE f) ≡ aggregating when(f, arg): nulls are ignored
+      // by every aggregate, and distinct-over-when preserves DISTINCT
+      // semantics (null never contributes). Composes with distinct.
+      val in: Seq[Column] = filterOpt match {
+        case Some(f) if args.isEmpty => Seq(when(toCol(f), lit(1)))
+        case Some(f) => args.map(a => when(toCol(f), toCol(a)))
+        case None if args.isEmpty && fn == "count" => Seq(lit(1))
+        case None => args.map(toCol)
       }
-      base
+      if (!distinct) call_function(fn, in: _*)
+      else fn match {
+        // only these have distinct-aggregate forms in the Column API;
+        // anything else must fail loudly — a silently-wrong aggregate
+        // in a deserialized plan is worse than an error (ADVICE r2)
+        case "count" => count_distinct(in.head, in.tail: _*)
+        case "sum" => sum_distinct(in.head)
+        case other => throw new IllegalArgumentException(
+          s"RAgg: DISTINCT is not supported for '$other' " +
+            "(supported: count, sum); use RRaw for engine-specific forms")
+      }
     case RParam(name, _, default) =>
       default match {
         case Some(_) => toCol(Params.substitute(e.asInstanceOf[RParam]))

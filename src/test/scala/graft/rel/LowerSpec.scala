@@ -132,6 +132,37 @@ class LowerSpec extends SparkSpec {
     assert(exploded.count() == 3) // x, y, and the empty row kept as null
   }
 
+  test("RAgg distinct dispatches on fn; filter composes; bad combos throw") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def one(agg: RExpr): Any =
+      lower(Aggregate(li, Nil, Seq("v" -> agg))).collect()(0).get(0)
+
+    // sum DISTINCT must be a distinct SUM, not a distinct count
+    val sumD = one(RAgg("sum", Seq(RCol("l_quantity")), distinct = true))
+    val expSumD = df.agg(sum_distinct(col("l_quantity"))).collect()(0).get(0)
+    assert(sumD == expSumD)
+    assert(sumD != df.agg(count_distinct(col("l_quantity")))
+      .collect()(0).get(0))
+
+    // count DISTINCT unchanged
+    assert(one(RAgg("count", Seq(RCol("l_returnflag")), distinct = true)) ==
+      df.agg(count_distinct(col("l_returnflag"))).collect()(0).get(0))
+
+    // filter + distinct compose (DISTINCT over the filtered values)
+    val f = RBin("=", RCol("l_returnflag"), RLit("A", "string"))
+    val got = one(RAgg("sum", Seq(RCol("l_quantity")), distinct = true,
+      filter = Some(f)))
+    val exp = df.filter(col("l_returnflag") === "A")
+      .agg(sum_distinct(col("l_quantity"))).collect()(0).get(0)
+    assert(got == exp)
+
+    // unsupported distinct fn fails loudly instead of changing semantics
+    val err = intercept[IllegalArgumentException] {
+      one(RAgg("avg", Seq(RCol("l_quantity")), distinct = true))
+    }
+    assert(err.getMessage.contains("DISTINCT"))
+  }
+
   test("distinct-on keep=last picks the opposite row from keep=first") {
     val proj = Project(li, Seq("k" -> RCol("l_orderkey"),
       "ln" -> RCol("l_linenumber")))
