@@ -20,12 +20,23 @@ import org.apache.spark.sql.types.StructType
 final class GraftSession(
     val spark: SparkSession,
     val bindings: Map[String, DataFrame] = Map.empty,
-    storages: Map[String, CacheStorage] = Map.empty) {
+    storages: Map[String, CacheStorage] = Map.empty,
+    /** Exchange-target name → durable root for [[Exchange]] barriers
+      * (`intoCatalog`). Unlisted targets default to
+      * `<tmpdir>/graft_exchange/<target>` so each target still gets
+      * its own durable location; production sessions configure real
+      * warehouse paths here. */
+    exchangeRoots: Map[String, String] = Map.empty) {
+
+  private def exchangeRootFor(target: String): String =
+    exchangeRoots.getOrElse(target,
+      s"${System.getProperty("java.io.tmpdir")}/graft_exchange/$target")
 
   lazy val cacheManager = new CacheManager(spark,
     if (storages.nonEmpty) storages
     else Map("default" -> new ParquetDirStorage(spark,
-      s"${System.getProperty("java.io.tmpdir")}/graft_cache")))
+      s"${System.getProperty("java.io.tmpdir")}/graft_cache")),
+    exchanges = Map.empty.withDefault(exchangeRootFor))
 
   def readParquet(path: String): GraftTable =
     GraftTable(ScanParquet(path), this)
@@ -47,6 +58,10 @@ final class GraftSession(
 
   def load(buildsDir: String, hash: String): GraftTable =
     GraftTable(Build.load(buildsDir, hash), this)
+
+  /** Execute a raw plan through the effects pass (cache resolution +
+    * tee write-through) — same path as [[GraftTable.execute]]. */
+  def execute(rel: Rel): DataFrame = cacheManager.execute(rel, bindings)
 }
 
 final case class GraftTable(rel: Rel, session: GraftSession) {
@@ -108,8 +123,7 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
   def intoCatalog(target: String): GraftTable = next(Exchange(rel, target))
   def tag(key: String, value: String, hashing: Boolean = false): GraftTable =
     next(Tag(rel, key, value, hashing))
-  def tee(sinkPath: String): GraftTable = GraftTable(Tee(rel, sinkPath),
-    session) // NOT validated eagerly: Tee lowering writes its sink
+  def tee(sinkPath: String): GraftTable = next(Tee(rel, sinkPath))
 
   // --------------------------------------------------------- lifecycle
   def bindParams(values: (String, String)*): GraftTable =

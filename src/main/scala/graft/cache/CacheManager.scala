@@ -28,7 +28,15 @@ import scala.collection.mutable
   */
 final class CacheManager(
     spark: SparkSession,
-    storages: Map[String, CacheStorage]) {
+    storages: Map[String, CacheStorage],
+    /** Exchange-target name → durable location root (RemoteTable/
+      * into_backend, expr/relations.py:416-431). Every [[Exchange]]
+      * barrier materializes under `<root>/<cacheHash>` — durable and
+      * lineage-free (a lost executor re-reads the artifact; a
+      * localCheckpoint would lose the partition), and shared: another
+      * session configured with the same root reads the artifact
+      * without recomputing. */
+    exchanges: Map[String, String] = Map.empty) {
 
   /** originalHash → original sub-plan; makes pinning invertible
     * (pin_cache/unpin_cache, expr/relations.py:149-405). Concurrent —
@@ -53,8 +61,11 @@ final class CacheManager(
     }
   }
 
-  /** Replace every [[Cache]] node bottom-up with a [[PinnedRead]] of
-    * its (computed-on-miss) artifact. */
+  /** The pre-lowering EFFECTS pass: replace every [[Cache]] node
+    * bottom-up with a [[PinnedRead]] of its (computed-on-miss) artifact,
+    * and perform every [[Tee]] node's write-through (once per call —
+    * never during analysis; ref TEE_PASS, expr/relations.py:911),
+    * re-rooting downstream on the written sink. */
   def resolve(rel: Rel, bindings: Map[String, DataFrame] = Map.empty): Rel =
     rel.transformUp {
       case Cache(input, storageName, strategy) =>
@@ -69,6 +80,35 @@ final class CacheManager(
           storage.store(k, df)
         } else hits += 1
         PinnedRead(storage.path(k), k)
+      case Tee(input, sink) =>
+        // bottom-up: inner Cache/Tee nodes in `input` are already
+        // resolved, so this lowers pure reads only
+        new Lower(spark, bindings).lower(input)
+          .write.mode("overwrite").parquet(sink)
+        ScanParquet(sink)
+      case Exchange(input, target) if target != "session" =>
+        // `session` stays a Lower-level localCheckpoint (explicitly
+        // non-durable); every named target is a durable write-read
+        // barrier keyed by content hash, so re-executions and OTHER
+        // sessions over the same root skip the recompute
+        // apply(), not getOrElse: the session passes a Map.withDefault
+        // that derives a root for unlisted targets
+        val root = try exchanges(target) catch {
+          case _: NoSuchElementException =>
+            throw new IllegalArgumentException(
+              s"unknown exchange target '$target' " +
+                s"(configured: ${exchanges.keys.toSeq.sorted.mkString(", ")}; " +
+                "pass exchangeRoots to GraftSession, or use target " +
+                "\"session\" for a non-durable in-session barrier)")
+        }
+        val dest = s"$root/${RelHash.cacheHash(input)}"
+        val success = new Path(dest, "_SUCCESS")
+        val fs = FileSystem.get(success.toUri,
+          spark.sessionState.newHadoopConf())
+        if (!fs.exists(success))
+          new Lower(spark, bindings).lower(input)
+            .write.mode("overwrite").parquet(dest)
+        ScanParquet(dest)
     }
 
   /** Freeze resolved cache points permanently: like [[resolve]] but

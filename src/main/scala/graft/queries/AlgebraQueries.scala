@@ -202,7 +202,8 @@ object AlgebraQueries {
     },
 
     // Exchange barrier (into_backend analogue): the subtree result is
-    // materialized at the barrier; downstream sees a fresh scan.
+    // durably materialized under the target's exchange root; downstream
+    // sees a fresh scan of the artifact (execute()-time effect).
     q("alg_exchange",
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_quantity) + 1e-9, 2) AS qty
@@ -222,7 +223,7 @@ object AlgebraQueries {
                 RLit("1e-9", "double")),
               RLit("2", "int"))))),
         Seq(SortKey(RCol("l_returnflag"), true, true)))
-      new Lower(c.spark).lower(plan)
+      new graft.api.GraftSession(c.spark).execute(plan)
     }
   )
 }

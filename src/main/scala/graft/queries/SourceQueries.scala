@@ -79,8 +79,9 @@ object SourceQueries {
     },
 
     // Tee write-through (ref expr/relations.py:102-137): the node
-    // writes its input to the sink AND the same rows flow downstream;
-    // the oracle checks the flowed-through result.
+    // writes its input to the sink AND the same rows flow downstream.
+    // The write is an execute()-time effect (resolved like Cache, never
+    // during lowering/analysis), so the query goes through execute().
     q("src_tee_write_through",
       """SELECT l_returnflag, count(*) AS n
         |FROM lineitem WHERE l_quantity > 45
@@ -95,7 +96,7 @@ object SourceQueries {
           keys = Seq("l_returnflag" -> RCol("l_returnflag")),
           aggs = Seq("n" -> RAgg("count", Nil))),
         Seq(SortKey(RCol("l_returnflag"), true, true)))
-      val result = new Lower(c.spark).lower(rel)
+      val result = new graft.api.GraftSession(c.spark).execute(rel)
       // write-through contract: the sink holds exactly the teed rows
       require(c.spark.read.parquet(sink).count() ==
         c.lineitem.filter(col("l_quantity") > 45).count(),

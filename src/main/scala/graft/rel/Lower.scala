@@ -159,16 +159,27 @@ final class Lower(
       // pre-lowering pass — graft.cache.CacheManager)
       lower(in)
 
-    case Exchange(in, _) =>
-      // single-session default: a true materialization barrier
+    case Exchange(in, "session") =>
+      // explicit non-durable mode: an in-session materialization
+      // barrier (blocks live on executors — a lost executor loses the
+      // partition; use a named target for anything that must survive)
       lower(in).localCheckpoint(eager = false)
+
+    case Exchange(in, _) =>
+      // named targets are durable write-read barriers, resolved as an
+      // execute()-time effect (CacheManager.resolve); transparent here
+      // so analysis/validation of the plan stays side-effect-free
+      lower(in)
 
     case Tag(in, _, _, _) => lower(in)
 
-    case Tee(in, sink) =>
-      val df = lower(in)
-      df.write.mode("overwrite").parquet(sink)
-      spark.read.parquet(sink)
+    case Tee(in, _) =>
+      // transparent here: the sink write is an EFFECT, performed once per
+      // execute() by the pre-lowering pass (CacheManager.resolve), never
+      // during analysis — lowering stays side-effect-free (r2 fix: the
+      // fluent API eagerly analyzes every chained node, so a write here
+      // re-ran the sink job N+1 times per chain).
+      lower(in)
   }
 
   private def sort(k: SortKey): Column = (k.asc, k.nullsFirst) match {

@@ -85,6 +85,34 @@ class GraftApiSpec extends SparkSpec {
     assert(RelHash.buildHash(loaded.rel) == art.hash)
   }
 
+  test("tee writes its sink exactly once per execute(), never during " +
+    "fluent construction") {
+    val g = session
+    val sink = Files.createTempDirectory("graft_tee_").toString + "/sink"
+    def sinkExists = new java.io.File(sink).exists()
+
+    // chaining N operators after .tee must not touch the sink (r2: the
+    // eager analysis of every chained node re-ran the write N+1 times)
+    val t = g.readParquet(s"$sfDir/nation.parquet")
+      .tee(sink)
+      .filter(c("n_regionkey") >= i(0))
+      .select("n" -> c("n_name"), "rk" -> c("n_regionkey"))
+      .orderBy(asc(c("n")))
+      .limit(10)
+    assert(!sinkExists, "tee sink must not be written at construction")
+
+    assert(t.execute().collect().length == 10)
+    assert(sinkExists, "execute() must perform the write-through")
+    // the sink holds the full teed subtree, not the downstream result
+    assert(spark.read.parquet(sink).count() ==
+      spark.read.parquet(s"$sfDir/nation.parquet").count())
+
+    // write fires once per execute: a fresh execute overwrites
+    val mtime1 = new java.io.File(sink).lastModified()
+    t.execute().collect()
+    assert(new java.io.File(sink).lastModified() >= mtime1)
+  }
+
   test("asofJoin and intoCatalog compose through the fluent surface") {
     val g = session.bind(
       "ev" -> graft.Tables(spark, sfDir, "events"))
