@@ -1,7 +1,7 @@
 package graft
 
 import graft.build.{Build, Catalog}
-import graft.rel.{Lower, RelHash, RelJson}
+import graft.rel.{RelHash, RelJson}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
@@ -39,7 +39,11 @@ object Cli {
       val hash = resolve(dir, ref)
       val rel = Build.load(dir, hash)
       val spark = session()
-      val df = new Lower(spark).lower(rel)
+      // the full execute() path: cache/tee/exchange effects resolved,
+      // builtin UDXFs resolvable — an artifact referencing them runs
+      // with no access to the code that built it
+      val df = new graft.api.GraftSession(spark,
+        functions = graft.udf.Builtins.catalog).execute(rel)
       df.write.mode("overwrite").parquet(out)
       println(s"""{"hash":"$hash","rows":${spark.read.parquet(out).count()},"out":"$out"}""")
       spark.stop()

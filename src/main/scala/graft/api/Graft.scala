@@ -26,7 +26,11 @@ final class GraftSession(
       * `<tmpdir>/graft_exchange/<target>` so each target still gets
       * its own durable location; production sessions configure real
       * warehouse paths here. */
-    exchangeRoots: Map[String, String] = Map.empty) {
+    exchangeRoots: Map[String, String] = Map.empty,
+    /** Named UDXF/UDWF implementations resolvable by the algebra's
+      * [[UdxfRel]]/[[UdwfRel]] nodes. */
+    val functions: graft.udf.FunctionCatalog =
+      graft.udf.FunctionCatalog.empty) {
 
   private def exchangeRootFor(target: String): String =
     exchangeRoots.getOrElse(target,
@@ -36,7 +40,8 @@ final class GraftSession(
     if (storages.nonEmpty) storages
     else Map("default" -> new ParquetDirStorage(spark,
       s"${System.getProperty("java.io.tmpdir")}/graft_cache")),
-    exchanges = Map.empty.withDefault(exchangeRootFor))
+    exchanges = Map.empty.withDefault(exchangeRootFor),
+    catalog = functions)
 
   def readParquet(path: String): GraftTable =
     GraftTable(ScanParquet(path), this)
@@ -69,7 +74,7 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
   /** Analyzed lowering (no execution) — also the fail-fast validation:
     * construction of an invalid plan throws here, eagerly. */
   lazy val df: DataFrame =
-    new Lower(session.spark, session.bindings).lower(rel)
+    new Lower(session.spark, session.bindings, session.functions).lower(rel)
 
   lazy val schema: StructType = df.schema
 
@@ -124,6 +129,27 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
   def tag(key: String, value: String, hashing: Boolean = false): GraftTable =
     next(Tag(rel, key, value, hashing))
   def tee(sinkPath: String): GraftTable = next(Tee(rel, sinkPath))
+  /** Apply a catalog-registered UDXF; the node captures the full
+    * schema contract so the plan hashes/builds self-describingly. */
+  def applyUdxf(name: String): GraftTable = {
+    val u = session.functions.udxfs.getOrElse(name,
+      throw new IllegalArgumentException(s"udxf '$name' not registered"))
+    next(UdxfRel(rel, name,
+      graft.udf.FunctionCatalog.ddl(u.schemaIn.fields.toSeq),
+      graft.udf.FunctionCatalog.ddl(u.schemaOut.fields.toSeq)))
+  }
+  /** Apply a catalog-registered UDWF (contract captured in the node). */
+  def applyUdwf(name: String): GraftTable = {
+    val u = session.functions.udwfs.getOrElse(name,
+      throw new IllegalArgumentException(s"udwf '$name' not registered"))
+    next(UdwfRel(rel, name, u.partitionBy, u.orderBy, u.outName,
+      u.outType.sql))
+  }
+  /** Deferred pipeline fit: the result is the MODEL as a relation. */
+  def fit(steps: StepSpec*): GraftTable = next(FitRel(rel, steps))
+  /** Apply a fitted model relation to this table. */
+  def transformWith(model: GraftTable, steps: StepSpec*): GraftTable =
+    next(TransformRel(rel, model.rel, steps))
 
   // --------------------------------------------------------- lifecycle
   def bindParams(values: (String, String)*): GraftTable =

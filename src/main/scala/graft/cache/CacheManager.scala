@@ -36,7 +36,13 @@ final class CacheManager(
       * localCheckpoint would lose the partition), and shared: another
       * session configured with the same root reads the artifact
       * without recomputing. */
-    exchanges: Map[String, String] = Map.empty) {
+    exchanges: Map[String, String] = Map.empty,
+    /** UDXF/UDWF implementations for algebra nodes that reference
+      * functions by name. */
+    catalog: graft.udf.FunctionCatalog = graft.udf.FunctionCatalog.empty) {
+
+  private def mkLower(bindings: Map[String, DataFrame]) =
+    new Lower(spark, bindings, catalog)
 
   /** originalHash → original sub-plan; makes pinning invertible
     * (pin_cache/unpin_cache, expr/relations.py:149-405). Concurrent —
@@ -76,14 +82,14 @@ final class CacheManager(
         registry(k) = input
         if (!storage.exists(k)) {
           misses += 1
-          val df = new Lower(spark, bindings).lower(input)
+          val df = mkLower(bindings).lower(input)
           storage.store(k, df)
         } else hits += 1
         PinnedRead(storage.path(k), k)
       case Tee(input, sink) =>
         // bottom-up: inner Cache/Tee nodes in `input` are already
         // resolved, so this lowers pure reads only
-        new Lower(spark, bindings).lower(input)
+        mkLower(bindings).lower(input)
           .write.mode("overwrite").parquet(sink)
         ScanParquet(sink)
       case Exchange(input, target) if target != "session" =>
@@ -106,7 +112,7 @@ final class CacheManager(
         val fs = FileSystem.get(success.toUri,
           spark.sessionState.newHadoopConf())
         if (!fs.exists(success))
-          new Lower(spark, bindings).lower(input)
+          mkLower(bindings).lower(input)
             .write.mode("overwrite").parquet(dest)
         ScanParquet(dest)
     }
@@ -134,7 +140,7 @@ final class CacheManager(
   /** Resolve caches then lower — the `expr.execute()` path. */
   def execute(rel: Rel,
       bindings: Map[String, DataFrame] = Map.empty): DataFrame =
-    new Lower(spark, bindings).lower(resolve(rel, bindings))
+    mkLower(bindings).lower(resolve(rel, bindings))
 
   /** mtime-strategy token: FileStatus of every file under every leaf
     * source path, hashed order-independently (sorted). Uses the Hadoop

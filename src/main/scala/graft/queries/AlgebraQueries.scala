@@ -224,6 +224,68 @@ object AlgebraQueries {
               RLit("2", "int"))))),
         Seq(SortKey(RCol("l_returnflag"), true, true)))
       new graft.api.GraftSession(c.spark).execute(plan)
+    },
+
+    // UDXF as an algebra node (the r2 parity gap: UDFs lived outside the
+    // algebra, so their plans couldn't hash/build). The plan — carrying
+    // the function NAME + full schema contract — round-trips through a
+    // build artifact (save → load, hash-verified) and executes with no
+    // access to the code that authored it, the implementation being
+    // resolved from the builtin function catalog (ref expr/udf.py
+    // serialization + flight exchangers by name).
+    q("alg_udxf_built",
+      """SELECT doc_id,
+        |       length(text) AS n_chars,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       lower(substr(text, 1, 8)) AS head
+        |FROM documents ORDER BY doc_id""") { c =>
+      val u = graft.udf.Builtins.docStats
+      val plan = Sort(
+        UdxfRel(
+          Project(ScanParquet(s"${c.dir}/documents.parquet"),
+            Seq("doc_id" -> RCol("doc_id"), "text" -> RCol("text"))),
+          u.name,
+          graft.udf.FunctionCatalog.ddl(u.schemaIn.fields.toSeq),
+          graft.udf.FunctionCatalog.ddl(u.schemaOut.fields.toSeq)),
+        Seq(SortKey(RCol("doc_id"), true, true)))
+      val buildsDir = java.nio.file.Files
+        .createTempDirectory("graft_q_builds_").toString
+      val art = graft.build.Build.save(plan, buildsDir)
+      val loaded = graft.build.Build.load(buildsDir, art.hash)
+      new graft.api.GraftSession(c.spark,
+        functions = graft.udf.Builtins.catalog).execute(loaded)
+    },
+
+    // Deferred ML in the algebra: FitRel lowers to a LAZY model table
+    // (no collect — fit aggregates broadcast-join into the plan) and
+    // TransformRel applies it; the whole fit+predict pipeline is a
+    // serializable plan (round-tripped through JSON here) that hashes,
+    // caches, and builds like any relation (ref pipeline_lib.py:109-977,
+    // where the pipeline is IR inside the build artifact).
+    q("alg_fit_transform",
+      """WITH s AS (SELECT avg(l_quantity) mu, stddev_samp(l_quantity) sigma FROM lineitem),
+        |t AS (SELECT l_orderkey, l_linenumber, (l_quantity - mu) / sigma AS qs,
+        |             l_extendedprice FROM lineitem, s),
+        |m AS (SELECT regr_slope(l_extendedprice, qs) a,
+        |             regr_intercept(l_extendedprice, qs) b FROM t)
+        |SELECT l_orderkey, l_linenumber, round(b + a * qs + 1e-9, 2) AS pred
+        |FROM t, m WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber""") { c =>
+      val li = ScanParquet(s"${c.dir}/lineitem.parquet")
+      val steps = Seq(ScaleSpec("l_quantity", "qs"),
+        LinRegSpec("qs", "l_extendedprice", "pred"))
+      val plan = Sort(
+        Project(
+          Filter(TransformRel(li, FitRel(li, steps), steps),
+            RBin("<", RCol("l_orderkey"), RLit("300", "int"))),
+          Seq("l_orderkey" -> RCol("l_orderkey"),
+            "l_linenumber" -> RCol("l_linenumber"),
+            "pred" -> RCall("round", Seq(
+              RBin("+", RCol("pred"), RLit("1e-9", "double")),
+              RLit("2", "int"))))),
+        Seq(SortKey(RCol("l_orderkey"), true, true),
+          SortKey(RCol("l_linenumber"), true, true)))
+      new graft.api.GraftSession(c.spark)
+        .execute(RelJson.parse(RelJson.write(plan)))
     }
   )
 }

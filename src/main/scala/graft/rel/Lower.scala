@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 final class Lower(
     spark: SparkSession,
-    bindings: Map[String, DataFrame] = Map.empty) {
+    bindings: Map[String, DataFrame] = Map.empty,
+    catalog: graft.udf.FunctionCatalog = graft.udf.FunctionCatalog.empty) {
 
   def apply(rel: Rel): DataFrame = lower(rel)
 
@@ -180,6 +181,38 @@ final class Lower(
       // fluent API eagerly analyzes every chained node, so a write here
       // re-ran the sink job N+1 times per chain).
       lower(in)
+
+    case UdxfRel(in, fnName, sIn, sOut) =>
+      val u = catalog.udxfs.getOrElse(fnName,
+        throw new IllegalArgumentException(
+          s"udxf '$fnName' not in the function catalog " +
+            s"(registered: ${catalog.udxfs.keys.toSeq.sorted.mkString(", ")})"))
+      // the serialized contract must match the registered code — a
+      // re-typed implementation must not silently run under the old hash
+      val (gotIn, gotOut) =
+        (graft.udf.FunctionCatalog.ddl(u.schemaIn.fields.toSeq),
+          graft.udf.FunctionCatalog.ddl(u.schemaOut.fields.toSeq))
+      require(gotIn == sIn && gotOut == sOut,
+        s"udxf '$fnName': registered contract $gotIn->$gotOut differs " +
+          s"from the plan's declared $sIn->$sOut")
+      u(lower(in))
+
+    case UdwfRel(in, fnName, pb, ob, outName, outType) =>
+      val u = catalog.udwfs.getOrElse(fnName,
+        throw new IllegalArgumentException(
+          s"udwf '$fnName' not in the function catalog " +
+            s"(registered: ${catalog.udwfs.keys.toSeq.sorted.mkString(", ")})"))
+      require(u.partitionBy == pb && u.orderBy == ob &&
+        u.outName == outName && u.outType.sql == outType,
+        s"udwf '$fnName': registered window contract differs from the " +
+          "plan's declared partition/order/output")
+      u(lower(in))
+
+    case FitRel(train, steps) =>
+      graft.ml.DeferredMl.fit(lower(train), steps)
+
+    case TransformRel(in, model, steps) =>
+      graft.ml.DeferredMl.transform(lower(in), lower(model), steps)
   }
 
   private def sort(k: SortKey): Column = (k.asc, k.nullsFirst) match {

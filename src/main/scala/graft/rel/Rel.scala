@@ -52,6 +52,10 @@ sealed trait Rel extends Product with Serializable {
     case r: Exchange => r.copy(input = f(r.input))
     case r: Tag => r.copy(input = f(r.input))
     case r: Tee => r.copy(input = f(r.input))
+    case r: UdxfRel => r.copy(input = f(r.input))
+    case r: UdwfRel => r.copy(input = f(r.input))
+    case r: FitRel => r.copy(train = f(r.train))
+    case r: TransformRel => r.copy(input = f(r.input), model = f(r.model))
   }
 }
 
@@ -246,6 +250,76 @@ final case class Tag(input: Rel, key: String, value: String,
   * unchanged. Never part of the cache hash. */
 final case class Tee(input: Rel, sinkPath: String) extends Rel {
   def children: Seq[Rel] = Seq(input)
+}
+
+// --------------------------------------------- UDF / ML algebra nodes
+//
+// The reference serializes UDF and ML nodes into build artifacts
+// (expr/udf.py:55-1089; ibis_yaml/translate.py; pipeline_lib.py:109-977)
+// so plans containing them hash, cache, and `build`/`run`. Here the
+// same property holds: UDXF/UDWF nodes carry the function NAME plus its
+// full schema contract (the implementation is resolved from a
+// FunctionCatalog at lowering, like UnboundTable from bindings), and ML
+// fit/transform nodes carry declarative step SPECS — the fitted model
+// is itself a RELATION (a lazy (step, param, value) table), so the
+// cache/build/exchange machinery applies to models for free.
+
+/** Table-in/table-out function by registered name (flight_udxf,
+  * expr/relations.py:661-823). The declared (name, DDL) schema contract
+  * is part of the serialized plan and is validated against the
+  * registered implementation at lowering — a renamed or re-typed
+  * implementation fails fast instead of silently diverging from the
+  * hashed artifact. */
+final case class UdxfRel(
+    input: Rel,
+    fn: String,
+    schemaIn: Seq[(String, String)],
+    schemaOut: Seq[(String, String)]) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Window function by registered name (the DataFusion WindowEvaluator
+  * contract, internal.py:78-107): partition/order/output are declared
+  * in the plan and validated against the registered [[graft.udf.Udwf]]
+  * at lowering. */
+final case class UdwfRel(
+    input: Rel,
+    fn: String,
+    partitionBy: Seq[String],
+    orderBy: Seq[String],
+    outName: String,
+    outType: String) extends Rel {
+  def children: Seq[Rel] = Seq(input)
+}
+
+/** Declarative ML step specs (Step, pipeline_lib.py:109): pure data, so
+  * fit/transform plans serialize and hash. Lowered by
+  * [[graft.ml.DeferredMl]]. */
+sealed trait StepSpec extends Product with Serializable
+/** z-score scale `in` → `out` (params mu, sigma). */
+final case class ScaleSpec(in: String, out: String) extends StepSpec
+/** closed-form linear regression `y ~ x` → `out` (params slope,
+  * intercept). */
+final case class LinRegSpec(x: String, y: String, out: String)
+    extends StepSpec
+
+/** Deferred pipeline fit (Pipeline.fit, pipeline_lib.py:684): lowers to
+  * a LAZY model table `(step string, param string, value double)` — fit
+  * aggregations stay inside the Spark plan (1-row broadcast joins feed
+  * each step's params to the next step's fit), nothing is collected at
+  * lowering, and the model participates in caching/builds like any
+  * relation. */
+final case class FitRel(train: Rel, steps: Seq[StepSpec]) extends Rel {
+  def children: Seq[Rel] = Seq(train)
+}
+
+/** Apply a fitted model relation to `input` (FittedPipeline.transform,
+  * pipeline_lib.py:977): the model child is usually a [[FitRel]], a
+  * [[Cache]] over one, or a [[PinnedRead]]/[[ScanParquet]] of a saved
+  * model table. */
+final case class TransformRel(input: Rel, model: Rel,
+    steps: Seq[StepSpec]) extends Rel {
+  def children: Seq[Rel] = Seq(input, model)
 }
 
 // ------------------------------------------------------------ expressions

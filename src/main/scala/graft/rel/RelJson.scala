@@ -66,6 +66,14 @@ object RelJson {
         sb.append(',').append(k.asc).append(',').append(k.nullsFirst)
         sb.append(']')
       })
+    def wStep(st: StepSpec): Unit = st match {
+      case ScaleSpec(in, out) =>
+        sb.append("[\"scale\","); s(in, sb); sb.append(',')
+        s(out, sb); sb.append(']')
+      case LinRegSpec(x, y, out) =>
+        sb.append("[\"linreg\","); s(x, sb); sb.append(',')
+        s(y, sb); sb.append(','); s(out, sb); sb.append(']')
+    }
 
     r match {
       case ScanParquet(p) => obj("scan_parquet")(fs("path", p))
@@ -190,6 +198,28 @@ object RelJson {
       }
       case Tee(in, sink) => obj("tee") {
         f("input")(wRel(in, sb)); fs("sink", sink)
+      }
+      case UdxfRel(in, fn0, sIn, sOut) => obj("udxf") {
+        f("input")(wRel(in, sb)); fs("fn", fn0)
+        f("schemaIn")(arr(sIn) { case (n, t) =>
+          sb.append('['); s(n, sb); sb.append(','); s(t, sb); sb.append(']')
+        })
+        f("schemaOut")(arr(sOut) { case (n, t) =>
+          sb.append('['); s(n, sb); sb.append(','); s(t, sb); sb.append(']')
+        })
+      }
+      case UdwfRel(in, fn0, pb, ob, outName, outType) => obj("udwf") {
+        f("input")(wRel(in, sb)); fs("fn", fn0)
+        f("partitionBy")(arr(pb)(s(_, sb)))
+        f("orderBy")(arr(ob)(s(_, sb)))
+        fs("outName", outName); fs("outType", outType)
+      }
+      case FitRel(train, steps) => obj("fit") {
+        f("train")(wRel(train, sb)); f("steps")(arr(steps)(wStep))
+      }
+      case TransformRel(in, model, steps) => obj("ml_transform") {
+        f("input")(wRel(in, sb)); f("model")(wRel(model, sb))
+        f("steps")(arr(steps)(wStep))
       }
     }
   }
@@ -368,7 +398,36 @@ object RelJson {
         case "tee" =>
           Tee(relDecode(m("input").asInstanceOf[Map[String, Any]]),
             str0("sink"))
+        case "udxf" =>
+          def sch(k: String) = list0(k).map { x =>
+            val p = x.asInstanceOf[List[Any]]
+            (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+          }
+          UdxfRel(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("fn"), sch("schemaIn"), sch("schemaOut"))
+        case "udwf" =>
+          UdwfRel(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("fn"),
+            list0("partitionBy").map(_.asInstanceOf[String]),
+            list0("orderBy").map(_.asInstanceOf[String]),
+            str0("outName"), str0("outType"))
+        case "fit" =>
+          FitRel(relDecode(m("train").asInstanceOf[Map[String, Any]]),
+            list0("steps").map(decodeStep))
+        case "ml_transform" =>
+          TransformRel(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            relDecode(m("model").asInstanceOf[Map[String, Any]]),
+            list0("steps").map(decodeStep))
         case other => throw new IllegalArgumentException(s"bad node $other")
+      }
+    }
+
+    private def decodeStep(v: Any): StepSpec = {
+      val p = v.asInstanceOf[List[Any]].map(_.asInstanceOf[String])
+      p.head match {
+        case "scale" => ScaleSpec(p(1), p(2))
+        case "linreg" => LinRegSpec(p(1), p(2), p(3))
+        case other => throw new IllegalArgumentException(s"bad step $other")
       }
     }
 

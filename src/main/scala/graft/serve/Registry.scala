@@ -36,11 +36,14 @@ final class Registry(spark: SparkSession) {
   def serveUdxf(u: Udxf): Unit = udxfs(u.name) = u
 
   /** Execute a served plan with the caller's input tables bound to its
-    * UnboundTable leaves (missing bindings fail fast in lowering). */
+    * UnboundTable leaves (missing bindings fail fast in lowering).
+    * Served UDXFs double as the function catalog, so served plans may
+    * contain [[graft.rel.UdxfRel]] nodes referencing them. */
   def call(name: String, inputs: Map[String, DataFrame]): DataFrame = {
     val rel = plans.getOrElse(name,
       throw new IllegalArgumentException(s"no served plan '$name'"))
-    new Lower(spark, inputs).lower(rel)
+    new Lower(spark, inputs,
+      graft.udf.FunctionCatalog(udxfs = udxfs.toMap)).lower(rel)
   }
 
   /** Execute a served exchange function (schema-validated). */

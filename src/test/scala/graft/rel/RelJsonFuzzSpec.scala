@@ -126,7 +126,27 @@ class RelJsonFuzzSpec extends AnyFunSuite {
         .map { case (in, s) => Tee(in, s) },
       1 -> Gen.zip(nastyString,
         Gen.listOfN(1, Gen.zip(nastyString, genRel(depth - 1))))
-        .map { case (sql, deps) => SqlView(sql, deps) })
+        .map { case (sql, deps) => SqlView(sql, deps) },
+      1 -> Gen.zip(genRel(depth - 1), nastyString,
+        Gen.listOfN(2, Gen.zip(nastyString, Gen.oneOf("BIGINT", "STRING"))),
+        Gen.listOfN(2, Gen.zip(nastyString, Gen.oneOf("INT", "DOUBLE"))))
+        .map { case (in, fn, si, so) => UdxfRel(in, fn, si, so) },
+      1 -> Gen.zip(genRel(depth - 1), nastyString,
+        Gen.listOfN(1, nastyString), Gen.listOfN(1, nastyString),
+        nastyString, Gen.oneOf("DOUBLE", "BIGINT"))
+        .map { case (in, fn, pb, ob, on, ot) =>
+          UdwfRel(in, fn, pb, ob, on, ot)
+        },
+      1 -> Gen.zip(genRel(depth - 1), genStep)
+        .map { case (in, st) => FitRel(in, Seq(st)) },
+      1 -> Gen.zip(genRel(depth - 1), genRel(depth - 1),
+        Gen.listOfN(2, genStep))
+        .map { case (in, m, st) => TransformRel(in, m, st) })
+
+  private def genStep: Gen[StepSpec] = Gen.oneOf(
+    Gen.zip(nastyString, nastyString).map { case (i, o) => ScaleSpec(i, o) },
+    Gen.zip(nastyString, nastyString, nastyString)
+      .map { case (x, y, o) => LinRegSpec(x, y, o) })
 
   test("random plans round-trip byte-identically (500 cases)") {
     val params = Gen.Parameters.default

@@ -1,0 +1,159 @@
+package graft.rel
+
+import graft.SparkSpec
+import graft.api.GraftSession
+import graft.ml.{LinearRegression, Pipeline, StandardScaler}
+import graft.udf.{Builtins, FunctionCatalog, Udwf}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import java.nio.file.Files
+
+/** UDXF/UDWF/ML as first-class algebra nodes: plans containing them
+  * serialize, hash, build, cache, and execute — the r2 parity gap
+  * ("xorq can build an ML pipeline; graft cannot") closed. */
+class UdxfMlRelSpec extends SparkSpec {
+
+  private val steps = Seq(ScaleSpec("l_quantity", "qs"),
+    LinRegSpec("qs", "l_extendedprice", "pred"))
+  private def li: Rel = ScanParquet(s"$sfDir/lineitem.parquet")
+
+  test("FitRel lowers to a lazy model table matching the eager fit") {
+    val model = new Lower(spark).lower(FitRel(li, steps))
+    assert(model.columns.toSeq == Seq("step", "param", "value"))
+    val got = model.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    val eager = Pipeline(Seq(
+      StandardScaler("l_quantity", "qs"),
+      LinearRegression("qs", "l_extendedprice", "pred")))
+      .fit(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    val Seq(sc, lr) = eager.steps
+    assert(math.abs(got(("0:scale(l_quantity->qs)", "mu")) -
+      sc.params("mu")) < 1e-9)
+    assert(math.abs(got(("0:scale(l_quantity->qs)", "sigma")) -
+      sc.params("sigma")) < 1e-9)
+    assert(math.abs(got(("1:linreg(l_extendedprice~qs->pred)", "slope")) -
+      lr.params("slope")) < 1e-6)
+    assert(math.abs(got(("1:linreg(l_extendedprice~qs->pred)", "intercept")) -
+      lr.params("intercept")) < 1e-6)
+  }
+
+  test("TransformRel(FitRel) predictions equal the eager pipeline") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val deferred = new Lower(spark)
+      .lower(TransformRel(li, FitRel(li, steps), steps))
+      .select(col("l_orderkey"), col("l_linenumber"), col("pred"))
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val eager = Pipeline(Seq(
+      StandardScaler("l_quantity", "qs"),
+      LinearRegression("qs", "l_extendedprice", "pred"))).fit(df)
+      .transform(df)
+      .select(col("l_orderkey"), col("l_linenumber"), col("pred"))
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(deferred.length == eager.length)
+    deferred.zip(eager).foreach { case (d, e) =>
+      assert(math.abs(d.getDouble(2) - e.getDouble(2)) < 1e-6)
+    }
+  }
+
+  test("a model is a relation: Cache(FitRel) hits on the second " +
+    "execute and the transform reads the artifact") {
+    val root = Files.createTempDirectory("graft_model_cache_").toString
+    val g = new GraftSession(spark, storages = Map("default" ->
+      new graft.cache.ParquetDirStorage(spark, root)))
+    val plan = TransformRel(li, Cache(FitRel(li, steps), "default",
+      "snapshot"), steps)
+    val first = g.execute(plan).agg(count(lit(1))).collect()(0).getLong(0)
+    val second = g.execute(plan).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(first == second)
+    assert(g.cacheManager.misses == 1 && g.cacheManager.hits == 1)
+  }
+
+  test("UdxfRel executes via the catalog; contract drift and missing " +
+    "names fail fast") {
+    val u = Builtins.docStats
+    val node = UdxfRel(
+      Project(ScanParquet(s"$sfDir/documents.parquet"),
+        Seq("doc_id" -> RCol("doc_id"), "text" -> RCol("text"))),
+      u.name,
+      FunctionCatalog.ddl(u.schemaIn.fields.toSeq),
+      FunctionCatalog.ddl(u.schemaOut.fields.toSeq))
+    val out = new Lower(spark, Map.empty, Builtins.catalog).lower(node)
+    assert(out.columns.toSeq == Seq("doc_id", "n_chars", "n_tokens", "head"))
+    assert(out.count() ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+
+    // missing from catalog
+    intercept[IllegalArgumentException] {
+      new Lower(spark).lower(node)
+    }
+    // declared contract drifted from the registered implementation
+    val drifted = node.copy(schemaOut = Seq("doc_id" -> "BIGINT"))
+    intercept[IllegalArgumentException] {
+      new Lower(spark, Map.empty, Builtins.catalog).lower(drifted)
+    }
+  }
+
+  test("UdwfRel applies a registered window evaluator") {
+    val w = Udwf(
+      partitionBy = Seq("l_returnflag"), orderBy = Seq("l_orderkey"),
+      outName = "running_share", outType = DoubleType,
+      evaluate = rows => {
+        val total = rows.map(_.getAs[Double]("l_quantity")).sum
+        var acc = 0.0
+        rows.map { r => acc += r.getAs[Double]("l_quantity"); acc / total }
+      })
+    val cat = FunctionCatalog.empty.withUdwf("running_share", w)
+    val node = UdwfRel(
+      Project(li, Seq("l_returnflag" -> RCol("l_returnflag"),
+        "l_orderkey" -> RCol("l_orderkey"),
+        "l_quantity" -> RCol("l_quantity"))),
+      "running_share", Seq("l_returnflag"), Seq("l_orderkey"),
+      "running_share", "DOUBLE")
+    val out = new Lower(spark, Map.empty, cat).lower(node)
+    val last = out.orderBy(col("l_returnflag"), col("l_orderkey"))
+      .groupBy("l_returnflag").agg(max(col("running_share")).as("m"))
+      .collect()
+    last.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+
+    // declared window contract must match the registered one
+    intercept[IllegalArgumentException] {
+      new Lower(spark, Map.empty, cat)
+        .lower(node.copy(orderBy = Seq("l_quantity")))
+    }
+  }
+
+  test("a plan with UDXF + fitted pipeline builds, loads by hash, and " +
+    "re-executes equal results (Cli run path)") {
+    val buildsDir = Files.createTempDirectory("graft_builds_ml_").toString
+    val u = Builtins.docStats
+    val plan = Sort(
+      TransformRel(
+        UdxfRel(
+          Project(ScanParquet(s"$sfDir/documents.parquet"),
+            Seq("doc_id" -> RCol("doc_id"), "text" -> RCol("text"))),
+          u.name,
+          FunctionCatalog.ddl(u.schemaIn.fields.toSeq),
+          FunctionCatalog.ddl(u.schemaOut.fields.toSeq)),
+        FitRel(
+          UdxfRel(
+            Project(ScanParquet(s"$sfDir/documents.parquet"),
+              Seq("doc_id" -> RCol("doc_id"), "text" -> RCol("text"))),
+            u.name,
+            FunctionCatalog.ddl(u.schemaIn.fields.toSeq),
+            FunctionCatalog.ddl(u.schemaOut.fields.toSeq)),
+          Seq(LinRegSpec("n_tokens", "n_chars", "pred_chars"))),
+        Seq(LinRegSpec("n_tokens", "n_chars", "pred_chars"))),
+      Seq(SortKey(RCol("doc_id"), asc = true, nullsFirst = true)))
+
+    val art = graft.build.Build.save(plan, buildsDir)
+    val loaded = graft.build.Build.load(buildsDir, art.hash)
+    assert(loaded == plan)
+
+    val g = new GraftSession(spark, functions = Builtins.catalog)
+    val direct = g.execute(plan).collect()
+    val viaArtifact = g.execute(loaded).collect()
+    assert(direct.toSeq == viaArtifact.toSeq)
+    assert(direct.nonEmpty)
+  }
+}
