@@ -46,6 +46,10 @@ final class GraftSession(
   def readParquet(path: String): GraftTable =
     GraftTable(ScanParquet(path), this)
 
+  /** Deferred Delta Lake read; requires delta-spark on the classpath. */
+  def readDelta(path: String): GraftTable =
+    GraftTable(ReadDelta(path), this)
+
   def readCsv(path: String, header: Boolean = true,
       inferSchema: Boolean = true, delimiter: String = ","): GraftTable =
     GraftTable(ReadCsv(path, header, inferSchema, delimiter), this)

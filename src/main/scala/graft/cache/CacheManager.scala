@@ -46,8 +46,40 @@ final class CacheManager(
 
   /** originalHash → original sub-plan; makes pinning invertible
     * (pin_cache/unpin_cache, expr/relations.py:149-405). Concurrent —
-    * one manager may serve many threads. */
+    * one manager may serve many threads. In-memory index only: the
+    * durable copy is the `_graft_plan.json` sidecar written next to
+    * every artifact (underscore prefix → invisible to parquet readers),
+    * so a NEW manager can unpin plans pinned by a previous process,
+    * matching the reference's build-metadata persistence. */
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Rel]
+
+  /** Write the original sub-plan beside its artifact (idempotent). */
+  private def writeSidecar(artifactPath: String, input: Rel): Unit = {
+    val p = new Path(artifactPath, "_graft_plan.json")
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(RelJson.write(input).getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Recover a pinned sub-plan from the artifact's sidecar. */
+  private def readSidecar(artifactPath: String): Option[Rel] = {
+    val p = new Path(artifactPath, "_graft_plan.json")
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(RelJson.parse(bytes.toString("UTF-8")))
+      } finally in.close()
+    }
+  }
 
   /** Number of cache misses served (computed + stored) — test/metrics. */
   @volatile var misses: Int = 0
@@ -85,6 +117,7 @@ final class CacheManager(
           val df = mkLower(bindings).lower(input)
           storage.store(k, df)
         } else hits += 1
+        writeSidecar(storage.path(k), input)
         PinnedRead(storage.path(k), k)
       case Tee(input, sink) =>
         // bottom-up: inner Cache/Tee nodes in `input` are already
@@ -126,15 +159,22 @@ final class CacheManager(
       val k = key(input, strategy)
       require(storage.exists(k), s"cannot pin: no artifact for $k")
       registry(k) = input
+      writeSidecar(storage.path(k), input)
       PinnedRead(storage.path(k), k)
   }
 
   /** Invert [[pin]]/[[resolve]]: restore the original sub-plans from
-    * the registry (keyed by the hash carried in [[PinnedRead]]). */
+    * the in-memory registry, falling back to the `_graft_plan.json`
+    * sidecar beside the artifact — so unpinning works across process
+    * restarts and from a different CacheManager than the one that
+    * pinned. */
   def unpin(rel: Rel, storage: String = "default",
       strategy: String = "snapshot"): Rel = rel.transformUp {
-    case PinnedRead(_, h) if registry.contains(h) =>
-      Cache(registry(h), storage, strategy)
+    case pr @ PinnedRead(p, h) =>
+      registry.get(h).orElse(readSidecar(p)) match {
+        case Some(input) => Cache(input, storage, strategy)
+        case None => pr
+      }
   }
 
   /** Resolve caches then lower — the `expr.execute()` path. */
@@ -150,6 +190,7 @@ final class CacheManager(
     def walk(r: Rel): Unit = {
       r match {
         case ScanParquet(p) => paths += p
+        case ReadDelta(p) => paths += p
         case ReadCsv(p, _, _, _) => paths += p
         case PinnedRead(p, _) => paths += p
         case _ =>

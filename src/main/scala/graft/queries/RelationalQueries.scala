@@ -217,35 +217,41 @@ object RelationalQueries {
         .orderBy("c_custkey", "m")
     },
 
-    // describe (types/relations.py:2717) — summary()'s count/min/max rows
-    // are EXACT (unlike mean/stddev, which are summation-order-dependent),
-    // so this long-format describe gets a real oracle (r1 fix: was
-    // rows-only). Numeric columns, not summary()'s strings, so the hash
-    // cannot be flipped by double-formatting differences.
+    // FULL describe (types/relations.py:2717): count/max/mean/min/
+    // quartiles/std per column in ONE aggregate pass (ops.Describe),
+    // long format. Everything is rounded to 4dp on both sides: count/
+    // min/max are integers or 2dp-lattice money (round = identity) and
+    // mean/std/quantiles are summation-order/interpolation dependent,
+    // which the shared rounding absorbs.
     q("rel_describe",
-      """SELECT 'count' AS metric, CAST(count(l_quantity) AS DOUBLE) AS qty,
-        |       CAST(count(l_extendedprice) AS DOUBLE) AS price,
-        |       CAST(count(l_discount) AS DOUBLE) AS disc
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'min', min(l_quantity), min(l_extendedprice), min(l_discount) FROM lineitem
-        |UNION ALL
-        |SELECT 'max', max(l_quantity), max(l_extendedprice), max(l_discount) FROM lineitem
-        |ORDER BY metric""") { c =>
-      val li = c.lineitem
-      val cnt = li.select(lit("count").as("metric"),
-        count(col("l_quantity")).cast("double").as("qty"),
-        count(col("l_extendedprice")).cast("double").as("price"),
-        count(col("l_discount")).cast("double").as("disc"))
-      val mn = li.select(lit("min").as("metric"),
-        min(col("l_quantity")).as("qty"),
-        min(col("l_extendedprice")).as("price"),
-        min(col("l_discount")).as("disc"))
-      val mx = li.select(lit("max").as("metric"),
-        max(col("l_quantity")).as("qty"),
-        max(col("l_extendedprice")).as("price"),
-        max(col("l_discount")).as("disc"))
-      cnt.unionByName(mn).unionByName(mx).orderBy("metric")
+      """WITH w AS (SELECT
+        |  CAST(count(l_quantity) AS DOUBLE) c_q, CAST(count(l_extendedprice) AS DOUBLE) c_p, CAST(count(l_discount) AS DOUBLE) c_d,
+        |  max(l_quantity) mx_q, max(l_extendedprice) mx_p, max(l_discount) mx_d,
+        |  avg(l_quantity) me_q, avg(l_extendedprice) me_p, avg(l_discount) me_d,
+        |  min(l_quantity) mn_q, min(l_extendedprice) mn_p, min(l_discount) mn_d,
+        |  quantile_cont(l_quantity, 0.25) q25_q, quantile_cont(l_extendedprice, 0.25) q25_p, quantile_cont(l_discount, 0.25) q25_d,
+        |  quantile_cont(l_quantity, 0.50) q50_q, quantile_cont(l_extendedprice, 0.50) q50_p, quantile_cont(l_discount, 0.50) q50_d,
+        |  quantile_cont(l_quantity, 0.75) q75_q, quantile_cont(l_extendedprice, 0.75) q75_p, quantile_cont(l_discount, 0.75) q75_d,
+        |  stddev_samp(l_quantity) sd_q, stddev_samp(l_extendedprice) sd_p, stddev_samp(l_discount) sd_d
+        |  FROM lineitem)
+        |SELECT metric, round(qty + 1e-9, 4) AS qty, round(price + 1e-9, 4) AS price, round(disc + 1e-9, 4) AS disc
+        |FROM (
+        |  SELECT 'count' AS metric, c_q qty, c_p price, c_d disc FROM w
+        |  UNION ALL SELECT 'max', mx_q, mx_p, mx_d FROM w
+        |  UNION ALL SELECT 'mean', me_q, me_p, me_d FROM w
+        |  UNION ALL SELECT 'min', mn_q, mn_p, mn_d FROM w
+        |  UNION ALL SELECT 'p25', q25_q, q25_p, q25_d FROM w
+        |  UNION ALL SELECT 'p50', q50_q, q50_p, q50_d FROM w
+        |  UNION ALL SELECT 'p75', q75_q, q75_p, q75_d FROM w
+        |  UNION ALL SELECT 'std', sd_q, sd_p, sd_d FROM w
+        |) ORDER BY metric""") { c =>
+      graft.ops.Describe.describe(c.lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("metric"),
+          r4(col("l_quantity")).as("qty"),
+          r4(col("l_extendedprice")).as("price"),
+          r4(col("l_discount")).as("disc"))
+        .orderBy("metric")
     },
 
     // SQLStringView (relations.py:459): raw SQL over a registered view.

@@ -25,6 +25,8 @@ final class Lower(
   def lower(rel: Rel): DataFrame = rel match {
     case ScanParquet(path) => spark.read.parquet(path)
 
+    case ReadDelta(path) => spark.read.format("delta").load(path)
+
     case ReadCsv(path, header, inferSchema, delimiter) =>
       spark.read
         .option("header", header)

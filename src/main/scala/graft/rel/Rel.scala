@@ -29,6 +29,7 @@ sealed trait Rel extends Product with Serializable {
 
   def mapChildren(f: Rel => Rel): Rel = this match {
     case r: ScanParquet => r
+    case r: ReadDelta => r
     case r: ReadCsv => r
     case r: UnboundTable => r
     case r: InMemory => r
@@ -65,6 +66,14 @@ sealed trait Rel extends Product with Serializable {
   * expr/relations.py:826-845: method+path captured, resolved at the
   * execution boundary; participates in the content hash). */
 final case class ScanParquet(path: String) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Deferred Delta Lake read (ref backend.py:688 read_delta): resolves
+  * via the `delta` data source, which must be on the session's
+  * classpath (delta-spark). Serializable leaf — participates in
+  * content hashes exactly like [[ScanParquet]]. */
+final case class ReadDelta(path: String) extends Rel {
   def children: Seq[Rel] = Nil
 }
 

@@ -77,6 +77,7 @@ object RelJson {
 
     r match {
       case ScanParquet(p) => obj("scan_parquet")(fs("path", p))
+      case ReadDelta(p) => obj("read_delta")(fs("path", p))
       case ReadCsv(p, h, i, d) => obj("read_csv") {
         fs("path", p); f("header")(sb.append(h))
         f("inferSchema")(sb.append(i)); fs("delimiter", d)
@@ -293,6 +294,7 @@ object RelJson {
       }
       m("t").asInstanceOf[String] match {
         case "scan_parquet" => ScanParquet(str0("path"))
+        case "read_delta" => ReadDelta(str0("path"))
         case "read_csv" => ReadCsv(str0("path"), bool0("header"),
           bool0("inferSchema"), str0("delimiter"))
         case "unbound" => UnboundTable(str0("name"),

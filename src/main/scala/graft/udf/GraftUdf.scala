@@ -70,10 +70,19 @@ final case class Udxf(
   }
 }
 
-/** User-defined window function harness: rows of each partition are
-  * sorted by `orderBy` and handed to `evaluate`, which must return one
-  * output value per input row (the WindowEvaluator `evaluate_all`
-  * mode). Output = input columns + `outName`. */
+/** User-defined window function harness: rows of each partition arrive
+  * sorted by `orderBy` at `evaluate`, which must return one output
+  * value per input row (the WindowEvaluator `evaluate_all` mode).
+  * Output = input columns + `outName`.
+  *
+  * Spill-aware (r2 fix): the ordering is done by Spark's own
+  * UnsafeExternalSorter (`repartition(keys).sortWithinPartitions`),
+  * which spills to disk on skewed partitions where the previous
+  * `groupByKey.flatMapGroups + in-heap toVector.sorted` would OOM.
+  * The `mapPartitions` pass then detects group boundaries in the
+  * sorted stream and buffers exactly ONE group at a time — the
+  * irreducible footprint of the evaluate-all contract (the reference's
+  * WindowEvaluator has the same whole-partition contract). */
 final case class Udwf(
     partitionBy: Seq[String],
     orderBy: Seq[String],
@@ -85,35 +94,33 @@ final case class Udwf(
     val inSchema = df.schema
     val outSchema = inSchema.add(outName, outType)
     val rowEnc = Encoders.row(outSchema)
-    val keyEnc = Encoders.row(StructType(
-      partitionBy.map(n => inSchema(n)).toArray))
     val pIdx = partitionBy.map(inSchema.fieldIndex)
-    val oIdx = orderBy.map(inSchema.fieldIndex)
+    def keyOf(r: Row): Seq[Any] = pIdx.map(r.get)
 
-    val cmp: Ordering[Row] = (a: Row, b: Row) => {
-      var r = 0
-      val it = oIdx.iterator
-      while (r == 0 && it.hasNext) {
-        val i = it.next()
-        r = (a.get(i), b.get(i)) match {
-          case (null, null) => 0
-          case (null, _) => -1
-          case (_, null) => 1
-          case (x: java.lang.Comparable[Any @unchecked], y) => x.compareTo(y)
-          case (x, y) => x.toString.compareTo(y.toString)
+    df.repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[Row] {
+          private var out: Iterator[Row] = Iterator.empty
+          def hasNext: Boolean = out.hasNext || buf.hasNext
+          def next(): Row = {
+            if (!out.hasNext) {
+              val group = Vector.newBuilder[Row]
+              val key = keyOf(buf.head)
+              while (buf.hasNext && keyOf(buf.head) == key)
+                group += buf.next()
+              val g = group.result()
+              val outs = evaluate(g)
+              require(outs.length == g.length,
+                s"udwf $outName: evaluator returned ${outs.length} " +
+                  s"values for ${g.length} rows")
+              out = g.iterator.zip(outs.iterator)
+                .map { case (r, v) => Row.fromSeq(r.toSeq :+ v) }
+            }
+            out.next()
+          }
         }
-      }
-      r
-    }
-
-    df.groupByKey((r: Row) => Row.fromSeq(pIdx.map(r.get)))(keyEnc)
-      .flatMapGroups { (_: Row, it: Iterator[Row]) =>
-        val rows = it.toVector.sorted(cmp)
-        val outs = evaluate(rows)
-        require(outs.length == rows.length,
-          s"udwf $outName: evaluator returned ${outs.length} values " +
-            s"for ${rows.length} rows")
-        rows.zip(outs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v) }
       }(rowEnc)
   }
 }

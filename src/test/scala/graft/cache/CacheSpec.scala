@@ -92,6 +92,27 @@ class CacheSpec extends SparkSpec {
     assert(unpinned == p) // exact original Cache(subtree) restored
   }
 
+  test("pins persist: a NEW manager (fresh registry) unpins a plan " +
+    "pinned by a previous one via the artifact sidecar") {
+    val root = Files.createTempDirectory("graft_pin_").toString
+    val p = plan(s"$sfDir/lineitem.parquet")
+    val m1 = new CacheManager(spark,
+      Map("default" -> new ParquetDirStorage(spark, root)))
+    m1.execute(p).collect()
+    val pinned = m1.pin(p)
+
+    // a different manager over the same storage — empty in-memory
+    // registry, must recover the sub-plan from _graft_plan.json
+    val m2 = new CacheManager(spark,
+      Map("default" -> new ParquetDirStorage(spark, root)))
+    val unpinned = m2.unpin(pinned)
+    assert(unpinned == p, "sidecar must restore the exact original plan")
+
+    // a PinnedRead with no sidecar stays pinned (no silent invention)
+    val stray = PinnedRead("/nonexistent/path", "deadbeef")
+    assert(m2.unpin(stray) == stray)
+  }
+
   test("artifacts persist across managers: a NEW manager over the same " +
     "storage serves a hit (durable cache, unlike df.cache)") {
     val root = java.nio.file.Files.createTempDirectory("graft_cache_")

@@ -163,6 +163,18 @@ class LowerSpec extends SparkSpec {
     assert(err.getMessage.contains("DISTINCT"))
   }
 
+  test("ReadDelta round-trips and lowers to the delta data source") {
+    val rel = ReadDelta("/tmp/some_delta_table")
+    assert(RelJson.parse(RelJson.write(rel)) == rel)
+    assert(RelHash.buildHash(rel) != RelHash.buildHash(
+      ScanParquet("/tmp/some_delta_table")),
+      "format is part of the content identity")
+    // this container ships no delta-spark jar: lowering must surface
+    // the data-source resolution error, never silently misread
+    val err = intercept[Exception] { lower.lower(rel) }
+    assert(err.getMessage.toLowerCase.contains("delta"))
+  }
+
   test("distinct-on keep=last picks the opposite row from keep=first") {
     val proj = Project(li, Seq("k" -> RCol("l_orderkey"),
       "ln" -> RCol("l_linenumber")))

@@ -41,6 +41,7 @@ class RelJsonFuzzSpec extends AnyFunSuite {
 
   private val genLeafRel: Gen[Rel] = Gen.oneOf(
     nastyString.map(ScanParquet),
+    nastyString.map(ReadDelta),
     Gen.zip(nastyString, Gen.oneOf(true, false), Gen.oneOf(true, false),
       Gen.oneOf(",", ";", "\t")).map { case (p, h, i, d) =>
       ReadCsv(p, h, i, d)

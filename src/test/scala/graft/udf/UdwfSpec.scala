@@ -1,0 +1,60 @@
+package graft.udf
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The spill-aware UDWF harness: ordering is Spark's external
+  * (disk-spilling) sort, the harness buffers one group at a time. */
+class UdwfSpec extends SparkSpec {
+
+  private val rank = Udwf(
+    partitionBy = Seq("k"), orderBy = Seq("v"),
+    outName = "rnk", outType = LongType,
+    evaluate = rows => rows.indices.map(i => (i + 1).toLong))
+
+  test("skewed key: evaluator output matches the native window on a " +
+    "partition holding 99% of all rows") {
+    val sp = spark
+    import sp.implicits._
+    // key 0 dominates: the exact shape where a whole-partition
+    // in-heap sort dies first at scale
+    val df = (0 until 50000)
+      .map(i => (if (i % 100 == 0) i % 7 + 1 else 0, i.toLong * 37 % 9973))
+      .toDF("k", "v")
+
+    val got = rank(df)
+      .select(col("k"), col("v"), col("rnk"))
+      .orderBy("k", "v", "rnk").collect()
+    val exp = df.withColumn("rnk",
+        row_number().over(Window.partitionBy("k").orderBy("v"))
+          .cast("long"))
+      .select(col("k"), col("v"), col("rnk"))
+      .orderBy("k", "v", "rnk").collect()
+    assert(got.length == exp.length)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("the plan sorts via Spark's external sorter (spillable), not an " +
+    "object-hash group materialization") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1, 10L), (1, 5L), (2, 3L)).toDF("k", "v")
+    val physical = rank(df).queryExecution.executedPlan.toString
+    assert(physical.contains("Sort"),
+      "ordering must run in Spark's spillable sort")
+    assert(!physical.contains("MapGroups"),
+      "groupByKey/flatMapGroups (whole-group object agg) must be gone")
+  }
+
+  test("groups with equal keys across null order values stay intact") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1, Option(2L)), (1, None), (1, Option(1L)), (2, None))
+      .toDF("k", "v")
+    val out = rank(df).groupBy("k").agg(max("rnk")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 3L, 2 -> 1L))
+  }
+}
