@@ -184,7 +184,14 @@ final class CacheManager(
 
   /** mtime-strategy token: FileStatus of every file under every leaf
     * source path, hashed order-independently (sorted). Uses the Hadoop
-    * FileSystem API so it works on HDFS/S3 exactly as on local disk. */
+    * FileSystem API so it works on HDFS/S3 exactly as on local disk.
+    *
+    * Plans whose leaves the file system cannot fingerprint (UnboundTable
+    * bindings, raw SqlView text over session views) are REJECTED rather
+    * than silently keyed on the file leaves alone — under mtime a
+    * rebound table would otherwise keep its old key and serve a stale
+    * artifact (ADVICE r2). InMemory is fine: its literal rows are part
+    * of the content hash itself. */
   private def sourceToken(rel: Rel): String = {
     val paths = mutable.ListBuffer.empty[String]
     def walk(r: Rel): Unit = {
@@ -193,6 +200,13 @@ final class CacheManager(
         case ReadDelta(p) => paths += p
         case ReadCsv(p, _, _, _) => paths += p
         case PinnedRead(p, _) => paths += p
+        case UnboundTable(n, _) => throw new IllegalArgumentException(
+          s"mtime strategy cannot fingerprint unbound table '$n' " +
+            "(binding content is invisible to the file system); use " +
+            "the snapshot strategy or a ScanParquet/ReadCsv leaf")
+        case SqlView(_, _) => throw new IllegalArgumentException(
+          "mtime strategy cannot fingerprint raw-SQL views; use the " +
+            "snapshot strategy or express sources as deferred reads")
         case _ =>
       }
       r.children.foreach(walk)

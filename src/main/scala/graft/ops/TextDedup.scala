@@ -75,7 +75,14 @@ object TextDedup {
     * (an array-lambda shingler is interpreted and re-evaluates the
     * split per lambda reference — measured ~240 splits/doc). The window
     * shuffle partitions by doc id, which the downstream groupBy(id)
-    * aggregations then reuse — one exchange total. */
+    * aggregations then reuse — one exchange total.
+    *
+    * Docs with fewer than `shingleN` tokens emit their whole token run
+    * as one shingle (same fallback as [[wordShingles]]; `concat_ws`
+    * skips the null leads, so the pos-0 row IS that shingle) — without
+    * it, short docs had zero shingles and silently vanished from dedup
+    * (ADVICE r2). The token count rides the same id-partitioned window
+    * exchange. */
   def shingleRows(
       docs: DataFrame,
       idCol: String,
@@ -87,12 +94,15 @@ object TextDedup {
         posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .toDF("id", "pos", "tok")
     val w = Window.partitionBy("id").orderBy("pos")
+    val wAll = Window.partitionBy("id")
     val leads = col("tok") +:
       (1 until shingleN).map(j => lead(col("tok"), j).over(w))
     tokRows
       .select(col("id"), leads.last.isNotNull.as("full"),
+        (count(lit(1)).over(wAll) < shingleN && col("pos") === 0)
+          .as("shortDoc"),
         concat_ws(" ", leads: _*).as("shingle"))
-      .filter(col("full"))
+      .filter(col("full") || col("shortDoc"))
       .select("id", "shingle")
   }
 
@@ -194,11 +204,21 @@ object TextDedup {
     val sets = shingleSets(
       docs.join(broadcast(candIds), col(idCol) === col("id"), "left_semi"),
       idCol, textCol, shingleN)
-    cands
+    val verified = cands
       .join(sets.as("sa"), col("a_id") === col("sa.id"))
       .join(sets.as("sb"), col("b_id") === col("sb.id"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("sa.sh"), col("sb.sh")).as("wjac"))
       .filter(col("wjac") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small, verified) result while sig/cands are
+    // still cached, then RELEASE both intermediates — in a long-lived
+    // session (Registry, notebooks) they would otherwise accumulate
+    // for the session lifetime (r2 finding). The returned frame stays
+    // persisted: it is the product; callers may unpersist when done.
+    verified.count()
+    sig.unpersist(false)
+    cands.unpersist(false)
+    verified
   }
 }

@@ -61,18 +61,19 @@ object VectorSim {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-1, 1), derived from xxhash64 — no RNG state. */
-  private def planeComp(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000000L)).cast("double") -
-      1000000.0) / 1000000.0
+    * uniform in [-1, 1), derived from xxhash64 — no RNG state. Distinct
+    * `table` values give independent plane sets (multi-table LSH). */
+  private def planeComp(table: Int, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit((table << 16) | plane), dim), lit(2000000L))
+      .cast("double") - 1000000.0) / 1000000.0
 
   /** Random-hyperplane LSH bucket id: bit p = sign(v · plane_p). */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  def lshBucket(vec: Column, planes: Int, table: Int = 0): Column = {
     val vd = transform(vec, _.cast("double"))
     (0 until planes).map { p =>
       val d = aggregate(
         zip_with(vd, sequence(lit(0L), size(vd).cast("long") - 1),
-          (x, j) => x * planeComp(p, j)),
+          (x, j) => x * planeComp(table, p, j)),
         lit(0.0), (s, x) => s + x)
       when(d >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -90,25 +91,40 @@ object VectorSim {
     array(bucket +: (h1 ++ h2): _*)
   }
 
-  /** ANN top-k via LSH buckets + multiprobe. Same output shape as
-    * [[topKBruteForce]]; recall < 1 by construction. */
+  /** ANN top-k via multi-table LSH buckets + multiprobe. Same output
+    * shape as [[topKBruteForce]]; recall < 1 by construction, tuned by
+    * (planes, probeHamming, tables): per-table candidate volume is
+    * ~(probes/2^planes) × corpus, and `tables` independent plane sets
+    * push recall 1-(1-r)^L at L× index cost — the standard LSH dial.
+    * The corpus is bucketed L times (one narrow int column per table);
+    * a candidate pair found by several tables is scored once
+    * (distinct before ranking). */
   def topKAnn(
       queries: DataFrame, // (q_id, q_vec)
       corpus: DataFrame, // (n_id, n_vec)
       k: Int,
       planes: Int,
       probeHamming: Int,
-      native: Boolean = false): DataFrame = {
-    val bucketed = corpus
-      .withColumn("bucket", lshBucket(col("n_vec"), planes))
-    val probes = queries
-      .withColumn("probe",
-        explode(probeBuckets(lshBucket(col("q_vec"), planes), planes,
-          probeHamming)))
+      native: Boolean = false,
+      tables: Int = 1): DataFrame = {
+    val bucketed = corpus.select(col("n_id"), col("n_vec"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("n_vec"), planes, t).as("bucket"))): _*)).as("tb"))
+      .select(col("n_id"), col("n_vec"), col("tb.t"), col("tb.bucket"))
+    val probes = queries.select(col("q_id"), col("q_vec"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          probeBuckets(lshBucket(col("q_vec"), planes, t), planes,
+            probeHamming).as("bs"))): _*)).as("tp"))
+      .select(col("q_id"), col("q_vec"), col("tp.t").as("pt"),
+        explode(col("tp.bs")).as("probe"))
     val scored = bucketed.join(broadcast(probes),
-        col("bucket") === col("probe") && col("q_id") =!= col("n_id"))
+        col("t") === col("pt") &&
+          col("bucket") === col("probe") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         cosineExpr(col("q_vec"), col("n_vec"), native).as("cos"))
+      .distinct()
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("cos") + lit(1e-9), 6).desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

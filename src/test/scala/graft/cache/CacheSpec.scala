@@ -74,6 +74,18 @@ class CacheSpec extends SparkSpec {
     assert(mgr.key(inner, "snapshot") == mgr.key(inner, "snapshot"))
   }
 
+  test("mtime strategy rejects leaves the filesystem cannot fingerprint") {
+    val (mgr, _, _) = freshManager()
+    val overBinding = Aggregate(UnboundTable("t", Nil), Nil,
+      Seq("n" -> RAgg("count", Nil)))
+    val e1 = intercept[IllegalArgumentException](mgr.key(overBinding, "mtime"))
+    assert(e1.getMessage.contains("unbound"))
+    val overSql = SqlView("SELECT 1 AS x", Nil)
+    intercept[IllegalArgumentException](mgr.key(overSql, "mtime"))
+    // snapshot accepts both (content identity comes from the plan JSON)
+    assert(mgr.key(overBinding, "snapshot").length == 64)
+  }
+
   test("pin requires an artifact; pin/unpin round-trips the plan") {
     val (mgr, _, _) = freshManager()
     val p = plan(s"$sfDir/lineitem.parquet")

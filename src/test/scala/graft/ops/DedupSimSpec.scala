@@ -24,6 +24,42 @@ class DedupSimSpec extends SparkSpec {
       s"missed exact-dup pairs: ${expected.diff(pairs)}")
   }
 
+  test("sub-shingle-length docs still dedup via the whole-doc fallback") {
+    val sp = spark
+    import sp.implicits._
+    // 2-token docs (< shingleN=3): the r2 shingler emitted zero
+    // shingles for these, so identical short docs could never pair
+    val short = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "goodbye moon"),
+      (4L, "completely different text that is long enough to shingle ok"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.minhashDedupPairs(short, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("multi-table ANN recall beats single-table on the same corpus") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_vec"))
+    val bf = VectorSim.topKBruteForce(queries, corpus, 3)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tables: Int): Double = {
+      val ann = VectorSim.topKAnn(queries, corpus, 3, planes = 6,
+        probeHamming = 2, tables = tables)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      bf.intersect(ann).size.toDouble / bf.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"more tables must not lose recall ($r1 -> $r4)")
+    assert(r4 >= 0.8, s"4-table recall contract: got $r4")
+  }
+
   test("jaccard is exact on known sets") {
     val sp = spark
     import sp.implicits._

@@ -50,6 +50,8 @@ class StreamSpec extends SparkSpec {
       input.addData(
         (ts("2024-01-01 00:00:00"), "x"),
         (ts("2024-01-01 00:00:00"), "x"), // exact dup (same key+ts)
+        (ts("2024-01-01 00:10:00"), "x"), // same KEY, later event time —
+                                          // true key-subset dedup drops it
         (ts("2024-01-01 00:00:00"), "y"))
       q.processAllAvailable()
       assert(sp.sql("SELECT count(*) FROM dedup_stream")
