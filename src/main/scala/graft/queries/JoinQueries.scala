@@ -133,7 +133,7 @@ object JoinQueries {
         |           FROM supplier WHERE s_suppkey <= 25)
         |SELECT a.rn, a.n_name, b.s_name
         |FROM a JOIN b ON a.rn = b.rn
-        |ORDER BY a.rn""") { c =>
+        |ORDER BY a.rn""", bench = true) { c =>
       // scale-safe global row numbers (range exchange + per-partition
       // offsets, graft.ops.Positional) — NOT an unpartitioned window,
       // which would single-reduce a fact table (r1 weak flag)

@@ -312,7 +312,7 @@ object LlmQueries {
         |SELECT lang, count(*) AS n_docs,
         |       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS total_tokens,
         |       round(avg(length(text)) + 1e-9, 2) AS avg_chars
-        |FROM kept GROUP BY lang ORDER BY lang""") { c =>
+        |FROM kept GROUP BY lang ORDER BY lang""", bench = true) { c =>
       val nTok = size(split(trim(col("text")), "\\s+"))
       val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
         .cast("double") / length(col("text"))

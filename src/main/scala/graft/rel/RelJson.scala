@@ -271,6 +271,11 @@ object RelJson {
   def parse(json: String): Rel = new P(json).rel()
   def parseExpr(json: String): RExpr = new P(json).expr()
 
+  /** Parse arbitrary JSON to Map/List/String/Long/Double/Boolean/null —
+    * the generic face of the same tokenizer (used by the serve
+    * transport's request envelopes). */
+  def parseAny(json: String): Any = new P(json).any()
+
   /** Minimal recursive-descent JSON reader specialized to the canonical
     * shapes produced by [[write]]. */
   private final class P(in: String) {
@@ -279,6 +284,8 @@ object RelJson {
     def rel(): Rel = relDecode(obj())
 
     def expr(): RExpr = decodeExpr(value())
+
+    def any(): Any = value()
 
     private def relDecode(m: Map[String, Any]): Rel = {
       def str0(k: String) = m(k).asInstanceOf[String]

@@ -1,0 +1,99 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.rel.{RelHash, RelJson}
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Network transport for the serve [[Registry]] — the out-of-process
+  * seam the reference exposes over Arrow Flight (flight/__init__.py:
+  * 133-279: serve an unbound expr, call it from another process). Built
+  * on the JDK's HttpServer (zero new dependencies); data moves by
+  * SHARED-STORAGE HANDOFF, not through the socket: the caller names
+  * parquet paths for the plan's unbound inputs and an output location,
+  * the server executes and writes, the response is metadata. At 100 TB
+  * that is the only sane wire contract — the control plane is HTTP,
+  * the data plane is the cluster's storage (exactly how the exchange
+  * barrier and cache artifacts already move between sessions).
+  *
+  * Endpoints:
+  *  - `GET  /plans`            → JSON list of served plan names
+  *  - `GET  /plan/<name>`      → the canonical plan JSON + build hash
+  *  - `POST /plan/<name>`      → register body (plan JSON) under name
+  *  - `POST /run/<name>`       → body `{"bindings":{tbl:path,...},
+  *                                "out":path}`; executes, writes
+  *                                parquet to `out`, returns
+  *                                `{"rows":N,"out":...}`
+  */
+final class HttpServe(registry: Registry, spark: SparkSession) {
+
+  private var server: HttpServer = _
+
+  /** Bind on 127.0.0.1:`port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/plans", handler { (_, _) =>
+      (200, registry.served.map(q).mkString("[", ",", "]"))
+    })
+    server.createContext("/plan/", handler { (ex, body) =>
+      val name = ex.getRequestURI.getPath.stripPrefix("/plan/")
+      ex.getRequestMethod match {
+        case "POST" =>
+          val rel = RelJson.parse(body)
+          val hash = registry.servePlan(name, rel)
+          (200, s"""{"name":${q(name)},"build_hash":${q(hash)}}""")
+        case _ =>
+          registry.plan(name) match {
+            case Some(rel) =>
+              (200, s"""{"name":${q(name)},"build_hash":${q(
+                RelHash.buildHash(rel))},"plan":${RelJson.write(rel)}}""")
+            case None => (404, s"""{"error":"no served plan ${name}"}""")
+          }
+      }
+    })
+    server.createContext("/run/", handler { (ex, body) =>
+      val name = ex.getRequestURI.getPath.stripPrefix("/run/")
+      val req = RelJson.parseAny(body).asInstanceOf[Map[String, Any]]
+      val bindings = req.getOrElse("bindings", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]]
+        .map { case (t, p) => t -> spark.read.parquet(p.asInstanceOf[String]) }
+      val out = req("out").asInstanceOf[String]
+      val df = registry.call(name, bindings)
+      df.write.mode("overwrite").parquet(out)
+      val rows = spark.read.parquet(out).count()
+      (200, s"""{"name":${q(name)},"rows":$rows,"out":${q(out)}}""")
+    })
+    server.setExecutor(null) // serial — Spark drives the real work
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def q(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def handler(f: (HttpExchange, String) => (Int, String)): HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, resp) =
+        try f(ex, new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        catch {
+          case e: Exception =>
+            (400, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+        }
+      val bytes = resp.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+}

@@ -54,4 +54,7 @@ final class Registry(spark: SparkSession) {
   }
 
   def served: Seq[String] = (plans.keySet ++ udxfs.keySet).toSeq.sorted
+
+  /** The served plan under `name`, if any. */
+  def plan(name: String): Option[Rel] = plans.get(name)
 }

@@ -1,0 +1,66 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.rel._
+import java.nio.file.Files
+import scala.sys.process._
+
+/** e2e: plans served in THIS JVM are listed, fetched, registered, and
+  * executed by a SEPARATE PROCESS (curl) over the HTTP transport, with
+  * data handed off via shared storage. */
+class HttpServeSpec extends SparkSpec {
+
+  private def curl(args: String*): String =
+    (Seq("curl", "-s") ++ args).!!.trim
+
+  test("a second process lists, runs, and registers served plans") {
+    val registry = new Registry(spark)
+    val served = Sort(
+      Aggregate(
+        UnboundTable("src", Seq("n_regionkey" -> "INT")),
+        keys = Seq("rk" -> RCol("n_regionkey")),
+        aggs = Seq("n" -> RAgg("count", Nil))),
+      Seq(SortKey(RCol("rk"), asc = true, nullsFirst = true)))
+    registry.servePlan("by_region", served)
+
+    val http = new HttpServe(registry, spark)
+    val port = http.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+
+      // list from a subprocess
+      assert(curl(s"$base/plans").contains("by_region"))
+
+      // fetch the canonical plan JSON + hash from a subprocess
+      val shown = curl(s"$base/plan/by_region")
+      assert(shown.contains(RelHash.buildHash(served)))
+
+      // run from a subprocess: bindings + output location by path
+      val out = Files.createTempDirectory("graft_http_out_").toString + "/r"
+      val req = s"""{"bindings":{"src":"$sfDir/nation.parquet"},""" +
+        s""""out":"$out"}"""
+      val resp = curl("-X", "POST", "--data", req, s"$base/run/by_region")
+      assert(resp.contains("\"rows\":5"), s"unexpected response: $resp")
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val exp = spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == exp)
+
+      // register a NEW plan from a subprocess, then run it
+      val remote = Limit(UnboundTable("src", Nil), 3)
+      val reg = curl("-X", "POST", "--data", RelJson.write(remote),
+        s"$base/plan/tiny")
+      assert(reg.contains(RelHash.buildHash(remote)))
+      val out2 = Files.createTempDirectory("graft_http_out2_").toString + "/r"
+      val resp2 = curl("-X", "POST",
+        "--data", s"""{"bindings":{"src":"$sfDir/region.parquet"},"out":"$out2"}""",
+        s"$base/run/tiny")
+      assert(resp2.contains("\"rows\":3"), s"unexpected response: $resp2")
+
+      // unknown plan → error envelope, not a hang
+      assert(curl(s"$base/plan/nope").contains("error"))
+    } finally http.stop()
+  }
+}
