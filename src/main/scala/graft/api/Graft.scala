@@ -50,6 +50,16 @@ final class GraftSession(
   def readDelta(path: String): GraftTable =
     GraftTable(ReadDelta(path), this)
 
+  /** Deferred JDBC read; give a numeric `partitionColumn` + bounds for
+    * a parallel range-partitioned scan (the scale path). */
+  def readJdbc(url: String, table: String,
+      props: Seq[(String, String)] = Nil,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L, upperBound: Long = 0L,
+      numPartitions: Int = 1): GraftTable =
+    GraftTable(ReadJdbc(url, table, props, partitionColumn, lowerBound,
+      upperBound, numPartitions), this)
+
   def readCsv(path: String, header: Boolean = true,
       inferSchema: Boolean = true, delimiter: String = ","): GraftTable =
     GraftTable(ReadCsv(path, header, inferSchema, delimiter), this)

@@ -207,6 +207,10 @@ final class CacheManager(
         case SqlView(_, _) => throw new IllegalArgumentException(
           "mtime strategy cannot fingerprint raw-SQL views; use the " +
             "snapshot strategy or express sources as deferred reads")
+        case ReadJdbc(url, table, _, _, _, _, _) =>
+          throw new IllegalArgumentException(
+            s"mtime strategy cannot fingerprint JDBC source $url/$table " +
+              "(no file mtimes); use snapshot or TTL storage")
         case _ =>
       }
       r.children.foreach(walk)

@@ -78,6 +78,35 @@ object SourceQueries {
         .orderBy("l_linestatus")
     },
 
+    // JDBC connector round-trip (ref backends/* connector surface):
+    // rows go INTO a real database (Derby, bundled with Spark) over
+    // JDBC and come back through the serializable ReadJdbc leaf with a
+    // range-partitioned parallel scan; the oracle aggregates the
+    // original parquet, so type/row fidelity across the database
+    // round-trip is what is checked.
+    q("src_jdbc_roundtrip",
+      """SELECT n_regionkey AS rk, count(*) AS n,
+        |       min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY rk""") { c =>
+      val url = "jdbc:derby:memory:graft_verify;create=true"
+      c.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .format("jdbc").option("url", url).option("dbtable", "nation")
+        .save()
+      val rel = Sort(
+        Aggregate(
+          ReadJdbc(url, "nation",
+            partitionColumn = Some("N_NATIONKEY"),
+            lowerBound = 0L, upperBound = 25L, numPartitions = 4),
+          keys = Seq("rk" -> RCol("N_REGIONKEY")),
+          aggs = Seq("n" -> RAgg("count", Nil),
+            // Derby CHAR pads with spaces; trim to restore fidelity
+            "first_name" -> RCall("min",
+              Seq(RCall("trim", Seq(RCol("N_NAME"))))))),
+        Seq(SortKey(RCol("rk"), asc = true, nullsFirst = true)))
+      new Lower(c.spark).lower(RelJson.parse(RelJson.write(rel)))
+    },
+
     // Tee write-through (ref expr/relations.py:102-137): the node
     // writes its input to the sink AND the same rows flow downstream.
     // The write is an execute()-time effect (resolved like Cache, never

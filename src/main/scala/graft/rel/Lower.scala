@@ -27,6 +27,17 @@ final class Lower(
 
     case ReadDelta(path) => spark.read.format("delta").load(path)
 
+    case ReadJdbc(url, table, props, partCol, lo, hi, nParts) =>
+      var r = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+      props.foreach { case (k, v) => r = r.option(k, v) }
+      partCol.foreach { pc =>
+        r = r.option("partitionColumn", pc)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", nParts)
+      }
+      r.load()
+
     case ReadCsv(path, header, inferSchema, delimiter) =>
       spark.read
         .option("header", header)

@@ -30,6 +30,7 @@ sealed trait Rel extends Product with Serializable {
   def mapChildren(f: Rel => Rel): Rel = this match {
     case r: ScanParquet => r
     case r: ReadDelta => r
+    case r: ReadJdbc => r
     case r: ReadCsv => r
     case r: UnboundTable => r
     case r: InMemory => r
@@ -74,6 +75,25 @@ final case class ScanParquet(path: String) extends Rel {
   * classpath (delta-spark). Serializable leaf — participates in
   * content hashes exactly like [[ScanParquet]]. */
 final case class ReadDelta(path: String) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Deferred JDBC read (ref backends connector surface, e.g.
+  * postgres/backend.py): url + table captured in the plan; optional
+  * numeric partition spec turns the scan into `numPartitions` parallel
+  * range-bounded queries — the only JDBC shape that scales (a single
+  * unpartitioned JDBC scan is one connection on one executor).
+  * `props` carries connection properties; credentials belong in
+  * session/environment config, NOT in the serialized (hashed, built,
+  * shipped) plan. */
+final case class ReadJdbc(
+    url: String,
+    table: String,
+    props: Seq[(String, String)] = Nil,
+    partitionColumn: Option[String] = None,
+    lowerBound: Long = 0L,
+    upperBound: Long = 0L,
+    numPartitions: Int = 1) extends Rel {
   def children: Seq[Rel] = Nil
 }
 

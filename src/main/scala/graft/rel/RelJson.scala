@@ -78,6 +78,17 @@ object RelJson {
     r match {
       case ScanParquet(p) => obj("scan_parquet")(fs("path", p))
       case ReadDelta(p) => obj("read_delta")(fs("path", p))
+      case ReadJdbc(url, table, props, pc, lo, hi, np) => obj("read_jdbc") {
+        fs("url", url); fs("table", table)
+        f("props")(arr(props) { case (k, v) =>
+          sb.append('['); s(k, sb); sb.append(','); s(v, sb); sb.append(']')
+        })
+        f("partitionColumn")(pc match {
+          case Some(x) => s(x, sb); case None => sb.append("null")
+        })
+        f("lowerBound")(sb.append(lo)); f("upperBound")(sb.append(hi))
+        f("numPartitions")(sb.append(np))
+      }
       case ReadCsv(p, h, i, d) => obj("read_csv") {
         fs("path", p); f("header")(sb.append(h))
         f("inferSchema")(sb.append(i)); fs("delimiter", d)
@@ -302,6 +313,17 @@ object RelJson {
       m("t").asInstanceOf[String] match {
         case "scan_parquet" => ScanParquet(str0("path"))
         case "read_delta" => ReadDelta(str0("path"))
+        case "read_jdbc" => ReadJdbc(str0("url"), str0("table"),
+          list0("props").map { x =>
+            val p = x.asInstanceOf[List[Any]]
+            (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+          },
+          m("partitionColumn") match {
+            case null => None
+            case x => Some(x.asInstanceOf[String])
+          },
+          long0("lowerBound"), long0("upperBound"),
+          long0("numPartitions").toInt)
         case "read_csv" => ReadCsv(str0("path"), bool0("header"),
           bool0("inferSchema"), str0("delimiter"))
         case "unbound" => UnboundTable(str0("name"),

@@ -1,0 +1,60 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The JDBC connector leaf, end-to-end against the Derby engine that
+  * ships with Spark: write a table over JDBC, read it back through the
+  * serializable algebra (plain and range-partitioned), and check the
+  * partitioned scan plans `numPartitions` parallel range queries. */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graft_test;create=true"
+
+  private def seed(): Unit = {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.mode("overwrite")
+      .format("jdbc").option("url", url).option("dbtable", "nation")
+      .save()
+  }
+
+  test("ReadJdbc round-trips rows through a real database") {
+    seed()
+    val rel = Sort(
+      Project(ReadJdbc(url, "nation"),
+        Seq("k" -> RCol("N_NATIONKEY"), "name" -> RCol("N_NAME"))),
+      Seq(SortKey(RCol("k"), asc = true, nullsFirst = true)))
+    assert(RelJson.parse(RelJson.write(rel)) == rel)
+    val got = new Lower(spark).lower(RelJson.parse(RelJson.write(rel)))
+      .collect().map(r => (r.getInt(0), r.getString(1).trim))
+    val exp = spark.read.parquet(s"$sfDir/nation.parquet")
+      .orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("a range-partitioned JDBC scan runs parallel queries and " +
+    "returns the same rows") {
+    seed()
+    val part = ReadJdbc(url, "nation",
+      partitionColumn = Some("N_NATIONKEY"),
+      lowerBound = 0L, upperBound = 25L, numPartitions = 4)
+    val df = new Lower(spark).lower(part)
+    assert(df.rdd.getNumPartitions == 4,
+      "partitioned read must fan out over the range")
+    assert(df.count() ==
+      spark.read.parquet(s"$sfDir/nation.parquet").count())
+  }
+
+  test("mtime cache strategy rejects JDBC leaves (no file mtimes)") {
+    val mgr = new graft.cache.CacheManager(spark,
+      Map("default" -> new graft.cache.ParquetDirStorage(spark,
+        java.nio.file.Files.createTempDirectory("graft_jdbc_c_").toString)))
+    val e = intercept[IllegalArgumentException] {
+      mgr.key(ReadJdbc(url, "nation"), "mtime")
+    }
+    assert(e.getMessage.contains("JDBC"))
+    assert(mgr.key(ReadJdbc(url, "nation"), "snapshot").length == 64)
+  }
+}

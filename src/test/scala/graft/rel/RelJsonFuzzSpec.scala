@@ -42,6 +42,11 @@ class RelJsonFuzzSpec extends AnyFunSuite {
   private val genLeafRel: Gen[Rel] = Gen.oneOf(
     nastyString.map(ScanParquet),
     nastyString.map(ReadDelta),
+    Gen.zip(nastyString, nastyString, Gen.option(nastyString),
+      Gen.choose(0L, 1000L), Gen.choose(1, 64))
+      .map { case (u, t, pc, lo, np) =>
+        ReadJdbc(u, t, Seq("user" -> "app"), pc, lo, lo + 10, np)
+      },
     Gen.zip(nastyString, Gen.oneOf(true, false), Gen.oneOf(true, false),
       Gen.oneOf(",", ";", "\t")).map { case (p, h, i, d) =>
       ReadCsv(p, h, i, d)
