@@ -285,6 +285,33 @@ object LlmQueries {
           (col("n_hit").cast("double") / col("n_bf") >= 0.8).as("recall_ok"))
     },
 
+    // Embedding-cosine near-dup: duplicate pairs by embedding
+    // similarity (the semantic-dedup face of the MinHash pipeline).
+    // Exact-pair contract vs the DuckDB oracle at sf0.01 (125k pairs —
+    // the oracle regime); at corpus scale candidates come from the
+    // multi-table LSH buckets (VectorSim.topKAnn's bucketing) instead
+    // of the a<b cross join, trading the checked-exact answer for the
+    // recall-bounded one measured in sim_ann_lsh.
+    q("dedup_embedding",
+      """WITH p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(cos + 1e-9, 6) AS cos
+        |FROM p WHERE cos >= 0.4 ORDER BY a_id, b_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      val a = c.embeddings.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"))
+      val b = c.embeddings.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          VectorSim.cosineExpr(col("a_vec"), col("b_vec"),
+            native = true).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), r6(col("cos")).as("cos"))
+        .orderBy("a_id", "b_id")
+    },
+
     // End-to-end corpus prep — the composed pipeline a training-data
     // run actually executes: quality filter → near-dup removal (LSH
     // pairs, keep-smallest-id policy) → per-language corpus stats.

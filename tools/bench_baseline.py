@@ -29,6 +29,7 @@ bench = json.load(open(bench_json))
 # oracles that are brute-force (all-pairs) by design are only tractable
 # at sf0.01 — they exist to verify the LSH path, not to race it
 SKIP = {"dedup_minhash_lsh": "oracle is O(n^2) brute force by design",
+        "llm_corpus_prep": "oracle embeds the O(n^2) brute-force dedup",
         "text_fingerprint": "oracle is a per-row list comprehension"}
 
 rows = []
