@@ -12,6 +12,7 @@ import java.nio.file.{Files, Paths}
   *   runMain graft.Cli show <buildsDir> <hash|alias>
   *   runMain graft.Cli run  <buildsDir> <hash|alias> <outParquetDir>
   *   runMain graft.Cli alias <buildsDir> <name> <hash>
+  *   runMain graft.Cli serve <buildsDir> <port>    (0 = ephemeral)
   *
   * `run` re-executes a serialized plan with no access to the code that
   * built it — the artifact IS the program.
@@ -52,8 +53,23 @@ object Cli {
       new Catalog(dir).register(name, hash)
       println(s"$name -> $hash")
 
+    // serve every build (by hash and by alias) over the HTTP transport
+    // — `xorq serve` for artifacts: another process lists/fetches/runs
+    // them with data handed off via parquet paths.
+    case "serve" :: dir :: portStr :: Nil =>
+      val spark = session()
+      val registry = new graft.serve.Registry(spark)
+      Build.list(dir).foreach(h => registry.servePlan(h, Build.load(dir, h)))
+      new Catalog(dir).aliases.foreach { case (n, h) =>
+        registry.servePlan(n, Build.load(dir, h))
+      }
+      val http = new graft.serve.HttpServe(registry, spark)
+      val port = http.start(portStr.toInt)
+      println(s"""{"serving":${registry.served.length},"port":$port}""")
+      Thread.currentThread().join()
+
     case other =>
-      System.err.println(s"usage: list|show|run|alias ... (got $other)")
+      System.err.println(s"usage: list|show|run|alias|serve ... (got $other)")
       sys.exit(2)
   }
 

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geospatial primitives over plain (lat, lon) double columns — the
+  * subset of the reference's geospatial family (ref
+  * expr/types/geospatial.py) that needs no geometry type: point
+  * distance, bounding boxes, grid cells, and a cell-bucketed radius
+  * join. Everything is pure column math (codegen'd builtins), so any
+  * SQL engine can replicate the semantics — which is what puts these
+  * under the DuckDB oracle without a spatial extension.
+  *
+  * Scale design: the radius join NEVER builds the cross product — both
+  * sides bucket into integer grid cells (one narrow long column), the
+  * probe side expands to its 3x3 neighborhood, and candidates come from
+  * one equi-join shuffle before the exact haversine verify. Cell size
+  * must satisfy `cellDeg >= radiusKm / (111 * cos(maxAbsLat))` so a
+  * radius disc never spans more than the neighborhood.
+  */
+object Geo {
+
+  private val EarthRadiusKm = 6371.0088
+
+  /** Great-circle distance in km (haversine). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column,
+      lon2: Column): Column = {
+    val dphi = radians(lat2 - lat1) / 2
+    val dlmb = radians(lon2 - lon1) / 2
+    val a = pow(sin(dphi), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlmb), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Point-in-bounding-box predicate. */
+  def inBbox(lat: Column, lon: Column, latMin: Double, latMax: Double,
+      lonMin: Double, lonMax: Double): Column =
+    lat.between(latMin, latMax) && lon.between(lonMin, lonMax)
+
+  /** Integer grid-cell id: (floor(lat/cell) << 32) | floor(lon/cell)
+    * packed into one long — the bucketing/partitioning key. */
+  def cellId(lat: Column, lon: Column, cellDeg: Double): Column =
+    (floor(lat / cellDeg).cast("long") + 1000L) * 100000L +
+      (floor(lon / cellDeg).cast("long") + 1000L)
+
+  /** The 3x3 neighborhood of a point's cell (probe-side expansion). */
+  def neighborCells(lat: Column, lon: Column, cellDeg: Double): Column = {
+    val latC = floor(lat / cellDeg).cast("long") + 1000L
+    val lonC = floor(lon / cellDeg).cast("long") + 1000L
+    array((for (di <- -1 to 1; dj <- -1 to 1)
+      yield (latC + di) * 100000L + (lonC + dj)): _*)
+  }
+
+  /** All pairs (a, b) within `radiusKm`, via grid-cell candidates +
+    * exact haversine verify. Inputs: (idCol, latCol, lonCol) on both
+    * sides (columns renamed a_/b_ in the output). One equi-join
+    * shuffle on the cell id; candidate volume is the 3x3-cell
+    * neighborhood density, not |A|x|B|. */
+  def radiusJoin(a: DataFrame, b: DataFrame, idCol: String,
+      latCol: String, lonCol: String, radiusKm: Double,
+      cellDeg: Double): DataFrame = {
+    val aa = a.select(col(idCol).as("a_id"), col(latCol).as("a_lat"),
+      col(lonCol).as("a_lon"),
+      cellId(col(latCol), col(lonCol), cellDeg).as("cell"))
+    val bb = b.select(col(idCol).as("b_id"), col(latCol).as("b_lat"),
+      col(lonCol).as("b_lon"),
+      explode(neighborCells(col(latCol), col(lonCol), cellDeg))
+        .as("cell"))
+    aa.join(bb, "cell")
+      .withColumn("dist_km", haversineKm(col("a_lat"), col("a_lon"),
+        col("b_lat"), col("b_lon")))
+      .filter(col("dist_km") <= radiusKm)
+      .select(col("a_id"), col("b_id"), col("dist_km"))
+  }
+}

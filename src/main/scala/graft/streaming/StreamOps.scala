@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming operators over the same column algebra as the
   * batch engine (SURVEY §2.9 / §7 step 9 — the Spark value-add the
@@ -44,6 +44,58 @@ object StreamOps {
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Gap-based event-time sessionization via flatMapGroupsWithState —
+    * the canonical custom-state streaming operator (events with the
+    * same key within `gapSeconds` of each other form one session; a
+    * session is emitted when the watermark passes its end + gap, via
+    * EventTimeTimeout). State per key is ONE open session (start, end,
+    * count) — bounded regardless of stream length; closed sessions
+    * also flush when a later event reopens the key within a batch.
+    * Output: (key, session_start, session_end, n_events) epoch secs. */
+  def sessionize(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCol: String,
+      gapSeconds: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermark) // AFTER the cast: a projection
+      .as[(String, java.sql.Timestamp)] // over the column drops the tag
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator.single((key, s, e, n))
+          } else {
+            val ts = rows.map(_._2.getTime / 1000).toVector.sorted
+            var closed = List.empty[(String, Long, Long, Long)]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some((s, e, n)) if t <= e + gapSeconds =>
+                  Some((s, math.max(e, t), n + 1))
+                case Some((s, e, n)) =>
+                  closed ::= (key, s, e, n)
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp((c._2 + gapSeconds) * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("key", "session_start", "session_end", "n_events")
+  }
 
   /** Per-key running counter via mapGroupsWithState — the minimal
     * custom-state shape (KeyValueGroupedDataset, SURVEY §2.9); used as

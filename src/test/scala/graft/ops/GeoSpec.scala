@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpec {
+
+  test("haversine matches known city distances") {
+    val sp = spark
+    import sp.implicits._
+    // Paris (48.8566, 2.3522) — Berlin (52.52, 13.405) ≈ 877.46 km
+    val d = Seq((48.8566, 2.3522, 52.52, 13.405))
+      .toDF("la1", "lo1", "la2", "lo2")
+      .select(Geo.haversineKm(col("la1"), col("lo1"), col("la2"),
+        col("lo2")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(d - 877.46) < 1.0)
+    // zero distance to self; symmetry
+    val z = Seq((10.0, 20.0)).toDF("la", "lo")
+      .select(Geo.haversineKm(col("la"), col("lo"), col("la"), col("lo")))
+      .collect()(0).getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("cell-bucketed radius join finds EXACTLY the brute-force pairs") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        ((col("c_custkey") * 37 % 12000) / 100.0 - 60.0).as("lat"),
+        ((col("c_custkey") * 91 % 36000) / 100.0 - 180.0).as("lon"))
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey").as("id"),
+        ((col("s_suppkey") * 37 % 12000) / 100.0 - 60.0).as("lat"),
+        ((col("s_suppkey") * 91 % 36000) / 100.0 - 180.0).as("lon"))
+
+    val viaCells = Geo.radiusJoin(supp, cust, "id", "lat", "lon",
+      radiusKm = 300.0, cellDeg = 6.0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val brute = supp.as("a").crossJoin(cust.as("b"))
+      .withColumn("d", Geo.haversineKm(col("a.lat"), col("a.lon"),
+        col("b.lat"), col("b.lon")))
+      .filter(col("d") <= 300.0)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(viaCells == brute,
+      s"cell candidates must be complete: missing ${brute.diff(viaCells)}")
+    assert(brute.nonEmpty, "fixture must produce pairs")
+  }
+
+  test("the radius join plans one equi-join shuffle, not a cross join") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq((1L, 10.0, 10.0)).toDF("id", "lat", "lon")
+    val b = Seq((2L, 10.1, 10.1)).toDF("id", "lat", "lon")
+    val plan = Geo.radiusJoin(a, b, "id", "lat", "lon", 50.0, 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"radius join must not degrade to a cross product:\n$plan")
+  }
+}

@@ -59,6 +59,45 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizes by event-time gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = StreamOps.sessionize(input.toDF.toDF("ts", "k"),
+      tsCol = "ts", watermark = "1 minute", keyCol = "k",
+      gapSeconds = 600)
+
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    try {
+      // session 1: two events 60s apart, then a gap > 600s reopens
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "a"),
+        (ts("2024-01-01 00:01:00"), "a"))
+      q.processAllAvailable()
+      // same key far past the gap: closes session 1 within the batch
+      input.addData((ts("2024-01-01 01:00:00"), "a"))
+      q.processAllAvailable()
+      val closed = sp.sql(
+        "SELECT key, session_start, session_end, n_events FROM sessions")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(closed.toSeq == Seq(("a",
+        ts("2024-01-01 00:00:00").getTime / 1000,
+        ts("2024-01-01 00:01:00").getTime / 1000, 2L)))
+
+      // watermark advance via another key: the open session times out
+      input.addData((ts("2024-01-01 03:00:00"), "z"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 03:00:01"), "z"))
+      q.processAllAvailable()
+      val after = sp.sql("SELECT key, n_events FROM sessions " +
+        "WHERE key = 'a'").collect()
+      assert(after.length == 2, "timeout must flush the open session")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running counts across batches") {
     val sp = spark
     import sp.implicits._
