@@ -99,37 +99,49 @@ final class CacheManager(
     }
   }
 
-  /** The pre-lowering EFFECTS pass: replace every [[Cache]] node
-    * bottom-up with a [[PinnedRead]] of its (computed-on-miss) artifact,
-    * and perform every [[Tee]] node's write-through (once per call —
-    * never during analysis; ref TEE_PASS, expr/relations.py:911),
-    * re-rooting downstream on the written sink. */
+  /** The pre-lowering EFFECTS pass: replace every [[Cache]] node with a
+    * [[PinnedRead]] of its (computed-on-miss) artifact, perform every
+    * [[Tee]] node's write-through (once per call — never during
+    * analysis; ref TEE_PASS, expr/relations.py:911) re-rooting
+    * downstream on the written sink, and materialize named [[Exchange]]
+    * barriers.
+    *
+    * Keys are ALWAYS computed from the ORIGINAL sub-plan, before inner
+    * effect nodes are rewritten — a bottom-up rewrite-then-hash would
+    * key `Cache(Tee(X, sink))` on `hash(ScanParquet(sink))`, making two
+    * different teed subtrees that share a sink collide on one cache
+    * artifact (review-caught). `cacheHash` already strips Tee/Cache
+    * wrappers, so original-subtree keys stay stable across pin/unpin. */
   def resolve(rel: Rel, bindings: Map[String, DataFrame] = Map.empty): Rel =
-    rel.transformUp {
+    rel match {
       case Cache(input, storageName, strategy) =>
         val storage = storages.getOrElse(storageName,
           throw new IllegalArgumentException(
             s"unknown cache storage '$storageName'"))
-        val k = key(input, strategy)
+        val k = key(input, strategy) // original subtree, pre-rewrite
         registry(k) = input
         if (!storage.exists(k)) {
           misses += 1
-          val df = mkLower(bindings).lower(input)
+          val df = mkLower(bindings).lower(resolve(input, bindings))
           storage.store(k, df)
         } else hits += 1
         writeSidecar(storage.path(k), input)
         PinnedRead(storage.path(k), k)
+
       case Tee(input, sink) =>
-        // bottom-up: inner Cache/Tee nodes in `input` are already
-        // resolved, so this lowers pure reads only
-        mkLower(bindings).lower(input)
+        mkLower(bindings).lower(resolve(input, bindings))
           .write.mode("overwrite").parquet(sink)
         ScanParquet(sink)
+
       case Exchange(input, target) if target != "session" =>
         // `session` stays a Lower-level localCheckpoint (explicitly
         // non-durable); every named target is a durable write-read
-        // barrier keyed by content hash, so re-executions and OTHER
-        // sessions over the same root skip the recompute
+        // barrier. Key = content hash of the ORIGINAL subtree + (when
+        // the leaves are file-backed) the mtime source token, so a
+        // changed source file yields a new artifact instead of silently
+        // serving stale rows; plans whose leaves cannot be
+        // fingerprinted fall back to content-hash-only (write-once,
+        // snapshot semantics — documented).
         // apply(), not getOrElse: the session passes a Map.withDefault
         // that derives a root for unlisted targets
         val root = try exchanges(target) catch {
@@ -140,27 +152,34 @@ final class CacheManager(
                 "pass exchangeRoots to GraftSession, or use target " +
                 "\"session\" for a non-durable in-session barrier)")
         }
-        val dest = s"$root/${RelHash.cacheHash(input)}"
+        val base = RelHash.cacheHash(input)
+        val k = try RelHash.sha256(base + "|" + sourceToken(input))
+          catch { case _: IllegalArgumentException => base }
+        val dest = s"$root/$k"
         val success = new Path(dest, "_SUCCESS")
         val fs = FileSystem.get(success.toUri,
           spark.sessionState.newHadoopConf())
         if (!fs.exists(success))
-          mkLower(bindings).lower(input)
+          mkLower(bindings).lower(resolve(input, bindings))
             .write.mode("overwrite").parquet(dest)
         ScanParquet(dest)
+
+      case other => other.mapChildren(resolve(_, bindings))
     }
 
   /** Freeze resolved cache points permanently: like [[resolve]] but
     * fails on miss instead of computing (a pin must reference an
     * existing artifact). */
-  def pin(rel: Rel): Rel = rel.transformUp {
+  def pin(rel: Rel): Rel = rel match {
     case Cache(input, storageName, strategy) =>
       val storage = storages(storageName)
+      // key from the ORIGINAL subtree — must agree with resolve()
       val k = key(input, strategy)
       require(storage.exists(k), s"cannot pin: no artifact for $k")
       registry(k) = input
       writeSidecar(storage.path(k), input)
       PinnedRead(storage.path(k), k)
+    case other => other.mapChildren(pin)
   }
 
   /** Invert [[pin]]/[[resolve]]: restore the original sub-plans from

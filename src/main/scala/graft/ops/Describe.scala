@@ -24,9 +24,9 @@ object Describe {
     case "max" => max(col(c)).cast("double")
     case "mean" => avg(col(c))
     case "min" => min(col(c)).cast("double")
-    case "p25" => expr(s"percentile($c, 0.25)")
-    case "p50" => expr(s"percentile($c, 0.50)")
-    case "p75" => expr(s"percentile($c, 0.75)")
+    case "p25" => expr(s"percentile(`$c`, 0.25)")
+    case "p50" => expr(s"percentile(`$c`, 0.50)")
+    case "p75" => expr(s"percentile(`$c`, 0.75)")
     case "std" => stddev_samp(col(c))
   }
 

@@ -37,18 +37,34 @@ object Geo {
       lonMin: Double, lonMax: Double): Column =
     lat.between(latMin, latMax) && lon.between(lonMin, lonMax)
 
-  /** Integer grid-cell id: (floor(lat/cell) << 32) | floor(lon/cell)
-    * packed into one long — the bucketing/partitioning key. */
-  def cellId(lat: Column, lon: Column, cellDeg: Double): Column =
-    (floor(lat / cellDeg).cast("long") + 1000L) * 100000L +
-      (floor(lon / cellDeg).cast("long") + 1000L)
+  /** Number of longitude cells; `cellDeg` must divide 360 so the
+    * antimeridian wrap is seamless. */
+  private def lonCellCount(cellDeg: Double): Long = {
+    val n = 360.0 / cellDeg
+    require(n == math.rint(n),
+      s"cellDeg=$cellDeg must divide 360 evenly (longitude wraps)")
+    n.toLong
+  }
 
-  /** The 3x3 neighborhood of a point's cell (probe-side expansion). */
+  /** Integer grid-cell id packed into one long — the bucketing/
+    * partitioning key. Longitude cells wrap modulo 360/cellDeg so two
+    * points on opposite sides of the ±180 antimeridian share/abut
+    * cells (review-caught: an unwrapped grid silently missed
+    * cross-meridian pairs). */
+  def cellId(lat: Column, lon: Column, cellDeg: Double): Column = {
+    val n = lonCellCount(cellDeg)
+    (floor(lat / cellDeg).cast("long") + 1000L) * 100000L +
+      pmod(floor(lon / cellDeg).cast("long"), lit(n))
+  }
+
+  /** The 3x3 neighborhood of a point's cell (probe-side expansion),
+    * longitude wrapping at the antimeridian. */
   def neighborCells(lat: Column, lon: Column, cellDeg: Double): Column = {
+    val n = lonCellCount(cellDeg)
     val latC = floor(lat / cellDeg).cast("long") + 1000L
-    val lonC = floor(lon / cellDeg).cast("long") + 1000L
+    val lonC = floor(lon / cellDeg).cast("long")
     array((for (di <- -1 to 1; dj <- -1 to 1)
-      yield (latC + di) * 100000L + (lonC + dj)): _*)
+      yield (latC + di) * 100000L + pmod(lonC + dj, lit(n))): _*)
   }
 
   /** All pairs (a, b) within `radiusKm`, via grid-cell candidates +

@@ -31,6 +31,11 @@ final class Lower(
       var r = spark.read.format("jdbc")
         .option("url", url).option("dbtable", table)
       props.foreach { case (k, v) => r = r.option(k, v) }
+      // credentials come from the environment, never the (hashed,
+      // built, served) plan — see the ReadJdbc constructor guard
+      sys.env.get("GRAFT_JDBC_USER").foreach(u => r = r.option("user", u))
+      sys.env.get("GRAFT_JDBC_PASSWORD")
+        .foreach(p => r = r.option("password", p))
       partCol.foreach { pc =>
         r = r.option("partitionColumn", pc)
           .option("lowerBound", lo).option("upperBound", hi)

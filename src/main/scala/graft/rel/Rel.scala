@@ -94,6 +94,16 @@ final case class ReadJdbc(
     lowerBound: Long = 0L,
     upperBound: Long = 0L,
     numPartitions: Int = 1) extends Rel {
+  // enforced, not just documented: a password in `props` would be
+  // serialized into plan JSON, baked into build hashes, persisted to
+  // artifacts, and served over GET /plan/<name> (review-caught).
+  // Secrets flow through GRAFT_JDBC_USER / GRAFT_JDBC_PASSWORD env
+  // vars, applied at lowering and never part of the plan.
+  require(!props.exists(kv =>
+    Set("password", "secret", "token").contains(kv._1.toLowerCase)),
+    "ReadJdbc: credentials must not be embedded in the plan; " +
+      "set GRAFT_JDBC_USER / GRAFT_JDBC_PASSWORD in the session " +
+      "environment instead")
   def children: Seq[Rel] = Nil
 }
 

@@ -48,7 +48,7 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
             case Some(rel) =>
               (200, s"""{"name":${q(name)},"build_hash":${q(
                 RelHash.buildHash(rel))},"plan":${RelJson.write(rel)}}""")
-            case None => (404, s"""{"error":"no served plan ${name}"}""")
+            case None => (404, s"""{"error":${q(s"no served plan $name")}}""")
           }
       }
     })

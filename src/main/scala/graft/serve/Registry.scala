@@ -37,13 +37,17 @@ final class Registry(spark: SparkSession) {
 
   /** Execute a served plan with the caller's input tables bound to its
     * UnboundTable leaves (missing bindings fail fast in lowering).
-    * Served UDXFs double as the function catalog, so served plans may
+    * Runs through the FULL execute() path — cache resolution, tee
+    * write-through, exchange materialization (a bare lower() would
+    * silently skip those effects; review-caught) — with the served
+    * UDXFs doubling as the function catalog, so served plans may
     * contain [[graft.rel.UdxfRel]] nodes referencing them. */
   def call(name: String, inputs: Map[String, DataFrame]): DataFrame = {
     val rel = plans.getOrElse(name,
       throw new IllegalArgumentException(s"no served plan '$name'"))
-    new Lower(spark, inputs,
-      graft.udf.FunctionCatalog(udxfs = udxfs.toMap)).lower(rel)
+    new graft.api.GraftSession(spark, bindings = inputs,
+      functions = graft.udf.FunctionCatalog(udxfs = udxfs.toMap))
+      .execute(rel)
   }
 
   /** Execute a served exchange function (schema-validated). */

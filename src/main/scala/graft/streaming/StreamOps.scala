@@ -79,8 +79,19 @@ object StreamOps {
             var cur = state.getOption
             ts.foreach { t =>
               cur = cur match {
-                case Some((s, e, n)) if t <= e + gapSeconds =>
-                  Some((s, math.max(e, t), n + 1))
+                // within gap of EITHER session edge: merge (a late
+                // event only joins a session it is actually near —
+                // start must extend backward too; review-caught)
+                case Some((s, e, n))
+                    if t >= s - gapSeconds && t <= e + gapSeconds =>
+                  Some((math.min(s, t), math.max(e, t), n + 1))
+                // entirely before the open session: a late singleton
+                // session of its own, closed immediately (no future
+                // event can be nearer to it than this batch's)
+                case Some((s, e, n)) if t < s - gapSeconds =>
+                  closed ::= (key, t, t, 1L)
+                  Some((s, e, n))
+                // past the gap after the open session: close it
                 case Some((s, e, n)) =>
                   closed ::= (key, s, e, n)
                   Some((t, t, 1L))
@@ -89,7 +100,11 @@ object StreamOps {
             }
             cur.foreach { c =>
               state.update(c)
-              state.setTimeoutTimestamp((c._2 + gapSeconds) * 1000)
+              // never at/below the current watermark — Spark throws
+              // and kills the query (review-caught)
+              state.setTimeoutTimestamp(math.max(
+                (c._2 + gapSeconds) * 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

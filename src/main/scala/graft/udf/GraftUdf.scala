@@ -95,10 +95,30 @@ final case class Udwf(
     val outSchema = inSchema.add(outName, outType)
     val rowEnc = Encoders.row(outSchema)
     val pIdx = partitionBy.map(inSchema.fieldIndex)
-    def keyOf(r: Row): Seq[Any] = pIdx.map(r.get)
+    // array-typed keys compare by reference under Seq[Any].== — box
+    // them into Seqs so group detection matches Spark's own hash/sort
+    // semantics (review-caught: a binary partition key would split
+    // every group into single rows)
+    def norm(v: Any): Any = v match {
+      case a: Array[Byte] => a.toSeq
+      case a: Array[_] => a.toSeq.map(norm)
+      case s: scala.collection.Seq[_] => s.map(norm)
+      case r: Row => r.toSeq.map(norm)
+      case other => other
+    }
+    def keyOf(r: Row): Seq[Any] = pIdx.map(i => norm(r.get(i)))
 
-    df.repartition(partitionBy.map(col): _*)
-      .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
+    // an empty partitionBy is a GLOBAL window: it must be one partition
+    // (argless repartition() is round-robin REBALANCE — the evaluator
+    // would run once per physical partition; review-caught). Same
+    // single-reducer cost as Spark's own unpartitioned window.
+    val prepared =
+      if (partitionBy.isEmpty)
+        df.repartition(1).sortWithinPartitions(orderBy.map(col): _*)
+      else
+        df.repartition(partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
+    prepared
       .mapPartitions { rows =>
         val buf = rows.buffered
         new Iterator[Row] {

@@ -104,6 +104,23 @@ class CacheSpec extends SparkSpec {
     assert(unpinned == p) // exact original Cache(subtree) restored
   }
 
+  test("two different subtrees teed to the SAME sink do not collide " +
+    "on one cache key (keys come from the original plan)") {
+    val (mgr, _, _) = freshManager()
+    val sink = Files.createTempDirectory("graft_tee_key_").toString + "/s"
+    def teedCount(src: Rel): Rel = Cache(
+      Aggregate(Tee(src, sink), Nil, Seq("n" -> RAgg("count", Nil))),
+      "default", "snapshot")
+    val x = teedCount(ScanParquet(s"$sfDir/nation.parquet"))
+    val y = teedCount(ScanParquet(s"$sfDir/region.parquet"))
+    val nx = mgr.execute(x).collect()(0).getLong(0)
+    val ny = mgr.execute(y).collect()(0).getLong(0)
+    assert(nx == 25 && ny == 5,
+      s"each plan must hit its OWN artifact (got $nx/$ny — a shared " +
+        "sink must not alias cache keys)")
+    assert(mgr.misses == 2)
+  }
+
   test("pins persist: a NEW manager (fresh registry) unpins a plan " +
     "pinned by a previous one via the artifact sidecar") {
     val root = Files.createTempDirectory("graft_pin_").toString

@@ -49,6 +49,18 @@ class GeoSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must produce pairs")
   }
 
+  test("radius join finds pairs straddling the antimeridian") {
+    val sp = spark
+    import sp.implicits._
+    // ~22 km apart across lon ±180 — unwrapped grids miss this pair
+    val a = Seq((1L, 0.0, 179.9)).toDF("id", "lat", "lon")
+    val b = Seq((2L, 0.0, -179.9)).toDF("id", "lat", "lon")
+    val pairs = Geo.radiusJoin(a, b, "id", "lat", "lon", 50.0, 6.0)
+      .collect()
+    assert(pairs.length == 1 && pairs(0).getDouble(2) < 30.0,
+      "longitude cells must wrap at the antimeridian")
+  }
+
   test("the radius join plans one equi-join shuffle, not a cross join") {
     val sp = spark
     import sp.implicits._

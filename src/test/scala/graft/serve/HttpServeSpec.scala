@@ -61,6 +61,22 @@ class HttpServeSpec extends SparkSpec {
 
       // unknown plan → error envelope, not a hang
       assert(curl(s"$base/plan/nope").contains("error"))
+
+      // served plans run through the EFFECTS pass: a Tee in a served
+      // plan must write its sink (a bare lower() would skip it)
+      val teeSink = Files.createTempDirectory("graft_http_tee_")
+        .toString + "/sink"
+      registry.servePlan("teed",
+        Aggregate(Tee(UnboundTable("src", Nil), teeSink), Nil,
+          Seq("n" -> RAgg("count", Nil))))
+      val out3 = Files.createTempDirectory("graft_http_out3_").toString + "/r"
+      val resp3 = curl("-X", "POST",
+        "--data", s"""{"bindings":{"src":"$sfDir/region.parquet"},"out":"$out3"}""",
+        s"$base/run/teed")
+      assert(resp3.contains("\"rows\":1"), s"unexpected response: $resp3")
+      assert(new java.io.File(teeSink).exists(),
+        "served plan's tee sink must be written by the effects pass")
+      assert(spark.read.parquet(teeSink).count() == 5)
     } finally http.stop()
   }
 }

@@ -64,20 +64,22 @@ class StreamSpec extends SparkSpec {
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
     val input = MemoryStream[(Timestamp, String)]
+    // lateness allowance (30 min) > gap (10 min) so a late-but-accepted
+    // event can precede the open session by more than the gap
     val sessions = StreamOps.sessionize(input.toDF.toDF("ts", "k"),
-      tsCol = "ts", watermark = "1 minute", keyCol = "k",
+      tsCol = "ts", watermark = "30 minutes", keyCol = "k",
       gapSeconds = 600)
 
     val q = sessions.writeStream.format("memory")
       .queryName("sessions").outputMode("append").start()
     try {
-      // session 1: two events 60s apart, then a gap > 600s reopens
+      // session 1: two events 60s apart
       input.addData(
         (ts("2024-01-01 00:00:00"), "a"),
         (ts("2024-01-01 00:01:00"), "a"))
       q.processAllAvailable()
       // same key far past the gap: closes session 1 within the batch
-      input.addData((ts("2024-01-01 01:00:00"), "a"))
+      input.addData((ts("2024-01-01 02:00:00"), "a"))
       q.processAllAvailable()
       val closed = sp.sql(
         "SELECT key, session_start, session_end, n_events FROM sessions")
@@ -87,14 +89,26 @@ class StreamSpec extends SparkSpec {
         ts("2024-01-01 00:00:00").getTime / 1000,
         ts("2024-01-01 00:01:00").getTime / 1000, 2L)))
 
-      // watermark advance via another key: the open session times out
-      input.addData((ts("2024-01-01 03:00:00"), "z"))
+      // a late (within-watermark) event more than a gap BEFORE the open
+      // session must become its own singleton session, not be absorbed
+      // into a session it is nowhere near
+      input.addData((ts("2024-01-01 01:40:00"), "a"))
       q.processAllAvailable()
-      input.addData((ts("2024-01-01 03:00:01"), "z"))
+      val lateRows = sp.sql("SELECT session_start, session_end, n_events " +
+        "FROM sessions WHERE key = 'a' AND n_events = 1").collect()
+      assert(lateRows.exists(r =>
+        r.getLong(0) == ts("2024-01-01 01:40:00").getTime / 1000 &&
+          r.getLong(1) == r.getLong(0)),
+        "a far-before late event forms its own closed session")
+
+      // watermark advance via another key: the open session times out
+      input.addData((ts("2024-01-01 04:00:00"), "z"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 04:00:01"), "z"))
       q.processAllAvailable()
       val after = sp.sql("SELECT key, n_events FROM sessions " +
         "WHERE key = 'a'").collect()
-      assert(after.length == 2, "timeout must flush the open session")
+      assert(after.length == 3, "timeout must flush the open session")
     } finally q.stop()
   }
 

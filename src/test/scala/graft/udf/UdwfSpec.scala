@@ -48,6 +48,38 @@ class UdwfSpec extends SparkSpec {
       "groupByKey/flatMapGroups (whole-group object agg) must be gone")
   }
 
+  test("empty partitionBy is a GLOBAL window: one evaluation over all " +
+    "rows even when the input has many partitions") {
+    val sp = spark
+    import sp.implicits._
+    val globalRank = Udwf(
+      partitionBy = Nil, orderBy = Seq("v"),
+      outName = "rnk", outType = LongType,
+      evaluate = rows => rows.indices.map(i => (i + 1).toLong))
+    // 8 input partitions: an argless repartition() would round-robin
+    // and rank per-partition instead of globally
+    val df = sp.range(0, 1000, 1, 8).selectExpr("id * 37 % 9973 AS v")
+    val got = globalRank(df).agg(max("rnk"), count(lit(1))).collect()(0)
+    assert(got.getLong(0) == 1000L,
+      s"global rank must reach n=1000, got ${got.getLong(0)}")
+    assert(got.getLong(1) == 1000L)
+  }
+
+  test("array-typed partition keys group by CONTENT, not reference") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Array[Byte](1, 2), 10L), (Array[Byte](1, 2), 5L),
+      (Array[Byte](3, 4), 7L))
+      .toDF("k", "v")
+    val byBinary = Udwf(Seq("k"), Seq("v"), "rnk", LongType,
+      rows => rows.indices.map(i => (i + 1).toLong))
+    val out = byBinary(df).groupBy("k").agg(max("rnk")).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    assert(out == Map(Seq[Byte](1, 2) -> 2L, Seq[Byte](3, 4) -> 1L),
+      "equal binary keys must form one group")
+  }
+
   test("groups with equal keys across null order values stay intact") {
     val sp = spark
     import sp.implicits._
