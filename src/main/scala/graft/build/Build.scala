@@ -45,21 +45,15 @@ object Build {
 
   /** List available build hashes. */
   def list(buildsDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
     val d = Paths.get(buildsDir)
     if (!Files.exists(d)) Nil
     else {
       val s = Files.list(d)
-      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala.filter(p => Files.exists(p.resolve("plan.json")))
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("plan.json")))
         .map(_.getFileName.toString).toSeq.sorted
       finally s.close()
-    }
-  }
-
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
     }
   }
 }

@@ -62,7 +62,14 @@ object AsofJoin {
         leftCols.filterNot(on.contains).map(col) ++
         rightCols.map { case (_, out) => lit(null).as(out) }: _*)
 
+    // a right row with no timestamp can never be "at-or-before"
+    // anything — drop it, or nulls-first ordering would park it at the
+    // head of every frame where last(ignoreNulls) happily picks it up
+    // as a spurious match (review-caught). A left row with NULL time
+    // stays and comes out unmatched: it sorts before every real right
+    // row, so its backfill frame is empty.
     val rNorm = right
+      .filter(col(rightTime).isNotNull)
       .withColumn(t, col(rightTime))
       .withColumn(tag, lit(0))
       .select(on.map(col) ++ Seq(col(t), col(tag)) ++

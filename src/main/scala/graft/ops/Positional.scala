@@ -28,23 +28,16 @@ object Positional {
       rowNumCol: String = "rn"): DataFrame = {
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    // ONE RDD instance for both passes: Dataset.rdd is a lazy val, so
-    // the counts job materializes the range shuffle and the numbering
-    // job reuses those exact shuffle partitions (identical boundaries).
-    val rdd = sorted.rdd
-    val counts = rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        Iterator((i, it.size.toLong))
-      }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(1L)(_ + _) // 1-based
-    val spark = df.sparkSession
+    // zipWithIndex IS the two-pass shape (per-partition count job +
+    // offset-adjusted numbering pass) maintained by Spark core — the
+    // hand-rolled count/scanLeft/number version said the same thing in
+    // 12 lines (review simplification).
     val schema = sorted.schema.add(rowNumCol,
       org.apache.spark.sql.types.LongType)
-    val withRn = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var rn = offsets(i)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ rn); rn += 1; out }
-    }
-    spark.createDataFrame(withRn, schema)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1))
+      }, schema)
   }
 
   /** Positional join: pair the i-th row of `a` (under `aSort`) with the

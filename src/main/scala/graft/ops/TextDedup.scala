@@ -177,6 +177,12 @@ object TextDedup {
       k: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // bands > k would make every band key a constant (all docs become
+    // bucket-mates → the O(n^2) cross product this operator exists to
+    // avoid); a non-multiple silently weakens the s-curve by dropping
+    // trailing hashes (review-caught)
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands")
     val rowsPerBand = k / bands
     // narrow (id + k longs) and consumed by BOTH sides of the bucket
     // self-join — persist so the shingle/signature agg runs once
@@ -197,12 +203,15 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-verification sets ONLY for candidate docs (semi-join first):
     // collect_set never touches the full corpus
-    val candIds = cands.select(col("a_id").as("id"))
-      .union(cands.select(col("b_id").as("id"))).distinct()
+    // distinctly-named join column: an alias of "id" would be ambiguous
+    // whenever the caller's idCol is itself "id" (review-caught)
+    val candIds = cands.select(col("a_id").as("__cand_id"))
+      .union(cands.select(col("b_id"))).distinct()
     // candidates are rare by construction → broadcast the semi-join so
     // the corpus is filtered scan-side with no shuffle
     val sets = shingleSets(
-      docs.join(broadcast(candIds), col(idCol) === col("id"), "left_semi"),
+      docs.join(broadcast(candIds), col(idCol) === col("__cand_id"),
+        "left_semi"),
       idCol, textCol, shingleN)
     val verified = cands
       .join(sets.as("sa"), col("a_id") === col("sa.id"))

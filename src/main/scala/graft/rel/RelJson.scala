@@ -114,7 +114,11 @@ object RelJson {
         f("rows")(arr(rows) { row =>
           sb.append('[')
           row.zipWithIndex.foreach { case (cell, i) =>
-            if (i > 0) sb.append(','); s(cell, sb)
+            if (i > 0) sb.append(',')
+            // a null cell executes as SQL NULL in Lower — it must also
+            // serialize (as JSON null), or a runnable plan could not be
+            // hashed/built (review-caught NPE)
+            if (cell == null) sb.append("null") else s(cell, sb)
           }
           sb.append(']')
         })
@@ -159,7 +163,7 @@ object RelJson {
           sb.append(",\"frame\":")
           w.frame match {
             case Some(Frame(kind, st, en)) =>
-              sb.append("[\""); sb.append(kind); sb.append("\",")
+              sb.append('['); s(kind, sb); sb.append(',')
               sb.append(st).append(',').append(en).append(']')
             case None => sb.append("null")
           }
@@ -565,6 +569,10 @@ object RelJson {
             case 'n' => sb.append('\n')
             case 'r' => sb.append('\r')
             case 't' => sb.append('\t')
+            // parseAny reads EXTERNAL JSON (serve envelopes): the full
+            // standard escape set, not just what write() emits
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
             case 'u' =>
               sb.append(Integer.parseInt(in.substring(i + 1, i + 5), 16).toChar)
               i += 4

@@ -29,6 +29,28 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.getAs[Int]("matched_time") == 20)
   }
 
+  test("NULL timestamps never match: null-time right rows are ignored, " +
+    "null-time left rows come out unmatched") {
+    val sp = spark
+    import sp.implicits._
+    // right has a null-time row with a juicy payload; nulls-first
+    // ordering used to park it at the head of every frame where
+    // last(ignoreNulls) picked it up as a spurious match
+    val left = Seq((1, Option(5), 1.0), (1, None: Option[Int], 2.0))
+      .toDF("user_id", "t", "x")
+    val right = Seq((1, None: Option[Int], 99.0), (1, Option(50), 7.0))
+      .toDF("user_id", "t", "v")
+    val out = AsofJoin.backward(left, right, Seq("user_id"), "t", "t",
+      Seq("v" -> "mv")).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Any]("mv") == null &&
+        r.getAs[Any]("matched_time") == null,
+        s"no legitimate match exists for $r (t=5 precedes t=50; " +
+          "null-time rows must never pair)")
+    }
+  }
+
   test("out-of-tolerance rows are fully unmatched: matched_time is " +
     "nulled too (r1 ADVICE regression)") {
     val left = df(Seq((1, 100, 1.0)), ("user_id", "t", "x"))

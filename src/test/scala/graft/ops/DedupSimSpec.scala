@@ -60,6 +60,25 @@ class DedupSimSpec extends SparkSpec {
     assert(r4 >= 0.8, s"4-table recall contract: got $r4")
   }
 
+  test("dedup guards: bands must divide k; idCol named 'id' works") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"))
+      .toDF("id", "text")
+    // bands > k would bucket EVERYTHING together (silent O(n^2))
+    intercept[IllegalArgumentException] {
+      TextDedup.minhashDedupPairs(d, "id", "text", k = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.minhashDedupPairs(d, "id", "text", k = 20, bands = 16)
+    }
+    // the most natural id-column name must not be an ambiguous join
+    val pairs = TextDedup.minhashDedupPairs(d, "id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("jaccard is exact on known sets") {
     val sp = spark
     import sp.implicits._

@@ -94,4 +94,19 @@ class RelJsonSpec extends AnyFunSuite {
       Seq("t" -> ScanParquet("/d/weird \"name\".parquet")))
     assert(RelJson.parse(RelJson.write(p)) == p)
   }
+
+  test("InMemory null cells serialize (a runnable plan must hash)") {
+    val p = InMemory(Seq("a" -> "INT", "b" -> "STRING"),
+      Seq(Seq("1", null), Seq(null, "x")))
+    assert(RelJson.parse(RelJson.write(p)) == p)
+    assert(RelHash.buildHash(p).length == 64)
+  }
+
+  test("parseAny handles the full standard escape set (external " +
+    "serve envelopes)") {
+    val m = RelJson.parseAny("""{"s":"a\b\f\n\tA","n":3,"x":null}""")
+      .asInstanceOf[Map[String, Any]]
+    assert(m("s") == "a\b\f\n\tA")
+    assert(m("n") == 3L && m("x") == null)
+  }
 }
