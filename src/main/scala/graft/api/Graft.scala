@@ -73,7 +73,10 @@ final class GraftSession(
     GraftTable(InMemory(columns, rows), this)
 
   def bind(more: (String, DataFrame)*): GraftSession =
-    new GraftSession(spark, bindings ++ more, storages)
+    // carry EVERY config forward — dropping exchangeRoots/functions
+    // here silently reset the catalog on bound sessions (review-caught)
+    new GraftSession(spark, bindings ++ more, storages, exchangeRoots,
+      functions)
 
   def load(buildsDir: String, hash: String): GraftTable =
     GraftTable(Build.load(buildsDir, hash), this)

@@ -1,6 +1,6 @@
 package graft.ml
 
-import graft.rel.{LinRegSpec, ScaleSpec, StepSpec}
+import graft.rel.{LinRegSpec, MinMaxSpec, ScaleSpec, StepSpec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,11 +27,13 @@ object DeferredMl {
     * column prefix. */
   def stepName(s: StepSpec, i: Int): String = s match {
     case ScaleSpec(in, out) => s"$i:scale($in->$out)"
+    case MinMaxSpec(in, out) => s"$i:minmax($in->$out)"
     case LinRegSpec(x, y, out) => s"$i:linreg($y~$x->$out)"
   }
 
   private def paramNames(s: StepSpec): Seq[String] = s match {
     case _: ScaleSpec => Seq("mu", "sigma")
+    case _: MinMaxSpec => Seq("min", "max")
     case _: LinRegSpec => Seq("slope", "intercept")
   }
 
@@ -43,17 +45,31 @@ object DeferredMl {
       case ScaleSpec(in, _) => df.agg(
         avg(col(in)).as(pcol(i, "mu")),
         stddev_samp(col(in)).as(pcol(i, "sigma")))
+      case MinMaxSpec(in, _) => df.agg(
+        min(col(in)).cast("double").as(pcol(i, "min")),
+        max(col(in)).cast("double").as(pcol(i, "max")))
       case LinRegSpec(x, y, _) => df.agg(
         expr(s"regr_slope($y, $x)").as(pcol(i, "slope")),
         expr(s"regr_intercept($y, $x)").as(pcol(i, "intercept")))
     }
 
   /** Add step `i`'s output column, reading params from the broadcast
-    * param columns already joined into `df`. */
+    * param columns already joined into `df`. Degenerate denominators
+    * follow the sklearn conventions [[Pipeline]] uses: zero/NaN sigma
+    * and zero min-max range scale by 1, so constant columns center
+    * instead of dissolving into NULLs. */
   private def applyStep(df: DataFrame, s: StepSpec, i: Int): DataFrame =
     s match {
       case ScaleSpec(in, out) =>
-        df.withColumn(out, (col(in) - col(pcol(i, "mu"))) / col(pcol(i, "sigma")))
+        val sig = col(pcol(i, "sigma"))
+        val safe = when(sig.isNull || sig === 0.0 || isnan(sig), lit(1.0))
+          .otherwise(sig)
+        df.withColumn(out, (col(in) - col(pcol(i, "mu"))) / safe)
+      case MinMaxSpec(in, out) =>
+        val range = col(pcol(i, "max")) - col(pcol(i, "min"))
+        val safe = when(range.isNull || range === 0.0, lit(1.0))
+          .otherwise(range)
+        df.withColumn(out, (col(in) - col(pcol(i, "min"))) / safe)
       case LinRegSpec(x, _, out) =>
         df.withColumn(out,
           col(pcol(i, "intercept")) + col(pcol(i, "slope")) * col(x))

@@ -28,13 +28,21 @@ trait FittedStep {
   def transform(df: DataFrame): DataFrame
 }
 
-/** z-score scaling of `in` → `out` (sklearn StandardScaler analog). */
+/** z-score scaling of `in` → `out` (sklearn StandardScaler analog,
+  * including its zero-variance convention: sigma 0/NaN → 1, so a
+  * constant column passes through centered instead of dissolving into
+  * NULLs via a divide-by-zero). */
 final case class StandardScaler(in: String, out: String) extends Step {
   def name = s"scale($in)"
   def fit(df: DataFrame): FittedStep = {
-    val r = df.agg(avg(col(in)).as("mu"),
+    val r = df.agg(count(col(in)).as("n"), avg(col(in)).as("mu"),
       stddev_samp(col(in)).as("sigma")).collect()(0)
-    FittedScaler(name, in, out, r.getDouble(0), r.getDouble(1))
+    require(r.getLong(0) > 0,
+      s"$name: cannot fit on an empty or all-null column")
+    val sigmaRaw = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+    val sigma =
+      if (sigmaRaw == 0.0 || sigmaRaw.isNaN) 1.0 else sigmaRaw
+    FittedScaler(name, in, out, r.getDouble(1), sigma)
   }
 }
 
@@ -53,9 +61,14 @@ final case class LinearRegression(x: String, y: String, out: String)
     extends Step {
   def name = s"linreg($y~$x)"
   def fit(df: DataFrame): FittedStep = {
+    // backquoted: every other step goes through col() and survives
+    // spaces/hyphens in names; raw splicing parse-failed (review)
     val r = df.agg(
-      expr(s"regr_slope($y, $x)").as("slope"),
-      expr(s"regr_intercept($y, $x)").as("intercept")).collect()(0)
+      expr(s"regr_slope(`$y`, `$x`)").as("slope"),
+      expr(s"regr_intercept(`$y`, `$x`)").as("intercept")).collect()(0)
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"$name: regression undefined — constant `$x` or no non-null " +
+        "(y, x) pairs in the training frame")
     FittedLinReg(name, x, out, r.getDouble(0), r.getDouble(1))
   }
 }
@@ -125,16 +138,22 @@ object CrossVal {
       k: Int,
       seed: Long = 42L,
       portable: Boolean = false): Seq[(Int, Double)] = {
+    // persisted: every fold runs one fit-collect per step plus the
+    // scoring aggregate — without this the full input lineage (scan +
+    // fold hashing) re-executes ~3k times (review-caught)
     val tagged = df.withColumn("__fold",
       if (portable) Splits.bucketMd5(keys.map(col), k, seed)
       else Splits.bucketFast(keys.map(col), k, seed))
-    (0 until k).map { i =>
-      val train = tagged.filter(col("__fold") =!= i)
-      val test = tagged.filter(col("__fold") === i)
-      val fitted = pipeline.fit(train)
-      val scored = fitted.transform(test)
-      val m = Metrics.mse(scored, y, pred).collect()(0).getDouble(0)
-      (i, m)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until k).map { i =>
+        val train = tagged.filter(col("__fold") =!= i)
+        val test = tagged.filter(col("__fold") === i)
+        val fitted = pipeline.fit(train)
+        val scored = fitted.transform(test)
+        val m = Metrics.mse(scored, y, pred).collect()(0).getDouble(0)
+        (i, m)
+      }
+    } finally tagged.unpersist(false)
   }
 }

@@ -42,7 +42,10 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        // a NULL payload is an empty medium, not a task-killing NPE
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
         val n = bytes.length.toLong
         Decoded(
           doc_id = id,

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * aggregate, then combines partials in a cheap FINAL aggregate over
   * `saltBuckets` rows per key.
   *
-  * The salt is deterministic (hash of the whole row), so results are
-  * stable across runs. Joins don't need this utility — AQE's skew-join
-  * splitting handles them (`spark.sql.adaptive.skewJoin`).
+  * The salt is a per-row counter mod `saltBuckets` — NOT a hash of the
+  * row content: a content hash sends fully-duplicate rows (replayed
+  * events, the classic hot-key shape) to ONE salt bucket, defeating the
+  * mitigation exactly when it matters (review-caught). The final
+  * aggregate is salt-independent, so the output is identical either
+  * way. Joins don't need this utility — AQE's skew-join splitting
+  * handles them (`spark.sql.adaptive.skewJoin`).
   */
 object Skew {
 
@@ -35,8 +39,10 @@ object Skew {
       keys: Seq[String],
       aggs: Seq[TwoPhase],
       saltBuckets: Int = 32): DataFrame = {
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    require(saltBuckets >= 1, s"saltBuckets=$saltBuckets must be >= 1")
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)

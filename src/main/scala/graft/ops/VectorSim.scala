@@ -28,11 +28,16 @@ object VectorSim {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
 
-  /** Cosine similarity (inputs cast to double element-wise). */
+  /** Cosine similarity (inputs cast to double element-wise). NULL for
+    * ragged lengths and zero-norm vectors: under Spark's default ANSI
+    * mode a zero denominator otherwise THROWS DIVIDE_BY_ZERO mid-job,
+    * and a NaN would rank above every real cosine. */
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, _.cast("double"))
     val bd = transform(b, _.cast("double"))
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    val den = norm(ad) * norm(bd)
+    when(size(ad) =!= size(bd) || den === 0.0, lit(null).cast("double"))
+      .otherwise(dot(ad, bd) / den)
   }
 
   /** Cosine via the native codegen expression when requested

@@ -337,6 +337,8 @@ final case class UdwfRel(
 sealed trait StepSpec extends Product with Serializable
 /** z-score scale `in` → `out` (params mu, sigma). */
 final case class ScaleSpec(in: String, out: String) extends StepSpec
+/** min-max scale `in` → `out` into [0, 1] (params min, max). */
+final case class MinMaxSpec(in: String, out: String) extends StepSpec
 /** closed-form linear regression `y ~ x` → `out` (params slope,
   * intercept). */
 final case class LinRegSpec(x: String, y: String, out: String)

@@ -70,6 +70,9 @@ object RelJson {
       case ScaleSpec(in, out) =>
         sb.append("[\"scale\","); s(in, sb); sb.append(',')
         s(out, sb); sb.append(']')
+      case MinMaxSpec(in, out) =>
+        sb.append("[\"minmax\","); s(in, sb); sb.append(',')
+        s(out, sb); sb.append(']')
       case LinRegSpec(x, y, out) =>
         sb.append("[\"linreg\","); s(x, sb); sb.append(',')
         s(y, sb); sb.append(','); s(out, sb); sb.append(']')
@@ -291,6 +294,14 @@ object RelJson {
     * transport's request envelopes). */
   def parseAny(json: String): Any = new P(json).any()
 
+  /** The canonical JSON string escaping, quoted — shared by every
+    * graft JSON producer so a value serializes identically everywhere. */
+  def escape(v: String): String = {
+    val sb = new StringBuilder
+    s(v, sb)
+    sb.toString
+  }
+
   /** Minimal recursive-descent JSON reader specialized to the canonical
     * shapes produced by [[write]]. */
   private final class P(in: String) {
@@ -461,6 +472,7 @@ object RelJson {
       val p = v.asInstanceOf[List[Any]].map(_.asInstanceOf[String])
       p.head match {
         case "scale" => ScaleSpec(p(1), p(2))
+        case "minmax" => MinMaxSpec(p(1), p(2))
         case "linreg" => LinRegSpec(p(1), p(2), p(3))
         case other => throw new IllegalArgumentException(s"bad step $other")
       }

@@ -71,29 +71,25 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def q(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  private def q(s: String): String = RelJson.escape(s)
 
   private def handler(f: (HttpExchange, String) => (Int, String)): HttpHandler =
-    (ex: HttpExchange) => {
+    (ex: HttpExchange) => try {
+      // NonFatal → error envelope (caller faults 400, server faults
+      // 500); the outer finally closes the exchange even on a fatal
+      // Error, so the client never hangs on a silent dead socket
+      // (review-caught: an Exception-only catch leaked the exchange)
       val (code, resp) =
         try f(ex, new String(ex.getRequestBody.readAllBytes(), UTF_8))
         catch {
-          case e: Exception =>
+          case e: IllegalArgumentException =>
             (400, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+          case scala.util.control.NonFatal(e) =>
+            (500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
         }
       val bytes = resp.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
       ex.getResponseBody.write(bytes)
-      ex.close()
-    }
+    } finally ex.close()
 }

@@ -85,6 +85,20 @@ class GraftApiSpec extends SparkSpec {
     assert(RelHash.buildHash(loaded.rel) == art.hash)
   }
 
+  test("bind() carries the function catalog and exchange roots forward") {
+    val g = new GraftSession(spark,
+      functions = graft.udf.Builtins.catalog)
+    val bound = g.bind("docs" ->
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    // the udxf must still resolve on the bound session (a rebuilt
+    // session that dropped `functions` threw 'not registered')
+    val t = bound.table("docs")
+      .select("doc_id" -> c("doc_id"), "text" -> c("text"))
+      .applyUdxf("doc_stats")
+    assert(t.schema.fieldNames.contains("n_tokens"))
+    assert(t.execute().count() > 0)
+  }
+
   test("tee writes its sink exactly once per execute(), never during " +
     "fluent construction") {
     val g = session

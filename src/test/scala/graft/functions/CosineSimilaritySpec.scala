@@ -25,6 +25,25 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native cosine is NULL for ragged lengths and zero-norm vectors " +
+    "— matching the HOF path (no NaN ranking poison)") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |   array(CAST(1.0 AS FLOAT))),
+        |  (array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |   array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))
+        |AS t(a, b)""".stripMargin)
+    val rows = df.select(expr("graft_cosine(a, b)").as("native"),
+      VectorSim.cosine(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0),
+        s"native must be NULL for degenerate inputs, got ${r.get(0)}")
+      assert(r.isNullAt(1), "HOF reference must agree (NULL)")
+    }
+  }
+
   test("native cosine rejects non-float-array inputs at analysis") {
     GraftFunctions.register(spark)
     val bad = spark.range(1).selectExpr("array(1, 2) AS a", "array(3, 4) AS b")

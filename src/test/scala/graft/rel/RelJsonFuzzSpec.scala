@@ -151,6 +151,7 @@ class RelJsonFuzzSpec extends AnyFunSuite {
 
   private def genStep: Gen[StepSpec] = Gen.oneOf(
     Gen.zip(nastyString, nastyString).map { case (i, o) => ScaleSpec(i, o) },
+    Gen.zip(nastyString, nastyString).map { case (i, o) => MinMaxSpec(i, o) },
     Gen.zip(nastyString, nastyString, nastyString)
       .map { case (x, y, o) => LinRegSpec(x, y, o) })
 

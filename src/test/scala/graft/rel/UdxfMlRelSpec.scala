@@ -56,6 +56,21 @@ class UdxfMlRelSpec extends SparkSpec {
     }
   }
 
+  test("MinMaxSpec scales into [0,1] and chains with linreg") {
+    val mmSteps = Seq(MinMaxSpec("l_quantity", "qn"),
+      LinRegSpec("qn", "l_extendedprice", "pred"))
+    val out = new Lower(spark)
+      .lower(TransformRel(li, FitRel(li, mmSteps), mmSteps))
+    val r = out.agg(org.apache.spark.sql.functions.min("qn"),
+      org.apache.spark.sql.functions.max("qn"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 0.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(RelJson.parse(RelJson.write(FitRel(li, mmSteps))) ==
+      FitRel(li, mmSteps))
+  }
+
   test("a model is a relation: Cache(FitRel) hits on the second " +
     "execute and the transform reads the artifact") {
     val root = Files.createTempDirectory("graft_model_cache_").toString
