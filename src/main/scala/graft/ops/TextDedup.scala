@@ -81,8 +81,9 @@ object TextDedup {
     * as one shingle (same fallback as [[wordShingles]]; `concat_ws`
     * skips the null leads, so the pos-0 row IS that shingle) — without
     * it, short docs had zero shingles and silently vanished from dedup
-    * (ADVICE r2). The token count rides the same id-partitioned window
-    * exchange. */
+    * (ADVICE r2). The fallback is free: keeping every pos-0 row covers
+    * exactly the short docs (a long doc's pos-0 row is a full shingle
+    * anyway), with no extra window pass. */
   def shingleRows(
       docs: DataFrame,
       idCol: String,
@@ -94,15 +95,13 @@ object TextDedup {
         posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .toDF("id", "pos", "tok")
     val w = Window.partitionBy("id").orderBy("pos")
-    val wAll = Window.partitionBy("id")
     val leads = col("tok") +:
       (1 until shingleN).map(j => lead(col("tok"), j).over(w))
     tokRows
       .select(col("id"), leads.last.isNotNull.as("full"),
-        (count(lit(1)).over(wAll) < shingleN && col("pos") === 0)
-          .as("shortDoc"),
+        col("pos"),
         concat_ws(" ", leads: _*).as("shingle"))
-      .filter(col("full") || col("shortDoc"))
+      .filter(col("full") || col("pos") === 0)
       .select("id", "shingle")
   }
 
