@@ -64,6 +64,12 @@ object Bench {
           failed ::= d.name
           (-1.0, -1.0)
         }
+      // drop every persist the query left behind: shared-session cache
+      // residue made r3's warm deltas untrustworthy ("already cached"
+      // warnings + ±40% drift on untouched queries — VERDICT r3 #5).
+      // Each query now starts from a clean cache; its own persists still
+      // serve its warm run (cleared only after both runs).
+      spark.catalog.clearCache()
       (d.name, cold, warm)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

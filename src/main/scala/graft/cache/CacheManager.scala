@@ -136,12 +136,16 @@ final class CacheManager(
       case Exchange(input, target) if target != "session" =>
         // `session` stays a Lower-level localCheckpoint (explicitly
         // non-durable); every named target is a durable write-read
-        // barrier. Key = content hash of the ORIGINAL subtree + (when
-        // the leaves are file-backed) the mtime source token, so a
-        // changed source file yields a new artifact instead of silently
-        // serving stale rows; plans whose leaves cannot be
-        // fingerprinted fall back to content-hash-only (write-once,
-        // snapshot semantics — documented).
+        // barrier. Key = content hash of the ORIGINAL subtree + the
+        // mtime source token of its file-backed leaves, so a changed
+        // source file yields a new artifact instead of silently serving
+        // stale rows. Plans whose leaves CANNOT be fingerprinted
+        // (UnboundTable / SqlView / ReadJdbc) are rejected like the
+        // mtime cache strategy rejects them — a silent content-hash-only
+        // fallback would reuse the first-written artifact forever across
+        // sessions after the binding's data changed (ADVICE r3). The
+        // explicit opt-in is a `snapshot+` target prefix: write-once
+        // semantics keyed on content hash alone, stated in the name.
         // apply(), not getOrElse: the session passes a Map.withDefault
         // that derives a root for unlisted targets
         val root = try exchanges(target) catch {
@@ -153,8 +157,17 @@ final class CacheManager(
                 "\"session\" for a non-durable in-session barrier)")
         }
         val base = RelHash.cacheHash(input)
-        val k = try RelHash.sha256(base + "|" + sourceToken(input))
-          catch { case _: IllegalArgumentException => base }
+        val k =
+          if (target.startsWith("snapshot+")) base
+          else try RelHash.sha256(base + "|" + sourceToken(input))
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"exchange target '$target' cannot fingerprint its " +
+                  s"sources (${e.getMessage}); use target \"session\" " +
+                  "for a non-durable barrier, or opt into write-once " +
+                  s"snapshot semantics with target \"snapshot+$target\"")
+          }
         val dest = s"$root/$k"
         val success = new Path(dest, "_SUCCESS")
         val fs = FileSystem.get(success.toUri,

@@ -48,9 +48,11 @@ object DeferredMl {
       case MinMaxSpec(in, _) => df.agg(
         min(col(in)).cast("double").as(pcol(i, "min")),
         max(col(in)).cast("double").as(pcol(i, "max")))
+      // backquoted like Pipeline.LinearRegression: raw splicing
+      // parse-fails on names with spaces/hyphens (ADVICE r3)
       case LinRegSpec(x, y, _) => df.agg(
-        expr(s"regr_slope($y, $x)").as(pcol(i, "slope")),
-        expr(s"regr_intercept($y, $x)").as(pcol(i, "intercept")))
+        expr(s"regr_slope(`$y`, `$x`)").as(pcol(i, "slope")),
+        expr(s"regr_intercept(`$y`, `$x`)").as(pcol(i, "intercept")))
     }
 
   /** Add step `i`'s output column, reading params from the broadcast

@@ -104,7 +104,23 @@ final case class ReadJdbc(
     "ReadJdbc: credentials must not be embedded in the plan; " +
       "set GRAFT_JDBC_USER / GRAFT_JDBC_PASSWORD in the session " +
       "environment instead")
+  // the URL itself is the other leak path (ADVICE r3): both the
+  // query-param form (…?user=x&password=y) and the authority form
+  // (jdbc:…://user:pass@host/db) would serialize into plan JSON,
+  // build hashes, artifacts, and GET /plan/<name>.
+  require(!ReadJdbc.urlCredQuery.matcher(url).find() &&
+    !ReadJdbc.urlCredAuthority.matcher(url).find(),
+    "ReadJdbc: the JDBC URL embeds credentials (password=/secret=/" +
+      "token= query param or user:pass@host authority); strip them " +
+      "from the URL and use GRAFT_JDBC_USER / GRAFT_JDBC_PASSWORD")
   def children: Seq[Rel] = Nil
+}
+
+object ReadJdbc {
+  private[rel] val urlCredQuery = java.util.regex.Pattern.compile(
+    "(?i)[?&;](password|passwd|pwd|secret|token)=")
+  private[rel] val urlCredAuthority = java.util.regex.Pattern.compile(
+    "//[^/@\\s]+:[^/@\\s]+@")
 }
 
 /** Deferred CSV read with explicit options (defer_utils.py:147). */

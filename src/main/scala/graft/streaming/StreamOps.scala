@@ -85,11 +85,19 @@ object StreamOps {
                 case Some((s, e, n))
                     if t >= s - gapSeconds && t <= e + gapSeconds =>
                   Some((math.min(s, t), math.max(e, t), n + 1))
-                // entirely before the open session: a late singleton
-                // session of its own, closed immediately (no future
-                // event can be nearer to it than this batch's)
+                // entirely before the open session: a LATE session of
+                // its own. Within the batch ts are ascending, so late
+                // events form a prefix and the most recently closed
+                // late session is `closed.head` — merge into it when
+                // within gap (ADVICE r3: two late events 50, 55 with
+                // gap 10 are ONE 2-event session, not two singletons),
+                // else start a new late singleton.
                 case Some((s, e, n)) if t < s - gapSeconds =>
-                  closed ::= (key, t, t, 1L)
+                  closed = closed match {
+                    case (k0, ls, le, ln) :: rest if t <= le + gapSeconds =>
+                      (k0, ls, math.max(le, t), ln + 1) :: rest
+                    case _ => (key, t, t, 1L) :: closed
+                  }
                   Some((s, e, n))
                 // past the gap after the open session: close it
                 case Some((s, e, n)) =>

@@ -104,6 +104,17 @@ final case class Udwf(
       case a: Array[_] => a.toSeq.map(norm)
       case s: scala.collection.Seq[_] => s.map(norm)
       case r: Row => r.toSeq.map(norm)
+      // compare floating keys by canonical BITS, not boxed equality:
+      // Spark's repartition/sort put 0.0 with -0.0 and NaN with NaN in
+      // one group, while boxed comparison can split them (ADVICE r3).
+      // doubleToLongBits canonicalizes every NaN; zeros are unified
+      // first. The normalized key is only ever used for equality.
+      case d: java.lang.Double =>
+        java.lang.Double.doubleToLongBits(
+          if (d.doubleValue() == 0.0) 0.0 else d.doubleValue())
+      case f: java.lang.Float =>
+        java.lang.Float.floatToIntBits(
+          if (f.floatValue() == 0.0f) 0.0f else f.floatValue())
       case other => other
     }
     def keyOf(r: Row): Seq[Any] = pIdx.map(i => norm(r.get(i)))

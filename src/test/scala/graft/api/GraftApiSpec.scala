@@ -136,12 +136,24 @@ class GraftApiSpec extends SparkSpec {
         "ts" -> c("ts"))
     val signups = g.table("ev")
       .filter(c("event_type") === L("signup"))
-    val joined = clicks
+    // an UnboundTable leaf cannot be mtime-fingerprinted: a bare named
+    // target must REJECT (a silent content-hash key would serve the
+    // first-written artifact forever after a rebind — ADVICE r3)…
+    val joinedBare = clicks
       .asofJoin(signups, Seq("user_id"), "ts", "ts",
         Seq("value" -> "signup_value"))
       .intoCatalog("warehouse")
       .limit(10)
-    assert(joined.schema.fieldNames.contains("signup_value"))
+    assert(joinedBare.schema.fieldNames.contains("signup_value"))
+    val err = intercept[IllegalArgumentException](joinedBare.execute())
+    assert(err.getMessage.contains("snapshot+"))
+
+    // …and the `snapshot+` prefix is the explicit write-once opt-in
+    val joined = clicks
+      .asofJoin(signups, Seq("user_id"), "ts", "ts",
+        Seq("value" -> "signup_value"))
+      .intoCatalog("snapshot+warehouse")
+      .limit(10)
     assert(joined.execute().collect().length == 10)
   }
 }

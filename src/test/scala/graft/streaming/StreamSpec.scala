@@ -112,6 +112,37 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("consecutive late events within gap of each other form ONE " +
+    "session, not per-event singletons") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = StreamOps.sessionize(input.toDF.toDF("ts", "k"),
+      tsCol = "ts", watermark = "30 minutes", keyCol = "k",
+      gapSeconds = 600)
+    val q = sessions.writeStream.format("memory")
+      .queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 02:00:00"), "a"))
+      q.processAllAvailable()
+      // both events precede the open session by more than the gap, but
+      // are within gap of EACH OTHER: one 2-event late session
+      // (ADVICE r3: the per-event-singleton emission was wrong)
+      input.addData(
+        (ts("2024-01-01 01:35:00"), "a"),
+        (ts("2024-01-01 01:40:00"), "a"))
+      q.processAllAvailable()
+      val late = sp.sql("SELECT session_start, session_end, n_events " +
+        "FROM late_sessions WHERE key = 'a'").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(late.toSeq == Seq((
+        ts("2024-01-01 01:35:00").getTime / 1000,
+        ts("2024-01-01 01:40:00").getTime / 1000, 2L)),
+        s"expected one merged late session, got ${late.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps per-key running counts across batches") {
     val sp = spark
     import sp.implicits._

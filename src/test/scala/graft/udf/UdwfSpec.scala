@@ -80,6 +80,22 @@ class UdwfSpec extends SparkSpec {
       "equal binary keys must form one group")
   }
 
+  test("a double partition key containing 0.0 and -0.0 stays ONE group " +
+    "(Spark groups them together; boxed comparison must not split)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L),
+      (Double.NaN, 4L), (1.5, 5L)).toDF("k", "v")
+    val byDouble = Udwf(Seq("k"), Seq("v"), "rnk", LongType,
+      rows => rows.indices.map(i => (i + 1).toLong))
+    val out = byDouble(df).groupBy("k").agg(max("rnk")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    // three logical groups: {0.0, -0.0}, {NaN, NaN}, {1.5}
+    assert(out.length == 3, s"expected 3 groups, got ${out.toSeq}")
+    assert(out.collect { case (k, n) if k == 0.0 => n }.toSeq == Seq(2L))
+    assert(out.collect { case (k, n) if k.isNaN => n }.toSeq == Seq(2L))
+  }
+
   test("groups with equal keys across null order values stay intact") {
     val sp = spark
     import sp.implicits._
