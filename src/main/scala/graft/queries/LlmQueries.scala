@@ -288,10 +288,8 @@ object LlmQueries {
     // Embedding-cosine near-dup: duplicate pairs by embedding
     // similarity (the semantic-dedup face of the MinHash pipeline).
     // Exact-pair contract vs the DuckDB oracle at sf0.01 (125k pairs —
-    // the oracle regime); at corpus scale candidates come from the
-    // multi-table LSH buckets (VectorSim.topKAnn's bucketing) instead
-    // of the a<b cross join, trading the checked-exact answer for the
-    // recall-bounded one measured in sim_ann_lsh.
+    // this a<b join IS the oracle regime); dedup_embedding_lsh below is
+    // the corpus-scale path — LSH-bucketed candidates, same oracle.
     q("dedup_embedding",
       """WITH p AS (SELECT a.vec_id a_id, b.vec_id b_id,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cos
@@ -308,6 +306,29 @@ object LlmQueries {
           VectorSim.cosineExpr(col("a_vec"), col("b_vec"),
             native = true).as("cos"))
         .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), r6(col("cos")).as("cos"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // The SCALE PATH of the query above, under the SAME oracle: LSH
+    // buckets generate candidates through a plain (t, bucket) equi-join
+    // — no broadcast, no a<b cross product — and exact cosine verifies
+    // only the candidates. The (4 planes × 8 tables × Hamming-2) config
+    // is chosen so recall is exact even at the oracle's cos≥0.4 regime
+    // (per-pair miss ~5e-7); real corpus runs at cos≥0.9 would use more
+    // planes and fewer tables (see VectorSim.embeddingDedupPairs).
+    q("dedup_embedding_lsh",
+      """WITH p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, round(cos + 1e-9, 6) AS cos
+        |FROM p WHERE cos >= 0.4 ORDER BY a_id, b_id""",
+      bench = true) { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      VectorSim.embeddingDedupPairs(
+          c.embeddings.select(col("vec_id").as("id"),
+            col("embedding").as("vec")),
+          threshold = 0.4, native = true)
         .select(col("a_id"), col("b_id"), r6(col("cos")).as("cos"))
         .orderBy("a_id", "b_id")
     },

@@ -60,6 +60,36 @@ class DedupSimSpec extends SparkSpec {
     assert(r4 >= 0.8, s"4-table recall contract: got $r4")
   }
 
+  test("embeddingDedupPairs (LSH self-join, no broadcast) equals the " +
+    "brute-force pair set, and topKAnn's shuffle path equals its " +
+    "broadcast path") {
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val brute = emb.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"))
+      .join(emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_vec")), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        VectorSim.cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorSim.embeddingDedupPairs(corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute,
+      s"missed: ${brute.diff(lsh)}; extra: ${lsh.diff(brute)}")
+
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val full = emb.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_vec"))
+    def ann(bcast: Boolean) = VectorSim.topKAnn(queries, full, 3,
+        planes = 6, probeHamming = 2, tables = 4, broadcastProbes = bcast)
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ann(bcast = false) == ann(bcast = true),
+      "shuffle-join and broadcast-join ANN must agree exactly")
+  }
+
   test("dedup guards: bands must divide k; idCol named 'id' works") {
     val sp = spark
     import sp.implicits._
