@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deferred sklearn-style pipeline (ref expr/ml/pipeline_lib.py:
@@ -111,6 +111,59 @@ object Metrics {
 
   def mae(df: DataFrame, y: String, pred: String): DataFrame =
     df.agg(avg(abs(col(y) - col(pred))).as("mae"))
+
+  /** Binary-classification counts-derived metrics in ONE aggregate pass
+    * (ref metrics.py:513-669): accuracy, precision, recall, f1 over an
+    * integer 0/1 label and 0/1 prediction. Degenerate denominators
+    * (no predicted / no actual positives) yield NULL, not a crash. */
+  def classification(df: DataFrame, y: String, pred: String): DataFrame = {
+    def n(yv: Int, pv: Int) =
+      sum(when(col(y) === yv && col(pred) === pv, 1L).otherwise(0L))
+    val counts = df.agg(n(1, 1).as("tp"), n(0, 1).as("fp"),
+      n(1, 0).as("fn"), n(0, 0).as("tn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den)
+    counts.select(
+      ratio(col("tp") + col("tn"),
+        col("tp") + col("tn") + col("fp") + col("fn")).as("accuracy"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"))
+      .withColumn("f1",
+        when(col("precision").isNull || col("recall").isNull ||
+          col("precision") + col("recall") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
+  /** ROC AUC via the rank-sum (Mann–Whitney) identity with midranks —
+    * exactly the trapezoid-over-the-curve value with ties handled (the
+    * reference's deferred_roc_auc builds the curve; the identity needs
+    * no curve materialization). Shape: groupBy(score) collapses the
+    * input to DISTINCT scores (one map-side-combined shuffle), the
+    * ordered cumulative window then runs over that small grouped
+    * relation — for quantized/bucketed scores (the common case) this is
+    * thousands of rows regardless of input size; a continuous-score
+    * corpus should quantize first, as the curve itself would require. */
+  def rocAuc(df: DataFrame, y: String, score: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(score).as("__sc"))
+      .agg(count(lit(1)).as("__n"), sum(col(y)).as("__np"))
+    val w = Window.orderBy("__sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("__cum",
+      coalesce(sum(col("__n")).over(w), lit(0L)))
+    ranked.agg(
+      sum(col("__np") * (col("__cum") + (col("__n") + 1) / lit(2.0)))
+        .as("__rpos"),
+      sum(col("__np")).as("__p"), sum(col("__n")).as("__tot"))
+      .select(
+        when(col("__p") === 0 || col("__tot") === col("__p"),
+          lit(null).cast("double"))
+          .otherwise((col("__rpos") - col("__p") * (col("__p") + 1) / 2.0)
+            / (col("__p") * (col("__tot") - col("__p")))).as("auc"))
+  }
 
   /** mse + mae + r2 in one pass (single aggregate). */
   def regression(df: DataFrame, y: String, pred: String): DataFrame = {

@@ -93,6 +93,50 @@ object MlQueries {
           r6(col("r2")).as("r2"))
     },
 
+    // Classification metrics (metrics.py:513-669): accuracy/precision/
+    // recall/f1 from one counts aggregate; ROC AUC via the rank-sum
+    // identity with midranks (≡ trapezoid with ties) over the grouped
+    // distinct-score relation. Label: returned lineitems; prediction:
+    // a quantity threshold; score: the discount lattice (11 values).
+    q("ml_metrics_cls",
+      """WITH s AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y,
+        |                  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END p,
+        |                  l_discount sc FROM lineitem),
+        |c AS (SELECT sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT tp,
+        |             sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT fp,
+        |             sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT fn,
+        |             sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT tn
+        |      FROM s),
+        |m AS (SELECT (tp + tn)::DOUBLE / (tp + tn + fp + fn) acc,
+        |             tp::DOUBLE / (tp + fp) prec, tp::DOUBLE / (tp + fn) rec
+        |      FROM c),
+        |g AS (SELECT sc, count(*) n, sum(y) np FROM s GROUP BY sc),
+        |r AS (SELECT np, n, coalesce(sum(n) OVER (ORDER BY sc
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum
+        |      FROM g),
+        |a AS (SELECT sum(np * (cum + (n + 1) / 2.0)) rpos,
+        |             sum(np) pos, sum(n) tot FROM r)
+        |SELECT round(acc + 1e-9, 6) AS accuracy,
+        |       round(prec + 1e-9, 6) AS precision,
+        |       round(rec + 1e-9, 6) AS recall,
+        |       round(2 * prec * rec / (prec + rec) + 1e-9, 6) AS f1,
+        |       round((rpos - pos * (pos + 1) / 2.0)
+        |             / (pos * (tot - pos)) + 1e-9, 6) AS auc
+        |FROM m, a""") { c =>
+      val scored = c.lineitem.select(
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("y"),
+        when(col("l_quantity") > 25, 1).otherwise(0).as("p"),
+        col("l_discount").as("sc"))
+      val cls = Metrics.classification(scored, "y", "p")
+      val auc = Metrics.rocAuc(scored, "y", "sc")
+      cls.crossJoin(auc).select(
+        r6(col("accuracy")).as("accuracy"),
+        r6(col("precision")).as("precision"),
+        r6(col("recall")).as("recall"),
+        r6(col("f1")).as("f1"),
+        r6(col("auc")).as("auc"))
+    },
+
     // K-fold CV on deterministic hash folds (cross_validation.py):
     // fold i fits on buckets != i, scores mse on bucket == i.
     q("ml_cv",

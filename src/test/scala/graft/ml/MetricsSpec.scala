@@ -1,0 +1,51 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+
+  test("classification counts-metrics match a hand computation") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1, 1), (1, 0), (0, 1), (0, 0)).toDF("y", "p")
+    val r = Metrics.classification(df, "y", "p").collect()(0)
+    assert(r.getDouble(0) == 0.5) // accuracy
+    assert(r.getDouble(1) == 0.5) // precision
+    assert(r.getDouble(2) == 0.5) // recall
+    assert(r.getDouble(3) == 0.5) // f1
+  }
+
+  test("degenerate classification denominators yield NULL, not a crash") {
+    val sp = spark
+    import sp.implicits._
+    val noPosPred = Seq((1, 0), (0, 0)).toDF("y", "p")
+    val r = Metrics.classification(noPosPred, "y", "p").collect()(0)
+    assert(r.isNullAt(1), "precision undefined with no predicted positives")
+    assert(r.getDouble(2) == 0.0) // recall is defined: 0/1
+    assert(r.isNullAt(3), "f1 undefined when precision is")
+  }
+
+  test("rocAuc equals the pairwise Mann-Whitney value with ties") {
+    val sp = spark
+    import sp.implicits._
+    // positives {0.9, 0.8, 0.8}, negatives {0.8, 0.3}: of the 6
+    // pos-neg pairs, 4 strictly ordered + 2 ties -> (4 + 2*0.5)/6 = 5/6
+    val df = Seq((1, 0.9), (1, 0.8), (1, 0.8), (0, 0.8), (0, 0.3))
+      .toDF("y", "sc")
+    val auc = Metrics.rocAuc(df, "y", "sc").collect()(0).getDouble(0)
+    assert(math.abs(auc - 5.0 / 6.0) < 1e-12, s"got $auc")
+  }
+
+  test("rocAuc of a perfect and an anti-perfect ranker; single-class " +
+    "input is NULL") {
+    val sp = spark
+    import sp.implicits._
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("y", "sc")
+    assert(Metrics.rocAuc(perfect, "y", "sc").collect()(0).getDouble(0) == 1.0)
+    val inverted = Seq((0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)).toDF("y", "sc")
+    assert(Metrics.rocAuc(inverted, "y", "sc").collect()(0).getDouble(0) == 0.0)
+    val onlyPos = Seq((1, 0.9), (1, 0.1)).toDF("y", "sc")
+    assert(Metrics.rocAuc(onlyPos, "y", "sc").collect()(0).isNullAt(0))
+  }
+}
