@@ -1,0 +1,232 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Arbitrary-estimator fit/predict — the reference's deferred sklearn
+  * contract (fit_lib.py:28 deferred_fit, pipeline_lib.py:360 FittedStep,
+  * expr/udf.py:79-336 make_pandas_expr_udf): `fit` is a whole-group
+  * AGGREGATION producing opaque serialized model bytes, and `predict`
+  * is a scalar function with the model broadcast in as a computed
+  * kwarg. Any model that can train single-node on the aggregated group
+  * plugs in — exactly the reference's "any sklearn estimator" surface,
+  * minus pickle.
+  *
+  * Scale honesty: like the reference's fit-as-UDAF, the training frame
+  * is materialized inside the aggregation buffer (partials concatenate
+  * across partitions, the final merge sees every row). That is the
+  * irreducible cost of fitting a black-box estimator; distributed
+  * closed-form fits stay on the [[graft.rel.ScaleSpec]]-family path,
+  * and the TRANSFORM side is a pure per-row projection that scales
+  * like any scalar expression (model deserialized once per executor
+  * via [[ModelCache]], not per row).
+  */
+trait Estimator extends Serializable {
+  def name: String
+  /** Train on the collected group: xs(i) is the feature row for ys(i).
+    * Must be deterministic given the multiset of rows (row ORDER is
+    * not guaranteed across runs). */
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte]
+  /** Decode model bytes; called once per executor per model (cached). */
+  def deserialize(bytes: Array[Byte]): AnyRef
+  /** Score one feature vector under a deserialized model. */
+  def predict(model: AnyRef, x: Array[Double]): Double
+}
+
+/** Per-executor deserialized-model cache: the transform UDF receives
+  * model BYTES via a broadcast column and must not pay deserialization
+  * per row. Keyed by (estimator, bytes hash); bounded. */
+object ModelCache {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), AnyRef]
+  def get(est: Estimator, bytes: Array[Byte]): AnyRef = {
+    if (cache.size > 64) cache.clear()
+    cache.getOrElseUpdate((est.name, java.util.Arrays.hashCode(bytes)),
+      est.deserialize(bytes))
+  }
+}
+
+/** The fit-as-UDAF: buffers the group's (features, label) rows —
+  * partials merge by concatenation — and hands the whole group to
+  * [[Estimator.fit]] in finish. Mirrors the reference PyAggregator
+  * shape for model training (pipeline_lib.py:430 fit on the collected
+  * pandas frame). Null-containing rows are skipped in reduce (every
+  * aggregate ignores nulls; an estimator cannot train on them). */
+final class EstimatorFitAgg(est: Estimator) extends Aggregator[
+    (Seq[Double], Double),
+    scala.collection.mutable.ArrayBuffer[(Array[Double], Double)],
+    Array[Byte]] {
+  type Buf = scala.collection.mutable.ArrayBuffer[(Array[Double], Double)]
+  def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+  def reduce(b: Buf, a: (Seq[Double], Double)): Buf = {
+    if (a._1 != null && !a._1.contains(null) &&
+      !a._1.exists(_.isNaN) && !a._2.isNaN)
+      b += ((a._1.toArray, a._2))
+    b
+  }
+  def merge(b1: Buf, b2: Buf): Buf = b1 ++= b2
+  def finish(b: Buf): Array[Byte] = {
+    require(b.nonEmpty, s"estimator ${est.name}: empty training group")
+    est.fit(b.map(_._1).toArray, b.map(_._2).toArray)
+  }
+  def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object EstimatorOps {
+  /** The fit aggregation as a Column over (array<double> features,
+    * double label) — one whole-group UDAF producing model bytes. */
+  def fitColumn(est: Estimator, features: Seq[String],
+      label: String): Column =
+    udaf(new EstimatorFitAgg(est)).apply(
+      array(features.map(f => col(f).cast("double")): _*),
+      col(label).cast("double"))
+
+  /** The predict projection as a Column: `modelB64` is a base64 model
+    * column (broadcast-joined, constant per row), features are read
+    * per row. Deserialization amortized via [[ModelCache]]. */
+  def predictColumn(est: Estimator, modelB64: Column,
+      features: Seq[String]): Column = {
+    val f = udf((b64: String, xs: Seq[Double]) =>
+      if (b64 == null || xs == null) null.asInstanceOf[java.lang.Double]
+      // MIME decoder: Spark's base64() chunks at 76 chars with CRLF
+      else java.lang.Double.valueOf(est.predict(
+        ModelCache.get(est,
+          java.util.Base64.getMimeDecoder.decode(b64)), xs.toArray)))
+    f(modelB64, array(features.map(c0 => col(c0).cast("double")): _*))
+  }
+}
+
+/** Gaussian naive Bayes over double-encoded class labels — the
+  * oracle-checkable estimator (its fit statistics are per-class
+  * mean/var_pop/prior, so ANSI SQL can replicate the whole
+  * fit+predict). Two-pass mean/variance for numerical agreement with
+  * the engines' stable streaming variance. */
+object GaussianNB extends Estimator {
+  val name = "gaussian_nb"
+
+  final case class Model(classes: Array[Double], logPriors: Array[Double],
+      means: Array[Array[Double]], vars: Array[Array[Double]])
+    extends Serializable
+
+  private val varFloor = 1e-9
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    val d = xs(0).length
+    val classes = ys.distinct.sorted
+    val n = ys.length.toDouble
+    val (logPriors, means, vars) = (
+      new Array[Double](classes.length),
+      Array.ofDim[Double](classes.length, d),
+      Array.ofDim[Double](classes.length, d))
+    classes.zipWithIndex.foreach { case (c, ci) =>
+      val idx = ys.indices.filter(ys(_) == c)
+      logPriors(ci) = math.log(idx.length / n)
+      (0 until d).foreach { j =>
+        val mu = idx.map(xs(_)(j)).sum / idx.length
+        means(ci)(j) = mu
+        vars(ci)(j) = math.max(
+          idx.map(i => { val t = xs(i)(j) - mu; t * t }).sum / idx.length,
+          varFloor)
+      }
+    }
+    serialize(Model(classes, logPriors, means, vars))
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  /** argmax_c [ log prior_c + Σ_j -0.5 (log 2πσ² + (x-μ)²/σ²) ]; ties
+    * keep the SMALLEST class (classes iterate ascending, strict >). */
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    var best = 0; var bestScore = Double.NegativeInfinity
+    m.classes.indices.foreach { ci =>
+      var s = m.logPriors(ci)
+      x.indices.foreach { j =>
+        val v = m.vars(ci)(j); val t = x(j) - m.means(ci)(j)
+        s += -0.5 * (math.log(2 * math.Pi * v) + t * t / v)
+      }
+      if (s > bestScore) { bestScore = s; best = ci }
+    }
+    m.classes(best)
+  }
+
+  private def serialize(m: Model): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(m); out.flush(); bos.toByteArray }
+    finally out.close()
+  }
+}
+
+/** Binary logistic regression fit by full-batch gradient descent — the
+  * genuinely ITERATIVE estimator the closed-form StepSpec family cannot
+  * express (the reference reaches it via sklearn's LogisticRegression
+  * inside deferred_fit_predict). Features are standardized internally
+  * (GD conditioning); the scaling constants ship inside the model so
+  * predict is self-contained. Deterministic up to float summation
+  * order of the gradient (group order is not guaranteed), so exact
+  * output bytes may differ across runs by ~1e-15 — callers assert on
+  * predictions, not bytes. */
+final case class LogisticRegressionGD(
+    iters: Int = 200, lr: Double = 0.5) extends Estimator {
+  val name = s"logreg_gd($iters,$lr)"
+
+  final case class Model(w: Array[Double], b: Double,
+      mu: Array[Double], sigma: Array[Double]) extends Serializable
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    val n = xs.length; val d = xs(0).length
+    val mu = (0 until d).map(j => xs.map(_(j)).sum / n).toArray
+    val sigma = (0 until d).map { j =>
+      val s = math.sqrt(xs.map(r => { val t = r(j) - mu(j); t * t }).sum / n)
+      if (s == 0.0 || s.isNaN) 1.0 else s
+    }.toArray
+    val z = xs.map(r => r.indices.map(j => (r(j) - mu(j)) / sigma(j)).toArray)
+    val w = new Array[Double](d); var b = 0.0
+    (0 until iters).foreach { _ =>
+      val gw = new Array[Double](d); var gb = 0.0
+      var i = 0
+      while (i < n) {
+        val p = 1.0 / (1.0 + math.exp(-(dot(w, z(i)) + b)))
+        val err = p - ys(i)
+        var j = 0
+        while (j < d) { gw(j) += err * z(i)(j); j += 1 }
+        gb += err
+        i += 1
+      }
+      var j = 0
+      while (j < d) { w(j) -= lr * gw(j) / n; j += 1 }
+      b -= lr * gb / n
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(w, b, mu, sigma)); out.flush()
+      bos.toByteArray }
+    finally out.close()
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  /** Returns P(y=1 | x). */
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    val z = x.indices.map(j => (x(j) - m.mu(j)) / m.sigma(j)).toArray
+    1.0 / (1.0 + math.exp(-(dot(m.w, z) + m.b)))
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+}

@@ -81,6 +81,33 @@ final case class FittedLinReg(name: String, x: String, out: String,
     df.withColumn(out, lit(intercept) + lit(slope) * col(x))
 }
 
+/** Arbitrary-estimator step for the eager pipeline (the deferred twin
+  * is [[graft.rel.EstimatorSpec]]): fit runs the whole-group
+  * [[EstimatorFitAgg]] aggregation and keeps the model BYTES; transform
+  * is the predict projection with the bytes closed over (the
+  * reference's predict-as-scalar-UDF with the pickled model as a
+  * computed kwarg, expr/udf.py:79-336). */
+final case class EstimatorStep(est: Estimator, features: Seq[String],
+    label: String, out: String) extends Step {
+  def name = s"est(${est.name}:$label~${features.mkString("+")})"
+  def fit(df: DataFrame): FittedStep = {
+    val bytes = df
+      .agg(EstimatorOps.fitColumn(est, features, label).as("m"))
+      .collect()(0).getAs[Array[Byte]](0)
+    FittedEstimator(name, est, features, out, bytes)
+  }
+}
+
+final case class FittedEstimator(name: String, est: Estimator,
+    features: Seq[String], out: String, model: Array[Byte])
+    extends FittedStep {
+  /** Opaque-model step: no scalar params (the bytes are the artifact). */
+  def params: Map[String, Double] = Map.empty
+  def transform(df: DataFrame): DataFrame =
+    df.withColumn(out, EstimatorOps.predictColumn(est,
+      lit(java.util.Base64.getEncoder.encodeToString(model)), features))
+}
+
 /** Ordered steps; fit feeds each step the output of the previous
   * fitted prefix (exactly Pipeline.fit semantics). */
 final case class Pipeline(steps: Seq[Step]) {

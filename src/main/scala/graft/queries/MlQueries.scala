@@ -93,6 +93,69 @@ object MlQueries {
           r6(col("r2")).as("r2"))
     },
 
+    // Arbitrary-estimator deferred fit (ref fit_lib.py:28 — any model
+    // as fit-UDAF + predict-UDF): Gaussian naive Bayes is the
+    // oracle-checkable instance, because its fit statistics (per-class
+    // mean/var_pop/prior) and argmax predict are plain SQL. The Spark
+    // side runs the REAL machinery — whole-group EstimatorFitAgg
+    // producing serialized model bytes in the model relation, predict
+    // broadcast back as a scalar UDF — via the deferred algebra.
+    q("ml_pipeline_gnb",
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity x1, l_discount x2,
+        |             CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END cls
+        |           FROM lineitem),
+        |p AS (SELECT cls, count(*) n, avg(x1) m1, greatest(var_pop(x1), 1e-9) v1,
+        |             avg(x2) m2, greatest(var_pop(x2), 1e-9) v2
+        |      FROM d GROUP BY cls),
+        |t AS (SELECT sum(n) tot FROM p),
+        |pw AS (SELECT cls, ln(n::DOUBLE / tot) lp, m1, v1, m2, v2 FROM p, t),
+        |s AS (SELECT d.l_orderkey, d.l_linenumber,
+        |        max(CASE WHEN pw.cls = 0 THEN sc END) s0,
+        |        max(CASE WHEN pw.cls = 1 THEN sc END) s1,
+        |        max(CASE WHEN pw.cls = 2 THEN sc END) s2
+        |      FROM (SELECT *, row_number() OVER () rid FROM d) d
+        |      CROSS JOIN pw
+        |      CROSS JOIN LATERAL (SELECT lp
+        |        - 0.5 * (ln(2 * pi() * v1) + (d.x1 - m1) * (d.x1 - m1) / v1)
+        |        - 0.5 * (ln(2 * pi() * v2) + (d.x2 - m2) * (d.x2 - m2) / v2) sc)
+        |      GROUP BY d.rid, d.l_orderkey, d.l_linenumber)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+        |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS pred
+        |FROM s WHERE l_orderkey < 300 ORDER BY 1, 2, 3""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"),
+        when(col("l_returnflag") === "A", 0.0)
+          .when(col("l_returnflag") === "N", 1.0)
+          .otherwise(2.0).as("cls"))
+      val steps = Seq(graft.rel.EstimatorSpec("gaussian_nb",
+        Seq("l_quantity", "l_discount"), "cls", "pred_cls"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("pred_cls").cast("int").as("pred"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // The genuinely ITERATIVE estimator (gradient-descent logistic
+    // regression — nothing closed-form to mirror in SQL, so the driver
+    // records the rows-only check; LogRegSpec's exact behavior is
+    // spec-tested against separable data in EstimatorSpec tests).
+    qNoOracle("ml_pipeline_logreg") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"),
+        (col("l_extendedprice") > 30000).cast("double").as("y"))
+      val steps = Seq(graft.rel.EstimatorSpec("logreg_gd(100,0.5)",
+        Seq("l_quantity", "l_discount"), "y", "p1"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("p1") > 0.5).cast("int").as("pred"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Classification metrics (metrics.py:513-669): accuracy/precision/
     // recall/f1 from one counts aggregate; ROC AUC via the rank-sum
     // identity with midranks (≡ trapezoid with ties) over the grouped

@@ -227,10 +227,10 @@ final class Lower(
       u(lower(in))
 
     case FitRel(train, steps) =>
-      graft.ml.DeferredMl.fit(lower(train), steps)
+      graft.ml.DeferredMl.fit(lower(train), steps, catalog)
 
     case TransformRel(in, model, steps) =>
-      graft.ml.DeferredMl.transform(lower(in), lower(model), steps)
+      graft.ml.DeferredMl.transform(lower(in), lower(model), steps, catalog)
   }
 
   private def sort(k: SortKey): Column = (k.asc, k.nullsFirst) match {

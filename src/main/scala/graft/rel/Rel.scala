@@ -359,6 +359,15 @@ final case class MinMaxSpec(in: String, out: String) extends StepSpec
   * intercept). */
 final case class LinRegSpec(x: String, y: String, out: String)
     extends StepSpec
+/** arbitrary registered estimator `label ~ features` → `out` (the
+  * reference's any-sklearn-model deferred fit, fit_lib.py:28): fit is
+  * a whole-group aggregation producing serialized model BYTES in the
+  * model relation (param "model", base64 blob cell); transform
+  * broadcasts the bytes into a scalar predict UDF. The estimator NAME
+  * is in the (hashed, built) plan; the implementation resolves from
+  * the [[graft.udf.FunctionCatalog]] at lowering, like UDXFs. */
+final case class EstimatorSpec(estimator: String, features: Seq[String],
+    label: String, out: String) extends StepSpec
 
 /** Deferred pipeline fit (Pipeline.fit, pipeline_lib.py:684): lowers to
   * a LAZY model table `(step string, param string, value double)` — fit

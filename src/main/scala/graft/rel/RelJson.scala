@@ -76,6 +76,10 @@ object RelJson {
       case LinRegSpec(x, y, out) =>
         sb.append("[\"linreg\","); s(x, sb); sb.append(',')
         s(y, sb); sb.append(','); s(out, sb); sb.append(']')
+      case EstimatorSpec(e, feats, label, out) =>
+        sb.append("[\"est\","); s(e, sb); sb.append(',')
+        arr(feats)(s(_, sb)); sb.append(',')
+        s(label, sb); sb.append(','); s(out, sb); sb.append(']')
     }
 
     r match {
@@ -469,11 +473,15 @@ object RelJson {
     }
 
     private def decodeStep(v: Any): StepSpec = {
-      val p = v.asInstanceOf[List[Any]].map(_.asInstanceOf[String])
-      p.head match {
-        case "scale" => ScaleSpec(p(1), p(2))
-        case "minmax" => MinMaxSpec(p(1), p(2))
-        case "linreg" => LinRegSpec(p(1), p(2), p(3))
+      val p = v.asInstanceOf[List[Any]]
+      def st(i: Int) = p(i).asInstanceOf[String]
+      st(0) match {
+        case "scale" => ScaleSpec(st(1), st(2))
+        case "minmax" => MinMaxSpec(st(1), st(2))
+        case "linreg" => LinRegSpec(st(1), st(2), st(3))
+        case "est" => EstimatorSpec(st(1),
+          p(2).asInstanceOf[List[Any]].map(_.asInstanceOf[String]),
+          st(3), st(4))
         case other => throw new IllegalArgumentException(s"bad step $other")
       }
     }

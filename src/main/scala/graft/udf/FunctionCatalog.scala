@@ -10,10 +10,13 @@ import org.apache.spark.sql.types.StructField
   * the name + full schema contract; the catalog carries the code. */
 final case class FunctionCatalog(
     udxfs: Map[String, Udxf] = Map.empty,
-    udwfs: Map[String, Udwf] = Map.empty) {
+    udwfs: Map[String, Udwf] = Map.empty,
+    estimators: Map[String, graft.ml.Estimator] = Map.empty) {
   def withUdxf(u: Udxf): FunctionCatalog = copy(udxfs = udxfs + (u.name -> u))
   def withUdwf(name: String, u: Udwf): FunctionCatalog =
     copy(udwfs = udwfs + (name -> u))
+  def withEstimator(e: graft.ml.Estimator): FunctionCatalog =
+    copy(estimators = estimators + (e.name -> e))
 }
 
 object FunctionCatalog {

@@ -153,7 +153,10 @@ class RelJsonFuzzSpec extends AnyFunSuite {
     Gen.zip(nastyString, nastyString).map { case (i, o) => ScaleSpec(i, o) },
     Gen.zip(nastyString, nastyString).map { case (i, o) => MinMaxSpec(i, o) },
     Gen.zip(nastyString, nastyString, nastyString)
-      .map { case (x, y, o) => LinRegSpec(x, y, o) })
+      .map { case (x, y, o) => LinRegSpec(x, y, o) },
+    Gen.zip(nastyString, Gen.listOfN(2, nastyString), nastyString,
+      nastyString)
+      .map { case (e, fs, y, o) => EstimatorSpec(e, fs, y, o) })
 
   test("random plans round-trip byte-identically (500 cases)") {
     val params = Gen.Parameters.default

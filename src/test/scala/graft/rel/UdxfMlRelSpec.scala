@@ -19,7 +19,7 @@ class UdxfMlRelSpec extends SparkSpec {
 
   test("FitRel lowers to a lazy model table matching the eager fit") {
     val model = new Lower(spark).lower(FitRel(li, steps))
-    assert(model.columns.toSeq == Seq("step", "param", "value"))
+    assert(model.columns.toSeq == Seq("step", "param", "value", "blob"))
     val got = model.collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
 
@@ -82,6 +82,85 @@ class UdxfMlRelSpec extends SparkSpec {
     val second = g.execute(plan).agg(count(lit(1))).collect()(0).getLong(0)
     assert(first == second)
     assert(g.cacheManager.misses == 1 && g.cacheManager.hits == 1)
+  }
+
+  test("EstimatorSpec (arbitrary-estimator fit): deferred equals eager, " +
+    "the plan round-trips JSON, and the model bytes live in the blob " +
+    "column of the model relation") {
+    val estSteps = Seq(EstimatorSpec("gaussian_nb",
+      Seq("l_quantity", "l_discount"), "cls", "pred_cls"))
+    val prep = Project(li, Seq(
+      "l_orderkey" -> RCol("l_orderkey"),
+      "l_linenumber" -> RCol("l_linenumber"),
+      "l_quantity" -> RCol("l_quantity"),
+      "l_discount" -> RCol("l_discount"),
+      "cls" -> RRaw("CASE l_returnflag WHEN 'A' THEN 0.0 " +
+        "WHEN 'N' THEN 1.0 ELSE 2.0 END")))
+    assert(RelJson.parse(RelJson.write(FitRel(prep, estSteps))) ==
+      FitRel(prep, estSteps))
+
+    val model = new Lower(spark).lower(FitRel(prep, estSteps))
+    val mrow = model.collect()
+    assert(mrow.length == 1 && mrow(0).getString(1) == "model")
+    assert(mrow(0).isNullAt(2) && mrow(0).getString(3).nonEmpty,
+      "estimator model must serialize into the blob cell")
+
+    val deferred = new Lower(spark)
+      .lower(TransformRel(prep, FitRel(prep, estSteps), estSteps))
+      .select(col("l_orderkey"), col("l_linenumber"), col("pred_cls"))
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    val df = new Lower(spark).lower(prep)
+    val eager = graft.ml.Pipeline(Seq(graft.ml.EstimatorStep(
+      graft.ml.GaussianNB, Seq("l_quantity", "l_discount"), "cls",
+      "pred_cls"))).fit(df).transform(df)
+      .select(col("l_orderkey"), col("l_linenumber"), col("pred_cls"))
+      .orderBy("l_orderkey", "l_linenumber").collect()
+    assert(deferred.length == eager.length && deferred.nonEmpty)
+    deferred.zip(eager).foreach { case (d, e) =>
+      assert(d.getDouble(2) == e.getDouble(2))
+    }
+  }
+
+  test("a fitted estimator model is a relation: Cache(FitRel(est)) " +
+    "round-trips through the parquet artifact and serves the transform") {
+    val estSteps = Seq(EstimatorSpec("gaussian_nb",
+      Seq("l_quantity"), "cls", "pred_cls"))
+    val prep = Project(li, Seq(
+      "l_orderkey" -> RCol("l_orderkey"),
+      "l_quantity" -> RCol("l_quantity"),
+      "cls" -> RRaw("CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END")))
+    val root = Files.createTempDirectory("graft_est_cache_").toString
+    val g = new GraftSession(spark, storages = Map("default" ->
+      new graft.cache.ParquetDirStorage(spark, root)))
+    val plan = TransformRel(prep, Cache(FitRel(prep, estSteps), "default",
+      "snapshot"), estSteps)
+    val first = g.execute(plan)
+      .select(col("l_orderkey"), col("pred_cls"))
+      .orderBy("l_orderkey").collect()
+    val second = g.execute(plan)
+      .select(col("l_orderkey"), col("pred_cls"))
+      .orderBy("l_orderkey").collect()
+    assert(first.toSeq == second.toSeq && first.nonEmpty)
+    assert(g.cacheManager.misses == 1 && g.cacheManager.hits == 1,
+      "second execute must read the cached model artifact")
+  }
+
+  test("the iterative logreg estimator learns a separable boundary") {
+    val sp = spark
+    import sp.implicits._
+    val df = sp.range(0, 201).select(
+      (col("id").cast("double") - 100.0).divide(10.0).as("x"))
+      .withColumn("y", (col("x") > 0).cast("double"))
+    val fitted = graft.ml.Pipeline(Seq(graft.ml.EstimatorStep(
+      graft.ml.LogisticRegressionGD(200, 0.5), Seq("x"), "y", "p")))
+      .fit(df)
+    val scored = fitted.transform(df)
+      .withColumn("pred", (col("p") > 0.5).cast("double"))
+    val acc = graft.ml.Metrics.classification(
+      scored.select(col("y").cast("int").as("y"),
+        col("pred").cast("int").as("p")), "y", "p")
+      .collect()(0).getDouble(0)
+    assert(acc >= 0.99, s"separable data must be learned, accuracy $acc")
   }
 
   test("UdxfRel executes via the catalog; contract drift and missing " +
