@@ -123,6 +123,55 @@ object UdfQueries {
           .select("event_id", "user_id", "ts", "value"))
         .select("event_id", "user_id", "running")
         .orderBy("event_id")
+    },
+
+    // UDWF rank mode (ref expr/udf.py evaluate_all_with_rank): the
+    // evaluator sees peer-group ranges induced by orderBy-key ties and
+    // reproduces SQL rank() — checked against the native window.
+    q("udf_udwf_rank",
+      """SELECT event_id, user_id,
+        |       rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk
+        |FROM events WHERE user_id < 40
+        |ORDER BY event_id""") { c =>
+      import graft.udf.UdwfMode
+      val rankEval = Udwf(
+        partitionBy = Seq("user_id"),
+        orderBy = Seq("event_type"),
+        outName = "rnk",
+        outType = LongType,
+        mode = UdwfMode.EvaluateAllWithRank((_, ranges) =>
+          ranges.flatMap { case (s, e) => Seq.fill(e - s)((s + 1).toLong) }))
+      rankEval(c.events.filter(col("user_id") < 40)
+          .select("event_id", "user_id", "event_type"))
+        .select("event_id", "user_id", "rnk")
+        .orderBy("event_id")
+    },
+
+    // UDWF frame mode (ref expr/udf.py evaluate with eval_range): the
+    // evaluator is called per row with the ROWS-frame slice [i-2, i] —
+    // a moving average checked against the native frame window.
+    q("udf_udwf_frame",
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 2) AS mavg
+        |FROM events WHERE user_id < 40
+        |ORDER BY event_id""") { c =>
+      import graft.udf.UdwfMode
+      val movingAvg = Udwf(
+        partitionBy = Seq("user_id"),
+        orderBy = Seq("ts", "event_id"),
+        outName = "mavg",
+        outType = DoubleType,
+        mode = UdwfMode.EvaluateFrame(Some(-2), Some(0), frame => {
+          val vs = frame.map(r => r.getDouble(r.fieldIndex("value")))
+          BigDecimal(vs.sum / vs.length + 1e-9)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }))
+      movingAvg(c.events.filter(col("user_id") < 40)
+          .select("event_id", "user_id", "ts", "value"))
+        .select("event_id", "user_id", "mavg")
+        .orderBy("event_id")
     }
   )
 }

@@ -215,7 +215,7 @@ final class Lower(
           s"from the plan's declared $sIn->$sOut")
       u(lower(in))
 
-    case UdwfRel(in, fnName, pb, ob, outName, outType) =>
+    case UdwfRel(in, fnName, pb, ob, outName, outType, mode) =>
       val u = catalog.udwfs.getOrElse(fnName,
         throw new IllegalArgumentException(
           s"udwf '$fnName' not in the function catalog " +
@@ -224,6 +224,9 @@ final class Lower(
         u.outName == outName && u.outType.sql == outType,
         s"udwf '$fnName': registered window contract differs from the " +
           "plan's declared partition/order/output")
+      require(u.mode.kind == mode,
+        s"udwf '$fnName': registered evaluation mode '${u.mode.kind}' " +
+          s"differs from the plan's declared '$mode'")
       u(lower(in))
 
     case FitRel(train, steps) =>

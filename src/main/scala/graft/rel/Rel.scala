@@ -334,16 +334,20 @@ final case class UdxfRel(
 }
 
 /** Window function by registered name (the DataFusion WindowEvaluator
-  * contract, internal.py:78-107): partition/order/output are declared
-  * in the plan and validated against the registered [[graft.udf.Udwf]]
-  * at lowering. */
+  * contract, internal.py:78-107): partition/order/output AND the
+  * evaluation mode (`evaluate_all` | `evaluate` | `evaluate_all_with_
+  * rank`, expr/udf.py:839-1089) are declared in the plan and validated
+  * against the registered [[graft.udf.Udwf]] at lowering — a
+  * re-registered function with a different window shape or mode must
+  * not silently run under the old hash. */
 final case class UdwfRel(
     input: Rel,
     fn: String,
     partitionBy: Seq[String],
     orderBy: Seq[String],
     outName: String,
-    outType: String) extends Rel {
+    outType: String,
+    mode: String = "evaluate_all") extends Rel {
   def children: Seq[Rel] = Seq(input)
 }
 

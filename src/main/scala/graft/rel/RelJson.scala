@@ -231,11 +231,11 @@ object RelJson {
           sb.append('['); s(n, sb); sb.append(','); s(t, sb); sb.append(']')
         })
       }
-      case UdwfRel(in, fn0, pb, ob, outName, outType) => obj("udwf") {
+      case UdwfRel(in, fn0, pb, ob, outName, outType, mode) => obj("udwf") {
         f("input")(wRel(in, sb)); fs("fn", fn0)
         f("partitionBy")(arr(pb)(s(_, sb)))
         f("orderBy")(arr(ob)(s(_, sb)))
-        fs("outName", outName); fs("outType", outType)
+        fs("outName", outName); fs("outType", outType); fs("mode", mode)
       }
       case FitRel(train, steps) => obj("fit") {
         f("train")(wRel(train, sb)); f("steps")(arr(steps)(wStep))
@@ -460,7 +460,10 @@ object RelJson {
             str0("fn"),
             list0("partitionBy").map(_.asInstanceOf[String]),
             list0("orderBy").map(_.asInstanceOf[String]),
-            str0("outName"), str0("outType"))
+            str0("outName"), str0("outType"),
+            // pre-r4 plans have no mode field: they are evaluate_all
+            m.get("mode").map(_.asInstanceOf[String])
+              .getOrElse("evaluate_all"))
         case "fit" =>
           FitRel(relDecode(m("train").asInstanceOf[Map[String, Any]]),
             list0("steps").map(decodeStep))

@@ -70,10 +70,68 @@ final case class Udxf(
   }
 }
 
+/** Evaluation modes of the window-evaluator contract (the reference's
+  * WindowEvaluator exposes the same three: `evaluate_all`, `evaluate`
+  * with a frame range, `evaluate_all_with_rank` — expr/udf.py:839-1089,
+  * internal.py:78-107). `kind` is the stable name serialized into
+  * [[graft.rel.UdwfRel]] plans and validated at lowering. */
+sealed trait UdwfMode {
+  def kind: String
+  /** Produce one output value per row of the (sorted) group.
+    * `orderKeyOf` extracts the normalized orderBy key (for peer-group
+    * detection in the rank mode). */
+  def run(group: IndexedSeq[Row], orderKeyOf: Row => Seq[Any]): Seq[Any]
+}
+
+object UdwfMode {
+
+  /** Whole-group evaluator: sees every row of the window partition in
+    * order, returns one value per row. */
+  final case class EvaluateAll(f: Seq[Row] => Seq[Any]) extends UdwfMode {
+    val kind = "evaluate_all"
+    def run(g: IndexedSeq[Row], orderKeyOf: Row => Seq[Any]): Seq[Any] = f(g)
+  }
+
+  /** Per-row ROWS-frame evaluator: for row i the function sees the
+    * slice [i+lo, i+hi] of the sorted group (None = unbounded), i.e.
+    * `ROWS BETWEEN lo PRECEDING AND hi FOLLOWING`, and returns that
+    * row's value — the reference's `evaluate(values, eval_range)`. */
+  final case class EvaluateFrame(
+      lo: Option[Int], hi: Option[Int], f: Seq[Row] => Any) extends UdwfMode {
+    val kind = "evaluate"
+    def run(g: IndexedSeq[Row], orderKeyOf: Row => Seq[Any]): Seq[Any] =
+      g.indices.map { i =>
+        val s = lo.fold(0)(d => math.max(0, i + d))
+        val e = hi.fold(g.length - 1)(d => math.min(g.length - 1, i + d))
+        if (s > e) f(Vector.empty) else f(g.slice(s, e + 1))
+      }
+  }
+
+  /** Rank-aware whole-group evaluator: the function sees the group size
+    * and the peer-group ranges `[start, end)` induced by orderBy-key
+    * equality (ties), returns one value per row — the reference's
+    * `evaluate_all_with_rank(num_rows, ranks_in_partition)`. */
+  final case class EvaluateAllWithRank(
+      f: (Int, Seq[(Int, Int)]) => Seq[Any]) extends UdwfMode {
+    val kind = "evaluate_all_with_rank"
+    def run(g: IndexedSeq[Row], orderKeyOf: Row => Seq[Any]): Seq[Any] = {
+      val ranges = Vector.newBuilder[(Int, Int)]
+      var s = 0
+      while (s < g.length) {
+        val key = orderKeyOf(g(s))
+        var e = s + 1
+        while (e < g.length && orderKeyOf(g(e)) == key) e += 1
+        ranges += ((s, e))
+        s = e
+      }
+      f(g.length, ranges.result())
+    }
+  }
+}
+
 /** User-defined window function harness: rows of each partition arrive
-  * sorted by `orderBy` at `evaluate`, which must return one output
-  * value per input row (the WindowEvaluator `evaluate_all` mode).
-  * Output = input columns + `outName`.
+  * sorted by `orderBy` at the [[UdwfMode]] evaluator, which produces
+  * one output value per input row. Output = input columns + `outName`.
   *
   * Spill-aware (r2 fix): the ordering is done by Spark's own
   * UnsafeExternalSorter (`repartition(keys).sortWithinPartitions`),
@@ -88,7 +146,7 @@ final case class Udwf(
     orderBy: Seq[String],
     outName: String,
     outType: org.apache.spark.sql.types.DataType,
-    evaluate: Seq[Row] => Seq[Any]) {
+    mode: UdwfMode) {
 
   def apply(df: DataFrame): DataFrame = {
     val inSchema = df.schema
@@ -118,6 +176,8 @@ final case class Udwf(
       case other => other
     }
     def keyOf(r: Row): Seq[Any] = pIdx.map(i => norm(r.get(i)))
+    val oIdx = orderBy.map(inSchema.fieldIndex)
+    def orderKeyOf(r: Row): Seq[Any] = oIdx.map(i => norm(r.get(i)))
 
     // an empty partitionBy is a GLOBAL window: it must be one partition
     // (argless repartition() is round-robin REBALANCE — the evaluator
@@ -131,18 +191,20 @@ final case class Udwf(
           .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
     prepared
       .mapPartitions { rows =>
-        val buf = rows.buffered
+        // normalize each row's partition key exactly once (r3 nit: the
+        // head-probe loop re-normalized the same head on every probe)
+        val buf = rows.map(r => (keyOf(r), r)).buffered
         new Iterator[Row] {
           private var out: Iterator[Row] = Iterator.empty
           def hasNext: Boolean = out.hasNext || buf.hasNext
           def next(): Row = {
             if (!out.hasNext) {
               val group = Vector.newBuilder[Row]
-              val key = keyOf(buf.head)
-              while (buf.hasNext && keyOf(buf.head) == key)
-                group += buf.next()
+              val key = buf.head._1
+              while (buf.hasNext && buf.head._1 == key)
+                group += buf.next()._2
               val g = group.result()
-              val outs = evaluate(g)
+              val outs = mode.run(g, orderKeyOf)
               require(outs.length == g.length,
                 s"udwf $outName: evaluator returned ${outs.length} " +
                   s"values for ${g.length} rows")
@@ -154,6 +216,19 @@ final case class Udwf(
         }
       }(rowEnc)
   }
+}
+
+object Udwf {
+  /** Back-compat constructor: a bare evaluator is the whole-group
+    * `evaluate_all` mode. */
+  def apply(
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      outName: String,
+      outType: org.apache.spark.sql.types.DataType,
+      evaluate: Seq[Row] => Seq[Any]): Udwf =
+    Udwf(partitionBy, orderBy, outName, outType,
+      UdwfMode.EvaluateAll(evaluate))
 }
 
 /** Weighted mean as a typed [[Aggregator]] — the update/merge/evaluate

@@ -140,8 +140,9 @@ class RelJsonFuzzSpec extends AnyFunSuite {
       1 -> Gen.zip(genRel(depth - 1), nastyString,
         Gen.listOfN(1, nastyString), Gen.listOfN(1, nastyString),
         nastyString, Gen.oneOf("DOUBLE", "BIGINT"))
-        .map { case (in, fn, pb, ob, on, ot) =>
-          UdwfRel(in, fn, pb, ob, on, ot)
+        .flatMap { case (in, fn, pb, ob, on, ot) =>
+          Gen.oneOf("evaluate_all", "evaluate", "evaluate_all_with_rank")
+            .map(mode => UdwfRel(in, fn, pb, ob, on, ot, mode))
         },
       1 -> Gen.zip(genRel(depth - 1), genStep)
         .map { case (in, st) => FitRel(in, Seq(st)) },

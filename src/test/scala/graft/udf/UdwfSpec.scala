@@ -96,6 +96,67 @@ class UdwfSpec extends SparkSpec {
     assert(out.collect { case (k, n) if k.isNaN => n }.toSeq == Seq(2L))
   }
 
+  test("EvaluateAllWithRank peer ranges reproduce SQL rank() and " +
+    "dense_rank() under orderBy ties") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1, "b"), (1, "a"), (1, "a"), (1, "c"), (1, "b"),
+      (2, "z"), (2, "z")).toDF("k", "v")
+    val sqlRank = Udwf(Seq("k"), Seq("v"), "rnk", LongType,
+      UdwfMode.EvaluateAllWithRank((_, ranges) =>
+        ranges.flatMap { case (s, e) => Seq.fill(e - s)((s + 1).toLong) }))
+    val denseRank = Udwf(Seq("k"), Seq("v"), "drnk", LongType,
+      UdwfMode.EvaluateAllWithRank((_, ranges) =>
+        ranges.zipWithIndex.flatMap { case ((s, e), i) =>
+          Seq.fill(e - s)((i + 1).toLong) }))
+    val got = denseRank(sqlRank(df))
+      .orderBy("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exp = df.withColumn("rnk",
+        org.apache.spark.sql.functions.rank()
+          .over(Window.partitionBy("k").orderBy("v")).cast("long"))
+      .withColumn("drnk",
+        dense_rank().over(Window.partitionBy("k").orderBy("v")).cast("long"))
+      .orderBy("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("EvaluateFrame slices match a native ROWS frame window") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 200).map(i => (i % 5, i.toLong, (i * 37 % 100).toDouble))
+      .toDF("k", "o", "x")
+    val mavg = Udwf(Seq("k"), Seq("o"), "mavg",
+      org.apache.spark.sql.types.DoubleType,
+      UdwfMode.EvaluateFrame(Some(-2), Some(1), frame =>
+        frame.map(_.getAs[Double]("x")).sum / frame.length))
+    val got = mavg(df).orderBy("k", "o").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    val exp = df.withColumn("mavg",
+        avg("x").over(Window.partitionBy("k").orderBy("o")
+          .rowsBetween(-2, 1)))
+      .orderBy("k", "o").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && math.abs(g._3 - e._3) < 1e-9,
+        s"$g != $e")
+    }
+  }
+
+  test("EvaluateFrame with an empty frame slice gets an empty Seq, " +
+    "not a crash") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1, 1L), (1, 2L)).toDF("k", "o")
+    // frame entirely behind the partition start for row 0
+    val f = Udwf(Seq("k"), Seq("o"), "n",
+      LongType,
+      UdwfMode.EvaluateFrame(Some(-5), Some(-3), frame => frame.length.toLong))
+    val out = f(df).orderBy("o").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(0L, 0L))
+  }
+
   test("groups with equal keys across null order values stay intact") {
     val sp = spark
     import sp.implicits._
