@@ -146,6 +146,11 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
   def tag(key: String, value: String, hashing: Boolean = false): GraftTable =
     next(Tag(rel, key, value, hashing))
   def tee(sinkPath: String): GraftTable = next(Tee(rel, sinkPath))
+  /** Write-audit-publish: stage under `sink`, run `audit` (a plan over
+    * the staged relation, bound as [[graft.ops.Wap.StagedBinding]];
+    * rows = violations), promote atomically only on a clean audit. */
+  def publish(sink: String, audit: Rel): GraftTable =
+    next(Publish(rel, sink, audit))
   /** Apply a catalog-registered UDXF; the node captures the full
     * schema contract so the plan hashes/builds self-describingly. */
   def applyUdxf(name: String): GraftTable = {

@@ -133,6 +133,19 @@ final class CacheManager(
           .write.mode("overwrite").parquet(sink)
         ScanParquet(sink)
 
+      case Publish(input, sink, audit) =>
+        // stage → audit-the-staged-files → atomic promote (wap.py
+        // semantics); a failed audit throws out of resolve() and the
+        // live version is untouched. The audit plan sees the staged
+        // relation under Wap.StagedBinding and may reference the other
+        // bindings too.
+        val df = mkLower(bindings).lower(resolve(input, bindings))
+        val tok = graft.ops.Wap.publish(spark, df, sink, staged => {
+          val b = bindings + (graft.ops.Wap.StagedBinding -> staged)
+          mkLower(b).lower(resolve(audit, b))
+        })
+        ScanParquet(s"$sink/v_$tok")
+
       case Exchange(input, target) if target != "session" =>
         // `session` stays a Lower-level localCheckpoint (explicitly
         // non-durable); every named target is a durable write-read

@@ -131,6 +131,37 @@ object SourceQueries {
         c.lineitem.filter(col("l_quantity") > 45).count(),
         "tee sink row count mismatch")
       result
+    },
+
+    // Write-audit-publish barrier (ref writes/wap.py:36-214): the
+    // filtered customer slice is STAGED, audited (no null keys, no
+    // rows outside the filter), and atomically promoted; the query
+    // output is read back from the PUBLISHED version, so the oracle
+    // checks the whole stage→audit→promote→read cycle.
+    q("src_wap_publish",
+      """SELECT c_mktsegment, count(*) AS n,
+        |       round(sum(c_acctbal) + 1e-9, 2) AS bal
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""") { c =>
+      val sink = tmp("wap_sink")
+      val input = Filter(ScanParquet(s"${c.dir}/customer.parquet"),
+        RBin(">", RCol("c_acctbal"), RLit("0", "int")))
+      // violations: any staged row breaking the filter contract
+      val audit = Filter(
+        UnboundTable(graft.ops.Wap.StagedBinding, Seq(
+          "c_custkey" -> "BIGINT", "c_name" -> "STRING",
+          "c_nationkey" -> "INT", "c_acctbal" -> "DOUBLE",
+          "c_mktsegment" -> "STRING")),
+        RBin("<=", RCol("c_acctbal"), RLit("0", "int")))
+      new graft.api.GraftSession(c.spark)
+        .execute(Publish(input, sink, audit))
+      require(graft.ops.Wap.current(c.spark, sink).isDefined,
+        "publish must have promoted a version")
+      graft.ops.Wap.readCurrent(c.spark, sink)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("c_acctbal"))).as("bal"))
+        .orderBy("c_mktsegment")
     }
   )
 }

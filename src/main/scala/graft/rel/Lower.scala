@@ -200,6 +200,12 @@ final class Lower(
       // re-ran the sink job N+1 times per chain).
       lower(in)
 
+    case Publish(in, _, _) =>
+      // same contract as Tee: the stage/audit/promote cycle is an
+      // execute-time effect (CacheManager.resolve); plain analysis of
+      // a plan containing a Publish must not write anything
+      lower(in)
+
     case UdxfRel(in, fnName, sIn, sOut) =>
       val u = catalog.udxfs.getOrElse(fnName,
         throw new IllegalArgumentException(

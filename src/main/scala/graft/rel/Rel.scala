@@ -54,6 +54,7 @@ sealed trait Rel extends Product with Serializable {
     case r: Exchange => r.copy(input = f(r.input))
     case r: Tag => r.copy(input = f(r.input))
     case r: Tee => r.copy(input = f(r.input))
+    case r: Publish => r.copy(input = f(r.input), audit = f(r.audit))
     case r: UdxfRel => r.copy(input = f(r.input))
     case r: UdwfRel => r.copy(input = f(r.input))
     case r: FitRel => r.copy(train = f(r.train))
@@ -305,6 +306,19 @@ final case class Tag(input: Rel, key: String, value: String,
   * unchanged. Never part of the cache hash. */
 final case class Tee(input: Rel, sinkPath: String) extends Rel {
   def children: Seq[Rel] = Seq(input)
+}
+
+/** Write-audit-publish barrier (wap.py:36-214): when executed, the
+  * input is STAGED under `sink`, the `audit` plan runs against the
+  * staged files (they are bound as [[graft.ops.Wap.StagedBinding]];
+  * any row it returns is a violation), and only a clean audit
+  * atomically promotes the staged data to the live version — a failed
+  * audit throws and leaves the previously-published version untouched.
+  * Downstream reads the freshly-published version. Like [[Tee]], the
+  * node is an execute-time effect, stripped from the cache hash. */
+final case class Publish(input: Rel, sink: String, audit: Rel)
+    extends Rel {
+  def children: Seq[Rel] = Seq(input, audit)
 }
 
 // --------------------------------------------- UDF / ML algebra nodes

@@ -27,6 +27,7 @@ object RelHash {
   def cacheRelevant(rel: Rel): Rel = rel.transformUp {
     case Tag(in, _, _, hashing) if !hashing => in
     case Tee(in, _) => in
+    case Publish(in, _, _) => in
     case Cache(in, _, _) => in
   }
 

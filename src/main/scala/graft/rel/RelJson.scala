@@ -222,6 +222,10 @@ object RelJson {
       case Tee(in, sink) => obj("tee") {
         f("input")(wRel(in, sb)); fs("sink", sink)
       }
+      case Publish(in, sink, audit) => obj("publish") {
+        f("input")(wRel(in, sb)); fs("sink", sink)
+        f("audit")(wRel(audit, sb))
+      }
       case UdxfRel(in, fn0, sIn, sOut) => obj("udxf") {
         f("input")(wRel(in, sb)); fs("fn", fn0)
         f("schemaIn")(arr(sIn) { case (n, t) =>
@@ -448,6 +452,10 @@ object RelJson {
         case "tee" =>
           Tee(relDecode(m("input").asInstanceOf[Map[String, Any]]),
             str0("sink"))
+        case "publish" =>
+          Publish(relDecode(m("input").asInstanceOf[Map[String, Any]]),
+            str0("sink"),
+            relDecode(m("audit").asInstanceOf[Map[String, Any]]))
         case "udxf" =>
           def sch(k: String) = list0(k).map { x =>
             val p = x.asInstanceOf[List[Any]]

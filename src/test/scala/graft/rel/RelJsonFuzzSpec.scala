@@ -130,6 +130,8 @@ class RelJsonFuzzSpec extends AnyFunSuite {
         .map { case (in, t) => Exchange(in, t) },
       1 -> Gen.zip(genRel(depth - 1), nastyString)
         .map { case (in, s) => Tee(in, s) },
+      1 -> Gen.zip(genRel(depth - 1), nastyString, genRel(depth - 1))
+        .map { case (in, s, a) => Publish(in, s, a) },
       1 -> Gen.zip(nastyString,
         Gen.listOfN(1, Gen.zip(nastyString, genRel(depth - 1))))
         .map { case (sql, deps) => SqlView(sql, deps) },
