@@ -178,6 +178,14 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
     next(Params.bind(rel, values.toMap))
   def buildHash: String = RelHash.buildHash(rel)
   def cacheHash: String = RelHash.cacheHash(rel)
+  /** Execute and write the result as an Arrow IPC directory (the
+    * interchange data plane; read back via [[graft.rel.ScanArrow]]). */
+  def toArrowDir(path: String): Unit =
+    graft.interop.ArrowIpc.write(execute(), path)
+  /** Execute and collect the result as ONE Arrow IPC stream — the
+    * reference's `to_pyarrow` (driver-side; small results). */
+  def toArrowBytes(): Array[Byte] =
+    graft.interop.ArrowIpc.toBytes(execute())
   def toJson: String = RelJson.write(rel)
   def save(buildsDir: String): Build.Artifact = Build.save(rel, buildsDir)
 

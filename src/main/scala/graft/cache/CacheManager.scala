@@ -242,6 +242,7 @@ final class CacheManager(
     def walk(r: Rel): Unit = {
       r match {
         case ScanParquet(p) => paths += p
+        case ScanArrow(p) => paths += p
         case ReadDelta(p) => paths += p
         case ReadCsv(p, _, _, _) => paths += p
         case PinnedRead(p, _) => paths += p

@@ -133,6 +133,27 @@ object SourceQueries {
       result
     },
 
+    // Arrow IPC interchange (ref expr/api.py:590-678 to_pyarrow /
+    // RecordBatchReader): the filtered projection is written as a
+    // distributed Arrow IPC directory, read back through the ScanArrow
+    // algebra leaf, and aggregated — column fidelity across the Arrow
+    // hop is what the oracle checks (it reads the ORIGINAL parquet).
+    q("src_arrow_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice) + 1e-9, 2) AS total
+        |FROM orders WHERE o_orderkey < 20000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { c =>
+      val dir = tmp("arrow_dir")
+      graft.interop.ArrowIpc.write(
+        c.orders.filter(col("o_orderkey") < 20000)
+          .select("o_orderpriority", "o_totalprice"), dir)
+      new graft.api.GraftSession(c.spark).execute(ScanArrow(dir))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Write-audit-publish barrier (ref writes/wap.py:36-214): the
     // filtered customer slice is STAGED, audited (no null keys, no
     // rows outside the filter), and atomically promoted; the query

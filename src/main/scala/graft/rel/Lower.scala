@@ -25,6 +25,8 @@ final class Lower(
   def lower(rel: Rel): DataFrame = rel match {
     case ScanParquet(path) => spark.read.parquet(path)
 
+    case ScanArrow(path) => graft.interop.ArrowIpc.read(spark, path)
+
     case ReadDelta(path) => spark.read.format("delta").load(path)
 
     case ReadJdbc(url, table, props, partCol, lo, hi, nParts) =>

@@ -29,6 +29,7 @@ sealed trait Rel extends Product with Serializable {
 
   def mapChildren(f: Rel => Rel): Rel = this match {
     case r: ScanParquet => r
+    case r: ScanArrow => r
     case r: ReadDelta => r
     case r: ReadJdbc => r
     case r: ReadCsv => r
@@ -68,6 +69,14 @@ sealed trait Rel extends Product with Serializable {
   * expr/relations.py:826-845: method+path captured, resolved at the
   * execution boundary; participates in the content hash). */
 final case class ScanParquet(path: String) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Deferred Arrow IPC directory read (the interchange data plane,
+  * ref expr/api.py:590-678 to_pyarrow_batches): a directory of
+  * `part-*.arrow` stream files written by [[graft.interop.ArrowIpc]].
+  * Serializable, fingerprintable leaf like [[ScanParquet]]. */
+final case class ScanArrow(path: String) extends Rel {
   def children: Seq[Rel] = Nil
 }
 

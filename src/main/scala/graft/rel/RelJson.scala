@@ -84,6 +84,7 @@ object RelJson {
 
     r match {
       case ScanParquet(p) => obj("scan_parquet")(fs("path", p))
+      case ScanArrow(p) => obj("scan_arrow")(fs("path", p))
       case ReadDelta(p) => obj("read_delta")(fs("path", p))
       case ReadJdbc(url, table, props, pc, lo, hi, np) => obj("read_jdbc") {
         fs("url", url); fs("table", table)
@@ -335,6 +336,7 @@ object RelJson {
       }
       m("t").asInstanceOf[String] match {
         case "scan_parquet" => ScanParquet(str0("path"))
+        case "scan_arrow" => ScanArrow(str0("path"))
         case "read_delta" => ReadDelta(str0("path"))
         case "read_jdbc" => ReadJdbc(str0("url"), str0("table"),
           list0("props").map { x =>

@@ -24,7 +24,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `POST /run/<name>`       → body `{"bindings":{tbl:path,...},
   *                                "out":path}`; executes, writes
   *                                parquet to `out`, returns
-  *                                `{"rows":N,"out":...}`
+  *                                `{"rows":N,"out":...}`. With
+  *                                `"format":"arrow"` the output is a
+  *                                directory of Arrow IPC stream files
+  *                                ([[graft.interop.ArrowIpc]]); with
+  *                                no `"out"` at all the result comes
+  *                                back INLINE as one Arrow IPC stream
+  *                                in the response body (the
+  *                                `to_pyarrow` wire contract — small
+  *                                results only, it materializes on
+  *                                the server driver).
   */
 final class HttpServe(registry: Registry, spark: SparkSession) {
 
@@ -52,17 +61,34 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
           }
       }
     })
-    server.createContext("/run/", handler { (ex, body) =>
+    server.createContext("/run/", rawHandler { (ex, body) =>
       val name = ex.getRequestURI.getPath.stripPrefix("/run/")
       val req = RelJson.parseAny(body).asInstanceOf[Map[String, Any]]
       val bindings = req.getOrElse("bindings", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]]
         .map { case (t, p) => t -> spark.read.parquet(p.asInstanceOf[String]) }
-      val out = req("out").asInstanceOf[String]
       val df = registry.call(name, bindings)
-      df.write.mode("overwrite").parquet(out)
-      val rows = spark.read.parquet(out).count()
-      (200, s"""{"name":${q(name)},"rows":$rows,"out":${q(out)}}""")
+      val format = req.getOrElse("format", "parquet").asInstanceOf[String]
+      req.get("out").map(_.asInstanceOf[String]) match {
+        case Some(out) =>
+          val rows = format match {
+            case "parquet" =>
+              df.write.mode("overwrite").parquet(out)
+              spark.read.parquet(out).count()
+            case "arrow" =>
+              graft.interop.ArrowIpc.write(df, out)
+              graft.interop.ArrowIpc.read(spark, out).count()
+            case other => throw new IllegalArgumentException(
+              s"unknown format '$other' (parquet | arrow)")
+          }
+          json(200,
+            s"""{"name":${q(name)},"rows":$rows,"out":${q(out)},"format":${q(format)}}""")
+        case None =>
+          // inline data plane: the result IS the response body, one
+          // Arrow IPC stream — any Arrow client parses it directly
+          (200, graft.interop.ArrowIpc.toBytes(df),
+            "application/vnd.apache.arrow.stream")
+      }
     })
     server.setExecutor(null) // serial — Spark drives the real work
     server.start()
@@ -73,22 +99,28 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
 
   private def q(s: String): String = RelJson.escape(s)
 
+  private def json(code: Int, body: String): (Int, Array[Byte], String) =
+    (code, body.getBytes(UTF_8), "application/json")
+
   private def handler(f: (HttpExchange, String) => (Int, String)): HttpHandler =
+    rawHandler { (ex, body) => val (c, s0) = f(ex, body); json(c, s0) }
+
+  private def rawHandler(
+      f: (HttpExchange, String) => (Int, Array[Byte], String)): HttpHandler =
     (ex: HttpExchange) => try {
       // NonFatal → error envelope (caller faults 400, server faults
       // 500); the outer finally closes the exchange even on a fatal
       // Error, so the client never hangs on a silent dead socket
       // (review-caught: an Exception-only catch leaked the exchange)
-      val (code, resp) =
+      val (code, bytes, contentType) =
         try f(ex, new String(ex.getRequestBody.readAllBytes(), UTF_8))
         catch {
           case e: IllegalArgumentException =>
-            (400, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+            json(400, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
           case scala.util.control.NonFatal(e) =>
-            (500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+            json(500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
         }
-      val bytes = resp.getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type", contentType)
       ex.sendResponseHeaders(code, bytes.length)
       ex.getResponseBody.write(bytes)
     } finally ex.close()

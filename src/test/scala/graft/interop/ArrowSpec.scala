@@ -1,0 +1,111 @@
+package graft.interop
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Arrow IPC interchange: schema mapping, value fidelity (nulls,
+  * arrays, temporal types), the distributed directory sink/source, and
+  * the ScanArrow algebra leaf. */
+class ArrowSpec extends SparkSpec {
+
+  private def roundTrip(df: org.apache.spark.sql.DataFrame): Seq[Row] = {
+    val bytes = ArrowCodec.encode(df.schema, df.collect().iterator)
+    val (schema, rows) = ArrowCodec.decode(bytes)
+    assert(schema == df.schema, s"schema drift: $schema vs ${df.schema}")
+    rows.toSeq
+  }
+
+  test("all supported scalar types round-trip bit-exactly incl. nulls") {
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("dt", DateType)))
+    val rows = Seq(
+      Row(true, 1, 2L, 1.5f, 2.5, "héllo", Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-02-29")),
+      Row(null, null, null, null, null, null, null, null),
+      Row(false, -2147483648, Long.MinValue, Float.NaN,
+        Double.PositiveInfinity, "", Array[Byte](),
+        java.sql.Date.valueOf("1969-12-31")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+    val got = roundTrip(df)
+    assert(got.length == 3)
+    val g0 = got.find(r => r.get(0) == true).get
+    assert(g0.getInt(1) == 1 && g0.getLong(2) == 2L &&
+      g0.getString(5) == "héllo")
+    assert(g0.getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 3))
+    assert(g0.getDate(7) == java.sql.Date.valueOf("2024-02-29"))
+    val gn = got.find(_.isNullAt(1)).get
+    (0 until 8).foreach(i => assert(gn.isNullAt(i)))
+    val gm = got.find(r => !r.isNullAt(1) && r.getInt(1) < 0).get
+    assert(gm.getLong(2) == Long.MinValue)
+    assert(gm.getFloat(3).isNaN && gm.getDouble(4).isPosInfinity)
+  }
+
+  test("arrays of primitives (embedding columns) round-trip") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.5f, -3.25f), Seq("a", "b"), Seq(1.5, 2.5)),
+      (2L, Seq.empty[Float], Seq.empty[String], Seq.empty[Double]))
+      .toDF("id", "emb", "tags", "ds")
+    val got = roundTrip(df).sortBy(_.getLong(0))
+    assert(got(0).getSeq[Float](1) == Seq(1.0f, 2.5f, -3.25f))
+    assert(got(0).getSeq[String](2) == Seq("a", "b"))
+    assert(got(0).getSeq[Double](3) == Seq(1.5, 2.5))
+    assert(got(1).getSeq[Float](1).isEmpty)
+  }
+
+  test("timestamps round-trip at microsecond precision") {
+    val sp = spark
+    import sp.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456")
+    val df = Seq(Tuple1(t)).toDF("ts")
+    val got = roundTrip(df)
+    assert(got.head.getTimestamp(0) == t)
+  }
+
+  test("distributed IPC directory write/read preserves data across " +
+    "many partitions (incl. empty ones)") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/d"
+    // 11 partitions over 100 rows: some partitions near-empty
+    val df = sp.range(0, 100, 1, 11)
+      .select(col("id"), (col("id") % 7).cast("double").as("v"),
+        concat(lit("s"), col("id")).as("s"))
+    ArrowIpc.write(df, dir)
+    val back = ArrowIpc.read(sp, dir)
+    assert(back.schema == df.schema)
+    assert(back.count() == 100)
+    assert(back.agg(sum("id")).collect().head.getLong(0) == 4950L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 11, "one IPC file per partition")
+  }
+
+  test("ScanArrow algebra leaf lowers to the IPC directory reader and " +
+    "round-trips through plan JSON") {
+    val sp = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/n"
+    ArrowIpc.write(sp.read.parquet(s"$sfDir/nation.parquet"), dir)
+    val node = graft.rel.ScanArrow(dir)
+    assert(graft.rel.RelJson.parse(graft.rel.RelJson.write(node)) == node)
+    val df = new graft.rel.Lower(sp, Map.empty).lower(node)
+    assert(df.count() == 25)
+  }
+
+  test("toBytes/fromBytes: one IPC stream moves a result driver-side") {
+    val sp = spark
+    val df = sp.read.parquet(s"$sfDir/region.parquet")
+    val back = ArrowIpc.fromBytes(sp, ArrowIpc.toBytes(df))
+    assert(back.schema == df.schema)
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+}

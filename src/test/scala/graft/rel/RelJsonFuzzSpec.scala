@@ -41,6 +41,7 @@ class RelJsonFuzzSpec extends AnyFunSuite {
 
   private val genLeafRel: Gen[Rel] = Gen.oneOf(
     nastyString.map(ScanParquet),
+    nastyString.map(ScanArrow),
     nastyString.map(ReadDelta),
     Gen.zip(nastyString, nastyString, Gen.option(nastyString),
       Gen.choose(0L, 1000L), Gen.choose(1, 64))

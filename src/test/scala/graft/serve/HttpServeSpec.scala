@@ -77,6 +77,33 @@ class HttpServeSpec extends SparkSpec {
       assert(new java.io.File(teeSink).exists(),
         "served plan's tee sink must be written by the effects pass")
       assert(spark.read.parquet(teeSink).count() == 5)
+
+      // arrow data plane #1: format=arrow writes an IPC directory a
+      // separate process could read with pyarrow
+      val outA = Files.createTempDirectory("graft_http_arrow_")
+        .toString + "/r"
+      val respA = curl("-X", "POST",
+        "--data", s"""{"bindings":{"src":"$sfDir/nation.parquet"},""" +
+          s""""out":"$outA","format":"arrow"}""",
+        s"$base/run/by_region")
+      assert(respA.contains("\"rows\":5"), s"unexpected response: $respA")
+      val backA = graft.interop.ArrowIpc.read(spark, outA).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(backA == exp)
+
+      // arrow data plane #2: NO "out" → the result moves INLINE as one
+      // Arrow IPC stream in the HTTP response body, fetched by a
+      // subprocess and decoded here — round-trip equality
+      val ipcFile = Files.createTempDirectory("graft_http_ipc_")
+        .resolve("r.arrow").toString
+      curl("-X", "POST",
+        "--data", s"""{"bindings":{"src":"$sfDir/nation.parquet"}}""",
+        "-o", ipcFile, s"$base/run/by_region")
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ipcFile))
+      val inline = graft.interop.ArrowIpc.fromBytes(spark, bytes).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(inline == exp, "inline IPC result must equal the plan output")
     } finally http.stop()
   }
 }
