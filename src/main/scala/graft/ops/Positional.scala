@@ -1,43 +1,104 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-safe global row numbering (and positional join, vendor
   * relations.py:216 `positional`): a `Window.orderBy` with no partition
   * is a single-partition global sort — a driver-killer on a fact table
-  * (flagged in round 1). This is the distributed two-pass formulation:
+  * (flagged in round 1).
   *
-  *   1. range-repartition by the sort keys (sampled range exchange) and
-  *      sort within partitions — the standard distributed total sort;
-  *   2. count rows per partition, collect the (tiny, = #partitions)
-  *      counts, prefix-sum to offsets;
-  *   3. per-partition local index + broadcast offset = global 1-based
-  *      row number.
+  * This is the distributed two-phase formulation, fully columnar (the
+  * r3 `rdd.zipWithIndex` version was shuffle-optimal but left Tungsten,
+  * paying full Row serde both ways). The key design point: the range
+  * bucket of a row is a DETERMINISTIC FUNCTION OF ITS DATA — explicit
+  * quantile boundaries sampled once on the driver and baked into the
+  * plan as literals — never the physical partition id. (A first cut
+  * used `spark_partition_id()` over `repartitionByRange` and counted
+  * rows per partition in a second branch; Catalyst column-pruned that
+  * branch into its own range exchange with its own nondeterministic
+  * boundary sample, so the two branches could silently disagree.
+  * Literal boundaries make every consumer see the same bucketing by
+  * construction.)
   *
-  * Cost: one range exchange + one pass; no single-reducer stage. The
-  * collected state is one long per partition.
+  *   1. sample the first sort column uniformly (one pruned pass) and
+  *      take evenly-spaced boundaries — the deterministic version of
+  *      what RangePartitioner samples inside the exchange;
+  *   2. bucket = #boundaries ≤ key (an O(#buckets) codegen'd array
+  *      scan per row); per-bucket counts → exclusive prefix sum →
+  *      tiny broadcast offsets table;
+  *   3. local index = `row_number()` over a window PARTITIONED by
+  *      bucket (hash exchange + per-bucket sort — no global stage);
+  *      global row number = bucket offset + local index.
+  *
+  * Cost: one count + one sample pass (both pruned to the first sort
+  * column), one hash exchange for the per-bucket window, one tiny
+  * broadcast. No single-reducer stage, no RDD serde; everything but
+  * the window sort is whole-stage codegen. Ties on the first column
+  * land in one bucket (strict boundary compare), so the within-bucket
+  * sort by the FULL key keeps the order total.
+  *
+  * Contract: the first sort column must be ASCENDING (boundary order
+  * and window order must agree); any orderable type works (numeric,
+  * string, date, timestamp).
   */
 object Positional {
 
   /** Append `rowNumCol` = global 1-based position under `sortCols`
-    * ordering (must be a total order for determinism). */
+    * ordering (must be a total order for determinism; first column
+    * ascending). `buckets` defaults to the session's shuffle
+    * parallelism — size it so no bucket exceeds ~2B rows (the
+    * `row_number` range). */
   def withRowNumber(
       df: DataFrame,
       sortCols: Seq[Column],
-      rowNumCol: String = "rn"): DataFrame = {
-    val sorted = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    // zipWithIndex IS the two-pass shape (per-partition count job +
-    // offset-adjusted numbering pass) maintained by Spark core — the
-    // hand-rolled count/scanLeft/number version said the same thing in
-    // 12 lines (review simplification).
-    val schema = sorted.schema.add(rowNumCol,
-      org.apache.spark.sql.types.LongType)
-    df.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1))
-      }, schema)
+      rowNumCol: String = "rn",
+      buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val first = sortCols.head
+
+    // phase 1: deterministic range boundaries from a uniform sample
+    val total = df.select(first.as("__k")).count()
+    val target = math.min(total, nBuckets.toLong * 128)
+    val sample: Array[Any] =
+      if (total == 0) Array.empty
+      else df.select(first.as("__k"))
+        .sample(withReplacement = false,
+          fraction = math.min(1.0, target.toDouble / total), seed = 42)
+        .collect().map(_.get(0)).filter(_ != null)
+    val bounds: Seq[Any] =
+      if (sample.isEmpty) Nil
+      else {
+        val s = sample.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+        (1 until nBuckets)
+          .map(i => s(((i.toLong * s.length) / nBuckets).toInt))
+          .distinct
+      }
+
+    // phase 2+3: bucket by literal boundaries; number within buckets
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit): _*), b => b <= first))
+    val bucketed = df.withColumn("__b", bucketCol)
+    val offsets = bucketed
+      .groupBy("__b").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__cnt")).over(
+            Window.orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__b"), col("__off"))
+    bucketed
+      .withColumn("__loc",
+        row_number().over(Window.partitionBy("__b").orderBy(sortCols: _*)))
+      .join(broadcast(offsets), "__b")
+      .withColumn(rowNumCol, col("__off") + col("__loc").cast("long"))
+      .drop("__b", "__loc", "__off")
   }
 
   /** Positional join: pair the i-th row of `a` (under `aSort`) with the

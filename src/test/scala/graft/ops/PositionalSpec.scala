@@ -31,6 +31,47 @@ class PositionalSpec extends SparkSpec {
     assert(rns.length == rns.distinct.length)
   }
 
+  test("numbering runs as a bucket-partitioned window — columnar, " +
+    "no RDD serde, no global single-partition sort of the data") {
+    val plan = Positional.withRowNumber(li,
+      Seq(col("l_orderkey"), col("l_linenumber")))
+    plan.collect() // force execution so AQE finalizes the plan
+    // AdaptiveSparkPlan.toString prints Final AND Initial sections —
+    // assert on the final one only
+    val physical = plan.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(physical.contains("Exchange hashpartitioning(__b"),
+      s"local indexing must be a bucket-partitioned window:\n$physical")
+    assert(!physical.contains("ExistingRDD") &&
+      !physical.contains("DeserializeToObject"),
+      "row numbering must not drop to the RDD layer")
+    // the only SinglePartition exchange allowed is the tiny offsets
+    // prefix-sum (input = per-bucket counts), never the data itself
+    val single = physical.split("\n")
+      .filter(_.contains("Exchange SinglePartition"))
+    assert(single.length <= 1, s"unexpected global exchanges:\n$physical")
+  }
+
+  test("row numbers stay correct under heavy first-key ties and a " +
+    "tiny bucket count") {
+    val sp = spark
+    import sp.implicits._
+    // 10k rows, only 3 distinct first keys — boundary dedup collapses
+    // buckets; ties must land in ONE bucket and stay totally ordered
+    // by the second key
+    val df = (0 until 10000).map(i => (i % 3, i)).toDF("k", "i")
+    val got = Positional.withRowNumber(df, Seq(col("k"), col("i")),
+        buckets = 4)
+      .orderBy("rn").collect()
+    assert(got.length == 10000)
+    val rns = got.map(_.getAs[Long]("rn"))
+    assert(rns.head == 1L && rns.last == 10000L &&
+      rns.distinct.length == 10000)
+    // rn order == (k, i) lexicographic order
+    val keys = got.map(r => (r.getInt(0), r.getInt(1)))
+    assert(keys.sameElements(keys.sortBy(identity)))
+  }
+
   test("positional join pairs i-th rows of two orderings") {
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     val region = spark.read.parquet(s"$sfDir/region.parquet")
