@@ -12,6 +12,9 @@ import java.nio.file.{Files, Paths}
   *   runMain graft.Cli show <buildsDir> <hash|alias>
   *   runMain graft.Cli run  <buildsDir> <hash|alias> <outParquetDir>
   *   runMain graft.Cli alias <buildsDir> <name> <hash>
+  *   runMain graft.Cli lineage <buildsDir> <hash|alias>
+  *   runMain graft.Cli record  <buildsDir> <hash|alias>
+  *   runMain graft.Cli verify  <buildsDir> <hash|alias>
   *   runMain graft.Cli serve <buildsDir> <port>    (0 = ephemeral)
   *
   * `run` re-executes a serialized plan with no access to the code that
@@ -52,6 +55,27 @@ object Cli {
     case "alias" :: dir :: name :: hash :: Nil =>
       new Catalog(dir).register(name, hash)
       println(s"$name -> $hash")
+
+    // reproducibility lifecycle (ref catalog/replay.py): capture the
+    // dependency surface + result fingerprint, later re-execute and
+    // classify any divergence as source Drift vs true Mismatch.
+    case "lineage" :: dir :: ref :: Nil =>
+      val spark = session()
+      println(graft.build.Lineage
+        .capture(dir, resolve(dir, ref), spark).toJson)
+      spark.stop()
+
+    case "record" :: dir :: ref :: Nil =>
+      val spark = session()
+      println(graft.build.Replay.record(dir, resolve(dir, ref), spark).toJson)
+      spark.stop()
+
+    case "verify" :: dir :: ref :: Nil =>
+      val spark = session()
+      val outcome = graft.build.Replay.verify(dir, resolve(dir, ref), spark)
+      println(s"""{"outcome":"$outcome"}""")
+      spark.stop()
+      if (outcome != graft.build.Replay.Ok) sys.exit(1)
 
     // serve every build (by hash and by alias) over the HTTP transport
     // — `xorq serve` for artifacts: another process lists/fetches/runs
