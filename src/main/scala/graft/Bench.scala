@@ -70,6 +70,11 @@ object Bench {
       // Each query now starts from a clean cache; its own persists still
       // serve its warm run (cleared only after both runs).
       spark.catalog.clearCache()
+      // GC barrier: heavy dedup queries leave multi-GB young-gen
+      // garbage; without a collection the NEXT query pays the pause,
+      // which showed up as ±2x run-to-run swaps between adjacent
+      // headliners
+      System.gc()
       (d.name, cold, warm)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

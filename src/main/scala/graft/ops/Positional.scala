@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   * Literal boundaries make every consumer see the same bucketing by
   * construction.)
   *
-  *   1. sample the first sort column uniformly (one pruned pass) and
-  *      take evenly-spaced boundaries — the deterministic version of
-  *      what RangePartitioner samples inside the exchange;
+  *   1. sketch the first sort column with one pruned bottom-k-by-hash
+  *      pass and take evenly-spaced boundaries — the deterministic
+  *      version of what RangePartitioner samples inside the exchange;
   *   2. bucket = #boundaries ≤ key (an O(#buckets) codegen'd array
   *      scan per row); per-bucket counts → exclusive prefix sum →
   *      tiny broadcast offsets table;
@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   *      bucket (hash exchange + per-bucket sort — no global stage);
   *      global row number = bucket offset + local index.
   *
-  * Cost: one count + one sample pass (both pruned to the first sort
-  * column), one hash exchange for the per-bucket window, one tiny
+  * Cost: one boundary-sketch pass (pruned to the first sort column),
+  * one hash exchange for the per-bucket window, one tiny
   * broadcast. No single-reducer stage, no RDD serde; everything but
   * the window sort is whole-stage codegen. Ties on the first column
   * land in one bucket (strict boundary compare), so the within-bucket
@@ -60,15 +60,19 @@ object Positional {
       else spark.sessionState.conf.numShufflePartitions
     val first = sortCols.head
 
-    // phase 1: deterministic range boundaries from a uniform sample
-    val total = df.select(first.as("__k")).count()
-    val target = math.min(total, nBuckets.toLong * 128)
-    val sample: Array[Any] =
-      if (total == 0) Array.empty
-      else df.select(first.as("__k"))
-        .sample(withReplacement = false,
-          fraction = math.min(1.0, target.toDouble / total), seed = 42)
-        .collect().map(_.get(0)).filter(_ != null)
+    // phase 1: deterministic range boundaries in ONE pruned pass — a
+    // bottom-k-by-hash sketch (TakeOrderedAndProject: distributed
+    // top-k, no count job, no fraction to pre-compute). Duplicate
+    // values hash identically, so the sketch samples ~distinct values;
+    // heavy-duplicate keys collapse into one bucket via the strict
+    // boundary compare either way.
+    val k = nBuckets * 128
+    val sample: Array[Any] = df
+      .select(first.as("__k"))
+      .where(col("__k").isNotNull)
+      .orderBy(xxhash64(col("__k")))
+      .limit(k)
+      .collect().map(_.get(0))
     val bounds: Seq[Any] =
       if (sample.isEmpty) Nil
       else {
