@@ -68,6 +68,66 @@ object GeoQueries {
           radiusKm = 300.0, cellDeg = 6.0)
         .select(col("a_id"), col("b_id"), r2(col("dist_km")).as("dist_km"))
         .orderBy("a_id", "b_id")
+    },
+
+    // GEOMETRY-typed subset (ref expr/types/geospatial.py): per-row WKT
+    // rectangles built from supplier keys run through the real parse +
+    // shoelace / ring-length / centroid kernels; the oracle computes
+    // the same measures with closed-form rectangle arithmetic — so the
+    // geometry pipeline (WKT text → parse → kernel) is what's checked.
+    q("geo_geom_measures",
+      """SELECT s_suppkey,
+        |       round(w * h + 1e-9, 4) AS area,
+        |       round(2 * (w + h) + 1e-9, 4) AS perim,
+        |       round(x + w / 2 + 1e-9, 4) AS cx,
+        |       round(y + h / 2 + 1e-9, 4) AS cy
+        |FROM (SELECT s_suppkey,
+        |             (s_suppkey % 50) * 1.0 AS x, ((s_suppkey * 3) % 50) * 1.0 AS y,
+        |             1.0 + (s_suppkey % 7) AS w, 1.0 + ((s_suppkey * 5) % 11) AS h
+        |      FROM supplier)
+        |ORDER BY s_suppkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val g = c.supplier.select(col("s_suppkey"),
+          (col("s_suppkey") % 50).cast("double").as("x"),
+          (col("s_suppkey") * 3 % 50).cast("double").as("y"),
+          (lit(1.0) + col("s_suppkey") % 7).as("w"),
+          (lit(1.0) + col("s_suppkey") * 5 % 11).as("h"))
+        .withColumn("wkt", concat(lit("POLYGON(("),
+          col("x"), lit(" "), col("y"), lit(", "),
+          col("x") + col("w"), lit(" "), col("y"), lit(", "),
+          col("x") + col("w"), lit(" "), col("y") + col("h"), lit(", "),
+          col("x"), lit(" "), col("y") + col("h"), lit(", "),
+          col("x"), lit(" "), col("y"), lit("))")))
+      g.select(col("s_suppkey"),
+          r4(callUDF("st_area", col("wkt"))).as("area"),
+          r4(callUDF("st_perimeter", col("wkt"))).as("perim"),
+          r4(callUDF("st_centroid_x", col("wkt"))).as("cx"),
+          r4(callUDF("st_centroid_y", col("wkt"))).as("cy"))
+        .orderBy("s_suppkey")
+    },
+
+    // Point-in-polygon via ray casting against a fixed triangle whose
+    // edges contain NO lattice points (vertices chosen with coprime
+    // edge deltas), so the strict-interior predicate agrees exactly
+    // with the oracle's three cross-product sign tests.
+    q("geo_geom_contains",
+      """SELECT c_custkey,
+        |       (40-0)*(y-1) - (2-1)*(x-0) > 0 AND
+        |       (11-40)*(y-2) - (39-2)*(x-40) > 0 AND
+        |       (0-11)*(y-39) - (1-39)*(x-11) > 0 AS inside
+        |FROM (SELECT c_custkey, (c_custkey % 41) * 1.0 AS x,
+        |             ((c_custkey * 7) % 41) * 1.0 AS y
+        |      FROM customer)
+        |ORDER BY c_custkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      c.customer.select(col("c_custkey"),
+          (col("c_custkey") % 41).cast("double").as("x"),
+          (col("c_custkey") * 7 % 41).cast("double").as("y"))
+        .select(col("c_custkey"),
+          callUDF("st_contains",
+            lit("POLYGON((0 1, 40 2, 11 39, 0 1))"),
+            col("x"), col("y")).as("inside"))
+        .orderBy("c_custkey")
     }
   )
 }
