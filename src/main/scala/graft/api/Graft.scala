@@ -64,6 +64,18 @@ final class GraftSession(
       inferSchema: Boolean = true, delimiter: String = ","): GraftTable =
     GraftTable(ReadCsv(path, header, inferSchema, delimiter), this)
 
+  /** Deferred Arrow IPC directory read (written by `toArrowDir` or any
+    * Arrow producer). */
+  def readArrowDir(path: String): GraftTable =
+    GraftTable(ScanArrow(path), this)
+
+  /** Register a live Arrow IPC stream as a named table (the
+    * reference's `read_record_batches`, backend.py:729): the stream is
+    * decoded once, bound under `name`, and the returned session's
+    * `table(name)` plans against it like any binding. */
+  def registerArrow(name: String, ipcBytes: Array[Byte]): GraftSession =
+    bind(name -> graft.interop.ArrowIpc.fromBytes(spark, ipcBytes))
+
   /** Serializable placeholder resolved from `bindings` at execution. */
   def table(name: String, schema: (String, String)*): GraftTable =
     GraftTable(UnboundTable(name, schema), this)
@@ -165,7 +177,7 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
     val u = session.functions.udwfs.getOrElse(name,
       throw new IllegalArgumentException(s"udwf '$name' not registered"))
     next(UdwfRel(rel, name, u.partitionBy, u.orderBy, u.outName,
-      u.outType.sql))
+      u.outType.sql, u.mode.kind, u.params))
   }
   /** Deferred pipeline fit: the result is the MODEL as a relation. */
   def fit(steps: StepSpec*): GraftTable = next(FitRel(rel, steps))

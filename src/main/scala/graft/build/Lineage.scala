@@ -95,7 +95,7 @@ object Lineage {
         case InMemory(_, _) => ()
         case SqlView(_, _) => ()
         case UdxfRel(_, fn, _, _) => functions += s"udxf:$fn"
-        case UdwfRel(_, fn, _, _, _, _, _) => functions += s"udwf:$fn"
+        case u: UdwfRel => functions += s"udwf:${u.fn}"
         case FitRel(_, steps) => steps.foreach {
           case EstimatorSpec(est, _, _, _) => functions += s"estimator:$est"
           case _ => ()

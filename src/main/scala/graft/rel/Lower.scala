@@ -223,7 +223,7 @@ final class Lower(
           s"from the plan's declared $sIn->$sOut")
       u(lower(in))
 
-    case UdwfRel(in, fnName, pb, ob, outName, outType, mode) =>
+    case UdwfRel(in, fnName, pb, ob, outName, outType, mode, params) =>
       val u = catalog.udwfs.getOrElse(fnName,
         throw new IllegalArgumentException(
           s"udwf '$fnName' not in the function catalog " +
@@ -235,6 +235,9 @@ final class Lower(
       require(u.mode.kind == mode,
         s"udwf '$fnName': registered evaluation mode '${u.mode.kind}' " +
           s"differs from the plan's declared '$mode'")
+      require(u.params == params,
+        s"udwf '$fnName': registered params ${u.params} differ from " +
+          s"the plan's declared $params")
       u(lower(in))
 
     case FitRel(train, steps) =>

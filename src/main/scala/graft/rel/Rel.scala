@@ -370,7 +370,8 @@ final case class UdwfRel(
     orderBy: Seq[String],
     outName: String,
     outType: String,
-    mode: String = "evaluate_all") extends Rel {
+    mode: String = "evaluate_all",
+    params: Seq[(String, String)] = Nil) extends Rel {
   def children: Seq[Rel] = Seq(input)
 }
 

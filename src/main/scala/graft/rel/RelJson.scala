@@ -236,12 +236,17 @@ object RelJson {
           sb.append('['); s(n, sb); sb.append(','); s(t, sb); sb.append(']')
         })
       }
-      case UdwfRel(in, fn0, pb, ob, outName, outType, mode) => obj("udwf") {
-        f("input")(wRel(in, sb)); fs("fn", fn0)
-        f("partitionBy")(arr(pb)(s(_, sb)))
-        f("orderBy")(arr(ob)(s(_, sb)))
-        fs("outName", outName); fs("outType", outType); fs("mode", mode)
-      }
+      case UdwfRel(in, fn0, pb, ob, outName, outType, mode, params) =>
+        obj("udwf") {
+          f("input")(wRel(in, sb)); fs("fn", fn0)
+          f("partitionBy")(arr(pb)(s(_, sb)))
+          f("orderBy")(arr(ob)(s(_, sb)))
+          fs("outName", outName); fs("outType", outType); fs("mode", mode)
+          f("params")(arr(params) { case (k, v) =>
+            sb.append('['); s(k, sb); sb.append(','); s(v, sb)
+            sb.append(']')
+          })
+        }
       case FitRel(train, steps) => obj("fit") {
         f("train")(wRel(train, sb)); f("steps")(arr(steps)(wStep))
       }
@@ -471,9 +476,13 @@ object RelJson {
             list0("partitionBy").map(_.asInstanceOf[String]),
             list0("orderBy").map(_.asInstanceOf[String]),
             str0("outName"), str0("outType"),
-            // pre-r4 plans have no mode field: they are evaluate_all
+            // pre-r4 plans have no mode/params fields: evaluate_all, none
             m.get("mode").map(_.asInstanceOf[String])
-              .getOrElse("evaluate_all"))
+              .getOrElse("evaluate_all"),
+            m.get("params").map(_.asInstanceOf[List[Any]].map { x =>
+              val p = x.asInstanceOf[List[Any]]
+              (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+            }).getOrElse(Nil))
         case "fit" =>
           FitRel(relDecode(m("train").asInstanceOf[Map[String, Any]]),
             list0("steps").map(decodeStep))

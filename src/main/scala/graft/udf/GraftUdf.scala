@@ -146,7 +146,13 @@ final case class Udwf(
     orderBy: Seq[String],
     outName: String,
     outType: org.apache.spark.sql.types.DataType,
-    mode: UdwfMode) {
+    mode: UdwfMode,
+    /** Declared configuration of the evaluator (the reference's
+      * "params on self", expr/udf.py:839): the VALUES the closure was
+      * built with, serialized into [[graft.rel.UdwfRel]] so a
+      * re-registration with different tuning cannot run under a plan
+      * hashed for the old one. */
+    params: Seq[(String, String)] = Nil) {
 
   def apply(df: DataFrame): DataFrame = {
     val inSchema = df.schema

@@ -101,6 +101,17 @@ class ArrowSpec extends SparkSpec {
     assert(df.count() == 25)
   }
 
+  test("registerArrow binds a live IPC stream as a named table " +
+    "(read_record_batches)") {
+    val sp = spark
+    val bytes = ArrowIpc.toBytes(sp.read.parquet(s"$sfDir/nation.parquet"))
+    val session = new graft.api.GraftSession(sp)
+      .registerArrow("batches", bytes)
+    val out = session.table("batches", "n_nationkey" -> "INT")
+      .df.count()
+    assert(out == 25)
+  }
+
   test("toBytes/fromBytes: one IPC stream moves a result driver-side") {
     val sp = spark
     val df = sp.read.parquet(s"$sfDir/region.parquet")

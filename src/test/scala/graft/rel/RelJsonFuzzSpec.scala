@@ -144,8 +144,12 @@ class RelJsonFuzzSpec extends AnyFunSuite {
         Gen.listOfN(1, nastyString), Gen.listOfN(1, nastyString),
         nastyString, Gen.oneOf("DOUBLE", "BIGINT"))
         .flatMap { case (in, fn, pb, ob, on, ot) =>
-          Gen.oneOf("evaluate_all", "evaluate", "evaluate_all_with_rank")
-            .map(mode => UdwfRel(in, fn, pb, ob, on, ot, mode))
+          Gen.zip(
+            Gen.oneOf("evaluate_all", "evaluate", "evaluate_all_with_rank"),
+            Gen.listOfN(1, Gen.zip(nastyString, nastyString)))
+            .map { case (mode, ps) =>
+              UdwfRel(in, fn, pb, ob, on, ot, mode, ps)
+            }
         },
       1 -> Gen.zip(genRel(depth - 1), genStep)
         .map { case (in, st) => FitRel(in, Seq(st)) },

@@ -215,6 +215,16 @@ class UdxfMlRelSpec extends SparkSpec {
       new Lower(spark, Map.empty, cat)
         .lower(node.copy(orderBy = Seq("l_quantity")))
     }
+
+    // declared evaluation mode and params must match the registration
+    intercept[IllegalArgumentException] {
+      new Lower(spark, Map.empty, cat)
+        .lower(node.copy(mode = "evaluate_all_with_rank"))
+    }
+    intercept[IllegalArgumentException] {
+      new Lower(spark, Map.empty, cat)
+        .lower(node.copy(params = Seq("alpha" -> "0.5")))
+    }
   }
 
   test("a plan with UDXF + fitted pipeline builds, loads by hash, and " +
