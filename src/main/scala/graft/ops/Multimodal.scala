@@ -34,6 +34,111 @@ object Multimodal {
   def withBinaryPayload(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("payload", col(textCol).cast("binary"))
 
+  // ------------------------------------------- REAL header sniffing
+
+  /** Parsed container-format metadata — REAL byte-level parsing, no
+    * codec required (the pixel/sample DECODE stays stubbed; container
+    * headers are pure arithmetic). */
+  final case class MediaMeta(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      sample_rate: Int,
+      duration_ms: Long,
+      n_bytes: Long)
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def beU16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Sniff PNG / JPEG / GIF / BMP / WAV headers from raw bytes. The
+    * formats' dimension fields are fixed-offset (or, for JPEG, found
+    * by a marker scan) — standard container layouts, parseable without
+    * any decoder. Unknown/truncated payloads degrade to format
+    * "unknown" with zeroed fields, never a task failure. */
+  def sniff(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    def unknown = MediaMeta(id, "unknown", 0, 0, 0, 0, 0L, n)
+    try {
+      if (bytes.length >= 24 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G') {
+        // IHDR is always the first chunk: width@16 height@20 BE,
+        // color type@25 → channel count
+        val channels = if (bytes.length > 25) bytes(25) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => 0
+        } else 0
+        MediaMeta(id, "png", beU32(bytes, 16).toInt, beU32(bytes, 20).toInt,
+          channels, 0, 0L, n)
+      } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+        // JPEG: scan segment markers for a start-of-frame (C0-C3,
+        // C5-C7, C9-CB, CD-CF); dims sit at fixed offsets inside it
+        var i = 2
+        var out: MediaMeta = unknown.copy(format = "jpeg")
+        var done = false
+        while (!done && i + 9 < bytes.length) {
+          if ((bytes(i) & 0xff) != 0xff) done = true
+          else {
+            val marker = bytes(i + 1) & 0xff
+            val len = beU16(bytes, i + 2)
+            val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+            if (isSof) {
+              out = MediaMeta(id, "jpeg", beU16(bytes, i + 7),
+                beU16(bytes, i + 5), bytes(i + 9) & 0xff, 0, 0L, n)
+              done = true
+            } else i += 2 + len
+          }
+        }
+        out
+      } else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F') {
+        MediaMeta(id, "gif", leU16(bytes, 6), leU16(bytes, 8), 3, 0, 0L, n)
+      } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+        MediaMeta(id, "bmp", leU32(bytes, 18).toInt,
+          leU32(bytes, 22).toInt, 3, 0, 0L, n)
+      } else if (bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+        // canonical WAV: fmt chunk at 12 — channels@22, rate@24,
+        // block align@32; data length@40 → duration
+        val channels = leU16(bytes, 22)
+        val rate = leU32(bytes, 24).toInt
+        val blockAlign = leU16(bytes, 32)
+        val dataLen = leU32(bytes, 40)
+        val durationMs =
+          if (rate > 0 && blockAlign > 0)
+            dataLen * 1000L / (rate.toLong * blockAlign)
+          else 0L
+        MediaMeta(id, "wav", 0, 0, channels, rate, durationMs, n)
+      } else unknown
+    } catch { case _: IndexOutOfBoundsException => unknown }
+  }
+
+  /** Partition-local header extraction over a binary column — the same
+    * mapPartitions shape as [[decodeStub]], but the parsing is real. */
+  def sniffHeaders(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        sniff(id, if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull)
+      })
+  }
+
   /** Partition-local stub decode: binary → typed metadata. Real decode
     * would call the codec here; everything around it (schema, encoder,
     * partitioning) is production-shaped. */

@@ -395,6 +395,46 @@ object LlmQueries {
           Multimodal.withBinaryPayload(c.documents, "text"), "doc_id")
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // REAL multimodal metadata: canonical WAV headers are generated
+    // from doc keys, and Multimodal.sniff parses them back BYTE BY
+    // BYTE (RIFF layout: channels@22 LE, rate@24, block-align@32,
+    // data-length@40 → duration). The oracle recomputes the same
+    // fields in closed form, so the binary header parser itself is
+    // under the exact-hash gate — no codec involved, none needed for
+    // container-level metadata.
+    q("mm_media_headers",
+      """SELECT doc_id, 'wav' AS format,
+        |       1 + doc_id % 2 AS channels,
+        |       8000 + (doc_id % 4) * 8000 AS sample_rate,
+        |       (doc_id % 5) * 1000 AS duration_ms
+        |FROM documents ORDER BY doc_id""") { c =>
+      val mkWav = udf((id: Long) => {
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 4).toInt * 8000
+        val blockAlign = channels * 2
+        val secs = (id % 5).toInt
+        val dataLen = rate.toLong * blockAlign * secs
+        val b = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataLen).toInt)
+          .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(channels.toShort)
+          .putInt(rate).putInt(rate * blockAlign)
+          .putShort(blockAlign.toShort).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
+        b.array()
+      })
+      Multimodal.sniffHeaders(
+          c.documents.select(col("doc_id"),
+            mkWav(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms"))
+        .orderBy("doc_id")
     }
   )
 }
