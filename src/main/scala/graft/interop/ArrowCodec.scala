@@ -39,7 +39,9 @@ object ArrowCodec {
 
   private def arrowField(f: StructField): Field = f.dataType match {
     case ArrayType(elem, containsNull) =>
-      new Field(f.name, FieldType.nullable(new ArrowType.List()),
+      // carry the FIELD's nullability, not unconditionally nullable —
+      // otherwise non-nullable array schemas fail to round-trip
+      new Field(f.name, new FieldType(f.nullable, new ArrowType.List(), null),
         Seq(arrowField(StructField("item", elem, containsNull))).asJava)
     case dt =>
       new Field(f.name,
@@ -227,31 +229,33 @@ object ArrowCodec {
       s"arrow interchange: cannot write $t into ${x.getClass.getSimpleName}")
   }
 
-  /** Decode an Arrow IPC stream back to (schema, rows). Materializes
-    * each batch one at a time; callers stream the iterator. */
-  def decode(bytes: Array[Byte]): (StructType, Iterator[Row]) = {
+  /** Open an IPC stream for decoding. The handle's `close()` is
+    * idempotent and MUST be guaranteed by the caller (task-completion
+    * listener, try/finally) — the row iterator closes on full drain,
+    * but a LIMIT/take abandons it mid-stream and the Arrow buffers are
+    * off-heap, so drain-time cleanup alone leaks direct memory. */
+  def open(in: java.io.InputStream): ArrowDecodeHandle = {
     val allocator = new RootAllocator()
-    val reader = new ArrowStreamReader(
-      new java.io.ByteArrayInputStream(bytes), allocator)
-    val root = reader.getVectorSchemaRoot
-    val schema = sparkSchema(root.getSchema)
-    val it = new Iterator[Row] {
-      private var batch: Array[Row] = Array.empty
-      private var pos = 0
-      private var done = false
-      private def advance(): Unit =
-        while (!done && pos >= batch.length) {
-          if (reader.loadNextBatch()) {
-            batch = readRoot(root, schema); pos = 0
-          } else {
-            done = true; reader.close(); allocator.close()
-          }
-        }
-      def hasNext: Boolean = { advance(); !done }
-      def next(): Row = { advance(); val r = batch(pos); pos += 1; r }
-    }
-    (schema, it)
+    val reader = new ArrowStreamReader(in, allocator)
+    new ArrowDecodeHandle(reader, allocator, sparkSchema(
+      reader.getVectorSchemaRoot.getSchema))
   }
+
+  /** Decode an in-memory Arrow IPC stream back to (schema, rows).
+    * Materializes each batch one at a time; callers stream the
+    * iterator. Heap-backed input, so abandoning the iterator cannot
+    * leak off-heap memory past the handle's drain-time close — for
+    * file/socket inputs use [[open]] and guarantee `close()`. */
+  def decode(bytes: Array[Byte]): (StructType, Iterator[Row]) = {
+    val h = open(new java.io.ByteArrayInputStream(bytes))
+    (h.schema, h.rows)
+  }
+
+  private[interop] def readBatch(reader: ArrowStreamReader,
+      schema: StructType): Option[Array[Row]] =
+    if (reader.loadNextBatch())
+      Some(readRoot(reader.getVectorSchemaRoot, schema))
+    else None
 
   private def readRoot(root: VectorSchemaRoot,
       schema: StructType): Array[Row] = {
@@ -304,4 +308,36 @@ object ArrowCodec {
       case (x, t) => throw new IllegalArgumentException(
         s"arrow interchange: cannot read $t from ${x.getClass.getSimpleName}")
     }
+}
+
+/** A live decode over an open IPC stream: `rows` streams batch by
+  * batch; `close()` (idempotent, thread-safe) releases the reader, the
+  * off-heap allocator, and the underlying input stream. The iterator
+  * self-closes on full drain; callers that may stop early must close
+  * explicitly. */
+final class ArrowDecodeHandle private[interop] (
+    reader: ArrowStreamReader,
+    allocator: RootAllocator,
+    val schema: StructType) {
+  private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def close(): Unit = if (closed.compareAndSet(false, true)) {
+    try reader.close() finally allocator.close()
+  }
+
+  val rows: Iterator[Row] = new Iterator[Row] {
+    private var batch: Array[Row] = Array.empty
+    private var pos = 0
+    private var done = false
+    private def advance(): Unit =
+      while (!done && pos >= batch.length) {
+        if (closed.get()) { done = true }
+        else ArrowCodec.readBatch(reader, schema) match {
+          case Some(b) => batch = b; pos = 0
+          case None => done = true; close()
+        }
+      }
+    def hasNext: Boolean = { advance(); !done }
+    def next(): Row = { advance(); val r = batch(pos); pos += 1; r }
+  }
 }

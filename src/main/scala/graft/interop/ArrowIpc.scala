@@ -44,39 +44,39 @@ object ArrowIpc {
   }
 
   /** Read a directory of Arrow IPC stream files back as a DataFrame
-    * (schema from the first file; one decode task per file). */
+    * (schema from the first file; one decode task per file). Gated on
+    * the writer's `_SUCCESS` marker — a failed partial write must not
+    * silently serve an incomplete file set. Files are DECODED FROM THE
+    * OPEN STREAM, never materialized as one byte array (no 2 GiB part
+    * cap, memory bounded by one record batch); the off-heap decode
+    * buffers are released on task completion even when the consumer
+    * stops early (LIMIT/take). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val dir = new Path(path)
     val fs = FileSystem.get(dir.toUri, spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(dir, "_SUCCESS")),
+      s"$path has no _SUCCESS marker — incomplete or failed arrow write")
     val files = fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".arrow"))
       .map(_.getPath.toString)
       .sorted
     require(files.nonEmpty, s"no .arrow files under $path")
     val schema = {
-      val (s, _) = ArrowCodec.decode(readFile(files.head,
-        spark.sessionState.newHadoopConf()))
-      s
+      val p = new Path(files.head)
+      val h = ArrowCodec.open(fs.open(p))
+      try h.schema finally h.close()
     }
     val rdd = spark.sparkContext
       .parallelize(files.toSeq, files.length)
       .flatMap { f =>
-        val (_, rows) = ArrowCodec.decode(readFile(f, new Configuration()))
-        rows
+        val p = new Path(f)
+        val pfs = FileSystem.get(p.toUri, new Configuration())
+        val h = ArrowCodec.open(pfs.open(p))
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => h.close()))
+        h.rows
       }
     spark.createDataFrame(rdd, schema)
-  }
-
-  private def readFile(path: String, conf: Configuration): Array[Byte] = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, conf)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val in = fs.open(p)
-    try {
-      val bytes = new Array[Byte](len)
-      in.readFully(0, bytes)
-      bytes
-    } finally in.close()
   }
 
   /** Collect `df` into ONE in-memory IPC stream — the `to_pyarrow`

@@ -35,15 +35,21 @@ trait Estimator extends Serializable {
 }
 
 /** Per-executor deserialized-model cache: the transform UDF receives
-  * model BYTES via a broadcast column and must not pay deserialization
-  * per row. Keyed by (estimator, bytes hash); bounded. */
+  * base64 model bytes via a broadcast column and must not pay base64 +
+  * deserialization per row. Keyed by (estimator, b64 string) — EXACT
+  * content equality, so a hash collision can never serve the wrong
+  * model (a 32-bit bytes-hash key could); on a hit the per-row cost is
+  * one string hash + compare, cheaper than the base64 decode it
+  * replaces. Bounded. */
 object ModelCache {
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), AnyRef]
-  def get(est: Estimator, bytes: Array[Byte]): AnyRef = {
+    scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
+  def get(est: Estimator, modelB64: String): AnyRef = {
     if (cache.size > 64) cache.clear()
-    cache.getOrElseUpdate((est.name, java.util.Arrays.hashCode(bytes)),
-      est.deserialize(bytes))
+    // MIME decoder: Spark's base64() chunks at 76 chars with CRLF
+    cache.getOrElseUpdate((est.name, modelB64),
+      est.deserialize(
+        java.util.Base64.getMimeDecoder.decode(modelB64)))
   }
 }
 
@@ -85,15 +91,17 @@ object EstimatorOps {
 
   /** The predict projection as a Column: `modelB64` is a base64 model
     * column (broadcast-joined, constant per row), features are read
-    * per row. Deserialization amortized via [[ModelCache]]. */
+    * per row. Deserialization amortized via [[ModelCache]]. Boxed
+    * element type + null-element guard: one null feature CELL yields a
+    * null prediction (aggregate null semantics, matching the fit
+    * side's null-row skip), not a task-killing unboxing NPE. */
   def predictColumn(est: Estimator, modelB64: Column,
       features: Seq[String]): Column = {
-    val f = udf((b64: String, xs: Seq[Double]) =>
-      if (b64 == null || xs == null) null.asInstanceOf[java.lang.Double]
-      // MIME decoder: Spark's base64() chunks at 76 chars with CRLF
+    val f = udf((b64: String, xs: Seq[java.lang.Double]) =>
+      if (b64 == null || xs == null || xs.exists(_ == null))
+        null.asInstanceOf[java.lang.Double]
       else java.lang.Double.valueOf(est.predict(
-        ModelCache.get(est,
-          java.util.Base64.getMimeDecoder.decode(b64)), xs.toArray)))
+        ModelCache.get(est, b64), xs.map(_.doubleValue).toArray)))
     f(modelB64, array(features.map(c0 => col(c0).cast("double")): _*))
   }
 }

@@ -106,8 +106,10 @@ object Multimodal {
         bytes(2) == 'F') {
         MediaMeta(id, "gif", leU16(bytes, 6), leU16(bytes, 8), 3, 0, 0L, n)
       } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+        // biHeight is NEGATIVE for top-down row order — magnitude is
+        // still the pixel height
         MediaMeta(id, "bmp", leU32(bytes, 18).toInt,
-          leU32(bytes, 22).toInt, 3, 0, 0L, n)
+          math.abs(leU32(bytes, 22).toInt), 3, 0, 0L, n)
       } else if (bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
         bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {

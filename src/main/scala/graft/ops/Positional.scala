@@ -83,26 +83,40 @@ object Positional {
           .distinct
       }
 
-    // phase 2+3: bucket by literal boundaries; number within buckets
+    // phase 2+3: bucket by literal boundaries; number within buckets.
+    // Temp columns are freshened against the input so a pre-existing
+    // user column named __b/__loc/__off is never overwritten-then-
+    // dropped (the temp names must not collide with data columns).
+    val bCol = fresh("__b", df.columns)
+    val locCol = fresh("__loc", df.columns :+ bCol)
+    val offCol = fresh("__off", df.columns :+ bCol :+ locCol)
     val bucketCol =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit): _*), b => b <= first))
-    val bucketed = df.withColumn("__b", bucketCol)
+    val bucketed = df.withColumn(bCol, bucketCol)
     val offsets = bucketed
-      .groupBy("__b").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off",
+      .groupBy(bCol).agg(count(lit(1)).as("__cnt"))
+      .withColumn(offCol,
         coalesce(
           sum(col("__cnt")).over(
-            Window.orderBy("__b")
+            Window.orderBy(bCol)
               .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__b"), col("__off"))
+      .select(col(bCol), col(offCol))
     bucketed
-      .withColumn("__loc",
-        row_number().over(Window.partitionBy("__b").orderBy(sortCols: _*)))
-      .join(broadcast(offsets), "__b")
-      .withColumn(rowNumCol, col("__off") + col("__loc").cast("long"))
-      .drop("__b", "__loc", "__off")
+      .withColumn(locCol,
+        row_number().over(Window.partitionBy(bCol).orderBy(sortCols: _*)))
+      .join(broadcast(offsets), bCol)
+      .withColumn(rowNumCol, col(offCol) + col(locCol).cast("long"))
+      .drop(bCol, locCol, offCol)
+  }
+
+  /** `base`, suffixed with underscores until it collides with nothing
+    * in `taken`. */
+  private def fresh(base: String, taken: Seq[String]): String = {
+    var n = base
+    while (taken.contains(n)) n += "_"
+    n
   }
 
   /** Positional join: pair the i-th row of `a` (under `aSort`) with the
@@ -110,10 +124,13 @@ object Positional {
   def positionalJoin(
       a: DataFrame, aSort: Seq[Column],
       b: DataFrame, bSort: Seq[Column]): DataFrame = {
-    val an = withRowNumber(a, aSort, "__pos")
-    val bn = withRowNumber(b, bSort, "__pos_b")
-    an.join(bn, col("__pos") === col("__pos_b"))
-      .drop("__pos_b")
-      .withColumnRenamed("__pos", "pos")
+    val taken = a.columns.toSeq ++ b.columns
+    val posA = fresh("__pos", taken)
+    val posB = fresh("__pos_b", taken :+ posA)
+    val an = withRowNumber(a, aSort, posA)
+    val bn = withRowNumber(b, bSort, posB)
+    an.join(bn, col(posA) === col(posB))
+      .drop(posB)
+      .withColumnRenamed(posA, "pos")
   }
 }

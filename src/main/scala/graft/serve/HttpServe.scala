@@ -85,7 +85,12 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
             s"""{"name":${q(name)},"rows":$rows,"out":${q(out)},"format":${q(format)}}""")
         case None =>
           // inline data plane: the result IS the response body, one
-          // Arrow IPC stream — any Arrow client parses it directly
+          // Arrow IPC stream — any Arrow client parses it directly.
+          // An explicit non-arrow format needs "out": fail loudly
+          // rather than hand a parquet-expecting client an Arrow body.
+          if (req.contains("format") && format != "arrow")
+            throw new IllegalArgumentException(
+              s"inline response is arrow-only; format '$format' requires \"out\"")
           (200, graft.interop.ArrowIpc.toBytes(df),
             "application/vnd.apache.arrow.stream")
       }

@@ -112,6 +112,42 @@ class ArrowSpec extends SparkSpec {
     assert(out == 25)
   }
 
+  test("non-nullable array columns round-trip without schema drift") {
+    val sp = spark
+    // array(non-nullable, non-nullable) is itself non-nullable — the
+    // encoder must carry field nullability, not force nullable lists
+    val df = sp.range(0, 3)
+      .select(array(col("id").cast("double"),
+        (col("id") * 2).cast("double")).as("v"))
+    assert(!df.schema("v").nullable)
+    val got = roundTrip(df)
+    assert(got.map(_.getSeq[Double](0)).toSet ==
+      Set(Seq(0.0, 0.0), Seq(1.0, 2.0), Seq(2.0, 4.0)))
+  }
+
+  test("read refuses a directory without _SUCCESS (partial write)") {
+    val sp = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/p"
+    ArrowIpc.write(sp.read.parquet(s"$sfDir/region.parquet"), dir)
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](ArrowIpc.read(sp, dir))
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
+  test("partially-consumed directory read releases cleanly (LIMIT)") {
+    val sp = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/l"
+    // multi-batch files so LIMIT abandons live Arrow readers mid-stream;
+    // the task-completion listener must close them (off-heap buffers)
+    ArrowIpc.write(sp.range(0, 20000, 1, 2).toDF("id"), dir)
+    val got = ArrowIpc.read(sp, dir).limit(5).collect()
+    assert(got.length == 5)
+    // and a second full read still works
+    assert(ArrowIpc.read(sp, dir).count() == 20000L)
+  }
+
   test("toBytes/fromBytes: one IPC stream moves a result driver-side") {
     val sp = spark
     val df = sp.read.parquet(s"$sfDir/region.parquet")

@@ -65,6 +65,12 @@ class MultimodalSpec extends SparkSpec {
       .putInt(800).putInt(600).array()
     val b = Multimodal.sniff(2, bmp)
     assert(b.format == "bmp" && b.width == 800 && b.height == 600)
+    // top-down BMP: biHeight stored negative, magnitude is the height
+    val topDown = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte).put(new Array[Byte](16))
+      .putInt(800).putInt(-600).array()
+    val td = Multimodal.sniff(3, topDown)
+    assert(td.format == "bmp" && td.width == 800 && td.height == 600)
   }
 
   test("WAV: channels, rate, and data-length-derived duration") {

@@ -72,6 +72,21 @@ class PositionalSpec extends SparkSpec {
     assert(keys.sameElements(keys.sortBy(identity)))
   }
 
+  test("pre-existing __b/__loc/__off columns survive row numbering") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((3, "a"), (1, "b"), (2, "c"))
+      .toDF("k", "__b")
+      .withColumn("__loc", col("k") * 10)
+      .withColumn("__off", col("k") * 100)
+    val got = Positional.withRowNumber(df, Seq(col("k"))).orderBy("rn")
+      .collect()
+    assert(got.map(_.getAs[String]("__b")).toSeq == Seq("b", "c", "a"),
+      "user __b column must not be clobbered by the temp bucket column")
+    assert(got.map(_.getAs[Int]("__loc")).toSeq == Seq(10, 20, 30))
+    assert(got.map(_.getAs[Int]("__off")).toSeq == Seq(100, 200, 300))
+  }
+
   test("positional join pairs i-th rows of two orderings") {
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     val region = spark.read.parquet(s"$sfDir/region.parquet")

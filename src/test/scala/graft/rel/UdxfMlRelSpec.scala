@@ -163,6 +163,21 @@ class UdxfMlRelSpec extends SparkSpec {
     assert(acc >= 0.99, s"separable data must be learned, accuracy $acc")
   }
 
+  test("a null feature cell yields a null prediction, not a task crash") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq((0.0, 0.0), (1.0, 0.0), (10.0, 1.0), (11.0, 1.0))
+      .toDF("x", "y")
+    val fitted = graft.ml.Pipeline(Seq(graft.ml.EstimatorStep(
+      graft.ml.GaussianNB, Seq("x"), "y", "p"))).fit(train)
+    val score = Seq((1, Option(0.5)), (2, Option.empty[Double]))
+      .toDF("id", "x")
+    val got = fitted.transform(score).orderBy("id").collect()
+    assert(got(0).getDouble(2) == 0.0)
+    assert(got(1).isNullAt(2),
+      "null feature must produce a null prediction")
+  }
+
   test("UdxfRel executes via the catalog; contract drift and missing " +
     "names fail fast") {
     val u = Builtins.docStats

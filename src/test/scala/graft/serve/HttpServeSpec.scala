@@ -104,6 +104,15 @@ class HttpServeSpec extends SparkSpec {
       val inline = graft.interop.ArrowIpc.fromBytes(spark, bytes).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(inline == exp, "inline IPC result must equal the plan output")
+
+      // explicit non-arrow format without "out" is a loud 400, not a
+      // silent Arrow body handed to a parquet-expecting client
+      val respBad = curl("-X", "POST",
+        "--data", s"""{"bindings":{"src":"$sfDir/nation.parquet"},""" +
+          s""""format":"parquet"}""",
+        s"$base/run/by_region")
+      assert(respBad.contains("error") && respBad.contains("arrow-only"),
+        s"unexpected response: $respBad")
     } finally http.stop()
   }
 }
