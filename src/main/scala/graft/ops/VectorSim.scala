@@ -146,6 +146,127 @@ object VectorSim {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) ANN — the k-means-cell alternative to
+  // hyperplane LSH. The coarse quantizer is trained ONCE (a tiny k×dim
+  // model, like the reference's fitted transforms); cell assignment is
+  // then a pure per-row projection over centroid LITERALS baked into
+  // the plan — deterministic, serializable, no driver state at scan
+  // time, exactly the Positional boundary-literal trick. Candidates
+  // come from a plain equi-join on the cell id: no broadcast of the
+  // corpus side, no cross product, AQE free to re-plan — the same
+  // 100 TB shape as topKAnn, with data-adaptive cells instead of
+  // data-oblivious hyperplanes (better candidate selectivity when the
+  // corpus is clustered, e.g. near-dup-heavy crawl data).
+  // ---------------------------------------------------------------
+
+  /** Unit-normalize (element-wise double). Zero-norm vectors pass
+    * through unchanged — cosine scoring NULLs them downstream. */
+  private def unit(vec: Column): Column = {
+    val vd = transform(vec, _.cast("double"))
+    val n = norm(vd)
+    when(n === 0.0, vd).otherwise(transform(vd, x => x / n))
+  }
+
+  /** The `nprobe` nearest centroid ids for `vec`, nearest first. The
+    * whole quantizer is ONE 2-D literal (k × dim) walked with
+    * zip_with — the expression tree stays O(1) in k, so analysis and
+    * codegen cost doesn't scale with the cell count (an earlier
+    * k-separate-literal form made every job pay seconds of planning).
+    * On unit vectors squared L2 orders identically to cosine
+    * (‖x−c‖² = 2 − 2·x·c); ties break on cell id (array_sort over
+    * (dist, cell) structs is a total order). named_struct, not
+    * struct().as: aliases inside arrays get stripped to col1/col2 by
+    * the analyzer. */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column = {
+    val u = unit(vec)
+    val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val ranked = array_sort(zip_with(
+      centsLit, sequence(lit(0), lit(centroids.length - 1)),
+      (c, i) => named_struct(
+        lit("dist"), aggregate(zip_with(u, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x),
+        lit("cell"), i)))
+    transform(slice(ranked, 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** Spherical k-means coarse quantizer: `iters` Lloyd rounds, each ONE
+    * distributed aggregation (assign = argmin over centroid literals,
+    * recenter = per-(cell,dim) mean). The k×dim collect per round is
+    * the model fit — bounded by the quantizer size, never the corpus
+    * (same contract as the estimator fits). Deterministic init:
+    * bottom-k distinct vectors by xxhash64 — no RNG state, same model
+    * every run on the same data. Empty cells keep their previous
+    * centroid. */
+  def kmeansCentroids(corpus: DataFrame, vec: Column, k: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    val unitVecs = corpus.select(unit(vec).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+    def toUnit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+    var cents: Array[Array[Double]] = unitVecs.distinct()
+      .orderBy(xxhash64(col("v")), col("v"))
+      .limit(k).collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "kmeansCentroids: empty corpus")
+    (0 until iters).foreach { _ =>
+      // persist the assignment BEFORE the explode: without the
+      // materialization barrier Catalyst hoists the argmin projection
+      // above the Generate and re-evaluates the whole quantizer per
+      // EXPLODED ELEMENT — dim× the work (caught via thread dump: one
+      // task pinned in interpreted HOF eval)
+      val assigned = unitVecs
+        .select(col("v"),
+          element_at(nearestCells(col("v"), cents, 1), 1).as("c"))
+        .persist()
+      try {
+        val means = assigned
+          .select(col("c"), posexplode(col("v")))
+          .groupBy(col("c"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          }
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          means.get(ci).map(toUnit).getOrElse(old)
+        }
+      } finally assigned.unpersist()
+    }
+    cents
+  }
+
+  /** ANN top-k via IVF cells: corpus assigned to its ONE nearest cell,
+    * each query probes its `nprobe` nearest cells, candidates stream
+    * through the cell equi-join and are exact-scored. Same output shape
+    * and recall-dial role as [[topKAnn]]; no distinct needed — a
+    * corpus row lives in exactly one cell, so a (q, n) pair can match
+    * at most once. */
+  def topKAnnIvf(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (n_id, n_vec)
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      native: Boolean = false): DataFrame = {
+    val celled = corpus.select(col("n_id"), col("n_vec"),
+      element_at(nearestCells(col("n_vec"), centroids, 1), 1).as("cell"))
+    val probes = queries.select(col("q_id"), col("q_vec"),
+      explode(nearestCells(col("q_vec"), centroids, nprobe)).as("pcell"))
+    val scored = celled.join(probes,
+        col("cell") === col("pcell") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineExpr(col("q_vec"), col("n_vec"), native).as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos") + lit(1e-9), 6).desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
   /** Corpus-scale embedding near-dup pairs via multi-table hyperplane
     * LSH — the semantic-dedup operator whose scale path the a<b cross
     * join in `dedup_embedding` only ORACLES (VERDICT r3 #2). Output:

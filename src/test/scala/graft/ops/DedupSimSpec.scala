@@ -60,6 +60,38 @@ class DedupSimSpec extends SparkSpec {
     assert(r4 >= 0.8, s"4-table recall contract: got $r4")
   }
 
+  test("IVF ANN: recall ≥ 0.8 vs exact top-k; quantizer is " +
+    "deterministic across trainings; candidates come from a cell " +
+    "equi-join, not a cross product") {
+    graft.functions.GraftFunctions.register(spark)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val cents = VectorSim.kmeansCentroids(corpus, col("n_vec"),
+      k = 8, iters = 5)
+    // same data, fresh training → bit-identical model (deterministic
+    // init + fixed rounds; a cached quantizer can be baked into plans)
+    val cents2 = VectorSim.kmeansCentroids(corpus, col("n_vec"),
+      k = 8, iters = 5)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+
+    val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorSim.topKAnnIvf(queries, corpus, 3, cents, nprobe = 5,
+      native = true)
+    val got = ivf.select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall below contract")
+
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"IVF candidates must flow through the cell equi-join:\n$plan")
+  }
+
   test("embeddingDedupPairs (LSH self-join, no broadcast) equals the " +
     "brute-force pair set, and topKAnn's shuffle path equals its " +
     "broadcast path") {
