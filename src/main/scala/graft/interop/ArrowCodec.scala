@@ -234,11 +234,23 @@ object ArrowCodec {
     * listener, try/finally) — the row iterator closes on full drain,
     * but a LIMIT/take abandons it mid-stream and the Arrow buffers are
     * off-heap, so drain-time cleanup alone leaks direct memory. */
-  def open(in: java.io.InputStream): ArrowDecodeHandle = {
+  def open(in: java.io.InputStream): ArrowDecodeHandle =
+    open(in, None)
+
+  /** [[open]] with column pruning: `projection` selects (by name, in
+    * projection order) the columns materialized into rows — the Arrow
+    * batches still load whole (IPC framing is not columnar-seekable),
+    * but per-value conversion, the dominant decode cost, is paid only
+    * for projected columns. An EMPTY projection is valid (count-style
+    * scans): rows carry no fields but the row count is preserved. */
+  def open(in: java.io.InputStream,
+      projection: Option[StructType]): ArrowDecodeHandle = {
     val allocator = new RootAllocator()
     val reader = new ArrowStreamReader(in, allocator)
-    new ArrowDecodeHandle(reader, allocator, sparkSchema(
-      reader.getVectorSchemaRoot.getSchema))
+    val fileSchema = sparkSchema(reader.getVectorSchemaRoot.getSchema)
+    val out = projection.getOrElse(fileSchema)
+    val indices = out.fields.map(f => fileSchema.fieldIndex(f.name))
+    new ArrowDecodeHandle(reader, allocator, out, indices)
   }
 
   /** Decode an in-memory Arrow IPC stream back to (schema, rows).
@@ -252,17 +264,18 @@ object ArrowCodec {
   }
 
   private[interop] def readBatch(reader: ArrowStreamReader,
-      schema: StructType): Option[Array[Row]] =
+      schema: StructType, indices: Array[Int]): Option[Array[Row]] =
     if (reader.loadNextBatch())
-      Some(readRoot(reader.getVectorSchemaRoot, schema))
+      Some(readRoot(reader.getVectorSchemaRoot, schema, indices))
     else None
 
-  private def readRoot(root: VectorSchemaRoot,
-      schema: StructType): Array[Row] = {
+  /** `indices(c)` = file-column index backing output column `c`. */
+  private def readRoot(root: VectorSchemaRoot, schema: StructType,
+      indices: Array[Int]): Array[Row] = {
     val n = root.getRowCount
     val out = new Array[Row](n)
     val cols = schema.indices.map(c =>
-      (root.getVector(c), schema(c).dataType)).toArray
+      (root.getVector(indices(c)), schema(c).dataType)).toArray
     var i = 0
     while (i < n) {
       out(i) = Row.fromSeq(cols.toSeq.map { case (vec, dt) =>
@@ -318,7 +331,8 @@ object ArrowCodec {
 final class ArrowDecodeHandle private[interop] (
     reader: ArrowStreamReader,
     allocator: RootAllocator,
-    val schema: StructType) {
+    val schema: StructType,
+    indices: Array[Int]) {
   private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def close(): Unit = if (closed.compareAndSet(false, true)) {
@@ -332,7 +346,7 @@ final class ArrowDecodeHandle private[interop] (
     private def advance(): Unit =
       while (!done && pos >= batch.length) {
         if (closed.get()) { done = true }
-        else ArrowCodec.readBatch(reader, schema) match {
+        else ArrowCodec.readBatch(reader, schema, indices) match {
           case Some(b) => batch = b; pos = 0
           case None => done = true; close()
         }

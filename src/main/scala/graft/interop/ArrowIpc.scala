@@ -44,40 +44,13 @@ object ArrowIpc {
   }
 
   /** Read a directory of Arrow IPC stream files back as a DataFrame
-    * (schema from the first file; one decode task per file). Gated on
-    * the writer's `_SUCCESS` marker — a failed partial write must not
-    * silently serve an incomplete file set. Files are DECODED FROM THE
-    * OPEN STREAM, never materialized as one byte array (no 2 GiB part
-    * cap, memory bounded by one record batch); the off-heap decode
-    * buffers are released on task completion even when the consumer
-    * stops early (LIMIT/take). */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val dir = new Path(path)
-    val fs = FileSystem.get(dir.toUri, spark.sessionState.newHadoopConf())
-    require(fs.exists(new Path(dir, "_SUCCESS")),
-      s"$path has no _SUCCESS marker — incomplete or failed arrow write")
-    val files = fs.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".arrow"))
-      .map(_.getPath.toString)
-      .sorted
-    require(files.nonEmpty, s"no .arrow files under $path")
-    val schema = {
-      val p = new Path(files.head)
-      val h = ArrowCodec.open(fs.open(p))
-      try h.schema finally h.close()
-    }
-    val rdd = spark.sparkContext
-      .parallelize(files.toSeq, files.length)
-      .flatMap { f =>
-        val p = new Path(f)
-        val pfs = FileSystem.get(p.toUri, new Configuration())
-        val h = ArrowCodec.open(pfs.open(p))
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => h.close()))
-        h.rows
-      }
-    spark.createDataFrame(rdd, schema)
-  }
+    * through the [[ArrowDataSource]] DSv2 provider: a real BatchScan
+    * (column pruning reaches the decoder), one partition per part
+    * file, `_SUCCESS`-gated listing, streams decoded without a byte
+    * array (no 2 GiB part cap), and off-heap buffers released via the
+    * reader's task-managed close — LIMIT/early-abort safe. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("arrow-ipc").load(path)
 
   /** Collect `df` into ONE in-memory IPC stream — the `to_pyarrow`
     * driver-side convenience (and the serve transport's inline data

@@ -148,6 +148,25 @@ class ArrowSpec extends SparkSpec {
     assert(ArrowIpc.read(sp, dir).count() == 20000L)
   }
 
+  test("DSv2 scan: column pruning reaches the arrow decoder; " +
+    "count-style empty projection keeps the row count") {
+    val sp = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/v2"
+    ArrowIpc.write(sp.range(0, 1000, 1, 3)
+      .select(col("id"), (col("id") % 9).cast("double").as("v"),
+        concat(lit("s"), col("id")).as("s")), dir)
+    val pruned = ArrowIpc.read(sp, dir).select("s")
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.toString.contains("BatchScan"),
+      s"arrow dir must plan as a DSv2 BatchScan, got:\n$leaf")
+    assert(leaf.output.map(_.name) == Seq("s"),
+      s"scan must prune to the projected column, got ${leaf.output}")
+    assert(pruned.count() == 1000)
+    // empty projection (count star): no columns decoded, count intact
+    assert(ArrowIpc.read(sp, dir).count() == 1000)
+  }
+
   test("toBytes/fromBytes: one IPC stream moves a result driver-side") {
     val sp = spark
     val df = sp.read.parquet(s"$sfDir/region.parquet")
