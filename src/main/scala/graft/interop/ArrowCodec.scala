@@ -245,12 +245,22 @@ object ArrowCodec {
     * scans): rows carry no fields but the row count is preserved. */
   def open(in: java.io.InputStream,
       projection: Option[StructType]): ArrowDecodeHandle = {
+    // release on ANY failure before the handle exists (corrupt file,
+    // unsupported type, unknown projected column) — the caller's
+    // close() is unreachable until we return, and the allocator is
+    // off-heap
     val allocator = new RootAllocator()
-    val reader = new ArrowStreamReader(in, allocator)
-    val fileSchema = sparkSchema(reader.getVectorSchemaRoot.getSchema)
-    val out = projection.getOrElse(fileSchema)
-    val indices = out.fields.map(f => fileSchema.fieldIndex(f.name))
-    new ArrowDecodeHandle(reader, allocator, out, indices)
+    val reader =
+      try new ArrowStreamReader(in, allocator)
+      catch { case t: Throwable =>
+        try in.close() finally allocator.close(); throw t }
+    try {
+      val fileSchema = sparkSchema(reader.getVectorSchemaRoot.getSchema)
+      val out = projection.getOrElse(fileSchema)
+      val indices = out.fields.map(f => fileSchema.fieldIndex(f.name))
+      new ArrowDecodeHandle(reader, allocator, out, indices)
+    } catch { case t: Throwable =>
+      try reader.close() finally allocator.close(); throw t }
   }
 
   /** Decode an in-memory Arrow IPC stream back to (schema, rows).

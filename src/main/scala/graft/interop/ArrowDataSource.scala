@@ -2,6 +2,7 @@ package graft.interop
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -10,6 +11,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
 
 /** DataSource V2 provider for Arrow IPC stream directories
   * (`spark.read.format("arrow-ipc").load(dir)`) — the Spark-native
@@ -26,6 +28,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through the reader's own `close()` — LIMIT/early-abort safe by
   * construction, no task-listener needed.
   *
+  * Hadoop configuration: driver-side listing/schema use the active
+  * session's conf (spark.hadoop.* settings honored — a bare
+  * `new Configuration()` here would break non-default filesystems);
+  * executors receive the same conf as serialized key/value entries in
+  * the reader factory, the standard DSv2 shape.
+  *
   * Filters are deliberately NOT pushed (no stats or row-group
   * structure in an IPC stream to skip by); Spark evaluates them
   * post-scan on the pruned columns.
@@ -35,26 +43,37 @@ final class ArrowDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ArrowDataSource.schemaOf(ArrowDataSource.pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = ArrowDataSource.sessionConf()
+    ArrowDataSource.schemaOf(
+      ArrowDataSource.partFiles(ArrowDataSource.pathOf(options), conf), conf)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new ArrowDirTable(properties.get("path"), schema)
+    new ArrowDirTable(
+      ArrowDataSource.pathOf(new CaseInsensitiveStringMap(properties)),
+      schema)
 }
 
 object ArrowDataSource {
+  private[interop] def sessionConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   private[interop] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
-    require(p != null, "arrow-ipc: .load(path) is required")
+    require(p != null, "arrow-ipc: exactly one .load(path) is required")
     p
   }
 
   /** List the part files, gated on the writer's `_SUCCESS` marker (a
     * failed partial write must not silently serve fewer files). */
-  private[interop] def partFiles(path: String): Seq[String] = {
+  private[interop] def partFiles(path: String,
+      conf: Configuration): Seq[String] = {
     val dir = new Path(path)
-    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val fs = FileSystem.get(dir.toUri, conf)
     require(fs.exists(new Path(dir, "_SUCCESS")),
       s"$path has no _SUCCESS marker — incomplete or failed arrow write")
     val files = fs.listStatus(dir)
@@ -65,11 +84,23 @@ object ArrowDataSource {
     files.toSeq
   }
 
-  private[interop] def schemaOf(path: String): StructType = {
-    val p = new Path(partFiles(path).head)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+  private[interop] def schemaOf(files: Seq[String],
+      conf: Configuration): StructType = {
+    val p = new Path(files.head)
+    val fs = FileSystem.get(p.toUri, conf)
     val h = ArrowCodec.open(fs.open(p))
     try h.schema finally h.close()
+  }
+
+  private[interop] def confEntries(
+      conf: Configuration): Array[(String, String)] =
+    conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+
+  private[interop] def confFrom(
+      entries: Array[(String, String)]): Configuration = {
+    val conf = new Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
   }
 }
 
@@ -94,36 +125,41 @@ final class ArrowScanBuilder(path: String, full: StructType)
 
 final class ArrowDirScan(path: String, required: StructType)
     extends Scan with Batch {
+  // driver-only state: conf and listing resolved once per scan, not
+  // once per action (object-store LIST calls are not free)
+  private lazy val conf = ArrowDataSource.sessionConf()
+  private lazy val files = ArrowDataSource.partFiles(path, conf)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"arrow-ipc $path ${required.fieldNames.mkString("[", ",", "]")}"
   override def planInputPartitions(): Array[InputPartition] =
-    ArrowDataSource.partFiles(path)
-      .map(f => ArrowFilePartition(f): InputPartition).toArray
+    files.map(f => ArrowFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(required)
+    new ArrowReaderFactory(required, ArrowDataSource.confEntries(conf))
 }
 
 final case class ArrowFilePartition(file: String) extends InputPartition
 
-final class ArrowReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+final class ArrowReaderFactory(required: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new ArrowPartitionReader(
-      partition.asInstanceOf[ArrowFilePartition].file, required)
+      partition.asInstanceOf[ArrowFilePartition].file, required,
+      ArrowDataSource.confFrom(confEntries))
 }
 
 /** One task = one part file, decoded from the open stream (no byte
   * array, no 2 GiB cap) with only `required` columns materialized.
   * Spark guarantees `close()` on task end — normal, limited, or
   * failed — which releases the reader, allocator, and stream. */
-final class ArrowPartitionReader(file: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+final class ArrowPartitionReader(file: String, required: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
   private val handle = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf)
     ArrowCodec.open(fs.open(p), Some(required))
   }
   private val serializer =

@@ -182,11 +182,18 @@ object VectorSim {
       nprobe: Int): Column = {
     val u = unit(vec)
     val centsLit = typedLit(centroids.map(_.toSeq).toSeq)
+    // a dimension-mismatched vector makes zip_with pad with nulls →
+    // NULL distance, and NULL sorts FIRST in the struct order — it
+    // would WIN every argmin and poison the quantizer (the inverse of
+    // cosine()'s NULL-safety). Coalesce to +inf so ragged vectors rank
+    // last instead; their exact-score cosine is NULL downstream.
     val ranked = array_sort(zip_with(
       centsLit, sequence(lit(0), lit(centroids.length - 1)),
       (c, i) => named_struct(
-        lit("dist"), aggregate(zip_with(u, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (s, x) => s + x),
+        lit("dist"), coalesce(
+          aggregate(zip_with(u, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (s, x) => s + x),
+          lit(Double.MaxValue)),
         lit("cell"), i)))
     transform(slice(ranked, 1, nprobe), s => s.getField("cell"))
   }
@@ -196,21 +203,30 @@ object VectorSim {
     * recenter = per-(cell,dim) mean). The k×dim collect per round is
     * the model fit — bounded by the quantizer size, never the corpus
     * (same contract as the estimator fits). Deterministic init:
-    * bottom-k distinct vectors by xxhash64 — no RNG state, same model
-    * every run on the same data. Empty cells keep their previous
-    * centroid. */
+    * bottom-k distinct vectors by xxhash64 — no RNG state; the Lloyd
+    * rounds are then deterministic up to float summation order of the
+    * per-cell means (shuffle merge order), the same caveat as
+    * LogisticRegressionGD — assert on behavior, not exact bytes.
+    * Empty cells keep their previous centroid; vectors whose
+    * dimension differs from the init's are EXCLUDED from training (a
+    * ragged vector would otherwise feed phantom dimensions into the
+    * means). */
   def kmeansCentroids(corpus: DataFrame, vec: Column, k: Int,
       iters: Int = 5): Array[Array[Double]] = {
-    val unitVecs = corpus.select(unit(vec).as("v"))
+    val unitVecs0 = corpus.select(unit(vec).as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
     def toUnit(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0.0) a else a.map(_ / n)
     }
-    var cents: Array[Array[Double]] = unitVecs.distinct()
+    val init: Array[Array[Double]] = unitVecs0.distinct()
       .orderBy(xxhash64(col("v")), col("v"))
       .limit(k).collect().map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "kmeansCentroids: empty corpus")
+    require(init.nonEmpty, "kmeansCentroids: empty corpus")
+    // quantizer dimension = the hash-first vector's; other dims out
+    val dim = init(0).length
+    var cents = init.filter(_.length == dim)
+    val unitVecs = unitVecs0.where(size(col("v")) === dim)
     (0 until iters).foreach { _ =>
       // persist the assignment BEFORE the explode: without the
       // materialization barrier Catalyst hoists the argmin projection
