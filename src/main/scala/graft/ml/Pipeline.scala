@@ -164,6 +164,28 @@ object Metrics {
             (col("precision") + col("recall"))))
   }
 
+  /** Binary confusion counts (tp/fp/fn/tn) in one aggregate pass —
+    * the exact-integer face of [[classification]], for callers that
+    * want the matrix itself (ref metrics.py confusion outputs). */
+  def confusion(df: DataFrame, y: String, pred: String): DataFrame = {
+    def n(yv: Int, pv: Int) =
+      sum(when(col(y) === yv && col(pred) === pv, 1L).otherwise(0L))
+    df.agg(n(1, 1).as("tp"), n(0, 1).as("fp"),
+      n(1, 0).as("fn"), n(0, 0).as("tn"))
+  }
+
+  /** Binary log loss (cross-entropy) in one aggregate pass, with
+    * sklearn's 1e-15 probability clipping so a hard 0/1 score cannot
+    * produce ±inf (ref metrics.py log_loss). `prob` is P(y=1). */
+  def logLoss(df: DataFrame, y: String, prob: String): DataFrame = {
+    val eps = 1e-15
+    val p = least(greatest(col(prob).cast("double"), lit(eps)),
+      lit(1.0 - eps))
+    df.agg(avg(-(col(y).cast("double") * log(p) +
+      (lit(1.0) - col(y).cast("double")) * log(lit(1.0) - p)))
+      .as("log_loss"))
+  }
+
   /** ROC AUC via the rank-sum (Mann–Whitney) identity with midranks —
     * exactly the trapezoid-over-the-curve value with ties handled (the
     * reference's deferred_roc_auc builds the curve; the identity needs

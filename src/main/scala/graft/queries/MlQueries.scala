@@ -200,6 +200,35 @@ object MlQueries {
         r6(col("auc")).as("auc"))
     },
 
+    // Confusion matrix + log loss (the remaining metrics.py breadth):
+    // exact integer tp/fp/fn/tn counts in one pass, and binary
+    // cross-entropy with sklearn's 1e-15 probability clipping. The
+    // "probability" is the discount lattice rescaled into (0,1) — a
+    // deterministic score column with hard 0s (clipping exercised).
+    q("ml_metrics_logloss",
+      """WITH s AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y,
+        |                  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END p,
+        |                  l_discount * 5.0 pr FROM lineitem),
+        |c AS (SELECT sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT tp,
+        |             sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT fp,
+        |             sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT fn,
+        |             sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT tn
+        |      FROM s),
+        |l AS (SELECT avg(-(y * ln(least(greatest(pr, 1e-15), 1 - 1e-15))
+        |          + (1 - y) * ln(1 - least(greatest(pr, 1e-15), 1 - 1e-15))))
+        |        ll FROM s)
+        |SELECT tp, fp, fn, tn, round(ll + 1e-9, 6) AS log_loss
+        |FROM c, l""") { c =>
+      val scored = c.lineitem.select(
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("y"),
+        when(col("l_quantity") > 25, 1).otherwise(0).as("p"),
+        (col("l_discount") * 5.0).as("pr"))
+      Metrics.confusion(scored, "y", "p")
+        .crossJoin(Metrics.logLoss(scored, "y", "pr"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          r6(col("log_loss")).as("log_loss"))
+    },
+
     // K-fold CV on deterministic hash folds (cross_validation.py):
     // fold i fits on buckets != i, scores mse on bucket == i.
     q("ml_cv",

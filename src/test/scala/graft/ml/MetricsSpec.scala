@@ -37,6 +37,26 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(auc - 5.0 / 6.0) < 1e-12, s"got $auc")
   }
 
+  test("confusion counts and logLoss match hand computation; hard 0/1 " +
+    "probabilities are clipped, not infinite") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1, 1, 0.9), (1, 0, 0.4), (0, 1, 0.8), (0, 0, 0.1),
+      (0, 0, 0.2)).toDF("y", "p", "pr")
+    val c = Metrics.confusion(df, "y", "p").collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((1L, 1L, 1L, 2L)))
+    val expected = -(math.log(0.9) + math.log(1 - 0.8) + math.log(0.4) +
+      math.log(1 - 0.1) + math.log(1 - 0.2)) / 5
+    val ll = Metrics.logLoss(df, "y", "pr").collect()(0).getDouble(0)
+    assert(math.abs(ll - expected) < 1e-12, s"got $ll want $expected")
+    // a hard-wrong probability (y=1, pr=0.0) must clip to 1e-15, not -inf
+    val hard = Seq((1, 0.0), (0, 1.0)).toDF("y", "pr")
+    val hardLl = Metrics.logLoss(hard, "y", "pr").collect()(0).getDouble(0)
+    assert(!hardLl.isInfinite && hardLl > 30,
+      s"clipped log loss should be ~34.5, got $hardLl")
+  }
+
   test("rocAuc of a perfect and an anti-perfect ranker; single-class " +
     "input is NULL") {
     val sp = spark
