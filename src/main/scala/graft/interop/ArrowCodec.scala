@@ -193,8 +193,12 @@ object ArrowCodec {
       val t = v.asInstanceOf[LocalDateTime]
       x.setSafe(i, t.toEpochSecond(ZoneOffset.UTC) * 1000000L +
         t.getNano / 1000L)
-    case (x: DecimalVector, _: DecimalType) =>
-      x.setSafe(i, v.asInstanceOf[java.math.BigDecimal])
+    case (x: DecimalVector, _: DecimalType) => v match {
+      // Spark rows carry java BigDecimal, but our own decode emits
+      // scala BigDecimal — accept both or decode→re-encode crashes
+      case d: java.math.BigDecimal => x.setSafe(i, d)
+      case d: BigDecimal => x.setSafe(i, d.bigDecimal)
+    }
     case (x: ListVector, ArrayType(elem, _)) =>
       val w = new UnionListWriter(x)
       w.setPosition(i)
