@@ -107,29 +107,11 @@ object ArrowCodec {
     * batch, so a whole partition can stream to a file. */
   def encodeTo(schema: StructType, rows: Iterator[Row],
       out: java.io.OutputStream, batchRows: Int = 4096): Unit = {
-    val allocator = new RootAllocator()
+    val enc = new ArrowStreamEncoder(schema, out, batchRows)
     try {
-      val root = VectorSchemaRoot.create(arrowSchema(schema), allocator)
-      try {
-        val writer = new ArrowStreamWriter(root, null,
-          Channels.newChannel(out))
-        writer.start()
-        val batch = new Array[Row](batchRows)
-        // always write ≥1 (possibly empty) batch so the stream is
-        // well-formed even for an empty partition
-        var first = true
-        while (first || rows.hasNext) {
-          first = false
-          var n = 0
-          while (n < batchRows && rows.hasNext) {
-            batch(n) = rows.next(); n += 1
-          }
-          fillRoot(root, schema, batch, n)
-          writer.writeBatch()
-        }
-        writer.end()
-      } finally root.close()
-    } finally allocator.close()
+      while (rows.hasNext) enc.add(rows.next())
+      enc.finish()
+    } finally enc.close()
   }
 
   /** [[encodeTo]] into a byte array. */
@@ -140,7 +122,7 @@ object ArrowCodec {
     bytes.toByteArray
   }
 
-  private def fillRoot(root: VectorSchemaRoot, schema: StructType,
+  private[interop] def fillRoot(root: VectorSchemaRoot, schema: StructType,
       batch: Array[Row], n: Int): Unit = {
     root.allocateNew()
     var c = 0
@@ -335,6 +317,48 @@ object ArrowCodec {
       case (x, t) => throw new IllegalArgumentException(
         s"arrow interchange: cannot read $t from ${x.getClass.getSimpleName}")
     }
+}
+
+/** Push-style IPC stream encoder (the [[ArrowCodec.encodeTo]] engine,
+  * exposed for row-at-a-time writers like the DSv2 DataWriter): `add`
+  * rows, `finish` to flush the tail batch and close the stream framing
+  * (always ≥1 batch, so an empty partition still yields a well-formed
+  * stream), `close` to release the off-heap root/allocator — safe to
+  * call after `finish` or on the error path without it. */
+final class ArrowStreamEncoder(schema: StructType,
+    out: java.io.OutputStream, batchRows: Int = 4096) {
+  private val allocator = new RootAllocator()
+  private val root =
+    try VectorSchemaRoot.create(ArrowCodec.arrowSchema(schema), allocator)
+    catch { case t: Throwable => allocator.close(); throw t }
+  private val writer = new ArrowStreamWriter(root, null,
+    Channels.newChannel(out))
+  writer.start()
+  private val batch = new Array[Row](batchRows)
+  private var n = 0
+  private var wroteAny = false
+  private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def add(r: Row): Unit = {
+    batch(n) = r; n += 1
+    if (n == batchRows) flush()
+  }
+
+  private def flush(): Unit = {
+    ArrowCodec.fillRoot(root, schema, batch, n)
+    writer.writeBatch()
+    wroteAny = true
+    n = 0
+  }
+
+  def finish(): Unit = {
+    if (n > 0 || !wroteAny) flush()
+    writer.end()
+  }
+
+  def close(): Unit = if (closed.compareAndSet(false, true)) {
+    try root.close() finally allocator.close()
+  }
 }
 
 /** A live decode over an open IPC stream: `rows` streams batch by

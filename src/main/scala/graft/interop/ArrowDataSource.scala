@@ -43,10 +43,17 @@ final class ArrowDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Valid directory → its schema. A path with no `_SUCCESS` (fresh
+    * target, or debris of a failed write) infers EMPTY — the write
+    * path may proceed over it (the write schema comes from the query),
+    * while the read path fails loudly at scan build (newScanBuilder
+    * keeps the _SUCCESS message). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = ArrowDataSource.sessionConf()
-    ArrowDataSource.schemaOf(
-      ArrowDataSource.partFiles(ArrowDataSource.pathOf(options), conf), conf)
+    val path = ArrowDataSource.pathOf(options)
+    if (ArrowDataSource.isReadable(path, conf))
+      ArrowDataSource.schemaOf(ArrowDataSource.partFiles(path, conf), conf)
+    else new StructType()
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -61,6 +68,13 @@ object ArrowDataSource {
     SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+
+  private[interop] def isReadable(path: String,
+      conf: Configuration): Boolean = {
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    fs.exists(new Path(dir, "_SUCCESS"))
+  }
 
   private[interop] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -105,14 +119,23 @@ object ArrowDataSource {
 }
 
 final class ArrowDirTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"arrow-ipc $path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema.nonEmpty,
+      s"$path has no _SUCCESS marker — incomplete or failed arrow write")
     new ArrowScanBuilder(path, tableSchema)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ArrowWriteBuilder(path, info.schema())
 }
 
 final class ArrowScanBuilder(path: String, full: StructType)
@@ -149,6 +172,127 @@ final class ArrowReaderFactory(required: StructType,
     new ArrowPartitionReader(
       partition.asInstanceOf[ArrowFilePartition].file, required,
       ArrowDataSource.confFrom(confEntries))
+}
+
+// ----------------------------------------------------------------
+// Write side: a real commit protocol, which the old direct-write RDD
+// path lacked. Tasks write to a per-write STAGING directory (attempt
+// files named by partition + task + attempt, so speculative or
+// retried attempts never collide); the driver's commit renames only
+// the COMMITTED attempt of each partition into place, then drops the
+// marker last — a reader can never observe a half-written directory,
+// and abort just deletes staging.
+// ----------------------------------------------------------------
+
+final class ArrowWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new ArrowBatchWrite(path, schema, doTruncate,
+          ArrowDataSource.confEntries(ArrowDataSource.sessionConf()))
+    }
+}
+
+final case class ArrowCommitMessage(partitionId: Int, staged: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class ArrowBatchWrite(path: String, schema: StructType,
+    truncate: Boolean, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+  private def staging = new Path(path, s"_staging-$writeId")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = ArrowDataSource.confFrom(confEntries)
+    val fs = FileSystem.get(new Path(path).toUri, conf)
+    fs.mkdirs(staging)
+    new ArrowWriterFactory(staging.toString, schema, confEntries)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = ArrowDataSource.confFrom(confEntries)
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    if (truncate) {
+      fs.listStatus(dir)
+        .filter(s => s.isFile && (s.getPath.getName.endsWith(".arrow") ||
+          s.getPath.getName == "_SUCCESS"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    messages.foreach { case ArrowCommitMessage(pid, staged) =>
+      val target = new Path(dir, f"part-$pid%05d-$writeId.arrow")
+      if (!fs.rename(new Path(staged), target))
+        throw new java.io.IOException(
+          s"arrow-ipc commit: rename $staged -> $target failed")
+    }
+    fs.delete(staging, true)
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = ArrowDataSource.confFrom(confEntries)
+    FileSystem.get(new Path(path).toUri, conf).delete(staging, true)
+  }
+}
+
+final class ArrowWriterFactory(stagingDir: String, schema: StructType,
+    confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ArrowDataWriter(
+      new Path(stagingDir,
+        f"part-$partitionId%05d-$taskId-attempt.arrow").toString,
+      partitionId, schema, ArrowDataSource.confFrom(confEntries))
+}
+
+/** One write task = one staged file. `commit()` finishes the IPC
+  * framing and hands the staged name to the driver; `abort()` deletes
+  * it. Off-heap encode buffers are released in `close()`, which Spark
+  * guarantees either way. */
+final class ArrowDataWriter(staged: String, partitionId: Int,
+    schema: StructType, conf: Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val fs = FileSystem.get(new Path(staged).toUri, conf)
+  private val out = fs.create(new Path(staged), true)
+  private val enc =
+    try new ArrowStreamEncoder(schema, out)
+    catch { case t: Throwable => out.close(); throw t }
+  private val deserializer = ExpressionEncoder(
+    RowEncoder.encoderFor(schema)).resolveAndBind().createDeserializer()
+
+  override def write(record: InternalRow): Unit =
+    enc.add(deserializer(record))
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    enc.finish()
+    enc.close()
+    out.close()
+    ArrowCommitMessage(partitionId, staged)
+  }
+
+  override def abort(): Unit = {
+    enc.close()
+    out.close()
+    fs.delete(new Path(staged), false)
+  }
+
+  override def close(): Unit = {
+    enc.close()
+    out.close()
+  }
 }
 
 /** One task = one part file, decoded from the open stream (no byte

@@ -20,27 +20,19 @@ import org.apache.spark.sql.types.StructType
   */
 object ArrowIpc {
 
-  /** Write `df` as a directory of Arrow IPC stream files. */
+  /** Write `df` as a directory of Arrow IPC stream files through the
+    * [[ArrowDataSource]] DSv2 writer (staged attempt files + driver
+    * commit — retry/speculation safe; `_SUCCESS` last, so a reader can
+    * never observe a half-written directory). The target is removed
+    * first: this helper's contract is "replace whatever was there",
+    * including a schema change, which DSv2 overwrite-by-name
+    * validation would otherwise reject. */
   def write(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
-    val schema = df.schema
     val dir = new Path(path)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = FileSystem.get(dir.toUri, conf)
+    val fs = FileSystem.get(dir.toUri, spark.sessionState.newHadoopConf())
     if (fs.exists(dir)) fs.delete(dir, true)
-    fs.mkdirs(dir)
-    // executors build a fresh Configuration (the session conf is not
-    // serializable); fine for local/default-configured filesystems
-    val pathStr = dir.toString
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val part = new Path(pathStr, f"part-$pid%05d.arrow")
-      val pfs = FileSystem.get(part.toUri, new Configuration())
-      val out = pfs.create(part, true)
-      try ArrowCodec.encodeTo(schema, rows, out)
-      finally out.close()
-      Iterator.single(1)
-    }.count()
-    fs.create(new Path(dir, "_SUCCESS"), true).close()
+    df.write.format("arrow-ipc").mode("overwrite").save(path)
   }
 
   /** Read a directory of Arrow IPC stream files back as a DataFrame
@@ -49,8 +41,15 @@ object ArrowIpc {
     * file, `_SUCCESS`-gated listing, streams decoded without a byte
     * array (no 2 GiB part cap), and off-heap buffers released via the
     * reader's task-managed close — LIMIT/early-abort safe. */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // eager gate: the provider's inferSchema is lenient about a
+    // missing _SUCCESS (the WRITE path must see fresh/debris targets),
+    // so enforce readability here where a read is unambiguous
+    require(ArrowDataSource.isReadable(path,
+      spark.sessionState.newHadoopConf()),
+      s"$path has no _SUCCESS marker — incomplete or failed arrow write")
     spark.read.format("arrow-ipc").load(path)
+  }
 
   /** Collect `df` into ONE in-memory IPC stream — the `to_pyarrow`
     * driver-side convenience (and the serve transport's inline data

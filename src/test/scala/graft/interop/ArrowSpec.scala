@@ -167,6 +167,49 @@ class ArrowSpec extends SparkSpec {
     assert(ArrowIpc.read(sp, dir).count() == 1000)
   }
 
+  test("DSv2 write: overwrite creates, append adds, re-overwrite " +
+    "truncates; no staging debris survives") {
+    val sp = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/w"
+    sp.range(0, 10, 1, 3).toDF("id").write.format("arrow-ipc")
+      .mode("overwrite").save(dir)
+    assert(ArrowIpc.read(sp, dir).count() == 10)
+    sp.range(10, 15).toDF("id").write.format("arrow-ipc")
+      .mode("append").save(dir)
+    val appended = ArrowIpc.read(sp, dir)
+    assert(appended.count() == 15)
+    assert(appended.agg(sum("id")).collect()(0).getLong(0) == 105L)
+    sp.range(0, 4).toDF("id").write.format("arrow-ipc")
+      .mode("overwrite").save(dir)
+    assert(ArrowIpc.read(sp, dir).count() == 4)
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_staging"))
+    assert(leftovers.isEmpty, s"staging debris: ${leftovers.toSeq}")
+  }
+
+  test("DSv2 write: a failed overwrite leaves the previous contents " +
+    "readable (commit truncates only after every task succeeds)") {
+    val sp = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/f"
+    sp.range(0, 5).toDF("id").write.format("arrow-ipc")
+      .mode("overwrite").save(dir)
+    val boom = org.apache.spark.sql.functions.udf((id: Long) =>
+      if (id == 3L) throw new RuntimeException("boom") else id)
+    intercept[Exception] {
+      sp.range(0, 10).toDF("id").select(boom(col("id")).as("id"))
+        .write.format("arrow-ipc").mode("overwrite").save(dir)
+    }
+    val back = ArrowIpc.read(sp, dir)
+    assert(back.count() == 5,
+      "old data must survive a failed overwrite — the delete-first " +
+        "write could not offer this")
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("_staging")) == 0,
+      "failed write must clean its staging directory")
+  }
+
   test("toBytes/fromBytes: one IPC stream moves a result driver-side") {
     val sp = spark
     val df = sp.read.parquet(s"$sfDir/region.parquet")
