@@ -331,9 +331,16 @@ final class ArrowStreamEncoder(schema: StructType,
   private val root =
     try VectorSchemaRoot.create(ArrowCodec.arrowSchema(schema), allocator)
     catch { case t: Throwable => allocator.close(); throw t }
-  private val writer = new ArrowStreamWriter(root, null,
-    Channels.newChannel(out))
-  writer.start()
+  // start() writes the IPC schema header — an IOException here (disk
+  // full, quota) must not leak the off-heap root/allocator: the caller
+  // never gets an instance to close()
+  private val writer =
+    try {
+      val w = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+      w.start()
+      w
+    } catch { case t: Throwable =>
+      try root.close() finally allocator.close(); throw t }
   private val batch = new Array[Row](batchRows)
   private var n = 0
   private var wroteAny = false

@@ -192,13 +192,27 @@ final class ArrowWriteBuilder(path: String, schema: StructType)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
   }
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val conf = ArrowDataSource.sessionConf()
+    // APPEND into a live directory must match its schema: Spark's own
+    // byName validation cannot catch this (supportsExternalMetadata
+    // means the write-path table schema IS the query schema), and a
+    // mixed-schema directory is unreadable despite _SUCCESS
+    if (!doTruncate && ArrowDataSource.isReadable(path, conf)) {
+      val existing = ArrowDataSource.schemaOf(
+        ArrowDataSource.partFiles(path, conf), conf)
+      def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+      require(shape(existing) == shape(schema),
+        s"arrow-ipc append: query schema ${schema.simpleString} does " +
+          s"not match directory schema ${existing.simpleString}")
+    }
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
         new ArrowBatchWrite(path, schema, doTruncate,
-          ArrowDataSource.confEntries(ArrowDataSource.sessionConf()))
+          ArrowDataSource.confEntries(conf))
     }
+  }
 }
 
 final case class ArrowCommitMessage(partitionId: Int, staged: String)
@@ -220,29 +234,55 @@ final class ArrowBatchWrite(path: String, schema: StructType,
     new ArrowWriterFactory(staging.toString, schema, confEntries)
   }
 
+  /** Commit ordering is the crash-safety argument: (1) rename the new
+    * files in — their names embed this write's id, so they cannot
+    * collide with previous contents and a failure here leaves the old
+    * data untouched (abort sweeps the partial new files back out);
+    * (2) only after every rename landed, retire previous contents on
+    * truncate — including staging debris of writes whose driver died
+    * before abort could run; (3) refresh `_SUCCESS` in place last. At
+    * no point between (1) and (3) does a reader of a previously-valid
+    * directory lose it. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = ArrowDataSource.confFrom(confEntries)
     val dir = new Path(path)
     val fs = FileSystem.get(dir.toUri, conf)
-    if (truncate) {
-      fs.listStatus(dir)
-        .filter(s => s.isFile && (s.getPath.getName.endsWith(".arrow") ||
-          s.getPath.getName == "_SUCCESS"))
-        .foreach(s => fs.delete(s.getPath, false))
-    }
     messages.foreach { case ArrowCommitMessage(pid, staged) =>
       val target = new Path(dir, f"part-$pid%05d-$writeId.arrow")
       if (!fs.rename(new Path(staged), target))
         throw new java.io.IOException(
           s"arrow-ipc commit: rename $staged -> $target failed")
     }
-    fs.delete(staging, true)
+    if (truncate) {
+      fs.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".arrow") &&
+          !n.endsWith(s"-$writeId.arrow"))
+          fs.delete(s.getPath, false)
+        else if (s.isDirectory && n.startsWith("_staging-") &&
+          n != staging.getName)
+          fs.delete(s.getPath, true) // a crashed driver's debris
+      }
+    }
     fs.create(new Path(dir, "_SUCCESS"), true).close()
+    fs.delete(staging, true)
   }
 
+  /** Delete staging AND any part files this write already renamed into
+    * the live directory — after a mid-commit failure in append mode
+    * the old `_SUCCESS` is still valid, and orphaned new files would
+    * otherwise silently pollute every later read. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = ArrowDataSource.confFrom(confEntries)
-    FileSystem.get(new Path(path).toUri, conf).delete(staging, true)
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri, conf)
+    fs.delete(staging, true)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir)
+        .filter(s => s.isFile &&
+          s.getPath.getName.endsWith(s"-$writeId.arrow"))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
   }
 }
 
@@ -264,13 +304,16 @@ final class ArrowWriterFactory(stagingDir: String, schema: StructType,
 final class ArrowDataWriter(staged: String, partitionId: Int,
     schema: StructType, conf: Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  // resource-free field FIRST: if it threw after enc existed, the
+  // half-constructed writer would leak enc/out (close() never runs on
+  // a constructor failure)
+  private val deserializer = ExpressionEncoder(
+    RowEncoder.encoderFor(schema)).resolveAndBind().createDeserializer()
   private val fs = FileSystem.get(new Path(staged).toUri, conf)
   private val out = fs.create(new Path(staged), true)
   private val enc =
     try new ArrowStreamEncoder(schema, out)
     catch { case t: Throwable => out.close(); throw t }
-  private val deserializer = ExpressionEncoder(
-    RowEncoder.encoderFor(schema)).resolveAndBind().createDeserializer()
 
   override def write(record: InternalRow): Unit =
     enc.add(deserializer(record))

@@ -8,10 +8,11 @@ import org.apache.spark.sql.types.StructType
 /** Distributed Arrow IPC directory source/sink — the interchange data
   * plane next to parquet (the reference moves every result as Arrow:
   * to_pyarrow_batches / Flight do_get, expr/api.py:590-678). Layout
-  * mirrors a parquet directory: `part-NNNNN.arrow` stream files plus
-  * `_SUCCESS`, each file written by its own partition — no driver
-  * collect, no single-writer bottleneck, and any Arrow-native reader
-  * (pyarrow.ipc, DuckDB, DataFusion) consumes the files directly.
+  * mirrors a parquet directory: `part-NNNNN-<writeId>.arrow` stream
+  * files plus `_SUCCESS`, each file written by its own partition — no
+  * driver collect, no single-writer bottleneck, and any Arrow-native
+  * reader (pyarrow.ipc, DuckDB, DataFusion) globbing `*.arrow`
+  * consumes the files directly.
   *
   * Scale: write is one distributed pass (each task streams its
   * partition through a bounded record-batch buffer); read lists files

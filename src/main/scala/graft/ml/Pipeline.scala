@@ -139,19 +139,58 @@ object Metrics {
   def mae(df: DataFrame, y: String, pred: String): DataFrame =
     df.agg(avg(abs(col(y) - col(pred))).as("mae"))
 
+  /** The tp/fp/fn/tn cell aggregate — single source of truth for every
+    * counts-derived metric below. Coalesced so an EMPTY cohort yields
+    * a zero matrix, not a row of NULLs. */
+  private def confusionCell(y: String, pred: String)(
+      yv: Int, pv: Int): Column =
+    coalesce(sum(when(col(y) === yv && col(pred) === pv, 1L)
+      .otherwise(0L)), lit(0L))
+
+  /** Binary cross-entropy aggregate with sklearn's 1e-15 probability
+    * clipping so a hard 0/1 score cannot produce ±inf. NULL on an
+    * empty cohort (the mean of nothing is genuinely undefined). */
+  private def logLossExpr(y: String, prob: String): Column = {
+    val eps = 1e-15
+    val p = least(greatest(col(prob).cast("double"), lit(eps)),
+      lit(1.0 - eps))
+    avg(-(col(y).cast("double") * log(p) +
+      (lit(1.0) - col(y).cast("double")) * log(lit(1.0) - p)))
+  }
+
+  /** Binary confusion counts (tp/fp/fn/tn) in one aggregate pass —
+    * the exact-integer face of [[classification]] (ref metrics.py
+    * confusion outputs). Empty input → all zeros. */
+  def confusion(df: DataFrame, y: String, pred: String): DataFrame = {
+    val n = confusionCell(y, pred) _
+    df.agg(n(1, 1).as("tp"), n(0, 1).as("fp"),
+      n(1, 0).as("fn"), n(0, 0).as("tn"))
+  }
+
+  /** Binary log loss in one aggregate pass (ref metrics.py log_loss).
+    * `prob` is P(y=1). */
+  def logLoss(df: DataFrame, y: String, prob: String): DataFrame =
+    df.agg(logLossExpr(y, prob).as("log_loss"))
+
+  /** Confusion counts AND log loss in ONE aggregate pass over the
+    * cohort — for callers that want both without scanning twice. */
+  def confusionWithLogLoss(df: DataFrame, y: String, pred: String,
+      prob: String): DataFrame = {
+    val n = confusionCell(y, pred) _
+    df.agg(n(1, 1).as("tp"), n(0, 1).as("fp"),
+      n(1, 0).as("fn"), n(0, 0).as("tn"),
+      logLossExpr(y, prob).as("log_loss"))
+  }
+
   /** Binary-classification counts-derived metrics in ONE aggregate pass
     * (ref metrics.py:513-669): accuracy, precision, recall, f1 over an
     * integer 0/1 label and 0/1 prediction. Degenerate denominators
     * (no predicted / no actual positives) yield NULL, not a crash. */
   def classification(df: DataFrame, y: String, pred: String): DataFrame = {
-    def n(yv: Int, pv: Int) =
-      sum(when(col(y) === yv && col(pred) === pv, 1L).otherwise(0L))
-    val counts = df.agg(n(1, 1).as("tp"), n(0, 1).as("fp"),
-      n(1, 0).as("fn"), n(0, 0).as("tn"))
     def ratio(num: Column, den: Column): Column =
       when(den === 0, lit(null).cast("double"))
         .otherwise(num.cast("double") / den)
-    counts.select(
+    confusion(df, y, pred).select(
       ratio(col("tp") + col("tn"),
         col("tp") + col("tn") + col("fp") + col("fn")).as("accuracy"),
       ratio(col("tp"), col("tp") + col("fp")).as("precision"),
@@ -162,28 +201,6 @@ object Metrics {
           lit(null).cast("double"))
           .otherwise(lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
-  }
-
-  /** Binary confusion counts (tp/fp/fn/tn) in one aggregate pass —
-    * the exact-integer face of [[classification]], for callers that
-    * want the matrix itself (ref metrics.py confusion outputs). */
-  def confusion(df: DataFrame, y: String, pred: String): DataFrame = {
-    def n(yv: Int, pv: Int) =
-      sum(when(col(y) === yv && col(pred) === pv, 1L).otherwise(0L))
-    df.agg(n(1, 1).as("tp"), n(0, 1).as("fp"),
-      n(1, 0).as("fn"), n(0, 0).as("tn"))
-  }
-
-  /** Binary log loss (cross-entropy) in one aggregate pass, with
-    * sklearn's 1e-15 probability clipping so a hard 0/1 score cannot
-    * produce ±inf (ref metrics.py log_loss). `prob` is P(y=1). */
-  def logLoss(df: DataFrame, y: String, prob: String): DataFrame = {
-    val eps = 1e-15
-    val p = least(greatest(col(prob).cast("double"), lit(eps)),
-      lit(1.0 - eps))
-    df.agg(avg(-(col(y).cast("double") * log(p) +
-      (lit(1.0) - col(y).cast("double")) * log(lit(1.0) - p)))
-      .as("log_loss"))
   }
 
   /** ROC AUC via the rank-sum (Mann–Whitney) identity with midranks —

@@ -223,8 +223,7 @@ object MlQueries {
         when(col("l_returnflag") === "R", 1).otherwise(0).as("y"),
         when(col("l_quantity") > 25, 1).otherwise(0).as("p"),
         (col("l_discount") * 5.0).as("pr"))
-      Metrics.confusion(scored, "y", "p")
-        .crossJoin(Metrics.logLoss(scored, "y", "pr"))
+      Metrics.confusionWithLogLoss(scored, "y", "p", "pr")
         .select(col("tp"), col("fp"), col("fn"), col("tn"),
           r6(col("log_loss")).as("log_loss"))
     },

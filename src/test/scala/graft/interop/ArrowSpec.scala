@@ -188,6 +188,21 @@ class ArrowSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"staging debris: ${leftovers.toSeq}")
   }
 
+  test("DSv2 write: append with a mismatched schema is rejected " +
+    "loudly (a mixed-schema directory would be unreadable)") {
+    val sp = spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_").toString + "/a"
+    sp.range(0, 5).toDF("id").write.format("arrow-ipc")
+      .mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      sp.range(0, 5).select(col("id").cast("string").as("name"))
+        .write.format("arrow-ipc").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("does not match directory schema"))
+    assert(ArrowIpc.read(sp, dir).count() == 5, "directory unchanged")
+  }
+
   test("DSv2 write: a failed overwrite leaves the previous contents " +
     "readable (commit truncates only after every task succeeds)") {
     val sp = spark

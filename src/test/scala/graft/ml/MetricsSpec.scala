@@ -55,6 +55,15 @@ class MetricsSpec extends SparkSpec {
     val hardLl = Metrics.logLoss(hard, "y", "pr").collect()(0).getDouble(0)
     assert(!hardLl.isInfinite && hardLl > 30,
       s"clipped log loss should be ~34.5, got $hardLl")
+    // an empty cohort is a ZERO matrix, not a row of NULLs
+    val empty = df.filter(lit(false))
+    val z = Metrics.confusion(empty, "y", "p").collect()(0)
+    assert((0 to 3).map(z.getLong) == Seq(0L, 0L, 0L, 0L))
+    // one-pass combined report equals the separate aggregates
+    val both = Metrics.confusionWithLogLoss(df, "y", "p", "pr").collect()(0)
+    assert((both.getLong(0), both.getLong(1), both.getLong(2),
+      both.getLong(3)) == ((1L, 1L, 1L, 2L)))
+    assert(math.abs(both.getDouble(4) - expected) < 1e-12)
   }
 
   test("rocAuc of a perfect and an anti-perfect ranker; single-class " +
