@@ -15,8 +15,22 @@ import org.apache.spark.sql.{Column, SparkSession}
   *  - `st_contains(poly, point)` ray casting — works for CONCAVE
   *                   simple polygons and respects holes
   *  - `st_distance`  point↔point, point↔segment-path minimum
-  *  - `st_envelope`  (xmin, ymin, xmax, ymax) struct
+  *  - `st_envelope`  bbox polygon (plus `st_xmin`..`st_ymax` scalars)
   *  - `st_npoints` / `st_geometry_type` / `st_x` / `st_y` / `st_point`
+  *  - predicates: `st_intersects` / `st_disjoint` / `st_within` /
+  *    `st_d_within` / `st_d_fully_within` — exact orientation-sign
+  *    tests (no epsilon), closed (boundary-inclusive) semantics
+  *  - `st_max_distance` (vertex-attained maximum), `st_azimuth`
+  *    (north-based clockwise), `st_geo_equals`/`st_ordering_equals`
+  *  - line referencing: `st_line_locate_point`, `st_line_substring`,
+  *    `st_start_point`/`st_end_point`/`st_point_n`, `st_simplify`
+  *    (Douglas–Peucker)
+  *  - set-operation measures for convex hole-free polygons:
+  *    `st_intersection` (Sutherland–Hodgman clip), and
+  *    `st_intersection_area`/`st_union_area`/`st_difference_area`
+  *    via inclusion–exclusion
+  *  - `st_buffer_point` regular-n-gon buffer (closed-form area),
+  *    `st_flip_coordinates`, `st_as_text`, `st_n_rings`
   *
   * Geometries travel as WKT STRING columns: portable (any engine or
   * the DuckDB oracle can produce them with string concatenation), and
@@ -174,9 +188,13 @@ object Geometry {
       poly.rings.tail.forall(h => !ringContains(h, x, y))
   }
 
-  /** Minimum planar distance between two geometries (point↔point and
-    * point↔path/ring; path↔path falls back to vertex-to-path min —
-    * exact for the non-crossing case, documented approximation else). */
+  /** Minimum planar distance between two geometries: point↔point,
+    * point↔path/ring, and path/ring↔path/ring. Intersecting (or
+    * overlapping — including the cross-overlap case where NEITHER
+    * polygon holds a vertex of the other) geometries are distance 0;
+    * disjoint ones take the vertex↔segment-projection minimum, exact
+    * for convex shapes (closest pair is vertex-to-edge) and for any
+    * disjoint simple path pair's vertex-attained minimum. */
   def distance(a: Geom, b: Geom): Double = {
     def segDist(px: Double, py: Double, ax: Double, ay: Double,
         bx: Double, by: Double): Double = {
@@ -205,9 +223,10 @@ object Geometry {
       case (_, "POINT") =>
         val (x, y) = b.rings.head.head; pointToGeom(x, y, a)
       case _ =>
-        // vertex-to-other minimum from both sides
-        (a.rings.flatten.map { case (x, y) => pointToGeom(x, y, b) } ++
-          b.rings.flatten.map { case (x, y) => pointToGeom(x, y, a) }).min
+        if (intersects(a, b)) 0.0
+        else // vertex-to-other minimum from both sides
+          (a.rings.flatten.map { case (x, y) => pointToGeom(x, y, b) } ++
+            b.rings.flatten.map { case (x, y) => pointToGeom(x, y, a) }).min
     }
   }
 
@@ -215,6 +234,378 @@ object Geometry {
     val pts = g.rings.flatten
     (pts.map(_._1).min, pts.map(_._2).min,
       pts.map(_._1).max, pts.map(_._2).max)
+  }
+
+  // ------------------------------------------------------- wkt emit
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  /** Emit canonical WKT (inverse of [[parseWkt]] up to number
+    * formatting; integral coordinates print without a decimal point so
+    * string-concatenated oracles can reproduce them). */
+  def toWkt(g: Geom): String = {
+    def ring(r: Array[(Double, Double)]): String =
+      r.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString(", ")
+    g.kind match {
+      case "POINT"      => s"POINT(${ring(g.rings.head)})"
+      case "LINESTRING" => s"LINESTRING(${ring(g.rings.head)})"
+      case "POLYGON" =>
+        if (g.rings.isEmpty) "POLYGON EMPTY"
+        else g.rings.map(r => s"(${ring(r)})").mkString("POLYGON(", ", ", ")")
+    }
+  }
+
+  // ------------------------------------------------------ accessors
+
+  /** 1-based vertex of the first ring (OGC point_n convention). */
+  def pointN(g: Geom, n: Int): (Double, Double) = {
+    val r = g.rings.head
+    require(n >= 1 && n <= r.length, s"point_n($n) out of 1..${r.length}")
+    r(n - 1)
+  }
+
+  def startPoint(g: Geom): (Double, Double) = g.rings.head.head
+  def endPoint(g: Geom): (Double, Double) = g.rings.head.last
+  def nRings(g: Geom): Int = if (g.kind == "POLYGON") g.rings.length else 0
+
+  /** Swap x and y in every coordinate (ref flip_coordinates). */
+  def flip(g: Geom): Geom =
+    Geom(g.kind, g.rings.map(_.map { case (x, y) => (y, x) }))
+
+  /** North-based clockwise azimuth from a to b in [0, 2π) radians —
+    * the PostGIS/ibis convention: atan2(Δx, Δy), NOT math-convention
+    * atan2(Δy, Δx). */
+  def azimuth(ax: Double, ay: Double, bx: Double, by: Double): Double = {
+    require(ax != bx || ay != by, "azimuth of coincident points")
+    val a = math.atan2(bx - ax, by - ay)
+    if (a < 0) a + 2 * math.Pi else a
+  }
+
+  /** Exact structural equality of the coordinate sequences (ref
+    * ordering_equals). */
+  def orderingEquals(a: Geom, b: Geom): Boolean =
+    a.kind == b.kind && a.rings.length == b.rings.length &&
+      a.rings.zip(b.rings).forall { case (x, y) => x.sameElements(y) }
+
+  /** Spatial equality up to traversal: linestrings may reverse;
+    * polygon rings may rotate (choice of start vertex) and reverse
+    * (winding). Exact-coordinate comparison — no tolerance. */
+  def geoEquals(a: Geom, b: Geom): Boolean = {
+    def cyclicEq(x: Array[(Double, Double)],
+        y: Array[(Double, Double)]): Boolean = {
+      // drop the closing duplicate, compare as cyclic sequences
+      val (xs, ys) = (x.dropRight(1), y.dropRight(1))
+      xs.length == ys.length && xs.indices.exists(k =>
+        xs.indices.forall(i => xs((i + k) % xs.length) == ys(i)))
+    }
+    if (a.kind != b.kind || a.rings.length != b.rings.length) false
+    else a.kind match {
+      case "POINT" => a.rings.head.head == b.rings.head.head
+      case "LINESTRING" =>
+        a.rings.head.sameElements(b.rings.head) ||
+          a.rings.head.sameElements(b.rings.head.reverse)
+      case "POLYGON" =>
+        a.rings.zip(b.rings).forall { case (x, y) =>
+          cyclicEq(x, y) || cyclicEq(x, y.reverse) }
+    }
+  }
+
+  // ---------------------------------------------- predicate kernels
+
+  /** Sign of the cross product (b-a) × (c-a): >0 left turn, <0 right
+    * turn, 0 collinear. */
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Int =
+    math.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)).toInt
+
+  /** c on the CLOSED segment a-b, assuming collinearity. */
+  private def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Boolean =
+    math.min(ax, bx) <= cx && cx <= math.max(ax, bx) &&
+      math.min(ay, by) <= cy && cy <= math.max(ay, by)
+
+  /** Closed-semantics segment intersection: proper crossings,
+    * endpoint touches, and collinear overlap all count. Exact — pure
+    * orientation sign tests, no division. */
+  def segsIntersect(p1: (Double, Double), p2: (Double, Double),
+      p3: (Double, Double), p4: (Double, Double)): Boolean = {
+    val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
+    val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
+    val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
+    val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
+    (o1 != o2 && o3 != o4) ||
+      (o1 == 0 && onSeg(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)) ||
+      (o2 == 0 && onSeg(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)) ||
+      (o3 == 0 && onSeg(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)) ||
+      (o4 == 0 && onSeg(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2))
+  }
+
+  private def segments(g: Geom): Iterator[((Double, Double), (Double, Double))] =
+    g.rings.iterator.flatMap(r =>
+      (0 until r.length - 1).iterator.map(i => (r(i), r(i + 1))))
+
+  /** Point on the geometry's boundary/path (closed semantics). */
+  private def pointOn(g: Geom, x: Double, y: Double): Boolean =
+    g.kind match {
+      case "POINT" => g.rings.head.head == ((x, y))
+      case _ => segments(g).exists { case (a, b) =>
+        orient(a._1, a._2, b._1, b._2, x, y) == 0 &&
+          onSeg(a._1, a._2, b._1, b._2, x, y) }
+    }
+
+  /** Point inside-or-on (closed containment; respects holes). */
+  private def pointInOrOn(g: Geom, x: Double, y: Double): Boolean =
+    g.kind match {
+      case "POLYGON" => pointOn(g, x, y) || contains(g, x, y)
+      case _         => pointOn(g, x, y)
+    }
+
+  /** Closed-semantics intersects: boundary contact counts (OGC
+    * ST_Intersects). Covers edge crossings, vertex containment (either
+    * direction), and point cases. Holes respected via [[contains]]. */
+  def intersects(a: Geom, b: Geom): Boolean = (a.kind, b.kind) match {
+    case ("POINT", _) =>
+      val (x, y) = a.rings.head.head; pointInOrOn(b, x, y)
+    case (_, "POINT") =>
+      val (x, y) = b.rings.head.head; pointInOrOn(a, x, y)
+    case _ =>
+      segments(a).exists { case (p1, p2) =>
+        segments(b).exists { case (p3, p4) =>
+          segsIntersect(p1, p2, p3, p4) } } ||
+        a.rings.flatten.exists { case (x, y) => pointInOrOn(b, x, y) } ||
+        b.rings.flatten.exists { case (x, y) => pointInOrOn(a, x, y) }
+  }
+
+  def disjoint(a: Geom, b: Geom): Boolean = !intersects(a, b)
+
+  /** a within b (b POLYGON): every vertex of a inside-or-on b and no
+    * PROPER edge crossing (strictly opposite orientations both ways).
+    * Exact for nested/disjoint/overlapping simple geometries; boundary
+    * -degenerate inputs (shared edges) follow closed semantics. */
+  def within(a: Geom, b: Geom): Boolean = {
+    require(b.kind == "POLYGON", s"st_within needs POLYGON rhs, got ${b.kind}")
+    def proper(p1: (Double, Double), p2: (Double, Double),
+        p3: (Double, Double), p4: (Double, Double)): Boolean = {
+      val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
+      val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
+      val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
+      val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
+      o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
+    }
+    a.rings.flatten.forall { case (x, y) => pointInOrOn(b, x, y) } &&
+      !segments(a).exists { case (p1, p2) =>
+        segments(b).exists { case (p3, p4) => proper(p1, p2, p3, p4) } }
+  }
+
+  def dWithin(a: Geom, b: Geom, d: Double): Boolean = distance(a, b) <= d
+
+  /** Largest vertex-to-vertex distance between the two geometries
+    * (PostGIS ST_MaxDistance; the maximum is attained at vertices). */
+  def maxDistance(a: Geom, b: Geom): Double = {
+    var m = 0.0
+    a.rings.flatten.foreach { case (ax, ay) =>
+      b.rings.flatten.foreach { case (bx, by) =>
+        val d = math.hypot(ax - bx, ay - by)
+        if (d > m) m = d } }
+    m
+  }
+
+  def dFullyWithin(a: Geom, b: Geom, d: Double): Boolean =
+    maxDistance(a, b) <= d
+
+  // ------------------------------------------------------- line ops
+
+  /** Fraction of the line's length at the point CLOSEST to (x, y) —
+    * PostGIS ST_LineLocatePoint. */
+  def lineLocatePoint(line: Geom, x: Double, y: Double): Double = {
+    require(line.kind == "LINESTRING", "line_locate_point needs LINESTRING")
+    val r = line.rings.head
+    var (bestD, bestAt, walked) = (Double.MaxValue, 0.0, 0.0)
+    var i = 0
+    while (i < r.length - 1) {
+      val (ax, ay) = r(i); val (bx, by) = r(i + 1)
+      val (dx, dy) = (bx - ax, by - ay)
+      val l2 = dx * dx + dy * dy
+      val t = if (l2 == 0) 0.0
+        else math.max(0.0, math.min(1.0, ((x - ax) * dx + (y - ay) * dy) / l2))
+      val d = math.hypot(x - (ax + t * dx), y - (ay + t * dy))
+      if (d < bestD) { bestD = d; bestAt = walked + t * math.sqrt(l2) }
+      walked += math.sqrt(l2)
+      i += 1
+    }
+    if (walked == 0) 0.0 else bestAt / walked
+  }
+
+  /** Sub-linestring between length fractions f1 ≤ f2 — PostGIS
+    * ST_LineSubstring. Interpolated cut points; exact on axis-aligned
+    * segments. */
+  def lineSubstring(line: Geom, f1: Double, f2: Double): Geom = {
+    require(line.kind == "LINESTRING", "line_substring needs LINESTRING")
+    require(0 <= f1 && f1 <= f2 && f2 <= 1, s"bad fractions [$f1,$f2]")
+    val r = line.rings.head
+    val total = pathLength(r)
+    val (from, to) = (f1 * total, f2 * total)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def at(ax: Double, ay: Double, bx: Double, by: Double, t: Double) =
+      (ax + t * (bx - ax), ay + t * (by - ay))
+    var walked = 0.0
+    var i = 0
+    while (i < r.length - 1) {
+      val (ax, ay) = r(i); val (bx, by) = r(i + 1)
+      val seg = math.hypot(bx - ax, by - ay)
+      val (s0, s1) = (walked, walked + seg)
+      if (seg > 0 && s1 >= from && s0 <= to) {
+        val tA = math.max(0.0, (from - s0) / seg)
+        val tB = math.min(1.0, (to - s0) / seg)
+        val p0 = at(ax, ay, bx, by, tA)
+        if (out.isEmpty || out.last != p0) out += p0
+        val p1 = at(ax, ay, bx, by, tB)
+        if (out.last != p1) out += p1
+      }
+      walked = s1
+      i += 1
+    }
+    if (out.length < 2) { // zero-length slice: degenerate 2-point line
+      val p = if (out.nonEmpty) out.head
+        else r.head
+      Geom("LINESTRING", Seq(Array(p, p)))
+    } else Geom("LINESTRING", Seq(out.toArray))
+  }
+
+  /** Douglas–Peucker simplification with tolerance `tol` (ref
+    * simplify). Polygons simplify each ring, keeping closure and at
+    * least 4 points; linestrings keep endpoints. Deterministic. */
+  def simplify(g: Geom, tol: Double): Geom = {
+    def perpDist(px: Double, py: Double, ax: Double, ay: Double,
+        bx: Double, by: Double): Double = {
+      val (dx, dy) = (bx - ax, by - ay)
+      val l2 = dx * dx + dy * dy
+      if (l2 == 0) math.hypot(px - ax, py - ay)
+      else math.abs(dy * px - dx * py + bx * ay - by * ax) / math.sqrt(l2)
+    }
+    def dp(r: Array[(Double, Double)], lo: Int, hi: Int,
+        keep: Array[Boolean]): Unit =
+      if (hi > lo + 1) {
+        var (maxD, maxI) = (0.0, -1)
+        var i = lo + 1
+        while (i < hi) {
+          val d = perpDist(r(i)._1, r(i)._2, r(lo)._1, r(lo)._2,
+            r(hi)._1, r(hi)._2)
+          if (d > maxD) { maxD = d; maxI = i }
+          i += 1
+        }
+        if (maxD > tol) { keep(maxI) = true
+          dp(r, lo, maxI, keep); dp(r, maxI, hi, keep) }
+      }
+    def one(r: Array[(Double, Double)], closed: Boolean): Array[(Double, Double)] = {
+      val keep = Array.fill(r.length)(false)
+      keep(0) = true; keep(r.length - 1) = true
+      if (closed && r.length > 3) {
+        // anchor a mid vertex too, else a closed ring collapses
+        val mid = (r.length - 1) / 2
+        keep(mid) = true
+        dp(r, 0, mid, keep); dp(r, mid, r.length - 1, keep)
+      } else dp(r, 0, r.length - 1, keep)
+      r.indices.filter(keep).map(r).toArray
+    }
+    g.kind match {
+      case "POINT" => g
+      case "LINESTRING" => Geom(g.kind, Seq(one(g.rings.head, closed = false)))
+      case "POLYGON" => Geom(g.kind, g.rings.map(one(_, closed = true)))
+    }
+  }
+
+  // --------------------------------------------- set-operation areas
+
+  /** Sutherland–Hodgman: clip `subject` (any simple ring) by CONVEX
+    * `clip`. Rings open (no closing duplicate). Returns open ring,
+    * possibly empty. */
+  private def clipConvex(subject: Array[(Double, Double)],
+      clip: Array[(Double, Double)]): Array[(Double, Double)] = {
+    var out = subject
+    var i = 0
+    while (i < clip.length && out.nonEmpty) {
+      val a = clip(i); val b = clip((i + 1) % clip.length)
+      val in = out
+      val next = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      def inside(p: (Double, Double)): Boolean =
+        (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1) >= 0
+      def cut(p: (Double, Double), q: (Double, Double)): (Double, Double) = {
+        val (dx, dy) = (q._1 - p._1, q._2 - p._2)
+        val denom = (b._1 - a._1) * dy - (b._2 - a._2) * dx
+        val t = ((b._1 - a._1) * (a._2 - p._2) -
+          (b._2 - a._2) * (a._1 - p._1)) / denom
+        (p._1 + t * dx, p._2 + t * dy)
+      }
+      var j = 0
+      while (j < in.length) {
+        val p = in(j); val q = in((j + 1) % in.length)
+        (inside(p), inside(q)) match {
+          case (true, true)   => next += q
+          case (true, false)  => next += cut(p, q)
+          case (false, true)  => next += cut(p, q); next += q
+          case (false, false) =>
+        }
+        j += 1
+      }
+      out = next.toArray
+      i += 1
+    }
+    out
+  }
+
+  /** Ring as open CCW vertex list (drop closing point, fix winding). */
+  private def openCcw(r: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val open = r.dropRight(1)
+    if (ringArea(r) >= 0) open else open.reverse
+  }
+
+  private def requireConvexNoHoles(g: Geom, op: String): Array[(Double, Double)] = {
+    require(g.kind == "POLYGON" && g.rings.length == 1,
+      s"$op needs hole-free POLYGON, got ${toWkt(g)}")
+    val r = openCcw(g.rings.head)
+    val n = r.length
+    val signs = (0 until n).map { i =>
+      orient(r(i)._1, r(i)._2, r((i + 1) % n)._1, r((i + 1) % n)._2,
+        r((i + 2) % n)._1, r((i + 2) % n)._2)
+    }.filter(_ != 0)
+    require(signs.forall(_ == signs.head), s"$op needs CONVEX polygon")
+    r
+  }
+
+  /** Intersection of two convex hole-free polygons (Sutherland–
+    * Hodgman), as a polygon (POLYGON EMPTY when disjoint). */
+  def intersectionConvex(a: Geom, b: Geom): Geom = {
+    val clipped = clipConvex(requireConvexNoHoles(a, "st_intersection"),
+      requireConvexNoHoles(b, "st_intersection"))
+    if (clipped.length < 3) Geom("POLYGON", Seq.empty)
+    else Geom("POLYGON", Seq(clipped :+ clipped.head))
+  }
+
+  def intersectionArea(a: Geom, b: Geom): Double = {
+    val g = intersectionConvex(a, b)
+    if (g.rings.isEmpty) 0.0 else area(g)
+  }
+
+  /** Union / difference areas by inclusion–exclusion over the clipped
+    * intersection — exact for convex inputs without building the
+    * (possibly concave) union boundary. */
+  def unionArea(a: Geom, b: Geom): Double =
+    area(a) + area(b) - intersectionArea(a, b)
+  def differenceArea(a: Geom, b: Geom): Double =
+    area(a) - intersectionArea(a, b)
+
+  /** Regular-`n`-gon approximation of a point buffer (ref buffer; the
+    * reference's geometry library does the same with a segment count).
+    * Area is closed-form `n/2 · r² · sin(2π/n)` — oracle-checkable. */
+  def bufferPoint(x: Double, y: Double, radius: Double, segs: Int): Geom = {
+    require(segs >= 3 && radius > 0, "buffer needs segs>=3, radius>0")
+    val pts = (0 until segs).map { i =>
+      val t = 2 * math.Pi * i / segs
+      (x + radius * math.cos(t), y + radius * math.sin(t))
+    }.toArray
+    Geom("POLYGON", Seq(pts :+ pts.head))
   }
 
   // ----------------------------------------------------- registration
@@ -249,6 +640,66 @@ object Geometry {
     spark.udf.register("st_ymin", (wkt: String) => envelope(parseWkt(wkt))._2)
     spark.udf.register("st_xmax", (wkt: String) => envelope(parseWkt(wkt))._3)
     spark.udf.register("st_ymax", (wkt: String) => envelope(parseWkt(wkt))._4)
+    spark.udf.register("st_as_text", (wkt: String) => toWkt(parseWkt(wkt)))
+    spark.udf.register("st_envelope", (wkt: String) => {
+      val (x0, y0, x1, y1) = envelope(parseWkt(wkt))
+      toWkt(Geom("POLYGON", Seq(Array((x0, y0), (x1, y0), (x1, y1),
+        (x0, y1), (x0, y0)))))
+    })
+    spark.udf.register("st_start_point",
+      (wkt: String) => { val (x, y) = startPoint(parseWkt(wkt))
+        toWkt(Geom("POINT", Seq(Array((x, y))))) })
+    spark.udf.register("st_end_point",
+      (wkt: String) => { val (x, y) = endPoint(parseWkt(wkt))
+        toWkt(Geom("POINT", Seq(Array((x, y))))) })
+    spark.udf.register("st_point_n",
+      (wkt: String, n: Int) => { val (x, y) = pointN(parseWkt(wkt), n)
+        toWkt(Geom("POINT", Seq(Array((x, y))))) })
+    spark.udf.register("st_n_rings", (wkt: String) => nRings(parseWkt(wkt)))
+    spark.udf.register("st_flip_coordinates",
+      (wkt: String) => toWkt(flip(parseWkt(wkt))))
+    spark.udf.register("st_azimuth",
+      (ax: Double, ay: Double, bx: Double, by: Double) =>
+        azimuth(ax, ay, bx, by))
+    spark.udf.register("st_geo_equals",
+      (a: String, b: String) => geoEquals(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_ordering_equals",
+      (a: String, b: String) => orderingEquals(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_intersects",
+      (a: String, b: String) => intersects(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_disjoint",
+      (a: String, b: String) => disjoint(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_within",
+      (a: String, b: String) => within(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_d_within",
+      (a: String, b: String, d: Double) =>
+        dWithin(parseWkt(a), parseWkt(b), d))
+    spark.udf.register("st_max_distance",
+      (a: String, b: String) => maxDistance(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_d_fully_within",
+      (a: String, b: String, d: Double) =>
+        dFullyWithin(parseWkt(a), parseWkt(b), d))
+    spark.udf.register("st_line_locate_point",
+      (line: String, x: Double, y: Double) =>
+        lineLocatePoint(parseWkt(line), x, y))
+    spark.udf.register("st_line_substring",
+      (line: String, f1: Double, f2: Double) =>
+        toWkt(lineSubstring(parseWkt(line), f1, f2)))
+    spark.udf.register("st_simplify",
+      (wkt: String, tol: Double) => toWkt(simplify(parseWkt(wkt), tol)))
+    spark.udf.register("st_intersection",
+      (a: String, b: String) =>
+        toWkt(intersectionConvex(parseWkt(a), parseWkt(b))))
+    spark.udf.register("st_intersection_area",
+      (a: String, b: String) =>
+        intersectionArea(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_union_area",
+      (a: String, b: String) => unionArea(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_difference_area",
+      (a: String, b: String) => differenceArea(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_buffer_point",
+      (x: Double, y: Double, r: Double, segs: Int) =>
+        toWkt(bufferPoint(x, y, r, segs)))
   }
 
   /** Column helpers mirroring the SQL registrations. */

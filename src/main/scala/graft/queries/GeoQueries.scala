@@ -128,6 +128,125 @@ object GeoQueries {
             lit("POLYGON((0 1, 40 2, 11 39, 0 1))"),
             col("x"), col("y")).as("inside"))
         .orderBy("c_custkey")
+    },
+
+    // Line referencing + accessors + n-gon buffer: per-supplier
+    // L-shaped linestrings with integer-lattice legs, so length /
+    // locate / substring / azimuth all have closed-form oracles. The
+    // substring cut interpolates across the corner (the kernel's
+    // general path-walk), yet its length is the exact fraction of the
+    // axis-aligned total. Buffer area checks the regular-16-gon
+    // closed form ½·n·r²·sin(2π/n).
+    q("geo_geom_line",
+      """SELECT s_suppkey,
+        |       round(b + c + 1e-9, 6) AS len,
+        |       round(a + 1e-9, 6) AS sx,
+        |       round(c + 1e-9, 6) AS ey,
+        |       round(a + b + 1e-9, 6) AS p2x,
+        |       round(atan2(b, c) + 1e-9, 6) AS az,
+        |       round((b / 2) / (b + c) + 1e-9, 6) AS loc,
+        |       round((b + c) / 2 + 1e-9, 6) AS sublen,
+        |       round(8 * r * r * sin(pi() / 8) + 1e-9, 6) AS barea
+        |FROM (SELECT s_suppkey, (s_suppkey % 13) * 1.0 a,
+        |             1.0 + s_suppkey % 7 b, 1.0 + (s_suppkey * 3) % 5 c,
+        |             1.0 + s_suppkey % 4 r
+        |      FROM supplier)
+        |ORDER BY s_suppkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val g = c.supplier.select(col("s_suppkey"),
+          (col("s_suppkey") % 13).cast("double").as("a"),
+          (lit(1.0) + col("s_suppkey") % 7).as("b"),
+          (lit(1.0) + col("s_suppkey") * 3 % 5).as("c2"),
+          (lit(1.0) + col("s_suppkey") % 4).as("r"))
+        .withColumn("wkt", concat(lit("LINESTRING("),
+          col("a"), lit(" 0, "),
+          col("a") + col("b"), lit(" 0, "),
+          col("a") + col("b"), lit(" "), col("c2"), lit(")")))
+      g.select(col("s_suppkey"),
+          r6(callUDF("st_length", col("wkt"))).as("len"),
+          r6(callUDF("st_x", callUDF("st_start_point", col("wkt"))))
+            .as("sx"),
+          r6(callUDF("st_y", callUDF("st_end_point", col("wkt"))))
+            .as("ey"),
+          r6(callUDF("st_x", callUDF("st_point_n", col("wkt"), lit(2))))
+            .as("p2x"),
+          r6(callUDF("st_azimuth", col("a"), lit(0.0),
+            col("a") + col("b"), col("c2"))).as("az"),
+          r6(callUDF("st_line_locate_point", col("wkt"),
+            col("a") + col("b") / 2, lit(-1.0))).as("loc"),
+          r6(callUDF("st_length", callUDF("st_line_substring",
+            col("wkt"), lit(0.25), lit(0.75)))).as("sublen"),
+          r6(callUDF("st_area", callUDF("st_buffer_point",
+            col("a"), col("c2"), col("r"), lit(16)))).as("barea"))
+        .orderBy("s_suppkey")
+    },
+
+    // Set-operation measures + binary predicates over per-customer
+    // rectangle pairs: the kernel runs the REAL machinery (Sutherland–
+    // Hodgman clip, orientation-sign predicates, vertex-projection
+    // distance) while the oracle uses closed-form axis-aligned
+    // rectangle arithmetic. The second rectangle sits on a +0.25
+    // offset lattice so no edge pair is ever exactly touching — every
+    // predicate is decided away from its boundary, where both engines
+    // agree exactly.
+    q("geo_geom_setops",
+      """WITH r AS (SELECT c_custkey,
+        |        (c_custkey % 23) * 1.0 x1, ((c_custkey * 5) % 19) * 1.0 y1,
+        |        2.0 + c_custkey % 5 w1, 2.0 + (c_custkey * 3) % 7 h1,
+        |        (c_custkey % 23) * 1.0 + ((c_custkey * 7) % 13) - 6 + 0.25 x2,
+        |        ((c_custkey * 5) % 19) * 1.0 + ((c_custkey * 11) % 9) - 4 + 0.25 y2,
+        |        2.0 + (c_custkey * 2) % 6 w2, 2.0 + (c_custkey * 9) % 5 h2
+        |      FROM customer),
+        |g AS (SELECT *, least(x1 + w1, x2 + w2) - greatest(x1, x2) AS ix,
+        |             least(y1 + h1, y2 + h2) - greatest(y1, y2) AS iy
+        |      FROM r),
+        |m AS (SELECT *, CASE WHEN ix > 0 AND iy > 0 THEN ix * iy ELSE 0 END AS ia,
+        |             sqrt(pow(greatest(-ix, 0), 2) + pow(greatest(-iy, 0), 2)) AS dist
+        |      FROM g)
+        |SELECT c_custkey,
+        |       round(ia + 1e-9, 6) AS inter_area,
+        |       round(w1 * h1 + w2 * h2 - ia + 1e-9, 6) AS union_area,
+        |       round(w1 * h1 - ia + 1e-9, 6) AS diff_area,
+        |       ix > 0 AND iy > 0 AS isect,
+        |       x2 > x1 AND x2 + w2 < x1 + w1 AND
+        |         y2 > y1 AND y2 + h2 < y1 + h1 AS b_within_a,
+        |       round(dist + 1e-9, 6) AS dist,
+        |       dist <= 3.0 AS d_within
+        |FROM m ORDER BY c_custkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      def rectWkt(x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column,
+          w: org.apache.spark.sql.Column,
+          h: org.apache.spark.sql.Column) =
+        concat(lit("POLYGON(("),
+          x, lit(" "), y, lit(", "),
+          x + w, lit(" "), y, lit(", "),
+          x + w, lit(" "), y + h, lit(", "),
+          x, lit(" "), y + h, lit(", "),
+          x, lit(" "), y, lit("))"))
+      val k = col("c_custkey")
+      val g = c.customer.select(k,
+          (k % 23).cast("double").as("x1"),
+          (k * 5 % 19).cast("double").as("y1"),
+          (lit(2.0) + k % 5).as("w1"), (lit(2.0) + k * 3 % 7).as("h1"),
+          ((k % 23).cast("double") + (k * 7 % 13) - 6 + 0.25).as("x2"),
+          ((k * 5 % 19).cast("double") + (k * 11 % 9) - 4 + 0.25).as("y2"),
+          (lit(2.0) + k * 2 % 6).as("w2"), (lit(2.0) + k * 9 % 5).as("h2"))
+        .withColumn("wa", rectWkt(col("x1"), col("y1"), col("w1"), col("h1")))
+        .withColumn("wb", rectWkt(col("x2"), col("y2"), col("w2"), col("h2")))
+      g.select(col("c_custkey"),
+          r6(callUDF("st_intersection_area", col("wa"), col("wb")))
+            .as("inter_area"),
+          r6(callUDF("st_union_area", col("wa"), col("wb")))
+            .as("union_area"),
+          r6(callUDF("st_difference_area", col("wa"), col("wb")))
+            .as("diff_area"),
+          callUDF("st_intersects", col("wa"), col("wb")).as("isect"),
+          callUDF("st_within", col("wb"), col("wa")).as("b_within_a"),
+          r6(callUDF("st_distance", col("wa"), col("wb"))).as("dist"),
+          callUDF("st_d_within", col("wa"), col("wb"), lit(3.0))
+            .as("d_within"))
+        .orderBy("c_custkey")
     }
   )
 }

@@ -72,6 +72,125 @@ class GeometrySpec extends SparkSpec {
     val dOut = distance(parseWkt("POINT(5 2)"),
       parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"))
     assert(math.abs(dOut - 1.0) < 1e-12)
+    // cross-overlap (plus sign): NEITHER polygon holds a vertex of the
+    // other, yet they overlap — distance must be 0, not the vertex min
+    val wide = parseWkt("POLYGON((0 2, 6 2, 6 4, 0 4, 0 2))")
+    val tall = parseWkt("POLYGON((2 0, 4 0, 4 6, 2 6, 2 0))")
+    assert(distance(wide, tall) == 0.0)
+    // disjoint rectangles: diagonal corner gap
+    assert(math.abs(distance(
+      parseWkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
+      parseWkt("POLYGON((5 6, 7 6, 7 8, 5 8, 5 6))")) -
+      math.hypot(3, 4)) < 1e-12)
+  }
+
+  test("segment intersection: proper cross, endpoint touch, collinear " +
+    "overlap, parallel and collinear-disjoint") {
+    assert(segsIntersect((0, 0), (4, 4), (0, 4), (4, 0))) // proper X
+    assert(segsIntersect((0, 0), (4, 0), (4, 0), (8, 3))) // endpoint touch
+    assert(segsIntersect((0, 0), (4, 0), (2, 0), (6, 0))) // collinear overlap
+    assert(!segsIntersect((0, 0), (4, 0), (5, 0), (8, 0))) // collinear gap
+    assert(!segsIntersect((0, 0), (4, 0), (0, 1), (4, 1))) // parallel
+    assert(segsIntersect((0, 0), (4, 0), (2, -1), (2, 3))) // T crossing
+  }
+
+  test("intersects/disjoint/within on rectangles: overlap, nesting, " +
+    "disjoint, and the containment-without-edge-crossing case") {
+    def rect(x: Double, y: Double, w: Double, h: Double) = parseWkt(
+      s"POLYGON(($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))")
+    val a = rect(0, 0, 4, 4)
+    assert(intersects(a, rect(2, 2, 4, 4))) // overlap
+    assert(intersects(a, rect(1, 1, 2, 2))) // nested: NO edge crossing
+    assert(intersects(rect(1, 1, 2, 2), a)) // ...both directions
+    assert(disjoint(a, rect(5, 5, 2, 2)))
+    assert(intersects(a, rect(4, 0, 2, 4))) // shared edge (closed semantics)
+    assert(within(rect(1, 1, 2, 2), a))
+    assert(!within(rect(2, 2, 4, 4), a)) // partial overlap
+    assert(!within(rect(5, 5, 2, 2), a)) // disjoint
+    assert(!within(a, rect(1, 1, 2, 2))) // container not within content
+    // point and line operands
+    assert(intersects(parseWkt("POINT(2 2)"), a))
+    assert(intersects(parseWkt("LINESTRING(-1 2, 5 2)"), a))
+    assert(disjoint(parseWkt("POINT(9 9)"), a))
+  }
+
+  test("convex clipping: intersection area matches rectangle overlap " +
+    "arithmetic; empty when disjoint; union/difference by " +
+    "inclusion-exclusion") {
+    def rect(x: Double, y: Double, w: Double, h: Double) = parseWkt(
+      s"POLYGON(($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))")
+    val a = rect(0, 0, 4, 4)
+    val b = rect(2.5, 1.5, 4, 4)
+    assert(math.abs(intersectionArea(a, b) - 1.5 * 2.5) < 1e-12)
+    assert(math.abs(unionArea(a, b) - (16 + 16 - 3.75)) < 1e-12)
+    assert(math.abs(differenceArea(a, b) - (16 - 3.75)) < 1e-12)
+    assert(toWkt(intersectionConvex(a, rect(9, 9, 2, 2))) == "POLYGON EMPTY")
+    // triangle ∩ square, clockwise-wound input (winding normalized):
+    // hypotenuse x+y=4 cuts the (1,3)-(3,3)-(3,1) corner (area 2) off
+    // the 3×3 square
+    val tri = parseWkt("POLYGON((0 0, 0 4, 4 0, 0 0))") // CW
+    assert(math.abs(intersectionArea(tri, rect(0, 0, 3, 3)) - 7.0) < 1e-12)
+    // concave subject rejected loudly
+    val concave = parseWkt("POLYGON((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))")
+    intercept[IllegalArgumentException](intersectionArea(concave, a))
+  }
+
+  test("line referencing: locate point, substring across a corner, " +
+    "start/end/point_n") {
+    val l = parseWkt("LINESTRING(0 0, 4 0, 4 3)") // total length 7
+    assert(math.abs(lineLocatePoint(l, 2, -1) - 2.0 / 7) < 1e-12)
+    assert(math.abs(lineLocatePoint(l, 5, 3) - 1.0) < 1e-12) // past the end
+    val sub = lineSubstring(l, 0.25, 0.75) // 1.75 → 5.25 along the path
+    val expected = Array((1.75, 0.0), (4.0, 0.0), (4.0, 1.25))
+    assert(sub.rings.head.length == 3 &&
+      sub.rings.head.zip(expected).forall { case ((ax, ay), (bx, by)) =>
+        math.abs(ax - bx) < 1e-12 && math.abs(ay - by) < 1e-12 })
+    assert(math.abs(perimeter(sub) - 3.5) < 1e-12)
+    assert(startPoint(l) == ((0.0, 0.0)) && endPoint(l) == ((4.0, 3.0)))
+    assert(pointN(l, 2) == ((4.0, 0.0)))
+    intercept[IllegalArgumentException](pointN(l, 4))
+  }
+
+  test("simplify: Douglas-Peucker drops collinear/low-deviation points, " +
+    "keeps real corners; closed rings stay closed") {
+    val l = parseWkt("LINESTRING(0 0, 1 0.01, 2 0, 2 2)")
+    assert(simplify(l, 0.1).rings.head.sameElements(
+      Array((0.0, 0.0), (2.0, 0.0), (2.0, 2.0))))
+    assert(simplify(l, 0.001).rings.head.length == 4) // below tolerance
+    val ring = simplify(parseWkt(
+      "POLYGON((0 0, 2 0.01, 4 0, 4 4, 0 4, 0 0))"), 0.1).rings.head
+    assert(ring.head == ring.last && ring.length >= 4)
+    assert(!ring.contains((2.0, 0.01)))
+  }
+
+  test("azimuth: cardinal directions in PostGIS north-clockwise " +
+    "convention; max_distance attained at far corners") {
+    assert(math.abs(azimuth(0, 0, 0, 5) - 0.0) < 1e-12)           // north
+    assert(math.abs(azimuth(0, 0, 5, 0) - math.Pi / 2) < 1e-12)   // east
+    assert(math.abs(azimuth(0, 0, 0, -5) - math.Pi) < 1e-12)      // south
+    assert(math.abs(azimuth(0, 0, -5, 0) - 3 * math.Pi / 2) < 1e-12)
+    val a = parseWkt("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")
+    val b = parseWkt("POLYGON((3 4, 4 4, 4 5, 3 5, 3 4))")
+    assert(math.abs(maxDistance(a, b) - math.hypot(4, 5)) < 1e-12)
+    assert(dFullyWithin(a, b, math.hypot(4, 5) + 0.001))
+    assert(!dFullyWithin(a, b, 6.0))
+  }
+
+  test("buffer n-gon area matches the closed form; geo_equals is " +
+    "rotation/winding invariant; ordering_equals is not") {
+    val buf = bufferPoint(3, 4, 2.5, 32)
+    assert(math.abs(area(buf) -
+      0.5 * 32 * 2.5 * 2.5 * math.sin(2 * math.Pi / 32)) < 1e-12)
+    val p1 = parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val p2 = parseWkt("POLYGON((4 4, 0 4, 0 0, 4 0, 4 4))") // rotated
+    val p3 = parseWkt("POLYGON((0 0, 0 4, 4 4, 4 0, 0 0))") // reversed
+    assert(geoEquals(p1, p2) && geoEquals(p1, p3))
+    assert(!orderingEquals(p1, p2))
+    assert(orderingEquals(p1, parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")))
+    assert(!geoEquals(p1, parseWkt("POLYGON((0 0, 5 0, 5 4, 0 4, 0 0))")))
+    // flip + as_text round-trip
+    assert(toWkt(flip(parseWkt("LINESTRING(1 2, 3 4)"))) ==
+      "LINESTRING(2 1, 4 3)")
   }
 
   test("registered st_* functions work from SQL over a DataFrame") {
