@@ -155,11 +155,14 @@ object DeferredMl {
   * come through the FunctionCatalog, like UDXFs). */
 object Estimators {
   private val logRegName = """logreg_gd\((\d+),([0-9.eE+-]+)\)""".r
+  private val ridgeName = """ridge\(([0-9.eE+-]+)\)""".r
   def builtin(name: String): Option[Estimator] = name match {
     case GaussianNB.name => Some(GaussianNB)
     case logRegName(it, lr) =>
       Some(LogisticRegressionGD(it.toInt, lr.toDouble))
+    case ridgeName(a) => Some(RidgeRegression(a.toDouble))
     case _ => None
   }
-  val builtinNames: Seq[String] = Seq(GaussianNB.name, "logreg_gd(I,LR)")
+  val builtinNames: Seq[String] =
+    Seq(GaussianNB.name, "logreg_gd(I,LR)", "ridge(ALPHA)")
 }

@@ -172,6 +172,106 @@ object GaussianNB extends Estimator {
   }
 }
 
+/** Ridge regression with intercept — the closed-form centered normal
+  * equations `(Xcᵀ Xc + αI) w = Xcᵀ yc` solved by Gaussian elimination
+  * with partial pivoting, `b = ȳ − w·x̄`. sklearn's Ridge convention:
+  * α penalizes the weights, never the intercept; α = 0 degrades to
+  * OLS (the matrix stays invertible for non-degenerate features).
+  * Two-pass centering for numerical agreement with the engines'
+  * stable streaming moments; fit cost O(n·d²) + O(d³) on the
+  * aggregated group. */
+final case class RidgeRegression(alpha: Double = 1.0) extends Estimator {
+  val name = s"ridge($alpha)"
+
+  final case class Model(w: Array[Double], b: Double) extends Serializable
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    val n = xs.length; val d = xs(0).length
+    val mu = (0 until d).map(j => xs.map(_(j)).sum / n).toArray
+    val my = ys.sum / n
+    val a = Array.ofDim[Double](d, d)
+    val r = new Array[Double](d)
+    var i = 0
+    while (i < n) {
+      val xc = new Array[Double](d)
+      var j = 0
+      while (j < d) { xc(j) = xs(i)(j) - mu(j); j += 1 }
+      val yc = ys(i) - my
+      j = 0
+      while (j < d) {
+        var k = j
+        while (k < d) { a(j)(k) += xc(j) * xc(k); k += 1 }
+        r(j) += xc(j) * yc
+        j += 1
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < d) { // mirror the upper triangle; add the ridge
+      a(j)(j) += alpha
+      var k = j + 1
+      while (k < d) { a(k)(j) = a(j)(k); k += 1 }
+      j += 1
+    }
+    val w = solve(a, r)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(w, my - dotp(w, mu))); out.flush()
+      bos.toByteArray }
+    finally out.close()
+  }
+
+  /** In-place Gaussian elimination with partial pivoting. */
+  private def solve(a: Array[Array[Double]], r: Array[Double]): Array[Double] = {
+    val d = r.length
+    var c = 0
+    while (c < d) {
+      var p = c
+      var i = c + 1
+      while (i < d) { if (math.abs(a(i)(c)) > math.abs(a(p)(c))) p = i; i += 1 }
+      require(a(p)(c) != 0.0, s"ridge: singular normal matrix at column $c")
+      if (p != c) { val t = a(p); a(p) = a(c); a(c) = t
+        val tr = r(p); r(p) = r(c); r(c) = tr }
+      i = c + 1
+      while (i < d) {
+        val f = a(i)(c) / a(c)(c)
+        var k = c
+        while (k < d) { a(i)(k) -= f * a(c)(k); k += 1 }
+        r(i) -= f * r(c)
+        i += 1
+      }
+      c += 1
+    }
+    val w = new Array[Double](d)
+    var i = d - 1
+    while (i >= 0) {
+      var s = r(i)
+      var k = i + 1
+      while (k < d) { s -= a(i)(k) * w(k); k += 1 }
+      w(i) = s / a(i)(i)
+      i -= 1
+    }
+    w
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    m.b + dotp(m.w, x)
+  }
+
+  private def dotp(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+}
+
 /** Binary logistic regression fit by full-batch gradient descent — the
   * genuinely ITERATIVE estimator the closed-form StepSpec family cannot
   * express (the reference reaches it via sklearn's LogisticRegression

@@ -138,6 +138,41 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Ridge regression through the SAME arbitrary-estimator path
+    // (fit-as-UDAF → model bytes → predict-as-UDF): closed-form
+    // centered normal equations, so the DuckDB oracle can replicate
+    // the entire fit via var_pop/covar_pop sums and Cramer's rule on
+    // the 2×2 ridge system. y is rescaled to ~30 magnitude so the
+    // engines' summation-order noise sits far below the r4 rounding
+    // grain.
+    q("ml_pipeline_ridge",
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity u,
+        |             l_discount v, l_extendedprice / 1000.0 y FROM lineitem),
+        |s AS (SELECT count(*)::DOUBLE n, avg(u) mu, avg(v) mv, avg(y) my,
+        |             var_pop(u) vu, var_pop(v) vv, covar_pop(u, v) cuv,
+        |             covar_pop(u, y) cuy, covar_pop(v, y) cvy FROM d),
+        |w AS (SELECT mu, mv, my,
+        |        ((cuy*n) * (vv*n + 10.0) - (cvy*n) * (cuv*n)) /
+        |        ((vu*n + 10.0) * (vv*n + 10.0) - (cuv*n)*(cuv*n)) w1,
+        |        ((cvy*n) * (vu*n + 10.0) - (cuy*n) * (cuv*n)) /
+        |        ((vu*n + 10.0) * (vv*n + 10.0) - (cuv*n)*(cuv*n)) w2
+        |      FROM s)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(my - w1*mu - w2*mv + w1*u + w2*v + 1e-9, 4) AS pred
+        |FROM d, w WHERE l_orderkey < 300 ORDER BY 1, 2""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"),
+        (col("l_extendedprice") / 1000.0).as("y"))
+      val steps = Seq(graft.rel.EstimatorSpec("ridge(10.0)",
+        Seq("l_quantity", "l_discount"), "y", "pred0"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(col("pred0")).as("pred"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // The genuinely ITERATIVE estimator (gradient-descent logistic
     // regression — nothing closed-form to mirror in SQL, so the driver
     // records the rows-only check; LogRegSpec's exact behavior is

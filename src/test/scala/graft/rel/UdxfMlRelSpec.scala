@@ -163,6 +163,31 @@ class UdxfMlRelSpec extends SparkSpec {
     assert(acc >= 0.99, s"separable data must be learned, accuracy $acc")
   }
 
+  test("ridge estimator: alpha=0 recovers an exact linear relation; " +
+    "alpha shrinks weights toward zero; builtin name resolves") {
+    // y = 3 + 2u - 5v exactly, on a deterministic non-degenerate grid
+    val xs = (for (i <- 0 until 20; j <- 0 until 20)
+      yield Array(i.toDouble, j * 0.5)).toArray
+    val ys = xs.map(r => 3.0 + 2.0 * r(0) - 5.0 * r(1))
+    val ols = graft.ml.RidgeRegression(0.0)
+    val m0 = ols.deserialize(ols.fit(xs, ys))
+      .asInstanceOf[graft.ml.RidgeRegression#Model]
+    assert(math.abs(m0.w(0) - 2.0) < 1e-9 &&
+      math.abs(m0.w(1) + 5.0) < 1e-9 && math.abs(m0.b - 3.0) < 1e-9)
+    assert(math.abs(ols.predict(m0, Array(7.0, 1.5)) -
+      (3.0 + 14.0 - 7.5)) < 1e-9)
+    val shrunk = graft.ml.RidgeRegression(1e6)
+    val m1 = shrunk.deserialize(shrunk.fit(xs, ys))
+      .asInstanceOf[graft.ml.RidgeRegression#Model]
+    assert(math.abs(m1.w(0)) < math.abs(m0.w(0)) &&
+      math.abs(m1.w(1)) < math.abs(m0.w(1)))
+    assert(graft.ml.Estimators.builtin("ridge(10.0)")
+      .contains(graft.ml.RidgeRegression(10.0)))
+    // singular (constant) feature with alpha=0 fails loudly
+    val const = xs.map(r => Array(1.0, r(1)))
+    intercept[IllegalArgumentException](ols.fit(const, ys))
+  }
+
   test("a null feature cell yields a null prediction, not a task crash") {
     val sp = spark
     import sp.implicits._
