@@ -45,6 +45,39 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream INTERVAL join: left rows match right rows with the
+    * same key whose event time lies in [left.ts + lowerSec, left.ts +
+    * upperSec]. Both sides carry watermarks and the join condition
+    * bounds event time in BOTH directions, which is what lets Spark
+    * evict buffered state on each side (an unbounded-time stream-stream
+    * join would buffer forever). Column names must be disjoint apart
+    * from the key. Scale: state per side ≈ watermark + interval horizon
+    * of rows, hash-partitioned by key — the same plan shape batch uses,
+    * so the join parallelizes across executors.
+    *
+    * Works identically on batch frames (the time predicate is ordinary
+    * column math there), mirroring the module's batch/stream contract. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      watermark: String,
+      lowerSec: Long,
+      upperSec: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(lowerSec <= upperSec, s"empty interval [$lowerSec,$upperSec]")
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperSec SECONDS"),
+      joinType)
+      .drop(col(s"r.$key"))
+  }
+
   /** Gap-based event-time sessionization via flatMapGroupsWithState —
     * the canonical custom-state streaming operator (events with the
     * same key within `gapSeconds` of each other form one session; a

@@ -59,6 +59,54 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches rows in the time window " +
+    "and evicts state past the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, Long)]
+    val views = MemoryStream[(Timestamp, String, Long)]
+    // a view joins clicks on the same user arriving 0..600 s AFTER it
+    val joined = StreamOps.intervalJoin(
+      views.toDF.toDF("vts", "user", "view_id"),
+      clicks.toDF.toDF("cts", "user", "click_id"),
+      key = "user", leftTs = "vts", rightTs = "cts",
+      watermark = "10 minutes", lowerSec = 0, upperSec = 600)
+
+    val q = joined.writeStream.format("memory")
+      .queryName("ivj").outputMode("append").start()
+    try {
+      views.addData(
+        (ts("2024-01-01 00:00:00"), "u1", 1L),
+        (ts("2024-01-01 00:00:00"), "u2", 2L))
+      clicks.addData(
+        (ts("2024-01-01 00:05:00"), "u1", 10L), // in window → match
+        (ts("2024-01-01 00:20:00"), "u1", 11L), // past window → no match
+        (ts("2024-01-01 00:04:00"), "u3", 12L)) // no view → no match
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT view_id, click_id FROM ivj ORDER BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("interval join runs unchanged on batch frames") {
+    val sp = spark
+    import sp.implicits._
+    val v = Seq((ts("2024-01-01 00:00:00"), "u1", 1L))
+      .toDF("vts", "user", "view_id")
+    val c = Seq(
+      (ts("2024-01-01 00:05:00"), "u1", 10L),
+      (ts("2024-01-01 00:20:00"), "u1", 11L))
+      .toDF("cts", "user", "click_id")
+    val out = StreamOps.intervalJoin(v, c, "user", "vts", "cts",
+        "10 minutes", 0, 600)
+      .select("view_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L)))
+    intercept[IllegalArgumentException](
+      StreamOps.intervalJoin(v, c, "user", "vts", "cts", "10 minutes", 5, 4))
+  }
+
   test("flatMapGroupsWithState sessionizes by event-time gap") {
     val sp = spark
     import sp.implicits._
