@@ -238,9 +238,15 @@ object Metrics {
       avg(abs(col(y) - col(pred))).as("mae"),
       sum(pow(col(y) - col(pred), 2)).as("ssr"),
       var_pop(col(y)).as("vy"),
+      var_pop(col(y) - col(pred)).as("vres"),
+      max(abs(col(y) - col(pred))).as("max_err"),
       count(lit(1)).as("n"))
     stats.select(col("mse"), col("mae"),
-      (lit(1.0) - col("ssr") / (col("vy") * col("n"))).as("r2"))
+      (lit(1.0) - col("ssr") / (col("vy") * col("n"))).as("r2"),
+      sqrt(col("mse")).as("rmse"),
+      // sklearn explained_variance_score: 1 − Var(y−ŷ)/Var(y)
+      (lit(1.0) - col("vres") / col("vy")).as("explained_variance"),
+      col("max_err"))
   }
 }
 

@@ -81,7 +81,10 @@ object MlQueries {
         |SELECT round(avg((y - pred) * (y - pred)) / 1e6 + 1e-9, 2) AS mse_m,
         |       round(avg(abs(y - pred)) + 1e-9, 2) AS mae,
         |       round(1.0 - sum((y - pred) * (y - pred))
-        |                   / (var_pop(y) * count(*)) + 1e-9, 6) AS r2
+        |                   / (var_pop(y) * count(*)) + 1e-9, 6) AS r2,
+        |       round(sqrt(avg((y - pred) * (y - pred))) / 1e3 + 1e-9, 4) AS rmse_k,
+        |       round(1.0 - var_pop(y - pred) / var_pop(y) + 1e-9, 6) AS expl_var,
+        |       round(max(abs(y - pred)) / 1e3 + 1e-9, 4) AS max_err_k
         |FROM scored""") { c =>
       val fitted = Pipeline(Seq(
         LinearRegression("l_quantity", "l_extendedprice", "pred")))
@@ -90,7 +93,10 @@ object MlQueries {
       Metrics.regression(scored, "l_extendedprice", "pred")
         .select(r2(col("mse") / 1e6).as("mse_m"),
           r2(col("mae")).as("mae"),
-          r6(col("r2")).as("r2"))
+          r6(col("r2")).as("r2"),
+          r4(col("rmse") / 1e3).as("rmse_k"),
+          r6(col("explained_variance")).as("expl_var"),
+          r4(col("max_err") / 1e3).as("max_err_k"))
     },
 
     // Arbitrary-estimator deferred fit (ref fit_lib.py:28 — any model
