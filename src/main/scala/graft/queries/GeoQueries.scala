@@ -210,6 +210,11 @@ object GeoQueries {
         |       ix > 0 AND iy > 0 AS isect,
         |       x2 > x1 AND x2 + w2 < x1 + w1 AND
         |         y2 > y1 AND y2 + h2 < y1 + h1 AS b_within_a,
+        |       ix > 0 AND iy > 0
+        |         AND NOT (x2 > x1 AND x2 + w2 < x1 + w1 AND
+        |                  y2 > y1 AND y2 + h2 < y1 + h1)
+        |         AND NOT (x1 > x2 AND x1 + w1 < x2 + w2 AND
+        |                  y1 > y2 AND y1 + h1 < y2 + h2) AS overlaps_ab,
         |       round(dist + 1e-9, 6) AS dist,
         |       dist <= 3.0 AS d_within
         |FROM m ORDER BY c_custkey""") { c =>
@@ -243,6 +248,7 @@ object GeoQueries {
             .as("diff_area"),
           callUDF("st_intersects", col("wa"), col("wb")).as("isect"),
           callUDF("st_within", col("wb"), col("wa")).as("b_within_a"),
+          callUDF("st_overlaps", col("wa"), col("wb")).as("overlaps_ab"),
           r6(callUDF("st_distance", col("wa"), col("wb"))).as("dist"),
           callUDF("st_d_within", col("wa"), col("wb"), lit(3.0))
             .as("d_within"))

@@ -135,6 +135,27 @@ class GeometrySpec extends SparkSpec {
     intercept[IllegalArgumentException](intersectionArea(concave, a))
   }
 
+  test("touches/overlaps/covers/crosses: boundary contact vs interior " +
+    "overlap vs containment, and line-area crossing") {
+    def rect(x: Double, y: Double, w: Double, h: Double) = parseWkt(
+      s"POLYGON(($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))")
+    val a = rect(0, 0, 4, 4)
+    assert(touches(a, rect(4, 0, 2, 4)))   // shared edge
+    assert(touches(a, rect(4, 4, 2, 2)))   // corner point
+    assert(!touches(a, rect(2, 2, 4, 4)))  // proper overlap
+    assert(!touches(a, rect(5, 5, 1, 1)))  // disjoint
+    assert(overlaps(a, rect(2, 2, 4, 4)))
+    assert(!overlaps(a, rect(4, 0, 2, 4))) // touch only
+    assert(!overlaps(a, rect(1, 1, 2, 2))) // contained, not overlaps
+    assert(covers(a, rect(1, 1, 2, 2)) && coveredBy(rect(1, 1, 2, 2), a))
+    assert(!covers(rect(1, 1, 2, 2), a))
+    assert(crosses(parseWkt("LINESTRING(-1 2, 5 2)"), a))   // through
+    assert(crosses(parseWkt("LINESTRING(2 2, 9 2)"), a))    // in → out
+    assert(!crosses(parseWkt("LINESTRING(1 1, 3 3)"), a))   // within
+    assert(!crosses(parseWkt("LINESTRING(0 5, 4 5)"), a))   // outside
+    assert(!crosses(parseWkt("LINESTRING(0 4, 4 4)"), a))   // along edge
+  }
+
   test("line referencing: locate point, substring across a corner, " +
     "start/end/point_n") {
     val l = parseWkt("LINESTRING(0 0, 4 0, 4 3)") // total length 7
