@@ -156,13 +156,15 @@ object DeferredMl {
 object Estimators {
   private val logRegName = """logreg_gd\((\d+),([0-9.eE+-]+)\)""".r
   private val ridgeName = """ridge\(([0-9.eE+-]+)\)""".r
+  private val kmeansName = """kmeans\((\d+),(\d+)\)""".r
   def builtin(name: String): Option[Estimator] = name match {
     case GaussianNB.name => Some(GaussianNB)
     case logRegName(it, lr) =>
       Some(LogisticRegressionGD(it.toInt, lr.toDouble))
     case ridgeName(a) => Some(RidgeRegression(a.toDouble))
+    case kmeansName(kk, it) => Some(KMeansEstimator(kk.toInt, it.toInt))
     case _ => None
   }
   val builtinNames: Seq[String] =
-    Seq(GaussianNB.name, "logreg_gd(I,LR)", "ridge(ALPHA)")
+    Seq(GaussianNB.name, "logreg_gd(I,LR)", "ridge(ALPHA)", "kmeans(K,I)")
 }

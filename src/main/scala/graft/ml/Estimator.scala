@@ -272,6 +272,95 @@ final case class RidgeRegression(alpha: Double = 1.0) extends Estimator {
   }
 }
 
+/** K-means clustering through the SAME estimator contract (the
+  * reference reaches sklearn's KMeans via deferred_fit_predict; the
+  * label column is ignored — unsupervised). Fully deterministic with
+  * no RNG: rows are sorted lexicographically, the first centroid is
+  * the smallest row, and each next centroid is the point farthest
+  * from its nearest chosen centroid (maximin / farthest-point init,
+  * ties broken by the sort order), then `iters` Lloyd rounds with
+  * empty clusters keeping their previous centroid. Predict returns
+  * the nearest-centroid INDEX (ties → lowest index) as a double.
+  *
+  * This is the whole-group estimator face of clustering; the
+  * DISTRIBUTED face (one aggregation per Lloyd round, corpus never
+  * collected) is [[graft.ops.VectorSim.kmeansCentroids]] — same
+  * trade as closed-form [[ScaleSpec]] steps vs fit-as-UDAF. */
+final case class KMeansEstimator(k: Int, iters: Int = 20)
+    extends Estimator {
+  require(k >= 1, "kmeans needs k >= 1")
+  val name = s"kmeans($k,$iters)"
+
+  final case class Model(centroids: Array[Array[Double]])
+    extends Serializable
+
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    val pts = xs.sortWith { (a, b) =>
+      var i = 0
+      while (i < a.length && a(i) == b(i)) i += 1
+      i < a.length && a(i) < b(i)
+    }
+    val kk = math.min(k, pts.length)
+    val cents = scala.collection.mutable.ArrayBuffer(pts(0))
+    // maximin init: strict > keeps the first (sort-order) farthest point
+    while (cents.length < kk) {
+      var (best, bestD) = (pts(0), -1.0)
+      pts.foreach { p =>
+        val d = cents.map(c => d2(p, c)).min
+        if (d > bestD) { bestD = d; best = p }
+      }
+      cents += best
+    }
+    var centroids = cents.map(_.clone).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(kk)(new Array[Double](pts(0).length))
+      val counts = new Array[Long](kk)
+      pts.foreach { p =>
+        var (bi, bd) = (0, Double.MaxValue)
+        var i = 0
+        while (i < kk) {
+          val d = d2(p, centroids(i)); if (d < bd) { bd = d; bi = i }
+          i += 1
+        }
+        counts(bi) += 1
+        var j = 0
+        while (j < p.length) { sums(bi)(j) += p(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old
+        else sums(i).map(_ / counts(i))
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(centroids)); out.flush(); bos.toByteArray }
+    finally out.close()
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    var (bi, bd) = (0, Double.MaxValue)
+    var i = 0
+    while (i < m.centroids.length) {
+      val d = d2(x, m.centroids(i)); if (d < bd) { bd = d; bi = i }
+      i += 1
+    }
+    bi.toDouble
+  }
+}
+
 /** Binary logistic regression fit by full-batch gradient descent — the
   * genuinely ITERATIVE estimator the closed-form StepSpec family cannot
   * express (the reference reaches it via sklearn's LogisticRegression

@@ -179,6 +179,30 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Unsupervised through the estimator path: 1-D k=2 k-means over
+    // the uniform l_quantity lattice (1..50). Maximin init seeds the
+    // extremes (1, 50) whose midpoint 25.5 already induces the stable
+    // partition {1..25}/{26..50}; Lloyd re-centers near 13/38, keeping
+    // the boundary inside (25, 26) with ~1.0 margin — orders of
+    // magnitude above summation noise — so the converged ASSIGNMENT
+    // (not the float centroids) is the oracle-checkable output, and
+    // cluster 0 is the low blob by the deterministic init order.
+    q("ml_pipeline_kmeans",
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity <= 25 THEN 0 ELSE 1 END AS cluster
+        |FROM lineitem WHERE l_orderkey < 300 ORDER BY 1, 2""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), lit(0.0).as("y"))
+      val steps = Seq(graft.rel.EstimatorSpec("kmeans(2,10)",
+        Seq("l_quantity"), "y", "cl"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("cl").cast("int").as("cluster"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // The genuinely ITERATIVE estimator (gradient-descent logistic
     // regression — nothing closed-form to mirror in SQL, so the driver
     // records the rows-only check; LogRegSpec's exact behavior is

@@ -188,6 +188,29 @@ class UdxfMlRelSpec extends SparkSpec {
     intercept[IllegalArgumentException](ols.fit(const, ys))
   }
 
+  test("kmeans estimator: separates blobs, deterministic under input " +
+    "permutation, low-coordinate blob gets cluster 0") {
+    val blobA = (0 until 30).map(i => Array(0.0 + i % 3, 0.0 + i % 2))
+    val blobB = (0 until 30).map(i => Array(10.0 + i % 3, 10.0 + i % 2))
+    val xs = (blobA ++ blobB).toArray
+    val ys = Array.fill(xs.length)(0.0)
+    val km = graft.ml.KMeansEstimator(2, 10)
+    val m = km.deserialize(km.fit(xs, ys))
+    assert(blobA.forall(p => km.predict(m, p.toArray) == 0.0))
+    assert(blobB.forall(p => km.predict(m, p.toArray) == 1.0))
+    // multiset-determinism: reversed input produces the same model bytes
+    val m2 = km.deserialize(km.fit(xs.reverse, ys))
+    assert(blobA.forall(p => km.predict(m2, p.toArray) == 0.0) &&
+      blobB.forall(p => km.predict(m2, p.toArray) == 1.0))
+    assert(graft.ml.Estimators.builtin("kmeans(2,10)")
+      .contains(graft.ml.KMeansEstimator(2, 10)))
+    // k larger than distinct points: still total, predicts valid ids
+    val tiny = Array(Array(1.0), Array(2.0))
+    val m3 = km.deserialize(graft.ml.KMeansEstimator(5, 3).fit(
+      tiny, Array(0.0, 0.0)))
+    assert(graft.ml.KMeansEstimator(5, 3).predict(m3, Array(1.0)) >= 0.0)
+  }
+
   test("a null feature cell yields a null prediction, not a task crash") {
     val sp = spark
     import sp.implicits._
