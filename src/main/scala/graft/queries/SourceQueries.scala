@@ -78,6 +78,33 @@ object SourceQueries {
         .orderBy("l_linestatus")
     },
 
+    // Z-order clustered write (the Delta OPTIMIZE ZORDER / Iceberg
+    // sort-order layout face): lineitem rewritten along a Morton curve
+    // over (l_quantity, l_extendedprice), read back with a range
+    // predicate on BOTH clustered dims. The layout only reorders rows,
+    // so the oracle is the same filter+aggregate on the ORIGINAL
+    // parquet — row-set preservation through the curve rewrite is what
+    // the hash checks; ZOrderSpec asserts the pruning geometry.
+    q("src_zorder_write",
+      """SELECT l_linestatus, count(*) AS n,
+        |       round(sum(l_extendedprice) + 1e-9, 2) AS price
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_extendedprice BETWEEN 10000 AND 30000
+        |GROUP BY l_linestatus ORDER BY l_linestatus""") { c =>
+      val out = tmp("lineitem_zorder")
+      graft.ops.ZOrder.writeParquet(
+        c.lineitem.select("l_linestatus", "l_quantity", "l_extendedprice"),
+        out, Seq("l_quantity", "l_extendedprice"), bits = 7, partitions = 8)
+      c.spark.read.parquet(out)
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_extendedprice").between(10000, 30000))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("l_extendedprice"))).as("price"))
+        .orderBy("l_linestatus")
+    },
+
     // JDBC connector round-trip (ref backends/* connector surface):
     // rows go INTO a real database (Derby, bundled with Spark) over
     // JDBC and come back through the serializable ReadJdbc leaf with a
