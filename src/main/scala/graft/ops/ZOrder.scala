@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Equi-depth bucket boundaries (ascending, deduplicated) for each
-    * column; ≤ 2^bits − 1 cut points per column. */
-  private def boundaries(df: DataFrame, cols: Seq[String], bits: Int,
+    * column; ≤ 2^bits − 1 cut points per column. Package-visible so
+    * the spec can assert cut-point placement under skew. */
+  private[ops] def boundaries(df: DataFrame, cols: Seq[String], bits: Int,
       relErr: Double): Array[Array[Double]] = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (n + 1)).toArray

@@ -78,6 +78,25 @@ object SourceQueries {
         .orderBy("l_linestatus")
     },
 
+    // ORC round-trip (the reference's multi-format read surface:
+    // api.py read dispatch): columnar write → native vectorized ORC
+    // read; the oracle aggregates the ORIGINAL parquet, so type and
+    // row fidelity across the format conversion is what is checked.
+    q("src_orc_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice) + 1e-9, 2) AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { c =>
+      val out = tmp("orders_orc")
+      c.orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+      c.spark.read.orc(out)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Z-order clustered write (the Delta OPTIMIZE ZORDER / Iceberg
     // sort-order layout face): lineitem rewritten along a Morton curve
     // over (l_quantity, l_extendedprice), read back with a range
