@@ -349,6 +349,44 @@ object LlmQueries {
     // is chosen so recall is exact even at the oracle's cos≥0.4 regime
     // (per-pair miss ~5e-7); real corpus runs at cos≥0.9 would use more
     // planes and fewer tables (see VectorSim.embeddingDedupPairs).
+    // Transitive closure of the near-dup pairs — the step that turns
+    // "a duplicates b" edges into dedup CLUSTERS with one canonical
+    // (minimum) doc id each; every document gets a label, isolated
+    // docs label themselves. Spark side runs distributed alternating
+    // star contraction (O(log n) rounds — ops/Components.scala); the
+    // oracle walks the same brute-force pair set with a recursive CTE.
+    q("dedup_components",
+      """WITH RECURSIVE d AS (SELECT doc_id, lower(trim(text)) t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(t, '\s+') toks FROM d),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in generate_series(1, len(toks) - 2)]) ws
+        |       FROM tok),
+        |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |                  / len(list_distinct(a.ws || b.ws)) >= 0.8),
+        |e AS (SELECT a_id a, b_id b FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, w.comp FROM walk w JOIN e ON e.a = w.id)
+        |SELECT id AS doc_id, min(comp)::BIGINT AS canon_id,
+        |       (min(comp) = id) AS is_canonical
+        |FROM walk GROUP BY id ORDER BY doc_id""") { c =>
+      val pairs = TextDedup.minhashDedupPairs(c.documents, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+      val labels = graft.ops.Components.connectedComponents(
+        pairs, "a_id", "b_id")
+      c.documents.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canon_id"))
+        .withColumn("is_canonical", col("canon_id") === col("doc_id"))
+        .orderBy("doc_id")
+    },
+
     q("dedup_embedding_lsh",
       """WITH p AS (SELECT a.vec_id a_id, b.vec_id b_id,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cos
