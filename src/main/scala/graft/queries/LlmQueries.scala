@@ -355,7 +355,7 @@ object LlmQueries {
     // docs label themselves. Spark side runs distributed alternating
     // star contraction (O(log n) rounds — ops/Components.scala); the
     // oracle walks the same brute-force pair set with a recursive CTE.
-    q("dedup_components",
+    q("dedup_components", bench = true, oracle =
       """WITH RECURSIVE d AS (SELECT doc_id, lower(trim(text)) t FROM documents),
         |tok AS (SELECT doc_id, string_split_regex(t, '\s+') toks FROM d),
         |sh AS (SELECT doc_id,
