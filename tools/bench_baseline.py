@@ -30,7 +30,8 @@ bench = json.load(open(bench_json))
 # at sf0.01 — they exist to verify the LSH path, not to race it
 SKIP = {"dedup_minhash_lsh": "oracle is O(n^2) brute force by design",
         "llm_corpus_prep": "oracle embeds the O(n^2) brute-force dedup",
-        "text_fingerprint": "oracle is a per-row list comprehension"}
+        "text_fingerprint": "oracle is a per-row list comprehension",
+        "dedup_components": "oracle walks the O(n^2) brute-force pairs"}
 
 rows = []
 for q, spark_cold in bench["queries"].items():
