@@ -301,21 +301,37 @@ final case class KMeansEstimator(k: Int, iters: Int = 20)
   }
 
   def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
-    val pts = xs.sortWith { (a, b) =>
+    // NaN features break both the lexicographic sort (not a strict
+    // weak ordering under NaN) and the distance argmin — drop them
+    // here so the PUBLIC fit contract matches the UDAF path's skip
+    val clean = xs.filterNot(_.exists(_.isNaN))
+    require(clean.nonEmpty, s"$name: no NaN-free training rows")
+    val pts = clean.sortWith { (a, b) =>
       var i = 0
       while (i < a.length && a(i) == b(i)) i += 1
       i < a.length && a(i) < b(i)
     }
     val kk = math.min(k, pts.length)
     val cents = scala.collection.mutable.ArrayBuffer(pts(0))
-    // maximin init: strict > keeps the first (sort-order) farthest point
+    // maximin init, O(n·k): keep each point's distance to its nearest
+    // chosen centroid and refresh it against only the NEWEST centroid;
+    // strict > keeps the first (sort-order) farthest point on ties
+    val nearest = pts.map(d2(_, pts(0)))
     while (cents.length < kk) {
-      var (best, bestD) = (pts(0), -1.0)
-      pts.foreach { p =>
-        val d = cents.map(c => d2(p, c)).min
-        if (d > bestD) { bestD = d; best = p }
+      var (bestI, bestD) = (0, -1.0)
+      var i = 0
+      while (i < pts.length) {
+        if (nearest(i) > bestD) { bestD = nearest(i); bestI = i }
+        i += 1
       }
-      cents += best
+      val c = pts(bestI)
+      cents += c
+      i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i), c)
+        if (d < nearest(i)) nearest(i) = d
+        i += 1
+      }
     }
     var centroids = cents.map(_.clone).toArray
     (0 until iters).foreach { _ =>

@@ -60,6 +60,8 @@ object Geometry {
     * anything else — silently-wrong geometry is worse than an error. */
   def parseWkt(wkt: String): Geom = {
     val s = wkt.trim
+    if (s.equalsIgnoreCase("POLYGON EMPTY"))
+      return Geom("POLYGON", Seq.empty) // toWkt round-trip (empty clip)
     val open = s.indexOf('(')
     require(open > 0, s"bad WKT: '$wkt'")
     val kind = s.substring(0, open).trim.toUpperCase
@@ -130,14 +132,14 @@ object Geometry {
   }
 
   def area(g: Geom): Double = g.kind match {
-    case "POLYGON" =>
+    case "POLYGON" if g.rings.nonEmpty =>
       math.abs(ringArea(g.rings.head)) -
         g.rings.tail.map(r => math.abs(ringArea(r))).sum
-    case _ => 0.0
+    case _ => 0.0 // POINT, LINESTRING, and POLYGON EMPTY
   }
 
   def perimeter(g: Geom): Double = g.kind match {
-    case "POLYGON" => g.rings.map(pathLength).sum
+    case "POLYGON" => g.rings.map(pathLength).sum // empty → 0
     case "LINESTRING" => pathLength(g.rings.head)
     case _ => 0.0
   }
@@ -183,7 +185,8 @@ object Geometry {
   }
 
   def contains(poly: Geom, x: Double, y: Double): Boolean = {
-    require(poly.kind == "POLYGON", s"st_contains needs POLYGON, got ${poly.kind}")
+    require(poly.kind == "POLYGON" && poly.rings.nonEmpty,
+      s"st_contains needs non-empty POLYGON, got ${toWkt(poly)}")
     ringContains(poly.rings.head, x, y) &&
       poly.rings.tail.forall(h => !ringContains(h, x, y))
   }
@@ -231,6 +234,7 @@ object Geometry {
   }
 
   def envelope(g: Geom): (Double, Double, Double, Double) = {
+    require(g.rings.nonEmpty, "st_envelope of an empty geometry")
     val pts = g.rings.flatten
     (pts.map(_._1).min, pts.map(_._2).min,
       pts.map(_._1).max, pts.map(_._2).max)
@@ -384,18 +388,23 @@ object Geometry {
     * Exact for nested/disjoint/overlapping simple geometries; boundary
     * -degenerate inputs (shared edges) follow closed semantics. */
   def within(a: Geom, b: Geom): Boolean = {
-    require(b.kind == "POLYGON", s"st_within needs POLYGON rhs, got ${b.kind}")
-    def proper(p1: (Double, Double), p2: (Double, Double),
-        p3: (Double, Double), p4: (Double, Double)): Boolean = {
-      val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
-      val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
-      val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
-      val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
-      o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
-    }
+    require(b.kind == "POLYGON" && b.rings.nonEmpty,
+      s"st_within needs non-empty POLYGON rhs, got ${toWkt(b)}")
     a.rings.flatten.forall { case (x, y) => pointInOrOn(b, x, y) } &&
       !segments(a).exists { case (p1, p2) =>
-        segments(b).exists { case (p3, p4) => proper(p1, p2, p3, p4) } }
+        segments(b).exists { case (p3, p4) => properCross(p1, p2, p3, p4) } }
+  }
+
+  /** STRICT interior crossing: orientations opposite on both sides and
+    * none collinear — shared by within/touches/overlaps/crosses so the
+    * predicates can never diverge. */
+  private def properCross(p1: (Double, Double), p2: (Double, Double),
+      p3: (Double, Double), p4: (Double, Double)): Boolean = {
+    val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
+    val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
+    val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
+    val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
+    o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
   }
 
   def dWithin(a: Geom, b: Geom, d: Double): Boolean = distance(a, b) <= d
@@ -411,18 +420,11 @@ object Geometry {
     * hole-free polygon pair) positive clipped intersection area — the
     * discriminator between `touches` and `overlaps`. */
   private def interiorsIntersect(a: Geom, b: Geom): Boolean = {
-    def proper(p1: (Double, Double), p2: (Double, Double),
-        p3: (Double, Double), p4: (Double, Double)): Boolean = {
-      val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
-      val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
-      val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
-      val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
-      o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
-    }
     def strictlyInside(g: Geom, x: Double, y: Double): Boolean =
-      g.kind == "POLYGON" && contains(g, x, y) && !pointOn(g, x, y)
+      g.kind == "POLYGON" && g.rings.nonEmpty &&
+        contains(g, x, y) && !pointOn(g, x, y)
     segments(a).exists { case (p1, p2) =>
-      segments(b).exists { case (p3, p4) => proper(p1, p2, p3, p4) } } ||
+      segments(b).exists { case (p3, p4) => properCross(p1, p2, p3, p4) } } ||
       a.rings.flatten.exists { case (x, y) => strictlyInside(b, x, y) } ||
       b.rings.flatten.exists { case (x, y) => strictlyInside(a, x, y) }
   }
@@ -453,15 +455,10 @@ object Geometry {
     val anyInside = pts.exists { case (x, y) =>
       contains(poly, x, y) && !pointOn(poly, x, y) }
     val anyOutside = pts.exists { case (x, y) => !pointInOrOn(poly, x, y) }
-    val properCross = segments(line).exists { case (p1, p2) =>
+    val crossing = segments(line).exists { case (p1, p2) =>
       segments(poly).exists { case (p3, p4) =>
-        val o1 = orient(p1._1, p1._2, p2._1, p2._2, p3._1, p3._2)
-        val o2 = orient(p1._1, p1._2, p2._1, p2._2, p4._1, p4._2)
-        val o3 = orient(p3._1, p3._2, p4._1, p4._2, p1._1, p1._2)
-        val o4 = orient(p3._1, p3._2, p4._1, p4._2, p2._1, p2._2)
-        o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
-      } }
-    (anyInside && anyOutside) || (properCross && (anyInside || anyOutside))
+        properCross(p1, p2, p3, p4) } }
+    (anyInside && anyOutside) || (crossing && (anyInside || anyOutside))
   }
 
   /** Largest vertex-to-vertex distance between the two geometries
@@ -570,6 +567,21 @@ object Geometry {
         val mid = (r.length - 1) / 2
         keep(mid) = true
         dp(r, 0, mid, keep); dp(r, mid, r.length - 1, keep)
+        // a valid closed ring needs >= 4 points (3 distinct): a
+        // symmetric ring whose corners all sit under tol can still
+        // come out degenerate — re-add the worst-deviation unkept
+        // vertices until the ring is legal again
+        while (keep.count(identity) < 4) {
+          val keptIdx = r.indices.filter(keep)
+          var (bestI, bestD) = (-1, -1.0)
+          r.indices.filterNot(keep).foreach { i =>
+            val (lo, hi) = (keptIdx.filter(_ < i).max, keptIdx.filter(_ > i).min)
+            val d = perpDist(r(i)._1, r(i)._2, r(lo)._1, r(lo)._2,
+              r(hi)._1, r(hi)._2)
+            if (d > bestD) { bestD = d; bestI = i }
+          }
+          keep(bestI) = true
+        }
       } else dp(r, 0, r.length - 1, keep)
       r.indices.filter(keep).map(r).toArray
     }

@@ -36,9 +36,10 @@ object ZOrder {
       relErr: Double): Array[Array[Double]] = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
-    cols.map { c =>
-      df.stat.approxQuantile(c, probs, relErr).distinct.sorted
-    }.toArray
+    // single pass for ALL columns (the per-column overload re-scans
+    // the input once per column)
+    df.stat.approxQuantile(cols.toArray, probs, relErr)
+      .map(_.distinct.sorted)
   }
 
   /** Morton code column: rank-bucket each value against its literal

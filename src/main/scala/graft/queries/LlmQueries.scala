@@ -342,13 +342,6 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // The SCALE PATH of the query above, under the SAME oracle: LSH
-    // buckets generate candidates through a plain (t, bucket) equi-join
-    // — no broadcast, no a<b cross product — and exact cosine verifies
-    // only the candidates. The (4 planes × 8 tables × Hamming-2) config
-    // is chosen so recall is exact even at the oracle's cos≥0.4 regime
-    // (per-pair miss ~5e-7); real corpus runs at cos≥0.9 would use more
-    // planes and fewer tables (see VectorSim.embeddingDedupPairs).
     // Transitive closure of the near-dup pairs — the step that turns
     // "a duplicates b" edges into dedup CLUSTERS with one canonical
     // (minimum) doc id each; every document gets a label, isolated
@@ -387,6 +380,13 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // The SCALE PATH of dedup_embedding, under the SAME oracle: LSH
+    // buckets generate candidates through a plain (t, bucket) equi-join
+    // — no broadcast, no a<b cross product — and exact cosine verifies
+    // only the candidates. The (4 planes × 8 tables × Hamming-2) config
+    // is chosen so recall is exact even at the oracle's cos≥0.4 regime
+    // (per-pair miss ~5e-7); real corpus runs at cos≥0.9 would use more
+    // planes and fewer tables (see VectorSim.embeddingDedupPairs).
     q("dedup_embedding_lsh",
       """WITH p AS (SELECT a.vec_id a_id, b.vec_id b_id,
         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) cos

@@ -125,6 +125,13 @@ class GeometrySpec extends SparkSpec {
     assert(math.abs(unionArea(a, b) - (16 + 16 - 3.75)) < 1e-12)
     assert(math.abs(differenceArea(a, b) - (16 - 3.75)) < 1e-12)
     assert(toWkt(intersectionConvex(a, rect(9, 9, 2, 2))) == "POLYGON EMPTY")
+    // POLYGON EMPTY round-trips so compositions like
+    // st_area(st_intersection(a, b)) work on disjoint inputs
+    val empty = parseWkt("POLYGON EMPTY")
+    assert(empty.kind == "POLYGON" && empty.rings.isEmpty)
+    assert(area(empty) == 0.0 && perimeter(empty) == 0.0)
+    intercept[IllegalArgumentException](contains(empty, 0, 0))
+    intercept[IllegalArgumentException](envelope(empty))
     // triangle ∩ square, clockwise-wound input (winding normalized):
     // hypotenuse x+y=4 cuts the (1,3)-(3,3)-(3,1) corner (area 2) off
     // the 3×3 square
@@ -182,6 +189,12 @@ class GeometrySpec extends SparkSpec {
       "POLYGON((0 0, 2 0.01, 4 0, 4 4, 0 4, 0 0))"), 0.1).rings.head
     assert(ring.head == ring.last && ring.length >= 4)
     assert(!ring.contains((2.0, 0.01)))
+    // aggressive tolerance on a symmetric square: the ring must stay
+    // legal (>= 4 points) and parseable, never a degenerate 3-point
+    // "polygon" (review-caught collapse)
+    val hard = simplify(parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"), 3.0)
+    assert(hard.rings.head.length >= 4)
+    assert(area(parseWkt(toWkt(hard))) > 0.0)
   }
 
   test("azimuth: cardinal directions in PostGIS north-clockwise " +

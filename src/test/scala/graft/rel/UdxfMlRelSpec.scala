@@ -209,6 +209,12 @@ class UdxfMlRelSpec extends SparkSpec {
     val m3 = km.deserialize(graft.ml.KMeansEstimator(5, 3).fit(
       tiny, Array(0.0, 0.0)))
     assert(graft.ml.KMeansEstimator(5, 3).predict(m3, Array(1.0)) >= 0.0)
+    // NaN rows are dropped (public fit contract matches the UDAF skip;
+    // an unfiltered NaN breaks the sort's strict weak ordering)
+    val mNaN = km.deserialize(km.fit(
+      xs :+ Array(Double.NaN, 1.0), ys :+ 0.0))
+    assert(blobA.forall(p => km.predict(mNaN, p.toArray) == 0.0) &&
+      blobB.forall(p => km.predict(mNaN, p.toArray) == 1.0))
   }
 
   test("a null feature cell yields a null prediction, not a task crash") {
