@@ -684,6 +684,68 @@ object Geometry {
     Geom("POLYGON", Seq(pts :+ pts.head))
   }
 
+  // ------------------------------------------------------------- wkb
+
+  /** Well-Known Binary encode (ISO WKB, little-endian): byte order
+    * flag, uint32 geometry type (1 point / 2 linestring / 3 polygon),
+    * then coordinates — the reference's as_binary surface. POLYGON
+    * EMPTY encodes as a polygon with zero rings. */
+  def toWkb(g: Geom): Array[Byte] = {
+    val nPts = g.rings.map(_.length).sum
+    val buf = java.nio.ByteBuffer
+      .allocate(1 + 4 + 4 + g.rings.length * 4 + nPts * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte) // little-endian flag
+    g.kind match {
+      case "POINT" =>
+        buf.putInt(1)
+        val (x, y) = g.rings.head.head
+        buf.putDouble(x).putDouble(y)
+      case "LINESTRING" =>
+        buf.putInt(2)
+        val r = g.rings.head
+        buf.putInt(r.length)
+        r.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+      case "POLYGON" =>
+        buf.putInt(3)
+        buf.putInt(g.rings.length)
+        g.rings.foreach { r =>
+          buf.putInt(r.length)
+          r.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+        }
+    }
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  /** WKB decode; accepts either byte order (flag byte 0 = big,
+    * 1 = little). Loud failure on unsupported type codes. */
+  def fromWkb(bytes: Array[Byte]): Geom = {
+    require(bytes.length >= 5, s"WKB too short: ${bytes.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(buf.get() match {
+      case 0 => java.nio.ByteOrder.BIG_ENDIAN
+      case 1 => java.nio.ByteOrder.LITTLE_ENDIAN
+      case b => throw new IllegalArgumentException(s"bad WKB order byte $b")
+    })
+    def ring(): Array[(Double, Double)] = {
+      val n = buf.getInt
+      require(n >= 0 && n <= (buf.remaining() / 16),
+        s"WKB ring length $n exceeds payload")
+      Array.fill(n)((buf.getDouble, buf.getDouble))
+    }
+    buf.getInt match {
+      case 1 => Geom("POINT", Seq(Array((buf.getDouble, buf.getDouble))))
+      case 2 => Geom("LINESTRING", Seq(ring()))
+      case 3 =>
+        val nRings = buf.getInt
+        require(nRings >= 0 && nRings <= buf.remaining() / 4,
+          s"WKB ring count $nRings exceeds payload")
+        Geom("POLYGON", Seq.fill(nRings)(ring()))
+      case t => throw new IllegalArgumentException(
+        s"unsupported WKB geometry type $t")
+    }
+  }
+
   // ----------------------------------------------------- registration
 
   /** Register the `st_*` functions for SQL and Column use. */
@@ -787,6 +849,10 @@ object Geometry {
     spark.udf.register("st_buffer_point",
       (x: Double, y: Double, r: Double, segs: Int) =>
         toWkt(bufferPoint(x, y, r, segs)))
+    spark.udf.register("st_as_binary",
+      (wkt: String) => toWkb(parseWkt(wkt)))
+    spark.udf.register("st_geom_from_wkb",
+      (b: Array[Byte]) => toWkt(fromWkb(b)))
   }
 
   /** Column helpers mirroring the SQL registrations. */

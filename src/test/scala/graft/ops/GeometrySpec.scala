@@ -227,6 +227,31 @@ class GeometrySpec extends SparkSpec {
       "LINESTRING(2 1, 4 3)")
   }
 
+  test("WKB round-trips all kinds (incl. holes and EMPTY), reads both " +
+    "byte orders, rejects malformed input") {
+    Seq("POINT(3.5 -2)", "LINESTRING(0 0, 3 4, 3 9)",
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "POLYGON EMPTY").foreach { w =>
+      val g = parseWkt(w)
+      assert(orderingEquals(fromWkb(toWkb(g)), g), w)
+    }
+    // big-endian variant of POINT(1 2) decodes too
+    val be = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(0.toByte).putInt(1).putDouble(1.0).putDouble(2.0)
+    assert(fromWkb(be.array()).rings.head.head == ((1.0, 2.0)))
+    // standard little-endian byte layout is exactly 21 bytes for a point
+    assert(toWkb(parseWkt("POINT(1 2)")).length == 21)
+    intercept[IllegalArgumentException](fromWkb(Array[Byte](1, 9, 0, 0, 0)))
+    intercept[IllegalArgumentException](fromWkb(Array[Byte](7)))
+    // truncated ring payload fails the length guard, not with a
+    // BufferUnderflow from a hostile length prefix
+    val bad = java.nio.ByteBuffer.allocate(9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put(1.toByte).putInt(2).putInt(Int.MaxValue)
+    intercept[IllegalArgumentException](fromWkb(bad.array()))
+  }
+
   test("registered st_* functions work from SQL over a DataFrame") {
     val sp = spark
     import sp.implicits._
