@@ -204,20 +204,50 @@ object MlQueries {
     },
 
     // The genuinely ITERATIVE estimator (gradient-descent logistic
-    // regression — nothing closed-form to mirror in SQL, so the driver
-    // records the rows-only check; LogRegSpec's exact behavior is
-    // spec-tested against separable data in EstimatorSpec tests).
-    qNoOracle("ml_pipeline_logreg") { c =>
+    // regression) under the FULL hash gate: iteration count pinned at 3
+    // so the oracle can UNROLL the gradient loop as chained CTEs —
+    // standardize, then per round aggregate the sigmoid-residual
+    // gradient and update (w, b), then score. Every round is a
+    // nonlinear function of the previous one, so this checks the real
+    // iterative fit (same code path as the 100-round spec-tested
+    // configuration in UdxfMlRelSpec), not a closed-form shadow.
+    q("ml_pipeline_logreg",
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity x1, l_discount x2,
+        |             CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE 0.0 END y
+        |           FROM lineitem),
+        |s AS (SELECT count(*)::DOUBLE n, avg(x1) m1, avg(x2) m2,
+        |             coalesce(nullif(sqrt(var_pop(x1)), 0), 1.0) s1,
+        |             coalesce(nullif(sqrt(var_pop(x2)), 0), 1.0) s2 FROM d),
+        |z AS (SELECT l_orderkey, l_linenumber, y, n,
+        |             (x1 - m1) / s1 z1, (x2 - m2) / s2 z2 FROM d, s),
+        |ga AS (SELECT sum((0.5 - y) * z1) g1, sum((0.5 - y) * z2) g2,
+        |              sum(0.5 - y) gb, max(n) n FROM z),
+        |wa AS (SELECT -0.5 * g1 / n w1, -0.5 * g2 / n w2, -0.5 * gb / n b FROM ga),
+        |gb_ AS (SELECT sum((1/(1+exp(-(w.w1*z1 + w.w2*z2 + w.b))) - y) * z1) g1,
+        |               sum((1/(1+exp(-(w.w1*z1 + w.w2*z2 + w.b))) - y) * z2) g2,
+        |               sum(1/(1+exp(-(w.w1*z1 + w.w2*z2 + w.b))) - y) gb,
+        |               max(z.n) n FROM z, wa w),
+        |wb AS (SELECT w.w1 - 0.5 * g.g1 / g.n w1, w.w2 - 0.5 * g.g2 / g.n w2,
+        |              w.b - 0.5 * g.gb / g.n b FROM wa w, gb_ g),
+        |gc AS (SELECT sum((1/(1+exp(-(w.w1*z1 + w.w2*z2 + w.b))) - y) * z1) g1,
+        |              sum((1/(1+exp(-(w.w1*z1 + w.w2*z2 + w.b))) - y) * z2) g2,
+        |              sum(1/(1+exp(-(w.w1*z1 + w.w2*z2 + w.b))) - y) gb,
+        |              max(z.n) n FROM z, wb w),
+        |wc AS (SELECT w.w1 - 0.5 * g.g1 / g.n w1, w.w2 - 0.5 * g.g2 / g.n w2,
+        |              w.b - 0.5 * g.gb / g.n b FROM wb w, gc g)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(1/(1+exp(-(w.w1*z1 + w.w2*z2 + w.b))) + 1e-9, 6) AS prob
+        |FROM z, wc w WHERE l_orderkey < 300 ORDER BY 1, 2""") { c =>
       val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_discount"),
         (col("l_extendedprice") > 30000).cast("double").as("y"))
-      val steps = Seq(graft.rel.EstimatorSpec("logreg_gd(100,0.5)",
+      val steps = Seq(graft.rel.EstimatorSpec("logreg_gd(3,0.5)",
         Seq("l_quantity", "l_discount"), "y", "p1"))
       val model = DeferredMl.fit(d, steps)
       DeferredMl.transform(d, model, steps)
         .filter(col("l_orderkey") < 300)
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("p1") > 0.5).cast("int").as("pred"))
+          r6(col("p1")).as("prob"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
