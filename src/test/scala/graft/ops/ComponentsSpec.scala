@@ -59,6 +59,22 @@ class ComponentsSpec extends SparkSpec {
     assert(!got.contains(200L), "pure self-loop nodes carry no edge")
   }
 
+  test("non-integral id columns fail loud instead of dropping edges") {
+    val sp = spark
+    import sp.implicits._
+    val strEdges = Seq(("doc-1", "doc-2"), ("3", "4")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(strEdges, "a", "b")
+    }
+    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("xxhash64"))
+    // the suggested mapping works
+    val mapped = Components.connectedComponents(
+      strEdges.select(xxhash64(col("a")).as("a"), xxhash64(col("b")).as("b")),
+      "a", "b")
+    assert(mapped.count() == 4)
+  }
+
   test("empty edge set yields an empty labeling") {
     val sp = spark
     import sp.implicits._

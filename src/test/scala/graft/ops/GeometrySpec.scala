@@ -137,9 +137,64 @@ class GeometrySpec extends SparkSpec {
     // the 3×3 square
     val tri = parseWkt("POLYGON((0 0, 0 4, 4 0, 0 0))") // CW
     assert(math.abs(intersectionArea(tri, rect(0, 0, 3, 3)) - 7.0) < 1e-12)
-    // concave subject rejected loudly
+    // the GEOMETRY-producing path stays convex-only (a concave
+    // intersection can be several polygons)
     val concave = parseWkt("POLYGON((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))")
-    intercept[IllegalArgumentException](intersectionArea(concave, a))
+    intercept[IllegalArgumentException](intersectionConvex(concave, a))
+  }
+
+  test("general (slab) intersection area: concave inputs, holes, " +
+    "collinear shared boundaries, multi-piece intersections") {
+    def rect(x: Double, y: Double, w: Double, h: Double) = parseWkt(
+      s"POLYGON(($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))")
+    // concave W-shape (area 16 - notch 3: notch triangle (1,4)-(2,1)-(3,4))
+    val concave = parseWkt("POLYGON((0 0, 4 0, 4 4, 3 4, 2 1, 1 4, 0 4, 0 0))")
+    val notch = math.abs((3.0 - 1.0) * 3.0 / 2)
+    assert(math.abs(area(concave) - (16 - notch)) < 1e-12)
+    // whole concave polygon inside a big rectangle
+    assert(math.abs(intersectionArea(concave, rect(-1, -1, 10, 10))
+      - (16 - notch)) < 1e-12)
+    // clip to the top half y>=2: the notch splits the intersection into
+    // TWO pieces — left piece + right piece. Notch edges hit y=2 at
+    // x = 2±1/3: top band is 4×2 minus notch-above-2 (trapezoid between
+    // y=2 and y=4, widths 2/3*? ) — compute by slab independence:
+    // notch area above y=2 = total notch minus part below 2
+    // notch tip (2,1); at y=2 half-width = 1/3; area below y=2 =
+    // triangle with base 2/3, height 1 = 1/3. Above = 3 - 1/3 = 8/3.
+    val top = rect(0, 2, 4, 2)
+    assert(math.abs(intersectionArea(concave, top) - (8 - 8.0 / 3)) < 1e-12)
+    // donut: square with square hole; intersect with rect covering left
+    // half -> half the ring area
+    val donut = parseWkt(
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert(math.abs(area(donut) - 12) < 1e-12)
+    assert(math.abs(intersectionArea(donut, rect(0, 0, 2, 4)) - 6) < 1e-12)
+    // two donuts offset: hole-over-hole overlap
+    val donut2 = parseWkt(
+      "POLYGON((2 0, 6 0, 6 4, 2 4, 2 0), (3 1, 5 1, 5 3, 3 3, 3 1))")
+    // overlap strip x in [2,4]: full rect 2x4=8 minus a's hole part
+    // (x in [2,3]: 1x2=2) minus b's hole part (x in [3,4]: 1x2=2) = 4
+    assert(math.abs(intersectionArea(donut, donut2) - 4) < 1e-12)
+    // identical polygons: intersection = self area (boundaries fully
+    // collinear — zero proper crossings; the degenerate regime)
+    assert(math.abs(intersectionArea(concave, concave) - (16 - notch)) < 1e-12)
+    // stacked rectangles sharing only side-segment collinearity
+    val lo = rect(0, 0, 4, 4); val hi = rect(0, 2, 4, 4)
+    assert(math.abs(intersectionArea(lo, hi) - 8) < 1e-12)
+    // touch-only contact measures exactly zero
+    assert(intersectionArea(rect(0, 0, 2, 2), rect(2, 0, 2, 2)) == 0.0)
+    assert(intersectionArea(rect(0, 0, 2, 2), rect(2, 2, 2, 2)) == 0.0)
+    // non-rectilinear: unit right triangles overlapping in a quad
+    val t1 = parseWkt("POLYGON((0 0, 4 0, 0 4, 0 0))")
+    val t2 = parseWkt("POLYGON((4 4, 0 4, 4 0, 4 4))")
+    assert(intersectionArea(t1, t2) == 0.0) // shared diagonal only
+    val t3 = parseWkt("POLYGON((0 0, 4 0, 4 4, 0 0))")
+    // t1 ∩ t3: below both x+y<=4 (t1) and y<=x (t3): triangle
+    // (0,0),(4,0),(2,2) area 4
+    assert(math.abs(intersectionArea(t1, t3) - 4) < 1e-12)
+    // union/difference inherit generality
+    assert(math.abs(unionArea(lo, hi) - (16 + 16 - 8)) < 1e-12)
+    assert(math.abs(differenceArea(lo, hi) - 8) < 1e-12)
   }
 
   test("touches/overlaps/covers/crosses: boundary contact vs interior " +
@@ -161,6 +216,19 @@ class GeometrySpec extends SparkSpec {
     assert(!crosses(parseWkt("LINESTRING(1 1, 3 3)"), a))   // within
     assert(!crosses(parseWkt("LINESTRING(0 5, 4 5)"), a))   // outside
     assert(!crosses(parseWkt("LINESTRING(0 4, 4 4)"), a))   // along edge
+    // interiors overlapping while boundaries meet only COLLINEARLY
+    // (no proper crossing, no vertex strictly inside — advisor r4):
+    val stacked = rect(0, 2, 4, 4) // shares side segments with a
+    assert(overlaps(a, stacked) && overlaps(stacked, a))
+    assert(!touches(a, stacked) && !touches(stacked, a))
+    // identical polygons: equal, hence neither overlaps nor touches
+    val a2 = rect(0, 0, 4, 4)
+    assert(!overlaps(a, a2) && !touches(a, a2))
+    assert(covers(a, a2) && coveredBy(a, a2))
+    // narrower strip sharing a's left edge, interiors overlap
+    val strip = rect(0, 1, 2, 2)
+    assert(!touches(a, strip))
+    assert(!overlaps(a, strip)) // contained: within, not overlaps
   }
 
   test("line referencing: locate point, substring across a corner, " +
@@ -222,6 +290,18 @@ class GeometrySpec extends SparkSpec {
     assert(!orderingEquals(p1, p2))
     assert(orderingEquals(p1, parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")))
     assert(!geoEquals(p1, parseWkt("POLYGON((0 0, 5 0, 5 4, 0 4, 0 0))")))
+    // hole ORDER is storage, not geometry: same shell, holes listed in
+    // swapped order (one also rotated/reversed) still equal (advisor r4)
+    val h1 = parseWkt("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0), " +
+      "(1 1, 2 1, 2 2, 1 2, 1 1), (5 5, 6 5, 6 6, 5 6, 5 5))")
+    val h2 = parseWkt("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0), " +
+      "(6 5, 6 6, 5 6, 5 5, 6 5), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(geoEquals(h1, h2) && geoEquals(h2, h1))
+    // but a DIFFERENT hole set still differs, and a duplicate hole
+    // cannot satisfy two distinct holes (matching is one-to-one)
+    val h3 = parseWkt("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0), " +
+      "(1 1, 2 1, 2 2, 1 2, 1 1), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(!geoEquals(h1, h3) && !geoEquals(h3, h1))
     // flip + as_text round-trip
     assert(toWkt(flip(parseWkt("LINESTRING(1 2, 3 4)"))) ==
       "LINESTRING(2 1, 4 3)")
