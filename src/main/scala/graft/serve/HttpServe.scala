@@ -91,8 +91,27 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
           if (req.contains("format") && format != "arrow")
             throw new IllegalArgumentException(
               s"inline response is arrow-only; format '$format' requires \"out\"")
-          (200, graft.interop.ArrowIpc.toBytes(df),
-            "application/vnd.apache.arrow.stream")
+          // STREAMED chunked-transfer encode (approximates Flight
+          // do_exchange's incremental batch semantics over HTTP, ref
+          // flight/exchanger.py:62-117): toLocalIterator pulls ONE
+          // partition at a time from the cluster and the encoder emits
+          // record batches of `batch_rows` as they fill — server memory
+          // is bounded by one partition + one batch no matter the
+          // result size, and the client decodes batch-by-batch off the
+          // live socket. Planning faults still 400/500 (the plan is
+          // analyzed before headers go out); a mid-stream task fault
+          // truncates the IPC stream, which every Arrow reader surfaces
+          // loudly.
+          val batchRows = req.get("batch_rows")
+            .map(_.asInstanceOf[Number].intValue).getOrElse(4096)
+          require(batchRows > 0, s"batch_rows must be positive: $batchRows")
+          val schema = df.schema
+          df.queryExecution.assertAnalyzed() // fail BEFORE headers
+          Chunked("application/vnd.apache.arrow.stream", out => {
+            import scala.jdk.CollectionConverters._
+            graft.interop.ArrowCodec.encodeTo(
+              schema, df.toLocalIterator().asScala, out, batchRows)
+          })
       }
     })
     server.setExecutor(null) // serial — Spark drives the real work
@@ -104,20 +123,29 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
 
   private def q(s: String): String = RelJson.escape(s)
 
-  private def json(code: Int, body: String): (Int, Array[Byte], String) =
-    (code, body.getBytes(UTF_8), "application/json")
+  /** Handler return: a fully-materialized body, or a chunked stream
+    * written incrementally (content length 0 → HTTP chunked transfer
+    * under the JDK server). */
+  private sealed trait Resp
+  private final case class Full(code: Int, bytes: Array[Byte],
+      contentType: String) extends Resp
+  private final case class Chunked(contentType: String,
+      write: java.io.OutputStream => Unit) extends Resp
+
+  private def json(code: Int, body: String): Resp =
+    Full(code, body.getBytes(UTF_8), "application/json")
 
   private def handler(f: (HttpExchange, String) => (Int, String)): HttpHandler =
     rawHandler { (ex, body) => val (c, s0) = f(ex, body); json(c, s0) }
 
   private def rawHandler(
-      f: (HttpExchange, String) => (Int, Array[Byte], String)): HttpHandler =
+      f: (HttpExchange, String) => Resp): HttpHandler =
     (ex: HttpExchange) => try {
       // NonFatal → error envelope (caller faults 400, server faults
       // 500); the outer finally closes the exchange even on a fatal
       // Error, so the client never hangs on a silent dead socket
       // (review-caught: an Exception-only catch leaked the exchange)
-      val (code, bytes, contentType) =
+      val resp =
         try f(ex, new String(ex.getRequestBody.readAllBytes(), UTF_8))
         catch {
           case e: IllegalArgumentException =>
@@ -125,8 +153,15 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
           case scala.util.control.NonFatal(e) =>
             json(500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
         }
-      ex.getResponseHeaders.set("Content-Type", contentType)
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
+      resp match {
+        case Full(code, bytes, contentType) =>
+          ex.getResponseHeaders.set("Content-Type", contentType)
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+        case Chunked(contentType, write) =>
+          ex.getResponseHeaders.set("Content-Type", contentType)
+          ex.sendResponseHeaders(200, 0) // 0 → chunked transfer coding
+          write(ex.getResponseBody)
+      }
     } finally ex.close()
 }

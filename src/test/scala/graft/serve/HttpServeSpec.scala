@@ -115,4 +115,46 @@ class HttpServeSpec extends SparkSpec {
         s"unexpected response: $respBad")
     } finally http.stop()
   }
+
+  test("inline run response is CHUNKED Arrow streaming: batches decode " +
+    "incrementally off the live socket with bounded batch size") {
+    val registry = new Registry(spark)
+    registry.servePlan("all_rows", UnboundTable("src", Nil))
+    val http = new HttpServe(registry, spark)
+    val port = http.start()
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:$port/run/all_rows")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        (s"""{"bindings":{"src":"$sfDir/customer.parquet"},""" +
+          s""""batch_rows":16}""").getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200)
+      // chunked transfer coding = no Content-Length: the server never
+      // materialized the whole body
+      assert("chunked".equalsIgnoreCase(
+        conn.getHeaderField("Transfer-Encoding")),
+        s"expected chunked, got ${conn.getHeaderFields}")
+      assert(conn.getHeaderField("Content-Length") == null)
+      // decode batch-by-batch directly off the connection stream
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        conn.getInputStream, alloc)
+      var batches = 0; var rows = 0L; var maxBatch = 0
+      while (reader.loadNextBatch()) {
+        batches += 1
+        val n = reader.getVectorSchemaRoot.getRowCount
+        rows += n
+        maxBatch = math.max(maxBatch, n)
+      }
+      reader.close(); alloc.close()
+      val expect = spark.read.parquet(s"$sfDir/customer.parquet").count()
+      assert(rows == expect, s"streamed $rows rows, table has $expect")
+      assert(maxBatch <= 16, s"batch_rows=16 violated: $maxBatch")
+      assert(batches >= (expect / 16).toInt,
+        s"expected many small batches, got $batches")
+    } finally http.stop()
+  }
 }
