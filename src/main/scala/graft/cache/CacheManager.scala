@@ -188,6 +188,10 @@ final class CacheManager(
         if (!fs.exists(success))
           mkLower(bindings).lower(resolve(input, bindings))
             .write.mode("overwrite").parquet(dest)
+        // sidecar beside the exchange artifact too: makes the artifact
+        // self-describing (what plan produced it) and lets the orphan
+        // sweep recognize it as live without a catalog entry
+        writeSidecar(dest, input)
         ScanParquet(dest)
 
       case other => other.mapChildren(resolve(_, bindings))
@@ -226,6 +230,42 @@ final class CacheManager(
   def execute(rel: Rel,
       bindings: Map[String, DataFrame] = Map.empty): DataFrame =
     mkLower(bindings).lower(resolve(rel, bindings))
+
+  /** Every artifact key a given INPUT sub-plan can address under any
+    * strategy: the snapshot key (content hash) and, when the leaves
+    * fingerprint, the mtime key. Used by the orphan sweep to decide
+    * whether an artifact directory is still reachable. */
+  private[graft] def possibleKeys(input: Rel): Set[String] = {
+    val base = RelHash.cacheHash(input)
+    val mtime =
+      try Some(RelHash.sha256(base + "|" + sourceToken(input)))
+      catch { case _: IllegalArgumentException => None }
+    Set(base) ++ mtime
+  }
+
+  /** Every artifact key a full PLAN references through its effect
+    * nodes (Cache / non-session Exchange, under either strategy), plus
+    * keys of already-pinned reads. */
+  private[graft] def referencedKeys(rel: Rel): Set[String] = {
+    val keys = Set.newBuilder[String]
+    def walk(r: Rel): Unit = {
+      r match {
+        case Cache(input, _, _) => keys ++= possibleKeys(input)
+        case Exchange(input, target) if target != "session" =>
+          keys ++= possibleKeys(input)
+        case PinnedRead(_, k) => keys += k
+        case _ => ()
+      }
+      r.children.foreach(walk)
+    }
+    walk(rel)
+    keys.result()
+  }
+
+  /** The artifact's recorded input plan, if a `_graft_plan.json`
+    * sidecar exists beside it. */
+  private[graft] def sidecarPlan(artifactPath: String): Option[Rel] =
+    readSidecar(artifactPath)
 
   /** mtime-strategy token: FileStatus of every file under every leaf
     * source path, hashed order-independently (sorted). Uses the Hadoop

@@ -66,6 +66,54 @@ class LineageSpec extends SparkSpec {
     assert(Replay.verify(builds, art.hash, sp) == Replay.Drift)
   }
 
+  test("record → verify works over a plan with Exchange and Publish " +
+    "effects; source drift is still detected through the barriers") {
+    val sp = spark
+    val builds = freshBuilds()
+    val srcDir = Files.createTempDirectory("graft_replay_fx_src_")
+    val src = srcDir.resolve("data.parquet").toString
+    sp.read.parquet(s"$sfDir/region.parquet").write.parquet(src)
+    val sink = Files.createTempDirectory("graft_replay_fx_wap_")
+      .toString + "/sink"
+    val target = s"replay_fx_${System.nanoTime}"
+
+    // audit: violations = staged rows with negative keys (none)
+    val audit = Filter(UnboundTable(graft.ops.Wap.StagedBinding, Nil),
+      RBin("<", RCol("r_regionkey"), RLit("0", "int")))
+    val rel = Aggregate(
+      Publish(Exchange(ScanParquet(src), target), sink, audit),
+      Nil, Seq("n" -> RAgg("count", Nil)))
+
+    val art = Build.save(rel, builds)
+    val fp = Replay.record(builds, art.hash, sp)
+    assert(fp.rows == 1L)
+    // the lineage records both effect sinks
+    val lineage = Files.readString(Paths.get(builds, art.hash, "lineage.json"))
+    assert(lineage.contains(s"exchange:$target") &&
+      lineage.contains(s"publish:$sink"), lineage)
+    // the exchange artifact is durable AND self-describing (sidecar)
+    val exRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_exchange", target)
+    val exDirs = Files.list(exRoot).toArray.map(_.toString)
+    assert(exDirs.nonEmpty, "exchange artifact must exist after record")
+    assert(Files.exists(Paths.get(exDirs.head, "_graft_plan.json")),
+      "exchange artifact must carry its plan sidecar")
+
+    // verify re-executes through BOTH effects (a fresh publish version
+    // each run) and still fingerprints equal
+    assert(Replay.verify(builds, art.hash, sp) == Replay.Ok)
+
+    // mutate the source: drift must be detected even though the plan's
+    // data flows through exchange + publish barriers
+    val pruned = sp.read.parquet(src).limit(2).collect()
+    val schema = sp.read.parquet(src).schema
+    sp.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(pruned: _*)), schema)
+      .write.mode("overwrite").parquet(src)
+    assert(Replay.verify(builds, art.hash, sp) == Replay.Drift)
+  }
+
   test("an unchanged-source result change is a Mismatch " +
     "(nondeterminism detector)") {
     val sp = spark
