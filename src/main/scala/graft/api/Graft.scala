@@ -116,6 +116,26 @@ final case class GraftTable(rel: Rel, session: GraftSession) {
   // ------------------------------------------------------- relational
   def select(exprs: (String, RExpr)*): GraftTable =
     next(Project(rel, exprs))
+  /** Keep the columns a [[Selector]] matches (schema order) — the
+    * reference's `t.select(s.numeric())` sugar. Lowers to a plain
+    * Project, so the plan stays serializable/hashable. */
+  def selectCols(sel: Selector): GraftTable = {
+    val names = sel.expand(schema)
+    require(names.nonEmpty, "selector matched no columns")
+    next(Project(rel, names.map(n => n -> (RCol(n): RExpr))))
+  }
+  /** Drop the columns a [[Selector]] matches; everything else stays. */
+  def dropCols(sel: Selector): GraftTable = selectCols(!sel)
+  /** Apply one expression builder to every selected column, keeping
+    * unselected columns as-is (the reference's `across(sel, fn)`):
+    * `t.across(Selectors.numeric)((n, c) => RCall("round", c))`. */
+  def across(sel: Selector)(
+      f: (String, RExpr) => RExpr): GraftTable = {
+    val hit = sel.expand(schema).toSet
+    next(Project(rel, schema.fieldNames.toSeq.map { n =>
+      n -> (if (hit(n)) f(n, RCol(n)) else (RCol(n): RExpr))
+    }))
+  }
   def filter(pred: RExpr): GraftTable = next(Filter(rel, pred))
   def join(other: GraftTable, how: String, on: RExpr*): GraftTable =
     next(Join(rel, other.rel, how, on))

@@ -33,6 +33,57 @@ class GraftApiSpec extends SparkSpec {
     assert(rows.length == 3)
   }
 
+  test("column selectors: numeric/string/prefix/regex select, drop, " +
+    "across, and combinators expand in schema order") {
+    import Selectors._
+    val g = session
+    val li = g.readParquet(s"$sfDir/lineitem.parquet")
+
+    // type selectors
+    val nums = li.selectCols(numeric)
+    assert(nums.schema.fields.forall(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    assert(nums.schema.fieldNames.contains("l_quantity"))
+    val strs = li.selectCols(string)
+    assert(strs.schema.fieldNames.contains("l_returnflag") &&
+      !strs.schema.fieldNames.contains("l_quantity"))
+
+    // name selectors + combinators; order follows the SCHEMA, not the
+    // selector
+    val picked = li.selectCols(startsWith("l_ship") || cols("l_orderkey"))
+    assert(picked.schema.fieldNames.head == "l_orderkey")
+    assert(picked.schema.fieldNames.forall(n =>
+      n.startsWith("l_ship") || n == "l_orderkey"))
+    assert(li.selectCols(matches("_(ship|receipt)date$"))
+      .schema.fieldNames.forall(_.endsWith("date")))
+
+    // drop is the complement
+    val dropped = li.dropCols(numeric)
+    assert(dropped.schema.fieldNames.toSeq ==
+      li.schema.fieldNames.toSeq.filterNot(
+        nums.schema.fieldNames.toSet))
+
+    // across rewrites selected columns, keeps the rest verbatim, and
+    // stays a serializable Project in the algebra
+    val across1 = li.selectCols(cols("l_orderkey", "l_quantity", "l_tax"))
+      .across(numeric && !cols("l_orderkey"))(
+        (_, col0) => fn("round", col0 * d(2.0), i(1)))
+    assert(across1.schema.fieldNames.toSeq ==
+      Seq("l_orderkey", "l_quantity", "l_tax"))
+    val row = across1.filter(c("l_orderkey") === i(1))
+      .orderBy(asc(c("l_quantity"))).execute().collect().head
+    val base = li.selectCols(cols("l_orderkey", "l_quantity", "l_tax"))
+      .filter(c("l_orderkey") === i(1))
+      .orderBy(asc(c("l_quantity"))).execute().collect().head
+    assert(row.getDouble(1) == math.rint(base.getDouble(1) * 2 * 10) / 10)
+    assert(across1.buildHash.length == 64) // hashable like any plan
+
+    // empty selection fails loud
+    intercept[IllegalArgumentException](li.selectCols(none))
+    intercept[IllegalArgumentException](
+      li.selectCols(startsWith("no_such_prefix")))
+  }
+
   test("construction is fail-fast: a bad column throws at build time") {
     val g = session
     val t = g.readParquet(s"$sfDir/nation.parquet")
