@@ -56,10 +56,24 @@ object Geometry {
 
   // ------------------------------------------------------------ parse
 
-  /** Parse the WKT subset POINT/LINESTRING/POLYGON. Loud failure on
-    * anything else — silently-wrong geometry is worse than an error. */
-  def parseWkt(wkt: String): Geom = {
+  /** Strip an EWKT `SRID=n;` prefix, returning (srid, bare WKT);
+    * srid 0 = none declared (the PostGIS unknown-SRID convention). */
+  def splitSrid(wkt: String): (Int, String) = {
     val s = wkt.trim
+    if (s.regionMatches(true, 0, "SRID=", 0, 5)) {
+      val semi = s.indexOf(';')
+      require(semi > 5, s"bad EWKT: '$wkt'")
+      (s.substring(5, semi).trim.toInt, s.substring(semi + 1))
+    } else (0, s)
+  }
+
+  /** Parse the WKT subset POINT/LINESTRING/POLYGON (EWKT `SRID=n;`
+    * prefixes accepted and ignored — SRID is carried by the string
+    * functions, not the kernel). Loud failure on anything else —
+    * silently-wrong geometry is worse than an error. */
+  def parseWkt(wkt0: String): Geom = {
+    val s = splitSrid(wkt0)._2.trim
+    val wkt = s
     if (s.equalsIgnoreCase("POLYGON EMPTY"))
       return Geom("POLYGON", Seq.empty) // toWkt round-trip (empty clip)
     val open = s.indexOf('(')
@@ -429,6 +443,90 @@ object Geometry {
   def covers(a: Geom, b: Geom): Boolean = within(b, a)
   def coveredBy(a: Geom, b: Geom): Boolean = within(a, b)
 
+  /** a contains b with NO boundary contact (PostGIS
+    * ST_ContainsProperly): every vertex of b strictly inside a and no
+    * segment of b touches any segment of a (closed-semantics segment
+    * intersection covers crossings, endpoint touches, and collinear
+    * overlap in one test). Point rhs: strict interior membership. */
+  def containsProperly(a: Geom, b: Geom): Boolean = {
+    require(a.kind == "POLYGON" && a.rings.nonEmpty,
+      s"st_contains_properly needs non-empty POLYGON lhs, got ${toWkt(a)}")
+    def strictlyInside(x: Double, y: Double): Boolean =
+      contains(a, x, y) && !pointOn(a, x, y)
+    b.rings.flatten.forall { case (x, y) => strictlyInside(x, y) } &&
+      (b.kind == "POINT" ||
+        !segments(b).exists { case (p1, p2) =>
+          segments(a).exists { case (p3, p4) =>
+            segsIntersect(p1, p2, p3, p4) } })
+  }
+
+  /** Planar validity (the OGC rules this module's kernels rely on):
+    * POINT = one finite coordinate; LINESTRING = ≥2 points, no
+    * zero-length segment; POLYGON = closed ≥4-point simple rings
+    * (non-adjacent segments never touch, adjacent segments meet only
+    * at their shared vertex — no collinear backtrack), nonzero ring
+    * area, holes inside-or-on the shell without proper crossings, and
+    * no hole nested inside another hole. POLYGON EMPTY is valid. */
+  def isValid(g: Geom): Boolean = {
+    def finite(r: Array[(Double, Double)]): Boolean =
+      r.forall { case (x, y) =>
+        java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y) }
+    def ringSimple(r: Array[(Double, Double)]): Boolean = {
+      val n = r.length - 1 // closed: last == first
+      def seg(i: Int) = (r(i), r(i + 1))
+      // no zero-length edges
+      (0 until n).forall(i => r(i) != r(i + 1)) &&
+        // adjacent segments must not backtrack collinearly
+        (0 until n).forall { i =>
+          val (p, q) = seg(i); val (_, r2) = seg((i + 1) % n)
+          !(orient(p._1, p._2, q._1, q._2, r2._1, r2._2) == 0 &&
+            onSeg(p._1, p._2, q._1, q._2, r2._1, r2._2) && r2 != q)
+        } &&
+        // non-adjacent segments never touch at all
+        (0 until n).forall { i =>
+          ((i + 2) until n).forall { j =>
+            (i == 0 && j == n - 1) || {
+              val (p1, p2) = seg(i); val (p3, p4) = seg(j)
+              !segsIntersect(p1, p2, p3, p4)
+            }
+          }
+        }
+    }
+    g.kind match {
+      case "POINT" => g.rings.length == 1 && g.rings.head.length == 1 &&
+        finite(g.rings.head)
+      case "LINESTRING" =>
+        val r = g.rings.head
+        g.rings.length == 1 && r.length >= 2 && finite(r) &&
+          (0 until r.length - 1).forall(i => r(i) != r(i + 1))
+      case "POLYGON" =>
+        g.rings.isEmpty || {
+          g.rings.forall(r => r.length >= 4 && r.head == r.last &&
+            finite(r) && ringSimple(r) && ringArea(r) != 0.0) && {
+            val shell = Geom("POLYGON", Seq(g.rings.head))
+            val holes = g.rings.tail
+            holes.forall { h =>
+              h.forall { case (x, y) => pointInOrOn(shell, x, y) } &&
+                !(0 until h.length - 1).exists { i =>
+                  segments(shell).exists { case (p3, p4) =>
+                    properCross(h(i), h(i + 1), p3, p4) }
+                }
+            } &&
+              // no hole strictly inside another hole
+              holes.indices.forall { i =>
+                holes.indices.forall { j =>
+                  i == j || {
+                    val hj = Geom("POLYGON", Seq(holes(j)))
+                    !holes(i).forall { case (x, y) =>
+                      contains(hj, x, y) && !pointOn(hj, x, y) }
+                  }
+                }
+              }
+          }
+        }
+    }
+  }
+
   /** True when the interiors of a and b share a point: a proper edge
     * crossing, a vertex strictly inside the other polygon, or (polygon
     * pair) positive intersection area — the discriminator between
@@ -786,6 +884,76 @@ object Geometry {
   def differenceArea(a: Geom, b: Geom): Double =
     area(a) - intersectionArea(a, b)
 
+  /** Measure of the union of several unions-of-intervals: flatten the
+    * even–odd pair arrays to (start, end), sort by start, sweep-merge.
+    * Touching intervals merge (zero-width overlap adds nothing). */
+  private def unionIntervalMeasure(sets: Seq[Array[Double]]): Double = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    sets.foreach { a =>
+      var i = 0
+      while (i + 1 < a.length) { pairs += ((a(i), a(i + 1))); i += 2 }
+    }
+    if (pairs.isEmpty) return 0.0
+    val sorted = pairs.sortBy(_._1)
+    var total = 0.0
+    var (curLo, curHi) = sorted.head
+    sorted.tail.foreach { case (lo, hi) =>
+      if (lo <= curHi) curHi = math.max(curHi, hi)
+      else { total += curHi - curLo; curLo = lo; curHi = hi }
+    }
+    total + (curHi - curLo)
+  }
+
+  /** Area of the union of MANY simple polygons (holes allowed, any
+    * count — the reference's `unary_union` reduced to its measure) by
+    * the same slab decomposition as [[intersectionArea]]: slab
+    * boundaries at every vertex x of every polygon plus every proper
+    * boundary crossing between any two polygons (a valid simple
+    * polygon never self-crosses), union-of-intervals measure at each
+    * slab midpoint, width × measure summed. Exact on the same
+    * argument; inclusion–exclusion would be 2^n terms, this is one
+    * linear sweep. O(S² ) in total segment count for the crossing
+    * enumeration — per-GROUP scalar work; the distributed shape is the
+    * [[UnionAreaAgg]] aggregate over grouped rows. */
+  def multiUnionArea(gs: Seq[Geom]): Double = {
+    val polys = gs.filter(g => g.kind == "POLYGON" && g.rings.nonEmpty)
+    if (polys.isEmpty) return 0.0
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    polys.foreach(_.rings.foreach(_.foreach(p => xs += p._1)))
+    var i = 0
+    while (i < polys.length) {
+      var j = i + 1
+      while (j < polys.length) {
+        segments(polys(i)).foreach { case (p1, p2) =>
+          segments(polys(j)).foreach { case (p3, p4) =>
+            if (properCross(p1, p2, p3, p4)) {
+              val d1x = p2._1 - p1._1; val d1y = p2._2 - p1._2
+              val d2x = p4._1 - p3._1; val d2y = p4._2 - p3._2
+              val denom = d1x * d2y - d1y * d2x
+              val t = ((p3._1 - p1._1) * d2y - (p3._2 - p1._2) * d2x) / denom
+              xs += p1._1 + t * d1x
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val bounds = xs.toArray.distinct.sorted
+    var total = 0.0
+    var k = 0
+    while (k + 1 < bounds.length) {
+      val x0 = bounds(k); val x1 = bounds(k + 1)
+      val xm = (x0 + x1) / 2
+      if (xm > x0 && xm < x1) {
+        val m = unionIntervalMeasure(polys.map(crossingsAt(_, xm)))
+        total += (x1 - x0) * m
+      }
+      k += 1
+    }
+    total
+  }
+
   /** Regular-`n`-gon approximation of a point buffer (ref buffer; the
     * reference's geometry library does the same with a segment count).
     * Area is closed-form `n/2 · r² · sin(2π/n)` — oracle-checkable. */
@@ -831,8 +999,41 @@ object Geometry {
     java.util.Arrays.copyOf(buf.array(), buf.position())
   }
 
-  /** WKB decode; accepts either byte order (flag byte 0 = big,
-    * 1 = little). Loud failure on unsupported type codes. */
+  /** PostGIS EWKB SRID-present flag in the geometry-type word. */
+  private val WkbSridFlag = 0x20000000
+
+  /** EWKB encode: plain WKB with the SRID flag set and the srid after
+    * the type word (PostGIS as_ewkb). srid 0 falls back to plain WKB. */
+  def toEwkb(g: Geom, srid: Int): Array[Byte] = {
+    val plain = toWkb(g)
+    if (srid == 0) plain
+    else {
+      val out = java.nio.ByteBuffer.allocate(plain.length + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(plain(0))
+      val t = java.nio.ByteBuffer.wrap(plain, 1, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      out.putInt(t | WkbSridFlag).putInt(srid)
+      out.put(plain, 5, plain.length - 5)
+      out.array()
+    }
+  }
+
+  /** The SRID an (E)WKB payload declares, 0 when plain WKB. */
+  def wkbSrid(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 5, s"WKB too short: ${bytes.length} bytes")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(buf.get() match {
+      case 0 => java.nio.ByteOrder.BIG_ENDIAN
+      case 1 => java.nio.ByteOrder.LITTLE_ENDIAN
+      case b => throw new IllegalArgumentException(s"bad WKB order byte $b")
+    })
+    if ((buf.getInt & WkbSridFlag) != 0) buf.getInt else 0
+  }
+
+  /** WKB/EWKB decode; accepts either byte order (flag byte 0 = big,
+    * 1 = little) and an optional EWKB SRID word (exposed via
+    * [[wkbSrid]]). Loud failure on unsupported type codes. */
   def fromWkb(bytes: Array[Byte]): Geom = {
     require(bytes.length >= 5, s"WKB too short: ${bytes.length} bytes")
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -847,7 +1048,9 @@ object Geometry {
         s"WKB ring length $n exceeds payload")
       Array.fill(n)((buf.getDouble, buf.getDouble))
     }
-    buf.getInt match {
+    val t0 = buf.getInt
+    if ((t0 & WkbSridFlag) != 0) buf.getInt // skip srid
+    t0 & ~WkbSridFlag match {
       case 1 => Geom("POINT", Seq(Array((buf.getDouble, buf.getDouble))))
       case 2 => Geom("LINESTRING", Seq(ring()))
       case 3 =>
@@ -858,6 +1061,31 @@ object Geometry {
       case t => throw new IllegalArgumentException(
         s"unsupported WKB geometry type $t")
     }
+  }
+
+  // ------------------------------------------------------- aggregates
+
+  /** `st_union_area_agg`: area of the union of a GROUP of WKT
+    * polygons — the measure of the reference's `unary_union` reduce,
+    * as a Spark aggregate. Partials collect WKT strings (merge by
+    * concatenation); finish runs [[multiUnionArea]] once per group.
+    * Like every collect-the-group aggregate, the group materializes in
+    * one task — fine for per-key polygon sets (the GROUPS distribute);
+    * a single group of millions of polygons wants a grid pre-partition
+    * first. */
+  final class UnionAreaAgg extends org.apache.spark.sql.expressions
+      .Aggregator[String, scala.collection.mutable.ArrayBuffer[String],
+        Double] {
+    type Buf = scala.collection.mutable.ArrayBuffer[String]
+    def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    def reduce(b: Buf, wkt: String): Buf = {
+      if (wkt != null) b += wkt
+      b
+    }
+    def merge(b1: Buf, b2: Buf): Buf = b1 ++= b2
+    def finish(b: Buf): Double = multiUnionArea(b.toSeq.map(parseWkt))
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Buf]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 
   // ----------------------------------------------------- registration
@@ -967,6 +1195,25 @@ object Geometry {
       (wkt: String) => toWkb(parseWkt(wkt)))
     spark.udf.register("st_geom_from_wkb",
       (b: Array[Byte]) => toWkt(fromWkb(b)))
+    spark.udf.register("st_contains_properly",
+      (a: String, b: String) =>
+        containsProperly(parseWkt(a), parseWkt(b)))
+    spark.udf.register("st_is_valid",
+      (wkt: String) => isValid(parseWkt(wkt)))
+    // SRID bookkeeping rides EWKT/EWKB strings (ref set_srid/srid/
+    // as_ewkt/as_ewkb); the planar kernels ignore it by design
+    spark.udf.register("st_set_srid",
+      (wkt: String, srid: Int) =>
+        if (srid == 0) splitSrid(wkt)._2 else s"SRID=$srid;${splitSrid(wkt)._2}")
+    spark.udf.register("st_srid", (wkt: String) => splitSrid(wkt)._1)
+    spark.udf.register("st_as_ewkt",
+      (wkt: String, srid: Int) => s"SRID=$srid;${splitSrid(wkt)._2}")
+    spark.udf.register("st_as_ewkb",
+      (wkt: String) => { val (srid, bare) = splitSrid(wkt)
+        toEwkb(parseWkt(bare), srid) })
+    spark.udf.register("st_wkb_srid", (b: Array[Byte]) => wkbSrid(b))
+    spark.udf.register("st_union_area_agg",
+      org.apache.spark.sql.functions.udaf(new UnionAreaAgg))
   }
 
   /** Column helpers mirroring the SQL registrations. */

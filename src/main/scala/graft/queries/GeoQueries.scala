@@ -356,6 +356,104 @@ object GeoQueries {
           callUDF("st_within", col("wa"), col("wb")).as("a_within_b"),
           callUDF("st_overlaps", col("wa"), col("wb")).as("overlaps_ab"))
         .orderBy("c_custkey")
+    },
+
+    // Validity + proper containment + SRID bookkeeping: a well-formed
+    // rectangle (valid), the same vertices rewired into a bowtie
+    // (self-crossing — invalid), a unit square at a varying 0.25-step
+    // offset (properly contained iff strictly off every wall — the
+    // oracle is strict rectangle inequalities), and SRID round-trips
+    // through EWKT and EWKB. Kernel runs real ring-simplicity and
+    // boundary-contact machinery; the oracle is closed-form.
+    q("geo_geom_validity",
+      """SELECT c_custkey,
+        |       TRUE AS rect_valid,
+        |       FALSE AS bowtie_valid,
+        |       dx > 0 AND dx + 1 < w1 AND dy > 0 AND dy + 1 < h1
+        |         AS proper,
+        |       1000 + c_custkey % 100 AS srid,
+        |       1000 + c_custkey % 100 AS wkb_srid
+        |FROM (SELECT c_custkey,
+        |        2.0 + c_custkey % 5 w1, 2.0 + (c_custkey * 3) % 7 h1,
+        |        ((c_custkey * 7) % 13) * 0.25 dx,
+        |        ((c_custkey * 11) % 9) * 0.25 dy
+        |      FROM customer)
+        |ORDER BY c_custkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val k = col("c_custkey")
+      def pt(x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) = concat(x, lit(" "), y)
+      val g = c.customer.select(k,
+          (k % 23).cast("double").as("x1"),
+          (k * 5 % 19).cast("double").as("y1"),
+          (lit(2.0) + k % 5).as("w1"), (lit(2.0) + k * 3 % 7).as("h1"),
+          ((k * 7 % 13).cast("double") * 0.25).as("dx"),
+          ((k * 11 % 9).cast("double") * 0.25).as("dy"))
+        .withColumn("wa", concat(lit("POLYGON(("),
+          pt(col("x1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1") + col("h1")), lit(", "),
+          pt(col("x1"), col("y1") + col("h1")), lit(", "),
+          pt(col("x1"), col("y1")), lit("))")))
+        // same four corners, crossing order: a bowtie
+        .withColumn("wx", concat(lit("POLYGON(("),
+          pt(col("x1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1")), lit(", "),
+          pt(col("x1"), col("y1") + col("h1")), lit(", "),
+          pt(col("x1") + col("w1"), col("y1") + col("h1")), lit(", "),
+          pt(col("x1"), col("y1")), lit("))")))
+        .withColumn("wb", concat(lit("POLYGON(("),
+          pt(col("x1") + col("dx"), col("y1") + col("dy")), lit(", "),
+          pt(col("x1") + col("dx") + 1, col("y1") + col("dy")), lit(", "),
+          pt(col("x1") + col("dx") + 1, col("y1") + col("dy") + 1),
+          lit(", "),
+          pt(col("x1") + col("dx"), col("y1") + col("dy") + 1), lit(", "),
+          pt(col("x1") + col("dx"), col("y1") + col("dy")), lit("))")))
+      g.select(col("c_custkey"),
+          callUDF("st_is_valid", col("wa")).as("rect_valid"),
+          callUDF("st_is_valid", col("wx")).as("bowtie_valid"),
+          callUDF("st_contains_properly", col("wa"), col("wb"))
+            .as("proper"),
+          callUDF("st_srid", callUDF("st_set_srid", col("wa"),
+            (lit(1000) + k % 100).cast("int"))).as("srid"),
+          callUDF("st_wkb_srid", callUDF("st_as_ewkb",
+            callUDF("st_as_ewkt", col("wa"),
+              (lit(1000) + k % 100).cast("int")))).as("wkb_srid"))
+        .orderBy("c_custkey")
+    },
+
+    // Union area of a GROUP of polygons (the reference's unary_union
+    // measure) as a distributed aggregate: ~60 overlapping
+    // integer-lattice rectangles per group, slab-swept in one pass per
+    // group; the oracle counts DISTINCT covered unit cells (exact for
+    // integer-aligned rectangles), which would be a 2^60
+    // inclusion-exclusion without the lattice trick.
+    q("geo_union_area_agg",
+      """WITH r AS (SELECT (c_custkey % 25)::BIGINT grp,
+        |        (c_custkey % 17)::BIGINT x1, ((c_custkey * 3) % 13)::BIGINT y1,
+        |        (1 + c_custkey % 4)::BIGINT w, (1 + (c_custkey * 5) % 3)::BIGINT h
+        |      FROM customer),
+        |cx AS (SELECT grp, y1, h, unnest(range(x1, x1 + w)) AS cx FROM r),
+        |cxy AS (SELECT grp, cx, unnest(range(y1, y1 + h)) AS cy FROM cx)
+        |SELECT grp, count(DISTINCT cx * 1000 + cy)::BIGINT AS uarea
+        |FROM cxy GROUP BY grp ORDER BY grp""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val k = col("c_custkey")
+      def pt(x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) = concat(x, lit(" "), y)
+      val g = c.customer.select((k % 25).as("grp"),
+          (k % 17).as("x1"), (k * 3 % 13).as("y1"),
+          (lit(1) + k % 4).as("w"), (lit(1) + k * 5 % 3).as("h"))
+        .withColumn("wkt", concat(lit("POLYGON(("),
+          pt(col("x1"), col("y1")), lit(", "),
+          pt(col("x1") + col("w"), col("y1")), lit(", "),
+          pt(col("x1") + col("w"), col("y1") + col("h")), lit(", "),
+          pt(col("x1"), col("y1") + col("h")), lit(", "),
+          pt(col("x1"), col("y1")), lit("))")))
+      g.groupBy(col("grp"))
+        .agg(round(callUDF("st_union_area_agg", col("wkt")))
+          .cast("bigint").as("uarea"))
+        .orderBy("grp")
     }
   )
 }

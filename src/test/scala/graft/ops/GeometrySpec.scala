@@ -231,6 +231,66 @@ class GeometrySpec extends SparkSpec {
     assert(!overlaps(a, strip)) // contained: within, not overlaps
   }
 
+  test("contains_properly, is_valid, SRID bookkeeping, and the " +
+    "multi-polygon union area") {
+    def rect(x: Double, y: Double, w: Double, h: Double) = parseWkt(
+      s"POLYGON(($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))")
+    val a = rect(0, 0, 4, 4)
+    // proper containment excludes ALL boundary contact
+    assert(containsProperly(a, rect(1, 1, 2, 2)))
+    assert(!containsProperly(a, rect(0, 1, 2, 2)))   // shares left edge
+    assert(!containsProperly(a, rect(1, 1, 3, 2)))   // touches right edge
+    assert(!containsProperly(a, a))                  // self: boundary contact
+    assert(containsProperly(a, parseWkt("POINT(2 2)")))
+    assert(!containsProperly(a, parseWkt("POINT(0 2)"))) // on boundary
+    assert(!containsProperly(a, parseWkt("POINT(9 9)")))
+
+    // validity: good shapes pass, degenerate shapes fail
+    assert(isValid(a))
+    assert(isValid(parseWkt("POLYGON EMPTY")))
+    assert(isValid(parseWkt("POINT(1 2)")))
+    assert(isValid(parseWkt("LINESTRING(0 0, 1 1, 2 0)")))
+    assert(!isValid(parseWkt("LINESTRING(0 0, 0 0)"))) // zero-length seg
+    // bowtie: self-crossing ring
+    assert(!isValid(parseWkt("POLYGON((0 0, 4 0, 0 4, 4 4, 0 0))")))
+    // collinear backtrack spike
+    assert(!isValid(parseWkt("POLYGON((0 0, 4 0, 2 0, 2 2, 0 2, 0 0))")))
+    // hole outside shell
+    assert(!isValid(parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), " +
+      "(5 5, 6 5, 6 6, 5 6, 5 5))")))
+    // hole inside another hole
+    assert(!isValid(parseWkt("POLYGON((0 0, 9 0, 9 9, 0 9, 0 0), " +
+      "(1 1, 6 1, 6 6, 1 6, 1 1), (2 2, 3 2, 3 3, 2 3, 2 2))")))
+    // proper donut is valid
+    assert(isValid(parseWkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), " +
+      "(1 1, 3 1, 3 3, 1 3, 1 1))")))
+
+    // SRID travels via EWKT/EWKB; kernels ignore it
+    val (srid, bare) = splitSrid("SRID=4326;POINT(1 2)")
+    assert(srid == 4326 && bare == "POINT(1 2)")
+    assert(orderingEquals(parseWkt("SRID=4326;POINT(1 2)"),
+      parseWkt("POINT(1 2)")))
+    val ewkb = toEwkb(a, 3857)
+    assert(wkbSrid(ewkb) == 3857 && wkbSrid(toWkb(a)) == 0)
+    assert(geoEquals(fromWkb(ewkb), a))
+
+    // union of many: 2x2 grid of unit squares + one overlapping 2x2
+    // square + a duplicate = 4 + (4 - overlap 4... all inside grid)
+    val grid = for { i <- 0 to 1; j <- 0 to 1 } yield rect(i, j, 1, 1)
+    assert(math.abs(multiUnionArea(grid) - 4.0) < 1e-12)
+    assert(math.abs(multiUnionArea(grid :+ rect(0, 0, 2, 2)) - 4.0) < 1e-12)
+    assert(math.abs(multiUnionArea(
+      Seq(rect(0, 0, 2, 2), rect(1, 1, 2, 2), rect(1, 1, 2, 2))) -
+      (4 + 4 - 1)) < 1e-12)
+    // disjoint pieces simply add; empty input is zero
+    assert(math.abs(multiUnionArea(
+      Seq(rect(0, 0, 1, 1), rect(5, 5, 2, 2))) - 5.0) < 1e-12)
+    assert(multiUnionArea(Nil) == 0.0)
+    // concave members work too (slab kernel is shape-agnostic)
+    val tri = parseWkt("POLYGON((0 0, 4 0, 0 4, 0 0))")
+    assert(math.abs(multiUnionArea(Seq(tri, rect(0, 0, 4, 4))) - 16) < 1e-12)
+  }
+
   test("line referencing: locate point, substring across a corner, " +
     "start/end/point_n") {
     val l = parseWkt("LINESTRING(0 0, 4 0, 4 3)") // total length 7
