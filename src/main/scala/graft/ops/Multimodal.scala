@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * with an explicit output schema — here `Dataset#mapPartitions` over a
   * case-class row, the Scala analogue of `mapInPandas` batches.
   *
-  * The DECODE ITSELF IS A STUB (this container has no image/audio
-  * codecs): `decodeStub` derives deterministic fake metadata from the
-  * bytes. The Spark-side contract — binary column in, typed struct out,
-  * partition-local, no shuffle, no driver collect — is the real,
-  * tested part and is what survives a codec swap at 100 TB.
+  * Decode status, honestly: header metadata parsing is REAL for
+  * PNG/JPEG/GIF/BMP/WAV ([[sniff]]); pixel/sample decode is REAL for
+  * the codec-free layouts — 24-bit uncompressed BMP ([[decodeBmp]])
+  * and PCM16 WAV ([[decodeWavPcm16]]) — because those are pure byte
+  * arithmetic; PNG/JPEG/GIF pixel decode stays a STUB ([[decodeStub]])
+  * since inflate/DCT codecs don't ship in this container. The
+  * Spark-side contract — binary column in, typed struct out,
+  * partition-local, no shuffle, no driver collect — is identical
+  * across all of them and is what survives a codec swap at 100 TB.
   */
 object Multimodal {
 
@@ -138,6 +142,149 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytesOrNull) =>
         sniff(id, if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull)
+      })
+  }
+
+  // ------------------------------ REAL decode (codec-free formats)
+  //
+  // BMP (24-bit uncompressed) and WAV (PCM16) are pure byte layout —
+  // no entropy coding, no codec library — so their PIXEL/SAMPLE decode
+  // is implemented for real here. PNG/JPEG/GIF decode stays honestly
+  // stubbed (their payloads need inflate/DCT codecs this container
+  // doesn't ship); their header metadata is parsed by [[sniff]].
+
+  /** Decoded 24-bit BMP: (width, height, row-major TOP-DOWN RGB byte
+    * values 0-255, 3 per pixel). Handles bottom-up (positive height)
+    * and top-down (negative height) row order, 4-byte row padding, and
+    * the BGR channel order on disk. None for anything that is not an
+    * uncompressed 24bpp BMP. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val off = leU32(bytes, 10).toInt
+    val w = leU32(bytes, 18).toInt
+    val hRaw = leU32(bytes, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = leU16(bytes, 28)
+    val compression = leU32(bytes, 30)
+    if (bpp != 24 || compression != 0L || w <= 0 || h == 0) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + rowSize.toLong * h > bytes.length) return None
+    val out = new Array[Int](w * h * 3)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (topDown) row else h - 1 - row
+      val base = off + srcRow * rowSize
+      var x = 0
+      while (x < w) {
+        val src = base + x * 3
+        val dst = (row * w + x) * 3
+        out(dst) = bytes(src + 2) & 0xff     // R (disk order is BGR)
+        out(dst + 1) = bytes(src + 1) & 0xff // G
+        out(dst + 2) = bytes(src) & 0xff     // B
+        x += 1
+      }
+      row += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Decoded PCM16 WAV: (channels, sample rate, interleaved samples).
+    * Walks RIFF chunks (not fixed offsets — fmt/data may follow other
+    * chunks), requires audio format 1 (PCM) at 16 bits. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes.length < 44 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+    var samples: Array[Short] = null
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val size = leU32(bytes, i + 4).toInt
+      val body = i + 8
+      if (id == "fmt " && size >= 16 && body + 16 <= bytes.length) {
+        val audioFormat = leU16(bytes, body)
+        channels = leU16(bytes, body + 2)
+        rate = leU32(bytes, body + 4).toInt
+        bits = leU16(bytes, body + 14)
+        fmtOk = audioFormat == 1 && bits == 16 && channels > 0
+      } else if (id == "data") {
+        val n = math.min(size, bytes.length - body) / 2
+        val s = new Array[Short](n)
+        var k = 0
+        while (k < n) {
+          s(k) = ((bytes(body + 2 * k) & 0xff) |
+            (bytes(body + 2 * k + 1) << 8)).toShort
+          k += 1
+        }
+        samples = s
+      }
+      i = body + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtOk && samples != null) Some((channels, rate, samples)) else None
+  }
+
+  /** Per-image pixel statistics from REAL decoding (BMP) — format,
+    * dimensions, per-channel means. Non-BMP payloads report their
+    * sniffed format with zeroed stats (decode needs a codec). */
+  final case class PixelStats(doc_id: Long, format: String, width: Int,
+      height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  def decodePixels(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[PixelStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        decodeBmp(bytes) match {
+          case Some((w, h, px)) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            while (i < px.length) { sr += px(i); sg += px(i + 1)
+              sb += px(i + 2); i += 3 }
+            val npx = (w.toLong * h).toDouble
+            PixelStats(id, "bmp", w, h, sr / npx, sg / npx, sb / npx)
+          case None =>
+            val m = sniff(id, bytes)
+            PixelStats(id, m.format, m.width, m.height, 0, 0, 0)
+        }
+      })
+  }
+
+  /** Per-clip sample statistics from REAL PCM16 decoding — mean, RMS,
+    * absolute peak over the interleaved samples. */
+  final case class SampleStats(doc_id: Long, channels: Int,
+      sample_rate: Int, n_samples: Long, mean: Double, rms: Double,
+      peak: Int)
+
+  def decodeSamples(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[SampleStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        decodeWavPcm16(bytes) match {
+          case Some((ch, rate, s)) =>
+            var sum = 0.0; var sq = 0.0; var peak = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toInt
+              sum += v; sq += v.toDouble * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            val n = math.max(s.length, 1).toDouble
+            SampleStats(id, ch, rate, s.length, sum / n,
+              math.sqrt(sq / n), peak)
+          case None => SampleStats(id, 0, 0, 0L, 0, 0, 0)
+        }
       })
   }
 

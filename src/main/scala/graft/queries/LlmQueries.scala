@@ -467,6 +467,107 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // REAL pixel decode (r5): genuine 24-bit BMP files are generated
+    // from doc keys — BGR channel order, bottom-up rows, 4-byte row
+    // padding, the actual on-disk layout — and Multimodal.decodeBmp
+    // inverts all of that to recover the logical top-down RGB pixels;
+    // per-channel means go under the hash gate against an oracle that
+    // regenerates the pixel value formula arithmetically. No codec:
+    // uncompressed BMP is pure byte layout, which is exactly why its
+    // decode can be real in this container while PNG/JPEG stay stubs.
+    q("mm_decode_bmp",
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT w,
+        |                  (1 + doc_id % 2)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |         unnest(range(0, w * h)) AS p FROM d),
+        |v AS (SELECT doc_id, w, h,
+        |        (doc_id * 31 + p * 3) % 256 AS r,
+        |        (doc_id * 31 + p * 3 + 1) % 256 AS g,
+        |        (doc_id * 31 + p * 3 + 2) % 256 AS b
+        |      FROM px)
+        |SELECT doc_id, 'bmp' AS format,
+        |       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       round(avg(r) + 1e-9, 6) AS mean_r,
+        |       round(avg(g) + 1e-9, 6) AS mean_g,
+        |       round(avg(b) + 1e-9, 6) AS mean_b
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkBmp = udf((id: Long) => {
+        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)          // file header
+          .putInt(40).putInt(w).putInt(h)              // info: w, +h = bottom-up
+          .putShort(1).putShort(24).putInt(0)          // planes, 24bpp, BI_RGB
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        // logical pixel (y top-down, x) channel c value:
+        //   (id*31 + (y*w+x)*3 + c) % 256, stored bottom-up as BGR
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow // bottom-up
+          (0 until w).foreach { x =>
+            val base = id * 31 + (y.toLong * w + x) * 3
+            b.put(((base + 2) % 256).toByte) // B
+              .put(((base + 1) % 256).toByte) // G
+              .put((base % 256).toByte)       // R
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte)) // padding
+        }
+        b.array()
+      })
+      Multimodal.decodePixels(
+          c.documents.select(col("doc_id"), mkBmp(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r6(col("mean_r")).as("mean_r"), r6(col("mean_g")).as("mean_g"),
+          r6(col("mean_b")).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    // REAL sample decode (r5): genuine PCM16 WAV files (RIFF chunk
+    // walk, little-endian int16 samples) generated from doc keys;
+    // Multimodal.decodeWavPcm16 recovers the waveform and the query
+    // reports mean / RMS / absolute peak — hash-checked against an
+    // oracle that regenerates the sample formula.
+    q("mm_decode_wav",
+      """WITH d AS (SELECT doc_id, (16 + doc_id % 16)::BIGINT n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, n,
+        |        ((doc_id * 13 + i * 5) % 4001) - 2000 AS s FROM sm)
+        |SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
+        |       max(n) AS n_samples,
+        |       round(avg(s) + 1e-9, 6) AS mean,
+        |       round(sqrt(avg(s * s)) + 1e-9, 6) AS rms,
+        |       CAST(max(abs(s)) AS INT) AS peak
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkWavPcm = udf((id: Long) => {
+        val n = 16 + (id % 16).toInt
+        val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+          .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)                   // PCM, mono
+          .putInt(8000).putInt(8000 * 2)
+          .putShort(2).putShort(16)                  // block align, 16-bit
+          .put("data".getBytes("US-ASCII")).putInt(n * 2)
+        (0 until n).foreach(i =>
+          b.putShort((((id * 13 + i.toLong * 5) % 4001) - 2000).toShort))
+        b.array()
+      })
+      Multimodal.decodeSamples(
+          c.documents.select(col("doc_id"),
+            mkWavPcm(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+        .select(col("doc_id"),
+          col("channels").cast("int").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          r6(col("mean")).as("mean"), r6(col("rms")).as("rms"),
+          col("peak"))
+        .orderBy("doc_id")
+    },
+
     // REAL multimodal metadata: canonical WAV headers are generated
     // from doc keys, and Multimodal.sniff parses them back BYTE BY
     // BYTE (RIFF layout: channels@22 LE, rate@24, block-align@32,

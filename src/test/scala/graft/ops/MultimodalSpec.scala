@@ -89,6 +89,97 @@ class MultimodalSpec extends SparkSpec {
     assert(m.width == 0 && m.height == 0)
   }
 
+  private def bmp24(w: Int, h: Int, topDown: Boolean,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val b = ByteBuffer.allocate(54 + rowSize * h)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+      .putShort(0).putShort(0).putInt(54)
+      .putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val rows = if (topDown) 0 until h else (h - 1) to 0 by -1
+    rows.foreach { y =>
+      (0 until w).foreach { x =>
+        b.put(pixel(x, y, 2).toByte) // B on disk first
+          .put(pixel(x, y, 1).toByte)
+          .put(pixel(x, y, 0).toByte)
+      }
+      (w * 3 until rowSize).foreach(_ => b.put(0xEE.toByte)) // junk pad
+    }
+    b.array()
+  }
+
+  test("BMP pixel decode: exact positional recovery through BGR " +
+    "order, bottom-up AND top-down rows, and row padding") {
+    def pixel(x: Int, y: Int, c: Int): Int = 10 * y + 3 * x + c + 1
+    // w=3 → rowSize 12 with 3 junk pad bytes the decoder must skip
+    for (topDown <- Seq(false, true)) {
+      val Some((w, h, px)) =
+        Multimodal.decodeBmp(bmp24(3, 2, topDown, pixel))
+      assert(w == 3 && h == 2)
+      // logical row-major TOP-DOWN RGB regardless of file row order
+      for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+        assert(px((y * 3 + x) * 3 + c) == pixel(x, y, c),
+          s"pixel($x,$y,$c) topDown=$topDown")
+    }
+    // non-BMP and non-24bpp refuse rather than mis-decode
+    assert(Multimodal.decodeBmp(png(4, 4, 2)).isEmpty)
+    assert(Multimodal.decodeBmp(Array[Byte]('B', 'M', 0)).isEmpty)
+  }
+
+  test("WAV PCM16 decode: chunk walk finds fmt/data past extra " +
+    "chunks; little-endian samples recovered exactly") {
+    // hand-build: RIFF + junk chunk + fmt + data
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 7)
+    val b = ByteBuffer.allocate(12 + (8 + 4) + (8 + 16) +
+      (8 + samples.length * 2)).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(0)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0) // junk chunk
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(b.putShort)
+    val Some((ch, rate, got)) = Multimodal.decodeWavPcm16(b.array())
+    assert(ch == 2 && rate == 44100 && got.sameElements(samples))
+    // 8-bit or non-PCM formats refuse
+    assert(Multimodal.decodeWavPcm16(wav(1, 8000, 1)
+      .patch(34, Seq(8.toByte, 0.toByte), 2)).isEmpty)
+  }
+
+  test("decodePixels/decodeSamples run partition-local with real stats") {
+    val sp = spark
+    import sp.implicits._
+    val flat = bmp24(2, 1, topDown = false, (x, _, c) => 50) // all-50 image
+    val rows = Seq((1L, flat), (2L, png(9, 9, 2)))
+    val px = Multimodal.decodePixels(rows.toDF("doc_id", "payload"),
+      "doc_id").collect().map(p => p.doc_id -> p).toMap
+    assert(px(1L).format == "bmp" && px(1L).mean_r == 50.0 &&
+      px(1L).mean_g == 50.0 && px(1L).mean_b == 50.0)
+    assert(px(2L).format == "png" && px(2L).mean_r == 0.0) // honest stub
+    val wavBytes = {
+      val n = 4
+      val b = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      Seq(3, -3, 3, -3).foreach(v => b.putShort(v.toShort))
+      b.array()
+    }
+    val sm = Multimodal.decodeSamples(Seq((9L, wavBytes))
+      .toDF("doc_id", "payload"), "doc_id").collect().head
+    assert(sm.n_samples == 4 && sm.mean == 0.0 && sm.rms == 3.0 &&
+      sm.peak == 3)
+    val plan = Multimodal.decodePixels(rows.toDF("doc_id", "payload"),
+      "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "pixel decode must not shuffle")
+  }
+
   test("sniffHeaders is partition-local over a DataFrame binary column") {
     val sp = spark
     import sp.implicits._
