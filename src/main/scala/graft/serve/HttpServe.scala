@@ -21,6 +21,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `GET  /plans`            → JSON list of served plan names
   *  - `GET  /plan/<name>`      → the canonical plan JSON + build hash
   *  - `POST /plan/<name>`      → register body (plan JSON) under name
+  *  - `POST /exchange/<name>`  → body = one Arrow IPC stream bound to
+  *                                the plan's `input` table (rename via
+  *                                `?binding=`); response = the plan
+  *                                output as a CHUNKED Arrow IPC stream
+  *                                (`?batch_rows=` sizes the batches) —
+  *                                the Flight do_exchange analogue:
+  *                                upload, transform, download in one
+  *                                round trip
   *  - `POST /run/<name>`       → body `{"bindings":{tbl:path,...},
   *                                "out":path}`; executes, writes
   *                                parquet to `out`, returns
@@ -114,6 +122,34 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
           })
       }
     })
+    server.createContext("/exchange/", bytesHandler { (ex, bodyBytes) =>
+      // the do_exchange analogue (ref flight/exchanger.py:119-392):
+      // request body = one Arrow IPC stream (the input table), response
+      // = the served plan's output as a CHUNKED Arrow IPC stream —
+      // upload, transform, download in one round trip with the result
+      // never materialized server-side. The input decodes to an
+      // in-memory relation (the exchange contract ships the data WITH
+      // the call; callers with cluster-scale inputs use /run's
+      // shared-storage bindings instead).
+      val name = ex.getRequestURI.getPath.stripPrefix("/exchange/")
+      require(bodyBytes.nonEmpty,
+        "exchange needs an Arrow IPC stream as the request body")
+      val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+      val binding = params.getOrElse("binding", "input")
+      val batchRows = params.get("batch_rows").map(_.toInt).getOrElse(4096)
+      require(batchRows > 0, s"batch_rows must be positive: $batchRows")
+      val in = graft.interop.ArrowIpc.fromBytes(spark, bodyBytes)
+      val df = registry.call(name, Map(binding -> in))
+      val schema = df.schema
+      Chunked("application/vnd.apache.arrow.stream", out => {
+        import scala.jdk.CollectionConverters._
+        graft.interop.ArrowCodec.encodeTo(
+          schema, df.toLocalIterator().asScala, out, batchRows)
+      })
+    })
     server.setExecutor(null) // serial — Spark drives the real work
     server.start()
     server.getAddress.getPort
@@ -140,13 +176,17 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
 
   private def rawHandler(
       f: (HttpExchange, String) => Resp): HttpHandler =
+    bytesHandler { (ex, bytes) => f(ex, new String(bytes, UTF_8)) }
+
+  private def bytesHandler(
+      f: (HttpExchange, Array[Byte]) => Resp): HttpHandler =
     (ex: HttpExchange) => try {
       // NonFatal → error envelope (caller faults 400, server faults
       // 500); the outer finally closes the exchange even on a fatal
       // Error, so the client never hangs on a silent dead socket
       // (review-caught: an Exception-only catch leaked the exchange)
       val resp =
-        try f(ex, new String(ex.getRequestBody.readAllBytes(), UTF_8))
+        try f(ex, ex.getRequestBody.readAllBytes())
         catch {
           case e: IllegalArgumentException =>
             json(400, s"""{"error":${q(String.valueOf(e.getMessage))}}""")

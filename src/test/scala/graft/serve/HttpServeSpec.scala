@@ -116,6 +116,59 @@ class HttpServeSpec extends SparkSpec {
     } finally http.stop()
   }
 
+  test("exchange endpoint: Arrow in, transform, chunked Arrow out — " +
+    "one round trip, do_exchange semantics") {
+    val registry = new Registry(spark)
+    registry.servePlan("by_key", Sort(
+      Aggregate(UnboundTable("input", Nil),
+        keys = Seq("rk" -> RCol("n_regionkey")),
+        aggs = Seq("n" -> RAgg("count", Nil))),
+      Seq(SortKey(RCol("rk"), asc = true, nullsFirst = true))))
+    val http = new HttpServe(registry, spark)
+    val port = http.start()
+    try {
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val reqBytes = graft.interop.ArrowIpc.toBytes(nation)
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:$port/exchange/by_key?batch_rows=2")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type",
+        "application/vnd.apache.arrow.stream")
+      conn.getOutputStream.write(reqBytes)
+      assert(conn.getResponseCode == 200)
+      assert("chunked".equalsIgnoreCase(
+        conn.getHeaderField("Transfer-Encoding")))
+      val respBytes = conn.getInputStream.readAllBytes()
+      val got = graft.interop.ArrowIpc.fromBytes(spark, respBytes)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val exp = nation.groupBy("n_regionkey").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"$got vs $exp")
+
+      // custom binding name via query param
+      registry.servePlan("cnt", Aggregate(UnboundTable("t", Nil), Nil,
+        Seq("n" -> RAgg("count", Nil))))
+      val c2 = new java.net.URL(
+        s"http://127.0.0.1:$port/exchange/cnt?binding=t")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c2.setRequestMethod("POST"); c2.setDoOutput(true)
+      c2.getOutputStream.write(reqBytes)
+      assert(c2.getResponseCode == 200)
+      val n = graft.interop.ArrowIpc.fromBytes(spark,
+        c2.getInputStream.readAllBytes()).collect().head.getLong(0)
+      assert(n == nation.count())
+
+      // empty body fails loud (400), not a confusing decode error
+      val c3 = new java.net.URL(s"http://127.0.0.1:$port/exchange/cnt")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c3.setRequestMethod("POST"); c3.setDoOutput(true)
+      c3.getOutputStream.close()
+      assert(c3.getResponseCode == 400)
+    } finally http.stop()
+  }
+
   test("inline run response is CHUNKED Arrow streaming: batches decode " +
     "incrementally off the live socket with bounded batch size") {
     val registry = new Registry(spark)
