@@ -34,4 +34,106 @@ final class Catalog(buildsDir: String) {
 
   def aliases: Map[String, String] =
     entries.groupBy(_._1).view.mapValues(_.last._2).toMap
+
+  /** The raw (name, hash) entry list, oldest first — the merge unit. */
+  def entryList: Seq[(String, String)] = entries
+
+  /** Replace the whole entry list (merge result write-back). */
+  def writeEntries(all: Seq[(String, String)]): Unit = {
+    Files.createDirectories(file.getParent)
+    Files.writeString(file,
+      all.map { case (n, h) => s"$n\t$h" }.mkString("", "\n", "\n"))
+  }
+
+  /** Three-way merge THIS catalog (ours) with `theirs` against the
+    * common ancestor `base`, writing the merged entry list here —
+    * the collaboration half of the reference's git-native catalog
+    * (catalog/catalog.py:201 `_three_way_list_merge` + the alias-
+    * divergence conflict surface of `Catalog.pull`). Throws
+    * [[CatalogMergeConflict]] (writing NOTHING) when both sides
+    * repointed the same alias to different builds. */
+  def merge(theirs: Seq[(String, String)],
+      base: Seq[(String, String)]): Seq[(String, String)] = {
+    val merged = Catalog.threeWayMerge(base, entryList, theirs)
+    writeEntries(merged)
+    merged
+  }
+}
+
+/** Both sides repointed an alias to different builds — unresolvable
+  * without a human choice, exactly the reference's diverging-alias
+  * merge conflict. `conflicts` = (alias, ours hash, theirs hash). */
+final case class CatalogMergeConflict(
+    conflicts: Seq[(String, String, String)])
+  extends RuntimeException(
+    "catalog merge conflict on " + conflicts.map { case (a, o, t) =>
+      s"'$a' (ours $o vs theirs $t)" }.mkString(", ") +
+      "; repoint the alias on one side and merge again")
+
+object Catalog {
+
+  /** The reference's `_three_way_list_merge` over (alias, hash)
+    * entries — ordered lists treated as sets, ours-first: an entry in
+    * `base` dropped by either side is a removal; entries added by
+    * either side survive; duplicates collapse — plus the RESOLUTION
+    * rule the symlink layer gives the reference: when both sides
+    * repointed the same alias, agreeing targets collapse, diverging
+    * targets throw [[CatalogMergeConflict]]; when one side repointed
+    * and the other didn't, the repointing side's target must win
+    * latest-wins resolution in the merged list, so a pinning entry is
+    * appended when plain concatenation order would resolve wrongly. */
+  def threeWayMerge(
+      base: Seq[(String, String)],
+      ours: Seq[(String, String)],
+      theirs: Seq[(String, String)]): Seq[(String, String)] = {
+    val baseSet = base.toSet
+    val oursSet = ours.toSet
+    val theirsSet = theirs.toSet
+    val out = Seq.newBuilder[(String, String)]
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    (ours ++ theirs).foreach { e =>
+      if (!seen(e)) {
+        seen += e
+        // in base and dropped by at least one side -> removal wins
+        if (!(baseSet(e) && (!oursSet(e) || !theirsSet(e)))) out += e
+      }
+    }
+    val merged = out.result()
+
+    def resolveIn(es: Seq[(String, String)], a: String): Option[String] =
+      es.filter(_._1 == a).lastOption.map(_._2)
+    val allAliases =
+      (base ++ ours ++ theirs).map(_._1).distinct
+    val conflicts = Seq.newBuilder[(String, String, String)]
+    val pins = Seq.newBuilder[(String, String)]
+    allAliases.foreach { a =>
+      val b = resolveIn(base, a)
+      val o = resolveIn(ours, a)
+      val t = resolveIn(theirs, a)
+      val winner: Option[String] = (o, t) match {
+        case (Some(x), Some(y)) if x == y => Some(x)
+        case (Some(x), Some(y)) => // both present, different
+          if (t == b) Some(x)        // only ours repointed
+          else if (o == b) Some(y)   // only theirs repointed
+          else { conflicts += ((a, x, y)); None }
+        case (Some(x), None) =>
+          // theirs deleted the alias: deletion wins if ours didn't
+          // also repoint it (modify/delete divergence = conflict)
+          if (o == b) None
+          else if (b.isEmpty) Some(x) // ours ADDED it, theirs never had it
+          else { conflicts += ((a, x, "<deleted>")); None }
+        case (None, Some(y)) =>
+          if (t == b) None
+          else if (b.isEmpty) Some(y)
+          else { conflicts += ((a, "<deleted>", y)); None }
+        case (None, None) => None    // dropped everywhere
+      }
+      winner.foreach { w =>
+        if (!resolveIn(merged, a).contains(w)) pins += ((a, w))
+      }
+    }
+    val cs = conflicts.result()
+    if (cs.nonEmpty) throw CatalogMergeConflict(cs)
+    merged ++ pins.result()
+  }
 }

@@ -33,6 +33,68 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("three-way merge: additions union ours-first, removals " +
+    "propagate, one-sided repoints win, divergence conflicts") {
+    def e(s: String*): Seq[(String, String)] =
+      s.map { x => val Array(n, h) = x.split(":"); (n, h) }
+
+    // both sides append different aliases → union, ours-first
+    assert(Catalog.threeWayMerge(
+      base = e("a:1"), ours = e("a:1", "b:2"), theirs = e("a:1", "c:3"))
+      == e("a:1", "b:2", "c:3"))
+
+    // a base entry dropped by one side is a removal, even though the
+    // other side still lists it
+    assert(Catalog.threeWayMerge(
+      base = e("a:1", "old:9"), ours = e("a:1"),
+      theirs = e("a:1", "old:9")) == e("a:1"))
+
+    // only ours repointed → ours' target resolves; theirs' stale copy
+    // of base doesn't fight back
+    val m1 = Catalog.threeWayMerge(
+      base = e("a:1"), ours = e("a:1", "a:2"), theirs = e("a:1"))
+    assert(m1.filter(_._1 == "a").lastOption.contains(("a", "2")))
+    // symmetric: only theirs repointed
+    val m2 = Catalog.threeWayMerge(
+      base = e("a:1"), ours = e("a:1"), theirs = e("a:1", "a:2"))
+    assert(m2.filter(_._1 == "a").lastOption.contains(("a", "2")))
+
+    // both repointed to the SAME target → collapses, no conflict
+    assert(Catalog.threeWayMerge(
+      base = e("a:1"), ours = e("a:1", "a:2"), theirs = e("a:1", "a:2"))
+      .count(_ == ("a", "2")) == 1)
+
+    // both repointed divergently → conflict naming both targets
+    val c = intercept[CatalogMergeConflict] {
+      Catalog.threeWayMerge(
+        base = e("a:1"), ours = e("a:1", "a:2"), theirs = e("a:1", "a:3"))
+    }
+    assert(c.conflicts == Seq(("a", "2", "3")))
+    assert(c.getMessage.contains("'a'"))
+
+    // deletion wins over an unchanged side; modify/delete conflicts
+    assert(Catalog.threeWayMerge(
+      base = e("a:1", "b:2"), ours = e("b:2"), theirs = e("a:1", "b:2"))
+      == e("b:2"))
+    val md = intercept[CatalogMergeConflict] {
+      Catalog.threeWayMerge(
+        base = e("a:1"), ours = e(), theirs = e("a:1", "a:2"))
+    }
+    assert(md.conflicts == Seq(("a", "<deleted>", "2")))
+
+    // instance merge writes back and the merged catalog resolves
+    val dir = Files.createTempDirectory("graft_catalog_m_").toString
+    val art = Build.save(plan("120000"), dir)
+    val cat = new Catalog(dir)
+    cat.register("prod", art.hash)
+    val merged = cat.merge(
+      theirs = cat.entryList :+ ("exp" -> "f" * 64),
+      base = cat.entryList)
+    assert(merged.contains(("exp", "f" * 64)))
+    assert(cat.resolve("exp").contains("f" * 64))
+    assert(cat.resolve("prod").contains(art.hash))
+  }
+
   test("a saved plan re-executes from the artifact alone (run path)") {
     val dir = Files.createTempDirectory("graft_catalog_").toString
     val art = Build.save(plan("150000"), dir)
