@@ -917,22 +917,70 @@ object Geometry {
     * [[UnionAreaAgg]] aggregate over grouped rows. */
   def multiUnionArea(gs: Seq[Geom]): Double = {
     val polys = gs.filter(g => g.kind == "POLYGON" && g.rings.nonEmpty)
+      .toArray
     if (polys.isEmpty) return 0.0
+    val n = polys.length
+    // materialize per-polygon segment arrays (x1,y1,x2,y2) and
+    // envelopes ONCE — the pairwise crossing scan below must not pay
+    // iterator + tuple allocation per pair (this turned a 600-polygon
+    // group from seconds into minutes at sf0.1)
+    val segs: Array[Array[Double]] = polys.map { g =>
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      g.rings.foreach { r =>
+        var i = 0
+        while (i < r.length - 1) {
+          b += r(i)._1; b += r(i)._2; b += r(i + 1)._1; b += r(i + 1)._2
+          i += 1
+        }
+      }
+      b.toArray
+    }
+    val minX = new Array[Double](n); val maxX = new Array[Double](n)
+    val minY = new Array[Double](n); val maxY = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      var (x0, x1, y0, y1) =
+        (Double.MaxValue, Double.MinValue, Double.MaxValue, Double.MinValue)
+      polys(p).rings.foreach(_.foreach { case (x, y) =>
+        if (x < x0) x0 = x; if (x > x1) x1 = x
+        if (y < y0) y0 = y; if (y > y1) y1 = y
+      })
+      minX(p) = x0; maxX(p) = x1; minY(p) = y0; maxY(p) = y1
+      p += 1
+    }
     val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    polys.foreach(_.rings.foreach(_.foreach(p => xs += p._1)))
+    polys.foreach(_.rings.foreach(_.foreach(q => xs += q._1)))
     var i = 0
-    while (i < polys.length) {
+    while (i < n) {
       var j = i + 1
-      while (j < polys.length) {
-        segments(polys(i)).foreach { case (p1, p2) =>
-          segments(polys(j)).foreach { case (p3, p4) =>
-            if (properCross(p1, p2, p3, p4)) {
-              val d1x = p2._1 - p1._1; val d1y = p2._2 - p1._2
-              val d2x = p4._1 - p3._1; val d2y = p4._2 - p3._2
-              val denom = d1x * d2y - d1y * d2x
-              val t = ((p3._1 - p1._1) * d2y - (p3._2 - p1._2) * d2x) / denom
-              xs += p1._1 + t * d1x
+      while (j < n) {
+        // envelope prefilter: disjoint boxes cannot cross
+        if (minX(i) <= maxX(j) && minX(j) <= maxX(i) &&
+          minY(i) <= maxY(j) && minY(j) <= maxY(i)) {
+          val si = segs(i); val sj = segs(j)
+          var a = 0
+          while (a < si.length) {
+            val p1x = si(a); val p1y = si(a + 1)
+            val p2x = si(a + 2); val p2y = si(a + 3)
+            val loX = math.min(p1x, p2x); val hiX = math.max(p1x, p2x)
+            val loY = math.min(p1y, p2y); val hiY = math.max(p1y, p2y)
+            var b = 0
+            while (b < sj.length) {
+              val p3x = sj(b); val p3y = sj(b + 1)
+              val p4x = sj(b + 2); val p4y = sj(b + 3)
+              // segment-bbox reject before the 4 orientation tests
+              if (math.min(p3x, p4x) <= hiX && loX <= math.max(p3x, p4x) &&
+                math.min(p3y, p4y) <= hiY && loY <= math.max(p3y, p4y) &&
+                properCross((p1x, p1y), (p2x, p2y), (p3x, p3y), (p4x, p4y))) {
+                val d1x = p2x - p1x; val d1y = p2y - p1y
+                val d2x = p4x - p3x; val d2y = p4y - p3y
+                val denom = d1x * d2y - d1y * d2x
+                val t = ((p3x - p1x) * d2y - (p3y - p1y) * d2x) / denom
+                xs += p1x + t * d1x
+              }
+              b += 4
             }
+            a += 4
           }
         }
         j += 1
@@ -946,7 +994,14 @@ object Geometry {
       val x0 = bounds(k); val x1 = bounds(k + 1)
       val xm = (x0 + x1) / 2
       if (xm > x0 && xm < x1) {
-        val m = unionIntervalMeasure(polys.map(crossingsAt(_, xm)))
+        // only polygons whose x-extent contains the slab contribute
+        val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        var q = 0
+        while (q < n) {
+          if (minX(q) < xm && xm < maxX(q)) sets += crossingsAt(polys(q), xm)
+          q += 1
+        }
+        val m = unionIntervalMeasure(sets.toSeq)
         total += (x1 - x0) * m
       }
       k += 1
