@@ -70,6 +70,75 @@ object GeoQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // GEODESIC (spheroid) distance — Vincenty's inverse formula on
+    // WGS-84 with the λ iteration PINNED at 4 rounds, which lets the
+    // oracle UNROLL the loop as chained CTEs computing operation-for-
+    // operation identical arithmetic (the logreg-oracle trick applied
+    // to geodesy). Sub-mm converged for these non-antipodal pairs; the
+    // haversine family stays the fast approximate tier.
+    q("geo_geodesic",
+      """WITH p AS (SELECT c_custkey,
+        |        ((c_custkey * 37) % 12000)/100.0 - 60.0 AS lat,
+        |        ((c_custkey * 91) % 36000)/100.0 - 180.0 AS lon FROM customer),
+        |t AS (SELECT c_custkey,
+        |        sin(atan((1 - 1.0/298.257223563) * tan(lat * pi() / 180))) AS su1,
+        |        cos(atan((1 - 1.0/298.257223563) * tan(lat * pi() / 180))) AS cu1,
+        |        sin(atan((1 - 1.0/298.257223563) * tan(48.86 * pi() / 180))) AS su2,
+        |        cos(atan((1 - 1.0/298.257223563) * tan(48.86 * pi() / 180))) AS cu2,
+        |        (2.35 - lon) * pi() / 180 AS el
+        |      FROM p),
+        |i1 AS (SELECT c_custkey, su1, cu1, su2, cu2, el,
+        |        sin(el) AS sl1, cos(el) AS cl1,
+        |        cu2 * sl1 AS ta1, cu1 * su2 - su1 * cu2 * cl1 AS tb1,
+        |        sqrt(ta1*ta1 + tb1*tb1) AS ss1, su1*su2 + cu1*cu2*cl1 AS cs1,
+        |        atan2(ss1, cs1) AS sg1, cu1*cu2*sl1/ss1 AS sa1, 1 - sa1*sa1 AS c2a1,
+        |        cs1 - 2*su1*su2/c2a1 AS c2m1,
+        |        (1.0/298.257223563)/16 * c2a1 * (4 + (1.0/298.257223563)*(4 - 3*c2a1)) AS cc1,
+        |        el + (1-cc1)*(1.0/298.257223563)*sa1*(sg1 + cc1*ss1*(c2m1 + cc1*cs1*(-1 + 2*c2m1*c2m1))) AS lam1
+        |       FROM t),
+        |i2 AS (SELECT c_custkey, su1, cu1, su2, cu2, el,
+        |        sin(lam1) AS sl2, cos(lam1) AS cl2,
+        |        cu2 * sl2 AS ta2, cu1 * su2 - su1 * cu2 * cl2 AS tb2,
+        |        sqrt(ta2*ta2 + tb2*tb2) AS ss2, su1*su2 + cu1*cu2*cl2 AS cs2,
+        |        atan2(ss2, cs2) AS sg2, cu1*cu2*sl2/ss2 AS sa2, 1 - sa2*sa2 AS c2a2,
+        |        cs2 - 2*su1*su2/c2a2 AS c2m2,
+        |        (1.0/298.257223563)/16 * c2a2 * (4 + (1.0/298.257223563)*(4 - 3*c2a2)) AS cc2,
+        |        el + (1-cc2)*(1.0/298.257223563)*sa2*(sg2 + cc2*ss2*(c2m2 + cc2*cs2*(-1 + 2*c2m2*c2m2))) AS lam2
+        |       FROM i1),
+        |i3 AS (SELECT c_custkey, su1, cu1, su2, cu2, el,
+        |        sin(lam2) AS sl3, cos(lam2) AS cl3,
+        |        cu2 * sl3 AS ta3, cu1 * su2 - su1 * cu2 * cl3 AS tb3,
+        |        sqrt(ta3*ta3 + tb3*tb3) AS ss3, su1*su2 + cu1*cu2*cl3 AS cs3,
+        |        atan2(ss3, cs3) AS sg3, cu1*cu2*sl3/ss3 AS sa3, 1 - sa3*sa3 AS c2a3,
+        |        cs3 - 2*su1*su2/c2a3 AS c2m3,
+        |        (1.0/298.257223563)/16 * c2a3 * (4 + (1.0/298.257223563)*(4 - 3*c2a3)) AS cc3,
+        |        el + (1-cc3)*(1.0/298.257223563)*sa3*(sg3 + cc3*ss3*(c2m3 + cc3*cs3*(-1 + 2*c2m3*c2m3))) AS lam3
+        |       FROM i2),
+        |i4 AS (SELECT c_custkey, su1, cu1, su2, cu2, el,
+        |        sin(lam3) AS sl4, cos(lam3) AS cl4,
+        |        cu2 * sl4 AS ta4, cu1 * su2 - su1 * cu2 * cl4 AS tb4,
+        |        sqrt(ta4*ta4 + tb4*tb4) AS ss4, su1*su2 + cu1*cu2*cl4 AS cs4,
+        |        atan2(ss4, cs4) AS sg4, cu1*cu2*sl4/ss4 AS sa4, 1 - sa4*sa4 AS c2a4,
+        |        cs4 - 2*su1*su2/c2a4 AS c2m4
+        |       FROM i3),
+        |fin AS (SELECT c_custkey, ss4, cs4, sg4, c2m4,
+        |        c2a4 * (6378137.0::DOUBLE * 6378137.0::DOUBLE - 6356752.314245::DOUBLE * 6356752.314245::DOUBLE) / (6356752.314245::DOUBLE * 6356752.314245::DOUBLE) AS uu,
+        |        1 + uu/16384*(4096 + uu*(-768 + uu*(320 - 175*uu))) AS ba,
+        |        uu/1024*(256 + uu*(-128 + uu*(74 - 47*uu))) AS bb,
+        |        bb*ss4*(c2m4 + bb/4*(cs4*(-1 + 2*c2m4*c2m4) - bb/6*c2m4*(-3 + 4*ss4*ss4)*(-3 + 4*c2m4*c2m4))) AS ds
+        |       FROM i4)
+        |SELECT c_custkey,
+        |       round(6356752.314245::DOUBLE * ba * (sg4 - ds) + 1e-9, 2) AS geodesic_m
+        |FROM fin ORDER BY c_custkey""") { c =>
+      graft.ops.Geo.registerGeodesic(c.spark)
+      val pts = c.customer.select(col("c_custkey"),
+        lat(col("c_custkey")).as("lat"), lon(col("c_custkey")).as("lon"))
+      pts.select(col("c_custkey"),
+          r2(callUDF("geo_vincenty_m", col("lat"), col("lon"),
+            lit(48.86), lit(2.35))).as("geodesic_m"))
+        .orderBy("c_custkey")
+    },
+
     // GEOMETRY-typed subset (ref expr/types/geospatial.py): per-row WKT
     // rectangles built from supplier keys run through the real parse +
     // shoelace / ring-length / centroid kernels; the oracle computes

@@ -61,6 +61,34 @@ class GeoSpec extends SparkSpec {
       "longitude cells must wrap at the antimeridian")
   }
 
+  test("Vincenty geodesic: canonical WGS-84 test vector, haversine " +
+    "agreement, symmetry") {
+    // Vincenty's own published test line: Flinders Peak → Buninyong,
+    // s = 54972.271 m (Geodetic Datum of Australia technical manual)
+    val d = Geo.vincentyM(-37.95103342, 144.42486789,
+      -37.65282114, 143.92649553)
+    assert(math.abs(d - 54972.271) < 0.01, s"got $d")
+    // symmetry
+    val r = Geo.vincentyM(-37.65282114, 143.92649553,
+      -37.95103342, 144.42486789)
+    assert(math.abs(d - r) < 1e-6)
+    // spheroid vs sphere: within ~0.6% of haversine over random pairs
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val (la1, lo1) = (rnd.nextDouble * 120 - 60, rnd.nextDouble * 340 - 170)
+      val (la2, lo2) = (la1 + rnd.nextDouble * 20 - 10,
+        lo1 + rnd.nextDouble * 20 - 10)
+      val vm = Geo.vincentyM(la1, lo1, la2, lo2)
+      val hk = 2 * 6371.0088 * math.asin(math.sqrt(
+        math.pow(math.sin(math.toRadians(la2 - la1) / 2), 2) +
+          math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+            math.pow(math.sin(math.toRadians(lo2 - lo1) / 2), 2))) * 1000
+      if (hk > 1000) // skip near-coincident (relative error unstable)
+        assert(math.abs(vm - hk) / hk < 0.006,
+          s"($la1,$lo1)->($la2,$lo2): vincenty $vm vs haversine $hk")
+    }
+  }
+
   test("the radius join plans one equi-join shuffle, not a cross join") {
     val sp = spark
     import sp.implicits._
