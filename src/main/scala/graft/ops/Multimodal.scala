@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   *
   * Decode status, honestly: header metadata parsing is REAL for
   * PNG/JPEG/GIF/BMP/WAV ([[sniff]]); pixel/sample decode is REAL for
-  * the codec-free layouts — 24-bit uncompressed BMP ([[decodeBmp]])
-  * and PCM16 WAV ([[decodeWavPcm16]]) — because those are pure byte
-  * arithmetic; PNG/JPEG/GIF pixel decode stays a STUB ([[decodeStub]])
-  * since inflate/DCT codecs don't ship in this container. The
-  * Spark-side contract — binary column in, typed struct out,
-  * partition-local, no shuffle, no driver collect — is identical
-  * across all of them and is what survives a codec swap at 100 TB.
+  * 24-bit uncompressed BMP ([[decodeBmp]]), PCM16 WAV
+  * ([[decodeWavPcm16]]), PNG ([[decodePng]] — JDK `Inflater` zlib
+  * stream + all five scanline unfilters, 8-bit gray/RGB/RGBA), and
+  * GIF ([[decodeGif]] — variable-width LZW written here, global or
+  * local palette). Only JPEG pixel decode stays a STUB
+  * ([[decodeStub]]): baseline DCT needs an entropy decoder + IDCT no
+  * JDK class provides. The Spark-side contract — binary column in,
+  * typed struct out, partition-local, no shuffle, no driver
+  * collect — is identical across all of them and is what survives a
+  * codec swap at 100 TB.
   */
 object Multimodal {
 
@@ -149,9 +152,10 @@ object Multimodal {
   //
   // BMP (24-bit uncompressed) and WAV (PCM16) are pure byte layout —
   // no entropy coding, no codec library — so their PIXEL/SAMPLE decode
-  // is implemented for real here. PNG/JPEG/GIF decode stays honestly
-  // stubbed (their payloads need inflate/DCT codecs this container
-  // doesn't ship); their header metadata is parsed by [[sniff]].
+  // is implemented for real here. PNG and GIF decode are real too
+  // (below): PNG's codec is JDK zlib, GIF's is an LZW written in this
+  // file. Only JPEG decode stays honestly stubbed (baseline DCT
+  // entropy decode + IDCT); its header metadata is parsed by [[sniff]].
 
   /** Decoded 24-bit BMP: (width, height, row-major TOP-DOWN RGB byte
     * values 0-255, 3 per pixel). Handles bottom-up (positive height)
@@ -225,9 +229,368 @@ object Multimodal {
     if (fmtOk && samples != null) Some((channels, rate, samples)) else None
   }
 
-  /** Per-image pixel statistics from REAL decoding (BMP) — format,
-    * dimensions, per-channel means. Non-BMP payloads report their
-    * sniffed format with zeroed stats (decode needs a codec). */
+  // ----------------------------------------- REAL decode: PNG
+  //
+  // PNG's only codec is zlib DEFLATE, which ships in the JDK
+  // (java.util.zip.Inflater) — so PNG pixel decode is pure byte work:
+  // chunk walk, inflate the concatenated IDAT stream, then undo the
+  // per-scanline filter (None/Sub/Up/Average/Paeth). Supported layout:
+  // 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+  // non-interlaced — the layout every modern encoder emits by default.
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** Decoded PNG: (width, height, channels, row-major interleaved
+    * channel values 0-255). None for non-PNG, unsupported layouts
+    * (16-bit, palette, interlaced), or corrupt/truncated streams. */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (bytes.length < 57 || !bytes.take(8).sameElements(PngSig)) return None
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 12 <= bytes.length) {
+      val len = beU32(bytes, i).toInt
+      val body = i + 8
+      if (len < 0 || body + len + 4 > bytes.length) return None
+      new String(bytes, i + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = beU32(bytes, body).toInt; h = beU32(bytes, body + 4).toInt
+          bitDepth = bytes(body + 8) & 0xff
+          colorType = bytes(body + 9) & 0xff
+          interlace = bytes(body + 12) & 0xff
+        case "IDAT" => idat.write(bytes, body, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable
+      }
+      i = body + len + 4 // trailing CRC
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+    }
+    if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0 || !sawEnd)
+      return None
+    val stride = w * channels
+    val raw = new Array[Byte](h * (stride + 1))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (off < raw.length) return None
+    val out = new Array[Int](h * stride)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val rx = raw(src + x) & 0xff
+        // reconstructed neighbors: a = left, b = up, c = up-left
+        val a = if (x >= channels) out(dst + x - channels) else 0
+        val b = if (y > 0) out(dst - stride + x) else 0
+        val c = if (y > 0 && x >= channels) out(dst - stride + x - channels)
+          else 0
+        val v = filter match {
+          case 0 => rx
+          case 1 => rx + a
+          case 2 => rx + b
+          case 3 => rx + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + x) = v & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, out))
+  }
+
+  /** Encode a genuine PNG (signature, CRC-correct IHDR/IDAT/IEND,
+    * zlib-deflated filtered scanlines) from row-major interleaved
+    * channel values. `filterForRow` picks the per-row filter type
+    * (0-4) — fixtures use a rotating choice so a decode round-trip
+    * exercises every unfilter path. Any PNG viewer opens the output. */
+  def encodePng(w: Int, h: Int, channels: Int, px: Array[Int],
+      filterForRow: Int => Int = _ % 5): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"encodePng: channels must be 1/3/4, got $channels")
+    require(px.length == w * h * channels,
+      s"encodePng: expected ${w * h * channels} values, got ${px.length}")
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val stride = w * channels
+    val filtered = new Array[Byte](h * (stride + 1))
+    var y = 0
+    while (y < h) {
+      val f = math.floorMod(filterForRow(y), 5)
+      filtered(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = px(y * stride + x)
+        val a = if (x >= channels) px(y * stride + x - channels) else 0
+        val b = if (y > 0) px((y - 1) * stride + x) else 0
+        val c = if (y > 0 && x >= channels)
+          px((y - 1) * stride + x - channels) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zOut.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  // ----------------------------------------- REAL decode: GIF
+  //
+  // GIF's codec is LZW with variable code width — ~60 lines of pure
+  // integer work, written here (no library). Supported layout:
+  // non-interlaced single image, global or local color table.
+
+  /** Variable-width LZW decode (GIF flavor: LSB-first bit packing,
+    * clear/EOI codes, width grows when the table fills, KwKwK case).
+    * Returns exactly `nPixels` palette indices or None. */
+  private[ops] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      nPixels: Int): Option[Array[Int]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Int](maxDict)
+    val stack = new Array[Int](maxDict + 1)
+    var dictSize = eoi + 1
+    var codeSize = minCodeSize + 1
+    var bitPos = 0
+    val nBits = data.length * 8
+    def readCode(): Int = {
+      if (bitPos + codeSize > nBits) return -1
+      var v = 0; var k = 0
+      while (k < codeSize) {
+        val bit = bitPos + k
+        if (((data(bit >> 3) >> (bit & 7)) & 1) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    // walk a code's prefix chain down to its first (literal) byte
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c > eoi) c = prefix(c)
+      c
+    }
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    var prev = -1
+    while (outN < nPixels) {
+      val code = readCode()
+      if (code < 0 || code > dictSize) return None
+      if (code == clear) { dictSize = eoi + 1; codeSize = minCodeSize + 1
+        prev = -1 }
+      else if (code == eoi) return None // early EOI: short of nPixels
+      else {
+        var sp = 0
+        var c = code
+        if (code == dictSize) { // KwKwK: string(prev) + first(prev)
+          if (prev < 0) return None
+          stack(sp) = firstOf(prev); sp += 1
+          c = prev
+        }
+        while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= clear) return None
+        stack(sp) = c; sp += 1
+        val first = c
+        while (sp > 0) {
+          sp -= 1
+          if (outN < nPixels) { out(outN) = stack(sp); outN += 1 }
+          else return None // string overruns the image
+        }
+        if (prev >= 0 && dictSize < maxDict) {
+          prefix(dictSize) = prev; suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** Decoded GIF: (width, height, row-major RGB values via the color
+    * table, 3 per pixel). First image of the stream; extensions are
+    * skipped; None for interlaced images or corrupt LZW data. */
+  def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 14) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val packed = bytes(10) & 0xff
+    var palette: Array[Int] = null
+    var i = 13
+    if ((packed & 0x80) != 0) {
+      val n = (2 << (packed & 7)) * 3
+      if (i + n > bytes.length) return None
+      palette = new Array[Int](n)
+      var k = 0
+      while (k < n) { palette(k) = bytes(i + k) & 0xff; k += 1 }
+      i += n
+    }
+    while (i < bytes.length) {
+      (bytes(i) & 0xff) match {
+        case 0x21 => // extension: label byte then length-prefixed sub-blocks
+          i += 2
+          while (i < bytes.length && (bytes(i) & 0xff) != 0)
+            i += 1 + (bytes(i) & 0xff)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > bytes.length) return None
+          val w = leU16(bytes, i + 5); val h = leU16(bytes, i + 7)
+          val ip = bytes(i + 9) & 0xff
+          i += 10
+          if ((ip & 0x80) != 0) { // local color table wins
+            val n = (2 << (ip & 7)) * 3
+            if (i + n > bytes.length) return None
+            palette = new Array[Int](n)
+            var k = 0
+            while (k < n) { palette(k) = bytes(i + k) & 0xff; k += 1 }
+            i += n
+          }
+          if ((ip & 0x40) != 0 || palette == null || w <= 0 || h <= 0)
+            return None
+          if (i >= bytes.length) return None
+          val minCodeSize = bytes(i) & 0xff; i += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < bytes.length && (bytes(i) & 0xff) != 0) {
+            val n = bytes(i) & 0xff
+            if (i + 1 + n > bytes.length) return None
+            data.write(bytes, i + 1, n); i += 1 + n
+          }
+          val decoded = lzwDecode(data.toByteArray, minCodeSize, w * h)
+          if (decoded.isEmpty) return None
+          val idx = decoded.get
+          val out = new Array[Int](w * h * 3)
+          var p = 0
+          while (p < idx.length) {
+            val base = idx(p) * 3
+            if (base + 2 >= palette.length) return None
+            out(p * 3) = palette(base)
+            out(p * 3 + 1) = palette(base + 1)
+            out(p * 3 + 2) = palette(base + 2)
+            p += 1
+          }
+          return Some((w, h, out))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Encode a genuine GIF89a (logical screen descriptor, 256-entry
+    * global color table, real LSB-packed variable-width LZW stream
+    * with periodic clear codes, sub-block framing, trailer) from
+    * palette indices. Any GIF viewer opens the output. */
+  def encodeGif(w: Int, h: Int, indices: Array[Int],
+      palette: Array[Int]): Array[Byte] = {
+    require(palette.length == 768, "encodeGif: palette must be 256 RGB")
+    require(indices.length == w * h,
+      s"encodeGif: expected ${w * h} indices, got ${indices.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    palette.foreach(v => out.write(v & 0xff))
+    out.write(0x2c) // image descriptor at (0,0), no local table
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0)
+    val minCodeSize = 8
+    out.write(minCodeSize)
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val lzw = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nBits = 0
+    def emit(code: Int, codeSize: Int): Unit = {
+      cur |= code.toLong << nBits
+      nBits += codeSize
+      while (nBits >= 8) { lzw.write((cur & 0xff).toInt); cur >>= 8
+        nBits -= 8 }
+    }
+    // literal-code stream: each pixel emitted as its own 9-bit code,
+    // with a clear whenever the decoder's table would reach 512 and
+    // widen the code — the classic bounded "uncompressed GIF" scheme
+    emit(clear, 9)
+    var dictSize = eoi + 1
+    indices.foreach { idx =>
+      if (dictSize >= 510) { emit(clear, 9); dictSize = eoi + 1 }
+      emit(idx, 9)
+      dictSize += 1 // decoder adds an entry per code after the first
+    }
+    emit(eoi, 9)
+    if (nBits > 0) lzw.write((cur & 0xff).toInt)
+    val lzwBytes = lzw.toByteArray
+    var off = 0
+    while (off < lzwBytes.length) {
+      val n = math.min(255, lzwBytes.length - off)
+      out.write(n)
+      out.write(lzwBytes, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Per-image pixel statistics from REAL decoding (BMP/PNG/GIF) —
+    * format, dimensions, per-channel means. Payloads in formats with
+    * no real decoder here (JPEG) report their sniffed format with
+    * zeroed stats. */
   final case class PixelStats(doc_id: Long, format: String, width: Int,
       height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
 
@@ -240,14 +603,29 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytesOrNull) =>
         val bytes =
           if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
-        decodeBmp(bytes) match {
-          case Some((w, h, px)) =>
-            var (sr, sg, sb) = (0L, 0L, 0L)
+        // format dispatch by magic; (w, h, channels, interleaved values)
+        val decoded: Option[(String, Int, Int, Int, Array[Int])] =
+          decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, 3, px) }
+            .orElse(decodePng(bytes).map { case (w, h, ch, px) =>
+              ("png", w, h, ch, px) })
+            .orElse(decodeGif(bytes).map { case (w, h, px) =>
+              ("gif", w, h, 3, px) })
+        decoded match {
+          case Some((fmt, w, h, ch, px)) =>
+            // means of the first three channels (alpha excluded);
+            // grayscale replicates its single channel into r/g/b
+            val sums = new Array[Long](3)
             var i = 0
-            while (i < px.length) { sr += px(i); sg += px(i + 1)
-              sb += px(i + 2); i += 3 }
+            while (i < px.length) {
+              val c = i % ch
+              if (ch == 1) { sums(0) += px(i); sums(1) += px(i)
+                sums(2) += px(i) }
+              else if (c < 3) sums(c) += px(i)
+              i += 1
+            }
             val npx = (w.toLong * h).toDouble
-            PixelStats(id, "bmp", w, h, sr / npx, sg / npx, sb / npx)
+            PixelStats(id, fmt, w, h, sums(0) / npx, sums(1) / npx,
+              sums(2) / npx)
           case None =>
             val m = sniff(id, bytes)
             PixelStats(id, m.format, m.width, m.height, 0, 0, 0)

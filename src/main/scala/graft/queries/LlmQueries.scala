@@ -606,6 +606,95 @@ object LlmQueries {
           col("sample_rate").cast("long").as("sample_rate"),
           col("duration_ms"))
         .orderBy("doc_id")
+    },
+
+    // REAL PNG pixel decode (r5): genuine PNG files — CRC-correct
+    // chunks, zlib-DEFLATEd scanlines (JDK Deflater), per-row filter
+    // rotating through all five types by (id + y) % 5 — are generated
+    // from doc keys, and Multimodal.decodePng inverts the whole stack
+    // (chunk walk → Inflater → None/Sub/Up/Average/Paeth unfilter) to
+    // recover the logical pixels. Per-channel means go under the hash
+    // gate against an oracle regenerating the pixel formula; channel c
+    // of pixel p is (id*31 + p*3 + c) % 256, i.e. flat index i ↦
+    // (id*31 + i) % 256.
+    q("mm_decode_png",
+      """WITH d AS (SELECT doc_id, (3 + doc_id % 4)::BIGINT w,
+        |                  (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |         unnest(range(0, w * h)) AS p FROM d),
+        |v AS (SELECT doc_id, w, h,
+        |        (doc_id * 31 + p * 3) % 256 AS r,
+        |        (doc_id * 31 + p * 3 + 1) % 256 AS g,
+        |        (doc_id * 31 + p * 3 + 2) % 256 AS b
+        |      FROM px)
+        |SELECT doc_id, 'png' AS format,
+        |       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       round(avg(r) + 1e-9, 6) AS mean_r,
+        |       round(avg(g) + 1e-9, 6) AS mean_g,
+        |       round(avg(b) + 1e-9, 6) AS mean_b
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkPng = udf((id: Long) => {
+        val w = 3 + (id % 4).toInt; val h = 2 + (id % 3).toInt
+        val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i) % 256).toInt)
+        Multimodal.encodePng(w, h, 3, px, y => ((id + y) % 5).toInt)
+      })
+      Multimodal.decodePixels(
+          c.documents.select(col("doc_id"), mkPng(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r6(col("mean_r")).as("mean_r"), r6(col("mean_g")).as("mean_g"),
+          r6(col("mean_b")).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    // REAL GIF pixel decode (r5): genuine GIF89a files — 256-entry
+    // global color table, LSB-packed variable-width LZW stream with
+    // clear/EOI codes and sub-block framing — generated from doc keys;
+    // Multimodal.decodeGif runs the LZW decoder written in this repo
+    // (dictionary growth, code widening, KwKwK all handled; the spec
+    // exercises them against a real compressing encoder) and maps
+    // indices through the palette. Pixel p has palette index
+    // (id*31 + p) % 256; palette entry i is ((i*7+3)%256, (i*5+1)%256,
+    // (i*3+2)%256) — the oracle regenerates both arithmetically.
+    q("mm_decode_gif",
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 5)::BIGINT w,
+        |                  (1 + doc_id % 4)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |         unnest(range(0, w * h)) AS p FROM d),
+        |i AS (SELECT doc_id, w, h, (doc_id * 31 + p) % 256 AS idx FROM px),
+        |v AS (SELECT doc_id, w, h,
+        |        (idx * 7 + 3) % 256 AS r,
+        |        (idx * 5 + 1) % 256 AS g,
+        |        (idx * 3 + 2) % 256 AS b
+        |      FROM i)
+        |SELECT doc_id, 'gif' AS format,
+        |       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       round(avg(r) + 1e-9, 6) AS mean_r,
+        |       round(avg(g) + 1e-9, 6) AS mean_g,
+        |       round(avg(b) + 1e-9, 6) AS mean_b
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val palette = Array.tabulate(768) { k =>
+        val i = k / 3
+        (k % 3) match {
+          case 0 => (i * 7 + 3) % 256
+          case 1 => (i * 5 + 1) % 256
+          case _ => (i * 3 + 2) % 256
+        }
+      }
+      val mkGif = udf((id: Long) => {
+        val w = 2 + (id % 5).toInt; val h = 1 + (id % 4).toInt
+        val idx = Array.tabulate(w * h)(p => ((id * 31 + p) % 256).toInt)
+        Multimodal.encodeGif(w, h, idx, palette)
+      })
+      Multimodal.decodePixels(
+          c.documents.select(col("doc_id"), mkGif(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r6(col("mean_r")).as("mean_r"), r6(col("mean_g")).as("mean_g"),
+          r6(col("mean_b")).as("mean_b"))
+        .orderBy("doc_id")
     }
   )
 }
