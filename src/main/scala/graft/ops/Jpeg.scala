@@ -1,0 +1,518 @@
+package graft.ops
+
+/** Baseline JPEG codec (grayscale, single component) in pure Scala —
+  * closes the last multimodal pixel-decode stub.
+  *
+  * JPEG's "codec" is huffman entropy coding + dequantization + the
+  * 8×8 inverse DCT: all integer/double arithmetic, no library needed.
+  * The decoder is a real baseline-sequential decoder — it reads the
+  * quantization and huffman tables FROM THE FILE (DQT/DHT), handles
+  * byte stuffing, restart markers, ZRL/EOB runs, and negative-
+  * coefficient ones'-complement extension — restricted to the
+  * single-component (grayscale) frame type; color frames and
+  * progressive scans refuse with None rather than mis-decode.
+  *
+  * Reference capability: xorq treats media as opaque bytes flowing
+  * through exchange UDFs (expr/relations.py:580-823) and has no codec
+  * either; this closes the plumbing's decode seam for real.
+  *
+  * Exactness: lossy codecs still decode DETERMINISTICALLY. Images
+  * whose 8×8 blocks are constant have energy only in the DC
+  * coefficient; with the uniform quant table the encoder writes,
+  * round(8v/8)·8 survives quantization exactly and the IDCT returns
+  * the constant — so block-constant fixtures round-trip bit-exact and
+  * sit under the driver's hash gate, while arbitrary images carry the
+  * usual bounded quantization error (spec-checked).
+  */
+object Jpeg {
+
+  // JPEG zigzag scan order: zigzag(i) = raster index of the i-th
+  // scanned coefficient (ISO/IEC 10918-1 Figure 5)
+  private val Zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var i = 0
+    // walk anti-diagonals alternating direction
+    var d = 0
+    while (d < 15) {
+      // even diagonals walk x ascending (up-right), odd descending
+      val range = if (d % 2 == 0) (math.max(0, d - 7) to math.min(d, 7))
+        else (math.min(d, 7) to math.max(0, d - 7) by -1)
+      range.foreach { x =>
+        val y = d - x
+        z(i) = y * 8 + x
+        i += 1
+      }
+      d += 1
+    }
+    z
+  }
+
+  // --------------------------------------------------- bit plumbing
+
+  /** MSB-first bit writer with JPEG 0xFF byte stuffing. */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def put(value: Int, bits: Int): Unit = {
+      var k = bits - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((value >> k) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(cur)
+          if (cur == 0xff) out.write(0x00) // byte stuffing
+          cur = 0; nBits = 0
+        }
+        k -= 1
+      }
+    }
+    /** Pad the current partial byte with 1s (spec: fill bits). */
+    def align(): Unit = if (nBits > 0) put((1 << (8 - nBits)) - 1, 8 - nBits)
+    /** Write a marker (not byte-stuffed); must be byte-aligned. */
+    def rawMarker(m: Int): Unit = { align(); out.write(0xff); out.write(m) }
+    def flush(): Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** MSB-first bit reader over entropy-coded data with un-stuffing;
+    * stops cleanly at any non-RST marker. */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nBits = 0
+    var hitMarker = false
+    /** -1 on exhausted input. */
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= data.length) return -1
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= data.length) return -1
+          val m = data(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed 0xFF data byte
+          else if (m >= 0xd0 && m <= 0xd7) { // RSTn: caller resyncs
+            hitMarker = true; pos -= 1; return -1
+          } else { hitMarker = true; pos -= 1; return -1 }
+        }
+        cur = b; nBits = 8
+      }
+      nBits -= 1
+      (cur >> nBits) & 1
+    }
+    /** Consume an expected RSTn marker and realign. True on success. */
+    def restart(): Boolean = {
+      nBits = 0
+      if (pos + 1 >= data.length || (data(pos) & 0xff) != 0xff) return false
+      val m = data(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2; hitMarker = false
+      true
+    }
+  }
+
+  // --------------------------------------------------- huffman
+
+  /** Canonical huffman decode table built per the JPEG spec from the
+    * DHT (bits, huffval) arrays: mincode/maxcode/valptr per length. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Read one symbol; -1 on error/exhaustion. */
+    def decode(br: BitReader): Int = {
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val b = br.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+        l += 1
+      }
+      -1
+    }
+    /** Encoder view: symbol → (code, length). */
+    val encode: Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = Map.newBuilder[Int, (Int, Int)]
+      var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l - 1)) {
+          m += vals(k) -> (code, l)
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      m.result()
+    }
+  }
+
+  // Writer-side tables: flat canonical codes (12 DC categories at 4
+  // bits, all 162 run/size AC symbols at 8 bits — max assigned code
+  // stays below all-ones, as the spec requires). The DHT segment
+  // embeds them, so any baseline decoder reads this file.
+  private val DcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  private val AcVals: Array[Int] = {
+    val syms = Array.newBuilder[Int]
+    syms += 0x00 // EOB
+    for (run <- 0 to 15; size <- 1 to 10) syms += (run << 4) | size
+    syms += 0xf0 // ZRL
+    syms.result()
+  }
+  private val AcBits: Array[Int] = {
+    val b = new Array[Int](16)
+    b(7) = AcVals.length // all 162 symbols at length 8
+    b
+  }
+
+  // --------------------------------------------------- DCT
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](8 * 8)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+  private def c(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** Forward 8×8 DCT of level-shifted samples (row-major 64). */
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += block(y * 8 + x) * CosTable(x * 8 + u) * CosTable(y * 8 + v)
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = 0.25 * c(u) * c(v) * s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** Inverse 8×8 DCT → level-shifted samples. */
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            s += c(u) * c(v) * coef(v * 8 + u) *
+              CosTable(x * 8 + u) * CosTable(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = 0.25 * s
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------- encode
+
+  /** Encode a genuine baseline-sequential grayscale JPEG (SOI, DQT,
+    * SOF0, DHT×2, SOS, entropy-coded scan with byte stuffing, EOI)
+    * from row-major 0-255 values. Dimensions need not be multiples of
+    * 8 — edge blocks replicate the last row/column, as real encoders
+    * do. `quant` fills a uniform quantization table; 8 keeps
+    * block-constant images bit-exact through the round trip. */
+  def encodeGray(w: Int, h: Int, px: Array[Int], quant: Int = 8,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h,
+      s"encodeGray: expected ${w * h} values, got ${px.length}")
+    // quant 1 could need DC category 12 / AC size 11 on adversarial
+    // inputs (basis-aligned ±128 images) — outside baseline's tables
+    require(quant >= 2 && quant <= 255, "quant must be 2..255")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); out.write(0x00) // DQT, table 0, 8-bit
+    (0 until 64).foreach(_ => out.write(quant))
+    marker(0xc0) // SOF0 baseline
+    u16(8 + 3 * 1); out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // comp 1, 1×1, qtable 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write(cls << 4)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { // DRI
+      marker(0xdd); u16(4); u16(restartInterval)
+    }
+    marker(0xda) // SOS
+    u16(6 + 2 * 1); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0) // Ss, Se, Ah/Al
+    val dcTab = new HuffTable(DcBits, DcVals).encode
+    val acTab = new HuffTable(AcBits, AcVals).encode
+    val bw = new BitWriter
+    def category(v: Int): Int = { // bit length of |v|
+      var a = math.abs(v); var n = 0
+      while (a > 0) { a >>= 1; n += 1 }
+      n
+    }
+    def putCoded(tab: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (code, len) = tab(sym)
+      bw.put(code, len)
+    }
+    var prevDc = 0
+    val blocksX = (w + 7) / 8
+    val blocksY = (h + 7) / 8
+    val shifted = new Array[Double](64)
+    var mcu = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.rawMarker(0xd0 + ((mcu / restartInterval - 1) % 8))
+          prevDc = 0
+        }
+        var i = 0
+        while (i < 64) {
+          // clamp-replicate edge samples into partial blocks
+          val sy = math.min(by * 8 + i / 8, h - 1)
+          val sx = math.min(bx * 8 + i % 8, w - 1)
+          shifted(i) = px(sy * w + sx) - 128.0
+          i += 1
+        }
+        val coef = fdct(shifted)
+        val q = new Array[Int](64)
+        i = 0
+        while (i < 64) {
+          q(i) = math.round(coef(Zigzag(i)) / quant).toInt
+          i += 1
+        }
+        // DC: category + ones'-complement-extended diff bits
+        val diff = q(0) - prevDc
+        prevDc = q(0)
+        val s = category(diff)
+        putCoded(dcTab, s)
+        if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        // AC: run/size symbols in zigzag order
+        var run = 0
+        i = 1
+        while (i < 64) {
+          if (q(i) == 0) run += 1
+          else {
+            while (run > 15) { putCoded(acTab, 0xf0); run -= 16 }
+            val sz = category(q(i))
+            putCoded(acTab, (run << 4) | sz)
+            bw.put(if (q(i) >= 0) q(i) else q(i) + (1 << sz) - 1, sz)
+            run = 0
+          }
+          i += 1
+        }
+        if (run > 0) putCoded(acTab, 0x00) // EOB
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    out.write(bw.flush())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // --------------------------------------------------- decode
+
+  /** Decode a baseline-sequential GRAYSCALE JPEG: (width, height,
+    * row-major 0-255 values). Tables come from the file's own
+    * DQT/DHT segments; restart markers are honored. Color frames,
+    * progressive/arithmetic scans, and corrupt streams → None. */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+      (bytes(1) & 0xff) != 0xd8) return None
+    def beU16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    var w = 0; var h = 0
+    var qTables = Map.empty[Int, Array[Int]] // natural (raster) order
+    var dcTables = Map.empty[Int, HuffTable]
+    var acTables = Map.empty[Int, HuffTable]
+    var compQ = -1; var compDc = -1; var compAc = -1
+    var restartInterval = 0
+    var i = 2
+    var scanStart = -1
+    while (scanStart < 0 && i + 4 <= bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None
+      val m = bytes(i + 1) & 0xff
+      if (m == 0xff) { i += 1 } // fill byte before a marker
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (m == 0xd9) return None // EOI before scan
+      else {
+        val len = beU16(i + 2)
+        val body = i + 4
+        if (len < 2 || body + len - 2 > bytes.length) return None
+        m match {
+          case 0xdb => // DQT: possibly several tables in one segment
+            var p = body
+            while (p < body + len - 2) {
+              val pq = (bytes(p) & 0xff) >> 4
+              val tq = bytes(p) & 0x0f
+              if (pq != 0) return None // 16-bit tables unsupported
+              if (p + 65 > bytes.length) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                t(Zigzag(k)) = bytes(p + 1 + k) & 0xff
+                k += 1
+              }
+              qTables += tq -> t
+              p += 65
+            }
+          case 0xc4 => // DHT: possibly several tables
+            var p = body
+            while (p < body + len - 2) {
+              val cls = (bytes(p) & 0xff) >> 4
+              val id = bytes(p) & 0x0f
+              val bits = Array.tabulate(16)(k => bytes(p + 1 + k) & 0xff)
+              val n = bits.sum
+              if (p + 17 + n > bytes.length) return None
+              val vals = Array.tabulate(n)(k => bytes(p + 17 + k) & 0xff)
+              val tab = new HuffTable(bits, vals)
+              if (cls == 0) dcTables += id -> tab else acTables += id -> tab
+              p += 17 + n
+            }
+          case 0xc0 | 0xc1 => // baseline / extended-sequential SOF
+            if (bytes(body) != 8) return None
+            h = beU16(body + 1); w = beU16(body + 3)
+            val nComp = bytes(body + 5) & 0xff
+            if (nComp != 1) return None // grayscale only — refuse color
+            compQ = bytes(body + 8) & 0x0f
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+            return None // progressive/arithmetic/hierarchical
+          case 0xdd =>
+            restartInterval = beU16(body)
+          case 0xda => // SOS
+            val nComp = bytes(body) & 0xff
+            if (nComp != 1) return None
+            compDc = (bytes(body + 2) & 0xff) >> 4
+            compAc = bytes(body + 2) & 0x0f
+            scanStart = body + len - 2
+          case _ => () // APPn/COM/etc: skip
+        }
+        i = body + len - 2
+      }
+    }
+    if (scanStart < 0 || w <= 0 || h <= 0) return None
+    val quant = qTables.getOrElse(compQ, return None)
+    val dcTab = dcTables.getOrElse(compDc, return None)
+    val acTab = acTables.getOrElse(compAc, return None)
+    val blocksX = (w + 7) / 8
+    val blocksY = (h + 7) / 8
+    val out = new Array[Int](w * h)
+    val br = new BitReader(bytes, scanStart)
+    var prevDc = 0
+    var mcu = 0
+    val coef = new Array[Double](64)
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.restart()) return None
+          prevDc = 0
+        }
+        java.util.Arrays.fill(coef, 0.0)
+        // DC
+        val s = dcTab.decode(br)
+        if (s < 0 || s > 11) return None
+        var diff = 0
+        if (s > 0) {
+          var k = 0
+          while (k < s) {
+            val b = br.bit(); if (b < 0) return None
+            diff = (diff << 1) | b
+            k += 1
+          }
+          if (diff < (1 << (s - 1))) diff -= (1 << s) - 1
+        }
+        prevDc += diff
+        coef(0) = prevDc.toDouble * quant(0)
+        // AC
+        var zz = 1
+        var eob = false
+        while (zz < 64 && !eob) {
+          val sym = acTab.decode(br)
+          if (sym < 0) return None
+          if (sym == 0x00) eob = true
+          else if (sym == 0xf0) zz += 16
+          else {
+            val run = sym >> 4
+            val size = sym & 0x0f
+            zz += run
+            if (zz > 63 || size == 0) return None
+            var v = 0
+            var k = 0
+            while (k < size) {
+              val b = br.bit(); if (b < 0) return None
+              v = (v << 1) | b
+              k += 1
+            }
+            if (v < (1 << (size - 1))) v -= (1 << size) - 1
+            // both coef and the parsed quant table are in natural
+            // (raster) order; zz is the zigzag position
+            coef(Zigzag(zz)) = v.toDouble * quant(Zigzag(zz))
+            zz += 1
+          }
+        }
+        val samples = idct(coef)
+        var yy = 0
+        while (yy < 8) {
+          val py = by * 8 + yy
+          if (py < h) {
+            var xx = 0
+            while (xx < 8) {
+              val pxx = bx * 8 + xx
+              if (pxx < w) {
+                val v = math.round(samples(yy * 8 + xx) + 128.0).toInt
+                out(py * w + pxx) = math.max(0, math.min(255, v))
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, out))
+  }
+}

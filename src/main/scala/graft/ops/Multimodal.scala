@@ -12,18 +12,20 @@ import org.apache.spark.sql.functions._
   * with an explicit output schema — here `Dataset#mapPartitions` over a
   * case-class row, the Scala analogue of `mapInPandas` batches.
   *
-  * Decode status, honestly: header metadata parsing is REAL for
-  * PNG/JPEG/GIF/BMP/WAV ([[sniff]]); pixel/sample decode is REAL for
-  * 24-bit uncompressed BMP ([[decodeBmp]]), PCM16 WAV
-  * ([[decodeWavPcm16]]), PNG ([[decodePng]] — JDK `Inflater` zlib
-  * stream + all five scanline unfilters, 8-bit gray/RGB/RGBA), and
-  * GIF ([[decodeGif]] — variable-width LZW written here, global or
-  * local palette). Only JPEG pixel decode stays a STUB
-  * ([[decodeStub]]): baseline DCT needs an entropy decoder + IDCT no
-  * JDK class provides. The Spark-side contract — binary column in,
-  * typed struct out, partition-local, no shuffle, no driver
-  * collect — is identical across all of them and is what survives a
-  * codec swap at 100 TB.
+  * Decode status: header metadata parsing is REAL for
+  * PNG/JPEG/GIF/BMP/WAV ([[sniff]]), and pixel/sample decode is REAL
+  * for all five formats — 24-bit uncompressed BMP ([[decodeBmp]]),
+  * PCM16 WAV ([[decodeWavPcm16]]), PNG ([[decodePng]] — JDK
+  * `Inflater` zlib stream + all five scanline unfilters, 8-bit
+  * gray/RGB/RGBA), GIF ([[decodeGif]] — variable-width LZW written
+  * here, global or local palette), and baseline grayscale JPEG
+  * ([[graft.ops.Jpeg]] — huffman entropy decode + dequant + IDCT,
+  * tables read from the file). Remaining declared limits: color/
+  * progressive JPEG and interlaced/16-bit/palette PNG refuse with
+  * None rather than mis-decode. The Spark-side contract — binary
+  * column in, typed struct out, partition-local, no shuffle, no
+  * driver collect — is identical across all of them and is what
+  * survives a codec swap at 100 TB.
   */
 object Multimodal {
 
@@ -154,8 +156,8 @@ object Multimodal {
   // no entropy coding, no codec library — so their PIXEL/SAMPLE decode
   // is implemented for real here. PNG and GIF decode are real too
   // (below): PNG's codec is JDK zlib, GIF's is an LZW written in this
-  // file. Only JPEG decode stays honestly stubbed (baseline DCT
-  // entropy decode + IDCT); its header metadata is parsed by [[sniff]].
+  // file. Baseline grayscale JPEG decode lives in [[graft.ops.Jpeg]]
+  // (huffman + dequant + IDCT, also written here).
 
   /** Decoded 24-bit BMP: (width, height, row-major TOP-DOWN RGB byte
     * values 0-255, 3 per pixel). Handles bottom-up (positive height)
@@ -610,6 +612,8 @@ object Multimodal {
               ("png", w, h, ch, px) })
             .orElse(decodeGif(bytes).map { case (w, h, px) =>
               ("gif", w, h, 3, px) })
+            .orElse(Jpeg.decodeGray(bytes).map { case (w, h, px) =>
+              ("jpeg", w, h, 1, px) })
         decoded match {
           case Some((fmt, w, h, ch, px)) =>
             // means of the first three channels (alpha excluded);

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Multimodal, TextDedup, VectorSim}
+import graft.ops.{Jpeg, Multimodal, TextDedup, VectorSim}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -694,6 +694,44 @@ object LlmQueries {
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           r6(col("mean_r")).as("mean_r"), r6(col("mean_g")).as("mean_g"),
           r6(col("mean_b")).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    // REAL baseline JPEG pixel decode (r5): genuine grayscale JPEGs —
+    // SOI/DQT/SOF0/DHT/SOS, huffman-coded scan with byte stuffing —
+    // generated from doc keys and decoded by graft.ops.Jpeg (huffman
+    // entropy decode + dequant + IDCT, tables read from the file).
+    // Lossy codecs still decode deterministically: each 8×8 block is
+    // CONSTANT, so all energy sits in the DC coefficient, which the
+    // uniform quant-8 table preserves exactly (round(8v/8)·8 → v) —
+    // the decode is bit-exact and sits under the hash gate. Block b
+    // (row-major) of doc id has value (id*31 + b*17) % 256.
+    q("mm_decode_jpeg",
+      """WITH d AS (SELECT doc_id, (8 * (1 + doc_id % 3))::BIGINT w,
+        |                  (8 * (1 + doc_id % 2))::BIGINT h FROM documents),
+        |b AS (SELECT doc_id, w, h,
+        |        unnest(range(0, (w // 8) * (h // 8))) AS blk FROM d),
+        |v AS (SELECT doc_id, w, h,
+        |        (doc_id * 31 + blk * 17) % 256 AS val FROM b)
+        |SELECT doc_id, 'jpeg' AS format,
+        |       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       round(avg(val) + 1e-9, 6) AS mean_gray
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkJpeg = udf((id: Long) => {
+        val w = 8 * (1 + (id % 3).toInt); val h = 8 * (1 + (id % 2).toInt)
+        val blocksX = w / 8
+        val px = Array.tabulate(w * h) { i =>
+          val blk = (i / w / 8) * blocksX + (i % w) / 8
+          ((id * 31 + blk * 17) % 256).toInt
+        }
+        Jpeg.encodeGray(w, h, px, quant = 8)
+      })
+      Multimodal.decodePixels(
+          c.documents.select(col("doc_id"),
+            mkJpeg(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r6(col("mean_r")).as("mean_gray"))
         .orderBy("doc_id")
     }
   )

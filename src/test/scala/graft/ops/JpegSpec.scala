@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Baseline grayscale JPEG codec: huffman + dequant + IDCT written in
+  * this repo. Block-constant images must round-trip EXACTLY (DC-only
+  * blocks survive the uniform quant table); arbitrary images carry
+  * bounded quantization error; unsupported frame types refuse. */
+class JpegSpec extends SparkSpec {
+
+  private def constBlocks(w: Int, h: Int, blockVal: (Int, Int) => Int)
+      : Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      blockVal(x / 8, y / 8) & 0xff
+    }
+
+  test("block-constant images round-trip bit-exact (DC-only path)") {
+    // 4×2 blocks covering value extremes and odd values
+    val vals = Array(0, 255, 128, 1, 77, 200, 33, 254)
+    val px = constBlocks(32, 16, (bx, by) => vals(by * 4 + bx))
+    val bytes = Jpeg.encodeGray(32, 16, px, quant = 8)
+    val Some((w, h, got)) = Jpeg.decodeGray(bytes)
+    assert(w == 32 && h == 16)
+    assert(got.sameElements(px))
+    // the container is a spec-conformant baseline JPEG sniff agrees with
+    val m = Multimodal.sniff(1, bytes)
+    assert(m.format == "jpeg" && m.width == 32 && m.height == 16 &&
+      m.channels == 1)
+  }
+
+  test("arbitrary images decode within quantization error; gradients " +
+    "exercise AC runs and ZRL") {
+    val (w, h) = (24, 24)
+    val ramp = Array.tabulate(w * h)(i => ((i % w) * 10 + (i / w) * 3) % 256)
+    val noisy = Array.tabulate(w * h)(i => (i * i * 31 + i * 7 + 5) % 256)
+    for ((px, name) <- Seq((ramp, "ramp"), (noisy, "noisy"))) {
+      val Some((gw, gh, got)) = Jpeg.decodeGray(Jpeg.encodeGray(w, h, px, 4))
+      assert(gw == w && gh == h, name)
+      val maxErr = px.indices.map(i => math.abs(got(i) - px(i))).max
+      assert(maxErr <= 24, s"$name maxErr=$maxErr") // ~quant·8/2 envelope
+      val meanErr = px.indices.map(i => math.abs(got(i) - px(i))).sum /
+        px.length.toDouble
+      assert(meanErr <= 4.0, s"$name meanErr=$meanErr")
+    }
+  }
+
+  test("non-multiple-of-8 dimensions: edge blocks replicate and crop") {
+    val (w, h) = (13, 5)
+    val px = constBlocks(w, h, (bx, by) => 40 + 60 * bx + 20 * by)
+    val Some((gw, gh, got)) = Jpeg.decodeGray(Jpeg.encodeGray(w, h, px, 8))
+    assert(gw == w && gh == h)
+    assert(got.sameElements(px)) // constant blocks stay exact when cropped
+  }
+
+  test("restart markers: DRI interval honored, DC predictor resets") {
+    val px = constBlocks(48, 8, (bx, _) => 20 + bx * 39) // 6 MCUs
+    val bytes = Jpeg.encodeGray(48, 8, px, quant = 8, restartInterval = 2)
+    // stream really contains RST markers (FFD0..FFD7 outside stuffing)
+    val hasRst = bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(hasRst, "expected RSTn markers in the scan")
+    val Some((_, _, got)) = Jpeg.decodeGray(bytes)
+    assert(got.sameElements(px))
+  }
+
+  test("unsupported and corrupt streams refuse with None") {
+    val good = Jpeg.encodeGray(16, 16, Array.fill(256)(90), 8)
+    assert(Jpeg.decodeGray(good).isDefined)
+    assert(Jpeg.decodeGray(good.dropRight(12)).isEmpty) // truncated scan
+    assert(Jpeg.decodeGray(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Jpeg.decodeGray(Array.empty[Byte]).isEmpty)
+    // progressive frame: flip SOF0 marker to SOF2
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeGray(prog).isEmpty)
+    // a color (3-component) SOF must refuse, not decode luma silently
+    val colorSof = good.clone()
+    colorSof(sofAt + 9) = 3.toByte // component count byte inside SOF
+    assert(Jpeg.decodeGray(colorSof).isEmpty)
+  }
+
+  test("decodePixels dispatches real JPEG decode (gray replicated)") {
+    val sp = spark
+    import sp.implicits._
+    val jp = Jpeg.encodeGray(8, 8, Array.fill(64)(66), 8)
+    val got = Multimodal.decodePixels(Seq((5L, jp)).toDF("doc_id", "payload"),
+      "doc_id").collect().head
+    assert(got.format == "jpeg" && got.width == 8 && got.height == 8 &&
+      got.mean_r == 66.0 && got.mean_g == 66.0 && got.mean_b == 66.0)
+  }
+}
