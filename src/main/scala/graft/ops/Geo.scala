@@ -87,11 +87,63 @@ object Geo {
     b * bigA * (sigma - dSigma)
   }
 
-  /** Register the scalar geodesic function for SQL/Column use. */
-  def registerGeodesic(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** WGS-84 DIRECT geodesic (destination point): start, initial
+    * azimuth in degrees, distance in meters → (lat2, lon2) degrees by
+    * Vincenty's direct formula. Like [[vincentyM]], the σ iteration is
+    * PINNED at `iters` rounds with no convergence break so an oracle
+    * can unroll the exact arithmetic; three rounds are sub-millimeter
+    * for distances into the thousands of km (the iteration converges
+    * quadratically from σ₀ = s/(bA)). Expressions use the same
+    * explicit `x*x` / `*π/180` forms as the inverse solver so the SQL
+    * transcription is operation-for-operation identical. */
+  def vincentyDestination(lat1: Double, lon1: Double, azDeg: Double,
+      distM: Double, iters: Int = 3): (Double, Double) = {
+    val a = 6378137.0
+    val b = 6356752.314245
+    val f = 1.0 / 298.257223563
+    val u1 = math.atan((1 - f) * math.tan(lat1 * math.Pi / 180))
+    val su1 = math.sin(u1); val cu1 = math.cos(u1)
+    val al1 = azDeg * math.Pi / 180
+    val sa1 = math.sin(al1); val ca1 = math.cos(al1)
+    val sg1 = math.atan2(math.tan(u1), ca1)
+    val sal = cu1 * sa1
+    val c2a = 1 - sal * sal
+    val uu = c2a * (a * a - b * b) / (b * b)
+    val ba = 1 + uu / 16384 * (4096 + uu * (-768 + uu * (320 - 175 * uu)))
+    val bb = uu / 1024 * (256 + uu * (-128 + uu * (74 - 47 * uu)))
+    val sig0 = distM / (b * ba)
+    var sig = sig0
+    var i = 0
+    while (i < iters) {
+      val tm = 2 * sg1 + sig
+      val ds = bb * math.sin(sig) * (math.cos(tm) + bb / 4 *
+        (math.cos(sig) * (-1 + 2 * math.cos(tm) * math.cos(tm)) - bb / 6 *
+          math.cos(tm) * (-3 + 4 * math.sin(sig) * math.sin(sig)) *
+          (-3 + 4 * math.cos(tm) * math.cos(tm))))
+      sig = sig0 + ds
+      i += 1
+    }
+    val tmf = 2 * sg1 + sig
+    val ss = math.sin(sig); val cs = math.cos(sig)
+    val tmp = su1 * ss - cu1 * cs * ca1
+    val lat2 = math.atan2(su1 * cs + cu1 * ss * ca1,
+      (1 - f) * math.sqrt(sal * sal + tmp * tmp))
+    val lam = math.atan2(ss * sa1, cu1 * cs - su1 * ss * ca1)
+    val cc = f / 16 * c2a * (4 + f * (4 - 3 * c2a))
+    val el = lam - (1 - cc) * f * sal * (sig + cc * ss *
+      (math.cos(tmf) + cc * cs * (-1 + 2 * math.cos(tmf) * math.cos(tmf))))
+    (lat2 * 180 / math.Pi, lon1 + el * 180 / math.Pi)
+  }
+
+  /** Register the scalar geodesic functions for SQL/Column use. */
+  def registerGeodesic(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("geo_vincenty_m",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
         vincentyM(lat1, lon1, lat2, lon2))
+    spark.udf.register("geo_destination",
+      (lat1: Double, lon1: Double, azDeg: Double, distM: Double) =>
+        vincentyDestination(lat1, lon1, azDeg, distM))
+  }
 
   /** Number of longitude cells; `cellDeg` must divide 360 so the
     * antimeridian wrap is seamless. */

@@ -139,6 +139,128 @@ object GeoQueries {
         .orderBy("c_custkey")
     },
 
+    // DIRECT geodesic (destination point) — Vincenty's direct formula
+    // on WGS-84, σ iteration PINNED at 3 rounds and unrolled in the
+    // oracle as chained CTEs (the geo_geodesic trick for the direct
+    // problem). Azimuth and distance derive from the key; both output
+    // coordinates sit under the hash gate at 6 decimals (~0.1 m).
+    q("geo_geodesic_dest",
+      """WITH p AS (SELECT c_custkey,
+        |        ((c_custkey * 37) % 12000)/100.0 - 60.0 AS lat,
+        |        ((c_custkey * 91) % 36000)/100.0 - 180.0 AS lon,
+        |        ((c_custkey * 53) % 360) * 1.0 AS az,
+        |        50000.0 + (c_custkey % 1000) * 100.0 AS dist FROM customer),
+        |t AS (SELECT c_custkey, lat, lon, az, dist,
+        |        atan((1 - 1.0/298.257223563) * tan(lat * pi() / 180)) AS u1v,
+        |        az * pi() / 180 AS al1 FROM p),
+        |t2 AS (SELECT c_custkey, lon, dist, u1v,
+        |        sin(u1v) AS su1, cos(u1v) AS cu1,
+        |        sin(al1) AS sa1, cos(al1) AS ca1,
+        |        atan2(tan(u1v), cos(al1)) AS sg1,
+        |        cos(u1v) * sin(al1) AS sal FROM t),
+        |t3 AS (SELECT c_custkey, lon, dist, su1, cu1, sa1, ca1, sg1, sal,
+        |        1 - sal*sal AS c2a,
+        |        (1 - sal*sal) * (6378137.0::DOUBLE * 6378137.0::DOUBLE - 6356752.314245::DOUBLE * 6356752.314245::DOUBLE) / (6356752.314245::DOUBLE * 6356752.314245::DOUBLE) AS uu2
+        |       FROM t2),
+        |t4 AS (SELECT *,
+        |        1 + uu2/16384*(4096 + uu2*(-768 + uu2*(320 - 175*uu2))) AS ba2,
+        |        uu2/1024*(256 + uu2*(-128 + uu2*(74 - 47*uu2))) AS bb2 FROM t3),
+        |t5 AS (SELECT *, dist / (6356752.314245::DOUBLE * ba2) AS sg0 FROM t4),
+        |i1 AS (SELECT *, 2*sg1 + sg0 AS tm1,
+        |        sg0 + bb2*sin(sg0)*(cos(tm1) + bb2/4*(cos(sg0)*(-1 + 2*cos(tm1)*cos(tm1)) - bb2/6*cos(tm1)*(-3 + 4*sin(sg0)*sin(sg0))*(-3 + 4*cos(tm1)*cos(tm1)))) AS sgi1
+        |       FROM t5),
+        |i2 AS (SELECT *, 2*sg1 + sgi1 AS tm2,
+        |        sg0 + bb2*sin(sgi1)*(cos(tm2) + bb2/4*(cos(sgi1)*(-1 + 2*cos(tm2)*cos(tm2)) - bb2/6*cos(tm2)*(-3 + 4*sin(sgi1)*sin(sgi1))*(-3 + 4*cos(tm2)*cos(tm2)))) AS sgi2
+        |       FROM i1),
+        |i3 AS (SELECT *, 2*sg1 + sgi2 AS tm3,
+        |        sg0 + bb2*sin(sgi2)*(cos(tm3) + bb2/4*(cos(sgi2)*(-1 + 2*cos(tm3)*cos(tm3)) - bb2/6*cos(tm3)*(-3 + 4*sin(sgi2)*sin(sgi2))*(-3 + 4*cos(tm3)*cos(tm3)))) AS sgi3
+        |       FROM i2),
+        |fin AS (SELECT c_custkey, lon, su1, cu1, sa1, ca1, sal, c2a, sgi3,
+        |        2*sg1 + sgi3 AS tmf, sin(sgi3) AS ssf, cos(sgi3) AS csf,
+        |        su1*sin(sgi3) - cu1*cos(sgi3)*ca1 AS tmpv,
+        |        (1.0/298.257223563)/16 * c2a * (4 + (1.0/298.257223563)*(4 - 3*c2a)) AS ccv
+        |       FROM i3),
+        |f2 AS (SELECT c_custkey, lon,
+        |        atan2(su1*csf + cu1*ssf*ca1, (1 - 1.0/298.257223563) * sqrt(sal*sal + tmpv*tmpv)) AS lat2r,
+        |        atan2(ssf*sa1, cu1*csf - su1*ssf*ca1)
+        |          - (1-ccv)*(1.0/298.257223563)*sal*(sgi3 + ccv*ssf*(cos(tmf) + ccv*csf*(-1 + 2*cos(tmf)*cos(tmf)))) AS elv
+        |       FROM fin)
+        |SELECT c_custkey,
+        |       round(lat2r * 180 / pi() + 1e-9, 6) AS dest_lat,
+        |       round(lon + elv * 180 / pi() + 1e-9, 6) AS dest_lon
+        |FROM f2 ORDER BY c_custkey""") { c =>
+      graft.ops.Geo.registerGeodesic(c.spark)
+      val pts = c.customer.select(col("c_custkey"),
+        lat(col("c_custkey")).as("lat"), lon(col("c_custkey")).as("lon"),
+        (col("c_custkey") * 53 % 360).cast("double").as("az"),
+        (lit(50000.0) + (col("c_custkey") % 1000) * 100.0).as("dist"))
+      pts.withColumn("dest",
+          callUDF("geo_destination", col("lat"), col("lon"), col("az"),
+            col("dist")))
+        .select(col("c_custkey"),
+          r6(col("dest").getField("_1")).as("dest_lat"),
+          r6(col("dest").getField("_2")).as("dest_lon"))
+        .orderBy("c_custkey")
+    },
+
+    // GEODESIC-tier polygon area: quads with a rectangular hole run
+    // through WKT parse + the Chamberlain–Duquette spherical-excess
+    // kernel (authalic R = 6371008.8 m); the oracle replicates the
+    // per-edge excess sum arithmetically from the same closed-form
+    // vertices — shell edges in ring order, hole subtracted.
+    q("geo_area_spherical",
+      """WITH g AS (SELECT s_suppkey,
+        |        ((s_suppkey * 37) % 12000)/100.0 - 60.0 AS latc,
+        |        ((s_suppkey * 91) % 34000)/100.0 - 170.0 AS lonc,
+        |        0.5 + (s_suppkey % 5) * 0.25 AS w,
+        |        0.4 + ((s_suppkey * 3) % 6) * 0.2 AS h FROM supplier),
+        |b AS (SELECT s_suppkey, latc, lonc, w, h,
+        |        lonc + w AS x2, latc + h AS y2,
+        |        lonc + w * 0.25 AS hx1, lonc + w - w * 0.25 AS hx2,
+        |        latc + h * 0.25 AS hy1, latc + h - h * 0.25 AS hy2 FROM g),
+        |e AS (SELECT s_suppkey,
+        |        (x2 - lonc) * pi() / 180 * (2 + sin(latc * pi() / 180) + sin(latc * pi() / 180))
+        |      + (x2 - x2) * pi() / 180 * (2 + sin(latc * pi() / 180) + sin(y2 * pi() / 180))
+        |      + (lonc - x2) * pi() / 180 * (2 + sin(y2 * pi() / 180) + sin(y2 * pi() / 180))
+        |      + (lonc - lonc) * pi() / 180 * (2 + sin(y2 * pi() / 180) + sin(latc * pi() / 180)) AS es,
+        |        (hx2 - hx1) * pi() / 180 * (2 + sin(hy1 * pi() / 180) + sin(hy1 * pi() / 180))
+        |      + (hx2 - hx2) * pi() / 180 * (2 + sin(hy1 * pi() / 180) + sin(hy2 * pi() / 180))
+        |      + (hx1 - hx2) * pi() / 180 * (2 + sin(hy2 * pi() / 180) + sin(hy2 * pi() / 180))
+        |      + (hx1 - hx1) * pi() / 180 * (2 + sin(hy2 * pi() / 180) + sin(hy1 * pi() / 180)) AS eh
+        |      FROM b)
+        |SELECT s_suppkey,
+        |       round((abs(es) * 6371008.8::DOUBLE * 6371008.8::DOUBLE / 2
+        |            - abs(eh) * 6371008.8::DOUBLE * 6371008.8::DOUBLE / 2) / 1000000.0 + 1e-9, 4) AS area_km2
+        |FROM e ORDER BY s_suppkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val g = c.supplier.select(col("s_suppkey"),
+          (lit(0.5) + col("s_suppkey") % 5 * 0.25).as("w"),
+          (lit(0.4) + col("s_suppkey") * 3 % 6 * 0.2).as("h"),
+          ((col("s_suppkey") * 37 % 12000) / 100.0 - 60.0).as("latc"),
+          ((col("s_suppkey") * 91 % 34000) / 100.0 - 170.0).as("lonc"))
+        .withColumn("x2", col("lonc") + col("w"))
+        .withColumn("y2", col("latc") + col("h"))
+        .withColumn("hx1", col("lonc") + col("w") * 0.25)
+        .withColumn("hx2", col("lonc") + col("w") - col("w") * 0.25)
+        .withColumn("hy1", col("latc") + col("h") * 0.25)
+        .withColumn("hy2", col("latc") + col("h") - col("h") * 0.25)
+        .withColumn("wkt", concat(lit("POLYGON(("),
+          col("lonc"), lit(" "), col("latc"), lit(", "),
+          col("x2"), lit(" "), col("latc"), lit(", "),
+          col("x2"), lit(" "), col("y2"), lit(", "),
+          col("lonc"), lit(" "), col("y2"), lit(", "),
+          col("lonc"), lit(" "), col("latc"), lit("), ("),
+          col("hx1"), lit(" "), col("hy1"), lit(", "),
+          col("hx2"), lit(" "), col("hy1"), lit(", "),
+          col("hx2"), lit(" "), col("hy2"), lit(", "),
+          col("hx1"), lit(" "), col("hy2"), lit(", "),
+          col("hx1"), lit(" "), col("hy1"), lit("))")))
+      g.select(col("s_suppkey"),
+          r4((callUDF("st_area_spherical", col("wkt")) / 1000000.0)
+            .as("area_km2")).as("area_km2"))
+        .orderBy("s_suppkey")
+    },
+
     // GEOMETRY-typed subset (ref expr/types/geospatial.py): per-row WKT
     // rectangles built from supplier keys run through the real parse +
     // shoelace / ring-length / centroid kernels; the oracle computes

@@ -100,4 +100,57 @@ class GeoSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"radius join must not degrade to a cross product:\n$plan")
   }
+
+  test("Vincenty direct: canonical Flinders Peak → Buninyong vector; " +
+    "direct/inverse round-trip closes") {
+    // the worked example from Vincenty (1975) / Geoscience Australia:
+    // start -37°57'03.72030\" 144°25'29.52440\", azimuth 306°52'05.37\",
+    // s = 54 972.271 m → -37°39'10.15610\" 143°55'35.38390\"
+    val lat1 = -(37 + 57 / 60.0 + 3.72030 / 3600)
+    val lon1 = 144 + 25 / 60.0 + 29.52440 / 3600
+    val az = 306 + 52 / 60.0 + 5.37 / 3600
+    val (lat2, lon2) = Geo.vincentyDestination(lat1, lon1, az, 54972.271)
+    val expLat = -(37 + 39 / 60.0 + 10.15610 / 3600)
+    val expLon = 143 + 55 / 60.0 + 35.38390 / 3600
+    assert(math.abs(lat2 - expLat) < 1e-7 && math.abs(lon2 - expLon) < 1e-7,
+      s"got ($lat2, $lon2), expected ($expLat, $expLon)")
+    // direct then inverse must reproduce the distance (sub-mm)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val la = rnd.nextDouble * 120 - 60
+      val lo = rnd.nextDouble * 340 - 170
+      val a = rnd.nextDouble * 360
+      val d = 1000 + rnd.nextDouble * 999000
+      val (dla, dlo) = Geo.vincentyDestination(la, lo, a, d)
+      val back = Geo.vincentyM(la, lo, dla, dlo)
+      assert(math.abs(back - d) < 1e-3,
+        s"($la,$lo) az=$a d=$d -> ($dla,$dlo), inverse $back")
+    }
+  }
+
+  test("spherical polygon area: small quads approach the planar value, " +
+    "holes subtract, non-polygons are zero") {
+    import graft.ops.Geometry
+    // 0.1° × 0.1° quad at the equator ≈ (0.1·111.195 km)² planar
+    val eq = Geometry.parseWkt(
+      "POLYGON((10 0, 10.1 0, 10.1 0.1, 10 0.1, 10 0))")
+    val got = Geometry.sphericalAreaM2(eq)
+    val planar = math.pow(0.1 * math.Pi / 180 * 6371008.8, 2)
+    assert(math.abs(got - planar) / planar < 0.01, s"$got vs $planar")
+    // at 60°N the same lon span shrinks by ~cos(60°) = 0.5
+    val north = Geometry.parseWkt(
+      "POLYGON((10 60, 10.1 60, 10.1 60.1, 10 60.1, 10 60))")
+    val ratio = Geometry.sphericalAreaM2(north) / got
+    assert(math.abs(ratio - 0.5) < 0.01, s"cos-lat ratio $ratio")
+    // a hole removes exactly its own spherical area
+    val holed = Geometry.parseWkt(
+      "POLYGON((10 0, 10.1 0, 10.1 0.1, 10 0.1, 10 0), " +
+        "(10.02 0.02, 10.08 0.02, 10.08 0.08, 10.02 0.08, 10.02 0.02))")
+    val hole = Geometry.parseWkt(
+      "POLYGON((10.02 0.02, 10.08 0.02, 10.08 0.08, 10.02 0.08, 10.02 0.02))")
+    assert(math.abs(Geometry.sphericalAreaM2(holed) -
+      (got - Geometry.sphericalAreaM2(hole))) < 1e-6)
+    assert(Geometry.sphericalAreaM2(
+      Geometry.parseWkt("LINESTRING(0 0, 1 1)")) == 0.0)
+  }
 }
