@@ -306,6 +306,81 @@ object Geometry {
     }
   }
 
+  // ------------------------------------------------ CRS transform
+
+  /** Closed-form CRS conversion between WGS-84 (EPSG:4326, lon/lat
+    * degrees) and Web-Mercator (EPSG:3857, meters) — the projection
+    * pair behind every web-map tile stack (ref geospatial.py
+    * `convert`/`transform`). Other CRS pairs need a projection
+    * database and refuse loudly. Latitudes are Mercator-clipped to
+    * ±85.051129° by the caller's data contract (tan diverges at the
+    * pole — the standard Web-Mercator domain). */
+  def transformPoint(x: Double, y: Double, from: Int,
+      to: Int): (Double, Double) = {
+    val r = 6378137.0
+    (from, to) match {
+      case (4326, 3857) =>
+        (x * math.Pi / 180 * r,
+          math.log(math.tan(math.Pi / 4 + y * math.Pi / 180 / 2)) * r)
+      case (3857, 4326) =>
+        (x / r * 180 / math.Pi,
+          (2 * math.atan(math.exp(y / r)) - math.Pi / 2) * 180 / math.Pi)
+      case (a, b) if a == b => (x, y)
+      case _ => throw new IllegalArgumentException(
+        s"st_transform supports EPSG:4326 <-> EPSG:3857, got $from -> $to")
+    }
+  }
+
+  /** Transform every coordinate of a geometry between the supported
+    * CRS pair, preserving structure (rings, holes). */
+  def transform(g: Geom, from: Int, to: Int): Geom =
+    Geom(g.kind, g.rings.map(_.map { case (x, y) =>
+      transformPoint(x, y, from, to) }))
+
+  // ------------------------------------------ multi-geometry surface
+
+  /** Component WKTs of a MULTIPOINT / MULTILINESTRING / MULTIPOLYGON /
+    * GEOMETRYCOLLECTION, split at the top paren level (textual — the
+    * single-geometry kernels then apply per part); a single geometry
+    * yields itself. ref geospatial.py `geometry_n`. */
+  def geometries(wkt0: String): Seq[String] = {
+    val s = splitSrid(wkt0)._2.trim
+    val open = s.indexOf('(')
+    if (open < 0) return Seq(s) // POLYGON EMPTY and friends
+    val kind = s.substring(0, open).trim.toUpperCase
+    val inner = s.substring(open + 1, s.lastIndexOf(')'))
+    def splitTop(parts: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var start = 0; var i = 0
+      while (i < parts.length) {
+        parts(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            out += parts.substring(start, i); start = i + 1
+          case _ => ()
+        }
+        i += 1
+      }
+      out += parts.substring(start)
+      out.result().map(_.trim)
+    }
+    kind match {
+      case "MULTIPOINT" => splitTop(inner).map { p =>
+        s"POINT(${p.stripPrefix("(").stripSuffix(")").trim})"
+      }
+      case "MULTILINESTRING" => splitTop(inner).map(p => s"LINESTRING$p")
+      case "MULTIPOLYGON" => splitTop(inner).map(p => s"POLYGON$p")
+      case "GEOMETRYCOLLECTION" => splitTop(inner)
+      case _ => Seq(s)
+    }
+  }
+
+  /** Multi-aware additive measure: Σ of `f` over component
+    * geometries (a single geometry is its own 1-element sum). */
+  private def overParts(wkt: String, f: Geom => Double): Double =
+    geometries(wkt).map(p => f(parseWkt(p))).sum
+
   // ------------------------------------------------------ accessors
 
   /** 1-based vertex of the first ring (OGC point_n convention). */
@@ -1185,13 +1260,31 @@ object Geometry {
       (wkt: String) => parseWkt(wkt).rings.head.head._1)
     spark.udf.register("st_y",
       (wkt: String) => parseWkt(wkt).rings.head.head._2)
-    spark.udf.register("st_area", (wkt: String) => area(parseWkt(wkt)))
+    // additive measures are multi-aware: MULTI*/collections sum parts
+    spark.udf.register("st_area", (wkt: String) => overParts(wkt, area))
     spark.udf.register("st_area_spherical",
-      (wkt: String) => sphericalAreaM2(parseWkt(wkt)))
+      (wkt: String) => overParts(wkt, sphericalAreaM2))
     spark.udf.register("st_perimeter",
-      (wkt: String) => perimeter(parseWkt(wkt)))
+      (wkt: String) => overParts(wkt, perimeter))
     spark.udf.register("st_length",
-      (wkt: String) => perimeter(parseWkt(wkt)))
+      (wkt: String) => overParts(wkt, perimeter))
+    spark.udf.register("st_n_geometries",
+      (wkt: String) => geometries(wkt).length)
+    spark.udf.register("st_geometry_n", (wkt: String, n: Int) => {
+      val parts = geometries(wkt)
+      require(n >= 1 && n <= parts.length,
+        s"st_geometry_n: index $n out of 1..${parts.length}")
+      parts(n - 1)
+    })
+    spark.udf.register("st_transform",
+      (wkt: String, from: Int, to: Int) =>
+        toWkt(transform(parseWkt(wkt), from, to)))
+    spark.udf.register("st_transform_x",
+      (x: Double, y: Double, from: Int, to: Int) =>
+        transformPoint(x, y, from, to)._1)
+    spark.udf.register("st_transform_y",
+      (x: Double, y: Double, from: Int, to: Int) =>
+        transformPoint(x, y, from, to)._2)
     spark.udf.register("st_centroid_x",
       (wkt: String) => centroid(parseWkt(wkt))._1)
     spark.udf.register("st_centroid_y",
@@ -1201,10 +1294,15 @@ object Geometry {
         contains(parseWkt(poly), x, y))
     spark.udf.register("st_distance",
       (a: String, b: String) => distance(parseWkt(a), parseWkt(b)))
-    spark.udf.register("st_npoints",
-      (wkt: String) => parseWkt(wkt).rings.map(_.length).sum)
-    spark.udf.register("st_geometry_type",
-      (wkt: String) => parseWkt(wkt).kind)
+    spark.udf.register("st_npoints", (wkt: String) =>
+      geometries(wkt).map(p => parseWkt(p).rings.map(_.length).sum).sum)
+    spark.udf.register("st_geometry_type", (wkt: String) => {
+      val s = splitSrid(wkt)._2.trim
+      val open = s.indexOf('(')
+      val k = (if (open > 0) s.substring(0, open) else s).trim.toUpperCase
+      if (k.startsWith("MULTI") || k == "GEOMETRYCOLLECTION") k
+      else parseWkt(wkt).kind
+    })
     spark.udf.register("st_xmin", (wkt: String) => envelope(parseWkt(wkt))._1)
     spark.udf.register("st_ymin", (wkt: String) => envelope(parseWkt(wkt))._2)
     spark.udf.register("st_xmax", (wkt: String) => envelope(parseWkt(wkt))._3)

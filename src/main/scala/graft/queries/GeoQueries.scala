@@ -261,6 +261,85 @@ object GeoQueries {
         .orderBy("s_suppkey")
     },
 
+    // CRS transform (ref geospatial.py convert/transform): WGS-84 ↔
+    // Web-Mercator is closed-form (no projection database), so the
+    // forward projection AND the inverse round-trip both sit under the
+    // hash gate against the arithmetic oracle.
+    q("geo_transform",
+      """WITH p AS (SELECT c_custkey,
+        |        ((c_custkey * 37) % 12000)/100.0 - 60.0 AS lat,
+        |        ((c_custkey * 91) % 36000)/100.0 - 180.0 AS lon FROM customer),
+        |m AS (SELECT c_custkey, lat, lon,
+        |        lon * pi() / 180 * 6378137.0::DOUBLE AS mx,
+        |        ln(tan(pi() / 4 + lat * pi() / 180 / 2)) * 6378137.0::DOUBLE AS my
+        |      FROM p)
+        |SELECT c_custkey,
+        |       round(mx + 1e-9, 4) AS merc_x,
+        |       round(my + 1e-9, 4) AS merc_y,
+        |       round((2 * atan(exp(my / 6378137.0::DOUBLE)) - pi() / 2) * 180 / pi() + 1e-9, 6) AS back_lat
+        |FROM m ORDER BY c_custkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val pts = c.customer.select(col("c_custkey"),
+        lat(col("c_custkey")).as("lat"), lon(col("c_custkey")).as("lon"))
+      pts.withColumn("mx",
+          callUDF("st_transform_x", col("lon"), col("lat"),
+            lit(4326), lit(3857)))
+        .withColumn("my",
+          callUDF("st_transform_y", col("lon"), col("lat"),
+            lit(4326), lit(3857)))
+        .select(col("c_custkey"),
+          r4(col("mx")).as("merc_x"),
+          r4(col("my")).as("merc_y"),
+          r6(callUDF("st_transform_y", col("mx"), col("my"),
+            lit(3857), lit(4326))).as("back_lat"))
+        .orderBy("c_custkey")
+    },
+
+    // MULTI-geometry surface (ref geometry_n/n_points over multis):
+    // two disjoint rectangles per supplier flow as one MULTIPOLYGON;
+    // the additive measures sum the parts and st_geometry_n extracts
+    // the second for its own area — all closed-form in the oracle.
+    q("geo_geom_multi",
+      """SELECT s_suppkey,
+        |       CAST(2 AS INT) AS n_geoms,
+        |       round(w1 * h1 + w2 * h2 + 1e-9, 4) AS area_total,
+        |       round(w2 * h2 + 1e-9, 4) AS area_2,
+        |       round(2 * (w1 + h1) + 2 * (w2 + h2) + 1e-9, 4) AS perim_total
+        |FROM (SELECT s_suppkey,
+        |             1.0 + (s_suppkey % 7) AS w1, 1.0 + ((s_suppkey * 5) % 11) AS h1,
+        |             1.0 + ((s_suppkey * 2) % 9) AS w2, 1.0 + ((s_suppkey * 7) % 5) AS h2
+        |      FROM supplier)
+        |ORDER BY s_suppkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val g = c.supplier.select(col("s_suppkey"),
+          (col("s_suppkey") % 50).cast("double").as("x0"),
+          (col("s_suppkey") * 3 % 50).cast("double").as("y0"),
+          (lit(1.0) + col("s_suppkey") % 7).as("w1"),
+          (lit(1.0) + col("s_suppkey") * 5 % 11).as("h1"),
+          (lit(1.0) + col("s_suppkey") * 2 % 9).as("w2"),
+          (lit(1.0) + col("s_suppkey") * 7 % 5).as("h2"))
+        .withColumn("x1", col("x0") + 100.0)
+        .withColumn("y1", col("y0") + 50.0)
+        .withColumn("wkt", concat(lit("MULTIPOLYGON((("),
+          col("x0"), lit(" "), col("y0"), lit(", "),
+          col("x0") + col("w1"), lit(" "), col("y0"), lit(", "),
+          col("x0") + col("w1"), lit(" "), col("y0") + col("h1"), lit(", "),
+          col("x0"), lit(" "), col("y0") + col("h1"), lit(", "),
+          col("x0"), lit(" "), col("y0"), lit(")), (("),
+          col("x1"), lit(" "), col("y1"), lit(", "),
+          col("x1") + col("w2"), lit(" "), col("y1"), lit(", "),
+          col("x1") + col("w2"), lit(" "), col("y1") + col("h2"), lit(", "),
+          col("x1"), lit(" "), col("y1") + col("h2"), lit(", "),
+          col("x1"), lit(" "), col("y1"), lit(")))")))
+      g.select(col("s_suppkey"),
+          callUDF("st_n_geometries", col("wkt")).as("n_geoms"),
+          r4(callUDF("st_area", col("wkt"))).as("area_total"),
+          r4(callUDF("st_area",
+            callUDF("st_geometry_n", col("wkt"), lit(2)))).as("area_2"),
+          r4(callUDF("st_perimeter", col("wkt"))).as("perim_total"))
+        .orderBy("s_suppkey")
+    },
+
     // GEOMETRY-typed subset (ref expr/types/geospatial.py): per-row WKT
     // rectangles built from supplier keys run through the real parse +
     // shoelace / ring-length / centroid kernels; the oracle computes

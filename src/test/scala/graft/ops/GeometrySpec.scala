@@ -408,4 +408,63 @@ class GeometrySpec extends SparkSpec {
     assert(out(1).getBoolean(1) === false) // notch
     assert(math.abs(out(2).getDouble(2) - math.hypot(10, 10)) < 1e-12)
   }
+
+  test("web-mercator transform: known vectors, round trip, refusal") {
+    // equator origin maps to the mercator origin (ln(tan(π/4)) is FP
+    // noise of ~1e-9 m, not exactly 0 — π/4 isn't representable)
+    val (ox, oy) = Geometry.transformPoint(0, 0, 4326, 3857)
+    assert(ox == 0.0 && math.abs(oy) < 1e-8)
+    // lon 180° → half the projected world width (πR)
+    val (wx, _) = Geometry.transformPoint(180, 0, 4326, 3857)
+    assert(math.abs(wx - 20037508.342789244) < 1e-6)
+    // canonical 45°N northing
+    val (_, y45) = Geometry.transformPoint(0, 45, 4326, 3857)
+    assert(math.abs(y45 - 5621521.486192) < 1e-5, s"y45=$y45")
+    // round trip recovers coordinates to FP noise
+    val (mx, my) = Geometry.transformPoint(12.4924, 41.8902, 4326, 3857)
+    val (bx, by2) = Geometry.transformPoint(mx, my, 3857, 4326)
+    assert(math.abs(bx - 12.4924) < 1e-9 && math.abs(by2 - 41.8902) < 1e-9)
+    // geometry-level transform preserves ring structure
+    val g = Geometry.transform(
+      Geometry.parseWkt("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"), 4326, 3857)
+    assert(g.kind == "POLYGON" && g.rings.head.length == 5)
+    intercept[IllegalArgumentException](
+      Geometry.transformPoint(0, 0, 4326, 27700)) // needs a proj db
+  }
+
+  test("multi-geometry split and additive measures") {
+    val mp = "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+      "((10 0, 13 0, 13 1, 10 1, 10 0), (11 0.2, 12 0.2, 12 0.8, 11 0.8, 11 0.2)))"
+    val parts = Geometry.geometries(mp)
+    assert(parts.length == 2)
+    assert(Geometry.parseWkt(parts(0)).kind == "POLYGON")
+    // part 2 keeps its hole: area 3 − 0.6
+    assert(math.abs(Geometry.area(Geometry.parseWkt(parts(1))) - 2.4) < 1e-12)
+    val ml = Geometry.geometries("MULTILINESTRING((0 0, 1 0), (5 5, 5 7))")
+    assert(ml == Seq("LINESTRING(0 0, 1 0)", "LINESTRING(5 5, 5 7)"))
+    val mpt = Geometry.geometries("MULTIPOINT((1 2), (3 4))")
+    assert(mpt == Seq("POINT(1 2)", "POINT(3 4)"))
+    val gc = Geometry.geometries(
+      "GEOMETRYCOLLECTION(POINT(1 1), LINESTRING(0 0, 2 2))")
+    assert(gc.length == 2 && gc.head.startsWith("POINT"))
+    // single geometries are their own 1-element split
+    assert(Geometry.geometries("POLYGON((0 0, 1 0, 1 1, 0 0))").length == 1)
+    // registered additive measures sum parts; geometry_n bounds-checks
+    val sp = spark
+    Geometry.register(sp)
+    import sp.implicits._
+    val row = Seq((1L, mp)).toDF("id", "wkt")
+    row.createOrReplaceTempView("multis")
+    val got = sp.sql(
+      """SELECT st_area(wkt) a, st_n_geometries(wkt) n,
+        |       st_area(st_geometry_n(wkt, 2)) a2, st_npoints(wkt) np
+        |FROM multis""".stripMargin).collect().head
+    assert(math.abs(got.getDouble(0) - 6.4) < 1e-12)
+    assert(got.getInt(1) == 2 && math.abs(got.getDouble(2) - 2.4) < 1e-12)
+    assert(got.getInt(3) == 15)
+    val oob = intercept[org.apache.spark.SparkException](
+      sp.sql("SELECT st_geometry_n(wkt, 3) FROM multis").collect())
+    assert(oob.getMessage.contains("out of") ||
+      oob.getCause.getMessage.contains("out of"))
+  }
 }
