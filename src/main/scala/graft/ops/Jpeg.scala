@@ -242,6 +242,50 @@ object Jpeg {
 
   // --------------------------------------------------- encode
 
+  /** Quantize and entropy-code one level-shifted 8×8 block with the
+    * writer-side flat tables; returns the new DC predictor. */
+  private def emitBlock(bw: BitWriter, dcTab: Map[Int, (Int, Int)],
+      acTab: Map[Int, (Int, Int)], shifted: Array[Double], quant: Int,
+      prevDc: Int): Int = {
+    def category(v: Int): Int = { // bit length of |v|
+      var a = math.abs(v); var n = 0
+      while (a > 0) { a >>= 1; n += 1 }
+      n
+    }
+    val coefs = fdct(shifted)
+    val q = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      q(i) = math.round(coefs(Zigzag(i)) / quant).toInt
+      i += 1
+    }
+    // DC: category + ones'-complement-extended diff bits
+    val diff = q(0) - prevDc
+    val s = category(diff)
+    val (dcCode, dcLen) = dcTab(s)
+    bw.put(dcCode, dcLen)
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    // AC: run/size symbols in zigzag order
+    var run = 0
+    i = 1
+    while (i < 64) {
+      if (q(i) == 0) run += 1
+      else {
+        while (run > 15) {
+          val (c, l) = acTab(0xf0); bw.put(c, l); run -= 16
+        }
+        val sz = category(q(i))
+        val (c, l) = acTab((run << 4) | sz)
+        bw.put(c, l)
+        bw.put(if (q(i) >= 0) q(i) else q(i) + (1 << sz) - 1, sz)
+        run = 0
+      }
+      i += 1
+    }
+    if (run > 0) { val (c, l) = acTab(0x00); bw.put(c, l) } // EOB
+    q(0)
+  }
+
   /** Encode a genuine baseline-sequential grayscale JPEG (SOI, DQT,
     * SOF0, DHT×2, SOS, entropy-coded scan with byte stuffing, EOI)
     * from row-major 0-255 values. Dimensions need not be multiples of
@@ -281,15 +325,6 @@ object Jpeg {
     val dcTab = new HuffTable(DcBits, DcVals).encode
     val acTab = new HuffTable(AcBits, AcVals).encode
     val bw = new BitWriter
-    def category(v: Int): Int = { // bit length of |v|
-      var a = math.abs(v); var n = 0
-      while (a > 0) { a >>= 1; n += 1 }
-      n
-    }
-    def putCoded(tab: Map[Int, (Int, Int)], sym: Int): Unit = {
-      val (code, len) = tab(sym)
-      bw.put(code, len)
-    }
     var prevDc = 0
     val blocksX = (w + 7) / 8
     val blocksY = (h + 7) / 8
@@ -311,34 +346,7 @@ object Jpeg {
           shifted(i) = px(sy * w + sx) - 128.0
           i += 1
         }
-        val coef = fdct(shifted)
-        val q = new Array[Int](64)
-        i = 0
-        while (i < 64) {
-          q(i) = math.round(coef(Zigzag(i)) / quant).toInt
-          i += 1
-        }
-        // DC: category + ones'-complement-extended diff bits
-        val diff = q(0) - prevDc
-        prevDc = q(0)
-        val s = category(diff)
-        putCoded(dcTab, s)
-        if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-        // AC: run/size symbols in zigzag order
-        var run = 0
-        i = 1
-        while (i < 64) {
-          if (q(i) == 0) run += 1
-          else {
-            while (run > 15) { putCoded(acTab, 0xf0); run -= 16 }
-            val sz = category(q(i))
-            putCoded(acTab, (run << 4) | sz)
-            bw.put(if (q(i) >= 0) q(i) else q(i) + (1 << sz) - 1, sz)
-            run = 0
-          }
-          i += 1
-        }
-        if (run > 0) putCoded(acTab, 0x00) // EOB
+        prevDc = emitBlock(bw, dcTab, acTab, shifted, quant, prevDc)
         mcu += 1
         bx += 1
       }
@@ -349,13 +357,151 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode a genuine baseline COLOR JPEG (BT.601/JFIF YCbCr, box-
+    * average chroma downsampling) from row-major interleaved RGB.
+    * `lumaH`/`lumaV` are the luma sampling factors: (1,1) = 4:4:4,
+    * (2,1) = 4:2:2, (2,2) = 4:2:0 — the layouts real encoders emit.
+    * The color transform stays full-precision double until each
+    * block's DCT, so constant-color images are DC-only per plane and
+    * round-trip deterministically (integer-rounded once per plane). */
+  def encodeColorRgb(w: Int, h: Int, rgb: Array[Int], quant: Int = 8,
+      lumaH: Int = 2, lumaV: Int = 2): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"encodeColorRgb: expected ${w * h * 3} values, got ${rgb.length}")
+    require(quant >= 2 && quant <= 255, "quant must be 2..255")
+    require(lumaH >= 1 && lumaH <= 2 && lumaV >= 1 && lumaV <= 2,
+      "sampling factors must be 1 or 2")
+    val yP = new Array[Double](w * h)
+    val cbFull = new Array[Double](w * h)
+    val crFull = new Array[Double](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = rgb(3 * i); val g = rgb(3 * i + 1); val b = rgb(3 * i + 2)
+      yP(i) = 0.299 * r + 0.587 * g + 0.114 * b
+      cbFull(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+      crFull(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+      i += 1
+    }
+    val cw = (w + lumaH - 1) / lumaH
+    val ch = (h + lumaV - 1) / lumaV
+    def down(src: Array[Double]): Array[Double] =
+      if (lumaH == 1 && lumaV == 1) src
+      else {
+        val o = new Array[Double](cw * ch)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            var s = 0.0; var n = 0
+            var dy = 0
+            while (dy < lumaV) {
+              var dx = 0
+              while (dx < lumaH) {
+                val sx = x * lumaH + dx; val sy = y * lumaV + dy
+                if (sx < w && sy < h) { s += src(sy * w + sx); n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            o(y * cw + x) = s / n
+            x += 1
+          }
+          y += 1
+        }
+        o
+      }
+    val cbP = down(cbFull); val crP = down(crFull)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(quant))
+    marker(0xc0); u16(8 + 3 * 3); out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write((lumaH << 4) | lumaV); out.write(0) // Y
+    out.write(2); out.write(0x11); out.write(0)                 // Cb
+    out.write(3); out.write(0x11); out.write(0)                 // Cr
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write(cls << 4)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xda); u16(6 + 2 * 3); out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val dcT = new HuffTable(DcBits, DcVals).encode
+    val acT = new HuffTable(AcBits, AcVals).encode
+    val bw = new BitWriter
+    val mcusX = (w + 8 * lumaH - 1) / (8 * lumaH)
+    val mcusY = (h + 8 * lumaV - 1) / (8 * lumaV)
+    val shifted = new Array[Double](64)
+    def loadBlock(plane: Array[Double], pw: Int, ph: Int, bx: Int,
+        by: Int): Unit = {
+      var k = 0
+      while (k < 64) {
+        val sy = math.min(by * 8 + k / 8, ph - 1)
+        val sx = math.min(bx * 8 + k % 8, pw - 1)
+        shifted(k) = plane(sy * pw + sx) - 128.0
+        k += 1
+      }
+    }
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var by = 0
+        while (by < lumaV) {
+          var bx = 0
+          while (bx < lumaH) {
+            loadBlock(yP, w, h, mx * lumaH + bx, my * lumaV + by)
+            dcY = emitBlock(bw, dcT, acT, shifted, quant, dcY)
+            bx += 1
+          }
+          by += 1
+        }
+        loadBlock(cbP, cw, ch, mx, my)
+        dcCb = emitBlock(bw, dcT, acT, shifted, quant, dcCb)
+        loadBlock(crP, cw, ch, mx, my)
+        dcCr = emitBlock(bw, dcT, acT, shifted, quant, dcCr)
+        mx += 1
+      }
+      my += 1
+    }
+    out.write(bw.flush())
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // --------------------------------------------------- decode
 
   /** Decode a baseline-sequential GRAYSCALE JPEG: (width, height,
-    * row-major 0-255 values). Tables come from the file's own
-    * DQT/DHT segments; restart markers are honored. Color frames,
-    * progressive/arithmetic scans, and corrupt streams → None. */
-  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    * row-major 0-255 values). Delegates to [[decode]] and refuses
+    * color frames. */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decode(bytes) match {
+      case Some((w, h, 1, px)) => Some((w, h, px))
+      case _ => None
+    }
+
+  /** One frame component: id, sampling factors, quant table, and the
+    * huffman table ids bound by the scan header. */
+  private final class Comp(val id: Int, val hs: Int, val vs: Int,
+    val tq: Int) { var td: Int = 0; var ta: Int = 0 }
+
+  /** Decode a baseline-sequential JPEG: (width, height, channels,
+    * row-major interleaved 0-255 values). channels = 1 (grayscale) or
+    * 3 (YCbCr → RGB). Tables come from the file's own DQT/DHT
+    * segments; sampling factors up to 2×2 (4:4:4, 4:2:2, 4:2:0) with
+    * replicated chroma upsampling; restart markers honored.
+    * Progressive/arithmetic scans, >2 sampling factors, and corrupt
+    * streams → None. */
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
       (bytes(1) & 0xff) != 0xd8) return None
     def beU16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
@@ -363,7 +509,7 @@ object Jpeg {
     var qTables = Map.empty[Int, Array[Int]] // natural (raster) order
     var dcTables = Map.empty[Int, HuffTable]
     var acTables = Map.empty[Int, HuffTable]
-    var compQ = -1; var compDc = -1; var compAc = -1
+    var comps: Array[Comp] = null
     var restartInterval = 0
     var i = 2
     var scanStart = -1
@@ -411,108 +557,184 @@ object Jpeg {
             if (bytes(body) != 8) return None
             h = beU16(body + 1); w = beU16(body + 3)
             val nComp = bytes(body + 5) & 0xff
-            if (nComp != 1) return None // grayscale only — refuse color
-            compQ = bytes(body + 8) & 0x0f
+            if (nComp != 1 && nComp != 3) return None
+            comps = Array.tabulate(nComp) { k =>
+              val p = body + 6 + 3 * k
+              val hs = (bytes(p + 1) & 0xff) >> 4
+              val vs = bytes(p + 1) & 0x0f
+              new Comp(bytes(p) & 0xff, hs, vs, bytes(p + 2) & 0x0f)
+            }
+            // single-component scans are non-interleaved: sampling
+            // factors are ignored (spec A.2) — normalize to 1×1
+            if (nComp == 1) comps = Array(
+              new Comp(comps(0).id, 1, 1, comps(0).tq))
+            if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 ||
+              c.vs > 2)) return None
           case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
             return None // progressive/arithmetic/hierarchical
           case 0xdd =>
             restartInterval = beU16(body)
-          case 0xda => // SOS
+          case 0xda => // SOS: bind huffman table ids to components
             val nComp = bytes(body) & 0xff
-            if (nComp != 1) return None
-            compDc = (bytes(body + 2) & 0xff) >> 4
-            compAc = bytes(body + 2) & 0x0f
+            if (comps == null || nComp != comps.length) return None
+            var k = 0
+            while (k < nComp) {
+              val cid = bytes(body + 1 + 2 * k) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.td = (bytes(body + 2 + 2 * k) & 0xff) >> 4
+              c.ta = bytes(body + 2 + 2 * k) & 0x0f
+              k += 1
+            }
             scanStart = body + len - 2
           case _ => () // APPn/COM/etc: skip
         }
         i = body + len - 2
       }
     }
-    if (scanStart < 0 || w <= 0 || h <= 0) return None
-    val quant = qTables.getOrElse(compQ, return None)
-    val dcTab = dcTables.getOrElse(compDc, return None)
-    val acTab = acTables.getOrElse(compAc, return None)
-    val blocksX = (w + 7) / 8
-    val blocksY = (h + 7) / 8
-    val out = new Array[Int](w * h)
+    if (scanStart < 0 || w <= 0 || h <= 0 || comps == null) return None
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component block-padded planes at sampled resolution
+    val planeW = comps.map(c => mcusX * c.hs * 8)
+    val planes = comps.zipWithIndex.map { case (c, ci) =>
+      new Array[Int](planeW(ci) * mcusY * c.vs * 8) }
+    val quants = comps.map(c => qTables.getOrElse(c.tq, return None))
+    val dcTabs = comps.map(c => dcTables.getOrElse(c.td, return None))
+    val acTabs = comps.map(c => acTables.getOrElse(c.ta, return None))
     val br = new BitReader(bytes, scanStart)
-    var prevDc = 0
-    var mcu = 0
+    val prevDc = new Array[Int](comps.length)
     val coef = new Array[Double](64)
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          if (!br.restart()) return None
-          prevDc = 0
+
+    /** Decode one entropy-coded block of component ci into its plane
+      * at block position (bx, by); false on corrupt data. */
+    def block(ci: Int, bx: Int, by: Int): Boolean = {
+      val quant = quants(ci)
+      java.util.Arrays.fill(coef, 0.0)
+      val s = dcTabs(ci).decode(br)
+      if (s < 0 || s > 11) return false
+      var diff = 0
+      if (s > 0) {
+        var k = 0
+        while (k < s) {
+          val b = br.bit(); if (b < 0) return false
+          diff = (diff << 1) | b
+          k += 1
         }
-        java.util.Arrays.fill(coef, 0.0)
-        // DC
-        val s = dcTab.decode(br)
-        if (s < 0 || s > 11) return None
-        var diff = 0
-        if (s > 0) {
+        if (diff < (1 << (s - 1))) diff -= (1 << s) - 1
+      }
+      prevDc(ci) += diff
+      coef(0) = prevDc(ci).toDouble * quant(0)
+      var zz = 1
+      var eob = false
+      while (zz < 64 && !eob) {
+        val sym = acTabs(ci).decode(br)
+        if (sym < 0) return false
+        if (sym == 0x00) eob = true
+        else if (sym == 0xf0) zz += 16
+        else {
+          val run = sym >> 4
+          val size = sym & 0x0f
+          zz += run
+          if (zz > 63 || size == 0) return false
+          var v = 0
           var k = 0
-          while (k < s) {
-            val b = br.bit(); if (b < 0) return None
-            diff = (diff << 1) | b
+          while (k < size) {
+            val b = br.bit(); if (b < 0) return false
+            v = (v << 1) | b
             k += 1
           }
-          if (diff < (1 << (s - 1))) diff -= (1 << s) - 1
+          if (v < (1 << (size - 1))) v -= (1 << size) - 1
+          // both coef and the parsed quant table are in natural
+          // (raster) order; zz is the zigzag position
+          coef(Zigzag(zz)) = v.toDouble * quant(Zigzag(zz))
+          zz += 1
         }
-        prevDc += diff
-        coef(0) = prevDc.toDouble * quant(0)
-        // AC
-        var zz = 1
-        var eob = false
-        while (zz < 64 && !eob) {
-          val sym = acTab.decode(br)
-          if (sym < 0) return None
-          if (sym == 0x00) eob = true
-          else if (sym == 0xf0) zz += 16
-          else {
-            val run = sym >> 4
-            val size = sym & 0x0f
-            zz += run
-            if (zz > 63 || size == 0) return None
-            var v = 0
-            var k = 0
-            while (k < size) {
-              val b = br.bit(); if (b < 0) return None
-              v = (v << 1) | b
-              k += 1
-            }
-            if (v < (1 << (size - 1))) v -= (1 << size) - 1
-            // both coef and the parsed quant table are in natural
-            // (raster) order; zz is the zigzag position
-            coef(Zigzag(zz)) = v.toDouble * quant(Zigzag(zz))
-            zz += 1
-          }
+      }
+      val samples = idct(coef)
+      val pw = planeW(ci)
+      val plane = planes(ci)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          val v = math.round(samples(yy * 8 + xx) + 128.0).toInt
+          plane((by * 8 + yy) * pw + bx * 8 + xx) =
+            math.max(0, math.min(255, v))
+          xx += 1
         }
-        val samples = idct(coef)
-        var yy = 0
-        while (yy < 8) {
-          val py = by * 8 + yy
-          if (py < h) {
-            var xx = 0
-            while (xx < 8) {
-              val pxx = bx * 8 + xx
-              if (pxx < w) {
-                val v = math.round(samples(yy * 8 + xx) + 128.0).toInt
-                out(py * w + pxx) = math.max(0, math.min(255, v))
-              }
-              xx += 1
+        yy += 1
+      }
+      true
+    }
+
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.restart()) return None
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var by = 0
+          while (by < c.vs) {
+            var bx = 0
+            while (bx < c.hs) {
+              if (!block(ci, mx * c.hs + bx, my * c.vs + by)) return None
+              bx += 1
             }
+            by += 1
           }
-          yy += 1
+          ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    Some((w, h, out))
+    if (comps.length == 1) {
+      val out = new Array[Int](w * h)
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = planes(0)(y * pw + x); x += 1 }
+        y += 1
+      }
+      Some((w, h, 1, out))
+    } else {
+      // replicated chroma upsampling + BT.601/JFIF YCbCr → RGB
+      val out = new Array[Int](w * h * 3)
+      def sample(ci: Int, x: Int, y: Int): Int = {
+        val c = comps(ci)
+        planes(ci)((y * c.vs / vmax) * planeW(ci) + (x * c.hs / hmax))
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = sample(0, x, y).toDouble
+          val cb = sample(1, x, y).toDouble
+          val cr = sample(2, x, y).toDouble
+          def clamp(d: Double): Int =
+            math.max(0, math.min(255, math.round(d).toInt))
+          val o = (y * w + x) * 3
+          out(o) = clamp(yv + 1.402 * (cr - 128))
+          out(o + 1) = clamp(yv - 0.344136 * (cb - 128) -
+            0.714136 * (cr - 128))
+          out(o + 2) = clamp(yv + 1.772 * (cb - 128))
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, 3, out))
+    }
   }
+
 }

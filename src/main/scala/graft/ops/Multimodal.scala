@@ -612,8 +612,8 @@ object Multimodal {
               ("png", w, h, ch, px) })
             .orElse(decodeGif(bytes).map { case (w, h, px) =>
               ("gif", w, h, 3, px) })
-            .orElse(Jpeg.decodeGray(bytes).map { case (w, h, px) =>
-              ("jpeg", w, h, 1, px) })
+            .orElse(Jpeg.decode(bytes).map { case (w, h, ch, px) =>
+              ("jpeg", w, h, ch, px) })
         decoded match {
           case Some((fmt, w, h, ch, px)) =>
             // means of the first three channels (alpha excluded);

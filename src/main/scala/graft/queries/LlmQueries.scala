@@ -733,6 +733,61 @@ object LlmQueries {
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           r6(col("mean_r")).as("mean_gray"))
         .orderBy("doc_id")
+    },
+
+    // REAL baseline COLOR JPEG decode (r5): 4:2:0 YCbCr files (4 luma
+    // + 2 subsampled chroma blocks per MCU, separate DC predictors)
+    // generated from doc keys and decoded end to end — huffman →
+    // dequant → IDCT per plane → replicated chroma upsampling →
+    // BT.601 YCbCr→RGB. Constant-color images make every plane
+    // DC-only, so the round trip reduces to the color transform plus
+    // ONE integer rounding per plane — closed-form in the oracle
+    // (floor(x+0.5) = the JVM's math.round). The near-gray offsets
+    // (g−r ∈ {−2,−1,1,2}, b−r even) keep every rounded value ≥0.02
+    // from a .5 boundary, far above the DCT path's ~1e-13 FP noise,
+    // so decoder and oracle can never round apart.
+    q("mm_decode_jpeg_color",
+      """WITH d AS (SELECT doc_id,
+        |        (20 + (doc_id * 31) % 216) * 1.0 AS r,
+        |        CASE doc_id % 4 WHEN 0 THEN -2 WHEN 1 THEN -1
+        |             WHEN 2 THEN 1 ELSE 2 END * 1.0 AS d1,
+        |        ((doc_id // 4) % 3 - 1) * 2.0 AS d2 FROM documents),
+        |c AS (SELECT doc_id, r, r + d1 AS g, r + d2 AS b FROM d),
+        |y AS (SELECT doc_id,
+        |        0.299 * r + 0.587 * g + 0.114 * b AS yy,
+        |        -0.168736 * r - 0.331264 * g + 0.5 * b + 128 AS cb,
+        |        0.5 * r - 0.418688 * g - 0.081312 * b + 128 AS cr FROM c),
+        |q AS (SELECT doc_id, floor(yy - 128 + 0.5) + 128 AS yq,
+        |        floor(cb - 128 + 0.5) + 128 AS cbq,
+        |        floor(cr - 128 + 0.5) + 128 AS crq FROM y)
+        |SELECT doc_id, 'jpeg' AS format,
+        |       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |       round(floor(yq + 1.402 * (crq - 128) + 0.5) + 1e-9, 2) AS mean_r,
+        |       round(floor(yq - 0.344136 * (cbq - 128) - 0.714136 * (crq - 128) + 0.5) + 1e-9, 2) AS mean_g,
+        |       round(floor(yq + 1.772 * (cbq - 128) + 0.5) + 1e-9, 2) AS mean_b
+        |FROM q ORDER BY doc_id""") { c =>
+      val mkJpegC = udf((id: Long) => {
+        val r = 20 + ((id * 31) % 216).toInt
+        val d1 = (id % 4).toInt match {
+          case 0 => -2; case 1 => -1; case 2 => 1; case _ => 2
+        }
+        val d2 = (((id / 4) % 3).toInt - 1) * 2
+        val rgb = new Array[Int](16 * 16 * 3)
+        var i = 0
+        while (i < 256) {
+          rgb(3 * i) = r; rgb(3 * i + 1) = r + d1; rgb(3 * i + 2) = r + d2
+          i += 1
+        }
+        Jpeg.encodeColorRgb(16, 16, rgb, quant = 8, 2, 2)
+      })
+      Multimodal.decodePixels(
+          c.documents.select(col("doc_id"),
+            mkJpegC(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r2(col("mean_r")).as("mean_r"), r2(col("mean_g")).as("mean_g"),
+          r2(col("mean_b")).as("mean_b"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -82,6 +82,82 @@ class JpegSpec extends SparkSpec {
     assert(Jpeg.decodeGray(colorSof).isEmpty)
   }
 
+  /** Closed-form prediction of the decoder's output for a CONSTANT
+    * color: the planes are DC-only, so the round trip is the color
+    * transform → one integer rounding per plane → inverse transform. */
+  private def predictConstColor(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    val y = 0.299 * r + 0.587 * g + 0.114 * b
+    val cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    val cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    val yq = math.round(y - 128).toInt + 128
+    val cbq = math.round(cb - 128).toInt + 128
+    val crq = math.round(cr - 128).toInt + 128
+    def clamp(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+    (clamp(yq + 1.402 * (crq - 128)),
+      clamp(yq - 0.344136 * (cbq - 128) - 0.714136 * (crq - 128)),
+      clamp(yq + 1.772 * (cbq - 128)))
+  }
+
+  test("color 4:2:0 and 4:4:4: constant-color images round-trip to the " +
+    "closed-form prediction; sniff sees 3 components") {
+    for ((lh, lv) <- Seq((2, 2), (1, 1), (2, 1));
+         (r, g, b) <- Seq((120, 121, 118), (200, 40, 90), (10, 250, 128))) {
+      val (w, h) = (16, 16)
+      val rgb = Array.tabulate(w * h * 3)(i => i % 3 match {
+        case 0 => r; case 1 => g; case _ => b
+      })
+      val bytes = Jpeg.encodeColorRgb(w, h, rgb, quant = 8, lh, lv)
+      val Some((gw, gh, ch, got)) = Jpeg.decode(bytes)
+      assert(gw == w && gh == h && ch == 3, s"($lh,$lv) rgb($r,$g,$b)")
+      val (er, eg, eb) = predictConstColor(r, g, b)
+      assert(got(0) == er && got(1) == eg && got(2) == eb,
+        s"($lh,$lv) rgb($r,$g,$b): got (${got(0)},${got(1)},${got(2)}), " +
+          s"expected ($er,$eg,$eb)")
+      // constant image: every pixel identical
+      assert(got.grouped(3).map(_.toSeq).toSet.size == 1)
+      val m = Multimodal.sniff(1, bytes)
+      assert(m.format == "jpeg" && m.channels == 3)
+    }
+  }
+
+  test("color: arbitrary images decode within quantization error; " +
+    "4:2:0 chroma smoothing bounded on smooth gradients") {
+    val (w, h) = (24, 16)
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      i % 3 match {
+        case 0 => math.min(255, 30 + x * 6)
+        case 1 => math.min(255, 40 + y * 8)
+        case _ => math.min(255, 60 + (x + y) * 3)
+      }
+    }
+    for ((lh, lv) <- Seq((1, 1), (2, 2))) {
+      val Some((_, _, 3, got)) =
+        Jpeg.decode(Jpeg.encodeColorRgb(w, h, rgb, quant = 4, lh, lv))
+      val maxErr = rgb.indices.map(i => math.abs(got(i) - rgb(i))).max
+      val meanErr = rgb.indices.map(i =>
+        math.abs(got(i) - rgb(i))).sum / rgb.length.toDouble
+      // 4:2:0 pays extra chroma-replication error on gradients
+      val bound = if (lh == 2) 40 else 24
+      assert(maxErr <= bound, s"($lh,$lv) maxErr=$maxErr")
+      assert(meanErr <= 6.0, s"($lh,$lv) meanErr=$meanErr")
+    }
+  }
+
+  test("decodePixels dispatches color JPEG with per-channel means") {
+    val sp = spark
+    import sp.implicits._
+    val rgb = Array.tabulate(8 * 8 * 3)(i => i % 3 match {
+      case 0 => 200; case 1 => 40; case _ => 90
+    })
+    val jp = Jpeg.encodeColorRgb(8, 8, rgb, quant = 8, 1, 1)
+    val got = Multimodal.decodePixels(Seq((7L, jp)).toDF("doc_id", "payload"),
+      "doc_id").collect().head
+    val (er, eg, eb) = predictConstColor(200, 40, 90)
+    assert(got.format == "jpeg" && got.mean_r == er.toDouble &&
+      got.mean_g == eg.toDouble && got.mean_b == eb.toDouble)
+  }
+
   test("decodePixels dispatches real JPEG decode (gray replicated)") {
     val sp = spark
     import sp.implicits._
