@@ -101,13 +101,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$totalWarm,"warm":$warms,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
-    // the driver greps stdout too: print the JSON alone on its own line
-    println(json)
-    // and say where the clean copy lives, in case stdout gets prefixed
-    // (BENCH_r04.json recorded parsed:null from sbt [info] prefixes)
-    println(s"[bench] json written to $outPath")
-    System.err.println(s"[bench] json written to $outPath")
+    // stop Spark FIRST so no executor/shutdown log line can land after
+    // the JSON, then say where the clean copy lives (stderr + stdout),
+    // then print the JSON as the VERY LAST stdout line: the driver
+    // keeps only a bounded tail of the output (BENCH_r04 recorded
+    // parsed:null with the JSON head cut out of a 2000-char window),
+    // so the line must sit flush against the end of the stream.
     spark.stop()
+    System.err.println(s"[bench] json written to $outPath")
+    println(s"[bench] json written to $outPath")
+    println(json)
     if (failed.nonEmpty) sys.exit(1)
   }
 }
