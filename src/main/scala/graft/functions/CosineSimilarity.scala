@@ -108,5 +108,19 @@ object GraftFunctions {
         require(exprs.length == 2, "graft_cosine(a, b)")
         CosineSimilarity(exprs.head, exprs(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshSignature].getName, "graft_lsh_bucket"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "graft_lsh_bucket(vec, planes, table)")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_lsh_bucket: $what must be an integer literal")
+        }
+        LshSignature(exprs.head, litInt(exprs(1), "planes"),
+          litInt(exprs(2), "table"))
+      })
   }
 }

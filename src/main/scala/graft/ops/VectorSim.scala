@@ -72,17 +72,25 @@ object VectorSim {
     (pmod(xxhash64(lit((table << 16) | plane), dim), lit(2000000L))
       .cast("double") - 1000000.0) / 1000000.0
 
-  /** Random-hyperplane LSH bucket id: bit p = sign(v · plane_p). */
-  def lshBucket(vec: Column, planes: Int, table: Int = 0): Column = {
-    val vd = transform(vec, _.cast("double"))
-    (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(vd, sequence(lit(0L), size(vd).cast("long") - 1),
-          (x, j) => x * planeComp(table, p, j)),
-        lit(0.0), (s, x) => s + x)
-      when(d >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-  }
+  /** Random-hyperplane LSH bucket id: bit p = sign(v · plane_p).
+    * `native = true` swaps in the codegen [[graft.functions
+    * .LshSignature]] expression (bit-identical, one fused loop instead
+    * of dim×planes interpreted xxhash64 calls per row; requires
+    * GraftFunctions.register). */
+  def lshBucket(vec: Column, planes: Int, table: Int = 0,
+      native: Boolean = false): Column =
+    if (native)
+      call_function("graft_lsh_bucket", vec, lit(planes), lit(table))
+    else {
+      val vd = transform(vec, _.cast("double"))
+      (0 until planes).map { p =>
+        val d = aggregate(
+          zip_with(vd, sequence(lit(0L), size(vd).cast("long") - 1),
+            (x, j) => x * planeComp(table, p, j)),
+          lit(0.0), (s, x) => s + x)
+        when(d >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
 
   /** Multiprobe bucket list: the query's own bucket plus every bucket
     * within Hamming distance `probeHamming` (1 or 2) of it. */
@@ -123,12 +131,13 @@ object VectorSim {
     val bucketed = corpus.select(col("n_id"), col("n_vec"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("n_vec"), planes, t).as("bucket"))): _*)).as("tb"))
+          lshBucket(col("n_vec"), planes, t, native).as("bucket"))): _*))
+        .as("tb"))
       .select(col("n_id"), col("n_vec"), col("tb.t"), col("tb.bucket"))
     val probes0 = queries.select(col("q_id"), col("q_vec"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          probeBuckets(lshBucket(col("q_vec"), planes, t), planes,
+          probeBuckets(lshBucket(col("q_vec"), planes, t, native), planes,
             probeHamming).as("bs"))): _*)).as("tp"))
       .select(col("q_id"), col("q_vec"), col("tp.t").as("pt"),
         explode(col("tp.bs")).as("probe"))
@@ -317,7 +326,8 @@ object VectorSim {
     val coded = corpus.select(col("id"), col("vec"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("vec"), planes, t).as("bucket"))): _*)).as("tb"))
+          lshBucket(col("vec"), planes, t, native).as("bucket"))): _*))
+        .as("tb"))
       .select(col("id"), col("tb.t"), col("tb.bucket"))
     val probed = coded.select(col("id").as("a_id"), col("t").as("at"),
       explode(probeBuckets(col("bucket"), planes, probeHamming)).as("probe"))
