@@ -113,6 +113,72 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Repetition quality filters (Gopher / Rae et al. §A1.1 family):
+    // duplicate-word occupancy and the most-frequent bi/trigram's
+    // share of all n-gram slots — the standard "natural text vs
+    // boilerplate/spam" pre-train screens. Shape: one explode per
+    // n-gram family into a two-phase hash aggregate (count per
+    // (doc, gram), then per-doc max/total) — partition-local expand,
+    // standard shuffle-by-doc_id aggregation; no window, no collect.
+    q("text_repetition",
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |u AS (SELECT doc_id, unnest(ws) g FROM t),
+        |uc AS (SELECT doc_id, g, count(*) c FROM u GROUP BY 1, 2),
+        |uni AS (SELECT doc_id,
+        |          sum(CASE WHEN c > 1 THEN c ELSE 0 END) dup_occ,
+        |          sum(c) n_words FROM uc GROUP BY 1),
+        |b AS (SELECT doc_id, len(ws) - 1 AS n_bi,
+        |        unnest([ws[i] || ' ' || ws[i+1]
+        |                for i in generate_series(1, len(ws) - 1)]) g FROM t),
+        |bc AS (SELECT doc_id, n_bi, g, count(*) c FROM b GROUP BY 1, 2, 3),
+        |bi AS (SELECT doc_id, n_bi, max(c) mx FROM bc GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, len(ws) - 2 AS n_tri,
+        |        unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                for i in generate_series(1, len(ws) - 2)]) g FROM t),
+        |tc AS (SELECT doc_id, n_tri, g, count(*) c FROM tr GROUP BY 1, 2, 3),
+        |tri AS (SELECT doc_id, n_tri, max(c) mx FROM tc GROUP BY 1, 2)
+        |SELECT uni.doc_id, n_words::BIGINT AS n_words,
+        |       round(dup_occ::DOUBLE / n_words + 1e-9, 6) AS dup_word_frac,
+        |       round(bi.mx::DOUBLE / bi.n_bi + 1e-9, 6) AS top_bigram_frac,
+        |       round(tri.mx::DOUBLE / tri.n_tri + 1e-9, 6) AS top_trigram_frac
+        |FROM uni
+        |JOIN bi ON uni.doc_id = bi.doc_id
+        |JOIN tri ON uni.doc_id = tri.doc_id
+        |ORDER BY uni.doc_id""") { c =>
+      // materialize the token array once (HOFs re-evaluate inlined
+      // sub-expressions per lambda reference — see TextDedup note)
+      val toks = c.documents
+        .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+      def grams(n: Int) = transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*))
+      val uni = toks.select(col("doc_id"), explode(col("ws")).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(sum(when(col("count") > 1, col("count")).otherwise(lit(0L)))
+            .as("dup_occ"),
+          sum(col("count")).as("n_words"))
+      def top(n: Int, name: String) = toks
+        .withColumn("gs", grams(n))
+        .select(col("doc_id"), size(col("gs")).as(s"n_$name"),
+          explode(col("gs")).as("g"))
+        .groupBy(col("doc_id"), col(s"n_$name"), col("g")).count()
+        .groupBy("doc_id", s"n_$name")
+        .agg(max(col("count")).as(s"max_$name"))
+      uni.join(top(2, "bi"), "doc_id").join(top(3, "tri"), "doc_id")
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          r6(col("dup_occ").cast("double") / col("n_words"))
+            .as("dup_word_frac"),
+          r6(col("max_bi").cast("double") / col("n_bi"))
+            .as("top_bigram_frac"),
+          r6(col("max_tri").cast("double") / col("n_tri"))
+            .as("top_trigram_frac"))
+        .orderBy("doc_id")
+    },
+
     // Document fingerprinting: winnowing-style rolling scheme — char
     // 8-gram md5 hashes, min per 4-window, distinct fingerprints.
     // md5 (not xxhash) so the oracle can mirror the exact values.
