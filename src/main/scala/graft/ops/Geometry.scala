@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{callUDF, col, explode, floor => sqlFloor, sequence}
 
 /** Geometry-typed geospatial subset (ref expr/types/geospatial.py —
   * the family [[Geo]]'s lat/lon column math cannot reach): WKT
@@ -380,6 +381,50 @@ object Geometry {
     * geometries (a single geometry is its own 1-element sum). */
   private def overParts(wkt: String, f: Geom => Double): Double =
     geometries(wkt).map(p => f(parseWkt(p))).sum
+
+  // ------------------------------------------------ spatial join
+
+  /** Cell-bucketed SPATIAL JOIN on `st_intersects` — the Sedona-shaped
+    * scale path for geometry×geometry joins: each geometry's envelope
+    * is exploded onto the grid cells it covers, candidates come from
+    * ONE equi-join on (cellx, celly) (never |A|×|B|), duplicates from
+    * multi-cell envelopes collapse with a distinct, and the exact
+    * `st_intersects` kernel verifies candidates only. Completeness is
+    * exactly what an oracle's brute-force cross join checks: a pair
+    * the grid misses is a hash mismatch.
+    *
+    * `cellSize` should be on the order of the typical envelope extent:
+    * smaller cells → more candidate duplicates, larger cells → more
+    * false candidates for the exact verify. Both sides must carry
+    * (idCol, wktCol); output is (a_id, b_id) pairs. Requires
+    * [[register]] on the session. */
+  def intersectsJoin(a: DataFrame, b: DataFrame, idCol: String,
+      wktCol: String, cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    def cells(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"), col(wktCol).as(s"${p}_wkt"))
+        .withColumn(s"${p}_cxs", sequence(
+          sqlFloor(callUDF("st_xmin", col(s"${p}_wkt")) / cellSize)
+            .cast("long"),
+          sqlFloor(callUDF("st_xmax", col(s"${p}_wkt")) / cellSize)
+            .cast("long")))
+        .withColumn(s"${p}_cys", sequence(
+          sqlFloor(callUDF("st_ymin", col(s"${p}_wkt")) / cellSize)
+            .cast("long"),
+          sqlFloor(callUDF("st_ymax", col(s"${p}_wkt")) / cellSize)
+            .cast("long")))
+        .select(col(s"${p}_id"), col(s"${p}_wkt"),
+          explode(col(s"${p}_cxs")).as(s"${p}_cx"), col(s"${p}_cys"))
+        .select(col(s"${p}_id"), col(s"${p}_wkt"), col(s"${p}_cx"),
+          explode(col(s"${p}_cys")).as(s"${p}_cy"))
+    val ca = cells(a, "a")
+    val cb = cells(b, "b")
+    ca.join(cb, col("a_cx") === col("b_cx") && col("a_cy") === col("b_cy"))
+      .select(col("a_id"), col("b_id"), col("a_wkt"), col("b_wkt"))
+      .distinct() // multi-cell envelopes produce duplicate candidates
+      .filter(callUDF("st_intersects", col("a_wkt"), col("b_wkt")))
+      .select(col("a_id"), col("b_id"))
+  }
 
   // ------------------------------------------------------ accessors
 

@@ -340,6 +340,49 @@ object GeoQueries {
         .orderBy("s_suppkey")
     },
 
+    // Geometry×geometry SPATIAL JOIN at the 100 TB shape: envelopes
+    // exploded onto covering grid cells, candidates from ONE equi-join
+    // on (cellx, celly), exact st_intersects verify of candidates only
+    // — never |S|×|C|. The oracle IS the brute-force cross join, so
+    // the hash compare checks the grid's candidate COMPLETENESS.
+    q("geo_geom_join",
+      """WITH s AS (SELECT s_suppkey, (s_suppkey % 50) * 1.0 AS x1,
+        |             ((s_suppkey * 3) % 50) * 1.0 AS y1,
+        |             1.0 + (s_suppkey % 7) AS w,
+        |             1.0 + ((s_suppkey * 5) % 11) AS h FROM supplier),
+        |c AS (SELECT c_custkey, (c_custkey % 53) * 1.0 AS x1,
+        |             ((c_custkey * 7) % 53) * 1.0 AS y1,
+        |             1.0 + (c_custkey % 3) AS w,
+        |             1.0 + ((c_custkey * 5) % 4) AS h FROM customer)
+        |SELECT s.s_suppkey AS a_id, c.c_custkey AS b_id
+        |FROM s, c
+        |WHERE s.x1 <= c.x1 + c.w AND c.x1 <= s.x1 + s.w
+        |  AND s.y1 <= c.y1 + c.h AND c.y1 <= s.y1 + s.h
+        |ORDER BY a_id, b_id""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      def rect(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+          w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+        concat(lit("POLYGON(("),
+          x, lit(" "), y, lit(", "),
+          x + w, lit(" "), y, lit(", "),
+          x + w, lit(" "), y + h, lit(", "),
+          x, lit(" "), y + h, lit(", "),
+          x, lit(" "), y, lit("))"))
+      val sup = c.supplier.select(col("s_suppkey").as("id"),
+        rect((col("s_suppkey") % 50).cast("double"),
+          (col("s_suppkey") * 3 % 50).cast("double"),
+          lit(1.0) + col("s_suppkey") % 7,
+          lit(1.0) + col("s_suppkey") * 5 % 11).as("wkt"))
+      val cust = c.customer.select(col("c_custkey").as("id"),
+        rect((col("c_custkey") % 53).cast("double"),
+          (col("c_custkey") * 7 % 53).cast("double"),
+          lit(1.0) + col("c_custkey") % 3,
+          lit(1.0) + col("c_custkey") * 5 % 4).as("wkt"))
+      graft.ops.Geometry.intersectsJoin(sup, cust, "id", "wkt",
+          cellSize = 8.0)
+        .orderBy("a_id", "b_id")
+    },
+
     // GEOMETRY-typed subset (ref expr/types/geospatial.py): per-row WKT
     // rectangles built from supplier keys run through the real parse +
     // shoelace / ring-length / centroid kernels; the oracle computes

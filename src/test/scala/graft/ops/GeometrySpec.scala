@@ -450,6 +450,7 @@ class GeometrySpec extends SparkSpec {
     // single geometries are their own 1-element split
     assert(Geometry.geometries("POLYGON((0 0, 1 0, 1 1, 0 0))").length == 1)
     // registered additive measures sum parts; geometry_n bounds-checks
+    // (spatial-join test below reuses this session registration)
     val sp = spark
     Geometry.register(sp)
     import sp.implicits._
@@ -466,5 +467,42 @@ class GeometrySpec extends SparkSpec {
       sp.sql("SELECT st_geometry_n(wkt, 3) FROM multis").collect())
     assert(oob.getMessage.contains("out of") ||
       oob.getCause.getMessage.contains("out of"))
+  }
+
+  test("cell-bucketed intersects join finds EXACTLY the brute-force " +
+    "pairs and plans one equi-join, not a cross product") {
+    val sp = spark
+    import sp.implicits._
+    Geometry.register(sp)
+    val rnd = new scala.util.Random(11)
+    def rects(n: Int, offset: Long) = (1 to n).map { i =>
+      val x = rnd.nextDouble * 40; val y = rnd.nextDouble * 40
+      val w = 0.5 + rnd.nextDouble * 6; val h = 0.5 + rnd.nextDouble * 6
+      (offset + i,
+        s"POLYGON(($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))",
+        x, y, w, h)
+    }
+    val as = rects(40, 0)
+    val bs = rects(60, 1000)
+    val aDf = as.map(t => (t._1, t._2)).toDF("id", "wkt")
+    val bDf = bs.map(t => (t._1, t._2)).toDF("id", "wkt")
+    // cell size below, at, and above the envelope scale — all complete
+    for (cell <- Seq(2.0, 7.0, 50.0)) {
+      val got = Geometry.intersectsJoin(aDf, bDf, "id", "wkt", cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (ai, _, ax, ay, aw, ah) <- as
+        (bi, _, bx, by, bw, bh) <- bs
+        if ax <= bx + bw && bx <= ax + aw && ay <= by + bh && by <= ay + ah
+      } yield (ai, bi)).toSet
+      assert(got == want,
+        s"cell=$cell missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    }
+    val plan = Geometry.intersectsJoin(aDf, bDf, "id", "wkt", 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join must not degrade to a cross product:\n$plan")
   }
 }
