@@ -382,6 +382,80 @@ object Geometry {
   private def overParts(wkt: String, f: Geom => Double): Double =
     geometries(wkt).map(p => f(parseWkt(p))).sum
 
+  // ------------------------------------------------ line merge
+
+  /** OGC ST_LineMerge: sew the parts of a MULTILINESTRING into maximal
+    * chains wherever exactly two part-endpoints meet (degree-2 nodes),
+    * flipping orientation as needed; junctions of degree ≥3 and free
+    * ends stay breaks. Deterministic output: each chain is oriented
+    * from its lexicographically smaller endpoint and chains are sorted
+    * by head vertex. Returns LINESTRING for a single chain, else
+    * MULTILINESTRING. */
+  def lineMerge(wkt: String): String = {
+    val parts = geometries(wkt).map(parseWkt).toArray
+    require(parts.forall(p => p.kind == "LINESTRING" && p.rings.head.length >= 2),
+      "st_line_merge expects linestring parts")
+    val segs = parts.map(_.rings.head)
+    val deg = scala.collection.mutable.Map.empty[(Double, Double), Int]
+    val adj = scala.collection.mutable
+      .Map.empty[(Double, Double), List[(Int, Boolean)]]
+    segs.zipWithIndex.foreach { case (s, i) =>
+      for ((pt, isStart) <- Seq((s.head, true), (s.last, false))) {
+        deg(pt) = deg.getOrElse(pt, 0) + 1
+        adj(pt) = (i, isStart) :: adj.getOrElse(pt, Nil)
+      }
+    }
+    val used = Array.fill(segs.length)(false)
+    val chains = Seq.newBuilder[Array[(Double, Double)]]
+    var i = 0
+    while (i < segs.length) {
+      if (!used(i)) {
+        used(i) = true
+        val coords = scala.collection.mutable.ArrayBuffer(segs(i): _*)
+        // grow at the tail: follow degree-2 nodes onto unused parts
+        var moved = true
+        while (moved) {
+          moved = false
+          val tail = coords.last
+          if (deg(tail) == 2) adj(tail).find(e => !used(e._1)).foreach {
+            case (j, isStart) =>
+              used(j) = true
+              val seg = if (isStart) segs(j) else segs(j).reverse
+              coords ++= seg.drop(1)
+              moved = true
+          }
+        }
+        // grow at the head symmetrically (prepend)
+        moved = true
+        while (moved) {
+          moved = false
+          val head = coords.head
+          if (deg(head) == 2) adj(head).find(e => !used(e._1)).foreach {
+            case (j, isStart) =>
+              used(j) = true
+              // need the part oriented to END at `head`
+              val seg = if (isStart) segs(j).reverse else segs(j)
+              coords.prependAll(seg.dropRight(1))
+              moved = true
+          }
+        }
+        val arr = coords.toArray
+        val canonical =
+          if (implicitly[Ordering[(Double, Double)]]
+            .lteq(arr.head, arr.last)) arr
+          else arr.reverse
+        chains += canonical
+      }
+      i += 1
+    }
+    val sorted = chains.result().sortBy(_.head)
+    def ring(r: Array[(Double, Double)]): String =
+      r.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString(", ")
+    if (sorted.length == 1) s"LINESTRING(${ring(sorted.head)})"
+    else sorted.map(r => s"(${ring(r)})")
+      .mkString("MULTILINESTRING(", ", ", ")")
+  }
+
   // ------------------------------------------------ spatial join
 
   /** Cell-bucketed SPATIAL JOIN on `st_intersects` — the Sedona-shaped
@@ -1321,6 +1395,7 @@ object Geometry {
         s"st_geometry_n: index $n out of 1..${parts.length}")
       parts(n - 1)
     })
+    spark.udf.register("st_line_merge", (wkt: String) => lineMerge(wkt))
     spark.udf.register("st_transform",
       (wkt: String, from: Int, to: Int) =>
         toWkt(transform(parseWkt(wkt), from, to)))

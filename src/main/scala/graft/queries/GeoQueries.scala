@@ -340,6 +340,49 @@ object GeoQueries {
         .orderBy("s_suppkey")
     },
 
+    // ST_LineMerge (ref geospatial.py line_merge): each supplier's
+    // polyline is emitted as a MULTILINESTRING with its segments
+    // SCRAMBLED (order permuted by a coprime stride) and every other
+    // one REVERSED; the merge must sew them back into one chain. The
+    // oracle recomputes part count, vertex count, and total length in
+    // closed form from the vertex formula.
+    q("geo_geom_linemerge",
+      """WITH d AS (SELECT s_suppkey, 3 + s_suppkey % 4 AS m FROM supplier),
+        |seg AS (SELECT s_suppkey, m, unnest(range(0, m)) AS i FROM d),
+        |v AS (SELECT s_suppkey, m,
+        |        sqrt(1.0 + ((((i+1)*(i+1)) % 5) - ((i*i) % 5))
+        |                 * ((((i+1)*(i+1)) % 5) - ((i*i) % 5))) AS seg_len
+        |      FROM seg)
+        |SELECT s_suppkey, CAST(max(m) AS INT) AS n_parts,
+        |       CAST(1 AS INT) AS n_chains,
+        |       CAST(max(m) + 1 AS INT) AS merged_npoints,
+        |       round(sum(seg_len) + 1e-9, 6) AS merged_len
+        |FROM v GROUP BY s_suppkey ORDER BY s_suppkey""") { c =>
+      graft.ops.Geometry.register(c.spark)
+      val mkMls = udf((s: Long) => {
+        val m = 3 + (s % 4).toInt
+        val x0 = (s % 20).toDouble; val y0 = (s * 3 % 20).toDouble
+        def v(i: Int): (Double, Double) = (x0 + i, y0 + (i * i % 5))
+        val parts = (0 until m).map { i =>
+          val (a, b) = (v(i), v(i + 1))
+          if (i % 2 == 1) s"(${b._1} ${b._2}, ${a._1} ${a._2})"
+          else s"(${a._1} ${a._2}, ${b._1} ${b._2})"
+        }
+        // stride 7 is coprime with every m in 3..6 → a permutation
+        val scrambled = (0 until m).map(j => parts((j * 7) % m))
+        s"MULTILINESTRING(${scrambled.mkString(", ")})"
+      })
+      c.supplier.select(col("s_suppkey"),
+          mkMls(col("s_suppkey")).as("wkt"))
+        .withColumn("merged", callUDF("st_line_merge", col("wkt")))
+        .select(col("s_suppkey"),
+          callUDF("st_n_geometries", col("wkt")).as("n_parts"),
+          callUDF("st_n_geometries", col("merged")).as("n_chains"),
+          callUDF("st_npoints", col("merged")).as("merged_npoints"),
+          r6(callUDF("st_length", col("merged"))).as("merged_len"))
+        .orderBy("s_suppkey")
+    },
+
     // Geometry×geometry SPATIAL JOIN at the 100 TB shape: envelopes
     // exploded onto covering grid cells, candidates from ONE equi-join
     // on (cellx, celly), exact st_intersects verify of candidates only

@@ -469,6 +469,28 @@ class GeometrySpec extends SparkSpec {
       oob.getCause.getMessage.contains("out of"))
   }
 
+  test("line merge: sews scrambled/reversed parts, keeps degree-3 " +
+    "junctions split, closes cycles") {
+    // a 3-segment path emitted out of order with a flipped middle
+    val merged = Geometry.lineMerge(
+      "MULTILINESTRING((2 0, 3 1), (1 5, 0 0), (1 5, 2 0))")
+    assert(merged == "LINESTRING(0 0, 1 5, 2 0, 3 1)", merged)
+    // a T junction (degree 3 at (1,0)) must stay split
+    val tee = Geometry.lineMerge(
+      "MULTILINESTRING((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))")
+    assert(tee.startsWith("MULTILINESTRING("), tee)
+    assert(Geometry.geometries(tee).length == 3, tee)
+    // a closed triangle merges into one ring-like chain
+    val cycle = Geometry.lineMerge(
+      "MULTILINESTRING((0 0, 4 0), (4 0, 2 3), (2 3, 0 0))")
+    val g = Geometry.parseWkt(cycle)
+    assert(g.kind == "LINESTRING" && g.rings.head.length == 4 &&
+      g.rings.head.head == g.rings.head.last, cycle)
+    // single linestring passes through unchanged (canonical orientation)
+    assert(Geometry.lineMerge("LINESTRING(5 5, 0 0)") ==
+      "LINESTRING(0 0, 5 5)")
+  }
+
   test("cell-bucketed intersects join finds EXACTLY the brute-force " +
     "pairs and plans one equi-join, not a cross product") {
     val sp = spark
