@@ -139,6 +139,33 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
+    // Linear-regression aggregate family (ANSI regr_*): slope,
+    // intercept, r², component means/counts — both engines compute
+    // from the same moment sums, so rounded values hash-match.
+    q("agg_regr",
+      """SELECT l_returnflag,
+        |       regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+        |       round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 2) AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6) AS r2v,
+        |       round(regr_avgx(l_extendedprice, l_quantity) + 1e-9, 4) AS avgx,
+        |       round(regr_avgy(l_extendedprice, l_quantity) + 1e-9, 2) AS avgy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      c.lineitem.groupBy("l_returnflag")
+        .agg(regr_count(col("l_extendedprice"), col("l_quantity"))
+            .cast("long").as("n"),
+          r4(regr_slope(col("l_extendedprice"), col("l_quantity")))
+            .as("slope"),
+          r2(regr_intercept(col("l_extendedprice"), col("l_quantity")))
+            .as("icept"),
+          r6(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2v"),
+          r4(regr_avgx(col("l_extendedprice"), col("l_quantity")))
+            .as("avgx"),
+          r2(regr_avgy(col("l_extendedprice"), col("l_quantity")))
+            .as("avgy"))
+        .orderBy("l_returnflag")
+    },
+
     // Median / Quantile / MultiQuantile exact (reductions.py:209-248);
     // both engines use linear interpolation (percentile ≡ quantile_cont).
     q("agg_quantile",
