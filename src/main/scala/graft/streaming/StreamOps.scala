@@ -56,7 +56,14 @@ object StreamOps {
     * so the join parallelizes across executors.
     *
     * Works identically on batch frames (the time predicate is ordinary
-    * column math there), mirroring the module's batch/stream contract. */
+    * column math there), mirroring the module's batch/stream contract.
+    *
+    * `joinType = "left_outer"` (or right_outer) is supported because
+    * the interval bounds both directions: an unmatched row is HELD in
+    * state and emitted with nulls only once the join's GLOBAL
+    * watermark — the MIN of the two sides' watermarks — passes its
+    * window, so both input streams must keep advancing for outer
+    * results to flush (StreamSpec pins this). */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,

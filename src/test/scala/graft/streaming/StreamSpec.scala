@@ -90,6 +90,46 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT-OUTER interval join holds unmatched rows until the " +
+    "watermark closes their window, then emits them with nulls") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, Long)]
+    val views = MemoryStream[(Timestamp, String, Long)]
+    val joined = StreamOps.intervalJoin(
+      views.toDF.toDF("vts", "user", "view_id"),
+      clicks.toDF.toDF("cts", "user", "click_id"),
+      key = "user", leftTs = "vts", rightTs = "cts",
+      watermark = "10 minutes", lowerSec = 0, upperSec = 600,
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("ivj_outer").outputMode("append").start()
+    try {
+      views.addData(
+        (ts("2024-01-01 00:00:00"), "u1", 1L),
+        (ts("2024-01-01 00:00:00"), "u2", 2L)) // will never match
+      clicks.addData((ts("2024-01-01 00:05:00"), "u1", 10L))
+      q.processAllAvailable()
+      def rows() = sp.sql(
+        "SELECT view_id, click_id FROM ivj_outer ORDER BY 1")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+      // u2's window is still open — only the matched pair is out
+      assert(rows() == Seq((1L, Some(10L))))
+      // push BOTH watermarks far past u2's horizon (00:10 + 10 min
+      // delay) — outer emission waits on the MIN of the two sides
+      clicks.addData((ts("2024-01-01 01:00:00"), "u9", 99L))
+      views.addData((ts("2024-01-01 01:00:00"), "u8", 8L))
+      q.processAllAvailable()
+      clicks.addData((ts("2024-01-01 01:01:00"), "u9", 98L))
+      views.addData((ts("2024-01-01 01:01:00"), "u8", 7L))
+      q.processAllAvailable()
+      assert(rows() == Seq((1L, Some(10L)), (2L, None)),
+        s"got ${rows()}")
+    } finally q.stop()
+  }
+
   test("interval join runs unchanged on batch frames") {
     val sp = spark
     import sp.implicits._
