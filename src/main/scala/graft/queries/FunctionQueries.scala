@@ -276,6 +276,33 @@ object FunctionQueries {
         .orderBy("event_id")
     },
 
+    // VARIANT (Spark 4's semi-structured type): parse_json into a
+    // variant, typed variant_get extraction (strict + try_ for missing
+    // paths), schema_of_variant, and the canonical to_json round trip
+    // — the open-schema path a 100 TB event pipeline uses when props
+    // have no fixed struct. Oracle extracts the same values from the
+    // raw JSON text.
+    q("fn_variant",
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |       json_extract_string(props, '$.missing') AS k_missing,
+        |       'OBJECT<k: BIGINT>' AS vschema,
+        |       concat('{"k":', json_extract_string(props, '$.k'), '}') AS vjson
+        |FROM events WHERE event_id < 1500 ORDER BY event_id""") { c =>
+      c.events.filter(col("event_id") < 1500)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'string')")
+            .as("k_str"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')")
+            .as("k_int"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+            .as("k_missing"),
+          expr("schema_of_variant(parse_json(props))").as("vschema"),
+          expr("to_json(parse_json(props))").as("vjson"))
+        .orderBy("event_id")
+    },
+
     // Numeric (numeric.py:29-378): rounding/sign, exp/log family, roots,
     // trig, degree conversion, pmod/floordiv, bitwise ops, clip, hex.
     q("fn_numeric",
