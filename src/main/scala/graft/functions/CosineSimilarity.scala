@@ -122,5 +122,19 @@ object GraftFunctions {
         LshSignature(exprs.head, litInt(exprs(1), "planes"),
           litInt(exprs(2), "table"))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "graft_winnow(text, gram, window)")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_winnow: $what must be an integer literal")
+        }
+        WinnowFingerprint(exprs.head, litInt(exprs(1), "gram"),
+          litInt(exprs(2), "window"))
+      })
   }
 }

@@ -196,27 +196,23 @@ object LlmQueries {
         |       list_aggregate(fps, 'min') AS min_fp,
         |       list_aggregate(fps, 'max') AS max_fp
         |FROM w ORDER BY doc_id""", bench = true) { c =>
-      // streaming-winnowing shape: posexplode the gram hashes to rows,
-      // rolling 4-window min via a window frame, then one distinct-agg —
-      // codegen'd end to end (an array-lambda formulation is interpreted
-      // and its stages get re-inlined by CollapseProject).
-      import org.apache.spark.sql.expressions.Window
-      val grams = c.documents.filter(length(col("text")) >= 11)
+      // ONE native expression per row (functions/WinnowFingerprint):
+      // md5 grams + rolling-window minima + distinct, as a fused loop.
+      // The previous posexplode + window-frame shape paid ~150 exploded
+      // rows per doc through a partition-sort exchange; this is scan →
+      // project → orderBy with no shuffle before the sort. Hash values
+      // are identical (same UTF-8 gram bytes, same lowercase hex), so
+      // the oracle is untouched.
+      graft.functions.GraftFunctions.register(c.spark)
+      c.documents.filter(length(col("text")) >= 11)
         .select(col("doc_id"),
-          substring(lower(col("text")), 1, 160).as("tx"))
-        .select(col("doc_id"), (length(col("tx")) - 7).as("n"), posexplode(
-          transform(sequence(lit(1), length(col("tx")) - 7),
-            i => md5(col("tx").substr(i, lit(8)).cast("binary")))))
-        .toDF("doc_id", "n", "pos", "h")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.currentRow, 3)
-      grams
-        .withColumn("fp", min(col("h")).over(w))
-        .filter(col("pos") <= col("n") - 4) // full 4-windows only
-        .groupBy("doc_id")
-        .agg(countDistinct(col("fp")).as("n_fp"),
-          min(col("fp")).as("min_fp"),
-          max(col("fp")).as("max_fp"))
+          call_function("graft_winnow",
+            substring(lower(col("text")), 1, 160), lit(8), lit(4))
+            .as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
         .orderBy("doc_id")
     },
 
