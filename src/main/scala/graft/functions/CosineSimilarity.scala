@@ -136,5 +136,21 @@ object GraftFunctions {
         WinnowFingerprint(exprs.head, litInt(exprs(1), "gram"),
           litInt(exprs(2), "window"))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName,
+        "graft_minhash_bands"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "graft_minhash_bands(text, shingleN, k, bands)")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_minhash_bands: $what must be an integer literal")
+        }
+        MinhashBands(exprs.head, litInt(exprs(1), "shingleN"),
+          litInt(exprs(2), "k"), litInt(exprs(3), "bands"))
+      })
   }
 }

@@ -175,7 +175,8 @@ object TextDedup {
       shingleN: Int = 3,
       k: Int = 32,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      native: Boolean = false): DataFrame = {
     // bands > k would make every band key a constant (all docs become
     // bucket-mates → the O(n^2) cross product this operator exists to
     // avoid); a non-multiple silently weakens the s-curve by dropping
@@ -183,13 +184,24 @@ object TextDedup {
     require(bands >= 1 && k >= bands && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands")
     val rowsPerBand = k / bands
-    // narrow (id + k longs) and consumed by BOTH sides of the bucket
-    // self-join — persist so the shingle/signature agg runs once
-    val sig = minhashSignatures(docs, idCol, textCol, shingleN, k)
+    // narrow (id + band/key) and consumed by BOTH sides of the bucket
+    // self-join — persist so the signature work runs once.
+    // native: ONE fused expression from cleaned text to (band, key)
+    // structs, fed straight into explode so the Generate evaluates it
+    // once per row — no posexplode of tokens, no window pass, no
+    // 32-column aggregate (bit-identical keys; MinhashBandsSpec).
+    val exploded = (if (native)
+      docs.select(col(idCol).as("id"),
+        explode(call_function("graft_minhash_bands",
+          lower(trim(col(textCol))), lit(shingleN), lit(k), lit(bands)))
+          .as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.key"))
+    else
+      minhashSignatures(docs, idCol, textCol, shingleN, k)
+        .select(col("id"),
+          explode(lshBandKeyArray(bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = sig
-      .select(col("id"), explode(lshBandKeyArray(bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
     // bucket-mate pairs: self-join restricted to the same (band, key);
     // distinct because a pair can share several bands. Persisted — it is
     // consumed three times below and is tiny by construction.
@@ -225,7 +237,7 @@ object TextDedup {
     // for the session lifetime (r2 finding). The returned frame stays
     // persisted: it is the product; callers may unpersist when done.
     verified.count()
-    sig.unpersist(false)
+    exploded.unpersist(false)
     cands.unpersist(false)
     verified
   }

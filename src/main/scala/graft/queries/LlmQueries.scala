@@ -251,8 +251,9 @@ object LlmQueries {
         |       round(cj + 1e-9, 4) AS cjac
         |FROM pairs WHERE wj >= 0.8 ORDER BY a_id, b_id""",
       bench = true) { c =>
+      graft.functions.GraftFunctions.register(c.spark)
       val pairs = TextDedup.minhashDedupPairs(c.documents, "doc_id", "text",
-        shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+        shingleN = 3, k = 32, bands = 16, threshold = 0.8, native = true)
       val csets = c.documents
         .select(col("doc_id").as("id"),
           substring(lower(trim(col("text"))), 1, 200).as("tc"))
@@ -281,8 +282,9 @@ object LlmQueries {
         |          FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, TRUE AS hamming_close
         |FROM pairs WHERE wj >= 0.9 ORDER BY a_id, b_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
       val pairs = TextDedup.minhashDedupPairs(c.documents, "doc_id", "text",
-        shingleN = 3, k = 32, bands = 16, threshold = 0.9)
+        shingleN = 3, k = 32, bands = 16, threshold = 0.9, native = true)
       val sims = TextDedup.simhashAgg(c.documents, "doc_id",
         split(lower(trim(col("text"))), "\\s+"), 32)
       pairs
@@ -430,8 +432,9 @@ object LlmQueries {
         |SELECT id AS doc_id, min(comp)::BIGINT AS canon_id,
         |       (min(comp) = id) AS is_canonical
         |FROM walk GROUP BY id ORDER BY doc_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
       val pairs = TextDedup.minhashDedupPairs(c.documents, "doc_id", "text",
-        shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+        shingleN = 3, k = 32, bands = 16, threshold = 0.8, native = true)
       val labels = graft.ops.Components.connectedComponents(
         pairs, "a_id", "b_id")
       c.documents.select(col("doc_id"))
@@ -496,8 +499,10 @@ object LlmQueries {
       val nTok = size(split(trim(col("text")), "\\s+"))
       val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
         .cast("double") / length(col("text"))
+      graft.functions.GraftFunctions.register(c.spark)
       val dropIds = TextDedup.minhashDedupPairs(c.documents, "doc_id",
-          "text", shingleN = 3, k = 32, bands = 16, threshold = 0.9)
+          "text", shingleN = 3, k = 32, bands = 16, threshold = 0.9,
+          native = true)
         .select(col("b_id").as("drop_id")).distinct()
       c.documents
         .filter(nTok >= 10 && alphaRatio > 0.5)
