@@ -45,6 +45,35 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming NEAR-duplicate dedup: each document is keyed by ONE
+    * banded MinHash key (`rows` signature minima hashed together, via
+    * the same native graft_minhash_bands expression the batch LSH
+    * uses) and dropDuplicatesWithinWatermark keeps the first arrival
+    * per key. The single-band streaming regime: near-duplicates at
+    * Jaccard s collide with probability s^rows (0.9² = 0.81); exact
+    * duplicates always collide; state is one narrow key per kept doc
+    * inside the watermark horizon. Batch frames dedup by the same key
+    * (the module's batch/stream contract). */
+  def nearDedup(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      textCol: String,
+      shingleN: Int = 3,
+      rows: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val keyed = df.withColumn("__mh_key",
+      element_at(call_function("graft_minhash_bands",
+        lower(trim(col(textCol))), lit(shingleN), lit(rows), lit(1)), 1)
+        .getField("key"))
+    val out =
+      if (df.isStreaming)
+        keyed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__mh_key")
+      else keyed.dropDuplicates("__mh_key")
+    out.drop("__mh_key")
+  }
+
   /** Stream-stream INTERVAL join: left rows match right rows with the
     * same key whose event time lies in [left.ts + lowerSec, left.ts +
     * upperSec]. Both sides carry watermarks and the join condition

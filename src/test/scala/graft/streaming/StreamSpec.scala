@@ -90,6 +90,49 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops band-key collisions within " +
+    "the watermark; batch frames dedup by the same key") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def bandKey(t: String): Long =
+      graft.functions.MinhashBands.compute(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(t.toLowerCase.trim), 3, 2, 1)
+        .getStruct(0, 2).getLong(1)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val other = "totally different words entirely here nothing shared now"
+    assert(bandKey(base) != bandKey(other), "fixtures must differ")
+    val nearCollides = bandKey(base) == bandKey(near)
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.nearDedup(in.toDF.toDF("ts", "doc_id", "text"),
+        "ts", "10 minutes", "text")
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), 1L, base),
+        (ts("2024-01-01 00:01:00"), 2L, base),  // exact dup → dropped
+        (ts("2024-01-01 00:02:00"), 3L, near),  // per band-key collision
+        (ts("2024-01-01 00:03:00"), 4L, other)) // distinct → kept
+      q.processAllAvailable()
+      val kept = sp.sql("SELECT doc_id FROM near_dedup ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq
+      val expected = if (nearCollides) Seq(1L, 4L) else Seq(1L, 3L, 4L)
+      assert(kept == expected,
+        s"kept=$kept nearCollides=$nearCollides")
+    } finally q.stop()
+    // batch contract: the same call dedups a static frame by the key
+    val batch = StreamOps.nearDedup(
+      Seq((ts("2024-01-01 00:00:00"), 1L, base),
+        (ts("2024-01-01 00:01:00"), 2L, base),
+        (ts("2024-01-01 00:03:00"), 4L, other))
+        .toDF("ts", "doc_id", "text"),
+      "ts", "10 minutes", "text")
+    assert(batch.count() == 2)
+  }
+
   test("LEFT-OUTER interval join holds unmatched rows until the " +
     "watermark closes their window, then emits them with nulls") {
     val sp = spark
