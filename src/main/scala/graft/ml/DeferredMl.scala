@@ -159,6 +159,7 @@ object Estimators {
   private val kmeansName = """kmeans\((\d+),(\d+)\)""".r
   def builtin(name: String): Option[Estimator] = name match {
     case GaussianNB.name => Some(GaussianNB)
+    case MultinomialNB.name => Some(MultinomialNB)
     case logRegName(it, lr) =>
       Some(LogisticRegressionGD(it.toInt, lr.toDouble))
     case ridgeName(a) => Some(RidgeRegression(a.toDouble))
@@ -166,5 +167,6 @@ object Estimators {
     case _ => None
   }
   val builtinNames: Seq[String] =
-    Seq(GaussianNB.name, "logreg_gd(I,LR)", "ridge(ALPHA)", "kmeans(K,I)")
+    Seq(GaussianNB.name, MultinomialNB.name, "logreg_gd(I,LR)",
+      "ridge(ALPHA)", "kmeans(K,I)")
 }

@@ -521,3 +521,80 @@ final case class LogisticRegressionGD(
     s
   }
 }
+
+/** Multinomial naive Bayes over count-valued features — the text-
+  * classification workhorse (sklearn `MultinomialNB` semantics with
+  * Laplace smoothing α = 1). Per class c: log prior ln(n_c/n) and
+  * per-feature log likelihood ln((S_cj + α)/(S_c + α·d)) where S_cj
+  * is the class-wise SUM of feature j and S_c = Σ_j S_cj. Every fit
+  * statistic is a grouped integer-lattice sum (exact in doubles for
+  * count data), so ANSI SQL replicates the whole fit+predict —
+  * `ml_pipeline_mnb` is hash-checked against a DuckDB oracle.
+  * Features must be non-negative and finite; fit fails loud otherwise
+  * (mirrors sklearn's ValueError on negative input).
+  * Ref: python/xorq/expr/ml/fit_lib.py (fit-as-aggregation contract),
+  * pipeline_lib.py:109 (Step over an sklearn estimator). */
+object MultinomialNB extends Estimator {
+  val name = "multinomial_nb"
+
+  final case class Model(classes: Array[Double], logPriors: Array[Double],
+      featLogProb: Array[Array[Double]]) extends Serializable
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    val d = xs(0).length
+    var i = 0
+    while (i < xs.length) {
+      var j = 0
+      while (j < d) {
+        val v = xs(i)(j)
+        require(v >= 0 && !v.isNaN && !v.isInfinite,
+          s"multinomial_nb requires non-negative finite count features; " +
+            s"row $i feature $j is $v")
+        j += 1
+      }
+      i += 1
+    }
+    val classes = ys.distinct.sorted
+    val n = ys.length.toDouble
+    val logPriors = new Array[Double](classes.length)
+    val flp = Array.ofDim[Double](classes.length, d)
+    classes.zipWithIndex.foreach { case (c, ci) =>
+      val idx = ys.indices.filter(ys(_) == c)
+      logPriors(ci) = math.log(idx.length / n)
+      val sums = new Array[Double](d)
+      idx.foreach { r =>
+        var j = 0
+        while (j < d) { sums(j) += xs(r)(j); j += 1 }
+      }
+      val total = sums.sum
+      (0 until d).foreach { j =>
+        flp(ci)(j) = math.log((sums(j) + 1.0) / (total + d))
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(classes, logPriors, flp)); out.flush()
+      bos.toByteArray }
+    finally out.close()
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  /** argmax_c [ log prior_c + Σ_j x_j · featLogProb_cj ]; ties keep the
+    * SMALLEST class (ascending iteration, strict >). */
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    var best = 0; var bestScore = Double.NegativeInfinity
+    m.classes.indices.foreach { ci =>
+      var s = m.logPriors(ci)
+      var j = 0
+      while (j < x.length) { s += x(j) * m.featLogProb(ci)(j); j += 1 }
+      if (s > bestScore) { bestScore = s; best = ci }
+    }
+    m.classes(best)
+  }
+}

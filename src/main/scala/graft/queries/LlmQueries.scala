@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.ops.{Jpeg, Multimodal, TextDedup, VectorSim}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -177,6 +178,104 @@ object LlmQueries {
           r6(col("max_tri").cast("double") / col("n_tri"))
             .as("top_trigram_frac"))
         .orderBy("doc_id")
+    },
+
+    // Bigram language-model perplexity scoring (the CCNet/Gopher-style
+    // "LM quality filter"): train an add-one-smoothed bigram model
+    // over the corpus as DISTRIBUTED count aggregations (no driver
+    // state, no collect — the model IS a DataFrame), then score each
+    // document's mean negative log likelihood by equi-joining its
+    // per-doc bigram counts back to the model. Scale shape: shuffles
+    // are plain groupBys on (w1,w2)/(w1)/doc_id plus two equi-joins
+    // AQE can re-plan (model side broadcast-able when small, shuffled
+    // when the vocab is corpus-scale); the vocabulary size scalar is
+    // the only broadcast. Summation-order FP noise is ~1e-12 relative
+    // → r4 grain with the shared nudge convention.
+    q("text_lm_ppl",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                for i in generate_series(1, len(ts) - 1)], recursive := true)
+        |       FROM tok WHERE len(ts) >= 2),
+        |bgc AS (SELECT w1, w2, count(*) c FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) cw FROM bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) v
+        |        FROM (SELECT unnest(ts) w FROM tok)),
+        |db AS (SELECT doc_id, w1, w2, count(*) cnt FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.doc_id, sum(d.cnt) nb,
+        |              sum(d.cnt * -ln((bgc.c + 1.0) / (ctx.cw + voc.v))) snll
+        |       FROM db d
+        |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
+        |       JOIN ctx ON d.w1 = ctx.w1
+        |       CROSS JOIN voc
+        |       GROUP BY 1)
+        |SELECT doc_id, nb AS n_bigrams,
+        |       round(exp(snll / nb) + 1e-9, 4) AS ppl
+        |FROM sc ORDER BY doc_id""") { c =>
+      val toks = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val bg = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val voc = toks.select(explode(col("ts")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val db = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      db.join(bgc, Seq("w1", "w2"))
+        .join(ctx, Seq("w1"))
+        .crossJoin(broadcast(voc))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          sum(col("cnt").cast("double") *
+            -log((col("c") + 1.0) / (col("cw") + col("v"))))
+            .as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r4(exp(col("snll") / col("n_bigrams"))).as("ppl"))
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF top terms per document — the classic distinctive-term
+    // extraction. tf/df are integer counts; tfidf is ROUNDED BEFORE
+    // ranking so the (tfidf DESC, term ASC) order is identical on
+    // both engines even when mathematically-equal scores arrive via
+    // different ln() last-ulp paths. Shape: explode → two hash
+    // aggregations → equi-join to the df model → per-doc top-3 window
+    // over doc_id partitions (never a global sort).
+    q("text_tfidf_top",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |tf AS (SELECT doc_id, w AS term, count(*) tf
+        |       FROM (SELECT doc_id, unnest(ts) w FROM tok) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) nd FROM tf),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |              round(tf.tf * ln(nd.nd::DOUBLE / dfq.df) + 1e-9, 4) tfidf
+        |       FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) rnk FROM sc)
+        |SELECT doc_id, rnk, term, tfidf, tf, df
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""") { c =>
+      val toks = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val tf = toks.select(col("doc_id"), explode(col("ts")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = tf.agg(countDistinct(col("doc_id")).as("nd"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfq, "term")
+        .crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          r4(col("tf").cast("double") *
+            log(col("nd").cast("double") / col("df"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"),
+          col("tf"), col("df"))
+        .orderBy("doc_id", "rnk")
     },
 
     // Document fingerprinting: winnowing-style rolling scheme — char

@@ -144,6 +144,50 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Multinomial naive Bayes through the arbitrary-estimator path:
+    // the text-classification workhorse. Fit statistics are class-wise
+    // feature SUMS on an integer lattice (exact in doubles, summation-
+    // order-proof), so the oracle replicates fit AND predict: per-class
+    // log prior + Laplace-smoothed log likelihoods, argmax with
+    // smallest-class tie-break (s0 >= s1 >= s2 cascade).
+    q("ml_pipeline_mnb",
+      """WITH d AS (SELECT l_orderkey, l_linenumber,
+        |             l_quantity x1, l_linenumber::DOUBLE x2,
+        |             CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END cls
+        |           FROM lineitem),
+        |p AS (SELECT cls, count(*) n, sum(x1) s1, sum(x2) s2 FROM d GROUP BY cls),
+        |t AS (SELECT sum(n) tot FROM p),
+        |pw AS (SELECT cls, ln(n::DOUBLE / tot) lp,
+        |              ln((s1 + 1.0) / (s1 + s2 + 2.0)) l1,
+        |              ln((s2 + 1.0) / (s1 + s2 + 2.0)) l2
+        |       FROM p, t),
+        |s AS (SELECT d.l_orderkey, d.l_linenumber,
+        |        max(CASE WHEN pw.cls = 0 THEN sc END) s0,
+        |        max(CASE WHEN pw.cls = 1 THEN sc END) s1,
+        |        max(CASE WHEN pw.cls = 2 THEN sc END) s2
+        |      FROM (SELECT *, row_number() OVER () rid FROM d) d
+        |      CROSS JOIN pw
+        |      CROSS JOIN LATERAL (SELECT pw.lp + d.x1 * pw.l1 + d.x2 * pw.l2 AS sc)
+        |      GROUP BY d.rid, d.l_orderkey, d.l_linenumber)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+        |            WHEN s1 >= s2 THEN 1 ELSE 2 END AS pred
+        |FROM s WHERE l_orderkey < 300 ORDER BY 1, 2, 3""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_linenumber").cast("double").as("ln_feat"),
+        when(col("l_returnflag") === "A", 0.0)
+          .when(col("l_returnflag") === "N", 1.0)
+          .otherwise(2.0).as("cls"))
+      val steps = Seq(graft.rel.EstimatorSpec("multinomial_nb",
+        Seq("l_quantity", "ln_feat"), "cls", "pred_cls"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("pred_cls").cast("int").as("pred"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Ridge regression through the SAME arbitrary-estimator path
     // (fit-as-UDAF → model bytes → predict-as-UDF): closed-form
     // centered normal equations, so the DuckDB oracle can replicate
