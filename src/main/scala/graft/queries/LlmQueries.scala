@@ -278,6 +278,76 @@ object LlmQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    // Benchmark decontamination (the GPT-3/Llama pre-train step):
+    // flag corpus documents sharing any word 4-gram with a held-out
+    // eval set (here the deterministic doc_id%50 subset). Scale shape:
+    // the benchmark gram set is tiny relative to the corpus, so the
+    // collision join is a broadcast-able equi-join on the gram string;
+    // the corpus side is explode → join → groupBy(doc) — no all-pairs
+    // doc×doc comparison ever happens.
+    q("llm_decontaminate",
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest([list_aggregate(ws[i:i+3], 'string_agg', ' ')
+        |        for i in generate_series(1, len(ws) - 3)]) gram
+        |      FROM t WHERE len(ws) >= 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |hits AS (SELECT g.doc_id, count(DISTINCT g.gram) n_hit_grams
+        |         FROM g JOIN bench USING (gram)
+        |         WHERE g.doc_id % 50 != 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+        |       h.n_hit_grams IS NOT NULL AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""") { c =>
+      val toks = c.documents
+        .withColumn("ws", split(lower(trim(col("text"))), "\\s+"))
+      val grams = toks.filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 4),
+          i => concat_ws(" ",
+            (0 until 4).map(j => element_at(col("ws"), i + j + 1)): _*)))
+          .as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select("gram").distinct()
+      val hits = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hit_grams"))
+      c.documents.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+          col("n_hit_grams").isNotNull.as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified corpus mixing: per-language quotas
+    // (40% of each stratum, ceiling) picked by md5(doc_id) rank — the
+    // training-mix sampler. Hash-ordered row_number inside each
+    // stratum partition; no global sort, no RNG, identical sample on
+    // any cluster size or engine.
+    q("llm_corpus_mix",
+      """WITH r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY md5(doc_id::VARCHAR), doc_id) rk,
+        |             count(*) OVER (PARTITION BY lang) cnt
+        |           FROM documents)
+        |SELECT doc_id, lang, rk
+        |FROM r WHERE rk <= ceil(0.4 * cnt) ORDER BY doc_id""") { c =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val wc = Window.partitionBy("lang")
+      c.documents.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rk") <= ceil(lit(0.4) * col("cnt")))
+        .select("doc_id", "lang", "rk")
+        .orderBy("doc_id")
+    },
+
     // Document fingerprinting: winnowing-style rolling scheme — char
     // 8-gram md5 hashes, min per 4-window, distinct fingerprints.
     // md5 (not xxhash) so the oracle can mirror the exact values.
