@@ -348,6 +348,81 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // BPE tokenizer-vocabulary induction (Sennrich et al.), 3 pinned
+    // merge rounds — the distributed shape real BPE trainers use: the
+    // corpus collapses to a WORD-FREQUENCY table once (the only
+    // corpus-sized aggregation), then each round is (adjacent-pair count
+    // weighted by freq → global argmax → merge) over that table. The
+    // argmax is a 1-row aggregate collect (a scalar, like a vocab
+    // size); the merge applies the pair via sentinel-delimited string
+    // replace — left-to-right non-overlapping `replace` on " a b " is
+    // EXACTLY greedy BPE merging, identically on both engines. The
+    // oracle unrolls the 3 rounds as chained CTEs (s0→m1→s1→m2→s2→m3).
+    q("text_bpe_merges",
+      """WITH w AS (SELECT wd, count(*) freq FROM
+        |             (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) wd
+        |              FROM documents)
+        |           WHERE length(wd) > 0 GROUP BY 1),
+        |s0 AS (SELECT freq, ' ' || list_aggregate(
+        |         [wd[i] for i in generate_series(1, length(wd))],
+        |         'string_agg', ' ') || ' ' s FROM w),
+        |p1 AS (SELECT a, b, sum(freq)::BIGINT cnt FROM (
+        |         SELECT freq, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |             for i in generate_series(1, len(ts)-1)], recursive := true)
+        |         FROM (SELECT freq, string_split(trim(s), ' ') ts FROM s0))
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (SELECT freq, replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
+        |                            ' ' || m1.a || m1.b || ' ') s FROM s0, m1),
+        |p2 AS (SELECT a, b, sum(freq)::BIGINT cnt FROM (
+        |         SELECT freq, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |             for i in generate_series(1, len(ts)-1)], recursive := true)
+        |         FROM (SELECT freq, string_split(trim(s), ' ') ts FROM s1))
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (SELECT freq, replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
+        |                            ' ' || m2.a || m2.b || ' ') s FROM s1, m2),
+        |p3 AS (SELECT a, b, sum(freq)::BIGINT cnt FROM (
+        |         SELECT freq, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |             for i in generate_series(1, len(ts)-1)], recursive := true)
+        |         FROM (SELECT freq, string_split(trim(s), ' ') ts FROM s2))
+        |       GROUP BY 1, 2),
+        |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT 1 AS merge_step, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM m1
+        |UNION ALL SELECT 2, a, b, a || b, cnt FROM m2
+        |UNION ALL SELECT 3, a, b, a || b, cnt FROM m3
+        |ORDER BY merge_step""") { c =>
+      val words = c.documents
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("wd"))
+        .filter(length(col("wd")) > 0)
+        .groupBy("wd").agg(count(lit(1)).as("freq"))
+        .withColumn("s", concat(lit(" "), concat_ws(" ",
+          expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))")),
+          lit(" ")))
+        .select("freq", "s")
+      var cur = words
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      (1 to 3).foreach { step =>
+        val toks = cur.withColumn("ts", split(trim(col("s")), " "))
+        val top = toks.filter(size(col("ts")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(ts) - 2), " +
+              "i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((step, a, b, a + b, cnt))
+        cur = cur.withColumn("s", call_function("replace", col("s"),
+          concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
+          concat(lit(" "), lit(a), lit(b), lit(" "))))
+      }
+      c.spark.createDataFrame(merges.result())
+        .toDF("merge_step", "pair_a", "pair_b", "merged", "cnt")
+        .orderBy("merge_step")
+    },
+
     // Document fingerprinting: winnowing-style rolling scheme — char
     // 8-gram md5 hashes, min per 4-window, distinct fingerprints.
     // md5 (not xxhash) so the oracle can mirror the exact values.
