@@ -168,6 +168,54 @@ object WindowQueries {
 
     // WindowAggregate / window_by (temporal_windows.py:18): tumbling
     // 1-day buckets — Spark `window()` on event time; oracle date_trunc.
+    // Ordered-funnel analysis (view → click → purchase, each step
+    // within 24h of the previous): the standard product-analytics
+    // sequence-match. Shape: one conditional min-aggregate per step,
+    // chained through equi-joins on user_id — every shuffle is keyed
+    // by user, no self-join explosion, no per-user event collect.
+    q("win_funnel",
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |v AS (SELECT user_id, min(ts) view_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |cl AS (SELECT e.user_id, min(e.ts) click_ts FROM ev e
+        |       JOIN v USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |         AND e.ts <= v.view_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(e.ts) purchase_ts FROM ev e
+        |       JOIN cl USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > cl.click_ts
+        |         AND e.ts <= cl.click_ts + INTERVAL 24 HOUR GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |       CAST(v.view_ts AS TIMESTAMP) AS view_ts,
+        |       CAST(cl.click_ts AS TIMESTAMP) AS click_ts,
+        |       CAST(pu.purchase_ts AS TIMESTAMP) AS purchase_ts,
+        |       pu.purchase_ts IS NOT NULL AS converted
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN cl USING (user_id)
+        |LEFT JOIN pu USING (user_id)
+        |ORDER BY u.user_id""") { c =>
+      val ev = c.events.select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("view_ts") &&
+          col("ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .filter(col("ts") > col("click_ts") &&
+          col("ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(cl, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"), col("purchase_ts").isNotNull.as("converted"))
+        .orderBy("user_id")
+    },
+
     q("win_time_bucket",
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
         |       count(*) AS n, round(sum(value) + 1e-9, 2) AS v
