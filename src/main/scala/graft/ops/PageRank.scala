@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an (src, dst) edge DataFrame — the
+  * iterative-graph-analytics companion to [[Components]] (alternating
+  * star contraction) on the same "graphs are DataFrames" stance: each
+  * round is two equi-joins and an aggregation keyed by node, the
+  * dangling-mass redistribution is a 1-row broadcast scalar, and the
+  * per-round `localCheckpoint` cuts lineage exactly like the
+  * components loop. No driver-side graph, no vertex collect — node
+  * count is the only scalar action.
+  *
+  * Semantics: standard damped PageRank with uniform teleport and
+  * dangling-node mass spread uniformly,
+  * `r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N)`.
+  * Pinned small iteration counts are SQL-replicable by unrolling the
+  * rounds as chained CTEs (the logreg/Vincenty oracle pattern).
+  */
+object PageRank {
+
+  /** Ranks after `iters` rounds from a uniform start; output columns
+    * (node, rank) where ranks sum to 1 up to FP noise. `edges` must
+    * have `src`/`dst` string-or-numeric columns; parallel duplicates
+    * are collapsed (simple-graph convention, matching the oracle's
+    * SELECT DISTINCT). */
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pagerank needs at least one round, got $iters")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    (1 to iters).foreach { _ =>
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    ranks
+  }
+}

@@ -12,6 +12,55 @@ object CoverageQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Distributed PageRank (3 pinned rounds, damping 0.85) over the
+    // customer→supplier bipartite graph — iterative graph analytics
+    // beyond connected components. Every round is two node-keyed
+    // equi-joins + an aggregation; dangling mass (suppliers have no
+    // out-edges) is a 1-row broadcast scalar; per-round
+    // localCheckpoint cuts lineage. Oracle unrolls the rounds as
+    // chained CTEs; output is rank NORMALIZED by node count (≈1.0
+    // scale) so the r6 grain sits 6 orders above summation noise.
+    q("graph_pagerank",
+      """WITH e AS (SELECT DISTINCT 'c' || o_custkey src, 's' || l_suppkey dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) n FROM nodes),
+        |od AS (SELECT src, count(*) outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0::DOUBLE / nn.n rank FROM nodes, nn),
+        |d1 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r0
+        |       LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
+        |c1 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
+        |       JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY 1),
+        |r1 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+        |         (coalesce(c1.contrib, 0)::DOUBLE + d1.dm / nn.n) rank
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
+        |d2 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r1
+        |       LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
+        |c2 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
+        |       JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+        |         (coalesce(c2.contrib, 0)::DOUBLE + d2.dm / nn.n) rank
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
+        |d3 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r2
+        |       LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
+        |c3 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
+        |       JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+        |         (coalesce(c3.contrib, 0)::DOUBLE + d3.dm / nn.n) rank
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
+        |SELECT node, round(r3.rank * nn.n + 1e-9, 6) pr FROM r3, nn
+        |ORDER BY pr DESC, node LIMIT 20""") { c =>
+      val edges = c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val n = graft.ops.PageRank.run(edges, iters = 3, damping = 0.85)
+      val nNodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct().count()
+      n.select(col("node"), r6(col("rank") * nNodes).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    },
+
     // Join right (vendor relations.py:202) — kept non-degenerate: only
     // some suppliers have lineitems under the filter.
     q("join_right",
