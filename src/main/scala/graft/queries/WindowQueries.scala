@@ -168,6 +168,48 @@ object WindowQueries {
 
     // WindowAggregate / window_by (temporal_windows.py:18): tumbling
     // 1-day buckets — Spark `window()` on event time; oracle date_trunc.
+    // Batch gap sessionization (30-min inactivity gap) — the
+    // oracle-checked batch complement of the streaming sessionizer
+    // (StreamOps.sessionize): lag-over-user detects session starts,
+    // a running sum numbers them, one groupBy collapses to per-session
+    // rows. All windows partition by user_id — no global sort.
+    // Durations in exact integer microseconds (no float, no
+    // boundary-crossing truncation ambiguity).
+    q("win_sessionize",
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END new_s
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) session_id
+        |      FROM o)
+        |SELECT user_id, session_id::BIGINT AS session_id,
+        |       count(*)::BIGINT AS n_events,
+        |       CAST(min(ts) AS TIMESTAMP) AS s_start,
+        |       CAST(max(ts) AS TIMESTAMP) AS s_end,
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP))
+        |         - epoch_us(CAST(min(ts) AS TIMESTAMP)) AS dur_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""") { c =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.events
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") > lag(col("ts"), 1).over(w) +
+              expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+          (unix_micros(max(col("ts")).cast("timestamp")) -
+            unix_micros(min(col("ts")).cast("timestamp"))).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    },
+
     // Ordered-funnel analysis (view → click → purchase, each step
     // within 24h of the previous): the standard product-analytics
     // sequence-match. Shape: one conditional min-aggregate per step,
