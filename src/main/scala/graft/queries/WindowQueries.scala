@@ -168,6 +168,39 @@ object WindowQueries {
 
     // WindowAggregate / window_by (temporal_windows.py:18): tumbling
     // 1-day buckets — Spark `window()` on event time; oracle date_trunc.
+    // Weekly cohort retention: users cohorted by first-signup week,
+    // counted distinct per (cohort, weeks-since) cell — the standard
+    // retention triangle. Shape: one min-aggregate (cohort), one
+    // user-keyed equi-join, one distinct-count aggregation; week
+    // offsets are exact integer arithmetic on week-truncated dates.
+    q("win_retention",
+      """WITH su AS (SELECT user_id, date_trunc('week', min(ts)) cw,
+        |              min(ts) signup_ts
+        |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, su.cw,
+        |          CAST(date_diff('day', su.cw::DATE,
+        |               date_trunc('week', e.ts)::DATE) / 7 AS INT) week_offset
+        |        FROM events e JOIN su USING (user_id)
+        |        WHERE e.ts >= su.signup_ts)
+        |SELECT CAST(cw AS TIMESTAMP) AS cohort_week, week_offset,
+        |       count(DISTINCT user_id)::BIGINT AS n_active
+        |FROM act GROUP BY cw, week_offset
+        |ORDER BY cohort_week, week_offset""") { c =>
+      val su = c.events.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cw"),
+          min(col("ts")).as("signup_ts"))
+      c.events.join(su, "user_id")
+        .filter(col("ts") >= col("signup_ts"))
+        .select(col("user_id"), col("cw"),
+          (datediff(to_date(date_trunc("week", col("ts"))),
+            to_date(col("cw"))) / 7).cast("int").as("week_offset"))
+        .distinct()
+        .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Batch gap sessionization (30-min inactivity gap) — the
     // oracle-checked batch complement of the streaming sessionizer
     // (StreamOps.sessionize): lag-over-user detects session starts,
