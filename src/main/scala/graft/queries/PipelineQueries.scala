@@ -84,6 +84,72 @@ object PipelineQueries {
             "ipv4_n", "pii_total").map(n => col(n).cast("long").as(n)) :+
           col("quarantine") :+ col("text_redacted"): _*)
         .orderBy("doc_id")
+    },
+
+    // Exact duplicate-SPAN detection (the ExactSubstr step of Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models Better",
+    // arXiv:2107.06499 — re-shaped for a distributed engine): a word
+    // 4-gram occurring in ≥2 documents marks tokens [pos, pos+4) of each
+    // occurrence as duplicated; overlapping marks are union-merged per
+    // doc (sort-free at the corpus level: one window over (doc, pos)).
+    // Scale shape: grams stay INSIDE a per-row transform() until the
+    // single groupBy(gram) shuffle; the suffix-array of the paper
+    // becomes a gram-keyed equi-join — the standard distributed
+    // approximation. Output: per-doc duplicated-token fraction, the
+    // signal used to cut boilerplate spans from pre-train corpora.
+    q("text_dup_spans",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |b AS (SELECT doc_id, len(ts)::BIGINT n_toks, ts FROM tok
+        |      WHERE len(ts) >= 4),
+        |g AS (SELECT doc_id, n_toks,
+        |             generate_subscripts([array_to_string(ts[i:i+3], ' ')
+        |               for i in generate_series(1, len(ts)-3)], 1) pos,
+        |             unnest([array_to_string(ts[i:i+3], ' ')
+        |               for i in generate_series(1, len(ts)-3)]) gram
+        |      FROM b),
+        |d AS (SELECT gram FROM g GROUP BY gram
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |dg AS (SELECT g.* FROM g JOIN d USING (gram)),
+        |iv AS (SELECT doc_id, n_toks, pos,
+        |         max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pme
+        |       FROM dg),
+        |cov AS (SELECT doc_id, n_toks, count(*)::BIGINT dup_grams,
+        |          sum(greatest(0, pos + 4 -
+        |            greatest(pos, coalesce(pme, pos))))::BIGINT dup_tokens
+        |        FROM iv GROUP BY 1, 2)
+        |SELECT doc_id, n_toks, dup_grams, dup_tokens,
+        |       round(dup_tokens::DOUBLE / n_toks + 1e-9, 4) dup_frac
+        |FROM cov ORDER BY doc_id""") { c =>
+      val n = 4
+      val toks = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_toks"),
+          col("ts"))
+      val grams = toks.select(col("doc_id"), col("n_toks"),
+        posexplode(expr(
+          s"transform(sequence(0, size(ts)-$n), i -> array_join(slice(ts, i+1, $n), ' '))"))
+          .as(Seq("pos", "gram")))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2).select("gram")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grams.join(dup, "gram")
+        .withColumn("pme", max(col("pos") + n).over(w))
+        .groupBy("doc_id", "n_toks")
+        .agg(count(lit(1)).as("dup_grams"),
+          sum(greatest(lit(0), col("pos") + n -
+            greatest(col("pos"), coalesce(col("pme"), col("pos")))))
+            .as("dup_tokens"))
+        .select(col("doc_id"), col("n_toks"), col("dup_grams"),
+          col("dup_tokens"),
+          r4(col("dup_tokens").cast("double") / col("n_toks"))
+            .as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 }
