@@ -150,6 +150,75 @@ object PipelineQueries {
           r4(col("dup_tokens").cast("double") / col("n_toks"))
             .as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // BM25 ranked retrieval (Robertson–Spärck Jones; k1=1.2, b=0.75,
+    // idf = ln(1 + (N-df+0.5)/(df+0.5)) — the Lucene-standard non-negative
+    // form): top-5 documents per query from a small query-term relation.
+    // Scale shape: corpus statistics (tf, dl, df) are corpus-side
+    // aggregations sharded by term/doc; the query set is tiny and
+    // BROADCAST onto the tf relation, so scoring is one map-side join +
+    // one (qid, doc) aggregation — no corpus-side cross product. This is
+    // the retrieval half of a RAG/data-curation stack.
+    q("text_bm25",
+      """WITH qs(qid, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'),
+        |  (2, 'window'), (2, 'agg'), (2, 'stream'),
+        |  (3, 'customer'), (3, 'batch'), (3, 'fast')),
+        |tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |        FROM documents),
+        |dl AS (SELECT doc_id, len(ts)::BIGINT dl FROM tok WHERE len(ts) > 0),
+        |tf AS (SELECT doc_id, w term, count(*)::BIGINT tf
+        |       FROM (SELECT doc_id, unnest(ts) w FROM tok) GROUP BY 1, 2),
+        |stats AS (SELECT count(*)::DOUBLE n, avg(dl)::DOUBLE avgdl FROM dl),
+        |dfq AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+        |sc AS (SELECT qs.qid, tf.doc_id,
+        |         sum(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |             tf.tf * 2.2 /
+        |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) score
+        |       FROM qs JOIN tf ON qs.term = tf.term
+        |       JOIN dfq ON tf.term = dfq.term
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN stats s
+        |       GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, round(score + 1e-9, 4) rscore FROM sc),
+        |rk AS (SELECT qid, doc_id, rscore, row_number() OVER (
+        |         PARTITION BY qid ORDER BY rscore DESC, doc_id) rnk FROM r)
+        |SELECT qid, rnk, doc_id, rscore AS score FROM rk WHERE rnk <= 5
+        |ORDER BY qid, rnk""") { c =>
+      val sp = c.spark
+      import sp.implicits._
+      val qs = Seq(1 -> "spark", 1 -> "join", 2 -> "window", 2 -> "agg",
+        2 -> "stream", 3 -> "customer", 3 -> "batch", 3 -> "fast")
+        .toDF("qid", "term")
+      val toks = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val dl = toks.filter(size(col("ts")) > 0)
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+      val tf = toks.select(col("doc_id"), explode(col("ts")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      val dfq = tf.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"))
+      // rank on the ROUNDED score (both engines): raw FP sums can differ
+      // at 1e-15 between engines and would flip near-tie orderings
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc_id"))
+      broadcast(qs).join(tf, "term")
+        .join(dfq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(sum(log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("raw"))
+        .withColumn("score", r4(col("raw")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy("qid", "rnk")
     }
   )
 }
