@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (the PPJoin
+  * family: Xiao et al. 2008, "Efficient Similarity Joins for Near
+  * Duplicate Detection", WWW — the candidate-prefix construction only;
+  * positional/suffix refinements are left to the verify step).
+  *
+  * Complements the probabilistic MinHash-LSH path (ops/TextDedup.scala):
+  * LSH gives tunable recall at fixed cost; this gives recall = 1.0
+  * (every pair with Jaccard ≥ τ is found, provably) at a cost governed
+  * by the prefix-filter bound — the right tool when a pipeline must
+  * GUARANTEE no duplicate survives (e.g. eval-set leakage scrubbing).
+  *
+  * Scale shape (100 TB):
+  *  - Token ordering is by ASCENDING global frequency (rarest first),
+  *    the ordering that minimizes candidate fan-out; frequencies come
+  *    from one corpus aggregation, joined back by token equi-join.
+  *  - A set of size s contributes only its first s - ceil(τ·s) + 1
+  *    tokens to the candidate join: any pair with J ≥ τ shares ≥
+  *    ceil(τ·s) elements, which cannot all hide in the (shorter)
+  *    suffix — so candidates on prefix-token equality are complete.
+  *  - The candidate join is a plain equi-join on the token (AQE
+  *    re-plannable, skew-salvageable); a length filter
+  *    τ·sA ≤ sB prunes before dedup. Full sets are joined back ONLY
+  *    for surviving candidate pairs; the corpus never cross-products.
+  */
+object SetSimJoin {
+
+  /** All pairs (a < b) with exact Jaccard(setA, setB) ≥ tau.
+    * Input: one row per id with an array column (de-duplicated
+    * internally). Output: a, b, inter, union, jac — jac computed from
+    * the same integer triple on any engine, so it is bit-reproducible.
+    */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
+                      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val sets = df
+      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("st"))
+      .filter(size(col("st")) > 0)
+
+    // global token frequencies — ONE corpus-wide aggregation
+    val freq = sets.select(explode(col("st")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+
+    // per-set canonical order: rarest token first (ties by token text);
+    // prefix = first s - ceil(tau*s) + 1 tokens in that order
+    val w = Window.partitionBy("id").orderBy(col("f"), col("tok"))
+    val prefix = sets
+      .select(col("id"), size(col("st")).as("s"), explode(col("st")).as("tok"))
+      .join(freq, "tok")
+      .withColumn("p", row_number().over(w))
+      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
+      .select(col("id"), col("s"), col("tok"))
+
+    // candidate pairs: prefix-token equi-join, ordered ids, length
+    // filter (J >= tau forces tau*sA <= sB <= sA/tau)
+    val a = prefix.select(col("id").as("a"), col("s").as("sa"), col("tok"))
+    val b = prefix.select(col("id").as("b"), col("s").as("sb"), col("tok"))
+    val cand = a.join(b, "tok")
+      .filter(col("a") < col("b"))
+      .filter(col("sb") * tau <= col("sa") && col("sa") * tau <= col("sb"))
+      .select("a", "b").distinct()
+
+    // exact verification — sets joined back for candidates only
+    val sa = sets.select(col("id").as("a"), col("st").as("sta"))
+    val sb = sets.select(col("id").as("b"), col("st").as("stb"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
+      .withColumn("union",
+        (size(col("sta")) + size(col("stb"))).cast("long") - col("inter"))
+      .withColumn("jac", col("inter").cast("double") / col("union"))
+      .filter(col("jac") >= tau)
+      .select("a", "b", "inter", "union", "jac")
+  }
+}

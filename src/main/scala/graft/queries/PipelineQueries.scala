@@ -219,6 +219,36 @@ object PipelineQueries {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
         .orderBy("qid", "rnk")
+    },
+
+    // EXACT near-dup pairs at Jaccard ≥ 0.3 over word-3-gram shingle
+    // sets — recall-1.0 counterpart of dedup_minhash_lsh, via the
+    // PPJoin prefix filter (ops/SetSimJoin.scala). The oracle is the
+    // documented brute-force all-pairs Jaccard (tractable at the sf0.01
+    // gate only); the Spark side never cross-products the corpus.
+    q("dedup_jaccard_prefix",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |        for i in generate_series(1, len(ts)-2)]) st
+        |      FROM tok WHERE len(ts) >= 3),
+        |p AS (SELECT a.doc_id a, b.doc_id b,
+        |        len(list_intersect(a.st, b.st))::BIGINT i,
+        |        len(a.st)::BIGINT sa, len(b.st)::BIGINT sb
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT a, b, i AS inter, sa + sb - i AS "union",
+        |       round(i::DOUBLE / (sa + sb - i) + 1e-9, 6) jac
+        |FROM p WHERE i::DOUBLE / (sa + sb - i) >= 0.3
+        |ORDER BY a, b""") { c =>
+      val toks = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+      graft.ops.SetSimJoin.jaccardSelfJoin(toks, "doc_id", "st", 0.3)
+        .select(col("a"), col("b"), col("inter"), col("union"),
+          r6(col("jac")).as("jac"))
+        .orderBy("a", "b")
     }
   )
 }
