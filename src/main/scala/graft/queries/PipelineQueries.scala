@@ -249,6 +249,35 @@ object PipelineQueries {
         .select(col("a"), col("b"), col("inter"), col("union"),
           r6(col("jac")).as("jac"))
         .orderBy("a", "b")
+    },
+
+    // Triangle counting (ops/Triangles.scala) over the part co-purchase
+    // projection: parts appearing in the same order, high-quantity lines
+    // only. Degree-ordered orientation bounds the wedge join fan-out at
+    // O(sqrt(m)) per key — the hub-safe construction. The oracle
+    // enumerates triangles as a canonical 3-way self-join.
+    q("graph_triangles",
+      """WITH e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
+        |                  greatest(a.l_partkey, b.l_partkey) v
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey
+        |             AND a.l_quantity > 40 AND b.l_quantity > 40),
+        |t AS (SELECT e1.u a, e1.v b, e2.v c
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |n AS (SELECT unnest([a, b, c]) node FROM t)
+        |SELECT node, count(*)::BIGINT tri_n FROM n GROUP BY 1
+        |ORDER BY tri_n DESC, node LIMIT 20""") { c =>
+      val hi = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = hi.as("a")
+        .join(hi.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Triangles.perNodeCounts(edges, "src", "dst")
+        .orderBy(col("tri_n").desc, col("node"))
+        .limit(20)
     }
   )
 }
