@@ -278,6 +278,58 @@ object PipelineQueries {
       graft.ops.Triangles.perNodeCounts(edges, "src", "dst")
         .orderBy(col("tri_n").desc, col("node"))
         .limit(20)
+    },
+
+    // SCD2 merge (ops/Scd2.scala): one update batch against a customer
+    // dimension seeded 2026-01-01 — %10=3 keys change balance (close +
+    // re-version), %10=4 keys arrive identical (idempotent no-op),
+    // %100=7 keys arrive shifted by 1e6 (brand-new inserts). The oracle
+    // rebuilds the same merge as three relational branches.
+    q("rel_merge_scd2",
+      """WITH cur AS (SELECT c_custkey k, c_acctbal bal, c_mktsegment seg
+        |             FROM customer),
+        |upd AS (
+        |  SELECT k, bal + 100 bal, seg FROM cur WHERE k % 10 = 3
+        |  UNION ALL SELECT k, bal, seg FROM cur WHERE k % 10 = 4
+        |  UNION ALL SELECT k + 1000000, bal, seg FROM cur WHERE k % 100 = 7),
+        |closed AS (
+        |  SELECT c.k, c.bal, c.seg, DATE '2026-01-01' valid_from,
+        |         DATE '2026-02-01' valid_to
+        |  FROM cur c JOIN upd u ON c.k = u.k
+        |  WHERE c.bal IS DISTINCT FROM u.bal OR c.seg IS DISTINCT FROM u.seg),
+        |newcur AS (
+        |  SELECT u.k, u.bal, u.seg, DATE '2026-02-01' valid_from,
+        |         NULL::DATE valid_to
+        |  FROM upd u LEFT JOIN cur c ON u.k = c.k
+        |  WHERE c.k IS NULL OR c.bal IS DISTINCT FROM u.bal
+        |     OR c.seg IS DISTINCT FROM u.seg),
+        |keep AS (
+        |  SELECT c.k, c.bal, c.seg, DATE '2026-01-01' valid_from,
+        |         NULL::DATE valid_to
+        |  FROM cur c LEFT JOIN upd u ON c.k = u.k
+        |  WHERE u.k IS NULL OR (c.bal IS NOT DISTINCT FROM u.bal
+        |    AND c.seg IS NOT DISTINCT FROM u.seg))
+        |SELECT k, bal, seg, valid_from, valid_to FROM closed
+        |UNION ALL SELECT * FROM newcur
+        |UNION ALL SELECT * FROM keep
+        |ORDER BY k, valid_from""") { c =>
+      val cur = c.customer.select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val dim = cur
+        .withColumn("valid_from", to_date(lit("2026-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val upd = cur.filter(col("k") % 10 === 3)
+        .withColumn("bal", col("bal") + 100)
+        .unionByName(cur.filter(col("k") % 10 === 4))
+        .unionByName(cur.filter(col("k") % 100 === 7)
+          .withColumn("k", col("k") + 1000000))
+      // dates → timestamp_ntz for the driver's pandas bridge (date32
+      // parquet arrives as object cells, not datetime64)
+      graft.ops.Scd2.merge(dim, upd, Seq("k"), Seq("bal", "seg"),
+          to_date(lit("2026-02-01")))
+        .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
+        .withColumn("valid_to", col("valid_to").cast("timestamp_ntz"))
+        .orderBy("k", "valid_from")
     }
   )
 }
