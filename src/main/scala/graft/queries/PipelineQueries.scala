@@ -330,6 +330,37 @@ object PipelineQueries {
         .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
         .withColumn("valid_to", col("valid_to").cast("timestamp_ntz"))
         .orderBy("k", "valid_from")
+    },
+
+    // Point-in-interval range join (ops/IntervalJoin.scala): ship dates
+    // falling inside 14-day order windows, UNKEYED (no shared join key —
+    // the case Spark would plan as BroadcastNestedLoopJoin). Bucketizing
+    // makes it a plain equi-join on the bucket id; each qualifying pair
+    // meets in exactly one bucket so no dedup pass exists.
+    q("join_interval",
+      """WITH iv AS (SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(o_orderdate AS DATE))::BIGINT s
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |pts AS (SELECT l_orderkey, l_linenumber,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(l_shipdate AS DATE))::BIGINT p
+        |  FROM lineitem WHERE l_orderkey % 30 = 0)
+        |SELECT o_orderkey, l_orderkey, l_linenumber, p AS pt_day,
+        |       s AS start_day
+        |FROM iv JOIN pts ON p BETWEEN s AND s + 14
+        |ORDER BY o_orderkey, l_orderkey, l_linenumber""") { c =>
+      val iv = c.orders.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("s"))
+        .withColumn("e", col("s") + 14)
+      val pts = c.lineitem.filter(col("l_orderkey") % 30 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("p"))
+      graft.ops.IntervalJoin.pointInInterval(pts, "p", iv, "s", "e", 16L)
+        .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+          col("p").as("pt_day"), col("s").as("start_day"))
+        .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
     }
   )
 }
