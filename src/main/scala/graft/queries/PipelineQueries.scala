@@ -361,6 +361,73 @@ object PipelineQueries {
         .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
           col("p").as("pt_day"), col("s").as("start_day"))
         .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+    },
+
+    // Feature-scaling transformers (the sklearn preprocessing trio):
+    // min-max, z-score (population), robust (median/IQR) — the fit is
+    // ONE corpus aggregation broadcast as a 1-row literal onto a pure
+    // map stage; no per-row shuffle, the shape a 100 TB feature
+    // pipeline needs. Exact-percentile fit (Spark `percentile` ==
+    // DuckDB quantile_cont interpolation).
+    q("ml_feature_scalers",
+      """WITH s AS (SELECT min(l_quantity) qmin, max(l_quantity) qmax,
+        |    avg(l_extendedprice) pavg, stddev_pop(l_extendedprice) psd,
+        |    quantile_cont(l_discount, 0.5) dmed,
+        |    quantile_cont(l_discount, 0.75)
+        |      - quantile_cont(l_discount, 0.25) diqr
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       round((l_quantity - qmin) / (qmax - qmin) + 1e-9, 6) qty_minmax,
+        |       round((l_extendedprice - pavg) / psd + 1e-9, 6) price_z,
+        |       round((l_discount - dmed) / diqr + 1e-9, 6) disc_robust
+        |FROM lineitem, s
+        |ORDER BY l_orderkey, l_linenumber""") { c =>
+      val stats = c.lineitem.agg(
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"),
+        avg(col("l_extendedprice")).as("pavg"),
+        stddev_pop(col("l_extendedprice")).as("psd"),
+        expr("percentile(l_discount, 0.5)").as("dmed"),
+        (expr("percentile(l_discount, 0.75)") -
+          expr("percentile(l_discount, 0.25)")).as("diqr"))
+      c.lineitem.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6((col("l_quantity") - col("qmin")) / (col("qmax") - col("qmin")))
+            .as("qty_minmax"),
+          r6((col("l_extendedprice") - col("pavg")) / col("psd"))
+            .as("price_z"),
+          r6((col("l_discount") - col("dmed")) / col("diqr"))
+            .as("disc_robust"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Exponentially-weighted moving average per user (pandas
+    // ewm(adjust=True) semantics, truncated to the trailing 20 events —
+    // the truncation keeps the weight computation in a BOUNDED frame:
+    // the untruncated recurrence needs (1-α)^(-rank) ratios that
+    // overflow double past ~700 rows). One partition-local window, no
+    // extra shuffle beyond the user partitioning.
+    q("win_ewma",
+      """SELECT event_id, user_id, value,
+        |  round(list_sum([ws[i] * pow(0.7, len(ws) - i)
+        |           for i in generate_series(1, len(ws))]) /
+        |        ((1 - pow(0.7, len(ws))) / 0.3) + 1e-9, 4) ewma
+        |FROM (SELECT event_id, user_id, value,
+        |        list(value) OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) ws
+        |      FROM events WHERE user_id < 40)
+        |ORDER BY event_id""") { c =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+      c.events.filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("value"),
+          collect_list(col("value")).over(w).as("ws"))
+        .withColumn("ewma", r4(
+          expr("aggregate(transform(ws, (v, i) -> v * pow(0.7D, size(ws) - 1 - i)), 0D, (a, x) -> a + x)") /
+          ((lit(1.0) - pow(lit(0.7), size(col("ws")))) / 0.3)))
+        .select("event_id", "user_id", "value", "ewma")
+        .orderBy("event_id")
     }
   )
 }
