@@ -239,7 +239,7 @@ object PipelineQueries {
         |SELECT a, b, i AS inter, sa + sb - i AS "union",
         |       round(i::DOUBLE / (sa + sb - i) + 1e-9, 6) jac
         |FROM p WHERE i::DOUBLE / (sa + sb - i) >= 0.3
-        |ORDER BY a, b""") { c =>
+        |ORDER BY a, b""", bench = true) { c =>
       val toks = c.documents
         .select(col("doc_id"),
           expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
@@ -349,7 +349,7 @@ object PipelineQueries {
         |SELECT o_orderkey, l_orderkey, l_linenumber, p AS pt_day,
         |       s AS start_day
         |FROM iv JOIN pts ON p BETWEEN s AND s + 14
-        |ORDER BY o_orderkey, l_orderkey, l_linenumber""") { c =>
+        |ORDER BY o_orderkey, l_orderkey, l_linenumber""", bench = true) { c =>
       val iv = c.orders.filter(col("o_orderkey") % 50 === 0)
         .select(col("o_orderkey"),
           unix_date(to_date(col("o_orderdate"))).cast("long").as("s"))

@@ -31,7 +31,8 @@ bench = json.load(open(bench_json))
 SKIP = {"dedup_minhash_lsh": "oracle is O(n^2) brute force by design",
         "llm_corpus_prep": "oracle embeds the O(n^2) brute-force dedup",
         "text_fingerprint": "oracle is a per-row list comprehension",
-        "dedup_components": "oracle walks the O(n^2) brute-force pairs"}
+        "dedup_components": "oracle walks the O(n^2) brute-force pairs",
+        "dedup_jaccard_prefix": "oracle is O(n^2) brute force by design"}
 
 rows = []
 for q, spark_cold in bench["queries"].items():
