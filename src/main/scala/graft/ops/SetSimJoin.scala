@@ -38,16 +38,23 @@ object SetSimJoin {
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
                       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    // consumed FOUR times below (frequency agg, prefix build, both
+    // verify sides) — persist so the caller's tokenize/shingle pipeline
+    // runs once, not once per consumer (was the whole-query hot spot:
+    // 4x regexp_extract_all over the corpus)
     val sets = df
       .select(col(idCol).as("id"), array_distinct(col(setCol)).as("st"))
       .filter(size(col("st")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // global token frequencies — ONE corpus-wide aggregation
     val freq = sets.select(explode(col("st")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
 
     // per-set canonical order: rarest token first (ties by token text);
-    // prefix = first s - ceil(tau*s) + 1 tokens in that order
+    // prefix = first s - ceil(tau*s) + 1 tokens in that order.
+    // Persisted: both sides of the candidate self-join read it, and the
+    // explode + freq-join + window pass is the second-biggest stage.
     val w = Window.partitionBy("id").orderBy(col("f"), col("tok"))
     val prefix = sets
       .select(col("id"), size(col("st")).as("s"), explode(col("st")).as("tok"))
@@ -55,6 +62,7 @@ object SetSimJoin {
       .withColumn("p", row_number().over(w))
       .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
       .select(col("id"), col("s"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate pairs: prefix-token equi-join, ordered ids, length
     // filter (J >= tau forces tau*sA <= sB <= sA/tau)
@@ -68,12 +76,21 @@ object SetSimJoin {
     // exact verification — sets joined back for candidates only
     val sa = sets.select(col("id").as("a"), col("st").as("sta"))
     val sb = sets.select(col("id").as("b"), col("st").as("stb"))
-    cand.join(sa, "a").join(sb, "b")
+    val verified = cand.join(sa, "a").join(sb, "b")
       .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
       .withColumn("union",
         (size(col("sta")) + size(col("stb"))).cast("long") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("union"))
       .filter(col("jac") >= tau)
       .select("a", "b", "inter", "union", "jac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small, verified) result while the intermediates
+    // are cached, then RELEASE them so a long-lived session does not
+    // accumulate executor storage (same lifecycle as TextDedup). The
+    // returned frame stays persisted; callers may unpersist when done.
+    verified.count()
+    sets.unpersist(false)
+    prefix.unpersist(false)
+    verified
   }
 }
