@@ -189,8 +189,14 @@ object LlmQueries {
     // are plain groupBys on (w1,w2)/(w1)/doc_id plus two equi-joins
     // AQE can re-plan (model side broadcast-able when small, shuffled
     // when the vocab is corpus-scale); the vocabulary size scalar is
-    // the only broadcast. Summation-order FP noise is ~1e-12 relative
-    // → r4 grain with the shared nudge convention.
+    // the only broadcast. Determinism: a raw FP sum of per-bigram NLL
+    // terms is shuffle-order-dependent and its noise sits exactly at
+    // the r4 rounding grain (r5 verdict), so each term is quantized to
+    // integer MICRO-NATS (round(nll*1e6 + nudge) as BIGINT) before
+    // summation — integer addition is exact and order-independent, so
+    // the per-doc sum is bit-identical across shuffle orders AND
+    // engines (cross-engine agreement needs only per-term doubles to
+    // match within 5e-7, far coarser than ln()'s 1-ulp spread).
     q("text_lm_ppl",
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
         |             FROM documents),
@@ -203,14 +209,15 @@ object LlmQueries {
         |        FROM (SELECT unnest(ts) w FROM tok)),
         |db AS (SELECT doc_id, w1, w2, count(*) cnt FROM bg GROUP BY 1, 2, 3),
         |sc AS (SELECT d.doc_id, sum(d.cnt) nb,
-        |              sum(d.cnt * -ln((bgc.c + 1.0) / (ctx.cw + voc.v))) snll
+        |              sum(CAST(round(d.cnt * -ln((bgc.c + 1.0) / (ctx.cw + voc.v))
+        |                              * 1e6 + 1e-9) AS BIGINT)) snll_u
         |       FROM db d
         |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
         |       JOIN ctx ON d.w1 = ctx.w1
         |       CROSS JOIN voc
         |       GROUP BY 1)
         |SELECT doc_id, nb AS n_bigrams,
-        |       round(exp(snll / nb) + 1e-9, 4) AS ppl
+        |       round(exp(snll_u / 1e6 / nb) + 1e-9, 4) AS ppl
         |FROM sc ORDER BY doc_id""") { c =>
       val toks = c.documents.select(col("doc_id"),
         expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
@@ -229,11 +236,12 @@ object LlmQueries {
         .crossJoin(broadcast(voc))
         .groupBy("doc_id")
         .agg(sum(col("cnt")).as("n_bigrams"),
-          sum(col("cnt").cast("double") *
-            -log((col("c") + 1.0) / (col("cw") + col("v"))))
-            .as("snll"))
+          sum(round(col("cnt").cast("double") *
+              -log((col("c") + 1.0) / (col("cw") + col("v"))) *
+              lit(1e6) + lit(1e-9)).cast("long"))
+            .as("snll_u"))
         .select(col("doc_id"), col("n_bigrams"),
-          r4(exp(col("snll") / col("n_bigrams"))).as("ppl"))
+          r4(exp(col("snll_u") / lit(1e6) / col("n_bigrams"))).as("ppl"))
         .orderBy("doc_id")
     },
 
