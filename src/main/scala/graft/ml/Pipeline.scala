@@ -207,19 +207,17 @@ object Metrics {
     * exactly the trapezoid-over-the-curve value with ties handled (the
     * reference's deferred_roc_auc builds the curve; the identity needs
     * no curve materialization). Shape: groupBy(score) collapses the
-    * input to DISTINCT scores (one map-side-combined shuffle), the
-    * ordered cumulative window then runs over that small grouped
-    * relation — for quantized/bucketed scores (the common case) this is
-    * thousands of rows regardless of input size; a continuous-score
-    * corpus should quantize first, as the curve itself would require. */
+    * input to DISTINCT scores (one map-side-combined shuffle); the
+    * cumulative count over score order is then the distributed
+    * bucket-offset prefix sum (ops/Positional.withCumSum) — per-bucket
+    * windows plus a broadcast of ≤32 bucket totals — so a
+    * CONTINUOUS-score corpus (distinct-score relation ≈ corpus-sized)
+    * never lands on a single-partition global window. */
   def rocAuc(df: DataFrame, y: String, score: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val g = df.groupBy(col(score).as("__sc"))
       .agg(count(lit(1)).as("__n"), sum(col(y)).as("__np"))
-    val w = Window.orderBy("__sc")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = g.withColumn("__cum",
-      coalesce(sum(col("__n")).over(w), lit(0L)))
+    val ranked = graft.ops.Positional.withCumSum(
+      g, Seq(col("__sc")), col("__n"), "__cum")
     ranked.agg(
       sum(col("__np") * (col("__cum") + (col("__n") + 1) / lit(2.0)))
         .as("__rpos"),

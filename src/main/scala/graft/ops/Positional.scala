@@ -59,29 +59,7 @@ object Positional {
     val nBuckets = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
     val first = sortCols.head
-
-    // phase 1: deterministic range boundaries in ONE pruned pass — a
-    // bottom-k-by-hash sketch (TakeOrderedAndProject: distributed
-    // top-k, no count job, no fraction to pre-compute). Duplicate
-    // values hash identically, so the sketch samples ~distinct values;
-    // heavy-duplicate keys collapse into one bucket via the strict
-    // boundary compare either way.
-    val k = nBuckets * 128
-    val sample: Array[Any] = df
-      .select(first.as("__k"))
-      .where(col("__k").isNotNull)
-      .orderBy(xxhash64(col("__k")))
-      .limit(k)
-      .collect().map(_.get(0))
-    val bounds: Seq[Any] =
-      if (sample.isEmpty) Nil
-      else {
-        val s = sample.sortWith((a, b) =>
-          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
-        (1 until nBuckets)
-          .map(i => s(((i.toLong * s.length) / nBuckets).toInt))
-          .distinct
-      }
+    val bounds = rangeBounds(df, first, nBuckets)
 
     // phase 2+3: bucket by literal boundaries; number within buckets.
     // Temp columns are freshened against the input so a pre-existing
@@ -108,6 +86,83 @@ object Positional {
         row_number().over(Window.partitionBy(bCol).orderBy(sortCols: _*)))
       .join(broadcast(offsets), bCol)
       .withColumn(rowNumCol, col(offCol) + col(locCol).cast("long"))
+      .drop(bCol, locCol, offCol)
+  }
+
+  /** Phase 1: deterministic range boundaries for `first` in ONE pruned
+    * pass — a bottom-k-by-hash sketch (TakeOrderedAndProject:
+    * distributed top-k, no count job, no fraction to pre-compute).
+    * Duplicate values hash identically, so the sketch samples
+    * ~distinct values; heavy-duplicate keys collapse into one bucket
+    * via the strict boundary compare either way. Shared by
+    * withRowNumber and withCumSum. */
+  private def rangeBounds(
+      df: DataFrame, first: Column, nBuckets: Int): Seq[Any] = {
+    val k = nBuckets * 128
+    val sample: Array[Any] = df
+      .select(first.as("__k"))
+      .where(col("__k").isNotNull)
+      .orderBy(xxhash64(col("__k")))
+      .limit(k)
+      .collect().map(_.get(0))
+    if (sample.isEmpty) Nil
+    else {
+      val s = sample.sortWith((a, b) =>
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      (1 until nBuckets)
+        .map(i => s(((i.toLong * s.length) / nBuckets).toInt))
+        .distinct
+    }
+  }
+
+  /** Append `cumCol` = EXCLUSIVE running total of `weight` under
+    * `sortCols` ordering (the first row of the order gets 0) — the
+    * cumulative-sum sibling of [[withRowNumber]], same two-phase
+    * distributed shape: per-bucket window sums plus a tiny broadcast
+    * prefix-sum of bucket totals, so there is never a single-partition
+    * `Window.orderBy` over the data. Use wherever a global cumulative
+    * count/sum is needed at data scale (e.g. the ROC rank-sum's
+    * cumulative count over distinct scores, which is corpus-sized for
+    * continuous score columns). `sortCols` must be a total order for
+    * determinism; first column ascending. */
+  def withCumSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weight: Column,
+      cumCol: String = "cum",
+      buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nBuckets = if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    val first = sortCols.head
+    val bounds = rangeBounds(df, first, nBuckets)
+    val bCol = fresh("__b", df.columns)
+    val locCol = fresh("__loc", df.columns :+ bCol)
+    val offCol = fresh("__off", df.columns :+ bCol :+ locCol)
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit): _*), b => b <= first))
+    val bucketed = df.withColumn(bCol, bucketCol)
+    // bucket totals → exclusive prefix sum: ≤ nBuckets rows, so the
+    // unpartitioned window here is over a broadcast-sized relation.
+    val offsets = bucketed
+      .groupBy(bCol).agg(sum(weight).as("__w"))
+      .withColumn(offCol,
+        coalesce(
+          sum(col("__w")).over(
+            Window.orderBy(bCol)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(bCol), col(offCol))
+    bucketed
+      .withColumn(locCol,
+        coalesce(
+          sum(weight).over(
+            Window.partitionBy(bCol).orderBy(sortCols: _*)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(broadcast(offsets), bCol)
+      .withColumn(cumCol, col(offCol) + col(locCol))
       .drop(bCol, locCol, offCol)
   }
 
