@@ -60,22 +60,26 @@ object Bench {
     // cold = first run after a cache clear (includes planning + codegen
     // compilation; what a one-shot pipeline pays); warm = second run on
     // the same plan (steady-state engine throughput). Primary metric
-    // stays cold — honest for batch jobs.
+    // stays cold — honest for batch jobs. `first` = run-1 cold only:
+    // min-of-3 "cold" excludes first-run codegen and can hit
+    // plan-matched persisted data, so the one-shot-pipeline number is
+    // reported separately (r5 verdict #4) instead of being lost.
     val results = SparkEntry.benchQueries.map { d =>
       def once(): Double = {
         val t0 = System.nanoTime()
         checksum(d.fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      var (cold, warm) = (Double.MaxValue, Double.MaxValue)
+      var (first, cold, warm) = (-1.0, Double.MaxValue, Double.MaxValue)
       var r = 0
       while (r < runs && cold >= 0) {
         try { val c = once(); val w = once()
+          if (r == 0) first = c
           cold = math.min(cold, c); warm = math.min(warm, w) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${d.name} FAILED: ${e.getMessage}")
           failed ::= d.name
-          cold = -1.0; warm = -1.0
+          first = -1.0; cold = -1.0; warm = -1.0
         }
         // drop every persist the query left behind: shared-session cache
         // residue made r3's warm deltas untrustworthy ("already cached"
@@ -90,16 +94,19 @@ object Bench {
         System.gc()
         r += 1
       }
-      (d.name, cold, warm)
+      (d.name, first, cold, warm)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val warms = results.map { case (k, _, w) => "\"" + k + "\":" + w }
+    val warms = results.map { case (k, _, _, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val totalWarm = results.map(_._3).filter(_ >= 0).sum
+    val firsts = results.map { case (k, f, _, _) => "\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val totalWarm = results.map(_._4).filter(_ >= 0).sum
+    val totalFirst = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$totalWarm,"warm":$warms,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$totalWarm,"warm":$warms,"first_total":$totalFirst,"first":$firsts,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     // stop Spark FIRST so no executor/shutdown log line can land after
     // the JSON, then say where the clean copy lives (stderr + stdout),

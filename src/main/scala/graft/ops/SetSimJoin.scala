@@ -30,13 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Deferred result + cache lifecycle. `df` is the verified-pairs
+    * frame with persist MARKERS on the shared intermediates — nothing
+    * executes until the caller's first action (the operator stays
+    * deferred like the rest of the library; r5 verdict #5). Call
+    * `release()` once the result has been consumed (or re-derived into
+    * something persisted of its own): it unpersists the intermediates
+    * so a long-lived session does not accumulate executor storage. */
+  final case class SimPairs(df: DataFrame, release: () => Unit)
+
   /** All pairs (a < b) with exact Jaccard(setA, setB) ≥ tau.
     * Input: one row per id with an array column (de-duplicated
     * internally). Output: a, b, inter, union, jac — jac computed from
     * the same integer triple on any engine, so it is bit-reproducible.
-    */
+    *
+    * Construction is DEFERRED — no Spark job runs until the caller
+    * acts on the result (spec-asserted). The caller owns the cache
+    * lifecycle via the returned handle. */
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
-                      tau: Double): DataFrame = {
+                      tau: Double): SimPairs = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     // consumed FOUR times below (frequency agg, prefix build, both
     // verify sides) — persist so the caller's tokenize/shingle pipeline
@@ -61,17 +73,33 @@ object SetSimJoin {
       .join(freq, "tok")
       .withColumn("p", row_number().over(w))
       .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
-      .select(col("id"), col("s"), col("tok"))
+      .select(col("id"), col("s"), col("p"), col("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate pairs: prefix-token equi-join, ordered ids, length
-    // filter (J >= tau forces tau*sA <= sB <= sA/tau)
-    val a = prefix.select(col("id").as("a"), col("s").as("sa"), col("tok"))
-    val b = prefix.select(col("id").as("b"), col("s").as("sb"), col("tok"))
+    // filter (J >= tau forces tau*sA <= sB <= sA/tau), then the PPJoin
+    // POSITIONAL filter: because the canonical order is one GLOBAL
+    // total order (f, tok), the globally-first shared prefix token of a
+    // pair minimizes BOTH positions at once, and no shared token can
+    // precede it in either set (a shared token before position i in A
+    // sits inside A's prefix and before j in B's — it would itself be
+    // an earlier shared prefix token). So overlap ≤ 1 + min(sA−i, sB−j)
+    // exactly, and pairs whose bound falls below the required overlap
+    // α = ceil(τ/(1+τ)·(sA+sB)) are pruned BEFORE the verify join with
+    // recall still 1.0 (Xiao et al. 2008, Lemma 2).
+    val a = prefix.select(col("id").as("a"), col("s").as("sa"),
+      col("p").as("pa"), col("tok"))
+    val b = prefix.select(col("id").as("b"), col("s").as("sb"),
+      col("p").as("pb"), col("tok"))
     val cand = a.join(b, "tok")
       .filter(col("a") < col("b"))
       .filter(col("sb") * tau <= col("sa") && col("sa") * tau <= col("sb"))
-      .select("a", "b").distinct()
+      .groupBy("a", "b")
+      .agg(min(col("pa")).as("i"), min(col("pb")).as("j"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .filter(lit(1) + least(col("sa") - col("i"), col("sb") - col("j")) >=
+        ceil(lit(tau) / (1 + tau) * (col("sa") + col("sb"))))
+      .select("a", "b")
 
     // exact verification — sets joined back for candidates only
     val sa = sets.select(col("id").as("a"), col("st").as("sta"))
@@ -84,13 +112,13 @@ object SetSimJoin {
       .filter(col("jac") >= tau)
       .select("a", "b", "inter", "union", "jac")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small, verified) result while the intermediates
-    // are cached, then RELEASE them so a long-lived session does not
-    // accumulate executor storage (same lifecycle as TextDedup). The
-    // returned frame stays persisted; callers may unpersist when done.
-    verified.count()
-    sets.unpersist(false)
-    prefix.unpersist(false)
-    verified
+    // No action here: construction must not execute the job (it would
+    // double-charge any caller composing lazily). The verified frame
+    // keeps its own persist marker; the handle releases the shared
+    // intermediates once the caller has materialized it.
+    SimPairs(verified, () => {
+      sets.unpersist(false)
+      prefix.unpersist(false)
+    })
   }
 }

@@ -245,7 +245,13 @@ object PipelineQueries {
           expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
         .filter(size(col("ts")) >= 3)
         .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
-      graft.ops.SetSimJoin.jaccardSelfJoin(toks, "doc_id", "st", 0.3)
+      // lifecycle lives HERE, not in the operator (deferred library
+      // semantics): materialize the verified pairs while the shared
+      // intermediates are cached, then release them
+      val pairs = graft.ops.SetSimJoin.jaccardSelfJoin(toks, "doc_id", "st", 0.3)
+      pairs.df.count()
+      pairs.release()
+      pairs.df
         .select(col("a"), col("b"), col("inter"), col("union"),
           r6(col("jac")).as("jac"))
         .orderBy("a", "b")

@@ -27,7 +27,7 @@ class SetSimJoinSpec extends SparkSpec {
   }
 
   test("finds exactly the brute-force pairs at tau=0.5 (recall 1.0)") {
-    val got = SetSimJoin.jaccardSelfJoin(rows, "id", "st", 0.5)
+    val got = SetSimJoin.jaccardSelfJoin(rows, "id", "st", 0.5).df
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(got == bruteForce(0.5))
     assert(got == Set((1L, 2L), (1L, 4L), (1L, 5L), (2L, 5L),
@@ -35,7 +35,7 @@ class SetSimJoinSpec extends SparkSpec {
   }
 
   test("inter/union/jac arithmetic is exact") {
-    val r = SetSimJoin.jaccardSelfJoin(rows, "id", "st", 0.55)
+    val r = SetSimJoin.jaccardSelfJoin(rows, "id", "st", 0.55).df
       .orderBy("a", "b").collect()
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
       Seq((1L, 2L), (1L, 4L), (2L, 4L)))
@@ -45,7 +45,7 @@ class SetSimJoinSpec extends SparkSpec {
   }
 
   test("tau=1.0 degenerates to exact-duplicate pairs (prefix length 1)") {
-    val got = SetSimJoin.jaccardSelfJoin(rows, "id", "st", 1.0)
+    val got = SetSimJoin.jaccardSelfJoin(rows, "id", "st", 1.0).df
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 4L)))
   }
@@ -53,7 +53,54 @@ class SetSimJoinSpec extends SparkSpec {
   test("input multisets are de-duplicated before comparison") {
     val dupes = Seq((1L, Seq("a", "a", "b")), (2L, Seq("a", "b", "b")))
       .toDF("id", "st")
-    val r = SetSimJoin.jaccardSelfJoin(dupes, "id", "st", 0.9).collect()
+    val r = SetSimJoin.jaccardSelfJoin(dupes, "id", "st", 0.9).df.collect()
     assert(r.length == 1 && r(0).getDouble(4) == 1.0)
+  }
+
+  test("construction runs NO Spark job (deferred; r5 verdict #5), and " +
+    "release() drops the intermediate caches") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = SetSimJoin.jaccardSelfJoin(rows, "id", "st", 0.5)
+      Thread.sleep(500) // let any (unexpected) job event reach the bus
+      assert(jobs.get() == 0,
+        s"construction must not execute jobs, ran ${jobs.get()}")
+      pairs.df.count()
+      pairs.release()
+      // the released intermediates are gone; the result itself stays
+      // cached and still answers
+      assert(pairs.df.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("positional filter keeps recall 1.0 on a 120-set random corpus " +
+    "with heavy-overlap cliques") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"t$i")
+    val corpus = (0L until 120L).map { id =>
+      val base = rnd.shuffle(vocab).take(4 + rnd.nextInt(8))
+      (id, base)
+    } ++ Seq(
+      (200L, Seq("t1", "t2", "t3", "t4", "t5")),
+      (201L, Seq("t1", "t2", "t3", "t4", "t6")),   // J = 4/6
+      (202L, Seq("t1", "t2", "t3", "t4", "t5")))   // J(200,202) = 1
+    val df = corpus.toDF("id", "st")
+    val sets = corpus.map { case (i, s) => i -> s.toSet }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      u = (sets(a) | sets(b)).size
+      if u > 0 && i.toDouble / u >= 0.4
+    } yield (a, b)).toSet
+    val got = SetSimJoin.jaccardSelfJoin(df, "id", "st", 0.4).df
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
   }
 }
