@@ -58,14 +58,28 @@ object WinnowFingerprint {
     * short for one full window. */
   def compute(s: UTF8String, gram: Int, win: Int): ArrayData = {
     val str = s.toString
-    val n = str.length - gram + 1
+    // gram boundaries by UNICODE CODE POINT, not UTF-16 code unit:
+    // Spark's substr counts code points, so supplementary-plane text
+    // (emoji, rare CJK) must gram the same way or the documented
+    // md5(substr(...)) parity breaks (advisor r5)
+    val cpCount = str.codePointCount(0, str.length)
+    val n = cpCount - gram + 1
     if (n < win) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](cpCount + 1)
+    var ci = 0
+    var u = 0
+    while (ci < cpCount) {
+      off(ci) = u
+      u = str.offsetByCodePoints(u, 1)
+      ci += 1
+    }
+    off(cpCount) = str.length
     val md = MessageDigest.getInstance("MD5")
     val hashes = new Array[String](n)
     var i = 0
     while (i < n) {
       val bytes = md.digest(
-        str.substring(i, i + gram)
+        str.substring(off(i), off(i + gram))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val out = new Array[Char](32)
       var k = 0

@@ -53,19 +53,7 @@ object Components {
     // filter would then silently DROP those edges — wrong components
     // with no error (advisor r4). Node ids must already be integral;
     // string doc ids get mapped first (xxhash64 or a dense-id join).
-    Seq(aCol, bCol).foreach { c =>
-      import org.apache.spark.sql.types._
-      val dt = edges.schema(c).dataType
-      val integral = dt match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      require(integral,
-        s"connectedComponents: id column '$c' is $dt, need an integral " +
-          "type — non-numeric ids would be silently dropped by the " +
-          "long cast; map ids to longs first (e.g. xxhash64(col) or a " +
-          "dense-id dimension join)")
-    }
+    Components.requireIntegralIds(edges, "connectedComponents", aCol, bCol)
 
     // canonical undirected edge (s < l), deduplicated
     var e = edges
@@ -130,4 +118,24 @@ object Components {
       .union(e.select(col("s").as("id"), col("s").as("component")))
       .distinct()
   }
+
+  /** Fail loudly when an id column is not an integral type: graph ops
+    * cast ids with cast("long") + a null filter, which would otherwise
+    * silently DROP every non-numeric id (advisor r4/r5). Shared by
+    * connectedComponents and Triangles. */
+  private[ops] def requireIntegralIds(
+      df: DataFrame, op: String, cols: String*): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      val integral = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"$op: id column '$c' is $dt, need an integral type — " +
+          "non-numeric ids would be silently dropped by the long cast; " +
+          "map ids to longs first (e.g. xxhash64(col) or a dense-id " +
+          "dimension join)")
+    }
 }

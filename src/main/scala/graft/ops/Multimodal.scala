@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * PCM16 WAV ([[decodeWavPcm16]]), PNG ([[decodePng]] — JDK
   * `Inflater` zlib stream + all five scanline unfilters, 8-bit
   * gray/RGB/RGBA), GIF ([[decodeGif]] — variable-width LZW written
-  * here, global or local palette), and baseline grayscale JPEG
-  * ([[graft.ops.Jpeg]] — huffman entropy decode + dequant + IDCT,
-  * tables read from the file). Remaining declared limits: color/
-  * progressive JPEG and interlaced/16-bit/palette PNG refuse with
+  * here, global or local palette), and baseline JPEG, grayscale AND
+  * YCbCr color ([[graft.ops.Jpeg]] — huffman entropy decode +
+  * dequant + IDCT + chroma upsample, tables read from the file).
+  * Remaining declared limits: progressive JPEG and
+  * interlaced/16-bit/palette PNG refuse with
   * None rather than mis-decode. The Spark-side contract — binary
   * column in, typed struct out, partition-local, no shuffle, no
   * driver collect — is identical across all of them and is what
@@ -208,6 +209,10 @@ object Multimodal {
     while (i + 8 <= bytes.length) {
       val id = new String(bytes, i, 4, "US-ASCII")
       val size = leU32(bytes, i + 4).toInt
+      // a chunk size >= 2^31 reads negative: advancing by it would spin
+      // forever (and a negative data size would NegativeArraySize) — a
+      // corrupt/adversarial payload must yield None, not a hung task
+      if (size < 0) return None
       val body = i + 8
       if (id == "fmt " && size >= 16 && body + 16 <= bytes.length) {
         val audioFormat = leU16(bytes, body)

@@ -26,6 +26,7 @@ object Triangles {
     * one row (a, b, c) per triangle with a≺b≺c in the (degree, id)
     * total order. Self-loops dropped; parallel edges collapsed. */
   def enumerate(edges: DataFrame, src: String, dst: String): DataFrame = {
+    Components.requireIntegralIds(edges, "Triangles.enumerate", src, dst)
     val e0 = edges
       .select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
       .filter(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)

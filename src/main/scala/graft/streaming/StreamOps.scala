@@ -62,10 +62,18 @@ object StreamOps {
       shingleN: Int = 3,
       rows: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // NULL text must not share one key: dropDuplicates treats all NULL
+    // keys as equal, so every null-text doc after the first would be
+    // silently "deduped" (advisor r5). Null-text rows key by their
+    // full row hash instead — they dedup only against byte-identical
+    // rows, never against each other's absent text.
+    val mh = element_at(call_function("graft_minhash_bands",
+      lower(trim(col(textCol))), lit(shingleN), lit(rows), lit(1)), 1)
+      .getField("key").cast("string")
     val keyed = df.withColumn("__mh_key",
-      element_at(call_function("graft_minhash_bands",
-        lower(trim(col(textCol))), lit(shingleN), lit(rows), lit(1)), 1)
-        .getField("key"))
+      when(col(textCol).isNotNull, mh)
+        .otherwise(concat(lit("__null_text__"),
+          xxhash64(df.columns.map(col): _*).cast("string"))))
     val out =
       if (df.isStreaming)
         keyed.withWatermark(tsCol, watermark)

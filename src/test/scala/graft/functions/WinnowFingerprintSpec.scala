@@ -39,6 +39,31 @@ class WinnowFingerprintSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane text grams by code point, matching " +
+    "md5(substr(...)) (advisor r5)") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    // emoji are 2 UTF-16 code units but 1 code point; Spark substr
+    // counts code points — parity must hold on such text
+    val txt = "a😀b😁cdefg😂hij"
+    val docs = Seq((1L, txt)).toDF("id", "tx")
+    val ref = docs
+      .select(col("id"), (length(col("tx")) - 3).as("n"), posexplode(
+        transform(sequence(lit(1), length(col("tx")) - 3),
+          i => md5(col("tx").substr(i, lit(4)).cast("binary")))))
+      .toDF("id", "n", "pos", "h")
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 2)
+    val expect = ref.withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") <= col("n") - 3 + 1)
+      .select("fp").distinct().as[String].collect().toSet
+    val got = docs.select(
+        explode(call_function("graft_winnow", col("tx"), lit(4), lit(3))))
+      .as[String].collect().toSet
+    assert(got == expect, s"native=$got ref=$expect")
+  }
+
   test("edge cases: exactly one window, too-short text, null") {
     GraftFunctions.register(spark)
     val sp = spark

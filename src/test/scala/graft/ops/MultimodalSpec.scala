@@ -148,6 +148,16 @@ class MultimodalSpec extends SparkSpec {
     // 8-bit or non-PCM formats refuse
     assert(Multimodal.decodeWavPcm16(wav(1, 8000, 1)
       .patch(34, Seq(8.toByte, 0.toByte), 2)).isEmpty)
+    // adversarial chunk size >= 2^31 (reads negative) must return None
+    // promptly, not hang the chunk walk or throw NegativeArraySize
+    // (advisor r5): a LIST chunk sized 0xFFFFFFF8 before fmt/data
+    val evil = ByteBuffer.allocate(12 + 8 + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(0)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .put("data".getBytes("US-ASCII")).putInt(0xFFFFFFFC)
+    assert(Multimodal.decodeWavPcm16(evil.array()).isEmpty)
   }
 
   test("decodePixels/decodeSamples run partition-local with real stats") {

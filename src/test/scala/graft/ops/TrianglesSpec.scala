@@ -22,6 +22,15 @@ class TrianglesSpec extends SparkSpec {
     assert(Triangles.enumerate(messy, "s", "d").count() == 1)
   }
 
+  test("non-integral id columns fail loudly instead of being silently " +
+    "dropped by the long cast (advisor r5)") {
+    val strIds = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val e = intercept[IllegalArgumentException] {
+      Triangles.enumerate(strIds, "s", "d")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("a path has no triangles; per-node counts cover all members") {
     val path = Seq((1, 2), (2, 3), (3, 4)).toDF("s", "d")
     assert(Triangles.enumerate(path, "s", "d").count() == 0)

@@ -131,6 +131,18 @@ class StreamSpec extends SparkSpec {
         .toDF("ts", "doc_id", "text"),
       "ts", "10 minutes", "text")
     assert(batch.count() == 2)
+    // NULL texts must not collapse onto one NULL key (advisor r5):
+    // distinct null-text rows all pass through; only byte-identical
+    // rows dedup against each other
+    val withNulls = StreamOps.nearDedup(
+      Seq((ts("2024-01-01 00:00:00"), 1L, null: String),
+        (ts("2024-01-01 00:01:00"), 2L, null: String),
+        (ts("2024-01-01 00:01:00"), 2L, null: String), // exact dup row
+        (ts("2024-01-01 00:02:00"), 3L, base))
+        .toDF("ts", "doc_id", "text"),
+      "ts", "10 minutes", "text")
+    assert(withNulls.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
   }
 
   test("LEFT-OUTER interval join holds unmatched rows until the " +
