@@ -16,6 +16,8 @@ import java.nio.file.{Files, Paths}
   *   runMain graft.Cli record  <buildsDir> <hash|alias>
   *   runMain graft.Cli verify  <buildsDir> <hash|alias>
   *   runMain graft.Cli serve <buildsDir> <port>    (0 = ephemeral)
+  *   runMain graft.Cli push <buildsDir> <remoteDir>  (fast-forward only)
+  *   runMain graft.Cli pull <buildsDir> <remoteDir>
   *
   * `run` re-executes a serialized plan with no access to the code that
   * built it — the artifact IS the program.
@@ -77,6 +79,16 @@ object Cli {
       spark.stop()
       if (outcome != graft.build.Replay.Ok) sys.exit(1)
 
+    // catalog transport: sync aliases + referenced artifacts through a
+    // bare file remote (CatalogSync: three-way merge, fast-forward push)
+    case "push" :: dir :: remote :: Nil =>
+      val es = graft.build.CatalogSync.push(dir, remote)
+      println(s"""{"pushed":${es.length},"remote":${RelJson.escape(remote)}}""")
+
+    case "pull" :: dir :: remote :: Nil =>
+      val es = graft.build.CatalogSync.pull(dir, remote)
+      println(s"""{"entries":${es.length},"remote":${RelJson.escape(remote)}}""")
+
     // serve every build (by hash and by alias) over the HTTP transport
     // — `xorq serve` for artifacts: another process lists/fetches/runs
     // them with data handed off via parquet paths.
@@ -87,13 +99,16 @@ object Cli {
       new Catalog(dir).aliases.foreach { case (n, h) =>
         registry.servePlan(n, Build.load(dir, h))
       }
-      val http = new graft.serve.HttpServe(registry, spark)
+      // GRAFT_SERVE_SECRET (env, never argv: ps would leak it) turns
+      // on bearer auth for every endpoint
+      val http = new graft.serve.HttpServe(registry, spark,
+        secret = sys.env.get("GRAFT_SERVE_SECRET"))
       val port = http.start(portStr.toInt)
-      println(s"""{"serving":${registry.served.length},"port":$port}""")
+      println(s"""{"serving":${registry.served.length},"port":$port,"auth":${sys.env.contains("GRAFT_SERVE_SECRET")}}""")
       Thread.currentThread().join()
 
     case other =>
-      System.err.println(s"usage: list|show|run|alias|serve ... (got $other)")
+      System.err.println(s"usage: list|show|run|alias|push|pull|serve ... (got $other)")
       sys.exit(2)
   }
 

@@ -137,3 +137,120 @@ object Catalog {
     merged ++ pins.result()
   }
 }
+
+/** Git-remote-style sync of a catalog and its referenced build
+  * artifacts through a BARE file remote — a builds-dir-shaped
+  * directory addressed as a plain path or `file://` URL. This is the
+  * transport half of the reference's git-native catalog
+  * (python/xorq/catalog: git remotes + annex/s3 artifact transport),
+  * re-expressed for shared storage: artifacts are content-hash-keyed
+  * and IMMUTABLE, so transfer is copy-if-absent (idempotent, safe
+  * under concurrent pushers); the alias TSV is the only mutable state
+  * and moves through [[Catalog.threeWayMerge]] with a per-remote
+  * tracking snapshot (the "remote-tracking ref") under
+  * `<local>/.sync/`.
+  *
+  *  - [[pull]]: copy referenced artifacts the local store lacks,
+  *    three-way-merge the remote entry list into the local catalog
+  *    (base = the last-seen remote state), record the new base.
+  *    Diverging aliases throw [[CatalogMergeConflict]] before
+  *    anything is written locally.
+  *  - [[push]]: FAST-FORWARD ONLY — if the remote gained entries the
+  *    local catalog has not absorbed, push refuses with "pull first"
+  *    (the git contract; prevents silently clobbering a concurrent
+  *    publisher). Otherwise copy missing artifacts up and overwrite
+  *    the remote TSV with the local entry list.
+  */
+object CatalogSync {
+
+  private def dirOf(remote: String): java.nio.file.Path =
+    Paths.get(
+      if (remote.startsWith("file://"))
+        java.net.URI.create(remote).getPath
+      else remote)
+
+  private def readTsv(f: java.nio.file.Path): Seq[(String, String)] =
+    if (!Files.exists(f)) Nil
+    else Files.readAllLines(f).asScala.toSeq
+      .filter(_.contains('\t'))
+      .map { l => val Array(n, h) = l.split('\t'); (n, h) }
+
+  private def writeTsv(
+      f: java.nio.file.Path, es: Seq[(String, String)]): Unit = {
+    Files.createDirectories(f.getParent)
+    Files.writeString(f,
+      es.map { case (n, h) => s"$n\t$h" }.mkString("", "\n", "\n"))
+  }
+
+  /** Last-seen remote entry list, keyed by the remote's absolute
+    * path — one tracking snapshot per distinct remote. */
+  private def trackingFile(
+      localDir: String, remote: String): java.nio.file.Path = {
+    val id = java.security.MessageDigest.getInstance("MD5")
+      .digest(dirOf(remote).toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    Paths.get(localDir, ".sync", s"$id.tsv")
+  }
+
+  /** Copy build dir `hash` from `src` to `dst` if absent there.
+    * Content-hash keying makes this idempotent; a partial copy is
+    * repaired by re-copying files individually. */
+  private def copyArtifact(src: java.nio.file.Path,
+      dst: java.nio.file.Path, hash: String): Unit = {
+    val from = src.resolve(hash)
+    val to = dst.resolve(hash)
+    if (Files.exists(from.resolve("plan.json")) &&
+        !Files.exists(to.resolve("plan.json"))) {
+      Files.createDirectories(to)
+      val s = Files.list(from)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach {
+        p => Files.copy(p, to.resolve(p.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+  }
+
+  /** Merge the remote catalog into `localDir` (three-way against the
+    * last-seen remote state) and fetch referenced artifacts the local
+    * store lacks. Returns the merged entry list. */
+  def pull(localDir: String, remote: String): Seq[(String, String)] = {
+    val rdir = dirOf(remote)
+    require(Files.exists(rdir), s"no remote at $remote")
+    val theirs = readTsv(rdir.resolve("catalog.tsv"))
+    val local = new Catalog(localDir)
+    val base = readTsv(trackingFile(localDir, remote))
+    val merged = Catalog.threeWayMerge(base, local.entryList, theirs)
+    // artifacts first, TSV second: a crash mid-pull leaves extra
+    // immutable artifacts (harmless), never an alias with no build
+    merged.map(_._2).distinct
+      .foreach(copyArtifact(rdir, Paths.get(localDir), _))
+    local.writeEntries(merged)
+    writeTsv(trackingFile(localDir, remote), theirs)
+    merged
+  }
+
+  /** Publish the local catalog + referenced artifacts to the remote.
+    * Fast-forward only: refuses when the remote holds entries neither
+    * in the last-sync base nor already absorbed locally. */
+  def push(localDir: String, remote: String): Seq[(String, String)] = {
+    val rdir = dirOf(remote)
+    Files.createDirectories(rdir)
+    val theirs = readTsv(rdir.resolve("catalog.tsv"))
+    val entries = new Catalog(localDir).entryList
+    val baseSet = readTsv(trackingFile(localDir, remote)).toSet
+    val entrySet = entries.toSet
+    if (!(theirs.toSet == baseSet || theirs.forall(entrySet))) {
+      val foreign = theirs.filterNot(e => baseSet(e) || entrySet(e))
+      throw new IllegalStateException(
+        s"push to $remote is not fast-forward: the remote has " +
+          s"${foreign.size} entries unseen locally (e.g. " +
+          s"${foreign.head._1} -> ${foreign.head._2}); pull first")
+    }
+    entries.map(_._2).distinct
+      .foreach(copyArtifact(Paths.get(localDir), rdir, _))
+    writeTsv(rdir.resolve("catalog.tsv"), entries)
+    writeTsv(trackingFile(localDir, remote), entries)
+    entries
+  }
+}

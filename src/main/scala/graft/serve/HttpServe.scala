@@ -42,8 +42,19 @@ import java.nio.charset.StandardCharsets.UTF_8
   *                                `to_pyarrow` wire contract — small
   *                                results only, it materializes on
   *                                the server driver).
+  *
+  * Auth: pass `secret = Some(token)` and EVERY endpoint requires
+  * `Authorization: Bearer <token>` (constant-time compare via
+  * MessageDigest.isEqual; a plain == leaks the match length through
+  * timing). The reference's Flight server runs BasicAuth middleware +
+  * mTLS (flight/__init__.py:140-147); a bearer shared secret is the
+  * honest HTTP-plane equivalent of the password leg — transport
+  * encryption stays a deployment concern (terminate TLS in front).
+  * With `secret = None` (default) the server is open, matching the
+  * reference's no-auth default.
   */
-final class HttpServe(registry: Registry, spark: SparkSession) {
+final class HttpServe(registry: Registry, spark: SparkSession,
+    secret: Option[String] = None) {
 
   private var server: HttpServer = _
 
@@ -178,6 +189,19 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
       f: (HttpExchange, String) => Resp): HttpHandler =
     bytesHandler { (ex, bytes) => f(ex, new String(bytes, UTF_8)) }
 
+  /** True when no secret is configured, or the request carries
+    * `Authorization: Bearer <secret>` (constant-time compare). */
+  private def authorized(ex: HttpExchange): Boolean = secret match {
+    case None => true
+    case Some(s) =>
+      val h = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .getOrElse("")
+      val token =
+        if (h.startsWith("Bearer ")) h.stripPrefix("Bearer ") else ""
+      java.security.MessageDigest.isEqual(
+        token.getBytes(UTF_8), s.getBytes(UTF_8))
+  }
+
   private def bytesHandler(
       f: (HttpExchange, Array[Byte]) => Resp): HttpHandler =
     (ex: HttpExchange) => try {
@@ -186,7 +210,13 @@ final class HttpServe(registry: Registry, spark: SparkSession) {
       // Error, so the client never hangs on a silent dead socket
       // (review-caught: an Exception-only catch leaked the exchange)
       val resp =
-        try f(ex, ex.getRequestBody.readAllBytes())
+        if (!authorized(ex)) {
+          // drain the body so the connection can be reused, then 401;
+          // the plan/run/exchange handlers are never reached
+          ex.getRequestBody.readAllBytes()
+          ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+          json(401, s"""{"error":"unauthorized"}""")
+        } else try f(ex, ex.getRequestBody.readAllBytes())
         catch {
           case e: IllegalArgumentException =>
             json(400, s"""{"error":${q(String.valueOf(e.getMessage))}}""")

@@ -105,4 +105,74 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(n == direct)
   }
+
+  test("two stores round-trip aliases + artifacts through a bare file " +
+    "remote: push/pull, repoint propagation, artifact verification") {
+    val a = Files.createTempDirectory("graft_store_a_").toString
+    val b = Files.createTempDirectory("graft_store_b_").toString
+    val remote = Files.createTempDirectory("graft_remote_").toString +
+      "/bare" // not pre-created: push must mkdir
+    val p1 = Build.save(plan("100000"), a)
+    new Catalog(a).register("prod", p1.hash)
+    CatalogSync.push(a, remote)
+
+    // B pulls: gets the alias AND the artifact, loadable + verified
+    CatalogSync.pull(b, s"file://$remote")
+    assert(new Catalog(b).resolve("prod").contains(p1.hash))
+    assert(Build.load(b, p1.hash) == p1.rel)
+
+    // B adds its own build + alias, pushes; A pulls → full round trip
+    val p2 = Build.save(plan("200000"), b)
+    new Catalog(b).register("staging", p2.hash)
+    CatalogSync.push(b, remote)
+    CatalogSync.pull(a, remote)
+    assert(new Catalog(a).aliases ==
+      Map("prod" -> p1.hash, "staging" -> p2.hash))
+    assert(Build.load(a, p2.hash) == p2.rel)
+
+    // A repoints prod and pushes; B pulls and sees the repoint
+    val p3 = Build.save(plan("300000"), a)
+    new Catalog(a).register("prod", p3.hash)
+    CatalogSync.push(a, remote)
+    CatalogSync.pull(b, remote)
+    assert(new Catalog(b).resolve("prod").contains(p3.hash))
+  }
+
+  test("push refuses non-fast-forward; diverging repoints conflict on " +
+    "pull and write nothing") {
+    val a = Files.createTempDirectory("graft_store_a_").toString
+    val b = Files.createTempDirectory("graft_store_b_").toString
+    val remote = Files.createTempDirectory("graft_remote_").toString
+    val p1 = Build.save(plan("100000"), a)
+    new Catalog(a).register("prod", p1.hash)
+    CatalogSync.push(a, remote)
+    CatalogSync.pull(b, remote)
+
+    // both repoint prod to DIFFERENT builds
+    val pa = Build.save(plan("111111"), a)
+    new Catalog(a).register("prod", pa.hash)
+    CatalogSync.push(a, remote)
+    val pb = Build.save(plan("222222"), b)
+    new Catalog(b).register("prod", pb.hash)
+
+    // B's push is not fast-forward (A pushed since B's last pull)
+    val e = intercept[IllegalStateException] { CatalogSync.push(b, remote) }
+    assert(e.getMessage.contains("pull first"))
+    // and B's pull surfaces the divergence as a merge conflict,
+    // leaving B's catalog untouched
+    val before = new Catalog(b).entryList
+    intercept[CatalogMergeConflict] { CatalogSync.pull(b, remote) }
+    assert(new Catalog(b).entryList == before)
+    // B resolves by withdrawing its diverging repoint (the "repoint
+    // the alias on one side" instruction in the conflict message);
+    // the pull then merges cleanly and fetches A's artifact
+    new Catalog(b).writeEntries(
+      new Catalog(b).entryList.filterNot(_ == ("prod", pb.hash)))
+    val merged = CatalogSync.pull(b, remote)
+    assert(merged.filter(_._1 == "prod").lastOption
+      .contains(("prod", pa.hash)))
+    assert(new Catalog(b).resolve("prod").contains(pa.hash))
+    // and B can now push fast-forward again
+    CatalogSync.push(b, remote)
+  }
 }

@@ -210,4 +210,44 @@ class HttpServeSpec extends SparkSpec {
         s"expected many small batches, got $batches")
     } finally http.stop()
   }
+
+  test("bearer-secret server rejects unauthenticated and wrong-token " +
+    "register/list/run with 401; the right token passes (r5 ask #7)") {
+    val registry = new Registry(spark)
+    registry.servePlan("t", UnboundTable("src", Nil))
+    val http = new HttpServe(registry, spark, secret = Some("s3cret"))
+    val port = http.start()
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // no header → 401 with a WWW-Authenticate challenge
+      val noAuth = curl("-i", s"$base/plans")
+      assert(noAuth.contains("401") && noAuth.contains("unauthorized"),
+        s"got: $noAuth")
+      assert(noAuth.toLowerCase.contains("www-authenticate: bearer"))
+      // wrong token → 401; registration must NOT happen
+      val badReg = curl("-X", "POST",
+        "-H", "Authorization: Bearer wrong",
+        "--data", RelJson.write(UnboundTable("x", Nil)),
+        s"$base/plan/evil")
+      assert(badReg.contains("unauthorized"))
+      assert(registry.plan("evil").isEmpty,
+        "unauthorized register must not mutate the registry")
+      // run without auth → 401, no execution side effects
+      val out = Files.createTempDirectory("graft_auth_").toString + "/o"
+      val badRun = curl("-X", "POST", "--data",
+        s"""{"bindings":{"src":"$sfDir/region.parquet"},"out":"$out"}""",
+        s"$base/run/t")
+      assert(badRun.contains("unauthorized"))
+      assert(!new java.io.File(out).exists(),
+        "unauthorized run must not write output")
+      // correct token → everything works
+      val ok = curl("-H", "Authorization: Bearer s3cret", s"$base/plans")
+      assert(ok.contains("\"t\""), s"got: $ok")
+      val okRun = curl("-X", "POST",
+        "-H", "Authorization: Bearer s3cret", "--data",
+        s"""{"bindings":{"src":"$sfDir/region.parquet"},"out":"$out"}""",
+        s"$base/run/t")
+      assert(okRun.contains("\"rows\":5"), s"got: $okRun")
+    } finally http.stop()
+  }
 }
