@@ -229,6 +229,34 @@ object Metrics {
             / (col("__p") * (col("__tot") - col("__p")))).as("auc"))
   }
 
+  /** Average precision — the area under the precision–recall curve by
+    * the step interpolation sklearn's `average_precision_score` uses:
+    * AP = Σ_thresholds (R_t − R_prev) · P_t over DESCENDING score
+    * thresholds. Same distributed shape as [[rocAuc]]: collapse to
+    * distinct scores (one map-side-combined shuffle), then ONE
+    * bucket-offset pass (Positional.withCumSums, both cumulative
+    * counts share the exchange) turns each distinct score s into
+    * tp(s) = P − cumPos(<s) and n_pred(s) = N − cum(<s) — no global
+    * window anywhere, so a continuous-score corpus stays distributed.
+    * NULL when the input has no positives. */
+  def averagePrecision(df: DataFrame, y: String, score: String): DataFrame = {
+    val g = df.groupBy(col(score).as("__sc"))
+      .agg(count(lit(1)).as("__n"), sum(col(y)).as("__np"))
+    val c = graft.ops.Positional.withCumSums(
+      g, Seq(col("__sc")),
+      Seq(col("__n") -> "__cn", col("__np") -> "__cp"))
+    val tot = g.agg(sum(col("__n")).as("__tot"), sum(col("__np")).as("__p"))
+    c.crossJoin(broadcast(tot))
+      .select(col("__np"), col("__p"),
+        (col("__p") - col("__cp")).as("__tp"),
+        (col("__tot") - col("__cn")).as("__npred"))
+      .agg(sum(
+        when(col("__p") === 0, lit(null).cast("double"))
+          .otherwise((col("__np").cast("double") / col("__p")) *
+            (col("__tp").cast("double") / col("__npred"))))
+        .as("ap"))
+  }
+
   /** mse + mae + r2 in one pass (single aggregate). */
   def regression(df: DataFrame, y: String, pred: String): DataFrame = {
     val stats = df.agg(

@@ -130,40 +130,60 @@ object Positional {
       sortCols: Seq[Column],
       weight: Column,
       cumCol: String = "cum",
+      buckets: Int = 0): DataFrame =
+    withCumSums(df, sortCols, Seq(weight -> cumCol), buckets)
+
+  /** Multi-weight [[withCumSum]]: all running totals share ONE bucket
+    * exchange, one per-bucket window pass, and one broadcast offsets
+    * table — use when several cumulative counts are needed over the
+    * same order (e.g. the PR curve's cumulative n and n_positive). */
+  def withCumSums(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weights: Seq[(Column, String)],
       buckets: Int = 0): DataFrame = {
+    require(weights.nonEmpty, "withCumSums needs at least one weight")
     val spark = df.sparkSession
     val nBuckets = if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
     val first = sortCols.head
     val bounds = rangeBounds(df, first, nBuckets)
     val bCol = fresh("__b", df.columns)
-    val locCol = fresh("__loc", df.columns :+ bCol)
-    val offCol = fresh("__off", df.columns :+ bCol :+ locCol)
+    val taken = scala.collection.mutable.ArrayBuffer(df.columns: _*)
+    taken += bCol
+    val locCols = weights.map { case (_, c) =>
+      val n = fresh(s"__loc_$c", taken.toSeq); taken += n; n
+    }
+    val offCols = weights.map { case (_, c) =>
+      val n = fresh(s"__off_$c", taken.toSeq); taken += n; n
+    }
     val bucketCol =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit): _*), b => b <= first))
     val bucketed = df.withColumn(bCol, bucketCol)
-    // bucket totals → exclusive prefix sum: ≤ nBuckets rows, so the
+    // bucket totals → exclusive prefix sums: ≤ nBuckets rows, so the
     // unpartitioned window here is over a broadcast-sized relation.
-    val offsets = bucketed
-      .groupBy(bCol).agg(sum(weight).as("__w"))
-      .withColumn(offCol,
-        coalesce(
-          sum(col("__w")).over(
-            Window.orderBy(bCol)
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(bCol), col(offCol))
-    bucketed
-      .withColumn(locCol,
-        coalesce(
-          sum(weight).over(
-            Window.partitionBy(bCol).orderBy(sortCols: _*)
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .join(broadcast(offsets), bCol)
-      .withColumn(cumCol, col(offCol) + col(locCol))
-      .drop(bCol, locCol, offCol)
+    val offWin = Window.orderBy(bCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = bucketed.groupBy(bCol)
+      .agg(sum(weights.head._1).as(s"__w0"),
+        weights.tail.zipWithIndex
+          .map { case ((w, _), i) => sum(w).as(s"__w${i + 1}") }: _*)
+    val offsets = offCols.zipWithIndex.foldLeft(totals) {
+      case (d, (oc, i)) => d.withColumn(oc,
+        coalesce(sum(col(s"__w$i")).over(offWin), lit(0L)))
+    }.select(col(bCol) +: offCols.map(col): _*)
+    val win = Window.partitionBy(bCol).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localized = weights.zip(locCols).foldLeft(bucketed) {
+      case (d, ((w, _), lc)) =>
+        d.withColumn(lc, coalesce(sum(w).over(win), lit(0L)))
+    }
+    val joined = localized.join(broadcast(offsets), bCol)
+    weights.zip(locCols).zip(offCols).foldLeft(joined) {
+      case (d, (((_, cumCol), lc), oc)) =>
+        d.withColumn(cumCol, col(oc) + col(lc))
+    }.drop(bCol +: (locCols ++ offCols): _*)
   }
 
   /** `base`, suffixed with underscores until it collides with nothing

@@ -345,4 +345,54 @@ object VectorSim {
         cosineExpr(col("a_vec"), col("b_vec"), native).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster embeddings, then drop all but one of
+    * any within-cluster pair above a cosine threshold): every vector
+    * is assigned to its nearest ANCHOR by cosine (anchors = a small
+    * exemplar/centroid table — [[kmeansCentroids]] output as rows, or
+    * designated corpus exemplars when the pipeline must be exactly
+    * reproducible), candidate pairs form ONLY inside a cell, and the
+    * higher id of a pair at cosine ≥ `threshold` is dropped (keep =
+    * lowest id, the deterministic stand-in for SemDeDup's
+    * farthest-from-centroid representative).
+    *
+    * Output: (id, cell, kept) — one row per input vector.
+    *
+    * Scale shape: anchor scoring is a broadcast of ≤k anchor rows
+    * (per-row O(k·dim) map work, no corpus shuffle); the argmax is a
+    * window PARTITIONED by id (ties broken by anchor id, rounded
+    * cosine so the winner is engine-stable); cell pairing is a plain
+    * equi-join on the cell id — the corpus never cross-products. Cell
+    * population is the SemDeDup knob: k grows with the corpus so
+    * cells stay bounded, and a skewed mega-cell is AQE's skew-join
+    * case, or pre-split by re-anchoring the offending cell. */
+  def semanticDedup(
+      corpus: DataFrame, // (id, vec)
+      anchors: DataFrame, // (aid, avec)
+      threshold: Double,
+      native: Boolean = false): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(anchors))
+      .select(col("id"), col("vec"), col("aid"),
+        round(cosineExpr(col("vec"), col("avec"), native) + lit(1e-9), 6)
+          .as("__c"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("__c").desc, col("aid"))
+    val celled = scored
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") === 1)
+      .select(col("id"), col("vec"), col("aid").as("cell"))
+    val a = celled.select(col("id").as("__a"), col("vec").as("__va"),
+      col("cell"))
+    val b = celled.select(col("id").as("__b"), col("vec").as("__vb"),
+      col("cell"))
+    val drops = a.join(b, "cell")
+      .filter(col("__a") < col("__b"))
+      .filter(cosineExpr(col("__va"), col("__vb"), native) >= threshold)
+      .select(col("__b").as("__drop")).distinct()
+    celled
+      .join(drops, col("id") === col("__drop"), "left")
+      .select(col("id"), col("cell"), col("__drop").isNull.as("kept"))
+  }
 }

@@ -720,6 +720,47 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster by
+    // nearest anchor (here: designated corpus exemplars, so both
+    // engines compute the identical assignment), then keep the lowest
+    // id of any within-cluster pair at cosine ≥ 0.4 — pairing happens
+    // ONLY inside a cell, never across the corpus. The oracle
+    // replicates anchor-argmax + within-cell pairs exactly; the Spark
+    // side broadcasts the 8 anchors and equi-joins on the cell id
+    // (ops/VectorSim.semanticDedup).
+    q("dedup_semantic",
+      """WITH anch AS (SELECT vec_id aid, embedding av FROM embeddings
+        |              WHERE vec_id < 8),
+        |sc AS (SELECT e.vec_id, a.aid,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                      a.av::DOUBLE[]) + 1e-9, 6) c
+        |       FROM embeddings e CROSS JOIN anch a),
+        |cell AS (SELECT vec_id, aid AS cell FROM (
+        |    SELECT vec_id, aid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY c DESC, aid) rnk
+        |    FROM sc) WHERE rnk = 1),
+        |p AS (SELECT DISTINCT cb.vec_id b
+        |      FROM cell ca JOIN cell cb
+        |        ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        |      JOIN embeddings ea ON ea.vec_id = ca.vec_id
+        |      JOIN embeddings eb ON eb.vec_id = cb.vec_id
+        |      WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                   eb.embedding::DOUBLE[]) >= 0.4)
+        |SELECT c.vec_id, c.cell::BIGINT AS cell,
+        |       c.vec_id NOT IN (SELECT b FROM p) AS kept
+        |FROM cell c ORDER BY vec_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      val anchors = c.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("aid"), col("embedding").as("avec"))
+      VectorSim.semanticDedup(
+          c.embeddings.select(col("vec_id").as("id"),
+            col("embedding").as("vec")),
+          anchors, threshold = 0.4, native = true)
+        .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+          col("kept"))
+        .orderBy("vec_id")
+    },
+
     // End-to-end corpus prep — the composed pipeline a training-data
     // run actually executes: quality filter → near-dup removal (LSH
     // pairs, keep-smallest-id policy) → per-language corpus stats.

@@ -339,6 +339,34 @@ object MlQueries {
         r6(col("auc")).as("auc"))
     },
 
+    // Average precision (area under the precision–recall curve, the
+    // sklearn step interpolation) — the ranking metric that matters
+    // more than ROC AUC under class imbalance (the usual
+    // quality-classifier regime). Distributed shape: distinct-score
+    // collapse + ONE shared bucket-offset prefix-sum pass
+    // (Positional.withCumSums) for both cumulative counts — no global
+    // window, continuous scores stay distributed.
+    q("ml_metrics_pr",
+      """WITH s AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y,
+        |                  l_discount sc FROM lineitem),
+        |g AS (SELECT sc, count(*) n, sum(y) np FROM s GROUP BY sc),
+        |c AS (SELECT sc, n, np,
+        |        coalesce(sum(n) OVER (ORDER BY sc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cn,
+        |        coalesce(sum(np) OVER (ORDER BY sc
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cp
+        |      FROM g),
+        |t AS (SELECT sum(n) nn, sum(np) p FROM g)
+        |SELECT round(sum((np::DOUBLE / p) * ((p - cp)::DOUBLE / (nn - cn)))
+        |             + 1e-9, 6) AS ap
+        |FROM c, t""") { c =>
+      val scored = c.lineitem.select(
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("y"),
+        col("l_discount").as("sc"))
+      Metrics.averagePrecision(scored, "y", "sc")
+        .select(r6(col("ap")).as("ap"))
+    },
+
     // Confusion matrix + log loss (the remaining metrics.py breadth):
     // exact integer tp/fp/fn/tn counts in one pass, and binary
     // cross-entropy with sklearn's 1e-15 probability clipping. The

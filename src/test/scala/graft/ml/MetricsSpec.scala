@@ -103,6 +103,43 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("averagePrecision matches the sklearn step-interpolation on " +
+    "tied and untied scores; no positives is NULL") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq((1, 0.9), (0, 0.9), (1, 0.8), (1, 0.6), (0, 0.6),
+      (0, 0.5), (1, 0.5), (0, 0.3))
+    def brute(data: Seq[(Int, Double)]): Double = {
+      val p = data.count(_._1 == 1).toDouble
+      val thresholds = data.map(_._2).distinct.sorted.reverse
+      var prevTp = 0.0
+      var ap = 0.0
+      thresholds.foreach { t =>
+        val tp = data.count(d => d._2 >= t && d._1 == 1).toDouble
+        val npred = data.count(_._2 >= t).toDouble
+        ap += (tp - prevTp) / p * (tp / npred)
+        prevTp = tp
+      }
+      ap
+    }
+    val got = Metrics.averagePrecision(rows.toDF("y", "sc"), "y", "sc")
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - brute(rows)) < 1e-12,
+      s"got $got want ${brute(rows)}")
+    // 300 continuous scores — the multi-bucket regime
+    val big = (0 until 300).map { i =>
+      (if ((i * 31) % 5 < 2) 1 else 0, math.sin(i * 7.1) * 0.5 + 0.5)
+    }
+    val gotBig = Metrics.averagePrecision(big.toDF("y", "sc"), "y", "sc")
+      .collect()(0).getDouble(0)
+    assert(math.abs(gotBig - brute(big)) < 1e-9,
+      s"got $gotBig want ${brute(big)}")
+    // degenerate: no positives → NULL
+    val nopos = Seq((0, 0.4), (0, 0.9)).toDF("y", "sc")
+    assert(Metrics.averagePrecision(nopos, "y", "sc")
+      .collect()(0).isNullAt(0))
+  }
+
   test("rocAuc of a perfect and an anti-perfect ranker; single-class " +
     "input is NULL") {
     val sp = spark

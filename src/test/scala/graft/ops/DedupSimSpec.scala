@@ -153,6 +153,32 @@ class DedupSimSpec extends SparkSpec {
       "shuffle-join and broadcast-join ANN must agree exactly")
   }
 
+  test("semanticDedup: within-cell near-dups drop the higher id; " +
+    "cross-cell similarity never pairs; anchors broadcast") {
+    val sp = spark
+    import sp.implicits._
+    // 2-D unit-ish vectors: cell 0 ≈ x-axis, cell 1 ≈ y-axis
+    val anchors = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("aid", "avec")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.01f)),   // cell 0
+      (11L, Seq(1.0f, 0.02f)),   // cell 0, near-dup of 10 → dropped
+      (12L, Seq(0.9f, 0.45f)),   // cell 0 (closer to x), far from 10/11
+      (20L, Seq(0.01f, 1.0f)),   // cell 1
+      (21L, Seq(0.02f, 1.0f)))   // cell 1, near-dup of 20 → dropped
+      .toDF("id", "vec")
+    val out = VectorSim.semanticDedup(corpus, anchors, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(10L) == ((0L, true)) && out(11L) == ((0L, false)),
+      s"got $out")
+    assert(out(20L) == ((1L, true)) && out(21L) == ((1L, false)))
+    // 12 is cosine-close to neither 10 nor 11 at 0.95 → kept
+    assert(out(12L)._2, s"got $out")
+    // every input id appears exactly once
+    assert(out.keySet == Set(10L, 11L, 12L, 20L, 21L))
+  }
+
   test("dedup guards: bands must divide k; idCol named 'id' works") {
     val sp = spark
     import sp.implicits._
