@@ -57,6 +57,10 @@ object Bench {
     // the statistic least contaminated by external steal while still
     // honest about engine cost (a real regression raises the floor).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so driver runs always measure the full headliner set
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     // cold = first run after a cache clear (includes planning + codegen
     // compilation; what a one-shot pipeline pays); warm = second run on
     // the same plan (steady-state engine throughput). Primary metric
@@ -64,7 +68,9 @@ object Bench {
     // min-of-3 "cold" excludes first-run codegen and can hit
     // plan-matched persisted data, so the one-shot-pipeline number is
     // reported separately (r5 verdict #4) instead of being lost.
-    val results = SparkEntry.benchQueries.map { d =>
+    val results = SparkEntry.benchQueries
+      .filter(d => only.isEmpty || only(d.name))
+      .map { d =>
       def once(): Double = {
         val t0 = System.nanoTime()
         checksum(d.fn(spark, sfDir))

@@ -78,15 +78,19 @@ object SetSimJoin {
 
     // candidate pairs: prefix-token equi-join, ordered ids, length
     // filter (J >= tau forces tau*sA <= sB <= sA/tau), then the PPJoin
-    // POSITIONAL filter: because the canonical order is one GLOBAL
-    // total order (f, tok), the globally-first shared prefix token of a
-    // pair minimizes BOTH positions at once, and no shared token can
-    // precede it in either set (a shared token before position i in A
-    // sits inside A's prefix and before j in B's — it would itself be
-    // an earlier shared prefix token). So overlap ≤ 1 + min(sA−i, sB−j)
-    // exactly, and pairs whose bound falls below the required overlap
-    // α = ceil(τ/(1+τ)·(sA+sB)) are pruned BEFORE the verify join with
-    // recall still 1.0 (Xiao et al. 2008, Lemma 2).
+    // POSITIONAL filter applied PER MATCH ROW, before the distinct:
+    // for a pair with overlap O ≥ α = ceil(τ/(1+τ)·(sA+sB)), its
+    // globally-first shared prefix token (one GLOBAL (f, tok) order ⇒
+    // it minimizes both positions at once, and no shared token can
+    // precede it in either set — an earlier shared token would sit in
+    // both prefixes and be an earlier shared prefix token itself) has
+    // the exact bound O ≤ 1 + min(sA−i, sB−j), so that row always
+    // survives its own-row filter and the pair is never lost (recall
+    // 1.0, Xiao et al. 2008 Lemma 2); rows of invalid pairs are pruned
+    // before they widen the distinct. Keeping the filter per-row keeps
+    // the dedup shuffle at two narrow columns — a grouped min/min
+    // formulation triples the shuffle width of the heaviest exchange
+    // for no extra pruning.
     val a = prefix.select(col("id").as("a"), col("s").as("sa"),
       col("p").as("pa"), col("tok"))
     val b = prefix.select(col("id").as("b"), col("s").as("sb"),
@@ -94,12 +98,9 @@ object SetSimJoin {
     val cand = a.join(b, "tok")
       .filter(col("a") < col("b"))
       .filter(col("sb") * tau <= col("sa") && col("sa") * tau <= col("sb"))
-      .groupBy("a", "b")
-      .agg(min(col("pa")).as("i"), min(col("pb")).as("j"),
-        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
-      .filter(lit(1) + least(col("sa") - col("i"), col("sb") - col("j")) >=
+      .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
         ceil(lit(tau) / (1 + tau) * (col("sa") + col("sb"))))
-      .select("a", "b")
+      .select("a", "b").distinct()
 
     // exact verification — sets joined back for candidates only
     val sa = sets.select(col("id").as("a"), col("st").as("sta"))
