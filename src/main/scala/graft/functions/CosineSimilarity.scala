@@ -152,5 +152,12 @@ object GraftFunctions {
         MinhashBands(exprs.head, litInt(exprs(1), "shingleN"),
           litInt(exprs(2), "k"), litInt(exprs(3), "bands"))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_normalize(text)")
+        NormalizeText(exprs.head)
+      })
   }
 }

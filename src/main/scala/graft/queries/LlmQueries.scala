@@ -720,6 +720,37 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // Unicode text normalization (native codegen expression
+    // functions/NormalizeText.scala): lowercase → NFC → accent strip →
+    // whitespace collapse — the pre-tokenization cleanup that runs
+    // before dedup/fingerprinting. The corpus is ASCII, so the query
+    // INJECTS accents and tabs deterministically on BOTH engines
+    // (a→á, e→é, every space gains a tab) — the oracle then genuinely
+    // exercises composition, mark stripping, and collapse, not just
+    // identity. Per-row pure map: no shuffle anywhere.
+    q("text_normalize",
+      """WITH src AS (SELECT doc_id,
+        |        replace(replace(replace(text, 'a', 'á'), 'e', 'é'),
+        |                ' ', ' ' || chr(9)) s
+        |      FROM documents),
+        |n AS (SELECT doc_id, length(s)::BIGINT n_raw,
+        |        trim(regexp_replace(strip_accents(nfc_normalize(lower(s))),
+        |                            '\s+', ' ', 'g')) norm
+        |      FROM src)
+        |SELECT doc_id, n_raw, norm, length(norm)::BIGINT AS n_norm
+        |FROM n ORDER BY doc_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      c.documents
+        .select(col("doc_id"),
+          expr("replace(replace(replace(text, 'a', 'á'), 'e', 'é'), " +
+            "' ', concat(' ', char(9)))").as("s"))
+        .select(col("doc_id"),
+          length(col("s")).cast("long").as("n_raw"),
+          call_function("graft_normalize", col("s")).as("norm"))
+        .withColumn("n_norm", length(col("norm")).cast("long"))
+        .orderBy("doc_id")
+    },
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster by
     // nearest anchor (here: designated corpus exemplars, so both
     // engines compute the identical assignment), then keep the lowest
