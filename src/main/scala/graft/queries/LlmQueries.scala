@@ -356,6 +356,33 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Greedy sequence packing (concat-and-chunk): lay the corpus out as
+    // one token stream in doc_id order and cut fixed 2048-token training
+    // windows; each doc gets its stream offset, window id, in-window
+    // offset, and a crosses-the-boundary flag. The oracle's global
+    // window sum is exactly what the Spark side must NOT do at scale —
+    // Packing delegates to Positional's bucketed distributed prefix sum
+    // (range buckets + per-bucket window + broadcast offsets).
+    q("llm_pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+        |      FROM t)
+        |SELECT doc_id, n_tokens, tok_start,
+        |       tok_start // 2048 AS seq_id,
+        |       tok_start % 2048 AS seq_offset,
+        |       tok_start + n_tokens > (tok_start // 2048 + 1) * 2048 AS spans_boundary
+        |FROM c ORDER BY doc_id""") { c =>
+      val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+      graft.ops.Packing.packSequences(
+          c.documents.select(col("doc_id"), toks.as("n_tokens")),
+          col("doc_id"), col("n_tokens"), 2048)
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer-vocabulary induction (Sennrich et al.), 3 pinned
     // merge rounds — the distributed shape real BPE trainers use: the
     // corpus collapses to a WORD-FREQUENCY table once (the only
@@ -429,6 +456,119 @@ object LlmQueries {
       c.spark.createDataFrame(merges.result())
         .toDF("merge_step", "pair_a", "pair_b", "merged", "cnt")
         .orderBy("merge_step")
+    },
+
+    // BPE ENCODE: apply the induced vocabulary to the corpus — the
+    // other half of the tokenizer (text_bpe_merges trains it, this
+    // tokenizes with it). Each merge is applied corpus-wide in rank
+    // order as a replace-all over the space-padded char string (the
+    // same application rule the induction itself uses between rounds,
+    // so train and encode agree). The 3 merges are a driver-side
+    // constant (bounded 1-row collects); the corpus side is one
+    // explode + per-row replace chain + re-aggregate — embarrassingly
+    // parallel, merges ship as literals in the plan, and the shape is
+    // unchanged with a production-sized 32k-merge vocabulary (the
+    // replace chain becomes a per-row loop expression; still no
+    // shuffle beyond the final per-doc sum).
+    q("text_bpe_apply",
+      """WITH w AS (SELECT wd, count(*) freq FROM
+        |             (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) wd
+        |              FROM documents)
+        |           WHERE length(wd) > 0 GROUP BY 1),
+        |s0 AS (SELECT freq, ' ' || list_aggregate(
+        |         [wd[i] for i in generate_series(1, length(wd))],
+        |         'string_agg', ' ') || ' ' s FROM w),
+        |p1 AS (SELECT a, b, sum(freq)::BIGINT cnt FROM (
+        |         SELECT freq, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |             for i in generate_series(1, len(ts)-1)], recursive := true)
+        |         FROM (SELECT freq, string_split(trim(s), ' ') ts FROM s0))
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (SELECT freq, replace(s, ' ' || m1.a || ' ' || m1.b || ' ',
+        |                            ' ' || m1.a || m1.b || ' ') s FROM s0, m1),
+        |p2 AS (SELECT a, b, sum(freq)::BIGINT cnt FROM (
+        |         SELECT freq, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |             for i in generate_series(1, len(ts)-1)], recursive := true)
+        |         FROM (SELECT freq, string_split(trim(s), ' ') ts FROM s1))
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (SELECT freq, replace(s, ' ' || m2.a || ' ' || m2.b || ' ',
+        |                            ' ' || m2.a || m2.b || ' ') s FROM s1, m2),
+        |p3 AS (SELECT a, b, sum(freq)::BIGINT cnt FROM (
+        |         SELECT freq, unnest([{'a': ts[i], 'b': ts[i+1]}
+        |             for i in generate_series(1, len(ts)-1)], recursive := true)
+        |         FROM (SELECT freq, string_split(trim(s), ' ') ts FROM s2))
+        |       GROUP BY 1, 2),
+        |m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        |dw AS (SELECT doc_id,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) wd
+        |       FROM documents),
+        |ws AS (SELECT doc_id, length(wd)::BIGINT n_chars,
+        |         ' ' || list_aggregate(
+        |           [wd[i] for i in generate_series(1, length(wd))],
+        |           'string_agg', ' ') || ' ' s
+        |       FROM dw WHERE length(wd) > 0),
+        |ap AS (SELECT doc_id, n_chars,
+        |         replace(replace(replace(s,
+        |           ' ' || m1.a || ' ' || m1.b || ' ', ' ' || m1.a || m1.b || ' '),
+        |           ' ' || m2.a || ' ' || m2.b || ' ', ' ' || m2.a || m2.b || ' '),
+        |           ' ' || m3.a || ' ' || m3.b || ' ', ' ' || m3.a || m3.b || ' ') s2
+        |       FROM ws, m1, m2, m3)
+        |SELECT doc_id, count(*)::BIGINT AS n_words,
+        |       sum(n_chars)::BIGINT AS n_chars,
+        |       sum(len(string_split(trim(s2), ' ')))::BIGINT AS n_bpe,
+        |       round(sum(n_chars)::DOUBLE
+        |             / sum(len(string_split(trim(s2), ' '))) + 1e-9, 4)
+        |         AS chars_per_tok
+        |FROM ap GROUP BY doc_id ORDER BY doc_id""") { c =>
+      // ---- train: identical induction to text_bpe_merges ----
+      val words = c.documents
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("wd"))
+        .filter(length(col("wd")) > 0)
+        .groupBy("wd").agg(count(lit(1)).as("freq"))
+        .withColumn("s", concat(lit(" "), concat_ws(" ",
+          expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))")),
+          lit(" ")))
+        .select("freq", "s")
+      var cur = words
+      val merges = Seq.newBuilder[(String, String)]
+      (1 to 3).foreach { _ =>
+        val toks = cur.withColumn("ts", split(trim(col("s")), " "))
+        val top = toks.filter(size(col("ts")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(ts) - 2), " +
+              "i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0)
+        val (a, b) = (top.getString(0), top.getString(1))
+        merges += ((a, b))
+        cur = cur.withColumn("s", call_function("replace", col("s"),
+          concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
+          concat(lit(" "), lit(a), lit(b), lit(" "))))
+      }
+      // ---- encode: rank-order replace chain over per-word strings ----
+      val dw = c.documents
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("wd"))
+        .filter(length(col("wd")) > 0)
+        .withColumn("n_chars", length(col("wd")).cast("long"))
+        .withColumn("s", concat(lit(" "), concat_ws(" ",
+          expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))")),
+          lit(" ")))
+      val applied = merges.result().foldLeft(dw) { case (d, (a, b)) =>
+        d.withColumn("s", call_function("replace", col("s"),
+          lit(s" $a $b "), lit(s" $a$b ")))
+      }
+      val perWordToks = size(split(trim(col("s")), " ")).cast("long")
+      applied.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(perWordToks).as("n_bpe"),
+          r4(sum(col("n_chars")).cast("double") / sum(perWordToks))
+            .as("chars_per_tok"))
+        .orderBy("doc_id")
     },
 
     // Document fingerprinting: winnowing-style rolling scheme — char
@@ -694,6 +834,65 @@ object LlmQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("canon_id"))
         .withColumn("is_canonical", col("canon_id") === col("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // Cluster-then-keep-best: the policy layer real dedup pipelines put
+    // on top of the transitive closure — instead of keeping the minimum
+    // id, each near-dup cluster keeps its HIGHEST-QUALITY member
+    // (alpha-ratio score, doc_id tiebreak) and drops the rest. Pairs +
+    // components are the established scale paths; the representative
+    // pick is a per-cluster window — clusters are near-dup groups, so
+    // partitions are tiny and the window never concentrates the corpus.
+    q("dedup_cluster_keep_best",
+      """WITH RECURSIVE d AS (SELECT doc_id, lower(trim(text)) t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(t, '\s+') toks FROM d),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in generate_series(1, len(toks) - 2)]) ws
+        |       FROM tok),
+        |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |          WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |                  / len(list_distinct(a.ws || b.ws)) >= 0.8),
+        |e AS (SELECT a_id a, b_id b FROM pairs
+        |      UNION ALL SELECT b_id, a_id FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, w.comp FROM walk w JOIN e ON e.a = w.id),
+        |lab AS (SELECT id AS doc_id, min(comp)::BIGINT AS canon_id
+        |        FROM walk GROUP BY id),
+        |qual AS (SELECT doc_id,
+        |           round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |                 / length(text) + 1e-9, 6) AS quality
+        |         FROM documents),
+        |r AS (SELECT l.doc_id, l.canon_id, q.quality,
+        |        row_number() OVER (PARTITION BY l.canon_id
+        |          ORDER BY q.quality DESC, l.doc_id) rnk,
+        |        first_value(l.doc_id) OVER (PARTITION BY l.canon_id
+        |          ORDER BY q.quality DESC, l.doc_id) best_id
+        |      FROM lab l JOIN qual q USING (doc_id))
+        |SELECT doc_id, canon_id, quality, best_id, (rnk = 1) AS keep
+        |FROM r ORDER BY doc_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      val pairs = TextDedup.minhashDedupPairs(c.documents, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.8, native = true)
+      val labels = graft.ops.Components.connectedComponents(
+        pairs, "a_id", "b_id")
+      val qual = c.documents.select(col("doc_id"),
+        r6(length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))).as("quality"))
+      val lab = qual.join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canon_id"),
+          col("quality"))
+      val w = Window.partitionBy("canon_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      lab.withColumn("rnk", row_number().over(w))
+        .withColumn("best_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("canon_id"), col("quality"),
+          col("best_id"), (col("rnk") === 1).as("keep"))
         .orderBy("doc_id")
     },
 
