@@ -100,11 +100,23 @@ object Cli {
         registry.servePlan(n, Build.load(dir, h))
       }
       // GRAFT_SERVE_SECRET (env, never argv: ps would leak it) turns
-      // on bearer auth for every endpoint
+      // on bearer auth for every endpoint; GRAFT_SERVE_KEYSTORE +
+      // GRAFT_SERVE_KEYSTORE_PASS turn on TLS, and adding
+      // GRAFT_SERVE_TRUSTSTORE (+ optional _PASS) requires CLIENT
+      // CERTS — mutual TLS, the reference Flight server's transport leg
+      val tls = sys.env.get("GRAFT_SERVE_KEYSTORE").map { ksPath =>
+        graft.serve.HttpServe.Tls(
+          keyStore = ksPath,
+          keyStorePassword = sys.env.getOrElse("GRAFT_SERVE_KEYSTORE_PASS",
+            sys.error("GRAFT_SERVE_KEYSTORE needs GRAFT_SERVE_KEYSTORE_PASS")),
+          requireClientCert = sys.env.contains("GRAFT_SERVE_TRUSTSTORE"),
+          trustStore = sys.env.get("GRAFT_SERVE_TRUSTSTORE"),
+          trustStorePassword = sys.env.get("GRAFT_SERVE_TRUSTSTORE_PASS"))
+      }
       val http = new graft.serve.HttpServe(registry, spark,
-        secret = sys.env.get("GRAFT_SERVE_SECRET"))
+        secret = sys.env.get("GRAFT_SERVE_SECRET"), tls = tls)
       val port = http.start(portStr.toInt)
-      println(s"""{"serving":${registry.served.length},"port":$port,"auth":${sys.env.contains("GRAFT_SERVE_SECRET")}}""")
+      println(s"""{"serving":${registry.served.length},"port":$port,"auth":${sys.env.contains("GRAFT_SERVE_SECRET")},"tls":${tls.nonEmpty},"mtls":${tls.exists(_.requireClientCert)}}""")
       Thread.currentThread().join()
 
     case other =>

@@ -16,14 +16,14 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF/BMP/WAV ([[sniff]]), and pixel/sample decode is REAL
   * for all five formats — 24-bit uncompressed BMP ([[decodeBmp]]),
   * PCM16 WAV ([[decodeWavPcm16]]), PNG ([[decodePng]] — JDK
-  * `Inflater` zlib stream + all five scanline unfilters, 8-bit
-  * gray/RGB/RGBA), GIF ([[decodeGif]] — variable-width LZW written
+  * `Inflater` zlib stream + all five scanline unfilters; 8/16-bit
+  * gray/RGB/RGBA, palette at depths 1/2/4/8, plain or Adam7
+  * interlaced), GIF ([[decodeGif]] — variable-width LZW written
   * here, global or local palette), and baseline JPEG, grayscale AND
   * YCbCr color ([[graft.ops.Jpeg]] — huffman entropy decode +
   * dequant + IDCT + chroma upsample, tables read from the file).
-  * Remaining declared limits: progressive JPEG and
-  * interlaced/16-bit/palette PNG refuse with
-  * None rather than mis-decode. The Spark-side contract — binary
+  * Remaining declared limits: progressive JPEG and sub-8-bit
+  * grayscale PNG refuse with None rather than mis-decode. The Spark-side contract — binary
   * column in, typed struct out, partition-local, no shuffle, no
   * driver collect — is identical across all of them and is what
   * survives a codec swap at 100 TB.
@@ -241,20 +241,29 @@ object Multimodal {
   // PNG's only codec is zlib DEFLATE, which ships in the JDK
   // (java.util.zip.Inflater) — so PNG pixel decode is pure byte work:
   // chunk walk, inflate the concatenated IDAT stream, then undo the
-  // per-scanline filter (None/Sub/Up/Average/Paeth). Supported layout:
-  // 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
-  // non-interlaced — the layout every modern encoder emits by default.
+  // per-scanline filter (None/Sub/Up/Average/Paeth). Supported
+  // layouts: gray/RGB/RGBA at bit depth 8 or 16, palette (color type
+  // 3, PLTE) at depths 1/2/4/8, each plain or Adam7-interlaced — i.e.
+  // everything a standard encoder emits except sub-8-bit grayscale.
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     .map(_.toByte)
 
+  /** Adam7 pass origins and strides: (x0, y0, dx, dy) per spec §8.2. */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** Decoded PNG: (width, height, channels, row-major interleaved
-    * channel values 0-255). None for non-PNG, unsupported layouts
-    * (16-bit, palette, interlaced), or corrupt/truncated streams. */
+    * channel values). Palette images resolve through PLTE to 3-channel
+    * RGB; 8-bit (and palette) samples are 0-255, 16-bit samples keep
+    * their full 0-65535 range. None for non-PNG, unsupported layouts,
+    * or corrupt/truncated streams. */
   def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
-    if (bytes.length < 57 || !bytes.take(8).sameElements(PngSig)) return None
+    if (bytes.length < 45 || !bytes.take(8).sameElements(PngSig)) return None
     var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
     var interlace = 0
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     var sawEnd = false
@@ -269,19 +278,40 @@ object Multimodal {
           bitDepth = bytes(body + 8) & 0xff
           colorType = bytes(body + 9) & 0xff
           interlace = bytes(body + 12) & 0xff
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(bytes, body,
+          body + len)
         case "IDAT" => idat.write(bytes, body, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable
       }
       i = body + len + 4 // trailing CRC
     }
-    val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+    val chRaw = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => return None
     }
-    if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0 || !sawEnd)
-      return None
-    val stride = w * channels
-    val raw = new Array[Byte](h * (stride + 1))
+    val depthOk = colorType match {
+      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk || interlace > 1 || w <= 0 || h <= 0 || !sawEnd) return None
+    if (colorType == 3 &&
+      (plte == null || plte.length < 3 || plte.length % 3 != 0)) return None
+    val bitsPP = chRaw * bitDepth
+    def rowBytes(pw: Int): Int = (pw * bitsPP + 7) / 8
+    // filtering operates on BYTES; for sub-byte depths the "pixel to
+    // the left" is the previous byte (spec: bpp rounded up to 1)
+    val bppF = math.max(1, bitsPP / 8)
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      (math.max(0, (w - x0 + dx - 1) / dx),
+        math.max(0, (h - y0 + dy - 1) / dy))
+    }
+    val total = dims.map { case (pw, ph) =>
+      if (pw > 0 && ph > 0) ph.toLong * (1L + rowBytes(pw)) else 0L }.sum
+    if (total <= 0 || total > Int.MaxValue) return None
+    val raw = new Array[Byte](total.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -295,38 +325,153 @@ object Multimodal {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
     if (off < raw.length) return None
-    val out = new Array[Int](h * stride)
+    val outCh = if (colorType == 3) 3 else chRaw
+    val out = new Array[Int](w * h * outCh)
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = dims(pi)
+      if (pw > 0 && ph > 0) {
+        val rb = rowBytes(pw)
+        // reconstruct this pass's scanline bytes (filters per spec §9)
+        val recon = new Array[Int](ph * rb)
+        var yy = 0
+        while (yy < ph) {
+          val filter = raw(base + yy * (rb + 1)) & 0xff
+          val src = base + yy * (rb + 1) + 1
+          val dst = yy * rb
+          var x = 0
+          while (x < rb) {
+            val rx = raw(src + x) & 0xff
+            val a = if (x >= bppF) recon(dst + x - bppF) else 0
+            val b = if (yy > 0) recon(dst - rb + x) else 0
+            val c = if (yy > 0 && x >= bppF) recon(dst - rb + x - bppF)
+              else 0
+            val v = filter match {
+              case 0 => rx
+              case 1 => rx + a
+              case 2 => rx + b
+              case 3 => rx + ((a + b) >> 1)
+              case 4 =>
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b)
+                val pc = math.abs(p - c)
+                rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b
+                  else c)
+              case _ => return None
+            }
+            recon(dst + x) = v & 0xff
+            x += 1
+          }
+          yy += 1
+        }
+        // scatter this pass's pixels to their final positions
+        yy = 0
+        while (yy < ph) {
+          val oy = y0 + yy * dy
+          val row = yy * rb
+          var xx = 0
+          while (xx < pw) {
+            val ox = x0 + xx * dx
+            val dst = (oy * w + ox) * outCh
+            if (colorType == 3) {
+              val spb = 8 / bitDepth // samples per byte
+              val idx = (recon(row + xx / spb) >>
+                (8 - bitDepth * (xx % spb + 1))) & ((1 << bitDepth) - 1)
+              if ((idx + 1) * 3 > plte.length) return None
+              out(dst) = plte(idx * 3) & 0xff
+              out(dst + 1) = plte(idx * 3 + 1) & 0xff
+              out(dst + 2) = plte(idx * 3 + 2) & 0xff
+            } else if (bitDepth == 8) {
+              var c = 0
+              while (c < chRaw) {
+                out(dst + c) = recon(row + xx * chRaw + c); c += 1
+              }
+            } else { // 16-bit big-endian samples
+              var c = 0
+              while (c < chRaw) {
+                val s = row + (xx * chRaw + c) * 2
+                out(dst + c) = (recon(s) << 8) | recon(s + 1); c += 1
+              }
+            }
+            xx += 1
+          }
+          yy += 1
+        }
+        base += ph * (rb + 1)
+      }
+      pi += 1
+    }
+    Some((w, h, outCh, out))
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    val b = java.nio.ByteBuffer.allocate(12 + data.length)
+    b.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(data); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    zOut.toByteArray
+  }
+
+  /** Byte-level scanline filtering (spec §9): `rows` is h×rb raw bytes,
+    * output is h×(rb+1) with the per-row filter tag prepended. `bpp` is
+    * the byte distance to the pixel on the left (min 1). */
+  private def pngFilter(rows: Array[Byte], h: Int, rb: Int, bpp: Int,
+      filterForRow: Int => Int): Array[Byte] = {
+    val filtered = new Array[Byte](h * (rb + 1))
     var y = 0
     while (y < h) {
-      val filter = raw(y * (stride + 1)) & 0xff
-      val src = y * (stride + 1) + 1
-      val dst = y * stride
+      val f = math.floorMod(filterForRow(y), 5)
+      filtered(y * (rb + 1)) = f.toByte
       var x = 0
-      while (x < stride) {
-        val rx = raw(src + x) & 0xff
-        // reconstructed neighbors: a = left, b = up, c = up-left
-        val a = if (x >= channels) out(dst + x - channels) else 0
-        val b = if (y > 0) out(dst - stride + x) else 0
-        val c = if (y > 0 && x >= channels) out(dst - stride + x - channels)
+      while (x < rb) {
+        val cur = rows(y * rb + x) & 0xff
+        val a = if (x >= bpp) rows(y * rb + x - bpp) & 0xff else 0
+        val b = if (y > 0) rows((y - 1) * rb + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp) rows((y - 1) * rb + x - bpp) & 0xff
           else 0
-        val v = filter match {
-          case 0 => rx
-          case 1 => rx + a
-          case 2 => rx + b
-          case 3 => rx + ((a + b) >> 1)
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
           case 4 =>
             val p = a + b - c
             val pa = math.abs(p - a); val pb = math.abs(p - b)
             val pc = math.abs(p - c)
-            rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case _ => return None
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
         }
-        out(dst + x) = v & 0xff
+        filtered(y * (rb + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    Some((w, h, channels, out))
+    filtered
+  }
+
+  private def pngAssemble(w: Int, h: Int, bitDepth: Int, colorType: Int,
+      interlace: Int, idat: Array[Byte],
+      plte: Array[Byte] = null): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    val plteChunk =
+      if (plte == null) Array.empty[Byte] else pngChunk("PLTE", plte)
+    PngSig ++ pngChunk("IHDR", ihdr) ++ plteChunk ++
+      pngChunk("IDAT", zlibDeflate(idat)) ++
+      pngChunk("IEND", Array.empty[Byte])
   }
 
   /** Encode a genuine PNG (signature, CRC-correct IHDR/IDAT/IEND,
@@ -341,54 +486,102 @@ object Multimodal {
     require(px.length == w * h * channels,
       s"encodePng: expected ${w * h * channels} values, got ${px.length}")
     val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
-    val stride = w * channels
-    val filtered = new Array[Byte](h * (stride + 1))
+    val rows = px.map(v => (v & 0xff).toByte)
+    pngAssemble(w, h, 8, colorType, 0,
+      pngFilter(rows, h, w * channels, channels, filterForRow))
+  }
+
+  /** 16-bit-per-sample PNG (big-endian samples, values 0-65535);
+    * filtering is byte-wise with a 2×channels left offset per spec. */
+  def encodePng16(w: Int, h: Int, channels: Int, px: Array[Int],
+      filterForRow: Int => Int = _ % 5): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"encodePng16: channels must be 1/3/4, got $channels")
+    require(px.length == w * h * channels,
+      s"encodePng16: expected ${w * h * channels} values, got ${px.length}")
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val rb = w * channels * 2
+    val rows = new Array[Byte](h * rb)
+    var i = 0
+    while (i < px.length) {
+      rows(i * 2) = ((px(i) >> 8) & 0xff).toByte
+      rows(i * 2 + 1) = (px(i) & 0xff).toByte
+      i += 1
+    }
+    pngAssemble(w, h, 16, colorType, 0,
+      pngFilter(rows, h, rb, channels * 2, filterForRow))
+  }
+
+  /** Palette PNG (color type 3): `paletteRgb` is 3 values per entry,
+    * `indices` one entry per pixel, packed MSB-first at `bitDepth`
+    * (1/2/4/8) per spec §7.2. */
+  def encodePngPalette(w: Int, h: Int, bitDepth: Int, paletteRgb: Array[Int],
+      indices: Array[Int], filterForRow: Int => Int = _ % 5): Array[Byte] = {
+    require(bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8,
+      s"encodePngPalette: bad depth $bitDepth")
+    require(paletteRgb.length % 3 == 0 && paletteRgb.nonEmpty &&
+      paletteRgb.length / 3 <= (1 << bitDepth),
+      "encodePngPalette: palette size must be a multiple of 3 and fit depth")
+    require(indices.length == w * h,
+      s"encodePngPalette: expected ${w * h} indices, got ${indices.length}")
+    val nEntries = paletteRgb.length / 3
+    require(indices.forall(ix => ix >= 0 && ix < nEntries),
+      "encodePngPalette: index out of palette range")
+    val spb = 8 / bitDepth
+    val rb = (w * bitDepth + 7) / 8
+    val rows = new Array[Byte](h * rb)
     var y = 0
     while (y < h) {
-      val f = math.floorMod(filterForRow(y), 5)
-      filtered(y * (stride + 1)) = f.toByte
       var x = 0
-      while (x < stride) {
-        val cur = px(y * stride + x)
-        val a = if (x >= channels) px(y * stride + x - channels) else 0
-        val b = if (y > 0) px((y - 1) * stride + x) else 0
-        val c = if (y > 0 && x >= channels)
-          px((y - 1) * stride + x - channels) else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) >> 1
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-        }
-        filtered(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+      while (x < w) {
+        val shift = 8 - bitDepth * (x % spb + 1)
+        val at = y * rb + x / spb
+        rows(at) = (rows(at) | (indices(y * w + x) << shift)).toByte
         x += 1
       }
       y += 1
     }
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(filtered); defl.finish()
-    val zOut = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
-    defl.end()
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val t = typ.getBytes("US-ASCII")
-      val crc = new java.util.zip.CRC32()
-      crc.update(t); crc.update(data)
-      val b = java.nio.ByteBuffer.allocate(12 + data.length)
-      b.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
-      b.array()
+    pngAssemble(w, h, bitDepth, 3, 0,
+      pngFilter(rows, h, rb, 1, filterForRow),
+      paletteRgb.map(v => (v & 0xff).toByte))
+  }
+
+  /** Adam7-interlaced 8-bit PNG: pixels are gathered into the seven
+    * sub-images (spec §8.2), each filtered independently, and the
+    * passes concatenated into one IDAT stream. */
+  def encodePngInterlaced(w: Int, h: Int, channels: Int, px: Array[Int],
+      filterForRow: Int => Int = _ % 5): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"encodePngInterlaced: channels must be 1/3/4, got $channels")
+    require(px.length == w * h * channels,
+      s"encodePngInterlaced: expected ${w * h * channels} values")
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val out = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = math.max(0, (w - x0 + dx - 1) / dx)
+      val ph = math.max(0, (h - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val rb = pw * channels
+        val rows = new Array[Byte](ph * rb)
+        var yy = 0
+        while (yy < ph) {
+          var xx = 0
+          while (xx < pw) {
+            val src = ((y0 + yy * dy) * w + (x0 + xx * dx)) * channels
+            var c = 0
+            while (c < channels) {
+              rows(yy * rb + xx * channels + c) =
+                (px(src + c) & 0xff).toByte
+              c += 1
+            }
+            xx += 1
+          }
+          yy += 1
+        }
+        out.write(pngFilter(rows, ph, rb, channels, filterForRow))
+      }
     }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zOut.toByteArray) ++
-      chunk("IEND", Array.empty[Byte])
+    pngAssemble(w, h, 8, colorType, 1, out.toByteArray)
   }
 
   // ----------------------------------------- REAL decode: GIF
@@ -596,8 +789,8 @@ object Multimodal {
 
   /** Per-image pixel statistics from REAL decoding (BMP/PNG/GIF) —
     * format, dimensions, per-channel means. Payloads in formats with
-    * no real decoder here (JPEG) report their sniffed format with
-    * zeroed stats. */
+    * no real decoder here (e.g. progressive JPEG) report their sniffed
+    * format with zeroed stats. */
   final case class PixelStats(doc_id: Long, format: String, width: Int,
       height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
 

@@ -1238,6 +1238,68 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // PNG edge layouts, all decoded for REAL by the same chunk-walk +
+    // inflate + unfilter path: palette (PLTE, 4-bit packed indices),
+    // 16-bit grayscale (full 0-65535 sample range), and Adam7
+    // INTERLACED RGB (seven sub-images, independent filters). Each doc
+    // rotates through the three layouts; the oracle recomputes the
+    // per-channel means closed-form. Same partition-local contract —
+    // binary in, stats out, zero shuffles before the final sort.
+    q("mm_decode_png_layouts",
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS layout,
+        |             (4 + doc_id % 3)::BIGINT w,
+        |             (3 + doc_id % 2)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, layout, w, h,
+        |         unnest(range(0, w * h)) AS p FROM d),
+        |v AS (SELECT doc_id, layout, w, h,
+        |        CASE layout
+        |          WHEN 0 THEN (doc_id * 7 + (((doc_id + p) % 16) * 3) * 13) % 256
+        |          WHEN 1 THEN (doc_id * 2513 + p * 97) % 65536
+        |          ELSE (doc_id * 31 + p * 3) % 256 END AS r,
+        |        CASE layout
+        |          WHEN 0 THEN (doc_id * 7 + (((doc_id + p) % 16) * 3 + 1) * 13) % 256
+        |          WHEN 1 THEN (doc_id * 2513 + p * 97) % 65536
+        |          ELSE (doc_id * 31 + p * 3 + 1) % 256 END AS g,
+        |        CASE layout
+        |          WHEN 0 THEN (doc_id * 7 + (((doc_id + p) % 16) * 3 + 2) * 13) % 256
+        |          WHEN 1 THEN (doc_id * 2513 + p * 97) % 65536
+        |          ELSE (doc_id * 31 + p * 3 + 2) % 256 END AS b
+        |      FROM px)
+        |SELECT doc_id, 'png' AS format,
+        |       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       round(avg(r) + 1e-9, 6) AS mean_r,
+        |       round(avg(g) + 1e-9, 6) AS mean_g,
+        |       round(avg(b) + 1e-9, 6) AS mean_b
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkPng = udf((id: Long) => {
+        val w = 4 + (id % 3).toInt; val h = 3 + (id % 2).toInt
+        (id % 3) match {
+          case 0 =>
+            val pal = Array.tabulate(48)(k => ((id * 7 + k * 13) % 256).toInt)
+            val idx = Array.tabulate(w * h)(p => ((id + p) % 16).toInt)
+            Multimodal.encodePngPalette(w, h, 4, pal, idx,
+              y => ((id + y) % 5).toInt)
+          case 1 =>
+            val px = Array.tabulate(w * h)(p =>
+              ((id * 2513 + p * 97) % 65536).toInt)
+            Multimodal.encodePng16(w, h, 1, px, y => ((id + y) % 5).toInt)
+          case _ =>
+            val px = Array.tabulate(w * h * 3)(i =>
+              ((id * 31 + i) % 256).toInt)
+            Multimodal.encodePngInterlaced(w, h, 3, px,
+              y => ((id + y) % 5).toInt)
+        }
+      })
+      Multimodal.decodePixels(
+          c.documents.select(col("doc_id"), mkPng(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r6(col("mean_r")).as("mean_r"), r6(col("mean_g")).as("mean_g"),
+          r6(col("mean_b")).as("mean_b"))
+        .orderBy("doc_id")
+    },
+
     // REAL GIF pixel decode (r5): genuine GIF89a files — 256-entry
     // global color table, LSB-packed variable-width LZW stream with
     // clear/EOI codes and sub-block framing — generated from doc keys;

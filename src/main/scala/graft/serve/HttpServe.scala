@@ -1,10 +1,12 @@
 package graft.serve
 
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer,
+  HttpsConfigurator, HttpsParameters, HttpsServer}
 import graft.rel.{RelHash, RelJson}
 import org.apache.spark.sql.SparkSession
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
 
 /** Network transport for the serve [[Registry]] — the out-of-process
   * seam the reference exposes over Arrow Flight (flight/__init__.py:
@@ -52,15 +54,39 @@ import java.nio.charset.StandardCharsets.UTF_8
   * encryption stays a deployment concern (terminate TLS in front).
   * With `secret = None` (default) the server is open, matching the
   * reference's no-auth default.
+  *
+  * TLS: pass `tls = Some(HttpServe.Tls(keyStore, password))` and the
+  * same endpoints serve over HTTPS (JDK HttpsServer, PKCS12 keystore —
+  * no new dependencies). `requireClientCert = true` plus a trust store
+  * holding the client CA turns on MUTUAL TLS: the handshake itself
+  * rejects unauthenticated peers before any handler runs — the
+  * transport leg of the reference Flight server's mTLS
+  * (flight/__init__.py:140-147), composable with the bearer secret
+  * (cert proves the channel, token proves the caller).
   */
 final class HttpServe(registry: Registry, spark: SparkSession,
-    secret: Option[String] = None) {
+    secret: Option[String] = None,
+    tls: Option[HttpServe.Tls] = None) {
 
   private var server: HttpServer = _
 
   /** Bind on 127.0.0.1:`port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val addr = new InetSocketAddress("127.0.0.1", port)
+    server = tls match {
+      case None => HttpServer.create(addr, 0)
+      case Some(t) =>
+        val hs = HttpsServer.create(addr, 0)
+        val ctx = HttpServe.sslContext(t)
+        hs.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+          override def configure(p: HttpsParameters): Unit = {
+            val ssl = ctx.getDefaultSSLParameters
+            ssl.setNeedClientAuth(t.requireClientCert)
+            p.setSSLParameters(ssl)
+          }
+        })
+        hs
+    }
     server.createContext("/plans", handler { (_, _) =>
       (200, registry.served.map(q).mkString("[", ",", "]"))
     })
@@ -234,4 +260,46 @@ final class HttpServe(registry: Registry, spark: SparkSession,
           write(ex.getResponseBody)
       }
     } finally ex.close()
+}
+
+object HttpServe {
+
+  /** TLS material for the serve plane. `keyStore` is a PKCS12 file
+    * holding the server keypair; with `requireClientCert`, `trustStore`
+    * (PKCS12 of trusted client certs/CAs — defaults to the key store's
+    * password when its own is omitted) gates the handshake: MUTUAL TLS.
+    * Passwords travel via env in the CLI (never argv). */
+  final case class Tls(
+      keyStore: String,
+      keyStorePassword: String,
+      requireClientCert: Boolean = false,
+      trustStore: Option[String] = None,
+      trustStorePassword: Option[String] = None)
+
+  private def loadKeyStore(path: String,
+      pw: String): java.security.KeyStore = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(path)
+    try ks.load(in, pw.toCharArray) finally in.close()
+    ks
+  }
+
+  private[serve] def sslContext(t: Tls): SSLContext = {
+    require(!t.requireClientCert || t.trustStore.nonEmpty,
+      "requireClientCert needs a trustStore of client certs")
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(loadKeyStore(t.keyStore, t.keyStorePassword),
+      t.keyStorePassword.toCharArray)
+    val tms = t.trustStore.map { ts =>
+      val tmf = TrustManagerFactory.getInstance(
+        TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(loadKeyStore(ts,
+        t.trustStorePassword.getOrElse(t.keyStorePassword)))
+      tmf.getTrustManagers
+    }.orNull
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tms, null)
+    ctx
+  }
 }

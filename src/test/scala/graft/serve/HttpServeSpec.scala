@@ -250,4 +250,122 @@ class HttpServeSpec extends SparkSpec {
       assert(okRun.contains("\"rows\":5"), s"got: $okRun")
     } finally http.stop()
   }
+
+  // ---------------------------------------------------------- TLS/mTLS
+
+  private def keytool(args: String*): Unit = {
+    val kt = sys.props("java.home") + "/bin/keytool"
+    val rc = (Seq(kt) ++ args).!
+    assert(rc == 0, s"keytool failed: $args")
+  }
+
+  /** Self-signed server + client keypairs and the cross trust stores,
+    * generated fresh per run (never checked in). SAN=IP:127.0.0.1 so
+    * the DEFAULT hostname verifier accepts the loopback URL — the test
+    * exercises real verification, not a disabled one. */
+  private def mkTlsMaterial(): String = {
+    val dir = Files.createTempDirectory("graft_tls_").toString
+    keytool("-genkeypair", "-alias", "server", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-dname", "CN=graft-serve",
+      "-ext", "SAN=IP:127.0.0.1", "-keystore", s"$dir/server.p12",
+      "-storetype", "PKCS12", "-storepass", "changeit")
+    keytool("-exportcert", "-alias", "server", "-keystore",
+      s"$dir/server.p12", "-storepass", "changeit",
+      "-file", s"$dir/server.cer")
+    keytool("-importcert", "-noprompt", "-alias", "server",
+      "-file", s"$dir/server.cer", "-keystore", s"$dir/client-trust.p12",
+      "-storetype", "PKCS12", "-storepass", "changeit")
+    keytool("-genkeypair", "-alias", "client", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-dname", "CN=graft-client",
+      "-keystore", s"$dir/client.p12", "-storetype", "PKCS12",
+      "-storepass", "changeit")
+    keytool("-exportcert", "-alias", "client", "-keystore",
+      s"$dir/client.p12", "-storepass", "changeit",
+      "-file", s"$dir/client.cer")
+    keytool("-importcert", "-noprompt", "-alias", "client",
+      "-file", s"$dir/client.cer", "-keystore", s"$dir/server-trust.p12",
+      "-storetype", "PKCS12", "-storepass", "changeit")
+    dir
+  }
+
+  private def httpsGet(ctx: javax.net.ssl.SSLContext, url: String,
+      header: Option[(String, String)] = None): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[javax.net.ssl.HttpsURLConnection]
+    conn.setSSLSocketFactory(ctx.getSocketFactory)
+    header.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (in == null) "" else
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("TLS serve plane: HTTPS with the server cert verifies and " +
+    "serves; plaintext HTTP to the same port fails") {
+    val dir = mkTlsMaterial()
+    val registry = new Registry(spark)
+    registry.servePlan("t", UnboundTable("src", Nil))
+    val http = new HttpServe(registry, spark,
+      tls = Some(HttpServe.Tls(s"$dir/server.p12", "changeit")))
+    val port = http.start()
+    try {
+      // trust-store-only context (no client key — plain TLS client)
+      val ctx = HttpServe.sslContext(HttpServe.Tls(
+        s"$dir/client-trust.p12", "changeit",
+        trustStore = Some(s"$dir/client-trust.p12")))
+      val (code, body) = httpsGet(ctx, s"https://127.0.0.1:$port/plans")
+      assert(code == 200 && body.contains("\"t\""), s"got $code $body")
+      // a client that does NOT trust the server cert must refuse
+      val distrust = javax.net.ssl.SSLContext.getInstance("TLS")
+      distrust.init(null, null, null) // JDK default roots only
+      intercept[javax.net.ssl.SSLException] {
+        httpsGet(distrust, s"https://127.0.0.1:$port/plans")
+      }
+      // plaintext HTTP against the TLS port is a handshake failure:
+      // curl exits nonzero (52/56 empty reply) or returns garbage
+      val plain = scala.util.Try(curl("-m", "5", s"http://127.0.0.1:$port/plans"))
+      assert(plain.isFailure || !plain.get.contains("\"t\""),
+        s"plaintext must not work: $plain")
+    } finally http.stop()
+  }
+
+  test("mutual TLS: the handshake itself rejects a certless client; " +
+    "a client cert in the trust store passes, bearer still applies") {
+    val dir = mkTlsMaterial()
+    val registry = new Registry(spark)
+    registry.servePlan("t", UnboundTable("src", Nil))
+    val http = new HttpServe(registry, spark,
+      secret = Some("tok3n"),
+      tls = Some(HttpServe.Tls(s"$dir/server.p12", "changeit",
+        requireClientCert = true,
+        trustStore = Some(s"$dir/server-trust.p12"))))
+    val port = http.start()
+    try {
+      val withCert = HttpServe.sslContext(HttpServe.Tls(
+        s"$dir/client.p12", "changeit",
+        trustStore = Some(s"$dir/client-trust.p12")))
+      val noCert = HttpServe.sslContext(HttpServe.Tls(
+        s"$dir/client-trust.p12", "changeit",
+        trustStore = Some(s"$dir/client-trust.p12")))
+      // certless client: the HANDSHAKE fails — no handler, no 401, the
+      // request never reaches the application layer
+      intercept[java.io.IOException] {
+        httpsGet(noCert, s"https://127.0.0.1:$port/plans")
+      }
+      // cert + wrong/missing token: channel up, bearer still gates
+      val (c401, b401) = httpsGet(withCert, s"https://127.0.0.1:$port/plans")
+      assert(c401 == 401 && b401.contains("unauthorized"))
+      // cert + token: full path
+      val (c200, b200) = httpsGet(withCert, s"https://127.0.0.1:$port/plans",
+        header = Some("Authorization" -> "Bearer tok3n"))
+      assert(c200 == 200 && b200.contains("\"t\""), s"got $c200 $b200")
+      // misconfiguration fails loud at construction, not at handshake
+      intercept[IllegalArgumentException] {
+        HttpServe.sslContext(HttpServe.Tls(s"$dir/server.p12", "changeit",
+          requireClientCert = true))
+      }
+    } finally http.stop()
+  }
 }
