@@ -383,6 +383,99 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    // score every document by the log-likelihood ratio of its hashed
+    // word-bigram features under a TARGET distribution (here lang='en'
+    // docs) vs the RAW corpus distribution, then keep importance-
+    // positive docs. The feature space is 256 hash buckets (md5-prefix,
+    // identical arithmetic on both engines); both n-gram models are
+    // 256-row aggregates that BROADCAST to the per-doc scoring join —
+    // at 100 TB the corpus is touched twice (model fit, scoring), both
+    // passes embarrassingly parallel. Per-gram log-ratios are rounded
+    // to integer micro-nats before the per-doc sum so the score is
+    // summation-order-independent (same convention as text_lm_ppl).
+    q("llm_dsir_select",
+      """WITH tok AS (SELECT doc_id, lang,
+        |               regexp_extract_all(text, '[a-z]+') ts FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |        unnest([ts[i] || ' ' || ts[i+1]
+        |                for i in generate_series(1, len(ts) - 1)]) g
+        |      FROM tok WHERE len(ts) >= 2),
+        |gb AS (SELECT doc_id, lang,
+        |         ('0x' || substr(md5(g), 1, 4))::BIGINT % 256 AS b FROM g),
+        |tgt AS (SELECT b, count(*) ct FROM gb WHERE lang = 'en' GROUP BY b),
+        |raw AS (SELECT b, count(*) cr FROM gb GROUP BY b),
+        |nt AS (SELECT sum(ct)::BIGINT n FROM tgt),
+        |nr AS (SELECT sum(cr)::BIGINT n FROM raw),
+        |docb AS (SELECT doc_id, b, count(*) cnt FROM gb GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, sum(d.cnt)::BIGINT n_grams,
+        |         sum(CAST(round(d.cnt *
+        |               ln(((coalesce(t.ct, 0) + 1.0) / (nt.n + 256))
+        |                  / ((r.cr + 1.0) / (nr.n + 256)))
+        |               * 1e6 + 1e-9) AS BIGINT)) w_micro
+        |       FROM docb d JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
+        |       CROSS JOIN nt CROSS JOIN nr GROUP BY 1)
+        |SELECT doc_id, n_grams, w_micro,
+        |       round(w_micro / 1e6 / n_grams + 1e-9, 4) AS avg_logratio,
+        |       (w_micro > 0) AS selected
+        |FROM sc ORDER BY doc_id""") { c =>
+      val toks = c.documents.select(col("doc_id"), col("lang"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val grams = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> concat(ts[i], ' ', ts[i + 1]))")).as("g"))
+      val gb = grams.withColumn("b",
+        conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % 256)
+      val tgt = gb.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = gb.groupBy("b").agg(count(lit(1)).as("cr"))
+      val nt = tgt.agg(sum(col("ct")).as("nt"))
+      val nr = raw.agg(sum(col("cr")).as("nr"))
+      val docb = gb.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      val score = log(((coalesce(col("ct"), lit(0L)) + 1.0) /
+          (col("nt") + 256)) / ((col("cr") + 1.0) / (col("nr") + 256)))
+      docb.join(broadcast(raw), Seq("b"))
+        .join(broadcast(tgt), Seq("b"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_grams"),
+          sum(round(col("cnt").cast("double") * score * lit(1e6) +
+            lit(1e-9)).cast("long")).as("w_micro"))
+        .select(col("doc_id"), col("n_grams"), col("w_micro"),
+          r4(col("w_micro") / lit(1e6) / col("n_grams")).as("avg_logratio"),
+          (col("w_micro") > 0).as("selected"))
+        .orderBy("doc_id")
+    },
+
+    // Weighted sampling without replacement (Efraimidis & Spirakis
+    // 2006): each doc draws a deterministic hash-uniform u and keys on
+    // ln(u)/w (order-equivalent to u^(1/w)); the global top-k by key IS
+    // an exact weighted sample. Keys are rounded to integer micro-units
+    // with a doc_id tiebreak so both engines rank identically, and the
+    // top-k runs as Spark's TakeOrdered — per-partition heaps merged on
+    // the driver, the textbook distributed-reservoir shape (no global
+    // sort, no single-partition window).
+    q("llm_weighted_sample",
+      """WITH c AS (SELECT doc_id, n_chars::DOUBLE w,
+        |             (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+        |              + 1.0) / 281474976710657.0 AS u
+        |           FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, CAST(w AS BIGINT) n_chars,
+        |        CAST(round(ln(u) / w * 1e6 + 1e-9) AS BIGINT) key_micro
+        |      FROM c)
+        |SELECT doc_id, n_chars, key_micro
+        |FROM k ORDER BY key_micro DESC, doc_id LIMIT 50""") { c =>
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+        16, 10).cast("double") + 1.0) / 281474976710657.0
+      c.documents.filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          round(log(u) / col("n_chars").cast("double") * lit(1e6) +
+            lit(1e-9)).cast("long").as("key_micro"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(50)
+    },
+
     // BPE tokenizer-vocabulary induction (Sennrich et al.), 3 pinned
     // merge rounds — the distributed shape real BPE trainers use: the
     // corpus collapses to a WORD-FREQUENCY table once (the only
