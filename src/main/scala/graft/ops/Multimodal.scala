@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   * gray/RGB/RGBA, palette at depths 1/2/4/8, plain or Adam7
   * interlaced), GIF ([[decodeGif]] — variable-width LZW written
   * here, global or local palette), and baseline JPEG, grayscale AND
-  * YCbCr color ([[graft.ops.Jpeg]] — huffman entropy decode +
-  * dequant + IDCT + chroma upsample, tables read from the file).
-  * Remaining declared limits: progressive JPEG and sub-8-bit
-  * grayscale PNG refuse with None rather than mis-decode. The Spark-side contract — binary
+  * YCbCr color, baseline AND progressive ([[graft.ops.Jpeg]] —
+  * huffman entropy decode + dequant + IDCT + chroma upsample +
+  * spectral-selection/successive-approximation scan accumulation,
+  * tables read from the file). Remaining declared limits:
+  * arithmetic-coded JPEG and sub-8-bit grayscale PNG refuse with
+  * None rather than mis-decode. The Spark-side contract — binary
   * column in, typed struct out, partition-local, no shuffle, no
   * driver collect — is identical across all of them and is what
   * survives a codec swap at 100 TB.

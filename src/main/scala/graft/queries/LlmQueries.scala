@@ -1480,6 +1480,42 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // PROGRESSIVE JPEG (SOF2), decoded for REAL through the full §G.2
+    // scan machinery: DC first + refinement, spectral-selection AC band
+    // scans, successive-approximation AC refinement with EOB-run
+    // correction bits. Block-constant images are DC-only so the whole
+    // coefficient stream survives the uniform quant table bit-exactly
+    // — the oracle recomputes the means closed-form, same contract as
+    // the baseline mm_decode_jpeg above.
+    q("mm_decode_jpeg_progressive",
+      """WITH d AS (SELECT doc_id, (8 * (1 + doc_id % 3))::BIGINT w,
+        |                  (8 * (1 + doc_id % 2))::BIGINT h FROM documents),
+        |b AS (SELECT doc_id, w, h,
+        |        unnest(range(0, (w // 8) * (h // 8))) AS blk FROM d),
+        |v AS (SELECT doc_id, w, h,
+        |        (doc_id * 43 + blk * 19) % 256 AS val FROM b)
+        |SELECT doc_id, 'jpeg' AS format,
+        |       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |       round(avg(val) + 1e-9, 6) AS mean_gray
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkJpeg = udf((id: Long) => {
+        val w = 8 * (1 + (id % 3).toInt); val h = 8 * (1 + (id % 2).toInt)
+        val blocksX = w / 8
+        val px = Array.tabulate(w * h) { i =>
+          val blk = (i / w / 8) * blocksX + (i % w) / 8
+          ((id * 43 + blk * 19) % 256).toInt
+        }
+        Jpeg.encodeProgressive(w, h, 1, px, quant = 8)
+      })
+      Multimodal.decodePixels(
+          c.documents.select(col("doc_id"),
+            mkJpeg(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          r6(col("mean_r")).as("mean_gray"))
+        .orderBy("doc_id")
+    },
+
     // REAL baseline COLOR JPEG decode (r5): 4:2:0 YCbCr files (4 luma
     // + 2 subsampled chroma blocks per MCU, separate DC predictors)
     // generated from doc keys and decoded end to end — huffman →

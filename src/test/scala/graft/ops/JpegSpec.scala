@@ -98,6 +98,76 @@ class JpegSpec extends SparkSpec {
       clamp(yq + 1.772 * (cbq - 128)))
   }
 
+
+  // ------------------------------------------------ progressive (SOF2)
+
+  test("progressive gray decodes pixel-identical to sequential: the " +
+    "scan sequence is a lossless reorganization of the same coefficients") {
+    val (w, h) = (29, 21) // odd dims: partial edge blocks
+    val noisy = Array.tabulate(w * h)(i => (i * i * 31 + i * 7 + 5) % 256)
+    val ramp = Array.tabulate(w * h)(i => ((i % w) * 9 + (i / w) * 5) % 256)
+    for ((px, name) <- Seq((noisy, "noisy"), (ramp, "ramp"))) {
+      val seq = Jpeg.decodeGray(Jpeg.encodeGray(w, h, px, 4)).get._3
+      val prog = Jpeg.encodeProgressive(w, h, 1, px, 4)
+      val Some((gw, gh, got)) = Jpeg.decodeGray(prog)
+      assert(gw == w && gh == h, name)
+      assert(got.sameElements(seq), s"$name: progressive != sequential")
+      val m = Multimodal.sniff(1, prog)
+      assert(m.format == "jpeg" && m.width == w && m.height == h)
+    }
+  }
+
+  test("progressive: sparse spike images exercise ZRL and EOB-heavy " +
+    "refinement paths; block-constant images stay bit-exact") {
+    val (w, h) = (40, 32)
+    // mostly-flat image with isolated spikes → long zero runs, EOB
+    // per block, newly-nonzero refinement coefficients
+    val sparse = Array.tabulate(w * h) { i =>
+      if (i % 97 == 0) 250 else if (i % 53 == 0) 3 else 120
+    }
+    val seq = Jpeg.decodeGray(Jpeg.encodeGray(w, h, sparse, 8)).get._3
+    val Some((_, _, got)) =
+      Jpeg.decodeGray(Jpeg.encodeProgressive(w, h, 1, sparse, 8))
+    assert(got.sameElements(seq))
+    // DC-only images survive the progressive DC first+refine chain
+    val vals = Array(0, 255, 128, 1, 77, 200, 33, 254)
+    val px = constBlocks(32, 16, (bx, by) => vals(by * 4 + bx))
+    val Some((_, _, flat)) =
+      Jpeg.decodeGray(Jpeg.encodeProgressive(32, 16, 1, px, 8))
+    assert(flat.sameElements(px))
+  }
+
+  test("progressive color 4:4:4 matches sequential color decode; " +
+    "interleaved DC scans + per-component AC band scans") {
+    val (w, h) = (19, 13)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 37 + (i % 3) * 91 + 11) % 256)
+    val seq = Jpeg.decode(Jpeg.encodeColorRgb(w, h, rgb, 6, 1, 1)).get
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(w, h, 3, rgb, 6)).get
+    assert(prog._1 == w && prog._2 == h && prog._3 == 3)
+    assert(prog._4.sameElements(seq._4),
+      "progressive color != sequential color")
+  }
+
+  test("progressive: truncated and corrupt scan data refuse with None") {
+    val (w, h) = (16, 16)
+    val px = Array.tabulate(w * h)(i => (i * 13 + 7) % 256)
+    val good = Jpeg.encodeProgressive(w, h, 1, px, 8)
+    assert(Jpeg.decode(good).isDefined)
+    // cut inside the scan sequence: some scan's entropy data vanishes
+    assert(Jpeg.decode(good.take(good.length / 2)).isEmpty)
+    assert(Jpeg.decode(good.dropRight(8)).isEmpty) // EOI + tail gone
+    // corrupt a huffman-coded byte mid-stream: decode fails, no garbage
+    val bad = good.clone()
+    val mid = good.length / 2
+    bad(mid) = (bad(mid) ^ 0x7f).toByte
+    // either refuses or still yields a full-size result (a bit flip in
+    // entropy data may decode to different-but-valid symbols) — it must
+    // never throw or hang
+    Jpeg.decode(bad).foreach { case (gw, gh, ch, data) =>
+      assert(gw == w && gh == h && data.length == w * h * ch)
+    }
+  }
+
   test("color 4:2:0 and 4:4:4: constant-color images round-trip to the " +
     "closed-form prediction; sniff sees 3 components") {
     for ((lh, lv) <- Seq((2, 2), (1, 1), (2, 1));
