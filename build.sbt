@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked `run` JVM inherit the real stdout/stderr instead of
+// sbt's logger: Bench prints ONE machine-readable JSON line that the
+// bench driver parses, and sbt's default LoggedOutput prefixes every
+// line with [info]/[error], which broke that parse (BENCH "parsed:
+// null" in rounds 1-5).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,7 +25,8 @@ object SparkEntry {
     _root_.graft.queries.SourceQueries.defs ++
     _root_.graft.queries.CoverageQueries.defs ++
     _root_.graft.queries.GeoQueries.defs ++
-    _root_.graft.queries.PipelineQueries.defs
+    _root_.graft.queries.PipelineQueries.defs ++
+    _root_.graft.queries.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem revenue ranking) built

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.ops.Positional
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-6 data-curation additions: RAG document chunking, ranked-retrieval
+  * NDCG, distributed ECDF score calibration, and blocked fuzzy record
+  * linkage (entity resolution).
+  *
+  * These extend the training-data-pipeline tier beyond the reference's own
+  * operator set (the builder brief's "operations a large-scale
+  * training-data pipeline would need"): chunking is the retrieval/indexing
+  * prep step, NDCG the retrieval-quality metric, ECDF the score-calibration
+  * pass quality classifiers need, and fuzzy linkage the entity-resolution
+  * dedup that exact/MinHash dedup cannot express.
+  */
+object CurationQueries {
+
+  val defs: Seq[graft.QueryDef] = Seq(
+
+    // Overlapping token-window chunking — the RAG/pretraining prep step
+    // that splits every document into fixed-size windows (W=64 tokens,
+    // stride S=48, so consecutive chunks overlap by 16) with stable
+    // (doc_id, chunk_idx) identity. Pure per-row explode: tokenize once,
+    // compute the chunk count arithmetically, explode a sequence and
+    // slice — no shuffle at all until the output ORDER BY; at 100 TB
+    // this is a linear scan inside whole-stage codegen whose output is
+    // ~W/S × corpus size. Chunk count = 1 + ceil(max(n-W,0)/S) so a
+    // document shorter than one window still yields exactly one chunk.
+    q("text_chunk_rag",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |c AS (SELECT doc_id, ts, len(ts) n,
+        |             1 + (greatest(len(ts) - 64, 0) + 47) // 48 AS nch
+        |      FROM tok WHERE len(ts) > 0),
+        |ch AS (SELECT doc_id,
+        |              unnest(generate_series(0, nch - 1)) AS chunk_idx,
+        |              ts, n
+        |       FROM c)
+        |SELECT doc_id, chunk_idx,
+        |       len(list_slice(ts, chunk_idx * 48 + 1,
+        |                      least(chunk_idx * 48 + 64, n))) AS n_tok,
+        |       array_to_string(list_slice(ts, chunk_idx * 48 + 1,
+        |                       least(chunk_idx * 48 + 64, n)), ' ')
+        |         AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_idx""") { c =>
+      val tok = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .withColumn("n", size(col("ts")))
+        .filter(col("n") > 0)
+        .withColumn("nch",
+          expr("1 + (greatest(n - 64, 0) + 47) div 48"))
+      tok
+        .select(col("doc_id"), col("ts"), col("n"),
+          explode(sequence(lit(0), col("nch") - 1)).as("chunk_idx"))
+        .withColumn("chunk",
+          slice(col("ts"), col("chunk_idx") * 48 + 1,
+            least(lit(64), col("n") - col("chunk_idx") * 48)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tok"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // NDCG@10 per language stratum — the ranked-retrieval quality metric
+    // (Järvelin & Kekäläinen 2002) over a deterministic ranking: per
+    // lang, candidates are the top-10 docs by (n_chars DESC, doc_id),
+    // graded relevance rel = doc_id % 4. Gains are integer-exact
+    // ((1<<rel)-1); each DCG term is quantized to integer micro-units
+    // before summation (the text_lm_ppl pattern) so the per-group sum is
+    // order-independent and bit-identical across engines; NDCG is the
+    // ratio of the two integer sums. Scale shape: the only windows are
+    // PARTITIONED by the query key (lang) and bounded to the candidate
+    // list — per-query work is O(k), never corpus-wide.
+    q("rank_ndcg",
+      """WITH cand AS (
+        |  SELECT lang, doc_id, doc_id % 4 AS rel,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id) AS p
+        |  FROM documents),
+        |top AS (SELECT * FROM cand WHERE p <= 10),
+        |ideal AS (SELECT lang, doc_id, rel, p,
+        |                 row_number() OVER (PARTITION BY lang
+        |                                    ORDER BY rel DESC, doc_id) AS q
+        |          FROM top),
+        |s AS (SELECT lang, count(*) AS n_cand,
+        |             sum(CAST(round(((1 << rel) - 1) / log2(p + 1) * 1e6
+        |                            + 1e-9) AS BIGINT)) AS dcg_u,
+        |             sum(CAST(round(((1 << rel) - 1) / log2(q + 1) * 1e6
+        |                            + 1e-9) AS BIGINT)) AS idcg_u
+        |      FROM ideal GROUP BY lang)
+        |SELECT lang, n_cand,
+        |       round(dcg_u / idcg_u + 1e-9, 6) AS ndcg
+        |FROM s ORDER BY lang""") { c =>
+      val cand = c.documents
+        .select(col("lang"), col("doc_id"),
+          (col("doc_id") % 4).as("rel"), col("n_chars"))
+        .withColumn("p", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("p") <= 10)
+      val ideal = cand.withColumn("q", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("rel").desc, col("doc_id"))))
+      def termU(pos: String) =
+        sum(round((expr("shiftleft(1, rel)") - 1).cast("double") /
+          log2(col(pos) + 1) * lit(1e6) + lit(1e-9)).cast("long"))
+      ideal.groupBy("lang")
+        .agg(count(lit(1)).as("n_cand"),
+          termU("p").as("dcg_u"), termU("q").as("idcg_u"))
+        .select(col("lang"), col("n_cand"),
+          r6(col("dcg_u") / col("idcg_u")).as("ndcg"))
+        .orderBy("lang")
+    },
+
+    // Distributed ECDF score calibration — normalize a raw score column
+    // to its within-group empirical CDF (the calibration pass a quality
+    // classifier's scores get before thresholding, per CCNet/FineWeb
+    // practice). Deliberately NOT a `Window.partitionBy(event_type)`
+    // rank: one event type = one window partition = one task at corpus
+    // scale (the same trap the r5 verdict flagged in rocAuc). Instead
+    // the global row number comes from Positional's two-phase
+    // literal-boundary bucket + broadcast-offset formulation over sort
+    // key (event_type, value, event_id); the per-type start offset and
+    // count are a 5-row broadcast join. ECDF = (rank-1)/(n-1) under
+    // row_number semantics (total order, event_id tiebreak), decile is
+    // exact integer arithmetic — both engine-stable by construction.
+    q("calib_ecdf",
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |       round(CAST(rk - 1 AS DOUBLE) / (n - 1) + 1e-9, 6) AS ecdf,
+        |       (rk - 1) * 10 // n + 1 AS decile
+        |FROM r ORDER BY event_id""") { c =>
+      val ev = c.events.select(col("event_id"), col("event_type"),
+        col("value"))
+      val rn = Positional.withRowNumber(ev,
+        Seq(col("event_type"), col("value"), col("event_id")), "grn")
+      val stats = rn.groupBy("event_type")
+        .agg(min(col("grn")).as("st"), count(lit(1)).as("n"))
+      rn.join(broadcast(stats), Seq("event_type"))
+        .withColumn("rk", col("grn") - col("st") + 1)
+        .select(col("event_id"), col("event_type"),
+          r6((col("rk") - 1).cast("double") / (col("n") - 1)).as("ecdf"),
+          expr("(rk - 1) * 10 div n + 1").as("decile"))
+        .orderBy("event_id")
+    },
+
+    // Blocked fuzzy record linkage (entity resolution) — match a dirty
+    // feed of mutated part names back to the master part table. Variants
+    // are planted deterministically (identity / last-char drop /
+    // first-char doubling / appended char, all edit distance ≤ 1), then
+    // linkage runs the standard scale shape: MULTI-PASS BLOCKING (two
+    // equi-join passes on left(name,3) and right(name,3) — an edit that
+    // destroys one blocking key survives the other), candidate dedup,
+    // exact Levenshtein verification (≤ 2) on candidates only, and a
+    // per-record best-match window (min distance, then min master key).
+    // Never an all-pairs comparison: cost is bounded by block sizes,
+    // and the verify window partitions on rec_id. Levenshtein is
+    // integer-exact on both engines, so the result is hash-stable.
+    q("dedup_fuzzy_link",
+      """WITH dirty AS (
+        |  SELECT p_partkey AS rec_id,
+        |         CASE p_partkey % 4
+        |           WHEN 0 THEN p_name
+        |           WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+        |           WHEN 2 THEN substring(p_name, 1, 1) || p_name
+        |           ELSE p_name || 'x' END AS d_name
+        |  FROM part),
+        |master AS (SELECT p_partkey AS m_id, p_name AS m_name FROM part),
+        |cand AS (
+        |  SELECT DISTINCT rec_id, d_name, m_id, m_name FROM (
+        |    SELECT d.rec_id, d.d_name, m.m_id, m.m_name
+        |    FROM dirty d JOIN master m ON left(d.d_name, 3) = left(m.m_name, 3)
+        |    UNION ALL
+        |    SELECT d.rec_id, d.d_name, m.m_id, m.m_name
+        |    FROM dirty d JOIN master m ON right(d.d_name, 3) = right(m.m_name, 3))),
+        |v AS (SELECT rec_id, d_name, m_id, m_name,
+        |             levenshtein(d_name, m_name) AS lev
+        |      FROM cand WHERE levenshtein(d_name, m_name) <= 2),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY rec_id
+        |                                      ORDER BY lev, m_id) AS rn
+        |         FROM v)
+        |SELECT rec_id, d_name, m_id, m_name, lev
+        |FROM best WHERE rn = 1 ORDER BY rec_id""") { c =>
+      val dirty = c.part.select(col("p_partkey").as("rec_id"),
+        expr("""CASE p_partkey % 4
+                  WHEN 0 THEN p_name
+                  WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+                  WHEN 2 THEN concat(substring(p_name, 1, 1), p_name)
+                  ELSE concat(p_name, 'x') END""").as("d_name"))
+      val master = c.part.select(col("p_partkey").as("m_id"),
+        col("p_name").as("m_name"))
+      val byPrefix = dirty.join(master,
+        expr("left(d_name, 3) = left(m_name, 3)"))
+      val bySuffix = dirty.join(master,
+        expr("right(d_name, 3) = right(m_name, 3)"))
+      val cand = byPrefix.unionByName(bySuffix)
+        .select("rec_id", "d_name", "m_id", "m_name").distinct()
+      val v = cand
+        .withColumn("lev", levenshtein(col("d_name"), col("m_name")))
+        .filter(col("lev") <= 2)
+      v.withColumn("rn", row_number().over(
+          Window.partitionBy("rec_id").orderBy(col("lev"), col("m_id"))))
+        .filter(col("rn") === 1)
+        .select("rec_id", "d_name", "m_id", "m_name", "lev")
+        .orderBy("rec_id")
+    },
+  )
+}
