@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Positional
+import graft.ops.{Bloom, Positional}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -210,6 +210,32 @@ object CurationQueries {
         .filter(col("rn") === 1)
         .select("rec_id", "d_name", "m_id", "m_name", "lev")
         .orderBy("rec_id")
+    },
+
+    // Bloom-pre-filtered semi join (ops/Bloom.scala) — the runtime-filter
+    // join pattern for the case where the build side is too big to
+    // broadcast: its 16 KiB Bloom sketch broadcasts instead and drops
+    // non-matching probe rows BEFORE the join exchange, so the shuffle
+    // moves only matches + a bounded false-positive residue. The exact
+    // semi join still runs after the pre-filter, so the result (and the
+    // oracle) is the PLAIN semi join — the Bloom stage only cuts volume,
+    // never changes rows. Build/probe hash with Spark's own xxhash64 so
+    // both sides agree bit-for-bit by construction.
+    q("join_bloom_semi",
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      val build = c.orders.filter(col("o_orderpriority") === "1-URGENT")
+      Bloom.semiJoin(c.lineitem, col("l_orderkey"),
+          build, col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
     },
   )
 }
