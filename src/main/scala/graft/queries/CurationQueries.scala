@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Bloom, Positional}
+import graft.ops.{Bloom, HeavyHitters, Positional}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -236,6 +236,36 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"),
           dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
+    },
+
+    // Heavy hitters over a skewed key (ops/HeavyHitters.scala) — exact
+    // counts of keys with frequency > n/40, found WITHOUT a corpus-wide
+    // groupBy(key) shuffle: a constant-state mergeable Misra–Gries
+    // sketch pass yields ≤256 candidates, then only those keys are
+    // exactly recounted (broadcast semi join). The key is synthesized
+    // skewed (7 hot line-number keys over ~1/3 of lineitem, 2000 cold
+    // part keys over the rest) so the threshold separates cleanly; the
+    // oracle is the plain exact GROUP BY + HAVING, which the operator
+    // must equal exactly — the sketch only locates candidates, it never
+    // contributes counts.
+    q("agg_heavy_hitters",
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0
+        |              THEN 'hot_' || l_linenumber::VARCHAR
+        |              ELSE 'cold_' || l_partkey::VARCHAR END AS key
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS total FROM keyed)
+        |SELECT key, count(*)::BIGINT AS cnt
+        |FROM keyed, n
+        |GROUP BY key, n.total
+        |HAVING count(*) > n.total / 40.0
+        |ORDER BY cnt DESC, key""") { c =>
+      val keyed = c.lineitem.select(
+        expr("""CASE WHEN l_orderkey % 3 = 0
+                THEN concat('hot_', cast(l_linenumber AS STRING))
+                ELSE concat('cold_', cast(l_partkey AS STRING)) END""")
+          .as("key"))
+      HeavyHitters.heavyHitters(keyed, col("key"), k = 40)
     },
   )
 }
