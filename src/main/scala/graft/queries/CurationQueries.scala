@@ -267,5 +267,111 @@ object CurationQueries {
           .as("key"))
       HeavyHitters.heavyHitters(keyed, col("key"), k = 40)
     },
+
+    // Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — the score Google built
+    // BECAUSE Kneser-Ney doesn't distribute cheaply). The model is
+    // trained on the even-doc_id half of the corpus and scores ALL
+    // documents, so the backoff chain genuinely fires on unseen
+    // trigrams/bigrams: S(w3|w1w2) = c123/c12, else 0.4·c23/c2, else
+    // 0.4²·(c3+1)/(N+V) (add-one unigram floor so unseen words score
+    // finitely). Like text_lm_ppl, the model IS a set of DataFrames
+    // (distributed count aggregations, no driver state), scoring is
+    // per-doc trigram counts LEFT-JOINed to the model tiers (plain
+    // equi-joins AQE can broadcast or shuffle), and each NLL term is
+    // quantized to integer micro-nats before the per-doc sum so the
+    // result is order-independent and engine-identical.
+    q("text_lm_backoff",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |mtok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |mtg AS (SELECT unnest([{'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]}
+        |                       for i in generate_series(1, len(ts) - 2)],
+        |                      recursive := true)
+        |        FROM mtok WHERE len(ts) >= 3),
+        |mtri AS (SELECT w1, w2, w3, count(*) c123 FROM mtg GROUP BY 1, 2, 3),
+        |mbg AS (SELECT unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                       for i in generate_series(1, len(ts) - 1)],
+        |                      recursive := true)
+        |        FROM mtok WHERE len(ts) >= 2),
+        |mbi AS (SELECT w1, w2, count(*) cb FROM mbg GROUP BY 1, 2),
+        |muni AS (SELECT w, count(*) cu
+        |         FROM (SELECT unnest(ts) w FROM mtok) GROUP BY 1),
+        |sc0 AS (SELECT sum(cu)::BIGINT AS nn, count(*)::BIGINT AS v
+        |        FROM muni),
+        |dtg AS (SELECT doc_id,
+        |               unnest([{'w1': ts[i], 'w2': ts[i+1], 'w3': ts[i+2]}
+        |                       for i in generate_series(1, len(ts) - 2)],
+        |                      recursive := true)
+        |        FROM tok WHERE len(ts) >= 3),
+        |dtri AS (SELECT doc_id, w1, w2, w3, count(*) cnt
+        |         FROM dtg GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT d.doc_id, d.cnt,
+        |             CASE WHEN t.c123 IS NOT NULL THEN t.c123 / b12.cb
+        |                  WHEN b23.cb IS NOT NULL
+        |                    THEN 0.4 * b23.cb / u2.cu
+        |                  ELSE 0.16 * (coalesce(u3.cu, 0) + 1)
+        |                       / (sc0.nn + sc0.v) END AS s
+        |      FROM dtri d
+        |      LEFT JOIN mtri t ON d.w1 = t.w1 AND d.w2 = t.w2
+        |                       AND d.w3 = t.w3
+        |      LEFT JOIN mbi b12 ON d.w1 = b12.w1 AND d.w2 = b12.w2
+        |      LEFT JOIN mbi b23 ON d.w2 = b23.w1 AND d.w3 = b23.w2
+        |      LEFT JOIN muni u2 ON d.w2 = u2.w
+        |      LEFT JOIN muni u3 ON d.w3 = u3.w
+        |      CROSS JOIN sc0),
+        |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tri,
+        |               sum(CAST(round(cnt * -ln(s) * 1e6 + 1e-9)
+        |                        AS BIGINT)) AS snll_u
+        |        FROM j GROUP BY 1)
+        |SELECT doc_id, n_tri,
+        |       round(exp(snll_u / 1e6 / n_tri) + 1e-9, 4) AS bs_ppl
+        |FROM agg ORDER BY doc_id""") { c =>
+      val tok = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val mtok = tok.filter(col("doc_id") % 2 === 0)
+      def grams(df: org.apache.spark.sql.DataFrame, n: Int) =
+        df.filter(size(col("ts")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(ts) - $n), i -> struct(" +
+              (0 until n).map(j => s"ts[i + $j] AS w${j + 1}")
+                .mkString(", ") + "))")).as("g"))
+          .select(col("doc_id") +: (1 to n).map(j => col(s"g.w$j")): _*)
+      val mtri = grams(mtok, 3).groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("c123"))
+      val mbi = grams(mtok, 2).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("cb"))
+      val muni = mtok.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val sc0 = muni.agg(sum(col("cu")).as("nn"),
+        count(lit(1)).as("v"))
+      val dtri = grams(tok, 3).groupBy("doc_id", "w1", "w2", "w3")
+        .agg(count(lit(1)).as("cnt"))
+      val j = dtri
+        .join(mtri, Seq("w1", "w2", "w3"), "left")
+        .join(mbi.select(col("w1"), col("w2"), col("cb").as("c12")),
+          Seq("w1", "w2"), "left")
+        .join(mbi.select(col("w1").as("w2"), col("w2").as("w3"),
+          col("cb").as("c23")), Seq("w2", "w3"), "left")
+        .join(muni.select(col("w").as("w2"), col("cu").as("cu2")),
+          Seq("w2"), "left")
+        .join(muni.select(col("w").as("w3"), col("cu").as("cu3")),
+          Seq("w3"), "left")
+        .crossJoin(broadcast(sc0))
+        .withColumn("s",
+          when(col("c123").isNotNull,
+            col("c123").cast("double") / col("c12"))
+          .when(col("c23").isNotNull,
+            lit(0.4) * col("c23") / col("cu2"))
+          .otherwise(lit(0.16) * (coalesce(col("cu3"), lit(0L)) + 1) /
+            (col("nn") + col("v"))))
+      j.groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_tri"),
+          sum(round(col("cnt").cast("double") * -log(col("s")) *
+            lit(1e6) + lit(1e-9)).cast("long")).as("snll_u"))
+        .select(col("doc_id"), col("n_tri"),
+          r4(exp(col("snll_u") / lit(1e6) / col("n_tri"))).as("bs_ppl"))
+        .orderBy("doc_id")
+    },
   )
 }
