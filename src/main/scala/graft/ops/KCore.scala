@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition — iterative peeling of nodes with degree < k,
+  * the standard graph-cleaning pass (Seidman 1983) used to drop sparse
+  * periphery before community/embedding work.
+  *
+  * Distributed shape per round: one explode of the (undirected,
+  * deduplicated) edge list into endpoint incidences, one groupBy(node)
+  * degree count, and two broadcast-able LEFT ANTI joins to drop edges
+  * touching a peeled node — all plain equi-join/aggregate work AQE can
+  * re-plan; no per-node adjacency state, no driver-side graph. Lineage
+  * is cut per round with localCheckpoint (the Components.scala pattern)
+  * so the plan does not grow with iteration count.
+  *
+  * Two entry points: [[peelRounds]] pins the round count (oracle-able by
+  * CTE unrolling — a fixpoint reached early is stable, extra rounds are
+  * no-ops), [[core]] loops to convergence with a distributed stop test.
+  */
+object KCore {
+
+  /** Canonicalize to undirected distinct edges u < v, dropping loops. */
+  private def canon(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .filter(col("u") =!= col("v")).na.drop()
+      .distinct()
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  private def dropWeak(e: DataFrame, weak: DataFrame): DataFrame =
+    e.join(weak.select(col("node").as("u")), Seq("u"), "left_anti")
+      .join(weak.select(col("node").as("v")), Seq("v"), "left_anti")
+      .select("u", "v")
+
+  /** `rounds` fixed peel iterations of the k-core filter; returns the
+    * surviving edge set. A graph that converges earlier is unchanged by
+    * the extra rounds, so pinning the count preserves semantics for any
+    * graph whose core stabilizes within `rounds`. */
+  def peelRounds(edges: DataFrame, src: String, dst: String,
+                 k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = canon(edges, src, dst)
+    var i = 0
+    while (i < rounds) {
+      val weak = degrees(e).filter(col("deg") < k)
+      e = dropWeak(e, weak).localCheckpoint(true)
+      i += 1
+    }
+    e
+  }
+
+  /** Peel to convergence: loops until a round removes no edge. The only
+    * driver-side values are the per-round edge counts (one Long each);
+    * everything else stays distributed. */
+  def core(edges: DataFrame, src: String, dst: String, k: Int,
+           maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = canon(edges, src, dst).localCheckpoint(true)
+    var n = e.count()
+    var i = 0
+    var converged = n == 0
+    while (!converged && i < maxRounds) {
+      val weak = degrees(e).filter(col("deg") < k)
+      val next = dropWeak(e, weak).localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      e = next; n = m; i += 1
+    }
+    e
+  }
+
+  /** Nodes of the k-core with their within-core degrees. */
+  def coreDegrees(edges: DataFrame, src: String, dst: String,
+                  k: Int): DataFrame =
+    degrees(core(edges, src, dst, k)).orderBy("node")
+}

@@ -373,5 +373,52 @@ object CurationQueries {
           r4(exp(col("snll_u") / lit(1e6) / col("n_tri"))).as("bs_ppl"))
         .orderBy("doc_id")
     },
+
+    // k-core decomposition (ops/KCore.scala) — 3 pinned peel rounds of
+    // the 3-core over the high-quantity co-purchase graph (same edge
+    // construction as graph_triangles). Each round is one degree
+    // aggregation + two anti joins; the oracle unrolls the rounds as
+    // chained CTEs (the PageRank/logreg pattern). Output: surviving
+    // nodes with within-core degrees.
+    q("graph_kcore",
+      """WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
+        |                   greatest(a.l_partkey, b.l_partkey) v
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_partkey < b.l_partkey
+        |              AND a.l_quantity > 40 AND b.l_quantity > 40),
+        |d1 AS (SELECT node, count(*) deg
+        |       FROM (SELECT unnest([u, v]) node FROM e0) GROUP BY 1),
+        |w1 AS (SELECT node FROM d1 WHERE deg < 3),
+        |e1 AS (SELECT u, v FROM e0
+        |       WHERE u NOT IN (SELECT node FROM w1)
+        |         AND v NOT IN (SELECT node FROM w1)),
+        |d2 AS (SELECT node, count(*) deg
+        |       FROM (SELECT unnest([u, v]) node FROM e1) GROUP BY 1),
+        |w2 AS (SELECT node FROM d2 WHERE deg < 3),
+        |e2 AS (SELECT u, v FROM e1
+        |       WHERE u NOT IN (SELECT node FROM w2)
+        |         AND v NOT IN (SELECT node FROM w2)),
+        |d3 AS (SELECT node, count(*) deg
+        |       FROM (SELECT unnest([u, v]) node FROM e2) GROUP BY 1),
+        |w3 AS (SELECT node FROM d3 WHERE deg < 3),
+        |e3 AS (SELECT u, v FROM e2
+        |       WHERE u NOT IN (SELECT node FROM w3)
+        |         AND v NOT IN (SELECT node FROM w3))
+        |SELECT node, count(*)::BIGINT AS deg
+        |FROM (SELECT unnest([u, v]) node FROM e3)
+        |GROUP BY node ORDER BY node""") { c =>
+      val hi = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = hi.as("a")
+        .join(hi.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val core = graft.ops.KCore.peelRounds(edges, "src", "dst",
+        k = 3, rounds = 3)
+      core.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .orderBy("node")
+    },
   )
 }
