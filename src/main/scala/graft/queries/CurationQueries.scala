@@ -420,5 +420,58 @@ object CurationQueries {
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .orderBy("node")
     },
+
+    // Distributed decision-stump fit (ml/Stump.scala) — EXACT depth-1
+    // CART split search over (l_quantity, l_discount) predicting
+    // l_returnflag='R', done entirely as histogram aggregations + a
+    // model-sized window scan (the SparkML/XGBoost-hist shape; the
+    // training frame is never collected, unlike the black-box
+    // Estimator fit-buffer path). The oracle recomputes the full
+    // candidate-split relation with windowed running totals and picks
+    // the same (score DESC, feature, threshold) argmax; the score is
+    // micro-unit-quantized from integer class counts so the argmax is
+    // engine-stable.
+    q("ml_stump_fit",
+      """WITH lab AS (SELECT l_quantity, l_discount,
+        |                    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |             FROM lineitem),
+        |u AS (
+        |  SELECT 'l_quantity' AS feature, l_quantity::DOUBLE AS v,
+        |         count(*) cnt, sum(y) pos
+        |  FROM lab GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount::DOUBLE, count(*), sum(y)
+        |  FROM lab GROUP BY 2),
+        |c AS (SELECT feature, v,
+        |             sum(cnt) OVER (PARTITION BY feature ORDER BY v) nl,
+        |             sum(pos) OVER (PARTITION BY feature ORDER BY v) pl,
+        |             sum(cnt) OVER (PARTITION BY feature) n,
+        |             sum(pos) OVER (PARTITION BY feature) p
+        |      FROM u),
+        |s AS (SELECT feature, v, nl, pl, n, n - nl AS nr, p - pl AS pr
+        |      FROM c WHERE nl < n),
+        |g AS (SELECT feature, v, nl, pl, nr, pr, n,
+        |             CAST(round(((pl::DOUBLE * pl::DOUBLE
+        |                          + (nl - pl)::DOUBLE * (nl - pl)::DOUBLE) / nl
+        |                       + (pr::DOUBLE * pr::DOUBLE
+        |                          + (nr - pr)::DOUBLE * (nr - pr)::DOUBLE) / nr)
+        |                        * 1e6 / n + 1e-9) AS BIGINT) score_u
+        |      FROM s),
+        |best AS (SELECT *, row_number() OVER (ORDER BY score_u DESC,
+        |                                      feature, v) rn
+        |         FROM g)
+        |SELECT feature, v AS threshold, nl::BIGINT AS n_left,
+        |       pl::BIGINT AS pos_left, nr::BIGINT AS n_right,
+        |       pr::BIGINT AS pos_right, score_u
+        |FROM best WHERE rn = 1""") { c =>
+      val m = graft.ml.Stump.fit(c.lineitem,
+        Seq("l_quantity", "l_discount"),
+        (col("l_returnflag") === "R").cast("int"))
+      val s = c.spark
+      import s.implicits._
+      Seq((m.feature, m.threshold, m.nLeft, m.posLeft, m.nRight,
+        m.posRight, m.scoreU)).toDF("feature", "threshold", "n_left",
+        "pos_left", "n_right", "pos_right", "score_u")
+    },
   )
 }
