@@ -159,5 +159,12 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_normalize(text)")
         NormalizeText(exprs.head)
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_jaro_winkler(a, b)")
+        JaroWinkler(exprs.head, exprs(1))
+      })
   }
 }

@@ -473,5 +473,65 @@ object CurationQueries {
         m.posRight, m.scoreU)).toDF("feature", "threshold", "n_left",
         "pos_left", "n_right", "pos_right", "score_u")
     },
+
+    // Jaro-Winkler fuzzy linkage (functions/JaroWinkler.scala) — the
+    // dedup_fuzzy_link scenario re-scored with the native codegen
+    // graft_jaro_winkler expression instead of Levenshtein, checked
+    // against DuckDB's jaro_winkler_similarity (same canonical
+    // definition, incl. the both-empty→0 convention). Similarities are
+    // ROUNDED to 6dp BEFORE the >=0.9 threshold and the best-match
+    // ranking so a last-ulp divergence can never flip membership or
+    // order; ties break on m_id. Same multi-pass blocking scale shape
+    // as dedup_fuzzy_link — JW runs on candidates only.
+    q("dedup_fuzzy_jw",
+      """WITH dirty AS (
+        |  SELECT p_partkey AS rec_id,
+        |         CASE p_partkey % 4
+        |           WHEN 0 THEN p_name
+        |           WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+        |           WHEN 2 THEN substring(p_name, 1, 1) || p_name
+        |           ELSE p_name || 'x' END AS d_name
+        |  FROM part),
+        |master AS (SELECT p_partkey AS m_id, p_name AS m_name FROM part),
+        |cand AS (
+        |  SELECT DISTINCT rec_id, d_name, m_id, m_name FROM (
+        |    SELECT d.rec_id, d.d_name, m.m_id, m.m_name
+        |    FROM dirty d JOIN master m ON left(d.d_name, 3) = left(m.m_name, 3)
+        |    UNION ALL
+        |    SELECT d.rec_id, d.d_name, m.m_id, m.m_name
+        |    FROM dirty d JOIN master m ON right(d.d_name, 3) = right(m.m_name, 3))),
+        |v AS (SELECT rec_id, d_name, m_id, m_name,
+        |             round(jaro_winkler_similarity(d_name, m_name) + 1e-9, 6)
+        |               AS jw
+        |      FROM cand),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY rec_id
+        |                                      ORDER BY jw DESC, m_id) AS rn
+        |         FROM v WHERE jw >= 0.9)
+        |SELECT rec_id, d_name, m_id, m_name, jw
+        |FROM best WHERE rn = 1 ORDER BY rec_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      val dirty = c.part.select(col("p_partkey").as("rec_id"),
+        expr("""CASE p_partkey % 4
+                  WHEN 0 THEN p_name
+                  WHEN 1 THEN substring(p_name, 1, length(p_name) - 1)
+                  WHEN 2 THEN concat(substring(p_name, 1, 1), p_name)
+                  ELSE concat(p_name, 'x') END""").as("d_name"))
+      val master = c.part.select(col("p_partkey").as("m_id"),
+        col("p_name").as("m_name"))
+      val cand = dirty.join(master,
+          expr("left(d_name, 3) = left(m_name, 3)"))
+        .unionByName(dirty.join(master,
+          expr("right(d_name, 3) = right(m_name, 3)")))
+        .select("rec_id", "d_name", "m_id", "m_name").distinct()
+      val v = cand.withColumn("jw",
+        r6(expr("graft_jaro_winkler(d_name, m_name)")))
+        .filter(col("jw") >= 0.9)
+      v.withColumn("rn", row_number().over(
+          Window.partitionBy("rec_id")
+            .orderBy(col("jw").desc, col("m_id"))))
+        .filter(col("rn") === 1)
+        .select("rec_id", "d_name", "m_id", "m_name", "jw")
+        .orderBy("rec_id")
+    },
   )
 }
