@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-6 governance/operability tier: temperature-based corpus mixing,
+  * k-anonymity suppression, data-quality gates, and join-skew
+  * diagnostics — the checks a production training-data pipeline runs
+  * around the transform steps (none of which the reference ships; all
+  * value-add like the LLM tier).
+  */
+object GovernanceQueries {
+
+  val defs: Seq[graft.QueryDef] = Seq(
+
+    // Temperature-based corpus mixing (the T5/mT5 alpha-sampling rule,
+    // Raffel et al. 2020 §3.4.3 / Conneau et al. 2020): per-language
+    // sampling weight ∝ p_l^alpha with alpha=0.3, renormalized. One
+    // tiny aggregation per stratum + a 1-row total; weights quantized
+    // via micro-units so the renormalized ratios hash identically.
+    // Output also carries the expected per-language document draw for a
+    // 10k-doc epoch (integer-rounded), the number a mixing loader
+    // consumes directly.
+    q("llm_mix_temperature",
+      """WITH s AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) total FROM s),
+        |w AS (SELECT lang, n,
+        |             CAST(round(pow(n / t.total, 0.3) * 1e9 + 1e-9)
+        |                  AS BIGINT) AS w_u
+        |      FROM s, t),
+        |z AS (SELECT sum(w_u) z FROM w)
+        |SELECT lang, n::BIGINT AS n_docs,
+        |       round(w_u / z.z + 1e-9, 6) AS mix_weight,
+        |       CAST(round(w_u * 10000.0 / z.z + 1e-9) AS BIGINT)
+        |         AS epoch_docs
+        |FROM w, z ORDER BY lang""") { c =>
+      val s = c.documents.groupBy("lang").agg(count(lit(1)).as("n"))
+      val t = s.agg(sum(col("n")).as("total"))
+      val w = s.crossJoin(broadcast(t))
+        .withColumn("w_u",
+          round(pow(col("n").cast("double") / col("total"), 0.3) *
+            lit(1e9) + lit(1e-9)).cast("long"))
+      val z = w.agg(sum(col("w_u")).as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n").as("n_docs"),
+          r6(col("w_u").cast("double") / col("z")).as("mix_weight"),
+          round(col("w_u") * lit(10000.0) / col("z") + lit(1e-9))
+            .cast("long").as("epoch_docs"))
+        .orderBy("lang")
+    },
+
+    // k-anonymity suppression (Sweeney 2002) — the privacy gate run
+    // before a quasi-identifier view is released: groups of
+    // (nation, market segment) smaller than k=200 are suppressed.
+    // Output: per-group size, suppression flag, and the released group
+    // label (group values, or '<suppressed>' for small groups) — one
+    // hash aggregation + a per-row projection; scales like any groupBy.
+    q("gov_k_anonymity",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n::BIGINT AS group_n,
+        |       n < 200 AS suppressed,
+        |       CASE WHEN n < 200 THEN '<suppressed>'
+        |            ELSE c_nationkey::VARCHAR || '|' || c_mktsegment END
+        |         AS released_key
+        |FROM g ORDER BY c_nationkey, c_mktsegment""") { c =>
+      c.customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+          (col("group_n") < 200).as("suppressed"),
+          when(col("group_n") < 200, lit("<suppressed>"))
+            .otherwise(concat(col("c_nationkey").cast("string"),
+              lit("|"), col("c_mktsegment"))).as("released_key"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Data-quality gate (the dbt-test / Great-Expectations shape): each
+    // check is one distributed aggregate or anti join; the result is a
+    // small check×metric relation a CI gate thresholds on. Checks:
+    // null rates, key uniqueness, referential integrity (orphan
+    // lineitems / orders), domain violations, and freshness bounds.
+    q("dq_checks",
+      """SELECT 'lineitem_orphans' AS check_name,
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+        |         AS violations
+        |UNION ALL
+        |SELECT 'orders_dup_keys',
+        |       (SELECT count(*) FROM (
+        |          SELECT o_orderkey FROM orders
+        |          GROUP BY 1 HAVING count(*) > 1))::BIGINT
+        |UNION ALL
+        |SELECT 'customer_null_segment',
+        |       (SELECT count(*) FROM customer
+        |        WHERE c_mktsegment IS NULL)::BIGINT
+        |UNION ALL
+        |SELECT 'lineitem_bad_discount',
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_discount < 0 OR l_discount > 0.1)::BIGINT
+        |UNION ALL
+        |SELECT 'lineitem_qty_domain',
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT
+        |ORDER BY check_name""") { c =>
+      def check(name: String, cnt: org.apache.spark.sql.DataFrame) =
+        cnt.select(lit(name).as("check_name"),
+          col("violations").cast("long").as("violations"))
+      val orphans = c.lineitem.join(c.orders,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val dups = c.orders.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(count(lit(1)).as("violations"))
+      val nullSeg = c.customer.filter(col("c_mktsegment").isNull)
+        .agg(count(lit(1)).as("violations"))
+      val badDisc = c.lineitem
+        .filter(col("l_discount") < 0 || col("l_discount") > 0.1)
+        .agg(count(lit(1)).as("violations"))
+      val badQty = c.lineitem
+        .filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+        .agg(count(lit(1)).as("violations"))
+      check("lineitem_orphans", orphans)
+        .unionByName(check("orders_dup_keys", dups))
+        .unionByName(check("customer_null_segment", nullSeg))
+        .unionByName(check("lineitem_bad_discount", badDisc))
+        .unionByName(check("lineitem_qty_domain", badQty))
+        .orderBy("check_name")
+    },
+
+    // Join-skew diagnostic (the report ops/Skew.scala's salting is the
+    // fix for): per-key frequency profile of the probe side of the
+    // orders⋈lineitem join — max/mean skew factor, the p99 key count,
+    // and the top hot keys. Two hash aggregations over the key
+    // histogram (corpus → histogram → 1-row stats + top-k window over
+    // the histogram, never the corpus). The skew factor is what decides
+    // salting/AQE-skew-join at plan time.
+    q("diag_skew_report",
+      """WITH h AS (SELECT l_orderkey k, count(*) c
+        |           FROM lineitem GROUP BY 1),
+        |st AS (SELECT count(*) nk, sum(c) total, max(c) maxc,
+        |              CAST(round(avg(c) * 1e6 + 1e-9) AS BIGINT) mean_u,
+        |              CAST(round(quantile_cont(c, 0.99) * 1e6 + 1e-9)
+        |                   AS BIGINT) p99_u
+        |       FROM h),
+        |top AS (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) rn
+        |        FROM h)
+        |SELECT st.nk::BIGINT AS n_keys, st.total::BIGINT AS n_rows,
+        |       st.maxc::BIGINT AS max_key_rows, st.mean_u, st.p99_u,
+        |       round(st.maxc * 1e6 / st.mean_u + 1e-9, 4) AS skew_factor,
+        |       t.k AS hot_key, t.c::BIGINT AS hot_rows, t.rn AS hot_rank
+        |FROM st CROSS JOIN top t WHERE t.rn <= 5
+        |ORDER BY hot_rank""") { c =>
+      val h = c.lineitem.groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val st = h.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"), max(col("c")).as("max_key_rows"),
+        round(avg(col("c")) * lit(1e6) + lit(1e-9)).cast("long")
+          .as("mean_u"),
+        round(percentile(col("c"), lit(0.99)) *
+          lit(1e6) + lit(1e-9)).cast("long").as("p99_u"))
+      // top-5 via TakeOrdered (distributed partial top-k), THEN ranked —
+      // the window's input is the 5-row result, never the histogram
+      val top = h.orderBy(col("c").desc, col("k")).limit(5)
+        .withColumn("hot_rank", row_number().over(
+          Window.orderBy(col("c").desc, col("k"))))
+        .select(col("k").as("hot_key"), col("c").as("hot_rows"),
+          col("hot_rank"))
+      top.crossJoin(broadcast(st))
+        .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+          col("mean_u"), col("p99_u"),
+          r4(col("max_key_rows") * lit(1e6) / col("mean_u"))
+            .as("skew_factor"),
+          col("hot_key"), col("hot_rows"), col("hot_rank"))
+        .orderBy("hot_rank")
+    },
+  )
+}
