@@ -533,5 +533,63 @@ object CurationQueries {
         .select("rec_id", "d_name", "m_id", "m_name", "jw")
         .orderBy("rec_id")
     },
+
+    // Global paragraph-level dedup with KEEP-FIRST semantics — the
+    // C4/RefinedWeb removal pass (as opposed to text_dup_spans, which
+    // only MEASURES duplication): documents are segmented into 4-token
+    // blocks ("paragraphs" at this corpus's scale), every block that
+    // already appeared earlier in the corpus (by doc_id, then position)
+    // is dropped, and the surviving blocks are reassembled in order.
+    // Scale shape: one explode, ONE window partitioned by the block
+    // CONTENT key (hash-distributed by content, never a global sort),
+    // and a per-doc sort_array(collect_list) rebuild. First-occurrence
+    // order is total (doc_id, par_idx), so the result is deterministic
+    // and engine-identical.
+    q("dedup_paragraph_first",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |par AS (SELECT doc_id, i // 4 AS par_idx,
+        |               array_to_string(list_slice(ts, i + 1,
+        |                 least(i + 4, len(ts))), ' ') AS par_text
+        |        FROM (SELECT doc_id, ts,
+        |                     unnest([x * 4 for x in
+        |                       generate_series(0, (len(ts) - 1) // 4)]) i
+        |              FROM tok WHERE len(ts) > 0)),
+        |rk AS (SELECT doc_id, par_idx, par_text,
+        |              row_number() OVER (PARTITION BY par_text
+        |                                 ORDER BY doc_id, par_idx) rn
+        |       FROM par),
+        |keep AS (SELECT * FROM rk WHERE rn = 1)
+        |SELECT p.doc_id,
+        |       (SELECT count(*) FROM par q
+        |        WHERE q.doc_id = p.doc_id)::BIGINT AS n_pars,
+        |       count(*)::BIGINT AS n_kept,
+        |       string_agg(p.par_text, ' ' ORDER BY p.par_idx)
+        |         AS cleaned_text
+        |FROM keep p GROUP BY p.doc_id ORDER BY p.doc_id""") { c =>
+      val tok = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) > 0)
+      val par = tok.select(col("doc_id"),
+          explode(expr("transform(sequence(0, (size(ts) - 1) div 4), " +
+            "x -> struct(x AS par_idx, " +
+            "array_join(slice(ts, x * 4 + 1, 4), ' ') AS par_text))"))
+            .as("p"))
+        .select(col("doc_id"), col("p.par_idx"), col("p.par_text"))
+      val rk = par.withColumn("rn", row_number().over(
+        Window.partitionBy("par_text").orderBy("doc_id", "par_idx")))
+      val totals = par.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pars"))
+      rk.filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(par_idx, par_text)))," +
+              " s -> s.par_text)"), " ").as("cleaned_text"))
+        .join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n_pars"), col("n_kept"),
+          col("cleaned_text"))
+        .orderBy("doc_id")
+    },
   )
 }

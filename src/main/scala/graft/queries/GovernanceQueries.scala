@@ -174,5 +174,50 @@ object GovernanceQueries {
           col("hot_key"), col("hot_rows"), col("hot_rank"))
         .orderBy("hot_rank")
     },
+
+    // Differentially-private count release (Dwork et al. 2006): Laplace
+    // noise with sensitivity 1 and epsilon=1 added to per-segment
+    // customer counts via the inverse CDF,
+    // noise = -b·sign(u-½)·ln(1-2|u-½|). The uniform u is derived from
+    // md5(group key) so the release is REPRODUCIBLE across engines and
+    // runs (that is what makes it oracle-able; a production DP
+    // deployment must draw real randomness instead — seeded release is
+    // the "deterministic pipeline replay" mode, documented as such).
+    // (u comes from a 24-bit hash slice shifted by +0.5 so it is never
+    // exactly 0, ½, or 1; noise is micro-unit-quantized before the
+    // integer release so both engines round identically.) One hash
+    // aggregation + a per-group projection — scales like any groupBy.
+    q("gov_dp_release",
+      """WITH g AS (SELECT c_mktsegment seg, count(*) n
+        |           FROM customer GROUP BY 1),
+        |u AS (SELECT seg, n,
+        |             (('0x' || substr(md5(seg), 1, 6))::BIGINT + 0.5)
+        |               / 16777216.0 AS uu
+        |      FROM g),
+        |z AS (SELECT seg, n, uu,
+        |             CAST(round(-1.0 * (CASE WHEN uu >= 0.5 THEN 1
+        |                                     ELSE -1 END)
+        |                        * ln(1 - 2 * abs(uu - 0.5)) * 1e6 + 1e-9)
+        |                  AS BIGINT) AS noise_u
+        |      FROM u)
+        |SELECT seg, n::BIGINT AS true_n, noise_u,
+        |       n + CAST(round(noise_u / 1e6 + 1e-9) AS BIGINT)
+        |         AS released_n
+        |FROM z ORDER BY seg""") { c =>
+      val g = c.customer.groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val u = g.withColumn("uu",
+        (conv(substring(md5(col("seg")), 1, 6), 16, 10).cast("long") +
+          lit(0.5)) / lit(16777216.0))
+      val z = u.withColumn("noise_u",
+        round(lit(-1.0) *
+          when(col("uu") >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+          log(lit(1.0) - lit(2.0) * abs(col("uu") - 0.5)) * lit(1e6) +
+          lit(1e-9)).cast("long"))
+      z.select(col("seg"), col("n").as("true_n"), col("noise_u"),
+          (col("n") + round(col("noise_u") / lit(1e6) + lit(1e-9))
+            .cast("long")).as("released_n"))
+        .orderBy("seg")
+    },
   )
 }
