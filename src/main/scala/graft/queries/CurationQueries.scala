@@ -136,7 +136,7 @@ object CurationQueries {
         |SELECT event_id, event_type,
         |       round(CAST(rk - 1 AS DOUBLE) / (n - 1) + 1e-9, 6) AS ecdf,
         |       (rk - 1) * 10 // n + 1 AS decile
-        |FROM r ORDER BY event_id""") { c =>
+        |FROM r ORDER BY event_id""", bench = true) { c =>
       val ev = c.events.select(col("event_id"), col("event_type"),
         col("value"))
       val rn = Positional.withRowNumber(ev,
@@ -266,7 +266,7 @@ object CurationQueries {
         |FROM keyed, n
         |GROUP BY key, n.total
         |HAVING count(*) > n.total / 40.0
-        |ORDER BY cnt DESC, key""") { c =>
+        |ORDER BY cnt DESC, key""", bench = true) { c =>
       val keyed = c.lineitem.select(
         expr("""CASE WHEN l_orderkey % 3 = 0
                 THEN concat('hot_', cast(l_linenumber AS STRING))
@@ -333,7 +333,7 @@ object CurationQueries {
         |        FROM j GROUP BY 1)
         |SELECT doc_id, n_tri,
         |       round(exp(snll_u / 1e6 / n_tri) + 1e-9, 4) AS bs_ppl
-        |FROM agg ORDER BY doc_id""") { c =>
+        |FROM agg ORDER BY doc_id""", bench = true) { c =>
       val tok = c.documents.select(col("doc_id"),
         expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
       val mtok = tok.filter(col("doc_id") % 2 === 0)
@@ -414,7 +414,7 @@ object CurationQueries {
         |         AND v NOT IN (SELECT node FROM w3))
         |SELECT node, count(*)::BIGINT AS deg
         |FROM (SELECT unnest([u, v]) node FROM e3)
-        |GROUP BY node ORDER BY node""") { c =>
+        |GROUP BY node ORDER BY node""", bench = true) { c =>
       val hi = c.lineitem.filter(col("l_quantity") > 40)
         .select(col("l_orderkey"), col("l_partkey"))
       val edges = hi.as("a")
@@ -515,7 +515,7 @@ object CurationQueries {
         |                                      ORDER BY jw DESC, m_id) AS rn
         |         FROM v WHERE jw >= 0.9)
         |SELECT rec_id, d_name, m_id, m_name, jw
-        |FROM best WHERE rn = 1 ORDER BY rec_id""") { c =>
+        |FROM best WHERE rn = 1 ORDER BY rec_id""", bench = true) { c =>
       graft.functions.GraftFunctions.register(c.spark)
       val dirty = c.part.select(col("p_partkey").as("rec_id"),
         expr("""CASE p_partkey % 4
