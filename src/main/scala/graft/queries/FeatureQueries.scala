@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 feature-engineering tier: leave-one-out target encoding,
+  * probability calibration curves, robust (MAD) outlier profiling, and
+  * equi-depth quantile binning — the feature-prep passes between raw
+  * tables and an estimator fit. All distributed as groupBy + broadcast
+  * join + per-row projection; nothing corpus-sized is collected.
+  */
+object FeatureQueries {
+
+  val defs: Seq[graft.QueryDef] = Seq(
+
+    // Leave-one-out target encoding of a HIGH-CARDINALITY category
+    // (l_suppkey ~ hundreds-thousands of levels — the case where
+    // one-hot explodes and target encoding is the standard move).
+    // enc_i = (sum_y(cat) − y_i + m·prior) / (n(cat) − 1 + m) with
+    // smoothing m=10 toward the global prior — the leave-one-out form
+    // that does NOT leak the row's own label (the classic target-
+    // leakage bug this operator family exists to avoid). One
+    // category aggregation + one 1-row prior + a broadcast join back;
+    // the encoding is a pure projection after that.
+    q("ml_target_encoding",
+      """WITH lab AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+        |                    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |             FROM lineitem),
+        |cat AS (SELECT l_suppkey, count(*) n, sum(y) s
+        |        FROM lab GROUP BY 1),
+        |pri AS (SELECT sum(y)::DOUBLE / count(*) pri_v FROM lab)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.y,
+        |       round((c.s - l.y + 10 * p.pri_v) / (c.n - 1 + 10) + 1e-9, 6)
+        |         AS enc
+        |FROM lab l JOIN cat c ON l.l_suppkey = c.l_suppkey
+        |CROSS JOIN pri p
+        |ORDER BY l.l_orderkey, l.l_linenumber""") { c =>
+      val lab = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      val cat = lab.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val pri = lab.agg((sum(col("y")).cast("double") /
+        count(lit(1))).as("prior"))
+      lab.join(cat, Seq("l_suppkey"))
+        .crossJoin(broadcast(pri))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("y"),
+          r6((col("s") - col("y") + lit(10) * col("prior")) /
+            (col("n") - 1 + lit(10))).as("enc"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Probability calibration curve (reliability diagram, DeGroot &
+    // Fienberg 1983): a deterministic score proxy p = l_quantity/50 is
+    // binned into 10 equal-width cells; per cell the mean predicted
+    // probability vs the observed positive rate is what a calibration
+    // plot draws and what Platt/isotonic recalibration consumes.
+    // Integer bin arithmetic, micro-rounded means — one aggregation.
+    q("ml_calibration_curve",
+      """WITH s AS (SELECT least(CAST(floor(l_quantity * 10 / 51) AS BIGINT),
+        |                        9) AS bin,
+        |                  l_quantity / 50.0 AS p,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |           FROM lineitem)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |       round(CAST(sum(CAST(round(p * 1e6 + 1e-9) AS BIGINT))
+        |                  AS DOUBLE) / count(*) / 1e6 + 1e-9, 6)
+        |         AS mean_pred,
+        |       round(sum(y)::DOUBLE / count(*) + 1e-9, 6) AS frac_pos
+        |FROM s GROUP BY bin ORDER BY bin""") { c =>
+      val s = c.lineitem.select(
+        least(floor(col("l_quantity") * 10 / 51).cast("long"),
+          lit(9L)).as("bin"),
+        (col("l_quantity") / 50.0).as("p"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      s.groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          r6(sum(round(col("p") * lit(1e6) + lit(1e-9)).cast("long"))
+            .cast("double") / count(lit(1)) / lit(1e6)).as("mean_pred"),
+          r6(sum(col("y")).cast("double") / count(lit(1))).as("frac_pos"))
+        .orderBy("bin")
+    },
+
+    // Robust outlier profile (median/MAD, the Hampel filter): per event
+    // type, median and median-absolute-deviation of `value`, and the
+    // count beyond the 3·1.4826·MAD fence — the outlier gate that
+    // survives heavy tails where mean/stddev z-scores break. Two
+    // chained aggregations (median, then MAD over deviations), both
+    // exact interpolated percentiles; per-row flagging is a broadcast
+    // join + projection.
+    q("dq_mad_outliers",
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) m
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type,
+        |               quantile_cont(abs(e.value - med.m), 0.5) mad
+        |        FROM events e JOIN med ON e.event_type = med.event_type
+        |        GROUP BY 1),
+        |j AS (SELECT e.event_type, e.value, med.m, dev.mad
+        |      FROM events e
+        |      JOIN med ON e.event_type = med.event_type
+        |      JOIN dev ON e.event_type = dev.event_type)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       round(max(m) + 1e-9, 6) AS med,
+        |       round(max(mad) + 1e-9, 6) AS mad,
+        |       sum(CASE WHEN abs(value - m) > 3 * 1.4826 * mad
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM j GROUP BY event_type ORDER BY event_type""") { c =>
+      val ev = c.events.select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("m"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(percentile(abs(col("value") - col("m")), lit(0.5)).as("mad"))
+      ev.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(dev), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          r6(max(col("m"))).as("med"),
+          r6(max(col("mad"))).as("mad"),
+          sum(when(abs(col("value") - col("m")) >
+            lit(3) * lit(1.4826) * col("mad"), 1).otherwise(0))
+            .cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // Equi-depth quantile binning (the maxBins quantization feeding
+    // tree learners like ml_stump_fit): decile boundaries of
+    // l_extendedprice from ONE exact multi-percentile aggregation
+    // (boundaries are a 9-element model literal at plan level), then a
+    // per-row bucket assignment and a bin-occupancy histogram.
+    // Boundary comparisons use micro-rounded cutpoints so bucket
+    // membership is engine-stable at the cut.
+    q("ml_quantile_bins",
+      """WITH b AS (SELECT list_transform(
+        |                    quantile_cont(l_extendedprice,
+        |                      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |                    c -> round(c * 1e6 + 1e-9)) AS cuts
+        |           FROM lineitem),
+        |a AS (SELECT l.l_extendedprice,
+        |             len(list_filter(b.cuts,
+        |                 c -> round(l.l_extendedprice * 1e6 + 1e-9) >= c))
+        |               AS bin
+        |      FROM lineitem l CROSS JOIN b)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |       round(min(l_extendedprice) + 1e-9, 2) AS lo,
+        |       round(max(l_extendedprice) + 1e-9, 2) AS hi
+        |FROM a GROUP BY bin ORDER BY bin""") { c =>
+      // one exact multi-percentile pass; boundaries micro-rounded
+      val cuts = c.lineitem.agg(
+        transform(percentile(col("l_extendedprice"),
+            typedlit((1 to 9).map(_ / 10.0))),
+          x => round(x * lit(1e6) + lit(1e-9))).as("cuts"))
+      c.lineitem.crossJoin(broadcast(cuts))
+        .select(col("l_extendedprice"),
+          size(filter(col("cuts"),
+            cc => round(col("l_extendedprice") * lit(1e6) + lit(1e-9))
+              >= cc)).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          r2(min(col("l_extendedprice"))).as("lo"),
+          r2(max(col("l_extendedprice"))).as("hi"))
+        .orderBy("bin")
+    },
+  )
+}
