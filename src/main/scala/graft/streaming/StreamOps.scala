@@ -197,6 +197,31 @@ object StreamOps {
       .toDF("key", "session_start", "session_end", "n_events")
   }
 
+  /** Stream-static dimension enrichment — the stateless lookup-join
+    * every event pipeline runs (stream fact → broadcast dim), with an
+    * optional Bloom PRE-FILTER of the stream through the dimension's
+    * key sketch (ops/Bloom.scala): non-matching events drop inside the
+    * stateless per-batch filter before the join, which at scale is the
+    * difference between shuffling the raw stream and shuffling only
+    * (matches + a bounded false-positive residue). The filter is an
+    * ordinary column predicate, so it composes with any downstream
+    * streaming op; results are identical with or without it (Bloom has
+    * no false negatives) — StreamSpec pins that equality. Works
+    * unchanged on batch frames (the module contract). */
+  def enrichWithDim(
+      stream: DataFrame,
+      key: String,
+      dim: DataFrame,
+      dimKey: String,
+      bloomPrefilter: Boolean = false): DataFrame = {
+    val pre =
+      if (!bloomPrefilter) stream
+      else stream.filter(graft.ops.Bloom.mightContain(col(key),
+        graft.ops.Bloom.buildBits(dim, col(dimKey))))
+    pre.join(broadcast(dim), col(key) === col(dimKey), "inner")
+      .drop(dimKey)
+  }
+
   /** Per-key running counter via mapGroupsWithState — the minimal
     * custom-state shape (KeyValueGroupedDataset, SURVEY §2.9); used as
     * the pattern for sessionization/custom accumulators. */

@@ -355,4 +355,33 @@ class StreamSpec extends SparkSpec {
       Seq("k"), Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
     assert(out.collect().length == 2)
   }
+
+  test("stream-static enrichment with a Bloom pre-filter matches the " +
+    "unfiltered join exactly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dim = Seq((1L, "gold"), (3L, "silver"), (5L, "bronze"))
+      .toDF("dim_k", "tier")
+
+    def run(name: String, bloom: Boolean): Seq[(Long, String)] = {
+      val input = MemoryStream[(Timestamp, Long)]
+      val enriched = StreamOps.enrichWithDim(
+        input.toDF.toDF("ts", "k"), "k", dim, "dim_k",
+        bloomPrefilter = bloom)
+      val q = enriched.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        input.addData((1L to 10L).map(i => (ts("2024-01-01 00:01:00"), i)))
+        q.processAllAvailable()
+        sp.sql(s"SELECT k, tier FROM $name ORDER BY k")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      } finally q.stop()
+    }
+
+    val plain = run("enrich_plain", bloom = false)
+    val bloomed = run("enrich_bloom", bloom = true)
+    assert(plain === Seq((1L, "gold"), (3L, "silver"), (5L, "bronze")))
+    assert(bloomed === plain) // no false negatives through the sketch
+  }
 }
