@@ -161,5 +161,39 @@ object FeatureQueries {
           r2(max(col("l_extendedprice"))).as("hi"))
         .orderBy("bin")
     },
+
+    // Incremental aggregate maintenance (ops/IncrementalAgg.scala) —
+    // the materialized-view refresh path: state is built from the
+    // pre-cutoff half of lineitem, the post-cutoff half is folded in as
+    // an append-only delta, and the refreshed view must equal the
+    // ORACLE'S FULL RECOMPUTE over all of lineitem — cross-engine proof
+    // that the mergeable-partial algebra (count/sum/min/max, avg
+    // derived at read) loses nothing. The delta aggregation touches
+    // only delta rows; the merge shuffle is state-sized.
+    q("inc_agg_refresh",
+      """SELECT l_returnflag, l_linestatus,
+        |       count(l_quantity)::BIGINT AS q_count,
+        |       round(sum(l_quantity) + 1e-9, 2) AS q_sum,
+        |       round(min(l_quantity) + 1e-9, 2) AS q_min,
+        |       round(max(l_quantity) + 1e-9, 2) AS q_max,
+        |       round(sum(l_quantity) / count(l_quantity) + 1e-9, 4)
+        |         AS q_mean
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+      import graft.ops.IncrementalAgg
+      val cut = "2024-06-01"
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity")
+      val state = IncrementalAgg.aggregate(
+        c.lineitem.filter(col("l_shipdate") < lit(cut)), keys, ms)
+      val refreshed = IncrementalAgg.refresh(state,
+        c.lineitem.filter(col("l_shipdate") >= lit(cut)), keys, ms)
+      refreshed.select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity_count").as("q_count"),
+          r2(col("l_quantity_sum")).as("q_sum"),
+          r2(col("l_quantity_min")).as("q_min"),
+          r2(col("l_quantity_max")).as("q_max"),
+          r4(col("l_quantity_sum") / col("l_quantity_count")).as("q_mean"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
   )
 }
