@@ -67,6 +67,17 @@ object Cli {
         .capture(dir, resolve(dir, ref), spark).toJson)
       spark.stop()
 
+    // column-level lineage: pure static walk of the saved plan — no
+    // session, no execution (build/ColumnLineage.scala)
+    case "columns" :: dir :: ref :: Nil =>
+      val rel = Build.load(dir, resolve(dir, ref))
+      graft.build.ColumnLineage.origins(rel).toSeq.sortBy(_._1)
+        .foreach { case (out, os) =>
+          val srcs = os.toSeq.sortBy(o => (o.source, o.column))
+            .map(o => s"${o.source}#${o.column}").mkString(", ")
+          println(s"$out <- $srcs")
+        }
+
     case "record" :: dir :: ref :: Nil =>
       val spark = session()
       println(graft.build.Replay.record(dir, resolve(dir, ref), spark).toJson)

@@ -86,4 +86,17 @@ class ColumnLineageSpec extends AnyFunSuite {
     assert(of("value") === Set(Origin("/data/lineitem.parquet",
       "l_quantity")))
   }
+
+  test("lineage of a SAVED artifact (the Cli `columns` path): " +
+    "serialize -> Build.save -> load -> origins") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_collineage_").toString
+    val plan = Project(li, Seq("k" -> RCol("l_orderkey"),
+      "q2" -> RBin("*", RCol("l_quantity"), RLit("2", "double"))))
+    val art = Build.save(plan, dir)
+    val loaded = Build.load(dir, art.hash)
+    val o = ColumnLineage.origins(loaded)
+    assert(o("q2") === Set(Origin("/data/lineitem.parquet", "l_quantity")))
+    assert(o("k") === Set(Origin("/data/lineitem.parquet", "l_orderkey")))
+  }
 }
