@@ -602,5 +602,60 @@ object CurationQueries {
           col("cleaned_text"))
         .orderBy("doc_id")
     },
+
+    // Shannon-entropy quality signals — the information-density filter
+    // family (Gopher/CCNet gate on compression ratio; character/word
+    // entropy is its deterministic, engine-portable form: low char
+    // entropy = repeated-character junk, low word entropy = boilerplate
+    // repetition). H = log2(n) − (Σ c·log2 c)/n from integer counts;
+    // the Σ c·log2 c terms are micro-unit-quantized so per-doc sums are
+    // order-independent and engine-identical. Shape: two explode +
+    // two-phase hash aggregations — linear corpus scans, no windows.
+    q("text_entropy",
+      """WITH ch AS (SELECT doc_id, c, count(*) cnt
+        |            FROM (SELECT doc_id, unnest(string_split(text, '')) c
+        |                  FROM documents)
+        |            WHERE c <> '' GROUP BY 1, 2),
+        |cagg AS (SELECT doc_id, sum(cnt)::BIGINT n,
+        |                sum(CAST(round(cnt * log2(cnt) * 1e6 + 1e-9)
+        |                         AS BIGINT)) su
+        |         FROM ch GROUP BY 1),
+        |wd AS (SELECT doc_id, w, count(*) cnt
+        |       FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+        |                    '[a-z]+')) w FROM documents)
+        |       GROUP BY 1, 2),
+        |wagg AS (SELECT doc_id, sum(cnt)::BIGINT n,
+        |                sum(CAST(round(cnt * log2(cnt) * 1e6 + 1e-9)
+        |                         AS BIGINT)) su
+        |        FROM wd GROUP BY 1)
+        |SELECT c.doc_id, c.n AS n_chars_t,
+        |       round(log2(c.n) - c.su / 1e6 / c.n + 1e-9, 6)
+        |         AS char_entropy,
+        |       w.n AS n_words,
+        |       round(log2(w.n) - w.su / 1e6 / w.n + 1e-9, 6)
+        |         AS word_entropy
+        |FROM cagg c JOIN wagg w ON c.doc_id = w.doc_id
+        |ORDER BY c.doc_id""") { c =>
+      def entropyAgg(df: org.apache.spark.sql.DataFrame, unit: String) =
+        df.groupBy("doc_id", unit)
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n"),
+            sum(round(col("cnt").cast("double") * log2(col("cnt")) *
+              lit(1e6) + lit(1e-9)).cast("long")).as("su"))
+      val ch = entropyAgg(c.documents
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= ""), "c")
+      val wd = entropyAgg(c.documents
+        .select(col("doc_id"), explode(
+          expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w")), "w")
+      ch.select(col("doc_id"), col("n").as("n_chars_t"),
+          r6(log2(col("n")) - col("su") / lit(1e6) / col("n"))
+            .as("char_entropy"))
+        .join(wd.select(col("doc_id"), col("n").as("n_words"),
+          r6(log2(col("n")) - col("su") / lit(1e6) / col("n"))
+            .as("word_entropy")), Seq("doc_id"))
+        .orderBy("doc_id")
+    },
   )
 }
