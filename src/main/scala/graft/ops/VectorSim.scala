@@ -395,4 +395,29 @@ object VectorSim {
       .join(drops, col("id") === col("__drop"), "left")
       .select(col("id"), col("cell"), col("__drop").isNull.as("kept"))
   }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 sign
+    * variant): proj_j = Σ_i v_i·s(i,j) / √k with s(i,j) ∈ {±1} derived
+    * from md5(i_j) — the DETERMINISTIC seeded projection matrix, so the
+    * same row projects identically on any cluster size or engine (no
+    * RNG state, no broadcast matrix; the "matrix" is a hash function).
+    * The standard ANN/dedup preprocessing that cuts an embedding from
+    * dim d to k ≪ d while preserving pairwise distances within 1±ε.
+    * Per-row map (one explode over the k output dims + an ordered
+    * aggregate over the input dims) — no shuffle; at 100 TB this is a
+    * linear codegen-boundary scan like any projection. */
+  def randomProjectJl(df: DataFrame, id: Column, vec: Column,
+                      outDim: Int): DataFrame = {
+    require(outDim >= 1 && outDim <= 4096, s"bad outDim $outDim")
+    df.select(id.as("id"), vec.as("__v"))
+      .select(col("id"), explode(sequence(lit(0), lit(outDim - 1))).as("j"),
+        col("__v"))
+      .withColumn("pv", expr(
+        s"""aggregate(sequence(1, size(__v)), 0D,
+           |  (acc, i) -> acc + element_at(__v, i) *
+           |    (CASE WHEN cast(conv(substring(md5(concat(cast(i AS STRING),
+           |       '_', cast(j AS STRING))), 1, 4), 16, 10) AS BIGINT) % 2 = 0
+           |     THEN 1.0D ELSE -1.0D END)) / sqrt(${outDim}D)""".stripMargin))
+      .select(col("id"), col("j"), col("pv"))
+  }
 }

@@ -657,5 +657,74 @@ object CurationQueries {
             .as("word_entropy")), Seq("doc_id"))
         .orderBy("doc_id")
     },
+
+    // Johnson-Lindenstrauss random projection (VectorSim.randomProjectJl,
+    // Achlioptas 2003 sign variant): 64-dim embeddings down to k=16 with
+    // a DETERMINISTIC md5-derived ±1 matrix — no RNG state, no broadcast
+    // matrix, identical on any cluster size or engine, which is what
+    // makes it oracle-able. Shuffle-free per-row map; the ANN/dedup
+    // preprocessing that makes downstream distance work 4x cheaper.
+    q("sim_jl_project",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id, j,
+        |        list_sum(list_transform(generate_series(1, len(embedding)),
+        |          i -> embedding[i] *
+        |            (CASE WHEN (('0x' || substr(md5(i::VARCHAR || '_' ||
+        |                j::VARCHAR), 1, 4))::BIGINT % 2) = 0
+        |             THEN 1.0 ELSE -1.0 END))) / sqrt(16) AS pv
+        |      FROM e, unnest([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) t(j))
+        |SELECT vec_id, j, round(pv + 1e-9, 6) AS pv
+        |FROM p ORDER BY vec_id, j""") { c =>
+      graft.ops.VectorSim.randomProjectJl(c.embeddings,
+          col("vec_id"), col("embedding"), outDim = 16)
+        .select(col("id").as("vec_id"), col("j"), r6(col("pv")).as("pv"))
+        .orderBy("vec_id", "j")
+    },
+
+    // Per-node clustering coefficient — triangles/(deg·(deg−1)/2), the
+    // local-density companion to graph_triangles (same degree-ordered
+    // compact-forward enumeration, same co-purchase graph): one extra
+    // degree aggregation + an integer-exact join; the coefficient is a
+    // small rational rounded identically on both engines.
+    q("graph_clustering_coeff",
+      """WITH e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
+        |                  greatest(a.l_partkey, b.l_partkey) v
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey
+        |             AND a.l_quantity > 40 AND b.l_quantity > 40),
+        |t AS (SELECT e1.u a, e1.v b, e2.v c
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |      JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |tn AS (SELECT node, count(*) tri_n
+        |       FROM (SELECT unnest([a, b, c]) node FROM t) GROUP BY 1),
+        |d AS (SELECT node, count(*) deg
+        |      FROM (SELECT unnest([u, v]) node FROM e) GROUP BY 1)
+        |SELECT d.node, d.deg::BIGINT AS deg,
+        |       coalesce(tn.tri_n, 0)::BIGINT AS tri_n,
+        |       round(coalesce(tn.tri_n, 0) * 2.0
+        |             / (d.deg * (d.deg - 1)) + 1e-9, 6) AS coeff
+        |FROM d LEFT JOIN tn ON d.node = tn.node
+        |WHERE d.deg >= 2 ORDER BY d.node""") { c =>
+      val hi = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = hi.as("a")
+        .join(hi.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      val tri = graft.ops.Triangles.perNodeCounts(edges, "src", "dst")
+      val canon = edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val deg = canon.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.join(tri, Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"),
+          coalesce(col("tri_n"), lit(0L)).as("tri_n"),
+          r6(coalesce(col("tri_n"), lit(0L)) * lit(2.0) /
+            (col("deg") * (col("deg") - 1))).as("coeff"))
+        .orderBy("node")
+    },
   )
 }
