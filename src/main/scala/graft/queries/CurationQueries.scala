@@ -726,5 +726,30 @@ object CurationQueries {
             (col("deg") * (col("deg") - 1))).as("coeff"))
         .orderBy("node")
     },
+
+    // Grouped top-k via the bounded mergeable aggregate (ops/TopK.scala)
+    // — map-side partials keep at most k candidates per (partition,
+    // key), so the exchange moves O(k·keys·partitions) rows instead of
+    // the corpus and no sort exceeds 2k elements. The ORACLE is the
+    // textbook window formulation the aggregate replaces — same rows,
+    // radically different plan at 100 TB.
+    q("agg_topk_heap",
+      """WITH r AS (SELECT l_returnflag AS key, l_extendedprice AS value,
+        |                  l_orderkey::VARCHAR || '_' ||
+        |                    l_linenumber::VARCHAR AS tiebreak,
+        |                  row_number() OVER (PARTITION BY l_returnflag
+        |                    ORDER BY l_extendedprice DESC,
+        |                      l_orderkey::VARCHAR || '_' ||
+        |                      l_linenumber::VARCHAR) AS rank
+        |           FROM lineitem)
+        |SELECT key, rank, round(value + 1e-9, 2) AS value, tiebreak
+        |FROM r WHERE rank <= 7 ORDER BY key, rank""") { c =>
+      graft.ops.TopK.perKey(c.lineitem, col("l_returnflag"),
+          col("l_extendedprice"),
+          concat(col("l_orderkey"), lit("_"), col("l_linenumber")), k = 7)
+        .select(col("key"), col("rank"), r2(col("value")).as("value"),
+          col("tiebreak"))
+        .orderBy("key", "rank")
+    },
   )
 }
