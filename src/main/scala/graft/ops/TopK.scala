@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  private final class TopKAgg(k: Int) extends Aggregator[
+  /** Public so streaming (StreamOps.windowedTopK) and custom pipelines
+    * can plug the same bounded aggregate into their own groupBys. */
+  final class TopKAggregate(k: Int) extends Aggregator[
       (Double, String),
       scala.collection.mutable.ArrayBuffer[(Double, String)],
       Seq[(Double, String)]] {
@@ -55,7 +57,7 @@ object TopK {
   def perKey(df: DataFrame, key: Column, value: Column, tiebreak: Column,
              k: Int): DataFrame = {
     require(k >= 1 && k <= 100000, s"bad k $k")
-    val agg = udaf(new TopKAgg(k))
+    val agg = udaf(new TopKAggregate(k))
     df.select(key.as("key"), value.cast("double").as("v"),
         tiebreak.cast("string").as("t"))
       .na.drop(Seq("v", "t"))

@@ -743,7 +743,8 @@ object CurationQueries {
         |                      l_linenumber::VARCHAR) AS rank
         |           FROM lineitem)
         |SELECT key, rank, round(value + 1e-9, 2) AS value, tiebreak
-        |FROM r WHERE rank <= 7 ORDER BY key, rank""") { c =>
+        |FROM r WHERE rank <= 7 ORDER BY key, rank""",
+      bench = true) { c =>
       graft.ops.TopK.perKey(c.lineitem, col("l_returnflag"),
           col("l_extendedprice"),
           concat(col("l_orderkey"), lit("_"), col("l_linenumber")), k = 7)

@@ -222,6 +222,33 @@ object StreamOps {
       .drop(dimKey)
   }
 
+  /** Windowed top-k over a stream — the bounded mergeable TopK
+    * aggregate (ops/TopK.scala) plugged straight into a watermarked
+    * tumbling-window groupBy: streaming state per (window, key) is the
+    * k-element candidate buffer, not the raw events, and the SAME
+    * aggregate serves batch and stream (the module contract — top-k is
+    * mergeable, so incremental micro-batch folding is lossless).
+    * Output: window, key, rank, value, tiebreak. */
+  def windowedTopK(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      windowLen: String,
+      keyCol: String,
+      valueCol: String,
+      tiebreakCol: String,
+      k: Int): DataFrame = {
+    val agg = udaf(new graft.ops.TopK.TopKAggregate(k))
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(agg(col(valueCol).cast("double"),
+        col(tiebreakCol).cast("string")).as("top"))
+      .select(col("window"), col(keyCol),
+        posexplode(col("top")).as(Seq("pos", "row")))
+      .select(col("window"), col(keyCol), (col("pos") + 1).as("rank"),
+        col("row._1").as("value"), col("row._2").as("tiebreak"))
+  }
+
   /** Per-key running counter via mapGroupsWithState — the minimal
     * custom-state shape (KeyValueGroupedDataset, SURVEY §2.9); used as
     * the pattern for sessionization/custom accumulators. */

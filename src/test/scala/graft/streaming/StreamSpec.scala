@@ -384,4 +384,32 @@ class StreamSpec extends SparkSpec {
     assert(plain === Seq((1L, "gold"), (3L, "silver"), (5L, "bronze")))
     assert(bloomed === plain) // no false negatives through the sketch
   }
+
+  test("windowed top-k over a stream keeps k candidates per window+key") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, String)]
+    val topk = StreamOps.windowedTopK(
+      input.toDF.toDF("ts", "k", "v", "id"),
+      "ts", "10 minutes", "5 minutes", "k", "v", "id", k = 2)
+    val q = topk.writeStream.format("memory")
+      .queryName("topk_stream").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "a", 3.0, "r1"),
+        (ts("2024-01-01 00:02:00"), "a", 9.0, "r2"),
+        (ts("2024-01-01 00:03:00"), "a", 5.0, "r3"),
+        (ts("2024-01-01 00:04:00"), "b", 1.0, "r4"))
+      q.processAllAvailable()
+      // a second micro-batch folds into the same window's aggregate
+      input.addData((ts("2024-01-01 00:04:30"), "a", 7.0, "r5"))
+      q.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT k, rank, tiebreak FROM topk_stream ORDER BY k, rank")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      assert(rows.toSeq ===
+        Seq(("a", 1, "r2"), ("a", 2, "r5"), ("b", 1, "r4")))
+    } finally q.stop()
+  }
 }
