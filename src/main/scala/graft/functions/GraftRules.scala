@@ -7,12 +7,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-/** Custom Catalyst optimizer rule: LENGTH-RATIO PRUNING for
-  * Jaro-Winkler threshold filters — the (c) tier of the extension
+/** Custom Catalyst optimizer rule: LENGTH-BASED PRUNING for string
+  * similarity threshold filters — the (c) tier of the extension
   * ladder (custom `Rule[LogicalPlan]` via `SparkSessionExtensions` /
   * `spark.experimental.extraOptimizations`), used where composing
   * existing operators cannot help: the optimizer itself has to see
-  * through the black-box expression.
+  * through the black-box expression. Two prunings, both provably
+  * implied by the original predicate (results bit-identical):
+  * Jaro-Winkler length-ratio (below) and Levenshtein length-difference
+  * (`lev ≤ k ⟹ |len(a)−len(b)| ≤ k`).
   *
   * Soundness: for strings with lengths s = min(|a|,|b|), t = max:
   *   jaro(a,b) ≤ (m/|a| + m/|b| + 1)/3 with m ≤ s  ⇒  jaro ≤ (2 + s/t)/3
@@ -39,20 +42,34 @@ object JaroWinklerLengthPruning extends Rule[LogicalPlan] {
       Multiply(Literal(5 * c - 4), Greatest(Seq(la, lb))))
   }
 
-  /** The (jw, threshold) pair when `e` is a >=/> threshold compare of a
-    * JaroWinkler against a literal above the vacuity bound. */
-  private def thresholdOf(e: Expression): Option[(JaroWinkler, Double)] =
-    e match {
-      case GreaterThanOrEqual(jw: JaroWinkler, Literal(c: Double, DoubleType))
-          if c > 0.8 => Some((jw, c))
-      case GreaterThan(jw: JaroWinkler, Literal(c: Double, DoubleType))
-          if c > 0.8 => Some((jw, c))
-      case LessThanOrEqual(Literal(c: Double, DoubleType), jw: JaroWinkler)
-          if c > 0.8 => Some((jw, c))
-      case LessThan(Literal(c: Double, DoubleType), jw: JaroWinkler)
-          if c > 0.8 => Some((jw, c))
-      case _ => None
-    }
+  /** Levenshtein guard: lev(a,b) ≥ |len(a) − len(b)| always, so
+    * `lev ≤ k` implies `abs(len(a) − len(b)) ≤ k` — sound for every k. */
+  private def levGuard(lv: Levenshtein, k: Int): Expression =
+    LessThanOrEqual(Abs(Subtract(Length(lv.left), Length(lv.right))),
+      Literal(k))
+
+  /** The guard for `e` when it is a prunable threshold comparison:
+    * jw >=/> c (c above the vacuity bound) or levenshtein <=/< k. */
+  private def guardOf(e: Expression): Option[Expression] = e match {
+    case GreaterThanOrEqual(jw: JaroWinkler, Literal(c: Double, DoubleType))
+        if c > 0.8 => Some(lengthGuard(jw, c))
+    case GreaterThan(jw: JaroWinkler, Literal(c: Double, DoubleType))
+        if c > 0.8 => Some(lengthGuard(jw, c))
+    case LessThanOrEqual(Literal(c: Double, DoubleType), jw: JaroWinkler)
+        if c > 0.8 => Some(lengthGuard(jw, c))
+    case LessThan(Literal(c: Double, DoubleType), jw: JaroWinkler)
+        if c > 0.8 => Some(lengthGuard(jw, c))
+    case LessThanOrEqual(lv: Levenshtein,
+        Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+      Some(levGuard(lv, k))
+    case LessThan(lv: Levenshtein,
+        Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+      Some(levGuard(lv, k - 1))
+    case GreaterThanOrEqual(
+        Literal(k: Int, org.apache.spark.sql.types.IntegerType),
+        lv: Levenshtein) => Some(levGuard(lv, k))
+    case _ => None
+  }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -62,9 +79,8 @@ object JaroWinklerLengthPruning extends Rule[LogicalPlan] {
   /** `cond` with guards prepended, or None if nothing to add. */
   private def guarded(cond: Expression): Option[Expression] = {
     val conjuncts = splitConjuncts(cond)
-    val guards = conjuncts.flatMap(thresholdOf(_).map {
-      case (jw, c) => lengthGuard(jw, c)
-    }).filterNot(g => conjuncts.exists(_.semanticEquals(g)))
+    val guards = conjuncts.flatMap(guardOf)
+      .filterNot(g => conjuncts.exists(_.semanticEquals(g)))
     if (guards.isEmpty) None
     else Some((guards ++ conjuncts).reduceLeft(And))
   }

@@ -67,6 +67,17 @@ class GraftRulesSpec extends SparkSpec {
     }
   }
 
+  test("levenshtein <= k gets the |len diff| <= k guard, results exact") {
+    GraftRules.register(spark)
+    val q = pairs.filter(expr("levenshtein(a, b) <= 2"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("abs(") && plan.contains("length("),
+      plan.take(600))
+    val want = pairs.withColumn("d", expr("levenshtein(a, b)"))
+      .filter(col("d") <= 2).drop("d")
+    assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
+  }
+
   test("extensions class applies cleanly (cluster-deploy injection path)") {
     // buildOptimizerRules is private[sql]; the runtime path above tests
     // the rule's behavior — here we pin that the spark.sql.extensions
