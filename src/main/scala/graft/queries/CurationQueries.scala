@@ -752,5 +752,62 @@ object CurationQueries {
           col("tiebreak"))
         .orderBy("key", "rank")
     },
+
+    // URL canonicalization + domain filtering — the C4/RefinedWeb URL
+    // hygiene step: source URLs (planted deterministically from doc_id,
+    // since the synthetic corpus carries none) are normalized (host
+    // lowercased, www. stripped, tracking params dropped keeping only
+    // the id param, fragment dropped), reduced to a registered domain,
+    // and flagged against a domain blocklist; per-domain occupancy
+    // comes out of one hash aggregation. Pure regexp per row — the
+    // identical expressions run on both engines.
+    q("text_url_canonical",
+      """WITH d AS (SELECT doc_id,
+        |    'https://www.Site' || (doc_id % 23)::VARCHAR ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.test.org'
+        |     END) || '/p/' || doc_id::VARCHAR ||
+        |    '?utm_source=feed&id=' || (doc_id % 7)::VARCHAR ||
+        |    '&utm_campaign=x#sec' || (doc_id % 3)::VARCHAR AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |   regexp_replace(lower(regexp_extract(url,
+        |     '^https?://([^/?#]+)', 1)), '^www\.', '') AS host,
+        |   regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+        |   regexp_extract(url, '[?&](id=[0-9]+)', 1) AS keep_q
+        |  FROM d),
+        |n AS (SELECT doc_id,
+        |   host || path || (CASE WHEN keep_q <> '' THEN '?' || keep_q
+        |                    ELSE '' END) AS canonical,
+        |   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM c)
+        |SELECT domain, count(*)::BIGINT AS n_urls,
+        |       count(DISTINCT canonical)::BIGINT AS n_canonical,
+        |       max(domain IN ('example.com')) AS blocklisted
+        |FROM n GROUP BY domain ORDER BY domain""") { c =>
+      val d = c.documents.select(col("doc_id"), concat(
+        lit("https://www.Site"), (col("doc_id") % 23).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".example.com"))
+          .otherwise(lit(".test.org")),
+        lit("/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+        lit("&utm_campaign=x#sec"), (col("doc_id") % 3).cast("string"))
+        .as("url"))
+      val cd = d.select(col("doc_id"),
+        regexp_replace(lower(regexp_extract(col("url"),
+          "^https?://([^/?#]+)", 1)), "^www\\.", "").as("host"),
+        regexp_extract(col("url"), "^https?://[^/?#]+([^?#]*)", 1)
+          .as("path"),
+        regexp_extract(col("url"), "[?&](id=[0-9]+)", 1).as("keep_q"))
+      val n = cd.select(col("doc_id"),
+        concat(col("host"), col("path"),
+          when(col("keep_q") =!= "", concat(lit("?"), col("keep_q")))
+            .otherwise(lit(""))).as("canonical"),
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+      n.groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical")).as("n_canonical"),
+          max(col("domain").isin("example.com")).as("blocklisted"))
+        .orderBy("domain")
+    },
   )
 }

@@ -219,5 +219,34 @@ object GovernanceQueries {
             .cast("long")).as("released_n"))
         .orderBy("seg")
     },
+
+    // Deterministic shard-export manifest — the final step before
+    // training: every document is assigned a stable shard by key hash
+    // (md5 — cluster-size- and engine-independent, re-runnable), and
+    // the manifest records per-shard document/byte occupancy plus a
+    // per-shard order fingerprint (min/max of the within-shard sort
+    // key) so a loader can verify it got exactly the published shard.
+    // One hash aggregation; the actual partitioned write is the
+    // src_partitioned_write path with partitionBy(shard).
+    q("llm_export_shards",
+      """WITH a AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8
+        |      AS shard,
+        |    md5(doc_id::VARCHAR) AS ok
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS n_bytes,
+        |       min(ok) AS first_key, max(ok) AS last_key
+        |FROM a GROUP BY shard ORDER BY shard""") { c =>
+      val a = c.documents.select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 8).as("shard"),
+        md5(col("doc_id").cast("string")).as("ok"))
+      a.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_bytes"),
+          min(col("ok")).as("first_key"), max(col("ok")).as("last_key"))
+        .orderBy("shard")
+    },
   )
 }
