@@ -195,5 +195,90 @@ object FeatureQueries {
           r4(col("l_quantity_sum") / col("l_quantity_count")).as("q_mean"))
         .orderBy("l_returnflag", "l_linestatus")
     },
+
+    // Time-series resample + linear interpolation — the gap-filling
+    // regularization every metrics/feature pipeline runs before
+    // modeling: events collapse to an hourly mean per type (the only
+    // corpus-sized work, one hash aggregation with micro-unit means),
+    // the per-type hour GRID is generated from the type's own span, and
+    // missing hours are linearly interpolated between the nearest
+    // present samples (edge gaps fill from the single available side).
+    // The interpolation windows run over the GRID relation (hours ×
+    // types, partitioned by type) — bounded by the time span, never by
+    // corpus row count.
+    q("ts_resample_interp",
+      """WITH ev AS (SELECT event_type,
+        |              -- floor BEFORE the cast: DuckDB epoch() is a
+        |              -- fractional DOUBLE and ::BIGINT would ROUND a
+        |              -- :59:59.8 event into the next hour (Spark's
+        |              -- unix_timestamp truncates)
+        |              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |                // 3600 AS hr,
+        |              value
+        |            FROM events),
+        |b AS (SELECT event_type, hr,
+        |             CAST(round(avg(value) * 1e6 + 1e-9) AS BIGINT) vu
+        |      FROM ev GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hr) h0, max(hr) h1
+        |         FROM b GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr
+        |         FROM span),
+        |g AS (SELECT grid.event_type, grid.hr, b.vu
+        |      FROM grid LEFT JOIN b ON grid.event_type = b.event_type
+        |                           AND grid.hr = b.hr),
+        |f AS (SELECT event_type, hr, vu,
+        |        last_value(vu IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+        |        last_value(CASE WHEN vu IS NOT NULL THEN hr END
+        |                   IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY hr
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ph,
+        |        last_value(vu IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY hr DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) nv,
+        |        last_value(CASE WHEN vu IS NOT NULL THEN hr END
+        |                   IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY hr DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) nh
+        |      FROM g)
+        |SELECT event_type, hr, vu IS NOT NULL AS present,
+        |       round((CASE WHEN vu IS NOT NULL THEN vu
+        |               WHEN pv IS NULL THEN nv
+        |               WHEN nv IS NULL THEN pv
+        |               ELSE pv + (nv - pv) * 1.0 * (hr - ph) / (nh - ph)
+        |              END) / 1e6 + 1e-9, 6) AS value
+        |FROM f ORDER BY event_type, hr""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = c.events.select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"), col("value"))
+      val b = ev.groupBy("event_type", "hr")
+        .agg(round(avg(col("value")) * lit(1e6) + lit(1e-9)).cast("long")
+          .as("vu"))
+      val grid = b.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val g = grid.join(b, Seq("event_type", "hr"), "left")
+      val wAsc = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDesc = Window.partitionBy("event_type").orderBy(col("hr").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hrIfPresent = when(col("vu").isNotNull, col("hr"))
+      val f = g
+        .withColumn("pv", last(col("vu"), ignoreNulls = true).over(wAsc))
+        .withColumn("ph", last(hrIfPresent, ignoreNulls = true).over(wAsc))
+        .withColumn("nv", last(col("vu"), ignoreNulls = true).over(wDesc))
+        .withColumn("nh", last(hrIfPresent, ignoreNulls = true).over(wDesc))
+      f.select(col("event_type"), col("hr"),
+          col("vu").isNotNull.as("present"),
+          r6((when(col("vu").isNotNull, col("vu"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) * lit(1.0) *
+              (col("hr") - col("ph")) / (col("nh") - col("ph"))))
+            / lit(1e6)).as("value"))
+        .orderBy("event_type", "hr")
+    },
   )
 }
