@@ -50,4 +50,23 @@ object IntervalJoin {
       .filter(col(startCol) <= col(ptCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Numeric BAND join: every (left, right) pair with
+    * |left.lCol − right.rCol| <= delta (LONG domain — map money to
+    * cents, timestamps to epoch units first). Plans as the bucketized
+    * equi-join above (each left value becomes the interval
+    * [v−delta, v+delta]), so Spark never falls back to the
+    * BroadcastNestedLoopJoin a raw `abs(a−b) <= delta` condition
+    * produces. Tolerance-matching workhorse: price reconciliation,
+    * timestamp alignment windows, measurement-error joins. */
+  def bandJoin(left: DataFrame, lCol: String,
+               right: DataFrame, rCol: String,
+               delta: Long, bucketWidth: Long = 0): DataFrame = {
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    val w = if (bucketWidth > 0) bucketWidth else math.max(1L, delta)
+    val iv = left.withColumn("__band_lo", col(lCol) - delta)
+      .withColumn("__band_hi", col(lCol) + delta)
+    pointInInterval(right, rCol, iv, "__band_lo", "__band_hi", w)
+      .drop("__band_lo", "__band_hi")
+  }
 }

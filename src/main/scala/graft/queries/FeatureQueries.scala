@@ -280,5 +280,79 @@ object FeatureQueries {
             / lit(1e6)).as("value"))
         .orderBy("event_type", "hr")
     },
+
+    // CUSUM changepoint scan (Page 1954) — the sequential drift
+    // detector over the hourly series: per type, the running sum of
+    // deviations from the series mean, flagged beyond 5σ. Deviations
+    // and the running sum are INTEGER micro-units (exact, order-safe);
+    // mean and σ are micro-rounded once per type. Same bounded-grid
+    // window shape as ts_resample_interp.
+    q("ts_cusum_changepoint",
+      """WITH ev AS (SELECT event_type,
+        |              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |                // 3600 AS hr, value
+        |            FROM events),
+        |b AS (SELECT event_type, hr,
+        |             CAST(round(avg(value) * 1e6 + 1e-9) AS BIGINT) vu
+        |      FROM ev GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |              CAST(round(avg(vu) + 1e-9) AS BIGINT) mu,
+        |              CAST(round(stddev_pop(vu) + 1e-9) AS BIGINT) sd
+        |       FROM b GROUP BY 1),
+        |c AS (SELECT b.event_type, b.hr, b.vu, st.mu, st.sd,
+        |             sum(b.vu - st.mu) OVER (PARTITION BY b.event_type
+        |               ORDER BY b.hr ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) cusum
+        |      FROM b JOIN st ON b.event_type = st.event_type)
+        |SELECT event_type, hr, round(cusum / 1e6 + 1e-9, 4) AS cusum,
+        |       abs(cusum) > 5 * sd AS drift
+        |FROM c ORDER BY event_type, hr""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = c.events.select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"), col("value"))
+      val b = ev.groupBy("event_type", "hr")
+        .agg(round(avg(col("value")) * lit(1e6) + lit(1e-9)).cast("long")
+          .as("vu"))
+      val st = b.groupBy("event_type")
+        .agg(round(avg(col("vu")) + lit(1e-9)).cast("long").as("mu"),
+          round(stddev_pop(col("vu")) + lit(1e-9)).cast("long").as("sd"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.join(broadcast(st), Seq("event_type"))
+        .withColumn("cusum", sum(col("vu") - col("mu")).over(w))
+        .select(col("event_type"), col("hr"),
+          r4(col("cusum") / lit(1e6)).as("cusum"),
+          (abs(col("cusum")) > lit(5) * col("sd")).as("drift"))
+        .orderBy("event_type", "hr")
+    },
+
+    // Numeric band join (IntervalJoin.bandJoin): order totals matched to
+    // line prices within +/-50 cents, in the integer cents domain — the
+    // tolerance-reconciliation join that a raw abs(a-b)<=d condition
+    // turns into a BroadcastNestedLoopJoin; here it is the bucketized
+    // equi-join (one bucket per point, (2d/W)+1 per interval). Output
+    // aggregated per return flag to keep the relation small.
+    q("join_band",
+      """WITH l AS (SELECT l_returnflag,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) lc
+        |           FROM lineitem),
+        |o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) oc
+        |      FROM orders)
+        |SELECT l_returnflag, count(*)::BIGINT AS n_pairs,
+        |       CAST(min(abs(lc - oc)) AS BIGINT) AS min_gap,
+        |       CAST(max(abs(lc - oc)) AS BIGINT) AS max_gap
+        |FROM l JOIN o ON abs(l.lc - o.oc) <= 50
+        |GROUP BY l_returnflag ORDER BY l_returnflag""") { c =>
+      val l = c.lineitem.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("lc"))
+      val o = c.orders.select(
+        round(col("o_totalprice") * 100).cast("long").as("oc"))
+      graft.ops.IntervalJoin.bandJoin(l, "lc", o, "oc", delta = 50L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("lc") - col("oc"))).as("min_gap"),
+          max(abs(col("lc") - col("oc"))).as("max_gap"))
+        .orderBy("l_returnflag")
+    },
   )
 }
