@@ -809,5 +809,82 @@ object CurationQueries {
           max(col("domain").isin("example.com")).as("blocklisted"))
         .orderBy("domain")
     },
+
+    // Full entity-resolution pipeline: block → match → CLUSTER — the
+    // step after dedup_fuzzy_link: matched name pairs become edges and
+    // transitive closure (ops/Components star-contraction) assigns every
+    // record an entity id. The clustering runs on the NAME DICTIONARY
+    // graph (each distinct name keyed by its min record id — tiny),
+    // records inherit their name's entity via one broadcast map-back;
+    // the corpus never enters the iterative part.
+    q("er_entities",
+      """WITH RECURSIVE nd AS (SELECT p_name, min(p_partkey) nid
+        |                      FROM part GROUP BY 1),
+        |np AS (SELECT a.nid an, b.nid bn
+        |       FROM nd a JOIN nd b ON a.nid < b.nid
+        |       WHERE (left(a.p_name, 3) = left(b.p_name, 3)
+        |              OR right(a.p_name, 3) = right(b.p_name, 3))
+        |         AND levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT an a, bn b FROM np UNION ALL SELECT bn, an FROM np),
+        |walk(id, comp) AS (
+        |  SELECT nid, nid FROM nd
+        |  UNION
+        |  SELECT e.b, w.comp FROM walk w JOIN e ON e.a = w.id),
+        |lab AS (SELECT id, min(comp) entity FROM walk GROUP BY 1)
+        |SELECT p.p_partkey, nd.nid AS name_id, lab.entity AS entity_id
+        |FROM part p JOIN nd ON p.p_name = nd.p_name
+        |JOIN lab ON nd.nid = lab.id
+        |ORDER BY p.p_partkey""") { c =>
+      val nd = c.part.groupBy("p_name")
+        .agg(min(col("p_partkey")).as("nid"))
+      val a = nd.select(col("p_name").as("na"), col("nid").as("an"))
+      val b = nd.select(col("p_name").as("nb"), col("nid").as("bn"))
+      val np = a.join(b, col("an") < col("bn") &&
+          (expr("left(na, 3) = left(nb, 3)") ||
+            expr("right(na, 3) = right(nb, 3)")) &&
+          levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("an"), col("bn"))
+      val labels = graft.ops.Components.connectedComponents(np, "an", "bn")
+      c.part.select(col("p_partkey"), col("p_name"))
+        .join(broadcast(nd), Seq("p_name"))
+        .join(broadcast(labels), col("nid") === col("id"), "left")
+        .select(col("p_partkey"), col("nid").as("name_id"),
+          coalesce(col("component"), col("nid")).as("entity_id"))
+        .orderBy("p_partkey")
+    },
+
+    // First/last-touch attribution — each purchase credits the earliest
+    // and latest view by the same user inside the preceding 24 h. The
+    // view↔purchase pairing is a user-keyed equi-join with a time-range
+    // predicate (the asof/interval family shape — user key partitions
+    // the work; never a cross join); credits aggregate per purchase in
+    // exact integer epoch seconds.
+    q("win_attribution",
+      """WITH p AS (SELECT event_id pid, user_id,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) vts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.pid, p.user_id, count(*)::BIGINT AS n_touches,
+        |       min(v.vts)::BIGINT AS first_touch,
+        |       max(v.vts)::BIGINT AS last_touch
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |              AND v.vts <= p.pts AND v.vts >= p.pts - 86400
+        |GROUP BY 1, 2 ORDER BY p.pid""") { c =>
+      val p = c.events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          expr("unix_timestamp(ts)").as("pts"))
+      val v = c.events.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("unix_timestamp(ts)").as("vts"))
+      p.join(v, Seq("user_id"))
+        .filter(col("vts") <= col("pts") &&
+          col("vts") >= col("pts") - 86400)
+        .groupBy("pid", "user_id")
+        .agg(count(lit(1)).as("n_touches"),
+          min(col("vts")).as("first_touch"),
+          max(col("vts")).as("last_touch"))
+        .orderBy("pid")
+    },
   )
 }

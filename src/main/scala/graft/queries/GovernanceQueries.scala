@@ -248,5 +248,34 @@ object GovernanceQueries {
           min(col("ok")).as("first_key"), max(col("ok")).as("last_key"))
         .orderBy("shard")
     },
+
+    // Skew-salted aggregation (ops/Skew.scala) cross-checked against
+    // the plain GROUP BY oracle on a deliberately skewed key (2/3 of
+    // lineitem collapses onto ONE key): the salted two-phase partial/
+    // final decomposition must be value-identical to the direct
+    // aggregate — sums in exact integer cents so salting order can
+    // never show through the hash gate.
+    q("agg_skew_salted",
+      """WITH k AS (SELECT CASE WHEN l_orderkey % 3 = 0
+        |                  THEN 'cold_' || l_orderkey::VARCHAR
+        |                  ELSE 'HOT' END AS key,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) c,
+        |                  l_quantity q
+        |           FROM lineitem)
+        |SELECT key, count(*)::BIGINT AS n, sum(c)::BIGINT AS cents,
+        |       CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q
+        |FROM k GROUP BY key ORDER BY n DESC, key LIMIT 20""") { c =>
+      import graft.ops.Skew
+      val k = c.lineitem.select(
+        when(col("l_orderkey") % 3 === 0,
+          concat(lit("cold_"), col("l_orderkey").cast("string")))
+          .otherwise(lit("HOT")).as("key"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"),
+        col("l_quantity").cast("long").as("q"))
+      Skew.saltedAgg(k, Seq("key"), Seq(
+          Skew.count2("n"), Skew.sum2(col("c"), "cents"),
+          Skew.min2(col("q"), "min_q"), Skew.max2(col("q"), "max_q")))
+        .orderBy(col("n").desc, col("key")).limit(20)
+    },
   )
 }
