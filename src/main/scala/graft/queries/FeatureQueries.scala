@@ -354,5 +354,87 @@ object FeatureQueries {
           max(abs(col("lc") - col("oc"))).as("max_gap"))
         .orderBy("l_returnflag")
     },
+
+    // Precision-recall curve over the score HISTOGRAM: one point per
+    // distinct score threshold, cumulative TP/FP from a running sum
+    // over the score-cardinality-bounded relation (50 quantized levels
+    // here — for continuous scores, quantize first or use the
+    // Positional cumsum path rocAuc takes; the histogram, not the
+    // corpus, enters the window). Precision/recall are exact rationals
+    // of integer counts, rounded once.
+    q("ml_pr_curve",
+      """WITH s AS (SELECT l_quantity AS score,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |h AS (SELECT score, count(*) n, sum(y) pos FROM s GROUP BY 1),
+        |t AS (SELECT sum(pos) tpos FROM h),
+        |c AS (SELECT score,
+        |             sum(pos) OVER (ORDER BY score DESC) ctp,
+        |             sum(n)   OVER (ORDER BY score DESC) cn
+        |      FROM h)
+        |SELECT score, ctp::BIGINT AS tp, (cn - ctp)::BIGINT AS fp,
+        |       round(ctp * 1.0 / cn + 1e-9, 6) AS precision,
+        |       round(ctp * 1.0 / t.tpos + 1e-9, 6) AS recall
+        |FROM c, t ORDER BY score DESC""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val s = c.lineitem.select(col("l_quantity").as("score"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      val h = s.groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val t = h.agg(sum(col("pos")).as("tpos"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("ctp", sum(col("pos")).over(w))
+        .withColumn("cn", sum(col("n")).over(w))
+        .crossJoin(broadcast(t))
+        .select(col("score"), col("ctp").as("tp"),
+          (col("cn") - col("ctp")).as("fp"),
+          r6(col("ctp") * lit(1.0) / col("cn")).as("precision"),
+          r6(col("ctp") * lit(1.0) / col("tpos")).as("recall"))
+        .orderBy(col("score").desc)
+    },
+
+    // Decile lift/gains table — rank by the score proxy, split into 10
+    // equal-depth bins with the DISTRIBUTED Positional row number (no
+    // global ntile window), per-bin response rate and cumulative lift
+    // vs the base rate. The targeting-model evaluation every campaign/
+    // quality-classifier rollout reads.
+    q("ml_lift_table",
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |                  l_quantity + l_orderkey * 1e-9 AS score,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |r AS (SELECT y, row_number() OVER (ORDER BY score DESC,
+        |                l_orderkey, l_linenumber) rn,
+        |             count(*) OVER () n, sum(y) OVER () pos
+        |      FROM s),
+        |d AS (SELECT y, (rn - 1) * 10 // n AS decile, n, pos FROM r)
+        |SELECT decile, count(*)::BIGINT AS n_rows,
+        |       sum(y)::BIGINT AS n_pos,
+        |       round(sum(y) * 1.0 / count(*) + 1e-9, 6) AS response_rate,
+        |       round((sum(y) * 1.0 / count(*))
+        |             / (max(pos) * 1.0 / max(n)) + 1e-9, 4) AS lift
+        |FROM d GROUP BY decile ORDER BY decile""") { c =>
+      import graft.ops.Positional
+      val s = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_orderkey") * lit(1e-9)).as("score"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      // Positional needs the first sort column ASCENDING — rank on the
+      // negated score so "best first" still holds
+      val rn = Positional.withRowNumber(
+        s.withColumn("negscore", -col("score")),
+        Seq(col("negscore"), col("l_orderkey"), col("l_linenumber")), "rn")
+      val tot = s.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      rn.crossJoin(broadcast(tot))
+        .select(col("y"), expr("(rn - 1) * 10 div n").as("decile"),
+          col("n"), col("pos"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("n_pos"),
+          r6(sum(col("y")) * lit(1.0) / count(lit(1)))
+            .as("response_rate"),
+          r4((sum(col("y")) * lit(1.0) / count(lit(1))) /
+            (max(col("pos")) * lit(1.0) / max(col("n")))).as("lift"))
+        .orderBy("decile")
+    },
   )
 }
