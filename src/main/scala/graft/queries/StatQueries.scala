@@ -133,5 +133,115 @@ object StatQueries {
             (max(col("n0")) * lit(1.0) * max(col("n1")))).as("d_stat"))
         .select(col("n0"), col("n1"), col("d_stat"))
     },
+
+    // Association-rule mining (Agrawal & Srikant 1994, the 2-itemset
+    // tier): co-purchased part pairs with support/confidence/lift from
+    // integer basket counts. The pair enumeration is the same order-
+    // keyed self-join as the graph queries (bounded by per-basket
+    // fan-out, never corpus×corpus); rule metrics are exact rationals
+    // rounded once. Top-10 by (lift, pair) via TakeOrdered; min support 2 baskets at this corpus density.
+    q("mine_assoc_rules",
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |           WHERE l_quantity > 40),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+        |item AS (SELECT l_partkey, count(*) cnt FROM b GROUP BY 1),
+        |pair AS (SELECT a.l_partkey x, b2.l_partkey y, count(*) cxy
+        |         FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+        |         WHERE a.l_partkey < b2.l_partkey
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (SELECT p.x, p.y, p.cxy, ix.cnt cx, iy.cnt cy, n.nb
+        |      FROM pair p JOIN item ix ON p.x = ix.l_partkey
+        |                  JOIN item iy ON p.y = iy.l_partkey
+        |                  CROSS JOIN n)
+        |SELECT x, y, cxy::BIGINT AS n_xy,
+        |       round(cxy * 1.0 / nb + 1e-9, 6) AS support,
+        |       round(cxy * 1.0 / cx + 1e-9, 6) AS confidence,
+        |       round(cxy * 1.0 * nb / (cx * 1.0 * cy) + 1e-9, 4) AS lift
+        |FROM r ORDER BY lift DESC, x, y LIMIT 10""") { c =>
+      val b = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = b.agg(countDistinct(col("l_orderkey")).as("nb"))
+      val item = b.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val pair = b.as("a").join(b.as("b2"),
+          col("a.l_orderkey") === col("b2.l_orderkey") &&
+            col("a.l_partkey") < col("b2.l_partkey"))
+        .select(col("a.l_partkey").as("x"), col("b2.l_partkey").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 2)
+      pair
+        .join(item.select(col("l_partkey").as("x"), col("cnt").as("cx")),
+          Seq("x"))
+        .join(item.select(col("l_partkey").as("y"), col("cnt").as("cy")),
+          Seq("y"))
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("cxy").as("n_xy"),
+          r6(col("cxy") * lit(1.0) / col("nb")).as("support"),
+          r6(col("cxy") * lit(1.0) / col("cx")).as("confidence"),
+          r4(col("cxy") * lit(1.0) * col("nb") /
+            (col("cx") * lit(1.0) * col("cy"))).as("lift"))
+        .orderBy(col("lift").desc, col("x"), col("y")).limit(10)
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavioral model behind next-event prediction and
+    // anomalous-session scoring. Successive events pair up through ONE
+    // user-partitioned lead() window (ordered by time, id tiebreak);
+    // transition probabilities are exact count rationals.
+    q("events_markov_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS next_type
+        |           FROM events),
+        |t AS (SELECT event_type, next_type, count(*) c FROM s
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, sum(c) tot FROM t GROUP BY 1)
+        |SELECT t.event_type AS from_type, t.next_type AS to_type,
+        |       t.c::BIGINT AS n,
+        |       round(t.c * 1.0 / m.tot + 1e-9, 6) AS p
+        |FROM t JOIN m ON t.event_type = m.event_type
+        |ORDER BY from_type, to_type""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val s = c.events.select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))).as("next_type"))
+      val t = s.filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("c"))
+      val m = t.groupBy("event_type").agg(sum(col("c")).as("tot"))
+      t.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type").as("from_type"),
+          col("next_type").as("to_type"), col("c").as("n"),
+          r6(col("c") * lit(1.0) / col("tot")).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
+    // Zipf's-law fit of the corpus vocabulary: regression slope of
+    // ln(freq) on ln(rank) — the corpus-health statistic (natural text
+    // ≈ −1; generated/boilerplate corpora drift). Frequency ranks come
+    // from the DISTRIBUTED Positional row number over the vocabulary
+    // (vocab can be corpus-scale; no global window), the fit is the
+    // ANSI regr_slope/regr_intercept aggregate pair.
+    q("text_zipf_fit",
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) w
+        |           FROM documents),
+        |f AS (SELECT w, count(*) freq FROM w GROUP BY 1),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, w) rk
+        |      FROM f)
+        |SELECT count(*)::BIGINT AS vocab,
+        |       round(regr_slope(ln(freq), ln(rk)) + 1e-9, 4) AS zipf_slope,
+        |       round(regr_intercept(ln(freq), ln(rk)) + 1e-9, 4)
+        |         AS zipf_intercept,
+        |       round(regr_r2(ln(freq), ln(rk)) + 1e-9, 4) AS r2
+        |FROM r""") { c =>
+      val f = c.documents.select(explode(
+          expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val r = Positional.withRowNumber(
+        f.withColumn("negf", -col("freq")),
+        Seq(col("negf"), col("w")), "rk")
+      r.agg(count(lit(1)).as("vocab"),
+        r4(expr("regr_slope(ln(freq), ln(rk))")).as("zipf_slope"),
+        r4(expr("regr_intercept(ln(freq), ln(rk))")).as("zipf_intercept"),
+        r4(expr("regr_r2(ln(freq), ln(rk))")).as("r2"))
+    },
   )
 }
