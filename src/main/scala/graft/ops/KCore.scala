@@ -59,7 +59,7 @@ object KCore {
     * driver-side values are the per-round edge counts (one Long each);
     * everything else stays distributed. */
   def core(edges: DataFrame, src: String, dst: String, k: Int,
-           maxRounds: Int = 50): DataFrame = {
+           maxRounds: Int = 200): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = canon(edges, src, dst).localCheckpoint(true)
     var n = e.count()
@@ -72,6 +72,12 @@ object KCore {
       converged = m == n
       e = next; n = m; i += 1
     }
+    // a partially-peeled graph is NOT a k-core — long path graphs peel
+    // only from the ends (2 nodes/round), so hitting the bound must be
+    // loud, never a silently-wrong result
+    if (!converged) throw new IllegalStateException(
+      s"KCore.core: not converged after $maxRounds rounds " +
+        s"($n edges remain) — raise maxRounds")
     e
   }
 

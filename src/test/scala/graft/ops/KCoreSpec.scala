@@ -62,6 +62,17 @@ class KCoreSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("hitting maxRounds without convergence is loud, never partial") {
+    // a 12-node path with k=2 peels 2 end-nodes per round (6 rounds to
+    // empty); maxRounds=2 must throw rather than return the half-peeled
+    // middle as if it were the 2-core
+    val path = (1L to 11L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      KCore.core(edgesDf(path), "s", "d", 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("pinned rounds equal convergence once stable") {
     val pairs = Seq[(Long, Long)](
       (1, 2), (1, 3), (2, 3), (3, 4), (4, 5))
