@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Randomized invariants for the mergeable-sketch operators — the
+  * guarantees the oracled queries rely on, exercised over generated
+  * inputs rather than the fixed corpora:
+  *  - Bloom: NO false negatives, ever (the semi-join equality hinges on
+  *    this).
+  *  - Misra-Gries: every key with frequency > n/capacity survives the
+  *    sketch regardless of partitioning (the candidate-superset
+  *    guarantee the exact recount builds on).
+  *  - TopK: equals the brute-force sort on random multisets.
+  * Sampling follows the RelJsonFuzzSpec style (raw scalacheck Gen with
+  * a deterministic seed walk — scalatestplus is not on the classpath).
+  */
+class SketchPropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    var seed = rng.Seed(20260814L)
+    val out = Seq.newBuilder[A]
+    var got = 0
+    while (got < n) {
+      g.apply(params, seed).foreach { a => out += a; got += 1 }
+      seed = seed.next
+    }
+    out.result()
+  }
+
+  test("bloom: no false negatives over random key sets (15 cases)") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1000000L, 1000000L))
+      .map(_.take(300))
+    samples(gen, 15).foreach { ks =>
+      val df = spark.createDataFrame(ks.map(Tuple1(_))).toDF("k")
+      val bits = Bloom.buildBits(df, col("k"), mBits = 1 << 14)
+      val pass = df.filter(Bloom.mightContain(col("k"), bits)).count()
+      assert(pass === ks.size.toLong,
+        "every inserted key must pass membership")
+    }
+  }
+
+  test("misra-gries: heavy keys survive any partitioning (10 cases)") {
+    val gen = for {
+      hot <- Gen.chooseNum(1, 4)
+      coldN <- Gen.chooseNum(50, 300)
+      parts <- Gen.chooseNum(1, 9)
+    } yield (hot, coldN, parts)
+    samples(gen, 10).foreach { case (hot, coldN, parts) =>
+      val rows =
+        (0 until hot).flatMap(h => Seq.fill(coldN)(s"hot_$h")) ++
+          (0 until coldN).map(i => s"cold_$i")
+      val df = spark.createDataFrame(rows.map(Tuple1(_))).toDF("k")
+        .repartition(parts)
+      val cap = 32
+      val n = rows.size
+      val cands = HeavyHitters.candidates(df, col("k"), cap)
+        .collect().map(_.getString(0)).toSet
+      rows.groupBy(identity).foreach { case (k, xs) =>
+        if (xs.size > n.toDouble / cap)
+          assert(cands.contains(k), s"lost heavy key $k (${xs.size}/$n)")
+      }
+    }
+  }
+
+  test("topk: equals brute force on random multisets (15 cases)") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      k <- Gen.chooseNum(1, 12)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50, 50))
+    } yield (k, vals)
+    samples(gen, 15).foreach { case (k, vals) =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        ("g", v.toDouble, s"id$i")
+      }
+      val df = spark.createDataFrame(rows).toDF("g", "v", "id")
+      val got = TopK.perKey(df.repartition(4), col("g"), col("v"),
+          col("id"), k)
+        .orderBy("rank")
+        .collect().map(r => (r.getDouble(2), r.getString(3))).toSeq
+      val want = rows.map(t => (t._2, t._3))
+        .sortBy(t => (-t._1, t._2)).take(k)
+      assert(got === want)
+    }
+  }
+}
