@@ -436,5 +436,103 @@ object FeatureQueries {
             (max(col("pos")) * lit(1.0) / max(col("n")))).as("lift"))
         .orderBy("decile")
     },
+
+    // Population stability index (the model-monitoring drift metric):
+    // bin boundaries come from the REFERENCE window's deciles (first
+    // half of lineitem by ship date), both windows' prices are bucketed
+    // by those same micro-rounded cutpoint literals, and
+    // PSI = Σ (p−q)·ln(p/q) over the 10 bins (a model-sized relation;
+    // bin fractions are exact count rationals, the PSI terms micro-
+    // quantized before the sum). PSI > 0.2 = action threshold.
+    q("ml_psi_drift",
+      """WITH ref AS (SELECT l_extendedprice v FROM lineitem
+        |             WHERE l_shipdate < '2024-06-01'),
+        |cur AS (SELECT l_extendedprice v FROM lineitem
+        |        WHERE l_shipdate >= '2024-06-01'),
+        |b AS (SELECT list_transform(
+        |               quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |               c -> round(c * 1e6 + 1e-9)) AS cuts
+        |      FROM ref),
+        |rb AS (SELECT len(list_filter(b.cuts,
+        |                c -> round(r.v * 1e6 + 1e-9) >= c)) AS bin,
+        |              count(*) n
+        |       FROM ref r CROSS JOIN b GROUP BY 1),
+        |cb AS (SELECT len(list_filter(b.cuts,
+        |                c -> round(r.v * 1e6 + 1e-9) >= c)) AS bin,
+        |              count(*) n
+        |       FROM cur r CROSS JOIN b GROUP BY 1),
+        |tt AS (SELECT (SELECT sum(n) FROM rb) rn, (SELECT sum(n) FROM cb) cn),
+        |terms AS (SELECT rb.bin,
+        |                 CAST(round((rb.n * 1.0 / tt.rn - cb.n * 1.0 / tt.cn)
+        |                      * ln((rb.n * 1.0 / tt.rn) / (cb.n * 1.0 / tt.cn))
+        |                      * 1e9 + 1e-9) AS BIGINT) term_u
+        |          FROM rb JOIN cb ON rb.bin = cb.bin CROSS JOIN tt)
+        |SELECT count(*)::BIGINT AS n_bins,
+        |       round(sum(term_u) / 1e9 + 1e-9, 6) AS psi,
+        |       round(sum(term_u) / 1e9 + 1e-9, 6) > 0.2 AS drifted
+        |FROM terms""") { c =>
+      val ref = c.lineitem.filter(col("l_shipdate") < lit("2024-06-01"))
+        .select(col("l_extendedprice").as("v"))
+      val cur = c.lineitem.filter(col("l_shipdate") >= lit("2024-06-01"))
+        .select(col("l_extendedprice").as("v"))
+      val cuts = ref.agg(transform(percentile(col("v"),
+          typedlit((1 to 9).map(_ / 10.0))),
+        x => round(x * lit(1e6) + lit(1e-9))).as("cuts"))
+      def binned(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(cuts))
+          .select(size(filter(col("cuts"),
+            cc => round(col("v") * lit(1e6) + lit(1e-9)) >= cc)).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+      val rb = binned(ref).withColumnRenamed("n", "rn_b")
+      val cb = binned(cur).withColumnRenamed("n", "cn_b")
+      val tt = rb.agg(sum(col("rn_b")).as("rn"))
+        .crossJoin(cb.agg(sum(col("cn_b")).as("cn")))
+      val terms = rb.join(cb, Seq("bin")).crossJoin(broadcast(tt))
+        .select(round((col("rn_b") * lit(1.0) / col("rn") -
+            col("cn_b") * lit(1.0) / col("cn")) *
+          log((col("rn_b") * lit(1.0) / col("rn")) /
+            (col("cn_b") * lit(1.0) / col("cn"))) * lit(1e9) + lit(1e-9))
+          .cast("long").as("term_u"))
+      terms.agg(count(lit(1)).as("n_bins"),
+        r6(sum(col("term_u")) / lit(1e9)).as("psi"),
+        (r6(sum(col("term_u")) / lit(1e9)) > 0.2).as("drifted"))
+    },
+
+    // Winsorization at p01/p99 — the robust clipping that precedes any
+    // scale-sensitive fit: two exact percentiles from one pass become
+    // plan literals via a 1-row broadcast; the clip is a pure
+    // projection. Output is the per-flag profile of the clipped column
+    // with exact clip counts.
+    q("fe_winsorize",
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) lo,
+        |                  quantile_cont(l_extendedprice, 0.99) hi
+        |           FROM lineitem),
+        |w AS (SELECT l_returnflag,
+        |             least(greatest(l_extendedprice, b.lo), b.hi) wv,
+        |             (l_extendedprice < b.lo)::INT clip_lo,
+        |             (l_extendedprice > b.hi)::INT clip_hi
+        |      FROM lineitem CROSS JOIN b)
+        |SELECT l_returnflag, count(*)::BIGINT AS n,
+        |       sum(clip_lo)::BIGINT AS n_clip_lo,
+        |       sum(clip_hi)::BIGINT AS n_clip_hi,
+        |       round(CAST(sum(CAST(wv AS DECIMAL(18,4))) AS DOUBLE)
+        |             + 1e-9, 2) AS wsum
+        |FROM w GROUP BY 1 ORDER BY 1""") { c =>
+      val b = c.lineitem.agg(
+        percentile(col("l_extendedprice"), lit(0.01)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("hi"))
+      c.lineitem.crossJoin(broadcast(b))
+        .select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+            .as("wv"),
+          (col("l_extendedprice") < col("lo")).cast("int").as("clip_lo"),
+          (col("l_extendedprice") > col("hi")).cast("int").as("clip_hi"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("clip_lo")).as("n_clip_lo"),
+          sum(col("clip_hi")).as("n_clip_hi"),
+          r2(dsum(col("wv"))).as("wsum"))
+        .orderBy("l_returnflag")
+    },
   )
 }
