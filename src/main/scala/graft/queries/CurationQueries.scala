@@ -886,5 +886,99 @@ object CurationQueries {
           max(col("vts")).as("last_touch"))
         .orderBy("pid")
     },
+
+    // URL-level dedup keeping the BEST page per canonical URL
+    // (RefinedWeb's URL dedup: crawls re-fetch the same page; keep the
+    // longest capture, tie-break lowest doc id). Canonical keys are the
+    // text_url_canonical normalization with a colliding path space
+    // (doc_id % 40) so the dedup genuinely fires; winner selection is a
+    // canonical-key-partitioned first-row window (hash-distributed by
+    // key, the dedup_paragraph_first shape).
+    q("llm_dedup_url",
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    lower('Site' || (doc_id % 5)::VARCHAR ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN '.example.com'
+        |       ELSE '.test.org' END)) || '/p/' || (doc_id % 40)::VARCHAR
+        |      AS canonical
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, canonical,
+        |             row_number() OVER (PARTITION BY canonical
+        |               ORDER BY n_chars DESC, doc_id) rn,
+        |             count(*) OVER (PARTITION BY canonical) dups
+        |      FROM d)
+        |SELECT canonical, doc_id AS kept_doc, n_chars,
+        |       dups::BIGINT AS n_captures
+        |FROM r WHERE rn = 1 ORDER BY canonical""") { c =>
+      val d = c.documents.select(col("doc_id"), col("n_chars"),
+        concat(lower(concat(lit("Site"),
+            (col("doc_id") % 5).cast("string"),
+            when(col("doc_id") % 2 === 0, lit(".example.com"))
+              .otherwise(lit(".test.org")))),
+          lit("/p/"), (col("doc_id") % 40).cast("string")).as("canonical"))
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy("canonical")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_captures", count(lit(1)).over(
+          Window.partitionBy("canonical")))
+        .filter(col("rn") === 1)
+        .select(col("canonical"), col("doc_id").as("kept_doc"),
+          col("n_chars"), col("n_captures"))
+        .orderBy("canonical")
+    },
+
+    // RFM segmentation (recency / frequency / monetary quintile scores)
+    // — the classic customer-analytics rollup: per-user purchase
+    // recency/frequency/monetary in one aggregation, quintile CUTPOINTS
+    // from one multi-percentile pass baked in as micro-rounded broadcast
+    // literals (no user-dimension-sized ranking window), per-user
+    // scores as bucket arithmetic, segment occupancy as the output.
+    q("events_rfm",
+      """WITH u AS (SELECT user_id,
+        |             max(CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |                 AS BIGINT)) AS last_ts,
+        |             count(*) freq,
+        |             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) mon
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cut AS (SELECT
+        |  list_transform(quantile_cont(last_ts * 1.0, [0.2,0.4,0.6,0.8]),
+        |                 c -> round(c * 1e2 + 1e-9)) rc,
+        |  list_transform(quantile_cont(freq * 1.0, [0.2,0.4,0.6,0.8]),
+        |                 c -> round(c * 1e2 + 1e-9)) fc,
+        |  list_transform(quantile_cont(mon, [0.2,0.4,0.6,0.8]),
+        |                 c -> round(c * 1e2 + 1e-9)) mc
+        |  FROM u),
+        |s AS (SELECT
+        |  1 + len(list_filter(cut.rc, c -> round(u.last_ts * 1e2 + 1e-9) > c))
+        |    AS r_score,
+        |  1 + len(list_filter(cut.fc, c -> round(u.freq * 1e2 + 1e-9) > c))
+        |    AS f_score,
+        |  1 + len(list_filter(cut.mc, c -> round(u.mon * 1e2 + 1e-9) > c))
+        |    AS m_score
+        |  FROM u CROSS JOIN cut)
+        |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""") { c =>
+      val u = c.events.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(expr("unix_timestamp(ts)")).as("last_ts"),
+          count(lit(1)).as("freq"),
+          dsum(col("value")).as("mon"))
+      def cuts(cc: org.apache.spark.sql.Column) =
+        transform(percentile(cc, typedlit(Seq(0.2, 0.4, 0.6, 0.8))),
+          x => round(x * lit(1e2) + lit(1e-9)))
+      val cut = u.agg(cuts(col("last_ts") * lit(1.0)).as("rc"),
+        cuts(col("freq") * lit(1.0)).as("fc"),
+        cuts(col("mon")).as("mc"))
+      def score(v: org.apache.spark.sql.Column,
+                cs: org.apache.spark.sql.Column) =
+        lit(1) + size(filter(cs,
+          cc => round(v * lit(1e2) + lit(1e-9)) > cc))
+      u.crossJoin(broadcast(cut))
+        .select(score(col("last_ts") * lit(1.0), col("rc")).as("r_score"),
+          score(col("freq") * lit(1.0), col("fc")).as("f_score"),
+          score(col("mon"), col("mc")).as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
   )
 }

@@ -277,5 +277,51 @@ object GovernanceQueries {
           Skew.min2(col("q"), "min_q"), Skew.max2(col("q"), "max_q")))
         .orderBy(col("n").desc, col("key")).limit(20)
     },
+
+    // Right-to-be-forgotten purge (GDPR art. 17 shape): a deletion-
+    // request list (customers with c_custkey%97=0) is anti-joined out
+    // of the customer dimension AND cascaded through orders; the audit
+    // manifest records per-table purge counts and a deterministic
+    // tombstone digest (md5 over the sorted purged-key list) so the
+    // erasure is verifiable without retaining the data. Anti joins are
+    // broadcast-able; the digest aggregates the REQUEST list, not the
+    // corpus.
+    q("gov_rtbf_purge",
+      """WITH req AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |pc AS (SELECT count(*) n FROM customer c
+        |       WHERE EXISTS (SELECT 1 FROM req r
+        |                     WHERE r.c_custkey = c.c_custkey)),
+        |po AS (SELECT count(*) n FROM orders o
+        |       WHERE EXISTS (SELECT 1 FROM req r
+        |                     WHERE r.c_custkey = o.o_custkey)),
+        |rc AS (SELECT count(*) n FROM customer c
+        |       WHERE NOT EXISTS (SELECT 1 FROM req r
+        |                         WHERE r.c_custkey = c.c_custkey)),
+        |dg AS (SELECT md5(string_agg(c_custkey::VARCHAR, ','
+        |                  ORDER BY c_custkey)) d
+        |       FROM req)
+        |SELECT (SELECT count(*) FROM req)::BIGINT AS n_requests,
+        |       pc.n::BIGINT AS purged_customers,
+        |       po.n::BIGINT AS purged_orders,
+        |       rc.n::BIGINT AS remaining_customers,
+        |       dg.d AS tombstone_digest
+        |FROM pc, po, rc, dg""") { c =>
+      val req = c.customer.filter(col("c_custkey") % 97 === 0)
+        .select("c_custkey")
+      val purgedC = c.customer.join(req, Seq("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("purged_customers"))
+      val purgedO = c.orders.join(req.withColumnRenamed("c_custkey",
+          "o_custkey"), Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("purged_orders"))
+      val remaining = c.customer.join(req, Seq("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("remaining_customers"))
+      val digest = req.agg(
+        md5(expr("array_join(transform(array_sort(collect_list(" +
+          "c_custkey)), x -> cast(x AS STRING)), ',')"))
+          .as("tombstone_digest"))
+      val nReq = req.agg(count(lit(1)).as("n_requests"))
+      nReq.crossJoin(purgedC).crossJoin(purgedO)
+        .crossJoin(remaining).crossJoin(digest)
+    },
   )
 }
