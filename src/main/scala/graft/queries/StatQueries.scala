@@ -243,5 +243,52 @@ object StatQueries {
         r4(expr("regr_intercept(ln(freq), ln(rk))")).as("zipf_intercept"),
         r4(expr("regr_r2(ln(freq), ln(rk))")).as("r2"))
     },
+
+    // Frequent event-path mining — top event-type TRIGRAM paths across
+    // user sessions (the sequential-pattern complement of the Markov
+    // matrix: which exact 3-step journeys dominate). Per-user ordered
+    // sequences come from ONE sort_array(collect_list) aggregation
+    // (state bounded by per-user event counts), trigrams explode from
+    // the sequence, support is an exact count rational over users.
+    q("events_frequent_paths",
+      """WITH ord AS (SELECT user_id, event_type,
+        |                 row_number() OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) rn,
+        |                 count(*) OVER (PARTITION BY user_id) n
+        |          FROM events),
+        |tri AS (SELECT a.user_id,
+        |               a.event_type || '>' || b.event_type || '>'
+        |                 || c.event_type AS path
+        |        FROM ord a JOIN ord b ON a.user_id = b.user_id
+        |                             AND b.rn = a.rn + 1
+        |                   JOIN ord c ON a.user_id = c.user_id
+        |                             AND c.rn = a.rn + 2),
+        |u AS (SELECT count(DISTINCT user_id) nu FROM events)
+        |SELECT path, count(*)::BIGINT AS n_occurrences,
+        |       count(DISTINCT tri.user_id)::BIGINT AS n_users,
+        |       round(count(DISTINCT tri.user_id) * 1.0 / u.nu + 1e-9, 6)
+        |         AS user_support
+        |FROM tri, u GROUP BY path, u.nu
+        |ORDER BY n_occurrences DESC, path LIMIT 15""") { c =>
+      // order key is MICROSECOND epoch + id so the in-array sort agrees
+      // with the oracle's ORDER BY ts, event_id at full ts precision
+      val s = c.events.groupBy("user_id")
+        .agg(expr("transform(array_sort(collect_list(struct(" +
+          "unix_micros(cast(ts AS TIMESTAMP)) AS t, event_id AS i, event_type AS e)))," +
+          " x -> x.e)").as("seq"))
+      val tri = s.select(col("user_id"), explode(expr(
+          "CASE WHEN size(seq) >= 3 THEN transform(" +
+            "sequence(0, size(seq) - 3), " +
+            "i -> concat(seq[i], '>', seq[i + 1], '>', seq[i + 2])) " +
+            "ELSE array() END")).as("path"))
+      val u = c.events.agg(countDistinct(col("user_id")).as("nu"))
+      tri.groupBy("path")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(u))
+        .select(col("path"), col("n_occurrences"), col("n_users"),
+          r6(col("n_users") * lit(1.0) / col("nu")).as("user_support"))
+        .orderBy(col("n_occurrences").desc, col("path")).limit(15)
+    },
   )
 }
