@@ -323,5 +323,113 @@ object GovernanceQueries {
       nReq.crossJoin(purgedC).crossJoin(purgedO)
         .crossJoin(remaining).crossJoin(digest)
     },
+
+    // Dataset diff / reconciliation (the datacompy shape): the current
+    // customer table against a mutated snapshot (planted: %13 balance
+    // drift, %17 segment change, %41 dropped, shifted keys added), ONE
+    // full-outer key join classifying added/removed/changed/unchanged
+    // plus per-column change counts — the audit a migration or
+    // backfill runs before swapping tables. Exact integer counts; at
+    // scale this is one key-partitioned join, AQE-skew-safe.
+    q("dq_table_diff",
+      """WITH cur AS (SELECT c_custkey k, c_acctbal bal, c_mktsegment seg
+        |             FROM customer),
+        |snap AS (
+        |  SELECT k, CASE WHEN k % 13 = 0 THEN bal + 5.0 ELSE bal END bal,
+        |         CASE WHEN k % 17 = 0 THEN 'MOVED' ELSE seg END seg
+        |  FROM cur WHERE k % 41 <> 0
+        |  UNION ALL
+        |  SELECT k + 5000000, bal, seg FROM cur WHERE k % 53 = 0),
+        |j AS (SELECT coalesce(c.k, s.k) k,
+        |             c.k IS NULL AS added, s.k IS NULL AS removed,
+        |             (c.k IS NOT NULL AND s.k IS NOT NULL AND
+        |              (c.bal IS DISTINCT FROM s.bal OR
+        |               c.seg IS DISTINCT FROM s.seg)) AS changed,
+        |             (c.k IS NOT NULL AND s.k IS NOT NULL AND
+        |              c.bal IS DISTINCT FROM s.bal) AS bal_chg,
+        |             (c.k IS NOT NULL AND s.k IS NOT NULL AND
+        |              c.seg IS DISTINCT FROM s.seg) AS seg_chg
+        |      FROM cur c FULL OUTER JOIN snap s ON c.k = s.k)
+        |SELECT count(*)::BIGINT AS n_keys,
+        |       sum(added::INT)::BIGINT AS n_added,
+        |       sum(removed::INT)::BIGINT AS n_removed,
+        |       sum(changed::INT)::BIGINT AS n_changed,
+        |       sum(bal_chg::INT)::BIGINT AS n_bal_changed,
+        |       sum(seg_chg::INT)::BIGINT AS n_seg_changed
+        |FROM j""") { c =>
+      val cur = c.customer.select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val snap = cur.filter(col("k") % 41 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, col("bal") + 5.0)
+            .otherwise(col("bal")).as("bal"),
+          when(col("k") % 17 === 0, lit("MOVED"))
+            .otherwise(col("seg")).as("seg"))
+        .unionByName(cur.filter(col("k") % 53 === 0)
+          .select((col("k") + 5000000).as("k"), col("bal"), col("seg")))
+      val j = cur.as("c").join(snap.as("s"),
+          col("c.k") === col("s.k"), "full_outer")
+        .select(
+          col("c.k").isNull.as("added"),
+          col("s.k").isNull.as("removed"),
+          (col("c.k").isNotNull && col("s.k").isNotNull &&
+            (!(col("c.bal") <=> col("s.bal")) ||
+              !(col("c.seg") <=> col("s.seg")))).as("changed"),
+          (col("c.k").isNotNull && col("s.k").isNotNull &&
+            !(col("c.bal") <=> col("s.bal"))).as("bal_chg"),
+          (col("c.k").isNotNull && col("s.k").isNotNull &&
+            !(col("c.seg") <=> col("s.seg"))).as("seg_chg"))
+      j.agg(count(lit(1)).as("n_keys"),
+        sum(col("added").cast("int")).as("n_added"),
+        sum(col("removed").cast("int")).as("n_removed"),
+        sum(col("changed").cast("int")).as("n_changed"),
+        sum(col("bal_chg").cast("int")).as("n_bal_changed"),
+        sum(col("seg_chg").cast("int")).as("n_seg_changed"))
+    },
+
+    // Pareto / ABC contribution analysis — parts ranked by revenue with
+    // cumulative share classes (A < 80%, B < 95%, C rest), the 80/20
+    // inventory classification. The cumulative revenue comes from the
+    // DISTRIBUTED Positional cumsum over (revenue DESC, key) — the part
+    // dimension is corpus-scale in general, so no global ranking
+    // window; revenue itself is an exact integer-cents sum.
+    q("agg_pareto_abc",
+      """WITH r AS (SELECT l_partkey,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) rev
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) tot FROM r),
+        |c AS (SELECT l_partkey, rev,
+        |             sum(rev) OVER (ORDER BY rev DESC, l_partkey) crev
+        |      FROM r),
+        |cls AS (SELECT l_partkey, rev,
+        |               CASE WHEN crev * 100 <= t.tot * 80 THEN 'A'
+        |                    WHEN crev * 100 <= t.tot * 95 THEN 'B'
+        |                    ELSE 'C' END AS abc
+        |        FROM c, t)
+        |SELECT abc, count(*)::BIGINT AS n_parts,
+        |       sum(rev)::BIGINT AS cents,
+        |       round(sum(rev) * 1.0 / max(t2.tot) + 1e-9, 6) AS share
+        |FROM cls, (SELECT tot FROM t) t2
+        |GROUP BY abc ORDER BY abc""") { c =>
+      import graft.ops.Positional
+      val r = c.lineitem.groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev"))
+      val t = r.agg(sum(col("rev")).as("tot"))
+      // exclusive cumsum + own rev = inclusive running revenue
+      val cum = Positional.withCumSum(
+        r.withColumn("negrev", -col("rev")),
+        Seq(col("negrev"), col("l_partkey")), col("rev"), "crev0")
+        .withColumn("crev", col("crev0") + col("rev"))
+      cum.crossJoin(broadcast(t))
+        .withColumn("abc",
+          when(col("crev") * 100 <= col("tot") * 80, "A")
+            .when(col("crev") * 100 <= col("tot") * 95, "B")
+            .otherwise("C"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("cents"),
+          r6(sum(col("rev")) * lit(1.0) / max(col("tot"))).as("share"))
+        .orderBy("abc")
+    },
   )
 }
