@@ -347,6 +347,34 @@ object AggQueries {
         .agg(r2(sum(col("l_quantity"))).as("qty"), count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
+    },
+
+    // Arbitrary GROUPING SETS (the general form rollup/cube specialize;
+    // ANSI + vendored-Ibis group_by coverage): three hand-picked sets
+    // incl. the grand total, with grouping_id disambiguating NULL-as-
+    // rollup from NULL-as-value. Expressed through spark.sql over a
+    // temp view — the same Catalyst Expand the rollup/cube API plans.
+    q("agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*)::BIGINT AS cnt,
+        |       round(sum(l_quantity) + 1e-9, 2) AS qty,
+        |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""") { c =>
+      c.lineitem.createOrReplaceTempView("gs_lineitem")
+      c.spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       count(*) AS cnt,
+          |       round(sum(l_quantity) + 1e-9, 2) AS qty,
+          |       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_linestatus), ())
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+          |         l_linestatus ASC NULLS FIRST""".stripMargin)
     }
   )
 }
