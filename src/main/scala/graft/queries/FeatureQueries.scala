@@ -534,5 +534,45 @@ object FeatureQueries {
           r2(dsum(col("wv"))).as("wsum"))
         .orderBy("l_returnflag")
     },
+
+    // NEAREST-match asof (either direction, bounded) — the bidirectional
+    // complement of join_asof's backward-only semantics: each purchase
+    // pairs with the closest error event by ANY-direction time distance
+    // within ±1 h, ties to the earlier event. Candidates come from the
+    // bucketized band join (ops/IntervalJoin.bandJoin — never a BNLJ);
+    // the winner is a per-purchase argmin window over candidates only.
+    // Exact integer epoch-second distances.
+    q("join_asof_nearest",
+      """WITH p AS (SELECT event_id pid,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id eid,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) ets
+        |      FROM events WHERE event_type = 'error'),
+        |cand AS (SELECT p.pid, p.pts, e.eid, e.ets,
+        |                abs(p.pts - e.ets) AS gap
+        |         FROM p JOIN e ON abs(p.pts - e.ets) <= 3600),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY pid
+        |                   ORDER BY gap, ets, eid) rn
+        |         FROM cand)
+        |SELECT pid, eid AS nearest_error, gap
+        |FROM best WHERE rn = 1 ORDER BY pid""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val p = c.events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"),
+          expr("unix_timestamp(ts)").as("pts"))
+      val e = c.events.filter(col("event_type") === "error")
+        .select(col("event_id").as("eid"),
+          expr("unix_timestamp(ts)").as("ets"))
+      val cand = graft.ops.IntervalJoin.bandJoin(
+          p, "pts", e, "ets", delta = 3600L)
+        .withColumn("gap", abs(col("pts") - col("ets")))
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy("pid")
+            .orderBy(col("gap"), col("ets"), col("eid"))))
+        .filter(col("rn") === 1)
+        .select(col("pid"), col("eid").as("nearest_error"), col("gap"))
+        .orderBy("pid")
+    },
   )
 }
