@@ -290,5 +290,156 @@ object StatQueries {
           r6(col("n_users") * lit(1.0) / col("nu")).as("user_support"))
         .orderBy(col("n_occurrences").desc, col("path")).limit(15)
     },
+
+    // Mann-Whitney U (Wilcoxon rank-sum) between the experiment arms —
+    // the nonparametric complement of stat_ab_ttest for non-normal
+    // value distributions. Midranks come from the DISTRIBUTED
+    // Positional cumulative count over the grouped support (no global
+    // window even for a continuous value column); the tie-corrected
+    // normal approximation gives the z statistic. Every rank-sum term
+    // w0·midrank is an exactly-representable double (integer or .5
+    // lattice, partial sums < 2^53), so the aggregation is
+    // order-independent — the hash cannot drift with shuffle order.
+    q("stat_mannwhitney",
+      """WITH p AS (SELECT user_id % 2 AS arm, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT value, count(*) FILTER (arm = 0) w0,
+        |             count(*) FILTER (arm = 1) w1, count(*) w
+        |      FROM p GROUP BY 1),
+        |c AS (SELECT value, w0, w1, w,
+        |             coalesce(sum(w) OVER (ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) cum
+        |      FROM h),
+        |g AS (SELECT sum(w0) n0, sum(w1) n1,
+        |             sum(w0 * (cum + (w + 1) / 2.0)) r0,
+        |             sum(w * w * w - w) tt FROM c)
+        |SELECT n0::BIGINT AS n0, n1::BIGINT AS n1,
+        |       round(r0 - n0 * (n0 + 1) / 2.0 + 1e-9, 2) AS u,
+        |       round((r0 - n0 * (n0 + 1) / 2.0 - n0 * 1.0 * n1 / 2.0)
+        |             / sqrt(n0 * 1.0 * n1 / 12.0 * ((n0 + n1 + 1)
+        |                    - tt / ((n0 + n1) * 1.0 * (n0 + n1 - 1))))
+        |             + 1e-9, 4) AS z
+        |FROM g""") { c =>
+      val p = c.events.filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"), col("value"))
+      val h = p.groupBy("value").agg(
+        count(when(col("arm") === 0, 1)).as("w0"),
+        count(when(col("arm") === 1, 1)).as("w1"),
+        count(lit(1)).as("w"))
+      val cum = Positional.withCumSum(h, Seq(col("value")), col("w"), "cum")
+      val g = cum.agg(
+        sum(col("w0")).as("n0"), sum(col("w1")).as("n1"),
+        sum(col("w0") * (col("cum") + (col("w") + 1) / lit(2.0))).as("r0"),
+        sum(col("w") * col("w") * col("w") - col("w")).as("tt"))
+      val u = col("r0") - col("n0") * (col("n0") + 1) / lit(2.0)
+      val sigma = sqrt(col("n0") * lit(1.0) * col("n1") / lit(12.0) *
+        ((col("n0") + col("n1") + 1) - col("tt") /
+          ((col("n0") + col("n1")) * lit(1.0) *
+            (col("n0") + col("n1") - 1))))
+      g.select(col("n0"), col("n1"), r2(u).as("u"),
+        r4((u - col("n0") * lit(1.0) * col("n1") / lit(2.0)) / sigma)
+          .as("z"))
+    },
+
+    // Spearman rank correlation between quantity and price — monotone
+    // association robust to outliers and nonlinearity. Both midrank
+    // assignments are Positional cumulative counts over the grouped
+    // per-column supports (scale-safe for continuous columns, where
+    // the distinct-value relation is corpus-sized and a naive
+    // rank() window would collapse to one task), joined back to rows
+    // by value; rho is then one Pearson corr over exact .0/.5-lattice
+    // midranks.
+    q("stat_spearman",
+      """WITH r AS (SELECT rank() OVER (ORDER BY l_quantity)
+        |             + (count(*) OVER (PARTITION BY l_quantity) - 1)
+        |               / 2.0 AS rx,
+        |                  rank() OVER (ORDER BY l_extendedprice)
+        |             + (count(*) OVER (PARTITION BY l_extendedprice) - 1)
+        |               / 2.0 AS ry
+        |           FROM lineitem)
+        |SELECT round(corr(rx, ry) + 1e-9, 6) AS rho,
+        |       count(*)::BIGINT AS n
+        |FROM r""") { c =>
+      val li = c.lineitem.select(col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      val rx = Positional.withCumSum(
+          li.groupBy("x").agg(count(lit(1)).as("wx")),
+          Seq(col("x")), col("wx"), "cumx")
+        .select(col("x"),
+          (col("cumx") + (col("wx") + 1) / lit(2.0)).as("rx"))
+      val ry = Positional.withCumSum(
+          li.groupBy("y").agg(count(lit(1)).as("wy")),
+          Seq(col("y")), col("wy"), "cumy")
+        .select(col("y"),
+          (col("cumy") + (col("wy") + 1) / lit(2.0)).as("ry"))
+      li.join(rx, Seq("x")).join(ry, Seq("y"))
+        .agg(r6(corr(col("rx"), col("ry"))).as("rho"),
+          count(lit(1)).as("n"))
+    },
+
+    // Kaplan-Meier survival curve for time-to-conversion: per user,
+    // the duration (whole hours) from first event to first purchase
+    // (observed) or to the last seen event (right-censored). The
+    // at-risk counts are a Positional cumulative count over distinct
+    // durations; the survival product Π(1 − d/n_risk) runs as
+    // exp of a SECOND Positional cumulative sum of logs — both passes
+    // scale-safe over a continuous-duration support. The final time
+    // point where everyone at risk converts yields survival exactly 0
+    // (guarded before the log).
+    q("stat_kaplan_meier",
+      """WITH u AS (SELECT user_id,
+        |      min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) e0,
+        |      min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+        |        FILTER (event_type = 'purchase') ep,
+        |      max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) ez
+        |    FROM events GROUP BY 1),
+        |d AS (SELECT
+        |        CAST(floor((coalesce(ep, ez) - e0) / 3600.0) AS BIGINT)
+        |          dur_h,
+        |        CASE WHEN ep IS NOT NULL THEN 1 ELSE 0 END obs FROM u),
+        |h AS (SELECT dur_h, sum(obs) d, count(*) w FROM d GROUP BY 1),
+        |n AS (SELECT sum(w) nt FROM h),
+        |c AS (SELECT dur_h, d, w,
+        |             coalesce(sum(w) OVER (ORDER BY dur_h
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) cum
+        |      FROM h),
+        |s AS (SELECT dur_h, d, (n.nt - cum) at_risk,
+        |             CASE WHEN d < n.nt - cum
+        |                  THEN ln(1 - d * 1.0 / (n.nt - cum)) END term
+        |      FROM c, n),
+        |k AS (SELECT dur_h, d, at_risk,
+        |             CASE WHEN term IS NULL THEN 0.0
+        |                  ELSE exp(sum(term) OVER (ORDER BY dur_h)) END
+        |               surv
+        |      FROM s)
+        |SELECT dur_h, at_risk::BIGINT AS at_risk, d::BIGINT AS deaths,
+        |       round(surv + 1e-9, 6) AS survival
+        |FROM k ORDER BY dur_h""") { c =>
+      val sec = unix_timestamp(col("ts"))
+      val u = c.events.groupBy("user_id").agg(
+        min(sec).as("e0"),
+        min(when(col("event_type") === "purchase", sec)).as("ep"),
+        max(sec).as("ez"))
+      val d = u.select(
+        floor((coalesce(col("ep"), col("ez")) - col("e0")) / lit(3600.0))
+          .as("dur_h"),
+        when(col("ep").isNotNull, 1).otherwise(0).as("obs"))
+      val h = d.groupBy("dur_h")
+        .agg(sum(col("obs")).as("d"), count(lit(1)).as("w"))
+      val n = h.agg(sum(col("w")).as("nt"))
+      val cum = Positional.withCumSum(h, Seq(col("dur_h")), col("w"), "cum")
+      val s = cum.crossJoin(broadcast(n))
+        .withColumn("at_risk", col("nt") - col("cum"))
+        .withColumn("term", when(col("d") < col("at_risk"),
+          log(lit(1) - col("d") * lit(1.0) / col("at_risk"))))
+      // exclusive log-cumsum + own term = inclusive survival product
+      Positional.withCumSum(s, Seq(col("dur_h")), col("term"), "cumt")
+        .select(col("dur_h"), col("at_risk"), col("d").as("deaths"),
+          r6(when(col("term").isNull, lit(0.0))
+            .otherwise(exp(col("cumt") + col("term")))).as("survival"))
+        .orderBy("dur_h")
+    },
   )
 }
