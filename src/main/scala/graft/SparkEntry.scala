@@ -29,7 +29,8 @@ object SparkEntry {
     _root_.graft.queries.CurationQueries.defs ++
     _root_.graft.queries.GovernanceQueries.defs ++
     _root_.graft.queries.FeatureQueries.defs ++
-    _root_.graft.queries.StatQueries.defs
+    _root_.graft.queries.StatQueries.defs ++
+    _root_.graft.queries.GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem revenue ranking) built

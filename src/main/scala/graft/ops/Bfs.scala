@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed layered BFS (single/multi-source hop distances) over an
+  * (src, dst) edge DataFrame — same "graphs are DataFrames" stance as
+  * [[PageRank]] and [[Components]]: each level is one node-keyed
+  * equi-join + distinct + anti-join, `localCheckpoint` cuts lineage per
+  * level, and nothing ever collects to the driver. BFS level = exact
+  * shortest hop distance, so a pinned `maxHops` run is SQL-replicable
+  * with a bounded recursive CTE (`WHERE dist < maxHops` + min per
+  * node), the reference-oracle pattern for iterative algorithms.
+  *
+  * Edges are treated as DIRECTED; symmetrize before calling for an
+  * undirected graph. Nodes the BFS never reaches within `maxHops` are
+  * absent from the output (matching the recursive-CTE oracle, which
+  * also only materializes reached nodes).
+  */
+object Bfs {
+
+  /** Hop distances from `sources` (a 1-column `node` DataFrame; any
+    * orderable type matching the edge endpoints) after at most
+    * `maxHops` expansion levels. Output columns: (node, dist). */
+  def hops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"bfs needs at least one hop, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist.select(col("node"))
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+    }
+    e.unpersist()
+    dist
+  }
+}

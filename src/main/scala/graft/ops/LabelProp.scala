@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan et al.
+  * 2007) over an (src, dst) edge DataFrame. Every node starts with its
+  * own id as label; each round every node adopts the most frequent
+  * label among its neighbors, ties broken by the SMALLEST label —
+  * fully deterministic, so a pinned round count is SQL-replicable by
+  * unrolling rounds as chained CTEs (the PageRank oracle pattern).
+  *
+  * Distributed shape per round: one edge⋈label equi-join, one
+  * (node, label) hash aggregation, one per-node window bounded by
+  * degree (never a global window), and a `localCheckpoint` lineage
+  * cut. The input is symmetrized and de-looped here, so callers pass
+  * each undirected edge once in either direction.
+  */
+object LabelProp {
+
+  /** Labels after `iters` synchronous rounds; output (node, label). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"label propagation needs >= 1 round, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val byCount = Window.partitionBy("node")
+      .orderBy(col("cnt").desc, col("label"))
+    (1 to iters).foreach { _ =>
+      labels = e.join(labels.withColumnRenamed("node", "__n"),
+          e("dst") === col("__n"))
+        .select(col("src").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(byCount))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Round-7 graph tier beyond PageRank/triangles/k-core: BFS shortest
+  * hop distances ([[graft.ops.Bfs]]) and label-propagation community
+  * detection ([[graft.ops.LabelProp]]), both over the customer–supplier
+  * bipartite graph derived from lineitem⋈orders. Oracles: a bounded
+  * recursive CTE (BFS levels = exact min hop distance) and fully
+  * unrolled synchronous rounds (the PageRank/logreg oracle pattern).
+  */
+object GraphQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Single-source shortest hop distances (layered BFS, 4 pinned
+    // levels max) from the smallest customer node over the undirected
+    // bipartite graph. Every level is one equi-join + distinct +
+    // anti-join against the settled set; unreached nodes are absent.
+    // Output is the per-level profile (count + lexical endpoints) so
+    // the hash pins the exact frontier sets without a 1600-row dump.
+    q("graph_sssp",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey s, 's' || l_suppkey t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT s src, t dst FROM e0 UNION SELECT t, s FROM e0),
+        |src AS (SELECT 'c' || min(o_custkey) node FROM orders),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM src
+        |  UNION
+        |  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.dist < 4)
+        |SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes,
+        |       min(node) AS first_node, max(node) AS last_node
+        |FROM (SELECT node, min(dist) dist FROM walk GROUP BY 1)
+        |GROUP BY 1 ORDER BY dist""") { c =>
+      val e0 = c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("s"),
+          concat(lit("s"), col("l_suppkey")).as("t"))
+        .distinct()
+      val e = e0.select(col("s").as("src"), col("t").as("dst"))
+        .union(e0.select(col("t").as("src"), col("s").as("dst")))
+      val src = c.orders
+        .agg(concat(lit("c"), min(col("o_custkey"))).as("node"))
+      val dist = graft.ops.Bfs.hops(e, src, maxHops = 4)
+      dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("first_node"),
+          max(col("node")).as("last_node"))
+        .orderBy("dist")
+    },
+
+    // Label-propagation communities (3 pinned synchronous rounds,
+    // most-frequent-neighbor label, ties to the smallest) on the
+    // SPARSE high-quantity subgraph, where LPA resolves a real
+    // multi-community structure instead of collapsing to the bipartite
+    // core. Top communities by size.
+    q("graph_label_prop",
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey s, 's' || l_suppkey t
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE l_quantity > 48),
+        |e AS (SELECT s src, t dst FROM e0 UNION SELECT t, s FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |n1 AS (SELECT e.src node, l0.label, count(*) c FROM e
+        |       JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) rn FROM n1) WHERE rn = 1),
+        |n2 AS (SELECT e.src node, l1.label, count(*) c FROM e
+        |       JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) rn FROM n2) WHERE rn = 1),
+        |n3 AS (SELECT e.src node, l2.label, count(*) c FROM e
+        |       JOIN l2 ON e.dst = l2.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (PARTITION BY node
+        |           ORDER BY c DESC, label) rn FROM n3) WHERE rn = 1)
+        |SELECT label, count(*)::BIGINT AS size FROM l3
+        |GROUP BY 1 ORDER BY size DESC, label LIMIT 15""") { c =>
+      val e0 = c.lineitem.filter(col("l_quantity") > 48)
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val labels = graft.ops.LabelProp.run(e0, iters = 3)
+      labels.groupBy("label").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("label")).limit(15)
+    },
+  )
+}

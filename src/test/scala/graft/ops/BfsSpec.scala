@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BfsSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def srcDf(ids: String*) = ids.toDF("node")
+
+  test("hop distances on a path graph are exact; unreached nodes absent") {
+    // a-b-c-d-e directed both ways; source a, maxHops 3 → e unreached
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toDF("src", "dst")
+    val d = Bfs.hops(edges, srcDf("a"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
+  test("shortest path wins over a longer alternative route") {
+    // triangle a-b, b-c plus shortcut a-c: dist(c) = 1, not 2
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toDF("src", "dst")
+    val d = Bfs.hops(edges, srcDf("a"), maxHops = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("multi-source BFS settles each node at the nearest source") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toDF("src", "dst")
+    val d = Bfs.hops(edges, srcDf("a", "e"), maxHops = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("a" -> 0L, "e" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L))
+  }
+
+  test("early exhaustion stops expanding without error") {
+    val edges = Seq(("a", "b")).flatMap { case (s, d) =>
+      Seq((s, d), (d, s)) }.toDF("src", "dst")
+    val d = Bfs.hops(edges, srcDf("a"), maxHops = 10)
+    assert(d.count() == 2)
+  }
+}
