@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Holt's linear-trend (double exponential) smoothing per series — the
+  * trend-aware successor of the EWMA feature (WindowQueries.win_ewma).
+  * The recurrence
+  *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+  *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+  * is inherently sequential per series, so it runs as the classic
+  * secondary-sort streaming scan: hash-repartition by the series key,
+  * sort WITHIN partitions by (key, order), then one pass over each
+  * partition's iterator with O(1) state per live series — no
+  * collect_list (per-key state never materializes a whole series), no
+  * global sort, no driver involvement. This is the 100 TB shape for
+  * any per-key recurrence Spark's window frames cannot express.
+  *
+  * A pinned run is SQL-replicable with a recursive CTE joining step
+  * rn → rn+1 (the iterative-oracle pattern). Dyadic-rational α/β
+  * (0.5, 0.25, …) keep 1−α / 1−β exact in binary, so both engines
+  * evaluate bit-identical recurrences.
+  */
+object Holt {
+
+  /** Final (level, trend) state per key after scanning each series in
+    * `order`; output columns (key, n, level, trend). Init: l₁ = y₁,
+    * b₁ = 0. Output key column keeps the input name and type (long
+    * keys supported; others via the generic row get). */
+  def linear(
+      df: DataFrame,
+      key: String,
+      order: Seq[Column],
+      value: Column,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    val keyType = df.schema(key).dataType
+    val out = StructType(Seq(
+      StructField(key, keyType),
+      StructField("n", LongType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false)))
+    val prepared = df
+      .select(Seq(col(key).as("__k"), value.cast("double").as("__y")) ++
+        order: _*)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k") +: order: _*)
+      .select(col("__k"), col("__y"))
+    val oneMinusAlpha = 1 - alpha // exact for dyadic-rational alpha
+    val oneMinusBeta = 1 - beta
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private var cur: Any = null
+        private var has = false
+        private var n = 0L
+        private var l = 0.0
+        private var b = 0.0
+        private var pending: Row = null
+
+        private def emit(): Row = Row(cur, n, l, b)
+
+        override def hasNext: Boolean = pending != null || advance()
+
+        private def advance(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val y = r.getDouble(1)
+            if (!has || k != cur) {
+              val done = if (has) emit() else null
+              cur = k; has = true; n = 1L; l = y; b = 0.0
+              if (done != null) { pending = done; return true }
+            } else {
+              val lNew = alpha * y + oneMinusAlpha * (l + b)
+              b = beta * (lNew - l) + oneMinusBeta * b
+              l = lNew
+              n += 1
+            }
+          }
+          if (has) { pending = emit(); has = false; return true }
+          false
+        }
+
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
+    }(Encoders.row(out))
+  }
+}

@@ -574,5 +574,46 @@ object FeatureQueries {
         .select(col("pid"), col("eid").as("nearest_error"), col("gap"))
         .orderBy("pid")
     },
+
+    // Holt's linear-trend (double exponential) smoothing per user
+    // value series — the trend-aware forecast state the EWMA feature
+    // (win_ewma) cannot carry. Runs as ops/Holt's secondary-sort
+    // streaming scan: repartition by key, sort within partitions,
+    // one O(1)-state pass per series — the 100 TB shape for per-key
+    // recurrences outside window-frame reach. α=0.5/β=0.25 are dyadic
+    // rationals, so 1−α/1−β are exact and both engines evaluate the
+    // recurrence bit-identically; the oracle replays it as a
+    // recursive CTE joined step rn → rn+1.
+    q("ts_holt",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) rn,
+        |         count(*) OVER (PARTITION BY user_id) n
+        |  FROM events WHERE user_id < 50),
+        |rec(user_id, rn, l, b, n) AS (
+        |  SELECT user_id, 1, value, 0.0::DOUBLE, n FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |         0.5::DOUBLE * s.value + 0.5::DOUBLE * (rec.l + rec.b),
+        |         0.25::DOUBLE * ((0.5::DOUBLE * s.value
+        |             + 0.5::DOUBLE * (rec.l + rec.b)) - rec.l)
+        |           + 0.75::DOUBLE * rec.b,
+        |         rec.n
+        |  FROM rec JOIN s ON s.user_id = rec.user_id
+        |                 AND s.rn = rec.rn + 1)
+        |SELECT user_id, n::BIGINT AS n, round(l + 1e-9, 4) AS level,
+        |       round(b + 1e-9, 4) AS trend,
+        |       round(l + b + 1e-9, 4) AS forecast
+        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+      val fitted = graft.ops.Holt.linear(
+        c.events.filter(col("user_id") < 50),
+        key = "user_id", order = Seq(col("ts"), col("event_id")),
+        value = col("value"), alpha = 0.5, beta = 0.25)
+      fitted.select(col("user_id"), col("n"),
+          r4(col("level")).as("level"), r4(col("trend")).as("trend"),
+          r4(col("level") + col("trend")).as("forecast"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HoltSpec extends SparkSpec {
+  private val sp = spark
+  import sp.implicits._
+
+  private def reference(ys: Seq[Double], a: Double, b: Double)
+      : (Long, Double, Double) = {
+    var l = ys.head; var t = 0.0
+    ys.tail.foreach { y =>
+      val ln = a * y + (1 - a) * (l + t)
+      t = b * (ln - l) + (1 - b) * t
+      l = ln
+    }
+    (ys.length.toLong, l, t)
+  }
+
+  test("matches the sequential recurrence exactly per key") {
+    val rows = Seq(
+      (1L, 1, 10.0), (1L, 2, 12.0), (1L, 3, 15.0), (1L, 4, 13.0),
+      (2L, 1, 5.0), (2L, 2, 5.0),
+      (3L, 1, 7.5))
+    val df = rows.toDF("k", "t", "y")
+    val got = Holt.linear(df, "k", Seq(col("t")), col("y"), 0.5, 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val series = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    series.foreach { case (k, ys) =>
+      assert(got(k) == reference(ys, 0.5, 0.25), s"key $k")
+    }
+  }
+
+  test("order columns drive the scan, not input order") {
+    val shuffled = Seq((1L, 3, 3.0), (1L, 1, 1.0), (1L, 2, 2.0))
+      .toDF("k", "t", "y")
+    val got = Holt.linear(shuffled, "k", Seq(col("t")), col("y"), 0.5, 0.25)
+      .collect().head
+    assert((got.getLong(1), got.getDouble(2), got.getDouble(3)) ==
+      reference(Seq(1.0, 2.0, 3.0), 0.5, 0.25))
+  }
+
+  test("single-point series: level = y, trend = 0") {
+    val df = Seq((9L, 1, 42.0)).toDF("k", "t", "y")
+    val r = Holt.linear(df, "k", Seq(col("t")), col("y"), 0.5, 0.25)
+      .collect().head
+    assert(r.getLong(1) == 1L && r.getDouble(2) == 42.0 &&
+      r.getDouble(3) == 0.0)
+  }
+
+  test("many keys across few partitions stay contiguous and exact") {
+    val rows = for { k <- 0L until 40L; t <- 1 to 5 }
+      yield (k, t, (k * 31 + t * 7 % 13).toDouble)
+    val df = rows.toDF("k", "t", "y").repartition(3)
+    val got = Holt.linear(df, "k", Seq(col("t")), col("y"), 0.5, 0.25)
+    assert(got.count() == 40)
+    val one = got.filter(col("k") === 17L).collect().head
+    val ys = rows.filter(_._1 == 17L).sortBy(_._2).map(_._3)
+    assert((one.getLong(1), one.getDouble(2), one.getDouble(3)) ==
+      reference(ys, 0.5, 0.25))
+  }
+
+  test("parameter guards") {
+    val df = Seq((1L, 1, 1.0)).toDF("k", "t", "y")
+    intercept[IllegalArgumentException] {
+      Holt.linear(df, "k", Seq(col("t")), col("y"), 0.0, 0.25)
+    }
+    intercept[IllegalArgumentException] {
+      Holt.linear(df, "k", Seq(col("t")), col("y"), 0.5, 1.5)
+    }
+  }
+}
