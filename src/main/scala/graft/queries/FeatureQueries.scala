@@ -615,5 +615,40 @@ object FeatureQueries {
           r4(col("level") + col("trend")).as("forecast"))
         .orderBy("user_id")
     },
+
+    // The hashing trick (Weinberger et al. 2009): project an unbounded
+    // token vocabulary onto a FIXED 64-dim signed feature space with no
+    // vocabulary dictionary at all — the standard featurizer when a
+    // fitted vocabulary (e.g. CountVectorizer) would itself be
+    // corpus-scale state. Bucket and sign both derive from md5 prefixes
+    // (engine-portable, unlike murmur), so the whole featurization is a
+    // stateless per-row projection + one hash aggregation — nothing is
+    // fit, nothing broadcast, nothing collected.
+    q("fe_feature_hashing",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) w
+        |  FROM documents WHERE doc_id < 40),
+        |h AS (SELECT doc_id,
+        |             ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+        |             CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+        |                  THEN 1 ELSE -1 END sgn
+        |      FROM tok)
+        |SELECT doc_id, bucket, sum(sgn)::BIGINT AS val,
+        |       count(*)::BIGINT AS n_tokens
+        |FROM h GROUP BY 1, 2 HAVING sum(sgn) != 0
+        |ORDER BY doc_id, bucket""") { c =>
+      val tok = c.documents.filter(col("doc_id") < 40)
+        .select(col("doc_id"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      val h = tok.select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64)
+          .as("bucket"),
+        when(conv(substring(md5(col("w")), 9, 1), 16, 10)
+          .cast("long") % 2 === 0, 1).otherwise(-1).as("sgn"))
+      h.groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn")).as("val"), count(lit(1)).as("n_tokens"))
+        .filter(col("val") =!= 0)
+        .orderBy("doc_id", "bucket")
+    },
   )
 }

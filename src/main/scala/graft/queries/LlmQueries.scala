@@ -1569,6 +1569,61 @@ object LlmQueries {
           r2(col("mean_r")).as("mean_r"), r2(col("mean_g")).as("mean_g"),
           r2(col("mean_b")).as("mean_b"))
         .orderBy("doc_id")
-    }
+    },
+
+    // Flesch reading-ease readability scoring — the classic
+    // document-quality signal alongside the Gopher repetition filters
+    // and entropy metrics. Sentences split on terminal punctuation
+    // runs; syllables approximated as vowel-group counts (min 1 per
+    // word) — the standard dictionary-free heuristic. Pure per-row
+    // string work + one aggregation; no shuffle beyond the doc_id
+    // grouping of the exploded words.
+    q("text_readability",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |sent AS (SELECT doc_id,
+        |              len(list_filter(string_split_regex(text, '[.!?]+'),
+        |                  s -> len(trim(s)) > 0)) n_sent
+        |         FROM d),
+        |w AS (SELECT doc_id,
+        |             unnest(regexp_extract_all(lower(text), '[a-z]+')) w
+        |      FROM d),
+        |syl AS (SELECT doc_id, w,
+        |              greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+        |                sy
+        |        FROM w),
+        |agg AS (SELECT doc_id, count(*) n_words, sum(sy) n_syll
+        |        FROM syl GROUP BY 1)
+        |SELECT a.doc_id, a.n_words::BIGINT AS n_words,
+        |       s.n_sent::BIGINT AS n_sentences,
+        |       a.n_syll::BIGINT AS n_syllables,
+        |       round(206.835 - 1.015 * (a.n_words * 1.0 / s.n_sent)
+        |             - 84.6 * (a.n_syll * 1.0 / a.n_words) + 1e-9, 4)
+        |         AS flesch
+        |FROM agg a JOIN sent s ON a.doc_id = s.doc_id
+        |WHERE s.n_sent > 0 AND a.n_words > 0
+        |ORDER BY a.doc_id""") { c =>
+      val d = c.documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val sent = d.select(col("doc_id"),
+        size(filter(split(col("text"), "[.!?]+"),
+          s => length(trim(s)) > 0)).as("n_sent"))
+      val agg = d.select(col("doc_id"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .select(col("doc_id"), greatest(
+          size(expr("regexp_extract_all(w, '[aeiouy]+', 0)")), lit(1))
+          .as("sy"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("sy")).as("n_syll"))
+      agg.join(sent, Seq("doc_id"))
+        .filter(col("n_sent") > 0 && col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"),
+          col("n_sent").cast("long").as("n_sentences"), col("n_syll")
+            .as("n_syllables"),
+          r4(lit(206.835) - lit(1.015) *
+              (col("n_words") * lit(1.0) / col("n_sent")) -
+            lit(84.6) * (col("n_syll") * lit(1.0) / col("n_words")))
+            .as("flesch"))
+        .orderBy("doc_id")
+    },
   )
 }
