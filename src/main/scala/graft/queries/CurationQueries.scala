@@ -980,5 +980,60 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     },
+
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+    // fixed-memory frequency summary beside the Misra-Gries heavy
+    // hitters: d=4 hash rows × w=256 buckets, every cell a plain
+    // count, so the sketch builds as ONE hash aggregation over the
+    // (row, bucket)-exploded stream (map-side partials collapse each
+    // task to ≤1024 cells) and MERGES by cell-wise sum — the
+    // mergeable-sketch contract. Estimates for the top-10 exact keys
+    // take min over the 4 probed cells; the one-sided
+    // never-underestimate guarantee is hash-checked alongside the
+    // estimates. md5-derived bucket hashing keeps both engines
+    // bit-identical.
+    q("agg_countmin",
+      """WITH keys AS (SELECT l_partkey::VARCHAR k FROM lineitem),
+        |cells AS (SELECT g.j,
+        |            ('0x' || substr(md5(g.j::VARCHAR || '#' || k), 1, 8))
+        |              ::BIGINT % 256 b,
+        |            count(*) cnt
+        |          FROM keys, generate_series(0, 3) g(j) GROUP BY 1, 2),
+        |exact AS (SELECT l_partkey, count(*) c FROM lineitem GROUP BY 1),
+        |probes AS (SELECT l_partkey, c FROM exact
+        |           ORDER BY c DESC, l_partkey LIMIT 10),
+        |est AS (SELECT p.l_partkey, p.c, min(cells.cnt) est
+        |        FROM probes p, generate_series(0, 3) g(j)
+        |        JOIN cells ON cells.j = g.j
+        |          AND cells.b = ('0x' || substr(md5(g.j::VARCHAR || '#'
+        |            || p.l_partkey::VARCHAR), 1, 8))::BIGINT % 256
+        |        GROUP BY 1, 2)
+        |SELECT l_partkey, c::BIGINT AS exact_n, est::BIGINT AS cms_est,
+        |       est >= c AS no_underestimate
+        |FROM est ORDER BY exact_n DESC, l_partkey""") { c =>
+      def bucket(j: org.apache.spark.sql.Column,
+          k: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(j, lit("#"), k)), 1, 8), 16, 10)
+          .cast("long") % 256
+      val cells = c.lineitem
+        .select(col("l_partkey").cast("string").as("k"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"), bucket(col("j"), col("k")).as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+      val probes = c.lineitem.groupBy("l_partkey")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l_partkey")).limit(10)
+      probes
+        .select(col("l_partkey"), col("c"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("b",
+          bucket(col("j"), col("l_partkey").cast("string")))
+        .join(broadcast(cells), Seq("j", "b"))
+        .groupBy("l_partkey", "c").agg(min(col("cnt")).as("est"))
+        .select(col("l_partkey"), col("c").as("exact_n"),
+          col("est").as("cms_est"),
+          (col("est") >= col("c")).as("no_underestimate"))
+        .orderBy(col("exact_n").desc, col("l_partkey"))
+    },
   )
 }

@@ -224,6 +224,57 @@ object JoinQueries {
         .filter(col("o_totalprice") > col("__thr"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
-    }
+    },
+
+    // Temporal timeline alignment (the bitemporal "align two versioned
+    // dimensions" join behind SCD reporting): two per-customer validity
+    // timelines — priority from even orders, status from odd orders,
+    // each interval running to the next change — intersect into the
+    // piecewise segments where BOTH attributes are constant. The join
+    // is KEYED (customer equi-join + residual overlap predicate), so
+    // unlike the unkeyed point-in-interval case no bucketization is
+    // needed: per-key interval counts bound the fan-out. Zero-length
+    // intervals (same-day changes) drop via strict overlap, on both
+    // engines identically.
+    q("join_temporal_align",
+      """WITH a AS (SELECT o_custkey k, o_orderpriority attr,
+        |                  o_orderdate s,
+        |                  coalesce(lead(o_orderdate) OVER (
+        |                    PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate, o_orderkey),
+        |                    TIMESTAMP '2099-01-01') e
+        |           FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT o_custkey k, o_orderstatus attr, o_orderdate s,
+        |             coalesce(lead(o_orderdate) OVER (
+        |               PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey),
+        |               TIMESTAMP '2099-01-01') e
+        |      FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT a.k AS custkey, greatest(a.s, b.s) AS seg_start,
+        |       least(a.e, b.e) AS seg_end,
+        |       a.attr AS priority, b.attr AS status
+        |FROM a JOIN b ON a.k = b.k AND a.s < b.e AND b.s < a.e
+        |WHERE a.k < 150
+        |ORDER BY custkey, seg_start, seg_end""") { c =>
+      val horizon = to_timestamp(lit("2099-01-01"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      def timeline(parity: Int, attr: String) =
+        c.orders.filter(col("o_orderkey") % 2 === parity)
+          .withColumn("e",
+            coalesce(lead(col("o_orderdate"), 1).over(w), horizon))
+          .select(col("o_custkey").as("k"), col(attr).as("attr"),
+            col("o_orderdate").as("s"), col("e"))
+      val a = timeline(0, "o_orderpriority").as("a")
+      val b = timeline(1, "o_orderstatus").as("b")
+      a.join(b, col("a.k") === col("b.k") &&
+          col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+        .filter(col("a.k") < 150)
+        .select(col("a.k").as("custkey"),
+          greatest(col("a.s"), col("b.s")).as("seg_start"),
+          least(col("a.e"), col("b.e")).as("seg_end"),
+          col("a.attr").as("priority"), col("b.attr").as("status"))
+        .orderBy("custkey", "seg_start", "seg_end")
+    },
   )
 }

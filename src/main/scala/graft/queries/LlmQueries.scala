@@ -1625,5 +1625,62 @@ object LlmQueries {
             .as("flesch"))
         .orderBy("doc_id")
     },
+
+    // Scalar-quantized (SQ8) vector search — the memory-compression
+    // tier beside the LSH/IVF recall paths: per-dimension min/max
+    // (the "codebook" — one 2-D literal, the IVF-quantizer stance)
+    // quantize every corpus vector to 8-bit codes, 4× smaller than
+    // float32 and 8× smaller than the double pipeline; queries stay
+    // full-precision and score against the RECONSTRUCTED corpus
+    // (asymmetric distance, the FAISS SQ convention). Exactly
+    // replicable in SQL because the quantize→reconstruct arithmetic
+    // is deterministic double math on both engines.
+    q("sim_ann_sq8",
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |el AS (SELECT vec_id, g.i, v[g.i] x
+        |       FROM c, generate_series(1, 64) g(i)),
+        |mm AS (SELECT i, min(x) mn, max(x) mx FROM el GROUP BY 1),
+        |rec AS (SELECT vec_id,
+        |          list(mn + least(floor((x - mn) * 255.0 / (mx - mn)),
+        |                          255) * (mx - mn) / 255.0
+        |               ORDER BY i) rv
+        |        FROM el JOIN mm USING (i) GROUP BY 1),
+        |q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv
+        |      FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT q_id, rec.vec_id n_id,
+        |             list_cosine_similarity(qv, rv) cos
+        |      FROM q, rec WHERE q_id <> rec.vec_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY round(cos + 1e-9, 6) DESC, n_id) rnk FROM s)
+        |SELECT q_id, rnk, n_id, round(cos + 1e-9, 6) AS cos
+        |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""") { c =>
+      val corpus = c.embeddings.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      // per-dim min/max: dim-sized fit collect → ONE 2-D literal
+      val mmRows = corpus
+        .select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy("i").collect()
+      val mins = mmRows.map(_.getDouble(1)).toSeq
+      val ranges = mmRows.map(r => r.getDouble(2) - r.getDouble(1)).toSeq
+      val mmLit = typedLit(Seq(mins, ranges))
+      val rec = corpus.select(col("vec_id").as("n_id"),
+        zip_with(
+          zip_with(
+            zip_with(col("v"), mmLit.getItem(0), (x, m) => x - m),
+            mmLit.getItem(1),
+            (d, r) => least(floor(d * lit(255.0) / r), lit(255.0)) *
+              r / lit(255.0)),
+          mmLit.getItem(0), (s, m) => s + m).as("n_vec"))
+      val queries = c.embeddings.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // HOF cosine (not graft_cosine): the reconstructed corpus is
+      // double-typed; the native expression is float32-only.
+      VectorSim.topKBruteForce(queries, rec, 10)
+        .select(col("q_id"), col("rank").as("rnk"), col("n_id"),
+          r6(col("cos")).as("cos"))
+        .orderBy("q_id", "rnk")
+    },
   )
 }
