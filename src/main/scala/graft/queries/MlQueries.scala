@@ -423,6 +423,79 @@ object MlQueries {
         (fold, BigDecimal(mse / 1e6 + 1e-9)
           .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toDF("fold", "mse_m").orderBy("fold")
-    }
+    },
+
+    // Rank-2 ALS matrix factorization (ml/Als.scala) on the
+    // customer×part quantity matrix — the collaborative-filtering
+    // recommender beside the regression/classification estimators.
+    // Two pinned alternating rounds; each per-entity solve is a
+    // closed-form 2×2 normal-equation inverse, so a half-step is one
+    // equi-join + one keyed five-term Gram aggregation — factors
+    // never leave the cluster. The oracle unrolls all four half-steps
+    // as chained CTEs; output is the u<10 slice of training
+    // predictions plus the global train RMSE.
+    q("ml_pipeline_als",
+      """WITH r AS (SELECT o_custkey u, l_partkey i, avg(l_quantity) r
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           GROUP BY 1, 2),
+        |q0 AS (SELECT DISTINCT i, 1.0::DOUBLE q1,
+        |              ((i % 7) - 3) / 10.0::DOUBLE q2 FROM r),
+        |ua1 AS (SELECT u, sum(q1*q1) a11, sum(q1*q2) a12, sum(q2*q2) a22,
+        |               sum(q1*r.r) b1, sum(q2*r.r) b2
+        |        FROM r JOIN q0 USING (i) GROUP BY 1),
+        |u1 AS (SELECT u,
+        |        ((a22+0.1::DOUBLE)*b1 - a12*b2)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) p1,
+        |        ((a11+0.1::DOUBLE)*b2 - a12*b1)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) p2
+        |       FROM ua1),
+        |ia1 AS (SELECT i, sum(p1*p1) a11, sum(p1*p2) a12, sum(p2*p2) a22,
+        |               sum(p1*r.r) b1, sum(p2*r.r) b2
+        |        FROM r JOIN u1 USING (u) GROUP BY 1),
+        |i1 AS (SELECT i,
+        |        ((a22+0.1::DOUBLE)*b1 - a12*b2)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) q1,
+        |        ((a11+0.1::DOUBLE)*b2 - a12*b1)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) q2
+        |       FROM ia1),
+        |ua2 AS (SELECT u, sum(q1*q1) a11, sum(q1*q2) a12, sum(q2*q2) a22,
+        |               sum(q1*r.r) b1, sum(q2*r.r) b2
+        |        FROM r JOIN i1 USING (i) GROUP BY 1),
+        |u2 AS (SELECT u,
+        |        ((a22+0.1::DOUBLE)*b1 - a12*b2)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) p1,
+        |        ((a11+0.1::DOUBLE)*b2 - a12*b1)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) p2
+        |       FROM ua2),
+        |ia2 AS (SELECT i, sum(p1*p1) a11, sum(p1*p2) a12, sum(p2*p2) a22,
+        |               sum(p1*r.r) b1, sum(p2*r.r) b2
+        |        FROM r JOIN u2 USING (u) GROUP BY 1),
+        |i2 AS (SELECT i,
+        |        ((a22+0.1::DOUBLE)*b1 - a12*b2)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) q1,
+        |        ((a11+0.1::DOUBLE)*b2 - a12*b1)
+        |          / ((a11+0.1::DOUBLE)*(a22+0.1::DOUBLE) - a12*a12) q2
+        |       FROM ia2),
+        |pred AS (SELECT r.u, r.i, r.r, (p1*q1 + p2*q2) pred
+        |         FROM r JOIN u2 USING (u) JOIN i2 USING (i)),
+        |rmse AS (SELECT sqrt(avg((pred - r)*(pred - r))) v FROM pred)
+        |SELECT u, i, round(r + 1e-9, 4) rating,
+        |       round(pred + 1e-9, 4) pred, round(rmse.v + 1e-9, 4) rmse
+        |FROM pred, rmse WHERE u < 10 ORDER BY u, i""") { c =>
+      val ratings = c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(avg(col("l_quantity")).as("r"))
+      val (users, items) = Als.fit(ratings, lambda = 0.1, iters = 2)
+      val pred = Als.predict(ratings, users, items)
+      val rmse = pred.agg(
+        sqrt(avg((col("pred") - col("r")) * (col("pred") - col("r"))))
+          .as("v"))
+      pred.crossJoin(broadcast(rmse))
+        .filter(col("u") < 10)
+        .select(col("u"), col("i"), r4(col("r")).as("rating"),
+          r4(col("pred")).as("pred"), r4(col("v")).as("rmse"))
+        .orderBy("u", "i")
+    },
   )
 }
