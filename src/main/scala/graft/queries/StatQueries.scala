@@ -441,5 +441,109 @@ object StatQueries {
             .otherwise(exp(col("cumt") + col("term")))).as("survival"))
         .orderBy("dur_h")
     },
+
+    // Poisson bootstrap confidence interval for the mean (Chamandy et
+    // al. 2012, the streaming/distributed bootstrap): resampling
+    // weights are per-(row, replicate) Poisson(1) draws inverted from
+    // an md5-derived uniform — DETERMINISTIC and engine-portable, so
+    // the whole B=32 bootstrap is one ×32 explode + one replicate
+    // aggregation, embarrassingly parallel with no RNG state and no
+    // row collection. The normal-approximation CI uses the bootstrap
+    // standard error (avoids cross-engine percentile semantics).
+    q("stat_bootstrap_ci",
+      """WITH p AS (SELECT event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |draws AS (SELECT b.b, event_id, value,
+        |            ('0x' || substr(md5(event_id::VARCHAR || ':'
+        |              || b.b::VARCHAR), 1, 8))::BIGINT
+        |              / 4294967296.0 u
+        |          FROM p, generate_series(0, 31) b(b)),
+        |w AS (SELECT b, value,
+        |        CASE WHEN u < 0.36787944117144233 THEN 0
+        |             WHEN u < 0.7357588823428846 THEN 1
+        |             WHEN u < 0.9196986029286058 THEN 2
+        |             WHEN u < 0.9810118431238462 THEN 3
+        |             WHEN u < 0.9963401531726563 THEN 4
+        |             ELSE 5 END wt
+        |      FROM draws),
+        |rep AS (SELECT b, sum(wt * value) / sum(wt) m FROM w GROUP BY 1),
+        |pt AS (SELECT avg(value) mu, count(*) n FROM p),
+        |s AS (SELECT avg(m) boot_mean, stddev_samp(m) boot_se,
+        |             min(m) boot_min, max(m) boot_max FROM rep)
+        |SELECT pt.n::BIGINT AS n, round(pt.mu + 1e-9, 4) AS point_est,
+        |       round(s.boot_mean + 1e-9, 4) AS boot_mean,
+        |       round(s.boot_se + 1e-9, 4) AS boot_se,
+        |       round(pt.mu - 1.959963984540054 * s.boot_se + 1e-9, 4)
+        |         AS ci_lo,
+        |       round(pt.mu + 1.959963984540054 * s.boot_se + 1e-9, 4)
+        |         AS ci_hi,
+        |       round(s.boot_min + 1e-9, 4) AS boot_min,
+        |       round(s.boot_max + 1e-9, 4) AS boot_max
+        |FROM pt, s""") { c =>
+      val p = c.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"))
+      val draws = p
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u",
+          conv(substring(md5(concat(col("event_id"), lit(":"), col("b"))),
+            1, 8), 16, 10).cast("double") / lit(4294967296.0))
+        .withColumn("wt",
+          when(col("u") < 0.36787944117144233, 0)
+            .when(col("u") < 0.7357588823428846, 1)
+            .when(col("u") < 0.9196986029286058, 2)
+            .when(col("u") < 0.9810118431238462, 3)
+            .when(col("u") < 0.9963401531726563, 4)
+            .otherwise(5))
+      val rep = draws.groupBy("b")
+        .agg((sum(col("wt") * col("value")) / sum(col("wt"))).as("m"))
+      val pt = p.agg(avg(col("value")).as("mu"), count(lit(1)).as("n"))
+      val s = rep.agg(avg(col("m")).as("boot_mean"),
+        stddev_samp(col("m")).as("boot_se"),
+        min(col("m")).as("boot_min"), max(col("m")).as("boot_max"))
+      val zc = lit(1.959963984540054)
+      pt.crossJoin(s).select(col("n"), r4(col("mu")).as("point_est"),
+        r4(col("boot_mean")).as("boot_mean"),
+        r4(col("boot_se")).as("boot_se"),
+        r4(col("mu") - zc * col("boot_se")).as("ci_lo"),
+        r4(col("mu") + zc * col("boot_se")).as("ci_hi"),
+        r4(col("boot_min")).as("boot_min"),
+        r4(col("boot_max")).as("boot_max"))
+    },
+
+    // Seasonal z-score anomaly detection: per (event_type × hour-of-
+    // day) baseline mean/σ (the seasonal profile, a model-sized
+    // broadcast), then every event scores against its own season.
+    // Cells thinner than 30 events or with zero variance are excluded
+    // from scoring rather than producing unstable z values.
+    q("events_anomaly_z",
+      """WITH e AS (SELECT event_id, event_type,
+        |                  hour(CAST(ts AS TIMESTAMP)) hr, value
+        |           FROM events),
+        |base AS (SELECT event_type, hr, avg(value) mu,
+        |                stddev_samp(value) sd, count(*) n
+        |         FROM e GROUP BY 1, 2),
+        |z AS (SELECT e.event_id, e.event_type, e.hr,
+        |             (e.value - b.mu) / b.sd zs
+        |      FROM e JOIN base b ON e.event_type = b.event_type
+        |                        AND e.hr = b.hr
+        |      WHERE b.n >= 30 AND b.sd > 0)
+        |SELECT event_id, event_type, hr::BIGINT AS hr,
+        |       round(zs + 1e-9, 4) AS z
+        |FROM z WHERE abs(zs) > 3
+        |ORDER BY event_id""") { c =>
+      val e = c.events.select(col("event_id"), col("event_type"),
+        hour(col("ts")).as("hr"), col("value"))
+      val base = e.groupBy("event_type", "hr")
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"), count(lit(1)).as("n"))
+        .filter(col("n") >= 30 && col("sd") > 0)
+      e.join(broadcast(base), Seq("event_type", "hr"))
+        .withColumn("zs", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("zs")) > 3)
+        .select(col("event_id"), col("event_type"),
+          col("hr").cast("long").as("hr"), r4(col("zs")).as("z"))
+        .orderBy("event_id")
+    },
   )
 }
