@@ -268,4 +268,48 @@ object StreamOps {
       }
       .toDF("key", "n")
   }
+
+  /** Per-key streaming Holt linear-trend state (the streaming
+    * counterpart of [[graft.ops.Holt.linear]]): state per key is ONE
+    * (n, level, trend) triple — O(1) regardless of stream length —
+    * updated by folding each micro-batch's rows in event-time order
+    * through the same recurrence as the batch scan, so a stream
+    * replaying a table in timestamp order produces EXACTLY the batch
+    * result (spec-checked). Cross-batch late data is folded in arrival
+    * order (the streaming tradeoff; bound disorder with a watermark
+    * upstream). Update-mode output: (key, n, level, trend). */
+  def holtState(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oneMinusAlpha = 1 - alpha
+    val oneMinusBeta = 1 - beta
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).cast("double").as("__y"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Double),
+        (String, Long, Double, Double)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Double, Double)]) =>
+          var (n, l, b) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          rows.toVector.sortBy(_._2.getTime).foreach { case (_, _, y) =>
+            if (n == 0L) { l = y; b = 0.0; n = 1L }
+            else {
+              val lNew = alpha * y + oneMinusAlpha * (l + b)
+              b = beta * (lNew - l) + oneMinusBeta * b
+              l = lNew
+              n += 1
+            }
+          }
+          state.update((n, l, b))
+          (key, n, l, b)
+      }
+      .toDF("key", "n", "level", "trend")
+  }
 }

@@ -412,4 +412,44 @@ class StreamSpec extends SparkSpec {
         Seq(("a", 1, "r2"), ("a", 2, "r5"), ("b", 1, "r4")))
     } finally q.stop()
   }
+
+  test("streaming Holt state equals the batch secondary-sort scan when " +
+    "the stream replays in order") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:01:00"), "a", 10.0),
+      (ts("2024-01-01 00:02:00"), "a", 12.0),
+      (ts("2024-01-01 00:03:00"), "b", 5.0),
+      (ts("2024-01-01 00:04:00"), "a", 15.0),
+      (ts("2024-01-01 00:05:00"), "b", 6.0),
+      (ts("2024-01-01 00:06:00"), "a", 13.0))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val holt = StreamOps.holtState(
+      input.toDF.toDF("ts", "k", "v"), "k", "ts", "v", 0.5, 0.25)
+    val q = holt.writeStream.format("memory")
+      .queryName("holt_stream").outputMode("update").start()
+    try {
+      // split mid-series: state must carry (level, trend) across batches
+      input.addData(rows.take(3))
+      q.processAllAvailable()
+      input.addData(rows.drop(3))
+      q.processAllAvailable()
+      val streamed = sp.sql(
+        """SELECT key, n, level, trend FROM holt_stream s
+          |WHERE n = (SELECT max(n) FROM holt_stream WHERE key = s.key)
+          |ORDER BY key""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+      val batch = graft.ops.Holt.linear(
+          rows.toDF("ts", "k", "v"), "k", Seq(col("ts")), col("v"),
+          0.5, 0.25)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
