@@ -497,5 +497,147 @@ object MlQueries {
           r4(col("pred")).as("pred"), r4(col("v")).as("rmse"))
         .orderBy("u", "i")
     },
+
+    // Two-round AdaBoost over distributed decision stumps
+    // (ml/Boost.scala): round 1 is the exact histogram stump fit;
+    // round-2 weights collapse to TWO constants (e^±α), so the
+    // weighted histograms aggregate integer counts split by round-1
+    // correctness and apply the weights in closed form — the whole
+    // boosted fit stays a deterministic function of exact integers and
+    // hash-checks against a windowed SQL oracle replaying both rounds.
+    q("ml_adaboost",
+      """WITH lab AS (SELECT l_quantity::DOUBLE q, l_discount::DOUBLE d,
+        |                    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+        |                    END y
+        |             FROM lineitem),
+        |u1 AS (SELECT 'l_quantity' feature, q v, count(*) cnt, sum(y) pos
+        |       FROM lab GROUP BY 2
+        |       UNION ALL
+        |       SELECT 'l_discount', d, count(*), sum(y)
+        |       FROM lab GROUP BY 2),
+        |c1 AS (SELECT feature, v,
+        |              sum(cnt) OVER (PARTITION BY feature ORDER BY v) nl,
+        |              sum(pos) OVER (PARTITION BY feature ORDER BY v) pl,
+        |              sum(cnt) OVER (PARTITION BY feature) n,
+        |              sum(pos) OVER (PARTITION BY feature) p
+        |       FROM u1),
+        |g1 AS (SELECT feature, v, nl, pl, n - nl nr, p - pl pr, n,
+        |              CAST(round(((pl::DOUBLE*pl::DOUBLE
+        |                           + (nl-pl)::DOUBLE*(nl-pl)::DOUBLE)/nl
+        |                        + ((p-pl)::DOUBLE*(p-pl)::DOUBLE
+        |                           + ((n-nl)-(p-pl))::DOUBLE
+        |                             *((n-nl)-(p-pl))::DOUBLE)
+        |                          /(n-nl)) * 1e6 / n + 1e-9) AS BIGINT)
+        |                score_u
+        |       FROM c1 WHERE nl < n),
+        |b1 AS (SELECT * FROM g1
+        |       QUALIFY row_number() OVER (ORDER BY score_u DESC,
+        |                                  feature, v) = 1),
+        |m1 AS (SELECT feature f1, v t1,
+        |              CASE WHEN 2*pl > nl THEN 1 ELSE 0 END hl1,
+        |              CASE WHEN 2*pr > nr THEN 1 ELSE 0 END hr1
+        |       FROM b1),
+        |r1 AS (SELECT lab.q, lab.d, lab.y,
+        |              CASE WHEN (CASE WHEN m1.f1 = 'l_quantity' THEN q
+        |                         ELSE d END) <= m1.t1
+        |                   THEN m1.hl1 ELSE m1.hr1 END h1
+        |       FROM lab, m1),
+        |t1s AS (SELECT count(*) n,
+        |               sum(CASE WHEN h1 <> y THEN 1 ELSE 0 END) mis
+        |        FROM r1),
+        |a1 AS (SELECT n, mis, mis * 1.0 / n eps FROM t1s),
+        |a1b AS (SELECT n, mis, 0.5 * ln((1 - eps) / eps) alpha1 FROM a1),
+        |a1c AS (SELECT n, mis, alpha1, exp(alpha1) wmis,
+        |               exp(-alpha1) wok
+        |        FROM a1b),
+        |tg AS (SELECT q, d, y, CASE WHEN h1 = y THEN 1 ELSE 0 END ok
+        |       FROM r1),
+        |u2 AS (SELECT 'l_quantity' feature, q v, sum(ok) co,
+        |              sum(1 - ok) cm, sum(y * ok) po, sum(y * (1 - ok)) pm
+        |       FROM tg GROUP BY 2
+        |       UNION ALL
+        |       SELECT 'l_discount', d, sum(ok), sum(1 - ok),
+        |              sum(y * ok), sum(y * (1 - ok))
+        |       FROM tg GROUP BY 2),
+        |c2 AS (SELECT feature, v,
+        |              sum(co) OVER (PARTITION BY feature ORDER BY v) col_,
+        |              sum(cm) OVER (PARTITION BY feature ORDER BY v) cml,
+        |              sum(po) OVER (PARTITION BY feature ORDER BY v) pol,
+        |              sum(pm) OVER (PARTITION BY feature ORDER BY v) pml,
+        |              sum(co) OVER (PARTITION BY feature) cot,
+        |              sum(cm) OVER (PARTITION BY feature) cmt,
+        |              sum(po) OVER (PARTITION BY feature) pot,
+        |              sum(pm) OVER (PARTITION BY feature) pmt
+        |       FROM u2),
+        |w2 AS (SELECT feature, v,
+        |              cml::DOUBLE * wmis + col_::DOUBLE * wok wl,
+        |              pml::DOUBLE * wmis + pol::DOUBLE * wok wpl,
+        |              cmt::DOUBLE * wmis + cot::DOUBLE * wok wn,
+        |              pmt::DOUBLE * wmis + pot::DOUBLE * wok wp
+        |       FROM c2, a1c WHERE cml + col_ < cmt + cot),
+        |g2 AS (SELECT feature, v, wl, wpl, wn - wl wr, wp - wpl wpr, wn,
+        |              CAST(round(((wpl*wpl + (wl-wpl)*(wl-wpl))/wl
+        |                        + ((wp-wpl)*(wp-wpl)
+        |                           + ((wn-wl)-(wp-wpl))*((wn-wl)-(wp-wpl)))
+        |                          /(wn-wl)) * 1e6 / wn + 1e-9) AS BIGINT)
+        |                score_u
+        |       FROM w2),
+        |b2 AS (SELECT * FROM g2
+        |       QUALIFY row_number() OVER (ORDER BY score_u DESC,
+        |                                  feature, v) = 1),
+        |m2 AS (SELECT feature f2, v t2,
+        |              CASE WHEN 2*wpl > wl THEN 1 ELSE 0 END hl2,
+        |              CASE WHEN 2*wpr > wr THEN 1 ELSE 0 END hr2
+        |       FROM b2),
+        |r2p AS (SELECT tg.y, tg.ok,
+        |               CASE WHEN ok = 1 THEN y ELSE 1 - y END h1,
+        |               CASE WHEN (CASE WHEN m2.f2 = 'l_quantity' THEN q
+        |                          ELSE d END) <= m2.t2
+        |                    THEN m2.hl2 ELSE m2.hr2 END h2
+        |        FROM tg, m2),
+        |e2 AS (SELECT sum(CASE WHEN h2 <> y AND ok = 0 THEN 1 ELSE 0
+        |                  END) m2m,
+        |              sum(CASE WHEN h2 <> y AND ok = 1 THEN 1 ELSE 0
+        |                  END) m2o
+        |       FROM r2p),
+        |a2 AS (SELECT (m2m * wmis + m2o * wok)
+        |                / (mis * wmis + (n - mis) * wok) eps2, n, alpha1
+        |       FROM e2, a1c),
+        |a2b AS (SELECT n, alpha1, 0.5 * ln((1 - eps2) / eps2) alpha2
+        |        FROM a2),
+        |acc AS (SELECT sum(CASE WHEN (CASE WHEN a2b.alpha1 * (h1 * 2 - 1)
+        |                                 + a2b.alpha2 * (h2 * 2 - 1) >= 0
+        |                              THEN 1 ELSE 0 END) = y
+        |                        THEN 1 ELSE 0 END) corr
+        |        FROM r2p, a2b)
+        |SELECT m1.f1 AS feature1, round(m1.t1 + 1e-9, 4) AS threshold1,
+        |       round(a2b.alpha1 + 1e-9, 6) AS alpha1,
+        |       m2.f2 AS feature2, round(m2.t2 + 1e-9, 4) AS threshold2,
+        |       round(a2b.alpha2 + 1e-9, 6) AS alpha2,
+        |       round(acc.corr * 1.0 / a2b.n + 1e-9, 6) AS train_acc,
+        |       a2b.n::BIGINT AS n
+        |FROM m1, m2, a2b, acc""") { c =>
+      val label = (col("l_returnflag") === "R").cast("int")
+      val m = Boost.fitTwo(c.lineitem,
+        Seq("l_quantity", "l_discount"), label)
+      val lab = c.lineitem.select(
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"),
+        label.as("y"))
+      val st = lab.agg(
+        sum((m.prediction === col("y")).cast("long")).as("corr"),
+        count(lit(1)).as("n")).collect().head
+      def r6d(x: Double): Double = BigDecimal(x + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4d(x: Double): Double = BigDecimal(x + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = c.spark
+      import s.implicits._
+      Seq((m.r1.feature, r4d(m.r1.threshold), r6d(m.r1.alpha),
+        m.r2.feature, r4d(m.r2.threshold), r6d(m.r2.alpha),
+        r6d(st.getLong(0).toDouble / st.getLong(1)), st.getLong(1)))
+        .toDF("feature1", "threshold1", "alpha1", "feature2",
+          "threshold2", "alpha2", "train_acc", "n")
+    },
   )
 }
