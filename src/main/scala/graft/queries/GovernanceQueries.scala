@@ -431,5 +431,33 @@ object GovernanceQueries {
           r6(sum(col("rev")) * lit(1.0) / max(col("tot"))).as("share"))
         .orderBy("abc")
     },
+
+    // l-diversity audit (Machanavajjhala et al. 2007) — the
+    // k-anonymity companion: a quasi-identifier group is safe only if
+    // its SENSITIVE attribute also takes at least l distinct values
+    // (k-anonymous groups can still leak when everyone in the group
+    // shares the sensitive value). One aggregation per quasi-ID cell;
+    // group size AND distinct-sensitive count audited together.
+    q("gov_l_diversity",
+      """WITH j AS (SELECT c_nationkey nat, o_orderpriority pri,
+        |                  o_orderstatus sens
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT nat, pri, count(*) n, count(DISTINCT sens) l
+        |      FROM j GROUP BY 1, 2)
+        |SELECT nat, pri, n::BIGINT AS n, l::BIGINT AS l_diversity,
+        |       l >= 3 AS meets_l3
+        |FROM g ORDER BY nat, pri""") { c =>
+      val j = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nat"),
+          col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("sens"))
+      j.groupBy("nat", "pri")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("sens")).as("l_diversity"))
+        .select(col("nat"), col("pri"), col("n"), col("l_diversity"),
+          (col("l_diversity") >= 3).as("meets_l3"))
+        .orderBy("nat", "pri")
+    },
   )
 }

@@ -639,5 +639,95 @@ object MlQueries {
         .toDF("feature1", "threshold1", "alpha1", "feature2",
           "threshold2", "alpha2", "train_acc", "n")
     },
+
+    // Leading principal component by power iteration (3 pinned rounds)
+    // on the 4×4 CORRELATION matrix of the lineitem numeric columns —
+    // the distributed part is exactly one six-corr aggregation pass
+    // (the matrix is model-sized by construction); the iteration is
+    // closed-form scalar math replayed identically by the oracle's
+    // chained CTEs. Correlation (not covariance) keeps the component
+    // scale-free across differently-ranged features.
+    q("ml_pca_power",
+      """WITH c AS (SELECT corr(l_quantity, l_extendedprice) c12,
+        |                  corr(l_quantity, l_discount) c13,
+        |                  corr(l_quantity, l_tax) c14,
+        |                  corr(l_extendedprice, l_discount) c23,
+        |                  corr(l_extendedprice, l_tax) c24,
+        |                  corr(l_discount, l_tax) c34
+        |           FROM lineitem),
+        |i1 AS (SELECT c.*,
+        |         1.0*0.5 + c12*0.5 + c13*0.5 + c14*0.5 a1,
+        |         c12*0.5 + 1.0*0.5 + c23*0.5 + c24*0.5 a2,
+        |         c13*0.5 + c23*0.5 + 1.0*0.5 + c34*0.5 a3,
+        |         c14*0.5 + c24*0.5 + c34*0.5 + 1.0*0.5 a4
+        |       FROM c),
+        |n1 AS (SELECT *, sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4) nn FROM i1),
+        |v1 AS (SELECT c12, c13, c14, c23, c24, c34,
+        |              a1/nn v1, a2/nn v2, a3/nn v3, a4/nn v4 FROM n1),
+        |i2 AS (SELECT v1.*,
+        |         1.0*v1 + c12*v2 + c13*v3 + c14*v4 a1,
+        |         c12*v1 + 1.0*v2 + c23*v3 + c24*v4 a2,
+        |         c13*v1 + c23*v2 + 1.0*v3 + c34*v4 a3,
+        |         c14*v1 + c24*v2 + c34*v3 + 1.0*v4 a4
+        |       FROM v1),
+        |n2 AS (SELECT *, sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4) nn FROM i2),
+        |v2c AS (SELECT c12, c13, c14, c23, c24, c34,
+        |               a1/nn v1, a2/nn v2, a3/nn v3, a4/nn v4 FROM n2),
+        |i3 AS (SELECT v2c.*,
+        |         1.0*v1 + c12*v2 + c13*v3 + c14*v4 a1,
+        |         c12*v1 + 1.0*v2 + c23*v3 + c24*v4 a2,
+        |         c13*v1 + c23*v2 + 1.0*v3 + c34*v4 a3,
+        |         c14*v1 + c24*v2 + c34*v3 + 1.0*v4 a4
+        |       FROM v2c),
+        |n3 AS (SELECT *, sqrt(a1*a1 + a2*a2 + a3*a3 + a4*a4) nn FROM i3),
+        |v3c AS (SELECT c12, c13, c14, c23, c24, c34,
+        |               a1/nn v1, a2/nn v2, a3/nn v3, a4/nn v4 FROM n3),
+        |ray AS (SELECT v1*(1.0*v1 + c12*v2 + c13*v3 + c14*v4)
+        |              + v2*(c12*v1 + 1.0*v2 + c23*v3 + c24*v4)
+        |              + v3*(c13*v1 + c23*v2 + 1.0*v3 + c34*v4)
+        |              + v4*(c14*v1 + c24*v2 + c34*v3 + 1.0*v4) lam,
+        |              v1, v2, v3, v4
+        |        FROM v3c)
+        |SELECT round(v1 + 1e-9, 6) AS w_quantity,
+        |       round(v2 + 1e-9, 6) AS w_price,
+        |       round(v3 + 1e-9, 6) AS w_discount,
+        |       round(v4 + 1e-9, 6) AS w_tax,
+        |       round(lam + 1e-9, 6) AS eigenvalue
+        |FROM ray""") { c =>
+      val cr = c.lineitem.agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c12"),
+        corr(col("l_quantity"), col("l_discount")).as("c13"),
+        corr(col("l_quantity"), col("l_tax")).as("c14"),
+        corr(col("l_extendedprice"), col("l_discount")).as("c23"),
+        corr(col("l_extendedprice"), col("l_tax")).as("c24"),
+        corr(col("l_discount"), col("l_tax")).as("c34")).collect().head
+      val (c12, c13, c14, c23, c24, c34) = (cr.getDouble(0),
+        cr.getDouble(1), cr.getDouble(2), cr.getDouble(3),
+        cr.getDouble(4), cr.getDouble(5))
+      // matrix-vector product with the SAME left-to-right association
+      // as the oracle's CTE expressions (FP-identical given equal corr)
+      def mul(v: Array[Double]): Array[Double] = Array(
+        1.0 * v(0) + c12 * v(1) + c13 * v(2) + c14 * v(3),
+        c12 * v(0) + 1.0 * v(1) + c23 * v(2) + c24 * v(3),
+        c13 * v(0) + c23 * v(1) + 1.0 * v(2) + c34 * v(3),
+        c14 * v(0) + c24 * v(1) + c34 * v(2) + 1.0 * v(3))
+      var v = Array(0.5, 0.5, 0.5, 0.5)
+      (1 to 3).foreach { _ =>
+        val a = mul(v)
+        val nn = math.sqrt(a(0) * a(0) + a(1) * a(1) + a(2) * a(2) +
+          a(3) * a(3))
+        v = a.map(_ / nn)
+      }
+      val av = mul(v)
+      val lam = v(0) * av(0) + v(1) * av(1) + v(2) * av(2) +
+        v(3) * av(3)
+      def r6d(x: Double): Double = BigDecimal(x + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = c.spark
+      import s.implicits._
+      Seq((r6d(v(0)), r6d(v(1)), r6d(v(2)), r6d(v(3)), r6d(lam)))
+        .toDF("w_quantity", "w_price", "w_discount", "w_tax",
+          "eigenvalue")
+    },
   )
 }

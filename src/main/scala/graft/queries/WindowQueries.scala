@@ -301,6 +301,50 @@ object WindowQueries {
         .select(col("wnd.start").cast("timestamp_ntz").as("bucket"),
           col("event_type"), col("n"), col("v"))
         .orderBy("bucket", "event_type")
-    }
+    },
+
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands analysis: day-number minus per-user row_number
+    // is constant exactly along a run of consecutive days, so streaks
+    // fall out of one distinct + one user-partitioned window + one
+    // grouping. Dates serialize as ISO strings so the driver's hash
+    // bridge sees identical cells from both engines.
+    q("win_streaks",
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  CAST(CAST(ts AS TIMESTAMP) AS DATE) dy
+        |           FROM events),
+        |grp AS (SELECT user_id, dy,
+        |               datediff('day', DATE '2024-01-01', dy)
+        |                 - row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY dy) g
+        |        FROM d),
+        |s AS (SELECT user_id, count(*) len, min(dy) s0, max(dy) s1
+        |      FROM grp GROUP BY user_id, g),
+        |best AS (SELECT user_id, len, s0, s1,
+        |                row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY len DESC, s0) rn
+        |         FROM s)
+        |SELECT user_id, len::BIGINT AS streak_days,
+        |       s0::VARCHAR AS streak_start, s1::VARCHAR AS streak_end
+        |FROM best WHERE rn = 1 AND user_id < 60 ORDER BY user_id""") { c =>
+      val d = c.events
+        .select(col("user_id"), col("ts").cast("date").as("dy"))
+        .distinct()
+      val grp = d.withColumn("g",
+        datediff(col("dy"), lit("2024-01-01").cast("date")) -
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("dy")))
+      val s = grp.groupBy("user_id", "g")
+        .agg(count(lit(1)).as("len"),
+          min(col("dy")).as("s0"), max(col("dy")).as("s1"))
+      s.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("len").desc, col("s0"))))
+        .filter(col("rn") === 1 && col("user_id") < 60)
+        .select(col("user_id"), col("len").as("streak_days"),
+          col("s0").cast("string").as("streak_start"),
+          col("s1").cast("string").as("streak_end"))
+        .orderBy("user_id")
+    },
   )
 }
