@@ -1010,7 +1010,8 @@ object CurationQueries {
         |        GROUP BY 1, 2)
         |SELECT l_partkey, c::BIGINT AS exact_n, est::BIGINT AS cms_est,
         |       est >= c AS no_underestimate
-        |FROM est ORDER BY exact_n DESC, l_partkey""") { c =>
+        |FROM est ORDER BY exact_n DESC, l_partkey""",
+      bench = true) { c =>
       def bucket(j: org.apache.spark.sql.Column,
           k: org.apache.spark.sql.Column) =
         conv(substring(md5(concat(j, lit("#"), k)), 1, 8), 16, 10)

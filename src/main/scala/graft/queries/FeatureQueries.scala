@@ -605,7 +605,8 @@ object FeatureQueries {
         |SELECT user_id, n::BIGINT AS n, round(l + 1e-9, 4) AS level,
         |       round(b + 1e-9, 4) AS trend,
         |       round(l + b + 1e-9, 4) AS forecast
-        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+        |FROM rec WHERE rn = n ORDER BY user_id""",
+      bench = true) { c =>
       val fitted = graft.ops.Holt.linear(
         c.events.filter(col("user_id") < 50),
         key = "user_id", order = Seq(col("ts"), col("event_id")),

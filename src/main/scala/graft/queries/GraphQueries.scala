@@ -34,7 +34,8 @@ object GraphQueries {
         |SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes,
         |       min(node) AS first_node, max(node) AS last_node
         |FROM (SELECT node, min(dist) dist FROM walk GROUP BY 1)
-        |GROUP BY 1 ORDER BY dist""") { c =>
+        |GROUP BY 1 ORDER BY dist""",
+      bench = true) { c =>
       val e0 = c.lineitem
         .join(c.orders, col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("s"),

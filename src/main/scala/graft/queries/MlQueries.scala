@@ -481,7 +481,8 @@ object MlQueries {
         |rmse AS (SELECT sqrt(avg((pred - r)*(pred - r))) v FROM pred)
         |SELECT u, i, round(r + 1e-9, 4) rating,
         |       round(pred + 1e-9, 4) pred, round(rmse.v + 1e-9, 4) rmse
-        |FROM pred, rmse WHERE u < 10 ORDER BY u, i""") { c =>
+        |FROM pred, rmse WHERE u < 10 ORDER BY u, i""",
+      bench = true) { c =>
       val ratings = c.lineitem
         .join(c.orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
