@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 feature-engineering tier: leave-one-out target encoding,
@@ -650,6 +651,57 @@ object FeatureQueries {
         .agg(sum(col("sgn")).as("val"), count(lit(1)).as("n_tokens"))
         .filter(col("val") =!= 0)
         .orderBy("doc_id", "bucket")
+    },
+
+    // Classical seasonal decomposition (trend = centered ±12 h moving
+    // average, seasonal = hour-of-day mean of the detrended series,
+    // residual = remainder) over the hourly event-value series. The
+    // only corpus-sized pass is the hourly aggregation; every window
+    // after it runs on the TIME-BOUNDED hourly series (one row per
+    // hour of history — grows with calendar time, not data volume), so
+    // the unpartitioned centered-MA window is model-sized by
+    // construction. Output: the 24 seasonal indices plus the variance
+    // fraction the trend+seasonal fit explains.
+    q("ts_decompose",
+      """WITH h AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |                    AS BIGINT) hb,
+        |                  avg(value) y
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT hb, y,
+        |             avg(y) OVER (ORDER BY hb ROWS BETWEEN 12 PRECEDING
+        |                          AND 12 FOLLOWING) trend,
+        |             count(*) OVER (ORDER BY hb ROWS BETWEEN 12 PRECEDING
+        |                            AND 12 FOLLOWING) win_n
+        |      FROM h),
+        |d AS (SELECT hb, y, trend, y - trend detr FROM t
+        |      WHERE win_n = 25),
+        |s AS (SELECT hb % 24 hr, avg(detr) seas FROM d GROUP BY 1),
+        |r AS (SELECT d.hb, d.y, s.seas, d.detr - s.seas resid
+        |      FROM d JOIN s ON d.hb % 24 = s.hr),
+        |vars AS (SELECT var_samp(y) vy, var_samp(resid) vr FROM r)
+        |SELECT s.hr::BIGINT AS hr, round(s.seas + 1e-9, 4) AS seasonal,
+        |       round(1 - vars.vr / vars.vy + 1e-9, 6) AS frac_explained
+        |FROM s, vars ORDER BY hr""") { c =>
+      val h = c.events
+        .groupBy(floor(unix_timestamp(col("ts")) / lit(3600.0)).as("hb"))
+        .agg(avg(col("value")).as("y"))
+      val wMa = Window.orderBy("hb").rowsBetween(-12, 12)
+      val d = h
+        .withColumn("trend", avg(col("y")).over(wMa))
+        .withColumn("win_n", count(lit(1)).over(wMa))
+        .filter(col("win_n") === 25)
+        .withColumn("detr", col("y") - col("trend"))
+      val s = d.groupBy((col("hb") % 24).as("hr"))
+        .agg(avg(col("detr")).as("seas"))
+      val r = d.join(broadcast(s), col("hb") % 24 === col("hr"))
+        .withColumn("resid", col("detr") - col("seas"))
+      val vars = r.agg(var_samp(col("y")).as("vy"),
+        var_samp(col("resid")).as("vr"))
+      s.crossJoin(broadcast(vars))
+        .select(col("hr").cast("long").as("hr"),
+          r4(col("seas")).as("seasonal"),
+          r6(lit(1) - col("vr") / col("vy")).as("frac_explained"))
+        .orderBy("hr")
     },
   )
 }

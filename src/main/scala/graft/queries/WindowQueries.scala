@@ -346,5 +346,36 @@ object WindowQueries {
           col("s1").cast("string").as("streak_end"))
         .orderBy("user_id")
     },
+
+    // Rolling median over a 5-row trailing frame — the robust moving
+    // statistic mean-based frames cannot give (one outlier shifts a
+    // mean forever, a median shrugs). Spark has no median window
+    // function; the exact equivalent is the sorted middle element of
+    // the frame's collect_list — bounded state (frame size), exact
+    // doubles, and partial leading frames excluded so the odd-count
+    // middle is well-defined on both engines.
+    q("win_rolling_median",
+      """WITH v AS (SELECT event_id, user_id, value,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) rn
+        |           FROM events WHERE user_id < 30),
+        |m AS (SELECT event_id, user_id, rn,
+        |             median(value) OVER (PARTITION BY user_id ORDER BY rn
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) med
+        |      FROM v)
+        |SELECT event_id, user_id, round(med + 1e-9, 4) AS rolling_median
+        |FROM m WHERE rn >= 5 ORDER BY event_id""") { c =>
+      val v = c.events.filter(col("user_id") < 30)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      val frame = Window.partitionBy("user_id").orderBy("rn")
+        .rowsBetween(-4, Window.currentRow)
+      v.withColumn("med",
+          element_at(sort_array(collect_list(col("value")).over(frame)), 3))
+        .filter(col("rn") >= 5)
+        .select(col("event_id"), col("user_id"),
+          r4(col("med")).as("rolling_median"))
+        .orderBy("event_id")
+    },
   )
 }
