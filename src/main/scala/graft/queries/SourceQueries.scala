@@ -229,6 +229,73 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           r2(sum(col("c_acctbal"))).as("bal"))
         .orderBy("c_mktsegment")
-    }
+    },
+
+    // binaryFile DSv2 source — the multimodal INGEST path: a directory
+    // of image files read as (path, length, content) rows, ids parsed
+    // from paths, pixels decoded partition-local by ops/Multimodal.
+    // Payloads are the same deterministic BMPs as mm_decode_bmp
+    // (LlmQueries) so the oracle is the same closed-form pixel
+    // arithmetic plus the exact BMP container size.
+    q("src_binary_files",
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT w,
+        |                  (1 + doc_id % 2)::BIGINT h
+        |           FROM documents WHERE doc_id < 50),
+        |sz AS (SELECT doc_id, w, h,
+        |              (54 + ((w * 3 + 3) // 4) * 4 * h)::BIGINT n_bytes
+        |       FROM d),
+        |px AS (SELECT doc_id, w, h, n_bytes,
+        |         unnest(range(0, w * h)) AS p FROM sz),
+        |v AS (SELECT doc_id, w, h, n_bytes,
+        |        (doc_id * 31 + p * 3) % 256 AS r FROM px)
+        |SELECT doc_id, CAST(max(w) AS INT) AS width,
+        |       CAST(max(h) AS INT) AS height,
+        |       max(n_bytes) AS n_bytes,
+        |       round(avg(r) + 1e-9, 6) AS mean_r
+        |FROM v GROUP BY doc_id ORDER BY doc_id""") { c =>
+      // same generator as mm_decode_bmp, driver-side: the query under
+      // test is the binaryFile SOURCE, not the payload construction
+      def mkBmp(id: Long): Array[Byte] = {
+        val w = 2 + (id % 3).toInt; val h = 1 + (id % 2).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835)
+          .putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val base = id * 31 + (y * w + x) * 3
+            b.put(((base + 2) % 256).toByte) // B
+            b.put(((base + 1) % 256).toByte) // G
+            b.put((base % 256).toByte)       // R
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      }
+      val dir = java.nio.file.Paths.get(tmp("bmp_files"))
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      java.nio.file.Files.createDirectories(dir)
+      (0L until 50L).foreach { id =>
+        java.nio.file.Files.write(dir.resolve(s"$id.bmp"), mkBmp(id))
+      }
+      val files = c.spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp").load(dir.toString)
+        .select(regexp_extract(col("path"), "(\\d+)\\.bmp$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"), col("content").as("payload"))
+      val decoded = graft.ops.Multimodal.decodePixels(
+        files.select(col("doc_id"), col("payload")), "doc_id").toDF()
+      decoded.join(files.select(col("doc_id"), col("n_bytes")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_bytes"), r6(col("mean_r")).as("mean_r"))
+        .orderBy("doc_id")
+    },
   )
 }
