@@ -56,4 +56,53 @@ object PageRank {
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
     ranks
   }
+
+  /** Personalized PageRank (topic-sensitive; Haveliwala 2002): teleport
+    * mass — both the (1−d) restart and the dangling redistribution —
+    * flows only to `sources` (uniformly) instead of all nodes. Ranks
+    * measure proximity to the source set; nodes unreachable from it
+    * converge to 0. Same per-round join/aggregate shape and lineage
+    * cuts as [[run]]; the per-node teleport weight rides along as a
+    * column of the node frame so no extra join is paid per round. */
+  def personalized(
+      edges: DataFrame,
+      sources: DataFrame,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pagerank needs at least one round, got $iters")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val src = sources.select(col("node")).distinct().persist()
+    val nSrc = src.count().toDouble
+    require(nSrc > 0, "personalized pagerank needs a non-empty source set")
+    val tpNodes = nodes
+      .join(src.withColumn("__tp", lit(1.0 / nSrc)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__tp"), lit(0.0)).as("tp"))
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    var ranks = tpNodes.select(col("node"), col("tp").as("rank"))
+    (1 to iters).foreach { _ =>
+      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      ranks = tpNodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(1 - damping) * col("tp") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("tp")))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist(); outdeg.unpersist(); tpNodes.unpersist(); src.unpersist()
+    ranks
+  }
 }

@@ -993,42 +993,44 @@ object CurationQueries {
     // estimates. md5-derived bucket hashing keeps both engines
     // bit-identical.
     q("agg_countmin",
-      """WITH keys AS (SELECT l_partkey::VARCHAR k FROM lineitem),
+      """WITH keys AS (SELECT md5(l_partkey::VARCHAR) dg FROM lineitem),
         |cells AS (SELECT g.j,
-        |            ('0x' || substr(md5(g.j::VARCHAR || '#' || k), 1, 8))
-        |              ::BIGINT % 256 b,
+        |            ('0x' || substr(dg, 1 + 8 * g.j, 8))::BIGINT % 256 b,
         |            count(*) cnt
         |          FROM keys, generate_series(0, 3) g(j) GROUP BY 1, 2),
         |exact AS (SELECT l_partkey, count(*) c FROM lineitem GROUP BY 1),
-        |probes AS (SELECT l_partkey, c FROM exact
-        |           ORDER BY c DESC, l_partkey LIMIT 10),
+        |probes AS (SELECT l_partkey, c, md5(l_partkey::VARCHAR) dg
+        |           FROM exact ORDER BY c DESC, l_partkey LIMIT 10),
         |est AS (SELECT p.l_partkey, p.c, min(cells.cnt) est
         |        FROM probes p, generate_series(0, 3) g(j)
         |        JOIN cells ON cells.j = g.j
-        |          AND cells.b = ('0x' || substr(md5(g.j::VARCHAR || '#'
-        |            || p.l_partkey::VARCHAR), 1, 8))::BIGINT % 256
+        |          AND cells.b =
+        |            ('0x' || substr(p.dg, 1 + 8 * g.j, 8))::BIGINT % 256
         |        GROUP BY 1, 2)
         |SELECT l_partkey, c::BIGINT AS exact_n, est::BIGINT AS cms_est,
         |       est >= c AS no_underestimate
         |FROM est ORDER BY exact_n DESC, l_partkey""",
       bench = true) { c =>
-      def bucket(j: org.apache.spark.sql.Column,
-          k: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(j, lit("#"), k)), 1, 8), 16, 10)
+      // one md5 per key: the 32-hex digest yields the four row-hashes
+      // as disjoint 8-hex windows (d × the hash cost saved on the
+      // corpus-sized pass)
+      def bucket(dg: org.apache.spark.sql.Column,
+          j: org.apache.spark.sql.Column) =
+        conv(dg.substr(lit(1) + lit(8) * j, lit(8)), 16, 10)
           .cast("long") % 256
       val cells = c.lineitem
-        .select(col("l_partkey").cast("string").as("k"),
+        .select(md5(col("l_partkey").cast("string")).as("dg"),
           explode(sequence(lit(0), lit(3))).as("j"))
-        .select(col("j"), bucket(col("j"), col("k")).as("b"))
+        .select(col("j"), bucket(col("dg"), col("j")).as("b"))
         .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
       val probes = c.lineitem.groupBy("l_partkey")
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("l_partkey")).limit(10)
+        .withColumn("dg", md5(col("l_partkey").cast("string")))
       probes
-        .select(col("l_partkey"), col("c"),
+        .select(col("l_partkey"), col("c"), col("dg"),
           explode(sequence(lit(0), lit(3))).as("j"))
-        .withColumn("b",
-          bucket(col("j"), col("l_partkey").cast("string")))
+        .withColumn("b", bucket(col("dg"), col("j")))
         .join(broadcast(cells), Seq("j", "b"))
         .groupBy("l_partkey", "c").agg(min(col("cnt")).as("est"))
         .select(col("l_partkey"), col("c").as("exact_n"),

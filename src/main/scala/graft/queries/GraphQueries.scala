@@ -88,5 +88,64 @@ object GraphQueries {
       labels.groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label")).limit(15)
     },
+
+    // Personalized PageRank (Haveliwala 2002): restart AND dangling
+    // mass teleport only to the 5-customer source set, so ranks
+    // measure proximity to those customers — the recommendation /
+    // related-entity primitive standard PageRank cannot express.
+    // 3 pinned rounds, oracle fully unrolled; unreachable nodes are
+    // exactly 0 and excluded on both engines.
+    q("graph_ppr",
+      """WITH e AS (SELECT DISTINCT 'c' || o_custkey src,
+        |                           's' || l_suppkey dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src node FROM e UNION SELECT dst FROM e),
+        |s AS (SELECT DISTINCT 'c' || o_custkey node FROM orders
+        |      WHERE o_custkey < 5),
+        |ns AS (SELECT count(*) n FROM s),
+        |tp AS (SELECT nodes.node,
+        |              CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n
+        |                   ELSE 0.0 END tp
+        |       FROM nodes LEFT JOIN s USING (node), ns),
+        |od AS (SELECT src, count(*) outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, tp rank FROM tp),
+        |d1 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r0
+        |       LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
+        |c1 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
+        |       JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT tp.node, 0.15::DOUBLE * tp.tp + 0.85::DOUBLE *
+        |         (coalesce(c1.contrib, 0)::DOUBLE + d1.dm * tp.tp) rank
+        |       FROM tp LEFT JOIN c1 ON tp.node = c1.node, d1),
+        |d2 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r1
+        |       LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
+        |c2 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
+        |       JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT tp.node, 0.15::DOUBLE * tp.tp + 0.85::DOUBLE *
+        |         (coalesce(c2.contrib, 0)::DOUBLE + d2.dm * tp.tp) rank
+        |       FROM tp LEFT JOIN c2 ON tp.node = c2.node, d2),
+        |d3 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r2
+        |       LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
+        |c3 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
+        |       JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT tp.node, 0.15::DOUBLE * tp.tp + 0.85::DOUBLE *
+        |         (coalesce(c3.contrib, 0)::DOUBLE + d3.dm * tp.tp) rank
+        |       FROM tp LEFT JOIN c3 ON tp.node = c3.node, d3)
+        |SELECT node, round(rank + 1e-9, 6) pr FROM r3
+        |WHERE rank > 0 ORDER BY pr DESC, node LIMIT 20""") { c =>
+      val edges = c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sources = c.orders.filter(col("o_custkey") < 5)
+        .select(concat(lit("c"), col("o_custkey")).as("node"))
+      val ranks = graft.ops.PageRank.personalized(edges, sources,
+        iters = 3, damping = 0.85)
+      ranks.filter(col("rank") > 0)
+        .select(col("node"), r6(col("rank")).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    },
   )
 }
