@@ -459,5 +459,37 @@ object GovernanceQueries {
           (col("l_diversity") >= 3).as("meets_l3"))
         .orderBy("nat", "pri")
     },
+
+    // Deterministic pseudonymization with referential integrity: the
+    // customer key is replaced by a salted-hash token IN BOTH tables,
+    // so cross-table joins still line up on the token while the raw id
+    // never appears downstream (the PII-safe analytics export shape
+    // beside pii_redact's free-text pass). The check: per-nation order
+    // and distinct-customer counts through the tokenized join equal
+    // the raw-key truth.
+    q("gov_pseudonymize",
+      """WITH cm AS (SELECT substr(md5('cust:' || c_custkey::VARCHAR),
+        |                    1, 16) tok,
+        |                   c_nationkey FROM customer),
+        |om AS (SELECT substr(md5('cust:' || o_custkey::VARCHAR),
+        |               1, 16) tok,
+        |              o_totalprice FROM orders),
+        |j AS (SELECT cm.c_nationkey, count(*) n_orders,
+        |             count(DISTINCT cm.tok) n_custs
+        |      FROM om JOIN cm USING (tok) GROUP BY 1)
+        |SELECT c_nationkey, n_orders::BIGINT AS n_orders,
+        |       n_custs::BIGINT AS n_custs
+        |FROM j ORDER BY c_nationkey""") { c =>
+      def tok(k: org.apache.spark.sql.Column) =
+        substring(md5(concat(lit("cust:"), k.cast("string"))), 1, 16)
+      val cm = c.customer.select(tok(col("c_custkey")).as("tok"),
+        col("c_nationkey"))
+      val om = c.orders.select(tok(col("o_custkey")).as("tok"))
+      om.join(cm, Seq("tok"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("tok")).as("n_custs"))
+        .orderBy("c_nationkey")
+    },
   )
 }

@@ -276,5 +276,40 @@ object JoinQueries {
           col("a.attr").as("priority"), col("b.attr").as("status"))
         .orderBy("custkey", "seg_start", "seg_end")
     },
+
+    // Salted skew join: half of lineitem is remapped onto ONE supplier
+    // key (the hot-key pathology that strands a reduce task at 100 TB).
+    // The fix: salt the big side with a 16-way hash of its row id and
+    // replicate the SMALL side once per salt, so the hot key's rows
+    // spread over 16 reducers while the join result stays row-identical
+    // — the oracle is the PLAIN unsalted join, so the equality IS the
+    // correctness proof of the rewrite. (AQE's skew handling covers
+    // sort-merge cases; explicit salting is the portable form that
+    // also works under hash joins and in streaming.)
+    q("join_salted",
+      """WITH big AS (SELECT CASE WHEN l_orderkey % 10 < 5 THEN 1
+        |                         ELSE l_suppkey END k, l_quantity
+        |             FROM lineitem),
+        |j AS (SELECT s_name, big.l_quantity FROM big
+        |      JOIN supplier ON big.k = s_suppkey)
+        |SELECT s_name, count(*)::BIGINT AS n,
+        |       round(sum(l_quantity) + 1e-9, 2) AS qty
+        |FROM j GROUP BY 1 ORDER BY s_name""") { c =>
+      val salts = 16
+      val big = c.lineitem.select(
+          when(col("l_orderkey") % 10 < 5, 1)
+            .otherwise(col("l_suppkey")).as("k"),
+          col("l_quantity"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(salts)).as("salt"))
+      val small = c.supplier
+        .select(col("s_suppkey").as("k"), col("s_name"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        .withColumn("salt", col("salt").cast("long"))
+      big.join(small, Seq("k", "salt"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .orderBy("s_name")
+    },
   )
 }
