@@ -730,5 +730,101 @@ object MlQueries {
         .toDF("w_quantity", "w_price", "w_discount", "w_tax",
           "eigenvalue")
     },
+
+    // k-NN classification (k=5, cosine) over the embeddings corpus —
+    // the lazy-learner baseline every vector store ships: exact top-k
+    // neighbors (the sim_topk machinery), then a majority vote with
+    // deterministic (votes DESC, label) tie-break. The brute-force
+    // scoring here is the oracle-checkable regime; the production path
+    // swaps in the LSH/IVF/SQ8 candidate generators unchanged.
+    q("ml_knn",
+      """WITH q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv, label y
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id n_id, embedding::DOUBLE[] nv, label yl
+        |      FROM embeddings),
+        |s AS (SELECT q_id, y, n_id, yl, list_cosine_similarity(qv, nv) cos
+        |      FROM q, c WHERE q_id <> n_id),
+        |r AS (SELECT q_id, y, yl,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY round(cos + 1e-9, 6) DESC, n_id) rnk FROM s),
+        |v AS (SELECT q_id, y, yl, count(*) votes FROM r WHERE rnk <= 5
+        |      GROUP BY 1, 2, 3),
+        |p AS (SELECT q_id, y, yl pred FROM (
+        |        SELECT q_id, y, yl, row_number() OVER (PARTITION BY q_id
+        |          ORDER BY votes DESC, yl) rn FROM v) WHERE rn = 1)
+        |SELECT q_id, y AS actual, pred, pred = y AS correct
+        |FROM p ORDER BY q_id""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val queries = c.embeddings.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = c.embeddings
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      graft.functions.GraftFunctions.register(c.spark)
+      val top5 = graft.ops.VectorSim.topKBruteForce(queries, corpus, 5,
+        native = true)
+      val labels = c.embeddings.select(col("vec_id"), col("label"))
+      val votes = top5
+        .join(labels.select(col("vec_id").as("n_id"),
+          col("label").as("yl")), Seq("n_id"))
+        .join(labels.select(col("vec_id").as("q_id"),
+          col("label").as("y")), Seq("q_id"))
+        .groupBy("q_id", "y", "yl").agg(count(lit(1)).as("votes"))
+      votes.withColumn("rn", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("votes").desc, col("yl"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("y").as("actual"),
+          col("yl").as("pred"), (col("yl") === col("y")).as("correct"))
+        .orderBy("q_id")
+    },
+
+    // Simplified (centroid-based) silhouette score per cluster — the
+    // clustering-quality diagnostic that, unlike the full silhouette,
+    // never forms point-pair distances: a(i) is the distance to the own
+    // centroid, b(i) the nearest other centroid, so the whole audit is
+    // one centroid aggregation plus a #clusters-bounded fan-out join —
+    // the 100 TB shape (full silhouette is O(n²) by definition).
+    q("ml_silhouette",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label
+        |           FROM embeddings),
+        |el AS (SELECT vec_id, label, g.i, v[g.i] x
+        |       FROM e, generate_series(1, 64) g(i)),
+        |cent AS (SELECT label clab, i, avg(x) c FROM el GROUP BY 1, 2),
+        |d AS (SELECT el.vec_id, el.label, cent.clab,
+        |             sum((el.x - cent.c) * (el.x - cent.c)) d2
+        |      FROM el JOIN cent ON el.i = cent.i
+        |      GROUP BY 1, 2, 3),
+        |own AS (SELECT vec_id, label, sqrt(d2) a FROM d
+        |        WHERE label = clab),
+        |oth AS (SELECT vec_id, min(sqrt(d2)) b FROM d
+        |        WHERE label <> clab GROUP BY 1),
+        |s AS (SELECT own.label, (oth.b - own.a) / greatest(own.a, oth.b)
+        |        sil
+        |      FROM own JOIN oth USING (vec_id))
+        |SELECT label, count(*)::BIGINT AS n,
+        |       round(avg(sil) + 1e-9, 6) AS mean_silhouette
+        |FROM s GROUP BY 1 ORDER BY label""") { c =>
+      val el = c.embeddings
+        .select(col("vec_id"), col("label"),
+          posexplode(expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+            .as(Seq("i", "x")))
+      val cent = el.groupBy(col("label").as("clab"), col("i"))
+        .agg(avg(col("x")).as("c"))
+      val d = el.join(broadcast(cent), Seq("i"))
+        .groupBy("vec_id", "label", "clab")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      val own = d.filter(col("label") === col("clab"))
+        .select(col("vec_id"), col("label"), sqrt(col("d2")).as("a"))
+      val oth = d.filter(col("label") =!= col("clab"))
+        .groupBy("vec_id").agg(min(sqrt(col("d2"))).as("b"))
+      own.join(oth, Seq("vec_id"))
+        .select(col("label"),
+          ((col("b") - col("a")) / greatest(col("a"), col("b")))
+            .as("sil"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), r6(avg(col("sil")))
+          .as("mean_silhouette"))
+        .orderBy("label")
+    },
   )
 }
