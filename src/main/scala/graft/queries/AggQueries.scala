@@ -375,6 +375,34 @@ object AggQueries {
           |                        (l_linestatus), ())
           |ORDER BY gid, l_returnflag ASC NULLS FIRST,
           |         l_linestatus ASC NULLS FIRST""".stripMargin)
-    }
+    },
+
+    // Weighted median (lower convention): the first value whose
+    // inclusive cumulative weight crosses half the total. Cumulative
+    // weights come from the DISTRIBUTED Positional prefix sum over the
+    // grouped support, so a continuous value column never collapses to
+    // a single-partition window; weights are integer-valued doubles,
+    // keeping every comparison exact.
+    q("agg_weighted_median",
+      """WITH h AS (SELECT l_extendedprice v, sum(l_quantity) w
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(w) tw FROM h),
+        |c AS (SELECT v, w, coalesce(sum(w) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum
+        |      FROM h)
+        |SELECT round(min(v) + 1e-9, 2) AS weighted_median,
+        |       round(max(t.tw) + 1e-9, 2) AS total_weight
+        |FROM c, t WHERE cum * 2 < t.tw AND (cum + w) * 2 >= t.tw""") { c =>
+      val h = c.lineitem.groupBy(col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity")).as("w"))
+      val t = h.agg(sum(col("w")).as("tw"))
+      val cum = graft.ops.Positional.withCumSum(
+        h, Seq(col("v")), col("w"), "cum")
+      cum.crossJoin(broadcast(t))
+        .filter(col("cum") * 2 < col("tw") &&
+          (col("cum") + col("w")) * 2 >= col("tw"))
+        .agg(r2(min(col("v"))).as("weighted_median"),
+          r2(max(col("tw"))).as("total_weight"))
+    },
   )
 }

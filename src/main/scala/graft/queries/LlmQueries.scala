@@ -1682,5 +1682,67 @@ object LlmQueries {
           r6(col("cos")).as("cos"))
         .orderBy("q_id", "rnk")
     },
+
+    // T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    // seq2seq pretraining sample prep: deterministic 3-token spans
+    // (every 5th token triple) collapse to numbered sentinels in the
+    // model input, and the target replays each sentinel followed by
+    // the tokens it hid. Pure per-doc list work after tokenization —
+    // one explode + two ordered aggregations, no shuffle beyond the
+    // doc grouping. The fixed mask pattern stands in for the span
+    // sampler (randomness is a seed-policy choice; the tensorization
+    // shape is what the operator owns).
+    q("llm_span_corruption",
+      """WITH d AS (SELECT doc_id,
+        |             regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |           FROM documents WHERE doc_id < 30),
+        |tok AS (SELECT doc_id, unnest(toks) w,
+        |               unnest(range(len(toks))) pos FROM d),
+        |m AS (SELECT doc_id, w, pos,
+        |             (pos // 3) % 5 = 4 masked,
+        |             pos // 15 s
+        |      FROM tok),
+        |inp AS (SELECT doc_id,
+        |          string_agg(CASE WHEN masked AND pos % 15 = 12
+        |                          THEN '<extra_' || s || '>'
+        |                          WHEN masked THEN NULL ELSE w END,
+        |                     ' ' ORDER BY pos) AS model_input
+        |        FROM m GROUP BY 1),
+        |tgt AS (SELECT doc_id,
+        |          string_agg(CASE WHEN pos % 15 = 12
+        |                          THEN '<extra_' || s || '> ' || w
+        |                          ELSE w END,
+        |                     ' ' ORDER BY pos) AS model_target,
+        |          count(DISTINCT s) n_spans
+        |        FROM m WHERE masked GROUP BY 1)
+        |SELECT inp.doc_id, inp.model_input, tgt.model_target,
+        |       tgt.n_spans::BIGINT AS n_spans
+        |FROM inp JOIN tgt USING (doc_id) ORDER BY doc_id""") { c =>
+      val m = c.documents.filter(col("doc_id") < 30)
+        .select(col("doc_id"), posexplode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "w")))
+        .withColumn("masked", expr("(pos div 3) % 5 = 4"))
+        .withColumn("s", expr("pos div 15"))
+      val inTok = when(col("masked") && col("pos") % 15 === 12,
+          concat(lit("<extra_"), col("s"), lit(">")))
+        .when(col("masked"), lit(null))
+        .otherwise(col("w"))
+      val inp = m.withColumn("t", inTok)
+        .groupBy("doc_id")
+        .agg(expr("concat_ws(' ', transform(filter(array_sort(" +
+          "collect_list(named_struct('p', pos, 't', t))), " +
+          "x -> x.t IS NOT NULL), x -> x.t))").as("model_input"))
+      val tgtTok = when(col("pos") % 15 === 12,
+          concat(lit("<extra_"), col("s"), lit("> "), col("w")))
+        .otherwise(col("w"))
+      val tgt = m.filter(col("masked")).withColumn("t", tgtTok)
+        .groupBy("doc_id")
+        .agg(expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(named_struct('p', pos, 't', t))), x -> x.t))")
+          .as("model_target"),
+          countDistinct(col("s")).as("n_spans"))
+      inp.join(tgt, Seq("doc_id")).orderBy("doc_id")
+    },
   )
 }
