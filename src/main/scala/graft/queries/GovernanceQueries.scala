@@ -491,5 +491,32 @@ object GovernanceQueries {
           countDistinct(col("tok")).as("n_custs"))
         .orderBy("c_nationkey")
     },
+
+    // Order-independent table content fingerprint: per-row md5-derived
+    // 60-bit ints folded with XOR — commutative/associative, so the
+    // digest is identical under any partitioning or row order and
+    // merges across shards for free (the cheap cross-system
+    // reconciliation check before shipping a 100 TB copy; dq_table_diff
+    // is the row-level drill-down once digests disagree). Canonical
+    // row strings use only integer-rendered columns — double
+    // formatting is never engine-portable.
+    q("dq_table_fingerprint",
+      """WITH r AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR
+        |             || '|' || l_linenumber::VARCHAR || '|' ||
+        |             CAST(round(l_quantity) AS BIGINT)::VARCHAR),
+        |             1, 15))::BIGINT h
+        |           FROM lineitem)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       bit_xor(h)::BIGINT AS content_digest
+        |FROM r""") { c =>
+      val h = conv(substring(md5(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          round(col("l_quantity")).cast("long").cast("string"))),
+        1, 15), 16, 10).cast("long")
+      c.lineitem.select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("content_digest"))
+    },
   )
 }

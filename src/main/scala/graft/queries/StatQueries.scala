@@ -545,5 +545,123 @@ object StatQueries {
           col("hr").cast("long").as("hr"), r4(col("zs")).as("z"))
         .orderBy("event_id")
     },
+
+    // Benford's-law audit of order totals — the classic forensic /
+    // data-quality screen for fabricated numeric columns. First digits
+    // come from the INTEGER-cents string (never from double
+    // formatting, which engines render differently); per-digit
+    // chi-square terms against log10(1 + 1/d) quantify the deviation.
+    q("stat_benford",
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |             cents
+        |           FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substr(cents::VARCHAR, 1, 1) AS INT) dig
+        |      FROM c),
+        |o AS (SELECT dig, count(*) n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) tot FROM o)
+        |SELECT dig, n::BIGINT AS n,
+        |       round(n * 1.0 / t.tot + 1e-9, 6) AS observed,
+        |       round(ln(1 + 1.0 / dig) / ln(10) + 1e-9, 6) AS benford,
+        |       round(pow(n * 1.0 / t.tot - ln(1 + 1.0 / dig) / ln(10), 2)
+        |             / (ln(1 + 1.0 / dig) / ln(10)) * t.tot + 1e-9, 4)
+        |         AS chi2_term
+        |FROM o, t ORDER BY dig""") { c =>
+      val o = c.orders.filter(col("o_totalprice") > 0)
+        .select(round(col("o_totalprice") * 100).cast("long")
+          .cast("string").substr(1, 1).cast("int").as("dig"))
+        .groupBy("dig").agg(count(lit(1)).as("n"))
+      val t = o.agg(sum(col("n")).as("tot"))
+      val exp = log(lit(1) + lit(1.0) / col("dig")) / log(lit(10))
+      o.crossJoin(broadcast(t))
+        .select(col("dig"), col("n"),
+          r6(col("n") * lit(1.0) / col("tot")).as("observed"),
+          r6(exp).as("benford"),
+          r4(pow(col("n") * lit(1.0) / col("tot") - exp, 2) / exp *
+            col("tot")).as("chi2_term"))
+        .orderBy("dig")
+    },
+
+    // Theil-Sen robust slope (repeated-pair variant): pair rank r with
+    // rank r + n/2 under the (x, y, id) total order — n/2 deterministic
+    // pairs instead of O(n²) — and take the WEIGHTED MEDIAN of the
+    // pairwise slopes. Ranks come from the distributed Positional row
+    // number; the median from its cumulative-sum sibling, so no stage
+    // ever sees a single-partition window. Outlier-immune where OLS
+    // (agg_regr) is not.
+    q("stat_theil_sen",
+      """WITH s AS (SELECT l_quantity x, l_extendedprice y,
+        |             row_number() OVER (ORDER BY l_quantity,
+        |               l_extendedprice, l_orderkey, l_linenumber) rn,
+        |             count(*) OVER () n
+        |           FROM lineitem WHERE l_orderkey % 29 = 0),
+        |p AS (SELECT a.x x1, a.y y1, b.x x2, b.y y2
+        |      FROM s a JOIN s b ON b.rn = a.rn + a.n // 2
+        |      WHERE a.x <> b.x),
+        |sl AS (SELECT (y2 - y1) / (x2 - x1) m FROM p),
+        |h AS (SELECT m, count(*) w FROM sl GROUP BY 1),
+        |t AS (SELECT sum(w) tw FROM h),
+        |c AS (SELECT m, w, coalesce(sum(w) OVER (ORDER BY m
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum
+        |      FROM h)
+        |SELECT round(min(m) + 1e-9, 4) AS slope,
+        |       max(t.tw)::BIGINT AS n_pairs
+        |FROM c, t WHERE cum * 2 < t.tw AND (cum + w) * 2 >= t.tw""") { c =>
+      val s0 = c.lineitem.filter(col("l_orderkey") % 29 === 0)
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = Positional.withRowNumber(s0,
+        Seq(col("x"), col("y"), col("l_orderkey"), col("l_linenumber")),
+        "rn")
+      val nDf = ranked.agg(count(lit(1)).as("n"))
+      val a = ranked.crossJoin(broadcast(nDf))
+        .withColumn("rn2", expr("rn + n div 2"))
+        .select(col("x").as("x1"), col("y").as("y1"), col("rn2"))
+      val b = ranked.select(col("x").as("x2"), col("y").as("y2"),
+        col("rn"))
+      val sl = a.join(b, col("rn2") === col("rn"))
+        .filter(col("x1") =!= col("x2"))
+        .select(((col("y2") - col("y1")) / (col("x2") - col("x1")))
+          .as("m"))
+      val h = sl.groupBy("m").agg(count(lit(1)).as("w"))
+      val t = h.agg(sum(col("w")).as("tw"))
+      val cum = Positional.withCumSum(h, Seq(col("m")), col("w"), "cum")
+      cum.crossJoin(broadcast(t))
+        .filter(col("cum") * 2 < col("tw") &&
+          (col("cum") + col("w")) * 2 >= col("tw"))
+        .agg(r4(min(col("m"))).as("slope"),
+          max(col("tw")).as("n_pairs"))
+    },
+
+    // 1-day and trailing-7-day rolling distinct active users — the
+    // product-health metric whose naive form (count distinct over a
+    // sliding window) has no mergeable state. The distributed shape:
+    // dedupe to (day, user) once, then join the model-sized day grid
+    // onto its trailing week — the distinct count per day touches only
+    // the 7-day slice, and the grid is calendar-bounded.
+    q("events_rolling_dau",
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |              dy, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT dy FROM du),
+        |roll AS (SELECT d.dy, count(DISTINCT du.user_id) dau7
+        |         FROM days d JOIN du ON du.dy BETWEEN d.dy - 6 AND d.dy
+        |         GROUP BY 1),
+        |one AS (SELECT dy, count(*) dau1 FROM du GROUP BY 1)
+        |SELECT roll.dy::VARCHAR AS day, one.dau1::BIGINT AS dau,
+        |       roll.dau7::BIGINT AS dau_7d
+        |FROM roll JOIN one USING (dy) ORDER BY day""") { c =>
+      val du = c.events
+        .select(col("ts").cast("date").as("dy"), col("user_id"))
+        .distinct()
+      val days = du.select(col("dy").as("d")).distinct()
+      val roll = broadcast(days).join(du,
+          col("dy").between(date_sub(col("d"), 6), col("d")))
+        .groupBy("d").agg(countDistinct(col("user_id")).as("dau7"))
+      val one = du.groupBy("dy").agg(count(lit(1)).as("dau1"))
+      roll.join(one, col("d") === col("dy"))
+        .select(col("d").cast("string").as("day"),
+          col("dau1").as("dau"), col("dau7").as("dau_7d"))
+        .orderBy("day")
+    },
   )
 }
