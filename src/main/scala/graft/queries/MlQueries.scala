@@ -826,5 +826,122 @@ object MlQueries {
           .as("mean_silhouette"))
         .orderBy("label")
     },
+
+    // Two-component 1-D Gaussian-mixture EM (Dempster et al. 1977,
+    // 2 pinned iterations) on purchase values — the soft-clustering
+    // counterpart of the hard k-means estimator. Each E-step is a pure
+    // per-row responsibility projection; each M-step is ONE aggregation
+    // of six sufficient statistics (variances via E[x²]−mean², no
+    // second pass); between iterations only the 5-scalar parameter
+    // vector crosses the driver. The oracle unrolls both rounds with
+    // bit-identical pdf arithmetic; the final log-likelihood rides the
+    // second E-step for free.
+    q("ml_pipeline_em_gmm",
+      """WITH x AS (SELECT value v FROM events
+        |           WHERE event_type = 'purchase'),
+        |e1 AS (SELECT v,
+        |         0.5::DOUBLE * exp(-(v - 30.0::DOUBLE)
+        |             * (v - 30.0::DOUBLE)
+        |           / (2.0::DOUBLE * 20.0::DOUBLE * 20.0::DOUBLE))
+        |           / (20.0::DOUBLE * 2.5066282746310002::DOUBLE) p1,
+        |         0.5::DOUBLE * exp(-(v - 70.0::DOUBLE)
+        |             * (v - 70.0::DOUBLE)
+        |           / (2.0::DOUBLE * 20.0::DOUBLE * 20.0::DOUBLE))
+        |           / (20.0::DOUBLE * 2.5066282746310002::DOUBLE) p2
+        |       FROM x),
+        |r1 AS (SELECT v, p1 / (p1 + p2) r FROM e1),
+        |m1 AS (SELECT count(*) n, sum(r) n1, sum(r * v) sx,
+        |              sum(r * v * v) sxx,
+        |              sum((1 - r) * v) tx, sum((1 - r) * v * v) txx
+        |       FROM r1),
+        |p1c AS (SELECT n, n1 / n pi,
+        |               sx / n1 mu1,
+        |               sqrt(sxx / n1 - (sx / n1) * (sx / n1)) s1,
+        |               tx / (n - n1) mu2,
+        |               sqrt(txx / (n - n1)
+        |                    - (tx / (n - n1)) * (tx / (n - n1))) s2
+        |        FROM m1),
+        |e2 AS (SELECT x.v, p1c.n,
+        |         p1c.pi * exp(-(x.v - p1c.mu1) * (x.v - p1c.mu1)
+        |           / (2.0::DOUBLE * p1c.s1 * p1c.s1))
+        |           / (p1c.s1 * 2.5066282746310002::DOUBLE) q1,
+        |         (1 - p1c.pi) * exp(-(x.v - p1c.mu2) * (x.v - p1c.mu2)
+        |           / (2.0::DOUBLE * p1c.s2 * p1c.s2))
+        |           / (p1c.s2 * 2.5066282746310002::DOUBLE) q2
+        |       FROM x, p1c),
+        |r2c AS (SELECT v, n, q1 / (q1 + q2) r, ln(q1 + q2) ll FROM e2),
+        |m2 AS (SELECT max(n) n, sum(r) n1, sum(r * v) sx,
+        |              sum(r * v * v) sxx,
+        |              sum((1 - r) * v) tx, sum((1 - r) * v * v) txx,
+        |              sum(ll) ll
+        |       FROM r2c)
+        |SELECT round(n1 / n + 1e-9, 6) AS pi,
+        |       round(sx / n1 + 1e-9, 4) AS mu1,
+        |       round(sqrt(sxx / n1 - (sx / n1) * (sx / n1)) + 1e-9, 4)
+        |         AS sigma1,
+        |       round(tx / (n - n1) + 1e-9, 4) AS mu2,
+        |       round(sqrt(txx / (n - n1)
+        |                  - (tx / (n - n1)) * (tx / (n - n1))) + 1e-9, 4)
+        |         AS sigma2,
+        |       round(ll + 1e-9, 4) AS loglik,
+        |       n::BIGINT AS n
+        |FROM m2""") { c =>
+      val sqrt2pi = 2.5066282746310002
+      val x = c.events.filter(col("event_type") === "purchase")
+        .select(col("value").as("v")).persist()
+      def resp(pi: Double, mu1: Double, s1: Double, mu2: Double,
+          s2: Double): (org.apache.spark.sql.Column,
+          org.apache.spark.sql.Column) = {
+        val v = col("v")
+        val q1 = lit(pi) * exp(-(v - lit(mu1)) * (v - lit(mu1)) /
+          (lit(2.0) * lit(s1) * lit(s1))) / (lit(s1) * lit(sqrt2pi))
+        val q2 = lit(1 - pi) * exp(-(v - lit(mu2)) * (v - lit(mu2)) /
+          (lit(2.0) * lit(s2) * lit(s2))) / (lit(s2) * lit(sqrt2pi))
+        (q1, q2)
+      }
+      def mStep(q1: org.apache.spark.sql.Column,
+          q2: org.apache.spark.sql.Column) = {
+        val r = (q1 / (q1 + q2)).as("r")
+        x.select(col("v"), r, log(q1 + q2).as("ll"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("n1"),
+            sum(col("r") * col("v")).as("sx"),
+            sum(col("r") * col("v") * col("v")).as("sxx"),
+            sum((lit(1) - col("r")) * col("v")).as("tx"),
+            sum((lit(1) - col("r")) * col("v") * col("v")).as("txx"),
+            sum(col("ll")).as("ll")).collect().head
+      }
+      // iteration 1 from the fixed init; driver math mirrors p1c
+      val (q1a, q2a) = resp(0.5, 30.0, 20.0, 70.0, 20.0)
+      val m1 = mStep(q1a, q2a)
+      val n = m1.getLong(0).toDouble
+      val (n1a, sxa, sxxa, txa, txxa) = (m1.getDouble(1),
+        m1.getDouble(2), m1.getDouble(3), m1.getDouble(4),
+        m1.getDouble(5))
+      val pi1 = n1a / n
+      val mu1b = sxa / n1a
+      val s1b = math.sqrt(sxxa / n1a - (sxa / n1a) * (sxa / n1a))
+      val mu2b = txa / (n - n1a)
+      val s2b = math.sqrt(txxa / (n - n1a) -
+        (txa / (n - n1a)) * (txa / (n - n1a)))
+      // iteration 2 with the fitted params; final stats + loglik
+      val (q1b, q2b) = resp(pi1, mu1b, s1b, mu2b, s2b)
+      val m2 = mStep(q1b, q2b)
+      x.unpersist()
+      val (n1, sx, sxx, tx, txx, ll) = (m2.getDouble(1), m2.getDouble(2),
+        m2.getDouble(3), m2.getDouble(4), m2.getDouble(5),
+        m2.getDouble(6))
+      def r6d(y: Double): Double = BigDecimal(y + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4d(y: Double): Double = BigDecimal(y + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = c.spark
+      import s.implicits._
+      Seq((r6d(n1 / n), r4d(sx / n1),
+        r4d(math.sqrt(sxx / n1 - (sx / n1) * (sx / n1))),
+        r4d(tx / (n - n1)),
+        r4d(math.sqrt(txx / (n - n1) - (tx / (n - n1)) * (tx / (n - n1)))),
+        r4d(ll), n.toLong))
+        .toDF("pi", "mu1", "sigma1", "mu2", "sigma2", "loglik", "n")
+    },
   )
 }

@@ -663,5 +663,42 @@ object StatQueries {
           col("dau1").as("dau"), col("dau7").as("dau_7d"))
         .orderBy("day")
     },
+
+    // Day-over-day and week-over-week revenue growth over the daily
+    // grid — the canonical KPI window. Daily sums are exact DECIMAL
+    // (the money-sum contract) so the growth ratios cannot sit on a
+    // rounding tie; the only window runs on the calendar-bounded day
+    // grid. Leading rows without a comparison basis stay NULL.
+    q("events_dod_growth",
+      """WITH rev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) dy,
+        |               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |                 rev,
+        |               count(*) n
+        |             FROM events WHERE event_type = 'purchase'
+        |             GROUP BY 1),
+        |w AS (SELECT dy, rev, n,
+        |             lag(rev) OVER (ORDER BY dy) prev,
+        |             lag(rev, 7) OVER (ORDER BY dy) prev7
+        |      FROM rev)
+        |SELECT dy::VARCHAR AS day, round(rev + 1e-9, 2) AS revenue,
+        |       n::BIGINT AS n_purchases,
+        |       round((rev - prev) / prev + 1e-9, 6) AS dod_growth,
+        |       round((rev - prev7) / prev7 + 1e-9, 6) AS wow_growth
+        |FROM w ORDER BY day""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = c.events.filter(col("event_type") === "purchase")
+        .groupBy(col("ts").cast("date").as("dy"))
+        .agg(dsum(col("value"), 6).as("rev"), count(lit(1)).as("n"))
+      val w = Window.orderBy("dy") // calendar-bounded day grid
+      rev
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .withColumn("prev7", lag(col("rev"), 7).over(w))
+        .select(col("dy").cast("string").as("day"),
+          r2(col("rev")).as("revenue"), col("n").as("n_purchases"),
+          r6((col("rev") - col("prev")) / col("prev")).as("dod_growth"),
+          r6((col("rev") - col("prev7")) / col("prev7"))
+            .as("wow_growth"))
+        .orderBy("day")
+    },
   )
 }
