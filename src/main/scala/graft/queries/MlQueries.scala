@@ -943,5 +943,113 @@ object MlQueries {
         r4d(ll), n.toLong))
         .toDF("pi", "mu1", "sigma1", "mu2", "sigma2", "loglik", "n")
     },
+
+    // Two-round gradient-boosted regression (ml/Gbrt.scala): round 1
+    // fits a variance-reduction stump on integer-cents labels (exact
+    // long histogram sums); round 2 fits the RESIDUALS, whose cell
+    // sums are recovered in closed form from (count, Σy, count-left)
+    // integer aggregates — so both engines rank every candidate split
+    // on bit-identical doubles and the whole boosted fit is oracle-
+    // replicable. Output: both splits, leaf values, and the train
+    // RMSE against the constant-model baseline.
+    q("ml_gbdt",
+      """WITH lab AS (SELECT l_quantity::DOUBLE q, l_discount::DOUBLE d,
+        |                    CAST(round(l_extendedprice * 100) AS BIGINT) y
+        |             FROM lineitem),
+        |u1 AS (SELECT 'l_quantity' feature, q v, count(*) cnt, sum(y) sy
+        |       FROM lab GROUP BY 2
+        |       UNION ALL
+        |       SELECT 'l_discount', d, count(*), sum(y)
+        |       FROM lab GROUP BY 2),
+        |c1 AS (SELECT feature, v,
+        |              sum(cnt) OVER (PARTITION BY feature ORDER BY v) nl,
+        |              sum(sy) OVER (PARTITION BY feature ORDER BY v) sl,
+        |              sum(cnt) OVER (PARTITION BY feature) n,
+        |              sum(sy) OVER (PARTITION BY feature) s
+        |       FROM u1),
+        |g1 AS (SELECT *, sl::DOUBLE * sl::DOUBLE / nl
+        |              + (s - sl)::DOUBLE * (s - sl)::DOUBLE / (n - nl)
+        |                score
+        |       FROM c1 WHERE nl < n),
+        |b1 AS (SELECT * FROM g1
+        |       QUALIFY row_number() OVER (ORDER BY score DESC,
+        |                                  feature, v) = 1),
+        |m1 AS (SELECT feature f1, v t1, sl::DOUBLE / nl ml,
+        |              (s - sl)::DOUBLE / (n - nl) mr FROM b1),
+        |tg AS (SELECT q, d, y,
+        |              CASE WHEN (CASE WHEN m1.f1 = 'l_quantity' THEN q
+        |                         ELSE d END) <= m1.t1 THEN 1 ELSE 0
+        |              END il
+        |       FROM lab, m1),
+        |u2 AS (SELECT 'l_quantity' feature, q v, count(*) cnt,
+        |              sum(y) sy, sum(il) cl
+        |       FROM tg GROUP BY 2
+        |       UNION ALL
+        |       SELECT 'l_discount', d, count(*), sum(y), sum(il)
+        |       FROM tg GROUP BY 2),
+        |c2 AS (SELECT feature, v,
+        |              sum(cnt) OVER (PARTITION BY feature ORDER BY v) nl,
+        |              sum(sy) OVER (PARTITION BY feature ORDER BY v) syl,
+        |              sum(cl) OVER (PARTITION BY feature ORDER BY v) cll,
+        |              sum(cnt) OVER (PARTITION BY feature) n,
+        |              sum(sy) OVER (PARTITION BY feature) syt,
+        |              sum(cl) OVER (PARTITION BY feature) clt
+        |       FROM u2),
+        |g2 AS (SELECT feature, v, nl, n,
+        |              syl::DOUBLE - cll * m1.ml - (nl - cll) * m1.mr srl,
+        |              syt::DOUBLE - clt * m1.ml - (n - clt) * m1.mr srt
+        |       FROM c2, m1 WHERE nl < n),
+        |g2s AS (SELECT *, srl * srl / nl
+        |               + (srt - srl) * (srt - srl) / (n - nl) score
+        |        FROM g2),
+        |b2 AS (SELECT * FROM g2s
+        |       QUALIFY row_number() OVER (ORDER BY score DESC,
+        |                                  feature, v) = 1),
+        |m2 AS (SELECT feature f2, v t2, srl / nl lv,
+        |              (srt - srl) / (n - nl) rv FROM b2),
+        |pr AS (SELECT tg.y,
+        |              (CASE WHEN (CASE WHEN m1.f1 = 'l_quantity' THEN q
+        |                          ELSE d END) <= m1.t1
+        |                    THEN m1.ml ELSE m1.mr END)
+        |              + (CASE WHEN (CASE WHEN m2.f2 = 'l_quantity' THEN q
+        |                            ELSE d END) <= m2.t2
+        |                      THEN m2.lv ELSE m2.rv END) p
+        |       FROM tg, m1, m2),
+        |e AS (SELECT sqrt(avg((y - p) * (y - p))) rmse, count(*) n
+        |      FROM pr),
+        |v0 AS (SELECT stddev_pop(y::DOUBLE) sd0 FROM lab)
+        |SELECT m1.f1 AS feature1, round(m1.t1 + 1e-9, 4) AS threshold1,
+        |       round(m1.ml + 1e-9, 4) AS left_mean,
+        |       round(m1.mr + 1e-9, 4) AS right_mean,
+        |       m2.f2 AS feature2, round(m2.t2 + 1e-9, 4) AS threshold2,
+        |       round(m2.lv + 1e-9, 4) AS left_step,
+        |       round(m2.rv + 1e-9, 4) AS right_step,
+        |       round(v0.sd0 + 1e-9, 4) AS rmse_baseline,
+        |       round(e.rmse + 1e-9, 4) AS rmse_boosted,
+        |       e.n::BIGINT AS n
+        |FROM m1, m2, e, v0""") { c =>
+      val m = Gbrt.fitTwo(c.lineitem, Seq("l_quantity", "l_discount"),
+        round(col("l_extendedprice") * 100))
+      val lab = c.lineitem.select(
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val e = lab.select(col("y"), m.prediction.as("p"))
+        .agg(sqrt(avg((col("y") - col("p")) * (col("y") - col("p"))))
+          .as("rmse"), count(lit(1)).as("n"),
+          stddev_pop(col("y").cast("double")).as("sd0"))
+        .collect().head
+      def r4d(x: Double): Double = BigDecimal(x + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = c.spark
+      import s.implicits._
+      Seq((m.r1.feature, r4d(m.r1.threshold), r4d(m.r1.leftValue),
+        r4d(m.r1.rightValue), m.r2.feature, r4d(m.r2.threshold),
+        r4d(m.r2.leftValue), r4d(m.r2.rightValue),
+        r4d(e.getDouble(2)), r4d(e.getDouble(0)), e.getLong(1)))
+        .toDF("feature1", "threshold1", "left_mean", "right_mean",
+          "feature2", "threshold2", "left_step", "right_step",
+          "rmse_baseline", "rmse_boosted", "n")
+    },
   )
 }
