@@ -700,5 +700,121 @@ object StatQueries {
             .as("wow_growth"))
         .orderBy("day")
     },
+
+    // Cox proportional-hazards regression (Cox 1972; Breslow ties) for
+    // the two-arm time-to-conversion setup — the model BEHIND the
+    // Kaplan-Meier curves: β is the log hazard ratio between arms,
+    // fitted by two pinned Newton steps on the partial likelihood.
+    // The binary covariate makes every risk-set sum S_k(t) a closed
+    // form of the two integer at-risk counts (exp(βx) takes exactly
+    // two values — the Boost/Gbrt determinism device), the at-risk
+    // counts are Positional cumulative sums over distinct durations,
+    // and each Newton step is ONE aggregation; only β crosses the
+    // driver between steps.
+    q("stat_cox_ph",
+      """WITH u AS (SELECT user_id, user_id % 2 x,
+        |      min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+        |        e0,
+        |      min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+        |        FILTER (event_type = 'purchase') ep,
+        |      max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+        |        ez
+        |    FROM events GROUP BY 1, 2),
+        |d AS (SELECT CAST(floor((coalesce(ep, ez) - e0) / 3600.0)
+        |               AS BIGINT) dur,
+        |             CASE WHEN ep IS NOT NULL THEN 1 ELSE 0 END obs, x
+        |      FROM u),
+        |h AS (SELECT dur,
+        |             sum(CASE WHEN x = 1 THEN obs ELSE 0 END) ev1,
+        |             sum(CASE WHEN x = 0 THEN obs ELSE 0 END) ev0,
+        |             count(*) FILTER (x = 1) w1,
+        |             count(*) FILTER (x = 0) w0
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT sum(w0) t0, sum(w1) t1 FROM h),
+        |c AS (SELECT dur, ev0, ev1, w0, w1,
+        |             coalesce(sum(w0) OVER (ORDER BY dur
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) c0,
+        |             coalesce(sum(w1) OVER (ORDER BY dur
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) c1
+        |      FROM h),
+        |rk AS (SELECT dur, ev0, ev1, (t.t0 - c0) r0, (t.t1 - c1) r1
+        |       FROM c, t WHERE ev0 + ev1 > 0),
+        |s1 AS (SELECT sum(ev1 - (ev0 + ev1) * (r1 * 1.0 / (r0 + r1)))
+        |                u1,
+        |              sum((ev0 + ev1) * ((r1 * 1.0 / (r0 + r1))
+        |                  * (1 - r1 * 1.0 / (r0 + r1)))) i1
+        |       FROM rk),
+        |b1 AS (SELECT u1 / i1 beta1 FROM s1),
+        |s2 AS (SELECT sum(ev1 - (ev0 + ev1)
+        |                 * (r1 * exp(b1.beta1)
+        |                    / (r0 + r1 * exp(b1.beta1)))) u2,
+        |              sum((ev0 + ev1)
+        |                 * ((r1 * exp(b1.beta1)
+        |                     / (r0 + r1 * exp(b1.beta1)))
+        |                    * (1 - r1 * exp(b1.beta1)
+        |                         / (r0 + r1 * exp(b1.beta1))))) i2,
+        |              max(b1.beta1) beta1
+        |       FROM rk, b1),
+        |fin AS (SELECT beta1 + u2 / i2 beta2, i2 FROM s2),
+        |ne AS (SELECT sum(obs)::BIGINT n_events, count(*)::BIGINT n
+        |       FROM d)
+        |SELECT round(fin.beta2 + 1e-9, 6) AS beta,
+        |       round(exp(fin.beta2) + 1e-9, 6) AS hazard_ratio,
+        |       round(1.0 / sqrt(fin.i2) + 1e-9, 6) AS se,
+        |       ne.n_events, ne.n
+        |FROM fin, ne""") { c =>
+      val sec = unix_timestamp(col("ts"))
+      val u = c.events.groupBy(col("user_id"),
+          (col("user_id") % 2).as("x"))
+        .agg(min(sec).as("e0"),
+          min(when(col("event_type") === "purchase", sec)).as("ep"),
+          max(sec).as("ez"))
+      val d = u.select(
+        floor((coalesce(col("ep"), col("ez")) - col("e0")) / lit(3600.0))
+          .as("dur"),
+        when(col("ep").isNotNull, 1).otherwise(0).as("obs"), col("x"))
+        .persist()
+      val h = d.groupBy("dur").agg(
+        sum(when(col("x") === 1, col("obs")).otherwise(0)).as("ev1"),
+        sum(when(col("x") === 0, col("obs")).otherwise(0)).as("ev0"),
+        count(when(col("x") === 1, 1)).as("w1"),
+        count(when(col("x") === 0, 1)).as("w0"))
+      val t = h.agg(sum(col("w0")).as("t0"), sum(col("w1")).as("t1"))
+      val rk = Positional.withCumSums(h, Seq(col("dur")),
+          Seq(col("w0") -> "c0", col("w1") -> "c1"))
+        .crossJoin(broadcast(t))
+        .filter(col("ev0") + col("ev1") > 0)
+        .select(col("ev0"), col("ev1"),
+          (col("t0") - col("c0")).as("r0"),
+          (col("t1") - col("c1")).as("r1"))
+        .persist()
+      val frac1 = col("r1") * lit(1.0) / (col("r0") + col("r1"))
+      val s1 = rk.agg(
+        sum(col("ev1") - (col("ev0") + col("ev1")) * frac1).as("u1"),
+        sum((col("ev0") + col("ev1")) * (frac1 * (lit(1) - frac1)))
+          .as("i1")).collect().head
+      val beta1 = s1.getDouble(0) / s1.getDouble(1)
+      val a = math.exp(beta1)
+      val frac2 = col("r1") * lit(a) / (col("r0") + col("r1") * lit(a))
+      val s2 = rk.agg(
+        sum(col("ev1") - (col("ev0") + col("ev1")) * frac2).as("u2"),
+        sum((col("ev0") + col("ev1")) * (frac2 * (lit(1) - frac2)))
+          .as("i2")).collect().head
+      rk.unpersist()
+      val beta2 = beta1 + s2.getDouble(0) / s2.getDouble(1)
+      val ne = d.agg(sum(col("obs")).as("ev"), count(lit(1)).as("n"))
+        .collect().head
+      d.unpersist()
+      def r6d(y: Double): Double = BigDecimal(y + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = c.spark
+      import s.implicits._
+      Seq((r6d(beta2), r6d(math.exp(beta2)),
+        r6d(1.0 / math.sqrt(s2.getDouble(1))), ne.getLong(0),
+        ne.getLong(1)))
+        .toDF("beta", "hazard_ratio", "se", "n_events", "n")
+    },
   )
 }
