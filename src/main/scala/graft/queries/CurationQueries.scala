@@ -1038,5 +1038,118 @@ object CurationQueries {
           (col("est") >= col("c")).as("no_underestimate"))
         .orderBy(col("exact_n").desc, col("l_partkey"))
     },
+
+    // Price-volume bridge (Laspeyres decomposition) — the BI "why did
+    // revenue move" waterfall: per segment, the period-over-period
+    // revenue delta splits EXACTLY into a volume effect at old unit
+    // prices plus a price/mix effect on new volume,
+    // ΔR = (q₂−q₁)·u₁ + q₂·(u₂−u₁). Revenue terms are exact DECIMAL
+    // sums (each l_extendedprice·(1−l_discount) is a true 4-decimal
+    // rational, so the per-row decimal cast is lossless) — the
+    // decomposition identity holds to the cent.
+    q("bi_mix_shift",
+      """WITH p AS (SELECT l_returnflag seg,
+        |             CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+        |                  THEN 1 ELSE 2 END per,
+        |             l_quantity q,
+        |             l_extendedprice * (1 - l_discount) rev
+        |           FROM lineitem),
+        |a AS (SELECT seg,
+        |        CAST(sum(CASE WHEN per = 1 THEN CAST(q AS DECIMAL(18,4))
+        |                 ELSE 0 END) AS DOUBLE) q1,
+        |        CAST(sum(CASE WHEN per = 2 THEN CAST(q AS DECIMAL(18,4))
+        |                 ELSE 0 END) AS DOUBLE) q2,
+        |        CAST(sum(CASE WHEN per = 1
+        |                 THEN CAST(rev AS DECIMAL(18,4))
+        |                 ELSE 0 END) AS DOUBLE) r1,
+        |        CAST(sum(CASE WHEN per = 2
+        |                 THEN CAST(rev AS DECIMAL(18,4))
+        |                 ELSE 0 END) AS DOUBLE) r2
+        |      FROM p GROUP BY 1)
+        |SELECT seg, round(r1 + 1e-9, 2) AS rev_p1,
+        |       round(r2 + 1e-9, 2) AS rev_p2,
+        |       round((q2 - q1) * (r1 / q1) + 1e-9, 2) AS volume_effect,
+        |       round(q2 * (r2 / q2 - r1 / q1) + 1e-9, 2)
+        |         AS price_mix_effect,
+        |       round(r2 - r1 + 1e-9, 2) AS total_delta
+        |FROM a ORDER BY seg""") { c =>
+      val dec = "decimal(18,4)"
+      def csum(cond: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) =
+        sum(when(cond, x.cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast("double")
+      val p = c.lineitem.select(col("l_returnflag").as("seg"),
+        when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"), 1)
+          .otherwise(2).as("per"),
+        col("l_quantity").as("q"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+      val a = p.groupBy("seg").agg(
+        csum(col("per") === 1, col("q")).as("q1"),
+        csum(col("per") === 2, col("q")).as("q2"),
+        csum(col("per") === 1, col("rev")).as("r1"),
+        csum(col("per") === 2, col("rev")).as("r2"))
+      a.select(col("seg"), r2(col("r1")).as("rev_p1"),
+          r2(col("r2")).as("rev_p2"),
+          r2((col("q2") - col("q1")) * (col("r1") / col("q1")))
+            .as("volume_effect"),
+          r2(col("q2") * (col("r2") / col("q2") - col("r1") / col("q1")))
+            .as("price_mix_effect"),
+          r2(col("r2") - col("r1")).as("total_delta"))
+        .orderBy("seg")
+    },
+
+    // Position-based (U-shaped 40/20/40) multi-touch attribution —
+    // the industry-default credit curve between win_attribution's
+    // first- and last-touch extremes: 40% to the first and last
+    // pre-conversion touches, the middle 20% split evenly. One
+    // user-keyed join to the first conversion instant + one per-user
+    // window; credits are exact rationals summed per channel.
+    q("win_attribution_position",
+      """WITH conv AS (SELECT user_id,
+        |        min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+        |          FILTER (event_type = 'purchase') cts
+        |      FROM events GROUP BY 1),
+        |path AS (SELECT e.user_id, e.event_type,
+        |              row_number() OVER (PARTITION BY e.user_id
+        |                ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |                         AS BIGINT), event_id) pos,
+        |              count(*) OVER (PARTITION BY e.user_id) k
+        |         FROM events e JOIN conv ON e.user_id = conv.user_id
+        |         WHERE conv.cts IS NOT NULL
+        |           AND CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |               AS BIGINT) < conv.cts),
+        |cr AS (SELECT event_type,
+        |         CASE WHEN k = 1 THEN 1.0
+        |              WHEN k = 2 THEN 0.5
+        |              WHEN pos = 1 THEN 0.4
+        |              WHEN pos = k THEN 0.4
+        |              ELSE 0.2 / (k - 2) END credit
+        |       FROM path)
+        |SELECT event_type, round(sum(credit) + 1e-9, 4) AS credit,
+        |       count(*)::BIGINT AS touches
+        |FROM cr GROUP BY 1 ORDER BY event_type""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val sec = unix_timestamp(col("ts"))
+      val conv = c.events.groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase", sec)).as("cts"))
+        .filter(col("cts").isNotNull)
+      val w = Window.partitionBy("user_id").orderBy(sec, col("event_id"))
+      val path = c.events.join(broadcast(conv), Seq("user_id"))
+        .filter(sec < col("cts"))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(
+          Window.partitionBy("user_id")))
+      val credit = when(col("k") === 1, lit(1.0))
+        .when(col("k") === 2, lit(0.5))
+        .when(col("pos") === 1, lit(0.4))
+        .when(col("pos") === col("k"), lit(0.4))
+        .otherwise(lit(0.2) / (col("k") - 2))
+      path.select(col("event_type"), credit.as("credit"))
+        .groupBy("event_type")
+        .agg(r4(sum(col("credit"))).as("credit"),
+          count(lit(1)).as("touches"))
+        .orderBy("event_type")
+    },
   )
 }
