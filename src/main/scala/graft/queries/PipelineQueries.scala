@@ -338,6 +338,78 @@ object PipelineQueries {
         .orderBy("k", "valid_from")
     },
 
+    // Time-travel (as-of) snapshot over the SCD2 history: reading the
+    // merged dimension as of a date BEFORE the merge instant must
+    // reproduce the original dimension exactly (count, key set, and
+    // balance total), and as of a date after it the post-merge state —
+    // the version-controlled-dimension read path that makes SCD2 more
+    // than an audit log. One validity-interval filter per snapshot.
+    q("rel_scd2_asof",
+      """WITH cur AS (SELECT c_custkey k, c_acctbal bal, c_mktsegment seg
+        |             FROM customer),
+        |upd AS (
+        |  SELECT k, bal + 100 bal, seg FROM cur WHERE k % 10 = 3
+        |  UNION ALL SELECT k, bal, seg FROM cur WHERE k % 10 = 4
+        |  UNION ALL SELECT k + 1000000, bal, seg FROM cur
+        |  WHERE k % 100 = 7),
+        |closed AS (
+        |  SELECT c.k, c.bal, c.seg, DATE '2026-01-01' valid_from,
+        |         DATE '2026-02-01' valid_to
+        |  FROM cur c JOIN upd u ON c.k = u.k
+        |  WHERE c.bal IS DISTINCT FROM u.bal
+        |     OR c.seg IS DISTINCT FROM u.seg),
+        |newcur AS (
+        |  SELECT u.k, u.bal, u.seg, DATE '2026-02-01' valid_from,
+        |         NULL::DATE valid_to
+        |  FROM upd u LEFT JOIN cur c ON u.k = c.k
+        |  WHERE c.k IS NULL OR c.bal IS DISTINCT FROM u.bal
+        |     OR c.seg IS DISTINCT FROM u.seg),
+        |keep AS (
+        |  SELECT c.k, c.bal, c.seg, DATE '2026-01-01' valid_from,
+        |         NULL::DATE valid_to
+        |  FROM cur c LEFT JOIN upd u ON c.k = u.k
+        |  WHERE u.k IS NULL OR (c.bal IS NOT DISTINCT FROM u.bal
+        |    AND c.seg IS NOT DISTINCT FROM u.seg)),
+        |merged AS (SELECT * FROM closed UNION ALL
+        |           SELECT * FROM newcur UNION ALL SELECT * FROM keep),
+        |snap AS (
+        |  SELECT '2026-01-15' as_of, k, bal FROM merged
+        |  WHERE valid_from <= DATE '2026-01-15'
+        |    AND (valid_to IS NULL OR valid_to > DATE '2026-01-15')
+        |  UNION ALL
+        |  SELECT '2026-03-01', k, bal FROM merged
+        |  WHERE valid_from <= DATE '2026-03-01'
+        |    AND (valid_to IS NULL OR valid_to > DATE '2026-03-01'))
+        |SELECT as_of, count(*)::BIGINT AS n_rows,
+        |       count(DISTINCT k)::BIGINT AS n_keys,
+        |       CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS bal_total
+        |FROM snap GROUP BY 1 ORDER BY as_of""") { c =>
+      val cur = c.customer.select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val dim = cur
+        .withColumn("valid_from", to_date(lit("2026-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val upd = cur.filter(col("k") % 10 === 3)
+        .withColumn("bal", col("bal") + 100)
+        .unionByName(cur.filter(col("k") % 10 === 4))
+        .unionByName(cur.filter(col("k") % 100 === 7)
+          .withColumn("k", col("k") + 1000000))
+      val merged = graft.ops.Scd2.merge(dim, upd, Seq("k"),
+        Seq("bal", "seg"), to_date(lit("2026-02-01"))).persist()
+      def snapshot(t: String) = merged
+        .filter(col("valid_from") <= to_date(lit(t)) &&
+          (col("valid_to").isNull || col("valid_to") > to_date(lit(t))))
+        .select(lit(t).as("as_of"), col("k"), col("bal"))
+      val out = snapshot("2026-01-15").unionByName(snapshot("2026-03-01"))
+        .groupBy("as_of")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          dsum(col("bal")).as("bal_total"))
+        .orderBy("as_of")
+      out
+    },
+
     // Point-in-interval range join (ops/IntervalJoin.scala): ship dates
     // falling inside 14-day order windows, UNKEYED (no shared join key —
     // the case Spark would plan as BroadcastNestedLoopJoin). Bucketizing

@@ -816,5 +816,73 @@ object StatQueries {
         ne.getLong(1)))
         .toDF("beta", "hazard_ratio", "se", "n_events", "n")
     },
+
+    // Inter-arrival time analysis: per-user gaps from one lag window,
+    // then the Poisson-process diagnostics — a coefficient of
+    // variation near 1 is the memoryless signature; the hourly rate is
+    // the exponential MLE 1/mean. Exact integer-second gaps feed every
+    // statistic.
+    q("events_interarrival",
+      """WITH s AS (SELECT user_id,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |               sec
+        |           FROM events),
+        |g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id
+        |        ORDER BY sec) gap
+        |      FROM s),
+        |v AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0)
+        |SELECT count(*)::BIGINT AS n_gaps,
+        |       round(avg(gap) + 1e-9, 4) AS mean_gap_s,
+        |       round(stddev_samp(gap) / avg(gap) + 1e-9, 6) AS cv,
+        |       round(1.0 / avg(gap) * 3600 + 1e-9, 6) AS rate_per_hour,
+        |       round(median(gap) + 1e-9, 1) AS median_gap_s
+        |FROM v""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val s = c.events.select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val g = s.withColumn("gap", col("sec") -
+        lag(col("sec"), 1).over(
+          Window.partitionBy("user_id").orderBy("sec")))
+      val v = g.filter(col("gap").isNotNull && col("gap") > 0)
+      v.agg(count(lit(1)).as("n_gaps"),
+        r4(avg(col("gap"))).as("mean_gap_s"),
+        r6(stddev_samp(col("gap")) / avg(col("gap"))).as("cv"),
+        round(lit(1.0) / avg(col("gap")) * 3600 + lit(1e-9), 6)
+          .as("rate_per_hour"),
+        round(percentile(col("gap"), lit(0.5)) + lit(1e-9), 1)
+          .as("median_gap_s"))
+    },
+
+    // Degree assortativity (Newman 2002): Pearson correlation of
+    // endpoint degrees over all directed edge ends — does the graph
+    // wire hubs to hubs (positive) or hubs to leaves (negative)? Two
+    // degree joins + one corr; bipartite purchase graphs are strongly
+    // DISassortative, which this measures exactly.
+    q("graph_assortativity",
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey s, 's' || l_suppkey t
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE l_quantity > 45),
+        |e AS (SELECT s src, t dst FROM e0 UNION SELECT t, s FROM e0),
+        |deg AS (SELECT src node, count(*) d FROM e GROUP BY 1)
+        |SELECT round(corr(ds.d, dd.d) + 1e-9, 6) AS assortativity,
+        |       count(*)::BIGINT AS n_edge_ends
+        |FROM e JOIN deg ds ON e.src = ds.node
+        |       JOIN deg dd ON e.dst = dd.node""") { c =>
+      val e0 = c.lineitem.filter(col("l_quantity") > 45)
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("s"),
+          concat(lit("s"), col("l_suppkey")).as("t"))
+        .distinct()
+      val e = e0.select(col("s").as("src"), col("t").as("dst"))
+        .union(e0.select(col("t").as("src"), col("s").as("dst")))
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      e.join(deg.select(col("node").as("sn"), col("d").as("ds")),
+          col("src") === col("sn"))
+        .join(deg.select(col("node").as("dn"), col("d").as("dd")),
+          col("dst") === col("dn"))
+        .agg(r6(corr(col("ds"), col("dd"))).as("assortativity"),
+          count(lit(1)).as("n_edge_ends"))
+    },
   )
 }
