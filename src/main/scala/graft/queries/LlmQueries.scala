@@ -1744,5 +1744,45 @@ object LlmQueries {
           countDistinct(col("s")).as("n_spans"))
       inp.join(tgt, Seq("doc_id")).orderBy("doc_id")
     },
+
+    // Dataset-card generator: the per-language corpus manifest
+    // (volume share, token/char profile, exact-dup contamination,
+    // source diversity) a dataset release ships alongside the shards —
+    // one pass over the corpus plus a content-hash dup join.
+    q("llm_dataset_card",
+      """WITH d AS (SELECT doc_id, lang, source, n_chars,
+        |             len(string_split_regex(trim(text), '\s+')) n_tok,
+        |             md5(text) th
+        |           FROM documents),
+        |dup AS (SELECT th, count(*) c FROM d GROUP BY 1),
+        |tot AS (SELECT count(*) nt FROM d)
+        |SELECT d.lang, count(*)::BIGINT AS n_docs,
+        |       round(count(*) * 1.0 / tot.nt + 1e-9, 6) AS share,
+        |       round(avg(d.n_tok) + 1e-9, 4) AS mean_tokens,
+        |       round(median(d.n_chars) + 1e-9, 1) AS median_chars,
+        |       sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END)::BIGINT
+        |         AS docs_in_dup_groups,
+        |       count(DISTINCT d.source)::BIGINT AS n_sources
+        |FROM d JOIN dup ON d.th = dup.th, tot
+        |GROUP BY d.lang, tot.nt ORDER BY d.lang""") { c =>
+      val d = c.documents.select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"),
+        md5(col("text")).as("th"))
+      val dup = d.groupBy("th").agg(count(lit(1)).as("c"))
+      val tot = d.agg(count(lit(1)).as("nt"))
+      d.join(dup, Seq("th")).crossJoin(broadcast(tot))
+        .groupBy("lang", "nt")
+        .agg(count(lit(1)).as("n_docs"),
+          r6(count(lit(1)) * lit(1.0) / col("nt")).as("share"),
+          r4(avg(col("n_tok"))).as("mean_tokens"),
+          round(percentile(col("n_chars"), lit(0.5)) + lit(1e-9), 1)
+            .as("median_chars"),
+          sum(when(col("c") > 1, 1).otherwise(0))
+            .as("docs_in_dup_groups"),
+          countDistinct(col("source")).as("n_sources"))
+        .drop("nt")
+        .orderBy("lang")
+    },
   )
 }
