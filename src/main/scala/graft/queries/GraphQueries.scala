@@ -147,5 +147,48 @@ object GraphQueries {
         .select(col("node"), r6(col("rank")).as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
     },
+
+    // Adamic-Adar link prediction over the customer projection of the
+    // sparse co-purchase bipartite graph: customer pairs sharing
+    // suppliers, scored Σ 1/ln(deg) over the shared neighbors —
+    // rarer intermediaries count more. The wedge enumeration is the
+    // per-supplier self-join bounded by the SPARSE subgraph's degree
+    // (the same fan-out discipline as triangles); ranking uses the
+    // ROUNDED score so FP noise can never flip the top-k set.
+    q("graph_link_prediction",
+      """WITH e AS (SELECT DISTINCT 'c' || o_custkey c, 's' || l_suppkey s
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE l_quantity > 48),
+        |deg AS (SELECT s, count(*) d FROM e GROUP BY 1),
+        |w AS (SELECT a.c ca, b.c cb, a.s FROM e a JOIN e b ON a.s = b.s
+        |      WHERE a.c < b.c),
+        |aa AS (SELECT ca, cb, sum(1.0 / ln(deg.d)) score,
+        |              count(*) common
+        |       FROM w JOIN deg ON w.s = deg.s WHERE deg.d > 1
+        |       GROUP BY 1, 2)
+        |SELECT ca, cb, round(score + 1e-9, 6) AS adamic_adar,
+        |       common::BIGINT AS common_neighbors
+        |FROM aa
+        |ORDER BY round(score + 1e-9, 6) DESC, ca, cb LIMIT 20""") { c =>
+      val e = c.lineitem.filter(col("l_quantity") > 48)
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val deg = e.groupBy("s").agg(count(lit(1)).as("d"))
+      val w = e.as("a").join(e.as("b"), col("a.s") === col("b.s"))
+        .filter(col("a.c") < col("b.c"))
+        .select(col("a.c").as("ca"), col("b.c").as("cb"),
+          col("a.s").as("s"))
+      val aa = w.join(deg.filter(col("d") > 1), Seq("s"))
+        .groupBy("ca", "cb")
+        .agg(sum(lit(1.0) / log(col("d"))).as("score"),
+          count(lit(1)).as("common"))
+      aa.select(col("ca"), col("cb"),
+          r6(col("score")).as("adamic_adar"),
+          col("common").as("common_neighbors"))
+        .orderBy(col("adamic_adar").desc, col("ca"), col("cb"))
+        .limit(20)
+    },
   )
 }

@@ -884,5 +884,50 @@ object StatQueries {
         .agg(r6(corr(col("ds"), col("dd"))).as("assortativity"),
           count(lit(1)).as("n_edge_ends"))
     },
+
+    // Power analysis / sample-size calculator: given the experiment's
+    // observed effect size and variance, the per-arm n needed to
+    // detect it at 80% and 90% power (two-sided α=0.05) —
+    // n = 2σ²(z_α + z_β)²/δ², the capacity-planning readout every
+    // experimentation platform pairs with stat_ab_ttest. One
+    // aggregation; the rest is closed-form scalar math with pinned
+    // z constants.
+    q("stat_power_analysis",
+      """WITH p AS (SELECT user_id % 2 AS arm, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |g AS (SELECT avg(CASE WHEN arm = 0 THEN value END) m0,
+        |             avg(CASE WHEN arm = 1 THEN value END) m1,
+        |             var_samp(value) v FROM p),
+        |c AS (SELECT abs(m0 - m1) delta, sqrt(v) sd,
+        |             1.959963984540054 za, 0.8416212335729143 zb FROM g)
+        |SELECT round(delta + 1e-9, 4) AS observed_delta,
+        |       round(sd + 1e-9, 4) AS pooled_sd,
+        |       CAST(ceil(2 * (sd * sd) * ((za + zb) * (za + zb))
+        |                 / (delta * delta) + 1e-9) AS BIGINT)
+        |         AS n_per_arm_80pct,
+        |       CAST(ceil(2 * (sd * sd)
+        |                 * ((za + 1.2815515655446004)
+        |                    * (za + 1.2815515655446004))
+        |                 / (delta * delta) + 1e-9) AS BIGINT)
+        |         AS n_per_arm_90pct
+        |FROM c""") { c =>
+      val p = c.events.filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"), col("value"))
+      val g = p.agg(
+        avg(when(col("arm") === 0, col("value"))).as("m0"),
+        avg(when(col("arm") === 1, col("value"))).as("m1"),
+        var_samp(col("value")).as("v"))
+      val za = lit(1.959963984540054)
+      def nFor(zb: org.apache.spark.sql.Column) =
+        ceil(lit(2) * (col("sd") * col("sd")) *
+          ((za + zb) * (za + zb)) / (col("delta") * col("delta")) +
+          lit(1e-9)).cast("long")
+      g.select(abs(col("m0") - col("m1")).as("delta"),
+          sqrt(col("v")).as("sd"))
+        .select(r4(col("delta")).as("observed_delta"),
+          r4(col("sd")).as("pooled_sd"),
+          nFor(lit(0.8416212335729143)).as("n_per_arm_80pct"),
+          nFor(lit(1.2815515655446004)).as("n_per_arm_90pct"))
+    },
   )
 }
