@@ -929,5 +929,94 @@ object StatQueries {
           nFor(lit(0.8416212335729143)).as("n_per_arm_80pct"),
           nFor(lit(1.2815515655446004)).as("n_per_arm_90pct"))
     },
+
+    // Q-Q decile comparison between the experiment arms — WHERE in the
+    // distribution an effect lives (uniform shift vs tail-only), the
+    // readout a mean-based t-test cannot give. One exact
+    // multi-percentile aggregation per arm (Spark percentile ==
+    // DuckDB quantile_cont interpolation), zipped by decile.
+    q("stat_qq_arms",
+      """WITH p AS (SELECT user_id % 2 arm, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT quantile_cont(value,
+        |          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        |          FILTER (arm = 0) q0a,
+        |        quantile_cont(value,
+        |          [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        |          FILTER (arm = 1) q1a
+        |      FROM p),
+        |u AS (SELECT unnest(range(1, 10)) d, unnest(q0a) q0,
+        |             unnest(q1a) q1
+        |      FROM s)
+        |SELECT d::BIGINT AS decile, round(q0 + 1e-9, 4) AS q_arm0,
+        |       round(q1 + 1e-9, 4) AS q_arm1,
+        |       round(q1 - q0 + 1e-9, 4) AS shift
+        |FROM u ORDER BY d""") { c =>
+      val p = c.events.filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"), col("value"))
+      val probs = typedlit((1 to 9).map(_ / 10.0))
+      val s = p.agg(
+        percentile(when(col("arm") === 0, col("value")), probs)
+          .as("q0a"),
+        percentile(when(col("arm") === 1, col("value")), probs)
+          .as("q1a"))
+      s.select(posexplode(arrays_zip(col("q0a"), col("q1a")))
+          .as(Seq("i", "z")))
+        .select((col("i") + 1).cast("long").as("decile"),
+          r4(col("z.q0a")).as("q_arm0"), r4(col("z.q1a")).as("q_arm1"),
+          r4(col("z.q1a") - col("z.q0a")).as("shift"))
+        .orderBy("decile")
+    },
+
+    // Cohort LTV curves: cumulative per-user revenue by signup cohort
+    // and weeks-since-signup — the unit-economics readout on top of
+    // the retention triangle. Weekly revenue cells are exact DECIMAL
+    // sums; the cumulative runs on the calendar-bounded
+    // (cohort × age) grid.
+    q("events_cohort_ltv",
+      """WITH su AS (SELECT user_id,
+        |              CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))
+        |                   / 604800) AS BIGINT) cohort_w
+        |            FROM events GROUP BY 1),
+        |pur AS (SELECT e.user_id,
+        |               CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))
+        |                    / 604800) AS BIGINT) w,
+        |               e.value
+        |        FROM events e WHERE e.event_type = 'purchase'),
+        |j AS (SELECT su.cohort_w, pur.w - su.cohort_w age_w,
+        |             CAST(pur.value AS DECIMAL(18,6)) v
+        |      FROM pur JOIN su USING (user_id)),
+        |cs AS (SELECT cohort_w, count(*) n_users FROM su GROUP BY 1),
+        |rev AS (SELECT cohort_w, age_w, CAST(sum(v) AS DOUBLE) r
+        |        FROM j GROUP BY 1, 2),
+        |cum AS (SELECT cohort_w, age_w, r,
+        |               sum(r) OVER (PARTITION BY cohort_w
+        |                            ORDER BY age_w) cr
+        |        FROM rev)
+        |SELECT cum.cohort_w, cum.age_w::BIGINT AS age_w,
+        |       round(cum.cr / cs.n_users + 1e-9, 4) AS cum_ltv_per_user,
+        |       cs.n_users::BIGINT AS cohort_size
+        |FROM cum JOIN cs USING (cohort_w)
+        |ORDER BY cohort_w, age_w""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val week = (t: org.apache.spark.sql.Column) =>
+        floor(unix_timestamp(t) / lit(604800.0))
+      val su = c.events.groupBy("user_id")
+        .agg(week(min(col("ts"))).as("cohort_w"))
+      val pur = c.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), week(col("ts")).as("w"), col("value"))
+      val rev = pur.join(su, Seq("user_id"))
+        .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("age_w"))
+        .agg(dsum(col("value"), 6).as("r"))
+      val cs = su.groupBy("cohort_w").agg(count(lit(1)).as("n_users"))
+      rev
+        .withColumn("cr", sum(col("r")).over(
+          Window.partitionBy("cohort_w").orderBy("age_w")))
+        .join(broadcast(cs), Seq("cohort_w"))
+        .select(col("cohort_w"), col("age_w").cast("long").as("age_w"),
+          r4(col("cr") / col("n_users")).as("cum_ltv_per_user"),
+          col("n_users").as("cohort_size"))
+        .orderBy("cohort_w", "age_w")
+    },
   )
 }
