@@ -190,5 +190,71 @@ object GraphQueries {
         .orderBy(col("adamic_adar").desc, col("ca"), col("cb"))
         .limit(20)
     },
+
+    // HITS hubs & authorities (Kleinberg 1999; 2 pinned rounds,
+    // L2-normalized each half-step) on the directed customer→supplier
+    // purchase graph: authorities = suppliers many strong hubs buy
+    // from, hubs = customers buying from many strong authorities —
+    // the asymmetric-role ranking PageRank's single score collapses.
+    // Each half-step is one equi-join + aggregation; the norm is a
+    // 1-row broadcast scalar.
+    q("graph_hits",
+      """WITH e AS (SELECT DISTINCT 'c' || o_custkey c, 's' || l_suppkey s
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE l_quantity > 45),
+        |a1 AS (SELECT s, count(*)::DOUBLE a FROM e GROUP BY 1),
+        |a1n AS (SELECT s, a / sqrt((SELECT sum(a * a) FROM a1)) a
+        |        FROM a1),
+        |h1 AS (SELECT e.c, sum(a1n.a) h FROM e JOIN a1n USING (s)
+        |       GROUP BY 1),
+        |h1n AS (SELECT c, h / sqrt((SELECT sum(h * h) FROM h1)) h
+        |        FROM h1),
+        |a2 AS (SELECT e.s, sum(h1n.h) a FROM e JOIN h1n USING (c)
+        |       GROUP BY 1),
+        |a2n AS (SELECT s, a / sqrt((SELECT sum(a * a) FROM a2)) a
+        |        FROM a2),
+        |top AS (
+        |  SELECT 'authority' AS role, s AS node, a AS score FROM a2n
+        |  UNION ALL SELECT 'hub' AS role, c AS node, h AS score
+        |  FROM h1n)
+        |SELECT role, node, round(score + 1e-9, 6) AS score
+        |FROM (SELECT top.*, row_number() OVER (PARTITION BY role
+        |        ORDER BY round(score + 1e-9, 6) DESC, node) rn
+        |      FROM top) z
+        |WHERE rn <= 10 ORDER BY role, score DESC, node""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val e = c.lineitem.filter(col("l_quantity") > 45)
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct().persist()
+      def normalized(df: org.apache.spark.sql.DataFrame, key: String,
+          v: String) = {
+        val nrm = df.agg(sqrt(sum(col(v) * col(v))).as("__n"))
+        df.crossJoin(broadcast(nrm))
+          .select(col(key), (col(v) / col("__n")).as(v))
+      }
+      val a1 = normalized(
+        e.groupBy("s").agg(count(lit(1)).cast("double").as("a")),
+        "s", "a")
+      val h1 = normalized(
+        e.join(a1, Seq("s")).groupBy("c").agg(sum(col("a")).as("h")),
+        "c", "h")
+      val a2 = normalized(
+        e.join(h1, Seq("c")).groupBy("s").agg(sum(col("h")).as("a")),
+        "s", "a")
+      e.unpersist()
+      val top = a2.select(lit("authority").as("role"),
+          col("s").as("node"), col("a").as("score"))
+        .unionByName(h1.select(lit("hub").as("role"),
+          col("c").as("node"), col("h").as("score")))
+        .select(col("role"), col("node"), r6(col("score")).as("score"))
+      top.withColumn("rn", row_number().over(
+          Window.partitionBy("role")
+            .orderBy(col("score").desc, col("node"))))
+        .filter(col("rn") <= 10)
+        .select(col("role"), col("node"), col("score"))
+        .orderBy(col("role"), col("score").desc, col("node"))
+    },
   )
 }

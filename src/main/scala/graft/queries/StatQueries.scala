@@ -1018,5 +1018,35 @@ object StatQueries {
           col("n_users").as("cohort_size"))
         .orderBy("cohort_w", "age_w")
     },
+
+    // Gini coefficient of customer revenue concentration — the
+    // inequality measure behind "top x% of customers drive y%"
+    // (agg_pareto_abc's scalar summary). Computed from the
+    // rank-weighted sum identity G = 2Σi·xᵢ/(nΣx) − (n+1)/n with
+    // ranks from the DISTRIBUTED Positional row number and exact
+    // DECIMAL revenue totals per customer.
+    q("stat_gini",
+      """WITH v AS (SELECT o_custkey k,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         x
+        |     FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, k) i,
+        |             count(*) OVER () n, sum(x) OVER () s
+        |      FROM v)
+        |SELECT round(2.0 * sum(i * x) / (max(n) * max(s))
+        |             - (max(n) + 1.0) / max(n) + 1e-9, 6) AS gini,
+        |       max(n)::BIGINT AS n_customers
+        |FROM r""") { c =>
+      val v = c.orders.groupBy(col("o_custkey").as("k"))
+        .agg(dsum(col("o_totalprice")).as("x"))
+      val ranked = Positional.withRowNumber(v,
+        Seq(col("x"), col("k")), "i")
+      val tot = v.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      ranked.crossJoin(broadcast(tot))
+        .agg(r6(lit(2.0) * sum(col("i") * col("x")) /
+            (max(col("n")) * max(col("s"))) -
+          (max(col("n")) + lit(1.0)) / max(col("n"))).as("gini"),
+          max(col("n")).as("n_customers"))
+    },
   )
 }
