@@ -518,5 +518,50 @@ object GovernanceQueries {
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("content_digest"))
     },
+
+    // Column profiling (the pandas-profiling / dbt-docs shape): one
+    // ALL-COLUMNS-IN-ONE-PASS aggregation — count/filled/distinct per
+    // column computed in a single scan (not one scan per column), then
+    // unpivoted to a profile row per column with fill rate and
+    // cardinality ratio, the two signals schema-drift monitors watch.
+    q("dq_column_profile",
+      """WITH p AS (
+        |  SELECT 'o_custkey' col, count(*) n, count(o_custkey) n_filled,
+        |         count(DISTINCT o_custkey) n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |         count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |         count(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+        |         count(DISTINCT o_orderpriority) FROM orders)
+        |SELECT col, n::BIGINT AS n, (n - n_filled)::BIGINT AS n_null,
+        |       n_distinct::BIGINT AS n_distinct,
+        |       round(n_filled * 1.0 / n + 1e-9, 6) AS fill_rate,
+        |       round(n_distinct * 1.0 / n_filled + 1e-9, 6)
+        |         AS cardinality_ratio
+        |FROM p ORDER BY col""") { c =>
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      // single scan: every column's three stats in ONE aggregation
+      val aggs = cols.flatMap(cn => Seq(
+        count(col(cn)).as(s"f_$cn"),
+        countDistinct(col(cn)).as(s"d_$cn")))
+      val allAggs = count(lit(1)).as("n") +: aggs
+      val one = c.orders.agg(allAggs.head, allAggs.tail: _*)
+      // unpivot the single stats row into one profile row per column
+      val stacked = one.select(col("n"), explode(array(cols.map(cn =>
+        struct(lit(cn).as("col"), col(s"f_$cn").as("n_filled"),
+          col(s"d_$cn").as("n_distinct"))): _*)).as("p"))
+      stacked.select(col("p.col").as("col"), col("n"),
+          (col("n") - col("p.n_filled")).as("n_null"),
+          col("p.n_distinct").as("n_distinct"),
+          r6(col("p.n_filled") * lit(1.0) / col("n")).as("fill_rate"),
+          r6(col("p.n_distinct") * lit(1.0) / col("p.n_filled"))
+            .as("cardinality_ratio"))
+        .orderBy("col")
+    },
   )
 }
