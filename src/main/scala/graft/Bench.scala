@@ -114,16 +114,27 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$totalWarm,"warm":$warms,"first_total":$totalFirst,"first":$firsts,"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
+    // Stdout gets a COMPACT variant: the driver keeps only the last
+    // 2000 chars of stdout and parses the JSON line out of that tail —
+    // the full-precision 3-map line above is ~2600 chars, so its HEAD
+    // fell out of the window every round (BENCH r1-r7 parsed:null).
+    // Millisecond precision and the cold map only keep the stdout line
+    // ~850 chars; bench_out.json retains the full-precision detail.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs3 = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath"}"""
     // stop Spark FIRST so no executor/shutdown log line can land after
     // the JSON, then say where the clean copy lives (stderr + stdout),
-    // then print the JSON as the VERY LAST stdout line: the driver
-    // keeps only a bounded tail of the output (BENCH_r04 recorded
-    // parsed:null with the JSON head cut out of a 2000-char window),
-    // so the line must sit flush against the end of the stream.
+    // then print the JSON as the VERY LAST stdout line flush against
+    // the end of the stream.
     spark.stop()
     System.err.println(s"[bench] json written to $outPath")
     println(s"[bench] json written to $outPath")
-    println(json)
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

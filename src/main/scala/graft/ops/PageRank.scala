@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * `r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N)`.
   * Pinned small iteration counts are SQL-replicable by unrolling the
   * rounds as chained CTEs (the logreg/Vincenty oracle pattern).
+  *
+  * Determinism note (r7 advisor): the teleport constant is computed as
+  * `1 - damping` IN DOUBLE ARITHMETIC (for d=0.85 that is one ulp above
+  * the literal 0.15), so any bit-matching oracle must write the same
+  * expression — `(1.0 - 0.85)` — not the `0.15` literal, or the two
+  * engines iterate with different constants.
   */
 object PageRank {
 

@@ -31,21 +31,21 @@ object CoverageQueries {
         |       LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
         |c1 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
         |       JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY 1),
-        |r1 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+        |r1 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85::DOUBLE *
         |         (coalesce(c1.contrib, 0)::DOUBLE + d1.dm / nn.n) rank
         |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
         |d2 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r1
         |       LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
         |c2 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
         |       JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY 1),
-        |r2 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+        |r2 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85::DOUBLE *
         |         (coalesce(c2.contrib, 0)::DOUBLE + d2.dm / nn.n) rank
         |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
         |d3 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r2
         |       LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
         |c3 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
         |       JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY 1),
-        |r3 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+        |r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85::DOUBLE *
         |         (coalesce(c3.contrib, 0)::DOUBLE + d3.dm / nn.n) rank
         |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
         |SELECT node, round(r3.rank * nn.n + 1e-9, 6) pr FROM r3, nn

@@ -114,7 +114,7 @@ object GraphQueries {
         |c1 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
         |       JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
         |       GROUP BY 1),
-        |r1 AS (SELECT tp.node, 0.15::DOUBLE * tp.tp + 0.85::DOUBLE *
+        |r1 AS (SELECT tp.node, (1.0 - 0.85) * tp.tp + 0.85::DOUBLE *
         |         (coalesce(c1.contrib, 0)::DOUBLE + d1.dm * tp.tp) rank
         |       FROM tp LEFT JOIN c1 ON tp.node = c1.node, d1),
         |d2 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r1
@@ -122,7 +122,7 @@ object GraphQueries {
         |c2 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
         |       JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
         |       GROUP BY 1),
-        |r2 AS (SELECT tp.node, 0.15::DOUBLE * tp.tp + 0.85::DOUBLE *
+        |r2 AS (SELECT tp.node, (1.0 - 0.85) * tp.tp + 0.85::DOUBLE *
         |         (coalesce(c2.contrib, 0)::DOUBLE + d2.dm * tp.tp) rank
         |       FROM tp LEFT JOIN c2 ON tp.node = c2.node, d2),
         |d3 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r2
@@ -130,7 +130,7 @@ object GraphQueries {
         |c3 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
         |       JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
         |       GROUP BY 1),
-        |r3 AS (SELECT tp.node, 0.15::DOUBLE * tp.tp + 0.85::DOUBLE *
+        |r3 AS (SELECT tp.node, (1.0 - 0.85) * tp.tp + 0.85::DOUBLE *
         |         (coalesce(c3.contrib, 0)::DOUBLE + d3.dm * tp.tp) rank
         |       FROM tp LEFT JOIN c3 ON tp.node = c3.node, d3)
         |SELECT node, round(rank + 1e-9, 6) pr FROM r3

@@ -189,14 +189,21 @@ object LlmQueries {
     // are plain groupBys on (w1,w2)/(w1)/doc_id plus two equi-joins
     // AQE can re-plan (model side broadcast-able when small, shuffled
     // when the vocab is corpus-scale); the vocabulary size scalar is
-    // the only broadcast. Determinism: a raw FP sum of per-bigram NLL
-    // terms is shuffle-order-dependent and its noise sits exactly at
-    // the r4 rounding grain (r5 verdict), so each term is quantized to
-    // integer MICRO-NATS (round(nll*1e6 + nudge) as BIGINT) before
-    // summation — integer addition is exact and order-independent, so
-    // the per-doc sum is bit-identical across shuffle orders AND
-    // engines (cross-engine agreement needs only per-term doubles to
-    // match within 5e-7, far coarser than ln()'s 1-ulp spread).
+    // the only broadcast. Determinism (r7 verdict prescription): a raw
+    // FP sum of per-bigram NLL terms is shuffle-order-dependent, and
+    // per-term integer rounding (the r5-r7 "micro-nats" device) puts
+    // every term's ulp noise on a .5 boundary — one flipped term kills
+    // the hash. Instead the per-doc summation ORDER is pinned on both
+    // engines: collect the (w1, w2, nll) terms, sort by the unique
+    // (w1, w2) key, and left-fold the doubles in that order (Spark
+    // `aggregate(array_sort(collect_list(...)))` vs DuckDB
+    // `list_reduce(list(... ORDER BY w1, w2))`). Cross-engine drift is
+    // then only ln()'s ≤1-ulp spread (~1e-15/term), and rounding
+    // happens ONCE per output row at 4 dp — boundary-collision moves
+    // from per-term to per-row and from 1e-9 grain to 5e-5. The score
+    // column is ln-perplexity (mean NLL in nats — the standard CCNet
+    // filter statistic); ppl is derived by exp() of the ALREADY
+    // ROUNDED ln_ppl so both engines exponentiate identical inputs.
     q("text_lm_ppl",
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
         |             FROM documents),
@@ -208,16 +215,19 @@ object LlmQueries {
         |voc AS (SELECT count(DISTINCT w) v
         |        FROM (SELECT unnest(ts) w FROM tok)),
         |db AS (SELECT doc_id, w1, w2, count(*) cnt FROM bg GROUP BY 1, 2, 3),
-        |sc AS (SELECT d.doc_id, sum(d.cnt) nb,
-        |              sum(CAST(round(d.cnt * -ln((bgc.c + 1.0) / (ctx.cw + voc.v))
-        |                              * 1e6 + 1e-9) AS BIGINT)) snll_u
+        |sc AS (SELECT d.doc_id, sum(d.cnt)::BIGINT nb,
+        |              list_reduce(
+        |                list(d.cnt * -ln((bgc.c + 1.0) / (ctx.cw + voc.v))
+        |                     ORDER BY d.w1, d.w2),
+        |                (a, x) -> a + x) snll
         |       FROM db d
         |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
         |       JOIN ctx ON d.w1 = ctx.w1
         |       CROSS JOIN voc
         |       GROUP BY 1)
         |SELECT doc_id, nb AS n_bigrams,
-        |       round(exp(snll_u / 1e6 / nb) + 1e-9, 4) AS ppl
+        |       round(snll / nb + 1e-9, 4) AS ln_ppl,
+        |       round(exp(round(snll / nb + 1e-9, 4)) + 1e-9, 2) AS ppl
         |FROM sc ORDER BY doc_id""") { c =>
       val toks = c.documents.select(col("doc_id"),
         expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
@@ -231,17 +241,20 @@ object LlmQueries {
       val voc = toks.select(explode(col("ts")).as("w"))
         .agg(countDistinct(col("w")).as("v"))
       val db = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      val nll = col("cnt").cast("double") *
+        -log((col("c") + 1.0) / (col("cw") + col("v")))
+      val lnPpl = r4(col("snll") / col("n_bigrams"))
       db.join(bgc, Seq("w1", "w2"))
         .join(ctx, Seq("w1"))
         .crossJoin(broadcast(voc))
         .groupBy("doc_id")
         .agg(sum(col("cnt")).as("n_bigrams"),
-          sum(round(col("cnt").cast("double") *
-              -log((col("c") + 1.0) / (col("cw") + col("v"))) *
-              lit(1e6) + lit(1e-9)).cast("long"))
-            .as("snll_u"))
+          aggregate(
+            array_sort(collect_list(struct(col("w1"), col("w2"),
+              nll.as("nll")))),
+            lit(0.0), (a, x) => a + x.getField("nll")).as("snll"))
         .select(col("doc_id"), col("n_bigrams"),
-          r4(exp(col("snll_u") / lit(1e6) / col("n_bigrams"))).as("ppl"))
+          lnPpl.as("ln_ppl"), r2(exp(lnPpl)).as("ppl"))
         .orderBy("doc_id")
     },
 
@@ -391,9 +404,12 @@ object LlmQueries {
     // identical arithmetic on both engines); both n-gram models are
     // 256-row aggregates that BROADCAST to the per-doc scoring join —
     // at 100 TB the corpus is touched twice (model fit, scoring), both
-    // passes embarrassingly parallel. Per-gram log-ratios are rounded
-    // to integer micro-nats before the per-doc sum so the score is
-    // summation-order-independent (same convention as text_lm_ppl).
+    // passes embarrassingly parallel. Determinism: same convention as
+    // text_lm_ppl (r7 verdict) — the per-doc sum of ln-ratio terms is
+    // left-folded in bucket order on BOTH engines (bucket id is unique
+    // per doc), rounded ONCE per output row; `selected` compares the
+    // already-rounded avg_logratio so the boolean can never flip on
+    // sub-grain FP noise.
     q("llm_dsir_select",
       """WITH tok AS (SELECT doc_id, lang,
         |               regexp_extract_all(text, '[a-z]+') ts FROM documents),
@@ -409,15 +425,16 @@ object LlmQueries {
         |nr AS (SELECT sum(cr)::BIGINT n FROM raw),
         |docb AS (SELECT doc_id, b, count(*) cnt FROM gb GROUP BY 1, 2),
         |sc AS (SELECT d.doc_id, sum(d.cnt)::BIGINT n_grams,
-        |         sum(CAST(round(d.cnt *
-        |               ln(((coalesce(t.ct, 0) + 1.0) / (nt.n + 256))
-        |                  / ((r.cr + 1.0) / (nr.n + 256)))
-        |               * 1e6 + 1e-9) AS BIGINT)) w_micro
+        |         list_reduce(
+        |           list(d.cnt * ln(((coalesce(t.ct, 0) + 1.0) / (nt.n + 256))
+        |                           / ((r.cr + 1.0) / (nr.n + 256)))
+        |                ORDER BY d.b),
+        |           (a, x) -> a + x) llr
         |       FROM docb d JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
         |       CROSS JOIN nt CROSS JOIN nr GROUP BY 1)
-        |SELECT doc_id, n_grams, w_micro,
-        |       round(w_micro / 1e6 / n_grams + 1e-9, 4) AS avg_logratio,
-        |       (w_micro > 0) AS selected
+        |SELECT doc_id, n_grams, round(llr + 1e-9, 4) AS llr,
+        |       round(llr / n_grams + 1e-9, 4) AS avg_logratio,
+        |       (round(llr / n_grams + 1e-9, 4) > 0) AS selected
         |FROM sc ORDER BY doc_id""") { c =>
       val toks = c.documents.select(col("doc_id"), col("lang"),
         expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
@@ -433,18 +450,20 @@ object LlmQueries {
       val nt = tgt.agg(sum(col("ct")).as("nt"))
       val nr = raw.agg(sum(col("cr")).as("nr"))
       val docb = gb.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-      val score = log(((coalesce(col("ct"), lit(0L)) + 1.0) /
+      val score = col("cnt").cast("double") *
+        log(((coalesce(col("ct"), lit(0L)) + 1.0) /
           (col("nt") + 256)) / ((col("cr") + 1.0) / (col("nr") + 256)))
+      val avgLr = r4(col("w") / col("n_grams"))
       docb.join(broadcast(raw), Seq("b"))
         .join(broadcast(tgt), Seq("b"), "left")
         .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
         .groupBy("doc_id")
         .agg(sum(col("cnt")).as("n_grams"),
-          sum(round(col("cnt").cast("double") * score * lit(1e6) +
-            lit(1e-9)).cast("long")).as("w_micro"))
-        .select(col("doc_id"), col("n_grams"), col("w_micro"),
-          r4(col("w_micro") / lit(1e6) / col("n_grams")).as("avg_logratio"),
-          (col("w_micro") > 0).as("selected"))
+          aggregate(array_sort(collect_list(struct(col("b"),
+              score.as("lr")))),
+            lit(0.0), (a, x) => a + x.getField("lr")).as("w"))
+        .select(col("doc_id"), col("n_grams"), r4(col("w")).as("llr"),
+          avgLr.as("avg_logratio"), (avgLr > 0).as("selected"))
         .orderBy("doc_id")
     },
 
@@ -1634,15 +1653,19 @@ object LlmQueries {
     // full-precision and score against the RECONSTRUCTED corpus
     // (asymmetric distance, the FAISS SQ convention). Exactly
     // replicable in SQL because the quantize→reconstruct arithmetic
-    // is deterministic double math on both engines.
+    // is deterministic double math on both engines. A zero-range
+    // (constant) dimension would make the quantizer divide 0/0 = NaN
+    // with engine-dependent propagation (r7 advisor), so it is guarded
+    // explicitly: range 0 → reconstruct mn.
     q("sim_ann_sq8",
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |el AS (SELECT vec_id, g.i, v[g.i] x
         |       FROM c, generate_series(1, 64) g(i)),
         |mm AS (SELECT i, min(x) mn, max(x) mx FROM el GROUP BY 1),
         |rec AS (SELECT vec_id,
-        |          list(mn + least(floor((x - mn) * 255.0 / (mx - mn)),
-        |                          255) * (mx - mn) / 255.0
+        |          list(CASE WHEN mx = mn THEN mn
+        |               ELSE mn + least(floor((x - mn) * 255.0 / (mx - mn)),
+        |                               255) * (mx - mn) / 255.0 END
         |               ORDER BY i) rv
         |        FROM el JOIN mm USING (i) GROUP BY 1),
         |q AS (SELECT vec_id q_id, embedding::DOUBLE[] qv
@@ -1670,8 +1693,9 @@ object LlmQueries {
           zip_with(
             zip_with(col("v"), mmLit.getItem(0), (x, m) => x - m),
             mmLit.getItem(1),
-            (d, r) => least(floor(d * lit(255.0) / r), lit(255.0)) *
-              r / lit(255.0)),
+            (d, r) => when(r === 0.0, lit(0.0)).otherwise(
+              least(floor(d * lit(255.0) / r), lit(255.0)) *
+                r / lit(255.0))),
           mmLit.getItem(0), (s, m) => s + m).as("n_vec"))
       val queries = c.embeddings.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

@@ -515,7 +515,11 @@ object StatQueries {
     // day) baseline mean/σ (the seasonal profile, a model-sized
     // broadcast), then every event scores against its own season.
     // Cells thinner than 30 events or with zero variance are excluded
-    // from scoring rather than producing unstable z values.
+    // from scoring rather than producing unstable z values. The |z|>3
+    // threshold is applied to the ROUNDED z (r8, advisor ask): mu/sd
+    // come from cross-engine double aggregations, so a raw-zs
+    // comparison could flip borderline rows per engine; thresholding
+    // the 4-dp value keeps membership and output on the same grain.
     q("events_anomaly_z",
       """WITH e AS (SELECT event_id, event_type,
         |                  hour(CAST(ts AS TIMESTAMP)) hr, value
@@ -530,7 +534,7 @@ object StatQueries {
         |      WHERE b.n >= 30 AND b.sd > 0)
         |SELECT event_id, event_type, hr::BIGINT AS hr,
         |       round(zs + 1e-9, 4) AS z
-        |FROM z WHERE abs(zs) > 3
+        |FROM z WHERE abs(round(zs + 1e-9, 4)) > 3
         |ORDER BY event_id""") { c =>
       val e = c.events.select(col("event_id"), col("event_type"),
         hour(col("ts")).as("hr"), col("value"))
@@ -539,10 +543,10 @@ object StatQueries {
           stddev_samp(col("value")).as("sd"), count(lit(1)).as("n"))
         .filter(col("n") >= 30 && col("sd") > 0)
       e.join(broadcast(base), Seq("event_type", "hr"))
-        .withColumn("zs", (col("value") - col("mu")) / col("sd"))
-        .filter(abs(col("zs")) > 3)
+        .withColumn("z", r4((col("value") - col("mu")) / col("sd")))
+        .filter(abs(col("z")) > 3)
         .select(col("event_id"), col("event_type"),
-          col("hr").cast("long").as("hr"), r4(col("zs")).as("z"))
+          col("hr").cast("long").as("hr"), col("z"))
         .orderBy("event_id")
     },
 

@@ -18,4 +18,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("ml_pr_curve plans no single-partition window over the score " +
+    "relation (Positional cumsum path, r7 ask #5)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("ml_pr_curve")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the bucketed cumsum windows")
+    windows.foreach { w =>
+      val ordersScore = w.orderSpec.exists(_.child.references
+        .exists(_.name == "score"))
+      if (ordersScore)
+        assert(w.partitionSpec.nonEmpty,
+          s"window over score must be bucket-partitioned:\n$w")
+    }
+  }
 }
