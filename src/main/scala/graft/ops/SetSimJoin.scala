@@ -46,34 +46,76 @@ object SetSimJoin {
     *
     * Construction is DEFERRED — no Spark job runs until the caller
     * acts on the result (spec-asserted). The caller owns the cache
-    * lifecycle via the returned handle. */
+    * lifecycle via the returned handle.
+    *
+    * Internals run on the HASHED element universe (xxhash64 per
+    * element) with a final exact re-verify on the original values
+    * (r8): candidate generation, the prefix window and the first
+    * verify pass all carry 8-byte longs instead of the raw elements.
+    * The caller's (typically expensive, interpreted-HOF) element
+    * pipeline is evaluated exactly ONCE, through a single Generate
+    * into a flat persisted (id, tok, h) row table — keeping the set
+    * column in array form invited CollapseProject to inline the
+    * shingling into every consumer (the minhashSignatures lesson), and
+    * corpus-wide STRING-array caching alone cost 7 s at sf0.1 where
+    * the flat rows columnar-cache in well under 1 s. Everything
+    * downstream (frequencies, prefixes, hashed sets, the exact
+    * verify's token matches) derives from that one cache.
+    * Correctness: identical elements always hash identically, and a
+    * CROSS-set collision can only add to the hashed intersection — so
+    * hashed-Jaccard ≥ true Jaccard and the hashed candidate/filter
+    * stages keep every true pair (recall stays provably 1.0). The one
+    * hazard is an INTRA-set collision (two distinct elements of the
+    * same set sharing a hash), which shrinks the hashed set; that is a
+    * ~s²/2^65-per-set event, and it is GUARDED loudly: the build
+    * errors if any hashed set is smaller than its source set. The
+    * exact pass then recomputes inter/union/jac from the original
+    * token rows for the (tiny) surviving pair set only. */
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
                       tau: Double): SimPairs = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    // consumed FOUR times below (frequency agg, prefix build, both
-    // verify sides) — persist so the caller's tokenize/shingle pipeline
-    // runs once, not once per consumer (was the whole-query hot spot:
-    // 4x regexp_extract_all over the corpus)
-    val sets = df
-      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("st"))
-      .filter(size(col("st")) > 0)
+    // ONE evaluation of the caller's element pipeline: explode the
+    // deduplicated set through a single Generate (empty sets simply
+    // produce no rows — the size>0 filter for free) and persist the
+    // flat rows. Four consumers read this cache: the frequency agg,
+    // the prefix build, the hashed-set agg, and the exact verify.
+    val tokRows = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(col(setCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // global token frequencies — ONE corpus-wide aggregation
-    val freq = sets.select(explode(col("st")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("f"))
+    // hashed sets for the first verify pass — collect_set is the
+    // map-side-combinable aggregate shape; raise_error fires on an
+    // intra-set xxhash64 collision (the one case that could cost
+    // recall — see scaladoc), so size(hs) below is EXACTLY the true
+    // distinct-element count of the set.
+    val hsets = tokRows.groupBy("id")
+      .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
+      .select(col("id"),
+        when(size(col("hs0")) < col("n"),
+          raise_error(concat(lit("SetSimJoin: intra-set xxhash64 " +
+            "collision in set id="), col("id").cast("string")))
+            .cast("array<bigint>"))
+          .otherwise(col("hs0")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-set canonical order: rarest token first (ties by token text);
-    // prefix = first s - ceil(tau*s) + 1 tokens in that order.
-    // Persisted: both sides of the candidate self-join read it, and the
-    // explode + freq-join + window pass is the second-biggest stage.
-    val w = Window.partitionBy("id").orderBy(col("f"), col("tok"))
-    val prefix = sets
-      .select(col("id"), size(col("st")).as("s"), explode(col("st")).as("tok"))
-      .join(freq, "tok")
+    // global token frequencies — ONE corpus-wide aggregation (keyed by
+    // the hash; the canonical order below uses the same key, so the
+    // ordering stays globally consistent)
+    val freq = tokRows.groupBy("h").agg(count(lit(1)).as("f"))
+
+    // per-set canonical order: rarest token first (ties by hash value);
+    // prefix = first s - ceil(tau*s) + 1 tokens in that order. Both
+    // windows share one (id) exchange: the unordered count rides the
+    // partition, row_number pays the per-set sort.
+    val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
+    val ws = Window.partitionBy("id")
+    val prefix = tokRows.join(freq, "h")
+      .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
       .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
-      .select(col("id"), col("s"), col("p"), col("tok"))
+      .select(col("id"), col("s"), col("p"), col("h").as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate pairs: prefix-token equi-join, ordered ids, length
@@ -102,13 +144,41 @@ object SetSimJoin {
         ceil(lit(tau) / (1 + tau) * (col("sa") + col("sb"))))
       .select("a", "b").distinct()
 
-    // exact verification — sets joined back for candidates only
-    val sa = sets.select(col("id").as("a"), col("st").as("sta"))
-    val sb = sets.select(col("id").as("b"), col("st").as("stb"))
-    val verified = cand.join(sa, "a").join(sb, "b")
-      .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
-      .withColumn("union",
-        (size(col("sta")) + size(col("stb"))).cast("long") - col("inter"))
+    // hashed verification — recall-complete (hashed-Jaccard ≥ true
+    // Jaccard), shuffles only long-arrays, prunes the candidate set to
+    // ~the true pair set before any raw element moves
+    val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
+    val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
+    val s1 = cand.join(ha, "a").join(hb, "b")
+      .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("uh",
+        (size(col("ha")) + size(col("hb"))).cast("long") - col("ih"))
+      .filter(col("ih").cast("double") / col("uh") >= tau)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exact verification — intersections recomputed on the ORIGINAL
+    // token values for the SURVIVORS only, straight off the cached
+    // token rows (no second caller-pipeline pass, no array shuffles):
+    // a's tokens fan out over the tiny survivor set, match b's rows on
+    // (b, tok) string equality, count per pair. Pairs whose true
+    // intersection is empty fall out of the inner join — correct,
+    // their Jaccard is 0 < tau. Set sizes come from the guarded hashed
+    // sets (bit-exact distinct counts).
+    val ids = s1.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+    val vtok = tokRows.join(broadcast(ids), "id")
+      .select(col("id"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = s1
+      .join(vtok.select(col("id").as("a"), col("tok")), "a")
+      .join(vtok.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val sizes = hsets.select(col("id"), size(col("hs")).cast("long").as("sz"))
+    val verified = inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("sb")), "b")
+      .withColumn("union", col("sa") + col("sb") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("union"))
       .filter(col("jac") >= tau)
       .select("a", "b", "inter", "union", "jac")
@@ -118,8 +188,11 @@ object SetSimJoin {
     // keeps its own persist marker; the handle releases the shared
     // intermediates once the caller has materialized it.
     SimPairs(verified, () => {
-      sets.unpersist(false)
+      tokRows.unpersist(false)
+      hsets.unpersist(false)
       prefix.unpersist(false)
+      s1.unpersist(false)
+      vtok.unpersist(false)
     })
   }
 }
