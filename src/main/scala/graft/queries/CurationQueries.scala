@@ -984,21 +984,27 @@ object CurationQueries {
     // Count-Min sketch (Cormode & Muthukrishnan 2005) — the
     // fixed-memory frequency summary beside the Misra-Gries heavy
     // hitters: d=4 hash rows × w=256 buckets, every cell a plain
-    // count, so the sketch builds as ONE hash aggregation over the
-    // (row, bucket)-exploded stream (map-side partials collapse each
-    // task to ≤1024 cells) and MERGES by cell-wise sum — the
-    // mergeable-sketch contract. Estimates for the top-10 exact keys
-    // take min over the 4 probed cells; the one-sided
+    // count that MERGES by cell-wise sum — the mergeable-sketch
+    // contract. Because the query already pays one corpus-wide
+    // groupBy(key) for the exact probes, the sketch ingests those
+    // KEYED PARTIALS (sum of per-key counts ≡ count of rows, by
+    // distributivity) instead of the raw stream — md5/explode/conv run
+    // over the distinct keys only, ~30× fewer rows here (was the
+    // heaviest stage of the query, 3.7 s warm → 0.7 s). A true
+    // streaming build (keys too hot to pre-aggregate) would explode
+    // the raw rows — same cells either way. Estimates for the top-10
+    // exact keys take min over the 4 probed cells; the one-sided
     // never-underestimate guarantee is hash-checked alongside the
     // estimates. md5-derived bucket hashing keeps both engines
     // bit-identical.
     q("agg_countmin",
-      """WITH keys AS (SELECT md5(l_partkey::VARCHAR) dg FROM lineitem),
+      """WITH exact AS (SELECT l_partkey, count(*) c FROM lineitem
+        |               GROUP BY 1),
         |cells AS (SELECT g.j,
-        |            ('0x' || substr(dg, 1 + 8 * g.j, 8))::BIGINT % 256 b,
-        |            count(*) cnt
-        |          FROM keys, generate_series(0, 3) g(j) GROUP BY 1, 2),
-        |exact AS (SELECT l_partkey, count(*) c FROM lineitem GROUP BY 1),
+        |            ('0x' || substr(md5(l_partkey::VARCHAR), 1 + 8 * g.j,
+        |                            8))::BIGINT % 256 b,
+        |            sum(c) cnt
+        |          FROM exact, generate_series(0, 3) g(j) GROUP BY 1, 2),
         |probes AS (SELECT l_partkey, c, md5(l_partkey::VARCHAR) dg
         |           FROM exact ORDER BY c DESC, l_partkey LIMIT 10),
         |est AS (SELECT p.l_partkey, p.c, min(cells.cnt) est
@@ -1011,20 +1017,20 @@ object CurationQueries {
         |       est >= c AS no_underestimate
         |FROM est ORDER BY exact_n DESC, l_partkey""",
       bench = true) { c =>
-      // one md5 per key: the 32-hex digest yields the four row-hashes
-      // as disjoint 8-hex windows (d × the hash cost saved on the
-      // corpus-sized pass)
+      // one md5 per DISTINCT key: the 32-hex digest yields the four
+      // row-hashes as disjoint 8-hex windows
       def bucket(dg: org.apache.spark.sql.Column,
           j: org.apache.spark.sql.Column) =
         conv(dg.substr(lit(1) + lit(8) * j, lit(8)), 16, 10)
           .cast("long") % 256
-      val cells = c.lineitem
-        .select(md5(col("l_partkey").cast("string")).as("dg"),
-          explode(sequence(lit(0), lit(3))).as("j"))
-        .select(col("j"), bucket(col("dg"), col("j")).as("b"))
-        .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
-      val probes = c.lineitem.groupBy("l_partkey")
+      val exact = c.lineitem.groupBy("l_partkey")
         .agg(count(lit(1)).as("c"))
+      val cells = exact
+        .select(md5(col("l_partkey").cast("string")).as("dg"), col("c"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"), bucket(col("dg"), col("j")).as("b"), col("c"))
+        .groupBy("j", "b").agg(sum(col("c")).as("cnt"))
+      val probes = exact
         .orderBy(col("c").desc, col("l_partkey")).limit(10)
         .withColumn("dg", md5(col("l_partkey").cast("string")))
       probes
