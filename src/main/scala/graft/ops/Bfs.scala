@@ -24,14 +24,25 @@ object Bfs {
     * `maxHops` expansion levels. Output columns: (node, dist). */
   def hops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"bfs needs at least one hop, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // partition the (deduplicated) edges by src ONCE: the cached
+    // InMemoryRelation keeps its HashPartitioning, so every round's
+    // frontier join reuses it and only the (small) frontier side
+    // shuffles — without this, all k rounds re-exchange the full edge
+    // relation (the dominant cost of a short BFS on a big graph)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist()
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
+    var levels = List(dist)
     var frontier = dist.select(col("node"))
     var hop = 0
     var exhausted = false
     while (hop < maxHops && !exhausted) {
       hop += 1
+      // dist here is a union of per-level localCheckpoints — lineage
+      // depth is the level count, so the union itself needs no
+      // re-checkpoint (re-checkpointing it every round re-materialized
+      // all previous levels, O(levels²) work)
       val next = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
@@ -39,7 +50,8 @@ object Bfs {
         .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        levels ::= next
+        dist = levels.reduce(_ union _)
         frontier = next.select(col("node"))
       }
     }

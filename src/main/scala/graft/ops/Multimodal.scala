@@ -870,6 +870,132 @@ object Multimodal {
       })
   }
 
+  /** Integer-factor box-filter downsample (the "resize" of a
+    * multimodal ingest pipeline, AlexNet-style area pooling): decode
+    * (same magic dispatch as [[decodePixels]]), then pool each
+    * factor×factor block. The pooled grid is emitted as INTEGER block
+    * sums ("r:g:b;…" row-major) — exact on any engine, so the resize
+    * kernel itself sits under the hash gate; a consumer divides by
+    * factor² for the mean image. Partition-local map, zero shuffle —
+    * the multimodal contract shared by every decoder here. Trailing
+    * rows/cols that do not fill a block are dropped (floor semantics,
+    * the pooling convention). */
+  final case class ResizedGrid(doc_id: Long, format: String, src_w: Int,
+      src_h: Int, out_w: Int, out_h: Int, grid_csv: String)
+
+  def resizeBox(df: DataFrame, idCol: String, factor: Int,
+      payloadCol: String = "payload"): Dataset[ResizedGrid] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        val decoded: Option[(String, Int, Int, Int, Array[Int])] =
+          decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, 3, px) }
+            .orElse(decodePng(bytes).map { case (w, h, ch, px) =>
+              ("png", w, h, ch, px) })
+            .orElse(decodeGif(bytes).map { case (w, h, px) =>
+              ("gif", w, h, 3, px) })
+            .orElse(Jpeg.decode(bytes).map { case (w, h, ch, px) =>
+              ("jpeg", w, h, ch, px) })
+        decoded match {
+          case Some((fmt, w, h, ch, px)) =>
+            val ow = w / factor; val oh = h / factor
+            val sb = new StringBuilder
+            var by = 0
+            while (by < oh) {
+              var bx = 0
+              while (bx < ow) {
+                val sums = new Array[Long](3)
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  while (dx < factor) {
+                    val base =
+                      (((by * factor + dy) * w) + bx * factor + dx) * ch
+                    var c = 0
+                    while (c < 3) {
+                      // grayscale replicates; alpha (ch=4) is excluded
+                      sums(c) += (if (ch == 1) px(base)
+                        else if (c < ch) px(base + c) else 0)
+                      c += 1
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                if (sb.nonEmpty) sb.append(';')
+                sb.append(sums(0)).append(':').append(sums(1))
+                  .append(':').append(sums(2))
+                bx += 1
+              }
+              by += 1
+            }
+            ResizedGrid(id, fmt, w, h, ow, oh, sb.toString)
+          case None => ResizedGrid(id, "unknown", 0, 0, 0, 0, "")
+        }
+      })
+  }
+
+  /** Stride frame sampling over a CLIP container (the video analogue
+    * of [[resizeBox]]'s image path): a clip is "GCLP" + u32LE frame
+    * count + frames as [u32LE length][image payload]. Frames are
+    * decoded ONLY when sampled — unsampled frames are SKIPPED by their
+    * length header without touching the codec, which is the whole
+    * point of stride sampling at corpus scale (a 1-fps sample of a
+    * 30-fps archive must not pay 30× decode). One output row per
+    * sampled frame; corrupt/truncated containers yield the frames that
+    * parsed. Partition-local flatMap, zero shuffle. */
+  final case class FrameStats(doc_id: Long, frame_idx: Int,
+      format: String, width: Int, height: Int, mean_r: Double,
+      mean_g: Double, mean_b: Double)
+
+  def sampleFrames(df: DataFrame, idCol: String, stride: Int,
+      payloadCol: String = "payload"): Dataset[FrameStats] = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+        if (bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'C' &&
+            bytes(2) == 'L' && bytes(3) == 'P') {
+          val n = leU32(bytes, 4).toInt
+          var off = 8
+          var f = 0
+          var ok = true
+          while (ok && f < n && off + 4 <= bytes.length) {
+            val len = leU32(bytes, off).toInt
+            val body = off + 4
+            if (len < 0 || body + len > bytes.length) ok = false
+            else {
+              if (f % stride == 0) {
+                val frame =
+                  java.util.Arrays.copyOfRange(bytes, body, body + len)
+                decodeBmp(frame).foreach { case (w, h, px) =>
+                  val sums = new Array[Long](3)
+                  var i = 0
+                  while (i < px.length) { sums(i % 3) += px(i); i += 1 }
+                  val npx = (w.toLong * h).toDouble
+                  out += FrameStats(id, f, "bmp", w, h, sums(0) / npx,
+                    sums(1) / npx, sums(2) / npx)
+                }
+              }
+              off = body + len
+              f += 1
+            }
+          }
+        }
+        out.iterator
+      })
+  }
+
   /** Partition-local stub decode: binary → typed metadata. Real decode
     * would call the codec here; everything around it (schema, encoder,
     * partitioning) is production-shaped. */

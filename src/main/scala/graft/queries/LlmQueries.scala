@@ -1227,6 +1227,130 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Box-filter RESIZE over real decoded pixels (r8 — the "resize"
+    // leg of the multimodal brief beside decode): genuine BMPs from
+    // doc keys, factor-2 area pooling in Multimodal.resizeBox, the
+    // pooled grid emitted as INTEGER block sums so the kernel is under
+    // the exact-hash gate; the oracle regenerates the pixel formula
+    // and pools arithmetically (x//2, y//2 blocks).
+    q("mm_resize",
+      """WITH d AS (SELECT doc_id, 2*(2 + doc_id % 3) w,
+        |                  2*(1 + doc_id % 2) h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |v AS (SELECT doc_id, w, h, p % w AS x, p // w AS y,
+        |        (doc_id * 31 + p * 3) % 256 r,
+        |        (doc_id * 31 + p * 3 + 1) % 256 g,
+        |        (doc_id * 31 + p * 3 + 2) % 256 b
+        |      FROM px),
+        |blk AS (SELECT doc_id, w, h, x // 2 cbx, y // 2 cby,
+        |          sum(r) sr, sum(g) sg, sum(b) sb
+        |        FROM v GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, 'bmp' AS format,
+        |       CAST(max(w) AS INT) AS src_w, CAST(max(h) AS INT) AS src_h,
+        |       CAST(max(w) // 2 AS INT) AS out_w,
+        |       CAST(max(h) // 2 AS INT) AS out_h,
+        |       string_agg(sr || ':' || sg || ':' || sb, ';'
+        |                  ORDER BY cby, cbx) AS grid_csv
+        |FROM blk GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkBmp = udf((id: Long) => {
+        val w = 2 * (2 + (id % 3).toInt); val h = 2 * (1 + (id % 2).toInt)
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val base = id * 31 + (y.toLong * w + x) * 3
+            b.put(((base + 2) % 256).toByte)
+              .put(((base + 1) % 256).toByte)
+              .put((base % 256).toByte)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.resizeBox(
+          c.documents.select(col("doc_id"),
+            mkBmp(col("doc_id")).as("payload")),
+          "doc_id", factor = 2)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // Stride FRAME SAMPLING over a clip container (r8 — the
+    // video-shaped leg of the multimodal brief): clips are "GCLP" +
+    // frame count + length-prefixed BMP frames generated from doc
+    // keys; Multimodal.sampleFrames decodes ONLY every 2nd frame
+    // (unsampled frames are skipped by their length header — at
+    // archive scale the sampler must not pay decode for dropped
+    // frames). One row per sampled frame, per-channel means
+    // hash-checked against the regenerated pixel formula.
+    q("mm_frame_sample",
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 nf FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) f FROM d),
+        |sel AS (SELECT doc_id, f FROM fr WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, f, unnest(range(0, 6)) p FROM sel),
+        |v AS (SELECT doc_id, f,
+        |        (doc_id * 31 + f * 97 + p * 3) % 256 r,
+        |        (doc_id * 31 + f * 97 + p * 3 + 1) % 256 g,
+        |        (doc_id * 31 + f * 97 + p * 3 + 2) % 256 b
+        |      FROM px)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, 'bmp' AS format,
+        |       3 AS width, 2 AS height,
+        |       round(avg(r) + 1e-9, 6) AS mean_r,
+        |       round(avg(g) + 1e-9, 6) AS mean_g,
+        |       round(avg(b) + 1e-9, 6) AS mean_b
+        |FROM v GROUP BY doc_id, f ORDER BY doc_id, frame_idx""") { c =>
+      val mkClip = udf((id: Long) => {
+        val w = 3; val h = 2
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val frameLen = 54 + rowSize * h
+        def frame(f: Int): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(frameLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put('B'.toByte).put('M'.toByte).putInt(frameLen)
+            .putShort(0).putShort(0).putInt(54)
+            .putInt(40).putInt(w).putInt(h)
+            .putShort(1).putShort(24).putInt(0)
+            .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0)
+            .putInt(0)
+          (0 until h).foreach { fileRow =>
+            val y = h - 1 - fileRow
+            (0 until w).foreach { x =>
+              val base = id * 31 + f * 97L + (y.toLong * w + x) * 3
+              b.put(((base + 2) % 256).toByte)
+                .put(((base + 1) % 256).toByte)
+                .put((base % 256).toByte)
+            }
+            (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+          }
+          b.array()
+        }
+        val nf = 3 + (id % 4).toInt
+        val clip = java.nio.ByteBuffer
+          .allocate(8 + nf * (4 + frameLen))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        clip.put("GCLP".getBytes("US-ASCII")).putInt(nf)
+        (0 until nf).foreach(f => clip.putInt(frameLen).put(frame(f)))
+        clip.array()
+      })
+      Multimodal.sampleFrames(
+          c.documents.select(col("doc_id"),
+            mkClip(col("doc_id")).as("payload")),
+          "doc_id", stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("format"),
+          col("width"), col("height"),
+          r6(col("mean_r")).as("mean_r"), r6(col("mean_g")).as("mean_g"),
+          r6(col("mean_b")).as("mean_b"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // REAL sample decode (r5): genuine PCM16 WAV files (RIFF chunk
     // walk, little-endian int16 samples) generated from doc keys;
     // Multimodal.decodeWavPcm16 recovers the waveform and the query

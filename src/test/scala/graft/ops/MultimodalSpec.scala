@@ -437,4 +437,64 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L).format == "png" && got(4L).mean_r == 33.0 &&
       got(4L).mean_b == 33.0)
   }
+
+  test("resizeBox: factor-2 box pooling emits exact integer block " +
+    "sums, row-major; trailing partial blocks drop (floor semantics)") {
+    val sp = spark
+    import sp.implicits._
+    // 4x2 image, pixel(x,y,c) = 10y + 3x + c + 1 → two 2x2 blocks
+    def pixel(x: Int, y: Int, c: Int): Int = 10 * y + 3 * x + c + 1
+    val df = Seq((1L, bmp24(4, 2, topDown = false, pixel)),
+      // 5x3: odd extras (last col, last row) must be dropped
+      (2L, bmp24(5, 3, topDown = true, pixel))).toDF("doc_id", "payload")
+    val got = Multimodal.resizeBox(df, "doc_id", factor = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    val a = got(1L)
+    assert(a.src_w == 4 && a.src_h == 2 && a.out_w == 2 && a.out_h == 1)
+    def blockSum(xs: Range, ys: Range, c: Int) =
+      (for (x <- xs; y <- ys) yield pixel(x, y, c)).sum
+    assert(a.grid_csv ==
+      Seq(0, 2).map(bx => (0 to 2).map(c =>
+        blockSum(bx to bx + 1, 0 to 1, c)).mkString(":")).mkString(";"))
+    val b = got(2L)
+    assert(b.out_w == 2 && b.out_h == 1 &&
+      b.grid_csv.split(";").length == 2)
+    // garbage payload degrades, never throws
+    val bad = Multimodal.resizeBox(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"),
+      "doc_id", 2).collect()
+    assert(bad.head.format == "unknown" && bad.head.grid_csv.isEmpty)
+  }
+
+  test("sampleFrames: stride selects every k-th frame, skips decode " +
+    "of the rest, and a truncated container yields the parsed prefix") {
+    val sp = spark
+    import sp.implicits._
+    def frame(f: Int): Array[Byte] =
+      bmp24(2, 1, topDown = false, (x, _, c) => 40 * f + 3 * x + c)
+    def clip(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 8 + frames.map(4 + _.length).sum
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("GCLP".getBytes("US-ASCII")).putInt(frames.length)
+      frames.foreach(fr => b.putInt(fr.length).put(fr))
+      b.array()
+    }
+    val whole = clip((0 until 5).map(frame))
+    val truncated = whole.take(whole.length - 3) // last frame cut
+    val df = Seq((1L, whole), (2L, truncated))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.sampleFrames(df, "doc_id", stride = 2)
+      .collect().groupBy(_.doc_id)
+    // stride 2 over 5 frames → 0, 2, 4
+    assert(got(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    val f2 = got(1L).find(_.frame_idx == 2).get
+    // frame 2, w=2 h=1: r values 80, 83 → mean 81.5
+    assert(f2.width == 2 && f2.height == 1 && f2.mean_r == 81.5)
+    // truncation cuts frame 4 (its bytes overrun) but keeps 0 and 2
+    assert(got(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    // non-clip payloads produce no rows, no throw
+    assert(Multimodal.sampleFrames(
+      Seq((9L, Array[Byte](1, 2))).toDF("doc_id", "payload"),
+      "doc_id", 2).count() == 0)
+  }
 }
