@@ -19,7 +19,8 @@ class DeterminismSpec extends SparkSpec {
 
   private val names = Seq(
     "text_lm_ppl", "llm_dsir_select", "ts_cusum_changepoint",
-    "ts_holt", "graph_pagerank", "stat_spearman")
+    "ts_holt", "graph_pagerank", "stat_spearman",
+    "events_anomaly_z", "ml_metrics_pr_cont", "graph_ppr")
 
   private val verifySf = "/root/testdata/sf0.01"
 
