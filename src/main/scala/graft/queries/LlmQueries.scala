@@ -74,6 +74,40 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Tokenizer fertility per language — tokens-per-word and
+    // bytes-per-token of the BPE-ish tokenization, THE readout for
+    // judging whether a tokenizer under-serves a language (high
+    // fertility = more compute per word of that language). One
+    // groupBy over integer per-doc counts; the ratios are single
+    // divisions of exact integer sums, rounded once.
+    q("llm_tokenizer_fertility",
+      """WITH d AS (SELECT lang,
+        |                  len(string_split_regex(trim(text), '\s+')) w,
+        |                  len(regexp_extract_all(text,
+        |                      '[a-z]+|[0-9]+|[^a-z0-9\s]')) t,
+        |                  length(text) ch
+        |           FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       sum(w)::BIGINT AS n_words, sum(t)::BIGINT AS n_tokens,
+        |       round(sum(t)::DOUBLE / sum(w) + 1e-9, 4) AS fertility,
+        |       round(sum(ch)::DOUBLE / sum(t) + 1e-9, 4)
+        |         AS chars_per_token
+        |FROM d GROUP BY lang ORDER BY lang""") { c =>
+      val d = c.documents.select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("w"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("t"),
+        length(col("text")).cast("long").as("ch"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("t")).as("n_tokens"),
+          r4(sum(col("t")).cast("double") / sum(col("w")))
+            .as("fertility"),
+          r4(sum(col("ch")).cast("double") / sum(col("t")))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+
     // Language-ID heuristic: function-word profile scores + argmax with
     // fixed tie-break (en > es > de > fr > und). On this synthetic corpus
     // every language shares one vocabulary, so the *contract under test*

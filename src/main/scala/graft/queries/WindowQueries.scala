@@ -377,5 +377,51 @@ object WindowQueries {
           r4(col("med")).as("rolling_median"))
         .orderBy("event_id")
     },
+
+    // Maximum drawdown per user over the signed event-value flow
+    // (credits: purchase/signup; debits: everything else) — the
+    // peak-to-trough risk statistic for any running balance (spend
+    // budgets, token quotas, account P&L). Values are quantized to
+    // integer CENTS per row FIRST, so the cumulative sum, running max
+    // and drawdown are all exact integer window arithmetic — immune to
+    // FP summation order (the r7 lesson). Windows partition by user:
+    // one shuffle, no global sort.
+    q("win_drawdown",
+      """WITH f AS (SELECT user_id, ts, event_id,
+        |                  CASE WHEN event_type IN ('purchase', 'signup')
+        |                       THEN CAST(round(value * 100) AS BIGINT)
+        |                       ELSE -CAST(round(value * 100) AS BIGINT)
+        |                  END cents
+        |           FROM events),
+        |b0 AS (SELECT user_id, ts, event_id, sum(cents) OVER w bal
+        |       FROM f
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (SELECT user_id, bal, max(bal) OVER w peak
+        |      FROM b0
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d AS (SELECT user_id, max(peak - bal) dd, min(bal) low,
+        |             max(peak) high
+        |      FROM b GROUP BY 1)
+        |SELECT user_id, round(dd / 100.0, 2) AS max_drawdown,
+        |       round(high / 100.0, 2) AS peak_balance,
+        |       round(low / 100.0, 2) AS trough_balance
+        |FROM d ORDER BY max_drawdown DESC, user_id LIMIT 25""") { c =>
+      val credit = col("event_type").isin("purchase", "signup")
+      val f = c.events.select(col("user_id"), col("ts"), col("event_id"),
+        when(credit, round(col("value") * 100).cast("long"))
+          .otherwise(-round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val b = f
+        .withColumn("bal", sum(col("cents")).over(w))
+        .withColumn("peak", max(col("bal")).over(w))
+      b.groupBy("user_id")
+        .agg(max(col("peak") - col("bal")).as("dd"),
+          min(col("bal")).as("low"), max(col("peak")).as("high"))
+        .select(col("user_id"),
+          round(col("dd") / 100.0, 2).as("max_drawdown"),
+          round(col("high") / 100.0, 2).as("peak_balance"),
+          round(col("low") / 100.0, 2).as("trough_balance"))
+        .orderBy(col("max_drawdown").desc, col("user_id")).limit(25)
+    },
   )
 }
