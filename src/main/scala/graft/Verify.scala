@@ -34,6 +34,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop any persist the query left behind (mirrors Bench.scala):
+      // all 283 queries share this session, and cached intermediates
+      // (e.g. graph_modularity's edge projection) would otherwise
+      // occupy storage for the rest of the run — the r3 cache-residue
+      // lesson, now applied to the verify path too (r8 ADVICE).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

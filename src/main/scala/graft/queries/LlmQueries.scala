@@ -75,7 +75,9 @@ object LlmQueries {
     },
 
     // Tokenizer fertility per language — tokens-per-word and
-    // bytes-per-token of the BPE-ish tokenization, THE readout for
+    // chars-per-token of the BPE-ish tokenization (length() counts
+    // characters, matching the oracle; byte fertility would need
+    // octet_length on both sides), THE readout for
     // judging whether a tokenizer under-serves a language (high
     // fertility = more compute per word of that language). One
     // groupBy over integer per-doc counts; the ratios are single
