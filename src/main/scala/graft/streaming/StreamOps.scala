@@ -269,6 +269,90 @@ object StreamOps {
       .toDF("key", "n")
   }
 
+  /** Per-key streaming max-drawdown state (the streaming counterpart
+    * of the `win_drawdown` batch query): state per key is ONE
+    * (n, bal, peak, maxDD, low, high) tuple of LONGS — integer cents,
+    * so the fold is exact and a stream replaying a table in event
+    * order produces BIT-EXACTLY the batch window scan (spec-checked).
+    * Each micro-batch's rows fold in (ts, seq) order; cross-batch
+    * late data folds in arrival order (the streaming tradeoff; bound
+    * disorder with a watermark upstream). O(1) state per key.
+    * Update-mode output: (key, n, balance, peak, max_drawdown, low,
+    * high), cents. */
+  def drawdownState(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      centsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(seqCol).cast("long").as("__seq"),
+        col(centsCol).cast("long").as("__c"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+        (String, Long, Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (n, bal, peak, dd, low, high) = state.getOption
+            .getOrElse((0L, 0L, Long.MinValue, 0L, Long.MaxValue,
+              Long.MinValue))
+          rows.toVector.sortBy(r => (r._2.getTime, r._3)).foreach {
+            case (_, _, _, c) =>
+              bal += c
+              if (bal > peak) peak = bal
+              if (peak - bal > dd) dd = peak - bal
+              if (bal < low) low = bal
+              if (peak > high) high = peak
+              n += 1
+          }
+          state.update((n, bal, peak, dd, low, high))
+          (key, n, bal, peak, dd, low, high)
+      }
+      .toDF("key", "n", "balance", "peak", "max_drawdown", "low", "high")
+  }
+
+  /** Streaming modularity profile (the incremental counterpart of the
+    * `graph_modularity` batch query): each arriving edge (aCom, bCom)
+    * contributes +1 within-count to aCom when aCom == bCom and +1
+    * degree-sum to BOTH endpoint communities (+2 to a self-community,
+    * matching the batch union-all degree count). Per-community state is
+    * one (win, dsum) pair of LONGS — order-free integer counters, so
+    * any batch split of the edge stream yields bit-exactly the batch
+    * aggregation (spec-checked). The modularity share
+    * q_c = win/m − (dsum/2m)² is a read-time projection over the
+    * emitted counters (m = Σdsum/2). Update-mode output:
+    * (community, edges_within, degree_sum). */
+  def modularityState(
+      df: DataFrame,
+      aComCol: String,
+      bComCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        explode(array(
+          struct(col(aComCol).cast("long").as("com"),
+            when(col(aComCol) === col(bComCol), 1L).otherwise(0L)
+              .as("win"), lit(1L).as("d")),
+          struct(col(bComCol).cast("long").as("com"), lit(0L).as("win"),
+            lit(1L).as("d")))).as("c"))
+      .select(col("c.com"), col("c.win"), col("c.d"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (com, rows, state: GroupState[(Long, Long)]) =>
+          var (win, dsum) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, w, d) => win += w; dsum += d }
+          state.update((win, dsum))
+          (com, win, dsum)
+      }
+      .toDF("community", "edges_within", "degree_sum")
+  }
+
   /** Per-key streaming Holt linear-trend state (the streaming
     * counterpart of [[graft.ops.Holt.linear]]): state per key is ONE
     * (n, level, trend) triple — O(1) regardless of stream length —

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN recall floor (r8 verdict ask #7): the LSH / IVF / SQ8 paths are
+  * correctness-tested per-query (exact output contracts at the verify
+  * scale), but nothing stopped a future quantizer/bucketing change from
+  * silently trading recall for speed. This spec MEASURES recall@10
+  * against the exact brute-force kNN on the sf0.1 embeddings (2000
+  * unclustered random 64-d vectors — the hardest regime for both
+  * hyperplane LSH and IVF; clustered real corpora only do better) and
+  * asserts a hard floor. Parameters mirror the `sim_ann_*` queries'
+  * scale dials, raised to the sf0.1 corpus (more tables/probes than the
+  * sf0.01 queries, as a real deployment would tune them).
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private val k = 10
+  private val nQueries = 50
+
+  private lazy val queries = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf01).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+  }
+  private lazy val corpus =
+    Tables.embeddings(spark, sf01)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+
+  /** exact top-k id set per query, computed once */
+  private lazy val exact: Map[Long, Set[Long]] =
+    VectorSim.topKBruteForce(queries, corpus, k, native = true)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallAt10(ann: DataFrame): Double = {
+    val got = ann.select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, ex) =>
+      (ex & got.getOrElse(q, Set.empty)).size }.sum
+    hits.toDouble / exact.map(_._2.size).sum
+  }
+
+  test("hyperplane-LSH ANN recall@10 >= 0.9 vs exact kNN at sf0.1") {
+    val ann = VectorSim.topKAnn(queries, corpus, k, planes = 6,
+      probeHamming = 2, native = true, tables = 8)
+    val r = recallAt10(ann)
+    info(f"LSH recall@10 = $r%.3f (planes=6, tables=8, hamming<=2)")
+    assert(r >= 0.9, f"LSH recall@10 $r%.3f below the 0.9 floor")
+  }
+
+  test("IVF ANN recall@10 >= 0.9 vs exact kNN at sf0.1") {
+    // Unclustered random vectors are IVF's worst case — true neighbors
+    // scatter across cells, so a high nprobe/cells ratio is needed for
+    // the floor (measured: nprobe 10/16 → 0.886). A clustered real
+    // corpus reaches the same recall at far lower nprobe because cells
+    // track the data; the floor here guards the MECHANISM (assignment +
+    // probe join), not the unclustered-regime constant.
+    val cents = VectorSim.kmeansCentroids(corpus, col("n_vec"),
+      k = 16, iters = 5)
+    val ann = VectorSim.topKAnnIvf(queries, corpus, k, cents,
+      nprobe = 12, native = true)
+    val r = recallAt10(ann)
+    info(f"IVF recall@10 = $r%.3f (cells=16, nprobe=12)")
+    assert(r >= 0.9, f"IVF recall@10 $r%.3f below the 0.9 floor")
+  }
+
+  test("SQ8 reconstructed-corpus recall@10 >= 0.9 vs exact kNN at sf0.1") {
+    val corp = corpus.select(col("n_id"),
+      expr("transform(n_vec, x -> cast(x AS DOUBLE))").as("v"))
+    val mmRows = corp
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("i").collect()
+    val mins = mmRows.map(_.getDouble(1)).toSeq
+    val ranges = mmRows.map(r => r.getDouble(2) - r.getDouble(1)).toSeq
+    val mmLit = typedLit(Seq(mins, ranges))
+    val rec = corp.select(col("n_id"),
+      zip_with(
+        zip_with(
+          zip_with(col("v"), mmLit.getItem(0), (x, m) => x - m),
+          mmLit.getItem(1),
+          (d, rg) => when(rg === 0.0, lit(0.0)).otherwise(
+            least(floor(d * lit(255.0) / rg), lit(255.0)) * rg / lit(255.0))),
+        mmLit.getItem(0), (s, m) => s + m).as("n_vec"))
+    val ann = VectorSim.topKBruteForce(queries, rec, k)
+    val r = recallAt10(ann)
+    info(f"SQ8 recall@10 = $r%.3f (8-bit asymmetric)")
+    assert(r >= 0.9, f"SQ8 recall@10 $r%.3f below the 0.9 floor")
+  }
+}

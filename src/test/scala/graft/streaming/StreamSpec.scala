@@ -452,4 +452,94 @@ class StreamSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("streaming drawdown state equals the batch window scan when the " +
+    "stream replays in order (integer cents, bit-exact)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // (ts, key, seq, cents): balances that rise, draw down, recover
+    val rows = Seq(
+      (ts("2024-01-01 00:01:00"), "a", 1L, 100L),
+      (ts("2024-01-01 00:02:00"), "a", 2L, 50L),
+      (ts("2024-01-01 00:03:00"), "a", 3L, -120L),
+      (ts("2024-01-01 00:03:00"), "b", 4L, -30L),
+      (ts("2024-01-01 00:04:00"), "a", 5L, 40L),
+      (ts("2024-01-01 00:05:00"), "b", 6L, 80L),
+      (ts("2024-01-01 00:06:00"), "a", 7L, -90L),
+      (ts("2024-01-01 00:07:00"), "b", 8L, -100L))
+    val input = MemoryStream[(Timestamp, String, Long, Long)]
+    val dd = StreamOps.drawdownState(
+      input.toDF.toDF("ts", "k", "seq", "cents"), "k", "ts", "seq", "cents")
+    val q = dd.writeStream.format("memory")
+      .queryName("dd_stream").outputMode("update").start()
+    try {
+      // split mid-series: peak/drawdown state must carry across batches
+      input.addData(rows.take(4))
+      q.processAllAvailable()
+      input.addData(rows.drop(4))
+      q.processAllAvailable()
+      val streamed = sp.sql(
+        """SELECT key, n, max_drawdown, low, high FROM dd_stream s
+          |WHERE n = (SELECT max(n) FROM dd_stream WHERE key = s.key)
+          |ORDER BY key""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // batch reference: the win_drawdown query's window scan
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("ts", "seq")
+      val batch = rows.toDF("ts", "k", "seq", "cents")
+        .withColumn("bal", sum(col("cents")).over(w))
+        .withColumn("peak", max(col("bal")).over(w))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), max(col("peak") - col("bal")).as("dd"),
+          min(col("bal")).as("low"), max(col("peak")).as("high"))
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming modularity counters equal the batch aggregation for " +
+    "any batch split of the edge stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // community edges (aCom, bCom): two self-edges in 1, cross edges
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 3L), (1L, 1L), (3L, 3L),
+      (2L, 1L), (3L, 1L))
+    val input = MemoryStream[(Long, Long)]
+    val mod = StreamOps.modularityState(
+      input.toDF.toDF("cc", "sc"), "cc", "sc")
+    val q = mod.writeStream.format("memory")
+      .queryName("mod_stream").outputMode("update").start()
+    try {
+      input.addData(edges.take(3))
+      q.processAllAvailable()
+      input.addData(edges.drop(3))
+      q.processAllAvailable()
+      // last emitted state per community
+      val streamed = sp.sql(
+        """SELECT community, edges_within, degree_sum
+          |FROM mod_stream s
+          |WHERE degree_sum = (SELECT max(degree_sum) FROM mod_stream
+          |                    WHERE community = s.community)
+          |ORDER BY community""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // batch reference: graph_modularity's din/dc aggregation shape
+      val e = edges.toDF("cc", "sc")
+      val din = e.filter(col("cc") === col("sc"))
+        .groupBy(col("cc").as("com")).agg(count(lit(1)).as("win"))
+      val dc = e.select(col("cc").as("com"))
+        .unionAll(e.select(col("sc").as("com")))
+        .groupBy("com").agg(count(lit(1)).as("dsum"))
+      val batch = dc.join(din, Seq("com"), "left")
+        .select(col("com"), coalesce(col("win"), lit(0L)), col("dsum"))
+        .orderBy("com").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
