@@ -50,6 +50,10 @@ final class GraftSession(
   def readDelta(path: String): GraftTable =
     GraftTable(ReadDelta(path), this)
 
+  /** Deferred Avro read (Spark 4 bundles the avro format natively). */
+  def readAvro(path: String): GraftTable =
+    GraftTable(ReadAvro(path), this)
+
   /** Deferred JDBC read; give a numeric `partitionColumn` + bounds for
     * a parallel range-partitioned scan (the scale path). */
   def readJdbc(url: String, table: String,

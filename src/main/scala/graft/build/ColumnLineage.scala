@@ -70,6 +70,7 @@ object ColumnLineage {
     case ScanParquet(p) => leaf(p, None)
     case ScanArrow(p) => leaf(p, None)
     case ReadDelta(p) => leaf(p, None)
+    case ReadAvro(p) => leaf(p, None)
     case r: ReadCsv => leaf(r.path, None)
     case r: ReadJdbc => leaf(s"jdbc:${r.table}", None)
     case PinnedRead(p, _) => leaf(p, None)

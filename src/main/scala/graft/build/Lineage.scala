@@ -88,6 +88,7 @@ object Lineage {
         case ScanArrow(p) => fingerprint("arrow", p)
         case ReadCsv(p, _, _, _) => fingerprint("csv", p)
         case ReadDelta(p) => fingerprint("delta", p)
+        case ReadAvro(p) => fingerprint("avro", p)
         case PinnedRead(p, k) => fingerprint("pinned", p); caches += k
         case ReadJdbc(url, table, _, _, _, _, _) =>
           sources += Source("jdbc", s"$url#$table", -1L, -1L)

@@ -284,6 +284,7 @@ final class CacheManager(
         case ScanParquet(p) => paths += p
         case ScanArrow(p) => paths += p
         case ReadDelta(p) => paths += p
+        case ReadAvro(p) => paths += p
         case ReadCsv(p, _, _, _) => paths += p
         case PinnedRead(p, _) => paths += p
         case UnboundTable(n, _) => throw new IllegalArgumentException(

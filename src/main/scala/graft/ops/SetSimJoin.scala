@@ -195,4 +195,111 @@ object SetSimJoin {
       vtok.unpersist(false)
     })
   }
+
+  /** All ORDERED pairs (a, b), a ≠ b, with exact containment
+    * C(a→b) = |A∩B| / |A| ≥ tau — "a's elements are (mostly) inside
+    * b". The asymmetric complement of [[jaccardSelfJoin]]: Jaccard
+    * misses a small document quoted whole inside a much larger one
+    * (the union term swamps it), which is exactly the
+    * boilerplate/quotation/subset-dup case a training-corpus scrub
+    * needs. Output: a, b, inter, size_a, cont (cont = inter/size_a on
+    * integer operands — bit-reproducible on any engine).
+    *
+    * Same machinery and lifecycle as [[jaccardSelfJoin]] (hashed
+    * universe, flat (id, tok, h) cache, deferred construction,
+    * SimPairs release handle). The candidate stage is the containment
+    * prefix filter: A contributes its first sa − ceil(τ·sa) + 1
+    * tokens in rarest-first order (any pair with overlap ≥ ceil(τ·sa)
+    * must share one of them — pigeonhole on A's suffix), but B joins
+    * with its FULL token set (containment puts no lower bound on how
+    * deep the shared tokens sit in B). Cost is Σ_t prefixCount(t)·f(t):
+    * the rarest-first order keeps high-frequency tokens out of
+    * prefixes, which is what bounds the fan-out — the standard
+    * prefix-filter containment-join shape (Xiao et al. 2008 §6,
+    * overlap-constraint variant). A size filter sb ≥ ceil(τ·sa)
+    * prunes before the distinct; the per-row positional bound
+    * overlap ≤ sa − pa + 1 prunes matches that first touch A too deep
+    * in its order (the A-first shared token of a qualifying pair
+    * always survives its own row's filter — recall stays 1.0). */
+  def containmentSelfJoin(df: DataFrame, idCol: String, setCol: String,
+                          tau: Double): SimPairs = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val tokRows = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(col(setCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // hashed sets + the intra-set collision guard (see jaccardSelfJoin)
+    val hsets = tokRows.groupBy("id")
+      .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
+      .select(col("id"),
+        when(size(col("hs0")) < col("n"),
+          raise_error(concat(lit("SetSimJoin: intra-set xxhash64 " +
+            "collision in set id="), col("id").cast("string")))
+            .cast("array<bigint>"))
+          .otherwise(col("hs0")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val freq = tokRows.groupBy("h").agg(count(lit(1)).as("f"))
+
+    // per-set rarest-first order; A-side prefix under the containment
+    // bound ceil(tau*sa). The full ordered rows ALSO serve as the
+    // B side (sb rides along for the size filter).
+    val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
+    val ws = Window.partitionBy("id")
+    val ordered = tokRows.join(freq, "h")
+      .withColumn("s", count(lit(1)).over(ws))
+      .withColumn("p", row_number().over(w))
+      .select(col("id"), col("s"), col("p"), col("h").as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aPrefix = ordered
+      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
+      .select(col("id").as("a"), col("s").as("sa"), col("p").as("pa"),
+        col("tok"))
+    val bAll = ordered.select(col("id").as("b"), col("s").as("sb"),
+      col("tok"))
+
+    val cand = aPrefix.join(bAll, "tok")
+      .filter(col("a") =!= col("b"))
+      .filter(col("sb") >= ceil(lit(tau) * col("sa")))
+      .filter(col("sa") - col("pa") + 1 >= ceil(lit(tau) * col("sa")))
+      .select("a", "b").distinct()
+
+    // hashed verification: hashed containment ≥ true containment
+    // (cross-set collisions only ADD to the intersection), so every
+    // true pair survives; survivors then re-verify exactly on raw
+    // tokens.
+    val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
+    val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
+    val s1 = cand.join(ha, "a").join(hb, "b")
+      .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .filter(col("ih").cast("double") / size(col("ha")) >= tau)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val ids = s1.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+    val vtok = tokRows.join(broadcast(ids), "id")
+      .select(col("id"), col("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = s1
+      .join(vtok.select(col("id").as("a"), col("tok")), "a")
+      .join(vtok.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val sizes = hsets.select(col("id"), size(col("hs")).cast("long").as("sz"))
+    val verified = inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("size_a")), "a")
+      .withColumn("cont", col("inter").cast("double") / col("size_a"))
+      .filter(col("cont") >= tau)
+      .select("a", "b", "inter", "size_a", "cont")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SimPairs(verified, () => {
+      tokRows.unpersist(false)
+      hsets.unpersist(false)
+      ordered.unpersist(false)
+      s1.unpersist(false)
+      vtok.unpersist(false)
+    })
+  }
 }

@@ -257,6 +257,105 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // EXACT containment pairs at C(a→b) = |A∩B|/|A| ≥ 0.4 over the same
+    // word-3-gram shingle sets — the ASYMMETRIC dedup face Jaccard
+    // can't see: a short document quoted whole inside a much larger one
+    // has high containment but a union-swamped Jaccard, and it is
+    // exactly the boilerplate/quotation/subset case a corpus scrub must
+    // catch. Containment prefix filter + hashed verify
+    // (ops/SetSimJoin.containmentSelfJoin); the oracle is brute-force
+    // ordered all-pairs (sf0.01-gate tractable only) — the Spark side
+    // never cross-products the corpus.
+    q("dedup_containment",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |        for i in generate_series(1, len(ts)-2)]) st
+        |      FROM tok WHERE len(ts) >= 3),
+        |p AS (SELECT a.doc_id a, b.doc_id b,
+        |        len(list_intersect(a.st, b.st))::BIGINT i,
+        |        len(a.st)::BIGINT sa
+        |      FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+        |SELECT a, b, i AS inter, sa AS size_a,
+        |       round(i::DOUBLE / sa + 1e-9, 6) cont
+        |FROM p WHERE i::DOUBLE / sa >= 0.4
+        |ORDER BY a, b""", bench = true) { c =>
+      val toks = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+      val pairs = graft.ops.SetSimJoin.containmentSelfJoin(
+        toks, "doc_id", "st", 0.4)
+      pairs.df.count()
+      pairs.release()
+      pairs.df
+        .select(col("a"), col("b"), col("inter"), col("size_a"),
+          r6(col("cont")).as("cont"))
+        .orderBy("a", "b")
+    },
+
+    // ROUGE-1/ROUGE-2 pair scoring (Lin 2004, set-of-ngrams variant) —
+    // the generation/summarization eval metric a data pipeline runs
+    // when scoring model outputs against references at corpus scale.
+    // Deterministic pairing (even doc = candidate, doc+1 = reference)
+    // stands in for the (output, reference) join key a real eval set
+    // carries. Per-pair integer intersections over DISTINCT uni/bigram
+    // sets; F1 = 2i/(nc+nr) computed straight from the integer triple
+    // (one division, rounded once — no p,r FP intermediates). One
+    // equi-join on the pair key; per-row native array_intersect —
+    // zero corpus shuffles beyond the join.
+    q("text_rouge",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') ts
+        |             FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 2),
+        |g AS (SELECT doc_id, list_distinct(ts) u1,
+        |        list_distinct([ts[i] || ' ' || ts[i+1]
+        |                       for i in generate_series(1, len(ts)-1)]) u2
+        |      FROM tok),
+        |p AS (SELECT c.doc_id cand_id, r.doc_id ref_id,
+        |        len(list_intersect(c.u1, r.u1))::BIGINT i1,
+        |        len(c.u1)::BIGINT nc1, len(r.u1)::BIGINT nr1,
+        |        len(list_intersect(c.u2, r.u2))::BIGINT i2,
+        |        len(c.u2)::BIGINT nc2, len(r.u2)::BIGINT nr2
+        |      FROM g c JOIN g r ON r.doc_id = c.doc_id + 1
+        |      WHERE c.doc_id % 2 = 0)
+        |SELECT cand_id, ref_id, i1, nc1, nr1,
+        |       round(2.0 * i1 / (nc1 + nr1) + 1e-9, 6) AS r1_f,
+        |       i2, nc2, nr2,
+        |       round(2.0 * i2 / (nc2 + nr2) + 1e-9, 6) AS r2_f
+        |FROM p ORDER BY cand_id""") { c =>
+      val tok = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val g = tok.select(col("doc_id"),
+        array_distinct(col("ts")).as("u1"),
+        array_distinct(graft.ops.TextDedup.wordShingles(col("ts"), 2))
+          .as("u2"))
+      val cand = g.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("cand_id"), col("u1").as("c1"),
+          col("u2").as("c2"))
+      val ref = g.select((col("doc_id") - 1).as("cand_id"),
+        col("doc_id").as("ref_id"), col("u1").as("r1"),
+        col("u2").as("r2"))
+      cand.join(ref, "cand_id")
+        .select(col("cand_id"), col("ref_id"),
+          size(array_intersect(col("c1"), col("r1"))).cast("long").as("i1"),
+          size(col("c1")).cast("long").as("nc1"),
+          size(col("r1")).cast("long").as("nr1"),
+          size(array_intersect(col("c2"), col("r2"))).cast("long").as("i2"),
+          size(col("c2")).cast("long").as("nc2"),
+          size(col("r2")).cast("long").as("nr2"))
+        .withColumn("r1_f",
+          r6(lit(2.0) * col("i1") / (col("nc1") + col("nr1"))))
+        .withColumn("r2_f",
+          r6(lit(2.0) * col("i2") / (col("nc2") + col("nr2"))))
+        .select(col("cand_id"), col("ref_id"), col("i1"), col("nc1"),
+          col("nr1"), col("r1_f"), col("i2"), col("nc2"), col("nr2"),
+          col("r2_f"))
+        .orderBy("cand_id")
+    },
+
     // Triangle counting (ops/Triangles.scala) over the part co-purchase
     // projection: parts appearing in the same order, high-quantity lines
     // only. Degree-ordered orientation bounds the wedge join fan-out at

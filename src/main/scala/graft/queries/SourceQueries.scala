@@ -40,6 +40,28 @@ object SourceQueries {
       new Lower(c.spark).lower(rel)
     },
 
+    // to_avro → deferred ReadAvro node → aggregate: the row-major
+    // interchange format beside the columnar parquet/ORC pair (Spark 4
+    // bundles AvroFileFormat natively — no extra classpath). The
+    // oracle aggregates the ORIGINAL parquet, so type and row fidelity
+    // across the Avro round-trip is what the hash checks.
+    q("src_avro_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey < 10000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""") { c =>
+      val out = tmp("orders_avro")
+      c.orders.filter(col("o_orderkey") < 10000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .format("org.apache.spark.sql.avro.AvroFileFormat").save(out)
+      new Lower(c.spark).lower(ReadAvro(out))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // to_json → read back (schema inferred) → aggregate; doubles must
     // survive the text round-trip bit-exactly (Java shortest-repr).
     q("src_json_roundtrip",

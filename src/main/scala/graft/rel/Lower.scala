@@ -29,6 +29,13 @@ final class Lower(
 
     case ReadDelta(path) => spark.read.format("delta").load(path)
 
+    // the short name "avro" is special-cased by lookupDataSource to
+    // demand the external spark-avro module, but this Spark build
+    // bundles AvroFileFormat inside spark-sql — address it by class
+    // name, which DataSource instantiates directly
+    case ReadAvro(path) => spark.read
+      .format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+
     case ReadJdbc(url, table, props, partCol, lo, hi, nParts) =>
       var r = spark.read.format("jdbc")
         .option("url", url).option("dbtable", table)

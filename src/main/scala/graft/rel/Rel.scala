@@ -31,6 +31,7 @@ sealed trait Rel extends Product with Serializable {
     case r: ScanParquet => r
     case r: ScanArrow => r
     case r: ReadDelta => r
+    case r: ReadAvro => r
     case r: ReadJdbc => r
     case r: ReadCsv => r
     case r: UnboundTable => r
@@ -85,6 +86,14 @@ final case class ScanArrow(path: String) extends Rel {
   * classpath (delta-spark). Serializable leaf — participates in
   * content hashes exactly like [[ScanParquet]]. */
 final case class ReadDelta(path: String) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Deferred Avro read (ref Read dispatch, expr/api.py — the row-major
+  * interchange format next to the columnar pair parquet/ORC; Spark 4
+  * bundles `AvroFileFormat` in spark-sql, so no extra classpath is
+  * needed). Serializable, fingerprintable leaf like [[ScanParquet]]. */
+final case class ReadAvro(path: String) extends Rel {
   def children: Seq[Rel] = Nil
 }
 

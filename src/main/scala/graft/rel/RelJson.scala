@@ -86,6 +86,7 @@ object RelJson {
       case ScanParquet(p) => obj("scan_parquet")(fs("path", p))
       case ScanArrow(p) => obj("scan_arrow")(fs("path", p))
       case ReadDelta(p) => obj("read_delta")(fs("path", p))
+      case ReadAvro(p) => obj("read_avro")(fs("path", p))
       case ReadJdbc(url, table, props, pc, lo, hi, np) => obj("read_jdbc") {
         fs("url", url); fs("table", table)
         f("props")(arr(props) { case (k, v) =>
@@ -343,6 +344,7 @@ object RelJson {
         case "scan_parquet" => ScanParquet(str0("path"))
         case "scan_arrow" => ScanArrow(str0("path"))
         case "read_delta" => ReadDelta(str0("path"))
+        case "read_avro" => ReadAvro(str0("path"))
         case "read_jdbc" => ReadJdbc(str0("url"), str0("table"),
           list0("props").map { x =>
             val p = x.asInstanceOf[List[Any]]

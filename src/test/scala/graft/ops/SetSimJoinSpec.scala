@@ -79,6 +79,46 @@ class SetSimJoinSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("containment finds the subset-dup pair Jaccard misses") {
+    // set 10 is wholly contained in set 11 (C = 1.0) but J = 3/10 < 0.5
+    val data = Seq(
+      (10L, Seq("a", "b", "c")),
+      (11L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (12L, Seq("x", "y", "z"))
+    ).toDF("id", "st")
+    val jac = SetSimJoin.jaccardSelfJoin(data, "id", "st", 0.5).df
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty)
+    val cont = SetSimJoin.containmentSelfJoin(data, "id", "st", 0.9).df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(cont.toSeq == Seq((10L, 11L, 3L, 3L, 1.0)))
+  }
+
+  test("containment matches brute force (ordered pairs, recall 1.0) on " +
+    "a 120-set random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val corpus = (0L until 120L).map { id =>
+      (id, rnd.shuffle(vocab).take(3 + rnd.nextInt(10)))
+    } ++ Seq(
+      (200L, Seq("t1", "t2", "t3")),
+      (201L, (1 to 20).map(i => s"t${i % 40}")),  // contains 200
+      (202L, Seq("t1", "t2", "t3", "t4")))
+    val df = corpus.toDF("id", "st")
+    val sets = corpus.map { case (i, s) => i -> s.toSet }.toMap
+    val tau = 0.6
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      i = (sets(a) & sets(b)).size
+      if i.toDouble / sets(a).size >= tau
+    } yield (a, b)).toSet
+    val got = SetSimJoin.containmentSelfJoin(df, "id", "st", tau).df
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("positional filter keeps recall 1.0 on a 120-set random corpus " +
     "with heavy-overlap cliques") {
     val rnd = new scala.util.Random(42)

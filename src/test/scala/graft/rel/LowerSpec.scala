@@ -175,6 +175,25 @@ class LowerSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("delta"))
   }
 
+  test("ReadAvro round-trips, hashes by format, and lowers to a live " +
+    "avro read (Spark 4 bundles the format)") {
+    val rel = ReadAvro("/tmp/some_avro_dir")
+    assert(RelJson.parse(RelJson.write(rel)) == rel)
+    assert(RelHash.buildHash(rel) != RelHash.buildHash(
+      ScanParquet("/tmp/some_avro_dir")),
+      "format is part of the content identity")
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_avro_").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+      .write.mode("overwrite")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
+    val got = lower.lower(ReadAvro(dir)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   test("distinct-on keep=last picks the opposite row from keep=first") {
     val proj = Project(li, Seq("k" -> RCol("l_orderkey"),
       "ln" -> RCol("l_linenumber")))

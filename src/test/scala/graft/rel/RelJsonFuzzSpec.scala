@@ -43,6 +43,7 @@ class RelJsonFuzzSpec extends AnyFunSuite {
     nastyString.map(ScanParquet),
     nastyString.map(ScanArrow),
     nastyString.map(ReadDelta),
+    nastyString.map(ReadAvro),
     Gen.zip(nastyString, nastyString, Gen.option(nastyString),
       Gen.choose(0L, 1000L), Gen.choose(1, 64))
       .map { case (u, t, pc, lo, np) =>
