@@ -32,7 +32,8 @@ SKIP = {"dedup_minhash_lsh": "oracle is O(n^2) brute force by design",
         "llm_corpus_prep": "oracle embeds the O(n^2) brute-force dedup",
         "text_fingerprint": "oracle is a per-row list comprehension",
         "dedup_components": "oracle walks the O(n^2) brute-force pairs",
-        "dedup_jaccard_prefix": "oracle is O(n^2) brute force by design"}
+        "dedup_jaccard_prefix": "oracle is O(n^2) brute force by design",
+        "dedup_containment": "oracle is O(n^2) ordered brute force by design"}
 
 rows = []
 for q, spark_cold in bench["queries"].items():
