@@ -241,4 +241,73 @@ object TextDedup {
     cands.unpersist(false)
     verified
   }
+
+  /** BIPARTITE MinHash-LSH near-dup pairs between two corpora — the
+    * fuzzy train-vs-eval decontamination shape (GPT-3 App. C /
+    * Dolma-style): exact n-gram matching (llm_decontaminate) misses
+    * lightly-edited eval leakage, so real scrubs also run a MinHash
+    * pass ACROSS the split. Same scale shape as [[minhashDedupPairs]]
+    * (band keys per side, one (band, key) equi-join — never a cross
+    * product; exact Jaccard verify for candidate pairs only), but the
+    * two sides are different frames, so candidate generation is a
+    * plain two-table equi-join: the small side's bands shuffle once,
+    * and at 100 TB the eval side is tiny — AQE broadcasts it.
+    *
+    * @return columns: a_id (left), b_id (right), wjac */
+  def minhashCrossPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      native: Boolean = false): DataFrame = {
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands")
+    val rowsPerBand = k / bands
+    def bandKeys(df: DataFrame): DataFrame =
+      if (native)
+        df.select(col(idCol).as("id"),
+          explode(call_function("graft_minhash_bands",
+            lower(trim(col(textCol))), lit(shingleN), lit(k), lit(bands)))
+            .as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.key"))
+      else
+        minhashSignatures(df, idCol, textCol, shingleN, k)
+          .select(col("id"),
+            explode(lshBandKeyArray(bands, rowsPerBand)).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.key"))
+    // the band keys are deterministic functions of text, so identical
+    // hash families apply to both sides — bucket-mates across frames
+    // are exactly the cross-corpus LSH candidates
+    val lb = bandKeys(left)
+    val rb = bandKeys(right)
+    val cands = lb.as("a")
+      .join(rb.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aIds = cands.select(col("a_id").as("__cand_id")).distinct()
+    val bIds = cands.select(col("b_id").as("__cand_id")).distinct()
+    val setsA = shingleSets(
+      left.join(broadcast(aIds), col(idCol) === col("__cand_id"),
+        "left_semi"), idCol, textCol, shingleN)
+    val setsB = shingleSets(
+      right.join(broadcast(bIds), col(idCol) === col("__cand_id"),
+        "left_semi"), idCol, textCol, shingleN)
+    val verified = cands
+      .join(setsA.as("sa"), col("a_id") === col("sa.id"))
+      .join(setsB.as("sb"), col("b_id") === col("sb.id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("wjac"))
+      .filter(col("wjac") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    cands.unpersist(false)
+    verified
+  }
 }

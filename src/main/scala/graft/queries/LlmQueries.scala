@@ -381,6 +381,40 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // FUZZY decontamination — the MinHash cross-corpus pass real
+    // scrubs run NEXT TO exact n-gram matching (llm_decontaminate):
+    // lightly-edited eval leakage defeats exact 4-grams but not
+    // word-shingle Jaccard at 0.8. Train (doc_id%10!=0) vs eval
+    // (doc_id%10==0) through the BIPARTITE LSH join
+    // (ops/TextDedup.minhashCrossPairs — band-key equi-join across
+    // the split, exact verify for candidates only; at 100 TB the eval
+    // side is broadcast-sized). The oracle is brute-force cross-pairs
+    // Jaccard (sf0.01-gate tractable only).
+    q("llm_decontaminate_fuzzy",
+      """WITH d AS (SELECT doc_id, lower(trim(text)) t FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(t, '\s+') toks FROM d),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in generate_series(1, len(toks) - 2)]) ws
+        |       FROM tok),
+        |p AS (SELECT a.doc_id train_id, b.doc_id eval_id,
+        |        len(list_intersect(a.ws, b.ws))::DOUBLE
+        |          / len(list_distinct(a.ws || b.ws)) jac
+        |      FROM sh a JOIN sh b
+        |        ON a.doc_id % 10 != 0 AND b.doc_id % 10 = 0)
+        |SELECT train_id, eval_id, round(jac + 1e-9, 6) AS jac
+        |FROM p WHERE jac >= 0.8 ORDER BY train_id, eval_id""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      val train = c.documents.filter(col("doc_id") % 10 =!= 0)
+      val evals = c.documents.filter(col("doc_id") % 10 === 0)
+      graft.ops.TextDedup.minhashCrossPairs(train, evals, "doc_id",
+          "text", shingleN = 3, k = 32, bands = 16, threshold = 0.8,
+          native = true)
+        .select(col("a_id").as("train_id"), col("b_id").as("eval_id"),
+          r6(col("wjac")).as("jac"))
+        .orderBy("train_id", "eval_id")
+    },
+
     // Deterministic stratified corpus mixing: per-language quotas
     // (40% of each stratum, ceiling) picked by md5(doc_id) rank — the
     // training-mix sampler. Hash-ordered row_number inside each

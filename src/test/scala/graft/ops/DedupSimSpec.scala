@@ -24,6 +24,28 @@ class DedupSimSpec extends SparkSpec {
       s"missed exact-dup pairs: ${expected.diff(pairs)}")
   }
 
+  test("minhashCrossPairs finds exact train-side copies of eval docs " +
+    "(bipartite LSH, no self-pairs)") {
+    val sp = spark
+    import sp.implicits._
+    // eval = 5 real docs; train = the rest plus verbatim copies of 3
+    // eval docs under new ids (the leakage the cross pass must catch)
+    val evalDocs = docs.orderBy("doc_id").limit(5)
+    val evalIds = evalDocs.select("doc_id").as[Long].collect().toSet
+    val leaked = evalDocs.limit(3)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val train = docs.filter(!col("doc_id").isin(evalIds.toSeq: _*))
+      .unionByName(leaked)
+    val pairs = TextDedup.minhashCrossPairs(train, evalDocs, "doc_id",
+      "text", shingleN = 3, k = 32, bands = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = evalDocs.limit(3).select("doc_id").as[Long].collect()
+      .map(id => (id + 2000000L, id)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed leaked pairs: ${expected.diff(pairs)}")
+    assert(pairs.forall { case (a, b) => a != b })
+  }
+
   test("sub-shingle-length docs still dedup via the whole-doc fallback") {
     val sp = spark
     import sp.implicits._
