@@ -294,6 +294,80 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    // LANGUAGE, split the corpus into equal head/middle/tail thirds by
+    // LM perplexity — the curation step CCNet/RedPajama run to keep
+    // "head" (fluent) text and down-weight the tail. Buckets come from
+    // ntile(3) over a DETERMINISTIC total order (ln_ppl rounded to the
+    // established bit-reproducible grain, doc_id tiebreak), so both
+    // engines assign identical thirds — no FP threshold can flip a
+    // boundary doc. Per-language window partitions; the ppl model is
+    // the same pinned-order bigram fold as text_lm_ppl.
+    q("llm_ccnet_buckets",
+      """WITH tok AS (SELECT doc_id, lang, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                for i in generate_series(1, len(ts) - 1)], recursive := true)
+        |       FROM tok WHERE len(ts) >= 2),
+        |bgc AS (SELECT w1, w2, count(*) c FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) cw FROM bg GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) v
+        |        FROM (SELECT unnest(ts) w FROM tok)),
+        |db AS (SELECT doc_id, w1, w2, count(*) cnt FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.doc_id, sum(d.cnt)::BIGINT nb,
+        |              list_reduce(
+        |                list(d.cnt * -ln((bgc.c + 1.0) / (ctx.cw + voc.v))
+        |                     ORDER BY d.w1, d.w2),
+        |                (a, x) -> a + x) snll
+        |       FROM db d
+        |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
+        |       JOIN ctx ON d.w1 = ctx.w1
+        |       CROSS JOIN voc
+        |       GROUP BY 1),
+        |r AS (SELECT t.doc_id, t.lang,
+        |        round(sc.snll / sc.nb + 1e-9, 4) AS ln_ppl
+        |      FROM sc JOIN tok t ON sc.doc_id = t.doc_id),
+        |b AS (SELECT doc_id, lang, ln_ppl,
+        |        ntile(3) OVER (PARTITION BY lang
+        |                       ORDER BY ln_ppl, doc_id) nt
+        |      FROM r)
+        |SELECT doc_id, lang, ln_ppl,
+        |       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |               ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""") { c =>
+      val toks = c.documents.select(col("doc_id"), col("lang"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val bg = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val voc = toks.select(explode(col("ts")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val db = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      val nll = col("cnt").cast("double") *
+        -log((col("c") + 1.0) / (col("cw") + col("v")))
+      val ppl = db.join(bgc, Seq("w1", "w2"))
+        .join(ctx, Seq("w1"))
+        .crossJoin(broadcast(voc))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("nb"),
+          aggregate(
+            array_sort(collect_list(struct(col("w1"), col("w2"),
+              nll.as("nll")))),
+            lit(0.0), (a, x) => a + x.getField("nll")).as("snll"))
+        .select(col("doc_id"), r4(col("snll") / col("nb")).as("ln_ppl"))
+      val w = Window.partitionBy("lang").orderBy("ln_ppl", "doc_id")
+      toks.select("doc_id", "lang").join(ppl, "doc_id")
+        .withColumn("nt", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("ln_ppl"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF top terms per document — the classic distinctive-term
     // extraction. tf/df are integer counts; tfidf is ROUNDED BEFORE
     // ranking so the (tfidf DESC, term ASC) order is identical on
