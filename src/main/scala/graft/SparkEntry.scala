@@ -32,6 +32,17 @@ object SparkEntry {
     _root_.graft.queries.StatQueries.defs ++
     _root_.graft.queries.GraphQueries.defs
 
+  // A duplicate name would silently SHADOW the earlier QueryDef when
+  // `all` folds into the Map below — the replacement runs under the
+  // original's coverage claim and nothing fails (an r9 near-miss:
+  // a second stat_bootstrap_ci overrode the Poisson-bootstrap original
+  // and still passed its own oracle). Fail construction loudly instead.
+  locally {
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names in the registry: ${dups.mkString(", ")}")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem revenue ranking) built
     * through the ENGINE'S OWN fluent algebra API — the plan is
