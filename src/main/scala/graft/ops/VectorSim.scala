@@ -220,6 +220,46 @@ object VectorSim {
     * dimension differs from the init's are EXCLUDED from training (a
     * ragged vector would otherwise feed phantom dimensions into the
     * means). */
+  /** Greedy k-center (max-min / farthest-first) coreset selection —
+    * the diversity-sampling step that picks k maximally-spread
+    * exemplars from an embedding corpus (Gonzalez 1985 2-approx of the
+    * k-center objective; the facility-location face of coreset
+    * selection for training-data diversity). Deterministic: seed =
+    * minimum id; each round adds the point with the LARGEST min
+    * cosine-distance to the selected set, distances rounded to 1e-6
+    * with id tiebreak BEFORE the argmax so last-ulp FP noise can never
+    * flip a pick across engines or partition counts.
+    *
+    * Scale shape: k−1 rounds, each ONE distributed scan computing ≤k
+    * codegen-able cosine columns against center LITERALS (the
+    * boundary-literal stance of the IVF quantizer) and a TakeOrdered
+    * argmax — never a collect of the corpus; driver state is k×dim.
+    *
+    * @return (rank, id, selDist): selDist = the rounded max-min
+    *         distance at selection time (0.0 for the seed). */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vec: Column,
+      k: Int): Seq[(Int, Long, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      transform(vec, _.cast("double")).as("v"))
+    val r6d = (c: Column) => round(c + lit(1e-9), 6)
+    val first = base.orderBy(col("id")).limit(1).collect()(0)
+    var selected = Vector((1, first.getLong(0),
+      first.getSeq[Double](1).toArray, 0.0))
+    while (selected.size < k) {
+      val dists = selected.map { case (_, _, cv, _) =>
+        r6d(lit(1.0) - cosine(col("v"), typedLit(cv.toSeq))) }
+      val md = if (dists.size == 1) dists.head else least(dists: _*)
+      val pick = base
+        .filter(!col("id").isin(selected.map(_._2): _*))
+        .select(col("id"), col("v"), md.as("md"))
+        .orderBy(col("md").desc, col("id")).limit(1).collect()(0)
+      selected :+= ((selected.size + 1, pick.getLong(0),
+        pick.getSeq[Double](1).toArray, pick.getDouble(2)))
+    }
+    selected.map { case (r, id, _, d) => (r, id, d) }
+  }
+
   def kmeansCentroids(corpus: DataFrame, vec: Column, k: Int,
       iters: Int = 5): Array[Array[Double]] = {
     val unitVecs0 = corpus.select(unit(vec).as("v"))

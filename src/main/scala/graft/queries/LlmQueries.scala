@@ -1029,6 +1029,46 @@ object LlmQueries {
           (col("n_hit").cast("double") / col("n_bf") >= 0.8).as("recall_ok"))
     },
 
+    // Greedy k-center coreset (Gonzalez 1985 farthest-first) — the
+    // diversity-sampling face of the ANN/dedup family: pick k
+    // maximally-spread exemplars for a diverse training subset.
+    // Deterministic seed (min id) + per-round argmax on 1e-6-rounded
+    // min-distance with id tiebreak, so the pick sequence is identical
+    // on both engines; the oracle unrolls the three selection rounds
+    // as chained CTEs. k−1 distributed scans, argmax via TakeOrdered —
+    // the corpus is never collected (ops/VectorSim.kCenterSelect).
+    q("sim_kcenter_coreset",
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |s1 AS (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT c.vec_id, c.v,
+        |         round(1 - list_cosine_similarity(c.v, (SELECT v FROM s1))
+        |               + 1e-9, 6) AS m1
+        |       FROM c WHERE c.vec_id != (SELECT vec_id FROM s1)),
+        |s2 AS (SELECT vec_id, v, m1 FROM d1 ORDER BY m1 DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d1.vec_id, d1.v,
+        |         least(d1.m1,
+        |           round(1 - list_cosine_similarity(d1.v, (SELECT v FROM s2))
+        |                 + 1e-9, 6)) AS m2
+        |       FROM d1 WHERE d1.vec_id != (SELECT vec_id FROM s2)),
+        |s3 AS (SELECT vec_id, v, m2 FROM d2 ORDER BY m2 DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d2.vec_id, d2.v,
+        |         least(d2.m2,
+        |           round(1 - list_cosine_similarity(d2.v, (SELECT v FROM s3))
+        |                 + 1e-9, 6)) AS m3
+        |       FROM d2 WHERE d2.vec_id != (SELECT vec_id FROM s3)),
+        |s4 AS (SELECT vec_id, m3 FROM d3 ORDER BY m3 DESC, vec_id LIMIT 1)
+        |SELECT 1 AS rnk, (SELECT vec_id FROM s1) AS vec_id, 0.0 AS sel_dist
+        |UNION ALL SELECT 2, (SELECT vec_id FROM s2), (SELECT m1 FROM s2)
+        |UNION ALL SELECT 3, (SELECT vec_id FROM s3), (SELECT m2 FROM s3)
+        |UNION ALL SELECT 4, (SELECT vec_id FROM s4), (SELECT m3 FROM s4)
+        |ORDER BY rnk""") { c =>
+      val sel = VectorSim.kCenterSelect(c.embeddings, "vec_id",
+        col("embedding"), k = 4)
+      val sp = c.spark
+      import sp.implicits._
+      sel.toDF("rnk", "vec_id", "sel_dist").orderBy("rnk")
+    },
+
     // Embedding-cosine near-dup: duplicate pairs by embedding
     // similarity (the semantic-dedup face of the MinHash pipeline).
     // Exact-pair contract vs the DuckDB oracle at sf0.01 (125k pairs —

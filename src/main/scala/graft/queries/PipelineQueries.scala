@@ -356,6 +356,102 @@ object PipelineQueries {
         .orderBy("cand_id")
     },
 
+    // BLEU-2 pair scoring (Papineni et al. 2002) beside ROUGE: CLIPPED
+    // MULTISET n-gram precision (Σ min(count_cand, count_ref) per gram
+    // — not set intersection) for n=1,2, brevity penalty
+    // exp(1 − r/c) when the candidate is shorter, geometric mean of
+    // the two precisions. Every numerator/denominator is an exact
+    // integer from two count aggregations + one gram equi-join; the
+    // ln/exp only touch the final per-row score, computed from
+    // identical integers on both engines and rounded once.
+    q("text_bleu",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') ts
+        |             FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 2),
+        |u1 AS (SELECT doc_id, unnest(ts) g FROM tok),
+        |c1 AS (SELECT doc_id, g, count(*) n FROM u1 GROUP BY 1, 2),
+        |u2 AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+        |               for i in generate_series(1, len(ts)-1)]) g FROM tok),
+        |c2 AS (SELECT doc_id, g, count(*) n FROM u2 GROUP BY 1, 2),
+        |L AS (SELECT doc_id, len(ts)::BIGINT len FROM tok),
+        |p AS (SELECT c.doc_id cand_id, r.doc_id ref_id,
+        |             cl.len c_len, rl.len r_len
+        |      FROM tok c JOIN tok r ON r.doc_id = c.doc_id + 1
+        |      JOIN L cl ON cl.doc_id = c.doc_id
+        |      JOIN L rl ON rl.doc_id = r.doc_id
+        |      WHERE c.doc_id % 2 = 0),
+        |m1 AS (SELECT p.cand_id, sum(least(a.n, b.n))::BIGINT m
+        |       FROM p JOIN c1 a ON a.doc_id = p.cand_id
+        |              JOIN c1 b ON b.doc_id = p.ref_id AND b.g = a.g
+        |       GROUP BY 1),
+        |m2 AS (SELECT p.cand_id, sum(least(a.n, b.n))::BIGINT m
+        |       FROM p JOIN c2 a ON a.doc_id = p.cand_id
+        |              JOIN c2 b ON b.doc_id = p.ref_id AND b.g = a.g
+        |       GROUP BY 1)
+        |SELECT p.cand_id, p.ref_id,
+        |       coalesce(m1.m, 0)::BIGINT AS m1, p.c_len AS t1,
+        |       coalesce(m2.m, 0)::BIGINT AS m2, (p.c_len - 1)::BIGINT AS t2,
+        |       round(CASE WHEN p.c_len >= p.r_len THEN 1.0
+        |                  ELSE exp(1 - p.r_len::DOUBLE / p.c_len) END + 1e-9, 6) AS bp,
+        |       round(CASE WHEN coalesce(m1.m, 0) = 0 OR coalesce(m2.m, 0) = 0
+        |                  THEN 0.0
+        |                  ELSE (CASE WHEN p.c_len >= p.r_len THEN 1.0
+        |                        ELSE exp(1 - p.r_len::DOUBLE / p.c_len) END)
+        |                       * exp(0.5 * (ln(m1.m::DOUBLE / p.c_len)
+        |                                  + ln(m2.m::DOUBLE / (p.c_len - 1))))
+        |             END + 1e-9, 6) AS bleu2
+        |FROM p LEFT JOIN m1 ON m1.cand_id = p.cand_id
+        |       LEFT JOIN m2 ON m2.cand_id = p.cand_id
+        |ORDER BY p.cand_id""") { c =>
+      val tok = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val u1 = tok.select(col("doc_id"), explode(col("ts")).as("g"))
+      val c1 = u1.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      val u2 = tok.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> concat(ts[i], ' ', ts[i + 1]))")).as("g"))
+      val c2 = u2.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      val lens = tok.select(col("doc_id"),
+        size(col("ts")).cast("long").as("len"))
+      val pairs = tok.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("cand_id"))
+        .join(tok.select((col("doc_id") - 1).as("cand_id"),
+          col("doc_id").as("ref_id")), "cand_id")
+        .join(lens.select(col("doc_id").as("cand_id"),
+          col("len").as("c_len")), "cand_id")
+        .join(lens.select(col("doc_id").as("ref_id"),
+          col("len").as("r_len")), "ref_id")
+      def clipped(cn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        pairs.select("cand_id", "ref_id")
+          .join(cn.select(col("doc_id").as("cand_id"), col("g"),
+            col("n").as("ca")), "cand_id")
+          .join(cn.select(col("doc_id").as("ref_id"), col("g"),
+            col("n").as("cb")), Seq("ref_id", "g"))
+          .groupBy("cand_id")
+          .agg(sum(least(col("ca"), col("cb"))).as("m"))
+      val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+        .otherwise(exp(lit(1) - col("r_len").cast("double") / col("c_len")))
+      pairs
+        .join(clipped(c1).select(col("cand_id"), col("m").as("mm1")),
+          Seq("cand_id"), "left")
+        .join(clipped(c2).select(col("cand_id"), col("m").as("mm2")),
+          Seq("cand_id"), "left")
+        .select(col("cand_id"), col("ref_id"),
+          coalesce(col("mm1"), lit(0L)).as("m1"),
+          col("c_len").as("t1"),
+          coalesce(col("mm2"), lit(0L)).as("m2"),
+          (col("c_len") - 1).as("t2"),
+          r6(bp).as("bp"),
+          r6(when(coalesce(col("mm1"), lit(0L)) === 0 ||
+              coalesce(col("mm2"), lit(0L)) === 0, lit(0.0))
+            .otherwise(bp * exp(lit(0.5) *
+              (log(col("mm1").cast("double") / col("c_len")) +
+                log(col("mm2").cast("double") / (col("c_len") - 1))))))
+            .as("bleu2"))
+        .orderBy("cand_id")
+    },
+
     // Triangle counting (ops/Triangles.scala) over the part co-purchase
     // projection: parts appearing in the same order, high-quantity lines
     // only. Degree-ordered orientation bounds the wedge join fan-out at
