@@ -54,6 +54,10 @@ final class GraftSession(
   def readAvro(path: String): GraftTable =
     GraftTable(ReadAvro(path), this)
 
+  /** Deferred XML read; `rowTag` names the repeating record element. */
+  def readXml(path: String, rowTag: String = "row"): GraftTable =
+    GraftTable(ReadXml(path, rowTag), this)
+
   /** Deferred JDBC read; give a numeric `partitionColumn` + bounds for
     * a parallel range-partitioned scan (the scale path). */
   def readJdbc(url: String, table: String,

@@ -71,6 +71,7 @@ object ColumnLineage {
     case ScanArrow(p) => leaf(p, None)
     case ReadDelta(p) => leaf(p, None)
     case ReadAvro(p) => leaf(p, None)
+    case ReadXml(p, _) => leaf(p, None)
     case r: ReadCsv => leaf(r.path, None)
     case r: ReadJdbc => leaf(s"jdbc:${r.table}", None)
     case PinnedRead(p, _) => leaf(p, None)

@@ -89,6 +89,7 @@ object Lineage {
         case ReadCsv(p, _, _, _) => fingerprint("csv", p)
         case ReadDelta(p) => fingerprint("delta", p)
         case ReadAvro(p) => fingerprint("avro", p)
+        case ReadXml(p, _) => fingerprint("xml", p)
         case PinnedRead(p, k) => fingerprint("pinned", p); caches += k
         case ReadJdbc(url, table, _, _, _, _, _) =>
           sources += Source("jdbc", s"$url#$table", -1L, -1L)

@@ -285,6 +285,7 @@ final class CacheManager(
         case ScanArrow(p) => paths += p
         case ReadDelta(p) => paths += p
         case ReadAvro(p) => paths += p
+        case ReadXml(p, _) => paths += p
         case ReadCsv(p, _, _, _) => paths += p
         case PinnedRead(p, _) => paths += p
         case UnboundTable(n, _) => throw new IllegalArgumentException(

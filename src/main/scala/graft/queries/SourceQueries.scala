@@ -62,6 +62,28 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     },
 
+    // to_xml → deferred ReadXml node → aggregate: Spark 4 ships native
+    // XML (rowTag-delimited records, schema inferred). Integer/string
+    // columns only — the point is record-structure fidelity, and XML
+    // text round-trips of doubles are a formatting question the JSON
+    // round-trip already covers. Oracle aggregates the ORIGINAL parquet.
+    q("src_xml_roundtrip",
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { c =>
+      val out = tmp("nation_xml")
+      c.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").option("rowTag", "nation")
+        .format("xml").save(out)
+      new Lower(c.spark).lower(ReadXml(out, "nation"))
+        // XML inference widens integers to LONG; restore the parquet
+        // int32 so the oracle's schema matches
+        .select(col("n_regionkey").cast("int").as("n_regionkey"),
+          col("n_name"))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
     // to_json → read back (schema inferred) → aggregate; doubles must
     // survive the text round-trip bit-exactly (Java shortest-repr).
     q("src_json_roundtrip",

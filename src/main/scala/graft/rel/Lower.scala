@@ -36,6 +36,9 @@ final class Lower(
     case ReadAvro(path) => spark.read
       .format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
 
+    case ReadXml(path, rowTag) =>
+      spark.read.option("rowTag", rowTag).xml(path)
+
     case ReadJdbc(url, table, props, partCol, lo, hi, nParts) =>
       var r = spark.read.format("jdbc")
         .option("url", url).option("dbtable", table)

@@ -32,6 +32,7 @@ sealed trait Rel extends Product with Serializable {
     case r: ScanArrow => r
     case r: ReadDelta => r
     case r: ReadAvro => r
+    case r: ReadXml => r
     case r: ReadJdbc => r
     case r: ReadCsv => r
     case r: UnboundTable => r
@@ -94,6 +95,14 @@ final case class ReadDelta(path: String) extends Rel {
   * bundles `AvroFileFormat` in spark-sql, so no extra classpath is
   * needed). Serializable, fingerprintable leaf like [[ScanParquet]]. */
 final case class ReadAvro(path: String) extends Rel {
+  def children: Seq[Rel] = Nil
+}
+
+/** Deferred XML read (Spark 4 ships native XML, registered under the
+  * `xml` short name; `rowTag` names the repeating record element).
+  * Serializable, fingerprintable leaf like [[ScanParquet]]. */
+final case class ReadXml(path: String, rowTag: String = "row")
+    extends Rel {
   def children: Seq[Rel] = Nil
 }
 

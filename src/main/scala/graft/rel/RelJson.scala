@@ -87,6 +87,7 @@ object RelJson {
       case ScanArrow(p) => obj("scan_arrow")(fs("path", p))
       case ReadDelta(p) => obj("read_delta")(fs("path", p))
       case ReadAvro(p) => obj("read_avro")(fs("path", p))
+      case ReadXml(p, t) => obj("read_xml")(fs("path", p), fs("row_tag", t))
       case ReadJdbc(url, table, props, pc, lo, hi, np) => obj("read_jdbc") {
         fs("url", url); fs("table", table)
         f("props")(arr(props) { case (k, v) =>
@@ -345,6 +346,7 @@ object RelJson {
         case "scan_arrow" => ScanArrow(str0("path"))
         case "read_delta" => ReadDelta(str0("path"))
         case "read_avro" => ReadAvro(str0("path"))
+        case "read_xml" => ReadXml(str0("path"), str0("row_tag"))
         case "read_jdbc" => ReadJdbc(str0("url"), str0("table"),
           list0("props").map { x =>
             val p = x.asInstanceOf[List[Any]]

@@ -194,6 +194,24 @@ class LowerSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("ReadXml round-trips (incl. rowTag), hashes by format, and " +
+    "lowers to a live xml read (Spark 4 native XML)") {
+    val rel = ReadXml("/tmp/some_xml_dir", "rec")
+    assert(RelJson.parse(RelJson.write(rel)) == rel)
+    assert(RelHash.buildHash(rel) != RelHash.buildHash(
+      ReadXml("/tmp/some_xml_dir", "other")),
+      "rowTag is part of the content identity")
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xml_").toString + "/out"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.option("rowTag", "rec").format("xml").save(dir)
+    val got = lower.lower(ReadXml(dir, "rec")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("distinct-on keep=last picks the opposite row from keep=first") {
     val proj = Project(li, Seq("k" -> RCol("l_orderkey"),
       "ln" -> RCol("l_linenumber")))

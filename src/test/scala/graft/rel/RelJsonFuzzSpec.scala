@@ -44,6 +44,7 @@ class RelJsonFuzzSpec extends AnyFunSuite {
     nastyString.map(ScanArrow),
     nastyString.map(ReadDelta),
     nastyString.map(ReadAvro),
+    Gen.zip(nastyString, nastyString).map { case (p, t) => ReadXml(p, t) },
     Gen.zip(nastyString, nastyString, Gen.option(nastyString),
       Gen.choose(0L, 1000L), Gen.choose(1, 64))
       .map { case (u, t, pc, lo, np) =>
