@@ -455,6 +455,82 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Composite Gopher quality GATE (Rae et al. 2021 App. A1.1) — the
+    // canonical named document filter applied as ONE keep/drop
+    // decision with a first-fail reason, the form a curation pipeline
+    // actually consumes (the per-signal profiles live in text_stats /
+    // text_repetition). Document-level rules only — the line-level
+    // bullet/ellipsis rules are degenerate on this single-line corpus.
+    // Every ratio is rounded BEFORE its threshold compare on both
+    // engines (the boolean-from-FP rule), so no borderline doc can
+    // flip per engine. Pure per-row map — zero shuffles, whole-stage
+    // codegen at 100 TB. The RULE STRUCTURE is Gopher's; the absolute
+    // constants are calibration parameters every deployment retunes —
+    // here set to the synthetic corpus (min length 30; "stopwords" =
+    // the corpus's own function words) so the gate actually
+    // discriminates instead of dropping all 500 docs on English
+    // constants this vocabulary cannot satisfy.
+    q("llm_gopher_gate",
+      """WITH d AS (SELECT doc_id, lower(trim(text)) t FROM documents),
+        |w AS (SELECT doc_id, t, string_split_regex(t, '\s+') ws FROM d),
+        |m AS (SELECT doc_id,
+        |        len(ws)::BIGINT n_words,
+        |        round(length(regexp_replace(t, '\s', '', 'g'))::DOUBLE
+        |              / len(ws) + 1e-9, 4) mean_wlen,
+        |        round((length(t) - length(replace(t, '#', ''))
+        |               + len(regexp_extract_all(t, '\.\.\.')))::DOUBLE
+        |              / len(ws) + 1e-9, 4) sym_ratio,
+        |        round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |              / len(ws) + 1e-9, 4) alpha_word_ratio,
+        |        len(list_intersect(list_distinct(ws),
+        |            ['join','hash','row','batch','scan','column','filter','table']))::BIGINT n_stop
+        |      FROM w)
+        |SELECT doc_id, n_words, mean_wlen, sym_ratio, alpha_word_ratio,
+        |       n_stop,
+        |       CASE WHEN n_words < 30 OR n_words > 100000 THEN 'word_count'
+        |            WHEN mean_wlen < 3 OR mean_wlen > 10 THEN 'mean_word_len'
+        |            WHEN sym_ratio >= 0.1 THEN 'symbol_ratio'
+        |            WHEN alpha_word_ratio <= 0.8 THEN 'alpha_words'
+        |            WHEN n_stop < 2 THEN 'stopwords'
+        |            ELSE 'ok' END AS gate,
+        |       (n_words BETWEEN 30 AND 100000) AND mean_wlen BETWEEN 3 AND 10
+        |         AND sym_ratio < 0.1 AND alpha_word_ratio > 0.8
+        |         AND n_stop >= 2 AS keep
+        |FROM m ORDER BY doc_id""") { c =>
+      val t = lower(trim(col("text")))
+      val d = c.documents.select(col("doc_id"), t.as("t"),
+        split(t, "\\s+").as("ws"))
+      val nWords = size(col("ws")).cast("long")
+      val m = d.select(col("doc_id"),
+        nWords.as("n_words"),
+        r4(length(regexp_replace(col("t"), "\\s", ""))
+          .cast("double") / nWords).as("mean_wlen"),
+        r4((length(col("t")) -
+            length(regexp_replace(col("t"), "#", "")) +
+            regexp_count(col("t"), lit("\\.\\.\\."))).cast("double") /
+          nWords).as("sym_ratio"),
+        r4(size(filter(col("ws"), x => x.rlike("[a-z]")))
+          .cast("double") / nWords).as("alpha_word_ratio"),
+        size(array_intersect(array_distinct(col("ws")),
+          array(Seq("join", "hash", "row", "batch", "scan", "column",
+            "filter", "table").map(lit): _*))).cast("long").as("n_stop"))
+      m.select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("sym_ratio"), col("alpha_word_ratio"), col("n_stop"),
+          when(col("n_words") < 30 || col("n_words") > 100000,
+            "word_count")
+            .when(col("mean_wlen") < 3 || col("mean_wlen") > 10,
+              "mean_word_len")
+            .when(col("sym_ratio") >= 0.1, "symbol_ratio")
+            .when(col("alpha_word_ratio") <= 0.8, "alpha_words")
+            .when(col("n_stop") < 2, "stopwords")
+            .otherwise("ok").as("gate"),
+          (col("n_words").between(30, 100000) &&
+            col("mean_wlen").between(3, 10) &&
+            col("sym_ratio") < 0.1 && col("alpha_word_ratio") > 0.8 &&
+            col("n_stop") >= 2).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // FUZZY decontamination — the MinHash cross-corpus pass real
     // scrubs run NEXT TO exact n-gram matching (llm_decontaminate):
     // lightly-edited eval leakage defeats exact 4-grams but not
