@@ -166,5 +166,19 @@ object GraftFunctions {
         require(exprs.length == 2, "graft_jaro_winkler(a, b)")
         JaroWinkler(exprs.head, exprs(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_pq_encode(vec, books)")
+        PqEncode(exprs.head, PqBooks.fromExpr(exprs(1)))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_pq_lut(vec, books)")
+        PqLut(exprs.head, PqBooks.fromExpr(exprs(1)))
+      })
   }
 }

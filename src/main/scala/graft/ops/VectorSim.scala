@@ -460,4 +460,229 @@ object VectorSim {
            |     THEN 1.0D ELSE -1.0D END)) / sqrt(${outDim}D)""".stripMargin))
       .select(col("id"), col("j"), col("pv"))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011) — the memory-
+  // compression ANN tier BESIDE scalar SQ8: the vector is split into
+  // `m` contiguous subspaces and each subspace gets its own ksub-
+  // centroid k-means codebook, so a dim-float vector compresses to m
+  // small codes (m bytes at ksub ≤ 256 — 32× smaller than float32 at
+  // dim 64 / m 8). Search is ADC (asymmetric distance computation):
+  // the query stays full-precision, precomputes an m × ksub lookup
+  // table of subspace distances ONCE, and every corpus candidate is
+  // scored by m table lookups instead of dim multiplies. Ref
+  // capability: xorq's embedding pipelines expose vector search
+  // through UDFs over its backends; PQ is the standard scale path
+  // (FAISS IVFPQ convention) re-expressed as Spark relations.
+  // ---------------------------------------------------------------
+
+  /** Per-subspace k-means codebooks trained in ONE distributed pass
+    * per Lloyd round across ALL m subspaces (the subspace id rides the
+    * rows, the m codebooks ride one 3-D literal): explode each corpus
+    * vector into its m subvectors, assign each to its subspace's
+    * nearest code, recenter by (subspace, code, dim) mean. Collect per
+    * round = m·ksub·(dim/m) = dim·ksub doubles — model-sized, never
+    * the corpus. Deterministic init: per subspace, the ksub distinct
+    * subvectors with the smallest xxhash64 (no RNG state — the
+    * kmeansCentroids stance). Vectors are unit-normalized FIRST (so
+    * ADC's L2 ranks like cosine); subvectors are NOT re-normalized
+    * (codebook centroids are plain subspace means, the PQ convention).
+    * Rows whose dimension differs from the first vector's are excluded
+    * from training, as in kmeansCentroids.
+    *
+    * @return codebooks: m × ksub × (dim/m). */
+  def pqCodebooks(corpus: DataFrame, vec: Column, m: Int, ksub: Int,
+      iters: Int = 4): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1, s"bad m=$m ksub=$ksub")
+    val u0 = corpus.select(unit(vec).as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
+    val dim = u0.limit(1).collect()(0).getSeq[Double](0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // (s, sv): every corpus vector contributes its m subvectors.
+    // Persisted once — the init pass and every Lloyd round re-read it
+    // (without the barrier each round re-scans + re-normalizes +
+    // re-explodes the corpus).
+    val subs = u0.where(size(col("v")) === dim)
+      .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * dsub + lit(1), lit(dsub)))).as(Seq("s", "sv")))
+      .persist()
+    // init: per subspace, bottom-ksub distinct subvectors by hash
+    val w = Window.partitionBy("s")
+      .orderBy(xxhash64(col("sv")), col("sv"))
+    try {
+    val initRows = subs.distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ksub)
+      .collect()
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m) { s =>
+        initRows.filter(_.getInt(0) == s).sortBy(_.getInt(2))
+          .map(_.getSeq[Double](1).toArray)
+      }
+    require(books.forall(_.nonEmpty), "pqCodebooks: empty subspace init")
+    (0 until iters).foreach { _ =>
+      val bl = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      // persist before the dim-explode (the kmeansCentroids barrier:
+      // Catalyst would hoist the argmin above the Generate and pay it
+      // per exploded element)
+      val assigned = subs.select(col("s"), col("sv"),
+        element_at(array_sort(zip_with(
+          element_at(bl, col("s") + 1),
+          sequence(lit(0), lit(ksub - 1)),
+          (c, i) => named_struct(
+            lit("d"), coalesce(
+              aggregate(zip_with(col("sv"), c, (x, y) => (x - y) * (x - y)),
+                lit(0.0), (a, x) => a + x),
+              lit(Double.MaxValue)),
+            lit("c"), i))), 1).getField("c").as("code"))
+        .persist()
+      try {
+        val means = assigned
+          .select(col("s"), col("code"), posexplode(col("sv")))
+          .groupBy(col("s"), col("code"), col("pos"))
+          .agg(avg(col("col")).as("mu"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)) }
+        books = books.zipWithIndex.map { case (book, s) =>
+          book.zipWithIndex.map { case (old, c) =>
+            means.getOrElse((s, c), old) // empty code keeps its centroid
+          }
+        }
+      } finally assigned.unpersist()
+    }
+    books
+    } finally subs.unpersist()
+  }
+
+  /** PQ-encode: the m nearest-code ids for `vec` against `books` —
+    * one array<int> column, the compressed representation a 100 TB
+    * deployment would PERSIST instead of the raw floats. Same
+    * ragged-vector guard as nearestCells (+inf distance → the code is
+    * still well-defined; exact rerank NULLs such rows out).
+    * `native = true` swaps in the codegen [[graft.functions.PqEncode]]
+    * kernel (bit-identical, PqEncodeSpec proves it): the HOF form
+    * re-evaluates unit(vec) per (subspace × centroid) through
+    * interpreted dispatch — 75 ms/row at m=16/ksub=16/dim=64 vs
+    * sub-ms native. The codebooks travel as a foldable nested-array
+    * literal that the registry builder folds back into a JVM array at
+    * plan time (requires GraftFunctions.register). */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]],
+      native: Boolean): Column =
+    if (native)
+      call_function("graft_pq_encode", vec, booksLit(books))
+    else pqEncodeHof(vec, books)
+
+  private def booksLit(books: Array[Array[Array[Double]]]): Column =
+    typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** The interpreted-HOF reference formulation of [[pqEncode]] — the
+    * engine-portable spec the native kernel is proven against. */
+  def pqEncodeHof(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val bl = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val u = unit(vec)
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(u, s * dsub + lit(1), lit(dsub))
+      element_at(array_sort(zip_with(
+        element_at(bl, s + 1),
+        sequence(lit(0), lit(ksub - 1)),
+        (c, i) => named_struct(
+          lit("d"), coalesce(
+            aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, x) => a + x),
+            lit(Double.MaxValue)),
+          lit("c"), i))), 1).getField("c")
+    })
+  }
+
+  /** The query-side ADC lookup table: m × ksub squared L2 distances
+    * from the query's subvectors to every codebook centroid — computed
+    * once per query row, then each candidate costs m array lookups.
+    * `native` as in [[pqEncode]]. */
+  def pqLut(vec: Column, books: Array[Array[Array[Double]]],
+      native: Boolean): Column =
+    if (native)
+      call_function("graft_pq_lut", vec, booksLit(books))
+    else pqLutHof(vec, books)
+
+  /** The interpreted-HOF reference formulation of [[pqLut]]. */
+  def pqLutHof(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val bl = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val u = unit(vec)
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(u, s * dsub + lit(1), lit(dsub))
+      transform(element_at(bl, s + 1), c =>
+        coalesce(
+          aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x),
+          lit(Double.MaxValue)))
+    })
+  }
+
+  /** Deferred PQ search result + cache lifecycle (the SimPairs
+    * stance): `df` carries persist MARKERS on the encoded corpus and
+    * the query LUTs; nothing executes until the caller's first action.
+    * Call `release()` once consumed. */
+  final case class PqTopK(df: DataFrame, release: () => Unit)
+
+  /** ANN top-k via PQ + ADC with exact rerank. Scale shape:
+    *  1. the corpus is scanned ONCE into (n_id, codes) — m ints/row,
+    *    the relation a deployment persists (32× smaller than floats).
+    *    The persist marker here is ALSO a correctness-of-cost barrier:
+    *    without it CollapseProject inlines the interpreted-HOF encode
+    *    into the join's output projection and re-evaluates it per
+    *    (query × row) PAIR instead of per row — measured 43 s vs 3 s
+    *    on the sf0.01 query (the SetSimJoin flat-cache lesson);
+    *  2. every (query × code-row) pair is ADC-scored by m lookups into
+    *    the query's broadcast LUT (same barrier on the LUT — inlined,
+    *    the m × ksub table would rebuild per corpus row);
+    *  3. the top `rerank` ADC candidates per query (rounded-distance +
+    *    id total order) EQUI-JOIN the raw vectors back by n_id and are
+    *    exact-cosine rescored — full-precision reads are rerank·dim
+    *    per query, independent of corpus size.
+    * Same output shape and recall-dial contract as topKAnn/topKAnnIvf;
+    * `rerank` is the recall dial (rerank = corpus size degenerates to
+    * exact search on a compressed first pass). */
+  def topKAnnPq(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (n_id, n_vec)
+      k: Int,
+      books: Array[Array[Array[Double]]],
+      rerank: Int,
+      native: Boolean = false): PqTopK = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val codes = corpus.select(col("n_id"),
+      pqEncode(col("n_vec"), books, native).as("codes")).persist(lvl)
+    val luts = queries.select(col("q_id"),
+      pqLut(col("q_vec"), books, native).as("lut")).persist(lvl)
+    val adc = codes.join(broadcast(luts), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("lut"), col("codes"),
+          (t, cd) => element_at(t, cd + 1)),
+          lit(0.0), (a, x) => a + x).as("adc"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(round(col("adc") + lit(1e-9), 6).asc, col("n_id"))
+    val cands = adc.withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= rerank)
+      .select("q_id", "n_id")
+    val rescored = cands
+      .join(corpus, Seq("n_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineExpr(col("q_vec"), col("n_vec"), native).as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos") + lit(1e-9), 6).desc, col("n_id"))
+    val out = rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+    PqTopK(out, () => { codes.unpersist(); luts.unpersist(); () })
+  }
 }

