@@ -70,6 +70,89 @@ object GeoQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // DBSCAN density clustering (Ester et al. 1996) over the customer
+    // points — the spatial-clustering face of the dedup/components
+    // family: core points (≥ minPts neighbors within eps, self
+    // included), clusters = connected components of the core-core
+    // ≤ eps graph (ops/Components star contraction, label = min id),
+    // borders attach to their MINIMUM neighboring core's cluster (the
+    // deterministic resolution of DBSCAN's border ambiguity), rest is
+    // noise (cluster −1). Scale shape: the ε-neighborhood join is the
+    // cell-bucketed Geo.radiusJoin (one equi-join on 5° grid cells +
+    // exact haversine verify — never |P|²); everything downstream is
+    // group-bys and semi-joins on the pair list. The oracle is the
+    // brute-force O(n²) neighbor join + a recursive min-label closure
+    // (sf0.01-gate tractable: 9 clusters, 16k closure rows).
+    q("geo_dbscan",
+      """WITH RECURSIVE
+        |p AS (SELECT c_custkey id, ((c_custkey*37)%12000)/100.0 - 60.0 lat,
+        |             ((c_custkey*91)%36000)/100.0 - 180.0 lon FROM customer),
+        |pr AS (SELECT a.id a, b.id b FROM p a, p b WHERE a.id <> b.id AND
+        |  2*6371.0088*asin(sqrt(pow(sin(radians(b.lat - a.lat)/2),2) +
+        |    cos(radians(a.lat))*cos(radians(b.lat)) *
+        |    pow(sin(radians(b.lon - a.lon)/2),2))) <= 250),
+        |nb AS (SELECT p.id, coalesce(x.deg, 0) + 1 n FROM p
+        |       LEFT JOIN (SELECT a, count(*) deg FROM pr GROUP BY 1) x
+        |         ON p.id = x.a),
+        |cores AS (SELECT id FROM nb WHERE n >= 6),
+        |ce AS (SELECT a, b FROM pr WHERE a IN (SELECT id FROM cores)
+        |       AND b IN (SELECT id FROM cores)),
+        |comp(id, lbl) AS (
+        |  SELECT id, id FROM cores
+        |  UNION
+        |  SELECT ce.b, c.lbl FROM comp c JOIN ce ON ce.a = c.id),
+        |cl AS (SELECT id, min(lbl) clus FROM comp GROUP BY 1),
+        |bl AS (SELECT pr.a id, min(cl.clus) clus FROM pr
+        |       JOIN cl ON pr.b = cl.id
+        |       WHERE pr.a NOT IN (SELECT id FROM cores) GROUP BY 1)
+        |SELECT p.id AS c_custkey,
+        |       CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |            WHEN bl.id IS NOT NULL THEN 'border'
+        |            ELSE 'noise' END AS role,
+        |       coalesce(cl.clus, bl.clus, -1)::BIGINT AS cluster
+        |FROM p LEFT JOIN cl ON p.id = cl.id LEFT JOIN bl ON p.id = bl.id
+        |ORDER BY c_custkey""") { c =>
+      val pts = c.customer.select(col("c_custkey").as("id"),
+        lat(col("c_custkey")).as("lat"), lon(col("c_custkey")).as("lon"))
+      // ε-neighborhood pairs, both directions; cellDeg 5° ≥
+      // 250 km / (111 · cos 60°) so no disc spans past the 3×3 cells
+      val prs = Geo.radiusJoin(pts, pts, "id", "lat", "lon",
+          radiusKm = 250.0, cellDeg = 5.0)
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .persist()
+      val deg = prs.groupBy(col("a_id").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val cores = pts.select("id").join(deg, Seq("id"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) + 1 >= 6)
+        .select("id").persist()
+      val coreEdges = prs
+        .join(cores.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_semi")
+        .join(cores.withColumnRenamed("id", "b_id"), Seq("b_id"), "left_semi")
+        .filter(col("a_id") < col("b_id"))
+      val comp = graft.ops.Components
+        .connectedComponents(coreEdges, "a_id", "b_id")
+      // singleton cores never enter the edge list → label themselves
+      val coreLab = cores.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id"))
+          .cast("long").as("clus"), lit("core").as("role"))
+      val borderLab = prs
+        .join(cores.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_anti")
+        .join(coreLab.select(col("id").as("b_id"), col("clus")), Seq("b_id"))
+        .groupBy(col("a_id").as("id"))
+        .agg(min(col("clus")).as("clus"))
+        .withColumn("role", lit("border"))
+      val out = pts.select("id")
+        .join(coreLab.unionByName(borderLab), Seq("id"), "left")
+        .select(col("id").as("c_custkey"),
+          coalesce(col("role"), lit("noise")).as("role"),
+          coalesce(col("clus"), lit(-1L)).cast("long").as("cluster"))
+        .localCheckpoint() // materialize while the pair cache is live
+      prs.unpersist()
+      cores.unpersist()
+      out.orderBy("c_custkey")
+    },
+
     // GEODESIC (spheroid) distance — Vincenty's inverse formula on
     // WGS-84 with the λ iteration PINNED at 4 rounds, which lets the
     // oracle UNROLL the loop as chained CTEs computing operation-for-

@@ -2116,10 +2116,15 @@ object LlmQueries {
         m = 16, ksub = 16, iters = 1)
       val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
         .select(col("q_id"), col("n_id"))
+      // rerank is the recall dial and must scale WITH the corpus (a
+      // fixed 64 of 500 holds 0.87 at sf0.01 but drops under the 0.8
+      // contract at sf0.1's 2000 vectors): ~13% of the corpus, the
+      // AnnRecallSpec-calibrated ratio (0.942 recall@10 at sf0.1)
+      val rerank = math.max(64, (corpus.count() * 13 / 100).toInt)
       // lifecycle lives here (the SimPairs stance): materialize the
       // reranked result while the code/LUT caches are live, release
       val pq = VectorSim.topKAnnPq(queries, corpus, 3, books,
-        rerank = 64, native = true)
+        rerank = rerank, native = true)
       val ann = pq.df
         .select(col("q_id").as("aq"), col("n_id").as("an"))
         .localCheckpoint()

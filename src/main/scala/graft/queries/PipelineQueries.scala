@@ -221,6 +221,121 @@ object PipelineQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Reciprocal-rank fusion (Cormack, Clarke, Büttcher 2009; the
+    // standard hybrid-retrieval combiner) of a SPARSE ranker (the
+    // text_bm25 pipeline, top-20 per query) and a DENSE ranker
+    // (embedding cosine top-20, query vector = the embedding whose
+    // vec_id pairs with the query id): RRF(d) = Σ_r 1/(60 + rank_r(d))
+    // over the rankers that retrieved d. Fusion is rank-only — the
+    // RRF property that makes it robust to incomparable score scales —
+    // so determinism is free: integer ranks → two fixed-order exact
+    // divisions per doc, rounded before the final ordering. Scale
+    // shape: each ranker ends in a per-query top-k (window over
+    // per-query partitions, never a global sort); the fusion is a
+    // FULL OUTER equi-join of two (query, doc, rank) lists of k rows
+    // per query — list-sized, not corpus-sized.
+    q("rank_rrf",
+      """WITH qs(qid, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'),
+        |  (2, 'window'), (2, 'agg'), (2, 'stream'),
+        |  (3, 'customer'), (3, 'batch'), (3, 'fast')),
+        |tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |        FROM documents),
+        |dl AS (SELECT doc_id, len(ts)::BIGINT dl FROM tok WHERE len(ts) > 0),
+        |tf AS (SELECT doc_id, w term, count(*)::BIGINT tf
+        |       FROM (SELECT doc_id, unnest(ts) w FROM tok) GROUP BY 1, 2),
+        |stats AS (SELECT count(*)::DOUBLE n, avg(dl)::DOUBLE avgdl FROM dl),
+        |dfq AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+        |sc AS (SELECT qs.qid, tf.doc_id,
+        |         sum(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |             tf.tf * 2.2 /
+        |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) score
+        |       FROM qs JOIN tf ON qs.term = tf.term
+        |       JOIN dfq ON tf.term = dfq.term
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN stats s
+        |       GROUP BY 1, 2),
+        |sparse AS (SELECT qid, doc_id, rs FROM (
+        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(score + 1e-9, 4) DESC, doc_id) rs FROM sc)
+        |  WHERE rs <= 20),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |qv AS (SELECT vec_id + 1 qid, v qv FROM emb WHERE vec_id < 3),
+        |ds AS (SELECT qid, e.vec_id doc_id,
+        |         round(list_cosine_similarity(qv, e.v) + 1e-9, 6) cos
+        |       FROM qv, emb e WHERE e.vec_id <> qid - 1),
+        |dense AS (SELECT qid, doc_id, rd FROM (
+        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, doc_id) rd FROM ds)
+        |  WHERE rd <= 20),
+        |fused AS (SELECT coalesce(s.qid, d.qid) qid,
+        |            coalesce(s.doc_id, d.doc_id) doc_id, s.rs, d.rd,
+        |            round(coalesce(1.0 / (60 + s.rs), 0) +
+        |                  coalesce(1.0 / (60 + d.rd), 0) + 1e-9, 6) rrf
+        |          FROM sparse s FULL JOIN dense d
+        |            ON s.qid = d.qid AND s.doc_id = d.doc_id)
+        |SELECT qid, rnk, doc_id, rrf,
+        |       coalesce(rs, 0)::BIGINT AS r_sparse,
+        |       coalesce(rd, 0)::BIGINT AS r_dense
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY rrf DESC, doc_id) rnk FROM fused)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""") { c =>
+      val sp = c.spark
+      import sp.implicits._
+      // sparse ranker: the text_bm25 pipeline, widened to top-20
+      val qs = Seq(1 -> "spark", 1 -> "join", 2 -> "window", 2 -> "agg",
+        2 -> "stream", 3 -> "customer", 3 -> "batch", 3 -> "fast")
+        .toDF("qid", "term")
+      val toks = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val dl = toks.filter(size(col("ts")) > 0)
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+      val tf = toks.select(col("doc_id"), explode(col("ts")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      val dfq = tf.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val ws = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc_id"))
+      val sparse = broadcast(qs).join(tf, "term")
+        .join(dfq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(sum(log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("raw"))
+        .withColumn("score", r4(col("raw")))
+        .withColumn("rs", row_number().over(ws))
+        .filter(col("rs") <= 20)
+        .select("qid", "doc_id", "rs")
+      // dense ranker: cosine top-20, query vec = the (qid-1) embedding;
+      // topKBruteForce's self-exclusion (q_id != n_id) applies to the
+      // RAW vec_id, matching the oracle's e.vec_id <> qid - 1
+      val queries = c.embeddings.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      graft.functions.GraftFunctions.register(c.spark)
+      val dense = graft.ops.VectorSim.topKBruteForce(queries,
+          c.embeddings.select(col("vec_id").as("n_id"),
+            col("embedding").as("n_vec")), 20, native = true)
+        .select((col("q_id") + 1).cast("int").as("qid"),
+          col("n_id").as("doc_id"), col("rank").as("rd"))
+      val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("rs"), col("rd"),
+          r6(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0))).as("rrf"))
+      val wf = Window.partitionBy("qid")
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rnk", row_number().over(wf))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"),
+          coalesce(col("rs"), lit(0)).cast("long").as("r_sparse"),
+          coalesce(col("rd"), lit(0)).cast("long").as("r_dense"))
+        .orderBy("qid", "rnk")
+    },
+
     // EXACT near-dup pairs at Jaccard ≥ 0.3 over word-3-gram shingle
     // sets — recall-1.0 counterpart of dedup_minhash_lsh, via the
     // PPJoin prefix filter (ops/SetSimJoin.scala). The oracle is the
