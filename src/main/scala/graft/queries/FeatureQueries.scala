@@ -413,6 +413,167 @@ object FeatureQueries {
         .orderBy(col("score").desc)
     },
 
+    // Nelson–Aalen cumulative-hazard estimator (the survival-analysis
+    // face of the funnel/retention family): time-to-first-error per
+    // user from their first observed event, right-censored at the last
+    // event when no error occurs. Every hazard increment d_i/n_i is a
+    // ratio of EXACT integer counts quantized to 1e-9 BIGINT units, so
+    // the cumulative hazard is an integer cumsum (order-independent by
+    // construction — the text_lm_ppl lesson applied to survival) run
+    // on Positional's range-bucketed distributed path, and ONE final
+    // division per row makes the double. Risk counts come from the
+    // same cumsum machinery (n_at_risk = total − #ended-before-t).
+    q("ml_nelson_aalen",
+      """WITH pe AS (SELECT user_id,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) t0,
+        |    CAST(floor(epoch(min(ts) FILTER (event_type = 'error')))
+        |      AS BIGINT) terr,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) tlast
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT user_id,
+        |        CASE WHEN terr IS NOT NULL THEN (terr - t0) // 3600
+        |             ELSE (tlast - t0) // 3600 END t,
+        |        terr IS NOT NULL AS ev FROM pe),
+        |d AS (SELECT t, count(*) FILTER (ev)::BIGINT d,
+        |             count(*)::BIGINT ended FROM u GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT nu FROM u),
+        |c AS (SELECT t, d, nu - coalesce(sum(ended) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS n_risk
+        |      FROM d, tot),
+        |h AS (SELECT t, d, n_risk,
+        |        (2 * d * 1000000000 + n_risk) // (2 * n_risk) AS hp
+        |      FROM c WHERE d > 0),
+        |k AS (SELECT t, d, n_risk, hp,
+        |        sum(hp) OVER (ORDER BY t) chp FROM h)
+        |SELECT t AS t_hours, d AS d_events, n_risk,
+        |       hp / 1e9 AS hazard, chp / 1e9 AS cum_hazard
+        |FROM k ORDER BY t""") { c =>
+      val pe = c.events.groupBy("user_id").agg(
+        expr("unix_timestamp(min(ts))").as("t0"),
+        expr("unix_timestamp(min(CASE WHEN event_type = 'error' THEN ts END))")
+          .as("terr"),
+        expr("unix_timestamp(max(ts))").as("tlast"))
+      val u = pe.select(col("user_id"),
+        when(col("terr").isNotNull, floor((col("terr") - col("t0")) / 3600))
+          .otherwise(floor((col("tlast") - col("t0")) / 3600))
+          .cast("long").as("t"),
+        col("terr").isNotNull.as("ev"))
+      val d = u.groupBy("t").agg(
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("ended"))
+      val tot = u.agg(count(lit(1)).as("nu"))
+      // exclusive cumsum of ended-before-t on the distributed path
+      val cum = graft.ops.Positional.withCumSums(d, Seq(col("t")),
+        Seq(col("ended") -> "ended_lt"))
+      // hp = round(d·1e9 / n_risk) HALF-UP in PURE integer arithmetic
+      // ((2a + n) div 2n) — a double round() here could tie-split
+      // between engines at magnitudes where the 1e-9 nudge is below
+      // one ulp
+      val h = cum.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("nu") - col("ended_lt"))
+        .filter(col("d") > 0)
+        .withColumn("hp",
+          expr("(2 * d * 1000000000L + n_risk) div (2 * n_risk)"))
+      val hc = graft.ops.Positional.withCumSums(
+        h.select("t", "d", "n_risk", "hp"), Seq(col("t")),
+        Seq(col("hp") -> "chp_lt"))
+      hc.select(col("t").as("t_hours"), col("d").as("d_events"),
+          col("n_risk"), (col("hp") / lit(1e9)).as("hazard"),
+          ((col("chp_lt") + col("hp")) / lit(1e9)).as("cum_hazard"))
+        .orderBy("t_hours")
+    },
+
+    // Kolmogorov–Smirnov model-discrimination statistic: the max gap
+    // between the positive and negative classes' score CDFs — the
+    // classic credit-scoring / classifier-separation metric beside
+    // AUC. Exact by construction: the gap numerator |cp·N − cn⁻·P| is
+    // a BIGINT at every threshold (no FP cumulative anywhere), the max
+    // is an integer max, and ONE final division makes the statistic.
+    // Argmax ties resolve to the smallest score. Same distributed path
+    // as ml_pr_curve: histogram → Positional range-bucketed cumsums →
+    // TakeOrdered(1) — no unpartitioned window, no global sort.
+    q("ml_ks_stat",
+      """WITH s AS (SELECT l_quantity AS score,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |h AS (SELECT score, count(*) n, sum(y) pos FROM s GROUP BY 1),
+        |t AS (SELECT sum(pos) p, sum(n) - sum(pos) AS neg FROM h),
+        |c AS (SELECT score,
+        |             sum(pos) OVER (ORDER BY score) cp,
+        |             sum(n - pos) OVER (ORDER BY score) cneg
+        |      FROM h),
+        |d AS (SELECT score, abs(cp * t.neg - cneg * t.p)::BIGINT num,
+        |             t.p, t.neg
+        |      FROM c, t),
+        |m AS (SELECT score, num, p, neg FROM d
+        |      ORDER BY num DESC, score LIMIT 1)
+        |SELECT round(num::DOUBLE / (p * neg) + 1e-9, 6) AS ks,
+        |       score AS at_score, p::BIGINT AS n_pos, neg::BIGINT AS n_neg
+        |FROM m""") { c =>
+      val s = c.lineitem.select(col("l_quantity").as("score"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      val h = s.groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val cum = graft.ops.Positional.withCumSums(h, Seq(col("score")),
+        Seq(col("pos") -> "cp_lt", (col("n") - col("pos")) -> "cneg_lt"))
+      val t = h.agg(sum(col("pos")).as("p"),
+        (sum(col("n")) - sum(col("pos"))).as("neg"))
+      cum.crossJoin(broadcast(t))
+        .select(col("score"), col("p"), col("neg"),
+          abs((col("cp_lt") + col("pos")) * col("neg") -
+            (col("cneg_lt") + col("n") - col("pos")) * col("p")).as("num"))
+        .orderBy(col("num").desc, col("score")).limit(1)
+        .select(r6(col("num").cast("double") / (col("p") * col("neg")))
+          .as("ks"), col("score").as("at_score"),
+          col("p").cast("long").as("n_pos"),
+          col("neg").cast("long").as("n_neg"))
+    },
+
+    // Mutual information between two categorical columns (the
+    // entropy-based feature-selection / dependency screen):
+    // I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), evaluated per CELL from
+    // exact integer counts — the ln argument is (c_xy·N)/(c_x·c_y),
+    // a ratio of exact integers, and each cell's contribution is
+    // rounded BEFORE the total (engine ln() differs in the last ulp;
+    // the 1e-6 lattice absorbs it; 15 rounded terms re-round at 1e-4).
+    // One corpus aggregation + two broadcast-sized marginals.
+    q("fe_mutual_info",
+      """WITH j AS (SELECT o_orderpriority x, o_orderstatus y FROM orders),
+        |t AS (SELECT count(*)::BIGINT nt FROM j),
+        |cxy AS (SELECT x, y, count(*)::BIGINT c FROM j GROUP BY 1, 2),
+        |cx AS (SELECT x, count(*)::BIGINT cx FROM j GROUP BY 1),
+        |cy AS (SELECT y, count(*)::BIGINT cy FROM j GROUP BY 1),
+        |k AS (SELECT cxy.x, cxy.y, cxy.c, cx.cx, cy.cy, t.nt,
+        |        round((cxy.c::DOUBLE / t.nt) *
+        |              ln(cxy.c::DOUBLE * t.nt / (cx.cx::DOUBLE * cy.cy))
+        |              + 1e-9, 6) mi_part
+        |      FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN t)
+        |SELECT x, y, c, cx, cy, mi_part,
+        |       round(sum(mi_part) OVER () + 1e-9, 4) AS mi_total
+        |FROM k ORDER BY x, y""") { c =>
+      val j = c.orders.select(col("o_orderpriority").as("x"),
+        col("o_orderstatus").as("y"))
+      val t = j.agg(count(lit(1)).as("nt"))
+      val cxy = j.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val cx = j.groupBy("x").agg(count(lit(1)).as("cx"))
+      val cy = j.groupBy("y").agg(count(lit(1)).as("cy"))
+      val k = cxy.join(broadcast(cx), Seq("x"))
+        .join(broadcast(cy), Seq("y"))
+        .crossJoin(broadcast(t))
+        .select(col("x"), col("y"), col("c"), col("cx"), col("cy"),
+          r6((col("c").cast("double") / col("nt")) *
+            log(col("c").cast("double") * col("nt") /
+              (col("cx").cast("double") * col("cy")))).as("mi_part"))
+      k.withColumn("mi_total",
+          r4(sum(col("mi_part")).over(Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing))))
+        .select(col("x"), col("y"), col("c"), col("cx"), col("cy"),
+          col("mi_part"), col("mi_total"))
+        .orderBy("x", "y")
+    },
+
     // Decile lift/gains table — rank by the score proxy, split into 10
     // equal-depth bins with the DISTRIBUTED Positional row number (no
     // global ntile window), per-bin response rate and cumulative lift
@@ -633,6 +794,99 @@ object FeatureQueries {
       fitted.select(col("user_id"), col("n"),
           r4(col("level")).as("level"), r4(col("trend")).as("trend"),
           r4(col("level") + col("trend")).as("forecast"))
+        .orderBy("user_id")
+    },
+
+    // Scalar Kalman filter per user value series (random-walk state +
+    // observation noise — the online denoiser beside Holt's trend
+    // smoother). Same secondary-sort streaming scan (ops/Kalman.scala:
+    // repartition by key, one O(1)-state pass per series); the oracle
+    // replays the recurrence operation-for-operation as a recursive
+    // CTE (division is correctly-rounded IEEE on both engines, so
+    // identical operand bits give identical quotients; Q=0.25, R=1
+    // are dyadic so the additions are exact too).
+    q("ts_kalman",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) rn,
+        |         count(*) OVER (PARTITION BY user_id) n
+        |  FROM events WHERE user_id < 50),
+        |rec(user_id, rn, x, p, k, n) AS (
+        |  SELECT user_id, 1, value, 1.0::DOUBLE, 0.0::DOUBLE, n
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |         rec.x + ((rec.p + 0.25::DOUBLE) /
+        |                  ((rec.p + 0.25::DOUBLE) + 1.0::DOUBLE))
+        |               * (s.value - rec.x),
+        |         (1.0::DOUBLE - (rec.p + 0.25::DOUBLE) /
+        |                        ((rec.p + 0.25::DOUBLE) + 1.0::DOUBLE))
+        |           * (rec.p + 0.25::DOUBLE),
+        |         (rec.p + 0.25::DOUBLE) /
+        |           ((rec.p + 0.25::DOUBLE) + 1.0::DOUBLE),
+        |         rec.n
+        |  FROM rec JOIN s ON s.user_id = rec.user_id
+        |                 AND s.rn = rec.rn + 1)
+        |SELECT user_id, n::BIGINT AS n, round(x + 1e-9, 4) AS state,
+        |       round(p + 1e-9, 6) AS p_var, round(k + 1e-9, 6) AS gain
+        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+      val fitted = graft.ops.Kalman.scalar(
+        c.events.filter(col("user_id") < 50),
+        key = "user_id", order = Seq(col("ts"), col("event_id")),
+        value = col("value"), q = 0.25, r = 1.0)
+      fitted.select(col("user_id"), col("n"),
+          r4(col("state")).as("state"), r6(col("p_var")).as("p_var"),
+          r6(col("gain")).as("gain"))
+        .orderBy("user_id")
+    },
+
+    // Theil–Sen robust trend (Theil 1950 / Sen 1968): per-user slope =
+    // the MEDIAN of all pairwise slopes (y_j−y_i)/(t_j−t_i) — the
+    // outlier-immune alternative to the OLS trend (29% breakdown
+    // point). Scale shape: the pair join is PER-KEY (equi-join on
+    // user_id, O(len²) within a series, never corpus × corpus) and
+    // the median is an explicit middle-of-sorted-rounded construction
+    // (window row_number + the avg-of-two-middles rule spelled out the
+    // same way on both engines — no engine median() whose even-count
+    // interpolation could differ). Slopes are rounded BEFORE ranking
+    // so last-ulp division noise cannot flip the middle elements.
+    q("ts_theilsen",
+      """WITH s AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) t, value
+        |           FROM events WHERE user_id < 50),
+        |pr AS (SELECT a.user_id,
+        |         round((b.value - a.value) / (b.t - a.t) + 1e-9, 6) sl
+        |       FROM s a JOIN s b ON a.user_id = b.user_id AND a.t < b.t),
+        |rk AS (SELECT user_id, sl,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY sl, user_id) rn,
+        |         count(*) OVER (PARTITION BY user_id) np FROM pr),
+        |med AS (SELECT user_id, max(np)::BIGINT n_pairs,
+        |          round(avg(sl) + 1e-9, 6) slope
+        |        FROM rk WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        |        GROUP BY 1)
+        |SELECT user_id, n_pairs, slope FROM med ORDER BY user_id""") { c =>
+      val s = c.events.filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_timestamp(ts)").as("t"), col("value"))
+      val a = s.as("a")
+      val b = s.as("b")
+      val pr = a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("a.t") < col("b.t"))
+        .select(col("a.user_id").as("user_id"),
+          r6((col("b.value") - col("a.value")) /
+            (col("b.t") - col("a.t"))).as("sl"))
+      val w = Window.partitionBy("user_id").orderBy(col("sl"), col("user_id"))
+      val rk = pr
+        .withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("user_id")))
+      rk.filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("np div 2 + 1"))
+        .groupBy("user_id")
+        .agg(max(col("np")).cast("long").as("n_pairs"),
+          r6(avg(col("sl"))).as("slope"))
         .orderBy("user_id")
     },
 

@@ -460,6 +460,64 @@ object GovernanceQueries {
         .orderBy("nat", "pri")
     },
 
+    // t-closeness audit (Li, Li, Venkatasubramanian 2007) — the third
+    // rung of the k-anonymity / l-diversity ladder: a quasi-ID group
+    // leaks even with l distinct sensitive values when its sensitive
+    // DISTRIBUTION skews far from the table's (everyone-in-group-
+    // mostly-F). Distance = total variation, computed EXACTLY in
+    // integers: |p_g − p_tot| = |cnt·N − C·n| / (n·N), so the per-
+    // group sum is a BIGINT aggregation (order-independent by
+    // construction — no FP sum to pin) and only ONE final division
+    // makes a double. Absent sensitive values still contribute (the
+    // group × sensitive-domain grid is built before the left join).
+    // Scale: two corpus aggregations + a broadcast-sized domain grid.
+    q("gov_t_closeness",
+      """WITH j AS (SELECT c_nationkey nat, o_orderpriority pri,
+        |                  o_orderstatus sens
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tot AS (SELECT count(*)::BIGINT nt FROM j),
+        |gs AS (SELECT sens, count(*)::BIGINT cg FROM j GROUP BY 1),
+        |grp AS (SELECT nat, pri, count(*)::BIGINT n FROM j GROUP BY 1, 2),
+        |cell AS (SELECT nat, pri, sens, count(*)::BIGINT cnt
+        |         FROM j GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.nat, g.pri, g.n, s.sens, s.cg,
+        |           coalesce(c.cnt, 0)::BIGINT cnt
+        |         FROM grp g CROSS JOIN gs s
+        |         LEFT JOIN cell c ON c.nat = g.nat AND c.pri = g.pri
+        |                         AND c.sens = s.sens),
+        |d AS (SELECT nat, pri, n,
+        |        sum(abs(cnt * t.nt - cg * n))::BIGINT num, max(t.nt) nt
+        |      FROM grid CROSS JOIN tot t GROUP BY 1, 2, 3)
+        |SELECT nat, pri, n,
+        |       round(num::DOUBLE / (2.0 * n * nt) + 1e-9, 6) AS tvd,
+        |       round(num::DOUBLE / (2.0 * n * nt) + 1e-9, 6) <= 0.2
+        |         AS meets_t02
+        |FROM d ORDER BY nat, pri""") { c =>
+      val j = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nat"),
+          col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("sens"))
+      val tot = j.agg(count(lit(1)).as("nt"))
+      val gs = j.groupBy("sens").agg(count(lit(1)).as("cg"))
+      val grp = j.groupBy("nat", "pri").agg(count(lit(1)).as("n"))
+      val cell = j.groupBy("nat", "pri", "sens")
+        .agg(count(lit(1)).as("cnt"))
+      val grid = grp.crossJoin(broadcast(gs))
+        .join(cell, Seq("nat", "pri", "sens"), "left")
+        .select(col("nat"), col("pri"), col("n"), col("cg"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val tvd = round(col("num").cast("double") /
+        (lit(2.0) * col("n") * col("nt")) + lit(1e-9), 6)
+      grid.crossJoin(broadcast(tot))
+        .groupBy("nat", "pri", "n")
+        .agg(sum(abs(col("cnt") * col("nt") - col("cg") * col("n")))
+          .as("num"), max(col("nt")).as("nt"))
+        .select(col("nat"), col("pri"), col("n"),
+          tvd.as("tvd"), (tvd <= 0.2).as("meets_t02"))
+        .orderBy("nat", "pri")
+    },
+
     // Deterministic pseudonymization with referential integrity: the
     // customer key is replaced by a salted-hash token IN BOTH tables,
     // so cross-table joins still line up on the token while the raw id
