@@ -114,6 +114,61 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // MAP@10 per language stratum — the binary-relevance companion of
+    // rank_ndcg on the same deterministic ranking (top-10 by n_chars
+    // DESC, doc_id; relevant = grade ≥ 2). Every precision@p is an
+    // exact integer ratio cumrel/p; each relevant hit's term is
+    // quantized to micro-units before the per-query sum (the NDCG
+    // pattern), AP = integer sum / (R·1e6), and the corpus MAP is the
+    // mean of the per-query rounded APs. Windows are partitioned by
+    // the query key and bounded to the candidate list — O(k) per
+    // query.
+    q("rank_map_at_k",
+      """WITH cand AS (
+        |  SELECT lang, doc_id,
+        |         CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END AS rel,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id) AS p
+        |  FROM documents),
+        |top AS (SELECT lang, rel, p,
+        |               sum(rel) OVER (PARTITION BY lang ORDER BY p) cr
+        |        FROM cand WHERE p <= 10),
+        |s AS (SELECT lang,
+        |        sum(rel)::BIGINT r_total,
+        |        sum(CASE WHEN rel = 1 THEN
+        |              CAST(round(cr * 1e6 / p + 1e-9) AS BIGINT)
+        |            ELSE 0 END) ap_u
+        |      FROM top GROUP BY lang),
+        |ap AS (SELECT lang, r_total,
+        |         round(ap_u::DOUBLE / (r_total * 1e6) + 1e-9, 6) AS ap
+        |       FROM s WHERE r_total > 0)
+        |SELECT lang, r_total, ap,
+        |       round(avg(ap) OVER () + 1e-9, 4) AS map
+        |FROM ap ORDER BY lang""") { c =>
+      val cand = c.documents
+        .select(col("lang"), col("doc_id"),
+          (col("doc_id") % 4 >= 2).cast("int").as("rel"), col("n_chars"))
+        .withColumn("p", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("p") <= 10)
+      val top = cand.withColumn("cr",
+        sum(col("rel")).over(Window.partitionBy("lang").orderBy("p")))
+      val s = top.groupBy("lang")
+        .agg(sum(col("rel")).as("r_total"),
+          sum(when(col("rel") === 1,
+            round(col("cr") * lit(1e6) / col("p") + lit(1e-9))
+              .cast("long")).otherwise(0L)).as("ap_u"))
+      val ap = s.filter(col("r_total") > 0)
+        .select(col("lang"), col("r_total"),
+          r6(col("ap_u").cast("double") / (col("r_total") * lit(1e6)))
+            .as("ap"))
+      ap.withColumn("map", r4(avg(col("ap")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))))
+        .orderBy("lang")
+    },
+
     // Distributed ECDF score calibration — normalize a raw score column
     // to its within-group empirical CDF (the calibration pass a quality
     // classifier's scores get before thresholding, per CCNet/FineWeb

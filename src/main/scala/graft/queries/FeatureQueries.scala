@@ -82,6 +82,157 @@ object FeatureQueries {
         .orderBy("bin")
     },
 
+    // Split-conformal prediction interval (Vovk et al. 2005; the
+    // distribution-free coverage guarantee): fit a simple regression
+    // on the train fold, take q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    // absolute calibration residual — an EXACT order statistic, not a
+    // quantile interpolation — and audit empirical coverage of
+    // ŷ ± q̂ on the held-out test fold. Deterministic end-to-end: the
+    // OLS slope/intercept are ratios of exact DECIMAL sums (integer x,
+    // money-lattice y), residuals are rounded to the 1e-6 lattice
+    // before BOTH the rank and the coverage compare (the boolean-
+    // from-rounded rule), and the order statistic picks a value
+    // rather than summing. Scale: three aggregations + one broadcast
+    // scalar join; the rank runs on the per-fold sort of rounded
+    // residuals (TakeOrdered-sized selection, never a global sort of
+    // the corpus output).
+    q("ml_conformal",
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(round(l_quantity) AS BIGINT) x, l_extendedprice y,
+        |             l_orderkey % 3 AS fold
+        |           FROM lineitem),
+        |f AS (SELECT count(*)::BIGINT n,
+        |        sum(x)::BIGINT sx, sum(x*x)::BIGINT sxx,
+        |        CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) sy,
+        |        CAST(sum(CAST(x AS DECIMAL(18,2)) *
+        |                 CAST(y AS DECIMAL(18,2))) AS DOUBLE) sxy
+        |      FROM b WHERE fold = 0),
+        |m AS (SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |             (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n
+        |               AS icept FROM f),
+        |cal AS (SELECT round(abs(b.y - (m.icept + m.slope * b.x))
+        |                     + 1e-9, 6) r
+        |        FROM b, m WHERE fold = 1),
+        |nc AS (SELECT count(*)::BIGINT ncal FROM cal),
+        |qh AS (SELECT r AS q_hat FROM (
+        |         SELECT r, row_number() OVER (ORDER BY r) rk FROM cal), nc
+        |       WHERE rk = CAST(ceil((ncal + 1) * 0.9) AS BIGINT)),
+        |tst AS (SELECT round(abs(b.y - (m.icept + m.slope * b.x))
+        |                     + 1e-9, 6) r
+        |        FROM b, m WHERE fold = 2)
+        |SELECT (SELECT n FROM f) AS n_train,
+        |       (SELECT ncal FROM nc) AS n_cal,
+        |       count(*)::BIGINT AS n_test,
+        |       round((SELECT slope FROM m) + 1e-9, 6) AS slope,
+        |       round((SELECT icept FROM m) + 1e-9, 6) AS icept,
+        |       (SELECT q_hat FROM qh) AS q_hat,
+        |       round(sum(CASE WHEN r <= (SELECT q_hat FROM qh)
+        |                 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 1e-9, 6)
+        |         AS coverage
+        |FROM tst""") { c =>
+      val b = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("x"),
+        col("l_extendedprice").as("y"),
+        (col("l_orderkey") % 3).as("fold"))
+      val f = b.filter(col("fold") === 0).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        dsum(col("y"), 2).as("sy"),
+        sum(col("x").cast("decimal(18,2)") * col("y").cast("decimal(18,2)"))
+          .cast("double").as("sxy"))
+      val m = f.select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+        .select(col("slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("n")).as("icept"),
+          col("n"))
+      val resid = (fold: Int) => b.filter(col("fold") === fold)
+        .crossJoin(broadcast(m))
+        .select(r6(abs(col("y") - (col("icept") + col("slope") * col("x"))))
+          .as("r"))
+      val cal = resid(1)
+      val nc = cal.agg(count(lit(1)).as("ncal"))
+      // k-th smallest WITHOUT a global sort: histogram of rounded
+      // residuals → Positional exclusive cumsums → the bucket whose
+      // cumulative count crosses k (the ml_pr_curve distributed path)
+      val hist = cal.groupBy("r").agg(count(lit(1)).as("cnt"))
+      val qh = graft.ops.Positional.withCumSums(hist, Seq(col("r")),
+          Seq(col("cnt") -> "c_lt"))
+        .crossJoin(broadcast(nc))
+        .withColumn("k", ceil((col("ncal") + 1) * 0.9).cast("long"))
+        .filter(col("c_lt") < col("k") &&
+          col("k") <= col("c_lt") + col("cnt"))
+        .select(col("r").as("q_hat"))
+      val tst = resid(2)
+      tst.crossJoin(broadcast(qh)).crossJoin(broadcast(nc))
+        .crossJoin(broadcast(m.select(col("slope"), col("icept"), col("n"))))
+        .agg(max(col("n")).as("n_train"), max(col("ncal")).as("n_cal"),
+          count(lit(1)).as("n_test"),
+          r6(max(col("slope"))).as("slope"),
+          r6(max(col("icept"))).as("icept"),
+          max(col("q_hat")).as("q_hat"),
+          r6(sum(when(col("r") <= col("q_hat"), 1).otherwise(0))
+            .cast("double") / count(lit(1))).as("coverage"))
+        .select(col("n_train"), col("n_cal"), col("n_test"),
+          col("slope"), col("icept"), col("q_hat"), col("coverage"))
+    },
+
+    // Isotonic (PAV) probability calibration (Zadrozny & Elkan 2002;
+    // Robertson's minimax characterization): the monotone recalibration
+    // map over the 10-bin reliability curve, iso_i = max_{j≤i}
+    // min_{k≥i} avg(y over bins j..k) — the closed form of pool-
+    // adjacent-violators, exactly computable on BOTH engines because
+    // every interval average is one division of exact integer sums and
+    // min/max pick (never sum) doubles. Scale shape: ONE corpus
+    // aggregation to the B=10 bin relation, then O(B³) joins on a
+    // model-sized frame — the standard binned-isotonic at 100 TB.
+    q("ml_isotonic_calibration",
+      """WITH s AS (SELECT least(CAST(floor(l_quantity * 10 / 51) AS BIGINT),
+        |                        9) AS bin,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |b AS (SELECT bin, count(*)::BIGINT n, sum(y)::BIGINT s
+        |      FROM s GROUP BY 1),
+        |pairs AS (SELECT j.bin jb, k.bin kb,
+        |            sum(m.s)::DOUBLE / sum(m.n) a
+        |          FROM b j JOIN b k ON j.bin <= k.bin
+        |          JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+        |          GROUP BY 1, 2),
+        |imn AS (SELECT i.bin ib, p.jb, min(p.a) mn
+        |        FROM b i JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin
+        |        GROUP BY 1, 2),
+        |iso AS (SELECT ib AS bin, round(max(mn) + 1e-9, 6) iso_p
+        |        FROM imn GROUP BY 1)
+        |SELECT b.bin, b.n, round(b.s::DOUBLE / b.n + 1e-9, 6) AS frac_pos,
+        |       iso.iso_p
+        |FROM b JOIN iso USING (bin) ORDER BY bin""") { c =>
+      val s = c.lineitem.select(
+        least(floor(col("l_quantity") * 10 / 51).cast("long"),
+          lit(9L)).as("bin"),
+        (col("l_returnflag") === "R").cast("int").as("y"))
+      val b = s.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val pairs = b.as("j").join(broadcast(b.as("k")),
+          col("j.bin") <= col("k.bin"))
+        .select(col("j.bin").as("jb"), col("k.bin").as("kb"))
+        .join(broadcast(b.as("m")),
+          col("m.bin") >= col("jb") && col("m.bin") <= col("kb"))
+        .groupBy("jb", "kb")
+        .agg((sum(col("m.s")).cast("double") / sum(col("m.n"))).as("a"))
+      val imn = b.as("i").select(col("i.bin").as("ib"))
+        .join(broadcast(pairs),
+          col("jb") <= col("ib") && col("kb") >= col("ib"))
+        .groupBy("ib", "jb").agg(min(col("a")).as("mn"))
+      val iso = imn.groupBy(col("ib").as("bin"))
+        .agg(r6(max(col("mn"))).as("iso_p"))
+      b.join(iso, Seq("bin"))
+        .select(col("bin"), col("n"),
+          r6(col("s").cast("double") / col("n")).as("frac_pos"),
+          col("iso_p"))
+        .orderBy("bin")
+    },
+
     // Robust outlier profile (median/MAD, the Hampel filter): per event
     // type, median and median-absolute-deviation of `value`, and the
     // count beyond the 3·1.4826·MAD fence — the outlier gate that

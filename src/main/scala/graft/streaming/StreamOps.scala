@@ -396,4 +396,45 @@ object StreamOps {
       }
       .toDF("key", "n", "level", "trend")
   }
+
+  /** Per-key streaming scalar Kalman state (the streaming counterpart
+    * of [[graft.ops.Kalman.scalar]]): state per key is ONE
+    * (n, x̂, P, K) tuple — O(1) regardless of stream length — updated
+    * by folding each micro-batch's rows in event-time order through
+    * the same recurrence as the batch scan, so an in-order replay
+    * produces EXACTLY the batch result (spec-checked, the holtState
+    * contract). Update-mode output: (key, n, state, p_var, gain). */
+  def kalmanState(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      q: Double,
+      r: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).cast("double").as("__y"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Double, Double),
+        (String, Long, Double, Double, Double)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Double, Double, Double)]) =>
+          var (n, x, p, k) = state.getOption.getOrElse((0L, 0.0, 0.0, 0.0))
+          rows.toVector.sortBy(_._2.getTime).foreach { case (_, _, y) =>
+            if (n == 0L) { x = y; p = r; k = 0.0; n = 1L }
+            else {
+              val pp = p + q
+              k = pp / (pp + r)
+              x = x + k * (y - x)
+              p = (1.0 - k) * pp
+              n += 1
+            }
+          }
+          state.update((n, x, p, k))
+          (key, n, x, p, k)
+      }
+      .toDF("key", "n", "state", "p_var", "gain")
+  }
 }

@@ -453,6 +453,46 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Kalman state equals the batch secondary-sort scan " +
+    "when the stream replays in order") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:01:00"), "a", 10.0),
+      (ts("2024-01-01 00:02:00"), "a", 12.0),
+      (ts("2024-01-01 00:03:00"), "b", 5.0),
+      (ts("2024-01-01 00:04:00"), "a", 11.0),
+      (ts("2024-01-01 00:05:00"), "b", 6.5),
+      (ts("2024-01-01 00:06:00"), "a", 13.0))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val kal = StreamOps.kalmanState(
+      input.toDF.toDF("ts", "k", "v"), "k", "ts", "v", q = 0.25, r = 1.0)
+    val qy = kal.writeStream.format("memory")
+      .queryName("kalman_stream").outputMode("update").start()
+    try {
+      // split mid-series: state must carry (x, P, K) across batches
+      input.addData(rows.take(3))
+      qy.processAllAvailable()
+      input.addData(rows.drop(3))
+      qy.processAllAvailable()
+      val streamed = sp.sql(
+        """SELECT key, n, state, p_var, gain FROM kalman_stream s
+          |WHERE n = (SELECT max(n) FROM kalman_stream WHERE key = s.key)
+          |ORDER BY key""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      val batch = graft.ops.Kalman.scalar(
+          rows.toDF("ts", "k", "v"), "k", Seq(col("ts")), col("v"),
+          q = 0.25, r = 1.0)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally qy.stop()
+  }
+
   test("streaming drawdown state equals the batch window scan when the " +
     "stream replays in order (integer cents, bit-exact)") {
     val sp = spark
