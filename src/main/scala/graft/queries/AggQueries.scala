@@ -116,6 +116,83 @@ object AggQueries {
         .orderBy("l_linestatus")
     },
 
+    // Full pairwise Pearson correlation MATRIX over four numeric
+    // columns in ONE corpus pass (the EDA/feature-screen companion of
+    // agg_stats' single corr): every moment (Σa, Σab, Σa²) is an EXACT
+    // integer sum of lattice-quantized values — products through
+    // DECIMAL(38)/HUGEINT (the Stump squaring pattern) — so both
+    // engines hold identical integers, and each r casts to double
+    // only at the final num/(√da·√db) (da·db would need 52 digits;
+    // the split-sqrt form stays in range and is written identically
+    // on both engines). Unpivoted to one row per pair.
+    q("agg_corr_matrix",
+      """WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) a1,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) a2,
+        |                  CAST(round(l_discount * 100) AS BIGINT) a3,
+        |                  CAST(round(l_tax * 100) AS BIGINT) a4
+        |           FROM lineitem),
+        |m AS (SELECT count(*)::HUGEINT n,
+        |        sum(a1)::HUGEINT s1, sum(a2)::HUGEINT s2,
+        |        sum(a3)::HUGEINT s3, sum(a4)::HUGEINT s4,
+        |        sum(a1::HUGEINT * a1) q1, sum(a2::HUGEINT * a2) q2,
+        |        sum(a3::HUGEINT * a3) q3, sum(a4::HUGEINT * a4) q4,
+        |        sum(a1::HUGEINT * a2) p12, sum(a1::HUGEINT * a3) p13,
+        |        sum(a1::HUGEINT * a4) p14, sum(a2::HUGEINT * a3) p23,
+        |        sum(a2::HUGEINT * a4) p24, sum(a3::HUGEINT * a4) p34
+        |      FROM b),
+        |u AS (
+        |  SELECT 'quantity~extprice' pair, n*p12 - s1*s2 num,
+        |         n*q1 - s1*s1 da, n*q2 - s2*s2 db FROM m
+        |  UNION ALL SELECT 'quantity~discount', n*p13 - s1*s3,
+        |         n*q1 - s1*s1, n*q3 - s3*s3 FROM m
+        |  UNION ALL SELECT 'quantity~tax', n*p14 - s1*s4,
+        |         n*q1 - s1*s1, n*q4 - s4*s4 FROM m
+        |  UNION ALL SELECT 'extprice~discount', n*p23 - s2*s3,
+        |         n*q2 - s2*s2, n*q3 - s3*s3 FROM m
+        |  UNION ALL SELECT 'extprice~tax', n*p24 - s2*s4,
+        |         n*q2 - s2*s2, n*q4 - s4*s4 FROM m
+        |  UNION ALL SELECT 'discount~tax', n*p34 - s3*s4,
+        |         n*q3 - s3*s3, n*q4 - s4*s4 FROM m)
+        |SELECT pair,
+        |       round(num::DOUBLE / (sqrt(da::DOUBLE) * sqrt(db::DOUBLE))
+        |             + 1e-9, 6) AS r
+        |FROM u ORDER BY pair""") { c =>
+      val b = c.lineitem.select(
+        round(col("l_quantity")).cast("long").as("a1"),
+        round(col("l_extendedprice") * 100).cast("long").as("a2"),
+        round(col("l_discount") * 100).cast("long").as("a3"),
+        round(col("l_tax") * 100).cast("long").as("a4"))
+      val d = (s: String) => col(s).cast("decimal(38,0)")
+      val m = b.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("a1")).cast("decimal(38,0)").as("s1"),
+        sum(col("a2")).cast("decimal(38,0)").as("s2"),
+        sum(col("a3")).cast("decimal(38,0)").as("s3"),
+        sum(col("a4")).cast("decimal(38,0)").as("s4"),
+        sum(d("a1") * col("a1")).as("q1"), sum(d("a2") * col("a2")).as("q2"),
+        sum(d("a3") * col("a3")).as("q3"), sum(d("a4") * col("a4")).as("q4"),
+        sum(d("a1") * col("a2")).as("p12"), sum(d("a1") * col("a3")).as("p13"),
+        sum(d("a1") * col("a4")).as("p14"), sum(d("a2") * col("a3")).as("p23"),
+        sum(d("a2") * col("a4")).as("p24"), sum(d("a3") * col("a4")).as("p34"))
+      def pair(name: String, p: String, si: String, sj: String,
+               qi: String, qj: String) =
+        m.select(lit(name).as("pair"),
+          (col("n") * col(p) - col(si) * col(sj)).as("num"),
+          (col("n") * col(qi) - col(si) * col(si)).as("da"),
+          (col("n") * col(qj) - col(sj) * col(sj)).as("db"))
+      val u = pair("quantity~extprice", "p12", "s1", "s2", "q1", "q2")
+        .unionAll(pair("quantity~discount", "p13", "s1", "s3", "q1", "q3"))
+        .unionAll(pair("quantity~tax", "p14", "s1", "s4", "q1", "q4"))
+        .unionAll(pair("extprice~discount", "p23", "s2", "s3", "q2", "q3"))
+        .unionAll(pair("extprice~tax", "p24", "s2", "s4", "q2", "q4"))
+        .unionAll(pair("discount~tax", "p34", "s3", "s4", "q3", "q4"))
+      u.select(col("pair"),
+          r6(col("num").cast("double") /
+            (sqrt(col("da").cast("double")) *
+              sqrt(col("db").cast("double")))).as("r"))
+        .orderBy("pair")
+    },
+
     // Variance / StandardDev sample+pop (reductions.py:254-277),
     // Correlation / Covariance (:279/:290).
     q("agg_stats",

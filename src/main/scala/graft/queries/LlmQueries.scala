@@ -531,6 +531,73 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // RAKE keyword extraction (Rose et al. 2010 — the classic
+    // unsupervised keyphrase extractor): candidate phrases are the
+    // maximal word runs between stopwords/punctuation; each word
+    // scores deg/freq (deg = Σ phrase-length over its occurrences,
+    // freq = occurrence count — both per-doc integers); a phrase
+    // scores the sum of its words' scores. Word scores quantize to
+    // integer micro-units BEFORE the phrase sum (the NDCG pattern),
+    // so ranking is exact; top-3 phrases per doc by (score, phrase).
+    // Stopwords = the corpus's own function words (the gopher-gate
+    // stance). Two Generates + two hash aggregations per doc — no
+    // shuffle beyond the doc grouping.
+    q("text_rake",
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(lower(text),
+        |      '\b(join|hash|row|batch|scan|column|filter|table)\b',
+        |      '#', 'g') t
+        |  FROM documents WHERE doc_id < 40),
+        |ph AS (SELECT doc_id, trim(p) phrase
+        |       FROM (SELECT doc_id, unnest(string_split_regex(t,
+        |               '[^a-z ]+')) p FROM d)
+        |       WHERE trim(p) <> ''),
+        |pw AS (SELECT doc_id, phrase,
+        |         list_filter(string_split_regex(trim(phrase), ' +'),
+        |                     w -> w <> '') ws
+        |       FROM ph),
+        |wo AS (SELECT doc_id, phrase, len(ws) plen, unnest(ws) w
+        |       FROM pw),
+        |ws AS (SELECT doc_id, w, count(*)::BIGINT freq,
+        |         sum(plen)::BIGINT deg FROM wo GROUP BY 1, 2),
+        |psc AS (SELECT wo.doc_id, wo.phrase,
+        |          sum(CAST(round(ws.deg * 1e6 / ws.freq + 1e-9) AS BIGINT))
+        |            su
+        |        FROM wo JOIN ws ON wo.doc_id = ws.doc_id AND wo.w = ws.w
+        |        GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, phrase, su,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY su DESC, phrase) rn
+        |       FROM psc)
+        |SELECT doc_id, rn, phrase, round(su / 1e6 + 1e-9, 4) AS score
+        |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""") { c =>
+      val d = c.documents.filter(col("doc_id") < 40)
+        .select(col("doc_id"), regexp_replace(lower(col("text")),
+          "\\b(join|hash|row|batch|scan|column|filter|table)\\b", "#")
+          .as("t"))
+      val ph = d.select(col("doc_id"),
+          explode(split(col("t"), "[^a-z ]+")).as("p"))
+        .select(col("doc_id"), trim(col("p")).as("phrase"))
+        .filter(col("phrase") =!= "")
+      val pw = ph.select(col("doc_id"), col("phrase"),
+        filter(split(trim(col("phrase")), " +"), w => w =!= "").as("ws"))
+      val wo = pw.select(col("doc_id"), col("phrase"),
+          size(col("ws")).as("plen"), explode(col("ws")).as("w"))
+      val wscore = wo.groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      val psc = wo.join(wscore, Seq("doc_id", "w"))
+        .groupBy("doc_id", "phrase")
+        .agg(sum(round(col("deg") * lit(1e6) / col("freq") + lit(1e-9))
+          .cast("long")).as("su"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("su").desc, col("phrase"))
+      psc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("phrase"),
+          r4(col("su") / lit(1e6)).as("score"))
+        .orderBy("doc_id", "rn")
+    },
+
     // FUZZY decontamination — the MinHash cross-corpus pass real
     // scrubs run NEXT TO exact n-gram matching (llm_decontaminate):
     // lightly-edited eval leakage defeats exact 4-grams but not

@@ -182,6 +182,335 @@ object StatQueries {
         .orderBy(col("lift").desc, col("x"), col("y")).limit(10)
     },
 
+    // 2×2 difference-in-differences (Card & Krueger's workhorse causal
+    // design): DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) over
+    // per-user period totals, with the standard four-cell SE
+    // √(Σ s²_cell/n_cell). Same determinism machinery as ab_cuped:
+    // deci-quantized per-user BIGINT sums, cell variances from exact
+    // integer moments (squares via DECIMAL/HUGEINT), doubles only in
+    // the final closed forms written identically on both engines.
+    q("ab_did",
+      """WITH e AS (SELECT user_id, user_id % 2 AS variant,
+        |             CAST(round(value * 10 + 1e-9) AS BIGINT) v,
+        |             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |                  THEN 0 ELSE 1 END AS period
+        |           FROM events),
+        |u AS (SELECT user_id, max(variant) variant, period,
+        |        sum(v)::BIGINT y
+        |      FROM e GROUP BY 1, 3),
+        |g AS (SELECT variant, period, count(*)::BIGINT n,
+        |        sum(y)::BIGINT s, CAST(sum(y::HUGEINT * y) AS DOUBLE) s2
+        |      FROM u GROUP BY 1, 2),
+        |w AS (SELECT
+        |  max(CASE WHEN variant=1 AND period=1 THEN s END)::DOUBLE stp,
+        |  max(CASE WHEN variant=1 AND period=1 THEN n END) ntp,
+        |  max(CASE WHEN variant=1 AND period=1 THEN s2 END) qtp,
+        |  max(CASE WHEN variant=1 AND period=0 THEN s END)::DOUBLE str,
+        |  max(CASE WHEN variant=1 AND period=0 THEN n END) ntr,
+        |  max(CASE WHEN variant=1 AND period=0 THEN s2 END) qtr,
+        |  max(CASE WHEN variant=0 AND period=1 THEN s END)::DOUBLE scp,
+        |  max(CASE WHEN variant=0 AND period=1 THEN n END) ncp,
+        |  max(CASE WHEN variant=0 AND period=1 THEN s2 END) qcp,
+        |  max(CASE WHEN variant=0 AND period=0 THEN s END)::DOUBLE scr,
+        |  max(CASE WHEN variant=0 AND period=0 THEN n END) ncr,
+        |  max(CASE WHEN variant=0 AND period=0 THEN s2 END) qcr
+        |  FROM g)
+        |SELECT ntp, ntr, ncp, ncr,
+        |  round(((stp/ntp - str/ntr) - (scp/ncp - scr/ncr)) / 10
+        |        + 1e-9, 4) AS did,
+        |  round(sqrt((qtp - stp*stp/ntp) / (ntp - 1) / ntp +
+        |             (qtr - str*str/ntr) / (ntr - 1) / ntr +
+        |             (qcp - scp*scp/ncp) / (ncp - 1) / ncp +
+        |             (qcr - scr*scr/ncr) / (ncr - 1) / ncr) / 10
+        |        + 1e-9, 4) AS se,
+        |  round((((stp/ntp - str/ntr) - (scp/ncp - scr/ncr)) / 10) /
+        |        (sqrt((qtp - stp*stp/ntp) / (ntp - 1) / ntp +
+        |              (qtr - str*str/ntr) / (ntr - 1) / ntr +
+        |              (qcp - scp*scp/ncp) / (ncp - 1) / ncp +
+        |              (qcr - scr*scr/ncr) / (ncr - 1) / ncr) / 10)
+        |        + 1e-9, 4) AS t_stat
+        |FROM w""") { c =>
+      val e = c.events.select(col("user_id"),
+        (col("user_id") % 2).as("variant"),
+        round(col("value") * 10 + lit(1e-9)).cast("long").as("v"),
+        when(col("ts") <
+          lit("2024-01-16 00:00:00").cast("timestamp_ntz"), 0)
+          .otherwise(1).as("period"))
+      val u = e.groupBy("user_id", "period")
+        .agg(max(col("variant")).as("variant"), sum(col("v")).as("y"))
+      val g = u.groupBy("variant", "period").agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("double")
+          .as("s2"))
+      val cell = (v: Int, p: Int, cn: String) =>
+        max(when(col("variant") === v && col("period") === p, col(cn)))
+      val w = g.agg(
+        cell(1, 1, "s").cast("double").as("stp"), cell(1, 1, "n").as("ntp"),
+        cell(1, 1, "s2").as("qtp"),
+        cell(1, 0, "s").cast("double").as("str"), cell(1, 0, "n").as("ntr"),
+        cell(1, 0, "s2").as("qtr"),
+        cell(0, 1, "s").cast("double").as("scp"), cell(0, 1, "n").as("ncp"),
+        cell(0, 1, "s2").as("qcp"),
+        cell(0, 0, "s").cast("double").as("scr"), cell(0, 0, "n").as("ncr"),
+        cell(0, 0, "s2").as("qcr"))
+      val did = ((col("stp") / col("ntp") - col("str") / col("ntr")) -
+        (col("scp") / col("ncp") - col("scr") / col("ncr"))) / 10
+      val se = sqrt(
+        (col("qtp") - col("stp") * col("stp") / col("ntp")) /
+          (col("ntp") - 1) / col("ntp") +
+        (col("qtr") - col("str") * col("str") / col("ntr")) /
+          (col("ntr") - 1) / col("ntr") +
+        (col("qcp") - col("scp") * col("scp") / col("ncp")) /
+          (col("ncp") - 1) / col("ncp") +
+        (col("qcr") - col("scr") * col("scr") / col("ncr")) /
+          (col("ncr") - 1) / col("ncr")) / 10
+      w.select(col("ntp"), col("ntr"), col("ncp"), col("ncr"),
+        r4(did).as("did"), r4(se).as("se"),
+        r4(did / se).as("t_stat"))
+    },
+
+    // Poisson bootstrap confidence interval (Chamandy et al. 2012 /
+    // Kleiner's big-data bootstrap family — THE distributed bootstrap:
+    // resampling a 100 TB corpus with replacement is impossible, but
+    // per-row independent Poisson(1) weights need one pass and no
+    // coordination). Fully deterministic: replicate b's weight for a
+    // row is Poisson-inverse-CDF'd from the engine-portable md5-window
+    // hash of (key, b) — the CDF thresholds are PRE-SCALED INTEGER
+    // literals at 2^24, so weight derivation is pure integer compares
+    // (no FP anywhere); replicate means are exact BIGINT
+    // weighted-cent sums; the CI bounds are order statistics of the
+    // 32 rounded replicate means. Scale: one exploded pass (corpus ×
+    // B narrow rows) into a 32-group aggregate with map-side partials.
+    q("ab_poisson_bootstrap",
+      """WITH r AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) cents
+        |           FROM lineitem),
+        |x AS (SELECT b.b, r.cents,
+        |        ('0x' || substr(md5(r.l_orderkey::VARCHAR || '_' ||
+        |           r.l_linenumber::VARCHAR || '_' || b.b::VARCHAR),
+        |           1, 6))::BIGINT h
+        |      FROM r CROSS JOIN (SELECT unnest(generate_series(1, 32)) b) b),
+        |w AS (SELECT b, cents,
+        |        (CASE WHEN h >= 6171992 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 12343985 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 15429982 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 16458647 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 16715813 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 16767247 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 16775819 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 16777044 THEN 1 ELSE 0 END)::BIGINT c
+        |      FROM x),
+        |reps AS (SELECT b, round(sum(c * cents)::DOUBLE / sum(c) / 100
+        |                       + 1e-9, 4) mu
+        |         FROM w GROUP BY b),
+        |rk AS (SELECT mu, row_number() OVER (ORDER BY mu) r FROM reps),
+        |pt AS (SELECT round(sum(cents)::DOUBLE / count(*) / 100
+        |                    + 1e-9, 4) est FROM r)
+        |SELECT (SELECT est FROM pt) AS mean_est,
+        |       (SELECT mu FROM rk WHERE r = 2) AS ci_lo,
+        |       (SELECT mu FROM rk WHERE r = 31) AS ci_hi,
+        |       32 AS n_replicates""") { c =>
+      val sp = c.spark
+      import sp.implicits._
+      val r = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val reps = r.crossJoin(broadcast((1 to 32).toDF("b")))
+        .select(col("b"), col("cents"),
+          conv(substring(md5(concat_ws("_",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"),
+            col("b").cast("string"))), 1, 6), 16, 10)
+            .cast("long").as("h"))
+        .select(col("b"), col("cents"),
+          Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+            16767247L, 16775819L, 16777044L)
+            .map(t => when(col("h") >= t, 1L).otherwise(0L))
+            .reduce(_ + _).as("c"))
+        .groupBy("b")
+        .agg(r4(sum(col("c") * col("cents")).cast("double") /
+          sum(col("c")) / 100).as("mu"))
+      val pt = r.agg(r4(sum(col("cents")).cast("double") /
+        count(lit(1)) / 100).as("mean_est"))
+      // 32 replicate means are a model-sized relation; the order
+      // statistics collapse through two ordered limits, not a window
+      val lo = reps.orderBy(col("mu").asc).limit(2)
+        .agg(max(col("mu")).as("ci_lo"))
+      val hi = reps.orderBy(col("mu").desc).limit(2)
+        .agg(min(col("mu")).as("ci_hi"))
+      pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("mean_est"), col("ci_lo"), col("ci_hi"),
+          lit(32).as("n_replicates"))
+    },
+
+    // Autocorrelation function of the hourly value series, lags 1-6
+    // (the Box-Jenkins identification tool beside ts_holt/ts_kalman):
+    // r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)², expanded to the
+    // closed form (P_k − (A_k+B_k)·ȳ + n_k·ȳ²)/(Σy² − S·ȳ) so every
+    // aggregated quantity is an EXACT BIGINT sum of quantized cents
+    // (order-independent) and ȳ enters only through identical double
+    // expressions on both engines. The hourly series is TIME-BOUNDED
+    // (one row per hour of history, the seasonal-decomposition
+    // stance), so the lag self-join is model-sized; the only
+    // corpus-scale pass is the hourly aggregation.
+    q("ts_acf",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |             sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT m, sum(y)::BIGINT s,
+        |         sum(y*y)::BIGINT syy FROM h),
+        |l AS (SELECT unnest(generate_series(1, 6)) k),
+        |p AS (SELECT l.k, count(*)::BIGINT nk,
+        |        sum(a.y * b.y)::BIGINT pk,
+        |        sum(a.y)::BIGINT ak, sum(b.y)::BIGINT bk
+        |      FROM l JOIN h a ON TRUE JOIN h b ON b.hb = a.hb + l.k
+        |      GROUP BY 1)
+        |SELECT k, nk,
+        |  round((pk - (ak + bk) * (s::DOUBLE / m)
+        |         + nk * (s::DOUBLE / m) * (s::DOUBLE / m))
+        |        / (syy - s * (s::DOUBLE / m)) + 1e-9, 6) AS acf
+        |FROM p, st ORDER BY k""") { c =>
+      val sp = c.spark
+      import sp.implicits._
+      val h = c.events.select(
+          floor(expr("unix_timestamp(ts)") / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cents"))
+        .groupBy("hb").agg(sum(col("cents")).as("y"))
+      val st = h.agg(count(lit(1)).as("m"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("syy"))
+      val lags = (1 to 6).toDF("k")
+      val p = broadcast(lags).crossJoin(h.select(col("hb"), col("y")))
+        .join(h.select(col("hb").as("hb2"), col("y").as("y2")),
+          col("hb2") === col("hb") + col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("nk"), sum(col("y") * col("y2")).as("pk"),
+          sum(col("y")).as("ak"), sum(col("y2")).as("bk"))
+      val ybar = col("s").cast("double") / col("m")
+      p.crossJoin(broadcast(st))
+        .select(col("k"), col("nk"),
+          r6((col("pk") - (col("ak") + col("bk")) * ybar +
+            col("nk") * ybar * ybar) /
+            (col("syy") - col("s") * ybar)).as("acf"))
+        .orderBy("k")
+    },
+
+    // CUPED variance-reduced A/B analysis (Deng et al. 2013 — the
+    // industry-standard experiment readout): adjust each unit's metric
+    // by its PRE-experiment covariate, Y′ = Y − θ(X − X̄) with
+    // θ = cov(X,Y)/var(X), then two-sample z on the adjusted means.
+    // Determinism by the integer-moments pattern end-to-end: event
+    // values quantize to deci-units, so per-user X/Y and every raw
+    // moment (Σx, Σxy, Σx²) are exact BIGINT sums (order-independent;
+    // magnitudes sized to stay under 2⁶³ at sf0.1 — a larger
+    // deployment widens to DECIMAL); θ and X̄ are single divisions;
+    // the adjusted metric re-quantizes to milli-units per user
+    // (+1e-9 nudge ≫ ulp at this magnitude) so the variant moments
+    // are exact again, with squares through DECIMAL/HUGEINT (the
+    // Stump pattern). Scale: two hash aggregations (events → users →
+    // moments) and broadcast scalars — nothing corpus-sized moves.
+    q("ab_cuped",
+      """WITH e AS (SELECT user_id, user_id % 2 AS variant,
+        |             CAST(round(value * 10 + 1e-9) AS BIGINT) v,
+        |             ts < TIMESTAMP '2024-01-16 00:00:00' AS pre
+        |           FROM events),
+        |u AS (SELECT user_id, max(variant) variant,
+        |        sum(CASE WHEN pre THEN v ELSE 0 END)::BIGINT x,
+        |        sum(CASE WHEN NOT pre THEN v ELSE 0 END)::BIGINT y
+        |      FROM e GROUP BY 1),
+        |mo AS (SELECT count(*)::BIGINT n, sum(x)::BIGINT sx,
+        |         sum(y)::BIGINT sy,
+        |         sum(x*y)::BIGINT sxy, sum(x*x)::BIGINT sxx
+        |       FROM u),
+        |th AS (SELECT n, sx,
+        |         (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx) AS theta,
+        |         sx::DOUBLE / n AS xbar FROM mo),
+        |adj AS (SELECT u.variant,
+        |          y::BIGINT AS yr,
+        |          CAST(round((y - th.theta * (x - th.xbar)) * 100
+        |                     + 1e-9) AS BIGINT) ya
+        |        FROM u, th),
+        |g AS (SELECT variant, count(*)::BIGINT n,
+        |        sum(yr)::BIGINT syr,
+        |        CAST(sum(yr::HUGEINT * yr) AS DOUBLE) syr2,
+        |        sum(ya)::BIGINT sya,
+        |        CAST(sum(ya::HUGEINT * ya) AS DOUBLE) sya2
+        |      FROM adj GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN variant = 1 THEN n END) nt,
+        |  max(CASE WHEN variant = 0 THEN n END) nc,
+        |  max(CASE WHEN variant = 1 THEN syr END)::DOUBLE syrt,
+        |  max(CASE WHEN variant = 0 THEN syr END)::DOUBLE syrc,
+        |  max(CASE WHEN variant = 1 THEN syr2 END) syr2t,
+        |  max(CASE WHEN variant = 0 THEN syr2 END) syr2c,
+        |  max(CASE WHEN variant = 1 THEN sya END)::DOUBLE syat,
+        |  max(CASE WHEN variant = 0 THEN sya END)::DOUBLE syac,
+        |  max(CASE WHEN variant = 1 THEN sya2 END) sya2t,
+        |  max(CASE WHEN variant = 0 THEN sya2 END) sya2c
+        |  FROM g)
+        |SELECT nt, nc,
+        |  round((SELECT theta FROM th) + 1e-9, 6) AS theta,
+        |  round((syrt/nt - syrc/nc) / 10 + 1e-9, 4) AS diff_raw,
+        |  round((syat/nt - syac/nc) / 1000 + 1e-9, 4) AS diff_cuped,
+        |  round((syrt/nt - syrc/nc) /
+        |    sqrt((syr2t - syrt*syrt/nt) / (nt - 1) / nt +
+        |         (syr2c - syrc*syrc/nc) / (nc - 1) / nc) + 1e-9, 4)
+        |    AS z_raw,
+        |  round((syat/nt - syac/nc) /
+        |    sqrt((sya2t - syat*syat/nt) / (nt - 1) / nt +
+        |         (sya2c - syac*syac/nc) / (nc - 1) / nc) + 1e-9, 4)
+        |    AS z_cuped
+        |FROM w""") { c =>
+      val e = c.events.select(col("user_id"),
+        (col("user_id") % 2).as("variant"),
+        round(col("value") * 10 + lit(1e-9)).cast("long").as("v"),
+        (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+          .as("pre"))
+      val u = e.groupBy("user_id").agg(max(col("variant")).as("variant"),
+        sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+      val mo = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val th = mo.select(col("n"), col("sx"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"))
+        .select(col("theta"), (col("sx").cast("double") / col("n"))
+          .as("xbar"))
+      val adj = u.crossJoin(broadcast(th))
+        .select(col("variant"), col("y").as("yr"),
+          round((col("y") - col("theta") * (col("x") - col("xbar"))) *
+            100 + lit(1e-9)).cast("long").as("ya"))
+      val dec = (cc: org.apache.spark.sql.Column) =>
+        sum(cc.cast("decimal(38,0)") * cc).cast("double")
+      val g = adj.groupBy("variant").agg(count(lit(1)).as("n"),
+        sum(col("yr")).as("syr"), dec(col("yr")).as("syr2"),
+        sum(col("ya")).as("sya"), dec(col("ya")).as("sya2"))
+      val pick = (v: Int, cn: String) =>
+        max(when(col("variant") === v, col(cn)))
+      val w = g.agg(
+        pick(1, "n").as("nt"), pick(0, "n").as("nc"),
+        pick(1, "syr").cast("double").as("syrt"),
+        pick(0, "syr").cast("double").as("syrc"),
+        pick(1, "syr2").as("syr2t"), pick(0, "syr2").as("syr2c"),
+        pick(1, "sya").cast("double").as("syat"),
+        pick(0, "sya").cast("double").as("syac"),
+        pick(1, "sya2").as("sya2t"), pick(0, "sya2").as("sya2c"))
+      def z(st: String, sc: String, s2t: String, s2c: String) =
+        ((col(st) / col("nt") - col(sc) / col("nc")) /
+          sqrt((col(s2t) - col(st) * col(st) / col("nt")) /
+              (col("nt") - 1) / col("nt") +
+            (col(s2c) - col(sc) * col(sc) / col("nc")) /
+              (col("nc") - 1) / col("nc")))
+      w.crossJoin(broadcast(th.select(col("theta"))))
+        .select(col("nt"), col("nc"),
+          r6(col("theta")).as("theta"),
+          r4((col("syrt") / col("nt") - col("syrc") / col("nc")) / 10)
+            .as("diff_raw"),
+          r4((col("syat") / col("nt") - col("syac") / col("nc")) / 1000)
+            .as("diff_cuped"),
+          r4(z("syrt", "syrc", "syr2t", "syr2c")).as("z_raw"),
+          r4(z("syat", "syac", "sya2t", "sya2c")).as("z_cuped"))
+    },
+
     // First-order Markov transition matrix over per-user event
     // sequences — the behavioral model behind next-event prediction and
     // anomalous-session scoring. Successive events pair up through ONE
