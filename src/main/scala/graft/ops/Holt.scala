@@ -91,4 +91,94 @@ object Holt {
       }
     }(Encoders.row(out))
   }
+
+  /** Holt–Winters ADDITIVE seasonal (triple exponential) smoothing per
+    * series — the season-aware tier above [[linear]]:
+    *   l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+    * Same secondary-sort streaming scan; per-series state adds an
+    * m-slot circular seasonal buffer (still O(m) constant, never the
+    * series). Deterministic init (l₁ = y₁, b₁ = 0, seasonals all 0 —
+    * the first season then LEARNS the offsets through γ) and dyadic
+    * α/β/γ keep both engines bit-identical; the oracle replays the
+    * recurrence as a recursive CTE carrying the seasonal buffer as a
+    * LIST column (slice + append per step).
+    * Output: (key, n, level, trend, seasonal) where seasonal is the
+    * NEXT season slot s_{t+1−m} — the value the t+1 forecast adds. */
+  def winters(
+      df: DataFrame,
+      key: String,
+      order: Seq[Column],
+      value: Column,
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      m: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma in [0,1], got $gamma")
+    require(m >= 2, s"season length m must be >= 2, got $m")
+    val keyType = df.schema(key).dataType
+    val out = StructType(Seq(
+      StructField(key, keyType),
+      StructField("n", LongType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false),
+      StructField("seasonal", DoubleType, nullable = false)))
+    val prepared = df
+      .select(Seq(col(key).as("__k"), value.cast("double").as("__y")) ++
+        order: _*)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k") +: order: _*)
+      .select(col("__k"), col("__y"))
+    val oneMinusAlpha = 1 - alpha
+    val oneMinusBeta = 1 - beta
+    val oneMinusGamma = 1 - gamma
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private var cur: Any = null
+        private var has = false
+        private var n = 0L
+        private var l = 0.0
+        private var b = 0.0
+        private var season: Array[Double] = null
+        private var idx = 0 // slot holding s_{t-m} for the NEXT step
+        private var pending: Row = null
+
+        private def emit(): Row = Row(cur, n, l, b, season(idx))
+
+        override def hasNext: Boolean = pending != null || advance()
+
+        private def advance(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val y = r.getDouble(1)
+            if (!has || k != cur) {
+              val done = if (has) emit() else null
+              cur = k; has = true; n = 1L; l = y; b = 0.0
+              season = new Array[Double](m); idx = 0
+              if (done != null) { pending = done; return true }
+            } else {
+              val sOld = season(idx)
+              val lNew = alpha * (y - sOld) + oneMinusAlpha * (l + b)
+              b = beta * (lNew - l) + oneMinusBeta * b
+              season(idx) = gamma * (y - lNew) + oneMinusGamma * sOld
+              l = lNew
+              idx = (idx + 1) % m
+              n += 1
+            }
+          }
+          if (has) { pending = emit(); has = false; return true }
+          false
+        }
+
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r2 = pending; pending = null; r2
+        }
+      }
+    }(Encoders.row(out))
+  }
 }

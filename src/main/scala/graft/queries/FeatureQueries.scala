@@ -564,8 +564,11 @@ object FeatureQueries {
         .orderBy(col("score").desc)
     },
 
-    // Nelson–Aalen cumulative-hazard estimator (the survival-analysis
-    // face of the funnel/retention family): time-to-first-error per
+    // Nelson–Aalen cumulative-hazard estimator — the CUMULATIVE-HAZARD
+    // face of survival analysis beside stat_kaplan_meier's survival
+    // CURVE (NA sums d/n hazard increments where KM multiplies
+    // survival factors; NA is the integer-friendly estimator at
+    // scale): time-to-first-error per
     // user from their first observed event, right-censored at the last
     // event when no error occurs. Every hazard increment d_i/n_i is a
     // ratio of EXACT integer counts quantized to 1e-9 BIGINT units, so
@@ -633,52 +636,6 @@ object FeatureQueries {
           col("n_risk"), (col("hp") / lit(1e9)).as("hazard"),
           ((col("chp_lt") + col("hp")) / lit(1e9)).as("cum_hazard"))
         .orderBy("t_hours")
-    },
-
-    // Kolmogorov–Smirnov model-discrimination statistic: the max gap
-    // between the positive and negative classes' score CDFs — the
-    // classic credit-scoring / classifier-separation metric beside
-    // AUC. Exact by construction: the gap numerator |cp·N − cn⁻·P| is
-    // a BIGINT at every threshold (no FP cumulative anywhere), the max
-    // is an integer max, and ONE final division makes the statistic.
-    // Argmax ties resolve to the smallest score. Same distributed path
-    // as ml_pr_curve: histogram → Positional range-bucketed cumsums →
-    // TakeOrdered(1) — no unpartitioned window, no global sort.
-    q("ml_ks_stat",
-      """WITH s AS (SELECT l_quantity AS score,
-        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
-        |           FROM lineitem),
-        |h AS (SELECT score, count(*) n, sum(y) pos FROM s GROUP BY 1),
-        |t AS (SELECT sum(pos) p, sum(n) - sum(pos) AS neg FROM h),
-        |c AS (SELECT score,
-        |             sum(pos) OVER (ORDER BY score) cp,
-        |             sum(n - pos) OVER (ORDER BY score) cneg
-        |      FROM h),
-        |d AS (SELECT score, abs(cp * t.neg - cneg * t.p)::BIGINT num,
-        |             t.p, t.neg
-        |      FROM c, t),
-        |m AS (SELECT score, num, p, neg FROM d
-        |      ORDER BY num DESC, score LIMIT 1)
-        |SELECT round(num::DOUBLE / (p * neg) + 1e-9, 6) AS ks,
-        |       score AS at_score, p::BIGINT AS n_pos, neg::BIGINT AS n_neg
-        |FROM m""") { c =>
-      val s = c.lineitem.select(col("l_quantity").as("score"),
-        (col("l_returnflag") === "R").cast("int").as("y"))
-      val h = s.groupBy("score")
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      val cum = graft.ops.Positional.withCumSums(h, Seq(col("score")),
-        Seq(col("pos") -> "cp_lt", (col("n") - col("pos")) -> "cneg_lt"))
-      val t = h.agg(sum(col("pos")).as("p"),
-        (sum(col("n")) - sum(col("pos"))).as("neg"))
-      cum.crossJoin(broadcast(t))
-        .select(col("score"), col("p"), col("neg"),
-          abs((col("cp_lt") + col("pos")) * col("neg") -
-            (col("cneg_lt") + col("n") - col("pos")) * col("p")).as("num"))
-        .orderBy(col("num").desc, col("score")).limit(1)
-        .select(r6(col("num").cast("double") / (col("p") * col("neg")))
-          .as("ks"), col("score").as("at_score"),
-          col("p").cast("long").as("n_pos"),
-          col("neg").cast("long").as("n_neg"))
     },
 
     // Mutual information between two categorical columns (the
@@ -948,6 +905,56 @@ object FeatureQueries {
         .orderBy("user_id")
     },
 
+    // Holt–Winters ADDITIVE seasonal (triple exponential) smoothing —
+    // the season-aware forecast state above ts_holt, season length
+    // m=4. Same secondary-sort O(m)-state scan (ops/Holt.winters:
+    // circular seasonal buffer per live series); dyadic α/β/γ
+    // (0.5/0.25/0.25) keep both engines bit-identical, and the oracle
+    // replays the recurrence as a recursive CTE carrying the seasonal
+    // buffer as a LIST column (head = s_{t−m}; step = drop head,
+    // append the updated seasonal). Unique lateral aliases per the
+    // recursive-CTE shadowing trap.
+    q("ts_holt_winters",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) rn,
+        |         count(*) OVER (PARTITION BY user_id) n
+        |  FROM events WHERE user_id < 50),
+        |rec(user_id, rn, l, b, sl, n) AS (
+        |  SELECT user_id, 1, value, 0.0::DOUBLE,
+        |         [0.0::DOUBLE, 0.0, 0.0, 0.0], n
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, rn, lnew,
+        |         0.25::DOUBLE * (lnew - lprev) + 0.75::DOUBLE * bprev,
+        |         sl_tail || [0.25::DOUBLE * (yv - lnew)
+        |                     + 0.75::DOUBLE * sold],
+        |         n
+        |  FROM (
+        |    SELECT s.user_id, s.rn, s.value yv, rec.l lprev, rec.b bprev,
+        |           rec.sl[1] sold, rec.sl[2:4] sl_tail, rec.n,
+        |           0.5::DOUBLE * (s.value - rec.sl[1])
+        |             + 0.5::DOUBLE * (rec.l + rec.b) lnew
+        |    FROM rec JOIN s ON s.user_id = rec.user_id
+        |                   AND s.rn = rec.rn + 1))
+        |SELECT user_id, n::BIGINT AS n, round(l + 1e-9, 4) AS level,
+        |       round(b + 1e-9, 4) AS trend,
+        |       round(sl[1] + 1e-9, 4) AS seasonal,
+        |       round(l + b + sl[1] + 1e-9, 4) AS forecast
+        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+      val fitted = graft.ops.Holt.winters(
+        c.events.filter(col("user_id") < 50),
+        key = "user_id", order = Seq(col("ts"), col("event_id")),
+        value = col("value"), alpha = 0.5, beta = 0.25, gamma = 0.25,
+        m = 4)
+      fitted.select(col("user_id"), col("n"),
+          r4(col("level")).as("level"), r4(col("trend")).as("trend"),
+          r4(col("seasonal")).as("seasonal"),
+          r4(col("level") + col("trend") + col("seasonal")).as("forecast"))
+        .orderBy("user_id")
+    },
+
     // Scalar Kalman filter per user value series (random-walk state +
     // observation noise — the online denoiser beside Holt's trend
     // smoother). Same secondary-sort streaming scan (ops/Kalman.scala:
@@ -995,7 +1002,9 @@ object FeatureQueries {
     // Theil–Sen robust trend (Theil 1950 / Sen 1968): per-user slope =
     // the MEDIAN of all pairwise slopes (y_j−y_i)/(t_j−t_i) — the
     // outlier-immune alternative to the OLS trend (29% breakdown
-    // point). Scale shape: the pair join is PER-KEY (equi-join on
+    // point). PER-SERIES time trends; the GLOBAL sampled-pair
+    // regression slope is stat_theil_sen (StatQueries) — different
+    // granularity and pairing scheme, complementary operators. Scale shape: the pair join is PER-KEY (equi-join on
     // user_id, O(len²) within a series, never corpus × corpus) and
     // the median is an explicit middle-of-sorted-rounded construction
     // (window row_number + the avg-of-two-middles rule spelled out the

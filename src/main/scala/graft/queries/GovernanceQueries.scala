@@ -577,50 +577,6 @@ object GovernanceQueries {
           expr("bit_xor(h)").as("content_digest"))
     },
 
-    // Benford first-digit audit (Newcomb 1881 / Benford 1938; the
-    // standard forensic-accounting / data-quality screen for
-    // fabricated or truncated numeric columns): observed first-
-    // significant-digit distribution of l_extendedprice vs the
-    // log10(1 + 1/d) law, with the chi-square decomposition per digit.
-    // Digit extraction goes through the DECIMAL(18,2) STRING form on
-    // both engines (the money column is decimal-lattice, so the cast
-    // is exact and the first character is the first significant digit
-    // — no log10/floor boundary hazard at powers of ten). Per-digit
-    // chi-square contributions are rounded BEFORE the window total
-    // (engine ln() differs in the last ulp; the rounded 1e-4 lattice
-    // absorbs it). Scale shape: one scan → 9-group hash aggregate →
-    // broadcast total; pure codegen per-row work at 100 TB.
-    q("dq_benford",
-      """WITH d AS (SELECT substr(CAST(l_extendedprice AS DECIMAL(18,2))::VARCHAR,
-        |             1, 1)::INT digit FROM lineitem),
-        |c AS (SELECT digit, count(*)::BIGINT n FROM d GROUP BY 1),
-        |t AS (SELECT sum(n)::DOUBLE tot FROM c),
-        |e AS (SELECT digit, n, tot, ln(1 + 1.0/digit)/ln(10) p
-        |      FROM c, t),
-        |k AS (SELECT digit, n, round(p + 1e-9, 6) p_benford,
-        |        round((n - tot*p)*(n - tot*p)/(tot*p) + 1e-9, 4) chi2_part
-        |      FROM e)
-        |SELECT digit, n, p_benford, chi2_part,
-        |       round(sum(chi2_part) OVER () + 1e-9, 2) AS chi2
-        |FROM k ORDER BY digit""") { c =>
-      val digit = substring(col("l_extendedprice")
-        .cast("decimal(18,2)").cast("string"), 1, 1).cast("int")
-      val counts = c.lineitem.select(digit.as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum(col("n")).cast("double").as("tot"))
-      val p = log(lit(1) + lit(1.0) / col("digit")) / log(lit(10))
-      counts.crossJoin(broadcast(tot))
-        .select(col("digit"), col("n"),
-          r6(p).as("p_benford"),
-          r4((col("n") - col("tot") * p) * (col("n") - col("tot") * p) /
-            (col("tot") * p)).as("chi2_part"))
-        .withColumn("chi2",
-          r2(sum(col("chi2_part")).over(
-            Window.partitionBy().rowsBetween(
-              Window.unboundedPreceding, Window.unboundedFollowing))))
-        .orderBy("digit")
-    },
-
     // Column profiling (the pandas-profiling / dbt-docs shape): one
     // ALL-COLUMNS-IN-ONE-PASS aggregation — count/filled/distinct per
     // column computed in a single scan (not one scan per column), then

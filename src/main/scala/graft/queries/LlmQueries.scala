@@ -531,6 +531,114 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Inverted-index build (the Lucene-shape search artifact the BM25/
+    // RRF retrievers would serve from): per term, document frequency,
+    // total term frequency, and the sorted posting list — reported for
+    // the top-25 terms by (df, term). Postings serialize as a sorted
+    // comma-joined string (the agg_collect convention — the driver's
+    // hash compare cannot hash array cells). Scale shape: explode →
+    // one (term, doc) aggregation → one term aggregation; the posting
+    // LIST is only materialized for the 25 reported terms (semi-join
+    // on the top-k term set), never for the whole vocabulary.
+    q("text_inverted_index",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) w
+        |  FROM documents),
+        |td AS (SELECT w, doc_id, count(*)::BIGINT tf
+        |       FROM tok GROUP BY 1, 2),
+        |t AS (SELECT w, count(*)::BIGINT df, sum(tf)::BIGINT ctf
+        |      FROM td GROUP BY 1),
+        |top AS (SELECT w, df, ctf, row_number() OVER (
+        |          ORDER BY df DESC, w) rn
+        |        FROM t),
+        |sel AS (SELECT * FROM top WHERE rn <= 25)
+        |SELECT sel.rn, sel.w AS term, sel.df, sel.ctf,
+        |       array_to_string(list_sort(list(td.doc_id)), ',')
+        |         AS postings
+        |FROM sel JOIN td ON sel.w = td.w
+        |GROUP BY 1, 2, 3, 4 ORDER BY rn""") { c =>
+      val tok = c.documents.select(col("doc_id"), explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      val td = tok.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      val t = td.groupBy("w")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      // top-25 via TakeOrdered; the 25-row rank window is model-sized
+      val sel = t.orderBy(col("df").desc, col("w")).limit(25)
+        .withColumn("rn", row_number().over(Window.partitionBy()
+          .orderBy(col("df").desc, col("w"))))
+      sel.join(td, Seq("w"))
+        .groupBy("rn", "w", "df", "ctf")
+        .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+        .select(col("rn"), col("w").as("term"), col("df"), col("ctf"),
+          col("postings"))
+        .orderBy("rn")
+    },
+
+    // PPMI co-occurrence association (Church & Hanks 1990; the
+    // count-based precursor of word embeddings — Levy & Goldberg 2014
+    // showed SGNS factorizes exactly this matrix): token pairs
+    // co-occurring within a ±2 window over the whole corpus,
+    // PPMI = max(0, ln(c_xy·D/(c_x·c_y))), computed per PAIR from
+    // exact integer counts (the fe_mutual_info stance — the ln sees a
+    // ratio of exact integers, rounded once) and reported for the
+    // top-20 pairs by (count, pair). Scale shape: windowed pairs via
+    // a bounded self-join on (doc, position±k) — two narrow exploded
+    // streams, an equi-join on doc + a ≤2k position band, then hash
+    // aggregations; no corpus-side cross product.
+    q("text_ppmi",
+      """WITH tok AS (SELECT doc_id, ts FROM (
+        |    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') ts
+        |    FROM documents) WHERE len(ts) >= 2),
+        |w AS (SELECT doc_id, unnest(ts) tok,
+        |             unnest(generate_series(1, len(ts))) pos FROM tok),
+        |pairs AS (SELECT a.tok wa, b.tok wb, count(*)::BIGINT cab
+        |          FROM w a JOIN w b ON a.doc_id = b.doc_id
+        |            AND b.pos > a.pos AND b.pos <= a.pos + 2
+        |          GROUP BY 1, 2),
+        |tot AS (SELECT sum(cab)::BIGINT d FROM pairs),
+        |ca AS (SELECT wa, sum(cab)::BIGINT cx FROM pairs GROUP BY 1),
+        |cb AS (SELECT wb, sum(cab)::BIGINT cy FROM pairs GROUP BY 1),
+        |sc AS (SELECT p.wa, p.wb, p.cab,
+        |         round(greatest(0.0,
+        |           ln(p.cab::DOUBLE * t.d / (ca.cx::DOUBLE * cb.cy)))
+        |           + 1e-9, 6) ppmi
+        |       FROM pairs p JOIN ca USING (wa) JOIN cb USING (wb)
+        |       CROSS JOIN tot t),
+        |rk AS (SELECT *, row_number() OVER (
+        |         ORDER BY cab DESC, wa, wb) rn FROM sc)
+        |SELECT rn, wa, wb, cab, ppmi FROM rk WHERE rn <= 20
+        |ORDER BY rn""") { c =>
+      val tok = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val w = tok.select(col("doc_id"),
+        posexplode(col("ts")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+      val pairs = w.as("a").join(w.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") > col("a.pos") &&
+            col("b.pos") <= col("a.pos") + 2)
+        .groupBy(col("a.tok").as("wa"), col("b.tok").as("wb"))
+        .agg(count(lit(1)).as("cab"))
+      val tot = pairs.agg(sum(col("cab")).as("d"))
+      val ca = pairs.groupBy("wa").agg(sum(col("cab")).as("cx"))
+      val cb = pairs.groupBy("wb").agg(sum(col("cab")).as("cy"))
+      val sc = pairs.join(ca, Seq("wa")).join(cb, Seq("wb"))
+        .crossJoin(broadcast(tot))
+        .select(col("wa"), col("wb"), col("cab"),
+          r6(greatest(lit(0.0),
+            log(col("cab").cast("double") * col("d") /
+              (col("cx").cast("double") * col("cy"))))).as("ppmi"))
+      // top-20 of the corpus-wide pair list: TakeOrdered, not a window
+      sc.orderBy(col("cab").desc, col("wa"), col("wb")).limit(20)
+        .withColumn("rn", row_number().over(Window.partitionBy()
+          .orderBy(col("cab").desc, col("wa"), col("wb"))))
+        .select(col("rn"), col("wa"), col("wb"), col("cab"), col("ppmi"))
+        .orderBy("rn")
+    },
+
     // RAKE keyword extraction (Rose et al. 2010 — the classic
     // unsupervised keyphrase extractor): candidate phrases are the
     // maximal word runs between stopwords/punctuation; each word

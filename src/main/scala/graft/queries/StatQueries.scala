@@ -269,79 +269,6 @@ object StatQueries {
         r4(did / se).as("t_stat"))
     },
 
-    // Poisson bootstrap confidence interval (Chamandy et al. 2012 /
-    // Kleiner's big-data bootstrap family — THE distributed bootstrap:
-    // resampling a 100 TB corpus with replacement is impossible, but
-    // per-row independent Poisson(1) weights need one pass and no
-    // coordination). Fully deterministic: replicate b's weight for a
-    // row is Poisson-inverse-CDF'd from the engine-portable md5-window
-    // hash of (key, b) — the CDF thresholds are PRE-SCALED INTEGER
-    // literals at 2^24, so weight derivation is pure integer compares
-    // (no FP anywhere); replicate means are exact BIGINT
-    // weighted-cent sums; the CI bounds are order statistics of the
-    // 32 rounded replicate means. Scale: one exploded pass (corpus ×
-    // B narrow rows) into a 32-group aggregate with map-side partials.
-    q("ab_poisson_bootstrap",
-      """WITH r AS (SELECT l_orderkey, l_linenumber,
-        |             CAST(round(l_extendedprice * 100) AS BIGINT) cents
-        |           FROM lineitem),
-        |x AS (SELECT b.b, r.cents,
-        |        ('0x' || substr(md5(r.l_orderkey::VARCHAR || '_' ||
-        |           r.l_linenumber::VARCHAR || '_' || b.b::VARCHAR),
-        |           1, 6))::BIGINT h
-        |      FROM r CROSS JOIN (SELECT unnest(generate_series(1, 32)) b) b),
-        |w AS (SELECT b, cents,
-        |        (CASE WHEN h >= 6171992 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 12343985 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 15429982 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 16458647 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 16715813 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 16767247 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 16775819 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 16777044 THEN 1 ELSE 0 END)::BIGINT c
-        |      FROM x),
-        |reps AS (SELECT b, round(sum(c * cents)::DOUBLE / sum(c) / 100
-        |                       + 1e-9, 4) mu
-        |         FROM w GROUP BY b),
-        |rk AS (SELECT mu, row_number() OVER (ORDER BY mu) r FROM reps),
-        |pt AS (SELECT round(sum(cents)::DOUBLE / count(*) / 100
-        |                    + 1e-9, 4) est FROM r)
-        |SELECT (SELECT est FROM pt) AS mean_est,
-        |       (SELECT mu FROM rk WHERE r = 2) AS ci_lo,
-        |       (SELECT mu FROM rk WHERE r = 31) AS ci_hi,
-        |       32 AS n_replicates""") { c =>
-      val sp = c.spark
-      import sp.implicits._
-      val r = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      val reps = r.crossJoin(broadcast((1 to 32).toDF("b")))
-        .select(col("b"), col("cents"),
-          conv(substring(md5(concat_ws("_",
-            col("l_orderkey").cast("string"),
-            col("l_linenumber").cast("string"),
-            col("b").cast("string"))), 1, 6), 16, 10)
-            .cast("long").as("h"))
-        .select(col("b"), col("cents"),
-          Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
-            16767247L, 16775819L, 16777044L)
-            .map(t => when(col("h") >= t, 1L).otherwise(0L))
-            .reduce(_ + _).as("c"))
-        .groupBy("b")
-        .agg(r4(sum(col("c") * col("cents")).cast("double") /
-          sum(col("c")) / 100).as("mu"))
-      val pt = r.agg(r4(sum(col("cents")).cast("double") /
-        count(lit(1)) / 100).as("mean_est"))
-      // 32 replicate means are a model-sized relation; the order
-      // statistics collapse through two ordered limits, not a window
-      val lo = reps.orderBy(col("mu").asc).limit(2)
-        .agg(max(col("mu")).as("ci_lo"))
-      val hi = reps.orderBy(col("mu").desc).limit(2)
-        .agg(min(col("mu")).as("ci_hi"))
-      pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
-        .select(col("mean_est"), col("ci_lo"), col("ci_hi"),
-          lit(32).as("n_replicates"))
-    },
-
     // Autocorrelation function of the hourly value series, lags 1-6
     // (the Box-Jenkins identification tool beside ts_holt/ts_kalman):
     // r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)², expanded to the

@@ -25,6 +25,41 @@ object WindowQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Time-decayed engagement score (the recency-weighted aggregate
+    // every ranking/retention feature store carries): per user,
+    // Σ value·2^(−days_to_horizon) — a HALF-LIFE-OF-ONE-DAY decay
+    // chosen base-2 so every term is an EXACT dyadic rational
+    // (cents·2^(−k) via an integer shift, never pow()): all terms sit
+    // on the 2^(−31) lattice and their sum needs < 53 mantissa bits,
+    // so the aggregation is bit-exact and order-independent with no
+    // quantization step at all. One per-row projection + one hash
+    // aggregation.
+    q("win_time_decay",
+      """WITH e AS (SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) cents,
+        |    date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') dd
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |        sum(cents::DOUBLE / (1::BIGINT << least(dd, 31))) decv,
+        |        sum(cents)::BIGINT tot, count(*)::BIGINT n
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n, round(tot / 100.0 + 1e-9, 2) AS total,
+        |       round(decv / 100 + 1e-9, 6) AS decayed
+        |FROM s ORDER BY user_id""") { c =>
+      val e = c.events.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        datediff(lit("2024-01-31").cast("date"),
+          col("ts").cast("date")).as("dd"))
+      e.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("cents")).cast("double") / 100.0).as("total"),
+          r6(sum(col("cents").cast("double") /
+            expr("shiftleft(1L, cast(least(dd, 31) as int))"))
+            / 100).as("decayed"))
+        .select(col("user_id"), col("n"), col("total"), col("decayed"))
+        .orderBy("user_id")
+    },
+
     // Ranking family over a deterministic (unique-key-extended) order.
     q("win_rank",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
