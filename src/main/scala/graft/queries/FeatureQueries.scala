@@ -1135,5 +1135,51 @@ object FeatureQueries {
           r6(lit(1) - col("vr") / col("vy")).as("frac_explained"))
         .orderBy("hr")
     },
+
+    // Weight-of-Evidence / Information-Value screen (the credit-
+    // scoring categorical-predictor ranking; Siddiqi 2006): per
+    // order-priority category, WOE = ln((bad_i/B)/(good_i/G)) for
+    // bad = status 'F', and IV = Σ (bad_i/B − good_i/G)·WOE_i.
+    // Determinism: counts are exact integers; WOE's argument is ONE
+    // exact rational (bad_i·G)/(good_i·B) of BIGINT products cast to
+    // double (< 2^53, exact), so both engines ln() the same double and
+    // r6 absorbs the last-ulp libm skew; IV parts are rounded to the
+    // 1e-6 lattice BEFORE the 5-term total (each part exactly
+    // representable, so the window sum is order-exact). Scale shape:
+    // one hash aggregate → broadcast totals → 5-row window.
+    q("fe_woe_iv",
+      """WITH b AS (SELECT o_orderpriority cat,
+        |        count(*) FILTER (o_orderstatus = 'F')::BIGINT bad,
+        |        count(*) FILTER (o_orderstatus <> 'F')::BIGINT good
+        |      FROM orders GROUP BY 1),
+        |t AS (SELECT sum(bad)::BIGINT tb, sum(good)::BIGINT tg FROM b),
+        |k AS (SELECT cat, bad, good,
+        |        round(ln((bad * tg)::DOUBLE / (good * tb)) + 1e-9, 6)
+        |          woe, tb, tg
+        |      FROM b, t),
+        |p AS (SELECT cat, bad, good, woe,
+        |        round((bad::DOUBLE / tb - good::DOUBLE / tg) * woe
+        |              + 1e-9, 6) iv_part
+        |      FROM k)
+        |SELECT cat, bad, good, woe, iv_part,
+        |       round(sum(iv_part) OVER () + 1e-9, 4) AS iv
+        |FROM p ORDER BY cat""") { c =>
+      val b = c.orders.groupBy(col("o_orderpriority").as("cat"))
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("bad"),
+          sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+            .as("good"))
+      val t = b.agg(sum(col("bad")).as("tb"), sum(col("good")).as("tg"))
+      val woe = r6(log((col("bad") * col("tg")).cast("double") /
+        (col("good") * col("tb"))))
+      val p = b.crossJoin(broadcast(t))
+        .select(col("cat"), col("bad"), col("good"), woe.as("woe"),
+          r6((col("bad").cast("double") / col("tb") -
+            col("good").cast("double") / col("tg")) * woe).as("iv_part"))
+      p.withColumn("iv",
+          r4(sum(col("iv_part")).over(Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))))
+        .orderBy("cat")
+    },
   )
 }

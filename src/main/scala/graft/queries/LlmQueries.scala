@@ -2413,5 +2413,162 @@ object LlmQueries {
         .drop("nt")
         .orderBy("lang")
     },
+
+    // Dunning log-likelihood-ratio collocations (Dunning 1993 — the
+    // G² bigram-association test that beats PMI on sparse counts;
+    // beside text_ppmi's windowed association): per adjacent bigram,
+    // the 2×2 contingency G² = 2·Σ k_ij·ln(k_ij·N/(R_i·C_j)) from
+    // EXACT integer margins (k11 = bigram count, R = left-word bigram
+    // occurrences, C = right-word, N = corpus bigrams; all BIGINT
+    // products < 2^53, cast-exact). The 0·ln0 cells drop by CASE; the
+    // 4-term sum is one fixed expression tree so no FP order exists;
+    // r4 absorbs libm's last ulp. Top-20 selected by the INTEGER key
+    // (k11 DESC, w1, w2) — never by the FP statistic — with a count
+    // floor of 5. Scale shape: three hash aggregates over the bigram
+    // stream + broadcast N; top-k is TakeOrdered, never a global sort.
+    q("text_collocations",
+      """WITH tok AS (SELECT regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |bg AS (SELECT unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |           for i in generate_series(1, len(ts) - 1)],
+        |           recursive := true)
+        |       FROM tok WHERE len(ts) >= 2),
+        |bgc AS (SELECT w1, w2, count(*)::BIGINT k11 FROM bg
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |rw AS (SELECT w1, count(*)::BIGINT rr FROM bg GROUP BY 1),
+        |cw AS (SELECT w2, count(*)::BIGINT cc FROM bg GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT n FROM bg),
+        |top AS (SELECT bgc.w1, bgc.w2, k11, rr, cc, n
+        |        FROM bgc JOIN rw ON bgc.w1 = rw.w1
+        |                 JOIN cw ON bgc.w2 = cw.w2, nn
+        |        ORDER BY k11 DESC, bgc.w1, bgc.w2 LIMIT 20),
+        |g AS (SELECT w1, w2, k11, rr, cc, n,
+        |        k11 AS a11, (rr - k11) AS a12, (cc - k11) AS a21,
+        |        (n - rr - cc + k11) AS a22
+        |      FROM top)
+        |SELECT w1, w2, k11, rr AS r_w1, cc AS c_w2,
+        |       round(2 * (((CASE WHEN a11 = 0 THEN 0 ELSE
+        |           a11 * ln(a11::DOUBLE * n / (rr::DOUBLE * cc)) END
+        |         + CASE WHEN a12 = 0 THEN 0 ELSE
+        |           a12 * ln(a12::DOUBLE * n / (rr::DOUBLE * (n - cc))) END)
+        |         + CASE WHEN a21 = 0 THEN 0 ELSE
+        |           a21 * ln(a21::DOUBLE * n / ((n - rr)::DOUBLE * cc)) END)
+        |         + CASE WHEN a22 = 0 THEN 0 ELSE
+        |           a22 * ln(a22::DOUBLE * n
+        |                    / ((n - rr)::DOUBLE * (n - cc))) END)
+        |         + 1e-9, 4) AS g2
+        |FROM g ORDER BY k11 DESC, w1, w2""") { c =>
+      val toks = c.documents.select(
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val bg = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+        .filter(col("k11") >= 5)
+      val rw = bg.groupBy("w1").agg(count(lit(1)).as("rr"))
+      val cw = bg.groupBy("w2").agg(count(lit(1)).as("cc"))
+      val nn = bg.agg(count(lit(1)).as("n"))
+      val top = bgc.join(rw, "w1").join(cw, "w2")
+        .crossJoin(broadcast(nn))
+        .orderBy(col("k11").desc, col("w1"), col("w2")).limit(20)
+      def cell(k: org.apache.spark.sql.Column, row: org.apache.spark.sql.Column,
+          c2: org.apache.spark.sql.Column) =
+        when(k === 0, lit(0.0)).otherwise(
+          k * log(k.cast("double") * col("n") /
+            (row.cast("double") * c2)))
+      val a11 = col("k11")
+      val a12 = col("rr") - col("k11")
+      val a21 = col("cc") - col("k11")
+      val a22 = col("n") - col("rr") - col("cc") + col("k11")
+      val g2 = lit(2) * (((cell(a11, col("rr"), col("cc"))
+        + cell(a12, col("rr"), col("n") - col("cc")))
+        + cell(a21, col("n") - col("rr"), col("cc")))
+        + cell(a22, col("n") - col("rr"), col("n") - col("cc")))
+      top.select(col("w1"), col("w2"), col("k11"),
+          col("rr").as("r_w1"), col("cc").as("c_w2"), r4(g2).as("g2"))
+        .orderBy(col("k11").desc, col("w1"), col("w2"))
+    },
+
+    // Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    // 1998 — the retrieval re-ranker that trades relevance against
+    // redundancy, standard in RAG context selection): greedy k=4 over
+    // a top-12 relevance pool, score = λ·rel − (1−λ)·max cosine to the
+    // already-selected set, λ = 0.75 (dyadic). Determinism: every
+    // cosine is rounded to the 1e-6 lattice BEFORE any max/compare
+    // (the sim_topk contract), argmax ties break on vec_id, and the
+    // greedy steps are explicit — Spark iterates 4 model-sized joins
+    // over a localCheckpoint'd 12-row pool; the oracle unrolls the
+    // same 4 steps as CTEs. Scale shape: ONE corpus scan scores
+    // relevance (broadcast 1-row query vector); everything after runs
+    // on the 12-row pool, so corpus size only touches the scan.
+    q("sim_mmr",
+      """WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |c0 AS (SELECT vec_id id, embedding::DOUBLE[] v,
+        |         round(list_cosine_similarity(embedding::DOUBLE[], qv)
+        |               + 1e-9, 6) rel
+        |       FROM embeddings, q WHERE vec_id > 0),
+        |cand AS (SELECT * FROM c0 ORDER BY rel DESC, id LIMIT 12),
+        |s1 AS (SELECT id, v, rel, rel score, 1 step FROM cand
+        |       ORDER BY rel DESC, id LIMIT 1),
+        |m2 AS (SELECT c.id, c.v, c.rel,
+        |         round(0.75 * c.rel - 0.25 * (SELECT
+        |             max(round(list_cosine_similarity(c.v, s.v) + 1e-9, 6))
+        |           FROM s1 s) + 1e-9, 6) score
+        |       FROM cand c WHERE c.id NOT IN (SELECT id FROM s1)),
+        |s2 AS (SELECT id, v, rel, score, 2 step FROM m2
+        |       ORDER BY score DESC, id LIMIT 1),
+        |u2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |m3 AS (SELECT c.id, c.v, c.rel,
+        |         round(0.75 * c.rel - 0.25 * (SELECT
+        |             max(round(list_cosine_similarity(c.v, s.v) + 1e-9, 6))
+        |           FROM u2 s) + 1e-9, 6) score
+        |       FROM cand c WHERE c.id NOT IN (SELECT id FROM u2)),
+        |s3 AS (SELECT id, v, rel, score, 3 step FROM m3
+        |       ORDER BY score DESC, id LIMIT 1),
+        |u3 AS (SELECT * FROM u2 UNION ALL SELECT * FROM s3),
+        |m4 AS (SELECT c.id, c.v, c.rel,
+        |         round(0.75 * c.rel - 0.25 * (SELECT
+        |             max(round(list_cosine_similarity(c.v, s.v) + 1e-9, 6))
+        |           FROM u3 s) + 1e-9, 6) score
+        |       FROM cand c WHERE c.id NOT IN (SELECT id FROM u3)),
+        |s4 AS (SELECT id, v, rel, score, 4 step FROM m4
+        |       ORDER BY score DESC, id LIMIT 1),
+        |u4 AS (SELECT * FROM u3 UNION ALL SELECT * FROM s4)
+        |SELECT step::BIGINT AS step, id AS vec_id, rel,
+        |       score AS mmr_score
+        |FROM u4 ORDER BY step""") { c =>
+      val q0 = c.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cand = c.embeddings.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id").as("id"), col("embedding").as("v"),
+          r6(VectorSim.cosine(col("embedding"), col("qv"))).as("rel"))
+        .orderBy(col("rel").desc, col("id")).limit(12)
+        .localCheckpoint()
+      var sel = cand.orderBy(col("rel").desc, col("id")).limit(1)
+        .select(col("id"), col("v"), col("rel"),
+          col("rel").as("score"), lit(1L).as("step"))
+        .localCheckpoint()
+      for (step <- 2 to 4) {
+        val selV = sel.select(col("id").as("sid"), col("v").as("sv"))
+        val rem = cand.join(
+          selV.select(col("sid").as("id")), Seq("id"), "left_anti")
+        val msim = rem.crossJoin(broadcast(selV))
+          .groupBy("id")
+          .agg(max(r6(VectorSim.cosine(col("v"), col("sv")))).as("msim"))
+        val next = rem.join(msim, "id")
+          .select(col("id"), col("v"), col("rel"),
+            r6(lit(0.75) * col("rel") - lit(0.25) * col("msim"))
+              .as("score"), lit(step.toLong).as("step"))
+          .orderBy(col("score").desc, col("id")).limit(1)
+        sel = sel.union(next).localCheckpoint()
+      }
+      sel.select(col("step"), col("id").as("vec_id"), col("rel"),
+          col("score").as("mmr_score"))
+        .orderBy("step")
+    },
   )
 }

@@ -816,6 +816,115 @@ object PipelineQueries {
           ((lit(1.0) - pow(lit(0.7), size(col("ws")))) / 0.3)))
         .select("event_id", "user_id", "value", "ewma")
         .orderBy("event_id")
+    },
+
+    // Bradley–Terry preference-strength fit (Bradley & Terry 1952;
+    // Hunter 2004's MM algorithm — the model behind RLHF reward
+    // ranking and chess-style paired comparison): players are event
+    // types, and within each (user, day) two types compare by exact
+    // CENTS totals (higher spend wins; ties excluded — integer
+    // compare, never FP). Three pinned MM iterations
+    // p_i ← W_i / Σ_j n_ij/(p_i+p_j), sum-normalized each round.
+    // Determinism: the wins/games matrix is exact integers; every FP
+    // sum in the iterations runs through the pinned-order sorted fold
+    // (the text_lm_ppl device), so both engines evaluate the identical
+    // operation sequence. Scale shape: comparisons are a PER-KEY
+    // (user, day) self-join — never corpus × corpus — and the MM
+    // iterations run on the k×k player matrix (model-sized broadcast).
+    q("rank_bradley_terry",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) d, event_type et,
+        |             CAST(round(value * 100) AS BIGINT) c
+        |           FROM events),
+        |g AS (SELECT user_id, d, et, sum(c)::BIGINT c
+        |      FROM e GROUP BY 1, 2, 3),
+        |cmp AS (SELECT a.et i, b.et j,
+        |          CASE WHEN a.c > b.c THEN 1 ELSE 0 END win
+        |        FROM g a JOIN g b ON a.user_id = b.user_id
+        |          AND a.d = b.d AND a.et <> b.et AND a.c <> b.c),
+        |pr AS (SELECT i, j, count(*)::BIGINT n, sum(win)::BIGINT w
+        |       FROM cmp GROUP BY 1, 2),
+        |tw AS (SELECT i, sum(w)::BIGINT wins, sum(n)::BIGINT games
+        |       FROM pr GROUP BY 1),
+        |p0 AS (SELECT i, 1.0::DOUBLE p FROM tw),
+        |d1 AS (SELECT pr.i, list_reduce(
+        |         list(pr.n / (pa.p + pb.p) ORDER BY pr.j),
+        |         (a, x) -> a + x) den
+        |       FROM pr JOIN p0 pa ON pr.i = pa.i
+        |                JOIN p0 pb ON pr.j = pb.i GROUP BY pr.i),
+        |r1 AS (SELECT tw.i, tw.wins / d1.den pp
+        |       FROM tw JOIN d1 ON tw.i = d1.i),
+        |t1 AS (SELECT list_reduce(list(pp ORDER BY i),
+        |         (a, x) -> a + x) s FROM r1),
+        |p1 AS (SELECT i, pp / t1.s p FROM r1, t1),
+        |d2 AS (SELECT pr.i, list_reduce(
+        |         list(pr.n / (pa.p + pb.p) ORDER BY pr.j),
+        |         (a, x) -> a + x) den
+        |       FROM pr JOIN p1 pa ON pr.i = pa.i
+        |                JOIN p1 pb ON pr.j = pb.i GROUP BY pr.i),
+        |r2_ AS (SELECT tw.i, tw.wins / d2.den pp
+        |        FROM tw JOIN d2 ON tw.i = d2.i),
+        |t2 AS (SELECT list_reduce(list(pp ORDER BY i),
+        |         (a, x) -> a + x) s FROM r2_),
+        |p2 AS (SELECT i, pp / t2.s p FROM r2_, t2),
+        |d3 AS (SELECT pr.i, list_reduce(
+        |         list(pr.n / (pa.p + pb.p) ORDER BY pr.j),
+        |         (a, x) -> a + x) den
+        |       FROM pr JOIN p2 pa ON pr.i = pa.i
+        |                JOIN p2 pb ON pr.j = pb.i GROUP BY pr.i),
+        |r3 AS (SELECT tw.i, tw.wins / d3.den pp
+        |       FROM tw JOIN d3 ON tw.i = d3.i),
+        |t3 AS (SELECT list_reduce(list(pp ORDER BY i),
+        |         (a, x) -> a + x) s FROM r3),
+        |p3 AS (SELECT i, pp / t3.s p FROM r3, t3)
+        |SELECT tw.i AS event_type, tw.wins, tw.games,
+        |       round(p3.p + 1e-9, 6) AS strength,
+        |       row_number() OVER (ORDER BY round(p3.p + 1e-9, 6) DESC,
+        |                          tw.i) AS rnk
+        |FROM tw JOIN p3 ON tw.i = p3.i
+        |ORDER BY rnk""") { c =>
+      val ev = c.events.select(col("user_id"),
+        col("ts").cast("date").as("d"), col("event_type").as("et"),
+        round(col("value") * 100).cast("long").as("cts"))
+      val g = ev.groupBy("user_id", "d", "et")
+        .agg(sum(col("cts")).as("c"))
+      val a = g.select(col("user_id"), col("d"),
+        col("et").as("i"), col("c").as("ca"))
+      val b = g.select(col("user_id"), col("d"),
+        col("et").as("j"), col("c").as("cb"))
+      val cmp = a.join(b, Seq("user_id", "d"))
+        .filter(col("i") =!= col("j") && col("ca") =!= col("cb"))
+        .select(col("i"), col("j"),
+          when(col("ca") > col("cb"), 1L).otherwise(0L).as("win"))
+      val pr = cmp.groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum(col("win")).as("w"))
+        .localCheckpoint()
+      val tw = pr.groupBy("i")
+        .agg(sum(col("w")).as("wins"), sum(col("n")).as("games"))
+        .localCheckpoint()
+      def pinnedSum(key: org.apache.spark.sql.Column,
+          term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(key, term.as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t"))
+      var p = tw.select(col("i"), lit(1.0).as("p"))
+      for (_ <- 1 to 3) {
+        val pa = p.select(col("i"), col("p").as("pi"))
+        val pb = p.select(col("i").as("j"), col("p").as("pj"))
+        val den = pr.join(pa, "i").join(pb, "j")
+          .groupBy("i")
+          .agg(pinnedSum(col("j"),
+            col("n") / (col("pi") + col("pj"))).as("den"))
+        val r = tw.join(den, "i")
+          .select(col("i"), (col("wins") / col("den")).as("pp"))
+        val t = r.agg(pinnedSum(col("i"), col("pp")).as("s"))
+        p = r.crossJoin(broadcast(t))
+          .select(col("i"), (col("pp") / col("s")).as("p"))
+      }
+      tw.join(p, "i")
+        .select(col("i").as("event_type"), col("wins"), col("games"),
+          r6(col("p")).as("strength"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("strength").desc, col("event_type"))))
+        .orderBy("rnk")
     }
   )
 }

@@ -1308,5 +1308,64 @@ object StatQueries {
           (max(col("n")) + lit(1.0)) / max(col("n"))).as("gini"),
           max(col("n")).as("n_customers"))
     },
+
+    // One-way ANOVA F-test (Fisher 1925) of quantity across the three
+    // return-flag groups — the k-group generalization of stat_ab_ttest.
+    // Determinism device: the corpus pass produces EXACT integer
+    // moments per group (n, Σy, Σy² all BIGINT — quantity is integer-
+    // valued ≤ 50 so Σy² fits comfortably); the group frame is then
+    // pivoted to ONE row via the ab_did cell-extraction pattern, so
+    // the between/within sums of squares are a fixed explicit
+    // expression tree over identical doubles on both engines — no FP
+    // aggregation order exists anywhere. Scale shape: one hash
+    // aggregate → 3-row pivot; pure codegen at 100 TB.
+    q("stat_anova",
+      """WITH g AS (SELECT l_returnflag f, count(*)::BIGINT n,
+        |             sum(l_quantity::BIGINT)::BIGINT s,
+        |             sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT q
+        |           FROM lineitem GROUP BY 1),
+        |w AS (SELECT
+        |        max(n) FILTER (f = 'A') na, max(s) FILTER (f = 'A') sa,
+        |        max(q) FILTER (f = 'A') qa,
+        |        max(n) FILTER (f = 'N') nb, max(s) FILTER (f = 'N') sb,
+        |        max(q) FILTER (f = 'N') qb,
+        |        max(n) FILTER (f = 'R') nc, max(s) FILTER (f = 'R') sc,
+        |        max(q) FILTER (f = 'R') qc
+        |      FROM g),
+        |d AS (SELECT (na + nb + nc)::BIGINT n,
+        |        ((sa::DOUBLE * sa / na + sb::DOUBLE * sb / nb)
+        |          + sc::DOUBLE * sc / nc) cg,
+        |        (sa + sb + sc)::DOUBLE t, (qa + qb + qc)::DOUBLE q
+        |      FROM w)
+        |SELECT n, 3::BIGINT AS k,
+        |       round(cg - t * t / n + 1e-9, 4) AS ss_between,
+        |       round(q - cg + 1e-9, 4) AS ss_within,
+        |       round(((cg - t * t / n) / 2)
+        |             / ((q - cg) / (n - 3)) + 1e-9, 6) AS f_stat
+        |FROM d""") { c =>
+      val y = col("l_quantity").cast("long")
+      val g = c.lineitem.groupBy(col("l_returnflag").as("f"))
+        .agg(count(lit(1)).as("n"), sum(y).as("s"), sum(y * y).as("q"))
+      val cell = (f: String, cn: String) =>
+        max(when(col("f") === f, col(cn)))
+      val w = g.agg(
+        cell("A", "n").as("na"), cell("A", "s").as("sa"),
+        cell("A", "q").as("qa"),
+        cell("N", "n").as("nb"), cell("N", "s").as("sb"),
+        cell("N", "q").as("qb"),
+        cell("R", "n").as("nc"), cell("R", "s").as("sc"),
+        cell("R", "q").as("qc"))
+      val cg = (col("sa").cast("double") * col("sa") / col("na") +
+        col("sb").cast("double") * col("sb") / col("nb")) +
+        col("sc").cast("double") * col("sc") / col("nc")
+      val n = (col("na") + col("nb") + col("nc")).cast("long")
+      val t = (col("sa") + col("sb") + col("sc")).cast("double")
+      val qq = (col("qa") + col("qb") + col("qc")).cast("double")
+      val ssb = cg - t * t / n
+      val ssw = qq - cg
+      w.select(n.as("n"), lit(3L).as("k"),
+        r4(ssb).as("ss_between"), r4(ssw).as("ss_within"),
+        r6((ssb / 2) / (ssw / (n - lit(3)))).as("f_stat"))
+    },
   )
 }
