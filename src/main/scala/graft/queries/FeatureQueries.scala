@@ -1181,5 +1181,54 @@ object FeatureQueries {
             Window.unboundedPreceding, Window.unboundedFollowing))))
         .orderBy("cat")
     },
+
+    // MASE-style scaled forecast-error ratio (Hyndman & Koehler 2006
+    // — the scale-free accuracy metric): per user series, mean
+    // absolute 1-step naive error |y_t − y_{t−1}| scaled by the
+    // season-4 naive error |y_t − y_{t−4}|. Every |Δ| is an exact
+    // CENTS BIGINT from per-key window lags, so the ratio is ONE
+    // double division of exact integer products s1·n4/(n1·s4).
+    // Scale shape: per-key window lags + one hash aggregate.
+    q("ts_mase",
+      """WITH s AS (SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) c,
+        |    lag(CAST(round(value * 100) AS BIGINT), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) c1,
+        |    lag(CAST(round(value * 100) AS BIGINT), 4) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) c4
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |        sum(abs(c - c1)) FILTER (c1 IS NOT NULL)::BIGINT s1,
+        |        count(*) FILTER (c1 IS NOT NULL)::BIGINT n1,
+        |        sum(abs(c - c4)) FILTER (c4 IS NOT NULL)::BIGINT s4,
+        |        count(*) FILTER (c4 IS NOT NULL)::BIGINT n4
+        |      FROM s GROUP BY 1
+        |      HAVING count(*) FILTER (c4 IS NOT NULL) > 0
+        |         AND sum(abs(c - c4)) FILTER (c4 IS NOT NULL) > 0)
+        |SELECT user_id, n1, n4,
+        |       round(s1 / 100.0 / n1 + 1e-9, 4) AS mae_naive1,
+        |       round(s4 / 100.0 / n4 + 1e-9, 4) AS mae_naive4,
+        |       round((s1::DOUBLE * n4) / (n1::DOUBLE * s4) + 1e-9, 6)
+        |         AS mase
+        |FROM g ORDER BY user_id""") { c =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cents = round(col("value") * 100).cast("long")
+      val s = c.events.select(col("user_id"), cents.as("c"),
+        lag(cents, 1).over(w).as("c1"), lag(cents, 4).over(w).as("c4"))
+      s.groupBy("user_id")
+        .agg(sum(when(col("c1").isNotNull, abs(col("c") - col("c1"))))
+            .as("s1"),
+          count(col("c1")).as("n1"),
+          sum(when(col("c4").isNotNull, abs(col("c") - col("c4"))))
+            .as("s4"),
+          count(col("c4")).as("n4"))
+        .filter(col("n4") > 0 && col("s4") > 0)
+        .select(col("user_id"), col("n1"), col("n4"),
+          r4(col("s1") / 100.0 / col("n1")).as("mae_naive1"),
+          r4(col("s4") / 100.0 / col("n4")).as("mae_naive4"),
+          r6((col("s1").cast("double") * col("n4")) /
+            (col("n1").cast("double") * col("s4"))).as("mase"))
+        .orderBy("user_id")
+    },
   )
 }

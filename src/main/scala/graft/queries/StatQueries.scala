@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.Positional
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 statistical-testing tier: the A/B-experiment readouts
@@ -1366,6 +1367,127 @@ object StatQueries {
       w.select(n.as("n"), lit(3L).as("k"),
         r4(ssb).as("ss_between"), r4(ssw).as("ss_within"),
         r6((ssb / 2) / (ssw / (n - lit(3)))).as("f_stat"))
+    },
+
+    // Wald–Wolfowitz runs test (1940) for serial randomness: per user,
+    // the binary purchase/non-purchase event sequence's run count R vs
+    // its null mean μ = 1 + 2·n1·n2/n and variance
+    // 2·n1·n2·(2·n1·n2 − n)/(n²(n−1)). All inputs are exact integers
+    // (R from a per-key lag compare, n1/n2 plain counts), so z is one
+    // fixed expression tree over identical doubles. Scale shape:
+    // per-key window lag + one hash aggregate — no global order.
+    q("stat_runs_test",
+      """WITH s AS (SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END b,
+        |    CASE WHEN lag(CASE WHEN event_type = 'purchase' THEN 1
+        |                       ELSE 0 END) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM
+        |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |    THEN 1 ELSE 0 END brk
+        |  FROM events),
+        |g AS (SELECT user_id, sum(b)::BIGINT n1,
+        |        (count(*) - sum(b))::BIGINT n2,
+        |        sum(brk)::BIGINT runs, count(*)::BIGINT n
+        |      FROM s GROUP BY 1
+        |      HAVING sum(b) > 0 AND count(*) - sum(b) > 0)
+        |SELECT user_id, n1, n2, runs,
+        |       round((runs - (1 + 2.0 * n1 * n2 / n)) /
+        |         sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n)
+        |              / (n * n::DOUBLE * (n - 1))) + 1e-9, 4) AS z
+        |FROM g ORDER BY user_id""") { c =>
+      val b = when(col("event_type") === "purchase", 1).otherwise(0)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val s = c.events.select(col("user_id"), b.as("b"),
+        when(lag(b, 1).over(w).isNull ||
+          lag(b, 1).over(w) =!= b, 1).otherwise(0).as("brk"))
+      val g = s.groupBy("user_id")
+        .agg(sum(col("b")).as("n1"),
+          (count(lit(1)) - sum(col("b"))).as("n2"),
+          sum(col("brk")).as("runs"), count(lit(1)).as("n"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+      val mu = lit(1) + lit(2.0) * col("n1") * col("n2") / col("n")
+      val vr = lit(2.0) * col("n1") * col("n2") *
+        (lit(2) * col("n1") * col("n2") - col("n")) /
+        (col("n") * col("n").cast("double") * (col("n") - 1))
+      g.select(col("user_id"), col("n1"), col("n2"), col("runs"),
+          r4((col("runs") - mu) / sqrt(vr)).as("z"))
+        .orderBy("user_id")
+    },
+
+    // Growth accounting (the standard new/retained/resurrected/churned
+    // weekly decomposition of active users — the a16z/Reforge DAU-MAU
+    // bookkeeping): per ISO-ish week (days since 2024-01-01, div 7),
+    // actives split by first-seen week and prior-week activity;
+    // churned(w) = active in w−1 but not w. All set logic on exact
+    // (user, week) DISTINCT frames — joins and counts only, nothing
+    // FP. Scale shape: one distinct → self equi-joins on (user, w±1)
+    // + a broadcast first-seen min — all shuffle-partitioned on user.
+    q("events_growth_accounting",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 w
+        |  FROM events),
+        |f AS (SELECT user_id, min(w) fw FROM a GROUP BY 1),
+        |cls AS (SELECT a.user_id, a.w,
+        |    CASE WHEN a.w = f.fw THEN 'new'
+        |         WHEN p.user_id IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END st
+        |  FROM a JOIN f ON a.user_id = f.user_id
+        |  LEFT JOIN a p ON a.user_id = p.user_id AND p.w = a.w - 1),
+        |ch AS (SELECT a.w + 1 w, count(*)::BIGINT churned
+        |       FROM a LEFT JOIN a nx
+        |         ON a.user_id = nx.user_id AND nx.w = a.w + 1
+        |       WHERE nx.user_id IS NULL GROUP BY 1),
+        |g AS (SELECT w,
+        |        count(*) FILTER (st = 'new')::BIGINT new_users,
+        |        count(*) FILTER (st = 'retained')::BIGINT retained,
+        |        count(*) FILTER (st = 'resurrected')::BIGINT resurrected,
+        |        count(*)::BIGINT active
+        |      FROM cls GROUP BY 1)
+        |SELECT g.w::BIGINT AS week, g.new_users, g.retained,
+        |       g.resurrected, COALESCE(ch.churned, 0)::BIGINT AS churned,
+        |       g.active
+        |FROM g LEFT JOIN ch ON g.w = ch.w
+        |WHERE g.w <= (SELECT max(w) FROM a)
+        |ORDER BY week""") { c =>
+      // one corpus scan: the distinct (user, week) frame is tiny
+      // relative to events and feeds four consumers — materialize it
+      val a = c.events.select(col("user_id"),
+          floor(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")) / 7).cast("long").as("w"))
+        .distinct()
+        .localCheckpoint()
+      val f = a.groupBy("user_id").agg(min(col("w")).as("fw"))
+      val prev = a.select(col("user_id"), (col("w") + 1).as("w"),
+        lit(1).as("was_prev"))
+      val cls = a.join(f, "user_id")
+        .join(prev, Seq("user_id", "w"), "left")
+        .select(col("w"),
+          when(col("w") === col("fw"), "new")
+            .when(col("was_prev").isNotNull, "retained")
+            .otherwise("resurrected").as("st"))
+      val nxt = a.select(col("user_id"), (col("w") - 1).as("w"),
+        lit(1).as("has_next"))
+      val ch = a.join(nxt, Seq("user_id", "w"), "left")
+        .filter(col("has_next").isNull)
+        .groupBy((col("w") + 1).as("w"))
+        .agg(count(lit(1)).as("churned"))
+      val g = cls.groupBy("w")
+        .agg(sum(when(col("st") === "new", 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("st") === "retained", 1L).otherwise(0L))
+            .as("retained"),
+          sum(when(col("st") === "resurrected", 1L).otherwise(0L))
+            .as("resurrected"),
+          count(lit(1)).as("active"))
+      val maxW = a.agg(max(col("w")).as("mw"))
+      g.join(ch, Seq("w"), "left")
+        .crossJoin(broadcast(maxW))
+        .filter(col("w") <= col("mw"))
+        .select(col("w").as("week"), col("new_users"), col("retained"),
+          col("resurrected"),
+          coalesce(col("churned"), lit(0L)).as("churned"), col("active"))
+        .orderBy("week")
     },
   )
 }

@@ -389,6 +389,64 @@ object WindowQueries {
     // the frame's collect_list — bounded state (frame size), exact
     // doubles, and partial leading frames excluded so the odd-count
     // middle is well-defined on both engines.
+    // Bollinger bands (Bollinger 1980s — rolling mean ± 2σ envelope,
+    // the canonical rolling-volatility feature): per user, a 20-row
+    // window over integer CENTS gives exact Σc and Σc² (BIGINT window
+    // sums), so mid, the population σ and %B are fixed expression
+    // trees over exact integers — the only FP is the final sqrt /
+    // divisions, identical on both engines. Rows reported only at
+    // full windows (n = 20). Scale shape: one per-key window, no
+    // global order.
+    q("win_bollinger",
+      """WITH v AS (SELECT event_id, user_id,
+        |    CAST(round(value * 100) AS BIGINT) c,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) rn
+        |  FROM events WHERE user_id < 30),
+        |w AS (SELECT event_id, user_id, c, rn,
+        |        (sum(c) OVER fr)::BIGINT s,
+        |        (sum(c::HUGEINT * c) OVER fr)::DOUBLE q
+        |      FROM v WINDOW fr AS (PARTITION BY user_id ORDER BY rn
+        |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT event_id, user_id, c, s, q,
+        |        s / 2000.0 mid,
+        |        sqrt(20 * q - s::DOUBLE * s) / 2000.0 sd
+        |      FROM w WHERE rn >= 20)
+        |SELECT event_id, user_id, round(c / 100.0 + 1e-9, 2) AS value,
+        |       round(mid + 1e-9, 4) AS mid,
+        |       round(mid + 2 * sd + 1e-9, 4) AS upper,
+        |       round(mid - 2 * sd + 1e-9, 4) AS lower,
+        |       round(CASE WHEN sd = 0 THEN 0.5 ELSE
+        |         (c / 100.0 - (mid - 2 * sd)) / (4 * sd) END
+        |         + 1e-9, 6) AS pct_b
+        |FROM b ORDER BY event_id""") { c =>
+      val cents = round(col("value") * 100).cast("long")
+      val v = c.events.filter(col("user_id") < 30)
+        .select(col("event_id"), col("user_id"), col("ts"), cents.as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .drop("ts")
+      val fr = Window.partitionBy("user_id").orderBy("rn")
+        .rowsBetween(-19, Window.currentRow)
+      val w = v.select(col("event_id"), col("user_id"), col("c"),
+        col("rn"), sum(col("c")).over(fr).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).over(fr)
+          .cast("double").as("q"))
+      val mid = col("s") / 2000.0
+      val sd = sqrt(lit(20) * col("q") -
+        col("s").cast("double") * col("s")) / 2000.0
+      w.filter(col("rn") >= 20)
+        .select(col("event_id"), col("user_id"),
+          r2(col("c") / 100.0).as("value"),
+          r4(mid).as("mid"),
+          r4(mid + lit(2) * sd).as("upper"),
+          r4(mid - lit(2) * sd).as("lower"),
+          r6(when(sd === 0, 0.5).otherwise(
+            (col("c") / 100.0 - (mid - lit(2) * sd)) / (lit(4) * sd)))
+            .as("pct_b"))
+        .orderBy("event_id")
+    },
+
     q("win_rolling_median",
       """WITH v AS (SELECT event_id, user_id, value,
         |                  row_number() OVER (PARTITION BY user_id
