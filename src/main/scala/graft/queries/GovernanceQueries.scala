@@ -621,5 +621,61 @@ object GovernanceQueries {
             .as("cardinality_ratio"))
         .orderBy("col")
     },
+
+    // Shewhart X-bar control chart (Shewhart 1931 — the SPC screen
+    // behind every pipeline-health dashboard): hourly subgroup means
+    // of event value vs 3σ control limits from the between-subgroup
+    // spread. Determinism: each subgroup mean is quantized to
+    // MICRO-CENTS by pure integer half-up division
+    // (2·s·10⁴ + n) // (2n), so the k-subgroup moments are exact
+    // integers; CL/σ/limits are one fixed double tree, and the
+    // out-of-control flag compares ROUNDED values on both engines
+    // (the borderline-row lesson). Scale shape: one corpus hash
+    // aggregate → hour-count-sized frame + broadcast stats.
+    q("dq_control_chart",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |    count(*)::BIGINT n,
+        |    sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT s
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT hb, n, (2 * s * 10000 + n) // (2 * n) mm FROM h),
+        |st AS (SELECT count(*)::BIGINT k, sum(mm)::BIGINT sm,
+        |         (sum(mm::HUGEINT * mm))::DOUBLE qm
+        |       FROM m),
+        |d AS (SELECT hb, n, mm, k, sm, qm,
+        |        sm::DOUBLE / k / 1000000 cl,
+        |        sqrt((k * qm - sm::DOUBLE * sm) / (k::DOUBLE * k * (k - 1)))
+        |          / 1000000 sd
+        |      FROM m, st)
+        |SELECT hb AS hour, n, round(mm / 1000000.0 + 1e-9, 4) AS xbar,
+        |       round(cl + 1e-9, 4) AS cl,
+        |       round(cl + 3 * sd + 1e-9, 4) AS ucl,
+        |       round(cl - 3 * sd + 1e-9, 4) AS lcl,
+        |       (round(abs(mm / 1000000.0 - cl) + 1e-9, 4) >
+        |        round(3 * sd + 1e-9, 4)) AS out_of_control
+        |FROM d ORDER BY hour""") { c =>
+      val h = c.events.select(
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cv"))
+        .groupBy("hb")
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("s"))
+      val m = h.select(col("hb"), col("n"),
+        expr("(2 * s * 10000 + n) div (2 * n)").as("mm"))
+      val st = m.agg(count(lit(1)).as("k"), sum(col("mm")).as("sm"),
+        sum(col("mm").cast("decimal(38,0)") * col("mm")).cast("double")
+          .as("qm"))
+      val cl = col("sm").cast("double") / col("k") / 1000000
+      val sd = sqrt((col("k") * col("qm") -
+        col("sm").cast("double") * col("sm")) /
+        (col("k").cast("double") * col("k") * (col("k") - 1))) / 1000000
+      m.crossJoin(broadcast(st))
+        .select(col("hb").as("hour"), col("n"),
+          r4(col("mm") / 1000000.0).as("xbar"),
+          r4(cl).as("cl"),
+          r4(cl + lit(3) * sd).as("ucl"),
+          r4(cl - lit(3) * sd).as("lcl"),
+          (r4(abs(col("mm") / 1000000.0 - cl)) > r4(lit(3) * sd))
+            .as("out_of_control"))
+        .orderBy("hour")
+    },
   )
 }

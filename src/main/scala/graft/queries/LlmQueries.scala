@@ -2491,6 +2491,154 @@ object LlmQueries {
         .orderBy(col("k11").desc, col("w1"), col("w2"))
     },
 
+    // Interpolated Kneser–Ney bigram LM perplexity (Kneser & Ney 1995;
+    // Chen & Goodman 1999's benchmark winner — the smoothing tier
+    // above text_lm_ppl's add-one and text_lm_backoff's stupid
+    // backoff): P(w2|w1) = (c−D)/c(w1) + D·N1+(w1·)/c(w1) ·
+    // N1+(·w2)/|bigram types|, discount D = 0.75 (DYADIC, so c−D is
+    // exact). Every count is an exact integer; the per-doc NLL sum
+    // rides the pinned-order sorted fold (the text_lm_ppl device).
+    // All model-train bigrams have c ≥ 1, so the max(·,0) branch of
+    // the discount never fires and is omitted. Scale shape: the same
+    // shuffles as text_lm_ppl plus two type-count aggregates.
+    q("text_lm_kneser_ney",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                for i in generate_series(1, len(ts) - 1)],
+        |                recursive := true)
+        |       FROM tok WHERE len(ts) >= 2),
+        |bgc AS (SELECT w1, w2, count(*) c FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) cw FROM bg GROUP BY 1),
+        |n1f AS (SELECT w1, count(*)::BIGINT nf FROM bgc GROUP BY 1),
+        |n1b AS (SELECT w2, count(*)::BIGINT nb2 FROM bgc GROUP BY 1),
+        |tt AS (SELECT count(*)::BIGINT t FROM bgc),
+        |db AS (SELECT doc_id, w1, w2, count(*) cnt FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.doc_id, sum(d.cnt)::BIGINT nb,
+        |              list_reduce(
+        |                list(d.cnt * -ln((bgc.c - 0.75) / ctx.cw
+        |                       + 0.75 * n1f.nf / ctx.cw * (n1b.nb2 / tt.t))
+        |                     ORDER BY d.w1, d.w2),
+        |                (a, x) -> a + x) snll
+        |       FROM db d
+        |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
+        |       JOIN ctx ON d.w1 = ctx.w1
+        |       JOIN n1f ON d.w1 = n1f.w1
+        |       JOIN n1b ON d.w2 = n1b.w2
+        |       CROSS JOIN tt
+        |       GROUP BY 1)
+        |SELECT doc_id, nb AS n_bigrams,
+        |       round(snll / nb + 1e-9, 4) AS ln_ppl,
+        |       round(exp(round(snll / nb + 1e-9, 4)) + 1e-9, 2) AS ppl
+        |FROM sc ORDER BY doc_id""") { c =>
+      val toks = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val bg = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val n1f = bgc.groupBy("w1").agg(count(lit(1)).as("nf"))
+      val n1b = bgc.groupBy("w2").agg(count(lit(1)).as("nb2"))
+      val tt = bgc.agg(count(lit(1)).as("t"))
+      val db = bg.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("cnt"))
+      val p = (col("c") - 0.75) / col("cw") +
+        lit(0.75) * col("nf") / col("cw") * (col("nb2") / col("t"))
+      val nll = col("cnt").cast("double") * -log(p)
+      val lnPpl = r4(col("snll") / col("n_bigrams"))
+      db.join(bgc, Seq("w1", "w2"))
+        .join(ctx, Seq("w1"))
+        .join(n1f, Seq("w1"))
+        .join(n1b, Seq("w2"))
+        .crossJoin(broadcast(tt))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          aggregate(
+            array_sort(collect_list(struct(col("w1"), col("w2"),
+              nll.as("nll")))),
+            lit(0.0), (a, x) => a + x.getField("nll")).as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          lnPpl.as("ln_ppl"), r2(exp(lnPpl)).as("ppl"))
+        .orderBy("doc_id")
+    },
+
+    // Heaps'-law vocabulary-growth fit (Heaps 1978 / Herdan): V(n) =
+    // K·n^β over the doc_id-ordered corpus prefix — the curation
+    // diagnostic for vocabulary saturation (β ≪ 1 ⇒ dedup-heavy or
+    // templated text). Distributed shape: first occurrences via a
+    // term-keyed min aggregate (never a sequential scan), cumulative
+    // (tokens, new-terms) via Positional's range-bucketed cumsums, and
+    // the log-log OLS runs on per-row MICRO-QUANTIZED ln values
+    // (1e-6 lattice BIGINTs) so the moment sums are exact integers —
+    // β and K are one fixed double tree at the end.
+    q("text_heaps_fit",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |td AS (SELECT doc_id, len(ts)::BIGINT ntok FROM tok
+        |       WHERE len(ts) >= 1),
+        |wd AS (SELECT doc_id, unnest(ts) w FROM tok),
+        |fo AS (SELECT w, min(doc_id) fdoc FROM wd GROUP BY 1),
+        |nt AS (SELECT fdoc doc_id, count(*)::BIGINT nnew FROM fo
+        |       GROUP BY 1),
+        |d AS (SELECT td.doc_id, td.ntok, COALESCE(nt.nnew, 0)::BIGINT nnew
+        |      FROM td LEFT JOIN nt ON td.doc_id = nt.doc_id),
+        |cum AS (SELECT doc_id,
+        |          (sum(ntok) OVER (ORDER BY doc_id))::BIGINT nn,
+        |          (sum(nnew) OVER (ORDER BY doc_id))::BIGINT vv
+        |        FROM d),
+        |pts AS (SELECT CAST(round(ln(nn) * 1000000 + 1e-3) AS BIGINT) x,
+        |               CAST(round(ln(vv) * 1000000 + 1e-3) AS BIGINT) y,
+        |               nn, vv FROM cum),
+        |mo AS (SELECT count(*)::BIGINT kd, sum(x)::BIGINT sx,
+        |         sum(y)::BIGINT sy,
+        |         (sum(x::HUGEINT * y))::DOUBLE sxy,
+        |         (sum(x::HUGEINT * x))::DOUBLE sxx,
+        |         max(nn)::BIGINT tt, max(vv)::BIGINT vb FROM pts),
+        |f AS (SELECT kd, tt, vb, sx, sy,
+        |        (kd * sxy - sx::DOUBLE * sy)
+        |          / (kd * sxx - sx::DOUBLE * sx) beta
+        |      FROM mo)
+        |SELECT kd AS n_docs, tt AS total_tokens, vb AS vocab,
+        |       round(beta + 1e-9, 6) AS beta,
+        |       round(exp((sy - beta * sx) / kd / 1000000.0) + 1e-9, 4)
+        |         AS k_coef
+        |FROM f""") { c =>
+      val toks = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val td = toks.filter(size(col("ts")) >= 1)
+        .select(col("doc_id"), size(col("ts")).cast("long").as("ntok"))
+      val wd = toks.select(col("doc_id"), explode(col("ts")).as("w"))
+      val nt = wd.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nnew"))
+      val d = td.join(nt, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("nnew"))
+      val cum = graft.ops.Positional.withCumSums(d, Seq(col("doc_id")),
+          Seq(col("ntok") -> "n_lt", col("nnew") -> "v_lt"))
+        .select((col("n_lt") + col("ntok")).as("nn"),
+          (col("v_lt") + col("nnew")).as("vv"))
+      val pts = cum.select(
+        round(log(col("nn")) * 1000000 + lit(1e-3)).cast("long").as("x"),
+        round(log(col("vv")) * 1000000 + lit(1e-3)).cast("long").as("y"),
+        col("nn"), col("vv"))
+      val mo = pts.agg(count(lit(1)).as("kd"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).cast("double")
+          .as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).cast("double")
+          .as("sxx"),
+        max(col("nn")).as("tt"), max(col("vv")).as("vb"))
+      val beta = (col("kd") * col("sxy") -
+        col("sx").cast("double") * col("sy")) /
+        (col("kd") * col("sxx") - col("sx").cast("double") * col("sx"))
+      mo.select(col("kd").as("n_docs"), col("tt").as("total_tokens"),
+        col("vb").as("vocab"), r6(beta).as("beta"),
+        r4(exp((col("sy") - beta * col("sx")) / col("kd") / 1000000.0))
+          .as("k_coef"))
+    },
+
     // Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
     // 1998 — the retrieval re-ranker that trades relevance against
     // redundancy, standard in RAG context selection): greedy k=4 over
