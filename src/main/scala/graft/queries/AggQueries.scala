@@ -481,5 +481,67 @@ object AggQueries {
         .agg(r2(min(col("v"))).as("weighted_median"),
           r2(max(col("tw"))).as("total_weight"))
     },
+
+    // HyperLogLog from first principles (Flajolet et al. 2007) as a
+    // DISTRIBUTED query — the white-box companion to
+    // agg_approx_distinct's built-in sketch, and the mergeable-state
+    // shape a 100 TB pipeline ships between stages: 256 registers from
+    // the portable md5 hash (register = hex window [1,2]; rank input =
+    // the DISJOINT 56-bit window [3,16], so register and rank are
+    // independent), ρ = first-1-bit position via exact STRING ops
+    // (lpad(bin(v)) — no FP log2 near power-of-2 boundaries), register
+    // maxima by hash aggregation, and the 2^(−M) harmonic sum over the
+    // fixed 256-row frame through the pinned-order fold. Empty
+    // registers contribute 2⁰ via a generate_series outer join. The
+    // small-range linear-counting branch never fires at these
+    // cardinalities (est ≫ 2.5·m) and is omitted — raw estimate only.
+    q("agg_hll_custom",
+      """WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) hx
+        |           FROM lineitem),
+        |rv AS (SELECT ('0x' || substr(hx, 1, 2))::BIGINT reg,
+        |              ('0x' || substr(hx, 3, 14))::BIGINT v
+        |       FROM h),
+        |rr AS (SELECT reg, max(CASE WHEN v = 0 THEN 57
+        |                ELSE strpos(lpad(bin(v), 56, '0'), '1') END) mx
+        |       FROM rv GROUP BY 1),
+        |regs AS (SELECT gs.g reg, COALESCE(rr.mx, 0) mx
+        |         FROM (SELECT unnest(generate_series(0, 255)) g) gs
+        |         LEFT JOIN rr ON gs.g = rr.reg),
+        |s AS (SELECT list_reduce(list(pow(2.0, -mx) ORDER BY reg),
+        |               (a, x) -> a + x) hs,
+        |        count(*) FILTER (mx = 0)::BIGINT zeros
+        |      FROM regs),
+        |ex AS (SELECT count(DISTINCT l_partkey)::BIGINT n_exact
+        |       FROM lineitem)
+        |SELECT 256::BIGINT AS m, n_exact, zeros,
+        |       round(0.7213 / (1 + 1.079 / 256) * 256 * 256 / hs
+        |             + 1e-9, 2) AS estimate,
+        |       round((0.7213 / (1 + 1.079 / 256) * 256 * 256 / hs
+        |              - n_exact) / n_exact + 1e-9, 6) AS rel_err
+        |FROM s, ex""") { c =>
+      val h = c.lineitem.select(
+        md5(col("l_partkey").cast("string")).as("hx"))
+      val rv = h.select(
+        conv(substring(col("hx"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("hx"), 3, 14), 16, 10).cast("long").as("v"))
+      val rr = rv.groupBy("reg").agg(
+        max(when(col("v") === 0, 57).otherwise(
+          instr(lpad(bin(col("v")), 56, "0"), "1"))).as("mx"))
+      val regs = c.spark.range(256).toDF("reg")
+        .join(rr, Seq("reg"), "left").na.fill(0, Seq("mx"))
+      val s = regs.agg(
+        aggregate(array_sort(collect_list(struct(col("reg"),
+            pow(lit(2.0), -col("mx")).as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("hs"),
+        sum(when(col("mx") === 0, 1L).otherwise(0L)).as("zeros"))
+      val ex = c.lineitem.agg(
+        countDistinct(col("l_partkey")).as("n_exact"))
+      val est = lit(0.7213) / (lit(1) + lit(1.079) / 256) *
+        lit(256) * lit(256) / col("hs")
+      s.crossJoin(broadcast(ex))
+        .select(lit(256L).as("m"), col("n_exact"), col("zeros"),
+          r2(est).as("estimate"),
+          r6((est - col("n_exact")) / col("n_exact")).as("rel_err"))
+    },
   )
 }

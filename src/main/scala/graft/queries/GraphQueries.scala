@@ -316,5 +316,53 @@ object GraphQueries {
         .orderBy("community")
       out
     },
+
+    // Two-hop reach (friends-of-friends count — the classic social /
+    // co-occurrence expansion feature and the cheapest link-prediction
+    // candidate generator): per node of the heavy-co-purchase part
+    // graph, the number of distinct nodes EXACTLY two hops away
+    // (reachable via a shared neighbor, not a direct neighbor, not
+    // self). Pure integer set logic: undirected edge list → one
+    // self-join through the middle node → distinct → anti-join out
+    // the 1-hop neighborhood. Top-20 by (reach DESC, node). Scale
+    // shape: equi-joins partitioned on the middle node; the quantity
+    // filter keeps the wedge fan-out hub-safe (the graph_triangles
+    // construction).
+    q("graph_two_hop",
+      """WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
+        |                   greatest(a.l_partkey, b.l_partkey) v
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_partkey < b.l_partkey
+        |              AND a.l_quantity > 40 AND b.l_quantity > 40),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |h2 AS (SELECT DISTINCT e1.u a, e2.v c
+        |       FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |       WHERE e2.v <> e1.u),
+        |x AS (SELECT h2.a, h2.c FROM h2
+        |      LEFT JOIN e ON h2.a = e.u AND h2.c = e.v
+        |      WHERE e.u IS NULL),
+        |r AS (SELECT a node, count(*)::BIGINT reach2 FROM x GROUP BY 1)
+        |SELECT node, reach2 FROM r
+        |ORDER BY reach2 DESC, node LIMIT 20""") { c =>
+      val pick = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = pick.as("a")
+        .join(pick.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      val h2 = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .filter(col("e2.v") =!= col("e1.u"))
+        .select(col("e1.u").as("a"), col("e2.v").as("c"))
+        .distinct()
+      val x = h2.join(e,
+          h2("a") === e("u") && h2("c") === e("v"), "left_anti")
+      x.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("reach2"))
+        .orderBy(col("reach2").desc, col("node")).limit(20)
+    },
   )
 }

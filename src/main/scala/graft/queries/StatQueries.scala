@@ -1415,6 +1415,101 @@ object StatQueries {
         .orderBy("user_id")
     },
 
+    // Log-rank test (Mantel 1966 / Peto & Peto 1972 — THE two-sample
+    // survival comparison beside stat_kaplan_meier's curves and
+    // ml_nelson_aalen's hazards): arms by user parity on
+    // time-to-first-error, right-censored at last activity. Per event
+    // time, O₁ = d₁ (exact integer), E₁ = n₁·d/n by PURE integer
+    // half-up division to 1e-9 units (the Nelson–Aalen device), and
+    // the hypergeometric variance quantized per row from a fixed
+    // double tree (magnitudes ≤ ~13, so the 1e-3 nudge dwarfs the
+    // ulp). Risk counts ride Positional's distributed cumsums; the
+    // statistic is one double tree over three exact integer sums.
+    q("stat_logrank",
+      """WITH pe AS (SELECT user_id, user_id % 2 arm,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) t0,
+        |    CAST(floor(epoch(min(ts) FILTER (event_type = 'error')))
+        |      AS BIGINT) terr,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) tlast
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT arm,
+        |        CASE WHEN terr IS NOT NULL THEN (terr - t0) // 3600
+        |             ELSE (tlast - t0) // 3600 END t,
+        |        terr IS NOT NULL AS ev FROM pe),
+        |d AS (SELECT t, count(*) FILTER (ev)::BIGINT d,
+        |        count(*) FILTER (ev AND arm = 1)::BIGINT d1,
+        |        count(*)::BIGINT ended,
+        |        count(*) FILTER (arm = 1)::BIGINT ended1
+        |      FROM u GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT nu,
+        |          count(*) FILTER (arm = 1)::BIGINT nu1 FROM u),
+        |cc AS (SELECT t, d, d1, nu
+        |         - coalesce(sum(ended) OVER (ORDER BY t ROWS BETWEEN
+        |             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) n,
+        |         nu1
+        |         - coalesce(sum(ended1) OVER (ORDER BY t ROWS BETWEEN
+        |             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) n1
+        |      FROM d, tot),
+        |k AS (SELECT d1,
+        |        (2 * n1 * d * 1000000000 + n) // (2 * n) eq,
+        |        CAST(round((d::DOUBLE * n1 * (n - n1) * (n - d))
+        |               / (n::DOUBLE * n * (n - 1)) * 1000000000
+        |             + 1e-3) AS BIGINT) vq
+        |      FROM cc WHERE d > 0 AND n > 1),
+        |f AS (SELECT sum(d1)::BIGINT o1, sum(eq)::BIGINT se,
+        |        sum(vq)::BIGINT sv FROM k),
+        |t2 AS (SELECT nu, nu1 FROM tot)
+        |SELECT (t2.nu - t2.nu1) AS n_arm0, t2.nu1 AS n_arm1, f.o1,
+        |       round(f.se / 1e9 + 1e-9, 4) AS e1,
+        |       round(f.sv / 1e9 + 1e-9, 4) AS variance,
+        |       round((f.o1 - f.se / 1e9) * (f.o1 - f.se / 1e9)
+        |             / (f.sv / 1e9) + 1e-9, 4) AS chi2
+        |FROM f, t2""") { c =>
+      val pe = c.events.groupBy(col("user_id"),
+          (col("user_id") % 2).as("arm"))
+        .agg(expr("unix_timestamp(min(ts))").as("t0"),
+          expr(
+            "unix_timestamp(min(CASE WHEN event_type = 'error' THEN ts END))")
+            .as("terr"),
+          expr("unix_timestamp(max(ts))").as("tlast"))
+      val u = pe.select(col("arm"),
+        when(col("terr").isNotNull,
+          floor((col("terr") - col("t0")) / 3600))
+          .otherwise(floor((col("tlast") - col("t0")) / 3600))
+          .cast("long").as("t"),
+        col("terr").isNotNull.as("ev"))
+      val d = u.groupBy("t").agg(
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("ev") && col("arm") === 1, 1L).otherwise(0L))
+          .as("d1"),
+        count(lit(1)).as("ended"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("ended1"))
+      val tot = u.agg(count(lit(1)).as("nu"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nu1"))
+      val cum = graft.ops.Positional.withCumSums(d, Seq(col("t")),
+        Seq(col("ended") -> "ended_lt", col("ended1") -> "ended1_lt"))
+      val cc = cum.crossJoin(broadcast(tot))
+        .withColumn("n", col("nu") - col("ended_lt"))
+        .withColumn("n1", col("nu1") - col("ended1_lt"))
+        .filter(col("d") > 0 && col("n") > 1)
+      val vDbl = (col("d").cast("double") * col("n1") *
+        (col("n") - col("n1")) * (col("n") - col("d"))) /
+        (col("n").cast("double") * col("n") * (col("n") - 1))
+      val k = cc.select(col("d1"),
+        expr("(2 * n1 * d * 1000000000L + n) div (2 * n)").as("eq"),
+        round(vDbl * 1000000000 + lit(1e-3)).cast("long").as("vq"))
+      val f = k.agg(sum(col("d1")).as("o1"), sum(col("eq")).as("se"),
+        sum(col("vq")).as("sv"))
+      f.crossJoin(broadcast(tot))
+        .select((col("nu") - col("nu1")).as("n_arm0"),
+          col("nu1").as("n_arm1"), col("o1"),
+          r4(col("se") / lit(1e9)).as("e1"),
+          r4(col("sv") / lit(1e9)).as("variance"),
+          r4((col("o1") - col("se") / lit(1e9)) *
+            (col("o1") - col("se") / lit(1e9)) /
+            (col("sv") / lit(1e9))).as("chi2"))
+    },
+
     // Growth accounting (the standard new/retained/resurrected/churned
     // weekly decomposition of active users — the a16z/Reforge DAU-MAU
     // bookkeeping): per ISO-ish week (days since 2024-01-01, div 7),
