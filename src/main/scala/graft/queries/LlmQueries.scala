@@ -2491,6 +2491,50 @@ object LlmQueries {
         .orderBy(col("k11").desc, col("w1"), col("w2"))
     },
 
+    // Term burstiness (Church & Gale 1995 — variance-to-mean ratio of
+    // per-document term frequency; b ≫ 1 marks topical/bursty terms,
+    // b ≈ 1 Poisson-like function words — the corpus statistic behind
+    // DFR retrieval models and stopword screens): for the top-20 terms
+    // by document frequency, b = Var(tf)/Mean(tf) over ALL docs with
+    // zeros implicit (D known, only Σtf and Σtf² stored — the sparse
+    // form). Exact integer sums in, one fixed double tree out. Scale
+    // shape: one (term, doc) aggregation → one term aggregation →
+    // TakeOrdered(20); never a per-doc dense matrix.
+    q("text_burstiness",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[a-z]+')) w
+        |  FROM documents),
+        |dd AS (SELECT count(DISTINCT doc_id)::BIGINT d FROM tok),
+        |td AS (SELECT w, doc_id, count(*)::BIGINT tf
+        |       FROM tok GROUP BY 1, 2),
+        |t AS (SELECT w, count(*)::BIGINT df, sum(tf)::BIGINT s,
+        |        (sum(tf::HUGEINT * tf))::DOUBLE q
+        |      FROM td GROUP BY 1),
+        |top AS (SELECT w, df, s, q, d FROM t, dd
+        |        ORDER BY df DESC, w LIMIT 20)
+        |SELECT w AS term, df, s AS total_tf,
+        |       round(s::DOUBLE / d + 1e-9, 6) AS mean_tf,
+        |       round(((q - s::DOUBLE * s / d) / (d - 1))
+        |             / (s::DOUBLE / d) + 1e-9, 4) AS burstiness
+        |FROM top ORDER BY df DESC, w""") { c =>
+      val tok = c.documents.select(col("doc_id"), explode(
+        expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      val dd = tok.agg(countDistinct(col("doc_id")).as("d"))
+      val td = tok.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      val t = td.groupBy("w").agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("s"),
+        sum(col("tf").cast("decimal(38,0)") * col("tf")).cast("double")
+          .as("q"))
+      val top = t.crossJoin(broadcast(dd))
+        .orderBy(col("df").desc, col("w")).limit(20)
+      top.select(col("w").as("term"), col("df"), col("s").as("total_tf"),
+          r6(col("s").cast("double") / col("d")).as("mean_tf"),
+          r4(((col("q") - col("s").cast("double") * col("s") / col("d")) /
+            (col("d") - 1)) / (col("s").cast("double") / col("d")))
+            .as("burstiness"))
+        .orderBy(col("df").desc, col("term"))
+    },
+
     // Interpolated Kneser–Ney bigram LM perplexity (Kneser & Ney 1995;
     // Chen & Goodman 1999's benchmark winner — the smoothing tier
     // above text_lm_ppl's add-one and text_lm_backoff's stupid

@@ -1415,6 +1415,131 @@ object StatQueries {
         .orderBy("user_id")
     },
 
+    // Kruskal–Wallis H (1952 — the rank-based k-group test beside
+    // stat_anova's parametric F and stat_mannwhitney's 2-group U):
+    // quantity ranks across the three return-flag groups with midrank
+    // ties. Exactness device: DOUBLED midranks 2r = 2·c_lt + t + 1 are
+    // exact BIGINTs (c_lt = count below, t = tie size), so every group
+    // rank-sum is an exact integer and H + the tie correction are one
+    // fixed double tree over the 3-group cell-extracted pivot.
+    // Cumulative counts ride Positional's distributed cumsum — no
+    // single-task global ranking at 100 TB.
+    q("stat_kruskal_wallis",
+      """WITH vg AS (SELECT l_quantity v, l_returnflag f,
+        |              count(*)::BIGINT cgv
+        |            FROM lineitem GROUP BY 1, 2),
+        |vc AS (SELECT v, sum(cgv)::BIGINT t FROM vg GROUP BY 1),
+        |cu AS (SELECT v, t, coalesce(sum(t) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          c_lt
+        |       FROM vc),
+        |r AS (SELECT cu.v, vg.f, vg.cgv,
+        |        (2 * cu.c_lt + cu.t + 1) r2 FROM cu
+        |      JOIN vg ON cu.v = vg.v),
+        |g AS (SELECT f, sum(cgv * r2)::BIGINT sr2,
+        |        sum(cgv)::BIGINT ng FROM r GROUP BY 1),
+        |w AS (SELECT
+        |    max(sr2) FILTER (f = 'A') ra, max(ng) FILTER (f = 'A') na,
+        |    max(sr2) FILTER (f = 'N') rb, max(ng) FILTER (f = 'N') nb,
+        |    max(sr2) FILTER (f = 'R') rc, max(ng) FILTER (f = 'R') nc
+        |  FROM g),
+        |tc AS (SELECT (sum(t::HUGEINT * t * t - t))::DOUBLE st
+        |       FROM vc),
+        |d AS (SELECT (na + nb + nc)::BIGINT n,
+        |        ((ra::DOUBLE * ra / na + rb::DOUBLE * rb / nb)
+        |          + rc::DOUBLE * rc / nc) s4, na, nb, nc, st
+        |      FROM w, tc),
+        |h AS (SELECT n, na, nb, nc, st,
+        |        3.0 / (n * (n + 1.0)) * s4 - 3 * (n + 1.0) hh
+        |      FROM d)
+        |SELECT n, na, nb, nc, round(hh + 1e-9, 4) AS h,
+        |       round(hh / (1 - st / (n::DOUBLE * n * n - n)) + 1e-9, 4)
+        |         AS h_corrected
+        |FROM h""") { c =>
+      val vg = c.lineitem
+        .groupBy(col("l_quantity").as("v"), col("l_returnflag").as("f"))
+        .agg(count(lit(1)).as("cgv"))
+      val vc = vg.groupBy("v").agg(sum(col("cgv")).as("t"))
+      val cu = graft.ops.Positional.withCumSums(vc, Seq(col("v")),
+        Seq(col("t") -> "c_lt"))
+      val r = cu.join(vg, Seq("v"))
+        .select(col("f"), col("cgv"),
+          (lit(2) * col("c_lt") + col("t") + 1).as("r2"))
+      val g = r.groupBy("f").agg(sum(col("cgv") * col("r2")).as("sr2"),
+        sum(col("cgv")).as("ng"))
+      val cell = (f: String, cn: String) =>
+        max(when(col("f") === f, col(cn)))
+      val w = g.agg(
+        cell("A", "sr2").as("ra"), cell("A", "ng").as("na"),
+        cell("N", "sr2").as("rb"), cell("N", "ng").as("nb"),
+        cell("R", "sr2").as("rc"), cell("R", "ng").as("nc"))
+      val tc = vc.agg(
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") -
+          col("t")).cast("double").as("st"))
+      val n = (col("na") + col("nb") + col("nc")).cast("long")
+      val s4 = (col("ra").cast("double") * col("ra") / col("na") +
+        col("rb").cast("double") * col("rb") / col("nb")) +
+        col("rc").cast("double") * col("rc") / col("nc")
+      val hh = lit(3.0) / (n * (n + lit(1.0))) * s4 -
+        lit(3) * (n + lit(1.0))
+      w.crossJoin(broadcast(tc))
+        .select(n.as("n"), col("na"), col("nb"), col("nc"),
+          r4(hh).as("h"),
+          r4(hh / (lit(1) - col("st") /
+            (n.cast("double") * n * n - n))).as("h_corrected"))
+    },
+
+    // Jarque–Bera normality test (1980 — the skewness/kurtosis
+    // moment screen): JB = n/6·(S² + K²/4) on order-value cents.
+    // The four raw power sums Σc..Σc⁴ are EXACT DECIMAL(38)/HUGEINT
+    // integers (c⁴ ≤ ~6e30, sums < 1e38), and every central moment,
+    // S, K and JB come from ONE fixed double expression tree over
+    // those five exact values — no FP aggregation anywhere. One
+    // corpus aggregation; pure codegen at 100 TB.
+    q("stat_jarque_bera",
+      """WITH b AS (SELECT CAST(round(o_totalprice * 100 + 1e-9)
+        |                    AS BIGINT) c FROM orders),
+        |m AS (SELECT count(*)::BIGINT n, (sum(c::HUGEINT))::DOUBLE s1,
+        |        (sum(c::HUGEINT * c))::DOUBLE s2,
+        |        (sum(c::HUGEINT * c * c))::DOUBLE s3,
+        |        (sum(c::HUGEINT * c * c * c))::DOUBLE s4
+        |      FROM b),
+        |d AS (SELECT n, s1 / n mu, s2, s3, s4 FROM m),
+        |e AS (SELECT n, mu, s2 / n - mu * mu m2,
+        |        s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu m3,
+        |        s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+        |          - 3 * mu * mu * mu * mu m4
+        |      FROM d),
+        |f AS (SELECT n, m3 / (m2 * sqrt(m2)) skew,
+        |        m4 / (m2 * m2) - 3 kurt FROM e)
+        |SELECT n, round(skew + 1e-9, 6) AS skewness,
+        |       round(kurt + 1e-9, 6) AS excess_kurtosis,
+        |       round(n / 6.0 * (skew * skew + kurt * kurt / 4)
+        |             + 1e-9, 4) AS jb
+        |FROM f""") { c =>
+      val b = c.orders.select(
+        round(col("o_totalprice") * 100 + lit(1e-9)).cast("long").as("c"))
+      val cd = col("c").cast("decimal(38,0)")
+      val m = b.agg(count(lit(1)).as("n"),
+        sum(cd).cast("double").as("s1"),
+        sum(cd * col("c")).cast("double").as("s2"),
+        sum(cd * col("c") * col("c")).cast("double").as("s3"),
+        sum(cd * col("c") * col("c") * col("c")).cast("double").as("s4"))
+      val mu = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mu * mu
+      val m3 = col("s3") / col("n") - lit(3) * mu * (col("s2") / col("n")) +
+        lit(2) * mu * mu * mu
+      val m4 = col("s4") / col("n") - lit(4) * mu * (col("s3") / col("n")) +
+        lit(6) * mu * mu * (col("s2") / col("n")) -
+        lit(3) * mu * mu * mu * mu
+      val skew = m3 / (m2 * sqrt(m2))
+      val kurt = m4 / (m2 * m2) - 3
+      m.select(col("n"), r6(skew).as("skewness"),
+        r6(kurt).as("excess_kurtosis"),
+        r4(col("n") / lit(6.0) * (skew * skew + kurt * kurt / 4))
+          .as("jb"))
+    },
+
     // Log-rank test (Mantel 1966 / Peto & Peto 1972 — THE two-sample
     // survival comparison beside stat_kaplan_meier's curves and
     // ml_nelson_aalen's hazards): arms by user parity on
