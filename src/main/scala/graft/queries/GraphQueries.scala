@@ -317,6 +317,63 @@ object GraphQueries {
       out
     },
 
+    // Community conductance φ(c) = cut(c)/min(vol(c), vol(rest)) —
+    // the partition-quality audit beside graph_modularity's Q_c (low
+    // conductance = well-separated community; Kannan/Vempala/Vetta
+    // 2004): same nation-community customer–supplier edge frame as
+    // graph_modularity; cut = edges with exactly one endpoint in the
+    // community, vol = degree sum — all exact integer counts, ONE
+    // double division per community row. Scale shape: two broadcast
+    // joins + two hash aggregates, no all-pairs work.
+    q("graph_conductance",
+      """WITH e AS (SELECT DISTINCT o_custkey ck, l_suppkey sk
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE l_quantity > 45),
+        |ec AS (SELECT c.c_nationkey cc, s.s_nationkey sc FROM e
+        |       JOIN customer c ON e.ck = c.c_custkey
+        |       JOIN supplier s ON e.sk = s.s_suppkey),
+        |m AS (SELECT count(*)::BIGINT m FROM ec),
+        |cuts AS (SELECT com, sum(cut)::BIGINT cut FROM (
+        |    SELECT cc com, CASE WHEN cc <> sc THEN 1 ELSE 0 END cut
+        |    FROM ec
+        |    UNION ALL
+        |    SELECT sc, CASE WHEN cc <> sc THEN 1 ELSE 0 END FROM ec)
+        |  GROUP BY 1),
+        |degs AS (SELECT cc com, count(*) d FROM ec GROUP BY 1
+        |         UNION ALL SELECT sc, count(*) FROM ec GROUP BY 1),
+        |dc AS (SELECT com, sum(d)::BIGINT vol FROM degs GROUP BY 1)
+        |SELECT dc.com::BIGINT AS community, cuts.cut, dc.vol,
+        |       (2 * m.m - dc.vol)::BIGINT AS vol_rest,
+        |       round(cuts.cut::DOUBLE
+        |             / least(dc.vol, 2 * m.m - dc.vol) + 1e-9, 6)
+        |         AS conductance
+        |FROM dc JOIN cuts ON dc.com = cuts.com CROSS JOIN m
+        |ORDER BY community""") { c =>
+      val e = c.lineitem.filter(col("l_quantity") > 45)
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val ec = e
+        .join(c.customer, col("ck") === col("c_custkey"))
+        .join(c.supplier, col("sk") === col("s_suppkey"))
+        .select(col("c_nationkey").as("cc"), col("s_nationkey").as("sc"))
+      val m = ec.agg(count(lit(1)).as("m"))
+      val cutFlag = when(col("cc") =!= col("sc"), 1L).otherwise(0L)
+      val cuts = ec.select(col("cc").as("com"), cutFlag.as("cut"))
+        .union(ec.select(col("sc").as("com"), cutFlag.as("cut")))
+        .groupBy("com").agg(sum(col("cut")).as("cut"))
+      val dc = ec.select(col("cc").as("com"))
+        .union(ec.select(col("sc").as("com")))
+        .groupBy("com").agg(count(lit(1)).as("vol"))
+      dc.join(cuts, "com").crossJoin(broadcast(m))
+        .select(col("com").as("community"), col("cut"), col("vol"),
+          (lit(2) * col("m") - col("vol")).as("vol_rest"),
+          r6(col("cut").cast("double") /
+            least(col("vol"), lit(2) * col("m") - col("vol")))
+            .as("conductance"))
+        .orderBy("community")
+    },
+
     // Two-hop reach (friends-of-friends count — the classic social /
     // co-occurrence expansion feature and the cheapest link-prediction
     // candidate generator): per node of the heavy-co-purchase part

@@ -2491,6 +2491,45 @@ object LlmQueries {
         .orderBy(col("k11").desc, col("w1"), col("w2"))
     },
 
+    // Out-of-vocabulary rate against a top-1000 corpus vocabulary —
+    // the tokenizer-coverage diagnostic beside llm_tokenizer_fertility
+    // (high OOV per language = the vocab under-serves that slice; the
+    // first thing to check before training a tokenizer): vocab = top
+    // 1000 terms by corpus frequency (ties broken by term), per-LANG
+    // aggregate OOV share from exact integer token counts. Scale
+    // shape: corpus term counts → TakeOrdered(1000) broadcast →
+    // one anti-joinable membership flag → one hash aggregate.
+    q("text_oov_rate",
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(regexp_extract_all(text, '[a-z]+')) w
+        |  FROM documents),
+        |tc AS (SELECT w, count(*)::BIGINT c FROM tok GROUP BY 1),
+        |voc AS (SELECT w FROM tc ORDER BY c DESC, w LIMIT 1000),
+        |fl AS (SELECT t.lang, t.doc_id,
+        |         CASE WHEN v.w IS NULL THEN 1 ELSE 0 END oov
+        |       FROM tok t LEFT JOIN voc v ON t.w = v.w)
+        |SELECT lang, count(DISTINCT doc_id)::BIGINT n_docs,
+        |       count(*)::BIGINT total_tokens,
+        |       sum(oov)::BIGINT oov_tokens,
+        |       round(sum(oov)::DOUBLE / count(*) + 1e-9, 6) AS oov_rate
+        |FROM fl GROUP BY 1 ORDER BY lang""") { c =>
+      val tok = c.documents.select(col("doc_id"), col("lang"), explode(
+        expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      val voc = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(1000)
+        .select(col("w"), lit(1).as("in_vocab"))
+      val fl = tok.join(broadcast(voc), Seq("w"), "left")
+        .select(col("lang"), col("doc_id"),
+          when(col("in_vocab").isNull, 1L).otherwise(0L).as("oov"))
+      fl.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_tokens"),
+          sum(col("oov")).as("oov_tokens"),
+          r6(sum(col("oov")).cast("double") / count(lit(1)))
+            .as("oov_rate"))
+        .orderBy("lang")
+    },
+
     // Term burstiness (Church & Gale 1995 — variance-to-mean ratio of
     // per-document term frequency; b ≫ 1 marks topical/bursty terms,
     // b ≈ 1 Poisson-like function words — the corpus statistic behind

@@ -397,6 +397,62 @@ object StreamOps {
       .toDF("key", "n", "level", "trend")
   }
 
+  /** Per-key streaming Holt–Winters additive-seasonal state (the
+    * streaming counterpart of [[graft.ops.Holt.winters]]): state per
+    * key is (n, level, trend, m-slot seasonal buffer, index) — O(m)
+    * regardless of stream length — folded in event-time order through
+    * the SAME recurrence as the batch scan, so an in-order replay
+    * produces EXACTLY the batch result (spec-checked, the holtState
+    * contract). Update-mode output: (key, n, level, trend, seasonal)
+    * where seasonal is the next-forecast slot s_{t+1−m}. */
+  def wintersState(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      m: Int): DataFrame = {
+    require(m >= 2, s"season length m must be >= 2, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oneMinusAlpha = 1 - alpha
+    val oneMinusBeta = 1 - beta
+    val oneMinusGamma = 1 - gamma
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).cast("double").as("__y"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Double, Seq[Double], Int),
+        (String, Long, Double, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key, rows,
+            state: GroupState[(Long, Double, Double, Seq[Double], Int)]) =>
+          var (n, l, b, seasonSeq, idx) = state.getOption
+            .getOrElse((0L, 0.0, 0.0, Seq.fill(m)(0.0), 0))
+          val season = seasonSeq.toArray
+          rows.toVector.sortBy(_._2.getTime).foreach { case (_, _, y) =>
+            if (n == 0L) {
+              l = y; b = 0.0; n = 1L
+              java.util.Arrays.fill(season, 0.0); idx = 0
+            } else {
+              val sOld = season(idx)
+              val lNew = alpha * (y - sOld) + oneMinusAlpha * (l + b)
+              b = beta * (lNew - l) + oneMinusBeta * b
+              season(idx) = gamma * (y - lNew) + oneMinusGamma * sOld
+              l = lNew
+              idx = (idx + 1) % m
+              n += 1
+            }
+          }
+          state.update((n, l, b, season.toSeq, idx))
+          (key, n, l, b, season(idx))
+      }
+      .toDF("key", "n", "level", "trend", "seasonal")
+  }
+
   /** Per-key streaming scalar Kalman state (the streaming counterpart
     * of [[graft.ops.Kalman.scalar]]): state per key is ONE
     * (n, x̂, P, K) tuple — O(1) regardless of stream length — updated

@@ -453,6 +453,47 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters state equals the batch seasonal scan " +
+    "when the stream replays in order") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = (1 to 10).map(i =>
+      (ts(f"2024-01-01 00:$i%02d:00"), "a",
+        10.0 + (i % 3) + 0.5 * i)) ++ Seq(
+      (ts("2024-01-01 00:11:00"), "b", 5.0),
+      (ts("2024-01-01 00:12:00"), "b", 7.0),
+      (ts("2024-01-01 00:13:00"), "b", 6.0))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val hw = StreamOps.wintersState(
+      input.toDF.toDF("ts", "k", "v"), "k", "ts", "v",
+      0.5, 0.25, 0.25, 3)
+    val q = hw.writeStream.format("memory")
+      .queryName("hw_stream").outputMode("update").start()
+    try {
+      // split mid-series: the m-slot seasonal buffer and its index
+      // must survive across micro-batches
+      input.addData(rows.take(5))
+      q.processAllAvailable()
+      input.addData(rows.drop(5))
+      q.processAllAvailable()
+      val streamed = sp.sql(
+        """SELECT key, n, level, trend, seasonal FROM hw_stream s
+          |WHERE n = (SELECT max(n) FROM hw_stream WHERE key = s.key)
+          |ORDER BY key""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+      val batch = graft.ops.Holt.winters(
+          rows.toDF("ts", "k", "v"), "k", Seq(col("ts")), col("v"),
+          0.5, 0.25, 0.25, 3)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming Kalman state equals the batch secondary-sort scan " +
     "when the stream replays in order") {
     val sp = spark
