@@ -1415,6 +1415,168 @@ object StatQueries {
         .orderBy("user_id")
     },
 
+    // Two-model (T-learner) uplift readout (Künzel et al. 2019's
+    // baseline meta-learner — the causal family beside ab_cuped and
+    // ab_did): per arm, a closed-form simple OLS of purchase cents on
+    // view count from EXACT integer moments (n, Σx, Σy, Σxy, Σx² all
+    // BIGINT), pivoted to one row by cell extraction; the uplift curve
+    // τ̂(x) = f_t(x) − f_c(x) is evaluated at x ∈ {5, 10, 20}. No FP
+    // aggregation anywhere — slopes/intercepts/uplifts are one fixed
+    // double tree. Scale: one per-user aggregate → one 2-row pivot.
+    q("ab_uplift_tlearner",
+      """WITH u AS (SELECT user_id, user_id % 2 arm,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN
+        |          CAST(round(value * 100 + 1e-9) AS BIGINT)
+        |        ELSE 0 END)::BIGINT y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, count(*)::BIGINT n, sum(x)::BIGINT sx,
+        |        sum(y)::BIGINT sy, sum(x * y)::BIGINT sxy,
+        |        sum(x * x)::BIGINT sxx
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(n) FILTER (arm = 1) nt, max(sx) FILTER (arm = 1) sxt,
+        |    max(sy) FILTER (arm = 1) syt, max(sxy) FILTER (arm = 1) sxyt,
+        |    max(sxx) FILTER (arm = 1) sxxt,
+        |    max(n) FILTER (arm = 0) nc, max(sx) FILTER (arm = 0) sxc,
+        |    max(sy) FILTER (arm = 0) syc, max(sxy) FILTER (arm = 0) sxyc,
+        |    max(sxx) FILTER (arm = 0) sxxc
+        |  FROM g),
+        |d AS (SELECT nt, nc,
+        |        (nt * sxyt - sxt::DOUBLE * syt)
+        |          / (nt * sxxt - sxt::DOUBLE * sxt) bt,
+        |        (nc * sxyc - sxc::DOUBLE * syc)
+        |          / (nc * sxxc - sxc::DOUBLE * sxc) bc,
+        |        sxt, syt, sxc, syc
+        |      FROM w),
+        |e AS (SELECT nt, nc, bt, bc,
+        |        (syt - bt * sxt) / nt att, (syc - bc * sxc) / nc acc
+        |      FROM d)
+        |SELECT nt AS n_treat, nc AS n_control,
+        |       round(bt / 100 + 1e-9, 6) AS slope_treat,
+        |       round(bc / 100 + 1e-9, 6) AS slope_control,
+        |       round((att + bt * 5 - (acc + bc * 5)) / 100 + 1e-9, 4)
+        |         AS uplift_at_5,
+        |       round((att + bt * 10 - (acc + bc * 10)) / 100 + 1e-9, 4)
+        |         AS uplift_at_10,
+        |       round((att + bt * 20 - (acc + bc * 20)) / 100 + 1e-9, 4)
+        |         AS uplift_at_20
+        |FROM e""") { c =>
+      val u = c.events.groupBy(col("user_id"),
+          (col("user_id") % 2).as("arm"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100 + lit(1e-9)).cast("long"))
+            .otherwise(0L)).as("y"))
+      val g = u.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val cell = (a: Int, cn: String) =>
+        max(when(col("arm") === a, col(cn)))
+      val w = g.agg(
+        cell(1, "n").as("nt"), cell(1, "sx").as("sxt"),
+        cell(1, "sy").as("syt"), cell(1, "sxy").as("sxyt"),
+        cell(1, "sxx").as("sxxt"),
+        cell(0, "n").as("nc"), cell(0, "sx").as("sxc"),
+        cell(0, "sy").as("syc"), cell(0, "sxy").as("sxyc"),
+        cell(0, "sxx").as("sxxc"))
+      val bt = (col("nt") * col("sxyt") -
+        col("sxt").cast("double") * col("syt")) /
+        (col("nt") * col("sxxt") - col("sxt").cast("double") * col("sxt"))
+      val bc = (col("nc") * col("sxyc") -
+        col("sxc").cast("double") * col("syc")) /
+        (col("nc") * col("sxxc") - col("sxc").cast("double") * col("sxc"))
+      val att = (col("syt") - bt * col("sxt")) / col("nt")
+      val acc = (col("syc") - bc * col("sxc")) / col("nc")
+      def upliftAt(x: Int) =
+        r4((att + bt * x - (acc + bc * x)) / 100)
+      w.select(col("nt").as("n_treat"), col("nc").as("n_control"),
+        r6(bt / 100).as("slope_treat"), r6(bc / 100).as("slope_control"),
+        upliftAt(5).as("uplift_at_5"), upliftAt(10).as("uplift_at_10"),
+        upliftAt(20).as("uplift_at_20"))
+    },
+
+    // Standardized effect sizes for the two-arm experiment (the
+    // companion readout to stat_ab_ttest's p-value — Cohen's d,
+    // Hedges' g small-sample correction, and the NON-parametric
+    // Cliff's delta): d and g come from exact per-arm integer moments
+    // (cents lattice); Cliff's δ = (#(x₁>x₀) − #(x₁<x₀))/(n₁n₀) is
+    // counted EXACTLY via per-value histograms + Positional cumsums
+    // (Σ c₁(v)·C₀_<(v) — never an n₁×n₀ pair join). Scale: one value
+    // histogram, one distributed cumsum, one broadcast pivot.
+    q("ab_effect_size",
+      """WITH p AS (SELECT user_id % 2 arm,
+        |    CAST(round(value * 100 + 1e-9) AS BIGINT) v
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT v, count(*) FILTER (arm = 1)::BIGINT c1,
+        |        count(*) FILTER (arm = 0)::BIGINT c0
+        |      FROM p GROUP BY 1),
+        |cu AS (SELECT v, c1, c0,
+        |        coalesce(sum(c1) OVER (ORDER BY v ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) c1lt,
+        |        coalesce(sum(c0) OVER (ORDER BY v ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) c0lt
+        |      FROM h),
+        |cd AS (SELECT sum(c1 * c0lt)::BIGINT gt,
+        |         sum(c0 * c1lt)::BIGINT lt FROM cu),
+        |m AS (SELECT count(*) FILTER (arm = 1)::BIGINT n1,
+        |        sum(v) FILTER (arm = 1)::BIGINT s1,
+        |        (sum(v::HUGEINT * v) FILTER (arm = 1))::DOUBLE q1,
+        |        count(*) FILTER (arm = 0)::BIGINT n0,
+        |        sum(v) FILTER (arm = 0)::BIGINT s0,
+        |        (sum(v::HUGEINT * v) FILTER (arm = 0))::DOUBLE q0
+        |      FROM p),
+        |d AS (SELECT n1, n0, gt, lt,
+        |        (s1::DOUBLE / n1 - s0::DOUBLE / n0) / 100 diff,
+        |        sqrt(((q1 - s1::DOUBLE * s1 / n1)
+        |              + (q0 - s0::DOUBLE * s0 / n0))
+        |             / (n1 + n0 - 2)) / 100 sp
+        |      FROM m, cd)
+        |SELECT n1, n0,
+        |       round(diff / sp + 1e-9, 4) AS cohens_d,
+        |       round(diff / sp * (1 - 3.0 / (4 * (n1 + n0) - 9))
+        |             + 1e-9, 4) AS hedges_g,
+        |       round((gt - lt)::DOUBLE / (n1::DOUBLE * n0) + 1e-9, 6)
+        |         AS cliffs_delta
+        |FROM d""") { c =>
+      val p = c.events.filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("v"))
+      val h = p.groupBy("v").agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"))
+      val cu = graft.ops.Positional.withCumSums(h, Seq(col("v")),
+        Seq(col("c1") -> "c1lt", col("c0") -> "c0lt"))
+      val cd = cu.agg(sum(col("c1") * col("c0lt")).as("gt"),
+        sum(col("c0") * col("c1lt")).as("lt"))
+      val m = p.agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 1,
+          col("v").cast("decimal(38,0)") * col("v"))).cast("double")
+          .as("q1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 0,
+          col("v").cast("decimal(38,0)") * col("v"))).cast("double")
+          .as("q0"))
+      val diff = (col("s1").cast("double") / col("n1") -
+        col("s0").cast("double") / col("n0")) / 100
+      val sp = sqrt(((col("q1") -
+        col("s1").cast("double") * col("s1") / col("n1")) +
+        (col("q0") - col("s0").cast("double") * col("s0") / col("n0"))) /
+        (col("n1") + col("n0") - 2)) / 100
+      m.crossJoin(broadcast(cd))
+        .select(col("n1"), col("n0"),
+          r4(diff / sp).as("cohens_d"),
+          r4(diff / sp * (lit(1) - lit(3.0) /
+            (lit(4) * (col("n1") + col("n0")) - 9))).as("hedges_g"),
+          r6((col("gt") - col("lt")).cast("double") /
+            (col("n1").cast("double") * col("n0"))).as("cliffs_delta"))
+    },
+
     // Kruskal–Wallis H (1952 — the rank-based k-group test beside
     // stat_anova's parametric F and stat_mannwhitney's 2-group U):
     // quantity ranks across the three return-flag groups with midrank
