@@ -955,6 +955,59 @@ object FeatureQueries {
         .orderBy("user_id")
     },
 
+    // Periodogram power at candidate periods (Schuster 1898 — the
+    // classical seasonality detector feeding ts_decompose's choice of
+    // season length): DFT power of the demeaned hourly revenue series
+    // at periods {6, 12, 24, 168} h. Determinism device for the trig
+    // sums: demean EXACTLY (milli-cent integer half-up mean), then
+    // round each yd·cos/sin term to the 1e-4 lattice with a 1e-6
+    // nudge (cross-engine libm cos differs by ~1 ulp → term diff
+    // ~1e-8 ≪ nudge ≪ grain) — every rounded term is exactly
+    // representable, so the corpus sums are order-independent. Power
+    // is shift-invariant, so raw hour indices need no re-basing.
+    // Scale: one hash aggregate → ×4 periods → one aggregate.
+    q("ts_periodogram",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |    sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT s FROM h),
+        |d AS (SELECT hb, y * 1000 - (2 * s * 1000 + n) // (2 * n) yd, n
+        |      FROM h, t),
+        |p AS (SELECT unnest([6, 12, 24, 168]) per),
+        |q AS (SELECT p.per, d.n,
+        |        round(d.yd * cos(2 * pi() * d.hb / p.per) + 1e-6, 4) ct,
+        |        round(d.yd * sin(2 * pi() * d.hb / p.per) + 1e-6, 4) st_
+        |      FROM d, p),
+        |g AS (SELECT per, max(n) n, sum(ct) re, sum(st_) im
+        |      FROM q GROUP BY 1)
+        |SELECT per AS period_hours, n AS n_hours,
+        |       round((re * re + im * im) / (n::DOUBLE * n) / 1e10
+        |             + 1e-9, 2) AS power
+        |FROM g ORDER BY period_hours""") { c =>
+      val h = c.events.select(
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cv"))
+        .groupBy("hb").agg(sum(col("cv")).as("y"))
+      val t = h.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val d = h.crossJoin(broadcast(t))
+        .select(col("hb"),
+          (col("y") * 1000 -
+            expr("(2 * s * 1000 + n) div (2 * n)")).as("yd"), col("n"))
+      val p = d.select(col("hb"), col("yd"), col("n"),
+        explode(array(lit(6), lit(12), lit(24), lit(168))).as("per"))
+      val theta = lit(2) * lit(math.Pi) * col("hb") / col("per")
+      val q = p.select(col("per"), col("n"),
+        round(col("yd") * cos(theta) + lit(1e-6), 4).as("ct"),
+        round(col("yd") * sin(theta) + lit(1e-6), 4).as("st_"))
+      q.groupBy("per").agg(max(col("n")).as("n"),
+          sum(col("ct")).as("re"), sum(col("st_")).as("im"))
+        .select(col("per").as("period_hours"), col("n").as("n_hours"),
+          r2((col("re") * col("re") + col("im") * col("im")) /
+            (col("n").cast("double") * col("n")) / lit(1e10))
+            .as("power"))
+        .orderBy("period_hours")
+    },
+
     // Scalar Kalman filter per user value series (random-walk state +
     // observation noise — the online denoiser beside Holt's trend
     // smoother). Same secondary-sort streaming scan (ops/Kalman.scala:

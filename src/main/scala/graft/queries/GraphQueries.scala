@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 graph tier beyond PageRank/triangles/k-core: BFS shortest
@@ -315,6 +316,76 @@ object GraphQueries {
             .as("q_contrib"))
         .orderBy("community")
       out
+    },
+
+    // Deterministic random walks (the DeepWalk/node2vec sampling
+    // primitive, Perozzi et al. 2014 — the step that feeds skip-gram
+    // embedding training from a graph): 3-step walks from the top-10
+    // degree nodes, where "random" next-hop = argmin of the PORTABLE
+    // md5 hash h(node, step, neighbor) over the neighbor set — fully
+    // deterministic, reproducible across engines and runs (the
+    // rel_sample_det contract applied to walks). Ties (hash
+    // collisions) break on neighbor id via the (h, v) window order.
+    // Scale shape: one equi-join + per-source window per step, walk
+    // length fixed — O(steps) joins partitioned on the frontier.
+    q("graph_random_walk",
+      """WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
+        |                   greatest(a.l_partkey, b.l_partkey) v
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_partkey < b.l_partkey
+        |              AND a.l_quantity > 40 AND b.l_quantity > 40),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u, count(*) d FROM e GROUP BY 1),
+        |st AS (SELECT u s FROM deg ORDER BY d DESC, u LIMIT 10),
+        |h1 AS (SELECT st.s, e.v,
+        |         row_number() OVER (PARTITION BY st.s ORDER BY
+        |           ('0x' || substr(md5(st.s || '-1-' || e.v), 1, 8))
+        |             ::BIGINT, e.v) rn
+        |       FROM st JOIN e ON st.s = e.u),
+        |w1 AS (SELECT s, v n1 FROM h1 WHERE rn = 1),
+        |h2 AS (SELECT w1.s, w1.n1, e.v,
+        |         row_number() OVER (PARTITION BY w1.s ORDER BY
+        |           ('0x' || substr(md5(w1.n1 || '-2-' || e.v), 1, 8))
+        |             ::BIGINT, e.v) rn
+        |       FROM w1 JOIN e ON w1.n1 = e.u),
+        |w2 AS (SELECT s, n1, v n2 FROM h2 WHERE rn = 1),
+        |h3 AS (SELECT w2.s, w2.n1, w2.n2, e.v,
+        |         row_number() OVER (PARTITION BY w2.s ORDER BY
+        |           ('0x' || substr(md5(w2.n2 || '-3-' || e.v), 1, 8))
+        |             ::BIGINT, e.v) rn
+        |       FROM w2 JOIN e ON w2.n2 = e.u)
+        |SELECT s AS start, n1, n2, v AS n3 FROM h3 WHERE rn = 1
+        |ORDER BY start""") { c =>
+      val pick = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = pick.as("a")
+        .join(pick.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint() // 3 walk steps re-join the same edge frame
+      val st = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("u")).limit(10)
+        .select(col("u").as("s"))
+      def step(frontier: org.apache.spark.sql.DataFrame, cur: String,
+          stepNo: Int, outCol: String) = {
+        val h = conv(substring(md5(concat(col(cur).cast("string"),
+          lit(s"-$stepNo-"), col("v").cast("string"))), 1, 8), 16, 10)
+          .cast("long")
+        val parts = frontier.columns.map(col).toSeq
+        val w = Window.partitionBy(col("s")).orderBy(h, col("v"))
+        frontier.join(e, frontier(cur) === e("u"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(parts :+ col("v").as(outCol): _*)
+      }
+      val w1 = step(st, "s", 1, "n1")
+      val w2 = step(w1, "n1", 2, "n2")
+      val w3 = step(w2, "n2", 3, "n3")
+      w3.select(col("s").as("start"), col("n1"), col("n2"), col("n3"))
+        .orderBy("start")
     },
 
     // Community conductance φ(c) = cut(c)/min(vol(c), vol(rest)) —
