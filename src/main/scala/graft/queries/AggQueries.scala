@@ -495,6 +495,94 @@ object AggQueries {
     // registers contribute 2⁰ via a generate_series outer join. The
     // small-range linear-counting branch never fires at these
     // cardinalities (est ≫ 2.5·m) and is omitted — raw estimate only.
+    // HLL SET ALGEBRA (the reason sketches exist at 100 TB — union by
+    // register max is lossless, and intersections come free by
+    // inclusion–exclusion): big-spender customers (any order >150k)
+    // vs urgent-order customers, estimated from ONE register pass
+    // carrying three maxima (A, B, A∪B) — the mergeable-state shape
+    // two pipeline stages would ship. Same portable-md5 register
+    // construction as agg_hll_custom; exact counts reported beside
+    // the estimates. |A∩B| ≈ est(A) + est(B) − est(A∪B).
+    q("agg_hll_intersect",
+      """WITH f AS (SELECT o_custkey k,
+        |    max(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) a,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |        END) b
+        |  FROM orders GROUP BY 1),
+        |fx AS (SELECT a, b,
+        |    ('0x' || substr(md5(k::VARCHAR), 1, 2))::BIGINT reg,
+        |    CASE WHEN ('0x' || substr(md5(k::VARCHAR), 3, 14))::BIGINT = 0
+        |         THEN 57
+        |         ELSE strpos(lpad(bin(
+        |           ('0x' || substr(md5(k::VARCHAR), 3, 14))::BIGINT),
+        |           56, '0'), '1') END rho
+        |  FROM f WHERE a = 1 OR b = 1),
+        |rr AS (SELECT reg,
+        |         max(CASE WHEN a = 1 THEN rho ELSE 0 END) ma,
+        |         max(CASE WHEN b = 1 THEN rho ELSE 0 END) mb,
+        |         max(rho) mu
+        |       FROM fx GROUP BY 1),
+        |regs AS (SELECT gs.g reg, coalesce(rr.ma, 0) ma,
+        |           coalesce(rr.mb, 0) mb, coalesce(rr.mu, 0) mu
+        |         FROM (SELECT unnest(generate_series(0, 255)) g) gs
+        |         LEFT JOIN rr ON gs.g = rr.reg),
+        |s AS (SELECT
+        |    list_reduce(list(pow(2.0, -ma) ORDER BY reg),
+        |      (x, y) -> x + y) ha,
+        |    list_reduce(list(pow(2.0, -mb) ORDER BY reg),
+        |      (x, y) -> x + y) hb,
+        |    list_reduce(list(pow(2.0, -mu) ORDER BY reg),
+        |      (x, y) -> x + y) hu
+        |  FROM regs),
+        |ex AS (SELECT sum(a)::BIGINT ea, sum(b)::BIGINT eb,
+        |         sum(a * b)::BIGINT ei FROM f),
+        |e AS (SELECT 0.7213 / (1 + 1.079 / 256) * 256 * 256 / ha est_a,
+        |        0.7213 / (1 + 1.079 / 256) * 256 * 256 / hb est_b,
+        |        0.7213 / (1 + 1.079 / 256) * 256 * 256 / hu est_u
+        |      FROM s)
+        |SELECT ex.ea AS exact_a, round(e.est_a + 1e-9, 2) AS est_a,
+        |       ex.eb AS exact_b, round(e.est_b + 1e-9, 2) AS est_b,
+        |       ex.ei AS exact_intersect,
+        |       round(e.est_a + e.est_b - e.est_u + 1e-9, 2)
+        |         AS est_intersect
+        |FROM e, ex""") { c =>
+      val f = c.orders.groupBy(col("o_custkey").as("k"))
+        .agg(max(when(col("o_totalprice") > 150000, 1).otherwise(0))
+            .as("a"),
+          max(when(col("o_orderpriority") === "1-URGENT", 1)
+            .otherwise(0)).as("b"))
+      val hx = md5(col("k").cast("string"))
+      val vCol = conv(substring(hx, 3, 14), 16, 10).cast("long")
+      val fx = f.filter(col("a") === 1 || col("b") === 1)
+        .select(col("a"), col("b"),
+          conv(substring(hx, 1, 2), 16, 10).cast("long").as("reg"),
+          when(vCol === 0, 57)
+            .otherwise(instr(lpad(bin(vCol), 56, "0"), "1")).as("rho"))
+      val rr = fx.groupBy("reg").agg(
+        max(when(col("a") === 1, col("rho")).otherwise(0)).as("ma"),
+        max(when(col("b") === 1, col("rho")).otherwise(0)).as("mb"),
+        max(col("rho")).as("mu"))
+      val regs = c.spark.range(256).toDF("reg")
+        .join(rr, Seq("reg"), "left")
+        .na.fill(0, Seq("ma", "mb", "mu"))
+      def harm(cn: String) =
+        aggregate(array_sort(collect_list(struct(col("reg"),
+            pow(lit(2.0), -col(cn)).as("t")))),
+          lit(0.0), (x, y) => x + y.getField("t"))
+      val s = regs.agg(harm("ma").as("ha"), harm("mb").as("hb"),
+        harm("mu").as("hu"))
+      val ex = f.agg(sum(col("a")).cast("long").as("ea"),
+        sum(col("b")).cast("long").as("eb"),
+        sum(col("a") * col("b")).cast("long").as("ei"))
+      def est(cn: String) = lit(0.7213) / (lit(1) + lit(1.079) / 256) *
+        lit(256) * lit(256) / col(cn)
+      s.crossJoin(broadcast(ex))
+        .select(col("ea").as("exact_a"), r2(est("ha")).as("est_a"),
+          col("eb").as("exact_b"), r2(est("hb")).as("est_b"),
+          col("ei").as("exact_intersect"),
+          r2(est("ha") + est("hb") - est("hu")).as("est_intersect"))
+    },
+
     q("agg_hll_custom",
       """WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) hx
         |           FROM lineitem),

@@ -1369,6 +1369,50 @@ object StatQueries {
         r6((ssb / 2) / (ssw / (n - lit(3)))).as("f_stat"))
     },
 
+    // Bot/abuse rate screen (the request-rate heuristics every
+    // ingestion pipeline runs before letting events into training
+    // data): per user, minimum inter-event gap (lag over the
+    // event-time order) and the maximum number of events inside ANY
+    // rolling 5-minute window (range frame over epoch seconds — both
+    // engines include all peers in range, so duplicate timestamps
+    // agree). Flags are pure INTEGER threshold compares. Scale shape:
+    // per-key windows + one hash aggregate, no self-join.
+    q("events_bot_flags",
+      """WITH s AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) sec
+        |  FROM events),
+        |w AS (SELECT user_id,
+        |        sec - lag(sec) OVER (PARTITION BY user_id
+        |          ORDER BY sec, event_id) gap,
+        |        count(*) OVER (PARTITION BY user_id ORDER BY sec
+        |          RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) in5m
+        |      FROM s),
+        |g AS (SELECT user_id, count(*)::BIGINT n_events,
+        |        min(gap)::BIGINT min_gap_s,
+        |        max(in5m)::BIGINT max_in_5m
+        |      FROM w GROUP BY 1)
+        |SELECT user_id, n_events, min_gap_s, max_in_5m,
+        |       (min_gap_s <= 1) AS rapid_fire,
+        |       (max_in_5m >= 20) AS burst_5m
+        |FROM g ORDER BY user_id""") { c =>
+      val s = c.events.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val lagW = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val rngW = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-300, Window.currentRow)
+      val w = s.select(col("user_id"),
+        (col("sec") - lag(col("sec"), 1).over(lagW)).as("gap"),
+        count(lit(1)).over(rngW).as("in5m"))
+      w.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), min(col("gap")).as("min_gap_s"),
+          max(col("in5m")).as("max_in_5m"))
+        .select(col("user_id"), col("n_events"), col("min_gap_s"),
+          col("max_in_5m"),
+          (col("min_gap_s") <= 1).as("rapid_fire"),
+          (col("max_in_5m") >= 20).as("burst_5m"))
+        .orderBy("user_id")
+    },
+
     // Wald–Wolfowitz runs test (1940) for serial randomness: per user,
     // the binary purchase/non-purchase event sequence's run count R vs
     // its null mean μ = 1 + 2·n1·n2/n and variance
@@ -1413,6 +1457,88 @@ object StatQueries {
       g.select(col("user_id"), col("n1"), col("n2"), col("runs"),
           r4((col("runs") - mu) / sqrt(vr)).as("z"))
         .orderBy("user_id")
+    },
+
+    // Restricted mean survival time (Royston & Parmar 2013 — the
+    // clinically-preferred KM summary when hazards aren't
+    // proportional): area under the stat_kaplan_meier survival curve
+    // up to τ = 240 h on the same time-to-first-purchase frame.
+    // Each interval term is ROUNDED survival (1e-6 lattice) × an
+    // exact integer gap, so every term is exactly representable and
+    // the area sum is order-independent; the sequential ln-sum rides
+    // the same ordered window as stat_kaplan_meier. One aggregate +
+    // event-time-sized window work.
+    q("stat_survival_rmst",
+      """WITH u AS (SELECT user_id,
+        |      min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) e0,
+        |      min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+        |        FILTER (event_type = 'purchase') ep,
+        |      max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) ez
+        |    FROM events GROUP BY 1),
+        |d AS (SELECT
+        |        CAST(floor((coalesce(ep, ez) - e0) / 3600.0) AS BIGINT)
+        |          dur_h,
+        |        CASE WHEN ep IS NOT NULL THEN 1 ELSE 0 END obs FROM u),
+        |h AS (SELECT dur_h, sum(obs) d, count(*) w FROM d GROUP BY 1),
+        |n AS (SELECT sum(w) nt FROM h),
+        |c AS (SELECT dur_h, d, w,
+        |             coalesce(sum(w) OVER (ORDER BY dur_h
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) cum
+        |      FROM h),
+        |s AS (SELECT dur_h, d, (n.nt - cum) at_risk,
+        |             CASE WHEN d < n.nt - cum
+        |                  THEN ln(1 - d * 1.0 / (n.nt - cum)) END term
+        |      FROM c, n),
+        |k AS (SELECT dur_h,
+        |             round(CASE WHEN term IS NULL THEN 0.0
+        |                  ELSE exp(sum(term) OVER (ORDER BY dur_h)) END
+        |               + 1e-9, 6) surv
+        |      FROM s),
+        |iv AS (SELECT dur_h, surv,
+        |         lead(dur_h, 1, 240) OVER (ORDER BY dur_h) nxt
+        |       FROM k WHERE dur_h < 240),
+        |a AS (SELECT min(dur_h) t1,
+        |        sum(surv * (least(nxt, 240) - dur_h))
+        |          FILTER (nxt > dur_h) area
+        |      FROM iv)
+        |SELECT 240::BIGINT AS tau_hours, n.nt::BIGINT AS n_users,
+        |       round(least(a.t1, 240) + a.area + 1e-9, 4) AS rmst_hours
+        |FROM a, n""") { c =>
+      val u = c.events.groupBy("user_id").agg(
+        expr("unix_timestamp(min(ts))").as("e0"),
+        expr(
+          "unix_timestamp(min(CASE WHEN event_type = 'purchase' THEN ts END))")
+          .as("ep"),
+        expr("unix_timestamp(max(ts))").as("ez"))
+      val d = u.select(
+        floor((coalesce(col("ep"), col("ez")) - col("e0")) / 3600.0)
+          .cast("long").as("dur_h"),
+        when(col("ep").isNotNull, 1L).otherwise(0L).as("obs"))
+      val h = d.groupBy("dur_h")
+        .agg(sum(col("obs")).as("d"), count(lit(1)).as("w"))
+      val nt = h.agg(sum(col("w")).as("nt"))
+      val wOrd = Window.orderBy("dur_h")
+      val cum = h.withColumn("cum",
+        coalesce(sum(col("w")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val s = cum.crossJoin(broadcast(nt))
+        .withColumn("at_risk", col("nt") - col("cum"))
+        .withColumn("term",
+          when(col("d") < col("at_risk"),
+            log(lit(1) - col("d") * lit(1.0) / col("at_risk"))))
+      val k = s.select(col("dur_h"),
+        r6(when(col("term").isNull, 0.0)
+          .otherwise(exp(sum(col("term")).over(wOrd)))).as("surv"))
+      val iv = k.filter(col("dur_h") < 240)
+        .withColumn("nxt", lead(col("dur_h"), 1, 240).over(wOrd))
+      val a = iv.agg(min(col("dur_h")).as("t1"),
+        sum(when(col("nxt") > col("dur_h"),
+          col("surv") * (least(col("nxt"), lit(240)) - col("dur_h"))))
+          .as("area"))
+      a.crossJoin(broadcast(nt))
+        .select(lit(240L).as("tau_hours"), col("nt").as("n_users"),
+          r4(least(col("t1"), lit(240)) + col("area")).as("rmst_hours"))
     },
 
     // Two-model (T-learner) uplift readout (Künzel et al. 2019's
