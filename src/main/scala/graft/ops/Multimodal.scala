@@ -1019,4 +1019,192 @@ object Multimodal {
             .mkString(","))
       })
   }
+
+  /** Image-quality gate statistics — the brightness/contrast/clipping
+    * screen a training-data ingest runs before an image reaches the
+    * corpus (LAION-style filtering). REAL decode (same magic dispatch
+    * as [[decodePixels]]), then EXACT integer luma statistics: per
+    * pixel the integer Rec.709 luma lum = 2126·R + 7152·G + 722·B
+    * (weights ×10⁴, no division anywhere), accumulated as Longs in
+    * pixel order plus threshold counts for clipped-bright (≥240 gray)
+    * and near-black (≤16 gray) pixels. Every output is an integer sum
+    * or count, so the decode+stats kernel sits fully under the
+    * exact-hash gate; consumers derive brightness/contrast by dividing
+    * at read time. Partition-local map, zero shuffle — at archive
+    * scale this runs beside the scan. Bounds: lum ≤ 2.55e6, lum² ≤
+    * 6.6e12, so sum_luma_sq stays in Long headroom past a megapixel. */
+  final case class ImageQuality(doc_id: Long, format: String,
+      width: Int, height: Int, n_px: Long, sum_luma: Long,
+      sum_luma_sq: Long, n_bright: Long, n_dark: Long)
+
+  def imageQuality(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[ImageQuality] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        val decoded: Option[(String, Int, Int, Int, Array[Int])] =
+          decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, 3, px) }
+            .orElse(decodePng(bytes).map { case (w, h, ch, px) =>
+              ("png", w, h, ch, px) })
+            .orElse(decodeGif(bytes).map { case (w, h, px) =>
+              ("gif", w, h, 3, px) })
+            .orElse(Jpeg.decode(bytes).map { case (w, h, ch, px) =>
+              ("jpeg", w, h, ch, px) })
+        decoded match {
+          case Some((fmt, w, h, ch, px)) =>
+            var sl = 0L; var sq = 0L; var nb = 0L; var nd = 0L
+            var i = 0
+            val n = px.length / math.max(ch, 1)
+            while (i < n) {
+              val base = i * ch
+              val lum: Long =
+                if (ch == 1) 10000L * px(base)
+                else 2126L * px(base) + 7152L * px(base + 1) +
+                  722L * px(base + 2)
+              sl += lum; sq += lum * lum
+              if (lum >= 2400000L) nb += 1
+              if (lum <= 160000L) nd += 1
+              i += 1
+            }
+            ImageQuality(id, fmt, w, h, n.toLong, sl, sq, nb, nd)
+          case None =>
+            ImageQuality(id, "unknown", 0, 0, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** Framewise audio features — the VAD-style energy/silence screen of
+    * an audio ingest pipeline. REAL PCM16 decode, then per frame of
+    * `frameLen` samples (floor-partial last frame kept): integer
+    * energy Σs², strict sign-flip zero crossings (s·prev < 0, both
+    * samples inside the frame), and a silence flag by integer peak
+    * threshold. Every output is an integer count/sum — exact on any
+    * engine. Partition-local map, zero shuffle. */
+  final case class AudioFeatures(doc_id: Long, n_samples: Long,
+      n_frames: Long, total_zc: Long, silent_frames: Long,
+      max_frame_energy: Long)
+
+  def audioFeatures(df: DataFrame, idCol: String, frameLen: Int,
+      silencePeak: Int,
+      payloadCol: String = "payload"): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        decodeWavPcm16(bytes) match {
+          case Some((_, _, s)) =>
+            var zc = 0L; var silent = 0L; var maxE = 0L
+            var i = 0
+            val n = s.length
+            var frames = 0L
+            while (i < n) {
+              val end = math.min(i + frameLen, n)
+              var e = 0L; var pk = 0; var j = i
+              while (j < end) {
+                val v = s(j).toInt
+                e += v.toLong * v
+                if (math.abs(v) > pk) pk = math.abs(v)
+                if (j > i && s(j - 1).toInt * v < 0) zc += 1
+                j += 1
+              }
+              if (pk < silencePeak) silent += 1
+              if (e > maxE) maxE = e
+              frames += 1
+              i = end
+            }
+            AudioFeatures(id, n.toLong, frames, zc, silent, maxE)
+          case None => AudioFeatures(id, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** Pinned integer DCT-II cosine table, cos(π(2k+1)u/16)×10³ rounded
+    * half-up, flat index k*8+u. Embedded VERBATIM here and in the SQL
+    * oracle so no engine ever evaluates a transcendental — the r5-r7
+    * determinism lesson applied to signal processing. */
+  private val dctCos: Array[Long] = Array(
+    1000, 981, 924, 831, 707, 556, 383, 195,
+    1000, 831, 383, -195, -707, -981, -924, -556,
+    1000, 556, -383, -981, -707, 195, 924, 831,
+    1000, 195, -924, -556, 707, 831, -383, -981,
+    1000, -195, -924, 556, 707, -831, -383, 981,
+    1000, -556, -383, 981, -707, -195, 924, -831,
+    1000, -831, 383, 195, -707, 981, -924, 556,
+    1000, -981, 924, -831, 707, -556, 383, -195)
+
+  /** Perceptual hash (pHash, DCT variant — the image near-dup key of a
+    * multimodal dedup pipeline, Zauner 2010): REAL decode, integer
+    * Rec.709 luma (×10⁴ weights), 2-D DCT-II over the 8×8 luma grid
+    * via [[dctCos]], the 15 top-left AC coefficients (4×4 minus DC),
+    * bit i set iff coeff_i > median (8th order statistic of the 15 —
+    * an exact integer compare, constant-offset brightness shifts only
+    * move DC so they hash identically). Pure integer arithmetic end to
+    * end: term bound 2.55e6·10³·10³·64 ≈ 1.6e14, inside Long.
+    * Partition-local, zero shuffle; the hash is the key for banded
+    * hamming dedup downstream. Non-8×8 or undecodable input hashes to
+    * -1 (a sentinel bucket the caller filters). */
+  final case class PHash(doc_id: Long, phash: Long)
+
+  def phash8(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[PHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        val decoded: Option[(Int, Int, Int, Array[Int])] =
+          decodeBmp(bytes).map { case (w, h, px) => (w, h, 3, px) }
+            .orElse(decodePng(bytes))
+            .orElse(decodeGif(bytes).map { case (w, h, px) =>
+              (w, h, 3, px) })
+            .orElse(Jpeg.decode(bytes))
+        decoded match {
+          case Some((8, 8, ch, px)) =>
+            val lum = new Array[Long](64)
+            var p = 0
+            while (p < 64) {
+              val base = p * ch
+              lum(p) =
+                if (ch == 1) 10000L * px(base)
+                else 2126L * px(base) + 7152L * px(base + 1) +
+                  722L * px(base + 2)
+              p += 1
+            }
+            val coef = new Array[Long](15)
+            var uvi = 1
+            while (uvi <= 15) {
+              val u = uvi % 4; val v = uvi / 4
+              var s = 0L; var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  s += lum(y * 8 + x) * dctCos(x * 8 + u) *
+                    dctCos(y * 8 + v)
+                  x += 1
+                }
+                y += 1
+              }
+              coef(uvi - 1) = s
+              uvi += 1
+            }
+            val med = coef.sorted.apply(7)
+            var hash = 0L; var i = 0
+            while (i < 15) {
+              if (coef(i) > med) hash |= 1L << i
+              i += 1
+            }
+            PHash(id, hash)
+          case _ => PHash(id, -1L)
+        }
+      })
+  }
 }

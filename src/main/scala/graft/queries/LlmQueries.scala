@@ -1791,6 +1791,266 @@ object LlmQueries {
     // Multimodal.decodeWavPcm16 recovers the waveform and the query
     // reports mean / RMS / absolute peak — hash-checked against an
     // oracle that regenerates the sample formula.
+    // Image-quality GATE (the LAION-style brightness/contrast/clipping
+    // screen an image corpus runs at ingest): genuine BMPs from doc
+    // keys — every 7th doc a flat near-black frame, the rest textured —
+    // Multimodal.imageQuality decodes and accumulates EXACT integer
+    // Rec.709 luma sums (×10⁴ weights, no division in the kernel), and
+    // the query derives brightness/contrast plus integer-compare flags.
+    // The flags screen on the ROUNDED contrast (both engines compare
+    // the same 4-dp lattice value — the FP-boolean rule). Oracle
+    // regenerates the pixel formula; Σlum² stays exact BIGINT on both
+    // sides and is cast to DOUBLE once, identically.
+    q("mm_image_quality",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT w,
+        |                  (6 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |v AS (SELECT doc_id, w, h,
+        |        CASE WHEN doc_id % 7 = 0 THEN 8
+        |             ELSE (doc_id * 31 + p * 3) % 256 END r,
+        |        CASE WHEN doc_id % 7 = 0 THEN 8
+        |             ELSE (doc_id * 31 + p * 3 + 1) % 256 END g,
+        |        CASE WHEN doc_id % 7 = 0 THEN 8
+        |             ELSE (doc_id * 31 + p * 3 + 2) % 256 END b
+        |      FROM px),
+        |l AS (SELECT doc_id, w, h,
+        |        2126 * r + 7152 * g + 722 * b lum FROM v),
+        |a AS (SELECT doc_id, CAST(max(w) AS INT) width,
+        |        CAST(max(h) AS INT) height,
+        |        count(*)::BIGINT n_px, sum(lum)::BIGINT sum_luma,
+        |        sum(lum * lum)::BIGINT sq,
+        |        sum(CASE WHEN lum >= 2400000 THEN 1 ELSE 0 END)::BIGINT
+        |          n_bright,
+        |        sum(CASE WHEN lum <= 160000 THEN 1 ELSE 0 END)::BIGINT
+        |          n_dark
+        |      FROM l GROUP BY 1),
+        |o AS (SELECT doc_id, width, height, n_px, sum_luma, n_bright,
+        |        n_dark,
+        |        round(sum_luma / (n_px * 10000.0) + 1e-9, 4) brightness,
+        |        round(sqrt(greatest(n_px::DOUBLE * sq::DOUBLE
+        |            - sum_luma::DOUBLE * sum_luma::DOUBLE, 0.0))
+        |          / (n_px * 10000.0) + 1e-9, 4) contrast
+        |      FROM a)
+        |SELECT doc_id, width, height, n_px, sum_luma, n_bright, n_dark,
+        |       brightness, contrast,
+        |       (contrast = 0.0) AS is_flat,
+        |       (n_dark * 2 > n_px) AS is_dark
+        |FROM o ORDER BY doc_id""") { c =>
+      val mkBmp = udf((id: Long) => {
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            if (id % 7 == 0)
+              b.put(8.toByte).put(8.toByte).put(8.toByte)
+            else {
+              val base = id * 31 + (y.toLong * w + x) * 3
+              b.put(((base + 2) % 256).toByte)
+                .put(((base + 1) % 256).toByte)
+                .put((base % 256).toByte)
+            }
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      val a = Multimodal.imageQuality(
+          c.documents.select(col("doc_id"),
+            mkBmp(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+      val o = a.select(col("doc_id"), col("width"), col("height"),
+        col("n_px"), col("sum_luma"), col("n_bright"), col("n_dark"),
+        r4(col("sum_luma") / (col("n_px") * lit(10000.0)))
+          .as("brightness"),
+        r4(sqrt(greatest(
+            col("n_px").cast("double") * col("sum_luma_sq").cast("double")
+              - col("sum_luma").cast("double")
+                * col("sum_luma").cast("double"), lit(0.0)))
+          / (col("n_px") * lit(10000.0))).as("contrast"))
+      o.withColumn("is_flat", col("contrast") === 0.0)
+        .withColumn("is_dark", col("n_dark") * 2 > col("n_px"))
+        .orderBy("doc_id")
+    },
+
+    // Framewise audio features (the VAD-style silence/energy screen of
+    // an audio ingest): genuine PCM16 WAVs from doc keys — every 5th
+    // doc near-silent (|s| ≤ 3), the rest full-scale —
+    // Multimodal.audioFeatures decodes and walks 8-sample frames with
+    // O(1) state: integer energy Σs², strict sign-flip zero crossings,
+    // silence by integer peak < 500. Every output column is an integer
+    // count/sum, exact on any engine; the oracle regenerates the
+    // sample formula and frames by i // 8.
+    q("mm_wav_features",
+      """WITH d AS (SELECT doc_id, (16 + doc_id % 16)::BIGINT n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, n, i, i // 8 f,
+        |        CASE WHEN doc_id % 5 = 0
+        |             THEN ((doc_id * 13 + i * 5) % 7) - 3
+        |             ELSE ((doc_id * 13 + i * 5) % 4001) - 2000 END s
+        |      FROM sm),
+        |w AS (SELECT doc_id, n, i, f, s,
+        |        lag(s) OVER (PARTITION BY doc_id ORDER BY i) prev
+        |      FROM v),
+        |fr AS (SELECT doc_id, max(n) n, f,
+        |         sum(s * s)::BIGINT energy,
+        |         sum(CASE WHEN i % 8 <> 0 AND prev * s < 0
+        |             THEN 1 ELSE 0 END)::BIGINT zc,
+        |         max(abs(s)) pk
+        |       FROM w GROUP BY doc_id, f)
+        |SELECT doc_id, max(n) AS n_samples,
+        |       count(*)::BIGINT AS n_frames,
+        |       sum(zc)::BIGINT AS total_zc,
+        |       sum(CASE WHEN pk < 500 THEN 1 ELSE 0 END)::BIGINT
+        |         AS silent_frames,
+        |       max(energy) AS max_frame_energy
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""") { c =>
+      val mkWavPcm = udf((id: Long) => {
+        val n = 16 + (id % 16).toInt
+        val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+          .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)
+          .putInt(8000).putInt(8000 * 2)
+          .putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(n * 2)
+        (0 until n).foreach { i =>
+          val s =
+            if (id % 5 == 0) ((id * 13 + i.toLong * 5) % 7) - 3
+            else ((id * 13 + i.toLong * 5) % 4001) - 2000
+          b.putShort(s.toShort)
+        }
+        b.array()
+      })
+      Multimodal.audioFeatures(
+          c.documents.select(col("doc_id"),
+            mkWavPcm(col("doc_id")).as("payload")),
+          "doc_id", frameLen = 8, silencePeak = 500)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // Perceptual-hash IMAGE DEDUP (pHash, Zauner 2010 — the image leg
+    // of corpus dedup): genuine 8×8 BMPs where doc_id%40 picks the
+    // texture, a brightness offset varies per doc (shifts only the DC
+    // coefficient — same hash, by construction), and every 97th doc
+    // gets a one-pixel bump (small nonzero hamming). Multimodal.phash8
+    // computes the integer-DCT hash partition-locally; dedup is the
+    // SCALE SHAPE: cluster by exact hash, then banded hamming-≤2
+    // candidate join over the DISTINCT hashes (3 bands × 5 bits;
+    // pigeonhole — ≤2 flipped bits leave a band intact, recall 1.0),
+    // bit_count(xor) verify on candidates only. The oracle recomputes
+    // the same integer DCT from the pixel formula with the VERBATIM
+    // cosine table and checks near-neighbors by exact all-pairs over
+    // the tiny distinct-hash set.
+    q("mm_phash_dedup",
+      """WITH ct AS (SELECT [1000, 981, 924, 831, 707, 556, 383, 195,
+        |  1000, 831, 383, -195, -707, -981, -924, -556,
+        |  1000, 556, -383, -981, -707, 195, 924, 831,
+        |  1000, 195, -924, -556, 707, 831, -383, -981,
+        |  1000, -195, -924, 556, 707, -831, -383, 981,
+        |  1000, -556, -383, 981, -707, -195, 924, -831,
+        |  1000, -831, 383, 195, -707, 981, -924, 556,
+        |  1000, -981, 924, -831, 707, -556, 383, -195] c),
+        |d AS (SELECT doc_id, doc_id % 40 k, ((doc_id // 40) % 3) * 4 boff,
+        |        CASE WHEN doc_id % 97 = 0 THEN doc_id % 40 ELSE -1 END pp
+        |      FROM documents),
+        |px AS (SELECT doc_id, k, boff, pp, unnest(range(0, 64)) p FROM d),
+        |l AS (SELECT doc_id, p % 8 x, p // 8 y,
+        |        2126 * ((k * 31 + p * 3) % 200 + boff
+        |                + CASE WHEN p = pp THEN 40 ELSE 0 END)
+        |      + 7152 * ((k * 31 + p * 3 + 1) % 200 + boff
+        |                + CASE WHEN p = pp THEN 40 ELSE 0 END)
+        |      +  722 * ((k * 31 + p * 3 + 2) % 200 + boff
+        |                + CASE WHEN p = pp THEN 40 ELSE 0 END) lum
+        |      FROM px),
+        |uv AS (SELECT unnest(range(1, 16)) uvi),
+        |f AS (SELECT l.doc_id, uv.uvi,
+        |        sum(l.lum * ct.c[(l.x * 8 + (uv.uvi % 4) + 1)::INT]
+        |                  * ct.c[(l.y * 8 + (uv.uvi // 4) + 1)::INT])
+        |          ::BIGINT co
+        |      FROM l, uv, ct GROUP BY 1, 2),
+        |m AS (SELECT doc_id, list_sort(list(co))[8] med FROM f
+        |      GROUP BY 1),
+        |h AS (SELECT f.doc_id,
+        |        sum(CASE WHEN f.co > m.med
+        |            THEN (1::BIGINT << (f.uvi - 1)::INT) ELSE 0 END)
+        |          ::BIGINT phash
+        |      FROM f JOIN m USING (doc_id) GROUP BY 1),
+        |cl AS (SELECT phash, count(*)::BIGINT n_docs,
+        |         min(doc_id) min_doc FROM h GROUP BY 1),
+        |nr AS (SELECT a.phash, count(*)::BIGINT n_near FROM cl a
+        |       JOIN cl b ON a.phash <> b.phash
+        |         AND bit_count(xor(a.phash, b.phash)) <= 2
+        |       GROUP BY 1)
+        |SELECT cl.phash, cl.n_docs, cl.min_doc,
+        |       coalesce(nr.n_near, 0)::BIGINT AS n_near
+        |FROM cl LEFT JOIN nr USING (phash) ORDER BY cl.phash""") { c =>
+      val mkBmp = udf((id: Long) => {
+        val w = 8; val h = 8
+        val k = id % 40
+        val off = ((id / 40) % 3).toInt * 4
+        val pp = if (id % 97 == 0) (id % 40).toInt else -1
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y * w + x
+            val bump = if (p == pp) 40 else 0
+            def v(ci: Int): Int =
+              ((k * 31 + p * 3 + ci) % 200).toInt + off + bump
+            b.put(v(2).toByte).put(v(1).toByte).put(v(0).toByte)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      val cl = Multimodal.phash8(
+          c.documents.select(col("doc_id"),
+            mkBmp(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .persist()
+      cl.count() // materialize once; two consumers + a self-join below
+      // banded hamming-candidate join over DISTINCT hashes: 3 bands of
+      // 5 bits, band id packed into the key's low 2 bits
+      def bandKey(b: Int) =
+        (shiftright(col("phash"), b * 5).bitwiseAND(lit(31L))) * 4 + b
+      val bands = cl.select(col("phash"),
+        explode(array(bandKey(0), bandKey(1), bandKey(2))).as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bk") === col("y.bk") &&
+            col("x.phash") < col("y.phash"))
+        .select(col("x.phash").as("pa"), col("y.phash").as("pb"))
+        .distinct()
+      val vp = cand.filter(
+        bit_count(col("pa").bitwiseXOR(col("pb"))) <= 2)
+      val nn = vp.select(col("pa").as("phash"))
+        .union(vp.select(col("pb").as("phash")))
+        .groupBy("phash").agg(count(lit(1)).as("n_near"))
+      cl.join(nn, Seq("phash"), "left")
+        .na.fill(0L, Seq("n_near"))
+        .select(col("phash"), col("n_docs"), col("min_doc"),
+          col("n_near"))
+        .orderBy("phash")
+    },
+
     q("mm_decode_wav",
       """WITH d AS (SELECT doc_id, (16 + doc_id % 16)::BIGINT n FROM documents),
         |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),

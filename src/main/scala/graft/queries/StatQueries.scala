@@ -321,6 +321,158 @@ object StatQueries {
         .orderBy("k")
     },
 
+    // Partial autocorrelation function, lags 1-4, via the
+    // Durbin–Levinson recursion (Box-Jenkins AR-order identification —
+    // the companion readout to ts_acf: PACF cuts off at lag p for an
+    // AR(p) process where ACF only decays). The ACF lattice values are
+    // computed exactly as in ts_acf (EXACT BIGINT sums of quantized
+    // cents, rounded ONCE to the 1e-6 lattice), and the fixed-depth
+    // recursion is then pure double arithmetic written STRUCTURALLY
+    // IDENTICALLY on both engines over those identical lattice inputs
+    // — the chained-CTE unroll device. Scale: one corpus-sized hourly
+    // aggregation; everything after is a 6-row/1-row relation.
+    q("ts_pacf",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |             sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT m, sum(y)::BIGINT s,
+        |         sum(y*y)::BIGINT syy FROM h),
+        |l AS (SELECT unnest(generate_series(1, 4)) k),
+        |p AS (SELECT l.k, count(*)::BIGINT nk,
+        |        sum(a.y * b.y)::BIGINT pk,
+        |        sum(a.y)::BIGINT ak, sum(b.y)::BIGINT bk
+        |      FROM l JOIN h a ON TRUE JOIN h b ON b.hb = a.hb + l.k
+        |      GROUP BY 1),
+        |acf AS (SELECT k,
+        |    round((pk - (ak + bk) * (s::DOUBLE / m)
+        |           + nk * (s::DOUBLE / m) * (s::DOUBLE / m))
+        |          / (syy - s * (s::DOUBLE / m)) + 1e-9, 6) r
+        |  FROM p, st),
+        |w AS (SELECT max(CASE WHEN k = 1 THEN r END) r1,
+        |        max(CASE WHEN k = 2 THEN r END) r2,
+        |        max(CASE WHEN k = 3 THEN r END) r3,
+        |        max(CASE WHEN k = 4 THEN r END) r4 FROM acf),
+        |d1 AS (SELECT r1, r2, r3, r4, r1 p11,
+        |         (r2 - r1 * r1) / (1 - r1 * r1) p22 FROM w),
+        |d2 AS (SELECT *, p11 - p22 * p11 p21 FROM d1),
+        |d3 AS (SELECT *,
+        |         (r3 - (p21 * r2 + p22 * r1))
+        |           / (1 - (p21 * r1 + p22 * r2)) p33 FROM d2),
+        |d4 AS (SELECT *, p21 - p33 * p22 p31,
+        |         p22 - p33 * p21 p32 FROM d3),
+        |d5 AS (SELECT *,
+        |         (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+        |           / (1 - (p31 * r1 + p32 * r2 + p33 * r3)) p44 FROM d4)
+        |SELECT k, round(pacf + 1e-9, 6) AS pacf FROM (
+        |  SELECT 1::BIGINT k, p11 pacf FROM d5 UNION ALL
+        |  SELECT 2::BIGINT, p22 FROM d5 UNION ALL
+        |  SELECT 3::BIGINT, p33 FROM d5 UNION ALL
+        |  SELECT 4::BIGINT, p44 FROM d5) ORDER BY k""") { c =>
+      val sp = c.spark
+      import sp.implicits._
+      val h = c.events.select(
+          floor(expr("unix_timestamp(ts)") / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cents"))
+        .groupBy("hb").agg(sum(col("cents")).as("y"))
+      val st = h.agg(count(lit(1)).as("m"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("syy"))
+      val lags = (1 to 4).toDF("k")
+      val p = broadcast(lags).crossJoin(h.select(col("hb"), col("y")))
+        .join(h.select(col("hb").as("hb2"), col("y").as("y2")),
+          col("hb2") === col("hb") + col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("nk"), sum(col("y") * col("y2")).as("pk"),
+          sum(col("y")).as("ak"), sum(col("y2")).as("bk"))
+      val ybar = col("s").cast("double") / col("m")
+      val acf = p.crossJoin(broadcast(st))
+        .select(col("k"),
+          r6((col("pk") - (col("ak") + col("bk")) * ybar +
+            col("nk") * ybar * ybar) /
+            (col("syy") - col("s") * ybar)).as("r"))
+      val w = acf.agg(
+        max(when(col("k") === 1, col("r"))).as("r1"),
+        max(when(col("k") === 2, col("r"))).as("r2"),
+        max(when(col("k") === 3, col("r"))).as("r3"),
+        max(when(col("k") === 4, col("r"))).as("r4"))
+      val d5 = w
+        .withColumn("p11", col("r1"))
+        .withColumn("p22",
+          (col("r2") - col("r1") * col("r1")) /
+            (lit(1) - col("r1") * col("r1")))
+        .withColumn("p21", col("p11") - col("p22") * col("p11"))
+        .withColumn("p33",
+          (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) /
+            (lit(1) - (col("p21") * col("r1") + col("p22") * col("r2"))))
+        .withColumn("p31", col("p21") - col("p33") * col("p22"))
+        .withColumn("p32", col("p22") - col("p33") * col("p21"))
+        .withColumn("p44",
+          (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2") +
+            col("p33") * col("r1"))) /
+            (lit(1) - (col("p31") * col("r1") + col("p32") * col("r2") +
+              col("p33") * col("r3"))))
+      d5.selectExpr(
+          "stack(4, 1L, p11, 2L, p22, 3L, p33, 4L, p44) as (k, pacf)")
+        .select(col("k"), r6(col("pacf")).as("pacf"))
+        .orderBy("k")
+    },
+
+    // Wald sequential probability ratio test (SPRT, Wald 1945 — the
+    // always-valid sequential monitor behind modern continuous A/B
+    // peeking): H0 conversion p₀=0.15 vs H1 p₁=0.20 at α=β=0.05 over
+    // the event stream in time order. LLR_n = k·ln(p₁/p₀) +
+    // (n−k)·ln((1−p₁)/(1−p₀)) is a CLOSED FORM of the integer pair
+    // (k, n); the two log constants are PINNED 17-digit literals on
+    // both engines (no engine evaluates ln — the dctCos device), the
+    // per-row LLR rounds once to the 1e-6 lattice, and the decision is
+    // the first lattice crossing of ±ln(19)≈2.944439. Scale: the
+    // cumulative (k, n) ride Positional.withCumSums (range-bucketed
+    // two-pass prefix sums — no global window, no repartition(1)).
+    q("stat_sprt",
+      """WITH e AS (SELECT ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END x
+        |  FROM events),
+        |s AS (SELECT row_number() OVER (ORDER BY ts, event_id) n,
+        |        sum(x) OVER (ORDER BY ts, event_id) k FROM e),
+        |t AS (SELECT n::BIGINT n, k::BIGINT k,
+        |        round(k * 0.287682072451781
+        |              + (n - k) * -0.060624621816434736 + 1e-9, 6) llr
+        |      FROM s),
+        |cx AS (SELECT min(n) nd FROM t
+        |       WHERE llr >= 2.944439 OR llr <= -2.944439),
+        |f AS (SELECT t.n n_dec, t.k k_dec, t.llr llr_dec
+        |      FROM t, cx WHERE t.n = cx.nd),
+        |tot AS (SELECT count(*)::BIGINT n_total FROM e)
+        |SELECT tot.n_total,
+        |  CASE WHEN f.llr_dec IS NULL THEN 'continue'
+        |       WHEN f.llr_dec > 0 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  f.n_dec, f.k_dec, f.llr_dec
+        |FROM tot LEFT JOIN f ON TRUE""") { c =>
+      val e = c.events.select(col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+      val cum = graft.ops.Positional.withCumSums(e,
+        Seq(col("ts"), col("event_id")),
+        Seq(col("x") -> "k_lt", lit(1L) -> "n_lt"))
+      val t = cum.select(
+        (col("n_lt") + lit(1L)).as("n"),
+        (col("k_lt") + col("x")).as("k"))
+        .withColumn("llr", r6(col("k") * lit(0.287682072451781) +
+          (col("n") - col("k")) * lit(-0.060624621816434736)))
+      val crossed = t.filter(
+        col("llr") >= 2.944439 || col("llr") <= -2.944439)
+      val f = crossed
+        .agg(min(struct(col("n"), col("k"), col("llr"))).as("f"))
+        .select(col("f.n").as("n_dec"), col("f.k").as("k_dec"),
+          col("f.llr").as("llr_dec"))
+      val tot = e.agg(count(lit(1)).as("n_total"))
+      tot.crossJoin(broadcast(f))
+        .select(col("n_total"),
+          when(col("llr_dec").isNull, "continue")
+            .when(col("llr_dec") > 0, "accept_h1")
+            .otherwise("accept_h0").as("decision"),
+          col("n_dec"), col("k_dec"), col("llr_dec"))
+    },
+
     // CUPED variance-reduced A/B analysis (Deng et al. 2013 — the
     // industry-standard experiment readout): adjust each unit's metric
     // by its PRE-experiment covariate, Y′ = Y − θ(X − X̄) with
