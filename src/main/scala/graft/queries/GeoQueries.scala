@@ -22,6 +22,73 @@ object GeoQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Hexagonal binning (the H3/Uber-style spatial reduce — bin points
+    // to pointy-top hex cells BEFORE any join or viz, the standard
+    // 100 TB trick to turn point clouds into cell aggregates): axial
+    // coordinates via the cube-rounding algorithm (Patel's hex grid
+    // note), written as the SAME double expressions on both engines —
+    // the branch compares run on bit-identical doubles, and both
+    // engines round halves away from zero, so the cell assignment is
+    // deterministic. One hash aggregate over the point set; cell
+    // centers re-projected for the consumer. Balance sums are exact
+    // integer cents.
+    q("geo_hexbin",
+      """WITH p AS (SELECT c_custkey,
+        |        ((c_custkey * 37) % 12000)/100.0 - 60.0 AS lat,
+        |        ((c_custkey * 91) % 36000)/100.0 - 180.0 AS lon,
+        |        CAST(round(c_acctbal * 100 + 1e-9) AS BIGINT) cents
+        |      FROM customer),
+        |ax AS (SELECT c_custkey, cents,
+        |         (sqrt(3)/3 * lon - lat/3) / 5.0 qf,
+        |         (2.0/3 * lat) / 5.0 rf FROM p),
+        |cu AS (SELECT c_custkey, cents, qf, rf,
+        |         round(qf) rx, round(-qf - rf) ry, round(rf) rz FROM ax),
+        |dd AS (SELECT c_custkey, cents, rx, ry, rz,
+        |         abs(rx - qf) dx, abs(ry - (-qf - rf)) dy,
+        |         abs(rz - rf) dz FROM cu),
+        |hx AS (SELECT c_custkey, cents,
+        |         CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz
+        |              ELSE rx END AS BIGINT) q,
+        |         CAST(CASE WHEN NOT (dx > dy AND dx > dz)
+        |                    AND NOT (dy > dz) THEN -rx - ry
+        |              ELSE rz END AS BIGINT) r
+        |       FROM dd)
+        |SELECT q, r, count(*)::BIGINT AS n_points,
+        |       sum(cents)::BIGINT AS bal_cents,
+        |       round(5.0 * (sqrt(3) * q + sqrt(3)/2 * r) + 1e-9, 6)
+        |         AS center_x,
+        |       round(5.0 * (1.5 * r) + 1e-9, 6) AS center_y
+        |FROM hx GROUP BY 1, 2 ORDER BY q, r""") { c =>
+      val s3 = sqrt(lit(3.0))
+      val p = c.customer.select(
+        lat(col("c_custkey")).as("la"), lon(col("c_custkey")).as("lo"),
+        round(col("c_acctbal") * 100 + lit(1e-9)).cast("long")
+          .as("cents"))
+      val ax = p.select(col("cents"),
+        ((s3 / 3 * col("lo") - col("la") / 3) / lit(5.0)).as("qf"),
+        ((lit(2.0) / 3 * col("la")) / lit(5.0)).as("rf"))
+      val cu = ax.select(col("cents"), col("qf"), col("rf"),
+        round(col("qf")).as("rx"), round(-col("qf") - col("rf")).as("ry"),
+        round(col("rf")).as("rz"))
+      val dd = cu.select(col("cents"), col("rx"), col("ry"), col("rz"),
+        abs(col("rx") - col("qf")).as("dx"),
+        abs(col("ry") - (-col("qf") - col("rf"))).as("dy"),
+        abs(col("rz") - col("rf")).as("dz"))
+      val b1 = col("dx") > col("dy") && col("dx") > col("dz")
+      val hx = dd.select(col("cents"),
+        when(b1, -col("ry") - col("rz")).otherwise(col("rx"))
+          .cast("long").as("q"),
+        when(!b1 && !(col("dy") > col("dz")), -col("rx") - col("ry"))
+          .otherwise(col("rz")).cast("long").as("r"))
+      hx.groupBy("q", "r")
+        .agg(count(lit(1)).as("n_points"), sum(col("cents")).as("bal_cents"))
+        .select(col("q"), col("r"), col("n_points"), col("bal_cents"),
+          r6(lit(5.0) * (s3 * col("q") + s3 / 2 * col("r")))
+            .as("center_x"),
+          r6(lit(5.0) * (lit(1.5) * col("r"))).as("center_y"))
+        .orderBy("q", "r")
+    },
+
     // Haversine distance + bbox predicate, row-local codegen math.
     q("geo_distance",
       """SELECT c_custkey,

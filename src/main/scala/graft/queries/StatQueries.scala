@@ -473,6 +473,67 @@ object StatQueries {
           col("n_dec"), col("k_dec"), col("llr_dec"))
     },
 
+    // Brown–Forsythe / Levene variance-homogeneity test (the
+    // assumption check BEFORE trusting stat_anova's pooled variance —
+    // ANOVA compares means, this compares SPREADS): groups are order
+    // priorities, the center is each group's LOWER MEDIAN (exact
+    // order statistic of integer cents via row_number — no
+    // interpolated median, so the center is an exact integer on both
+    // engines), z = |x − med| is integer cents, and the one-way F on
+    // the z's runs entirely on exact integer moments (Σz via BIGINT,
+    // Σz² through DECIMAL/HUGEINT — the Stump pattern). Scale: two
+    // hash aggregates + one per-group window over the orders table.
+    q("stat_levene",
+      """WITH o AS (SELECT o_orderpriority pri,
+        |        CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) v
+        |      FROM orders),
+        |rn AS (SELECT pri, v,
+        |         row_number() OVER (PARTITION BY pri ORDER BY v) rk,
+        |         count(*) OVER (PARTITION BY pri) n FROM o),
+        |md AS (SELECT pri, v med FROM rn WHERE rk = (n + 1) // 2),
+        |z AS (SELECT o.pri, abs(o.v - md.med) z FROM o
+        |      JOIN md ON o.pri = md.pri),
+        |g AS (SELECT pri, count(*)::BIGINT n, sum(z)::BIGINT sz,
+        |        sum(z::HUGEINT * z)::DOUBLE szz FROM z GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT k, sum(n)::BIGINT nt,
+        |        sum(sz)::BIGINT tz,
+        |        list_reduce(list(sz::DOUBLE * sz / n ORDER BY pri),
+        |          (x, y) -> x + y) a,
+        |        list_reduce(list(szz ORDER BY pri),
+        |          (x, y) -> x + y) w FROM g)
+        |SELECT k, nt AS n_total,
+        |  round((a - tz::DOUBLE * tz / nt) / (k - 1)
+        |        / ((w - a) / (nt - k)) + 1e-9, 6) AS w_stat
+        |FROM t""") { c =>
+      val o = c.orders.select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100 + lit(1e-9)).cast("long").as("v"))
+      val wn = Window.partitionBy("pri").orderBy("v")
+      val rn = o.select(col("pri"), col("v"),
+        row_number().over(wn).as("rk"),
+        count(lit(1)).over(Window.partitionBy("pri")).as("n"))
+      val md = rn.filter(col("rk") === ((col("n") + 1) / 2).cast("long"))
+        .select(col("pri"), col("v").as("med"))
+      val z = o.join(broadcast(md), Seq("pri"))
+        .select(col("pri"), abs(col("v") - col("med")).as("z"))
+      val g = z.groupBy("pri").agg(count(lit(1)).as("n"),
+        sum(col("z")).as("sz"),
+        sum(col("z").cast("decimal(38,0)") * col("z")).cast("double")
+          .as("szz"))
+      def pinnedSum(term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col("pri"),
+            term.as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t"))
+      val t = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("sz")).as("tz"),
+        pinnedSum(col("sz").cast("double") * col("sz") / col("n"))
+          .as("a"),
+        pinnedSum(col("szz")).as("w"))
+      t.select(col("k"), col("nt").as("n_total"),
+        r6((col("a") - col("tz").cast("double") * col("tz") / col("nt")) /
+          (col("k") - 1) /
+          ((col("w") - col("a")) / (col("nt") - col("k")))).as("w_stat"))
+    },
+
     // CUPED variance-reduced A/B analysis (Deng et al. 2013 — the
     // industry-standard experiment readout): adjust each unit's metric
     // by its PRE-experiment covariate, Y′ = Y − θ(X − X̄) with
