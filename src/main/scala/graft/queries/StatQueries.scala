@@ -534,6 +534,159 @@ object StatQueries {
           ((col("w") - col("a")) / (col("nt") - col("k")))).as("w_stat"))
     },
 
+    // Fisher's EXACT test on a 2×2 (the small-sample answer where
+    // stat_chi2's asymptotics fail — pilot cohorts, rare outcomes):
+    // arm (user parity) × any-error outcome over the user_id<120 pilot
+    // cohort. The hypergeometric tail is computed WITHOUT any
+    // transcendental: unnormalized weights ride the exact PMF
+    // recurrence w(x)/w(x−1) = (r1−x+1)(c1−x+1)/(x(r2−c1+x)) — every
+    // ratio an exact-integer quotient, cumulative products and tail
+    // sums LEFT-FOLDED in pinned x order on both engines (the
+    // list_reduce ≡ aggregate(array_sort(collect_list)) device), and
+    // the two-sided tail takes w(x) ≤ w(obs)·(1+1e-7), R's convention.
+    // Scale: one corpus aggregation to a 2×2; the x-range is
+    // margin-sized (≤ cohort), never corpus-sized.
+    q("stat_fisher_exact",
+      """WITH u AS (SELECT user_id, user_id % 2 arm,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END)
+        |            > sum(CASE WHEN event_type = 'error'
+        |                  THEN 1 ELSE 0 END)
+        |         THEN 1 ELSE 0 END err
+        |  FROM events WHERE user_id < 120 GROUP BY 1),
+        |cells AS (SELECT
+        |    sum(CASE WHEN arm = 0 AND err = 1 THEN 1 ELSE 0 END)::BIGINT a,
+        |    sum(CASE WHEN arm = 0 AND err = 0 THEN 1 ELSE 0 END)::BIGINT b,
+        |    sum(CASE WHEN arm = 1 AND err = 1 THEN 1 ELSE 0 END)::BIGINT c,
+        |    sum(CASE WHEN arm = 1 AND err = 0 THEN 1 ELSE 0 END)::BIGINT d
+        |  FROM u),
+        |m AS (SELECT a, b, c, d, a + b r1, c + d r2, a + c c1,
+        |        greatest(0, (a + c) - (c + d)) lo,
+        |        least(a + b, a + c) hi FROM cells),
+        |xs AS (SELECT m.*, unnest(range(m.lo, m.hi + 1)) x FROM m),
+        |wr AS (SELECT x, a,
+        |    CASE WHEN x = lo THEN 1.0
+        |         ELSE list_reduce(
+        |           list_transform(range(lo + 1, x + 1),
+        |             i -> ((r1 - i + 1) * (c1 - i + 1))
+        |                  / (i * (r2 - c1 + i))),
+        |           (p, q) -> p * q) END w
+        |  FROM xs),
+        |wo AS (SELECT max(CASE WHEN x = a THEN w END) wobs FROM wr),
+        |s AS (SELECT
+        |    list_reduce(list(CASE WHEN w <= wobs * (1 + 1e-7)
+        |      THEN w ELSE 0.0 END ORDER BY x), (p, q) -> p + q) num,
+        |    list_reduce(list(w ORDER BY x), (p, q) -> p + q) den
+        |  FROM wr, wo)
+        |SELECT m.a, m.b, m.c, m.d,
+        |  round((m.a * m.d)::DOUBLE / (m.b * m.c) + 1e-9, 4)
+        |    AS odds_ratio,
+        |  round(s.num / s.den + 1e-9, 6) AS p_two_sided
+        |FROM m, s""") { c =>
+      val uu = c.events.filter(col("user_id") < 120)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            > sum(when(col("event_type") === "error", 1).otherwise(0)))
+          .cast("int").as("err"))
+        .select((col("user_id") % 2).as("arm"), col("err"))
+      val cells = uu.agg(
+        sum(when(col("arm") === 0 && col("err") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0 && col("err") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("arm") === 1 && col("err") === 1, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("arm") === 1 && col("err") === 0, 1L)
+          .otherwise(0L)).as("d"))
+      val m = cells.withColumn("r1", col("a") + col("b"))
+        .withColumn("r2", col("c") + col("d"))
+        .withColumn("c1", col("a") + col("c"))
+        .withColumn("lo", greatest(lit(0L), col("c1") - col("r2")))
+        .withColumn("hi", least(col("r1"), col("c1")))
+      val xs = m.select(col("*"),
+        explode(sequence(col("lo"), col("hi"))).as("x"))
+      val wr = xs.select(col("x"), col("a"),
+        when(col("x") === col("lo"), lit(1.0))
+          .otherwise(aggregate(
+            sequence(col("lo") + 1, col("x")), lit(1.0),
+            (p, i) => p * (((col("r1") - i + lit(1)) *
+              (col("c1") - i + lit(1))) /
+              (i * (col("r2") - col("c1") + i))))).as("w"))
+      val wo = wr.agg(max(when(col("x") === col("a"), col("w")))
+        .as("wobs"))
+      val s = wr.crossJoin(broadcast(wo)).agg(
+        aggregate(array_sort(collect_list(struct(col("x"),
+            when(col("w") <= col("wobs") * (lit(1) + lit(1e-7)),
+              col("w")).otherwise(lit(0.0)).as("t")))),
+          lit(0.0), (p, e) => p + e.getField("t")).as("num"),
+        aggregate(array_sort(collect_list(struct(col("x"),
+            col("w").as("t")))),
+          lit(0.0), (p, e) => p + e.getField("t")).as("den"))
+      m.crossJoin(broadcast(s))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          r4((col("a") * col("d")).cast("double") /
+            (col("b") * col("c"))).as("odds_ratio"),
+          r6(col("num") / col("den")).as("p_two_sided"))
+    },
+
+    // Kendall's τ-b rank correlation (the ordinal companion to
+    // stat_spearman — counts pairwise order agreements instead of rank
+    // differences, with the tie-adjusted denominator): nations ranked
+    // by revenue vs by customer count. The corpus collapses to one row
+    // per nation (exact integer cents + counts), then the pair walk is
+    // an n²-of-25 self-join on EXACT INTEGERS — concordant/discordant/
+    // tie counts are integer aggregates and τ-b's sqrt runs once on an
+    // integer product, identically on both engines. Scale: group-sized
+    // pair join, never corpus-sized.
+    q("stat_kendall_tau",
+      """WITH g AS (SELECT n.n_nationkey k,
+        |    sum(CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT x,
+        |    count(DISTINCT c.c_custkey)::BIGINT y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |p AS (SELECT
+        |    sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+        |        THEN 1 ELSE 0 END)::BIGINT cc,
+        |    sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+        |        THEN 1 ELSE 0 END)::BIGINT dd,
+        |    sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)::BIGINT tx,
+        |    sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT ty,
+        |    count(*)::BIGINT np
+        |  FROM g a JOIN g b ON a.k < b.k)
+        |SELECT cc AS concordant, dd AS discordant, tx AS ties_x,
+        |  ty AS ties_y,
+        |  round((cc - dd) / sqrt(((np - tx) * (np - ty))::DOUBLE)
+        |        + 1e-9, 6) AS tau_b
+        |FROM p""") { c =>
+      val g = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c.nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey").as("k"))
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+            .cast("long")).as("x"),
+          countDistinct(col("c_custkey")).as("y"))
+      val a = g.select(col("k"), col("x"), col("y"))
+      val b = g.select(col("k").as("k2"), col("x").as("x2"),
+        col("y").as("y2"))
+      val p = a.join(broadcast(b), col("k") < col("k2"))
+        .agg(
+          sum(when((col("x") - col("x2")) * (col("y") - col("y2")) > 0,
+            1L).otherwise(0L)).as("cc"),
+          sum(when((col("x") - col("x2")) * (col("y") - col("y2")) < 0,
+            1L).otherwise(0L)).as("dd"),
+          sum(when(col("x") === col("x2"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("y") === col("y2"), 1L).otherwise(0L)).as("ty"),
+          count(lit(1)).as("np"))
+      p.select(col("cc").as("concordant"), col("dd").as("discordant"),
+        col("tx").as("ties_x"), col("ty").as("ties_y"),
+        r6((col("cc") - col("dd")) /
+          sqrt(((col("np") - col("tx")) * (col("np") - col("ty")))
+            .cast("double"))).as("tau_b"))
+    },
+
     // CUPED variance-reduced A/B analysis (Deng et al. 2013 — the
     // industry-standard experiment readout): adjust each unit's metric
     // by its PRE-experiment covariate, Y′ = Y − θ(X − X̄) with
