@@ -71,6 +71,98 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Linear SHAP attribution (Lundberg & Lee 2017 §Corollary 1 — for
+    // a linear model the Shapley value is exactly φ_j = β_j(x_j − x̄_j),
+    // making model explanation a CLOSED FORM of the same integer
+    // moments the fit uses): 2-feature OLS on exact integer columns
+    // (quantity, discount-percent → price cents), β from centered
+    // 2×2 normal equations where every S-term is n·Σab − Σa·Σb of
+    // EXACT BIGINT sums combined in double identically on both
+    // engines, and mean|φ_j| = |β_j|·Σ|x_j·n − Σx_j| / n² — the
+    // absolute deviation stays an EXACT INTEGER sum because the mean
+    // is cleared of its denominator before the abs. Two corpus
+    // aggregations, broadcast scalars between — nothing corpus-sized
+    // moves.
+    q("ml_shap_linear",
+      """WITH b AS (SELECT l_quantity::BIGINT x1,
+        |    CAST(round(l_discount * 100 + 1e-9) AS BIGINT) x2,
+        |    CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT) y
+        |  FROM lineitem),
+        |m AS (SELECT count(*)::BIGINT n, sum(x1)::BIGINT s1,
+        |        sum(x2)::BIGINT s2, sum(y)::BIGINT sy,
+        |        sum(x1 * x1)::BIGINT s11, sum(x1 * x2)::BIGINT s12,
+        |        sum(x2 * x2)::BIGINT s22,
+        |        sum(x1 * y)::BIGINT s1y, sum(x2 * y)::BIGINT s2y
+        |      FROM b),
+        |cm AS (SELECT n, s1, s2, sy,
+        |    n::DOUBLE * s11 - s1::DOUBLE * s1 c11,
+        |    n::DOUBLE * s12 - s1::DOUBLE * s2 c12,
+        |    n::DOUBLE * s22 - s2::DOUBLE * s2 c22,
+        |    n::DOUBLE * s1y - s1::DOUBLE * sy c1y,
+        |    n::DOUBLE * s2y - s2::DOUBLE * sy c2y FROM m),
+        |bet AS (SELECT n, s1, s2, sy,
+        |    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) b1,
+        |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) b2
+        |  FROM cm),
+        |ad AS (SELECT sum(abs(b.x1 * bet.n - bet.s1))::BIGINT a1,
+        |         sum(abs(b.x2 * bet.n - bet.s2))::BIGINT a2
+        |       FROM b, bet)
+        |SELECT feature, round(beta + 1e-9, 6) AS beta_dollars,
+        |  round(mas + 1e-9, 4) AS mean_abs_shap_dollars,
+        |  round(bet.sy::DOUBLE / bet.n / 100 + 1e-9, 4) AS base_dollars
+        |FROM (
+        |  SELECT 'l_quantity' feature, b1 / 100 beta,
+        |      abs(b1) * a1 / (n::DOUBLE * n) / 100 mas
+        |    FROM bet, ad
+        |  UNION ALL
+        |  SELECT 'l_discount_pct', b2 / 100,
+        |      abs(b2) * a2 / (n::DOUBLE * n) / 100
+        |    FROM bet, ad) t, bet
+        |ORDER BY feature""") { c =>
+      val b = c.lineitem.select(
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100 + lit(1e-9)).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100 + lit(1e-9)).cast("long")
+          .as("y"))
+      val m = b.agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      def ctr(sab: String, sa: String, sb: String) =
+        col("n").cast("double") * col(sab) -
+          col(sa).cast("double") * col(sb)
+      val cm = m.select(col("n"), col("s1"), col("s2"), col("sy"),
+        ctr("s11", "s1", "s1").as("c11"), ctr("s12", "s1", "s2").as("c12"),
+        ctr("s22", "s2", "s2").as("c22"), ctr("s1y", "s1", "sy").as("c1y"),
+        ctr("s2y", "s2", "sy").as("c2y"))
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val bet = cm.select(col("n"), col("s1"), col("s2"), col("sy"),
+        ((col("c22") * col("c1y") - col("c12") * col("c2y")) / det)
+          .as("b1"),
+        ((col("c11") * col("c2y") - col("c12") * col("c1y")) / det)
+          .as("b2"))
+      val ad = b.crossJoin(broadcast(bet)).agg(
+        sum(abs(col("x1") * col("n") - col("s1"))).as("a1"),
+        sum(abs(col("x2") * col("n") - col("s2"))).as("a2"))
+      val one = bet.crossJoin(broadcast(ad))
+      val rows = one.selectExpr(
+        """stack(2,
+          |'l_quantity', b1 / 100,
+          |  abs(b1) * a1 / (cast(n as double) * n) / 100,
+          |'l_discount_pct', b2 / 100,
+          |  abs(b2) * a2 / (cast(n as double) * n) / 100)
+          |as (feature, beta, mas)""".stripMargin.replace("\n", " "),
+        "sy", "n")
+      rows.select(col("feature"), r6(col("beta")).as("beta_dollars"),
+          r4(col("mas")).as("mean_abs_shap_dollars"),
+          r4(col("sy").cast("double") / col("n") / 100)
+            .as("base_dollars"))
+        .orderBy("feature")
+    },
+
     // Deferred metrics (metrics.py:513): mse/mae/r2 as one aggregate
     // over (y, prediction).
     q("ml_metrics",

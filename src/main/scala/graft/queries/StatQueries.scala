@@ -416,6 +416,65 @@ object StatQueries {
         .orderBy("k")
     },
 
+    // Ljung–Box portmanteau white-noise test (the residual-diagnostic
+    // gate after any ts_holt/ts_kalman fit — "is anything LEFT in the
+    // autocorrelations?"): Q = m(m+2)·Σ_{k≤6} r_k²/(m−k) over the same
+    // exact-integer ACF lattice as ts_acf (each r_k rounded ONCE to
+    // 1e-6 before entering Q, so the sum of six identical lattice
+    // doubles is engine-invariant in pinned k order). Compare to
+    // χ²₆; the statistic and df are reported, the repo's test
+    // convention. Scale: one hourly aggregation + model-sized lag join.
+    q("ts_ljung_box",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |             sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT m, sum(y)::BIGINT s,
+        |         sum(y*y)::BIGINT syy FROM h),
+        |l AS (SELECT unnest(generate_series(1, 6)) k),
+        |p AS (SELECT l.k, count(*)::BIGINT nk,
+        |        sum(a.y * b.y)::BIGINT pk,
+        |        sum(a.y)::BIGINT ak, sum(b.y)::BIGINT bk
+        |      FROM l JOIN h a ON TRUE JOIN h b ON b.hb = a.hb + l.k
+        |      GROUP BY 1),
+        |acf AS (SELECT k,
+        |    round((pk - (ak + bk) * (s::DOUBLE / m)
+        |           + nk * (s::DOUBLE / m) * (s::DOUBLE / m))
+        |          / (syy - s * (s::DOUBLE / m)) + 1e-9, 6) r
+        |  FROM p, st)
+        |SELECT 6::BIGINT AS h_lags, st.m AS n_obs,
+        |  round(st.m * (st.m + 2)
+        |        * list_reduce(list(r * r / (st.m - k) ORDER BY k),
+        |            (x, y) -> x + y) + 1e-9, 4) AS q_stat
+        |FROM acf, st GROUP BY st.m""") { c =>
+      val sp = c.spark
+      import sp.implicits._
+      val h = c.events.select(
+          floor(expr("unix_timestamp(ts)") / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cents"))
+        .groupBy("hb").agg(sum(col("cents")).as("y"))
+      val st = h.agg(count(lit(1)).as("m"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("syy"))
+      val lags = (1 to 6).toDF("k")
+      val p = broadcast(lags).crossJoin(h.select(col("hb"), col("y")))
+        .join(h.select(col("hb").as("hb2"), col("y").as("y2")),
+          col("hb2") === col("hb") + col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("nk"), sum(col("y") * col("y2")).as("pk"),
+          sum(col("y")).as("ak"), sum(col("y2")).as("bk"))
+      val ybar = col("s").cast("double") / col("m")
+      val acf = p.crossJoin(broadcast(st))
+        .select(col("k"), col("m"),
+          r6((col("pk") - (col("ak") + col("bk")) * ybar +
+            col("nk") * ybar * ybar) /
+            (col("syy") - col("s") * ybar)).as("r"))
+      acf.groupBy("m").agg(
+          aggregate(array_sort(collect_list(struct(col("k"),
+              (col("r") * col("r") / (col("m") - col("k"))).as("t")))),
+            lit(0.0), (acc, e) => acc + e.getField("t")).as("qsum"))
+        .select(lit(6L).as("h_lags"), col("m").as("n_obs"),
+          r4(col("m") * (col("m") + 2) * col("qsum")).as("q_stat"))
+    },
+
     // Wald sequential probability ratio test (SPRT, Wald 1945 — the
     // always-valid sequential monitor behind modern continuous A/B
     // peeking): H0 conversion p₀=0.15 vs H1 p₁=0.20 at α=β=0.05 over
