@@ -495,6 +495,52 @@ object AggQueries {
     // registers contribute 2⁰ via a generate_series outer join. The
     // small-range linear-counting branch never fires at these
     // cardinalities (est ≫ 2.5·m) and is omitted — raw estimate only.
+    // BITMAP INDEX set algebra (the roaring-bitmap idea — encode a
+    // predicate's member set as per-block bitmasks, then AND/OR the
+    // masks instead of joining raw ids; the warehouse trick for cheap
+    // segment intersections): customers blocked by custkey into
+    // 32-bit words (32, not 64 — DuckDB's BIGINT shift overflows at
+    // bit 63, and 32-bit words keep every mask positive on both
+    // engines), one bit_or-aggregated mask per (block, predicate),
+    // set sizes/intersections/unions by summing bit_count over the
+    // block-aligned masks. Pure integer arithmetic; the block
+    // relation is |keys|/32 — the only thing shuffled.
+    q("agg_bitmap_index",
+      """WITH b AS (SELECT c_custkey // 32 blk,
+        |    bit_or(CASE WHEN c_acctbal > 5000
+        |      THEN 1::BIGINT << (c_custkey % 32)::INT ELSE 0 END) ma,
+        |    bit_or(CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN 1::BIGINT << (c_custkey % 32)::INT ELSE 0 END) mb
+        |  FROM customer GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_blocks,
+        |  sum(bit_count(ma))::BIGINT AS cnt_high_bal,
+        |  sum(bit_count(mb))::BIGINT AS cnt_building,
+        |  sum(bit_count(ma & mb))::BIGINT AS cnt_both,
+        |  sum(bit_count(ma | mb))::BIGINT AS cnt_either,
+        |  round(sum(bit_count(ma & mb)) * 1.0
+        |        / sum(bit_count(ma | mb)) + 1e-9, 6) AS jaccard
+        |FROM b""") { c =>
+      val b = c.customer
+        .groupBy((col("c_custkey") / 32).cast("long").as("blk"))
+        .agg(
+          expr("bit_or(CASE WHEN c_acctbal > 5000 THEN " +
+            "shiftleft(1L, cast(c_custkey % 32 as int)) ELSE 0L END)")
+            .as("ma"),
+          expr("bit_or(CASE WHEN c_mktsegment = 'BUILDING' THEN " +
+            "shiftleft(1L, cast(c_custkey % 32 as int)) ELSE 0L END)")
+            .as("mb"))
+      b.agg(count(lit(1)).as("n_blocks"),
+          sum(bit_count(col("ma"))).as("cnt_high_bal"),
+          sum(bit_count(col("mb"))).as("cnt_building"),
+          sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("cnt_both"),
+          sum(bit_count(col("ma").bitwiseOR(col("mb"))))
+            .as("cnt_either"))
+        .select(col("n_blocks"), col("cnt_high_bal"), col("cnt_building"),
+          col("cnt_both"), col("cnt_either"),
+          r6(col("cnt_both") * lit(1.0) / col("cnt_either"))
+            .as("jaccard"))
+    },
+
     // HLL SET ALGEBRA (the reason sketches exist at 100 TB — union by
     // register max is lossless, and intersections come free by
     // inclusion–exclusion): big-spender customers (any order >150k)

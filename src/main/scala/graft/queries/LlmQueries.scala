@@ -1165,6 +1165,110 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // LSH banding EVAL — the empirical s-curve (Leskovec MMDS §3.4):
+    // measure the banded-minhash candidate stage's RECALL against the
+    // exact Jaccard-≥0.5 pair set, bucketed by true similarity. Uses a
+    // PORTABLE minhash (k=8 as disjoint 8-hex windows of two md5
+    // digests per shingle — the engine-portable hash device) so the
+    // oracle replays the identical signatures; bands=4×rows=2 puts the
+    // s-curve threshold at (1/4)^(1/2)=0.5, and the per-bucket recall
+    // table shows exactly how the curve ramps. Exact pairs ride the
+    // PPJoin prefix filter (never all-pairs); candidates are banded
+    // bucket equi-joins. The eval itself is the operator: every dedup
+    // deployment needs this table before trusting a banding choice.
+    q("dedup_lsh_eval",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |        for i in generate_series(1, len(ts)-2)]) st
+        |      FROM tok WHERE len(ts) >= 3),
+        |ex AS (SELECT a.doc_id a, b.doc_id b,
+        |         len(list_intersect(a.st, b.st))::BIGINT i,
+        |         len(a.st)::BIGINT sa, len(b.st)::BIGINT sb
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |exq AS (SELECT a, b,
+        |          round(i::DOUBLE / (sa + sb - i) + 1e-9, 6) jac
+        |        FROM ex WHERE i::DOUBLE / (sa + sb - i) >= 0.5),
+        |g AS (SELECT doc_id, unnest(st) g FROM s),
+        |mh AS (SELECT doc_id,
+        |    min(('0x' || substr(md5(g || '#0'), 1, 8))::BIGINT) m0,
+        |    min(('0x' || substr(md5(g || '#0'), 9, 8))::BIGINT) m1,
+        |    min(('0x' || substr(md5(g || '#0'), 17, 8))::BIGINT) m2,
+        |    min(('0x' || substr(md5(g || '#0'), 25, 8))::BIGINT) m3,
+        |    min(('0x' || substr(md5(g || '#1'), 1, 8))::BIGINT) m4,
+        |    min(('0x' || substr(md5(g || '#1'), 9, 8))::BIGINT) m5,
+        |    min(('0x' || substr(md5(g || '#1'), 17, 8))::BIGINT) m6,
+        |    min(('0x' || substr(md5(g || '#1'), 25, 8))::BIGINT) m7
+        |  FROM g GROUP BY 1),
+        |bd AS (SELECT doc_id, 0 bi, m0 k1, m1 k2 FROM mh
+        |  UNION ALL SELECT doc_id, 1, m2, m3 FROM mh
+        |  UNION ALL SELECT doc_id, 2, m4, m5 FROM mh
+        |  UNION ALL SELECT doc_id, 3, m6, m7 FROM mh),
+        |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+        |         FROM bd x JOIN bd y ON x.bi = y.bi AND x.k1 = y.k1
+        |           AND x.k2 = y.k2 AND x.doc_id < y.doc_id),
+        |tot AS (SELECT count(*)::BIGINT n_cand FROM cand),
+        |cm AS (SELECT a, b, 1 hm FROM cand),
+        |hit AS (SELECT exq.a, exq.b, exq.jac, coalesce(hm, 0) h
+        |        FROM exq LEFT JOIN cm USING (a, b)),
+        |bk AS (SELECT CAST(floor(jac * 10 + 1e-6) AS BIGINT) bucket,
+        |         count(*)::BIGINT n_exact, sum(h)::BIGINT n_hit
+        |       FROM hit GROUP BY 1),
+        |ht AS (SELECT sum(n_hit)::BIGINT th FROM bk)
+        |SELECT bk.bucket, bk.n_exact, bk.n_hit,
+        |  round(bk.n_hit * 1.0 / bk.n_exact + 1e-9, 4) AS recall,
+        |  tot.n_cand,
+        |  round(ht.th * 1.0 / tot.n_cand + 1e-9, 4) AS precision_vs_05
+        |FROM bk, tot, ht ORDER BY bucket""") { c =>
+      val toks = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+      val pairs = graft.ops.SetSimJoin.jaccardSelfJoin(
+        toks, "doc_id", "st", 0.5)
+      val exq = pairs.df.select(col("a"), col("b"),
+        r6(col("jac")).as("jac"))
+      val g = toks.select(col("doc_id"),
+        explode(col("st")).as("g")).persist()
+      def mhCol(j: Int) = {
+        val d = j / 4; val pos = 1 + 8 * (j % 4)
+        min(conv(substring(md5(concat(col("g"), lit("#" + d))),
+          pos, 8), 16, 10).cast("long")).as(s"m$j")
+      }
+      val mh = g.groupBy("doc_id")
+        .agg(mhCol(0), (1 to 7).map(mhCol): _*)
+        .persist()
+      val bd = (0 until 4).map { bi =>
+        mh.select(col("doc_id"), lit(bi).as("bi"),
+          col(s"m${2 * bi}").as("k1"), col(s"m${2 * bi + 1}").as("k2"))
+      }.reduce(_ union _)
+      val cand = bd.as("x").join(bd.as("y"),
+          col("x.bi") === col("y.bi") && col("x.k1") === col("y.k1") &&
+            col("x.k2") === col("y.k2") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .persist()
+      val tot = cand.agg(count(lit(1)).as("n_cand"))
+      val hit = exq.join(cand.withColumn("h", lit(1)), Seq("a", "b"),
+          "left")
+        .select(col("jac"), coalesce(col("h"), lit(0)).as("h"))
+      val bk = hit
+        .groupBy(floor(col("jac") * 10 + lit(1e-6)).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_exact"), sum(col("h")).as("n_hit"))
+      val ht = bk.agg(sum(col("n_hit")).as("th"))
+      val out = bk.crossJoin(broadcast(tot)).crossJoin(broadcast(ht))
+        .select(col("bucket"), col("n_exact"), col("n_hit"),
+          r4(col("n_hit") * lit(1.0) / col("n_exact")).as("recall"),
+          col("n_cand"),
+          r4(col("th") * lit(1.0) / col("n_cand")).as("precision_vs_05"))
+        .orderBy("bucket")
+      pairs.release()
+      out
+    },
+
     // SimHash near-dup check: for every verified near-dup pair (word
     // Jaccard ≥ 0.9 via LSH), the 32-bit SimHashes must be within a
     // small Hamming distance — the dedup property SimHash is used for.
@@ -2686,6 +2790,83 @@ object LlmQueries {
     // (k11 DESC, w1, w2) — never by the FP statistic — with a count
     // floor of 5. Scale shape: three hash aggregates over the bigram
     // stream + broadcast N; top-k is TakeOrdered, never a global sort.
+    // TextRank keyphrase scoring (Mihalcea & Tarau 2004 — PageRank on
+    // the word co-occurrence graph; the unsupervised keyword extractor
+    // beside text_rake's degree/frequency heuristic): adjacency
+    // bigrams become an UNDIRECTED weighted graph (least/greatest
+    // canonical edge, integer co-occurrence weights), then 3 pinned
+    // damped rounds s'(v) = (1−0.85) + 0.85·Σ w(u,v)/wd(u)·s(u) with
+    // the (1.0 − 0.85) teleport-expression device and integer weight/
+    // degree ratios. The r6 output grain sits orders above per-node
+    // summation noise (the graph_pagerank argument). Scale: each round
+    // is one edge-keyed equi-join + node aggregation.
+    q("text_textrank",
+      """WITH tok AS (SELECT regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |bg AS (SELECT unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |           for i in generate_series(1, len(ts) - 1)],
+        |           recursive := true)
+        |       FROM tok WHERE len(ts) >= 2),
+        |und AS (SELECT least(w1, w2) a, greatest(w1, w2) b,
+        |          count(*)::BIGINT w
+        |        FROM bg WHERE w1 <> w2 GROUP BY 1, 2),
+        |e AS (SELECT a src, b dst, w FROM und
+        |      UNION ALL SELECT b, a, w FROM und),
+        |wd AS (SELECT src, sum(w)::BIGINT wd FROM e GROUP BY 1),
+        |ew AS (SELECT e.src, e.dst, e.w, wd.wd FROM e
+        |       JOIN wd ON e.src = wd.src),
+        |r0 AS (SELECT src node, 1.0::DOUBLE rank FROM wd),
+        |c1 AS (SELECT dst node, sum(w / wd * rank) cb FROM ew
+        |       JOIN r0 ON ew.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT r0.node, (1.0 - 0.85) + 0.85 * coalesce(c1.cb, 0)
+        |         rank FROM r0 LEFT JOIN c1 ON r0.node = c1.node),
+        |c2 AS (SELECT dst node, sum(w / wd * rank) cb FROM ew
+        |       JOIN r1 ON ew.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT r1.node, (1.0 - 0.85) + 0.85 * coalesce(c2.cb, 0)
+        |         rank FROM r1 LEFT JOIN c2 ON r1.node = c2.node),
+        |c3 AS (SELECT dst node, sum(w / wd * rank) cb FROM ew
+        |       JOIN r2 ON ew.src = r2.node GROUP BY 1),
+        |r3 AS (SELECT r2.node, (1.0 - 0.85) + 0.85 * coalesce(c3.cb, 0)
+        |         rank FROM r2 LEFT JOIN c3 ON r2.node = c3.node)
+        |SELECT node AS word, round(rank + 1e-9, 6) AS score
+        |FROM r3 ORDER BY score DESC, word LIMIT 15""") { c =>
+      val toks = c.documents.select(
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val bg = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .filter(col("w1") =!= col("w2"))
+      val und = bg
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"),
+          col("w")))
+        .persist()
+      val wd = e.groupBy("src").agg(sum(col("w")).as("wd"))
+      val ew = e.join(wd, "src").persist()
+      var ranks = wd.select(col("src").as("node"), lit(1.0).as("rank"))
+      (1 to 3).foreach { _ =>
+        val contrib = ew
+          .join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"),
+            (col("w") / col("wd") * col("rank")).as("c"))
+          .groupBy(col("dst").as("node2"))
+          .agg(sum(col("c")).as("cb"))
+        ranks = ranks.join(contrib,
+            ranks("node") === contrib("node2"), "left")
+          .select(col("node"),
+            (lit(1.0) - lit(0.85) +
+              lit(0.85) * coalesce(col("cb"), lit(0.0))).as("rank"))
+          .localCheckpoint()
+      }
+      ranks.select(col("node").as("word"), r6(col("rank")).as("score"))
+        .orderBy(col("score").desc, col("word")).limit(15)
+    },
+
     q("text_collocations",
       """WITH tok AS (SELECT regexp_extract_all(text, '[a-z]+') ts
         |             FROM documents),

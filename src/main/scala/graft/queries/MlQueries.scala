@@ -163,6 +163,205 @@ object MlQueries {
         .orderBy("feature")
     },
 
+    // Permutation feature importance (Breiman 2001 §10 — the
+    // model-agnostic sibling of ml_shap_linear: break one feature's
+    // pairing with the target and measure the R² drop): the
+    // "shuffle" is a DETERMINISTIC hash permutation — rows re-sorted
+    // by disjoint 8-hex windows of one portable md5 digest pair each
+    // row with a permuted donor via Positional.positionalJoin
+    // (range-bucketed row numbering, no global window). Permuting
+    // preserves each feature's marginal moments EXACTLY (same
+    // multiset), so only the integer cross-moments are recomputed and
+    // R² stays a closed form of exact sums. Scale: two positional
+    // joins + three aggregates.
+    q("ml_permutation_importance",
+      """WITH b AS (SELECT l_orderkey * 10 + l_linenumber pk,
+        |    l_quantity::BIGINT x1,
+        |    CAST(round(l_discount * 100 + 1e-9) AS BIGINT) x2,
+        |    CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT) y
+        |  FROM lineitem),
+        |h AS (SELECT pk, x1, x2, y,
+        |    ('0x' || substr(md5(pk::VARCHAR), 1, 8))::BIGINT h1,
+        |    ('0x' || substr(md5(pk::VARCHAR), 9, 8))::BIGINT h2
+        |  FROM b),
+        |p0 AS (SELECT pk, x1, x2, y,
+        |    row_number() OVER (ORDER BY pk) pos FROM h),
+        |p1 AS (SELECT x1 x1p,
+        |    row_number() OVER (ORDER BY h1, pk) pos FROM h),
+        |p2 AS (SELECT x2 x2p,
+        |    row_number() OVER (ORDER BY h2, pk) pos FROM h),
+        |j AS (SELECT p0.*, p1.x1p, p2.x2p
+        |      FROM p0 JOIN p1 USING (pos) JOIN p2 USING (pos)),
+        |m AS (SELECT count(*)::BIGINT n,
+        |    sum(x1)::BIGINT s1, sum(x2)::BIGINT s2, sum(y)::BIGINT sy,
+        |    sum(x1 * x1)::BIGINT s11, sum(x1 * x2)::BIGINT s12,
+        |    sum(x2 * x2)::BIGINT s22,
+        |    sum(x1 * y)::BIGINT s1y, sum(x2 * y)::BIGINT s2y,
+        |    sum(y::HUGEINT * y)::DOUBLE syy,
+        |    sum(x1p * y)::BIGINT q1y, sum(x1p * x2)::BIGINT q12,
+        |    sum(x2p * y)::BIGINT q2y, sum(x2p * x1)::BIGINT q21
+        |  FROM j),
+        |r AS (SELECT
+        |    n::DOUBLE * s11 - s1::DOUBLE * s1 c11,
+        |    n::DOUBLE * s12 - s1::DOUBLE * s2 c12,
+        |    n::DOUBLE * s22 - s2::DOUBLE * s2 c22,
+        |    n::DOUBLE * s1y - s1::DOUBLE * sy c1y,
+        |    n::DOUBLE * s2y - s2::DOUBLE * sy c2y,
+        |    n::DOUBLE * syy - sy::DOUBLE * sy cyy,
+        |    n::DOUBLE * q1y - s1::DOUBLE * sy d1y,
+        |    n::DOUBLE * q12 - s1::DOUBLE * s2 d12,
+        |    n::DOUBLE * q2y - s2::DOUBLE * sy d2y,
+        |    n::DOUBLE * q21 - s2::DOUBLE * s1 d21
+        |  FROM m),
+        |r2s AS (SELECT
+        |    ((c22 * c1y - c12 * c2y) * c1y
+        |     + (c11 * c2y - c12 * c1y) * c2y)
+        |      / (c11 * c22 - c12 * c12) / cyy r2_base,
+        |    ((c22 * d1y - d12 * c2y) * d1y
+        |     + (c11 * c2y - d12 * d1y) * c2y)
+        |      / (c11 * c22 - d12 * d12) / cyy r2_p1,
+        |    ((c22 * c1y - d21 * d2y) * c1y
+        |     + (c11 * d2y - d21 * c1y) * d2y)
+        |      / (c11 * c22 - d21 * d21) / cyy r2_p2
+        |  FROM r)
+        |SELECT feature, round(r2_base + 1e-9, 6) AS r2_base,
+        |  round(r2_perm + 1e-9, 6) AS r2_permuted,
+        |  round(r2_base - r2_perm + 1e-9, 6) AS importance
+        |FROM (SELECT 'l_quantity' feature, r2_base, r2_p1 r2_perm
+        |        FROM r2s
+        |      UNION ALL
+        |      SELECT 'l_discount_pct', r2_base, r2_p2 FROM r2s) t
+        |ORDER BY feature""") { c =>
+      val b = c.lineitem.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100 + lit(1e-9)).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100 + lit(1e-9)).cast("long")
+          .as("y"))
+      val hx = md5(col("pk").cast("string"))
+      val h = b.select(col("pk"), col("x1"), col("x2"), col("y"),
+        conv(substring(hx, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(hx, 9, 8), 16, 10).cast("long").as("h2"))
+        .persist()
+      val j0 = graft.ops.Positional.positionalJoin(
+        h.select(col("pk"), col("x1"), col("x2"), col("y")),
+        Seq(col("pk")),
+        h.select(col("x1").as("x1p"), col("h1"), col("pk").as("pk1")),
+        Seq(col("h1"), col("pk1")))
+      val j = graft.ops.Positional.positionalJoin(
+        j0.select(col("pos").as("pos0"), col("x1"), col("x2"), col("y"),
+          col("x1p")),
+        Seq(col("pos0")),
+        h.select(col("x2").as("x2p"), col("h2"), col("pk").as("pk2")),
+        Seq(col("h2"), col("pk2")))
+      val m = j.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("double")
+          .as("syy"),
+        sum(col("x1p") * col("y")).as("q1y"),
+        sum(col("x1p") * col("x2")).as("q12"),
+        sum(col("x2p") * col("y")).as("q2y"),
+        sum(col("x2p") * col("x1")).as("q21"))
+      def ctr(sab: String, sa: String, sb: String) =
+        col("n").cast("double") * col(sab) -
+          col(sa).cast("double") * col(sb)
+      val r = m.select(
+        ctr("s11", "s1", "s1").as("c11"), ctr("s12", "s1", "s2").as("c12"),
+        ctr("s22", "s2", "s2").as("c22"), ctr("s1y", "s1", "sy").as("c1y"),
+        ctr("s2y", "s2", "sy").as("c2y"),
+        (col("n").cast("double") * col("syy") -
+          col("sy").cast("double") * col("sy")).as("cyy"),
+        ctr("q1y", "s1", "sy").as("d1y"), ctr("q12", "s1", "s2").as("d12"),
+        ctr("q2y", "s2", "sy").as("d2y"), ctr("q21", "s2", "s1").as("d21"))
+      def r2Of(cxy: org.apache.spark.sql.Column,
+          cxz: org.apache.spark.sql.Column,
+          czy: org.apache.spark.sql.Column) =
+        ((col("c22") * cxy - cxz * czy) * cxy +
+          (col("c11") * czy - cxz * cxy) * czy) /
+          (col("c11") * col("c22") - cxz * cxz) / col("cyy")
+      val r2s = r.select(
+        r2Of(col("c1y"), col("c12"), col("c2y")).as("r2_base"),
+        r2Of(col("d1y"), col("d12"), col("c2y")).as("r2_p1"),
+        r2Of(col("c1y"), col("d21"), col("d2y")).as("r2_p2"))
+      r2s.selectExpr(
+          "stack(2, 'l_quantity', r2_base, r2_p1, " +
+            "'l_discount_pct', r2_base, r2_p2) " +
+            "as (feature, rb, rp)")
+        .select(col("feature"), r6(col("rb")).as("r2_base"),
+          r6(col("rp")).as("r2_permuted"),
+          r6(col("rb") - col("rp")).as("importance"))
+        .orderBy("feature")
+    },
+
+    // Learning curve over deterministic hash fractions (the
+    // data-scaling diagnostic — "would more data help?" — run before
+    // any capacity decision): nested 10/25/50/100% subsets selected by
+    // the portable md5 bucket of the row key (NOT random — the same
+    // rows on any engine, any partitioning), a closed-form 1-feature
+    // OLS per fraction from EXACT integer moments, slope and R²
+    // reported per fraction. Scale: a 4-way broadcast fraction join
+    // over one scan, four hash aggregates.
+    q("ml_learning_curve",
+      """WITH b AS (SELECT l_orderkey * 10 + l_linenumber pk,
+        |    l_quantity::BIGINT x,
+        |    CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT) y
+        |  FROM lineitem),
+        |h AS (SELECT x, y,
+        |    ('0x' || substr(md5(pk::VARCHAR), 1, 8))::BIGINT % 100 hb
+        |  FROM b),
+        |fr AS (SELECT unnest([10, 25, 50, 100]) frac),
+        |m AS (SELECT fr.frac, count(*)::BIGINT n,
+        |        sum(x)::BIGINT sx, sum(y)::BIGINT sy,
+        |        sum(x * x)::BIGINT sxx, sum(x * y)::BIGINT sxy,
+        |        sum(y::HUGEINT * y)::DOUBLE syy
+        |      FROM fr JOIN h ON h.hb < fr.frac GROUP BY 1),
+        |r AS (SELECT frac, n,
+        |        n::DOUBLE * sxy - sx::DOUBLE * sy cxy,
+        |        n::DOUBLE * sxx - sx::DOUBLE * sx cxx,
+        |        n::DOUBLE * syy - sy::DOUBLE * sy cyy
+        |      FROM m)
+        |SELECT frac::BIGINT AS frac_pct, n,
+        |  round(cxy / cxx / 100 + 1e-9, 6) AS slope_dollars,
+        |  round(cxy * cxy / (cxx * cyy) + 1e-9, 6) AS r2
+        |FROM r ORDER BY frac_pct""") { c =>
+      val b = c.lineitem.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100 + lit(1e-9)).cast("long")
+          .as("y"))
+      val h = b.select(col("x"), col("y"),
+        (conv(substring(md5(col("pk").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("hb"))
+      val sp = c.spark
+      import sp.implicits._
+      val fr = Seq(10L, 25L, 50L, 100L).toDF("frac")
+      val m = broadcast(fr).join(h, col("hb") < col("frac"))
+        .groupBy("frac")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).cast("double")
+            .as("syy"))
+      val r = m.select(col("frac"), col("n"),
+        (col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")).as("cxy"),
+        (col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")).as("cxx"),
+        (col("n").cast("double") * col("syy") -
+          col("sy").cast("double") * col("sy")).as("cyy"))
+      r.select(col("frac").as("frac_pct"), col("n"),
+          r6(col("cxy") / col("cxx") / 100).as("slope_dollars"),
+          r6(col("cxy") * col("cxy") / (col("cxx") * col("cyy")))
+            .as("r2"))
+        .orderBy("frac_pct")
+    },
+
     // Deferred metrics (metrics.py:513): mse/mae/r2 as one aggregate
     // over (y, prediction).
     q("ml_metrics",

@@ -475,6 +475,61 @@ object StatQueries {
           r4(col("m") * (col("m") + 2) * col("qsum")).as("q_stat"))
     },
 
+    // McNemar's test for PAIRED binary outcomes (the within-subject
+    // companion to stat_chi2's independent 2×2 — did behavior change
+    // between periods for the SAME users?): per user, purchased-before
+    // vs purchased-after the period cutoff (the ab_cuped pre/post
+    // device); only the DISCORDANT counts b (pre-only) and c
+    // (post-only) carry information, and the continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c) is a single integer-ratio expression.
+    // Scale: one user-keyed aggregate, one global 2-count reduce.
+    q("stat_mcnemar",
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase'
+        |        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN 1 ELSE 0 END) pre,
+        |    max(CASE WHEN event_type = 'purchase'
+        |        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN 1 ELSE 0 END) post
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT
+        |    sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |      ::BIGINT b,
+        |    sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |      ::BIGINT c,
+        |    sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+        |      ::BIGINT n_both,
+        |    sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+        |      ::BIGINT n_neither
+        |  FROM u)
+        |SELECT b AS pre_only, c AS post_only, n_both, n_neither,
+        |  round(CASE WHEN b + c = 0 THEN 0.0
+        |        ELSE (abs(b - c) - 1) * (abs(b - c) - 1)
+        |             * 1.0 / (b + c) END + 1e-9, 4) AS chi2_cc
+        |FROM m""") { c =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val u = c.events.groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase" && col("ts") < cut,
+          1).otherwise(0)).as("pre"),
+        max(when(col("event_type") === "purchase" && col("ts") >= cut,
+          1).otherwise(0)).as("post"))
+      val m = u.agg(
+        sum(when(col("pre") === 1 && col("post") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("pre") === 0 && col("post") === 1, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("pre") === 1 && col("post") === 1, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("pre") === 0 && col("post") === 0, 1L)
+          .otherwise(0L)).as("n_neither"))
+      m.select(col("b").as("pre_only"), col("c").as("post_only"),
+        col("n_both"), col("n_neither"),
+        r4(when(col("b") + col("c") === 0, 0.0)
+          .otherwise((abs(col("b") - col("c")) - 1) *
+            (abs(col("b") - col("c")) - 1) * lit(1.0) /
+            (col("b") + col("c")))).as("chi2_cc"))
+    },
+
     // Wald sequential probability ratio test (SPRT, Wald 1945 — the
     // always-valid sequential monitor behind modern continuous A/B
     // peeking): H0 conversion p₀=0.15 vs H1 p₁=0.20 at α=β=0.05 over

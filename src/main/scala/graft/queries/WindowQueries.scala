@@ -397,6 +397,52 @@ object WindowQueries {
     // divisions, identical on both engines. Rows reported only at
     // full windows (n = 20). Scale shape: one per-key window, no
     // global order.
+    // Relative Strength Index (Wilder 1978, simple-average variant —
+    // the bounded momentum oscillator beside win_bollinger's
+    // volatility envelope): the corpus collapses to ONE row per order
+    // day (exact integer cents), diffs/gains/losses stay integers, the
+    // 14-observation trailing sums are exact BIGINT window sums, and
+    // RSI = 100·G/(G+L) is a single integer-ratio division. The
+    // unpartitioned window runs over the TIME-BOUNDED daily series
+    // (model-sized after the corpus aggregation — the ts_acf stance).
+    q("win_rsi",
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) dy,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT c
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT dy, c, c - lag(c) OVER (ORDER BY dy) df,
+        |        row_number() OVER (ORDER BY dy) rn FROM d),
+        |g AS (SELECT dy, rn,
+        |        (sum(greatest(df, 0)) OVER fr)::BIGINT sg,
+        |        (sum(greatest(-df, 0)) OVER fr)::BIGINT sl
+        |      FROM v WINDOW fr AS (ORDER BY rn
+        |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day, sg AS gain_14, sl AS loss_14,
+        |  round(CASE WHEN sg + sl = 0 THEN 50.0
+        |        ELSE 100.0 * sg / (sg + sl) END + 1e-9, 4) AS rsi
+        |FROM g WHERE rn >= 15 ORDER BY day""") { c =>
+      val d = c.orders
+        .select(col("o_orderdate").cast("date").as("dy"),
+          round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+            .as("cents"))
+        .groupBy("dy").agg(sum(col("cents")).as("c"))
+      val wo = Window.orderBy("dy")
+      val v = d.select(col("dy"), col("c"),
+        (col("c") - lag(col("c"), 1).over(wo)).as("df"),
+        row_number().over(wo).as("rn"))
+      val fr = Window.orderBy("rn").rowsBetween(-13, Window.currentRow)
+      val g = v.select(col("dy"), col("rn"),
+        sum(greatest(col("df"), lit(0L))).over(fr).as("sg"),
+        sum(greatest(-col("df"), lit(0L))).over(fr).as("sl"))
+      g.filter(col("rn") >= 15)
+        .select(col("dy").cast("string").as("day"),
+          col("sg").as("gain_14"), col("sl").as("loss_14"),
+          r4(when(col("sg") + col("sl") === 0, 50.0)
+            .otherwise(lit(100.0) * col("sg") /
+              (col("sg") + col("sl")))).as("rsi"))
+        .orderBy("day")
+    },
+
     q("win_bollinger",
       """WITH v AS (SELECT event_id, user_id,
         |    CAST(round(value * 100) AS BIGINT) c,
