@@ -951,6 +951,158 @@ object StatQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // Markov REMOVAL-EFFECT attribution (Anderl et al. 2014 — the
+    // data-driven model that completes the attribution family beside
+    // win_attribution's linear and U-shaped heuristics): journeys are
+    // per-user event paths truncated at first purchase with a virtual
+    // 'start' state; transition probabilities are exact integer
+    // ratios; conversion probability is a 6-hop truncated walk
+    // iterated as CLOSED-FORM column expressions over a ONE-ROW
+    // transition matrix (fixed alphabetical term order, so the 4-term
+    // dot products are engine-invariant); each channel's removal
+    // effect re-runs the walk with that state's inflow zeroed. The
+    // Spark unroll and the SQL CTE chain are GENERATED from the same
+    // loop, so the two engines execute structurally identical
+    // arithmetic. Scale: one corpus window pass + one 5×5 aggregate;
+    // the walk is 1-row work.
+    {
+      val chans = Seq("click", "error", "signup", "view")
+      val scens = "full" +: chans
+      val pcells = for {
+        s <- "start" +: chans; t <- chans :+ "purchase"
+      } yield (s, t)
+      def pn(s: String, t: String) = s"p_${s}_$t"
+      // one step of the walk for scenario `sc` (removed = sc unless
+      // "full"): returns (colName -> expression-string) pairs in terms
+      // of the PREVIOUS step's columns
+      def stepExprs(sc: String): Seq[(String, String)] = {
+        val rm = if (sc == "full") "" else sc
+        val conv = s"conv_$sc + (" + chans.map(s =>
+          s"v_${sc}_$s * ${pn(s, "purchase")}").mkString(" + ") + ")"
+        val vs = chans.map { t =>
+          val e =
+            if (t == rm) "0.0"
+            else "(" + chans.map(s =>
+              s"v_${sc}_$s * ${pn(s, t)}").mkString(" + ") + ")"
+          (s"v_${sc}_$t", e)
+        }
+        (s"conv_$sc", conv) +: vs
+      }
+      def initExprs(sc: String): Seq[(String, String)] = {
+        val rm = if (sc == "full") "" else sc
+        (s"conv_$sc", pn("start", "purchase")) +:
+          chans.map { t =>
+            (s"v_${sc}_$t",
+              if (t == rm) "0.0" else pn("start", t))
+          }
+      }
+      val pList = pcells.map { case (s, t) => pn(s, t) }
+      val sql = {
+        val cells = pcells.map { case (s, t) =>
+          s"coalesce(max(CASE WHEN from_t = '$s' AND to_t = '$t' " +
+            s"THEN p END), 0) ${pn(s, t)}"
+        }.mkString(",\n    ")
+        val s0 = "s0 AS (SELECT " + (pList ++ scens.flatMap(initExprs)
+          .map { case (n, e) => s"$e $n" }).mkString(",\n    ") +
+          " FROM w)"
+        val steps = (1 to 5).map { k =>
+          s"s$k AS (SELECT " + (pList ++ scens.flatMap(stepExprs)
+            .map { case (n, e) => s"$e $n" }).mkString(",\n    ") +
+            s" FROM s${k - 1})"
+        }
+        val reSum = chans.map(ch =>
+          s"(1 - conv_$ch / conv_full)").mkString(" + ")
+        val rows = chans.map(ch =>
+          s"SELECT '$ch' channel, conv_full, conv_$ch conv_removed, " +
+            s"1 - conv_$ch / conv_full re, " +
+            s"(1 - conv_$ch / conv_full) / ($reSum) attr_share FROM s5")
+          .mkString("\n  UNION ALL ")
+        s"""WITH r AS (SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) rn FROM events),
+           |fp AS (SELECT user_id,
+           |    min(CASE WHEN event_type = 'purchase' THEN rn END) pn
+           |  FROM r GROUP BY 1),
+           |j AS (SELECT r.user_id, r.event_type, r.rn FROM r
+           |      JOIN fp ON r.user_id = fp.user_id
+           |      WHERE fp.pn IS NULL OR r.rn <= fp.pn),
+           |tr AS (SELECT coalesce(lag(event_type) OVER (
+           |    PARTITION BY user_id ORDER BY rn), 'start') from_t,
+           |    event_type to_t FROM j),
+           |cnt AS (SELECT from_t, to_t, count(*)::BIGINT c FROM tr
+           |        GROUP BY 1, 2),
+           |outc AS (SELECT from_t, sum(c)::BIGINT tot FROM cnt
+           |         GROUP BY 1),
+           |pr AS (SELECT cnt.from_t, cnt.to_t, cnt.c * 1.0 / outc.tot p
+           |       FROM cnt JOIN outc USING (from_t)),
+           |w AS (SELECT
+           |    $cells
+           |  FROM pr),
+           |$s0,
+           |${steps.mkString(",\n")}
+           |SELECT channel, round(conv_full + 1e-9, 6) AS conv_full,
+           |  round(conv_removed + 1e-9, 6) AS conv_removed,
+           |  round(re + 1e-9, 6) AS removal_effect,
+           |  round(attr_share + 1e-9, 6) AS attr_share
+           |FROM ($rows) t ORDER BY channel""".stripMargin
+      }
+      q("events_markov_attribution", sql) { c =>
+        import org.apache.spark.sql.expressions.Window
+        val wUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val r = c.events.select(col("user_id"), col("event_type"),
+          row_number().over(wUser).as("rn"))
+        val fp = r.groupBy("user_id").agg(
+          min(when(col("event_type") === "purchase", col("rn")))
+            .as("pn"))
+        val j = r.join(fp, Seq("user_id"))
+          .filter(col("pn").isNull || col("rn") <= col("pn"))
+        val wj = Window.partitionBy("user_id").orderBy("rn")
+        val tr = j.select(
+          coalesce(lag(col("event_type"), 1).over(wj), lit("start"))
+            .as("from_t"),
+          col("event_type").as("to_t"))
+        val cnt = tr.groupBy("from_t", "to_t")
+          .agg(count(lit(1)).as("c"))
+        val outc = cnt.groupBy("from_t").agg(sum(col("c")).as("tot"))
+        val pr = cnt.join(broadcast(outc), Seq("from_t"))
+          .select(col("from_t"), col("to_t"),
+            (col("c") * lit(1.0) / col("tot")).as("p"))
+        val w = pr.agg(
+          pcells.head match { case (s, t) =>
+            coalesce(max(when(col("from_t") === s &&
+              col("to_t") === t, col("p"))), lit(0.0)).as(pn(s, t))
+          },
+          pcells.tail.map { case (s, t) =>
+            coalesce(max(when(col("from_t") === s &&
+              col("to_t") === t, col("p"))), lit(0.0)).as(pn(s, t))
+          }: _*)
+        var cur = w.select(
+          pList.map(col) ++ scens.flatMap(initExprs).map {
+            case (n, e) => expr(e).as(n)
+          }: _*)
+        (1 to 5).foreach { _ =>
+          cur = cur.select(
+            pList.map(col) ++ scens.flatMap(stepExprs).map {
+              case (n, e) => expr(e).as(n)
+            }: _*).localCheckpoint()
+        }
+        val reSum = chans.map(ch =>
+          s"(1 - conv_$ch / conv_full)").mkString(" + ")
+        val rows = chans.map { ch =>
+          cur.selectExpr(s"'$ch' as channel", "conv_full",
+            s"conv_$ch as conv_removed",
+            s"1 - conv_$ch / conv_full as re",
+            s"(1 - conv_$ch / conv_full) / ($reSum) as attr_share")
+        }.reduce(_ union _)
+        rows.select(col("channel"), r6(col("conv_full")).as("conv_full"),
+            r6(col("conv_removed")).as("conv_removed"),
+            r6(col("re")).as("removal_effect"),
+            r6(col("attr_share")).as("attr_share"))
+          .orderBy("channel")
+      }
+    },
+
     // Zipf's-law fit of the corpus vocabulary: regression slope of
     // ln(freq) on ln(rank) — the corpus-health statistic (natural text
     // ≈ −1; generated/boilerplate corpora drift). Frequency ranks come
