@@ -1125,6 +1125,50 @@ object Multimodal {
       })
   }
 
+  /** Per-FRAME audio feature rows (the exploded companion to
+    * [[audioFeatures]] — one row per frame so downstream relational
+    * logic can segment, join, or window over frames): integer energy
+    * Σs², integer peak, silence flag by threshold. Partition-local
+    * decode+frame walk, zero shuffle; frame count is bounded by
+    * clip length / frameLen. */
+  final case class FrameFeature(doc_id: Long, frame_idx: Long,
+      energy: Long, peak: Int, silent: Boolean)
+
+  def frameFeatures(df: DataFrame, idCol: String, frameLen: Int,
+      silencePeak: Int,
+      payloadCol: String = "payload"): Dataset[FrameFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        decodeWavPcm16(bytes) match {
+          case Some((_, _, s)) =>
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[FrameFeature]
+            var i = 0; var f = 0L
+            val n = s.length
+            while (i < n) {
+              val end = math.min(i + frameLen, n)
+              var e = 0L; var pk = 0; var j = i
+              while (j < end) {
+                val v = s(j).toInt
+                e += v.toLong * v
+                if (math.abs(v) > pk) pk = math.abs(v)
+                j += 1
+              }
+              out += FrameFeature(id, f, e, pk, pk < silencePeak)
+              f += 1
+              i = end
+            }
+            out.iterator
+          case None => Iterator.empty
+        }
+      })
+  }
+
   /** Pinned integer DCT-II cosine table, cos(π(2k+1)u/16)×10³ rounded
     * half-up, flat index k*8+u. Embedded VERBATIM here and in the SQL
     * oracle so no engine ever evaluates a transcendental — the r5-r7

@@ -2155,6 +2155,84 @@ object LlmQueries {
         .orderBy("phash")
     },
 
+    // VAD SEGMENTATION (the gaps-and-islands pass that turns framewise
+    // silence flags into utterance segments — what an audio pipeline
+    // feeds to ASR): Multimodal.frameFeatures explodes real PCM16
+    // decode into per-frame rows (integer energy/peak, silence by
+    // threshold), then contiguous ACTIVE runs group by the classic
+    // frame_idx − row_number() island key. Per clip: frame count,
+    // active frames, segment count, longest utterance. All integers.
+    // Scale: partition-local decode, one per-doc window, one
+    // aggregate.
+    q("mm_audio_vad_segments",
+      """WITH d AS (SELECT doc_id, (16 + doc_id % 16)::BIGINT n FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT doc_id, i, i // 8 f,
+        |        CASE WHEN doc_id % 5 = 0
+        |             THEN ((doc_id * 13 + i * 5) % 7) - 3
+        |             ELSE ((doc_id * 13 + i * 5) % 4001) - 2000 END s
+        |      FROM sm),
+        |fr AS (SELECT doc_id, f, max(abs(s)) < 500 silent
+        |       FROM v GROUP BY doc_id, f),
+        |base AS (SELECT doc_id, count(*)::BIGINT n_frames FROM fr
+        |         GROUP BY 1),
+        |act AS (SELECT doc_id, f,
+        |          f - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY f) seg
+        |        FROM fr WHERE NOT silent),
+        |seg AS (SELECT doc_id, seg, count(*)::BIGINT len FROM act
+        |        GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(len)::BIGINT active_frames,
+        |          count(*)::BIGINT n_segments, max(len)::BIGINT longest
+        |        FROM seg GROUP BY 1)
+        |SELECT base.doc_id, base.n_frames,
+        |  coalesce(agg.active_frames, 0)::BIGINT AS active_frames,
+        |  coalesce(agg.n_segments, 0)::BIGINT AS n_segments,
+        |  coalesce(agg.longest, 0)::BIGINT AS longest_active
+        |FROM base LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""") { c =>
+      val mkWavPcm = udf((id: Long) => {
+        val n = 16 + (id % 16).toInt
+        val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+          .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)
+          .putInt(8000).putInt(8000 * 2)
+          .putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(n * 2)
+        (0 until n).foreach { i =>
+          val s =
+            if (id % 5 == 0) ((id * 13 + i.toLong * 5) % 7) - 3
+            else ((id * 13 + i.toLong * 5) % 4001) - 2000
+          b.putShort(s.toShort)
+        }
+        b.array()
+      })
+      val fr = Multimodal.frameFeatures(
+          c.documents.select(col("doc_id"),
+            mkWavPcm(col("doc_id")).as("payload")),
+          "doc_id", frameLen = 8, silencePeak = 500)
+        .toDF()
+        .persist()
+      val base = fr.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      val wAct = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val act = fr.filter(!col("silent"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") - row_number().over(wAct)).as("seg"))
+      val seg = act.groupBy("doc_id", "seg")
+        .agg(count(lit(1)).as("len"))
+      val agg = seg.groupBy("doc_id")
+        .agg(sum(col("len")).as("active_frames"),
+          count(lit(1)).as("n_segments"), max(col("len")).as("longest"))
+      base.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("active_frames"), lit(0L)).as("active_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("longest"), lit(0L)).as("longest_active"))
+        .orderBy("doc_id")
+    },
+
     q("mm_decode_wav",
       """WITH d AS (SELECT doc_id, (16 + doc_id % 16)::BIGINT n FROM documents),
         |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),

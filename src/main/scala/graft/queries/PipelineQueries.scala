@@ -234,6 +234,79 @@ object PipelineQueries {
     // per-query partitions, never a global sort); the fusion is a
     // FULL OUTER equi-join of two (query, doc, rank) lists of k rows
     // per query — list-sized, not corpus-sized.
+    // Borda count + Condorcet pairwise wins (classical rank
+    // aggregation — the voting-theory face of rank_rrf's reciprocal
+    // fusion; Dwork et al. 2001 brought both to web ranking): nations
+    // ranked by three integer metrics (revenue cents, customer count,
+    // order count), Borda = Σ(n − rank) across the three ballots,
+    // Condorcet wins = # opponents beaten on a majority of metrics.
+    // Everything is integer ranks and integer pair compares; the pair
+    // walk is n²-of-25, never corpus-sized.
+    q("rank_borda_condorcet",
+      """WITH g AS (SELECT n.n_nationkey k, n.n_name nname,
+        |    sum(CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT rev,
+        |    count(DISTINCT c.c_custkey)::BIGINT ncust,
+        |    count(*)::BIGINT nord
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT k, nname,
+        |    row_number() OVER (ORDER BY rev DESC, k) r1,
+        |    row_number() OVER (ORDER BY ncust DESC, k) r2,
+        |    row_number() OVER (ORDER BY nord DESC, k) r3,
+        |    count(*) OVER () n
+        |  FROM g),
+        |bd AS (SELECT k, nname,
+        |    (3 * n - r1 - r2 - r3)::BIGINT borda FROM r),
+        |cw AS (SELECT a.k,
+        |    sum(CASE WHEN (CASE WHEN a.r1 < b.r1 THEN 1 ELSE 0 END
+        |               + CASE WHEN a.r2 < b.r2 THEN 1 ELSE 0 END
+        |               + CASE WHEN a.r3 < b.r3 THEN 1 ELSE 0 END) >= 2
+        |        THEN 1 ELSE 0 END)::BIGINT wins
+        |  FROM r a JOIN r b ON a.k <> b.k GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT n FROM r)
+        |SELECT bd.nname AS nation, bd.borda, cw.wins AS condorcet_wins,
+        |  (cw.wins = nn.n - 1) AS condorcet_winner
+        |FROM bd JOIN cw ON bd.k = cw.k, nn
+        |ORDER BY borda DESC, nation""") { c =>
+      val g = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c.nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey").as("k"), col("n_name").as("nname"))
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+            .cast("long")).as("rev"),
+          countDistinct(col("c_custkey")).as("ncust"),
+          count(lit(1)).as("nord"))
+      val r = g.select(col("k"), col("nname"),
+        row_number().over(Window.orderBy(col("rev").desc, col("k")))
+          .as("r1"),
+        row_number().over(Window.orderBy(col("ncust").desc, col("k")))
+          .as("r2"),
+        row_number().over(Window.orderBy(col("nord").desc, col("k")))
+          .as("r3"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      val bd = r.select(col("k"), col("nname"),
+        (lit(3) * col("n") - col("r1") - col("r2") - col("r3"))
+          .cast("long").as("borda"))
+      val b2 = r.select(col("k").as("k2"), col("r1").as("q1"),
+        col("r2").as("q2"), col("r3").as("q3"))
+      val cw = r.join(broadcast(b2), col("k") =!= col("k2"))
+        .groupBy("k")
+        .agg(sum(when(
+          (when(col("r1") < col("q1"), 1).otherwise(0) +
+            when(col("r2") < col("q2"), 1).otherwise(0) +
+            when(col("r3") < col("q3"), 1).otherwise(0)) >= 2, 1L)
+          .otherwise(0L)).as("wins"))
+      val nn = r.agg(count(lit(1)).as("n"))
+      bd.join(cw, Seq("k")).crossJoin(broadcast(nn))
+        .select(col("nname").as("nation"), col("borda"),
+          col("wins").as("condorcet_wins"),
+          (col("wins") === col("n") - 1).as("condorcet_winner"))
+        .orderBy(col("borda").desc, col("nation"))
+    },
+
     q("rank_rrf",
       """WITH qs(qid, term) AS (VALUES
         |  (1, 'spark'), (1, 'join'),
