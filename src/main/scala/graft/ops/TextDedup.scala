@@ -310,4 +310,22 @@ object TextDedup {
     cands.unpersist(false)
     verified
   }
+
+  /** ENGINE-PORTABLE k=8 minhash signature (m0..m7 per id): each hash
+    * is an 8-hex window of one of two md5 digests per element
+    * (`md5(g || "#0")`, `md5(g || "#1")`), so a SQL oracle can replay
+    * the exact signatures with
+    * `('0x' || substr(md5(g || '#d'), 1+8·(j%4), 8))::BIGINT`. Use for
+    * hash-checkable LSH experiments (dedup_lsh_eval, incremental
+    * dedup); the production-speed path is the native xxhash minhash in
+    * [[minhashDedupPairs]]. Input: one row per (id, gram). */
+  def portableMinhash8(df: DataFrame, idCol: String,
+      gramCol: String): DataFrame = {
+    def mhCol(j: Int) = {
+      val d = j / 4; val pos = 1 + 8 * (j % 4)
+      min(conv(substring(md5(concat(col(gramCol), lit("#" + d))),
+        pos, 8), 16, 10).cast("long")).as(s"m$j")
+    }
+    df.groupBy(idCol).agg(mhCol(0), (1 to 7).map(mhCol): _*)
+  }
 }

@@ -1231,13 +1231,7 @@ object LlmQueries {
         r6(col("jac")).as("jac"))
       val g = toks.select(col("doc_id"),
         explode(col("st")).as("g")).persist()
-      def mhCol(j: Int) = {
-        val d = j / 4; val pos = 1 + 8 * (j % 4)
-        min(conv(substring(md5(concat(col("g"), lit("#" + d))),
-          pos, 8), 16, 10).cast("long")).as(s"m$j")
-      }
-      val mh = g.groupBy("doc_id")
-        .agg(mhCol(0), (1 to 7).map(mhCol): _*)
+      val mh = graft.ops.TextDedup.portableMinhash8(g, "doc_id", "g")
         .persist()
       val bd = (0 until 4).map { bi =>
         mh.select(col("doc_id"), lit(bi).as("bi"),
@@ -1267,6 +1261,152 @@ object LlmQueries {
         .orderBy("bucket")
       pairs.release()
       out
+    },
+
+    // INCREMENTAL dedup — new shard vs indexed corpus (the production
+    // ingest shape: every arriving shard is checked against the
+    // standing index, never old×old again): odd doc_ids arrive, even
+    // doc_ids are the corpus. Banded portable-minhash candidates are
+    // generated NEW×OLD only, verified with exact word-3-shingle
+    // Jaccard on candidates, and each new doc reports its best
+    // standing match (ties to the smallest old id via a max(struct)
+    // reduce) with the ≥0.8 drop decision. The oracle replays the
+    // identical md5 signatures and banding. Scale: the new shard is
+    // small; the old side touches only its banded buckets.
+    q("dedup_incremental",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |s AS (SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+        |        for i in generate_series(1, len(ts)-2)]) st
+        |      FROM tok WHERE len(ts) >= 3),
+        |g AS (SELECT doc_id, unnest(st) g FROM s),
+        |mh AS (SELECT doc_id,
+        |    min(('0x' || substr(md5(g || '#0'), 1, 8))::BIGINT) m0,
+        |    min(('0x' || substr(md5(g || '#0'), 9, 8))::BIGINT) m1,
+        |    min(('0x' || substr(md5(g || '#0'), 17, 8))::BIGINT) m2,
+        |    min(('0x' || substr(md5(g || '#0'), 25, 8))::BIGINT) m3,
+        |    min(('0x' || substr(md5(g || '#1'), 1, 8))::BIGINT) m4,
+        |    min(('0x' || substr(md5(g || '#1'), 9, 8))::BIGINT) m5,
+        |    min(('0x' || substr(md5(g || '#1'), 17, 8))::BIGINT) m6,
+        |    min(('0x' || substr(md5(g || '#1'), 25, 8))::BIGINT) m7
+        |  FROM g GROUP BY 1),
+        |bd AS (SELECT doc_id, 0 bi, m0 k1, m1 k2 FROM mh
+        |  UNION ALL SELECT doc_id, 1, m2, m3 FROM mh
+        |  UNION ALL SELECT doc_id, 2, m4, m5 FROM mh
+        |  UNION ALL SELECT doc_id, 3, m6, m7 FROM mh),
+        |cand AS (SELECT DISTINCT x.doc_id new_id, y.doc_id old_id
+        |         FROM bd x JOIN bd y ON x.bi = y.bi AND x.k1 = y.k1
+        |           AND x.k2 = y.k2
+        |         WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+        |vf AS (SELECT c.new_id, c.old_id,
+        |         round(len(list_intersect(a.st, b.st))::DOUBLE
+        |           / len(list_distinct(a.st || b.st)) + 1e-9, 6) jac
+        |       FROM cand c JOIN s a ON c.new_id = a.doc_id
+        |         JOIN s b ON c.old_id = b.doc_id),
+        |fm AS (SELECT new_id, old_id best_old_id, jac,
+        |         row_number() OVER (PARTITION BY new_id
+        |           ORDER BY jac DESC, old_id) rk
+        |       FROM vf WHERE jac >= 0.5)
+        |SELECT new_id, best_old_id, jac, (jac >= 0.8) AS drop_dup
+        |FROM fm WHERE rk = 1 ORDER BY new_id""") { c =>
+      val toks = c.documents
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+        .select(col("doc_id"), col("st"))
+        .persist()
+      val g = toks.select(col("doc_id"), explode(col("st")).as("g"))
+      val mh = graft.ops.TextDedup.portableMinhash8(g, "doc_id", "g")
+        .persist()
+      val bd = (0 until 4).map { bi =>
+        mh.select(col("doc_id"), lit(bi).as("bi"),
+          col(s"m${2 * bi}").as("k1"), col(s"m${2 * bi + 1}").as("k2"))
+      }.reduce(_ union _)
+      val cand = bd.as("x").join(bd.as("y"),
+          col("x.bi") === col("y.bi") && col("x.k1") === col("y.k1") &&
+            col("x.k2") === col("y.k2") &&
+            col("x.doc_id") % 2 === 1 && col("y.doc_id") % 2 === 0)
+        .select(col("x.doc_id").as("new_id"),
+          col("y.doc_id").as("old_id"))
+        .distinct()
+      val vf = cand
+        .join(toks.select(col("doc_id").as("new_id"),
+          col("st").as("sa")), Seq("new_id"))
+        .join(toks.select(col("doc_id").as("old_id"),
+          col("st").as("sb")), Seq("old_id"))
+        .select(col("new_id"), col("old_id"),
+          r6(graft.ops.TextDedup.jaccard(col("sa"), col("sb")))
+            .as("jac"))
+      val fm = vf.filter(col("jac") >= 0.5)
+        .groupBy("new_id")
+        .agg(max(struct(col("jac"), (-col("old_id")).as("nid")))
+          .as("bm"))
+      fm.select(col("new_id"), (-col("bm.nid")).as("best_old_id"),
+          col("bm.jac").as("jac"),
+          (col("bm.jac") >= 0.8).as("drop_dup"))
+        .orderBy("new_id")
+    },
+
+    // Language-ID EVAL — confusion matrix + per-class precision/recall
+    // of the text_lang_id stopword heuristic against the corpus's
+    // labeled `lang` column (the eval table every classifier ships
+    // with; 'zh' has no Latin stopwords so it lands in 'und' — the
+    // matrix SHOWS that honestly): one corpus pass scoring 4 stopword
+    // families, one (label, pred) aggregate, exact integer counts and
+    // integer-ratio metrics.
+    q("text_langid_eval",
+      """WITH p AS (SELECT lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('the', 'a', 'of', 'and'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('el', 'la', 'de', 'y'))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('der', 'die', 'das', 'und'))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t IN ('le', 'les', 'et', 'une'))) AS s_fr
+        |  FROM documents),
+        |pr AS (SELECT lang,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |         WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |         WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |         WHEN s_de >= s_fr THEN 'de'
+        |         ELSE 'fr' END AS pred
+        |  FROM p),
+        |cm AS (SELECT lang, pred, count(*)::BIGINT n FROM pr
+        |       GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(n)::BIGINT lt FROM cm GROUP BY 1),
+        |ct AS (SELECT pred, sum(n)::BIGINT pt FROM cm GROUP BY 1)
+        |SELECT cm.lang, cm.pred, cm.n,
+        |  round(cm.n * 1.0 / rt.lt + 1e-9, 4) AS recall_share,
+        |  round(cm.n * 1.0 / ct.pt + 1e-9, 4) AS precision_share
+        |FROM cm JOIN rt USING (lang) JOIN ct USING (pred)
+        |ORDER BY lang, pred""") { c =>
+      val toks = split(lower(col("text")), "\\s+")
+      def score(words: String*) =
+        size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+      val p = c.documents.select(col("lang"),
+        score("the", "a", "of", "and").as("s_en"),
+        score("el", "la", "de", "y").as("s_es"),
+        score("der", "die", "das", "und").as("s_de"),
+        score("le", "les", "et", "une").as("s_fr"))
+      val pr = p.select(col("lang"),
+        when(greatest(col("s_en"), col("s_es"), col("s_de"),
+          col("s_fr")) === 0, "und")
+          .when(col("s_en") >= greatest(col("s_es"), col("s_de"),
+            col("s_fr")), "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("pred"))
+      val cm = pr.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val rt = cm.groupBy("lang").agg(sum(col("n")).as("lt"))
+      val ct = cm.groupBy("pred").agg(sum(col("n")).as("pt"))
+      cm.join(broadcast(rt), Seq("lang"))
+        .join(broadcast(ct), Seq("pred"))
+        .select(col("lang"), col("pred"), col("n"),
+          r4(col("n") * lit(1.0) / col("lt")).as("recall_share"),
+          r4(col("n") * lit(1.0) / col("pt")).as("precision_share"))
+        .orderBy("lang", "pred")
     },
 
     // SimHash near-dup check: for every verified near-dup pair (word
