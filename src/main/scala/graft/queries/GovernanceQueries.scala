@@ -74,6 +74,72 @@ object GovernanceQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // EMBEDDING-column QA profile (the screen a vector corpus gets
+    // before any ANN index is built — degenerate norms and dimension
+    // drift silently poison recall): per-vector L2 norm by an
+    // element-ORDER-pinned fold of double-cast squares (0.0-init left
+    // fold ≡ DuckDB list_reduce), quantized to integer micro-units so
+    // the corpus mean is an EXACT integer sum, and the norm quartiles
+    // are exact order statistics via the distributed
+    // Positional.withRowNumber (no global window over the corpus).
+    q("dq_embedding_profile",
+      """WITH v AS (SELECT vec_id, len(embedding) dim,
+        |    CAST(round(sqrt(list_reduce(
+        |        list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |        (a, b) -> a + b)) * 1e6 + 1e-9) AS BIGINT) nq
+        |  FROM embeddings),
+        |r AS (SELECT vec_id, dim, nq,
+        |        row_number() OVER (ORDER BY nq, vec_id) rn,
+        |        count(*) OVER () n FROM v),
+        |qs AS (SELECT
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN nq END) q1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN nq END) q2,
+        |    max(CASE WHEN rn = (3 * n + 1) // 4 THEN nq END) q3
+        |  FROM r)
+        |SELECT count(*)::BIGINT AS n_vecs,
+        |  min(v.dim)::BIGINT AS dim_min, max(v.dim)::BIGINT AS dim_max,
+        |  sum(CASE WHEN v.nq = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_zero_norm,
+        |  round(min(v.nq) / 1e6 + 1e-9, 6) AS min_norm,
+        |  round(max(qs.q1) / 1e6 + 1e-9, 6) AS p25_norm,
+        |  round(max(qs.q2) / 1e6 + 1e-9, 6) AS p50_norm,
+        |  round(max(qs.q3) / 1e6 + 1e-9, 6) AS p75_norm,
+        |  round(max(v.nq) / 1e6 + 1e-9, 6) AS max_norm,
+        |  round(sum(v.nq) / count(*) / 1e6 + 1e-9, 6) AS mean_norm
+        |FROM v, qs""") { c =>
+      val nq = round(sqrt(aggregate(
+          transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, b) => a + b)) * 1e6 + lit(1e-9)).cast("long")
+      val v = c.embeddings.select(col("vec_id"),
+        size(col("embedding")).as("dim"), nq.as("nq"))
+      val r = graft.ops.Positional.withRowNumber(v,
+        Seq(col("nq"), col("vec_id")), "rn")
+      val n = v.agg(count(lit(1)).as("n"))
+      val qs = r.crossJoin(broadcast(n)).agg(
+        max(when(col("rn") === ((col("n") + 3) / 4).cast("long"),
+          col("nq"))).as("q1"),
+        max(when(col("rn") === ((col("n") + 1) / 2).cast("long"),
+          col("nq"))).as("q2"),
+        max(when(col("rn") === ((lit(3) * col("n") + 1) / 4)
+          .cast("long"), col("nq"))).as("q3"))
+      v.agg(count(lit(1)).as("n_vecs"), min(col("dim")).as("dim_min"),
+          max(col("dim")).as("dim_max"),
+          sum(when(col("nq") === 0, 1L).otherwise(0L))
+            .as("n_zero_norm"),
+          min(col("nq")).as("mn"), max(col("nq")).as("mx"),
+          sum(col("nq")).as("sq"))
+        .crossJoin(broadcast(qs))
+        .select(col("n_vecs"), col("dim_min"), col("dim_max"),
+          col("n_zero_norm"),
+          r6(col("mn") / 1e6).as("min_norm"),
+          r6(col("q1") / 1e6).as("p25_norm"),
+          r6(col("q2") / 1e6).as("p50_norm"),
+          r6(col("q3") / 1e6).as("p75_norm"),
+          r6(col("mx") / 1e6).as("max_norm"),
+          r6(col("sq") / col("n_vecs") / 1e6).as("mean_norm"))
+    },
+
     // Data-quality gate (the dbt-test / Great-Expectations shape): each
     // check is one distributed aggregate or anti join; the result is a
     // small check×metric relation a CI gate thresholds on. Checks:

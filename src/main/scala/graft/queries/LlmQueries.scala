@@ -2182,6 +2182,56 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // BINARY exact dedup (the zero-decode first pass of any media
+    // pipeline — drop byte-identical files by content digest before
+    // paying a single codec cycle): md5 over the raw payload, keep the
+    // smallest doc_id per digest group. The oracle derives the SAME
+    // equivalence classes arithmetically from the generator key
+    // (texture k, brightness offset, perturbation flag ⇔ byte
+    // equality). One shuffle on the digest — the dedup_exact shape on
+    // binary columns.
+    q("mm_exact_dedup",
+      """WITH d AS (SELECT doc_id, doc_id % 40 k,
+        |    (doc_id // 40) % 3 boff,
+        |    CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END pert
+        |  FROM documents)
+        |SELECT min(doc_id) AS keeper, count(*)::BIGINT AS n_copies
+        |FROM d GROUP BY k, boff, pert ORDER BY keeper""") { c =>
+      val mkBmp = udf((id: Long) => {
+        val w = 8; val h = 8
+        val k = id % 40
+        val off = ((id / 40) % 3).toInt * 4
+        val pp = if (id % 97 == 0) (id % 40).toInt else -1
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y * w + x
+            val bump = if (p == pp) 40 else 0
+            def v(ci: Int): Int =
+              ((k * 31 + p * 3 + ci) % 200).toInt + off + bump
+            b.put(v(2).toByte).put(v(1).toByte).put(v(0).toByte)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      c.documents
+        .select(col("doc_id"), mkBmp(col("doc_id")).as("payload"))
+        .groupBy(md5(col("payload")).as("digest"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keeper"), col("n_copies"))
+        .orderBy("keeper")
+    },
+
     // Perceptual-hash IMAGE DEDUP (pHash, Zauner 2010 — the image leg
     // of corpus dedup): genuine 8×8 BMPs where doc_id%40 picks the
     // texture, a brightness offset varies per doc (shifts only the DC

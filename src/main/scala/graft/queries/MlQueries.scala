@@ -362,6 +362,215 @@ object MlQueries {
         .orderBy("frac_pct")
     },
 
+    // FAIRNESS AUDIT — demographic parity + equalized odds (Hardt et
+    // al. 2016; the responsible-AI gate a scored model passes before
+    // deployment): groups are market segments, the "classifier" is the
+    // high-quantity rule (score ≥ 25), the label is returned-flag. Per
+    // group: selection rate, TPR, FPR — exact integer-count ratios —
+    // plus the global disparate-impact ratio (min/max selection rate)
+    // and the max TPR/FPR gaps repeated per row. One corpus join +
+    // one group aggregate; group count is tiny so the global reduce
+    // broadcasts.
+    q("ml_fairness_audit",
+      """WITH b AS (SELECT c.c_mktsegment seg,
+        |    CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END pred,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT seg, count(*)::BIGINT n,
+        |        sum(pred)::BIGINT sel,
+        |        sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |          ::BIGINT tp,
+        |        sum(y)::BIGINT pos,
+        |        sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |          ::BIGINT fp
+        |      FROM b GROUP BY 1),
+        |r AS (SELECT seg, n,
+        |        round(sel * 1.0 / n + 1e-9, 6) sel_rate,
+        |        round(tp * 1.0 / pos + 1e-9, 6) tpr,
+        |        round(fp * 1.0 / (n - pos) + 1e-9, 6) fpr
+        |      FROM g),
+        |t AS (SELECT round(min(sel_rate) / max(sel_rate) + 1e-9, 6) di,
+        |        round(max(tpr) - min(tpr) + 1e-9, 6) tpr_gap,
+        |        round(max(fpr) - min(fpr) + 1e-9, 6) fpr_gap
+        |      FROM r)
+        |SELECT r.seg, r.n, r.sel_rate, r.tpr, r.fpr,
+        |  t.di AS disparate_impact, t.tpr_gap, t.fpr_gap
+        |FROM r, t ORDER BY seg""") { c =>
+      val b = c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          when(col("l_quantity") >= 25, 1L).otherwise(0L).as("pred"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val g = b.groupBy("seg").agg(count(lit(1)).as("n"),
+        sum(col("pred")).as("sel"),
+        sum(when(col("pred") === 1 && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(col("y")).as("pos"),
+        sum(when(col("pred") === 1 && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"))
+      val r = g.select(col("seg"), col("n"),
+        r6(col("sel") * lit(1.0) / col("n")).as("sel_rate"),
+        r6(col("tp") * lit(1.0) / col("pos")).as("tpr"),
+        r6(col("fp") * lit(1.0) / (col("n") - col("pos"))).as("fpr"))
+      val t = r.agg(
+        r6(min(col("sel_rate")) / max(col("sel_rate")))
+          .as("disparate_impact"),
+        r6(max(col("tpr")) - min(col("tpr"))).as("tpr_gap"),
+        r6(max(col("fpr")) - min(col("fpr"))).as("fpr_gap"))
+      r.crossJoin(broadcast(t))
+        .select(col("seg"), col("n"), col("sel_rate"), col("tpr"),
+          col("fpr"), col("disparate_impact"), col("tpr_gap"),
+          col("fpr_gap"))
+        .orderBy("seg")
+    },
+
+    // Bayesian A/B readout — exact P(p_B > p_A) under independent
+    // Beta(1,1) posteriors (Evan Miller's closed form), computed with
+    // ZERO transcendentals: h(a,b,c,d) = Σᵢ termᵢ where term₀ =
+    // Π_{j<d}(b+j)/(a+b+j) and termᵢ₊₁/termᵢ =
+    // (a+i)(d+i)/((a+b+d+i)(1+i)) — every factor an exact-integer
+    // quotient, folded in pinned ascending order (the Fisher device
+    // applied to Bayes). Posterior params come from the pilot cohort's
+    // integer conversion counts; the per-term product is
+    // O(terms²-of-cohort), never corpus-sized.
+    q("ab_bayes_beta",
+      """WITH u AS (SELECT user_id, user_id % 2 arm,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END)
+        |            > sum(CASE WHEN event_type = 'error'
+        |                  THEN 1 ELSE 0 END)
+        |         THEN 1 ELSE 0 END cv
+        |  FROM events WHERE user_id < 120 GROUP BY 1),
+        |cells AS (SELECT
+        |    (1 + sum(CASE WHEN arm = 0 THEN cv ELSE 0 END))::BIGINT a,
+        |    (1 + sum(CASE WHEN arm = 0 THEN 1 - cv ELSE 0 END))
+        |      ::BIGINT b,
+        |    (1 + sum(CASE WHEN arm = 1 THEN cv ELSE 0 END))::BIGINT cc,
+        |    (1 + sum(CASE WHEN arm = 1 THEN 1 - cv ELSE 0 END))
+        |      ::BIGINT d
+        |  FROM u),
+        |t0 AS (SELECT a, b, cc, d,
+        |    list_reduce(list_transform(range(0, d),
+        |        j -> (b + j) / (a + b + j)), (x, y) -> x * y) w0
+        |  FROM cells),
+        |xs AS (SELECT a, b, cc, d, w0, unnest(range(0, cc)) i FROM t0),
+        |wr AS (SELECT i,
+        |    CASE WHEN i = 0 THEN w0
+        |         ELSE w0 * list_reduce(list_transform(range(0, i),
+        |           k -> ((a + k) * (d + k))
+        |                / ((a + b + d + k) * (1 + k))),
+        |           (x, y) -> x * y) END w
+        |  FROM xs),
+        |s AS (SELECT list_reduce(list(w ORDER BY i), (x, y) -> x + y)
+        |        p FROM wr)
+        |SELECT cells.a - 1 AS conv_a, cells.b - 1 AS nonconv_a,
+        |  cells.cc - 1 AS conv_b, cells.d - 1 AS nonconv_b,
+        |  round(s.p + 1e-9, 6) AS p_b_beats_a
+        |FROM cells, s""") { c =>
+      val uu = c.events.filter(col("user_id") < 120)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            > sum(when(col("event_type") === "error", 1).otherwise(0)))
+          .cast("long").as("cv"))
+        .select((col("user_id") % 2).as("arm"), col("cv"))
+      val cells = uu.agg(
+        (lit(1L) + sum(when(col("arm") === 0, col("cv")).otherwise(0L)))
+          .as("a"),
+        (lit(1L) + sum(when(col("arm") === 0, lit(1L) - col("cv"))
+          .otherwise(0L))).as("b"),
+        (lit(1L) + sum(when(col("arm") === 1, col("cv")).otherwise(0L)))
+          .as("cc"),
+        (lit(1L) + sum(when(col("arm") === 1, lit(1L) - col("cv"))
+          .otherwise(0L))).as("d"))
+      val t0 = cells.withColumn("w0",
+        aggregate(sequence(lit(0L), col("d") - 1), lit(1.0),
+          (p, j) => p * ((col("b") + j) / (col("a") + col("b") + j))))
+      val xs = t0.select(col("*"),
+        explode(sequence(lit(0L), col("cc") - 1)).as("i"))
+      val wr = xs.select(col("i"),
+        when(col("i") === 0, col("w0"))
+          .otherwise(col("w0") * aggregate(
+            sequence(lit(0L), col("i") - 1), lit(1.0),
+            (p, k) => p * (((col("a") + k) * (col("d") + k)) /
+              ((col("a") + col("b") + col("d") + k) * (lit(1L) + k)))))
+          .as("w"))
+      val s = wr.agg(
+        aggregate(array_sort(collect_list(struct(col("i"),
+            col("w").as("t")))),
+          lit(0.0), (acc, e) => acc + e.getField("t")).as("p"))
+      cells.crossJoin(broadcast(s))
+        .select((col("a") - 1).as("conv_a"), (col("b") - 1)
+            .as("nonconv_a"),
+          (col("cc") - 1).as("conv_b"), (col("d") - 1).as("nonconv_b"),
+          r6(col("p")).as("p_b_beats_a"))
+    },
+
+    // Brier-score DECOMPOSITION (Murphy 1973 — reliability −
+    // resolution + uncertainty; the diagnosis behind
+    // ml_calibration_curve's picture: REL says how far the forecast
+    // is from its bin's truth, RES how much the bins separate): the
+    // forecast is the exact rational quantity/50, bins are the 50
+    // distinct quantities, every bin statistic is a ratio of exact
+    // integer counts, and the two bin-level sums fold in pinned bin
+    // order. One corpus aggregate + a 50-row reduce.
+    q("ml_brier_decomposition",
+      """WITH b AS (SELECT l_quantity::BIGINT q,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |  FROM lineitem),
+        |g AS (SELECT q, count(*)::BIGINT n, sum(y)::BIGINT pos
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT nt, sum(pos)::BIGINT post FROM g),
+        |s AS (SELECT
+        |    list_reduce(list(
+        |      n * (q / 50.0 - pos * 1.0 / n) * (q / 50.0 - pos * 1.0 / n)
+        |      ORDER BY q), (x, y) -> x + y) rel_s,
+        |    list_reduce(list(
+        |      n * (pos * 1.0 / n - t.post * 1.0 / t.nt)
+        |        * (pos * 1.0 / n - t.post * 1.0 / t.nt)
+        |      ORDER BY q), (x, y) -> x + y) res_s
+        |  FROM g, t GROUP BY t.nt, t.post),
+        |o AS (SELECT t.nt, t.post, s.rel_s / t.nt rel,
+        |        s.res_s / t.nt res,
+        |        (t.post * 1.0 / t.nt) * (1 - t.post * 1.0 / t.nt) unc
+        |      FROM s, t)
+        |SELECT nt AS n_rows,
+        |  round(rel + 1e-9, 6) AS reliability,
+        |  round(res + 1e-9, 6) AS resolution,
+        |  round(unc + 1e-9, 6) AS uncertainty,
+        |  round(rel - res + unc + 1e-9, 6) AS brier
+        |FROM o""") { c =>
+      val b = c.lineitem.select(col("l_quantity").cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val g = b.groupBy("q")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val t = g.agg(sum(col("n")).as("nt"), sum(col("pos")).as("post"))
+      val gt = g.crossJoin(broadcast(t))
+      val relTerm = col("n") *
+        (col("q") / 50.0 - col("pos") * lit(1.0) / col("n")) *
+        (col("q") / 50.0 - col("pos") * lit(1.0) / col("n"))
+      val resTerm = col("n") *
+        (col("pos") * lit(1.0) / col("n") -
+          col("post") * lit(1.0) / col("nt")) *
+        (col("pos") * lit(1.0) / col("n") -
+          col("post") * lit(1.0) / col("nt"))
+      val s = gt.groupBy("nt", "post").agg(
+        aggregate(array_sort(collect_list(struct(col("q"),
+          relTerm.as("t")))), lit(0.0),
+          (a, e) => a + e.getField("t")).as("rel_s"),
+        aggregate(array_sort(collect_list(struct(col("q"),
+          resTerm.as("t")))), lit(0.0),
+          (a, e) => a + e.getField("t")).as("res_s"))
+      val ybar = col("post") * lit(1.0) / col("nt")
+      s.select(col("nt").as("n_rows"),
+        r6(col("rel_s") / col("nt")).as("reliability"),
+        r6(col("res_s") / col("nt")).as("resolution"),
+        r6(ybar * (lit(1) - ybar)).as("uncertainty"),
+        r6(col("rel_s") / col("nt") - col("res_s") / col("nt") +
+          ybar * (lit(1) - ybar)).as("brier"))
+    },
+
     // Deferred metrics (metrics.py:513): mse/mae/r2 as one aggregate
     // over (y, prediction).
     q("ml_metrics",

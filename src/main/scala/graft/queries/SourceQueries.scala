@@ -106,6 +106,44 @@ object SourceQueries {
     // standard 100 TB layout (hive-style directories per key); the
     // filter on the partition column prunes directories at planning
     // time, so the scan reads only one partition's files.
+    // SCHEMA EVOLUTION across parquet writes (the lakehouse reality —
+    // yesterday's shard has 2 columns, today's has 3; the reader must
+    // merge footers and null-fill, not crash): write v1 (key, status)
+    // and v2 (key, status, priority) to the same dataset root, read
+    // with mergeSchema=true, and report per-status counts split by
+    // whether the evolved column is present. The oracle reproduces the
+    // merge arithmetically from the original table (v1 rows = NULL
+    // priority). Footer-merge is metadata-side at scale; the data read
+    // stays columnar.
+    q("src_schema_evolution",
+      """WITH v1 AS (SELECT o_orderstatus s, NULL AS pri FROM orders
+        |            WHERE o_orderkey % 2 = 0),
+        |v2 AS (SELECT o_orderstatus s, o_orderpriority pri FROM orders
+        |       WHERE o_orderkey % 2 = 1),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT s AS o_orderstatus,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN pri IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_legacy,
+        |  count(DISTINCT pri)::BIGINT AS n_priorities
+        |FROM u GROUP BY 1 ORDER BY o_orderstatus""") { c =>
+      val out = tmp("orders_evolving")
+      c.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(out + "/batch=1")
+      c.orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(out + "/batch=2")
+      c.spark.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .as("n_legacy"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("o_orderstatus")
+    },
+
     q("src_partitioned_write",
       """SELECT l_linestatus, count(*) AS n,
         |       round(sum(l_quantity) + 1e-9, 2) AS qty

@@ -1103,6 +1103,370 @@ object StatQueries {
       }
     },
 
+    // Granger causality, 1 lag (Granger 1969 — does yesterday's X
+    // improve the forecast of today's Y beyond Y's own history?):
+    // hourly value-cents (x) vs hourly event count (y); restricted
+    // AR(1) vs unrestricted ADL(1,1), F = (SSE_r − SSE_u)/(SSE_u/(n−3)).
+    // Both SSEs are CLOSED FORMS of centered moments over the lag-
+    // joined triples (y_t, y_{t−1}, x_{t−1}) — every raw moment an
+    // EXACT BIGINT sum, centered combinations written identically on
+    // both engines (the shap/levene device). Scale: one hourly
+    // aggregation, one hour-index equi-join, one moment aggregate.
+    q("ts_granger",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |    sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT x,
+        |    count(*)::BIGINT y
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT b.y yt, a.y yl, a.x xl FROM h a
+        |      JOIN h b ON b.hb = a.hb + 1),
+        |m AS (SELECT count(*)::BIGINT n,
+        |    sum(yt)::BIGINT st, sum(yl)::BIGINT sl, sum(xl)::BIGINT sx,
+        |    sum(yl * yl)::BIGINT sll, sum(yl * xl)::BIGINT slx,
+        |    sum(xl * xl)::BIGINT sxx, sum(yl * yt)::BIGINT slt,
+        |    sum(xl * yt)::BIGINT sxt, sum(yt * yt)::BIGINT stt
+        |  FROM j),
+        |cm AS (SELECT n,
+        |    n::DOUBLE * sll - sl::DOUBLE * sl c11,
+        |    n::DOUBLE * slx - sl::DOUBLE * sx c12,
+        |    n::DOUBLE * sxx - sx::DOUBLE * sx c22,
+        |    n::DOUBLE * slt - sl::DOUBLE * st c1y,
+        |    n::DOUBLE * sxt - sx::DOUBLE * st c2y,
+        |    n::DOUBLE * stt - st::DOUBLE * st cyy FROM m),
+        |f AS (SELECT n, cyy,
+        |    cyy - c1y * c1y / c11 sse_r,
+        |    cyy - ((c22 * c1y - c12 * c2y) * c1y
+        |           + (c11 * c2y - c12 * c1y) * c2y)
+        |          / (c11 * c22 - c12 * c12) sse_u,
+        |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) bx
+        |  FROM cm)
+        |SELECT n AS n_pairs, round(bx + 1e-9, 6) AS beta_xlag,
+        |  round((sse_r - sse_u) / (sse_u / (n - 3)) + 1e-9, 4)
+        |    AS f_stat
+        |FROM f""") { c =>
+      val h = c.events.select(
+          floor(expr("unix_timestamp(ts)") / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cents"))
+        .groupBy("hb")
+        .agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+      val j = h.as("a").join(h.as("b"),
+          col("b.hb") === col("a.hb") + 1)
+        .select(col("b.y").as("yt"), col("a.y").as("yl"),
+          col("a.x").as("xl"))
+      val m = j.agg(count(lit(1)).as("n"),
+        sum(col("yt")).as("st"), sum(col("yl")).as("sl"),
+        sum(col("xl")).as("sx"),
+        sum(col("yl") * col("yl")).as("sll"),
+        sum(col("yl") * col("xl")).as("slx"),
+        sum(col("xl") * col("xl")).as("sxx"),
+        sum(col("yl") * col("yt")).as("slt"),
+        sum(col("xl") * col("yt")).as("sxt"),
+        sum(col("yt") * col("yt")).as("stt"))
+      def ctr(sab: String, sa: String, sb: String) =
+        col("n").cast("double") * col(sab) -
+          col(sa).cast("double") * col(sb)
+      val cm = m.select(col("n"),
+        ctr("sll", "sl", "sl").as("c11"), ctr("slx", "sl", "sx").as("c12"),
+        ctr("sxx", "sx", "sx").as("c22"), ctr("slt", "sl", "st").as("c1y"),
+        ctr("sxt", "sx", "st").as("c2y"), ctr("stt", "st", "st").as("cyy"))
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val f = cm.select(col("n"), col("cyy"),
+        (col("cyy") - col("c1y") * col("c1y") / col("c11")).as("sse_r"),
+        (col("cyy") - ((col("c22") * col("c1y") -
+          col("c12") * col("c2y")) * col("c1y") +
+          (col("c11") * col("c2y") - col("c12") * col("c1y")) *
+            col("c2y")) / det).as("sse_u"),
+        ((col("c11") * col("c2y") - col("c12") * col("c1y")) / det)
+          .as("bx"))
+      f.select(col("n").as("n_pairs"), r6(col("bx")).as("beta_xlag"),
+        r4((col("sse_r") - col("sse_u")) /
+          (col("sse_u") / (col("n") - 3))).as("f_stat"))
+    },
+
+    // Wilcoxon signed-rank test (the PAIRED nonparametric companion to
+    // stat_mannwhitney — same users before/after the cutoff, no
+    // normality assumed): per-user pre/post deci-unit sums, zero
+    // differences dropped, |d| ranked with AVERAGE ties kept exact by
+    // carrying 2×rank as the integer r2 = 2·minrank + ties − 1
+    // (minrank from an exclusive cumsum over the |d| HISTOGRAM — the
+    // distributed rank shape, no global window over user rows), then
+    // 2W⁺ = Σ r2·(positive count per |d|) stays a pure integer and the
+    // normal z uses the closed-form moments. Scale: two hash
+    // aggregates + a histogram-sized window.
+    q("stat_wilcoxon_signed",
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(round(value * 10 + 1e-9) AS BIGINT)
+        |        ELSE 0 END)::BIGINT pre,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(round(value * 10 + 1e-9) AS BIGINT)
+        |        ELSE 0 END)::BIGINT post
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT post - pre df, abs(post - pre) ad FROM u
+        |      WHERE post <> pre),
+        |g AS (SELECT ad, count(*)::BIGINT cnt,
+        |        sum(CASE WHEN df > 0 THEN 1 ELSE 0 END)::BIGINT pos
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT ad, cnt, pos,
+        |        coalesce(sum(cnt) OVER (ORDER BY ad
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) cum
+        |      FROM g),
+        |s AS (SELECT sum(cnt)::BIGINT n,
+        |        sum(pos * (2 * (1 + cum) + cnt - 1))::BIGINT w2
+        |      FROM r)
+        |SELECT n, (w2 / 2.0) AS w_plus,
+        |  round((w2 / 2.0 - n * (n + 1) / 4.0)
+        |        / sqrt(n * (n + 1) * (2 * n + 1) / 24.0) + 1e-9, 4)
+        |    AS z_stat
+        |FROM s""") { c =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val dv = round(col("value") * 10 + lit(1e-9)).cast("long")
+      val u = c.events.groupBy("user_id").agg(
+        sum(when(col("ts") < cut, dv).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= cut, dv).otherwise(0L)).as("post"))
+      val d = u.filter(col("post") =!= col("pre"))
+        .select((col("post") - col("pre")).as("df"),
+          abs(col("post") - col("pre")).as("ad"))
+      val g = d.groupBy("ad").agg(count(lit(1)).as("cnt"),
+        sum(when(col("df") > 0, 1L).otherwise(0L)).as("pos"))
+      val r = graft.ops.Positional.withCumSums(g, Seq(col("ad")),
+        Seq(col("cnt") -> "cum"))
+      val s = r.agg(sum(col("cnt")).as("n"),
+        sum(col("pos") * (lit(2) * (lit(1) + col("cum")) + col("cnt") -
+          1)).as("w2"))
+      s.select(col("n"), (col("w2") / 2.0).as("w_plus"),
+        r4((col("w2") / 2.0 - col("n") * (col("n") + 1) / 4.0) /
+          sqrt(col("n") * (col("n") + 1) * (lit(2) * col("n") + 1) /
+            24.0)).as("z_stat"))
+    },
+
+    // Durbin–Watson serial-correlation test on detrended daily revenue
+    // (the regression-residual diagnostic beside ts_ljung_box's raw
+    // ACF screen — DW ≈ 2 means the linear day-trend left white
+    // residuals): OLS day-trend from exact integer moments, residuals
+    // QUANTIZED per row to integer dollars (DW is unit-invariant, and
+    // integer residuals make both Σ(Δe)² and Σe² exact
+    // order-independent sums), consecutive-observation diffs by a
+    // row_number self-join on the TIME-BOUNDED daily series. Scale:
+    // one corpus aggregation to days; everything after is day-sized.
+    q("ts_durbin_watson",
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) dy,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT y
+        |  FROM orders GROUP BY 1),
+        |ix AS (SELECT y,
+        |    row_number() OVER (ORDER BY dy) - 1 t FROM d),
+        |m AS (SELECT count(*)::BIGINT n, sum(t)::BIGINT st,
+        |        sum(y)::BIGINT sy, sum(t * t)::BIGINT stt,
+        |        sum(t * y)::BIGINT sty FROM ix),
+        |ab AS (SELECT n,
+        |    (n::DOUBLE * sty - st::DOUBLE * sy)
+        |      / (n::DOUBLE * stt - st::DOUBLE * st) b,
+        |    sy::DOUBLE / n
+        |      - (n::DOUBLE * sty - st::DOUBLE * sy)
+        |        / (n::DOUBLE * stt - st::DOUBLE * st)
+        |        * (st::DOUBLE / n) a
+        |  FROM m),
+        |e AS (SELECT t,
+        |    CAST(round((y - (ab.a + ab.b * t)) / 100 + 1e-9) AS BIGINT)
+        |      q
+        |  FROM ix, ab),
+        |p AS (SELECT b.q q1, a.q q0 FROM e a JOIN e b ON b.t = a.t + 1),
+        |s AS (SELECT
+        |    sum((q1 - q0) * (q1 - q0))::BIGINT num FROM p),
+        |s2 AS (SELECT sum(q * q)::BIGINT den FROM e)
+        |SELECT ab.n AS n_days, round(ab.b / 100 + 1e-9, 6)
+        |    AS trend_dollars_per_day,
+        |  round(s.num * 1.0 / s2.den + 1e-9, 4) AS dw_stat
+        |FROM ab, s, s2""") { c =>
+      val d = c.orders
+        .select(col("o_orderdate").cast("date").as("dy"),
+          round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+            .as("cents"))
+        .groupBy("dy").agg(sum(col("cents")).as("y"))
+      val w = Window.orderBy("dy")
+      val ix = d.select(col("y"),
+        (row_number().over(w) - 1).cast("long").as("t"))
+      val m = ix.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("t")).as("stt"),
+        sum(col("t") * col("y")).as("sty"))
+      val bCol = (col("n").cast("double") * col("sty") -
+        col("st").cast("double") * col("sy")) /
+        (col("n").cast("double") * col("stt") -
+          col("st").cast("double") * col("st"))
+      val ab = m.select(col("n"), bCol.as("b"),
+        (col("sy").cast("double") / col("n") -
+          bCol * (col("st").cast("double") / col("n"))).as("a"))
+      val e = ix.crossJoin(broadcast(ab))
+        .select(col("t"),
+          round((col("y") - (col("a") + col("b") * col("t"))) / 100 +
+            lit(1e-9)).cast("long").as("q"))
+      val p = e.as("a").join(e.as("b"), col("b.t") === col("a.t") + 1)
+        .select(col("b.q").as("q1"), col("a.q").as("q0"))
+      val s = p.agg(sum((col("q1") - col("q0")) *
+        (col("q1") - col("q0"))).as("num"))
+      val s2 = e.agg(sum(col("q") * col("q")).as("den"))
+      ab.crossJoin(broadcast(s)).crossJoin(broadcast(s2))
+        .select(col("n").as("n_days"),
+          r6(col("b") / 100).as("trend_dollars_per_day"),
+          r4(col("num") * lit(1.0) / col("den")).as("dw_stat"))
+    },
+
+    // Cochran–Armitage trend test (the dose-response test for ordered
+    // proportions — does the fulfilled-order share move MONOTONICALLY
+    // with priority?): groups are the 5 order priorities with ordinal
+    // scores 1..5 (parsed from the priority's leading digit — an
+    // integer, not an assumption), successes are 'F' statuses;
+    // T = Σwᵢ(rᵢ − nᵢp̄) and Var(T) = p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N) are
+    // closed forms of exact integer aggregates. One hash aggregate.
+    q("stat_cochran_armitage",
+      """WITH g AS (SELECT
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) w,
+        |    count(*)::BIGINT n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      ::BIGINT r
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT sum(n)::BIGINT nt, sum(r)::BIGINT rt,
+        |        sum(w * r)::BIGINT swr, sum(w * n)::BIGINT swn,
+        |        sum(w * w * n)::BIGINT swwn FROM g)
+        |SELECT nt AS n_total, rt AS n_success,
+        |  round((swr - swn * (rt::DOUBLE / nt))
+        |        / sqrt((rt::DOUBLE / nt) * (1 - rt::DOUBLE / nt)
+        |               * (swwn - swn::DOUBLE * swn / nt)) + 1e-9, 4)
+        |    AS z_trend
+        |FROM m""") { c =>
+      val g = c.orders.groupBy(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("r"))
+      val m = g.agg(sum(col("n")).as("nt"), sum(col("r")).as("rt"),
+        sum(col("w") * col("r")).as("swr"),
+        sum(col("w") * col("n")).as("swn"),
+        sum(col("w") * col("w") * col("n")).as("swwn"))
+      val pbar = col("rt").cast("double") / col("nt")
+      m.select(col("nt").as("n_total"), col("rt").as("n_success"),
+        r4((col("swr") - col("swn") * pbar) /
+          sqrt(pbar * (lit(1) - pbar) *
+            (col("swwn") - col("swn").cast("double") * col("swn") /
+              col("nt")))).as("z_trend"))
+    },
+
+    // Permutation test on the arm difference in per-user purchase
+    // spend (Fisher 1935's exact logic, resampling-free determinism:
+    // the "random" relabelings are 19 PORTABLE md5-salted parities, so
+    // both engines walk the identical permutation set — the
+    // ml_permutation_importance device applied to inference): each
+    // permuted mean difference is a ratio of EXACT integer sums
+    // computed in ONE salt-exploded aggregate; the p-value counts
+    // ROUNDED |diff| exceedances with the add-one rule. Scale: one
+    // user aggregate, one 19× broadcast explode of user-level rows.
+    q("stat_permutation_test",
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 10 + 1e-9) AS BIGINT)
+        |        ELSE 0 END)::BIGINT v
+        |  FROM events GROUP BY 1),
+        |ob AS (SELECT
+        |    round(sum(CASE WHEN user_id % 2 = 1 THEN v END) * 1.0
+        |          / sum(CASE WHEN user_id % 2 = 1 THEN 1 END)
+        |        - sum(CASE WHEN user_id % 2 = 0 THEN v END) * 1.0
+        |          / sum(CASE WHEN user_id % 2 = 0 THEN 1 END)
+        |        + 1e-9, 6) od
+        |  FROM u),
+        |sl AS (SELECT unnest(generate_series(1, 19)) s),
+        |pm AS (SELECT sl.s,
+        |    round(sum(CASE WHEN ('0x' || substr(md5(u.user_id || '#'
+        |            || sl.s), 1, 8))::BIGINT % 2 = 1 THEN u.v END)
+        |          * 1.0
+        |          / sum(CASE WHEN ('0x' || substr(md5(u.user_id || '#'
+        |            || sl.s), 1, 8))::BIGINT % 2 = 1 THEN 1 END)
+        |        - sum(CASE WHEN ('0x' || substr(md5(u.user_id || '#'
+        |            || sl.s), 1, 8))::BIGINT % 2 = 0 THEN u.v END)
+        |          * 1.0
+        |          / sum(CASE WHEN ('0x' || substr(md5(u.user_id || '#'
+        |            || sl.s), 1, 8))::BIGINT % 2 = 0 THEN 1 END)
+        |        + 1e-9, 6) pd
+        |  FROM u, sl GROUP BY 1)
+        |SELECT ob.od AS obs_diff_deci, 19::BIGINT AS n_perms,
+        |  sum(CASE WHEN abs(pm.pd) >= abs(ob.od) THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_extreme,
+        |  round((1 + sum(CASE WHEN abs(pm.pd) >= abs(ob.od)
+        |        THEN 1 ELSE 0 END)) / 20.0 + 1e-9, 4) AS p_value
+        |FROM pm, ob GROUP BY ob.od""") { c =>
+      val u = c.events.groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 10 + lit(1e-9)).cast("long"))
+          .otherwise(0L)).as("v"))
+      val ob = u.agg(r6(
+        sum(when(col("user_id") % 2 === 1, col("v"))) * lit(1.0) /
+          sum(when(col("user_id") % 2 === 1, 1)) -
+          sum(when(col("user_id") % 2 === 0, col("v"))) * lit(1.0) /
+            sum(when(col("user_id") % 2 === 0, 1))).as("od"))
+      val sp2 = c.spark
+      import sp2.implicits._
+      val sl = (1 to 19).toDF("s")
+      val hb = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit("#"), col("s").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2
+      val pm = u.crossJoin(broadcast(sl))
+        .groupBy("s")
+        .agg(r6(
+          sum(when(hb === 1, col("v"))) * lit(1.0) /
+            sum(when(hb === 1, 1)) -
+            sum(when(hb === 0, col("v"))) * lit(1.0) /
+              sum(when(hb === 0, 1))).as("pd"))
+      pm.crossJoin(broadcast(ob))
+        .groupBy("od")
+        .agg(lit(19L).as("n_perms"),
+          sum(when(abs(col("pd")) >= abs(col("od")), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .select(col("od").as("obs_diff_deci"), col("n_perms"),
+          col("n_extreme"),
+          r4((lit(1) + col("n_extreme")) / 20.0).as("p_value"))
+    },
+
+    // Hill tail-index estimator (Hill 1975 — the standard power-law
+    // tail measure; α near 1-2 = heavy Pareto tail, the shape that
+    // decides whether means/variances even exist): over order totals
+    // above the exact integer-cents threshold of the top decile
+    // (row_number order statistic, not an interpolated percentile),
+    // α̂ = 1 + k / Σ ln(x_i/x_min). The ln terms ride the PINNED-ORDER
+    // fold keyed by (value, rank) so the tail sum is engine-invariant.
+    // Scale: one window for the order statistic, one tail-sized fold.
+    q("stat_hill_tail",
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) v
+        |           FROM orders),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v DESC, v) rn,
+        |        count(*) OVER () n FROM o),
+        |th AS (SELECT v xmin FROM r WHERE rn = (n + 9) // 10),
+        |t AS (SELECT r.v, r.rn FROM r, th WHERE r.v > th.xmin),
+        |s AS (SELECT count(*)::BIGINT k,
+        |        list_reduce(list(ln(v::DOUBLE / th.xmin) ORDER BY rn),
+        |          (x, y) -> x + y) lsum
+        |      FROM t, th GROUP BY th.xmin)
+        |SELECT s.k AS k_tail, round(th.xmin / 100.0 + 1e-9, 2)
+        |    AS xmin_dollars,
+        |  round(1 + s.k / s.lsum + 1e-9, 6) AS hill_alpha
+        |FROM s, th""") { c =>
+      val o = c.orders.select(
+        round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+          .as("v"))
+      val w = Window.orderBy(col("v").desc, col("v"))
+      val r = o.select(col("v"), row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      val th = r.filter(col("rn") === ((col("n") + 9) / 10).cast("long"))
+        .select(col("v").as("xmin"))
+      val t = r.crossJoin(broadcast(th)).filter(col("v") > col("xmin"))
+      val s = t.groupBy("xmin").agg(count(lit(1)).as("k"),
+        aggregate(array_sort(collect_list(struct(col("rn"),
+            log(col("v").cast("double") / col("xmin")).as("t")))),
+          lit(0.0), (acc, e) => acc + e.getField("t")).as("lsum"))
+      s.select(col("k").as("k_tail"),
+        r2(col("xmin") / 100.0).as("xmin_dollars"),
+        r6(lit(1) + col("k") / col("lsum")).as("hill_alpha"))
+    },
+
     // Zipf's-law fit of the corpus vocabulary: regression slope of
     // ln(freq) on ln(rank) — the corpus-health statistic (natural text
     // ≈ −1; generated/boilerplate corpora drift). Frequency ranks come
