@@ -269,6 +269,44 @@ object StreamOps {
       .toDF("key", "n")
   }
 
+  /** Per-key streaming RSI state (the streaming counterpart of the
+    * `win_rsi` batch query): state per key is (n, lastClose, the ring
+    * of the last `period` integer diffs) — bounded state, exact
+    * integers, so any batch split of an in-order stream reproduces the
+    * batch trailing-sum window BIT-EXACTLY (spec-checked). Emits the
+    * trailing gain/loss sums; RSI = 100·G/(G+L) is a read-time
+    * projection. */
+  def rsiState(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      centsCol: String,
+      period: Int = 14): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(seqCol).cast("long").as("__seq"),
+        col(centsCol).cast("long").as("__c"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Seq[Long]),
+        (String, Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Long, Seq[Long])]) =>
+          var (n, last, ring) = state.getOption
+            .getOrElse((0L, 0L, Seq.empty[Long]))
+          rows.toVector.sortBy(_._2).foreach { case (_, _, c) =>
+            if (n > 0) ring = (ring :+ (c - last)).takeRight(period)
+            last = c
+            n += 1
+          }
+          state.update((n, last, ring))
+          val sg = ring.filter(_ > 0).sum
+          val sl = ring.filter(_ < 0).map(-_).sum
+          (key, n, sg, sl)
+      }
+      .toDF("key", "n", "gain_sum", "loss_sum")
+  }
+
   /** Per-key streaming max-drawdown state (the streaming counterpart
     * of the `win_drawdown` batch query): state per key is ONE
     * (n, bal, peak, maxDD, low, high) tuple of LONGS — integer cents,

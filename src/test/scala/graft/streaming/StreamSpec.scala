@@ -583,6 +583,60 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming RSI trailing sums equal the batch window scan when " +
+    "the stream replays in order (integer cents, bit-exact)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // (key, seq, close-cents): rises, falls, recovers — period 3
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 120L),
+      ("b", 4L, 50L), ("a", 5L, 180L), ("b", 6L, 40L),
+      ("a", 7L, 160L), ("b", 8L, 90L), ("a", 9L, 200L))
+    val input = MemoryStream[(String, Long, Long)]
+    val rsi = StreamOps.rsiState(
+      input.toDF.toDF("k", "seq", "cents"), "k", "seq", "cents",
+      period = 3)
+    val q = rsi.writeStream.format("memory")
+      .queryName("rsi_stream").outputMode("update").start()
+    try {
+      // split mid-series: the diff ring must carry across batches
+      input.addData(rows.take(4))
+      q.processAllAvailable()
+      input.addData(rows.drop(4))
+      q.processAllAvailable()
+      val streamed = sp.sql(
+        """SELECT key, n, gain_sum, loss_sum FROM rsi_stream s
+          |WHERE n = (SELECT max(n) FROM rsi_stream WHERE key = s.key)
+          |ORDER BY key""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // batch reference: the win_rsi trailing-sum window at the last row
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("seq")
+      val fr = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("seq").rowsBetween(-2, 0)
+      val batch = rows.toDF("k", "seq", "cents")
+        .withColumn("df", col("cents") - lag(col("cents"), 1).over(w))
+        .withColumn("sg",
+          sum(greatest(col("df"), lit(0L))).over(fr))
+        .withColumn("sl",
+          sum(greatest(-col("df"), lit(0L))).over(fr))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("mx",
+          max(col("rn")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("k")))
+        .filter(col("rn") === col("mx"))
+        .select(col("k"), col("mx").cast("long"),
+          coalesce(col("sg"), lit(0L)), coalesce(col("sl"), lit(0L)))
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming modularity counters equal the batch aggregation for " +
     "any batch split of the edge stream") {
     val sp = spark
