@@ -55,6 +55,163 @@ object StatQueries {
             pow(col("v1") / col("n1"), 2) / (col("n1") - 1))).as("df"))
     },
 
+    // Fixed-effect META-ANALYSIS (inverse-variance pooling + Cochran's
+    // Q and I² heterogeneity — the evidence-synthesis layer above the
+    // per-study tests: 25 nations = 25 "studies" of the urgent-order
+    // price effect): per-study effects and variances are closed forms
+    // of EXACT integer cents moments (Σv via BIGINT, Σv² via
+    // DECIMAL/HUGEINT), and the three study-level reductions (Σw, Σwe,
+    // Q) ride pinned-order folds keyed by nation. One corpus
+    // aggregate; everything after is 25-row work.
+    q("stat_meta_fixed",
+      """WITH b AS (SELECT c.c_nationkey k,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END u,
+        |    CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT) v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT k, u, count(*)::BIGINT n, sum(v)::BIGINT s,
+        |        sum(v::HUGEINT * v)::DOUBLE q FROM b GROUP BY 1, 2),
+        |w AS (SELECT k,
+        |    max(CASE WHEN u = 1 THEN n END) n1,
+        |    max(CASE WHEN u = 1 THEN s END) s1,
+        |    max(CASE WHEN u = 1 THEN q END) q1,
+        |    max(CASE WHEN u = 0 THEN n END) n0,
+        |    max(CASE WHEN u = 0 THEN s END) s0,
+        |    max(CASE WHEN u = 0 THEN q END) q0
+        |  FROM g GROUP BY 1),
+        |e AS (SELECT k,
+        |    (s1::DOUBLE / n1 - s0::DOUBLE / n0) / 100 eff,
+        |    ((q1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1
+        |     + (q0 - s0::DOUBLE * s0 / n0) / (n0 - 1) / n0) / 10000 se2
+        |  FROM w),
+        |t AS (SELECT count(*)::BIGINT kk,
+        |    list_reduce(list(1 / se2 ORDER BY k), (x, y) -> x + y) sw,
+        |    list_reduce(list(eff / se2 ORDER BY k), (x, y) -> x + y) swe
+        |  FROM e),
+        |p AS (SELECT kk, sw, swe / sw pooled FROM t),
+        |qq AS (SELECT p.kk, p.sw, p.pooled,
+        |    list_reduce(list((eff - p.pooled) * (eff - p.pooled) / se2
+        |      ORDER BY k), (x, y) -> x + y) qstat
+        |  FROM e, p GROUP BY p.kk, p.sw, p.pooled)
+        |SELECT kk AS k_studies, round(pooled + 1e-9, 4)
+        |    AS pooled_effect_dollars,
+        |  round(sqrt(1 / sw) + 1e-9, 6) AS se_pooled,
+        |  round(qstat + 1e-9, 4) AS q_stat,
+        |  round(greatest(0, (qstat - (kk - 1)) / qstat) + 1e-9, 4)
+        |    AS i_squared
+        |FROM qq""") { c =>
+      val b = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("k"),
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+            .as("u"),
+          round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+            .as("v"))
+      val g = b.groupBy("k", "u").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).cast("double")
+          .as("q"))
+      val w = g.groupBy("k").agg(
+        max(when(col("u") === 1, col("n"))).as("n1"),
+        max(when(col("u") === 1, col("s"))).as("s1"),
+        max(when(col("u") === 1, col("q"))).as("q1"),
+        max(when(col("u") === 0, col("n"))).as("n0"),
+        max(when(col("u") === 0, col("s"))).as("s0"),
+        max(when(col("u") === 0, col("q"))).as("q0"))
+      val e = w.select(col("k"),
+        ((col("s1").cast("double") / col("n1") -
+          col("s0").cast("double") / col("n0")) / 100).as("eff"),
+        (((col("q1") - col("s1").cast("double") * col("s1") / col("n1")) /
+          (col("n1") - 1) / col("n1") +
+          (col("q0") - col("s0").cast("double") * col("s0") / col("n0")) /
+            (col("n0") - 1) / col("n0")) / 10000).as("se2"))
+      def pf(term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col("k"),
+          term.as("t")))), lit(0.0), (a, x) => a + x.getField("t"))
+      val t = e.agg(count(lit(1)).as("kk"),
+        pf(lit(1) / col("se2")).as("sw"),
+        pf(col("eff") / col("se2")).as("swe"))
+      val p = t.select(col("kk"), col("sw"),
+        (col("swe") / col("sw")).as("pooled"))
+      val qq = e.crossJoin(broadcast(p)).groupBy("kk", "sw", "pooled")
+        .agg(pf((col("eff") - col("pooled")) * (col("eff") -
+          col("pooled")) / col("se2")).as("qstat"))
+      qq.select(col("kk").as("k_studies"),
+        r4(col("pooled")).as("pooled_effect_dollars"),
+        r6(sqrt(lit(1) / col("sw"))).as("se_pooled"),
+        r4(col("qstat")).as("q_stat"),
+        r4(greatest(lit(0), (col("qstat") - (col("kk") - 1)) /
+          col("qstat"))).as("i_squared"))
+    },
+
+    // TOST equivalence test (Schuirmann 1987 — the NON-inferiority
+    // face of stat_ab_ttest: can we affirm the arms are the SAME
+    // within ±δ, not merely fail to find a difference?): per-user
+    // purchase deci-unit sums, exact integer moments per arm, margin
+    // δ = 50 deci-units; both one-sided z statistics are closed forms,
+    // and the verdict compares the ROUNDED statistics to 1.645 (the
+    // FP-boolean rule). One user aggregate + one 2-group reduce.
+    q("stat_equivalence_tost",
+      """WITH u AS (SELECT user_id % 2 arm,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 10 + 1e-9) AS BIGINT)
+        |        ELSE 0 END)::BIGINT v
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT arm, count(*)::BIGINT n, sum(v)::BIGINT s,
+        |        sum(v::HUGEINT * v)::DOUBLE q FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 1 THEN n END) n1,
+        |    max(CASE WHEN arm = 1 THEN s END) s1,
+        |    max(CASE WHEN arm = 1 THEN q END) q1,
+        |    max(CASE WHEN arm = 0 THEN n END) n0,
+        |    max(CASE WHEN arm = 0 THEN s END) s0,
+        |    max(CASE WHEN arm = 0 THEN q END) q0
+        |  FROM g),
+        |e AS (SELECT n0, n1,
+        |    s1::DOUBLE / n1 - s0::DOUBLE / n0 diff,
+        |    sqrt((q1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1
+        |       + (q0 - s0::DOUBLE * s0 / n0) / (n0 - 1) / n0) se
+        |  FROM w),
+        |o AS (SELECT n0, n1, round(diff + 1e-9, 4) diff,
+        |        round(se + 1e-9, 6) se,
+        |        round((diff + 50) / se + 1e-9, 4) t_lower,
+        |        round((diff - 50) / se + 1e-9, 4) t_upper
+        |      FROM e)
+        |SELECT n0, n1, diff AS diff_deci, se, t_lower, t_upper,
+        |  (t_lower >= 1.645 AND t_upper <= -1.645) AS equivalent
+        |FROM o""") { c =>
+      val u = c.events.groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 10 + lit(1e-9)).cast("long"))
+          .otherwise(0L)).as("v"))
+        .select((col("user_id") % 2).as("arm"), col("v"))
+      val g = u.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).cast("double")
+          .as("q"))
+      val w = g.agg(
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("s"))).as("s1"),
+        max(when(col("arm") === 1, col("q"))).as("q1"),
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("s"))).as("s0"),
+        max(when(col("arm") === 0, col("q"))).as("q0"))
+      val e = w.select(col("n0"), col("n1"),
+        (col("s1").cast("double") / col("n1") -
+          col("s0").cast("double") / col("n0")).as("diff"),
+        sqrt((col("q1") - col("s1").cast("double") * col("s1") /
+          col("n1")) / (col("n1") - 1) / col("n1") +
+          (col("q0") - col("s0").cast("double") * col("s0") /
+            col("n0")) / (col("n0") - 1) / col("n0")).as("se"))
+      val o = e.select(col("n0"), col("n1"),
+        r4(col("diff")).as("diff"), r6(col("se")).as("se"),
+        r4((col("diff") + 50) / col("se")).as("t_lower"),
+        r4((col("diff") - 50) / col("se")).as("t_upper"))
+      o.select(col("n0"), col("n1"), col("diff").as("diff_deci"),
+        col("se"), col("t_lower"), col("t_upper"),
+        (col("t_lower") >= 1.645 && col("t_upper") <= -1.645)
+          .as("equivalent"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
