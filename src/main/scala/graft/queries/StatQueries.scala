@@ -1594,12 +1594,12 @@ object StatQueries {
     q("stat_hill_tail",
       """WITH o AS (SELECT CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) v
         |           FROM orders),
-        |r AS (SELECT v, row_number() OVER (ORDER BY v DESC, v) rn,
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) rn,
         |        count(*) OVER () n FROM o),
-        |th AS (SELECT v xmin FROM r WHERE rn = (n + 9) // 10),
-        |t AS (SELECT r.v, r.rn FROM r, th WHERE r.v > th.xmin),
+        |th AS (SELECT v xmin FROM r WHERE rn = n - (n + 9) // 10 + 1),
+        |t AS (SELECT r.v FROM r, th WHERE r.v > th.xmin),
         |s AS (SELECT count(*)::BIGINT k,
-        |        list_reduce(list(ln(v::DOUBLE / th.xmin) ORDER BY rn),
+        |        list_reduce(list(ln(v::DOUBLE / th.xmin) ORDER BY v),
         |          (x, y) -> x + y) lsum
         |      FROM t, th GROUP BY th.xmin)
         |SELECT s.k AS k_tail, round(th.xmin / 100.0 + 1e-9, 2)
@@ -1609,14 +1609,19 @@ object StatQueries {
       val o = c.orders.select(
         round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
           .as("v"))
-      val w = Window.orderBy(col("v").desc, col("v"))
-      val r = o.select(col("v"), row_number().over(w).as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("n"))
-      val th = r.filter(col("rn") === ((col("n") + 9) / 10).cast("long"))
+      // distributed rank: range-bucketed row numbering, no global
+      // window over the corpus (the Positional device); ties share a
+      // value so both the order statistic and the value-keyed fold are
+      // invariant to tie order
+      val r0 = graft.ops.Positional.withRowNumber(o, Seq(col("v")), "rn")
+      val n = o.agg(count(lit(1)).as("n"))
+      val r = r0.crossJoin(broadcast(n))
+      val th = r.filter(col("rn") ===
+          (col("n") - ((col("n") + 9) / 10).cast("long") + 1))
         .select(col("v").as("xmin"))
       val t = r.crossJoin(broadcast(th)).filter(col("v") > col("xmin"))
       val s = t.groupBy("xmin").agg(count(lit(1)).as("k"),
-        aggregate(array_sort(collect_list(struct(col("rn"),
+        aggregate(array_sort(collect_list(struct(col("v"),
             log(col("v").cast("double") / col("xmin")).as("t")))),
           lit(0.0), (acc, e) => acc + e.getField("t")).as("lsum"))
       s.select(col("k").as("k_tail"),
