@@ -778,12 +778,18 @@ object StatQueries {
         |FROM t""") { c =>
       val o = c.orders.select(col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100 + lit(1e-9)).cast("long").as("v"))
+      // lower median from the per-group VALUE HISTOGRAM: the window
+      // runs over distinct (pri, cents) rows — bounded by the price
+      // domain, not the corpus — and the median is the smallest value
+      // whose inclusive cumulative count reaches ceil(n/2)
+      val hist = o.groupBy("pri", "v").agg(count(lit(1)).as("cnt"))
       val wn = Window.partitionBy("pri").orderBy("v")
-      val rn = o.select(col("pri"), col("v"),
-        row_number().over(wn).as("rk"),
-        count(lit(1)).over(Window.partitionBy("pri")).as("n"))
-      val md = rn.filter(col("rk") === ((col("n") + 1) / 2).cast("long"))
-        .select(col("pri"), col("v").as("med"))
+      val cum = hist.withColumn("cm", sum(col("cnt")).over(
+        wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val np = o.groupBy("pri").agg(count(lit(1)).as("n"))
+      val md = cum.join(broadcast(np), Seq("pri"))
+        .filter(col("cm") >= ((col("n") + 1) / 2).cast("long"))
+        .groupBy("pri").agg(min(col("v")).as("med"))
       val z = o.join(broadcast(md), Seq("pri"))
         .select(col("pri"), abs(col("v") - col("med")).as("z"))
       val g = z.groupBy("pri").agg(count(lit(1)).as("n"),
