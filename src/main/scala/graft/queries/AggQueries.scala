@@ -629,6 +629,75 @@ object AggQueries {
           r2(est("ha") + est("hb") - est("hu")).as("est_intersect"))
     },
 
+    // SHARDED HLL MERGE — the proof that union-by-register-max is
+    // LOSSLESS (the property that lets 1000 executors sketch 100 TB
+    // independently and a coordinator merge 1000 tiny register tables):
+    // four shard-local register tables built independently by orderkey
+    // parity, merged by per-register max, estimate compared against
+    // the direct single-pass sketch of the same column — BIT-EQUAL by
+    // construction (max is associative/commutative over shards), and
+    // the query outputs both so the hash gate enforces it forever.
+    q("agg_hll_sharded_merge",
+      """WITH h AS (SELECT l_orderkey % 4 shard,
+        |    md5(CAST(l_partkey AS VARCHAR)) hx FROM lineitem),
+        |rv AS (SELECT shard, ('0x' || substr(hx, 1, 2))::BIGINT reg,
+        |         CASE WHEN ('0x' || substr(hx, 3, 14))::BIGINT = 0
+        |              THEN 57
+        |              ELSE strpos(lpad(bin(
+        |                ('0x' || substr(hx, 3, 14))::BIGINT), 56, '0'),
+        |                '1') END rho
+        |       FROM h),
+        |sh AS (SELECT shard, reg, max(rho) mx FROM rv GROUP BY 1, 2),
+        |mg AS (SELECT reg, max(mx) mx FROM sh GROUP BY 1),
+        |dr AS (SELECT reg, max(rho) mx FROM rv GROUP BY 1),
+        |regs AS (SELECT gs.g reg, coalesce(mg.mx, 0) mmx,
+        |           coalesce(dr.mx, 0) dmx
+        |         FROM (SELECT unnest(generate_series(0, 255)) g) gs
+        |         LEFT JOIN mg ON gs.g = mg.reg
+        |         LEFT JOIN dr ON gs.g = dr.reg),
+        |s AS (SELECT
+        |    list_reduce(list(pow(2.0, -mmx) ORDER BY reg),
+        |      (a, x) -> a + x) hm,
+        |    list_reduce(list(pow(2.0, -dmx) ORDER BY reg),
+        |      (a, x) -> a + x) hd,
+        |    sum(CASE WHEN mmx <> dmx THEN 1 ELSE 0 END)::BIGINT
+        |      reg_diffs
+        |  FROM regs),
+        |ns AS (SELECT count(DISTINCT shard)::BIGINT n_shards FROM h)
+        |SELECT ns.n_shards, s.reg_diffs,
+        |  round(0.7213 / (1 + 1.079 / 256) * 256 * 256 / s.hm
+        |        + 1e-9, 2) AS est_merged,
+        |  round(0.7213 / (1 + 1.079 / 256) * 256 * 256 / s.hd
+        |        + 1e-9, 2) AS est_direct
+        |FROM s, ns""") { c =>
+      val h = c.lineitem.select((col("l_orderkey") % 4).as("shard"),
+        md5(col("l_partkey").cast("string")).as("hx"))
+      val vCol = conv(substring(col("hx"), 3, 14), 16, 10).cast("long")
+      val rv = h.select(col("shard"),
+        conv(substring(col("hx"), 1, 2), 16, 10).cast("long").as("reg"),
+        when(vCol === 0, 57)
+          .otherwise(instr(lpad(bin(vCol), 56, "0"), "1")).as("rho"))
+      val sh = rv.groupBy("shard", "reg").agg(max(col("rho")).as("mx"))
+      val mg = sh.groupBy("reg").agg(max(col("mx")).as("mmx"))
+      val dr = rv.groupBy("reg").agg(max(col("rho")).as("dmx"))
+      val regs = c.spark.range(256).toDF("reg")
+        .join(mg, Seq("reg"), "left").join(dr, Seq("reg"), "left")
+        .na.fill(0, Seq("mmx", "dmx"))
+      def harm(cn: String) =
+        aggregate(array_sort(collect_list(struct(col("reg"),
+            pow(lit(2.0), -col(cn)).as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t"))
+      val s = regs.agg(harm("mmx").as("hm"), harm("dmx").as("hd"),
+        sum(when(col("mmx") =!= col("dmx"), 1L).otherwise(0L))
+          .as("reg_diffs"))
+      val ns = h.agg(countDistinct(col("shard")).as("n_shards"))
+      def est(cn: String) = lit(0.7213) / (lit(1) + lit(1.079) / 256) *
+        lit(256) * lit(256) / col(cn)
+      s.crossJoin(broadcast(ns))
+        .select(col("n_shards"), col("reg_diffs"),
+          r2(est("hm")).as("est_merged"), r2(est("hd")).as("est_direct"))
+    },
+
     q("agg_hll_custom",
       """WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) hx
         |           FROM lineitem),

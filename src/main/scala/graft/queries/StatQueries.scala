@@ -212,6 +212,64 @@ object StatQueries {
           .as("equivalent"))
     },
 
+    // Bland–Altman agreement analysis (Bland & Altman 1986 — the
+    // method-comparison standard: never correlate two instruments,
+    // chart their DIFFERENCES): measurement A is the order's stored
+    // total, measurement B the total recomputed from its line items
+    // (extprice·(1−disc)·(1+tax), per-line cents rounding) — a real
+    // reconciliation pair. Per-order integer-cent differences give
+    // exact Σd/Σd² (DECIMAL squares), the bias and 1.96σ limits of
+    // agreement are closed forms, and the outside-LoA count compares
+    // ROUNDED limits. Scale: one join + two aggregates.
+    q("stat_bland_altman",
+      """WITH l AS (SELECT l_orderkey k,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |        * (1 + l_tax) * 100 + 1e-9) AS BIGINT))::BIGINT m2
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT)
+        |        - l.m2 df
+        |      FROM orders o JOIN l ON o.o_orderkey = l.k),
+        |m AS (SELECT count(*)::BIGINT n, sum(df)::BIGINT s,
+        |        sum(df::HUGEINT * df)::DOUBLE q FROM d),
+        |b AS (SELECT n, s::DOUBLE / n bias,
+        |        sqrt((q - s::DOUBLE * s / n) / (n - 1)) sd FROM m),
+        |o AS (SELECT n, round(bias + 1e-9, 4) bias,
+        |        round(bias - 1.96 * sd + 1e-9, 4) lo,
+        |        round(bias + 1.96 * sd + 1e-9, 4) hi FROM b),
+        |x AS (SELECT sum(CASE WHEN df < o.lo OR df > o.hi
+        |        THEN 1 ELSE 0 END)::BIGINT n_outside
+        |      FROM d, o)
+        |SELECT o.n AS n_orders, o.bias AS bias_cents,
+        |  o.lo AS loa_lower, o.hi AS loa_upper, x.n_outside,
+        |  round(x.n_outside * 1.0 / o.n + 1e-9, 6) AS frac_outside
+        |FROM o, x""") { c =>
+      val l = c.lineitem.groupBy(col("l_orderkey").as("k"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) -
+          col("l_discount")) * (lit(1) + col("l_tax")) * 100 +
+          lit(1e-9)).cast("long")).as("m2"))
+      val d = c.orders.join(l, col("o_orderkey") === col("k"))
+        .select((round(col("o_totalprice") * 100 + lit(1e-9))
+          .cast("long") - col("m2")).as("df"))
+      val m = d.agg(count(lit(1)).as("n"), sum(col("df")).as("s"),
+        sum(col("df").cast("decimal(38,0)") * col("df")).cast("double")
+          .as("q"))
+      val b = m.select(col("n"),
+        (col("s").cast("double") / col("n")).as("bias"),
+        sqrt((col("q") - col("s").cast("double") * col("s") / col("n")) /
+          (col("n") - 1)).as("sd"))
+      val o = b.select(col("n"), r4(col("bias")).as("bias"),
+        r4(col("bias") - lit(1.96) * col("sd")).as("lo"),
+        r4(col("bias") + lit(1.96) * col("sd")).as("hi"))
+      val x = d.crossJoin(broadcast(o))
+        .agg(sum(when(col("df") < col("lo") || col("df") > col("hi"),
+          1L).otherwise(0L)).as("n_outside"))
+      o.crossJoin(broadcast(x))
+        .select(col("n").as("n_orders"), col("bias").as("bias_cents"),
+          col("lo").as("loa_lower"), col("hi").as("loa_upper"),
+          col("n_outside"),
+          r6(col("n_outside") * lit(1.0) / col("n")).as("frac_outside"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
