@@ -1169,6 +1169,56 @@ object Multimodal {
       })
   }
 
+  /** Image SHARPNESS / texture stats (the blur screen beside
+    * [[imageQuality]]'s exposure screen — a training corpus drops
+    * blurry frames before captioning): horizontal+vertical gradient
+    * energy Σ|Δluma| over the integer Rec.709 luma grid, distinct-luma
+    * count, and the dominant luma's pixel count (flat/synthetic-fill
+    * detector). Every output is an exact integer — no transcendental,
+    * no division. Partition-local decode+scan, zero shuffle. */
+  final case class ImageSharpness(doc_id: Long, width: Int, height: Int,
+      n_px: Long, grad_h: Long, grad_v: Long, n_distinct_luma: Long,
+      dom_luma_count: Long)
+
+  def imageSharpness(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[ImageSharpness] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesOrNull) =>
+        val bytes =
+          if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        decodeBmp(bytes) match {
+          case Some((w, h, px)) =>
+            val lum = new Array[Long](w * h)
+            var i = 0
+            while (i < w * h) {
+              lum(i) = 2126L * px(i * 3) + 7152L * px(i * 3 + 1) +
+                722L * px(i * 3 + 2)
+              i += 1
+            }
+            var gh = 0L; var gv = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = y * w + x
+                if (x < w - 1) gh += math.abs(lum(p + 1) - lum(p))
+                if (y < h - 1) gv += math.abs(lum(p + w) - lum(p))
+                x += 1
+              }
+              y += 1
+            }
+            val counts = lum.groupBy(identity).map(_._2.length)
+            ImageSharpness(id, w, h, (w.toLong * h), gh, gv,
+              counts.size.toLong, counts.max.toLong)
+          case None =>
+            ImageSharpness(id, 0, 0, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
   /** Pinned integer DCT-II cosine table, cos(π(2k+1)u/16)×10³ rounded
     * half-up, flat index k*8+u. Embedded VERBATIM here and in the SQL
     * oracle so no engine ever evaluates a transcendental — the r5-r7

@@ -2124,6 +2124,81 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Image SHARPNESS gate (the blur/flat-fill screen beside
+    // mm_image_quality's exposure screen): same generated BMPs (every
+    // 7th doc a flat frame), Multimodal.imageSharpness scans the
+    // integer luma grid for horizontal+vertical gradient energy,
+    // distinct-luma count, and the dominant luma's share — flat frames
+    // show grad 0 / distinct 1 / share 1.0, textured frames don't.
+    // All-integer outputs; the oracle regenerates the pixel formula
+    // and differences it arithmetically. Partition-local, zero
+    // shuffle.
+    q("mm_image_sharpness",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT w,
+        |                  (6 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |v AS (SELECT doc_id, w, h, p % w x, p // w y,
+        |        CASE WHEN doc_id % 7 = 0 THEN 8 * 10000
+        |             ELSE 2126 * ((doc_id * 31 + p * 3) % 256)
+        |                + 7152 * ((doc_id * 31 + p * 3 + 1) % 256)
+        |                +  722 * ((doc_id * 31 + p * 3 + 2) % 256) END
+        |          lum
+        |      FROM px),
+        |gh AS (SELECT a.doc_id, sum(abs(b.lum - a.lum))::BIGINT g
+        |       FROM v a JOIN v b ON a.doc_id = b.doc_id
+        |         AND b.y = a.y AND b.x = a.x + 1
+        |       GROUP BY 1),
+        |gv AS (SELECT a.doc_id, sum(abs(b.lum - a.lum))::BIGINT g
+        |       FROM v a JOIN v b ON a.doc_id = b.doc_id
+        |         AND b.x = a.x AND b.y = a.y + 1
+        |       GROUP BY 1),
+        |dl AS (SELECT doc_id, count(*)::BIGINT n_px,
+        |         count(DISTINCT lum)::BIGINT nd FROM v GROUP BY 1),
+        |dm AS (SELECT doc_id, max(c)::BIGINT dom FROM (
+        |         SELECT doc_id, lum, count(*) c FROM v GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT dl.doc_id, CAST(max(d.w) AS INT) AS width,
+        |  CAST(max(d.h) AS INT) AS height, dl.n_px,
+        |  max(gh.g) AS grad_h, max(gv.g) AS grad_v,
+        |  dl.nd AS n_distinct_luma, max(dm.dom) AS dom_luma_count
+        |FROM dl JOIN d ON dl.doc_id = d.doc_id
+        |JOIN gh ON dl.doc_id = gh.doc_id
+        |JOIN gv ON dl.doc_id = gv.doc_id
+        |JOIN dm ON dl.doc_id = dm.doc_id
+        |GROUP BY dl.doc_id, dl.n_px, dl.nd ORDER BY dl.doc_id""") { c =>
+      val mkBmp = udf((id: Long) => {
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            if (id % 7 == 0)
+              b.put(8.toByte).put(8.toByte).put(8.toByte)
+            else {
+              val base = id * 31 + (y.toLong * w + x) * 3
+              b.put(((base + 2) % 256).toByte)
+                .put(((base + 1) % 256).toByte)
+                .put((base % 256).toByte)
+            }
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.imageSharpness(
+          c.documents.select(col("doc_id"),
+            mkBmp(col("doc_id")).as("payload")), "doc_id")
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // Framewise audio features (the VAD-style silence/energy screen of
     // an audio ingest): genuine PCM16 WAVs from doc keys — every 5th
     // doc near-silent (|s| ≤ 3), the rest full-scale —

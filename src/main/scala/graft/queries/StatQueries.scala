@@ -270,6 +270,60 @@ object StatQueries {
           r6(col("n_outside") * lit(1.0) / col("n")).as("frac_outside"))
     },
 
+    // Two-sided 10% TRIMMED MEAN (the robust location estimate between
+    // the outlier-hostage mean and the information-discarding median):
+    // computed EXACTLY and distributed — the order-statistic trim
+    // never sorts the corpus; the (cents → count) histogram gets
+    // exclusive cumulative counts via Positional.withCumSums, and each
+    // distinct value contributes the INTEGER overlap of its rank span
+    // [cum+1, cum+cnt] with the kept window (k, n−k]. Exact integer
+    // sums end to end. One histogram aggregate + one bucketed cumsum.
+    q("stat_trimmed_mean",
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) v
+        |           FROM orders),
+        |g AS (SELECT v, count(*)::BIGINT cnt FROM o GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT n FROM g),
+        |cw AS (SELECT v, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) cum
+        |       FROM g),
+        |kp AS (SELECT v, cnt, cum, t.n, t.n // 10 k,
+        |         greatest(0, least(cum + cnt, t.n - t.n // 10)
+        |                     - greatest(cum, t.n // 10)) keep
+        |       FROM cw, t),
+        |s AS (SELECT max(n) n, max(k) k, sum(keep)::BIGINT n_kept,
+        |        sum(v * keep)::BIGINT skept, sum(v * cnt)::BIGINT sall
+        |      FROM kp)
+        |SELECT n AS n_orders, k AS k_trimmed_each_side, n_kept,
+        |  round(skept * 1.0 / n_kept / 100 + 1e-9, 4)
+        |    AS trimmed_mean_dollars,
+        |  round(sall * 1.0 / n / 100 + 1e-9, 4) AS raw_mean_dollars
+        |FROM s""") { c =>
+      val o = c.orders.select(
+        round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+          .as("v"))
+      val g = o.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val t = g.agg(sum(col("cnt")).as("n"))
+      val cw = graft.ops.Positional.withCumSums(g, Seq(col("v")),
+        Seq(col("cnt") -> "cum"))
+      val kp = cw.crossJoin(broadcast(t))
+        .withColumn("k", (col("n") / 10).cast("long"))
+        .withColumn("keep", greatest(lit(0L),
+          least(col("cum") + col("cnt"), col("n") - col("k")) -
+            greatest(col("cum"), col("k"))))
+      val s = kp.agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("v") * col("keep")).as("skept"),
+        sum(col("v") * col("cnt")).as("sall"))
+      s.select(col("n").as("n_orders"),
+        col("k").as("k_trimmed_each_side"), col("n_kept"),
+        r4(col("skept") * lit(1.0) / col("n_kept") / 100)
+          .as("trimmed_mean_dollars"),
+        r4(col("sall") * lit(1.0) / col("n") / 100)
+          .as("raw_mean_dollars"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
