@@ -456,6 +456,49 @@ object GraphQueries {
     // shape: equi-joins partitioned on the middle node; the quantity
     // filter keeps the wedge fan-out hub-safe (the graph_triangles
     // construction).
+    // BIPARTITE PROJECTION with a power-node cap (the co-occurrence
+    // primitive behind "suppliers bought together" / item-item
+    // recsys): project the customer–supplier graph onto
+    // supplier–supplier edges weighted by shared customers. The
+    // quadratic hazard lives in power customers, so the projection
+    // CAPS fan-out — customers with more than 40 distinct suppliers
+    // are dropped and REPORTED (n_capped), the standard honesty knob
+    // in co-occurrence pipelines. Pair generation is a per-customer
+    // self-join of capped lists; output is the top 15 weighted pairs.
+    q("graph_bipartite_project",
+      """WITH cs AS (SELECT DISTINCT o_custkey c, l_suppkey s
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT c, count(*) d FROM cs GROUP BY 1),
+        |kept AS (SELECT cs.c, cs.s FROM cs JOIN deg ON cs.c = deg.c
+        |         WHERE deg.d <= 40),
+        |capped AS (SELECT count(*)::BIGINT n_capped FROM deg
+        |           WHERE d > 40),
+        |pr AS (SELECT a.s s1, b.s s2, count(*)::BIGINT w
+        |       FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+        |       GROUP BY 1, 2),
+        |top AS (SELECT s1, s2, w FROM pr
+        |        ORDER BY w DESC, s1, s2 LIMIT 15)
+        |SELECT top.s1, top.s2, top.w, capped.n_capped
+        |FROM top, capped ORDER BY w DESC, s1, s2""") { c =>
+      val cs = c.lineitem
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val deg = cs.groupBy("c").agg(count(lit(1)).as("d"))
+      val kept = cs.join(deg, Seq("c")).filter(col("d") <= 40)
+        .select(col("c"), col("s"))
+      val capped = deg.filter(col("d") > 40)
+        .agg(count(lit(1)).as("n_capped"))
+      val pr = kept.as("a")
+        .join(kept.as("b"),
+          col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+        .agg(count(lit(1)).as("w"))
+      pr.orderBy(col("w").desc, col("s1"), col("s2")).limit(15)
+        .crossJoin(broadcast(capped))
+        .orderBy(col("w").desc, col("s1"), col("s2"))
+    },
+
     q("graph_two_hop",
       """WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
         |                   greatest(a.l_partkey, b.l_partkey) v

@@ -571,6 +571,78 @@ object MlQueries {
           ybar * (lit(1) - ybar)).as("brier"))
     },
 
+    // Nearest-centroid (Rocchio) classification on the labeled
+    // embeddings (the zero-hyperparameter baseline every embedding
+    // pipeline should beat): per-dimension training sums are EXACT
+    // integers (floats quantized to micro-units per element), test
+    // distances fold in pinned dimension order against the rational
+    // centroids, and the argmin takes the ROUNDED distance with label
+    // tie-break. Deterministic hash-free split by vec_id % 5. One
+    // explode-aggregate for centroids; test scoring is
+    // |test|×|labels|×dim — labels are few, dim is fixed.
+    q("ml_nearest_centroid",
+      """WITH x AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      e -> CAST(round(e::DOUBLE * 1e6 + 1e-9) AS BIGINT)) xm
+        |  FROM embeddings),
+        |tr AS (SELECT label, unnest(xm) v,
+        |         unnest(range(1, len(xm) + 1)) d
+        |       FROM x WHERE vec_id % 5 <> 0),
+        |cen AS (SELECT label clabel, d, sum(v)::BIGINT s,
+        |          count(*)::BIGINT n FROM tr GROUP BY 1, 2),
+        |te AS (SELECT vec_id, label, unnest(xm) v,
+        |         unnest(range(1, len(xm) + 1)) d
+        |       FROM x WHERE vec_id % 5 = 0),
+        |ds AS (SELECT te.vec_id, te.label, cen.clabel,
+        |         round(list_reduce(list(
+        |             (te.v - cen.s * 1.0 / cen.n)
+        |             * (te.v - cen.s * 1.0 / cen.n) / 1e12
+        |             ORDER BY te.d), (p, q) -> p + q) + 1e-9, 6) dist
+        |       FROM te JOIN cen ON te.d = cen.d
+        |       GROUP BY 1, 2, 3),
+        |pr AS (SELECT label, clabel pred FROM (
+        |         SELECT label, clabel,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY dist, clabel) rn
+        |         FROM ds) WHERE rn = 1),
+        |cm AS (SELECT label, pred, count(*)::BIGINT n FROM pr
+        |       GROUP BY 1, 2),
+        |ac AS (SELECT round(sum(CASE WHEN label = pred THEN n
+        |          ELSE 0 END) * 1.0 / sum(n) + 1e-9, 4) acc FROM cm)
+        |SELECT cm.label, cm.pred, cm.n, ac.acc AS accuracy
+        |FROM cm, ac ORDER BY label, pred""") { c =>
+      val x = c.embeddings.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 1e6 + lit(1e-9)).cast("long"))
+          .as("xm"))
+      def explodeDims(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("label"),
+            posexplode(col("xm")).as(Seq("d0", "v")))
+          .select(col("vec_id"), col("label"),
+            (col("d0") + 1).as("d"), col("v"))
+      val tr = explodeDims(x.filter(col("vec_id") % 5 =!= 0))
+      val cen = tr.groupBy(col("label").as("clabel"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val te = explodeDims(x.filter(col("vec_id") % 5 === 0))
+      val term = (col("v") - col("s") * lit(1.0) / col("n")) *
+        (col("v") - col("s") * lit(1.0) / col("n")) / lit(1e12)
+      val ds = te.join(broadcast(cen), Seq("d"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(r6(aggregate(array_sort(collect_list(struct(col("d"),
+            term.as("t")))),
+          lit(0.0), (p, e) => p + e.getField("t"))).as("dist"))
+      val pr = ds.groupBy("vec_id", "label")
+        .agg(min(struct(col("dist"), col("clabel"))).as("b"))
+        .select(col("label"), col("b.clabel").as("pred"))
+      val cm = pr.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      val ac = cm.agg(r4(sum(when(col("label") === col("pred"),
+        col("n")).otherwise(0L)) * lit(1.0) / sum(col("n")))
+        .as("accuracy"))
+      cm.crossJoin(broadcast(ac))
+        .select(col("label"), col("pred"), col("n"), col("accuracy"))
+        .orderBy("label", "pred")
+    },
+
     // Deferred metrics (metrics.py:513): mse/mae/r2 as one aggregate
     // over (y, prediction).
     q("ml_metrics",
