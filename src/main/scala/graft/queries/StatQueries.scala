@@ -324,6 +324,180 @@ object StatQueries {
           .as("raw_mean_dollars"))
     },
 
+    // Rolling-origin forecast BACKTEST (Tashman 2000 — the evaluation
+    // harness that belongs NEXT to ts_holt/ts_holt_winters: never
+    // trust one split): three 24-hour test windows walking back from
+    // the series end; three closed-form forecasters (naive-last,
+    // seasonal-naive-168h, drift line); per-point errors are exact
+    // integers (naive/seasonal) or rationals of integers (drift),
+    // MAE/MAPE fold in pinned (origin, horizon) order. The hourly
+    // series is time-bounded; the corpus is touched once.
+    q("ts_backtest",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |    sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT y, row_number() OVER (ORDER BY hb) rn,
+        |        count(*) OVER () n FROM h),
+        |og AS (SELECT unnest(generate_series(1, 3)) k),
+        |ori AS (SELECT k, n - 24 * k o FROM og, (SELECT max(n) n FROM r) t),
+        |base AS (SELECT ori.k, ori.o, lv.y yo, fv.y y1 FROM ori
+        |         JOIN r lv ON lv.rn = ori.o
+        |         JOIN r fv ON fv.rn = 1),
+        |pt AS (SELECT base.k, base.o, base.yo, base.y1,
+        |         unnest(generate_series(1, 24)) hz FROM base),
+        |fc AS (SELECT pt.k, pt.hz, a.y act, pt.yo naive,
+        |         sn.y snaive,
+        |         pt.yo + pt.hz * (pt.yo - pt.y1) * 1.0 / (pt.o - 1) drift
+        |       FROM pt JOIN r a ON a.rn = pt.o + pt.hz
+        |       JOIN r sn ON sn.rn = pt.o + pt.hz - 168),
+        |m AS (SELECT 'm1_naive' fc_method,
+        |        sum(abs(act - naive))::BIGINT ae_i, 0.0 ae_d,
+        |        list_reduce(list(abs(act - naive) * 1.0 / act
+        |          ORDER BY k, hz), (x, y) -> x + y) pe,
+        |        count(*)::BIGINT np FROM fc
+        |      UNION ALL
+        |      SELECT 'm2_seasonal', sum(abs(act - snaive))::BIGINT, 0.0,
+        |        list_reduce(list(abs(act - snaive) * 1.0 / act
+        |          ORDER BY k, hz), (x, y) -> x + y),
+        |        count(*)::BIGINT FROM fc
+        |      UNION ALL
+        |      SELECT 'm3_drift', 0::BIGINT,
+        |        list_reduce(list(abs(act - drift) ORDER BY k, hz),
+        |          (x, y) -> x + y),
+        |        list_reduce(list(abs(act - drift) / act
+        |          ORDER BY k, hz), (x, y) -> x + y),
+        |        count(*)::BIGINT FROM fc)
+        |SELECT fc_method,
+        |  round((ae_i + ae_d) / np / 100 + 1e-9, 4) AS mae_dollars,
+        |  round(pe / np + 1e-9, 6) AS mape
+        |FROM m ORDER BY fc_method""") { c =>
+      val h = c.events.select(
+          floor(expr("unix_timestamp(ts)") / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cents"))
+        .groupBy("hb").agg(sum(col("cents")).as("y"))
+      val w = Window.orderBy("hb")
+      val r = h.select(col("y"), row_number().over(w).cast("long")
+          .as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n")).persist()
+      val sp3 = c.spark
+      import sp3.implicits._
+      val og = (1 to 3).toDF("k")
+      val ori = broadcast(og).crossJoin(
+          broadcast(r.agg(max(col("n")).as("nn"))))
+        .select(col("k"), (col("nn") - col("k") * 24).as("o"))
+      val base = ori
+        .join(r.select(col("rn").as("ro"), col("y").as("yo")),
+          col("ro") === col("o"))
+        .crossJoin(broadcast(r.filter(col("rn") === 1)
+          .select(col("y").as("y1"))))
+      val pt = base.select(col("k"), col("o"), col("yo"), col("y1"),
+        explode(sequence(lit(1L), lit(24L))).as("hz"))
+      val fc = pt
+        .join(r.select(col("rn").as("ra"), col("y").as("act")),
+          col("ra") === col("o") + col("hz"))
+        .join(r.select(col("rn").as("rs"), col("y").as("snaive")),
+          col("rs") === col("o") + col("hz") - 168)
+        .select(col("k"), col("hz"), col("act"), col("yo").as("naive"),
+          col("snaive"),
+          (col("yo") + col("hz") * (col("yo") - col("y1")) * lit(1.0) /
+            (col("o") - 1)).as("drift"))
+      def pf(term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col("k"), col("hz"),
+          term.as("t")))), lit(0.0), (a, e) => a + e.getField("t"))
+      val m1 = fc.agg(lit("m1_naive").as("fc_method"),
+        sum(abs(col("act") - col("naive"))).as("ae_i"),
+        lit(0.0).as("ae_d"),
+        pf(abs(col("act") - col("naive")) * lit(1.0) / col("act"))
+          .as("pe"),
+        count(lit(1)).as("np"))
+      val m2 = fc.agg(lit("m2_seasonal").as("fc_method"),
+        sum(abs(col("act") - col("snaive"))).as("ae_i"),
+        lit(0.0).as("ae_d"),
+        pf(abs(col("act") - col("snaive")) * lit(1.0) / col("act"))
+          .as("pe"),
+        count(lit(1)).as("np"))
+      val m3 = fc.agg(lit("m3_drift").as("fc_method"),
+        lit(0L).as("ae_i"),
+        pf(abs(col("act") - col("drift"))).as("ae_d"),
+        pf(abs(col("act") - col("drift")) / col("act")).as("pe"),
+        count(lit(1)).as("np"))
+      m1.union(m2).union(m3)
+        .select(col("fc_method"),
+          r4((col("ae_i") + col("ae_d")) / col("np") / 100)
+            .as("mae_dollars"),
+          r6(col("pe") / col("np")).as("mape"))
+        .orderBy("fc_method")
+    },
+
+    // Time-to-convert distribution (the funnel-latency readout beside
+    // win_funnel's step counts — HOW LONG does signup → purchase
+    // take?): per user the first signup and the first purchase AFTER
+    // it, delay floored to integer hours; exact p50/p90 from the
+    // delay HISTOGRAM's cumulative counts (domain-bounded — hours of
+    // history, not users), conversion share as an integer ratio. Two
+    // hash aggregates + a histogram window.
+    q("events_time_to_convert",
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |        THEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |        END) su
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |    min(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)) pu
+        |  FROM events e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'purchase' AND u.su IS NOT NULL
+        |    AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |        >= u.su
+        |  GROUP BY 1),
+        |d AS (SELECT (p.pu - u.su) // 3600 dh FROM p
+        |      JOIN u ON p.user_id = u.user_id),
+        |ns AS (SELECT count(*)::BIGINT n_signups FROM u
+        |       WHERE su IS NOT NULL),
+        |g AS (SELECT dh, count(*)::BIGINT cnt FROM d GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT nc FROM g),
+        |cw AS (SELECT dh, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY dh
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) cum
+        |       FROM g),
+        |qs AS (SELECT
+        |    min(CASE WHEN cum + cnt >= (t.nc + 1) // 2 THEN dh END) p50,
+        |    min(CASE WHEN cum + cnt >= (t.nc * 9 + 9) // 10 THEN dh END)
+        |      p90,
+        |    max(dh) mx FROM cw, t GROUP BY t.nc)
+        |SELECT ns.n_signups, t.nc AS n_converted,
+        |  round(t.nc * 1.0 / ns.n_signups + 1e-9, 4) AS conv_rate,
+        |  qs.p50 AS p50_hours, qs.p90 AS p90_hours,
+        |  qs.mx AS max_hours
+        |FROM ns, t, qs""") { c =>
+      val sec = expr("unix_timestamp(ts)")
+      val u = c.events.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", sec)).as("su"))
+      val p = c.events.filter(col("event_type") === "purchase")
+        .join(u.filter(col("su").isNotNull), Seq("user_id"))
+        .filter(sec >= col("su"))
+        .groupBy("user_id").agg(min(sec).as("pu"), max(col("su")).as("su2"))
+      val d = p.select(((col("pu") - col("su2")) / 3600).cast("long")
+        .as("dh"))
+      val ns = u.filter(col("su").isNotNull)
+        .agg(count(lit(1)).as("n_signups"))
+      val g = d.groupBy("dh").agg(count(lit(1)).as("cnt"))
+      val t = g.agg(sum(col("cnt")).as("nc"))
+      val cw = graft.ops.Positional.withCumSums(g, Seq(col("dh")),
+        Seq(col("cnt") -> "cum"))
+      val qs = cw.crossJoin(broadcast(t)).groupBy("nc").agg(
+        min(when(col("cum") + col("cnt") >=
+          ((col("nc") + 1) / 2).cast("long"), col("dh"))).as("p50"),
+        min(when(col("cum") + col("cnt") >=
+          ((col("nc") * 9 + 9) / 10).cast("long"), col("dh"))).as("p90"),
+        max(col("dh")).as("mx"))
+      ns.crossJoin(broadcast(qs))
+        .select(col("n_signups"), col("nc").as("n_converted"),
+          r4(col("nc") * lit(1.0) / col("n_signups")).as("conv_rate"),
+          col("p50").as("p50_hours"), col("p90").as("p90_hours"),
+          col("mx").as("max_hours"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
