@@ -102,10 +102,6 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     },
 
-    // Partitioned parquet sink + partition-pruned read-back: the
-    // standard 100 TB layout (hive-style directories per key); the
-    // filter on the partition column prunes directories at planning
-    // time, so the scan reads only one partition's files.
     // SCHEMA EVOLUTION across parquet writes (the lakehouse reality —
     // yesterday's shard has 2 columns, today's has 3; the reader must
     // merge footers and null-fill, not crash): write v1 (key, status)
@@ -144,6 +140,47 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     },
 
+    // DYNAMIC PARTITION OVERWRITE (the idempotent-backfill primitive —
+    // re-run one day/status slice without clobbering siblings): write
+    // the partitioned dataset, overwrite ONLY the 'F' partition with a
+    // restated copy (prices doubled) under
+    // partitionOverwriteMode=dynamic, and read the whole dataset back
+    // — untouched partitions must survive byte-for-byte. The oracle
+    // reproduces the restatement arithmetically from the original table.
+    q("src_dynamic_overwrite",
+      """SELECT o_orderstatus,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice *
+        |      CASE WHEN o_orderstatus = 'F' THEN 200 ELSE 100 END
+        |      + 1e-9) AS BIGINT))::BIGINT AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""") { c =>
+      val out = tmp("orders_dyn_overwrite")
+      val cents = round(col("o_totalprice") * 100 + lit(1e-9))
+        .cast("long")
+      c.orders.select(col("o_orderkey"), col("o_orderstatus"),
+          cents.as("cents"))
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(out)
+      // restate ONE slice: doubled cents for the F partition only
+      val restated = c.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (cents * 2).as("cents"))
+      restated.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try restated.write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(out)
+      finally restated.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "static")
+      c.spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Partitioned parquet sink + partition-pruned read-back: the
+    // standard 100 TB layout (hive-style directories per key); the
+    // filter on the partition column prunes directories at planning
+    // time, so the scan reads only one partition's files.
     q("src_partitioned_write",
       """SELECT l_linestatus, count(*) AS n,
         |       round(sum(l_quantity) + 1e-9, 2) AS qty

@@ -498,6 +498,41 @@ object StatQueries {
           col("mx").as("max_hours"))
     },
 
+    // Overdispersion / negative-binomial moment fit (the count-data
+    // reality check before any Poisson assumption — user event counts
+    // are NEVER Poisson): per-user event counts give exact integer
+    // moments; the variance-to-mean ratio, and the method-of-moments
+    // NB parameters r = m²/(v−m), p = m/v, are closed forms written
+    // identically on both engines. One user aggregate + one moment
+    // reduce.
+    q("stat_overdispersion",
+      """WITH u AS (SELECT user_id, count(*)::BIGINT k FROM events
+        |           GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT n, sum(k)::BIGINT s,
+        |        sum(k * k)::BIGINT q FROM u),
+        |e AS (SELECT n, s::DOUBLE / n mean,
+        |        (q - s::DOUBLE * s / n) / (n - 1) vr FROM m)
+        |SELECT n AS n_users, round(mean + 1e-9, 4) AS mean_events,
+        |  round(vr + 1e-9, 4) AS var_events,
+        |  round(vr / mean + 1e-9, 4) AS dispersion_ratio,
+        |  round(mean * mean / (vr - mean) + 1e-9, 4) AS nb_r,
+        |  round(mean / vr + 1e-9, 6) AS nb_p
+        |FROM e""") { c =>
+      val u = c.events.groupBy("user_id").agg(count(lit(1)).as("k"))
+      val m = u.agg(count(lit(1)).as("n"), sum(col("k")).as("s"),
+        sum(col("k") * col("k")).as("q"))
+      val e = m.select(col("n"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        ((col("q") - col("s").cast("double") * col("s") / col("n")) /
+          (col("n") - 1)).as("vr"))
+      e.select(col("n").as("n_users"), r4(col("mean")).as("mean_events"),
+        r4(col("vr")).as("var_events"),
+        r4(col("vr") / col("mean")).as("dispersion_ratio"),
+        r4(col("mean") * col("mean") / (col("vr") - col("mean")))
+          .as("nb_r"),
+        r6(col("mean") / col("vr")).as("nb_p"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
