@@ -698,6 +698,97 @@ object AggQueries {
           r2(est("hm")).as("est_merged"), r2(est("hd")).as("est_direct"))
     },
 
+    // SLIDING-WINDOW HLL (mergeability applied to TIME — keep one tiny
+    // register table per day, answer any trailing window by merging
+    // register tables instead of re-scanning raw events; the only way
+    // rolling distinct counts stay tractable at 100 TB): per-day
+    // register maxima over the user hash, 7-day windows merged by max,
+    // estimate reported BESIDE the exact rolling distinct (the
+    // events_rolling_dau shape) with the relative error under the hash
+    // gate. Per-day tables are 256 rows — the window merge never
+    // touches events again.
+    q("agg_hll_sliding",
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |              dy, user_id
+        |            FROM events),
+        |h AS (SELECT dy, md5(CAST(user_id AS VARCHAR)) hx FROM du),
+        |rv AS (SELECT dy, ('0x' || substr(hx, 1, 2))::BIGINT reg,
+        |         CASE WHEN ('0x' || substr(hx, 3, 14))::BIGINT = 0
+        |              THEN 57
+        |              ELSE strpos(lpad(bin(
+        |                ('0x' || substr(hx, 3, 14))::BIGINT), 56, '0'),
+        |                '1') END rho
+        |       FROM h),
+        |dr AS (SELECT dy, reg, max(rho) mx FROM rv GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT dy FROM du),
+        |wnd AS (SELECT d.dy, dr.reg, max(dr.mx) mx
+        |        FROM days d JOIN dr
+        |          ON dr.dy BETWEEN d.dy - 6 AND d.dy
+        |        GROUP BY 1, 2),
+        |regs AS (SELECT d.dy, gs.g reg, coalesce(wnd.mx, 0) mx
+        |         FROM days d
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 255)) g) gs
+        |         LEFT JOIN wnd ON wnd.dy = d.dy AND wnd.reg = gs.g),
+        |s AS (SELECT dy,
+        |        list_reduce(list(pow(2.0, -mx) ORDER BY reg),
+        |          (a, x) -> a + x) hs,
+        |        sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT zeros
+        |      FROM regs GROUP BY 1),
+        |es AS (SELECT dy, zeros,
+        |        CASE WHEN 0.7213 / (1 + 1.079 / 256) * 256 * 256 / hs
+        |               <= 2.5 * 256 AND zeros > 0
+        |             THEN 256 * ln(256.0 / zeros)
+        |             ELSE 0.7213 / (1 + 1.079 / 256) * 256 * 256 / hs
+        |        END e FROM s),
+        |ex AS (SELECT d.dy, count(DISTINCT du.user_id)::BIGINT exact
+        |       FROM days d JOIN du ON du.dy BETWEEN d.dy - 6 AND d.dy
+        |       GROUP BY 1)
+        |SELECT es.dy::VARCHAR AS day, ex.exact,
+        |  round(es.e + 1e-9, 2) AS est,
+        |  round((es.e - ex.exact) / ex.exact + 1e-9, 6) AS rel_err
+        |FROM es JOIN ex ON es.dy = ex.dy ORDER BY day""") { c =>
+      val du = c.events
+        .select(col("ts").cast("date").as("dy"), col("user_id"))
+        .distinct()
+      val hx = md5(col("user_id").cast("string"))
+      val vCol = conv(substring(hx, 3, 14), 16, 10).cast("long")
+      val rv = du.select(col("dy"),
+        conv(substring(hx, 1, 2), 16, 10).cast("long").as("reg"),
+        when(vCol === 0, 57)
+          .otherwise(instr(lpad(bin(vCol), 56, "0"), "1")).as("rho"))
+      val dr = rv.groupBy("dy", "reg").agg(max(col("rho")).as("mx"))
+      val days = du.select(col("dy").as("d")).distinct()
+      val wnd = broadcast(days).join(dr,
+          col("dy").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"), col("reg")).agg(max(col("mx")).as("mx"))
+      val regs = broadcast(days)
+        .crossJoin(c.spark.range(256).toDF("reg"))
+        .join(wnd, Seq("d", "reg"), "left")
+        .na.fill(0, Seq("mx"))
+      val s = regs.groupBy("d").agg(
+        aggregate(array_sort(collect_list(struct(col("reg"),
+            pow(lit(2.0), -col("mx")).as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("hs"),
+        sum(when(col("mx") === 0, 1L).otherwise(0L)).as("zeros"))
+      val raw = lit(0.7213) / (lit(1) + lit(1.079) / 256) *
+        lit(256) * lit(256) / col("hs")
+      // small-range (linear counting) branch — required here: a 7-day
+      // window holds few hundred users, well under 2.5·m
+      val es = s.select(col("d"),
+        when(raw <= 2.5 * 256 && col("zeros") > 0,
+          lit(256) * log(lit(256.0) / col("zeros")))
+          .otherwise(raw).as("e"))
+      val ex = broadcast(days.select(col("d").as("d2")))
+        .join(du, col("dy").between(date_sub(col("d2"), 6), col("d2")))
+        .groupBy(col("d2"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      es.join(ex, col("d") === col("d2"))
+        .select(col("d").cast("string").as("day"), col("exact"),
+          r2(col("e")).as("est"),
+          r6((col("e") - col("exact")) / col("exact")).as("rel_err"))
+        .orderBy("day")
+    },
+
     q("agg_hll_custom",
       """WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) hx
         |           FROM lineitem),

@@ -2124,6 +2124,88 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Explainable FILTER REPORT (the "why was this document dropped"
+    // attribution every curation pipeline owes its users — a bare keep
+    // rate hides which rule does the damage): four cheap integer
+    // rules (too short, repetitious top-bigram, low type/token
+    // diversity, missing stopwords), each decided by INTEGER
+    // cross-multiplication (no FP ratio ever compared), reported as
+    // per-source rule-hit counts and keep rates. One corpus pass +
+    // one bigram aggregate; the report is source-count-sized.
+    q("llm_filter_report",
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, source, len(ws) nw,
+        |    len(list_distinct(ws)) ndw,
+        |    len(list_filter(ws, w -> w IN
+        |      ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) nsw
+        |  FROM t),
+        |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |         for i in generate_series(1, len(ws) - 1)]) b
+        |       FROM t WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, count(*) nb, max(c) mb FROM (
+        |         SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |r AS (SELECT base.doc_id, base.source,
+        |        CASE WHEN base.nw < 40 THEN 1 ELSE 0 END r_short,
+        |        CASE WHEN coalesce(bc.mb, 0) * 10 >=
+        |          coalesce(bc.nb, 1) THEN 1 ELSE 0 END r_repeat,
+        |        CASE WHEN base.ndw * 10 < base.nw * 3
+        |          THEN 1 ELSE 0 END r_lowdiv,
+        |        CASE WHEN base.nsw * 100 < base.nw * 2
+        |          THEN 1 ELSE 0 END r_nostop
+        |      FROM base LEFT JOIN bc ON base.doc_id = bc.doc_id)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(r_short)::BIGINT AS n_short,
+        |  sum(r_repeat)::BIGINT AS n_repeat,
+        |  sum(r_lowdiv)::BIGINT AS n_lowdiv,
+        |  sum(r_nostop)::BIGINT AS n_nostop,
+        |  sum(CASE WHEN r_short + r_repeat + r_lowdiv + r_nostop = 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(sum(CASE WHEN r_short + r_repeat + r_lowdiv + r_nostop
+        |        = 0 THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 4)
+        |    AS keep_rate
+        |FROM r GROUP BY 1 ORDER BY source""") { c =>
+      val t = c.documents.select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      val base = t.select(col("doc_id"), col("source"),
+        size(col("ws")).as("nw"),
+        size(array_distinct(col("ws"))).as("ndw"),
+        size(filter(col("ws"), w => w.isin("the", "a", "of", "and",
+          "is", "to", "in"))).as("nsw"))
+      val bg = t.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(ws[i], ' ', ws[i + 1]))")).as("b"))
+      val bc = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), max(col("c")).as("mb"))
+      val r = base.join(bc, Seq("doc_id"), "left")
+        .select(col("source"),
+          when(col("nw") < 40, 1L).otherwise(0L).as("r_short"),
+          when(coalesce(col("mb"), lit(0L)) * 10 >=
+            coalesce(col("nb"), lit(1L)), 1L).otherwise(0L)
+            .as("r_repeat"),
+          when(col("ndw") * 10 < col("nw") * 3, 1L).otherwise(0L)
+            .as("r_lowdiv"),
+          when(col("nsw") * 100 < col("nw") * 2, 1L).otherwise(0L)
+            .as("r_nostop"))
+      val kept = (col("r_short") + col("r_repeat") + col("r_lowdiv") +
+        col("r_nostop")) === 0
+      r.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("r_short")).as("n_short"),
+          sum(col("r_repeat")).as("n_repeat"),
+          sum(col("r_lowdiv")).as("n_lowdiv"),
+          sum(col("r_nostop")).as("n_nostop"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_short"),
+          col("n_repeat"), col("n_lowdiv"), col("n_nostop"),
+          col("n_kept"),
+          r4(col("n_kept") * lit(1.0) / col("n_docs")).as("keep_rate"))
+        .orderBy("source")
+    },
+
     // Image SHARPNESS gate (the blur/flat-fill screen beside
     // mm_image_quality's exposure screen): same generated BMPs (every
     // 7th doc a flat frame), Multimodal.imageSharpness scans the
