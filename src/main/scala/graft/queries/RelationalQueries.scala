@@ -21,6 +21,46 @@ object RelationalQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // SKYLINE / Pareto frontier (Börzsönyi et al. 2001 — the classic
+    // "best tradeoffs" operator: parts where no other part is both
+    // cheaper AND larger): the 2-D skyline needs ONE window scan over
+    // the distinct (price, size) pairs sorted by (price asc, size
+    // desc) — a point survives iff its size strictly exceeds every
+    // cheaper-or-tied point's running max. The window runs over
+    // DISTINCT value pairs (domain-bounded), never raw parts; exact
+    // integer cents/sizes end to end.
+    q("rel_skyline",
+      """WITH p AS (SELECT
+        |    CAST(round(p_retailprice * 100 + 1e-9) AS BIGINT) pc,
+        |    p_size sz, p_partkey FROM part),
+        |d AS (SELECT pc, sz, count(*)::BIGINT n_parts,
+        |        min(p_partkey)::BIGINT rep FROM p GROUP BY 1, 2),
+        |w AS (SELECT pc, sz, n_parts, rep,
+        |        max(sz) OVER (ORDER BY pc, sz DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) mx
+        |      FROM d)
+        |SELECT round(pc / 100.0 + 1e-9, 2) AS price_dollars,
+        |  sz AS size, n_parts, rep AS example_part
+        |FROM w WHERE mx IS NULL OR sz > mx
+        |ORDER BY price_dollars""") { c =>
+      val p = c.part.select(
+        round(col("p_retailprice") * 100 + lit(1e-9)).cast("long")
+          .as("pc"),
+        col("p_size").as("sz"), col("p_partkey"))
+      val d = p.groupBy("pc", "sz")
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_partkey")).cast("long").as("rep"))
+      val w = Window.orderBy(col("pc"), col("sz").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val s = d.withColumn("mx", max(col("sz")).over(w))
+      s.filter(col("mx").isNull || col("sz") > col("mx"))
+        .select(r2(col("pc") / 100.0).as("price_dollars"),
+          col("sz").as("size"), col("n_parts"),
+          col("rep").as("example_part"))
+        .orderBy("price_dollars")
+    },
+
+
     // Project: select + computed named values (relations.py:126).
     q("rel_project",
       """SELECT l_orderkey, l_linenumber,

@@ -533,6 +533,46 @@ object StatQueries {
         r6(col("mean") / col("vr")).as("nb_p"))
     },
 
+    // Wilson score confidence interval for a proportion (Wilson 1927 —
+    // what every dashboard SHOULD show instead of the Wald interval
+    // that breaks near 0/1 and small n): converted users over all
+    // users, z = 1.96, the interval a closed form of the two integer
+    // counts written identically on both engines. One aggregate.
+    q("stat_wilson_ci",
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) cv
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT n, sum(cv)::BIGINT k FROM u),
+        |e AS (SELECT n, k, k * 1.0 / n p,
+        |        1.96 * 1.96 z2 FROM m)
+        |SELECT n AS n_users, k AS n_converted,
+        |  round(p + 1e-9, 6) AS rate,
+        |  round((p + z2 / (2 * n)
+        |         - 1.96 * sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)))
+        |        / (1 + z2 / n) + 1e-9, 6) AS wilson_lo,
+        |  round((p + z2 / (2 * n)
+        |         + 1.96 * sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)))
+        |        / (1 + z2 / n) + 1e-9, 6) AS wilson_hi
+        |FROM e""") { c =>
+      val u = c.events.groupBy("user_id").agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("cv"))
+      val m = u.agg(count(lit(1)).as("n"), sum(col("cv")).as("k"))
+      val e = m.select(col("n"), col("k"),
+        (col("k") * lit(1.0) / col("n")).as("p"),
+        (lit(1.96) * lit(1.96)).as("z2"))
+      def bound(sign: Double) =
+        (col("p") + col("z2") / (lit(2) * col("n")) +
+          lit(sign) * lit(1.96) *
+            sqrt(col("p") * (lit(1) - col("p")) / col("n") +
+              col("z2") / (lit(4.0) * col("n") * col("n")))) /
+          (lit(1) + col("z2") / col("n"))
+      e.select(col("n").as("n_users"), col("k").as("n_converted"),
+        r6(col("p")).as("rate"),
+        r6(bound(-1.0)).as("wilson_lo"),
+        r6(bound(1.0)).as("wilson_hi"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
