@@ -19,6 +19,22 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("no query in the FULL registry plans a CartesianProduct " +
+    "(registry-wide sweep at smoke scale)") {
+    // building a df can run side-effect jobs (source writes, cache
+    // counts) — acceptable at sf0.001; the assertion is on the final
+    // physical plan of every registered query
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        spark.catalog.clearCache()
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("ml_pr_curve plans no single-partition window over the score " +
     "relation (Positional cumsum path, r7 ask #5)") {
     import org.apache.spark.sql.catalyst.plans.logical
