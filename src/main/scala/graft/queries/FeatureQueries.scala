@@ -523,6 +523,83 @@ object FeatureQueries {
         .orderBy("l_returnflag")
     },
 
+    // AUC with the DeLong confidence interval (DeLong et al. 1988 —
+    // the number every model report owes beside the point AUC): the
+    // tie-corrected AUC and both structural-component variances come
+    // from the score HISTOGRAM's cumulative counts, with half-credits
+    // carried as ×2 INTEGERS (w0 = 2·neg_below + neg_equal per
+    // positive's score, mirrored for negatives), so Σw, Σw² are exact
+    // and only the final divisions are FP. Histogram-sized work after
+    // one corpus aggregate.
+    q("ml_auc_delong",
+      """WITH s AS (SELECT l_quantity::BIGINT score,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |  FROM lineitem),
+        |h AS (SELECT score, sum(y)::BIGINT n1s,
+        |        (count(*) - sum(y))::BIGINT n0s FROM s GROUP BY 1),
+        |t AS (SELECT sum(n1s)::BIGINT n1, sum(n0s)::BIGINT n0 FROM h),
+        |cw AS (SELECT score, n1s, n0s,
+        |         coalesce(sum(n0s) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) c0lt,
+        |         coalesce(sum(n1s) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) c1lt
+        |       FROM h),
+        |w AS (SELECT score, n1s, n0s,
+        |        2 * c0lt + n0s w0,
+        |        2 * (t.n1 - c1lt - n1s) + n1s w1
+        |      FROM cw, t),
+        |m AS (SELECT sum(n1s * w0)::BIGINT sw0,
+        |        sum(n1s * w0 * w0)::BIGINT sw0q,
+        |        sum(n0s * w1)::BIGINT sw1,
+        |        sum(n0s * w1 * w1)::BIGINT sw1q FROM w),
+        |e AS (SELECT t.n1, t.n0,
+        |    m.sw0 * 1.0 / (2.0 * t.n1 * t.n0) auc,
+        |    (m.sw0q - m.sw0 * 1.0 * m.sw0 / t.n1) / (t.n1 - 1)
+        |      / (4.0 * t.n0 * t.n0) s10,
+        |    (m.sw1q - m.sw1 * 1.0 * m.sw1 / t.n0) / (t.n0 - 1)
+        |      / (4.0 * t.n1 * t.n1) s01
+        |  FROM m, t)
+        |SELECT n1 AS n_pos, n0 AS n_neg, round(auc + 1e-9, 6) AS auc,
+        |  round(sqrt(s10 / n1 + s01 / n0) + 1e-9, 6) AS delong_se,
+        |  round(auc - 1.96 * sqrt(s10 / n1 + s01 / n0) + 1e-9, 6)
+        |    AS ci_lo,
+        |  round(auc + 1.96 * sqrt(s10 / n1 + s01 / n0) + 1e-9, 6)
+        |    AS ci_hi
+        |FROM e""") { c =>
+      val s = c.lineitem.select(
+        col("l_quantity").cast("long").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val h = s.groupBy("score").agg(sum(col("y")).as("n1s"),
+        (count(lit(1)) - sum(col("y"))).as("n0s"))
+      val t = h.agg(sum(col("n1s")).as("n1"), sum(col("n0s")).as("n0"))
+      val cw = graft.ops.Positional.withCumSums(h, Seq(col("score")),
+        Seq(col("n0s") -> "c0lt", col("n1s") -> "c1lt"))
+      val w = cw.crossJoin(broadcast(t)).select(col("n1s"), col("n0s"),
+        (lit(2) * col("c0lt") + col("n0s")).as("w0"),
+        (lit(2) * (col("n1") - col("c1lt") - col("n1s")) + col("n1s"))
+          .as("w1"))
+      val m = w.agg(sum(col("n1s") * col("w0")).as("sw0"),
+        sum(col("n1s") * col("w0") * col("w0")).as("sw0q"),
+        sum(col("n0s") * col("w1")).as("sw1"),
+        sum(col("n0s") * col("w1") * col("w1")).as("sw1q"))
+      val e = m.crossJoin(broadcast(t)).select(col("n1"), col("n0"),
+        (col("sw0") * lit(1.0) / (lit(2.0) * col("n1") * col("n0")))
+          .as("auc"),
+        ((col("sw0q") - col("sw0") * lit(1.0) * col("sw0") / col("n1")) /
+          (col("n1") - 1) / (lit(4.0) * col("n0") * col("n0")))
+          .as("s10"),
+        ((col("sw1q") - col("sw1") * lit(1.0) * col("sw1") / col("n0")) /
+          (col("n0") - 1) / (lit(4.0) * col("n1") * col("n1")))
+          .as("s01"))
+      val se = sqrt(col("s10") / col("n1") + col("s01") / col("n0"))
+      e.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        r6(col("auc")).as("auc"), r6(se).as("delong_se"),
+        r6(col("auc") - lit(1.96) * se).as("ci_lo"),
+        r6(col("auc") + lit(1.96) * se).as("ci_hi"))
+    },
+
     // F1-optimal THRESHOLD SELECTION (the deployment step after any
     // scored classifier — pick the cutoff, don't ship the curve): one
     // candidate per distinct score on the same Positional.withCumSums
