@@ -573,6 +573,62 @@ object StatQueries {
         r6(bound(1.0)).as("wilson_hi"))
     },
 
+    // Mann–Kendall trend test (the nonparametric significance test
+    // that belongs WITH ts_theilsen's slope — monotone trend without
+    // distributional assumptions): S = Σ sign(v_j − v_i) over ordered
+    // day pairs is a pure INTEGER, the tie-corrected variance
+    // [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 is integer arithmetic, and
+    // the continuity-corrected z is one closed-form expression. The
+    // corpus collapses to the daily series first; the pair join is
+    // day²-sized, not corpus-sized.
+    q("stat_mann_kendall",
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) dy,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY dy) rn FROM d),
+        |sp AS (SELECT sum(CASE WHEN b.v > a.v THEN 1
+        |           WHEN b.v < a.v THEN -1 ELSE 0 END)::BIGINT s
+        |       FROM r a JOIN r b ON b.rn > a.rn),
+        |nt AS (SELECT count(*)::BIGINT n FROM r),
+        |tg AS (SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT tie_adj
+        |       FROM (SELECT count(*)::BIGINT t FROM r GROUP BY v
+        |             HAVING count(*) > 1)),
+        |vr AS (SELECT (nt.n * (nt.n - 1) * (2 * nt.n + 5)
+        |          - coalesce(tg.tie_adj, 0)) / 18.0 var_s
+        |       FROM nt, tg)
+        |SELECT nt.n AS n_days, sp.s AS s_stat,
+        |  round(CASE WHEN sp.s > 0 THEN (sp.s - 1) / sqrt(vr.var_s)
+        |        WHEN sp.s < 0 THEN (sp.s + 1) / sqrt(vr.var_s)
+        |        ELSE 0.0 END + 1e-9, 4) AS z_stat
+        |FROM sp, nt, vr""") { c =>
+      val d = c.orders
+        .select(col("o_orderdate").cast("date").as("dy"),
+          round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+            .as("cents"))
+        .groupBy("dy").agg(sum(col("cents")).as("v"))
+      val w = Window.orderBy("dy")
+      val r = d.select(col("v"), row_number().over(w).cast("long")
+        .as("rn")).persist()
+      val sp = r.as("a").join(r.as("b"), col("b.rn") > col("a.rn"))
+        .agg(sum(when(col("b.v") > col("a.v"), 1L)
+          .when(col("b.v") < col("a.v"), -1L).otherwise(0L)).as("s"))
+      val nt = r.agg(count(lit(1)).as("n"))
+      val tg = r.groupBy("v").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_adj"))
+      val vr = nt.crossJoin(broadcast(tg)).select(col("n"),
+        ((col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+          coalesce(col("tie_adj"), lit(0L))) / 18.0).as("var_s"))
+      sp.crossJoin(broadcast(vr))
+        .select(col("n").as("n_days"), col("s").as("s_stat"),
+          r4(when(col("s") > 0,
+            (col("s") - 1) / sqrt(col("var_s")))
+            .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0))).as("z_stat"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
