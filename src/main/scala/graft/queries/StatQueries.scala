@@ -629,6 +629,56 @@ object StatQueries {
             .otherwise(lit(0.0))).as("z_stat"))
     },
 
+    // Friedman test (the repeated-measures companion to
+    // stat_kruskal_wallis — rank the k treatments WITHIN each block,
+    // so block-level differences cancel): blocks are nations,
+    // treatments the 5 order priorities, the blocked response each
+    // cell's mean order price. Within-block ranks order by the exact
+    // rational mean with the priority as a total-order tiebreak (both
+    // engines sort identical doubles); χ²_F = 12/(nk(k+1))·ΣR_j² −
+    // 3n(k+1) is then pure integer arithmetic over the k rank sums.
+    // One corpus aggregate; ranking runs over the n×k cell table.
+    q("stat_friedman",
+      """WITH cell AS (SELECT c.c_nationkey b, o.o_orderpriority tr,
+        |    sum(CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT s,
+        |    count(*)::BIGINT n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT b, tr,
+        |    row_number() OVER (PARTITION BY b
+        |      ORDER BY s * 1.0 / n, tr) r
+        |  FROM cell),
+        |rs AS (SELECT tr, sum(r)::BIGINT rsum FROM rk GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT n,
+        |         count(DISTINCT tr)::BIGINT k FROM cell)
+        |SELECT nb.n AS n_blocks, nb.k AS k_treatments,
+        |  round(12.0 / (nb.n * nb.k * (nb.k + 1))
+        |        * (SELECT sum(rsum * rsum) FROM rs)
+        |        - 3.0 * nb.n * (nb.k + 1) + 1e-9, 4) AS chi2_f
+        |FROM nb""") { c =>
+      val cell = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("b"),
+          col("o_orderpriority").as("tr"))
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+            .cast("long")).as("s"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy("b")
+        .orderBy(col("s") * lit(1.0) / col("n"), col("tr"))
+      val rk = cell.select(col("b"), col("tr"),
+        row_number().over(w).cast("long").as("r"))
+      val rs = rk.groupBy("tr").agg(sum(col("r")).as("rsum"))
+      val sq = rs.agg(sum(col("rsum") * col("rsum")).as("ssq"))
+      val nb = cell.agg(countDistinct(col("b")).as("n"),
+        countDistinct(col("tr")).as("k"))
+      nb.crossJoin(broadcast(sq))
+        .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+          r4(lit(12.0) / (col("n") * col("k") * (col("k") + 1)) *
+            col("ssq") - lit(3.0) * col("n") * (col("k") + 1))
+            .as("chi2_f"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
