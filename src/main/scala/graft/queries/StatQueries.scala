@@ -679,6 +679,69 @@ object StatQueries {
             .as("chi2_f"))
     },
 
+    // Page–Hinkley sequential mean-shift detector (Page 1954; the
+    // always-on drift monitor beside ts_cusum_changepoint's
+    // retrospective split): per day t over integer dollar totals,
+    // dev_t = x_t − x̄_t − δ with the RUNNING mean from exact cumsums,
+    // M_t the ordered window cumsum of dev (window running sums fold
+    // in window order — engine-invariant by construction), alarm at
+    // the first ROUNDED M_t − min(M_{≤t}) > λ. The series is
+    // time-bounded; the corpus is touched once.
+    q("ts_page_hinkley",
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) dy,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT)) // 100
+        |      v
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT dy, v,
+        |        sum(v) OVER w cs, row_number() OVER w t
+        |      FROM d WINDOW w AS (ORDER BY dy)),
+        |m AS (SELECT dy, t,
+        |        sum(CAST(round((v - cs * 1.0 / t - 500.0) * 100 + 1e-9)
+        |            AS BIGINT)) OVER (ORDER BY dy) mt
+        |      FROM s),
+        |ph AS (SELECT dy, t,
+        |        round((mt - min(mt) OVER (ORDER BY dy)) / 100.0
+        |          + 1e-9, 4) stat
+        |      FROM m),
+        |al AS (SELECT min(t) art FROM ph WHERE stat > 100000),
+        |f AS (SELECT ph.dy::VARCHAR alarm_day, ph.t, ph.stat
+        |      FROM ph, al WHERE ph.t = al.art),
+        |nn AS (SELECT count(*)::BIGINT n,
+        |         round(max(stat) + 1e-9, 4) mx FROM ph)
+        |SELECT nn.n AS n_days, nn.mx AS max_stat,
+        |  f.alarm_day, f.t AS alarm_t, f.stat AS alarm_stat
+        |FROM nn LEFT JOIN f ON TRUE""") { c =>
+      val d = c.orders
+        .select(col("o_orderdate").cast("date").as("dy"),
+          round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+            .as("cents"))
+        .groupBy("dy")
+        .agg((sum(col("cents")) / 100).cast("long").as("v"))
+      val w = Window.orderBy("dy")
+      val s = d.select(col("dy"), col("v"),
+        sum(col("v")).over(w).as("cs"),
+        row_number().over(w).cast("long").as("t"))
+      // quantize the per-row deviation BEFORE the running sum so the
+      // ordered cumsum is an exact integer fold (a raw double window
+      // sum could associate differently across engines)
+      val m = s.select(col("dy"), col("t"),
+        sum(round((col("v") - col("cs") * lit(1.0) / col("t") -
+          lit(500.0)) * 100 + lit(1e-9)).cast("long"))
+          .over(w).as("mt"))
+      val ph = m.select(col("dy"), col("t"),
+        r4((col("mt") - min(col("mt")).over(w)) / 100.0).as("stat"))
+      val al = ph.filter(col("stat") > 100000)
+        .agg(min(col("t")).as("art"))
+      val f = ph.crossJoin(broadcast(al)).filter(col("t") === col("art"))
+        .select(col("dy").cast("string").as("alarm_day"),
+          col("t").as("alarm_t"), col("stat").as("alarm_stat"))
+      val nn = ph.agg(count(lit(1)).as("n_days"),
+        r4(max(col("stat"))).as("max_stat"))
+      nn.join(f, lit(true), "left")
+        .select(col("n_days"), col("max_stat"), col("alarm_day"),
+          col("alarm_t"), col("alarm_stat"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
