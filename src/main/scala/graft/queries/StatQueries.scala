@@ -742,6 +742,113 @@ object StatQueries {
           col("alarm_t"), col("alarm_stat"))
     },
 
+    // Lincoln–Petersen capture–recapture (the mark-recapture estimate
+    // ecology gave data engineering — how many TOTAL distinct users
+    // exist if two short capture windows overlap this much? the same
+    // logic estimates corpus size from dedup overlap): n1 = users in
+    // the first half, n2 = second half, m = both; Chapman's
+    // bias-corrected N̂ = (n1+1)(n2+1)/(m+1) − 1 is a closed form of
+    // three integer counts, compared against the true distinct count.
+    // One user aggregate.
+    q("stat_capture_recapture",
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase'
+        |        AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |        AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |        THEN 1 ELSE 0 END) a,
+        |    max(CASE WHEN event_type = 'purchase'
+        |        AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |        AND ts < TIMESTAMP '2024-01-23 00:00:00'
+        |        THEN 1 ELSE 0 END) b
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT sum(a)::BIGINT n1, sum(b)::BIGINT n2,
+        |        sum(a * b)::BIGINT m, count(*)::BIGINT total FROM u)
+        |SELECT n1, n2, m AS n_both, total AS true_total,
+        |  round((n1 + 1.0) * (n2 + 1) / (m + 1) - 1 + 1e-9, 2)
+        |    AS chapman_estimate,
+        |  round(((n1 + 1.0) * (n2 + 1) / (m + 1) - 1 - total) / total
+        |        + 1e-9, 6) AS rel_err
+        |FROM m""") { c =>
+      def win(lo: String, hi: String) =
+        col("event_type") === "purchase" &&
+          col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp")
+      val u = c.events.groupBy("user_id").agg(
+        max(when(win("2024-01-02 00:00:00", "2024-01-05 00:00:00"), 1L)
+          .otherwise(0L)).as("a"),
+        max(when(win("2024-01-20 00:00:00", "2024-01-23 00:00:00"), 1L)
+          .otherwise(0L)).as("b"))
+      val m = u.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+        sum(col("a") * col("b")).as("m"), count(lit(1)).as("total"))
+      val est = (col("n1") + lit(1.0)) * (col("n2") + 1) /
+        (col("m") + 1) - 1
+      m.select(col("n1"), col("n2"), col("m").as("n_both"),
+        col("total").as("true_total"),
+        r2(est).as("chapman_estimate"),
+        r6((est - col("total")) / col("total")).as("rel_err"))
+    },
+
+    // Lorenz curve points (the PICTURE behind stat_gini — what share
+    // of revenue do the bottom d deciles of customers hold?): exact
+    // decile boundaries and cumulative value shares from the
+    // customer-revenue HISTOGRAM's cumulative counts/sums (the
+    // trimmed-mean rank-span device) — each decile row reports the
+    // exact cumulative population and revenue shares as integer
+    // ratios. Histogram-sized work after one corpus aggregate.
+    q("stat_lorenz_curve",
+      """WITH u AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT v
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT v, count(*)::BIGINT cnt,
+        |        sum(v)::BIGINT vs_g FROM u GROUP BY v),
+        |t AS (SELECT sum(cnt)::BIGINT n, sum(vs_g)::BIGINT tv FROM g),
+        |cw AS (SELECT v, cnt, vs_g,
+        |         coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) ccnt,
+        |         coalesce(sum(vs_g) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) cval
+        |       FROM g),
+        |dc AS (SELECT unnest(generate_series(1, 10)) d),
+        |pt AS (SELECT dc.d, t.n, t.tv,
+        |         (dc.d * t.n) // 10 kd FROM dc, t),
+        |lz AS (SELECT pt.d, pt.kd, pt.n, pt.tv,
+        |         max(cw.cval + (pt.kd - cw.ccnt) * cw.v) cum_v
+        |       FROM pt JOIN cw ON cw.ccnt < pt.kd
+        |         AND pt.kd <= cw.ccnt + cw.cnt
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT d AS decile, kd AS n_customers,
+        |  round(kd * 1.0 / n + 1e-9, 4) AS pop_share,
+        |  round(cum_v * 1.0 / tv + 1e-9, 6) AS value_share
+        |FROM lz ORDER BY d""") { c =>
+      val u = c.orders.groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+          .cast("long")).as("v"))
+      val g = u.groupBy("v")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("vs_g"))
+      val t = g.agg(sum(col("cnt")).as("n"), sum(col("vs_g")).as("tv"))
+      val cw = graft.ops.Positional.withCumSums(g, Seq(col("v")),
+        Seq(col("cnt") -> "ccnt", col("vs_g") -> "cval"))
+      val sp4 = c.spark
+      import sp4.implicits._
+      val dc = (1 to 10).toDF("d")
+      val pt = broadcast(dc).crossJoin(broadcast(t))
+        .select(col("d"), col("n"), col("tv"),
+          ((col("d") * col("n")) / 10).cast("long").as("kd"))
+      val lz = pt.join(cw,
+          col("ccnt") < col("kd") &&
+            col("kd") <= col("ccnt") + col("cnt"))
+        .groupBy("d", "kd", "n", "tv")
+        .agg(max(col("cval") + (col("kd") - col("ccnt")) * col("v"))
+          .as("cum_v"))
+      lz.select(col("d").as("decile"), col("kd").as("n_customers"),
+          r4(col("kd") * lit(1.0) / col("n")).as("pop_share"),
+          r6(col("cum_v") * lit(1.0) / col("tv")).as("value_share"))
+        .orderBy("decile")
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
