@@ -2124,6 +2124,59 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // N-gram NOVELTY of a held-out split (the memorization screen —
+    // what fraction of eval bigrams never appear in training data? low
+    // novelty means the eval set leaks): deterministic doc_id%5 split,
+    // distinct train bigram set, test bigrams anti-joined against it.
+    // Counts are exact integers; the join is bigram-keyed (the dedup
+    // shuffle shape). One explode + two hash aggregates + one
+    // left-anti join.
+    q("llm_ngram_novelty",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+        |         for i in generate_series(1, len(ws) - 1)]) b
+        |       FROM t WHERE len(ws) >= 2),
+        |tr AS (SELECT DISTINCT b FROM bg WHERE doc_id % 5 <> 0),
+        |te AS (SELECT b, count(*)::BIGINT c FROM bg
+        |       WHERE doc_id % 5 = 0 GROUP BY 1),
+        |nv AS (SELECT te.b, te.c FROM te LEFT JOIN tr ON te.b = tr.b
+        |       WHERE tr.b IS NULL),
+        |s AS (SELECT (SELECT sum(c) FROM te)::BIGINT test_total,
+        |        (SELECT count(*) FROM te)::BIGINT test_distinct,
+        |        coalesce((SELECT sum(c) FROM nv), 0)::BIGINT novel_occ,
+        |        coalesce((SELECT count(*) FROM nv), 0)::BIGINT
+        |          novel_distinct)
+        |SELECT test_total, test_distinct, novel_occ, novel_distinct,
+        |  round(novel_occ * 1.0 / test_total + 1e-9, 6)
+        |    AS novelty_rate,
+        |  round(novel_distinct * 1.0 / test_distinct + 1e-9, 6)
+        |    AS distinct_novelty_rate
+        |FROM s""") { c =>
+      val t = c.documents.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      val bg = t.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(ws[i], ' ', ws[i + 1]))")).as("b"))
+      val tr = bg.filter(col("doc_id") % 5 =!= 0).select("b").distinct()
+      val te = bg.filter(col("doc_id") % 5 === 0)
+        .groupBy("b").agg(count(lit(1)).as("c"))
+      val nv = te.join(tr, Seq("b"), "left_anti")
+      val tot = te.agg(sum(col("c")).as("test_total"),
+        count(lit(1)).as("test_distinct"))
+      val nov = nv.agg(coalesce(sum(col("c")), lit(0L)).as("novel_occ"),
+        count(lit(1)).as("novel_distinct"))
+      tot.crossJoin(broadcast(nov))
+        .select(col("test_total"), col("test_distinct"),
+          col("novel_occ"), col("novel_distinct"),
+          r6(col("novel_occ") * lit(1.0) / col("test_total"))
+            .as("novelty_rate"),
+          r6(col("novel_distinct") * lit(1.0) / col("test_distinct"))
+            .as("distinct_novelty_rate"))
+    },
+
     // Explainable FILTER REPORT (the "why was this document dropped"
     // attribution every curation pipeline owes its users — a bare keep
     // rate hides which rule does the damage): four cheap integer

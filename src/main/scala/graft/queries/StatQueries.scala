@@ -849,6 +849,86 @@ object StatQueries {
         .orderBy("decile")
     },
 
+    // Weibull fit by median-rank regression (the reliability-
+    // engineering standard — shape k tells wear-out from infant
+    // mortality): time-to-first-purchase hours, Bernard's median ranks
+    // F_i = (i−0.3)/(n+0.4) over the duration histogram's exact
+    // cumulative counts, OLS of ln(−ln(1−F)) on ln(t) with pinned
+    // folds over the distinct durations (the zipf-fit ln-regression
+    // stance); shape = slope, scale = exp(−intercept/slope).
+    // Histogram-sized work after one corpus aggregate.
+    q("stat_weibull_fit",
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |        THEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |        END) su
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |    min(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)) pu
+        |  FROM events e JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'purchase' AND u.su IS NOT NULL
+        |    AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |        >= u.su
+        |  GROUP BY 1),
+        |d AS (SELECT greatest((p.pu - u.su) // 3600, 1) dh FROM p
+        |      JOIN u ON p.user_id = u.user_id),
+        |g AS (SELECT dh, count(*)::BIGINT cnt FROM d GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT n FROM g),
+        |cw AS (SELECT dh, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY dh
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) cum
+        |       FROM g),
+        |xy AS (SELECT dh, ln(dh::DOUBLE) x,
+        |         ln(-ln(1 - (cum + cnt - 0.3) / (t.n + 0.4))) y
+        |       FROM cw, t WHERE cum + cnt < t.n),
+        |m AS (SELECT count(*)::BIGINT k,
+        |    list_reduce(list(x ORDER BY dh), (a, b) -> a + b) sx,
+        |    list_reduce(list(y ORDER BY dh), (a, b) -> a + b) sy,
+        |    list_reduce(list(x * x ORDER BY dh), (a, b) -> a + b) sxx,
+        |    list_reduce(list(x * y ORDER BY dh), (a, b) -> a + b) sxy
+        |  FROM xy),
+        |f AS (SELECT k,
+        |    (k * sxy - sx * sy) / (k * sxx - sx * sx) shape,
+        |    (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+        |      icpt FROM m)
+        |SELECT k AS n_points, round(shape + 1e-9, 4) AS weibull_shape,
+        |  round(exp(-icpt / shape) + 1e-9, 2) AS weibull_scale_hours
+        |FROM f""") { c =>
+      val sec = expr("unix_timestamp(ts)")
+      val u = c.events.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", sec)).as("su"))
+      val p = c.events.filter(col("event_type") === "purchase")
+        .join(u.filter(col("su").isNotNull), Seq("user_id"))
+        .filter(sec >= col("su"))
+        .groupBy("user_id")
+        .agg(min(sec).as("pu"), max(col("su")).as("su2"))
+      val d = p.select(greatest(((col("pu") - col("su2")) / 3600)
+        .cast("long"), lit(1L)).as("dh"))
+      val g = d.groupBy("dh").agg(count(lit(1)).as("cnt"))
+      val t = g.agg(sum(col("cnt")).as("n"))
+      val cw = graft.ops.Positional.withCumSums(g, Seq(col("dh")),
+        Seq(col("cnt") -> "cum"))
+      val xy = cw.crossJoin(broadcast(t))
+        .filter(col("cum") + col("cnt") < col("n"))
+        .select(col("dh"), log(col("dh").cast("double")).as("x"),
+          log(-log(lit(1) - (col("cum") + col("cnt") - lit(0.3)) /
+            (col("n") + lit(0.4)))).as("y"))
+      def pf(term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col("dh"),
+          term.as("t")))), lit(0.0), (a, e) => a + e.getField("t"))
+      val m = xy.agg(count(lit(1)).as("k"), pf(col("x")).as("sx"),
+        pf(col("y")).as("sy"), pf(col("x") * col("x")).as("sxx"),
+        pf(col("x") * col("y")).as("sxy"))
+      val shape = (col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx"))
+      val f = m.select(col("k"), shape.as("shape"),
+        ((col("sy") - shape * col("sx")) / col("k")).as("icpt"))
+      f.select(col("k").as("n_points"),
+        r4(col("shape")).as("weibull_shape"),
+        r2(exp(-col("icpt") / col("shape"))).as("weibull_scale_hours"))
+    },
+
     // Chi-square independence test on the event_type × arm contingency
     // table: observed counts are one hash aggregation; expected counts
     // are rationals of the integer marginals; the statistic sums
