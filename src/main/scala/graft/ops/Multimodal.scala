@@ -1049,7 +1049,18 @@ object Multimodal {
         val decoded: Option[(String, Int, Int, Int, Array[Int])] =
           decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, 3, px) }
             .orElse(decodePng(bytes).map { case (w, h, ch, px) =>
-              ("png", w, h, ch, px) })
+              // decodePng passes 16-bit samples through at full
+              // 0-65535 range (its roundtrip contract), but the luma
+              // weights, bright/dark thresholds, and the Long-headroom
+              // bound below all assume 8-bit — downshift (>> 8, the
+              // standard 16->8 truncation) before the stats loop. The
+              // PNG bit depth is IHDR byte 8 = absolute offset 24
+              // (sig 8 + chunk len/type 8 + w/h 8) in any valid PNG.
+              val px8 =
+                if (bytes.length > 24 && (bytes(24) & 0xff) == 16)
+                  px.map(_ >> 8)
+                else px
+              ("png", w, h, ch, px8) })
             .orElse(decodeGif(bytes).map { case (w, h, px) =>
               ("gif", w, h, 3, px) })
             .orElse(Jpeg.decode(bytes).map { case (w, h, ch, px) =>

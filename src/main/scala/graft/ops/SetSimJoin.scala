@@ -108,13 +108,18 @@ object SetSimJoin {
     // per-set canonical order: rarest token first (ties by hash value);
     // prefix = first s - ceil(tau*s) + 1 tokens in that order. Both
     // windows share one (id) exchange: the unordered count rides the
-    // partition, row_number pays the per-set sort.
+    // partition, row_number pays the per-set sort. Every candidate-side
+    // ceil() subtracts 1e-9 first: tau*s in binary FP can land a hair
+    // ABOVE an exact integer (tau=0.07, s=100 -> 7.000000000000001,
+    // ceil = 8 not 7), which would shorten the prefix / tighten the
+    // filters past what the exact verify accepts — recall < 1.0. The
+    // epsilon can only LOOSEN a candidate bound, never the verify.
     val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
     val ws = Window.partitionBy("id")
     val prefix = tokRows.join(freq, "h")
       .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
-      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
+      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s") - lit(1e-9)) + 1)
       .select(col("id"), col("s"), col("p"), col("h").as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -139,9 +144,10 @@ object SetSimJoin {
       col("p").as("pb"), col("tok"))
     val cand = a.join(b, "tok")
       .filter(col("a") < col("b"))
-      .filter(col("sb") * tau <= col("sa") && col("sa") * tau <= col("sb"))
+      .filter(col("sb") * tau <= col("sa") + lit(1e-9) &&
+        col("sa") * tau <= col("sb") + lit(1e-9))
       .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
-        ceil(lit(tau) / (1 + tau) * (col("sa") + col("sb"))))
+        ceil(lit(tau) / (1 + tau) * (col("sa") + col("sb")) - lit(1e-9)))
       .select("a", "b").distinct()
 
     // hashed verification — recall-complete (hashed-Jaccard ≥ true
@@ -254,7 +260,7 @@ object SetSimJoin {
       .select(col("id"), col("s"), col("p"), col("h").as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aPrefix = ordered
-      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
+      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s") - lit(1e-9)) + 1)
       .select(col("id").as("a"), col("s").as("sa"), col("p").as("pa"),
         col("tok"))
     val bAll = ordered.select(col("id").as("b"), col("s").as("sb"),
@@ -262,8 +268,9 @@ object SetSimJoin {
 
     val cand = aPrefix.join(bAll, "tok")
       .filter(col("a") =!= col("b"))
-      .filter(col("sb") >= ceil(lit(tau) * col("sa")))
-      .filter(col("sa") - col("pa") + 1 >= ceil(lit(tau) * col("sa")))
+      .filter(col("sb") >= ceil(lit(tau) * col("sa") - lit(1e-9)))
+      .filter(col("sa") - col("pa") + 1 >=
+        ceil(lit(tau) * col("sa") - lit(1e-9)))
       .select("a", "b").distinct()
 
     // hashed verification: hashed containment ≥ true containment

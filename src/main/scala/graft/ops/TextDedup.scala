@@ -284,10 +284,14 @@ object TextDedup {
     // are exactly the cross-corpus LSH candidates
     val lb = bandKeys(left)
     val rb = bandKeys(right)
+    // no id-inequality here: this is a BIPARTITE join of two
+    // independent frames, so self-pair exclusion does not apply — a
+    // left id that numerically coincides with a right id (normal when
+    // train/eval carry separate id spaces) is still a true
+    // cross-corpus candidate
     val cands = lb.as("a")
       .join(rb.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") =!= col("b.id"))
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

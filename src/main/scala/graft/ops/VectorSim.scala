@@ -260,6 +260,43 @@ object VectorSim {
     selected.map { case (r, id, _, d) => (r, id, d) }
   }
 
+  /** Greedy Maximal-Marginal-Relevance selection (Carbonell &
+    * Goldstein 1998) over a RELEVANCE-RANKED candidate pool: k steps,
+    * each picking argmax of λ·rel − (1−λ)·max-cosine-to-selected.
+    * `cand` must carry (id, v, rel) and be POOL-sized (the caller
+    * bounds it — e.g. top-N by relevance from one corpus scan; the
+    * greedy then runs k model-sized joins over the pool, so corpus
+    * size only ever touches the caller's scan). Determinism: every
+    * cosine is rounded to the 1e-6 lattice BEFORE any max/compare,
+    * argmax ties break on id (the sim_topk contract). Output:
+    * (step, id, rel, score), step 1..k. */
+  def mmrSelect(cand0: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r6d = (c: Column) => round(c + lit(1e-9), 6)
+    val cand = cand0.select(col("id"), col("v"), col("rel"))
+      .localCheckpoint()
+    var sel = cand.orderBy(col("rel").desc, col("id")).limit(1)
+      .select(col("id"), col("v"), col("rel"),
+        col("rel").as("score"), lit(1L).as("step"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val selV = sel.select(col("id").as("sid"), col("v").as("sv"))
+      val rem = cand.join(
+        selV.select(col("sid").as("id")), Seq("id"), "left_anti")
+      val msim = rem.crossJoin(broadcast(selV))
+        .groupBy("id")
+        .agg(max(r6d(cosine(col("v"), col("sv")))).as("msim"))
+      val next = rem.join(msim, "id")
+        .select(col("id"), col("v"), col("rel"),
+          r6d(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * col("msim")).as("score"),
+          lit(step.toLong).as("step"))
+        .orderBy(col("score").desc, col("id")).limit(1)
+      sel = sel.union(next).localCheckpoint()
+    }
+    sel.select(col("step"), col("id"), col("rel"), col("score"))
+  }
+
   def kmeansCentroids(corpus: DataFrame, vec: Column, k: Int,
       iters: Int = 5): Array[Array[Double]] = {
     val unitVecs0 = corpus.select(unit(vec).as("v"))
@@ -507,18 +544,33 @@ object VectorSim {
       .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("v"), s * dsub + lit(1), lit(dsub)))).as(Seq("s", "sv")))
       .persist()
-    // init: per subspace, bottom-ksub distinct subvectors by hash
-    val w = Window.partitionBy("s")
-      .orderBy(xxhash64(col("sv")), col("sv"))
+    // init: per subspace, bottom-ksub distinct subvectors by hash —
+    // through the BOUNDED-HEAP top-k aggregate (ops/TopK), not a
+    // window: `row_number().over(partitionBy("s"))` would route ALL
+    // distinct subvectors of a subspace into ONE task (m partitions
+    // total) and sort the corpus there. The heap keeps ≤ 2·ksub
+    // candidates per (map partition, subspace), so the exchange moves
+    // O(m · partitions · ksub) rows at any corpus size. Order is
+    // (xxhash64 ASC — negated for the max-heap — then the serialized
+    // subvector ASC on hash-rounding ties): total and deterministic,
+    // which is all an init seed needs. The subvector rides the
+    // tiebreak string (Spark's double→string cast is shortest-
+    // roundtrip; parseDouble inverts it exactly).
     try {
-    val initRows = subs.distinct()
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= ksub)
+    val initRows = graft.ops.TopK.perKey(
+        subs.distinct(),
+        key = col("s"),
+        value = -xxhash64(col("sv")).cast("double"),
+        tiebreak = concat_ws(",",
+          transform(col("sv"), x => x.cast("string"))),
+        k = ksub)
+      .select(col("key").cast("int").as("s"), col("rank"),
+        col("tiebreak"))
       .collect()
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m) { s =>
-        initRows.filter(_.getInt(0) == s).sortBy(_.getInt(2))
-          .map(_.getSeq[Double](1).toArray)
+        initRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+          .map(_.getString(2).split(',').map(java.lang.Double.parseDouble))
       }
     require(books.forall(_.nonEmpty), "pqCodebooks: empty subspace init")
     (0 until iters).foreach { _ =>
@@ -664,6 +716,71 @@ object VectorSim {
     val luts = queries.select(col("q_id"),
       pqLut(col("q_vec"), books, native).as("lut")).persist(lvl)
     val adc = codes.join(broadcast(luts), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("lut"), col("codes"),
+          (t, cd) => element_at(t, cd + 1)),
+          lit(0.0), (a, x) => a + x).as("adc"))
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(round(col("adc") + lit(1e-9), 6).asc, col("n_id"))
+    val cands = adc.withColumn("crk", row_number().over(wAdc))
+      .filter(col("crk") <= rerank)
+      .select("q_id", "n_id")
+    val rescored = cands
+      .join(corpus, Seq("n_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineExpr(col("q_vec"), col("n_vec"), native).as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("cos") + lit(1e-9), 6).desc, col("n_id"))
+    val out = rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+    PqTopK(out, () => { codes.unpersist(); luts.unpersist(); () })
+  }
+
+  /** IVF-PQ composition (the FAISS IVFPQ shape, Jégou et al. 2011
+    * §IV) — the scale-safe form of PQ search: the coarse quantizer
+    * BOUNDS the candidate set (each query ADC-scores only the rows of
+    * its `nprobe` nearest cells — a cell equi-join, never the whole
+    * corpus), ADC ranks within those cells, and `rerank` stays a
+    * FIXED constant independent of corpus size. Flat PQ
+    * ([[topKAnnPq]]) scores every (query × corpus row) pair and needs
+    * rerank ∝ corpus on hard data — a linear scan in disguise; here
+    * the per-query cost is |probed cells| ADC lookups + rerank·dim
+    * exact reads, both independent of total corpus size once cells
+    * are sized (ncells ∝ √n keeps cell population √n).
+    *
+    * Scale shape: ONE corpus scan into (n_id, cell, codes) — the
+    * compressed+celled relation a deployment persists; query LUTs are
+    * broadcast with their probe cells; a corpus row lives in exactly
+    * one cell and probe cells are distinct, so a (q, n) pair matches
+    * at most once — no distinct needed. Same output/recall-dial
+    * contract as [[topKAnnIvf]]/[[topKAnnPq]]; recall dials are
+    * (nprobe, rerank). */
+  def topKAnnIvfPq(
+      queries: DataFrame, // (q_id, q_vec)
+      corpus: DataFrame, // (n_id, n_vec)
+      k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int,
+      rerank: Int,
+      native: Boolean = false): PqTopK = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // one corpus scan: coarse cell + PQ codes (persist marker doubles
+    // as the CollapseProject cost barrier — see topKAnnPq step 1)
+    val codes = corpus.select(col("n_id"),
+      element_at(nearestCells(col("n_vec"), centroids, 1), 1).as("cell"),
+      pqEncode(col("n_vec"), books, native).as("codes")).persist(lvl)
+    // query side: LUT once per query, exploded to its nprobe probe
+    // cells (the LUT array is duplicated nprobe× — broadcast-sized)
+    val luts = queries.select(col("q_id"),
+      explode(nearestCells(col("q_vec"), centroids, nprobe)).as("pcell"),
+      pqLut(col("q_vec"), books, native).as("lut")).persist(lvl)
+    val adc = codes.join(broadcast(luts),
+        col("cell") === col("pcell") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         aggregate(zip_with(col("lut"), col("codes"),
           (t, cd) => element_at(t, cd + 1)),

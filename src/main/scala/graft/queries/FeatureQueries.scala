@@ -732,9 +732,10 @@ object FeatureQueries {
         |d AS (SELECT t, count(*) FILTER (ev)::BIGINT d,
         |             count(*)::BIGINT ended FROM u GROUP BY 1),
         |tot AS (SELECT count(*)::BIGINT nu FROM u),
-        |c AS (SELECT t, d, nu - coalesce(sum(ended) OVER (ORDER BY t
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |        AS n_risk
+        |c AS (SELECT t, d,
+        |        CAST(nu - coalesce(sum(ended) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS n_risk
         |      FROM d, tot),
         |h AS (SELECT t, d, n_risk,
         |        (2 * d * 1000000000 + n_risk) // (2 * n_risk) AS hp

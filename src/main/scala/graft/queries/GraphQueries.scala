@@ -315,7 +315,12 @@ object GraphQueries {
               * (col("dsum").cast("double") / (lit(2) * col("m"))))
             .as("q_contrib"))
         .orderBy("community")
-      out
+      // materialize the community-count-sized result (≤ #nations rows)
+      // while ec's cache is still warm, then release it — library-style
+      // callers keep no cache entry behind (the SimPairs discipline)
+      val outP = out.localCheckpoint(true)
+      ec.unpersist(false)
+      outP
     },
 
     // Deterministic random walks (the DeepWalk/node2vec sampling

@@ -3114,14 +3114,16 @@ object LlmQueries {
     // SQ8 (per-dimension scalar codes), PQ (per-subspace codebooks —
     // m codes/vector, 32x smaller than float32 at dim 64 / m 8).
     // Codebooks train in one distributed pass per Lloyd round across
-    // all m subspaces (deterministic hash init, model-sized collects);
-    // the corpus is scanned once into compressed codes; queries ADC-
-    // score candidates by m lookup-table reads and exact-rerank only
-    // the top `rerank` survivors (equi-join back to raw vectors).
-    // Same checked contract as the LSH/IVF queries: recall >= 0.8 vs
-    // the exact top-3 (measured ~0.9+ at m=8/ksub=16/rerank=40 on
-    // these unclustered random vectors — PQ's hardest case; AnnRecall-
-    // Spec asserts the sf0.1 floor).
+    // all m subspaces (deterministic hash init through the bounded-
+    // heap top-k aggregate, model-sized collects); the corpus is
+    // scanned ONCE into (cell, codes); each query ADC-scores only its
+    // nprobe coarse cells' rows by m lookup-table reads and exact-
+    // reranks a FIXED number of survivors (equi-join back to raw
+    // vectors) — the FAISS IVFPQ composition, the shape whose
+    // per-query cost stays constant as the corpus grows. Same checked
+    // contract as the LSH/IVF queries: recall >= 0.8 vs the exact
+    // top-3 on these unclustered random vectors — PQ's hardest case;
+    // AnnRecallSpec asserts the sf0.1 floor.
     q("sim_ann_pq",
       """SELECT 20 AS n_q, TRUE AS recall_ok""") { c =>
       graft.functions.GraftFunctions.register(c.spark)
@@ -3129,19 +3131,22 @@ object LlmQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val cents = VectorSim.kmeansCentroids(corpus, col("n_vec"),
+        k = 8, iters = 3)
       val books = VectorSim.pqCodebooks(corpus, col("n_vec"),
         m = 16, ksub = 16, iters = 1)
       val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
         .select(col("q_id"), col("n_id"))
-      // rerank is the recall dial and must scale WITH the corpus (a
-      // fixed 64 of 500 holds 0.87 at sf0.01 but drops under the 0.8
-      // contract at sf0.1's 2000 vectors): ~13% of the corpus, the
-      // AnnRecallSpec-calibrated ratio (0.942 recall@10 at sf0.1)
-      val rerank = math.max(64, (corpus.count() * 13 / 100).toInt)
+      // IVF-PQ (r9 verdict #2): the coarse cells bound each query's
+      // candidate set (nprobe of 8 cells), ADC ranks within them, and
+      // rerank stays a FIXED 96 — flat PQ needed rerank ∝ 13% of the
+      // corpus to hold the floor on these unclustered random vectors,
+      // i.e. a linear scan in disguise; the composition's per-query
+      // cost is independent of corpus size (ncells scales as √n).
       // lifecycle lives here (the SimPairs stance): materialize the
       // reranked result while the code/LUT caches are live, release
-      val pq = VectorSim.topKAnnPq(queries, corpus, 3, books,
-        rerank = rerank, native = true)
+      val pq = VectorSim.topKAnnIvfPq(queries, corpus, 3, cents, books,
+        nprobe = 6, rerank = 96, native = true)
       val ann = pq.df
         .select(col("q_id").as("aq"), col("n_id").as("an"))
         .localCheckpoint()
@@ -3697,26 +3702,8 @@ object LlmQueries {
         .select(col("vec_id").as("id"), col("embedding").as("v"),
           r6(VectorSim.cosine(col("embedding"), col("qv"))).as("rel"))
         .orderBy(col("rel").desc, col("id")).limit(12)
-        .localCheckpoint()
-      var sel = cand.orderBy(col("rel").desc, col("id")).limit(1)
-        .select(col("id"), col("v"), col("rel"),
-          col("rel").as("score"), lit(1L).as("step"))
-        .localCheckpoint()
-      for (step <- 2 to 4) {
-        val selV = sel.select(col("id").as("sid"), col("v").as("sv"))
-        val rem = cand.join(
-          selV.select(col("sid").as("id")), Seq("id"), "left_anti")
-        val msim = rem.crossJoin(broadcast(selV))
-          .groupBy("id")
-          .agg(max(r6(VectorSim.cosine(col("v"), col("sv")))).as("msim"))
-        val next = rem.join(msim, "id")
-          .select(col("id"), col("v"), col("rel"),
-            r6(lit(0.75) * col("rel") - lit(0.25) * col("msim"))
-              .as("score"), lit(step.toLong).as("step"))
-          .orderBy(col("score").desc, col("id")).limit(1)
-        sel = sel.union(next).localCheckpoint()
-      }
-      sel.select(col("step"), col("id").as("vec_id"), col("rel"),
+      VectorSim.mmrSelect(cand, k = 4, lambda = 0.75)
+        .select(col("step"), col("id").as("vec_id"), col("rel"),
           col("score").as("mmr_score"))
         .orderBy("step")
     },

@@ -485,12 +485,19 @@ object StatQueries {
       val t = g.agg(sum(col("cnt")).as("nc"))
       val cw = graft.ops.Positional.withCumSums(g, Seq(col("dh")),
         Seq(col("cnt") -> "cum"))
-      val qs = cw.crossJoin(broadcast(t)).groupBy("nc").agg(
+      // grouping-FREE scalar aggregate (nc is constant across rows, so
+      // max(nc) ≡ the oracle's GROUP BY t.nc key; the isNotNull filter
+      // reproduces the oracle's empty-histogram edge where GROUP BY
+      // over zero rows yields zero rows) — a 1-row agg the BNLJ plan
+      // audit recognizes as a bounded broadcast build side
+      val qs = cw.crossJoin(broadcast(t)).agg(
         min(when(col("cum") + col("cnt") >=
           ((col("nc") + 1) / 2).cast("long"), col("dh"))).as("p50"),
         min(when(col("cum") + col("cnt") >=
           ((col("nc") * 9 + 9) / 10).cast("long"), col("dh"))).as("p90"),
-        max(col("dh")).as("mx"))
+        max(col("dh")).as("mx"),
+        max(col("nc")).as("nc"))
+        .filter(col("nc").isNotNull)
       ns.crossJoin(broadcast(qs))
         .select(col("n_signups"), col("nc").as("n_converted"),
           r4(col("nc") * lit(1.0) / col("n_signups")).as("conv_rate"),

@@ -88,6 +88,92 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.9, f"PQ recall@10 $r%.3f below the 0.9 floor")
   }
 
+  test("IVF-PQ recall@10 >= 0.9 vs exact kNN at sf0.1 with FIXED rerank") {
+    // The scale-safe composition (r9 verdict #2): coarse cells bound
+    // the ADC candidate set and rerank is a CONSTANT (256), not a
+    // corpus fraction — this test pins the property that recall holds
+    // without any corpus-proportional dial. nprobe 12/16 mirrors the
+    // IVF test's unclustered-regime setting.
+    val cents = VectorSim.kmeansCentroids(corpus, col("n_vec"),
+      k = 16, iters = 5)
+    val books = VectorSim.pqCodebooks(corpus, col("n_vec"),
+      m = 16, ksub = 16, iters = 1)
+    val pq = VectorSim.topKAnnIvfPq(queries, corpus, k, cents, books,
+      nprobe = 12, rerank = 256, native = true)
+    val ann = pq.df.localCheckpoint()
+    pq.release()
+    val r = recallAt10(ann)
+    info(f"IVF-PQ recall@10 = $r%.3f (cells=16, nprobe=12, rerank=256)")
+    assert(r >= 0.9, f"IVF-PQ recall@10 $r%.3f below the 0.9 floor")
+  }
+
+  test("k-center greedy at sf0.1: selection distances non-increasing " +
+    "and coverage radius bounded by the last pick (Gonzalez property)") {
+    // Quality floor for sim_kcenter_coreset's device (r9 verdict
+    // surplus ask): the greedy's 2-approximation rests on (a) pick
+    // distances non-increasing and (b) every corpus point within the
+    // k-th pick's distance of SOME exemplar. Both are exact properties
+    // of a correct implementation — any bucketing/rounding shortcut
+    // that silently degrades the selection breaks one of them.
+    val k = 8
+    val sel = VectorSim.kCenterSelect(corpus, "n_id", col("n_vec"), k)
+    assert(sel.size == k)
+    val dists = sel.map(_._3)
+    assert(dists.drop(1).zip(dists.drop(2)).forall { case (a, b) => b <= a },
+      s"pick distances must be non-increasing: $dists")
+    val selLit = typedLit(sel.map(_._2))
+    val selVecs = corpus.filter(col("n_id").isInCollection(sel.map(_._2)))
+      .select(col("n_id").as("s_id"), col("n_vec").as("s_vec"))
+    val coverage = corpus.crossJoin(broadcast(selVecs))
+      .select(col("n_id"),
+        round(lit(1.0) - VectorSim.cosine(col("n_vec"), col("s_vec"))
+          + lit(1e-9), 6).as("d"))
+      .groupBy("n_id").agg(min(col("d")).as("md"))
+      .agg(max(col("md"))).collect()(0).getDouble(0)
+    val dk = dists.last
+    info(f"k-center coverage radius = $coverage%.6f, last pick d = $dk%.6f")
+    assert(coverage <= dk + 1e-6,
+      f"coverage $coverage%.6f exceeds the k-th pick distance $dk%.6f")
+  }
+
+  test("MMR at sf0.1: selected set is strictly more diverse than " +
+    "top-k-by-relevance at equal pool (diversity floor)") {
+    // Quality floor for sim_mmr's device: MMR exists to trade
+    // redundancy for diversity — assert the mean pairwise cosine of
+    // the MMR-selected set is BELOW that of the plain top-k slice of
+    // the same pool, and every pick comes from the pool. Deterministic
+    // (no RNG), so the measured margin is stable.
+    val k = 8
+    val q0 = queries.filter(col("q_id") === 0).select(col("q_vec").as("qv"))
+    val pool = corpus.filter(col("n_id") > 0).crossJoin(broadcast(q0))
+      .select(col("n_id").as("id"), col("n_vec").as("v"),
+        round(VectorSim.cosine(col("n_vec"), col("qv")) + lit(1e-9), 6)
+          .as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(32)
+      .localCheckpoint()
+    val mmrIds = VectorSim.mmrSelect(pool, k, lambda = 0.75)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val topIds = pool.orderBy(col("rel").desc, col("id")).limit(k)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val poolIds = pool.select("id").collect().map(_.getLong(0)).toSet
+    assert(mmrIds.subsetOf(poolIds), "MMR picked outside its pool")
+    assert(mmrIds.size == k)
+    def meanPairCos(ids: Set[Long]): Double = {
+      val a = pool.filter(col("id").isInCollection(ids))
+        .select(col("id").as("a_id"), col("v").as("a_v"))
+      val b = pool.filter(col("id").isInCollection(ids))
+        .select(col("id").as("b_id"), col("v").as("b_v"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .select(VectorSim.cosine(col("a_v"), col("b_v")).as("c"))
+        .agg(avg(col("c"))).collect()(0).getDouble(0)
+    }
+    val mmrCos = meanPairCos(mmrIds)
+    val topCos = meanPairCos(topIds)
+    info(f"mean pairwise cos: MMR=$mmrCos%.4f, top-k=$topCos%.4f")
+    assert(mmrCos < topCos,
+      f"MMR set ($mmrCos%.4f) not more diverse than top-k ($topCos%.4f)")
+  }
+
   test("SQ8 reconstructed-corpus recall@10 >= 0.9 vs exact kNN at sf0.1") {
     val corp = corpus.select(col("n_id"),
       expr("transform(n_vec, x -> cast(x AS DOUBLE))").as("v"))

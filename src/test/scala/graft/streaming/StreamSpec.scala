@@ -677,4 +677,56 @@ class StreamSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("streaming per-day HLL registers equal the batch register " +
+    "tables for any batch split (agg_hll_sliding parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // (day, user): day d1 spans BOTH batches (register carry), users
+    // repeat within and across days (max idempotence)
+    val rows = Seq(
+      ("2024-01-01", "u1"), ("2024-01-01", "u2"), ("2024-01-02", "u1"),
+      ("2024-01-01", "u3"), ("2024-01-02", "u4"), ("2024-01-03", "u5"),
+      ("2024-01-01", "u1"), ("2024-01-03", "u2"), ("2024-01-01", "u6"))
+    val input = MemoryStream[(String, String)]
+    val hll = StreamOps.hllDailyState(
+      input.toDF.toDF("d", "u"), "d", "u")
+    val q = hll.writeStream.format("memory")
+      .queryName("hll_stream").outputMode("update").start()
+    try {
+      input.addData(rows.take(4))
+      q.processAllAvailable()
+      input.addData(rows.drop(4))
+      q.processAllAvailable()
+      // latest emitted register table per day, exploded to non-zero
+      // registers (memory sink in update mode appends — last write of
+      // a day wins, identified by the register-wise max)
+      val streamed = sp.sql("SELECT day, regs FROM hll_stream")
+        .groupBy("day").agg(max(struct(
+          aggregate(col("regs"), lit(0), (a, x) => a + x).as("__tot"),
+          col("regs").as("regs"))).as("m"))
+        .select(col("day"), posexplode(col("m.regs")).as(Seq("reg", "mx")))
+        .filter(col("mx") > 0)
+        .select(col("day"), col("reg"), col("mx"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch reference: agg_hll_sliding's per-day register maxima
+      // (identical md5 reg/rho formula, DataFrame form)
+      val hx = md5(col("u"))
+      val vCol = conv(substring(hx, 3, 14), 16, 10).cast("long")
+      val batch = rows.toDF("d", "u").distinct()
+        .select(col("d"),
+          conv(substring(hx, 1, 2), 16, 10).cast("int").as("reg"),
+          when(vCol === 0, 57)
+            .otherwise(instr(lpad(bin(vCol), 56, "0"), "1"))
+            .cast("int").as("rho"))
+        .groupBy("d", "reg").agg(max(col("rho")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // register equality ⇒ every downstream trailing-window merge and
+      // estimate (a deterministic function of the registers) is equal
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }

@@ -71,6 +71,25 @@ for name in sorted(set(names) | set(declared)):
     if list(g.columns) != list(e.columns):
         print(f"COLS-DIFF {name}: got={list(g.columns)} exp={list(e.columns)}")
         fail += 1; continue
+    # DTYPE-DRIFT guard: the DRIVER's harness hashes stringified values,
+    # so an int64 Spark column vs a float64 oracle column (e.g. DuckDB
+    # sum(BIGINT) -> HUGEINT -> pandas float64) hashes "150" vs "150.0"
+    # and fails there even though check_exact value-compare passes here
+    # (the r9 ml_nelson_aalen red). Fail locally on any int/float/bool
+    # class mismatch so this class can never again pass local-only.
+    def dclass(dt):
+        s = str(dt)
+        if s.startswith(("int", "uint")): return "int"
+        if s.startswith("float"): return "float"
+        if s == "bool" or s == "boolean": return "bool"
+        return "other"
+    drift = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in g.columns
+             if dclass(got[c].dtype) != dclass(exp[c].dtype)
+             and "other" not in (dclass(got[c].dtype), dclass(exp[c].dtype))]
+    if drift:
+        for c, gd, ed in drift:
+            print(f"DTYPE-DRIFT {name}.{c}: spark={gd} oracle={ed}")
+        fail += 1; continue
     if len(g) != len(e):
         print(f"NROWS-DIFF {name}: got={len(g)} exp={len(e)}")
         fail += 1; continue
