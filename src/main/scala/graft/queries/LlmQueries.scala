@@ -1455,7 +1455,7 @@ object LlmQueries {
         |SELECT q_id, rnk, n_id, round(cos + 1e-9, 6) AS cos
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""",
       bench = true) { c =>
-      val queries = c.embeddings.filter(col("vec_id") < 10)
+      val queries = c.embeddings.filter(col("vec_id") < 10).limit(10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -1474,7 +1474,7 @@ object LlmQueries {
     // 0.8 (r2's 0.5 was a loose contract).
     q("sim_ann_lsh",
       """SELECT 20 AS n_q, TRUE AS recall_ok""") { c =>
-      val queries = c.embeddings.filter(col("vec_id") < 20)
+      val queries = c.embeddings.filter(col("vec_id") < 20).limit(20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -1505,7 +1505,7 @@ object LlmQueries {
     q("sim_ann_ivf",
       """SELECT 20 AS n_q, TRUE AS recall_ok""") { c =>
       graft.functions.GraftFunctions.register(c.spark)
-      val queries = c.embeddings.filter(col("vec_id") < 20)
+      val queries = c.embeddings.filter(col("vec_id") < 20).limit(20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
@@ -1771,7 +1771,7 @@ object LlmQueries {
         |       c.vec_id NOT IN (SELECT b FROM p) AS kept
         |FROM cell c ORDER BY vec_id""") { c =>
       graft.functions.GraftFunctions.register(c.spark)
-      val anchors = c.embeddings.filter(col("vec_id") < 8)
+      val anchors = c.embeddings.filter(col("vec_id") < 8).limit(8)
         .select(col("vec_id").as("aid"), col("embedding").as("avec"))
       VectorSim.semanticDedup(
           c.embeddings.select(col("vec_id").as("id"),
@@ -3098,7 +3098,7 @@ object LlmQueries {
               least(floor(d * lit(255.0) / r), lit(255.0)) *
                 r / lit(255.0))),
           mmLit.getItem(0), (s, m) => s + m).as("n_vec"))
-      val queries = c.embeddings.filter(col("vec_id") < 3)
+      val queries = c.embeddings.filter(col("vec_id") < 3).limit(3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       // HOF cosine (not graft_cosine): the reconstructed corpus is
       // double-typed; the native expression is float32-only.
@@ -3127,7 +3127,7 @@ object LlmQueries {
     q("sim_ann_pq",
       """SELECT 20 AS n_q, TRUE AS recall_ok""") { c =>
       graft.functions.GraftFunctions.register(c.spark)
-      val queries = c.embeddings.filter(col("vec_id") < 20)
+      val queries = c.embeddings.filter(col("vec_id") < 20).limit(20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))

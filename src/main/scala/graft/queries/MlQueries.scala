@@ -1361,7 +1361,7 @@ object MlQueries {
         |SELECT q_id, y AS actual, pred, pred = y AS correct
         |FROM p ORDER BY q_id""") { c =>
       import org.apache.spark.sql.expressions.Window
-      val queries = c.embeddings.filter(col("vec_id") < 50)
+      val queries = c.embeddings.filter(col("vec_id") < 50).limit(50)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val corpus = c.embeddings
         .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))

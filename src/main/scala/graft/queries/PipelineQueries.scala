@@ -387,7 +387,7 @@ object PipelineQueries {
       // dense ranker: cosine top-20, query vec = the (qid-1) embedding;
       // topKBruteForce's self-exclusion (q_id != n_id) applies to the
       // RAW vec_id, matching the oracle's e.vec_id <> qid - 1
-      val queries = c.embeddings.filter(col("vec_id") < 3)
+      val queries = c.embeddings.filter(col("vec_id") < 3).limit(3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       graft.functions.GraftFunctions.register(c.spark)
       val dense = graft.ops.VectorSim.topKBruteForce(queries,

@@ -19,20 +19,87 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
-  test("no query in the FULL registry plans a CartesianProduct " +
+  test("no query in the FULL registry plans a CartesianProduct, and " +
+    "every BroadcastNestedLoopJoin builds from a bounded relation " +
     "(registry-wide sweep at smoke scale)") {
-    // building a df can run side-effect jobs (source writes, cache
-    // counts) — acceptable at sf0.001; the assertion is on the final
-    // physical plan of every registered query
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    // The one corpus-scale shape the CartesianProduct check cannot see
+    // (r9 verdict #4): a theta-join whose small side fits the broadcast
+    // threshold AT SMOKE SCALE plans BroadcastNestedLoopJoin, not
+    // CartesianProduct — at 100× the build side no longer fits and the
+    // plan degrades. A BNLJ is scale-safe only when its build side is
+    // structurally bounded: every leaf path passes through a
+    // grouping-free (1-row) aggregate or a limit/top-k. Queries whose
+    // BNLJ build side is a model-sized relation the code explicitly
+    // broadcast()-hints (k-row fits whose size is an algorithm
+    // constant, reviewed by hand) go on the allowlist; any NEW query
+    // with an unlisted unbounded BNLJ fails this sweep.
+    val allowlist: Set[String] = Set(
+      // a<b pair join over the whole corpus BY DESIGN — the query's
+      // own scaladoc marks it the ORACLE-regime formulation;
+      // dedup_embedding_lsh / embeddingDedupPairs is the corpus-scale
+      // path for the same contract
+      "dedup_embedding",
+      // build side is the distinct-calendar-days grid — bounded by
+      // the TIME RANGE of the data (days × 256 HLL registers /
+      // rolling-window day pairs), not by corpus row count
+      "agg_hll_sliding",
+      "events_rolling_dau",
+      // DOMAIN-bounded grouping keys the structural check cannot see:
+      // o_orderstatus has 3 values, the isotonic/calibration bins are
+      // least(floor(.),9)-capped at 10, nations number 25 — each build
+      // is an aggregate over a fixed-cardinality attribute domain
+      "gov_t_closeness", "ml_isotonic_calibration", "stat_kendall_tau",
+      // SERIES/GRID-sized builds (the documented ts_acf stance): these
+      // relations are bounded by the TIME RANGE (daily series, lag
+      // grids, backtest folds, order-stat picks at rn=1 / top-decile,
+      // decile grids, candidate rankings, score-lattice histograms) —
+      // model-sized at any corpus scale, invisible to the structural
+      // bound because the cardinality comes from the value domain
+      "ml_conformal", "ml_learning_curve", "rank_borda_condorcet",
+      "stat_hill_tail", "stat_lorenz_curve", "stat_mann_kendall",
+      "stat_permutation_test", "ts_acf", "ts_pacf", "ts_ljung_box",
+      "ts_backtest", "ts_page_hinkley",
+      // the operator under test IS a cross join (nation × region
+      // dimension tables — the rel algebra's CrossJoin node)
+      "join_cross")
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        true
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
+    }
+    // one df build per query serves BOTH plan checks (building a df
+    // can run side-effect jobs — source writes, model-fit collects —
+    // acceptable at sf0.001; the assertions are on final plans)
+    val (carts, bnljs) = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val df = fn(spark, sfDir)
-        val plan = df.queryExecution.executedPlan.toString
+        val sparkPlan = df.queryExecution.sparkPlan
+        val cart =
+          if (sparkPlan.toString.contains("CartesianProduct")) Some(name)
+          else None
+        val badBnlj = sparkPlan.collect {
+          case j: BroadcastNestedLoopJoinExec =>
+            val build =
+              if (j.buildSide == BuildLeft) j.left else j.right
+            if (bounded(build) || allowlist(name)) None
+            else Some(s"$name: unbounded BNLJ build side:\n$build")
+        }.flatten
         spark.catalog.clearCache()
-        if (plan.contains("CartesianProduct")) Some(name) else None
-    }
-    assert(offenders.isEmpty,
-      s"cartesian products in: ${offenders.mkString(", ")}")
+        (cart, badBnlj)
+    }.unzip
+    assert(carts.flatten.isEmpty,
+      s"cartesian products in: ${carts.flatten.mkString(", ")}")
+    assert(bnljs.flatten.isEmpty,
+      s"unbounded BNLJ build sides:\n${bnljs.flatten.mkString("\n")}")
   }
 
   test("ml_pr_curve plans no single-partition window over the score " +
