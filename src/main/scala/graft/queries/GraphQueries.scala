@@ -540,5 +540,69 @@ object GraphQueries {
         .agg(count(lit(1)).as("reach2"))
         .orderBy(col("reach2").desc, col("node")).limit(20)
     },
+
+    // Katz centrality (Katz 1953) — the attenuated WALK-count
+    // centrality beside PageRank's normalized random walk and HITS'
+    // mutual reinforcement: c(v) = Σ_k β^k · |walks of length k ending
+    // at v|, truncated at k=3 with dyadic β = 1/4, so every term is an
+    // exact integer walk count divided by a power of two — engine-
+    // exact with zero iteration drift (the unrolled-iteration oracle
+    // stance). Walk counts recurse as p_k(v) = Σ_{u→v} p_{k-1}(u) —
+    // two equi-joins over the distinct nation-level edge projection
+    // (the corpus is scanned ONCE to build the edges; everything after
+    // runs on the ≤ nations² edge list).
+    q("graph_katz",
+      """WITH e AS (SELECT DISTINCT s.s_nationkey u, c.c_nationkey v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o_custkey = c.c_custkey
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey
+        |  WHERE l_quantity > 45),
+        |p1 AS (SELECT v, count(*)::BIGINT p FROM e GROUP BY 1),
+        |p2 AS (SELECT e.v, sum(p1.p)::BIGINT p FROM e
+        |       JOIN p1 ON p1.v = e.u GROUP BY 1),
+        |p3 AS (SELECT e.v, sum(p2.p)::BIGINT p FROM e
+        |       JOIN p2 ON p2.v = e.u GROUP BY 1),
+        |n AS (SELECT DISTINCT v FROM
+        |      (SELECT u AS v FROM e UNION ALL SELECT v FROM e))
+        |SELECT n.v::BIGINT AS node,
+        |  coalesce(p1.p, 0)::BIGINT AS walks1,
+        |  coalesce(p2.p, 0)::BIGINT AS walks2,
+        |  coalesce(p3.p, 0)::BIGINT AS walks3,
+        |  round(coalesce(p1.p, 0) / 4.0 + coalesce(p2.p, 0) / 16.0
+        |        + coalesce(p3.p, 0) / 64.0 + 1e-9, 6) AS katz
+        |FROM n LEFT JOIN p1 ON p1.v = n.v
+        |LEFT JOIN p2 ON p2.v = n.v LEFT JOIN p3 ON p3.v = n.v
+        |ORDER BY node""") { c =>
+      val e = c.lineitem.filter(col("l_quantity") > 45)
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.customer.select(col("c_custkey"),
+          col("c_nationkey").as("v"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c.supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("u"))), col("l_suppkey") === col("s_suppkey"))
+        .select(col("u"), col("v")).distinct()
+        .localCheckpoint() // three walk steps re-join the same edges
+      val p1 = e.groupBy("v").agg(count(lit(1)).as("p"))
+      val p2 = e.join(p1.select(col("v").as("u"), col("p")), Seq("u"))
+        .groupBy("v").agg(sum(col("p")).as("p"))
+      val p3 = e.join(p2.select(col("v").as("u"), col("p")), Seq("u"))
+        .groupBy("v").agg(sum(col("p")).as("p"))
+      val nodes = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node"))).distinct()
+      nodes
+        .join(p1.select(col("v").as("node"), col("p").as("w1")),
+          Seq("node"), "left")
+        .join(p2.select(col("v").as("node"), col("p").as("w2")),
+          Seq("node"), "left")
+        .join(p3.select(col("v").as("node"), col("p").as("w3")),
+          Seq("node"), "left")
+        .select(col("node").cast("long").as("node"),
+          coalesce(col("w1"), lit(0L)).as("walks1"),
+          coalesce(col("w2"), lit(0L)).as("walks2"),
+          coalesce(col("w3"), lit(0L)).as("walks3"),
+          r6(coalesce(col("w1"), lit(0L)) / lit(4.0) +
+            coalesce(col("w2"), lit(0L)) / lit(16.0) +
+            coalesce(col("w3"), lit(0L)) / lit(64.0)).as("katz"))
+        .orderBy("node")
+    },
   )
 }

@@ -1657,5 +1657,56 @@ object MlQueries {
           "feature2", "threshold2", "left_step", "right_step",
           "rmse_baseline", "rmse_boosted", "n")
     },
+
+    // Cohen's kappa — chance-corrected inter-annotator agreement, the
+    // label-quality gate a training-data pipeline runs over two
+    // labelers (here: two deterministic rule "raters" on the same
+    // rows) before trusting their annotations; beside ml_metrics_cls'
+    // accuracy family, which ignores chance agreement. κ =
+    // (N·(n11+n00) − Σ marginal products) / (N² − Σ marginal
+    // products) — ONE ratio of exact integers from a single
+    // aggregation, so the statistic is engine-exact to the last bit
+    // before the final rounding.
+    q("ml_cohen_kappa",
+      """WITH l AS (SELECT
+        |    CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END a,
+        |    CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END b
+        |  FROM lineitem),
+        |s AS (SELECT count(*)::BIGINT n,
+        |        sum(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END)::BIGINT n11,
+        |        sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END)::BIGINT n10,
+        |        sum(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END)::BIGINT n01,
+        |        sum(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END)::BIGINT n00
+        |      FROM l)
+        |SELECT n11, n10, n01, n00,
+        |  round((n11 + n00) * 1.0 / n + 1e-9, 6) AS po,
+        |  round(((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) * 1.0
+        |        / (n * n) + 1e-9, 6) AS pe,
+        |  round((n * (n11+n00)
+        |         - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) * 1.0
+        |        / (n * n
+        |           - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+        |        + 1e-9, 6) AS kappa
+        |FROM s""") { c =>
+      val l = c.lineitem.select(
+        when(col("l_quantity") > 25, 1).otherwise(0).as("a"),
+        when(col("l_extendedprice") > 30000, 1).otherwise(0).as("b"))
+      val s = l.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .as("n11"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+          .as("n00"))
+      val marg = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00"))
+      s.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        r6((col("n11") + col("n00")) * lit(1.0) / col("n")).as("po"),
+        r6(marg * lit(1.0) / (col("n") * col("n"))).as("pe"),
+        r6((col("n") * (col("n11") + col("n00")) - marg) * lit(1.0) /
+          (col("n") * col("n") - marg)).as("kappa"))
+    },
   )
 }

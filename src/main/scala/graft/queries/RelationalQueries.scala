@@ -303,6 +303,45 @@ object RelationalQueries {
         """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity) + 1e-9, 2) AS qty
           |FROM graft_sql_view_lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
-    }
+    },
+
+    // CDC changelog apply — the MERGE INTO / changelog-compaction
+    // operator a lakehouse ingest runs to materialize a table from an
+    // insert/update/delete log (the streaming-CDC counterpart of the
+    // SCD2 merge, which KEEPS history where this keeps only the
+    // current image): latest op per entity by sequence number wins; a
+    // trailing 'D' removes the entity. One keyed window over the log
+    // — the shape that shuffles once on the entity key and scales
+    // with log size, never with table width. The log is synthesized
+    // deterministically from orders (status → op code).
+    q("rel_cdc_apply",
+      """WITH log AS (SELECT o_orderkey % 1000 AS ent, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'U'
+        |         WHEN o_orderstatus = 'O' THEN 'I' ELSE 'D' END op,
+        |    CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) val
+        |  FROM orders),
+        |r AS (SELECT ent, seq, op, val,
+        |        row_number() OVER (PARTITION BY ent
+        |          ORDER BY seq DESC) rn
+        |      FROM log)
+        |SELECT ent AS entity_id, seq AS last_seq, op AS last_op,
+        |       val AS value_cents
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY entity_id""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val log = c.orders.select(
+        (col("o_orderkey") % 1000).as("ent"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", "U")
+          .when(col("o_orderstatus") === "O", "I")
+          .otherwise("D").as("op"),
+        expr("CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT)")
+          .as("val"))
+      val w = Window.partitionBy("ent").orderBy(col("seq").desc)
+      log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("ent").as("entity_id"), col("seq").as("last_seq"),
+          col("op").as("last_op"), col("val").as("value_cents"))
+        .orderBy("entity_id")
+    },
   )
 }

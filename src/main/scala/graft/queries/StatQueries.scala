@@ -3885,5 +3885,321 @@ object StatQueries {
           coalesce(col("churned"), lit(0L)).as("churned"), col("active"))
         .orderBy("week")
     },
+
+    // Mood's median test — the MEDIAN-split face of k-sample location
+    // testing beside the rank-sum machinery (Kruskal-Wallis ranks ALL
+    // values; Mood only asks "above the grand median or not", the
+    // robust choice under heavy tails / outliers): grand median of
+    // order totals via the exact cents HISTOGRAM + distributed cumsum
+    // (never a global sort of raw rows), then a k×2 above/not-above
+    // contingency chi². Every cell is an exact integer; the chi²
+    // terms are ratios of integers summed over k·2 model-sized cells.
+    q("stat_mood_median",
+      """WITH v AS (SELECT o_orderpriority g,
+        |             CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) c
+        |           FROM orders),
+        |h AS (SELECT c, count(*)::BIGINT cnt FROM v GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT n FROM h),
+        |cw AS (SELECT c, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) cum
+        |       FROM h),
+        |med AS (SELECT min(c) m FROM cw, t
+        |        WHERE cum + cnt >= (t.n + 1) // 2),
+        |cell AS (SELECT g,
+        |           sum(CASE WHEN c > (SELECT m FROM med)
+        |               THEN 1 ELSE 0 END)::BIGINT ab,
+        |           count(*)::BIGINT tot
+        |         FROM v GROUP BY 1),
+        |tt AS (SELECT sum(ab)::BIGINT ta, sum(tot)::BIGINT n FROM cell)
+        |SELECT max(tt.n) AS n, (SELECT m FROM med) AS median_cents,
+        |  round(sum(pow(ab - tot * ta * 1.0 / tt.n, 2)
+        |              / (tot * ta * 1.0 / tt.n)
+        |            + pow((tot - ab) - tot * (tt.n - ta) * 1.0 / tt.n, 2)
+        |              / (tot * (tt.n - ta) * 1.0 / tt.n)) + 1e-9, 4)
+        |    AS chi2,
+        |  count(*) - 1 AS dof
+        |FROM cell, tt""") { c =>
+      val v = c.orders.select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT)").as("c"))
+      val h = v.groupBy("c").agg(count(lit(1)).as("cnt"))
+      val t = h.agg(sum(col("cnt")).as("n"))
+      val cw = graft.ops.Positional.withCumSums(h, Seq(col("c")),
+        Seq(col("cnt") -> "cum"))
+      val med = cw.crossJoin(broadcast(t))
+        .filter(col("cum") + col("cnt") >=
+          ((col("n") + 1) / 2).cast("long"))
+        .agg(min(col("c")).as("m"))
+      val cell = v.crossJoin(broadcast(med))
+        .groupBy("g").agg(
+          sum(when(col("c") > col("m"), 1L).otherwise(0L)).as("ab"),
+          count(lit(1)).as("tot"))
+      val tt = cell.agg(sum(col("ab")).as("ta"), sum(col("tot")).as("n"))
+      cell.crossJoin(broadcast(tt)).crossJoin(broadcast(med))
+        .agg(max(col("n")).as("n"), max(col("m")).as("median_cents"),
+          r4(sum(
+            pow(col("ab") - col("tot") * col("ta") * lit(1.0) / col("n"), 2)
+              / (col("tot") * col("ta") * lit(1.0) / col("n"))
+            + pow((col("tot") - col("ab")) -
+                col("tot") * (col("n") - col("ta")) * lit(1.0) / col("n"), 2)
+              / (col("tot") * (col("n") - col("ta")) * lit(1.0) / col("n"))))
+            .as("chi2"),
+          (count(lit(1)) - 1).as("dof"))
+    },
+
+    // Cochran's Q — the k-treatment BINARY repeated-measures test
+    // (does pass-rate differ across the three engagement bars for the
+    // SAME users?) beside McNemar's paired 2×2 and Cochran-Armitage's
+    // ordered trend: per user x_j = 1 if their channel-j activity
+    // meets that channel's engagement bar (every-user-fires-once
+    // would make all R_i = k and the denominator vanish — the bars
+    // sit around the per-type count quartiles so the indicators
+    // discriminate at every SF);
+    // Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣR_i − ΣR_i²) with G the
+    // bar totals and R the per-user row sums — EVERY term an exact
+    // integer aggregate, one user-grouped scan + one 1-row reduction,
+    // so the statistic is a single exact-integer ratio.
+    q("stat_cochran_q",
+      """WITH x AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'click'
+        |                  THEN 1 ELSE 0 END) >= 12
+        |         THEN 1 ELSE 0 END x1,
+        |    CASE WHEN sum(CASE WHEN event_type = 'view'
+        |                  THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END x2,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) >= 16
+        |         THEN 1 ELSE 0 END x3
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT n, sum(x1)::BIGINT g1,
+        |        sum(x2)::BIGINT g2, sum(x3)::BIGINT g3,
+        |        sum(x1 + x2 + x3)::BIGINT sr,
+        |        sum((x1 + x2 + x3) * (x1 + x2 + x3))::BIGINT sr2
+        |      FROM x)
+        |SELECT n AS n_users, g1 AS g_click, g2 AS g_view,
+        |  g3 AS g_purchase,
+        |  round(2.0 * (3 * (g1*g1 + g2*g2 + g3*g3)
+        |               - (g1+g2+g3) * (g1+g2+g3))
+        |        / (3 * sr - sr2) + 1e-9, 6) AS q_stat,
+        |  2 AS dof
+        |FROM s""") { c =>
+      val x = c.events.groupBy("user_id").agg(
+        (sum(when(col("event_type") === "click", 1).otherwise(0)) >= 12)
+          .cast("int").as("x1"),
+        (sum(when(col("event_type") === "view", 1).otherwise(0)) >= 14)
+          .cast("int").as("x2"),
+        (sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 16)
+          .cast("int").as("x3"))
+      val s = x.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("g1"), sum(col("x2")).as("g2"),
+        sum(col("x3")).as("g3"),
+        sum(col("x1") + col("x2") + col("x3")).as("sr"),
+        sum((col("x1") + col("x2") + col("x3")) *
+          (col("x1") + col("x2") + col("x3"))).as("sr2"))
+      s.select(col("n").as("n_users"), col("g1").as("g_click"),
+        col("g2").as("g_view"), col("g3").as("g_purchase"),
+        r6(lit(2.0) * (lit(3) * (col("g1") * col("g1") +
+            col("g2") * col("g2") + col("g3") * col("g3")) -
+            (col("g1") + col("g2") + col("g3")) *
+            (col("g1") + col("g2") + col("g3"))) /
+          (lit(3) * col("sr") - col("sr2"))).as("q_stat"),
+        lit(2).as("dof"))
+    },
+
+    // Hurst exponent via rescaled-range (R/S) analysis (Hurst 1951;
+    // Mandelbrot & Wallis 1969) — the LONG-MEMORY estimator beside
+    // ts_acf's short-lag correlations: H≈0.5 = no memory, H>0.5 =
+    // persistent trends. Per window size w ∈ {8,16,32} the daily
+    // event-count series splits into ⌊n/w⌋ blocks; per block the
+    // range of cumulative deviations and the population σ combine as
+    // R/S = R′/√(w·Σx²−(Σx)²) with R′ = max−min of w·cumsum − t·Σx —
+    // EVERY input an exact integer, so each block's R/S is one IEEE
+    // division of an exact integer by the sqrt of an exact integer.
+    // Block averages fold in pinned b-order (the text_lm_ppl stance);
+    // because ln w is EQUALLY SPACED (3ln2, 4ln2, 5ln2), the log-log
+    // regression slope collapses to (ln R̄S₃₂ − ln R̄S₈)/(2·ln 2) —
+    // two rounded logs and one pinned literal, no summation at all.
+    q("ts_hurst",
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) dy,
+        |             count(*)::BIGINT x
+        |           FROM events GROUP BY 1),
+        |i AS (SELECT x, row_number() OVER (ORDER BY dy) - 1 idx FROM d),
+        |nn AS (SELECT count(*)::BIGINT n FROM i),
+        |ws AS (SELECT unnest([8, 16, 32]) w),
+        |blk AS (SELECT ws.w, i.idx // ws.w b, i.idx % ws.w t, i.x
+        |        FROM i, ws, nn WHERE i.idx < (nn.n // ws.w) * ws.w),
+        |pre AS (SELECT w, b, t, x,
+        |          sum(x) OVER (PARTITION BY w, b ORDER BY t) cx
+        |        FROM blk),
+        |bs AS (SELECT w, b, sum(x)::BIGINT s1, sum(x * x)::BIGINT s2
+        |       FROM blk GROUP BY 1, 2),
+        |dev AS (SELECT p.w, p.b,
+        |          max(p.w * p.cx - (p.t + 1) * bs.s1)
+        |            - min(p.w * p.cx - (p.t + 1) * bs.s1) rp
+        |        FROM pre p JOIN bs ON bs.w = p.w AND bs.b = p.b
+        |        GROUP BY 1, 2),
+        |rs AS (SELECT d2.w, d2.b,
+        |         d2.rp / sqrt((d2.w * bs.s2 - bs.s1 * bs.s1)::DOUBLE) rsv
+        |       FROM dev d2 JOIN bs ON bs.w = d2.w AND bs.b = d2.b
+        |       WHERE d2.w * bs.s2 > bs.s1 * bs.s1),
+        |av AS (SELECT w, count(*)::BIGINT n_blocks,
+        |         list_reduce(list(rsv ORDER BY b), (a, x2) -> a + x2)
+        |           / count(*) avg_rs
+        |       FROM rs GROUP BY 1),
+        |ly AS (SELECT w, n_blocks, avg_rs,
+        |         round(ln(avg_rs) + 1e-9, 6) y FROM av),
+        |h AS (SELECT round((max(CASE WHEN w = 32 THEN y END)
+        |                    - max(CASE WHEN w = 8 THEN y END))
+        |              / 1.3862943611198906 + 1e-9, 4) hurst FROM ly)
+        |SELECT ly.w, ly.n_blocks, round(ly.avg_rs + 1e-9, 6) AS avg_rs,
+        |       h.hurst
+        |FROM ly, h ORDER BY ly.w""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val d = c.events.groupBy(col("ts").cast("date").as("dy"))
+        .agg(count(lit(1)).as("x"))
+      // day-grid series — the documented time-bounded global window
+      val i = d.withColumn("idx",
+        row_number().over(Window.orderBy("dy")) - 1).drop("dy")
+      val nn = i.agg(count(lit(1)).as("n"))
+      val ws = c.spark.range(3).select(
+        (pow(lit(2), col("id") + 3)).cast("int").as("w"))
+      val blk = i.crossJoin(broadcast(ws)).crossJoin(broadcast(nn))
+        .filter(col("idx") < (col("n") / col("w")).cast("long") * col("w"))
+        .select(col("w"), (col("idx") / col("w")).cast("long").as("b"),
+          (col("idx") % col("w")).as("t"), col("x"))
+      val wPre = Window.partitionBy("w", "b").orderBy("t")
+      val pre = blk.withColumn("cx", sum(col("x")).over(wPre))
+      val bs = blk.groupBy("w", "b").agg(sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      val dev = pre.join(bs, Seq("w", "b"))
+        .groupBy("w", "b").agg(
+          (max(col("w") * col("cx") - (col("t") + 1) * col("s1")) -
+            min(col("w") * col("cx") - (col("t") + 1) * col("s1")))
+            .as("rp"))
+      val rs = dev.join(bs, Seq("w", "b"))
+        .filter(col("w") * col("s2") > col("s1") * col("s1"))
+        .select(col("w"), col("b"),
+          (col("rp") / sqrt((col("w") * col("s2") -
+            col("s1") * col("s1")).cast("double"))).as("rsv"))
+      val av = rs.groupBy("w").agg(count(lit(1)).as("n_blocks"),
+        (aggregate(array_sort(collect_list(struct(col("b"),
+            col("rsv").as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")) / count(lit(1)))
+          .as("avg_rs"))
+      val ly = av.select(col("w"), col("n_blocks"), col("avg_rs"),
+        r6(log(col("avg_rs"))).as("y"))
+      val h = ly.agg(
+        r4((max(when(col("w") === 32, col("y"))) -
+          max(when(col("w") === 8, col("y")))) /
+          lit(1.3862943611198906)).as("hurst"))
+      ly.crossJoin(broadcast(h))
+        .select(col("w"), col("n_blocks"), r6(col("avg_rs")).as("avg_rs"),
+          col("hurst"))
+        .orderBy("w")
+    },
+
+    // Benjamini–Hochberg FDR control over a FAMILY of exact Fisher
+    // tests — the multiple-testing operator an experimentation
+    // platform runs when one release ships m metric comparisons (each
+    // p-value alone at α would inflate family-wise false discoveries):
+    // per order-priority a 2×2 arm×success table, EXACT one-sided
+    // hypergeometric tail p (the stat_fisher_exact machinery
+    // generalized per group — relative weights fold as pinned-order
+    // products of exact integer ratios), then the BH step-up: rank
+    // p's ascending, reject all ranks ≤ the largest k with p_(k) ≤
+    // k·q/m at q = 0.10. Booleans compare ROUNDED values on both
+    // engines (the FP-boolean rule). The population is capped
+    // (o_orderkey < 400) so the per-table weight products stay in
+    // double range — the cap is the operator's n, not a scale dodge;
+    // the per-group relation after the cap is model-sized.
+    q("stat_fdr_bh",
+      """WITH o AS (SELECT o_orderpriority g, o_custkey % 2 arm,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END s
+        |  FROM orders WHERE o_orderkey < 400),
+        |cells AS (SELECT g,
+        |    sum(CASE WHEN arm=0 AND s=1 THEN 1 ELSE 0 END)::BIGINT a,
+        |    sum(CASE WHEN arm=0 AND s=0 THEN 1 ELSE 0 END)::BIGINT b,
+        |    sum(CASE WHEN arm=1 AND s=1 THEN 1 ELSE 0 END)::BIGINT c,
+        |    sum(CASE WHEN arm=1 AND s=0 THEN 1 ELSE 0 END)::BIGINT d
+        |  FROM o GROUP BY 1),
+        |m AS (SELECT g, a, b, c, d, a + b r1, c + d r2, a + c c1,
+        |        greatest(0, (a + c) - (c + d)) lo,
+        |        least(a + b, a + c) hi FROM cells),
+        |xs AS (SELECT m.*, unnest(range(m.lo, m.hi + 1)) x FROM m),
+        |wr AS (SELECT g, x, a,
+        |    CASE WHEN x = lo THEN 1.0
+        |         ELSE list_reduce(
+        |           list_transform(range(lo + 1, x + 1),
+        |             i -> ((r1 - i + 1) * (c1 - i + 1))
+        |                  / (i * (r2 - c1 + i))),
+        |           (p2, q2) -> p2 * q2) END w
+        |  FROM xs),
+        |p AS (SELECT g,
+        |    list_reduce(list(CASE WHEN x >= a THEN w ELSE 0.0 END
+        |      ORDER BY x), (p2, q2) -> p2 + q2)
+        |    / list_reduce(list(w ORDER BY x), (p2, q2) -> p2 + q2) pv
+        |  FROM wr GROUP BY g),
+        |r AS (SELECT g, round(pv + 1e-9, 6) p6,
+        |        row_number() OVER (ORDER BY round(pv + 1e-9, 6), g) rk,
+        |        count(*) OVER () mm
+        |      FROM p),
+        |f AS (SELECT g, p6, rk, mm,
+        |        round(rk * 0.10 / mm + 1e-9, 6) th FROM r),
+        |k AS (SELECT max(CASE WHEN p6 <= th THEN rk ELSE 0 END) kmax
+        |      FROM f)
+        |SELECT f.g AS grp, f.p6 AS p_value, f.rk::BIGINT AS rank,
+        |  f.th AS bh_threshold, f.rk <= k.kmax AS rejected
+        |FROM f, k ORDER BY rank""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val o = c.orders.filter(col("o_orderkey") < 400).select(
+        col("o_orderpriority").as("g"), (col("o_custkey") % 2).as("arm"),
+        when(col("o_orderstatus") === "F", 1).otherwise(0).as("s"))
+      val cells = o.groupBy("g").agg(
+        sum(when(col("arm") === 0 && col("s") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === 0 && col("s") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 1 && col("s") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === 1 && col("s") === 0, 1L).otherwise(0L))
+          .as("d"))
+      val m = cells.withColumn("r1", col("a") + col("b"))
+        .withColumn("r2", col("c") + col("d"))
+        .withColumn("c1", col("a") + col("c"))
+        .withColumn("lo", greatest(lit(0L), col("c1") - col("r2")))
+        .withColumn("hi", least(col("r1"), col("c1")))
+      val xs = m.select(col("*"),
+        explode(sequence(col("lo"), col("hi"))).as("x"))
+      val wr = xs.select(col("g"), col("x"), col("a"),
+        when(col("x") === col("lo"), lit(1.0))
+          .otherwise(aggregate(
+            sequence(col("lo") + 1, col("x")), lit(1.0),
+            (p, i) => p * (((col("r1") - i + lit(1)) *
+              (col("c1") - i + lit(1))) /
+              (i * (col("r2") - col("c1") + i))))).as("w"))
+      val pdf = wr.groupBy("g").agg(
+        (aggregate(array_sort(collect_list(struct(col("x"),
+            when(col("x") >= col("a"), col("w")).otherwise(lit(0.0))
+              .as("t")))),
+          lit(0.0), (acc, e) => acc + e.getField("t")) /
+          aggregate(array_sort(collect_list(struct(col("x"),
+            col("w").as("t")))),
+            lit(0.0), (acc, e) => acc + e.getField("t"))).as("pv"))
+      // m-hypothesis relation (5 rows) — model-sized global windows
+      val r = pdf.select(col("g"), r6(col("pv")).as("p6"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("p6"), col("g"))))
+        .withColumn("mm", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val f = r.withColumn("th",
+        r6(col("rk") * lit(0.10) / col("mm")))
+      val k = f.agg(max(when(col("p6") <= col("th"), col("rk"))
+        .otherwise(lit(0))).as("kmax"))
+      f.crossJoin(broadcast(k))
+        .select(col("g").as("grp"), col("p6").as("p_value"),
+          col("rk").cast("long").as("rank"), col("th").as("bh_threshold"),
+          (col("rk") <= col("kmax")).as("rejected"))
+        .orderBy("rank")
+    },
   )
 }

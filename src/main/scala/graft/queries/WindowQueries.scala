@@ -562,5 +562,44 @@ object WindowQueries {
           round(col("low") / 100.0, 2).as("trough_balance"))
         .orderBy(col("max_drawdown").desc, col("user_id")).limit(25)
     },
+
+    // Rolling VWAP (volume-weighted average price) — the
+    // RATIO-of-rolling-sums window shape beside the plain rolling
+    // mean/std family (Bollinger tracks price dispersion; VWAP tracks
+    // where the VOLUME traded): per ship-day value and quantity
+    // totals from ONE corpus aggregation, then a 7-row frame over the
+    // day series sums both exactly (integer cents / integer units)
+    // and divides ONCE per row — the ratio of two exact integer
+    // rolling sums is engine-exact before the final rounding. The
+    // frame runs on the day-grid relation (time-bounded), never the
+    // corpus.
+    q("win_vwap",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    sum(CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT pv,
+        |    sum(CAST(round(l_quantity) AS BIGINT))::BIGINT vol
+        |  FROM lineitem GROUP BY 1)
+        |SELECT dy::VARCHAR AS day,
+        |  sum(pv) OVER w::BIGINT AS pv7,
+        |  sum(vol) OVER w::BIGINT AS vol7,
+        |  round((sum(pv) OVER w) * 1.0 / (sum(vol) OVER w) / 100
+        |        + 1e-9, 4) AS vwap7
+        |FROM d
+        |WINDOW w AS (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        sum(expr("CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT)"))
+          .as("pv"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("vol"))
+      // day-grid series — the documented time-bounded global window
+      val w = Window.orderBy("dy").rowsBetween(-6, 0)
+      d.select(col("dy").cast("string").as("day"),
+          sum(col("pv")).over(w).as("pv7"),
+          sum(col("vol")).over(w).as("vol7"),
+          r4(sum(col("pv")).over(w) * lit(1.0) /
+            sum(col("vol")).over(w) / 100).as("vwap7"))
+        .orderBy("day")
+    },
   )
 }

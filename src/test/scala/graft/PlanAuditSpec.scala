@@ -73,6 +73,9 @@ class PlanAuditSpec extends SparkSpec {
       case _: org.apache.spark.sql.execution.CollectLimitExec => true
       case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
         true
+      // spark.range(k) — cardinality is a plan-time literal
+      case r: org.apache.spark.sql.execution.RangeExec
+        if r.range.numElements <= BigInt(100000) => true
       case other =>
         other.children.nonEmpty && other.children.forall(bounded)
     }
