@@ -105,6 +105,50 @@ class PlanAuditSpec extends SparkSpec {
       s"unbounded BNLJ build sides:\n${bnljs.flatten.mkString("\n")}")
   }
 
+  test("every UNPARTITIONED window in the FULL registry runs over an " +
+    "aggregated (grid/series-sized) relation, never a raw corpus scan") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // The one remaining scale-killer shape the CartesianProduct and
+    // BNLJ sweeps cannot see: `Window.orderBy(...)` with NO partition
+    // spec moves its ENTIRE input to one task. That is fine on a
+    // day-grid / rank / model relation (always an Aggregate or a
+    // limit of the corpus — the documented ts_acf stance) and fatal
+    // on a raw corpus scan (the Positional device exists for those).
+    // Structural check: below every unpartitioned Window there must
+    // be an Aggregate, a Limit/Sample, or a grouping-free aggregate
+    // on EVERY leaf path, before any leaf relation.
+    def boundedBelow(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.Aggregate => true
+      case _: logical.GlobalLimit => true
+      case _: logical.LocalLimit => true
+      case _: logical.Sample => true
+      case r: logical.Range => r.numElements <= BigInt(100000)
+      case l: logical.LocalRelation => l.data.size <= 100000
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedBelow)
+    }
+    // rank_bradley_terry's final ranking window reads the
+    // localCheckpoint'd k-item strength model (k = #event types, the
+    // MM fit's output) — a LogicalRDD leaf the structural check
+    // cannot see through; the relation is model-sized by
+    // construction (reviewed by hand)
+    val allowlist: Set[String] = Set("rank_bradley_terry")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sfDir)
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty &&
+            !boundedBelow(w.child) && !allowlist(name) =>
+            s"$name: unpartitioned window over unaggregated input:\n" +
+              w.child.treeString.linesIterator.take(6).mkString("\n")
+        }
+        spark.catalog.clearCache()
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over raw input:\n${offenders.mkString("\n")}")
+  }
+
   test("ml_pr_curve plans no single-partition window over the score " +
     "relation (Positional cumsum path, r7 ask #5)") {
     import org.apache.spark.sql.catalyst.plans.logical
