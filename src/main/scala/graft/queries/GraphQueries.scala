@@ -604,5 +604,115 @@ object GraphQueries {
             coalesce(col("w3"), lit(0L)) / lit(64.0)).as("katz"))
         .orderBy("node")
     },
+
+    // Betweenness centrality — Brandes (2001) dependency accumulation,
+    // made 100-TB-shaped by the two standard truncations: PIVOT
+    // sources (Brandes & Pich 2007 — a deterministic 25% of nodes,
+    // suppkey % 4 = 0) and BOUNDED distance k = 3 (k-betweenness,
+    // Borgatti 2006), so the estimator's cost is pivots × bounded BFS
+    // instead of n × full BFS. Forward pass: 3 frontier expansions of
+    // exact integer path counts σ (anti-joins exclude earlier
+    // levels); backward pass: δ_l(s,u) = Σ (σ_u/σ_v)(1+δ_{l+1}) over
+    // (u→v) predecessor links — every per-group sum folds in pinned
+    // successor/source order (the text_lm_ppl stance), so the doubles
+    // are engine- and partition-exact. Graph: suppliers co-supplying
+    // a part (one corpus scan builds the distinct edge list; every
+    // later join runs on graph-sized relations).
+    q("graph_betweenness",
+      """WITH sp AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
+        |  FROM lineitem WHERE l_quantity > 49),
+        |adj AS (SELECT DISTINCT a.sk u, b.sk v
+        |        FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |nodes AS (SELECT DISTINCT u n FROM adj),
+        |d1 AS (SELECT u s, v, 1::BIGINT sig FROM adj WHERE u % 4 = 0),
+        |d2c AS (SELECT d1.s, adj.v, sum(d1.sig)::BIGINT sig
+        |        FROM d1 JOIN adj ON adj.u = d1.v GROUP BY 1, 2),
+        |d2 AS (SELECT c.* FROM d2c c WHERE c.v <> c.s
+        |       AND NOT EXISTS (SELECT 1 FROM d1
+        |                       WHERE d1.s = c.s AND d1.v = c.v)),
+        |d3c AS (SELECT d2.s, adj.v, sum(d2.sig)::BIGINT sig
+        |        FROM d2 JOIN adj ON adj.u = d2.v GROUP BY 1, 2),
+        |d3 AS (SELECT c.* FROM d3c c WHERE c.v <> c.s
+        |       AND NOT EXISTS (SELECT 1 FROM d1
+        |                       WHERE d1.s = c.s AND d1.v = c.v)
+        |       AND NOT EXISTS (SELECT 1 FROM d2
+        |                       WHERE d2.s = c.s AND d2.v = c.v)),
+        |del2 AS (SELECT d2.s, d2.v AS u,
+        |    list_reduce(list(d2.sig::DOUBLE / d3.sig ORDER BY d3.v),
+        |      (p2, q2) -> p2 + q2) dl
+        |  FROM d2 JOIN adj ON adj.u = d2.v
+        |  JOIN d3 ON d3.s = d2.s AND d3.v = adj.v
+        |  GROUP BY 1, 2),
+        |del1 AS (SELECT d1.s, d1.v AS u,
+        |    list_reduce(list(d1.sig::DOUBLE / d2.sig
+        |        * (1.0 + coalesce(del2.dl, 0.0)) ORDER BY d2.v),
+        |      (p2, q2) -> p2 + q2) dl
+        |  FROM d1 JOIN adj ON adj.u = d1.v
+        |  JOIN d2 ON d2.s = d1.s AND d2.v = adj.v
+        |  LEFT JOIN del2 ON del2.s = d2.s AND del2.u = d2.v
+        |  GROUP BY 1, 2),
+        |contrib AS (SELECT u AS v, s, dl FROM del1
+        |            UNION ALL SELECT u, s, dl FROM del2),
+        |b AS (SELECT v,
+        |        list_reduce(list(dl ORDER BY s), (p2, q2) -> p2 + q2)
+        |          / 2 bc
+        |      FROM contrib GROUP BY v)
+        |SELECT nodes.n::BIGINT AS node,
+        |  round(coalesce(b.bc, 0.0) + 1e-9, 6) AS betweenness
+        |FROM nodes LEFT JOIN b ON b.v = nodes.n
+        |ORDER BY node""") { c =>
+      val sp = c.lineitem.filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val adj = sp.as("a")
+        .join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+        .localCheckpoint() // forward + backward passes re-join it
+      val nodes = adj.select(col("u").as("n")).distinct()
+      val d1 = adj.filter(col("u") % 4 === 0)
+        .select(col("u").as("s"), col("v"), lit(1L).as("sig"))
+      def expand(prev: org.apache.spark.sql.DataFrame) =
+        prev.select(col("s"), col("v").as("u0"), col("sig"))
+          .join(adj.select(col("u").as("u0"), col("v")), Seq("u0"))
+          .groupBy("s", "v").agg(sum(col("sig")).as("sig"))
+      val d2 = expand(d1).filter(col("v") =!= col("s"))
+        .join(d1.select("s", "v"), Seq("s", "v"), "left_anti")
+        .localCheckpoint()
+      val d3 = expand(d2).filter(col("v") =!= col("s"))
+        .join(d1.select("s", "v"), Seq("s", "v"), "left_anti")
+        .join(d2.select("s", "v"), Seq("s", "v"), "left_anti")
+      def pinnedSum(term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col("w"),
+          term.as("t")))), lit(0.0), (a, x) => a + x.getField("t"))
+      val del2 = d2.select(col("s"), col("v").as("u"),
+          col("sig").as("sig2"))
+        .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+        .join(d3.select(col("s"), col("v").as("w"),
+          col("sig").as("sig3")), Seq("s", "w"))
+        .groupBy("s", "u")
+        .agg(pinnedSum(col("sig2").cast("double") / col("sig3"))
+          .as("dl"))
+      val del1 = d1.select(col("s"), col("v").as("u"),
+          col("sig").as("sig1"))
+        .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+        .join(d2.select(col("s"), col("v").as("w"),
+          col("sig").as("sig2")), Seq("s", "w"))
+        .join(del2.select(col("s"), col("u").as("w"),
+          col("dl").as("dl2")), Seq("s", "w"), "left")
+        .groupBy("s", "u")
+        .agg(pinnedSum((col("sig1").cast("double") / col("sig2")) *
+          (lit(1.0) + coalesce(col("dl2"), lit(0.0)))).as("dl"))
+      val contrib = del1.select(col("u").as("v"), col("s"), col("dl"))
+        .unionAll(del2.select(col("u").as("v"), col("s"), col("dl")))
+      val b = contrib.groupBy("v")
+        .agg((aggregate(array_sort(collect_list(struct(col("s"),
+            col("dl").as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")) / lit(2)).as("bc"))
+      nodes.join(b, col("n") === col("v"), "left")
+        .select(col("n").cast("long").as("node"),
+          r6(coalesce(col("bc"), lit(0.0))).as("betweenness"))
+        .orderBy("node")
+    },
   )
 }

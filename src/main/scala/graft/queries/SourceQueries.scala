@@ -416,5 +416,39 @@ object SourceQueries {
           col("n_bytes"), r6(col("mean_r")).as("mean_r"))
         .orderBy("doc_id")
     },
+
+    // Fixed-width (mainframe/COBOL copybook-style) text round-trip —
+    // the legacy-feed format Spark has NO built-in reader for, so the
+    // adapter IS the operator: write customers as fixed-offset
+    // records via format_string (zero-padded keys, right-padded
+    // segment, left-padded cents), read back with spark.read.text +
+    // positional substr/trim/cast projections, and aggregate. The
+    // oracle computes the same aggregate from the ORIGINAL parquet —
+    // column fidelity across the byte-offset round-trip is exactly
+    // what is checked (padding, sign-free cents, segment trim). Scale:
+    // read.text streams splittable line records; the projection is a
+    // per-row expression tree — the same shape as a CSV scan.
+    q("src_fixed_width",
+      """SELECT c_mktsegment AS segment, count(*) AS n,
+        |  sum(CAST(round(c_acctbal * 100 + 1e-9) AS BIGINT))::BIGINT
+        |    AS bal_cents
+        |FROM customer GROUP BY 1 ORDER BY segment""") { c =>
+      val out = tmp("customer_fixed_width")
+      // layout: key [1,10] zero-padded; segment [11,20] right-padded;
+      // cents [21,32] left-padded with sign
+      c.customer.select(format_string("%010d%-10s%12d",
+          col("c_custkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100 + 1e-9) AS BIGINT)"))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      c.spark.read.text(out)
+        .select(
+          trim(substring(col("value"), 11, 10)).as("segment"),
+          trim(substring(col("value"), 21, 12)).cast("long").as("cents"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("bal_cents"))
+        .orderBy("segment")
+    },
   )
 }

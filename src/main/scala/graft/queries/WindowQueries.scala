@@ -601,5 +601,56 @@ object WindowQueries {
             sum(col("vol")).over(w) / 100).as("vwap7"))
         .orderBy("day")
     },
+
+    // Stochastic oscillator %K / %D — the ROLLING-EXTREMES window
+    // shape the rolling mean/σ family lacks (Bollinger is dispersion,
+    // RSI is gain/loss, VWAP is ratio-of-sums; %K locates today's
+    // close INSIDE the trailing 14-day high-low range): %K =
+    // 100·(close − min₁₄)/(max₁₄ − min₁₄) on integer cents, %D = its
+    // 3-day mean. Each %K is ONE division of exact integer
+    // differences; %D is the explicit 3-term sum kraw + lag1 + lag2
+    // over 3 — the SAME left-to-right expression tree on both engines
+    // (a windowed avg could re-associate through DuckDB's segment
+    // tree), null until 3 %K values exist. Flat-range days (max =
+    // min) emit NULL on both engines. Day-grid relation, time-bounded.
+    q("win_stochastic",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) c
+        |  FROM lineitem GROUP BY 1),
+        |k AS (SELECT dy, c,
+        |    min(c) OVER w14 mn, max(c) OVER w14 mx
+        |  FROM d
+        |  WINDOW w14 AS (ORDER BY dy ROWS BETWEEN 13 PRECEDING
+        |                 AND CURRENT ROW)),
+        |pk AS (SELECT dy,
+        |    CASE WHEN mx > mn
+        |         THEN 100.0 * (c - mn) / (mx - mn) END kraw
+        |  FROM k)
+        |SELECT dy::VARCHAR AS day,
+        |  round(kraw + 1e-9, 4) AS pct_k,
+        |  round((kraw + lag(kraw, 1) OVER o + lag(kraw, 2) OVER o) / 3
+        |        + 1e-9, 4) AS pct_d
+        |FROM pk
+        |WINDOW o AS (ORDER BY dy)
+        |ORDER BY day""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy"))
+        .agg(expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("c"))
+      // day-grid series — the documented time-bounded global window
+      val w14 = Window.orderBy("dy").rowsBetween(-13, 0)
+      val o = Window.orderBy("dy")
+      val k = d.select(col("dy"), col("c"),
+        min(col("c")).over(w14).as("mn"), max(col("c")).over(w14).as("mx"))
+      val pk = k.select(col("dy"),
+        when(col("mx") > col("mn"),
+          lit(100.0) * (col("c") - col("mn")) / (col("mx") - col("mn")))
+          .as("kraw"))
+      pk.select(col("dy").cast("string").as("day"),
+          r4(col("kraw")).as("pct_k"),
+          r4((col("kraw") + lag(col("kraw"), 1).over(o) +
+            lag(col("kraw"), 2).over(o)) / lit(3)).as("pct_d"))
+        .orderBy("day")
+    },
   )
 }
