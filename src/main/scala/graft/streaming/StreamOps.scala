@@ -322,6 +322,45 @@ object StreamOps {
       .toDF("day", "regs")
   }
 
+  /** Streaming CDC changelog apply — the incremental counterpart of
+    * the `rel_cdc_apply` batch query (and the canonical streaming-CDC
+    * materialization): per entity the state is ONE (seq, op, value)
+    * triple — the highest-sequence operation seen so far — updated by
+    * max-seq merge per micro-batch, so ANY batch split of the log
+    * replays to the same current image as the batch keyed window
+    * (spec-checked). A trailing 'D' is KEPT as a tombstone row
+    * (is_deleted = true) rather than dropped: downstream consumers
+    * need the deletion fact, and a later higher-seq upsert revives
+    * the entity. O(1) state per live entity, hash-partitioned by
+    * key — the same shuffle shape as the batch window. */
+  def cdcApplyState(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String,
+      valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(seqCol).cast("long").as("__seq"),
+        col(opCol).cast("string").as("__op"),
+        col(valCol).cast("long").as("__v"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, String, Long),
+        (Long, Long, String, Long, Boolean)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, String, Long)]) =>
+          var best = state.getOption.getOrElse((Long.MinValue, "", 0L))
+          rows.foreach { case (_, seq, op, v) =>
+            if (seq > best._1) best = (seq, op, v)
+          }
+          state.update(best)
+          (key, best._1, best._2, best._3, best._2 == "D")
+      }
+      .toDF("entity_id", "last_seq", "last_op", "value_cents",
+        "is_deleted")
+  }
+
   /** Per-key streaming RSI state (the streaming counterpart of the
     * `win_rsi` batch query): state per key is (n, lastClose, the ring
     * of the last `period` integer diffs) — bounded state, exact

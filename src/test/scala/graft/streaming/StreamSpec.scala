@@ -729,4 +729,54 @@ class StreamSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming CDC apply materializes the same current image as " +
+    "the batch keyed window for any batch split (rel_cdc_apply parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // (entity, seq, op, cents): entity 1 upserted then deleted then
+    // revived across the split; entity 2 deleted last (tombstone);
+    // entity 3 plain updates; out-of-order seq within a batch
+    val log = Seq(
+      (1L, 10L, "I", 100L), (2L, 11L, "I", 200L), (3L, 12L, "I", 300L),
+      (1L, 14L, "D", 0L), (3L, 13L, "U", 310L),
+      (1L, 15L, "I", 120L), (2L, 16L, "D", 0L), (3L, 17L, "U", 320L),
+      (2L, 9L, "U", 290L)) // stale low-seq arrives last — must lose
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val cdc = StreamOps.cdcApplyState(
+      input.toDF.toDF("ent", "seq", "op", "cents"),
+      "ent", "seq", "op", "cents")
+    val q = cdc.writeStream.format("memory")
+      .queryName("cdc_stream").outputMode("update").start()
+    try {
+      input.addData(log.take(5))
+      q.processAllAvailable()
+      input.addData(log.drop(5))
+      q.processAllAvailable()
+      // latest emitted row per entity (memory sink appends in update
+      // mode; highest last_seq wins)
+      val streamed = sp.sql(
+        """SELECT entity_id, last_seq, last_op, value_cents, is_deleted
+          |FROM cdc_stream s
+          |WHERE last_seq = (SELECT max(last_seq) FROM cdc_stream
+          |                  WHERE entity_id = s.entity_id)
+          |ORDER BY entity_id""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      // batch reference: the rel_cdc_apply window (tombstones kept)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ent").orderBy(col("seq").desc)
+      val batch = log.toDF("ent", "seq", "op", "cents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("ent"), col("seq"), col("op"), col("cents"),
+          (col("op") === "D").as("del"))
+        .orderBy("ent").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
