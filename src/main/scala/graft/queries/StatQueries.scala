@@ -3665,6 +3665,73 @@ object StatQueries {
             (n.cast("double") * n * n - n))).as("h_corrected"))
     },
 
+    // Dunn's post-hoc pairwise test (Dunn 1964) — the step EVERY
+    // Kruskal–Wallis consumer takes next: WHICH groups differ, by
+    // tie-corrected pairwise z on the same doubled-midrank machinery
+    // (z_ij = (R̄i − R̄j)/√(V·(1/nᵢ+1/nⱼ)), V = N(N+1)/12 −
+    // Σ(t³−t)/(12(N−1))). Group rank-sums are exact BIGINTs from the
+    // shared distributed-cumsum rank pass; each z is one fixed double
+    // tree over exact integers. The pair walk runs on the k-row group
+    // relation — never the corpus.
+    q("stat_dunn",
+      """WITH vg AS (SELECT l_quantity v, l_returnflag f,
+        |              count(*)::BIGINT cgv
+        |            FROM lineitem GROUP BY 1, 2),
+        |vc AS (SELECT v, sum(cgv)::BIGINT t FROM vg GROUP BY 1),
+        |cu AS (SELECT v, t, coalesce(sum(t) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          c_lt
+        |       FROM vc),
+        |r AS (SELECT cu.v, vg.f, vg.cgv,
+        |        (2 * cu.c_lt + cu.t + 1) r2 FROM cu
+        |      JOIN vg ON cu.v = vg.v),
+        |g AS (SELECT f, sum(cgv * r2)::BIGINT sr2,
+        |        sum(cgv)::BIGINT ng FROM r GROUP BY 1),
+        |tc AS (SELECT (sum(t::HUGEINT * t * t - t))::DOUBLE st
+        |       FROM vc),
+        |nn AS (SELECT sum(ng)::BIGINT n FROM g),
+        |pr AS (SELECT a.f g1, b.f g2, a.ng n1, b.ng n2,
+        |         a.sr2 s1, b.sr2 s2
+        |       FROM g a JOIN g b ON a.f < b.f)
+        |SELECT g1, g2, n1, n2,
+        |  round(s1 / (2.0 * n1) + 1e-9, 4) AS mean_rank_1,
+        |  round(s2 / (2.0 * n2) + 1e-9, 4) AS mean_rank_2,
+        |  round((s1 / (2.0 * n1) - s2 / (2.0 * n2))
+        |        / sqrt((n * (n + 1.0) / 12 - st / (12.0 * (n - 1)))
+        |               * (1.0 / n1 + 1.0 / n2)) + 1e-9, 4) AS z
+        |FROM pr, nn, tc ORDER BY g1, g2""") { c =>
+      val vg = c.lineitem
+        .groupBy(col("l_quantity").as("v"), col("l_returnflag").as("f"))
+        .agg(count(lit(1)).as("cgv"))
+      val vc = vg.groupBy("v").agg(sum(col("cgv")).as("t"))
+      val cu = graft.ops.Positional.withCumSums(vc, Seq(col("v")),
+        Seq(col("t") -> "c_lt"))
+      val r = cu.join(vg, Seq("v"))
+        .select(col("f"), col("cgv"),
+          (lit(2) * col("c_lt") + col("t") + 1).as("r2"))
+      val g = r.groupBy("f").agg(sum(col("cgv") * col("r2")).as("sr2"),
+        sum(col("cgv")).as("ng"))
+      val tc = vc.agg(
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") -
+          col("t")).cast("double").as("st"))
+      val nn = g.agg(sum(col("ng")).as("n"))
+      val pr = g.as("a")
+        .join(g.as("b"), col("a.f") < col("b.f"))
+        .select(col("a.f").as("g1"), col("b.f").as("g2"),
+          col("a.ng").as("n1"), col("b.ng").as("n2"),
+          col("a.sr2").as("s1"), col("b.sr2").as("s2"))
+      val mr1 = col("s1") / (lit(2.0) * col("n1"))
+      val mr2 = col("s2") / (lit(2.0) * col("n2"))
+      pr.crossJoin(broadcast(nn)).crossJoin(broadcast(tc))
+        .select(col("g1"), col("g2"), col("n1"), col("n2"),
+          r4(mr1).as("mean_rank_1"), r4(mr2).as("mean_rank_2"),
+          r4((mr1 - mr2) /
+            sqrt((col("n") * (col("n") + lit(1.0)) / 12 -
+              col("st") / (lit(12.0) * (col("n") - 1))) *
+              (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z"))
+        .orderBy("g1", "g2")
+    },
+
     // Jarque–Bera normality test (1980 — the skewness/kurtosis
     // moment screen): JB = n/6·(S² + K²/4) on order-value cents.
     // The four raw power sums Σc..Σc⁴ are EXACT DECIMAL(38)/HUGEINT
