@@ -3572,6 +3572,76 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Jelinek–Mercer interpolated bigram LM perplexity (Jelinek &
+    // Mercer 1980) — the third smoothing tier, completing the family:
+    // add-one (text_lm_ppl), stupid backoff (text_lm_backoff),
+    // absolute-discount Kneser–Ney (text_lm_kneser_ney), and now
+    // LINEAR interpolation P(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N
+    // with λ = 0.5 (DYADIC, so both mixture halves are exact rational
+    // scalings). Unigram back-off mass uses TOKEN counts (not KN's
+    // continuation types) — the defining difference between the two
+    // interpolations. Same shuffles + pinned-order NLL fold as the
+    // siblings.
+    q("text_lm_jm",
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') ts
+        |             FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                for i in generate_series(1, len(ts) - 1)],
+        |                recursive := true)
+        |       FROM tok WHERE len(ts) >= 2),
+        |bgc AS (SELECT w1, w2, count(*) c FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) cw FROM bg GROUP BY 1),
+        |uni AS (SELECT w2, count(*)::BIGINT cu FROM bg GROUP BY 1),
+        |nt AS (SELECT count(*)::BIGINT nn FROM bg),
+        |db AS (SELECT doc_id, w1, w2, count(*) cnt FROM bg GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.doc_id, sum(d.cnt)::BIGINT nb,
+        |              list_reduce(
+        |                list(d.cnt * -ln(0.5 * bgc.c / ctx.cw
+        |                       + 0.5 * uni.cu / nt.nn)
+        |                     ORDER BY d.w1, d.w2),
+        |                (a, x) -> a + x) snll
+        |       FROM db d
+        |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
+        |       JOIN ctx ON d.w1 = ctx.w1
+        |       JOIN uni ON d.w2 = uni.w2
+        |       CROSS JOIN nt
+        |       GROUP BY 1)
+        |SELECT doc_id, nb AS n_bigrams,
+        |       round(snll / nb + 1e-9, 4) AS ln_ppl,
+        |       round(exp(round(snll / nb + 1e-9, 4)) + 1e-9, 2) AS ppl
+        |FROM sc ORDER BY doc_id""") { c =>
+      val toks = c.documents.select(col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+      val bg = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+      val uni = bg.groupBy("w2").agg(count(lit(1)).as("cu"))
+      val nt = bg.agg(count(lit(1)).as("nn"))
+      val db = bg.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("cnt"))
+      val p = lit(0.5) * col("c") / col("cw") +
+        lit(0.5) * col("cu") / col("nn")
+      val nll = col("cnt").cast("double") * -log(p)
+      val lnPpl = r4(col("snll") / col("n_bigrams"))
+      db.join(bgc, Seq("w1", "w2"))
+        .join(ctx, Seq("w1"))
+        .join(uni, Seq("w2"))
+        .crossJoin(broadcast(nt))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          aggregate(
+            array_sort(collect_list(struct(col("w1"), col("w2"),
+              nll.as("nll")))),
+            lit(0.0), (a, x) => a + x.getField("nll")).as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          lnPpl.as("ln_ppl"), r2(exp(lnPpl)).as("ppl"))
+        .orderBy("doc_id")
+    },
+
     // Heaps'-law vocabulary-growth fit (Heaps 1978 / Herdan): V(n) =
     // K·n^β over the doc_id-ordered corpus prefix — the curation
     // diagnostic for vocabulary saturation (β ≪ 1 ⇒ dedup-heavy or

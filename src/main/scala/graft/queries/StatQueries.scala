@@ -686,6 +686,64 @@ object StatQueries {
             .as("chi2_f"))
     },
 
+    // Nemenyi post-hoc pairwise test (1963) — the WHICH-treatments-
+    // differ step after stat_friedman (as stat_dunn is to
+    // Kruskal–Wallis, but on BLOCKED within-nation ranks): z_ij =
+    // (R̄i − R̄j)/√(k(k+1)/(6n)) from the same within-block rank sums.
+    // Rank sums are exact integers (row_number over n×k cells); each
+    // z is one fixed double tree; the pair walk runs on the k-row
+    // treatment relation — never the corpus.
+    q("stat_nemenyi",
+      """WITH cell AS (SELECT c.c_nationkey b, o.o_orderpriority tr,
+        |    sum(CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT s,
+        |    count(*)::BIGINT n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT b, tr,
+        |    row_number() OVER (PARTITION BY b
+        |      ORDER BY s * 1.0 / n, tr) r
+        |  FROM cell),
+        |rs AS (SELECT tr, sum(r)::BIGINT rsum FROM rk GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT n,
+        |         count(DISTINCT tr)::BIGINT k FROM cell),
+        |pr AS (SELECT a.tr t1, b.tr t2, a.rsum r1, b.rsum r2
+        |       FROM rs a JOIN rs b ON a.tr < b.tr)
+        |SELECT t1, t2,
+        |  round(r1 * 1.0 / n + 1e-9, 4) AS mean_rank_1,
+        |  round(r2 * 1.0 / n + 1e-9, 4) AS mean_rank_2,
+        |  round((r1 * 1.0 / n - r2 * 1.0 / n)
+        |        / sqrt(k * (k + 1.0) / (6.0 * n)) + 1e-9, 4) AS z
+        |FROM pr, nb ORDER BY t1, t2""") { c =>
+      val cell = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("b"),
+          col("o_orderpriority").as("tr"))
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+            .cast("long")).as("s"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy("b")
+        .orderBy(col("s") * lit(1.0) / col("n"), col("tr"))
+      val rk = cell.select(col("b"), col("tr"),
+        row_number().over(w).cast("long").as("r"))
+      val rs = rk.groupBy("tr").agg(sum(col("r")).as("rsum"))
+      val nb = cell.agg(countDistinct(col("b")).as("n"),
+        countDistinct(col("tr")).as("k"))
+      val pr = rs.as("a")
+        .join(broadcast(rs.as("b")), col("a.tr") < col("b.tr"))
+        .select(col("a.tr").as("t1"), col("b.tr").as("t2"),
+          col("a.rsum").as("r1"), col("b.rsum").as("r2"))
+      val m1 = col("r1") * lit(1.0) / col("n")
+      val m2 = col("r2") * lit(1.0) / col("n")
+      pr.crossJoin(broadcast(nb))
+        .select(col("t1"), col("t2"),
+          r4(m1).as("mean_rank_1"), r4(m2).as("mean_rank_2"),
+          r4((m1 - m2) /
+            sqrt(col("k") * (col("k") + lit(1.0)) / (lit(6.0) * col("n"))))
+            .as("z"))
+        .orderBy("t1", "t2")
+    },
+
     // Page–Hinkley sequential mean-shift detector (Page 1954; the
     // always-on drift monitor beside ts_cusum_changepoint's
     // retrospective split): per day t over integer dollar totals,
@@ -3716,7 +3774,7 @@ object StatQueries {
           col("t")).cast("double").as("st"))
       val nn = g.agg(sum(col("ng")).as("n"))
       val pr = g.as("a")
-        .join(g.as("b"), col("a.f") < col("b.f"))
+        .join(broadcast(g.as("b")), col("a.f") < col("b.f"))
         .select(col("a.f").as("g1"), col("b.f").as("g2"),
           col("a.ng").as("n1"), col("b.ng").as("n2"),
           col("a.sr2").as("s1"), col("b.sr2").as("s2"))

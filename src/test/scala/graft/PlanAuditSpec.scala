@@ -54,6 +54,7 @@ class PlanAuditSpec extends SparkSpec {
       // is an aggregate over a fixed-cardinality attribute domain
       "gov_t_closeness", "ml_isotonic_calibration", "stat_kendall_tau",
       "stat_dunn", // pair walk over the 3-value returnflag group relation
+      "stat_nemenyi", // pair walk over the 5-priority rank-sum relation
       // SERIES/GRID-sized builds (the documented ts_acf stance): these
       // relations are bounded by the TIME RANGE (daily series, lag
       // grids, backtest folds, order-stat picks at rn=1 / top-decile,
