@@ -19,13 +19,14 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
-  test("no query in the FULL registry plans a CartesianProduct, and " +
-    "every BroadcastNestedLoopJoin builds from a bounded relation " +
-    "(registry-wide sweep at smoke scale)") {
+  test("registry-wide plan sweep at smoke scale: no CartesianProduct; " +
+    "every BroadcastNestedLoopJoin builds from a bounded relation; " +
+    "every unpartitioned window runs over an aggregated relation") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.catalyst.plans.logical
     // The one corpus-scale shape the CartesianProduct check cannot see
     // (r9 verdict #4): a theta-join whose small side fits the broadcast
     // threshold AT SMOKE SCALE plans BroadcastNestedLoopJoin, not
@@ -81,44 +82,11 @@ class PlanAuditSpec extends SparkSpec {
       case other =>
         other.children.nonEmpty && other.children.forall(bounded)
     }
-    // one df build per query serves BOTH plan checks (building a df
-    // can run side-effect jobs — source writes, model-fit collects —
-    // acceptable at sf0.001; the assertions are on final plans)
-    val (carts, bnljs) = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val df = fn(spark, sfDir)
-        val sparkPlan = df.queryExecution.sparkPlan
-        val cart =
-          if (sparkPlan.toString.contains("CartesianProduct")) Some(name)
-          else None
-        val badBnlj = sparkPlan.collect {
-          case j: BroadcastNestedLoopJoinExec =>
-            val build =
-              if (j.buildSide == BuildLeft) j.left else j.right
-            if (bounded(build) || allowlist(name)) None
-            else Some(s"$name: unbounded BNLJ build side:\n$build")
-        }.flatten
-        spark.catalog.clearCache()
-        (cart, badBnlj)
-    }.unzip
-    assert(carts.flatten.isEmpty,
-      s"cartesian products in: ${carts.flatten.mkString(", ")}")
-    assert(bnljs.flatten.isEmpty,
-      s"unbounded BNLJ build sides:\n${bnljs.flatten.mkString("\n")}")
-  }
-
-  test("every UNPARTITIONED window in the FULL registry runs over an " +
-    "aggregated (grid/series-sized) relation, never a raw corpus scan") {
-    import org.apache.spark.sql.catalyst.plans.logical
-    // The one remaining scale-killer shape the CartesianProduct and
-    // BNLJ sweeps cannot see: `Window.orderBy(...)` with NO partition
-    // spec moves its ENTIRE input to one task. That is fine on a
-    // day-grid / rank / model relation (always an Aggregate or a
-    // limit of the corpus — the documented ts_acf stance) and fatal
-    // on a raw corpus scan (the Positional device exists for those).
-    // Structural check: below every unpartitioned Window there must
-    // be an Aggregate, a Limit/Sample, or a grouping-free aggregate
-    // on EVERY leaf path, before any leaf relation.
+    // Window audit (the third scale-killer shape): `Window.orderBy`
+    // with NO partition spec moves its ENTIRE input to one task —
+    // fine on a day-grid / rank / model relation (an Aggregate or a
+    // limit of the corpus, the documented ts_acf stance), fatal on a
+    // raw corpus scan (the Positional device exists for those).
     def boundedBelow(p: logical.LogicalPlan): Boolean = p match {
       case _: logical.Aggregate => true
       case _: logical.GlobalLimit => true
@@ -132,23 +100,43 @@ class PlanAuditSpec extends SparkSpec {
     // rank_bradley_terry's final ranking window reads the
     // localCheckpoint'd k-item strength model (k = #event types, the
     // MM fit's output) — a LogicalRDD leaf the structural check
-    // cannot see through; the relation is model-sized by
-    // construction (reviewed by hand)
-    val allowlist: Set[String] = Set("rank_bradley_terry")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // cannot see through; model-sized by construction (reviewed)
+    val windowAllowlist: Set[String] = Set("rank_bradley_terry")
+    // ONE df build per query serves all THREE plan checks (building a
+    // df can run side-effect jobs — source writes, model-fit
+    // collects — acceptable at sf0.001; assertions are on final plans)
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val df = fn(spark, sfDir)
-        val bad = df.queryExecution.optimizedPlan.collect {
+        val sparkPlan = df.queryExecution.sparkPlan
+        val cart =
+          if (sparkPlan.toString.contains("CartesianProduct")) Some(name)
+          else None
+        val badBnlj = sparkPlan.collect {
+          case j: BroadcastNestedLoopJoinExec =>
+            val build =
+              if (j.buildSide == BuildLeft) j.left else j.right
+            if (bounded(build) || allowlist(name)) None
+            else Some(s"$name: unbounded BNLJ build side:\n$build")
+        }.flatten
+        val badWin = df.queryExecution.optimizedPlan.collect {
           case w: logical.Window if w.partitionSpec.isEmpty &&
-            !boundedBelow(w.child) && !allowlist(name) =>
+            !boundedBelow(w.child) && !windowAllowlist(name) =>
             s"$name: unpartitioned window over unaggregated input:\n" +
               w.child.treeString.linesIterator.take(6).mkString("\n")
         }
         spark.catalog.clearCache()
-        bad
+        (cart, badBnlj, badWin)
     }
-    assert(offenders.isEmpty,
-      s"unpartitioned windows over raw input:\n${offenders.mkString("\n")}")
+    val carts = rows.flatMap(_._1)
+    val bnljs = rows.flatMap(_._2)
+    val wins = rows.flatMap(_._3)
+    assert(carts.isEmpty,
+      s"cartesian products in: ${carts.mkString(", ")}")
+    assert(bnljs.isEmpty,
+      s"unbounded BNLJ build sides:\n${bnljs.mkString("\n")}")
+    assert(wins.isEmpty,
+      s"unpartitioned windows over raw input:\n${wins.mkString("\n")}")
   }
 
   test("ml_pr_curve plans no single-partition window over the score " +
