@@ -3642,6 +3642,97 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Unigram-LM tokenizer vocabulary PRUNE round (Kudo 2018 §3.2 —
+    // the missing member of the tokenizer family beside BPE induction
+    // (text_bpe_merges), BPE apply, and fertility): every candidate
+    // piece (char 2-4-grams of the word-frequency table, count ≥ 3)
+    // is scored by the likelihood LOSS of removing it, loss_x =
+    // cnt_x · (ln p(x) − Σ_chars ln p(c)) — the CHAR-FALLBACK
+    // alternative segmentation (Kudo's exact criterion re-segments by
+    // Viterbi; the character decomposition is the standard cheap
+    // surrogate and a lower bound on the alternative's likelihood).
+    // The bottom 20% by loss would be pruned; the output reports the
+    // 15 most-protected pieces + vocab sizes. Determinism: the ≤4
+    // char-ln terms fold in pinned position order, each piece's loss
+    // rounds BEFORE ranking, ties break on the piece string. One
+    // corpus scan builds the word table; everything after is
+    // vocab-sized (≤ 26²+26³+26⁴ by domain).
+    q("llm_unigram_prune",
+      """WITH wf AS (SELECT wd, count(*)::BIGINT freq FROM
+        |      (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) wd
+        |       FROM documents) GROUP BY 1),
+        |pcs0 AS (SELECT wd, freq, l.n,
+        |           unnest(generate_series(1, length(wd) - l.n + 1)) i
+        |         FROM wf, (SELECT unnest([2, 3, 4]) n) l),
+        |pcs AS (SELECT substr(wd, i, n) pc, sum(freq)::BIGINT cnt
+        |        FROM pcs0 GROUP BY 1),
+        |cand AS (SELECT pc, cnt FROM pcs WHERE cnt >= 3),
+        |ch0 AS (SELECT wd, freq,
+        |          unnest(generate_series(1, length(wd))) i FROM wf),
+        |ch AS (SELECT substr(wd, i, 1) c1, sum(freq)::BIGINT ccnt
+        |       FROM ch0 GROUP BY 1),
+        |tp AS (SELECT sum(cnt)::BIGINT t FROM cand),
+        |tc AS (SELECT sum(ccnt)::BIGINT t2 FROM ch),
+        |pch AS (SELECT pc, i, substr(pc, i, 1) c1 FROM
+        |        (SELECT pc, unnest(generate_series(1, length(pc))) i
+        |         FROM cand)),
+        |alt AS (SELECT pch.pc,
+        |          list_reduce(list(ln(ch.ccnt * 1.0 / tc.t2)
+        |            ORDER BY pch.i), (a, b) -> a + b) a
+        |        FROM pch JOIN ch ON pch.c1 = ch.c1 CROSS JOIN tc
+        |        GROUP BY 1),
+        |loss AS (SELECT cand.pc, cand.cnt,
+        |           round(cand.cnt * (ln(cand.cnt * 1.0 / tp.t) - alt.a)
+        |                 + 1e-9, 4) loss
+        |         FROM cand JOIN alt ON cand.pc = alt.pc CROSS JOIN tp),
+        |nv AS (SELECT count(*)::BIGINT v FROM loss)
+        |SELECT pc AS piece, length(pc)::BIGINT AS len, cnt, loss,
+        |  nv.v AS vocab_before, (nv.v - nv.v // 5)::BIGINT AS vocab_kept
+        |FROM loss, nv ORDER BY loss DESC, piece LIMIT 15""") { c =>
+      val wf = c.documents.select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("wd"))
+        .groupBy("wd").agg(count(lit(1)).as("freq"))
+      val pieces = wf
+        .select(col("wd"), col("freq"),
+          explode(typedLit(Seq(2, 3, 4))).as("n"))
+        .filter(length(col("wd")) >= col("n"))
+        .select(col("wd"), col("freq"), col("n"),
+          explode(sequence(lit(1), length(col("wd")) - col("n") + 1))
+            .as("i"))
+        .select(col("wd").substr(col("i"), col("n")).as("pc"),
+          col("freq"))
+      val cand = pieces.groupBy("pc").agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= 3)
+      val ch = wf
+        .select(col("wd"), col("freq"),
+          explode(sequence(lit(1), length(col("wd")))).as("i"))
+        .select(col("wd").substr(col("i"), lit(1)).as("c1"), col("freq"))
+        .groupBy("c1").agg(sum(col("freq")).as("ccnt"))
+      val tp = cand.agg(sum(col("cnt")).as("t"))
+      val tc = ch.agg(sum(col("ccnt")).as("t2"))
+      val pch = cand
+        .select(col("pc"), explode(sequence(lit(1), length(col("pc"))))
+          .as("i"))
+        .select(col("pc"), col("i"),
+          col("pc").substr(col("i"), lit(1)).as("c1"))
+      val alt = pch.join(ch, Seq("c1")).crossJoin(broadcast(tc))
+        .groupBy("pc")
+        .agg(aggregate(array_sort(collect_list(struct(col("i"),
+            log(col("ccnt") * lit(1.0) / col("t2")).as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("a"))
+      val loss = cand.join(alt, Seq("pc")).crossJoin(broadcast(tp))
+        .select(col("pc"), col("cnt"),
+          r4(col("cnt") * (log(col("cnt") * lit(1.0) / col("t")) -
+            col("a"))).as("loss"))
+      val nv = loss.agg(count(lit(1)).as("v"))
+      loss.crossJoin(broadcast(nv))
+        .select(col("pc").as("piece"),
+          length(col("pc")).cast("long").as("len"), col("cnt"),
+          col("loss"), col("v").as("vocab_before"),
+          (col("v") - (col("v") / 5).cast("long")).as("vocab_kept"))
+        .orderBy(col("loss").desc, col("piece")).limit(15)
+    },
+
     // Heaps'-law vocabulary-growth fit (Heaps 1978 / Herdan): V(n) =
     // K·n^β over the doc_id-ordered corpus prefix — the curation
     // diagnostic for vocabulary saturation (β ≪ 1 ⇒ dedup-heavy or
