@@ -126,7 +126,7 @@ object Bench {
     val qs3 = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r10: the r9 BASELINE_LOCAL dedup_containment warm 5.27 > cold 3.95 inversion does not reproduce — this round's 3-run split is first 5.55 / min-warm 1.12 s, the expected persist-lifecycle shape; the inversion was single-run host CPU-steal (the documented class, BENCH_AB.md), not persist accounting. Headliner set unchanged from r9 (27 queries)."}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r11: ASCII-only note (the r10 em-dashes rendered as ? in the driver tail). Headliner set unchanged from r9 (27 queries). The r10 upward drifters (graph_sssp, dedup_components, sim_topk) were A/B re-measured at the r9 vs r10 trees this round - see BENCH_AB.md r11 section."}"""
     // stop Spark FIRST so no executor/shutdown log line can land after
     // the JSON, then say where the clean copy lives (stderr + stdout),
     // then print the JSON as the VERY LAST stdout line flush against

@@ -260,8 +260,23 @@ object Multimodal {
     * channel values). Palette images resolve through PLTE to 3-channel
     * RGB; 8-bit (and palette) samples are 0-255, 16-bit samples keep
     * their full 0-65535 range. None for non-PNG, unsupported layouts,
-    * or corrupt/truncated streams. */
-  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    * or corrupt/truncated streams. Consumers that need to know the
+    * sample range use [[decodePngDepth]] — the parser accepts chunks
+    * in any order, so re-reading the IHDR bit-depth byte at a fixed
+    * absolute offset is NOT equivalent (ADVICE r10). */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    decodePngDepth(bytes).map { case (w, h, ch, _, px) => (w, h, ch, px) }
+
+  /** [[decodePng]] plus the PARSED IHDR bit depth: (width, height,
+    * channels, bitDepth, values). bitDepth is 16 exactly when the
+    * values span 0-65535; palette images report their index depth
+    * (1/2/4/8) but always resolve to 0-255 RGB values. This is the
+    * single source of truth for the sample range — every depth-aware
+    * consumer (imageQuality's 8-bit luma normalization; decodePixels /
+    * resizeBox, which by CONTRACT keep raw source-depth values) keys
+    * off this return, never off raw header bytes. */
+  def decodePngDepth(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Array[Int])] = {
     if (bytes.length < 45 || !bytes.take(8).sameElements(PngSig)) return None
     var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
     var interlace = 0
@@ -405,7 +420,8 @@ object Multimodal {
       }
       pi += 1
     }
-    Some((w, h, outCh, out))
+    // palette depth is the INDEX width; resolved RGB values are 8-bit
+    Some((w, h, outCh, if (colorType == 3) 8 else bitDepth, out))
   }
 
   private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
@@ -806,9 +822,14 @@ object Multimodal {
         val bytes =
           if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
         // format dispatch by magic; (w, h, channels, interleaved values)
+        // PNG comes through decodePngDepth: 16-bit samples are kept at
+        // their RAW 0-65535 range BY CONTRACT — the means report the
+        // source-depth values (the mm_decode_png_layouts oracle keys
+        // on % 65536 means), and the depth return documents that
+        // choice at the one place it is made (ADVICE r10 convention).
         val decoded: Option[(String, Int, Int, Int, Array[Int])] =
           decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, 3, px) }
-            .orElse(decodePng(bytes).map { case (w, h, ch, px) =>
+            .orElse(decodePngDepth(bytes).map { case (w, h, ch, _, px) =>
               ("png", w, h, ch, px) })
             .orElse(decodeGif(bytes).map { case (w, h, px) =>
               ("gif", w, h, 3, px) })
@@ -893,9 +914,11 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytesOrNull) =>
         val bytes =
           if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
+        // same raw source-depth convention as decodePixels: 16-bit PNG
+        // box means stay on the 0-65535 scale (documented, depth-keyed)
         val decoded: Option[(String, Int, Int, Int, Array[Int])] =
           decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, 3, px) }
-            .orElse(decodePng(bytes).map { case (w, h, ch, px) =>
+            .orElse(decodePngDepth(bytes).map { case (w, h, ch, _, px) =>
               ("png", w, h, ch, px) })
             .orElse(decodeGif(bytes).map { case (w, h, px) =>
               ("gif", w, h, 3, px) })
@@ -1048,18 +1071,16 @@ object Multimodal {
           if (bytesOrNull == null) Array.empty[Byte] else bytesOrNull
         val decoded: Option[(String, Int, Int, Int, Array[Int])] =
           decodeBmp(bytes).map { case (w, h, px) => ("bmp", w, h, 3, px) }
-            .orElse(decodePng(bytes).map { case (w, h, ch, px) =>
+            .orElse(decodePngDepth(bytes).map { case (w, h, ch, d, px) =>
               // decodePng passes 16-bit samples through at full
               // 0-65535 range (its roundtrip contract), but the luma
               // weights, bright/dark thresholds, and the Long-headroom
               // bound below all assume 8-bit — downshift (>> 8, the
-              // standard 16->8 truncation) before the stats loop. The
-              // PNG bit depth is IHDR byte 8 = absolute offset 24
-              // (sig 8 + chunk len/type 8 + w/h 8) in any valid PNG.
-              val px8 =
-                if (bytes.length > 24 && (bytes(24) & 0xff) == 16)
-                  px.map(_ >> 8)
-                else px
+              // standard 16->8 truncation) before the stats loop,
+              // keyed off the PARSED IHDR depth (the parser accepts
+              // chunks in any order, so the former absolute-offset-24
+              // byte read could disagree with the decode; ADVICE r10).
+              val px8 = if (d == 16) px.map(_ >> 8) else px
               ("png", w, h, ch, px8) })
             .orElse(decodeGif(bytes).map { case (w, h, px) =>
               ("gif", w, h, 3, px) })

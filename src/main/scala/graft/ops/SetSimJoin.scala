@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   *    for surviving candidate pairs; the corpus never cross-products.
   */
 object SetSimJoin {
+
+  /** ceil with a LOOSE downward bias for candidate bounds: tau*s in
+    * binary FP can land a hair ABOVE an exact integer (tau=0.07,
+    * s=100 -> 7.000000000000001, ceil = 8 not 7), over-tightening a
+    * prefix/length filter past what the exact verify accepts — recall
+    * < 1.0. The rounding error of tau*s is RELATIVE (~1.1e-16·tau·s),
+    * so a constant 1e-9 bias stops dominating it once tau·s ≳ 1e7
+    * (token sets of tens of millions of elements, ADVICE r10); the
+    * bias here carries a 1e-12·x relative term that outgrows the ulp
+    * error at every magnitude, plus the 1e-9 floor for small x.
+    * Loosening a candidate bound can only ADD candidates — the exact
+    * verify decides membership — so recall stays provably 1.0. */
+  private def ceilLoose(x: Column): Column =
+    ceil(x - abs(x) * lit(1e-12) - lit(1e-9))
 
   /** Deferred result + cache lifecycle. `df` is the verified-pairs
     * frame with persist MARKERS on the shared intermediates — nothing
@@ -109,17 +123,16 @@ object SetSimJoin {
     // prefix = first s - ceil(tau*s) + 1 tokens in that order. Both
     // windows share one (id) exchange: the unordered count rides the
     // partition, row_number pays the per-set sort. Every candidate-side
-    // ceil() subtracts 1e-9 first: tau*s in binary FP can land a hair
-    // ABOVE an exact integer (tau=0.07, s=100 -> 7.000000000000001,
-    // ceil = 8 not 7), which would shorten the prefix / tighten the
-    // filters past what the exact verify accepts — recall < 1.0. The
-    // epsilon can only LOOSEN a candidate bound, never the verify.
+    // ceil goes through ceilLoose (see its scaladoc): the downward bias
+    // scales with the operand so the relative FP error of tau*s never
+    // over-tightens a filter, and it can only LOOSEN a candidate
+    // bound, never the verify.
     val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
     val ws = Window.partitionBy("id")
     val prefix = tokRows.join(freq, "h")
       .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
-      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s") - lit(1e-9)) + 1)
+      .filter(col("p") <= col("s") - ceilLoose(lit(tau) * col("s")) + 1)
       .select(col("id"), col("s"), col("p"), col("h").as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -144,10 +157,10 @@ object SetSimJoin {
       col("p").as("pb"), col("tok"))
     val cand = a.join(b, "tok")
       .filter(col("a") < col("b"))
-      .filter(col("sb") * tau <= col("sa") + lit(1e-9) &&
-        col("sa") * tau <= col("sb") + lit(1e-9))
+      .filter(col("sb") * tau <= col("sa") * lit(1.0 + 1e-12) + lit(1e-9) &&
+        col("sa") * tau <= col("sb") * lit(1.0 + 1e-12) + lit(1e-9))
       .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
-        ceil(lit(tau) / (1 + tau) * (col("sa") + col("sb")) - lit(1e-9)))
+        ceilLoose(lit(tau) / (1 + tau) * (col("sa") + col("sb"))))
       .select("a", "b").distinct()
 
     // hashed verification — recall-complete (hashed-Jaccard ≥ true
@@ -260,7 +273,7 @@ object SetSimJoin {
       .select(col("id"), col("s"), col("p"), col("h").as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aPrefix = ordered
-      .filter(col("p") <= col("s") - ceil(lit(tau) * col("s") - lit(1e-9)) + 1)
+      .filter(col("p") <= col("s") - ceilLoose(lit(tau) * col("s")) + 1)
       .select(col("id").as("a"), col("s").as("sa"), col("p").as("pa"),
         col("tok"))
     val bAll = ordered.select(col("id").as("b"), col("s").as("sb"),
@@ -268,9 +281,9 @@ object SetSimJoin {
 
     val cand = aPrefix.join(bAll, "tok")
       .filter(col("a") =!= col("b"))
-      .filter(col("sb") >= ceil(lit(tau) * col("sa") - lit(1e-9)))
+      .filter(col("sb") >= ceilLoose(lit(tau) * col("sa")))
       .filter(col("sa") - col("pa") + 1 >=
-        ceil(lit(tau) * col("sa") - lit(1e-9)))
+        ceilLoose(lit(tau) * col("sa")))
       .select("a", "b").distinct()
 
     // hashed verification: hashed containment ≥ true containment

@@ -269,17 +269,25 @@ object VectorSim {
     * size only ever touches the caller's scan). Determinism: every
     * cosine is rounded to the 1e-6 lattice BEFORE any max/compare,
     * argmax ties break on id (the sim_topk contract). Output:
-    * (step, id, rel, score), step 1..k. */
+    * (step, id, rel, score), step 1..min(k, |pool|) — a pool smaller
+    * than k yields exactly |pool| rows (every candidate selected);
+    * the effective step count is capped by one cheap count on the
+    * checkpointed pool so no empty-select iterations run and callers
+    * asserting k picks fail at the SOURCE (ADVICE r10: the silent
+    * short output used to surface only downstream). */
   def mmrSelect(cand0: DataFrame, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val r6d = (c: Column) => round(c + lit(1e-9), 6)
     val cand = cand0.select(col("id"), col("v"), col("rel"))
       .localCheckpoint()
+    val poolN = cand.count()
+    require(poolN >= 1, "mmrSelect: empty candidate pool")
+    val kEff = math.min(k.toLong, poolN).toInt
     var sel = cand.orderBy(col("rel").desc, col("id")).limit(1)
       .select(col("id"), col("v"), col("rel"),
         col("rel").as("score"), lit(1L).as("step"))
       .localCheckpoint()
-    for (step <- 2 to k) {
+    for (step <- 2 to kEff) {
       val selV = sel.select(col("id").as("sid"), col("v").as("sv"))
       val rem = cand.join(
         selV.select(col("sid").as("id")), Seq("id"), "left_anti")
@@ -684,7 +692,19 @@ object VectorSim {
     * Call `release()` once consumed. */
   final case class PqTopK(df: DataFrame, release: () => Unit)
 
-  /** ANN top-k via PQ + ADC with exact rerank. Scale shape:
+  /** FLAT PQ search — prefer [[topKAnnIvfPq]] as the default front
+    * door. This variant ADC-scores every (query × corpus row) pair,
+    * so on hard data recall only holds when `rerank` grows with the
+    * corpus — a linear scan in disguise (the r9 scale-killer). It
+    * remains exported as the oracle-regime device (rerank = corpus
+    * size degenerates to exact search on a compressed first pass) and
+    * as the recall baseline IVF-PQ is measured against; production
+    * callers want the IVF-PQ composition, whose coarse cells bound
+    * the candidate set so `rerank` stays a FIXED constant. A
+    * corpus-proportional rerank is therefore guarded: rerank > 64·k
+    * requires the explicit `allowLinearRerank` opt-in.
+    *
+    * ANN top-k via PQ + ADC with exact rerank. Scale shape:
     *  1. the corpus is scanned ONCE into (n_id, codes) — m ints/row,
     *    the relation a deployment persists (32× smaller than floats).
     *    The persist marker here is ALSO a correctness-of-cost barrier:
@@ -708,8 +728,14 @@ object VectorSim {
       k: Int,
       books: Array[Array[Array[Double]]],
       rerank: Int,
-      native: Boolean = false): PqTopK = {
+      native: Boolean = false,
+      allowLinearRerank: Boolean = false): PqTopK = {
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(rerank <= 64L * k || allowLinearRerank,
+      s"topKAnnPq: rerank $rerank > 64*k (k=$k) — a corpus-scaled " +
+        "rerank re-creates the linear-scan shape; use topKAnnIvfPq " +
+        "(fixed rerank, celled candidates) or pass " +
+        "allowLinearRerank=true for the exact/oracle regime")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val codes = corpus.select(col("n_id"),
       pqEncode(col("n_vec"), books, native).as("codes")).persist(lvl)

@@ -435,9 +435,19 @@ object SourceQueries {
         |FROM customer GROUP BY 1 ORDER BY segment""") { c =>
       val out = tmp("customer_fixed_width")
       // layout: key [1,10] zero-padded; segment [11,20] right-padded;
-      // cents [21,32] left-padded with sign
+      // cents [21,32] left-padded with sign. The layout is a FIXED
+      // 10-digit key field: format_string silently WIDENS the field
+      // for keys >= 10^10 (reachable around SF~100k), shifting every
+      // later byte offset so the read-back projection parses garbage
+      // (ADVICE r10) — so any over-wide key fails the WRITE loudly
+      // instead. Same guard a real copybook feed needs.
       c.customer.select(format_string("%010d%-10s%12d",
-          col("c_custkey"),
+          when(col("c_custkey") >= 10000000000L,
+            raise_error(concat(lit("src_fixed_width: c_custkey "),
+              col("c_custkey").cast("string"),
+              lit(" exceeds the 10-digit layout field; widen the " +
+                "layout"))).cast("long"))
+            .otherwise(col("c_custkey")),
           col("c_mktsegment"),
           expr("CAST(round(c_acctbal * 100 + 1e-9) AS BIGINT)"))
           .as("value"))
