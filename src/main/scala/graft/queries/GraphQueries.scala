@@ -621,8 +621,13 @@ object GraphQueries {
     q("graph_betweenness",
       """WITH sp AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
         |  FROM lineitem WHERE l_quantity > 49),
+        |pdeg AS (SELECT pk, count(*) d FROM sp GROUP BY 1),
+        |kept AS (SELECT sp.pk, sp.sk FROM sp JOIN pdeg
+        |         ON sp.pk = pdeg.pk WHERE pdeg.d <= 40),
+        |capped AS (SELECT count(*)::BIGINT n_capped FROM pdeg
+        |           WHERE d > 40),
         |adj AS (SELECT DISTINCT a.sk u, b.sk v
-        |        FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |        FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk <> b.sk),
         |nodes AS (SELECT DISTINCT u n FROM adj),
         |d1 AS (SELECT u s, v, 1::BIGINT sig FROM adj WHERE u % 4 = 0),
         |d2c AS (SELECT d1.s, adj.v, sum(d1.sig)::BIGINT sig
@@ -658,14 +663,29 @@ object GraphQueries {
         |          / 2 bc
         |      FROM contrib GROUP BY v)
         |SELECT nodes.n::BIGINT AS node,
-        |  round(coalesce(b.bc, 0.0) + 1e-9, 6) AS betweenness
-        |FROM nodes LEFT JOIN b ON b.v = nodes.n
+        |  round(coalesce(b.bc, 0.0) + 1e-9, 6) AS betweenness,
+        |  capped.n_capped
+        |FROM nodes LEFT JOIN b ON b.v = nodes.n, capped
         |ORDER BY node""") { c =>
       val sp = c.lineitem.filter(col("l_quantity") > 49)
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-      val adj = sp.as("a")
-        .join(sp.as("b"),
+      // Degree cap on the co-supply projection (the
+      // graph_bipartite_project device, r10 verdict #2): adj = sp ⋈ sp
+      // ON pk SQUARES on a hot part, so parts with more than 40
+      // distinct suppliers are dropped from the projection and
+      // REPORTED (n_capped). On TPC-H nothing is capped (the generator
+      // fixes suppliers-per-part at 4), but the generic operator
+      // carries the knob: a capped projection is a SAMPLED adjacency,
+      // consistent with the pivot estimator's existing approximation
+      // contract (25% sources, k=3 bounded distance).
+      val pdeg = sp.groupBy("pk").agg(count(lit(1)).as("d"))
+      val kept = sp.join(pdeg, Seq("pk")).filter(col("d") <= 40)
+        .select(col("pk"), col("sk"))
+      val capped = pdeg.filter(col("d") > 40)
+        .agg(count(lit(1)).as("n_capped"))
+      val adj = kept.as("a")
+        .join(kept.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
         .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
         .localCheckpoint() // forward + backward passes re-join it
@@ -710,8 +730,10 @@ object GraphQueries {
             col("dl").as("t")))),
           lit(0.0), (a, x) => a + x.getField("t")) / lit(2)).as("bc"))
       nodes.join(b, col("n") === col("v"), "left")
+        .crossJoin(broadcast(capped)) // 1-row aggregate (bounded BNLJ)
         .select(col("n").cast("long").as("node"),
-          r6(coalesce(col("bc"), lit(0.0))).as("betweenness"))
+          r6(coalesce(col("bc"), lit(0.0))).as("betweenness"),
+          col("n_capped"))
         .orderBy("node")
     },
   )

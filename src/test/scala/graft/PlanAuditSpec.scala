@@ -72,7 +72,11 @@ class PlanAuditSpec extends SparkSpec {
     def bounded(p: SparkPlan): Boolean = p match {
       case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
       case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      // NOTE deliberately NO bare LocalLimitExec case (ADVICE r10): a
+      // per-partition limit scales with the partition count, so it
+      // bounds nothing at 1000 executors — only a GlobalLimit /
+      // CollectLimit / TakeOrdered ancestor (matched above/below, and
+      // always planned ABOVE its LocalLimit) makes a limit structural.
       case _: org.apache.spark.sql.execution.CollectLimitExec => true
       case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
         true
@@ -90,8 +94,12 @@ class PlanAuditSpec extends SparkSpec {
     def boundedBelow(p: logical.LogicalPlan): Boolean = p match {
       case _: logical.Aggregate => true
       case _: logical.GlobalLimit => true
-      case _: logical.LocalLimit => true
-      case _: logical.Sample => true
+      // NO bare LocalLimit and NO Sample cases (ADVICE r10): a
+      // per-partition limit scales with partition count and a sample
+      // is a constant FRACTION of the corpus — an unpartitioned
+      // window over either is exactly the single-task scale-killer
+      // this sweep exists to exclude. (GlobalLimit always plans above
+      // its LocalLimit, so real limits still match.)
       case r: logical.Range => r.numElements <= BigInt(100000)
       case l: logical.LocalRelation => l.data.size <= 100000
       case leaf if leaf.children.isEmpty => false
@@ -137,6 +145,51 @@ class PlanAuditSpec extends SparkSpec {
       s"unbounded BNLJ build sides:\n${bnljs.mkString("\n")}")
     assert(wins.isEmpty,
       s"unpartitioned windows over raw input:\n${wins.mkString("\n")}")
+  }
+
+  test("filter + projection pushdown reach the parquet scan on " +
+    "representative filter-over-scan queries (r10 verdict #6)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // The one plan property the sweep above cannot see: a wrapper
+    // regression (an opaque UDF in a filter, a schema-erasing
+    // round-trip, a barrier misplaced before the filter) silently
+    // turns a pruned, filter-pushed scan into a full-table read —
+    // invisible at sf0.001, a 10×-bytes regression at 100 TB. Each
+    // named query filters a base table on a scan-supported predicate
+    // and projects a strict column subset, so its plan MUST show (a)
+    // at least one parquet scan with non-empty PushedFilters and (b)
+    // every base-table scan reading fewer columns than the table
+    // carries. Checked on the pre-AQE sparkPlan (scan nodes are
+    // stable there; AQE only re-plans exchanges).
+    val expectPushdown = Seq(
+      "agg_basic",        // lineitem: l_shipdate <= filter
+      "rel_filter",       // algebra Filter lowering over lineitem
+      "join_inner",       // orderkey IsNotNull into both sides
+      "join_asof",        // events/orders scans under the asof union
+      "dedup_minhash_lsh", // documents: text IsNotNull
+      "sim_topk")         // embeddings: vec IsNotNull
+    val problems = expectPushdown.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val scans = df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      spark.catalog.clearCache()
+      val pushed = scans.exists(s =>
+        s.metadata.get("PushedFilters").exists(f => f != "[]" &&
+          f.nonEmpty))
+      val unpruned = scans.filter(s =>
+        s.requiredSchema.fields.length >=
+          s.relation.dataSchema.fields.length &&
+          s.relation.dataSchema.fields.length > 1)
+      (if (scans.isEmpty) Seq(s"$name: no parquet scan found") else Nil) ++
+        (if (!pushed && scans.nonEmpty)
+          Seq(s"$name: no scan carries a pushed filter") else Nil) ++
+        unpruned.map(s => s"$name: unpruned scan reads all " +
+          s"${s.relation.dataSchema.fields.length} columns of " +
+          s.relation.location.rootPaths.headOption.fold("?")(_.getName))
+    }
+    assert(problems.isEmpty,
+      s"pushdown regressions:\n${problems.mkString("\n")}")
   }
 
   test("ml_pr_curve plans no single-partition window over the score " +
