@@ -322,6 +322,56 @@ object StreamOps {
       .toDF("day", "regs")
   }
 
+  /** Streaming Count-Min register state — the incremental counterpart
+    * of the `agg_countmin` batch sketch (Cormode & Muthukrishnan
+    * 2005) and the sketch family's remaining natural streaming member
+    * beside [[hllDailyState]]: d hash rows × w counter buckets, every
+    * cell a plain count that merges by cell-wise SUM, so ANY batch
+    * split of the stream replays to the bit-identical register table
+    * the batch build produces from the same rows (spec-checked). Each
+    * input row fans out to its d (row, bucket) cells — the same
+    * md5-digest-window bucketing as the batch query (row j's bucket
+    * is hex window [8j, 8j+8) of ONE md5 per key, mod w), so the
+    * streaming registers are directly comparable to (and mergeable
+    * with) batch-built cells. State per group is one w-long count
+    * array keyed by sketch row j — d groups TOTAL, O(d·w) memory
+    * independent of stream length; output after each micro-batch is
+    * the updated (j, cells) register row. Point estimates (min over
+    * the d probed cells) are a read-time projection, exactly as in
+    * the batch query. */
+  def cmsState(
+      df: DataFrame,
+      keyCol: String,
+      d: Int = 4,
+      w: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"))
+      .as[String]
+      .flatMap(k => (0 until d).map(j => (j, k)))
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], (Int, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        (j, rows, state: GroupState[Seq[Long]]) =>
+          val regs = state.getOption.map(_.toArray)
+            .getOrElse(Array.fill(w)(0L))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { case (_, k) =>
+            md.reset()
+            val hx = md.digest(k.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            // == batch conv(substr(dg, 1+8j, 8), 16, 10) % w: 8 hex
+            // chars parse positive into a Long on both paths
+            val b = (java.lang.Long.parseLong(
+              hx.substring(8 * j, 8 * j + 8), 16) % w).toInt
+            regs(b) += 1L
+          }
+          state.update(regs.toSeq)
+          (j, regs.toSeq)
+      }
+      .toDF("j", "cells")
+  }
+
   /** Streaming CDC changelog apply — the incremental counterpart of
     * the `rel_cdc_apply` batch query (and the canonical streaming-CDC
     * materialization): per entity the state is ONE (seq, op, value)

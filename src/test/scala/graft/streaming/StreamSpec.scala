@@ -730,6 +730,53 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Count-Min registers equal the batch cell table " +
+    "for any batch split (agg_countmin parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // raw key stream with repeats WITHIN and ACROSS the split (count
+    // carry), plus a key seen only in batch 2 (fresh bucket)
+    val keys = Seq("17", "42", "17", "99", "42", "17",
+      "256", "99", "17", "300", "42")
+    val input = MemoryStream[String]
+    val cms = StreamOps.cmsState(input.toDF.toDF("k"), "k")
+    val q = cms.writeStream.format("memory")
+      .queryName("cms_stream").outputMode("update").start()
+    try {
+      input.addData(keys.take(6))
+      q.processAllAvailable()
+      input.addData(keys.drop(6))
+      q.processAllAvailable()
+      // latest emitted register row per sketch row j (memory sink
+      // appends in update mode; counts only grow, so the cell-wise
+      // max total identifies the last write)
+      val streamed = sp.sql("SELECT j, cells FROM cms_stream")
+        .groupBy("j").agg(max(struct(
+          aggregate(col("cells"), lit(0L), (a, x) => a + x).as("__tot"),
+          col("cells").as("cells"))).as("m"))
+        .select(col("j"), posexplode(col("m.cells")).as(Seq("b", "cnt")))
+        .filter(col("cnt") > 0)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch reference: agg_countmin's cells aggregation over the
+      // RAW rows (the query ingests keyed partials — identical cells
+      // by distributivity, which is exactly what this pins)
+      val batch = keys.toDF("k")
+        .select(md5(col("k")).as("dg"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .select(col("j"),
+          (conv(col("dg").substr(lit(1) + lit(8) * col("j"), lit(8)),
+            16, 10).cast("long") % 256).cast("int").as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // register equality ⇒ every point estimate (min over the d
+      // probed cells) and any cross-shard cell-wise-sum merge agree
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply materializes the same current image as " +
     "the batch keyed window for any batch split (rel_cdc_apply parity)") {
     val sp = spark
