@@ -35,10 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 
-// Gate-time sharding (r9 verdict ask #6): the FullDeterminismShard0-3
-// suites each sweep a quarter of the 400-query registry at two shuffle
-// partition counts — together they dominated the suite at ~15 of 22
-// minutes when run serially in one JVM. Each shard goes to its OWN
+// Gate-time sharding (r9 verdict ask #6; golden-hashed r11 per r10
+// ask #1): the FullDeterminismShard0-3 suites each sweep a quarter of
+// the registry at shuffle partitions=1 against committed partitions=32
+// golden hashes (tools/determinism_golden_*.tsv, graft.GoldenGen) —
+// half the executions of the old two-run sweep, so the gate stays
+// sublinear in registry growth. Each shard goes to its OWN
 // forked JVM so the four sweeps run CONCURRENTLY, and each shard JVM
 // gets a PRIVATE java.io.tmpdir: the src_*/cache queries write fixture
 // paths under the tmpdir (graft_src/, graft_cache/), so per-JVM

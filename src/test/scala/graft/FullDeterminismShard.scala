@@ -1,74 +1,108 @@
 package graft
 
 /** FULL-REGISTRY shuffle-order determinism audit (r8 verdict ask #4),
-  * SHARDED for gate time (r9 verdict ask #6): DeterminismSpec guards
-  * nine hand-picked FP-heavy queries at sf0.01; these shards together
-  * make the r8 failure class (output depending on FP summation ORDER,
-  * which varies with the shuffle partition count — the
-  * text_lm_ppl/llm_dsir_select/ts_cusum_changepoint saga) impossible
-  * to regress ANYWHERE in the registry: every query in
-  * `SparkEntry.queries` runs at `spark.sql.shuffle.partitions` ∈
-  * {1, 32} on the smoke-scale data and must collect bit-identical
-  * output (Row.toString carries the full shortest-decimal repr of
-  * every double, so a single-ulp drift fails).
+  * SHARDED for gate time (r9 ask #6), GOLDEN-HASHED for registry
+  * growth (r10 ask #1): DeterminismSpec guards nine hand-picked
+  * FP-heavy queries at sf0.01; these shards make the r8 failure class
+  * (output depending on FP summation ORDER, which varies with the
+  * shuffle partition count — the text_lm_ppl/llm_dsir_select/
+  * ts_cusum_changepoint saga) impossible to regress ANYWHERE in the
+  * registry.
   *
-  * Sharding: the registry is split 4 ways by query-name hash; each
-  * shard suite runs in its OWN forked JVM (build.sbt testGrouping)
-  * with its OWN SparkContext and a PRIVATE java.io.tmpdir, so the
-  * four sweeps run concurrently with zero shared state — no shared
-  * SQLConf to race on, no shared storage cache for one query's
-  * leftover persist to mask another's divergence, and the fixed
-  * graft_src/graft_cache fixture paths resolve per-JVM. Coverage is
-  * identical to the former monolithic FullDeterminismSpec: the shard
-  * predicate (floorMod(name.hashCode, 4)) partitions the registry
-  * exhaustively, and Shard0 asserts that as a meta-test.
+  * Mechanism (r11): the partitions=32 half of the old two-run sweep
+  * is baked into committed golden tables
+  * (`tools/determinism_golden_<shard>.tsv`, written by
+  * `graft.GoldenGen` — name, row count, sha256 of the sorted
+  * Row.toString lines). Each gate run executes ONLY the partitions=1
+  * pass and compares its hash against the golden — the identical
+  * invariance guarantee (Row.toString carries the full
+  * shortest-decimal repr of every double, so a single-ulp drift
+  * fails) at HALF the executions, so the gate stays inside its
+  * 20-minute budget as the registry grows. The golden also pins
+  * cross-SESSION stability: an output that drifts between JVM runs
+  * (a timestamp, a path, an unseeded sample) fails here before the
+  * driver's DuckDB compare sees it.
   *
-  * sf0.001 keeps the 400×2 sweep cheap; the targeted sf0.01 spec
-  * stays as the deeper probe of the known-risky nine. Caches are
-  * cleared between queries (the r3 cache-residue lesson — a persist
-  * left by query N would make query N+1's partitions=1 run read
-  * 32-partition cached data and mask the very divergence under test).
+  * A failure therefore means ONE of: (a) a real partition-count or
+  * run-to-run divergence — fix the query; (b) a legitimate query
+  * change — regenerate that query's golden with
+  * `sbt "runMain graft.GoldenGen <name>"` (or `--shard <i>` /
+  * no-args for a full refresh) and commit the updated tsv.
+  *
+  * Sharding: the registry is split 4 ways by query-name hash
+  * (GoldenGen.shardOf — the same predicate keys the golden files, so
+  * shard suites read disjoint tsvs); each shard suite runs in its OWN
+  * forked JVM (build.sbt testGrouping) with a PRIVATE java.io.tmpdir,
+  * so the four sweeps run concurrently with zero shared state.
+  * Coverage is exhaustive: Shard0's meta-tests assert the predicate
+  * partitions the registry AND that the golden files cover the
+  * registry exactly (a new query without a golden, or a stale golden
+  * for a removed query, fails the gate by name).
+  *
+  * Caches are cleared between queries (the r3 cache-residue lesson —
+  * a persist left by query N would make query N+1's run read stale
+  * cached data and mask the very divergence under test).
   */
 abstract class FullDeterminismShard(shard: Int) extends SparkSpec {
 
-  private val smokeSf = "/root/testdata/sf0.001"
+  private val smokeSf = GoldenGen.smokeSf
+  private lazy val golden = GoldenGen.readShard(shard)
 
   protected def inShard(name: String): Boolean =
-    java.lang.Math.floorMod(name.hashCode, FullDeterminismShard.N) == shard
+    GoldenGen.shardOf(name) == shard
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
        if inShard(name))
-    test(s"$name is partition-count invariant at sf0.001") {
-      val runs = Seq("1", "32").map { n =>
-        spark.conf.set("spark.sql.shuffle.partitions", n)
+    test(s"$name at partitions=1 matches the partitions=32 golden") {
+      val (goldRows, goldHash) = golden.getOrElse(name,
+        fail(s"no golden hash for $name in " +
+          s"${GoldenGen.goldenPath(shard)} — generate it with: " +
+          s"""sbt "runMain graft.GoldenGen $name" and commit the tsv"""))
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val rows =
         try fn(spark, smokeSf).collect().map(_.toString).sorted.toSeq
         finally {
           spark.conf.set("spark.sql.shuffle.partitions", "4")
           spark.catalog.clearCache()
         }
-      }
-      val Seq(a, b) = runs
-      assert(a.size == b.size,
-        s"$name row count varies with partition count: ${a.size} vs ${b.size}")
-      val diff = a.zip(b).collectFirst { case (x, y) if x != y => (x, y) }
-      assert(diff.isEmpty,
-        s"$name output varies with partition count (1 vs 32): $diff")
+      assert(rows.size.toLong == goldRows,
+        s"$name row count ${rows.size} != golden $goldRows " +
+          "(partitions=32) — real divergence, or regenerate via " +
+          s"""sbt "runMain graft.GoldenGen $name" if the query changed""")
+      assert(GoldenGen.hashRows(rows) == goldHash,
+        s"$name output at partitions=1 differs from the " +
+          "partitions=32 golden — either a real partition-count / " +
+          "run-to-run divergence (fix the query) or a legitimate " +
+          "query change (regenerate: " +
+          s"""sbt "runMain graft.GoldenGen $name" and commit the tsv)""")
     }
 }
 
 object FullDeterminismShard {
   /** keep in sync with the number of concrete shard classes below AND
     * the testGrouping stanza in build.sbt */
-  val N = 4
+  val N = GoldenGen.NShards
 }
 
 class FullDeterminismShard0 extends FullDeterminismShard(0) {
   test("the shard predicate covers the whole registry exactly once") {
     val names = SparkEntry.queries.keys.toSeq
-    val assigned = names.groupBy(n =>
-      java.lang.Math.floorMod(n.hashCode, FullDeterminismShard.N))
+    val assigned = names.groupBy(GoldenGen.shardOf)
     assert(assigned.values.map(_.size).sum == names.size)
     assert(assigned.keys.forall(k => k >= 0 && k < FullDeterminismShard.N))
+  }
+  test("golden files cover the registry exactly (no missing, no stale)") {
+    val goldenNames = (0 until FullDeterminismShard.N)
+      .flatMap(GoldenGen.readShard(_).keys).toSet
+    val registry = SparkEntry.queries.keySet
+    val missing = registry -- goldenNames
+    val stale = goldenNames -- registry
+    assert(missing.isEmpty, "queries without a golden hash (run sbt " +
+      s""""runMain graft.GoldenGen ${missing.mkString(",")}"): """ +
+      missing.toSeq.sorted.mkString(", "))
+    assert(stale.isEmpty, "stale goldens for removed queries " +
+      "(rerun GoldenGen for their shards to drop them): " +
+      stale.toSeq.sorted.mkString(", "))
   }
 }
 class FullDeterminismShard1 extends FullDeterminismShard(1)
