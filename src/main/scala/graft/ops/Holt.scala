@@ -181,4 +181,83 @@ object Holt {
       }
     }(Encoders.row(out))
   }
+
+  /** Croston's method (Croston 1972, "Forecasting and stock control
+    * for intermittent demands", Oper. Res. Q. 23) — the standard
+    * forecast state for INTERMITTENT demand, where most periods have
+    * no demand at all and plain SES (or [[linear]]) systematically
+    * lags: two coupled SES recurrences over the NONZERO demands only,
+    *   z_t = α·y_t + (1−α)·z_{t−1}   (demand-size level)
+    *   x_t = α·q_t + (1−α)·x_{t−1}   (inter-demand-interval level)
+    * where q_t = periods since the previous demand; the per-period
+    * demand-rate forecast is z/x. Init: z₁ = y₁, x₁ = 1 (the first
+    * demand carries no interval evidence). Input rows are the
+    * (key, period, y) DEMAND events (zero periods simply absent —
+    * exactly how an intermittent series is stored); same
+    * secondary-sort O(1)-state scan as [[linear]], ordered by the
+    * integer period column. Dyadic α keeps both engines
+    * bit-identical; a pinned run replays as a recursive CTE.
+    * Output: (key, n, size_level, interval_level). */
+  def croston(
+      df: DataFrame,
+      key: String,
+      period: Column,
+      value: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val keyType = df.schema(key).dataType
+    val out = StructType(Seq(
+      StructField(key, keyType),
+      StructField("n", LongType, nullable = false),
+      StructField("size_level", DoubleType, nullable = false),
+      StructField("interval_level", DoubleType, nullable = false)))
+    val prepared = df
+      .select(col(key).as("__k"), period.cast("long").as("__p"),
+        value.cast("double").as("__y"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__p"))
+    val oneMinusAlpha = 1 - alpha
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private var cur: Any = null
+        private var has = false
+        private var n = 0L
+        private var z = 0.0
+        private var x = 0.0
+        private var prevP = 0L
+        private var pending: Row = null
+
+        private def emit(): Row = Row(cur, n, z, x)
+
+        override def hasNext: Boolean = pending != null || advance()
+
+        private def advance(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val p = r.getLong(1)
+            val y = r.getDouble(2)
+            if (!has || k != cur) {
+              val done = if (has) emit() else null
+              cur = k; has = true; n = 1L; z = y; x = 1.0; prevP = p
+              if (done != null) { pending = done; return true }
+            } else {
+              val q = (p - prevP).toDouble
+              z = alpha * y + oneMinusAlpha * z
+              x = alpha * q + oneMinusAlpha * x
+              prevP = p
+              n += 1
+            }
+          }
+          if (has) { pending = emit(); has = false; return true }
+          false
+        }
+
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r2 = pending; pending = null; r2
+        }
+      }
+    }(Encoders.row(out))
+  }
 }

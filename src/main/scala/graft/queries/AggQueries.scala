@@ -837,5 +837,71 @@ object AggQueries {
           r2(est).as("estimate"),
           r6((est - col("n_exact")) / col("n_exact")).as("rel_err"))
     },
+
+    // Higher sample moments — skewness g₁ = m₃/m₂^{3/2} and EXCESS
+    // kurtosis g₂ = m₄/m₂² − 3 per group, the two reductions above
+    // var/std in the moment ladder (SURVEY §2.3 covers mean/var; the
+    // built-in skewness/kurtosis aggregates are FP-order-dependent
+    // partial folds, so this computes them the graft way): EXACT
+    // integer power sums S₁..S₄ of the small-integer quantity column
+    // (q ≤ 50 ⇒ S₄ ≤ n·6.25e6, Long-safe at any corpus scale), ONE
+    // hash aggregation, then one closed-form double expression per
+    // group with the SAME shape on both engines (m₂·√m₂ instead of
+    // pow(·,1.5) — sqrt is correctly-rounded IEEE everywhere,
+    // engine-provided pow is not). Order-independent by construction:
+    // every aggregate is an integer sum.
+    q("agg_moments",
+      """WITH s AS (SELECT l_returnflag flag, count(*)::BIGINT n,
+        |    sum(CAST(round(l_quantity) AS BIGINT))::BIGINT s1,
+        |    sum(CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_quantity) AS BIGINT))::BIGINT s2,
+        |    sum(CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_quantity) AS BIGINT))::BIGINT s3,
+        |    sum(CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_quantity) AS BIGINT))::BIGINT s4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT flag, n,
+        |        s1 * 1.0 / n a, s2 * 1.0 / n b,
+        |        s3 * 1.0 / n c3, s4 * 1.0 / n d4
+        |      FROM s),
+        |k AS (SELECT flag, n, a,
+        |        b - a * a m2,
+        |        c3 - 3 * a * b + 2 * a * a * a m3,
+        |        d4 - 4 * a * c3 + 6 * a * a * b - 3 * a * a * a * a m4
+        |      FROM m)
+        |SELECT flag, n, round(a + 1e-9, 6) AS mean_qty,
+        |       round(m2 + 1e-9, 6) AS var_qty,
+        |       round(m3 / (m2 * sqrt(m2)) + 1e-9, 6) AS skewness,
+        |       round(m4 / (m2 * m2) - 3 + 1e-9, 6) AS kurtosis_excess
+        |FROM k ORDER BY flag""") { c =>
+      val qn = expr("CAST(round(l_quantity) AS BIGINT)")
+      val s = c.lineitem.groupBy(col("l_returnflag").as("flag")).agg(
+        count(lit(1)).as("n"),
+        sum(qn).as("s1"), sum(qn * qn).as("s2"),
+        sum(qn * qn * qn).as("s3"), sum(qn * qn * qn * qn).as("s4"))
+      val a = col("s1") * lit(1.0) / col("n")
+      val b = col("s2") * lit(1.0) / col("n")
+      val c3 = col("s3") * lit(1.0) / col("n")
+      val d4 = col("s4") * lit(1.0) / col("n")
+      val m = s.select(col("flag"), col("n"), a.as("a"), b.as("b"),
+        c3.as("c3"), d4.as("d4"))
+      val m2 = col("b") - col("a") * col("a")
+      val m3 = col("c3") - lit(3) * col("a") * col("b") +
+        lit(2) * col("a") * col("a") * col("a")
+      val m4 = col("d4") - lit(4) * col("a") * col("c3") +
+        lit(6) * col("a") * col("a") * col("b") -
+        lit(3) * col("a") * col("a") * col("a") * col("a")
+      val k = m.select(col("flag"), col("n"), col("a"),
+        m2.as("m2"), m3.as("m3"), m4.as("m4"))
+      k.select(col("flag"), col("n"), r6(col("a")).as("mean_qty"),
+          r6(col("m2")).as("var_qty"),
+          r6(col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+          r6(col("m4") / (col("m2") * col("m2")) - lit(3))
+            .as("kurtosis_excess"))
+        .orderBy("flag")
+    },
   )
 }

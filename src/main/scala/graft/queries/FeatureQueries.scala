@@ -1097,6 +1097,62 @@ object FeatureQueries {
         .orderBy("user_id")
     },
 
+    // Croston's intermittent-demand method (Croston 1972) — the
+    // forecast state the Holt family lacks when most periods have NO
+    // demand (spare parts, long-tail SKUs, per-user purchases): SES on
+    // the demand SIZES and SES on the INTER-DEMAND INTERVALS, both
+    // over the nonzero-demand subsequence only; demand rate = z/x per
+    // period. Per-user daily purchase cents from one corpus
+    // aggregation (purchase days are sparse per user — the method's
+    // native regime), then ops/Holt.croston's secondary-sort
+    // O(1)-state scan (the 100 TB per-key recurrence shape). α=0.5
+    // dyadic → bit-identical recurrences; the oracle replays step
+    // rn → rn+1 as a recursive CTE carrying (z, x, prev day).
+    q("ts_croston",
+      """WITH RECURSIVE s0 AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+        |              AS BIGINT) d,
+        |         sum(CAST(round(value * 100 + 1e-9) AS BIGINT)) y
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 50
+        |  GROUP BY 1, 2),
+        |r AS (SELECT user_id, d, y,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY d) rn,
+        |        count(*) OVER (PARTITION BY user_id) n
+        |      FROM s0),
+        |rec(user_id, rn, prevd, z, x, n) AS (
+        |  SELECT user_id, 1, d, y::DOUBLE, 1.0::DOUBLE, n
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, r.d,
+        |         0.5::DOUBLE * r.y + 0.5::DOUBLE * rec.z,
+        |         0.5::DOUBLE * (r.d - rec.prevd) + 0.5::DOUBLE * rec.x,
+        |         rec.n
+        |  FROM rec JOIN r ON r.user_id = rec.user_id
+        |                 AND r.rn = rec.rn + 1)
+        |SELECT user_id, n::BIGINT AS n_demands,
+        |       round(z / 100 + 1e-9, 4) AS size_level,
+        |       round(x + 1e-9, 4) AS interval_days,
+        |       round(z / x / 100 + 1e-9, 4) AS demand_rate
+        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+      val demands = c.events
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .groupBy(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+            .as("d"))
+        .agg(sum(expr("CAST(round(value * 100 + 1e-9) AS BIGINT)"))
+          .as("y"))
+      val fitted = graft.ops.Holt.croston(
+        demands, key = "user_id", period = col("d"), value = col("y"),
+        alpha = 0.5)
+      fitted.select(col("user_id"), col("n").as("n_demands"),
+          r4(col("size_level") / 100).as("size_level"),
+          r4(col("interval_level")).as("interval_days"),
+          r4(col("size_level") / col("interval_level") / 100)
+            .as("demand_rate"))
+        .orderBy("user_id")
+    },
+
     // Periodogram power at candidate periods (Schuster 1898 — the
     // classical seasonality detector feeding ts_decompose's choice of
     // season length): DFT power of the demeaned hourly revenue series

@@ -1708,5 +1708,90 @@ object MlQueries {
         r6((col("n") * (col("n11") + col("n00")) - marg) * lit(1.0) /
           (col("n") * col("n") - marg)).as("kappa"))
     },
+
+    // Pinball (quantile) loss — the eval metric for QUANTILE
+    // forecasts (Koenker & Bassett 1978 check loss; what the conformal
+    // and quantile-bins entries predict, this SCORES): fit per-group
+    // τ-quantiles on the md5-bucket TRAIN split, evaluate
+    // L_τ(y,q) = τ·(y−q)⁺ + (1−τ)·(q−y)⁺ on the held-out TEST rows.
+    // Everything stays in exact integers at any corpus scale: the
+    // quantile is the TYPE-1 (no interpolation) order statistic read
+    // from the (group, cents) HISTOGRAM rank — the grouped-median
+    // device, never a per-row sort — and with DYADIC τ ∈ {1/2, 3/4}
+    // the scaled losses 2·L_½ = |y−q| and 4·L_¾ = 3(y−q)⁺ + (q−y)⁺
+    // are plain integer sums; the single division per group happens at
+    // read time. A lower test loss at τ=0.75 on the upper tail than
+    // the symmetric τ=0.5 median loss is the property the metric
+    // exists to expose.
+    q("ml_pinball_loss",
+      """WITH b AS (SELECT l_returnflag flag,
+        |    CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT) c,
+        |    ('0x' || substr(md5('42|' || l_orderkey || '|'
+        |                        || l_linenumber), 1, 8))::BIGINT
+        |      % 1000 bk
+        |  FROM lineitem),
+        |h AS (SELECT flag, c, count(*) cnt FROM b WHERE bk < 700
+        |      GROUP BY 1, 2),
+        |hc AS (SELECT flag, c,
+        |         sum(cnt) OVER (PARTITION BY flag ORDER BY c) cum,
+        |         sum(cnt) OVER (PARTITION BY flag) n
+        |       FROM h),
+        |qs AS (SELECT flag,
+        |         min(CASE WHEN cum >= ceil(0.5 * n - 1e-9)
+        |                  THEN c END) q50,
+        |         min(CASE WHEN cum >= ceil(0.75 * n - 1e-9)
+        |                  THEN c END) q75
+        |       FROM hc GROUP BY 1),
+        |l AS (SELECT b.flag, count(*)::BIGINT n_test, max(q50) q50,
+        |        max(q75) q75,
+        |        sum(abs(c - q50))::BIGINT pl50x2,
+        |        sum(CASE WHEN c >= q75 THEN 3 * (c - q75)
+        |                 ELSE q75 - c END)::BIGINT pl75x4
+        |      FROM b JOIN qs ON b.flag = qs.flag WHERE bk >= 700
+        |      GROUP BY 1)
+        |SELECT flag, n_test,
+        |       round(q50 / 100.0 + 1e-9, 2) AS q50_train,
+        |       round(q75 / 100.0 + 1e-9, 2) AS q75_train,
+        |       round(pl50x2 / 2.0 / n_test / 100 + 1e-9, 6)
+        |         AS pinball_50,
+        |       round(pl75x4 / 4.0 / n_test / 100 + 1e-9, 6)
+        |         AS pinball_75
+        |FROM l ORDER BY flag""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val b = graft.ml.Splits.withSplitColumn(
+          c.lineitem, keys = Seq("l_orderkey", "l_linenumber"),
+          testSizes = Seq(0.7, 0.3), numBuckets = 1000, seed = 42L,
+          portable = true)
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT)")
+            .as("c"),
+          col("split_idx"))
+      val h = b.filter(col("split_idx") === 0)
+        .groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("flag")
+        .orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+      val hc = h.select(col("flag"), col("c"),
+        sum(col("cnt")).over(wc).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy("flag")).as("n"))
+      val qs = hc.groupBy("flag").agg(
+        min(when(col("cum") >= ceil(lit(0.5) * col("n") - lit(1e-9)),
+          col("c"))).as("q50"),
+        min(when(col("cum") >= ceil(lit(0.75) * col("n") - lit(1e-9)),
+          col("c"))).as("q75"))
+      b.filter(col("split_idx") === 1)
+        .join(broadcast(qs), Seq("flag"))
+        .groupBy("flag").agg(
+          count(lit(1)).as("n_test"),
+          max(col("q50")).as("q50"), max(col("q75")).as("q75"),
+          sum(abs(col("c") - col("q50"))).as("pl50x2"),
+          sum(when(col("c") >= col("q75"), lit(3) * (col("c") - col("q75")))
+            .otherwise(col("q75") - col("c"))).as("pl75x4"))
+        .select(col("flag"), col("n_test"),
+          r2(col("q50") / 100.0).as("q50_train"),
+          r2(col("q75") / 100.0).as("q75_train"),
+          r6(col("pl50x2") / 2.0 / col("n_test") / 100).as("pinball_50"),
+          r6(col("pl75x4") / 4.0 / col("n_test") / 100).as("pinball_75"))
+        .orderBy("flag")
+    },
   )
 }

@@ -652,5 +652,56 @@ object WindowQueries {
             lag(col("kraw"), 2).over(o)) / lit(3)).as("pct_d"))
         .orderBy("day")
     },
+
+    // Average True Range (Wilder 1978, the simple-mean variant) — the
+    // rolling-RANGE volatility window beside the dispersion family
+    // (Bollinger = rolling σ of closes; ATR measures the day's full
+    // traded RANGE including the overnight gap): per ship-day
+    // high/low/close in integer cents from ONE corpus aggregation,
+    // TR = greatest(hi−lo, |hi−prev_close|, |lo−prev_close|) — exact
+    // integer arithmetic on both engines (first day has no previous
+    // close → TR = hi−lo, the standard convention) — and ATR₁₄ the
+    // ratio of the exact integer 14-row rolling TR sum over the frame
+    // row count, divided ONCE per row before the final rounding.
+    // Day-grid relation, time-bounded (the documented ts_acf stance).
+    q("win_atr",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT) hi,
+        |    CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT) lo,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT dy,
+        |    greatest(hi - lo,
+        |             abs(hi - coalesce(lag(cl) OVER o, hi)),
+        |             abs(lo - coalesce(lag(cl) OVER o, lo))) tr
+        |  FROM d WINDOW o AS (ORDER BY dy))
+        |SELECT dy::VARCHAR AS day, tr::BIGINT AS tr_cents,
+        |  round((sum(tr) OVER w) * 1.0 / (count(*) OVER w) / 100
+        |        + 1e-9, 4) AS atr14
+        |FROM t
+        |WINDOW w AS (ORDER BY dy ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        expr("CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("hi"),
+        expr("CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("lo"),
+        expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("cl"))
+      // day-grid series — the documented time-bounded global window
+      val o = Window.orderBy("dy")
+      val w14 = Window.orderBy("dy").rowsBetween(-13, 0)
+      val t = d.select(col("dy"),
+        greatest(col("hi") - col("lo"),
+          abs(col("hi") - coalesce(lag(col("cl"), 1).over(o), col("hi"))),
+          abs(col("lo") - coalesce(lag(col("cl"), 1).over(o), col("lo"))))
+          .as("tr"))
+      t.select(col("dy").cast("string").as("day"),
+          col("tr").as("tr_cents"),
+          r4(sum(col("tr")).over(w14) * lit(1.0) /
+            count(lit(1)).over(w14) / 100).as("atr14"))
+        .orderBy("day")
+    },
   )
 }
