@@ -736,5 +736,85 @@ object GraphQueries {
           col("n_capped"))
         .orderBy("node")
     },
+
+    // Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al.
+    // 2006 for the normalization stance — raw φ reported here):
+    // φ(k) = 2·E_k / (N_k·(N_k−1)) — among the nodes of degree > k,
+    // what fraction of their possible mutual links exist? The
+    // hub-interconnection profile a degree histogram cannot see.
+    // Same capped co-supply projection as graph_betweenness (per-part
+    // degree ≤ 40, n_capped reported — no uncapped corpus-scale
+    // self-join key); degrees from ONE edge aggregation; each k of
+    // the 3-value literal grid filters node and edge sets by
+    // broadcast, so the sweep costs three filtered counts, never a
+    // per-k rebuild.
+    q("graph_rich_club",
+      """WITH sp AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
+        |  FROM lineitem WHERE l_quantity > 49),
+        |pdeg AS (SELECT pk, count(*) d FROM sp GROUP BY 1),
+        |kept AS (SELECT sp.pk, sp.sk FROM sp JOIN pdeg
+        |         ON sp.pk = pdeg.pk WHERE pdeg.d <= 40),
+        |capped AS (SELECT count(*)::BIGINT n_capped FROM pdeg
+        |           WHERE d > 40),
+        |e AS (SELECT DISTINCT a.sk u, b.sk v
+        |      FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk),
+        |deg AS (SELECT node, count(*)::BIGINT d FROM (
+        |          SELECT u node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |ks AS (SELECT unnest([2, 4, 8]) k),
+        |nk AS (SELECT ks.k, count(*)::BIGINT n_nodes
+        |       FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+        |ek AS (SELECT ks.k, count(*)::BIGINT n_edges
+        |       FROM ks JOIN e ON TRUE
+        |       JOIN deg du ON du.node = e.u AND du.d > ks.k
+        |       JOIN deg dv ON dv.node = e.v AND dv.d > ks.k
+        |       GROUP BY 1)
+        |SELECT ks.k::INT AS k,
+        |  coalesce(nk.n_nodes, 0)::BIGINT AS n_nodes,
+        |  coalesce(ek.n_edges, 0)::BIGINT AS n_edges,
+        |  CASE WHEN coalesce(nk.n_nodes, 0) > 1
+        |       THEN round(2.0 * coalesce(ek.n_edges, 0)
+        |            / (nk.n_nodes * (nk.n_nodes - 1)) + 1e-9, 6)
+        |  END AS phi,
+        |  capped.n_capped
+        |FROM ks LEFT JOIN nk ON nk.k = ks.k
+        |LEFT JOIN ek ON ek.k = ks.k, capped
+        |ORDER BY k""") { c =>
+      val sp = c.lineitem.filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pdeg = sp.groupBy("pk").agg(count(lit(1)).as("d"))
+      val kept = sp.join(pdeg, Seq("pk")).filter(col("d") <= 40)
+        .select(col("pk"), col("sk"))
+      val capped = pdeg.filter(col("d") > 40)
+        .agg(count(lit(1)).as("n_capped"))
+      val e = kept.as("a")
+        .join(kept.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+        .localCheckpoint() // degree pass + per-k edge counts re-read it
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val ks = c.spark.range(1)
+        .select(explode(typedlit(Seq(2, 4, 8))).as("k"))
+      val nk = ks.join(deg, col("d") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val ek = e
+        .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+        .join(broadcast(ks), col("du") > col("k") && col("dv") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .crossJoin(broadcast(capped)) // 1-row aggregate
+        .select(col("k").cast("int").as("k"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          when(coalesce(col("n_nodes"), lit(0L)) > 1,
+            r6(lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+              (col("n_nodes") * (col("n_nodes") - 1)))).as("phi"),
+          col("n_capped"))
+        .orderBy("k")
+    },
   )
 }

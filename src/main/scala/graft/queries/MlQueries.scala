@@ -1793,5 +1793,119 @@ object MlQueries {
           r6(col("pl75x4") / 4.0 / col("n_test") / 100).as("pinball_75"))
         .orderBy("flag")
     },
+
+    // Multinomial naive Bayes text classifier (the McCallum & Nigam
+    // 1998 event model) — train on the md5-bucket split, predict
+    // document language from token counts, report the test confusion
+    // matrix. Laplace-smoothed log-likelihoods
+    // ln((tc(c,t)+1)/(T_c+V)) are evaluated once per (class, token);
+    // per-document class scores are ln-term sums folded in PINNED
+    // token order (the text_lm stance — aggregate over the sorted
+    // struct list ≡ DuckDB list_reduce ORDER BY), and the argmax
+    // compares the ROUNDED score with a class-name tie-break, so the
+    // prediction is engine- and partition-exact. Out-of-vocabulary
+    // test tokens are dropped (the standard convention). Scale shape:
+    // one tokenize Generate, two hash aggregations (class-token
+    // counts, per-doc counts), a k-class broadcast grid per test doc
+    // (k = |lang| domain, PlanAudit-allowlisted), zero corpus
+    // self-joins.
+    q("ml_naive_bayes",
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    CASE WHEN ('0x' || substr(md5('42|' || doc_id), 1, 8))
+        |              ::BIGINT % 1000 < 700
+        |         THEN 0 ELSE 1 END si
+        |  FROM documents),
+        |tok0 AS (SELECT doc_id, lang, si,
+        |           unnest(string_split_regex(lower(trim(text)),
+        |                                     '\s+')) tok
+        |         FROM d),
+        |tok2 AS (SELECT * FROM tok0 WHERE tok <> ''),
+        |tc AS (SELECT lang cl, tok, count(*)::BIGINT tc FROM tok2
+        |       WHERE si = 0 GROUP BY 1, 2),
+        |tcl AS (SELECT cl, sum(tc)::BIGINT tcl FROM tc GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok)::BIGINT v FROM tok2
+        |       WHERE si = 0),
+        |pri AS (SELECT lang cl, count(*)::BIGINT ndc FROM d
+        |        WHERE si = 0 GROUP BY 1),
+        |ntr AS (SELECT count(*)::BIGINT ntr FROM d WHERE si = 0),
+        |cls AS (SELECT pri.cl, pri.ndc, tcl.tcl, vv.v, ntr.ntr
+        |        FROM pri JOIN tcl ON pri.cl = tcl.cl, vv, ntr),
+        |vocab AS (SELECT DISTINCT tok FROM tc),
+        |dt AS (SELECT t.doc_id, t.lang true_lang, t.tok,
+        |         count(*)::BIGINT cnt
+        |       FROM tok2 t JOIN vocab USING (tok)
+        |       WHERE si = 1 GROUP BY 1, 2, 3),
+        |terms AS (SELECT dt.doc_id, cls.cl, dt.tok,
+        |            dt.cnt * ln((coalesce(tc.tc, 0) + 1.0)
+        |                        / (cls.tcl + cls.v)) term
+        |          FROM dt CROSS JOIN cls
+        |          LEFT JOIN tc ON tc.cl = cls.cl AND tc.tok = dt.tok),
+        |ts AS (SELECT doc_id, cl,
+        |         list_reduce(list(term ORDER BY tok),
+        |                     (a, x) -> a + x) s
+        |       FROM terms GROUP BY 1, 2),
+        |gd AS (SELECT doc_id, lang true_lang FROM d WHERE si = 1),
+        |sc AS (SELECT gd.doc_id, gd.true_lang, cls.cl,
+        |         ln(cls.ndc * 1.0 / cls.ntr)
+        |           + coalesce(ts.s, 0.0) score
+        |       FROM gd CROSS JOIN cls
+        |       LEFT JOIN ts ON ts.doc_id = gd.doc_id
+        |                   AND ts.cl = cls.cl),
+        |pr AS (SELECT doc_id, true_lang, cl,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY round(score + 1e-9, 6) DESC, cl) rn
+        |       FROM sc)
+        |SELECT true_lang, cl AS pred_lang, count(*)::BIGINT AS n
+        |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val d = graft.ml.Splits.withSplitColumn(
+          c.documents, keys = Seq("doc_id"), testSizes = Seq(0.7, 0.3),
+          numBuckets = 1000, seed = 42L, portable = true)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("split_idx").as("si"))
+      val tok2 = d.select(col("doc_id"), col("lang"), col("si"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tc = tok2.filter(col("si") === 0)
+        .groupBy(col("lang").as("cl"), col("tok"))
+        .agg(count(lit(1)).as("tc"))
+      val tcl = tc.groupBy("cl").agg(sum(col("tc")).as("tcl"))
+      val vv = tok2.filter(col("si") === 0)
+        .agg(countDistinct(col("tok")).as("v"))
+      val pri = d.filter(col("si") === 0)
+        .groupBy(col("lang").as("cl")).agg(count(lit(1)).as("ndc"))
+      val ntr = d.filter(col("si") === 0).agg(count(lit(1)).as("ntr"))
+      // k-row class model (k = lang domain) — broadcast grid below
+      val cls = pri.join(tcl, Seq("cl"))
+        .crossJoin(broadcast(vv)).crossJoin(broadcast(ntr))
+      val vocab = tc.select("tok").distinct()
+      val dt = tok2.filter(col("si") === 1)
+        .groupBy(col("doc_id"), col("lang").as("true_lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(vocab, Seq("tok")) // OOV test tokens dropped
+      val term = col("cnt") *
+        log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+          (col("tcl") + col("v")))
+      val ts = dt.crossJoin(broadcast(cls))
+        .join(tc, Seq("cl", "tok"), "left")
+        .groupBy("doc_id", "cl")
+        .agg(aggregate(array_sort(collect_list(struct(col("tok"),
+            term.as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("s"))
+      val gd = d.filter(col("si") === 1)
+        .select(col("doc_id"), col("lang").as("true_lang"))
+      val sc = gd.crossJoin(broadcast(cls))
+        .join(ts, Seq("doc_id", "cl"), "left")
+        .select(col("doc_id"), col("true_lang"), col("cl"),
+          (log(col("ndc") * lit(1.0) / col("ntr")) +
+            coalesce(col("s"), lit(0.0))).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(r6(col("score")).desc, col("cl").asc)
+      sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_lang"), col("cl").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    },
   )
 }

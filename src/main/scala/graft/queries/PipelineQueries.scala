@@ -483,6 +483,99 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // Content-defined chunking dedup (the Rabin-fingerprint boundary
+    // family: LBFS, Muthitacharoen et al. 2001; FastCDC's gear variant
+    // shares the contract) — SUB-document dedup the whole-doc and
+    // shingle passes cannot see: a boundary is declared wherever the
+    // rolling 16-char Karp–Rabin fingerprint h(p) =
+    // fold(c → (a·257 + c) mod 1e9+7) over chars [p−15, p] satisfies
+    // h ≡ 0 (mod 64), so chunk edges are CONTENT-anchored and survive
+    // insertions that shift byte offsets (the CDC point vs fixed-size
+    // blocks). Boundary detection is per-POSITION local — a pure
+    // per-row expression over one position explode, embarrassingly
+    // parallel, no sequential min/max clamp — then chunks assemble
+    // via one per-doc window lag and dedup cross-corpus by md5 chunk
+    // hash. Exact integer hash arithmetic (a < 1e9+7 keeps a·257+c in
+    // Long) on both engines; codepoints via ascii ≡ ord. Output:
+    // top-10 most-shared chunks by (n_docs, n_occurrences).
+    q("dedup_cdc_chunks",
+      """WITH pos AS (SELECT doc_id, text,
+        |    unnest(range(16, length(text) + 1)) p
+        |  FROM documents),
+        |h AS (SELECT doc_id, p,
+        |    list_reduce([0::BIGINT] || list_transform(
+        |        generate_series(p - 15, p),
+        |        i -> ord(substr(text, i, 1))::BIGINT),
+        |      (a, x) -> (a * 257 + x) % 1000000007) hp
+        |  FROM pos),
+        |bnd AS (SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, p FROM h WHERE hp % 64 = 0
+        |    UNION ALL
+        |    SELECT doc_id, length(text) FROM documents
+        |    WHERE length(text) >= 1)),
+        |ck AS (SELECT b.doc_id,
+        |    coalesce(lag(b.p) OVER (PARTITION BY b.doc_id
+        |                            ORDER BY b.p), 0) + 1 s,
+        |    b.p e, d.text
+        |  FROM bnd b JOIN documents d ON d.doc_id = b.doc_id),
+        |cs AS (SELECT doc_id, md5(substr(text, s, e - s + 1)) ch,
+        |         e - s + 1 clen
+        |       FROM ck WHERE e - s + 1 >= 1),
+        |ag AS (SELECT ch, max(clen)::BIGINT chunk_len,
+        |         count(*)::BIGINT n_occ,
+        |         count(DISTINCT doc_id)::BIGINT n_docs
+        |       FROM cs GROUP BY 1)
+        |SELECT ch AS chunk_hash, chunk_len, n_docs, n_occ
+        |FROM ag ORDER BY n_docs DESC, n_occ DESC, ch LIMIT 10""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val pos = c.documents.filter(length(col("text")) >= 16)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(16), length(col("text")))).as("p"))
+      val hps = pos.select(col("doc_id"), col("p"),
+        aggregate(
+          transform(sequence(col("p") - 15, col("p")),
+            i => ascii(col("text").substr(i, lit(1)))),
+          lit(0L), (a, x) => (a * 257 + x) % 1000000007L).as("hp"))
+      // per-doc SORTED boundary list (doc-length-bounded), then chunk
+      // spans as pure array ops — no union (a Union here trips
+      // Catalyst's constraint rewrite on the HOF-filter branch: the
+      // pushed constraint still references the pruned text column)
+      // and no window: start_j = end_{j-1}+1 reads the same array.
+      // The terminal boundary len(text) is appended (array_distinct
+      // absorbs a content boundary landing exactly on it).
+      val bl = hps.filter(col("hp") % 64 === 0)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("bs"))
+      val withB = c.documents.filter(length(col("text")) >= 1)
+        .join(bl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          array_distinct(
+            when(col("bs").isNotNull,
+              concat(col("bs"), array(length(col("text")))))
+              .otherwise(array(length(col("text"))))).as("ends"))
+      val starts = transform(sequence(lit(1), size(col("ends"))),
+        j => when(j === 1, lit(1))
+          .otherwise(element_at(col("ends"), j - 1) + 1))
+      val ck = withB
+        .select(col("doc_id"), col("text"),
+          explode(arrays_zip(starts.as("s"), col("ends").as("e")))
+            .as("z"))
+        .select(col("doc_id"), col("text"),
+          col("z.s").as("s"), col("z.e").as("e"))
+      val cs = ck.filter(col("e") - col("s") + 1 >= 1)
+        .select(col("doc_id"),
+          md5(col("text").substr(col("s"),
+            col("e") - col("s") + lit(1))).as("ch"),
+          (col("e") - col("s") + 1).cast("long").as("clen"))
+      cs.groupBy("ch")
+        .agg(max(col("clen")).as("chunk_len"),
+          count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("ch"))
+        .limit(10)
+        .select(col("ch").as("chunk_hash"), col("chunk_len"),
+          col("n_docs"), col("n_occ"))
+    },
+
     // ROUGE-1/ROUGE-2 pair scoring (Lin 2004, set-of-ngrams variant) —
     // the generation/summarization eval metric a data pipeline runs
     // when scoring model outputs against references at corpus scale.

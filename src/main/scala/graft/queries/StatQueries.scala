@@ -3723,6 +3723,107 @@ object StatQueries {
             (n.cast("double") * n * n - n))).as("h_corrected"))
     },
 
+    // Jonckheere–Terpstra trend test (Jonckheere 1954, Terpstra 1952)
+    // — the ORDERED-alternative sibling of Kruskal–Wallis: is there a
+    // monotone trend in order value across the five (lexically
+    // ordered) order-priority classes? J = Σ_{i<j} U_ij, each U_ij
+    // the Mann-Whitney count of (group-i, group-j) pairs with
+    // x < y (+½ per tie). Computed EXACTLY at scale on the integer
+    // value HISTOGRAM (whole dollars): the (value × 5 groups) lattice
+    // carries per-group strictly-below cumulative counts (5-partition
+    // window over the DOMAIN-bounded histogram, never the corpus —
+    // the grouped-median stance), and the doubled statistic
+    // 2J = Σ_v Σ_{i<j} 2·cnt_j(v)·below_i(v) + cnt_j(v)·cnt_i(v)
+    // is a plain integer sum. Null mean and the TIE-CORRECTED
+    // variance (Lehmann 1975 §5.2) are closed forms of exact integer
+    // sums (n ≤ ~1e6 keeps n(n−1)(2n+5) Long-safe; the three
+    // correction products combine as doubles — the Stump pattern).
+    q("stat_jonckheere",
+      """WITH b AS (SELECT o_orderpriority f,
+        |    CAST(round(o_totalprice + 1e-9) AS BIGINT) v FROM orders),
+        |vg AS (SELECT f, v, count(*)::BIGINT cgv FROM b GROUP BY 1, 2),
+        |vc AS (SELECT v, sum(cgv)::BIGINT t FROM vg GROUP BY 1),
+        |gs AS (SELECT DISTINCT f FROM vg),
+        |lat AS (SELECT gs.f, vc.v, coalesce(vg.cgv, 0)::BIGINT cnt
+        |        FROM vc CROSS JOIN gs
+        |        LEFT JOIN vg ON vg.f = gs.f AND vg.v = vc.v),
+        |cu AS (SELECT f, v, cnt,
+        |         coalesce(sum(cnt) OVER (PARTITION BY f ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0)::BIGINT below
+        |       FROM lat),
+        |tj AS (SELECT sum(2 * j.cnt * i.below
+        |                  + j.cnt * i.cnt)::BIGINT two_j
+        |       FROM cu j JOIN cu i ON i.v = j.v AND i.f < j.f),
+        |gn AS (SELECT f, sum(cgv)::BIGINT ng FROM vg GROUP BY 1),
+        |agg AS (SELECT sum(ng)::BIGINT n,
+        |          sum(ng * ng)::BIGINT sn2,
+        |          sum(ng * (ng - 1) * (2 * ng + 5))::BIGINT sg25,
+        |          sum(ng * (ng - 1))::BIGINT sg2,
+        |          sum(ng * (ng - 1) * (ng - 2))::BIGINT sg3
+        |        FROM gn),
+        |tv AS (SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT st25,
+        |          sum(t * (t - 1))::BIGINT st2,
+        |          sum(t * (t - 1) * (t - 2))::BIGINT st3
+        |       FROM vc),
+        |z AS (SELECT n, two_j,
+        |        (n::DOUBLE * n - sn2) / 2 two_mean,
+        |        (n::DOUBLE * (n - 1) * (2 * n + 5) - sg25 - st25) / 72
+        |          + sg3::DOUBLE * st3
+        |            / (36.0 * n * (n - 1) * (n - 2))
+        |          + sg2::DOUBLE * st2 / (8.0 * n * (n - 1)) var
+        |      FROM agg, tj, tv)
+        |SELECT n, two_j, round(two_mean / 2 + 1e-9, 4) AS mean_j,
+        |       round(var + 1e-9, 4) AS var_j,
+        |       round((two_j - two_mean) / (2 * sqrt(var)) + 1e-9, 4)
+        |         AS z
+        |FROM z""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val b = c.orders.select(col("o_orderpriority").as("f"),
+        expr("CAST(round(o_totalprice + 1e-9) AS BIGINT)").as("v"))
+      val vg = b.groupBy("f", "v").agg(count(lit(1)).as("cgv"))
+      val vc = vg.groupBy("v").agg(sum(col("cgv")).as("t"))
+      val gs = vg.select("f").distinct() // 5-row aggregate
+      val lat = vc.crossJoin(broadcast(gs))
+        .join(vg, Seq("f", "v"), "left")
+        .select(col("f"), col("v"),
+          coalesce(col("cgv"), lit(0L)).as("cnt"))
+      // 5-partition window over the dollar-domain histogram lattice
+      val wf = Window.partitionBy("f").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cu = lat.select(col("f"), col("v"), col("cnt"),
+        coalesce(sum(col("cnt")).over(wf), lit(0L)).as("below"))
+      val tj = cu.as("j")
+        .join(cu.as("i"),
+          col("i.v") === col("j.v") && col("i.f") < col("j.f"))
+        .agg(sum(lit(2) * col("j.cnt") * col("i.below") +
+          col("j.cnt") * col("i.cnt")).as("two_j"))
+      val gn = vg.groupBy("f").agg(sum(col("cgv")).as("ng"))
+      val agg = gn.agg(sum(col("ng")).as("n"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("ng") * (col("ng") - 1) * (lit(2) * col("ng") + 5))
+          .as("sg25"),
+        sum(col("ng") * (col("ng") - 1)).as("sg2"),
+        sum(col("ng") * (col("ng") - 1) * (col("ng") - 2)).as("sg3"))
+      val tv = vc.agg(
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("st25"),
+        sum(col("t") * (col("t") - 1)).as("st2"),
+        sum(col("t") * (col("t") - 1) * (col("t") - 2)).as("st3"))
+      val nD = col("n").cast("double")
+      val twoMean = (nD * col("n") - col("sn2")) / 2
+      val varJ = (nD * (col("n") - 1) * (lit(2) * col("n") + 5) -
+          col("sg25") - col("st25")) / 72 +
+        col("sg3").cast("double") * col("st3") /
+          (lit(36.0) * col("n") * (col("n") - 1) * (col("n") - 2)) +
+        col("sg2").cast("double") * col("st2") /
+          (lit(8.0) * col("n") * (col("n") - 1))
+      agg.crossJoin(broadcast(tj)).crossJoin(broadcast(tv))
+        .select(col("n"), col("two_j"),
+          r4(twoMean / 2).as("mean_j"), r4(varJ).as("var_j"),
+          r4((col("two_j") - twoMean) / (lit(2) * sqrt(varJ))).as("z"))
+    },
+
     // Dunn's post-hoc pairwise test (Dunn 1964) — the step EVERY
     // Kruskal–Wallis consumer takes next: WHICH groups differ, by
     // tie-corrected pairwise z on the same doubled-midrank machinery

@@ -54,6 +54,9 @@ class PlanAuditSpec extends SparkSpec {
       // least(floor(.),9)-capped at 10, nations number 25 — each build
       // is an aggregate over a fixed-cardinality attribute domain
       "gov_t_closeness", "ml_isotonic_calibration", "stat_kendall_tau",
+      // lang-domain class model (k ≈ 6 languages): the NB class grid
+      // is a grouped aggregate over the language attribute domain
+      "ml_naive_bayes",
       "stat_dunn", // pair walk over the 3-value returnflag group relation
       "stat_nemenyi", // pair walk over the 5-priority rank-sum relation
       // SERIES/GRID-sized builds (the documented ts_acf stance): these
