@@ -737,6 +737,71 @@ object GraphQueries {
         .orderBy("node")
     },
 
+    // Diameter lower bound by the double-BFS sweep (Magnien, Latapy &
+    // Habib 2009; the iFUB initialization) — the standard cheap
+    // estimator for "how wide is this graph": BFS from a deterministic
+    // seed, take the farthest node u (ties: min id), BFS again from u;
+    // ecc(u) is a provably-good diameter lower bound at the cost of
+    // TWO BFS passes instead of n. Both sweeps are k-BOUNDED (8 hops,
+    // the pivot-estimator stance — on this co-supply graph the true
+    // diameter is far smaller) and run as ops/Bfs layered frontier
+    // expansions (node-keyed equi-joins, localCheckpoint per level,
+    // nothing collects but two 1-row argmax picks). Same capped
+    // projection as graph_betweenness; the oracle replays both sweeps
+    // as depth-bounded recursive CTEs (UNION-deduped (node, dist)
+    // pairs, min per node — the documented bounded-walk pattern).
+    q("graph_diameter_2sweep",
+      """WITH RECURSIVE sp AS (SELECT DISTINCT l_partkey pk,
+        |    l_suppkey sk FROM lineitem WHERE l_quantity > 49),
+        |pdeg AS (SELECT pk, count(*) d FROM sp GROUP BY 1),
+        |kept AS (SELECT sp.pk, sp.sk FROM sp JOIN pdeg
+        |         ON sp.pk = pdeg.pk WHERE pdeg.d <= 40),
+        |e AS (SELECT DISTINCT a.sk u, b.sk v
+        |      FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk <> b.sk),
+        |seed AS (SELECT min(u) s FROM e),
+        |r1(node, dist) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION
+        |  SELECT e.v, r1.dist + 1 FROM r1 JOIN e ON e.u = r1.node
+        |  WHERE r1.dist < 8),
+        |d1 AS (SELECT node, min(dist) d FROM r1 GROUP BY 1),
+        |per AS (SELECT node FROM d1 ORDER BY d DESC, node LIMIT 1),
+        |r2(node, dist) AS (
+        |  SELECT node, 0 FROM per
+        |  UNION
+        |  SELECT e.v, r2.dist + 1 FROM r2 JOIN e ON e.u = r2.node
+        |  WHERE r2.dist < 8),
+        |d2 AS (SELECT node, min(dist) d FROM r2 GROUP BY 1)
+        |SELECT seed.s::BIGINT AS seed,
+        |  (SELECT node FROM per)::BIGINT AS peripheral,
+        |  (SELECT max(d) FROM d2)::BIGINT AS diameter_lb,
+        |  (SELECT count(*) FROM d2)::BIGINT AS n_reached
+        |FROM seed""") { c =>
+      val sp = c.lineitem.filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pdeg = sp.groupBy("pk").agg(count(lit(1)).as("d"))
+      val kept = sp.join(pdeg, Seq("pk")).filter(col("d") <= 40)
+        .select(col("pk"), col("sk"))
+      val e = kept.as("a")
+        .join(kept.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+        .localCheckpoint() // both sweeps re-join it
+      val seed = e.agg(min(col("src")).as("node"))
+      val d1 = graft.ops.Bfs.hops(e, seed.select(col("node")), 8)
+      // 1-row argmax picks (driver-side by design: the sweep's pivot)
+      val u = d1.orderBy(col("dist").desc, col("node")).limit(1)
+        .select(col("node"))
+      val d2 = graft.ops.Bfs.hops(e, u, 8)
+      val agg2 = d2.agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      seed.select(col("node").cast("long").as("seed"))
+        .crossJoin(broadcast(u.select(col("node").cast("long")
+          .as("peripheral"))))
+        .crossJoin(broadcast(agg2))
+    },
+
     // Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al.
     // 2006 for the normalization stance — raw φ reported here):
     // φ(k) = 2·E_k / (N_k·(N_k−1)) — among the nodes of degree > k,

@@ -3723,6 +3723,61 @@ object StatQueries {
             (n.cast("double") * n * n - n))).as("h_corrected"))
     },
 
+    // Two-sample Cramér–von Mises (Anderson 1962) — the L² distance
+    // between the two arms' ECDFs, the whole-distribution companion
+    // of the sup-norm KS test (stat_ks_2sample): T = nm/(n+m)² ·
+    // Σ_pooled (F_n(x) − G_m(x))², summed over every pooled
+    // observation with multiplicity — well-defined under ties via the
+    // ECDF form. Computed EXACTLY from the integer value histogram:
+    // inclusive per-arm cumulative counts ride ONE distributed
+    // bucketed cumsum (Positional.withCumSums — no single-partition
+    // window), each pooled term is the integer
+    // (a+b)·(cumA·m − cumB·n)², accumulated as DECIMAL(38) (≈1e27 at
+    // 1e6 rows — headroom to 1e38), and the single division happens
+    // once at read time.
+    q("stat_cramer_von_mises",
+      """WITH b AS (SELECT CAST(round(value * 100 + 1e-9) AS BIGINT) v,
+        |             user_id % 2 arm FROM events),
+        |h AS (SELECT v, count(*) FILTER (arm = 0)::BIGINT a,
+        |        count(*) FILTER (arm = 1)::BIGINT bb
+        |      FROM b GROUP BY 1),
+        |cu AS (SELECT v, a, bb,
+        |         sum(a) OVER w ca, sum(bb) OVER w cb
+        |       FROM h WINDOW w AS (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nn AS (SELECT sum(a)::BIGINT n, sum(bb)::BIGINT m FROM h),
+        |u AS (SELECT sum((a + bb)::HUGEINT
+        |        * (ca * nn.m - cb * nn.n)
+        |        * (ca * nn.m - cb * nn.n))::DOUBLE su
+        |      FROM cu, nn)
+        |SELECT nn.n, nn.m,
+        |  round(su / (nn.n::DOUBLE * nn.m * (nn.n + nn.m)
+        |              * (nn.n + nn.m)) + 1e-9, 6) AS t_cvm
+        |FROM u, nn""") { c =>
+      val b = c.events.select(
+        expr("CAST(round(value * 100 + 1e-9) AS BIGINT)").as("v"),
+        (col("user_id") % 2).as("arm"))
+      val h = b.groupBy("v").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("bb"))
+      val cuEx = graft.ops.Positional.withCumSums(h, Seq(col("v")),
+        Seq(col("a") -> "ca_ex", col("bb") -> "cb_ex"))
+      val cu = cuEx.select(col("a"), col("bb"),
+        (col("ca_ex") + col("a")).as("ca"),
+        (col("cb_ex") + col("bb")).as("cb"))
+      val nn = h.agg(sum(col("a")).as("n"), sum(col("bb")).as("m"))
+      val d = (col("ca") * col("m") - col("cb") * col("n"))
+        .cast("decimal(38,0)")
+      val u = cu.crossJoin(broadcast(nn))
+        .agg(sum((col("a") + col("bb")).cast("decimal(38,0)") * d * d)
+          .cast("double").as("su"))
+      u.crossJoin(broadcast(nn))
+        .select(col("n"), col("m"),
+          r6(col("su") / (col("n").cast("double") * col("m") *
+            (col("n") + col("m")) * (col("n") + col("m"))))
+            .as("t_cvm"))
+    },
+
     // Jonckheere–Terpstra trend test (Jonckheere 1954, Terpstra 1952)
     // — the ORDERED-alternative sibling of Kruskal–Wallis: is there a
     // monotone trend in order value across the five (lexically

@@ -411,6 +411,51 @@ object StreamOps {
         "is_deleted")
   }
 
+  /** Per-key streaming Croston state — the incremental counterpart of
+    * the `ts_croston` batch scan (ops/Holt.croston): state per key is
+    * the O(1) triple (n, z, x) plus the previous demand period;
+    * within each micro-batch the demand rows are replayed in period
+    * order, so ANY batch split of an in-order demand stream
+    * reproduces the batch recurrence BIT-EXACTLY (dyadic α —
+    * spec-checked). Emits (key, n, size_level, interval_level) after
+    * each batch; the demand-rate forecast z/x is a read-time
+    * projection. */
+  def crostonState(
+      df: DataFrame,
+      keyCol: String,
+      periodCol: String,
+      valCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val oneMinusAlpha = 1 - alpha
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(periodCol).cast("long").as("__p"),
+        col(valCol).cast("double").as("__y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Double, Long),
+        (Long, Long, Double, Double)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Double, Double, Long)]) =>
+          var (n, z, x, prevP) =
+            state.getOption.getOrElse((0L, 0.0, 0.0, 0L))
+          rows.toSeq.sortBy(_._2).foreach { case (_, p, y) =>
+            if (n == 0L) { n = 1L; z = y; x = 1.0; prevP = p }
+            else {
+              val q = (p - prevP).toDouble
+              z = alpha * y + oneMinusAlpha * z
+              x = alpha * q + oneMinusAlpha * x
+              prevP = p
+              n += 1
+            }
+          }
+          state.update((n, z, x, prevP))
+          (key, n, z, x)
+      }
+      .toDF("key", "n", "size_level", "interval_level")
+  }
+
   /** Per-key streaming RSI state (the streaming counterpart of the
     * `win_rsi` batch query): state per key is (n, lastClose, the ring
     * of the last `period` integer diffs) — bounded state, exact

@@ -777,6 +777,50 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Croston state equals the batch secondary-sort scan " +
+    "for any batch split (ts_croston parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // (key, period, demand): key 1 spans the split mid-recurrence
+    // (state carry incl. prev-period for the interval SES); key 2
+    // finishes in batch 1; key 3 appears only in batch 2; unordered
+    // periods WITHIN a batch exercise the in-batch sort
+    val demands = Seq(
+      (1L, 10L, 400.0), (2L, 3L, 100.0), (1L, 12L, 200.0),
+      (2L, 9L, 300.0), (1L, 11L, 600.0),
+      (1L, 20L, 800.0), (3L, 5L, 50.0), (1L, 22L, 100.0))
+    val input = MemoryStream[(Long, Long, Double)]
+    val cro = StreamOps.crostonState(
+      input.toDF.toDF("k", "p", "y"), "k", "p", "y", alpha = 0.5)
+    val q = cro.writeStream.format("memory")
+      .queryName("cro_stream").outputMode("update").start()
+    try {
+      input.addData(demands.take(5))
+      q.processAllAvailable()
+      input.addData(demands.drop(5))
+      q.processAllAvailable()
+      // latest emitted state per key (n only grows)
+      val streamed = sp.sql(
+        """SELECT key, n, size_level, interval_level FROM cro_stream s
+          |WHERE n = (SELECT max(n) FROM cro_stream
+          |           WHERE key = s.key)
+          |ORDER BY key""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+      // batch reference: the ts_croston secondary-sort scan on the
+      // full demand set — bit-identical doubles expected (dyadic α)
+      val batch = graft.ops.Holt.croston(
+          demands.toDF("k", "p", "y"), key = "k",
+          period = col("p"), value = col("y"), alpha = 0.5)
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply materializes the same current image as " +
     "the batch keyed window for any batch split (rel_cdc_apply parity)") {
     val sp = spark
