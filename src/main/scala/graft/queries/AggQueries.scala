@@ -266,6 +266,55 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
+    // Exact grouped quantiles at the 100 TB shape — the HISTOGRAM-RANK
+    // formulation of agg_quantile's contract: the built-in
+    // percentile() sorts every group's raw values (per-group sort
+    // buffers that grow with the corpus), while this computes the
+    // type-1 (no-interpolation) p50/p90/p99 from the (group, value)
+    // histogram — bounded by the VALUE DOMAIN, not the row count —
+    // with one hash aggregation, one per-group cumulative pass, and a
+    // min-over-threshold pick (the grouped-median device generalized
+    // to any rank). Integer dollars keep every comparison exact;
+    // ceil goes through the 1e-9 nudge on both engines.
+    q("agg_quantile_hist",
+      """WITH h AS (SELECT l_returnflag flag,
+        |    CAST(round(l_extendedprice / 100 + 1e-9) AS BIGINT) v,
+        |    count(*)::BIGINT cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cu AS (SELECT flag, v, cnt,
+        |         sum(cnt) OVER (PARTITION BY flag ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           cum,
+        |         sum(cnt) OVER (PARTITION BY flag) n
+        |       FROM h)
+        |SELECT flag, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum >= ceil(0.5 * n - 1e-9) THEN v END)::BIGINT
+        |    AS p50_hundreds,
+        |  min(CASE WHEN cum >= ceil(0.9 * n - 1e-9) THEN v END)::BIGINT
+        |    AS p90_hundreds,
+        |  min(CASE WHEN cum >= ceil(0.99 * n - 1e-9) THEN v END)::BIGINT
+        |    AS p99_hundreds
+        |FROM cu GROUP BY flag ORDER BY flag""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val h = c.lineitem.groupBy(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice / 100 + 1e-9) AS BIGINT)")
+            .as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("flag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cu = h.select(col("flag"), col("v"), col("cnt"),
+        sum(col("cnt")).over(wc).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy("flag")).as("n"))
+      def pick(tau: Double) =
+        min(when(col("cum") >= ceil(lit(tau) * col("n") - lit(1e-9)),
+          col("v")))
+      cu.groupBy("flag").agg(max(col("n")).as("n"),
+          pick(0.5).as("p50_hundreds"),
+          pick(0.9).as("p90_hundreds"),
+          pick(0.99).as("p99_hundreds"))
+        .orderBy("flag")
+    },
+
     // ApproxMedian / ApproxQuantile (reductions.py:214/:226) — sketch
     // values are engine-specific, so (like agg_approx_distinct) the
     // checkable contract is the error bound vs the exact quantile:

@@ -2030,6 +2030,90 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Scene-cut detection over the SAME clip container as
+    // mm_frame_sample — the keyframe-selection step a video ingest
+    // runs before captioning/embedding (PySceneDetect's content
+    // detector reduced to its luma-delta core): decode EVERY frame
+    // (stride 1), one per-doc window lag over the frame index, and a
+    // cut wherever the mean-channel jump between consecutive frames
+    // exceeds the threshold. The compare runs on the ROUNDED means
+    // (the FP-boolean rule — both engines compare the same 6-dp
+    // lattice), the window is partitioned per doc (frame count is
+    // clip-bounded), and the decode stays the partition-local
+    // mapPartitions scan — zero shuffles before the final per-doc
+    // aggregate. Output: frames, cuts, and the first cut index
+    // (keyframe) per clip.
+    q("mm_scene_cuts",
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 nf FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) f FROM d),
+        |px AS (SELECT doc_id, f, unnest(range(0, 6)) p FROM fr),
+        |v AS (SELECT doc_id, f,
+        |        round(avg((doc_id * 31 + f * 97 + p * 3) % 256)
+        |              + 1e-9, 6) mr
+        |      FROM px GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, f, mr,
+        |         abs(mr - lag(mr) OVER (PARTITION BY doc_id
+        |                                ORDER BY f)) dm
+        |       FROM v),
+        |c AS (SELECT doc_id, count(*)::BIGINT n_frames,
+        |        count(*) FILTER (dm > 40.0)::BIGINT n_cuts,
+        |        min(CASE WHEN dm > 40.0 THEN f END) fc
+        |      FROM dl GROUP BY 1)
+        |SELECT doc_id, n_frames, n_cuts,
+        |       CAST(fc AS INT) AS first_cut_idx
+        |FROM c ORDER BY doc_id""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val mkClip = udf((id: Long) => {
+        val w = 3; val h = 2
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val frameLen = 54 + rowSize * h
+        def frame(f: Int): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(frameLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put('B'.toByte).put('M'.toByte).putInt(frameLen)
+            .putShort(0).putShort(0).putInt(54)
+            .putInt(40).putInt(w).putInt(h)
+            .putShort(1).putShort(24).putInt(0)
+            .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0)
+            .putInt(0)
+          (0 until h).foreach { fileRow =>
+            val y = h - 1 - fileRow
+            (0 until w).foreach { x =>
+              val base = id * 31 + f * 97L + (y.toLong * w + x) * 3
+              b.put(((base + 2) % 256).toByte)
+                .put(((base + 1) % 256).toByte)
+                .put((base % 256).toByte)
+            }
+            (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+          }
+          b.array()
+        }
+        val nf = 3 + (id % 4).toInt
+        val clip = java.nio.ByteBuffer
+          .allocate(8 + nf * (4 + frameLen))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        clip.put("GCLP".getBytes("US-ASCII")).putInt(nf)
+        (0 until nf).foreach(f => clip.putInt(frameLen).put(frame(f)))
+        clip.array()
+      })
+      val frames = Multimodal.sampleFrames(
+          c.documents.select(col("doc_id"),
+            mkClip(col("doc_id")).as("payload")),
+          "doc_id", stride = 1)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          r6(col("mean_r")).as("mr"))
+      val wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val dl = frames.select(col("doc_id"), col("frame_idx"),
+        abs(col("mr") - lag(col("mr"), 1).over(wd)).as("dm"))
+      dl.groupBy("doc_id").agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("dm") > 40.0, 1L).otherwise(0L)).as("n_cuts"),
+          min(when(col("dm") > 40.0, col("frame_idx")))
+            .as("first_cut_idx"))
+        .orderBy("doc_id")
+    },
+
     // REAL sample decode (r5): genuine PCM16 WAV files (RIFF chunk
     // walk, little-endian int16 samples) generated from doc keys;
     // Multimodal.decodeWavPcm16 recovers the waveform and the query
