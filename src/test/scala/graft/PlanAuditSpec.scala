@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkSpec {
       // lang-domain class model (k ≈ 6 languages): the NB class grid
       // is a grouped aggregate over the language attribute domain
       "ml_naive_bayes",
+      // o_orderpriority has exactly 5 values: the (value × group)
+      // lattice's group side is an aggregate over that fixed domain
+      "stat_jonckheere",
       "stat_dunn", // pair walk over the 3-value returnflag group relation
       "stat_nemenyi", // pair walk over the 5-priority rank-sum relation
       // SERIES/GRID-sized builds (the documented ts_acf stance): these
