@@ -743,5 +743,74 @@ object GovernanceQueries {
             .as("out_of_control"))
         .orderBy("hour")
     },
+
+    // Luhn checksum scan (ISO/IEC 7812 mod-10) — the payment-card
+    // detector a PII scrub runs beside the regex family (pii_redact
+    // masks patterns; Luhn VALIDATES them, cutting the false-positive
+    // digit runs a 13-19-digit regex alone would flag): per document,
+    // extract digit runs, validate each with the exact integer Luhn
+    // fold (double every second digit from the right, subtract 9 above
+    // 9, sum ≡ 0 mod 10), and report candidate vs validated counts.
+    // Synthetic plants make the contract checkable: every 7th doc gets
+    // the public test PAN 4242424242424242 (Luhn-valid), every 5th a
+    // derived 16-digit account-like run (valid only by chance) — the
+    // gap between n_candidates and n_valid_luhn IS the false-positive
+    // reduction. Pure per-row expression work over one scan; the
+    // per-candidate fold is length-bounded (≤19 digits).
+    q("gov_luhn_scan",
+      """WITH t AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' card 4242424242424242' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' acct ' || lpad(
+        |                   ((doc_id * 2654435761) % 10000000000000)
+        |                     ::VARCHAR, 16, '7')
+        |                 ELSE '' END t2
+        |  FROM documents),
+        |cand AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(t2, '[0-9]{13,19}')) num FROM t),
+        |v AS (SELECT doc_id, num,
+        |    list_reduce([0] || list_transform(
+        |        generate_series(0, length(num) - 1),
+        |        j -> CASE WHEN j % 2 = 1 THEN
+        |               CASE WHEN 2 * substr(num, length(num) - j, 1)
+        |                          ::INT > 9
+        |                    THEN 2 * substr(num, length(num) - j, 1)
+        |                         ::INT - 9
+        |                    ELSE 2 * substr(num, length(num) - j, 1)
+        |                         ::INT END
+        |             ELSE substr(num, length(num) - j, 1)::INT END),
+        |      (a, x) -> a + x) % 10 = 0 ok
+        |  FROM cand)
+        |SELECT doc_id, count(*)::BIGINT AS n_candidates,
+        |       count(*) FILTER (ok)::BIGINT AS n_valid_luhn
+        |FROM v GROUP BY 1 ORDER BY doc_id""") { c =>
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" card 4242424242424242"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" acct "),
+            lpad(((col("doc_id") * lit(2654435761L)) %
+              lit(10000000000000L)).cast("string"), 16, "7")))
+          .otherwise(lit("")))
+      val cand = c.documents.select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(t2, '[0-9]{13,19}', 0)"))
+            .as("num"))
+      val digit = (j: org.apache.spark.sql.Column) =>
+        col("num").substr(length(col("num")) - j, lit(1)).cast("int")
+      val terms = transform(sequence(lit(0), length(col("num")) - 1),
+        j => when(j % 2 === 1,
+          when(lit(2) * digit(j) > 9, lit(2) * digit(j) - 9)
+            .otherwise(lit(2) * digit(j)))
+          .otherwise(digit(j)))
+      cand.select(col("doc_id"),
+          (aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0)
+            .as("ok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid_luhn"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -576,6 +576,52 @@ object PipelineQueries {
           col("n_docs"), col("n_occ"))
     },
 
+    // Confusable-skeleton dedup (the Unicode TR39 skeleton idea
+    // reduced to its per-character mapping core) — catches HOMOGLYPH
+    // DEDUP EVASION that every byte/token-level pass above misses: a
+    // spammer swaps Latin letters for Cyrillic lookalikes (a→а, e→е,
+    // o→о, …) and the exact/minhash/CDC hashes all change while the
+    // rendered text is identical. The skeleton maps a pinned
+    // confusable table back to Latin via ONE translate() per row
+    // (codepoint-for-codepoint, no regex), groups by skeleton md5,
+    // and reports clusters whose members differ in RAW text — the
+    // evasion candidates. Synthetic evasive variants (every 5th doc
+    // re-added under id+100000 with the Cyrillic swap) make the
+    // contract checkable. One scan + one hash aggregation.
+    q("dedup_confusable_skeleton",
+      """WITH base AS (SELECT doc_id, text AS tx FROM documents),
+        |ev AS (SELECT doc_id + 100000 doc_id,
+        |         translate(tx, 'aeopcxy', 'аеорсху') tx
+        |       FROM base WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM ev),
+        |sk AS (SELECT doc_id, tx,
+        |         md5(translate(tx, 'аеорсху', 'aeopcxy')) skel
+        |       FROM corpus),
+        |cl AS (SELECT skel, count(*)::BIGINT n_docs,
+        |         count(DISTINCT tx)::BIGINT n_raw,
+        |         min(doc_id)::BIGINT first_doc
+        |       FROM sk GROUP BY 1)
+        |SELECT skel AS skeleton_hash, n_docs, n_raw, first_doc
+        |FROM cl WHERE n_raw > 1
+        |ORDER BY n_docs DESC, skeleton_hash LIMIT 20""") { c =>
+      val base = c.documents.select(col("doc_id"), col("text"))
+      val ev = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          translate(col("text"), "aeopcxy", "аеорсху").as("text"))
+      val corpus = base.unionAll(ev)
+      val sk = corpus.select(col("doc_id"), col("text"),
+        md5(translate(col("text"), "аеорсху", "aeopcxy")).as("skel"))
+      sk.groupBy("skel")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_raw"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_raw") > 1)
+        .orderBy(col("n_docs").desc, col("skel"))
+        .limit(20)
+        .select(col("skel").as("skeleton_hash"), col("n_docs"),
+          col("n_raw"), col("first_doc"))
+    },
+
     // ROUGE-1/ROUGE-2 pair scoring (Lin 2004, set-of-ngrams variant) —
     // the generation/summarization eval metric a data pipeline runs
     // when scoring model outputs against references at corpus scale.
