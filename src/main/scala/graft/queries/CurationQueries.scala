@@ -658,6 +658,68 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // CORPUS-level bigram conditional entropy rate H(w₂|w₁) — the
+    // information-density signal at the LANGUAGE-MODEL level (Shannon
+    // 1951's next-token uncertainty; text_entropy's per-doc unigram
+    // H cannot see it): a templated corpus has near-zero conditional
+    // entropy long before its unigram entropy drops, which is exactly
+    // the repetition a pretraining mix curator prices. Both rates
+    // derive from ONE bigram count table: H(w₂|w₁) =
+    // −Σ c_xy·log₂(c_xy/c_x·)/N and the unigram marginal entropy from
+    // c_x· — each per-TYPE term micro-unit-quantized before the sum
+    // (the text_entropy device: order-independent, engine-identical),
+    // every aggregate a plain hash aggregation.
+    q("text_entropy_rate",
+      """WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z]+') ts
+        |             FROM documents),
+        |bg AS (SELECT unnest([ts[i] || ' ' || ts[i+1]
+        |                      for i in generate_series(1, len(ts)-1)]) b
+        |       FROM tok WHERE len(ts) >= 2),
+        |cxy AS (SELECT b, count(*)::BIGINT c FROM bg GROUP BY 1),
+        |cx AS (SELECT split_part(b, ' ', 1) w1, sum(c)::BIGINT cx
+        |       FROM cxy GROUP BY 1),
+        |t AS (SELECT cxy.c, cx.cx FROM cxy
+        |      JOIN cx ON split_part(cxy.b, ' ', 1) = cx.w1),
+        |agg AS (SELECT sum(c)::BIGINT n, count(*)::BIGINT n_types,
+        |          sum(CAST(round(c * log2(c * 1.0 / cx) * 1e6 + 1e-9)
+        |                   AS BIGINT)) su
+        |        FROM t),
+        |u AS (SELECT sum(cx)::BIGINT n1,
+        |        sum(CAST(round(cx * log2(cx) * 1e6 + 1e-9)
+        |                 AS BIGINT)) su1
+        |      FROM cx)
+        |SELECT agg.n AS n_bigrams, agg.n_types,
+        |  round(-agg.su / 1e6 / agg.n + 1e-9, 6) AS cond_entropy_bits,
+        |  round(log2(u.n1) - u.su1 / 1e6 / u.n1 + 1e-9, 6)
+        |    AS unigram_entropy_bits
+        |FROM agg, u""") { c =>
+      val tok = c.documents
+        .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+          .as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val bg = tok.select(explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("b"))
+      val cxy = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      val cx = cxy.groupBy(expr("split_part(b, ' ', 1)").as("w1"))
+        .agg(sum(col("c")).as("cx"))
+      val t = cxy.join(cx, expr("split_part(b, ' ', 1)") === col("w1"))
+      val agg = t.agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c").cast("double") *
+          log2(col("c") * lit(1.0) / col("cx")) * lit(1e6) + lit(1e-9))
+          .cast("long")).as("su"))
+      val u = cx.agg(sum(col("cx")).as("n1"),
+        sum(round(col("cx").cast("double") * log2(col("cx")) * lit(1e6) +
+          lit(1e-9)).cast("long")).as("su1"))
+      agg.crossJoin(broadcast(u))
+        .select(col("n").as("n_bigrams"), col("n_types"),
+          r6(-col("su") / 1e6 / col("n")).as("cond_entropy_bits"),
+          r6(log2(col("n1")) - col("su1") / 1e6 / col("n1"))
+            .as("unigram_entropy_bits"))
+    },
+
     // Shannon-entropy quality signals — the information-density filter
     // family (Gopher/CCNet gate on compression ratio; character/word
     // entropy is its deterministic, engine-portable form: low char
