@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact set-similarity self-join via prefix filtering (the PPJoin
   * family: Xiao et al. 2008, "Efficient Similarity Joins for Near
@@ -27,6 +28,31 @@ import org.apache.spark.sql.functions._
   *    re-plannable, skew-salvageable); a length filter
   *    τ·sA ≤ sB prunes before dedup. Full sets are joined back ONLY
   *    for surviving candidate pairs; the corpus never cross-products.
+  *
+  * Two lifecycles (one shared pipeline body — `jaccardBody` /
+  * `containmentBody` — so the algorithms cannot diverge):
+  *  - [[jaccardSelfJoin]] / [[containmentSelfJoin]]: DEFERRED. The
+  *    shared intermediates carry persist MARKERS; nothing executes
+  *    until the caller's first action, and the caller owns the cache
+  *    lifecycle via the [[SimPairs]] release handle. Composes lazily
+  *    with further transformations.
+  *  - [[jaccardSelfJoinCheckpointed]] / [[containmentSelfJoinCheckpointed]]:
+  *    EAGER. Each shared intermediate is materialized behind a
+  *    `localCheckpoint` barrier, so every downstream consumer's plan
+  *    references a LEAF (LogicalRDD) instead of re-inlining — and
+  *    re-optimizing — the whole upstream subtree at each reuse site.
+  *    The lazy variant's persisted intermediates keep the DATA from
+  *    recomputing, but Catalyst still analyzes/optimizes the full
+  *    logical subtree once per reuse site and `explain` prints it each
+  *    time: the r11 plan dump carried ~6,000 physical-plan lines PER
+  *    QUERY for the two bench headliners (~70% of the whole registry
+  *    dump), which is planning-time overhead that grows with the
+  *    pipeline. The checkpointed variant keeps the plan tree
+  *    O(pipeline stages); intermediates are released before it
+  *    returns, and the result frame is itself a checkpoint leaf the
+  *    caller can consume repeatedly. Use it when the pair set is the
+  *    pipeline product (the dedup-scrub shape); use the lazy variant
+  *    when composing the pairs into a larger deferred graph.
   */
 object SetSimJoin {
 
@@ -52,6 +78,36 @@ object SetSimJoin {
     * something persisted of its own): it unpersists the intermediates
     * so a long-lived session does not accumulate executor storage. */
   final case class SimPairs(df: DataFrame, release: () => Unit)
+
+  /** Stage barrier: applies `mark` to each shared intermediate and
+    * remembers the marked frame so `release()` can drop its storage —
+    * persist markers unpersist; checkpoint leaves drop their RDD
+    * blocks (the LogicalRDD's cached partitions; safe once nothing
+    * downstream will read them again — a localCheckpoint has no
+    * lineage to recompute from, so release only after the consumer is
+    * itself materialized). */
+  private final class Barrier(mark: DataFrame => DataFrame) {
+    private val marked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def apply(df: DataFrame): DataFrame = {
+      val m = mark(df); marked += m; m
+    }
+    def release(): Unit = marked.foreach { df =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => df.unpersist(blocking = false)
+      }
+    }
+  }
+
+  private def persistMark(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Eager plan barrier: runs the stage NOW and returns a LogicalRDD
+    * leaf over its locally-checkpointed partitions (MEMORY_AND_DISK —
+    * the RDD-level default for local checkpoints). */
+  private def checkpointMark(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 
   /** All pairs (a < b) with exact Jaccard(setA, setB) ≥ tau.
     * Input: one row per id with an array column (de-duplicated
@@ -87,32 +143,59 @@ object SetSimJoin {
     * token rows for the (tiny) surviving pair set only. */
   def jaccardSelfJoin(df: DataFrame, idCol: String, setCol: String,
                       tau: Double): SimPairs = {
+    val bar = new Barrier(persistMark)
+    val verified = jaccardBody(df, idCol, setCol, tau, bar)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // No action here: construction must not execute the job (it would
+    // double-charge any caller composing lazily). The verified frame
+    // keeps its own persist marker; the handle releases the shared
+    // intermediates once the caller has materialized it.
+    SimPairs(verified, () => bar.release())
+  }
+
+  /** EAGER [[jaccardSelfJoin]]: executes the pipeline stage-by-stage
+    * behind localCheckpoint barriers and returns the verified pairs as
+    * a checkpoint-leaf DataFrame (plan = one LogicalRDD; see the
+    * object scaladoc for why). Intermediates are released before
+    * return; the result's blocks live until the frame is GC'd (the
+    * ContextCleaner reclaims them) or the caller unpersists its
+    * `.rdd`. Runs Spark jobs NOW — use the lazy variant to compose
+    * deferred graphs. */
+  def jaccardSelfJoinCheckpointed(df: DataFrame, idCol: String,
+                                  setCol: String, tau: Double): DataFrame = {
+    val bar = new Barrier(checkpointMark)
+    val out = jaccardBody(df, idCol, setCol, tau, bar)
+      .localCheckpoint(eager = true)
+    bar.release()
+    out
+  }
+
+  private def jaccardBody(df: DataFrame, idCol: String, setCol: String,
+                          tau: Double, bar: Barrier): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     // ONE evaluation of the caller's element pipeline: explode the
     // deduplicated set through a single Generate (empty sets simply
-    // produce no rows — the size>0 filter for free) and persist the
-    // flat rows. Four consumers read this cache: the frequency agg,
+    // produce no rows — the size>0 filter for free) and mark the
+    // flat rows. Four consumers read this stage: the frequency agg,
     // the prefix build, the hashed-set agg, and the exact verify.
-    val tokRows = df
+    val tokRows = bar(df
       .select(col(idCol).as("id"),
         explode(array_distinct(col(setCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("h", xxhash64(col("tok"))))
 
     // hashed sets for the first verify pass — collect_set is the
     // map-side-combinable aggregate shape; raise_error fires on an
     // intra-set xxhash64 collision (the one case that could cost
     // recall — see scaladoc), so size(hs) below is EXACTLY the true
     // distinct-element count of the set.
-    val hsets = tokRows.groupBy("id")
+    val hsets = bar(tokRows.groupBy("id")
       .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
       .select(col("id"),
         when(size(col("hs0")) < col("n"),
           raise_error(concat(lit("SetSimJoin: intra-set xxhash64 " +
             "collision in set id="), col("id").cast("string")))
             .cast("array<bigint>"))
-          .otherwise(col("hs0")).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .otherwise(col("hs0")).as("hs")))
 
     // global token frequencies — ONE corpus-wide aggregation (keyed by
     // the hash; the canonical order below uses the same key, so the
@@ -129,12 +212,11 @@ object SetSimJoin {
     // bound, never the verify.
     val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
     val ws = Window.partitionBy("id")
-    val prefix = tokRows.join(freq, "h")
+    val prefix = bar(tokRows.join(freq, "h")
       .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
       .filter(col("p") <= col("s") - ceilLoose(lit(tau) * col("s")) + 1)
-      .select(col("id"), col("s"), col("p"), col("h").as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("s"), col("p"), col("h").as("tok")))
 
     // candidate pairs: prefix-token equi-join, ordered ids, length
     // filter (J >= tau forces tau*sA <= sB <= sA/tau), then the PPJoin
@@ -168,13 +250,12 @@ object SetSimJoin {
     // ~the true pair set before any raw element moves
     val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
     val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
-    val s1 = cand.join(ha, "a").join(hb, "b")
+    val s1 = bar(cand.join(ha, "a").join(hb, "b")
       .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("uh",
         (size(col("ha")) + size(col("hb"))).cast("long") - col("ih"))
       .filter(col("ih").cast("double") / col("uh") >= tau)
-      .select("a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("a", "b"))
 
     // exact verification — intersections recomputed on the ORIGINAL
     // token values for the SURVIVORS only, straight off the cached
@@ -186,33 +267,20 @@ object SetSimJoin {
     // sets (bit-exact distinct counts).
     val ids = s1.select(explode(array(col("a"), col("b"))).as("id"))
       .distinct()
-    val vtok = tokRows.join(broadcast(ids), "id")
-      .select(col("id"), col("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vtok = bar(tokRows.join(broadcast(ids), "id")
+      .select(col("id"), col("tok")))
     val inter = s1
       .join(vtok.select(col("id").as("a"), col("tok")), "a")
       .join(vtok.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val sizes = hsets.select(col("id"), size(col("hs")).cast("long").as("sz"))
-    val verified = inter
+    inter
       .join(sizes.select(col("id").as("a"), col("sz").as("sa")), "a")
       .join(sizes.select(col("id").as("b"), col("sz").as("sb")), "b")
       .withColumn("union", col("sa") + col("sb") - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("union"))
       .filter(col("jac") >= tau)
       .select("a", "b", "inter", "union", "jac")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // No action here: construction must not execute the job (it would
-    // double-charge any caller composing lazily). The verified frame
-    // keeps its own persist marker; the handle releases the shared
-    // intermediates once the caller has materialized it.
-    SimPairs(verified, () => {
-      tokRows.unpersist(false)
-      hsets.unpersist(false)
-      prefix.unpersist(false)
-      s1.unpersist(false)
-      vtok.unpersist(false)
-    })
   }
 
   /** All ORDERED pairs (a, b), a ≠ b, with exact containment
@@ -242,23 +310,41 @@ object SetSimJoin {
     * always survives its own row's filter — recall stays 1.0). */
   def containmentSelfJoin(df: DataFrame, idCol: String, setCol: String,
                           tau: Double): SimPairs = {
+    val bar = new Barrier(persistMark)
+    val verified = containmentBody(df, idCol, setCol, tau, bar)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    SimPairs(verified, () => bar.release())
+  }
+
+  /** EAGER [[containmentSelfJoin]] — same contract as
+    * [[jaccardSelfJoinCheckpointed]]: runs now, returns a
+    * checkpoint-leaf frame, releases intermediates before return. */
+  def containmentSelfJoinCheckpointed(df: DataFrame, idCol: String,
+                                      setCol: String, tau: Double): DataFrame = {
+    val bar = new Barrier(checkpointMark)
+    val out = containmentBody(df, idCol, setCol, tau, bar)
+      .localCheckpoint(eager = true)
+    bar.release()
+    out
+  }
+
+  private def containmentBody(df: DataFrame, idCol: String, setCol: String,
+                              tau: Double, bar: Barrier): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    val tokRows = df
+    val tokRows = bar(df
       .select(col(idCol).as("id"),
         explode(array_distinct(col(setCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("h", xxhash64(col("tok"))))
 
     // hashed sets + the intra-set collision guard (see jaccardSelfJoin)
-    val hsets = tokRows.groupBy("id")
+    val hsets = bar(tokRows.groupBy("id")
       .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
       .select(col("id"),
         when(size(col("hs0")) < col("n"),
           raise_error(concat(lit("SetSimJoin: intra-set xxhash64 " +
             "collision in set id="), col("id").cast("string")))
             .cast("array<bigint>"))
-          .otherwise(col("hs0")).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .otherwise(col("hs0")).as("hs")))
 
     val freq = tokRows.groupBy("h").agg(count(lit(1)).as("f"))
 
@@ -267,11 +353,10 @@ object SetSimJoin {
     // B side (sb rides along for the size filter).
     val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
     val ws = Window.partitionBy("id")
-    val ordered = tokRows.join(freq, "h")
+    val ordered = bar(tokRows.join(freq, "h")
       .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
-      .select(col("id"), col("s"), col("p"), col("h").as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("s"), col("p"), col("h").as("tok")))
     val aPrefix = ordered
       .filter(col("p") <= col("s") - ceilLoose(lit(tau) * col("s")) + 1)
       .select(col("id").as("a"), col("s").as("sa"), col("p").as("pa"),
@@ -292,34 +377,24 @@ object SetSimJoin {
     // tokens.
     val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
     val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
-    val s1 = cand.join(ha, "a").join(hb, "b")
+    val s1 = bar(cand.join(ha, "a").join(hb, "b")
       .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .filter(col("ih").cast("double") / size(col("ha")) >= tau)
-      .select("a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("a", "b"))
 
     val ids = s1.select(explode(array(col("a"), col("b"))).as("id"))
       .distinct()
-    val vtok = tokRows.join(broadcast(ids), "id")
-      .select(col("id"), col("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vtok = bar(tokRows.join(broadcast(ids), "id")
+      .select(col("id"), col("tok")))
     val inter = s1
       .join(vtok.select(col("id").as("a"), col("tok")), "a")
       .join(vtok.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val sizes = hsets.select(col("id"), size(col("hs")).cast("long").as("sz"))
-    val verified = inter
+    inter
       .join(sizes.select(col("id").as("a"), col("sz").as("size_a")), "a")
       .withColumn("cont", col("inter").cast("double") / col("size_a"))
       .filter(col("cont") >= tau)
       .select("a", "b", "inter", "size_a", "cont")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    SimPairs(verified, () => {
-      tokRows.unpersist(false)
-      hsets.unpersist(false)
-      ordered.unpersist(false)
-      s1.unpersist(false)
-      vtok.unpersist(false)
-    })
   }
 }

@@ -1225,10 +1225,13 @@ object LlmQueries {
           expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
         .filter(size(col("ts")) >= 3)
         .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
-      val pairs = graft.ops.SetSimJoin.jaccardSelfJoin(
-        toks, "doc_id", "st", 0.5)
-      val exq = pairs.df.select(col("a"), col("b"),
-        r6(col("jac")).as("jac"))
+      // eager checkpointed variant (plan-leaf result; intermediates
+      // released inside the operator) — the exact pair set is consumed
+      // twice below (bucket table + the LEFT join), and the lazy
+      // variant would re-inline its whole pipeline at both sites
+      val exq = graft.ops.SetSimJoin.jaccardSelfJoinCheckpointed(
+          toks, "doc_id", "st", 0.5)
+        .select(col("a"), col("b"), r6(col("jac")).as("jac"))
       val g = toks.select(col("doc_id"),
         explode(col("st")).as("g")).persist()
       val mh = graft.ops.TextDedup.portableMinhash8(g, "doc_id", "g")
@@ -1259,7 +1262,6 @@ object LlmQueries {
           col("n_cand"),
           r4(col("th") * lit(1.0) / col("n_cand")).as("precision_vs_05"))
         .orderBy("bucket")
-      pairs.release()
       out
     },
 

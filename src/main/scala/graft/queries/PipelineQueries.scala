@@ -435,7 +435,14 @@ object PipelineQueries {
         .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
       // lifecycle lives HERE, not in the operator (deferred library
       // semantics): materialize the verified pairs while the shared
-      // intermediates are cached, then release them
+      // intermediates are cached, then release them. The LAZY variant
+      // is deliberate for this repeat-invocation bench/service shape:
+      // its persist markers plan-match across invocations (warm runs
+      // reuse the cached intermediates), where the checkpointed
+      // variant's fresh LogicalRDD leaves cannot — measured 4x warm
+      // cost in the r12 A/B (BENCH_AB.md). One-shot pipelines should
+      // call jaccardSelfJoinCheckpointed instead (plan-leaf result,
+      // auto-released intermediates).
       val pairs = graft.ops.SetSimJoin.jaccardSelfJoin(toks, "doc_id", "st", 0.3)
       pairs.df.count()
       pairs.release()
@@ -473,6 +480,8 @@ object PipelineQueries {
           expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
         .filter(size(col("ts")) >= 3)
         .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+      // same lazy-variant stance as dedup_jaccard_prefix above (the
+      // repeat-invocation shape; see BENCH_AB.md r12)
       val pairs = graft.ops.SetSimJoin.containmentSelfJoin(
         toks, "doc_id", "st", 0.4)
       pairs.df.count()

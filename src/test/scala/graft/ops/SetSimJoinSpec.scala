@@ -79,6 +79,29 @@ class SetSimJoinSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("checkpointed variants match the lazy path and return a plan " +
+    "LEAF (r11 verdict #2: plan tree O(stages), not O(stages x reuse))") {
+    val ck = SetSimJoin.jaccardSelfJoinCheckpointed(rows, "id", "st", 0.5)
+    assert(ck.select("a", "b").as[(Long, Long)].collect().toSet ==
+      bruteForce(0.5))
+    // the whole pipeline sits behind a localCheckpoint barrier: the
+    // returned frame's plan is a single LogicalRDD leaf, so downstream
+    // consumers never re-inline (or re-optimize) the pipeline subtree
+    assert(ck.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"expected a LogicalRDD leaf, got:\n${ck.queryExecution.analyzed}")
+    val data = Seq(
+      (10L, Seq("a", "b", "c")),
+      (11L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (12L, Seq("x", "y", "z"))).toDF("id", "st")
+    val cont = SetSimJoin.containmentSelfJoinCheckpointed(data, "id", "st", 0.9)
+    assert(cont.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(cont.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq ==
+      Seq((10L, 11L, 3L, 3L, 1.0)))
+  }
+
   test("containment finds the subset-dup pair Jaccard misses") {
     // set 10 is wholly contained in set 11 (C = 1.0) but J = 3/10 < 0.5
     val data = Seq(
