@@ -1384,5 +1384,89 @@ object CurationQueries {
             .as("pairs_completeness"))
         .orderBy("pass")
     },
+
+    // Encoding-repair / mojibake scan (the ftfy class: UTF-8 bytes
+    // decoded as Latin-1/cp1252) — the one high-frequency pretraining
+    // scrub the curation tier lacked (r11 verdict ask #5). Detected
+    // artifact classes, counted BEFORE repair:
+    //   (a) U+00C3 ('Ã') followed by a [U+0080,U+00FF] char — the
+    //       2-byte UTF-8-as-Latin-1 digraph (é→"Ã©", è→"Ã¨", ñ→"Ã±");
+    //   (b) U+00E2 U+20AC ("â€") + one char — the 3-byte digraph of
+    //       the curly-punctuation family ('’'→"â€™", '“'→"â€œ");
+    //   (c) U+FFFD replacement chars (an earlier lossy decode);
+    //   (d) bare C1 controls U+0080–U+009F (cp1252 bytes with no
+    //       mapping — e.g. the third byte of '”').
+    // Repair = the pinned ftfy-core digraph mapping (3-char sequences
+    // before 2-char so prefixes can't shadow) + strip of (c)/(d);
+    // everything is per-row expression work over one scan (the
+    // gov_luhn_scan shape — embarrassingly parallel at 100 TB, no
+    // shuffle before the final ORDER BY). Synthetic plants make the
+    // contract checkable: every 6th doc gets " cafÃ© itâ€™s" (both
+    // digraph classes), every 11th a replacement char + C1 control —
+    // and the repaired_sample column shows the mapped text. Unicode is
+    // composed with chr() in the oracle so no raw control byte rides
+    // the SQL-JSON dump.
+    q("text_mojibake_repair",
+      """WITH t AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 6 = 0
+        |                 THEN ' caf' || chr(195) || chr(169) || ' it' ||
+        |                      chr(226) || chr(8364) || chr(8482) || 's'
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 11 = 0
+        |                 THEN ' x' || chr(65533) || chr(147) || 'q'
+        |                 ELSE '' END t2
+        |  FROM documents),
+        |a AS (SELECT doc_id, t2,
+        |    len(regexp_extract_all(t2,
+        |      chr(195) || '[' || chr(128) || '-' || chr(255) || ']|' ||
+        |      chr(226) || chr(8364) || '.|' || chr(65533) || '|[' ||
+        |      chr(128) || '-' || chr(159) || ']'))::BIGINT n_artifacts
+        |  FROM t),
+        |r AS (SELECT doc_id, n_artifacts,
+        |    regexp_replace(
+        |      replace(replace(replace(replace(replace(t2,
+        |        chr(226)||chr(8364)||chr(8482), chr(8217)),
+        |        chr(226)||chr(8364)||chr(339), chr(8220)),
+        |        chr(195)||chr(169), chr(233)),
+        |        chr(195)||chr(168), chr(232)),
+        |        chr(195)||chr(177), chr(241)),
+        |      chr(65533) || '|[' || chr(128) || '-' || chr(159) || ']',
+        |      '', 'g') rep
+        |  FROM a WHERE n_artifacts > 0)
+        |SELECT doc_id, n_artifacts,
+        |       substr(rep, greatest(1, length(rep) - 23)) AS repaired_sample
+        |FROM r ORDER BY doc_id""") { c =>
+      // every non-ASCII char is spelled as a Scala unicode escape here
+      // (chr() on the SQL side): raw mojibake/control bytes in source
+      // would be invisible and editor/tool-hostile. Key: 00c3 = the
+      // 2-byte lead char, 00e2 20ac = the 3-byte lead pair, fffd =
+      // replacement char, 0080-009f = the C1 block; repairs land on
+      // e9 / e8 / f1 / 2019 / 201c.
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit(" caf\u00c3\u00a9 it\u00e2\u20ac\u2122s")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" x\ufffd\u0093q")).otherwise(lit("")))
+      val repaired = regexp_replace(
+        replace(replace(replace(replace(replace(col("t2"),
+          lit("\u00e2\u20ac\u2122"), lit("\u2019")),
+          lit("\u00e2\u20ac\u0153"), lit("\u201c")),
+          lit("\u00c3\u00a9"), lit("\u00e9")),
+          lit("\u00c3\u00a8"), lit("\u00e8")),
+          lit("\u00c3\u00b1"), lit("\u00f1")),
+        lit("\ufffd|[\u0080-\u009f]"), lit(""))
+      val moji =
+        "\u00c3[\u0080-\u00ff]|\u00e2\u20ac.|\ufffd|[\u0080-\u009f]"
+      c.documents.select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(t2, '$moji', 0)"))
+            .cast("long").as("n_artifacts"),
+          repaired.as("rep"))
+        .filter(col("n_artifacts") > 0)
+        .select(col("doc_id"), col("n_artifacts"),
+          expr("substring(rep, greatest(1, length(rep) - 23))")
+            .as("repaired_sample"))
+        .orderBy("doc_id")
+    },
   )
 }

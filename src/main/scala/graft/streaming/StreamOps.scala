@@ -411,6 +411,68 @@ object StreamOps {
         "is_deleted")
   }
 
+  /** Keyed streaming SpaceSaving sketch (Metwally, Agrawal & El Abbadi
+    * 2005, "Efficient Computation of Frequent and Top-k Elements in
+    * Data Streams", ICDT) — the bounded-heap streaming counterpart of
+    * the batch Misra–Gries heavy-hitter pass (ops/HeavyHitters.scala)
+    * and the top-k heap family (r11 verdict ask #4): state per group
+    * is at most `m` counters (key → (est, err)); an arriving key
+    * either increments its counter, claims a free slot, or EVICTS the
+    * minimum counter and inherits its count as overestimation error.
+    * Guarantees: est ≥ true-freq ≥ est − err for every tracked key,
+    * and every key with true frequency > n/m is tracked — the
+    * Misra–Gries class, but with an explicit per-key error bound,
+    * which is why production top-k monitors prefer it.
+    *
+    * The update is a pure LEFT FOLD over the seq-ordered stream
+    * (rows replayed in seq order within each micro-batch; the
+    * min-eviction tie breaks on (count, key) so the fold is a
+    * deterministic function of the ordered row list), so ANY batch
+    * split of an in-order stream reproduces the one-batch fold
+    * BIT-IDENTICALLY (spec-checked). Emits the group's full counter
+    * table (sorted est desc, key) after each micro-batch; top-k is a
+    * read-time prefix, and Σest = n(group) exactly (each arrival adds
+    * one unit whether it increments, inserts, or evicts) — the
+    * invariant the parity spec uses to pick the latest emission.
+    * State is O(m) per group independent of stream length — the
+    * 100 TB shape: groups partition the key space and each summary
+    * merges downstream like any mergeable sketch. */
+  def spaceSavingState(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      seqCol: String,
+      m: Int): DataFrame = {
+    require(m >= 2, s"need m >= 2 counters, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(keyCol).cast("string").as("__k"),
+        col(seqCol).cast("long").as("__s"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, (Long, Long)],
+        (String, Seq[(String, Long, Long)])](GroupStateTimeout.NoTimeout) {
+        (g, rows, state: GroupState[Map[String, (Long, Long)]]) =>
+          var ctr = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          rows.toSeq.sortBy(_._3).foreach { case (_, k, _) =>
+            ctr.get(k) match {
+              case Some((c, e)) => ctr = ctr.updated(k, (c + 1, e))
+              case None if ctr.size < m => ctr = ctr.updated(k, (1L, 0L))
+              case None =>
+                val (mk, (mc, _)) =
+                  ctr.minBy { case (kk, (cc, _)) => (cc, kk) }
+                ctr = (ctr - mk).updated(k, (mc + 1, mc))
+            }
+          }
+          state.update(ctr)
+          val table = ctr.toSeq.map { case (k, (c, e)) => (k, c, e) }
+            .sortBy { case (k, c, _) => (-c, k) }
+          (g, table)
+      }
+      .toDF("group", "counters")
+  }
+
   /** Per-key streaming Croston state — the incremental counterpart of
     * the `ts_croston` batch scan (ops/Holt.croston): state per key is
     * the O(1) triple (n, z, x) plus the previous demand period;

@@ -48,6 +48,10 @@ abstract class FullDeterminismShard(shard: Int) extends SparkSpec {
   private val smokeSf = GoldenGen.smokeSf
   private lazy val golden = GoldenGen.readShard(shard)
 
+  /** per-query wall seconds, feeding the budget tripwire test below */
+  private val timings =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
   protected def inShard(name: String): Boolean =
     GoldenGen.shardOf(name) == shard
 
@@ -59,9 +63,11 @@ abstract class FullDeterminismShard(shard: Int) extends SparkSpec {
           s"${GoldenGen.goldenPath(shard)} — generate it with: " +
           s"""sbt "runMain graft.GoldenGen $name" and commit the tsv"""))
       spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val t0 = System.nanoTime()
       val rows =
         try fn(spark, smokeSf).collect().map(_.toString).sorted.toSeq
         finally {
+          timings += name -> (System.nanoTime() - t0) / 1e9
           spark.conf.set("spark.sql.shuffle.partitions", "4")
           spark.catalog.clearCache()
         }
@@ -76,6 +82,32 @@ abstract class FullDeterminismShard(shard: Int) extends SparkSpec {
           "query change (regenerate: " +
           s"""sbt "runMain graft.GoldenGen $name" and commit the tsv)""")
     }
+
+  // Gate-time tripwire (r11 verdict ask #6): the golden-hash rework
+  // bought the full gate back to ~15 min, but the registry grows ~15
+  // queries/round and the sweep is linear — the next capacity cliff
+  // should surface as a NAMED list of slow queries, not a silent creep
+  // past the 20-minute gate budget. Registered AFTER the query loop so
+  // it runs last in the suite and sees every timing. Budget is per
+  // shard (the four shard JVMs run concurrently, so shard wall ≈ gate
+  // wall for this stage); override for a deliberately slow host with
+  // -Dgraft.shard.budget.sec=N.
+  private val budgetSec =
+    sys.props.get("graft.shard.budget.sec").map(_.toDouble).getOrElse(300.0)
+  test(f"shard $shard sweep stays inside its $budgetSec%.0f s budget " +
+    "(override: -Dgraft.shard.budget.sec)") {
+    val total = timings.map(_._2).sum
+    val slowest = timings.sortBy(-_._2).take(8)
+      .map { case (n, s) => f"$n=$s%.1fs" }.mkString(", ")
+    info(f"shard $shard: ${timings.size} queries in $total%.1f s; " +
+      s"slowest: $slowest")
+    assert(total <= budgetSec,
+      f"shard $shard determinism sweep took $total%.1f s > " +
+        f"$budgetSec%.0f s budget. Slowest queries: $slowest. Either " +
+        "speed these up, raise GoldenGen.NShards (+ the build.sbt " +
+        "testGrouping stanza + golden regen), or override with " +
+        "-Dgraft.shard.budget.sec for a known-slow host.")
+  }
 }
 
 object FullDeterminismShard {

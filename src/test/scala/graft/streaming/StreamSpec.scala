@@ -777,6 +777,84 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SpaceSaving counters equal the one-batch fold for " +
+    "any batch split, and keep the heavy-hitter guarantee") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val m = 3
+    // (group, key, seq): group a overflows its 3 counters repeatedly
+    // (evictions straddle the splits — the state-carry case); group b
+    // stays under capacity; a key seen only in batch 3 forces a late
+    // eviction
+    val rows = Seq(
+      ("a", "x", 1L), ("a", "y", 2L), ("a", "x", 3L), ("a", "z", 4L),
+      ("b", "p", 5L), ("a", "w", 6L), ("a", "x", 7L), ("a", "y", 8L),
+      ("b", "q", 9L), ("a", "w", 10L), ("a", "v", 11L), ("a", "x", 12L),
+      ("b", "p", 13L), ("a", "y", 14L), ("a", "u", 15L), ("a", "x", 16L))
+    // pure-Scala reference: the SAME left fold over the seq-ordered
+    // rows — what the streaming state must reproduce under any split
+    def fold(rs: Seq[(String, String, Long)]): Map[String, Seq[(String, Long, Long)]] =
+      rs.sortBy(_._3).groupBy(_._1).map { case (g, grs) =>
+        var ctr = Map.empty[String, (Long, Long)]
+        grs.foreach { case (_, k, _) =>
+          ctr.get(k) match {
+            case Some((c, e)) => ctr = ctr.updated(k, (c + 1, e))
+            case None if ctr.size < m => ctr = ctr.updated(k, (1L, 0L))
+            case None =>
+              val (mk, (mc, _)) = ctr.minBy { case (kk, (cc, _)) => (cc, kk) }
+              ctr = (ctr - mk).updated(k, (mc + 1, mc))
+          }
+        }
+        g -> ctr.toSeq.map { case (k, (c, e)) => (k, c, e) }
+          .sortBy { case (k, c, _) => (-c, k) }
+      }
+    def run(splits: Seq[Seq[(String, String, Long)]],
+            qn: String): Map[String, Seq[(String, Long, Long)]] = {
+      val input = MemoryStream[(String, String, Long)]
+      val ss = graft.streaming.StreamOps.spaceSavingState(
+        input.toDF.toDF("g", "k", "s"), "g", "k", "s", m)
+      val q = ss.writeStream.format("memory")
+        .queryName(qn).outputMode("update").start()
+      try {
+        splits.foreach { b => input.addData(b); q.processAllAvailable() }
+        // latest emission per group: sum(est) == n(group) grows
+        // monotonically (the SpaceSaving mass invariant)
+        sp.sql(s"SELECT group, counters FROM $qn")
+          .groupBy("group").agg(max(struct(
+            aggregate(transform(col("counters"), c => c.getField("_2")),
+              lit(0L), (a, x) => a + x).as("__n"),
+            col("counters").as("counters"))).as("m"))
+          .select(col("group"), col("m.counters"))
+          .collect().map { r =>
+            r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+              .map(c => (c.getString(0), c.getLong(1), c.getLong(2))).toSeq
+          }.toMap
+      } finally q.stop()
+    }
+    val ref = fold(rows)
+    // three-way split vs one-batch: both must equal the reference fold
+    val split3 = run(Seq(rows.take(6), rows.slice(6, 12), rows.drop(12)),
+      "ss_stream_3")
+    val split1 = run(Seq(rows), "ss_stream_1")
+    assert(split3 == ref, s"3-split drifted:\n$split3\nvs\n$ref")
+    assert(split1 == ref, s"one-batch drifted:\n$split1\nvs\n$ref")
+    // SpaceSaving guarantees vs exact counts: est >= true >= est - err
+    // for tracked keys; every key with freq > n/m is tracked
+    val exact = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.size.toLong)
+    ref.foreach { case (g, table) =>
+      val n = exact.collect { case ((gg, _), c) if gg == g => c }.sum
+      table.foreach { case (k, est, err) =>
+        val t = exact.getOrElse((g, k), 0L)
+        assert(est >= t && t >= est - err, s"bound broken for ($g,$k)")
+      }
+      exact.foreach { case ((gg, k), c) =>
+        if (gg == g && c > n.toDouble / m)
+          assert(table.exists(_._1 == k), s"heavy hitter ($g,$k) lost")
+      }
+    }
+  }
+
   test("streaming Croston state equals the batch secondary-sort scan " +
     "for any batch split (ts_croston parity)") {
     val sp = spark
