@@ -157,6 +157,7 @@ object Estimators {
   private val logRegName = """logreg_gd\((\d+),([0-9.eE+-]+)\)""".r
   private val ridgeName = """ridge\(([0-9.eE+-]+)\)""".r
   private val kmeansName = """kmeans\((\d+),(\d+)\)""".r
+  private val gbc2Name = """gbc2\(([0-9.eE+-]+)\)""".r
   def builtin(name: String): Option[Estimator] = name match {
     case GaussianNB.name => Some(GaussianNB)
     case MultinomialNB.name => Some(MultinomialNB)
@@ -164,9 +165,10 @@ object Estimators {
       Some(LogisticRegressionGD(it.toInt, lr.toDouble))
     case ridgeName(a) => Some(RidgeRegression(a.toDouble))
     case kmeansName(kk, it) => Some(KMeansEstimator(kk.toInt, it.toInt))
+    case gbc2Name(lr) => Some(GradientBoostedClassifier2(lr.toDouble))
     case _ => None
   }
   val builtinNames: Seq[String] =
     Seq(GaussianNB.name, MultinomialNB.name, "logreg_gd(I,LR)",
-      "ridge(ALPHA)", "kmeans(K,I)")
+      "ridge(ALPHA)", "kmeans(K,I)", "gbc2(LR)")
 }

@@ -522,6 +522,155 @@ final case class LogisticRegressionGD(
   }
 }
 
+/** Two-round gradient-boosted CLASSIFIER — logistic loss on the Gbrt
+  * stump machinery (Friedman 2001 TreeBoost: each round fits a
+  * variance-reduction stump to the loss gradient, leaf values are the
+  * per-leaf Newton step Σr / Σp(1−p)), through the same estimator
+  * contract as the rest of the zoo so it rides FitRel/TransformRel
+  * (r11 verdict ask #7). Returns P(y=1|x) = sigmoid(F0 + lr·γ1(x) +
+  * lr·γ2(x)) with F0 the log-odds prior.
+  *
+  * Determinism + oracle parity (the Gbrt/Stump discipline): every
+  * split score and leaf value is a closed-form expression of exact
+  * INTEGER aggregates (per-cell counts, label sums, split-1-side
+  * counts) plus the handful of transcendentals (F0, the two round-1
+  * sigmoids), each written in ONE pinned expression shape that the
+  * DuckDB oracle replays verbatim — round-1 scores are scaled by n²
+  * so they are integer-seeded doubles (dnum²/nl + dnum²/nr with
+  * dnum = posl·n − nl·pos a Long), and round-2 residual sums apply
+  * the sigmoid constants ONCE to cumulative integer counts
+  * (rl = posl − cll·qL − (nl−cll)·qR), never summing per-row doubles
+  * — so no order-dependent reduction ever feeds the argmax, and the
+  * fit is a deterministic function of the training MULTISET.
+  * Candidate ties break on (score desc, feature index asc, threshold
+  * asc), mirroring the oracle's ORDER BY ... LIMIT 1. */
+final case class GradientBoostedClassifier2(lr: Double = 0.5)
+    extends Estimator {
+  val name = s"gbc2($lr)"
+
+  final case class Stump(fi: Int, thr: Double, gl: Double, gr: Double)
+    extends Serializable
+  final case class Model(f0: Double, rate: Double, s1: Stump, s2: Stump)
+    extends Serializable
+
+  /** per-feature cells sorted ascending by value: (v, cnt, posSum,
+    * split1LeftCount) — the integer sufficient statistics. */
+  private def cells(xs: Array[Array[Double]], ys: Array[Double], f: Int,
+      left1: Array[Double] => Boolean): Array[(Double, Long, Long, Long)] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[Double, (Long, Long, Long)]
+    var i = 0
+    while (i < xs.length) {
+      val v = xs(i)(f)
+      val (c, p, l) = m.getOrElse(v, (0L, 0L, 0L))
+      m(v) = (c + 1, p + ys(i).toLong, l + (if (left1(xs(i))) 1L else 0L))
+      i += 1
+    }
+    m.toArray.map { case (v, (c, p, l)) => (v, c, p, l) }.sortBy(_._1)
+  }
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    require(ys.forall(y => y == 0.0 || y == 1.0),
+      s"$name: labels must be exactly 0/1")
+    val n = xs.length.toLong
+    val d = xs(0).length
+    val pos = ys.count(_ == 1.0).toLong
+    require(pos > 0 && pos < n,
+      s"$name: training group needs both classes (pos=$pos of $n)")
+
+    // round 1: argmax over (feature, threshold) of the n²-scaled
+    // variance-reduction score on the constant-prior residuals —
+    // dnum = posl·n − nl·pos is exact; Σr_R's numerator is −dnum
+    var b1: (Double, Int, Double, Long, Long) = null // s, fi, v, nl, posl
+    var f = 0
+    while (f < d) {
+      val cs = cells(xs, ys, f, _ => false)
+      var nl = 0L; var posl = 0L
+      var i = 0
+      while (i < cs.length) {
+        nl += cs(i)._2; posl += cs(i)._3
+        if (nl < n) {
+          val dnum = posl * n - nl * pos
+          val s = dnum.toDouble * dnum / nl +
+            dnum.toDouble * dnum / (n - nl)
+          val fi = f + 1; val v = cs(i)._1
+          if (b1 == null || s > b1._1 || (s == b1._1 &&
+            (fi < b1._2 || (fi == b1._2 && v < b1._3))))
+            b1 = (s, fi, v, nl, posl)
+        }
+        i += 1
+      }
+      f += 1
+    }
+    val (f1, t1, nl1, posl1) = (b1._2, b1._3, b1._4, b1._5)
+    val p = pos.toDouble / n
+    val f0 = math.log(pos.toDouble / (n - pos))
+    val dnum1 = posl1 * n - nl1 * pos
+    // Newton leaf steps: γ = Σr / Σp(1−p); the oracle writes these
+    // EXACT shapes — keep them byte-for-byte
+    val gl1 = (dnum1.toDouble / n) / (nl1 * p * (1 - p))
+    val gr1 = (-dnum1.toDouble / n) / ((n - nl1) * p * (1 - p))
+    val fl = f0 + lr * gl1
+    val fr = f0 + lr * gr1
+    val ql = 1.0 / (1.0 + math.exp(-fl))
+    val qr = 1.0 / (1.0 + math.exp(-fr))
+    val hl = ql * (1 - ql)
+    val hr = qr * (1 - qr)
+    // full-population round-2 residual/hessian totals from the split-1
+    // side counts (exact integers × the two sigmoid constants)
+    val rt = pos - nl1 * ql - (n - nl1) * qr
+    val ht = nl1 * hl + (n - nl1) * hr
+
+    val left1 = (x: Array[Double]) => x(f1 - 1) <= t1
+    var b2: (Double, Int, Double, Long, Long, Long) = null
+    f = 0
+    while (f < d) {
+      val cs = cells(xs, ys, f, left1)
+      var nl = 0L; var posl = 0L; var cll = 0L
+      var i = 0
+      while (i < cs.length) {
+        nl += cs(i)._2; posl += cs(i)._3; cll += cs(i)._4
+        if (nl < n) {
+          val rl = posl - cll * ql - (nl - cll) * qr
+          val s = rl * rl / nl + (rt - rl) * (rt - rl) / (n - nl)
+          val fi = f + 1; val v = cs(i)._1
+          if (b2 == null || s > b2._1 || (s == b2._1 &&
+            (fi < b2._2 || (fi == b2._2 && v < b2._3))))
+            b2 = (s, fi, v, nl, posl, cll)
+        }
+        i += 1
+      }
+      f += 1
+    }
+    val (f2, t2, nl2, posl2, cll2) = (b2._2, b2._3, b2._4, b2._5, b2._6)
+    val rl2 = posl2 - cll2 * ql - (nl2 - cll2) * qr
+    val hl2 = cll2 * hl + (nl2 - cll2) * hr
+    val gl2 = rl2 / hl2
+    val gr2 = (rt - rl2) / (ht - hl2)
+
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(f0, lr, Stump(f1, t1, gl1, gr1),
+      Stump(f2, t2, gl2, gr2))); out.flush(); bos.toByteArray }
+    finally out.close()
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  /** Returns P(y=1 | x) = sigmoid(F0 + lr·γ1 + lr·γ2). */
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    val g1 = if (x(m.s1.fi - 1) <= m.s1.thr) m.s1.gl else m.s1.gr
+    val g2 = if (x(m.s2.fi - 1) <= m.s2.thr) m.s2.gl else m.s2.gr
+    val fx = m.f0 + m.rate * g1 + m.rate * g2
+    1.0 / (1.0 + math.exp(-fx))
+  }
+}
+
 /** Multinomial naive Bayes over count-valued features — the text-
   * classification workhorse (sklearn `MultinomialNB` semantics with
   * Laplace smoothing α = 1). Per class c: log prior ln(n_c/n) and

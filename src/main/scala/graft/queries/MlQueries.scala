@@ -867,6 +867,102 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Two-round gradient-boosted CLASSIFIER (logistic loss on the Gbrt
+    // stump machinery — ml.GradientBoostedClassifier2, r11 verdict ask
+    // #7) through the FitRel/TransformRel estimator path. The oracle
+    // UNROLLS the whole fit as chained CTEs: round-1 split scores are
+    // n²-scaled integer-seeded doubles (dnum = posl·n − nl·pos), the
+    // log-odds prior and the two round-1 leaf sigmoids are the only
+    // transcendentals, and round-2 residual sums apply those two
+    // constants ONCE to cumulative integer counts — so both engines
+    // rank candidates on bit-identical doubles and no order-dependent
+    // reduction feeds either argmax (the Stump/Gbrt discipline).
+    q("ml_pipeline_gbc",
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity x1,
+        |             l_discount x2,
+        |             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |tot AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM d),
+        |h1 AS (SELECT 1 fi, x1 v, count(*)::BIGINT cnt, sum(y)::BIGINT py
+        |       FROM d GROUP BY 2
+        |       UNION ALL
+        |       SELECT 2, x2, count(*)::BIGINT, sum(y)::BIGINT
+        |       FROM d GROUP BY 2),
+        |c1 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h1),
+        |s1c AS (SELECT fi, v, nl, posl, n, pos,
+        |          (posl * n - nl * pos) dnum
+        |        FROM c1, tot WHERE nl < n),
+        |b1 AS (SELECT fi, v, nl, posl, n, pos, dnum,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s1c ORDER BY s DESC, fi, v LIMIT 1),
+        |g1 AS (SELECT fi f1, v t1, nl nl1, n, pos,
+        |         ln(pos::DOUBLE / (n - pos)) f0,
+        |         (dnum::DOUBLE / n) /
+        |           (nl * (pos::DOUBLE / n) * (1 - pos::DOUBLE / n)) gl1,
+        |         (-(dnum::DOUBLE) / n) /
+        |           ((n - nl) * (pos::DOUBLE / n) * (1 - pos::DOUBLE / n)) gr1
+        |       FROM b1),
+        |qv AS (SELECT f1, t1, nl1, n, pos, f0, gl1, gr1,
+        |         1 / (1 + exp(-(f0 + 0.5 * gl1))) ql,
+        |         1 / (1 + exp(-(f0 + 0.5 * gr1))) qr
+        |       FROM g1),
+        |q2 AS (SELECT f1, t1, nl1, n, pos, f0, gl1, gr1, ql, qr,
+        |         ql * (1 - ql) hl, qr * (1 - qr) hr,
+        |         pos - nl1 * ql - (n - nl1) * qr rt
+        |       FROM qv),
+        |q3 AS (SELECT f1, t1, nl1, n, pos, f0, gl1, gr1, ql, qr, hl, hr,
+        |         rt, nl1 * hl + (n - nl1) * hr ht
+        |       FROM q2),
+        |h2 AS (SELECT 1 fi, x1 v, count(*)::BIGINT cnt, sum(y)::BIGINT py,
+        |         sum(CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |                    <= t1 THEN 1 ELSE 0 END)::BIGINT cl
+        |       FROM d, q3 GROUP BY 2
+        |       UNION ALL
+        |       SELECT 2, x2, count(*)::BIGINT, sum(y)::BIGINT,
+        |         sum(CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |                    <= t1 THEN 1 ELSE 0 END)::BIGINT
+        |       FROM d, q3 GROUP BY 2),
+        |c2 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl,
+        |         sum(cl) OVER (PARTITION BY fi ORDER BY v) cll
+        |       FROM h2),
+        |s2c AS (SELECT fi, v, nl, posl, cll, n, rt, ht, hl, hr, ql, qr,
+        |          f0, gl1, gr1, f1, t1,
+        |          posl - cll * ql - (nl - cll) * qr rl
+        |        FROM c2, q3 WHERE nl < n),
+        |b2 AS (SELECT fi, v, nl, cll, rl, rt, ht, hl, hr, f0, gl1, gr1,
+        |         f1, t1,
+        |         rl * rl / nl + (rt - rl) * (rt - rl) / (n - nl) s
+        |       FROM s2c ORDER BY s DESC, fi, v LIMIT 1),
+        |g2 AS (SELECT f0, gl1, gr1, f1, t1, fi f2, v t2,
+        |         rl / (cll * hl + (nl - cll) * hr) gl2,
+        |         (rt - rl) / (ht - (cll * hl + (nl - cll) * hr)) gr2
+        |       FROM b2)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(1 / (1 + exp(-(f0
+        |         + 0.5 * (CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |                            <= t1 THEN gl1 ELSE gr1 END)
+        |         + 0.5 * (CASE WHEN (CASE WHEN f2 = 1 THEN x1 ELSE x2 END)
+        |                            <= t2 THEN gl2 ELSE gr2 END))))
+        |         + 1e-9, 6) AS prob
+        |FROM d, g2 WHERE l_orderkey < 300 ORDER BY 1, 2""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"),
+        (col("l_extendedprice") > 30000).cast("double").as("y"))
+      val steps = Seq(graft.rel.EstimatorSpec("gbc2(0.5)",
+        Seq("l_quantity", "l_discount"), "y", "p1"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("p1")).as("prob"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Classification metrics (metrics.py:513-669): accuracy/precision/
     // recall/f1 from one counts aggregate; ROC AUC via the rank-sum
     // identity with midranks (≡ trapezoid with ties) over the grouped
