@@ -1406,6 +1406,108 @@ object CurationQueries {
     // and the repaired_sample column shows the mapped text. Unicode is
     // composed with chr() in the oracle so no raw control byte rides
     // the SQL-JSON dump.
+    // Lexical-richness profile from the frequency-of-frequencies table
+    // — the corpus-characterization stats a pretraining data card
+    // reports beside Zipf/Heaps (both already in the registry): hapax
+    // ratio V1/V (proportion of once-only words — high = diverse or
+    // noisy), Sichel's S = V2/V, and Yule's K = 1e4·(Σf²·V_f − N)/N²
+    // (Yule 1944 — repeat-rate characteristic, length-invariant, the
+    // classic authorship/contamination signal: boilerplate-heavy
+    // corpora push K up). The whole statistic is INTEGER-exact from
+    // two hash aggregations (word counts → frequency spectrum) until
+    // the final three divisions — the 100 TB shape: corpus scan →
+    // shuffle on word → shuffle on f (≤ a few thousand distinct
+    // frequencies), no windows, no collects.
+    q("text_hapax_yule",
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) word
+        |           FROM documents),
+        |f AS (SELECT word, count(*)::BIGINT fr FROM w GROUP BY 1),
+        |ff AS (SELECT fr, count(*)::BIGINT vf FROM f GROUP BY 1),
+        |t AS (SELECT sum(fr * vf)::BIGINT n, sum(vf)::BIGINT v,
+        |             sum(fr * fr * vf)::BIGINT s2,
+        |             sum(CASE WHEN fr = 1 THEN vf ELSE 0 END)::BIGINT v1,
+        |             sum(CASE WHEN fr = 2 THEN vf ELSE 0 END)::BIGINT v2
+        |      FROM ff)
+        |SELECT n AS n_tokens, v AS vocab, v1 AS hapax, v2 AS dis,
+        |       round(v1::DOUBLE / v + 1e-9, 6) AS hapax_ratio,
+        |       round(10000.0 * (s2 - n) / (n::DOUBLE * n) + 1e-9, 6)
+        |         AS yule_k,
+        |       round(v2::DOUBLE / v + 1e-9, 6) AS sichel_s
+        |FROM t""") { c =>
+      val w = c.documents.select(
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("word"))
+      val f = w.groupBy("word").agg(count(lit(1)).as("fr"))
+      val ff = f.groupBy("fr").agg(count(lit(1)).as("vf"))
+      ff.agg(
+          sum(col("fr") * col("vf")).as("n"),
+          sum(col("vf")).as("v"),
+          sum(col("fr") * col("fr") * col("vf")).as("s2"),
+          sum(when(col("fr") === 1, col("vf")).otherwise(0L)).as("v1"),
+          sum(when(col("fr") === 2, col("vf")).otherwise(0L)).as("v2"))
+        .select(col("n").as("n_tokens"), col("v").as("vocab"),
+          col("v1").as("hapax"), col("v2").as("dis"),
+          r6(col("v1").cast("double") / col("v")).as("hapax_ratio"),
+          r6(lit(10000.0) * (col("s2") - col("n")) /
+            (col("n").cast("double") * col("n"))).as("yule_k"),
+          r6(col("v2").cast("double") / col("v")).as("sichel_s"))
+    },
+
+    // Code-vs-prose detection — the pretraining-mix router every
+    // corpus pipeline runs before language-specific scrubs (code wants
+    // different dedup/quality treatment than prose): per document,
+    // count code keywords (word-boundary regex), code punctuation
+    // ([;{}()=<>]), and generic non-prose symbols, then an INTEGER
+    // score (2·keywords + punct + symbols) with the code call at
+    // score >= 8 — integer arithmetic end to end, so no FP boundary
+    // can flip the flag between engines. The synthetic documents are
+    // pure lowercase prose, so plants make the contract checkable:
+    // every 13th doc gets a python-ish snippet (keywords + braces),
+    // every 17th a light symbol sprinkle that must stay BELOW the
+    // call threshold. Pure per-row expression work over one scan.
+    q("text_code_detect",
+      """WITH t AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 13 = 0
+        |      THEN ' def calc(x): return {x * 2}; import os; class F:'
+        |      ELSE '' END
+        |         || CASE WHEN doc_id % 17 = 0
+        |      THEN ' a = b; (c)' ELSE '' END t2
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |    len(regexp_extract_all(t2,
+        |      '\b(def|return|import|class|function|var|const)\b'))::BIGINT
+        |      n_kw,
+        |    len(regexp_extract_all(t2, '[;{}()=<>]'))::BIGINT n_punct,
+        |    len(regexp_extract_all(t2, '[*:#\[\]]'))::BIGINT n_sym
+        |  FROM t)
+        |SELECT doc_id, n_kw, n_punct, n_sym,
+        |       (2 * n_kw + n_punct + n_sym)::BIGINT AS score,
+        |       (2 * n_kw + n_punct + n_sym) >= 8 AS is_code
+        |FROM sc WHERE 2 * n_kw + n_punct + n_sym > 0
+        |ORDER BY doc_id""") { c =>
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          lit(" def calc(x): return {x * 2}; import os; class F:"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" a = b; (c)"))
+          .otherwise(lit("")))
+      val sc = c.documents.select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(t2, " +
+            "'\\\\b(def|return|import|class|function|var|const)\\\\b', 0)"))
+            .cast("long").as("n_kw"),
+          size(expr("regexp_extract_all(t2, '[;{}()=<>]', 0)"))
+            .cast("long").as("n_punct"),
+          size(expr("regexp_extract_all(t2, '[*:#\\\\[\\\\]]', 0)"))
+            .cast("long").as("n_sym"))
+      sc.select(col("doc_id"), col("n_kw"), col("n_punct"), col("n_sym"),
+          (lit(2) * col("n_kw") + col("n_punct") + col("n_sym"))
+            .as("score"),
+          (lit(2) * col("n_kw") + col("n_punct") + col("n_sym") >= 8)
+            .as("is_code"))
+        .filter(col("score") > 0)
+        .orderBy("doc_id")
+    },
+
     q("text_mojibake_repair",
       """WITH t AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 6 = 0

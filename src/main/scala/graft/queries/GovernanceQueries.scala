@@ -757,6 +757,50 @@ object GovernanceQueries {
     // gap between n_candidates and n_valid_luhn IS the false-positive
     // reduction. Pure per-row expression work over one scan; the
     // per-candidate fold is length-bounded (≤19 digits).
+    // Retention-policy sweep — the RTBF family's bulk sibling (RTBF
+    // deletes one subject; retention expires whole partitions): rows
+    // past the policy cutoff are inventoried per ORDER-MONTH partition
+    // into a deletion MANIFEST (count, key range, share of the
+    // partition) — exactly the artifact a compliance pipeline commits
+    // before issuing partition drops. Scale shape: at 100 TB the month
+    // column is the partition key, so the sweep is partition-pruned
+    // metadata work plus one aggregation over only the EXPIRED
+    // partitions; months where nothing expires simply do not appear.
+    // Wholly-expired months are flagged drop_partition = true (a
+    // metadata-only delete); partially-expired months need a rewrite.
+    q("gov_retention_sweep",
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') ym,
+        |             o_orderkey,
+        |             o_orderdate < DATE '1997-01-01' expired
+        |           FROM orders)
+        |SELECT ym AS month,
+        |       count(*) FILTER (expired)::BIGINT AS n_expired,
+        |       count(*)::BIGINT AS n_rows,
+        |       min(CASE WHEN expired THEN o_orderkey END)::BIGINT
+        |         AS min_key,
+        |       max(CASE WHEN expired THEN o_orderkey END)::BIGINT
+        |         AS max_key,
+        |       (count(*) FILTER (expired) = count(*)) AS drop_partition
+        |FROM m GROUP BY 1 HAVING count(*) FILTER (expired) > 0
+        |ORDER BY 1""") { c =>
+      val m = c.orders.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderkey"),
+        (col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .as("expired"))
+      m.groupBy(col("ym").as("month"))
+        .agg(
+          sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"),
+          count(lit(1)).as("n_rows"),
+          min(when(col("expired"), col("o_orderkey"))).as("min_key"),
+          max(when(col("expired"), col("o_orderkey"))).as("max_key"))
+        .filter(col("n_expired") > 0)
+        .select(col("month"), col("n_expired"), col("n_rows"),
+          col("min_key"), col("max_key"),
+          (col("n_expired") === col("n_rows")).as("drop_partition"))
+        .orderBy("month")
+    },
+
     q("gov_luhn_scan",
       """WITH t AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 7 = 0

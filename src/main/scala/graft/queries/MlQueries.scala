@@ -1007,6 +1007,59 @@ object MlQueries {
         r6(col("auc")).as("auc"))
     },
 
+    // Matthews correlation coefficient + balanced accuracy + Youden's J
+    // — the imbalance-robust confusion-matrix metrics ml_metrics_cls's
+    // accuracy/precision/recall family misses (MCC is the one binary
+    // metric that stays honest when 95% of rows are one class — the
+    // usual quality-classifier regime). Everything derives from the
+    // four integer confusion counts in pinned expression shapes: the
+    // MCC numerator tp·tn − fp·fn stays in Long range; the
+    // denominator's 4-way product overflows 64 bits, so both engines
+    // square via the double-first Stump pattern in the same order.
+    // One counts aggregate over the corpus — no second scan.
+    q("ml_mcc",
+      """WITH s AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y,
+        |                  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END p
+        |           FROM lineitem),
+        |c AS (SELECT
+        |    sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT tp,
+        |    sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT fp,
+        |    sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT fn,
+        |    sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT tn
+        |  FROM s)
+        |SELECT tp, fp, fn, tn,
+        |       round((tp * tn - fp * fn)::DOUBLE /
+        |         sqrt(((tp + fp)::DOUBLE * (tp + fn)) *
+        |              ((tn + fp)::DOUBLE * (tn + fn))) + 1e-9, 6) AS mcc,
+        |       round((tp::DOUBLE / (tp + fn) + tn::DOUBLE / (tn + fp))
+        |             / 2 + 1e-9, 6) AS balanced_accuracy,
+        |       round(tp::DOUBLE / (tp + fn) + tn::DOUBLE / (tn + fp)
+        |             - 1 + 1e-9, 6) AS youden_j
+        |FROM c""") { c =>
+      val s = c.lineitem.select(
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("y"),
+        when(col("l_quantity") > 25, 1).otherwise(0).as("p"))
+      val cm = s.agg(
+        sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("y") === 0 && col("p") === 1, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") === 1 && col("p") === 0, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(col("y") === 0 && col("p") === 0, 1L).otherwise(0L))
+          .as("tn"))
+      val tpr = col("tp").cast("double") / (col("tp") + col("fn"))
+      val tnr = col("tn").cast("double") / (col("tn") + col("fp"))
+      cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        r6((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+          sqrt(((col("tp") + col("fp")).cast("double") *
+            (col("tp") + col("fn"))) *
+            ((col("tn") + col("fp")).cast("double") *
+              (col("tn") + col("fn"))))).as("mcc"),
+        r6((tpr + tnr) / 2).as("balanced_accuracy"),
+        r6(tpr + tnr - 1).as("youden_j"))
+    },
+
     // Average precision (area under the precision–recall curve, the
     // sklearn step interpolation) — the ranking metric that matters
     // more than ROC AUC under class imbalance (the usual
