@@ -1406,6 +1406,87 @@ object CurationQueries {
     // and the repaired_sample column shows the mapped text. Unicode is
     // composed with chr() in the oracle so no raw control byte rides
     // the SQL-JSON dump.
+    // Soundex phonetic blocking (the NARA/American Soundex algorithm,
+    // exact: h/w-transparent same-code merge, vowel separators, first
+    // letter retained) — the third blocking key beside dedup_fuzzy's
+    // edit-distance and er_blocking_quality's prefix/suffix passes:
+    // phonetic codes catch the sound-alike misspellings
+    // (widget→widgit) that n-gram blocks miss at distance. The whole
+    // code is per-row expression work: translate() maps letters to
+    // digits (h/w→9, vowels→0), 9s drop FIRST (so same codes separated
+    // by h/w become adjacent and merge — the Ashcraft→A261 rule),
+    // per-digit runs collapse via backreference-free regex chains
+    // (DuckDB's RE2 has no backrefs), the first letter's own code
+    // drops unless the initial is h/w, zeros strip, rpad to 3. Every
+    // 7th part's noun is vowel-mutated (translate e→i) and must land
+    // in the SAME block — the phonetic-recall contract. Output per
+    // block: sizes plus cross-word pair count (the ER candidate pairs
+    // this key generates), all integer arithmetic.
+    q("er_soundex_block",
+      """WITH pn AS (SELECT p_partkey,
+        |    CASE WHEN p_partkey % 7 = 0
+        |         THEN translate(split_part(p_name, ' ', 2), 'e', 'i')
+        |         ELSE split_part(p_name, ' ', 2) END w
+        |  FROM part),
+        |s1 AS (SELECT p_partkey, w,
+        |    translate(w, 'abcdefghijklmnopqrstuvwxyz',
+        |              '01230129022455012623019202') m FROM pn),
+        |s2 AS (SELECT p_partkey, w, m, replace(m, '9', '') d9 FROM s1),
+        |s3 AS (SELECT p_partkey, w, m,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(d9,
+        |      '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+        |      '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+        |      '66+', '6', 'g') cc FROM s2),
+        |s4 AS (SELECT p_partkey, w,
+        |    upper(substr(w, 1, 1)) ||
+        |    rpad(substr(replace(
+        |      CASE WHEN substr(m, 1, 1) = '9' THEN cc
+        |           ELSE substr(cc, 2) END, '0', ''), 1, 3), 3, '0') code
+        |  FROM s3),
+        |g AS (SELECT code, w, count(*)::BIGINT cw FROM s4 GROUP BY 1, 2),
+        |b AS (SELECT code, sum(cw)::BIGINT n_parts,
+        |        count(*)::BIGINT n_words,
+        |        sum(cw * (cw - 1) // 2)::BIGINT same_pairs,
+        |        min(w) first_word, max(w) last_word
+        |      FROM g GROUP BY 1)
+        |SELECT code, n_parts, n_words,
+        |       (n_parts * (n_parts - 1) // 2 - same_pairs)::BIGINT
+        |         AS cross_word_pairs,
+        |       first_word, last_word
+        |FROM b ORDER BY code""") { c =>
+      val noun = expr("split_part(p_name, ' ', 2)")
+      val pn = c.part.select(col("p_partkey"),
+        when(col("p_partkey") % 7 === 0, translate(noun, "e", "i"))
+          .otherwise(noun).as("w"))
+      val s1 = pn.withColumn("m",
+        translate(col("w"), "abcdefghijklmnopqrstuvwxyz",
+          "01230129022455012623019202"))
+      val s2 = s1.withColumn("d9", expr("replace(m, '9', '')"))
+      val cc = Seq("0", "1", "2", "3", "4", "5", "6")
+        .foldLeft(col("d9")) { (cx, d) =>
+          regexp_replace(cx, d + d + "+", d)
+        }
+      val s4 = s2.withColumn("cc", cc)
+        .select(col("p_partkey"), col("w"),
+          concat(upper(col("w").substr(1, 1)),
+            rpad(expr("substr(replace(CASE WHEN substr(m, 1, 1) = '9' " +
+              "THEN cc ELSE substr(cc, 2) END, '0', ''), 1, 3)"),
+              3, "0")).as("code"))
+      val g = s4.groupBy("code", "w").agg(count(lit(1)).as("cw"))
+      g.groupBy("code")
+        .agg(sum(col("cw")).as("n_parts"),
+          count(lit(1)).as("n_words"),
+          sum(expr("cw * (cw - 1) div 2")).as("same_pairs"),
+          min(col("w")).as("first_word"),
+          max(col("w")).as("last_word"))
+        .select(col("code"), col("n_parts"), col("n_words"),
+          (expr("n_parts * (n_parts - 1) div 2") - col("same_pairs"))
+            .as("cross_word_pairs"),
+          col("first_word"), col("last_word"))
+        .orderBy("code")
+    },
+
     // Lexical-richness profile from the frequency-of-frequencies table
     // — the corpus-characterization stats a pretraining data card
     // reports beside Zipf/Heaps (both already in the registry): hapax

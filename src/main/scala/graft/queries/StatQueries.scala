@@ -4482,5 +4482,134 @@ object StatQueries {
           (col("rk") <= col("kmax")).as("rejected"))
         .orderBy("rank")
     },
+
+    // Two-sample Anderson–Darling (Scholz & Stephens 1987, the A²kN
+    // right-continuous-ECDF form over distinct pooled values, k = 2)
+    // — the TAIL-weighted companion of stat_ks_2sample (sup norm) and
+    // stat_cramer_von_mises (unweighted L²): the 1/(B(N−B)) weight
+    // makes it the most powerful of the three against tail
+    // differences, which is where data drift usually shows first.
+    // With n1+n2 = N and M1+M2 = B the two arms' deviations are equal
+    // and opposite, so A² = (1/n1 + 1/n2)·Σ_j l_j·d_j²/((N·B_j)(N−B_j))
+    // with d_j = N·M1_j − n1·B_j an exact BIGINT, l·d² accumulated in
+    // 128-bit integers (the CvM device), and the per-cell rational
+    // terms — whose varying denominators bar an integer sum — folded
+    // in PINNED value order on both engines (the lm-ppl left-fold
+    // pattern), one division shape per term. The histogram is the
+    // 50-value quantity lattice: bounded cells, no corpus window.
+    q("stat_anderson_darling",
+      """WITH s AS (SELECT CAST(round(l_quantity + 1e-9) AS BIGINT) v,
+        |             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END arm
+        |           FROM lineitem),
+        |h AS (SELECT v, count(*) FILTER (arm = 1)::BIGINT c1,
+        |        count(*) FILTER (arm = 0)::BIGINT c0 FROM s GROUP BY 1),
+        |nn AS (SELECT sum(c1)::BIGINT n1, sum(c0)::BIGINT n0,
+        |         (sum(c1) + sum(c0))::BIGINT nt FROM h),
+        |cu AS (SELECT v, c1 + c0 l,
+        |         sum(c1) OVER w m1, sum(c1 + c0) OVER w b
+        |       FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT v,
+        |        (l::HUGEINT * (nt * m1 - n1 * b)
+        |         * (nt * m1 - n1 * b))::DOUBLE
+        |          / ((nt::DOUBLE * b) * (nt - b)) term
+        |      FROM cu, nn WHERE b < nt),
+        |u AS (SELECT list_reduce(list(term ORDER BY v),
+        |               (a, x) -> a + x) su FROM t)
+        |SELECT nn.n1, nn.n0,
+        |       round((1.0 / n1 + 1.0 / n0) * su + 1e-9, 6) AS a2_kn
+        |FROM u, nn""") { c =>
+      val s = c.lineitem.select(
+        round(col("l_quantity") + lit(1e-9)).cast("long").as("v"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("arm"))
+      val h = s.groupBy("v").agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"))
+      val nn = h.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        (sum(col("c1")) + sum(col("c0"))).as("nt"))
+      val wv = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cu = h.select(col("v"), (col("c1") + col("c0")).as("l"),
+        sum(col("c1")).over(wv).as("m1"),
+        sum(col("c1") + col("c0")).over(wv).as("b"))
+      val t = cu.crossJoin(broadcast(nn))
+        .filter(col("b") < col("nt"))
+        .withColumn("d", col("nt") * col("m1") - col("n1") * col("b"))
+        .withColumn("term",
+          (col("l").cast("decimal(38,0)") * col("d") * col("d"))
+            .cast("double") /
+            ((col("nt").cast("double") * col("b")) *
+              (col("nt") - col("b"))))
+      val su = t.agg(
+        aggregate(array_sort(collect_list(struct(col("v"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("su"))
+      su.crossJoin(broadcast(nn))
+        .select(col("n1"), col("n0"),
+          r6((lit(1.0) / col("n1") + lit(1.0) / col("n0")) * col("su"))
+            .as("a2_kn"))
+    },
+
+    // Cross-correlation function between two event-type hourly series
+    // (click leads/lags purchase, shifts −3..+3 hours) — the lead-lag
+    // screen ts_acf/ts_pacf cannot see (they are single-series): which
+    // shift maximizes r tells a pipeline whether one signal PREDICTS
+    // another and by how many hours. Hourly means quantize to integer
+    // milli-units (the ts_resample device), so every lag's five sums
+    // (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINTs over the ≤744-hour
+    // grid and Pearson r comes from one pinned double expression per
+    // lag — no order-dependent FP anywhere. Scale shape: one corpus
+    // aggregation to the (type, hour) grid; the 7-shift fan-out is a
+    // broadcast of a 7-row range against the grid relation.
+    q("ts_xcorr",
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600
+        |      hr, value
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT event_type, hr,
+        |        CAST(round(avg(value) * 1000 + 1e-9) AS BIGINT) cv
+        |      FROM ev GROUP BY 1, 2),
+        |x AS (SELECT hr, cv xv FROM h WHERE event_type = 'click'),
+        |y AS (SELECT hr yhr, cv yv FROM h WHERE event_type = 'purchase'),
+        |lg AS (SELECT unnest(generate_series(-3, 3)) shift),
+        |j AS (SELECT lg.shift, x.xv, y.yv
+        |      FROM lg CROSS JOIN x JOIN y ON y.yhr = x.hr + lg.shift),
+        |s AS (SELECT shift, count(*)::BIGINT n, sum(xv)::BIGINT sx,
+        |        sum(yv)::BIGINT sy, sum(xv * yv)::BIGINT sxy,
+        |        sum(xv * xv)::BIGINT sxx, sum(yv * yv)::BIGINT syy
+        |      FROM j GROUP BY 1)
+        |SELECT shift::BIGINT AS shift, n,
+        |       round((n * sxy - sx * sy)::DOUBLE /
+        |         sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy))
+        |         + 1e-9, 6) AS r
+        |FROM s ORDER BY shift""") { c =>
+      val ev = c.events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hr"),
+          col("value"))
+      val h = ev.groupBy("event_type", "hr")
+        .agg(round(avg(col("value")) * 1000 + lit(1e-9)).cast("long")
+          .as("cv"))
+      val x = h.filter(col("event_type") === "click")
+        .select(col("hr"), col("cv").as("xv"))
+      val y = h.filter(col("event_type") === "purchase")
+        .select(col("hr").as("yhr"), col("cv").as("yv"))
+      val lg = c.spark.range(-3, 4).select(col("id").as("shift"))
+      val j = x.crossJoin(broadcast(lg))
+        .join(y, col("yhr") === col("hr") + col("shift"))
+      val s = j.groupBy("shift").agg(count(lit(1)).as("n"),
+        sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+        sum(col("xv") * col("yv")).as("sxy"),
+        sum(col("xv") * col("xv")).as("sxx"),
+        sum(col("yv") * col("yv")).as("syy"))
+      s.select(col("shift"), col("n"),
+          r6((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("r"))
+        .orderBy("shift")
+    },
   )
 }
