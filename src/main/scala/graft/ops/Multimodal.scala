@@ -858,6 +858,80 @@ object Multimodal {
       })
   }
 
+  /** Per-image histogram-equalization statistics from REAL BMP
+    * decoding — the classic contrast-normalization preprocessing step
+    * an image-training pipeline runs before feature extraction. Gray
+    * levels come from the decoded R channel (the fixtures are gray,
+    * r=g=b); the 256-bin histogram and its CDF are per-image local
+    * work, and the standard mapping v → round(255·(cdf−cdfmin)/
+    * (n−cdfmin)) is computed as EXACT half-up integer division
+    * ((510·x + den) / (2·den)) so both engines land on identical
+    * levels with no FP rounding in the loop. All-one-level images map
+    * to 0 (the den = 0 guard). Partition-local, zero shuffles — the
+    * 100 TB shape for per-asset preprocessing. */
+  final case class EqualizeStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, lo_before: Int, hi_before: Int, levels_before: Int,
+      lo_after: Long, hi_after: Long, levels_after: Int, sum_after: Long)
+
+  def equalizeGray(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[EqualizeStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            val n = (w.toLong * h)
+            val hist = new Array[Long](256)
+            var i = 0
+            while (i < px.length) { hist(px(i)) += 1; i += 3 } // R channel
+            var lo = 255; var hi = 0; var levB = 0
+            var v = 0
+            while (v < 256) {
+              if (hist(v) > 0) {
+                levB += 1; if (v < lo) lo = v; if (v > hi) hi = v
+              }
+              v += 1
+            }
+            val cmin = hist(lo) // CDF at the first occupied level
+            val den = n - cmin
+            var cdf = 0L
+            var loA = Long.MaxValue; var hiA = Long.MinValue
+            var levA = 0; var sumA = 0L
+            v = 0
+            while (v < 256) {
+              if (hist(v) > 0) {
+                cdf += hist(v)
+                val ev =
+                  if (den == 0L) 0L
+                  else (510L * (cdf - cmin) + den) / (2L * den)
+                if (ev < loA) loA = ev
+                if (ev > hiA) hiA = ev
+                levA += 1 // distinct inputs stay distinct? count below
+                sumA += ev * hist(v)
+              }
+              v += 1
+            }
+            // distinct OUTPUT levels can collapse (that is the point of
+            // equalization on sparse histograms) — recount them
+            val outs = scala.collection.mutable.SortedSet.empty[Long]
+            cdf = 0L
+            v = 0
+            while (v < 256) {
+              if (hist(v) > 0) {
+                cdf += hist(v)
+                outs += (if (den == 0L) 0L
+                         else (510L * (cdf - cmin) + den) / (2L * den))
+              }
+              v += 1
+            }
+            EqualizeStats(id, w, h, n, lo, hi, levB, loA, hiA,
+              outs.size, sumA)
+          }
+      })
+  }
+
   /** Per-clip sample statistics from REAL PCM16 decoding — mean, RMS,
     * absolute peak over the interleaved samples. */
   final case class SampleStats(doc_id: Long, channels: Int,

@@ -881,5 +881,98 @@ object GraphQueries {
           col("n_capped"))
         .orderBy("k")
     },
+
+    // 4-truss peel, 3 pinned rounds (Cohen 2008, "Trusses: cohesive
+    // subgraphs for social network analysis") — the EDGE-cohesion
+    // sibling of graph_kcore's node peel: an edge survives a k-truss
+    // round iff it closes ≥ k−2 triangles, which strips the
+    // bridge/spam edges triangle counts alone can't localize. Rounds
+    // are PINNED at 3 (the oracle unrolls them; a fixpoint loop would
+    // be data-dependent) and each round reports the shrinking edge
+    // census — the scale shape is per round one triangle enumeration
+    // (two equi-joins over canonical u<v edges, the graph_triangles
+    // pattern), a 2-column support aggregation, and a filtering join;
+    // rounds persist so round r+1 reads cached edges, never replays
+    // the whole peel history.
+    q("graph_ktruss",
+      """WITH e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
+        |              greatest(a.l_partkey, b.l_partkey) v
+        |            FROM lineitem a JOIN lineitem b
+        |              ON a.l_orderkey = b.l_orderkey
+        |            WHERE a.l_partkey < b.l_partkey
+        |              AND a.l_quantity > 40 AND b.l_quantity > 40),
+        |t1 AS (SELECT e1.u a, e1.v b, e2.v c FROM e0 e1
+        |       JOIN e0 e2 ON e1.v = e2.u
+        |       JOIN e0 e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |p1 AS (SELECT a u, b v FROM t1 UNION ALL SELECT b, c FROM t1
+        |       UNION ALL SELECT a, c FROM t1),
+        |s1 AS (SELECT u, v, count(*)::BIGINT s FROM p1 GROUP BY 1, 2),
+        |e1 AS (SELECT e.u, e.v FROM e0 e LEFT JOIN s1
+        |       ON e.u = s1.u AND e.v = s1.v
+        |       WHERE coalesce(s1.s, 0) >= 2),
+        |t2 AS (SELECT e1a.u a, e1a.v b, e2a.v c FROM e1 e1a
+        |       JOIN e1 e2a ON e1a.v = e2a.u
+        |       JOIN e1 e3a ON e1a.u = e3a.u AND e2a.v = e3a.v),
+        |p2 AS (SELECT a u, b v FROM t2 UNION ALL SELECT b, c FROM t2
+        |       UNION ALL SELECT a, c FROM t2),
+        |s2 AS (SELECT u, v, count(*)::BIGINT s FROM p2 GROUP BY 1, 2),
+        |e2 AS (SELECT e.u, e.v FROM e1 e LEFT JOIN s2
+        |       ON e.u = s2.u AND e.v = s2.v
+        |       WHERE coalesce(s2.s, 0) >= 2),
+        |t3 AS (SELECT e1b.u a, e1b.v b, e2b.v c FROM e2 e1b
+        |       JOIN e2 e2b ON e1b.v = e2b.u
+        |       JOIN e2 e3b ON e1b.u = e3b.u AND e2b.v = e3b.v),
+        |p3 AS (SELECT a u, b v FROM t3 UNION ALL SELECT b, c FROM t3
+        |       UNION ALL SELECT a, c FROM t3),
+        |s3 AS (SELECT u, v, count(*)::BIGINT s FROM p3 GROUP BY 1, 2),
+        |e3 AS (SELECT e.u, e.v FROM e2 e LEFT JOIN s3
+        |       ON e.u = s3.u AND e.v = s3.v
+        |       WHERE coalesce(s3.s, 0) >= 2)
+        |SELECT 1::BIGINT AS round, count(*)::BIGINT AS n_edges,
+        |       min(u * 1000000 + v)::BIGINT AS min_edge,
+        |       max(u * 1000000 + v)::BIGINT AS max_edge FROM e1
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*)::BIGINT,
+        |       min(u * 1000000 + v)::BIGINT,
+        |       max(u * 1000000 + v)::BIGINT FROM e2
+        |UNION ALL
+        |SELECT 3::BIGINT, count(*)::BIGINT,
+        |       min(u * 1000000 + v)::BIGINT,
+        |       max(u * 1000000 + v)::BIGINT FROM e3
+        |ORDER BY round""") { c =>
+      val hi = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = hi.as("a")
+        .join(hi.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .persist()
+      def peel(e: org.apache.spark.sql.DataFrame) = {
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .join(e.as("e3"),
+            col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+          .select(col("e1.u").as("a"), col("e1.v").as("b"),
+            col("e2.v").as("cc"))
+        val sup = tri.select(col("a").as("u"), col("b").as("v"))
+          .union(tri.select(col("b").as("u"), col("cc").as("v")))
+          .union(tri.select(col("a").as("u"), col("cc").as("v")))
+          .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        e.join(sup, Seq("u", "v"), "left")
+          .filter(coalesce(col("s"), lit(0L)) >= 2)
+          .select("u", "v")
+          .persist()
+      }
+      val rounds = Iterator.iterate(e0)(peel).slice(1, 4).toSeq
+      rounds.zipWithIndex.map { case (e, i) =>
+        e.agg(count(lit(1)).as("n_edges"),
+            min(col("u") * 1000000L + col("v")).as("min_edge"),
+            max(col("u") * 1000000L + col("v")).as("max_edge"))
+          .select(lit((i + 1).toLong).as("round"), col("n_edges"),
+            col("min_edge"), col("max_edge"))
+      }.reduce(_ union _)
+        .orderBy("round")
+    },
   )
 }

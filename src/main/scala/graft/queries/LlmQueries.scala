@@ -1858,6 +1858,81 @@ object LlmQueries {
     // regenerates the pixel value formula arithmetically. No codec:
     // uncompressed BMP is pure byte layout, which is exactly why its
     // decode can be real in this container while PNG/JPEG stay stubs.
+    // Histogram equalization over REAL decoded BMPs
+    // (ops/Multimodal.equalizeGray) — the contrast-normalization prep
+    // step of an image-training pipeline, and the multimodal family's
+    // first PIXEL-TRANSFORM (decode queries aggregate; this one maps
+    // levels). Fixtures are gray 24-bit BMPs whose values concentrate
+    // in [32, 96) (a low-contrast band), so the equalized span must
+    // stretch to [0, 255] — the stretch IS the checkable contract.
+    // The mapping round(255·(cdf−cdfmin)/(n−cdfmin)) runs as exact
+    // half-up integer division on BOTH engines ((510x + den) //
+    // (2·den)) — no FP in the loop; the oracle replays the fixture
+    // formula through the same histogram/CDF arithmetic. Per-image
+    // partition-local work, zero shuffles before the output ORDER BY.
+    q("mm_hist_equalize",
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h,
+        |        (32 + (doc_id * 5 + p * 3) % 64)::BIGINT v FROM px),
+        |hist AS (SELECT doc_id, w, h, v, count(*)::BIGINT cnt
+        |         FROM g GROUP BY 1, 2, 3, 4),
+        |cdf AS (SELECT doc_id, w, h, v, cnt,
+        |          sum(cnt) OVER (PARTITION BY doc_id ORDER BY v) cd
+        |        FROM hist),
+        |st AS (SELECT doc_id, sum(cnt)::BIGINT n, min(cd)::BIGINT cmin,
+        |         min(v)::BIGINT lo_b, max(v)::BIGINT hi_b,
+        |         count(*)::BIGINT lev_b
+        |       FROM cdf GROUP BY 1),
+        |eq AS (SELECT c.doc_id, c.w, c.h, c.cnt,
+        |         CASE WHEN s.n = s.cmin THEN 0
+        |              ELSE (510 * (c.cd - s.cmin) + (s.n - s.cmin))
+        |                   // (2 * (s.n - s.cmin)) END ev,
+        |         s.n, s.lo_b, s.hi_b, s.lev_b
+        |       FROM cdf c JOIN st s ON c.doc_id = s.doc_id)
+        |SELECT doc_id, CAST(max(w) AS INT) AS width,
+        |       CAST(max(h) AS INT) AS height, max(n) AS n_px,
+        |       CAST(max(lo_b) AS INT) AS lo_before,
+        |       CAST(max(hi_b) AS INT) AS hi_before,
+        |       CAST(max(lev_b) AS INT) AS levels_before,
+        |       min(ev)::BIGINT AS lo_after, max(ev)::BIGINT AS hi_after,
+        |       CAST(count(DISTINCT ev) AS INT) AS levels_after,
+        |       sum(ev * cnt)::BIGINT AS sum_after
+        |FROM eq GROUP BY 1 ORDER BY doc_id""") { c =>
+      val mkGrayBmp = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (32 + (id * 5 + p * 3) % 64).toByte
+            b.put(gv).put(gv).put(gv) // gray: B = G = R
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      graft.ops.Multimodal.equalizeGray(
+          c.documents.select(col("doc_id"),
+            mkGrayBmp(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("lo_before"), col("hi_before"), col("levels_before"),
+          col("lo_after"), col("hi_after"), col("levels_after"),
+          col("sum_after"))
+        .orderBy("doc_id")
+    },
+
     q("mm_decode_bmp",
       """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT w,
         |                  (1 + doc_id % 2)::BIGINT h FROM documents),
