@@ -942,12 +942,21 @@ object GraphQueries {
         |ORDER BY round""") { c =>
       val hi = c.lineitem.filter(col("l_quantity") > 40)
         .select(col("l_orderkey"), col("l_partkey"))
+      // each round materializes behind an EAGER localCheckpoint leaf
+      // (the SetSimJoin checkpointed-variant stance for one-shot
+      // pipelines): with lazy persist markers, round r's logical plan
+      // re-inlines round r−1's tree at ~4 reuse sites (3 triangle
+      // aliases + the filter join), so analysis cost grew ~4^rounds —
+      // the r12 gate tripwire caught the smoke-scale sweep spending
+      // 91 s PLANNING this query. Checkpoint leaves keep every
+      // round's plan O(1) deep; the peel is consumed once, so no warm
+      // cache reuse is forfeited.
       val e0 = hi.as("a")
         .join(hi.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
         .filter(col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(true)
       def peel(e: org.apache.spark.sql.DataFrame) = {
         val tri = e.as("e1")
           .join(e.as("e2"), col("e1.v") === col("e2.u"))
@@ -962,7 +971,7 @@ object GraphQueries {
         e.join(sup, Seq("u", "v"), "left")
           .filter(coalesce(col("s"), lit(0L)) >= 2)
           .select("u", "v")
-          .persist()
+          .localCheckpoint(true)
       }
       val rounds = Iterator.iterate(e0)(peel).slice(1, 4).toSeq
       rounds.zipWithIndex.map { case (e, i) =>
