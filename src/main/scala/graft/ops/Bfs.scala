@@ -58,4 +58,46 @@ object Bfs {
     e.unpersist()
     dist
   }
+
+  /** Labeled multi-source hop distances: one simultaneous BFS per root
+    * (all roots advance together, so k sources cost the same number of
+    * rounds as one — the ref's batched-traversal stance re-expressed as
+    * a (root, node)-keyed frontier join; ref python/xorq exposes graph
+    * walks only through backend SQL, this is the Spark-native shape).
+    * `sources` is a 1-column `root` DataFrame; every root starts at
+    * itself with dist 0. Output columns: (root, node, dist) — exact
+    * shortest hop distance per (root, node) pair, absent if unreached
+    * within `maxHops`. The edge relation is partitioned by src once and
+    * reused across rounds exactly as in [[hops]]; the frontier carries
+    * the root label so the per-round state is O(Σ frontier sizes), and
+    * per-level `localCheckpoint`s cut lineage the same way. */
+  def hopsFrom(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"bfs needs at least one hop, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist()
+    var dist = sources.select(col("root")).distinct()
+      .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var levels = List(dist)
+    var frontier = dist.select(col("root"), col("node"))
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(dist, Seq("root", "node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        levels ::= next
+        dist = levels.reduce(_ union _)
+        frontier = next.select(col("root"), col("node"))
+      }
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -260,4 +260,86 @@ object Holt {
       }
     }(Encoders.row(out))
   }
+
+  /** MACD (Appel's moving-average convergence/divergence) per series —
+    * the triple-EMA momentum state every quant feature store carries:
+    *   emaF_t = aF·y_t + (1−aF)·emaF_{t−1}    (init emaF₁ = y₁)
+    *   emaS_t = aS·y_t + (1−aS)·emaS_{t−1}    (init emaS₁ = y₁)
+    *   macd_t = emaF_t − emaS_t
+    *   sig_t  = aSig·macd_t + (1−aSig)·sig_{t−1}  (init sig₁ = 0)
+    * Same secondary-sort O(1)-state scan as [[linear]] (repartition by
+    * key + sortWithinPartitions + one iterator pass — the 100 TB shape
+    * for per-key recurrences). Dyadic-rational smoothing factors keep
+    * 1−a exact in binary so a pinned run is bit-identical to the
+    * recursive-CTE oracle. Output per key: (key, n, ema_fast,
+    * ema_slow, macd, signal) at the final observation; the histogram
+    * macd − signal derives in the caller. */
+  def macd(
+      df: DataFrame,
+      key: String,
+      order: Seq[Column],
+      value: Column,
+      aFast: Double,
+      aSlow: Double,
+      aSig: Double): DataFrame = {
+    require(aFast > aSlow, s"fast EMA must smooth less: $aFast <= $aSlow")
+    Seq("aFast" -> aFast, "aSlow" -> aSlow, "aSig" -> aSig).foreach {
+      case (nm, a) => require(a > 0 && a <= 1, s"$nm in (0,1], got $a")
+    }
+    val keyType = df.schema(key).dataType
+    val out = StructType(Seq(
+      StructField(key, keyType),
+      StructField("n", LongType, nullable = false),
+      StructField("ema_fast", DoubleType, nullable = false),
+      StructField("ema_slow", DoubleType, nullable = false),
+      StructField("macd", DoubleType, nullable = false),
+      StructField("signal", DoubleType, nullable = false)))
+    val prepared = df
+      .select(Seq(col(key).as("__k"), value.cast("double").as("__y")) ++
+        order: _*)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k") +: order: _*)
+      .select(col("__k"), col("__y"))
+    val omF = 1 - aFast; val omS = 1 - aSlow; val omG = 1 - aSig
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private var cur: Any = null
+        private var has = false
+        private var n = 0L
+        private var ef = 0.0
+        private var es = 0.0
+        private var sg = 0.0
+        private var pending: Row = null
+
+        private def emit(): Row = Row(cur, n, ef, es, ef - es, sg)
+
+        override def hasNext: Boolean = pending != null || advance()
+
+        private def advance(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val y = r.getDouble(1)
+            if (!has || k != cur) {
+              val done = if (has) emit() else null
+              cur = k; has = true; n = 1L; ef = y; es = y; sg = 0.0
+              if (done != null) { pending = done; return true }
+            } else {
+              ef = aFast * y + omF * ef
+              es = aSlow * y + omS * es
+              sg = aSig * (ef - es) + omG * sg
+              n += 1
+            }
+          }
+          if (has) { pending = emit(); has = false; return true }
+          false
+        }
+
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r3 = pending; pending = null; r3
+        }
+      }
+    }(Encoders.row(out))
+  }
 }

@@ -932,6 +932,67 @@ object Multimodal {
       })
   }
 
+  final case class OtsuStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, threshold: Int, n_bg: Long, n_fg: Long,
+      sum_bg: Long, sum_fg: Long, score_q: Long)
+
+  /** Otsu's automatic binarization threshold (Otsu 1979) from REAL
+    * decoded gray BMP pixels — the standard scan-cleanup /
+    * figure-extraction step before OCR in a document pipeline (ref
+    * treats images as opaque bytes; udf/expr scalar seam is
+    * python/xorq/expr/udf.py:329). The whole computation is EXACT
+    * integer arithmetic so both engines agree bit-for-bit: with
+    * per-level counts h(v), prefix counts n0(t) and prefix sums s0(t),
+    * the between-class variance ordering of
+    *   sigma_B^2(t) = (n*s0 - sT*n0)^2 / (n*n0*(n-n0))
+    * is preserved by the integer score
+    *   score_q(t) = (n*s0 - sT*n0)^2 * 2^20 // (n0*(n-n0))
+    * (n is constant across t; the 2^20 scaling keeps floor-division
+    * resolution far above any plateau the tie rule cares about while
+    * staying < 2^63 for thumbnails). Candidates are the occupied
+    * levels with n0 < n (scores are constant between occupied levels),
+    * argmax ties break to the LOWEST level. Runs partition-local per
+    * image via mapPartitions — the at-scale shape (no shuffle; one
+    * histogram per image, never per-pixel rows). */
+  def otsuGray(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[OtsuStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            val n = w.toLong * h
+            val hist = new Array[Long](256)
+            var i = 0
+            while (i < px.length) { hist(px(i)) += 1; i += 3 } // R = gray
+            var sT = 0L
+            var v = 0
+            while (v < 256) { sT += v * hist(v); v += 1 }
+            var n0 = 0L; var s0 = 0L
+            var bestT = -1; var bestScore = -1L
+            v = 0
+            while (v < 256) {
+              if (hist(v) > 0) {
+                n0 += hist(v); s0 += v.toLong * hist(v)
+                if (n0 < n) {
+                  val num = n * s0 - sT * n0
+                  val score = num * num * 1048576L / (n0 * (n - n0))
+                  if (score > bestScore) { bestScore = score; bestT = v }
+                }
+              }
+              v += 1
+            }
+            var nBg = 0L; var sBg = 0L
+            v = 0
+            while (v <= bestT) { nBg += hist(v); sBg += v.toLong * hist(v); v += 1 }
+            OtsuStats(id, w, h, n, bestT, nBg, n - nBg, sBg, sT - sBg,
+              bestScore)
+          }
+      })
+  }
+
   /** Per-clip sample statistics from REAL PCM16 decoding — mean, RMS,
     * absolute peak over the interleaved samples. */
   final case class SampleStats(doc_id: Long, channels: Int,

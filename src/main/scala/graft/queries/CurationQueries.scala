@@ -1651,5 +1651,136 @@ object CurationQueries {
             .as("repaired_sample"))
         .orderBy("doc_id")
     },
+
+    // Mean reciprocal rank @10 per language stratum — the
+    // first-hit companion of rank_ndcg (graded gains) and
+    // rank_map_at_k (all-hit precision) on the same deterministic
+    // ranking (top-10 by n_chars DESC, doc_id): MRR is THE metric for
+    // known-item retrieval (RAG lookup, dedup candidate ranking) where
+    // only the first relevant hit matters. Relevance uses a different
+    // pinned predicate (doc_id % 3 = 1) than MAP's so the two queries
+    // exercise independent label sets. The reciprocal is quantized to
+    // the 1e-6 grid via INTEGER division (1e6 // first_pos) before any
+    // averaging, so every per-query RR is an exact lattice double and
+    // the corpus MRR differs between engines only below the r4 nudge.
+    // No-hit queries contribute RR = 0 (first_pos coalesced to 0 so
+    // the output schema stays non-nullable). Windows are partitioned
+    // by the query key and bounded to the candidate list — O(k) per
+    // query, same shape as MAP.
+    q("rank_mrr",
+      """WITH cand AS (
+        |  SELECT lang, doc_id,
+        |         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS rel,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id) AS p
+        |  FROM documents),
+        |s AS (SELECT lang, sum(rel)::BIGINT n_rel,
+        |        coalesce(min(CASE WHEN rel = 1 THEN p END), 0)::BIGINT
+        |          first_pos
+        |      FROM cand WHERE p <= 10 GROUP BY lang),
+        |rr AS (SELECT lang, n_rel, first_pos,
+        |         CASE WHEN first_pos = 0 THEN 0.0
+        |              ELSE round((1000000 // first_pos) / 1e6
+        |                         + 1e-9, 6) END AS rr
+        |       FROM s)
+        |SELECT lang, n_rel, first_pos, rr,
+        |       round(avg(rr) OVER () + 1e-9, 4) AS mrr
+        |FROM rr ORDER BY lang""") { c =>
+      val cand = c.documents
+        .select(col("lang"), col("doc_id"),
+          (col("doc_id") % 3 === 1).cast("int").as("rel"),
+          col("n_chars"))
+        .withColumn("p", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("p") <= 10)
+      val s = cand.groupBy("lang")
+        .agg(sum(col("rel")).as("n_rel"),
+          coalesce(min(when(col("rel") === 1, col("p"))), lit(0))
+            .cast("long").as("first_pos"))
+      val rr = s.select(col("lang"), col("n_rel"), col("first_pos"),
+        when(col("first_pos") === 0, lit(0.0))
+          .otherwise(r6(expr("1000000 div first_pos") / lit(1e6)))
+          .as("rr"))
+      rr.withColumn("mrr", r4(avg(col("rr")).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))))
+        .orderBy("lang")
+    },
+
+    // Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    // 1969 — the model behind Splink/dedupe.io) over blocked part
+    // pairs: each pair gets a 3-field agreement vector and the
+    // log-likelihood-ratio score sum_f ln(m_f/u_f) (agree) or
+    // ln((1-m_f)/(1-u_f)) (disagree), then the classic
+    // match / possible / nonmatch decision bands. The output is the
+    // AGREEMENT-PATTERN TABLE (8 rows) — pair counts and the constant
+    // score per pattern — the artifact an ER pipeline thresholds on.
+    // Determinism: the six ln weights are PINNED 17-digit literals on
+    // both engines (m = .9/.8/.7, u = .05/.2/.4 — never an engine
+    // libm call), each pair's score is the same 3-term left-fold of
+    // exact constants, and every agreement predicate compares exact
+    // integers/strings (leading p_name color word, cent-quantized
+    // retail price within $100, leading p_type grade word). Scale
+    // shape: candidate pairs come from a (brand, size-last-digit)
+    // BLOCKED equi-self-join — the standard ER blocking stance, never
+    // corpus x corpus — and everything after is one hash aggregation
+    // to <= 8 rows.
+    q("er_fellegi_sunter",
+      """WITH c0 AS (SELECT p_partkey k, p_brand br, p_size % 10 sz,
+        |    split_part(p_name, ' ', 1) nm,
+        |    CAST(round(p_retailprice * 100 + 1e-9) AS BIGINT) pr,
+        |    split_part(p_type, ' ', 1) ty
+        |  FROM part),
+        |p AS (SELECT
+        |        CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END g1,
+        |        CASE WHEN abs(a.pr - b.pr) <= 10000
+        |             THEN 1 ELSE 0 END g2,
+        |        CASE WHEN a.ty = b.ty THEN 1 ELSE 0 END g3
+        |      FROM c0 a JOIN c0 b ON a.br = b.br AND a.sz = b.sz
+        |                         AND a.k < b.k),
+        |s AS (SELECT g1, g2, g3, count(*)::BIGINT n_pairs,
+        |        (CASE WHEN g1 = 1 THEN 2.8903717578961645
+        |              ELSE -2.2512917986064953 END
+        |       + CASE WHEN g2 = 1 THEN 1.3862943611198906
+        |              ELSE -1.3862943611198908 END
+        |       + CASE WHEN g3 = 1 THEN 0.5596157879354225
+        |              ELSE -0.6931471805599451 END) sc
+        |      FROM p GROUP BY 1, 2, 3)
+        |SELECT g1, g2, g3, n_pairs, round(sc + 1e-9, 6) AS score,
+        |  CASE WHEN round(sc + 1e-9, 6) >= 2.0 THEN 'match'
+        |       WHEN round(sc + 1e-9, 6) >= 0.0 THEN 'possible'
+        |       ELSE 'nonmatch' END AS cls
+        |FROM s ORDER BY g1 DESC, g2 DESC, g3 DESC""") { c =>
+      val c0 = c.part.select(col("p_partkey").as("k"),
+        col("p_brand").as("br"), (col("p_size") % 10).as("sz"),
+        substring_index(col("p_name"), " ", 1).as("nm"),
+        round(col("p_retailprice") * 100 + lit(1e-9)).cast("long")
+          .as("pr"),
+        substring_index(col("p_type"), " ", 1).as("ty"))
+      val p = c0.as("a")
+        .join(c0.as("b"),
+          col("a.br") === col("b.br") && col("a.sz") === col("b.sz") &&
+            col("a.k") < col("b.k"))
+        .select(
+          (col("a.nm") === col("b.nm")).cast("int").as("g1"),
+          (abs(col("a.pr") - col("b.pr")) <= 10000).cast("int").as("g2"),
+          (col("a.ty") === col("b.ty")).cast("int").as("g3"))
+      val s = p.groupBy("g1", "g2", "g3")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("sc",
+          when(col("g1") === 1, lit(2.8903717578961645))
+            .otherwise(lit(-2.2512917986064953)) +
+          when(col("g2") === 1, lit(1.3862943611198906))
+            .otherwise(lit(-1.3862943611198908)) +
+          when(col("g3") === 1, lit(0.5596157879354225))
+            .otherwise(lit(-0.6931471805599451)))
+      s.select(col("g1"), col("g2"), col("g3"), col("n_pairs"),
+          r6(col("sc")).as("score"),
+          when(r6(col("sc")) >= 2.0, lit("match"))
+            .when(r6(col("sc")) >= 0.0, lit("possible"))
+            .otherwise(lit("nonmatch")).as("cls"))
+        .orderBy(col("g1").desc, col("g2").desc, col("g3").desc)
+    },
   )
 }

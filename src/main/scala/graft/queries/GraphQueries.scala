@@ -983,5 +983,64 @@ object GraphQueries {
       }.reduce(_ union _)
         .orderBy("round")
     },
+
+    // Harmonic closeness centrality (Marchiori & Latora 2000; Boldi &
+    // Vigna 2014 argue it is THE principled closeness on disconnected
+    // graphs — unreached nodes contribute 0, not a broken 1/inf) from a
+    // pinned seed sample, hop-bounded at 6: h(u) = sum over reached
+    // v != u of 1/d(u,v). Runs as ONE simultaneous labeled multi-source
+    // BFS (ops/Bfs.hopsFrom — all seeds advance together, so 10 seeds
+    // cost the same rounds as one; per-level localCheckpoint lineage
+    // cuts; the edge relation partitions by src once). EXACT
+    // arithmetic: with d <= 6 every 1/d is the integer 2520/d over the
+    // common denominator 2520 = lcm(1..8), so the numerator sums as a
+    // BIGINT and the single final division is the only FP op. Same
+    // capped co-supply projection as graph_diameter_2sweep (per-part
+    // degree <= 40 — no uncapped corpus-scale self-join key); seeds =
+    // suppliers with sk % 10 = 0, the pinned-sample stance a 100 TB
+    // closeness sweep needs (exact all-pairs closeness is O(n*E)).
+    q("graph_harmonic_closeness",
+      """WITH RECURSIVE sp AS (SELECT DISTINCT l_partkey pk,
+        |    l_suppkey sk FROM lineitem WHERE l_quantity > 49),
+        |pdeg AS (SELECT pk, count(*) d FROM sp GROUP BY 1),
+        |kept AS (SELECT sp.pk, sp.sk FROM sp JOIN pdeg
+        |         ON sp.pk = pdeg.pk WHERE pdeg.d <= 40),
+        |e AS (SELECT DISTINCT a.sk u, b.sk v
+        |      FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk <> b.sk),
+        |seeds AS (SELECT DISTINCT u s FROM e WHERE u % 10 = 0),
+        |walk(root, node, dist) AS (
+        |  SELECT s, s, 0 FROM seeds
+        |  UNION
+        |  SELECT walk.root, e.v, walk.dist + 1
+        |  FROM walk JOIN e ON e.u = walk.node
+        |  WHERE walk.dist < 6),
+        |d AS (SELECT root, node, min(dist) dist FROM walk GROUP BY 1, 2)
+        |SELECT root::BIGINT AS root, count(*)::BIGINT AS n_reached,
+        |       max(dist)::BIGINT AS ecc_lb,
+        |       sum(2520 // dist)::BIGINT AS hnum,
+        |       round(sum(2520 // dist) / 2520.0 + 1e-9, 6) AS harmonic
+        |FROM d WHERE node <> root
+        |GROUP BY 1 ORDER BY root""") { c =>
+      val sp = c.lineitem.filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pdeg = sp.groupBy("pk").agg(count(lit(1)).as("d"))
+      val kept = sp.join(pdeg, Seq("pk")).filter(col("d") <= 40)
+        .select(col("pk"), col("sk"))
+      val e = kept.as("a")
+        .join(kept.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val seeds = e.filter(col("src") % 10 === 0)
+        .select(col("src").as("root")).distinct()
+      val d = graft.ops.Bfs.hopsFrom(e, seeds, maxHops = 6)
+      d.filter(col("node") =!= col("root"))
+        .groupBy(col("root").cast("long").as("root"))
+        .agg(count(lit(1)).as("n_reached"),
+          max(col("dist")).as("ecc_lb"),
+          sum(expr("2520 div dist")).as("hnum"),
+          r6(sum(expr("2520 div dist")) / lit(2520.0)).as("harmonic"))
+        .orderBy("root")
+    },
   )
 }

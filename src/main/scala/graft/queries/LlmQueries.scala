@@ -1933,6 +1933,81 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Otsu automatic binarization threshold (Otsu 1979) over real
+    // decoded gray BMPs with a BIMODAL pixel law (a dark ink mode and a
+    // bright paper mode per doc key) — the scan-cleanup step before OCR
+    // in a document-imaging pipeline, beside mm_hist_equalize on the
+    // same decode path. ops/Multimodal.otsuGray keeps the whole
+    // between-class-variance sweep in EXACT integer arithmetic (the
+    // 2^20-scaled floor-division score preserves the variance ordering;
+    // ties break to the lowest level), histogram and argmax run
+    // partition-local per image — no shuffle, no per-pixel rows. The
+    // oracle regenerates the pixel law arithmetically and replays the
+    // identical integer sweep via cumulative window + row_number.
+    q("mm_otsu_threshold",
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h,
+        |        (CASE WHEN (doc_id + p) % 3 = 0
+        |              THEN 40 + (doc_id * 7 + p * 5) % 30
+        |              ELSE 170 + (doc_id * 3 + p * 11) % 40
+        |         END)::BIGINT v
+        |      FROM px),
+        |hist AS (SELECT doc_id, w, h, v, count(*)::BIGINT cnt
+        |         FROM g GROUP BY 1, 2, 3, 4),
+        |st AS (SELECT doc_id, max(w) w, max(h) h, sum(cnt)::BIGINT n,
+        |         sum(v * cnt)::BIGINT stot FROM hist GROUP BY 1),
+        |cum AS (SELECT doc_id, v,
+        |          sum(cnt) OVER (PARTITION BY doc_id ORDER BY v) n0,
+        |          sum(v * cnt) OVER (PARTITION BY doc_id ORDER BY v) s0
+        |        FROM hist),
+        |sc AS (SELECT c.doc_id, c.v, c.n0, c.s0, s.n, s.stot, s.w, s.h,
+        |         (s.n * c.s0 - s.stot * c.n0) * (s.n * c.s0 - s.stot * c.n0)
+        |           * 1048576 // (c.n0 * (s.n - c.n0)) sq
+        |       FROM cum c JOIN st s ON c.doc_id = s.doc_id
+        |       WHERE c.n0 < s.n),
+        |b AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY sq DESC, v) rn FROM sc)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  n::BIGINT AS n_px, CAST(v AS INT) AS threshold,
+        |  n0::BIGINT AS n_bg, (n - n0)::BIGINT AS n_fg,
+        |  s0::BIGINT AS sum_bg, (stot - s0)::BIGINT AS sum_fg,
+        |  sq::BIGINT AS score_q
+        |FROM b WHERE rn = 1 ORDER BY doc_id""") { c =>
+      val mkBimodalBmp = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.otsuGray(
+          c.documents.select(col("doc_id"),
+            mkBimodalBmp(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("threshold"), col("n_bg"), col("n_fg"),
+          col("sum_bg"), col("sum_fg"), col("score_q"))
+        .orderBy("doc_id")
+    },
+
     q("mm_decode_bmp",
       """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT w,
         |                  (1 + doc_id % 2)::BIGINT h FROM documents),

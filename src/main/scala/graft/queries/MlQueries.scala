@@ -2056,5 +2056,86 @@ object MlQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("true_lang", "pred_lang")
     },
+
+    // Platt scaling (Platt 1999 — sklearn CalibratedClassifierCV's
+    // 'sigmoid' method): fit p = sigma(A*s + B) on a raw classifier
+    // margin by 3 pinned gradient-descent iterations (eta = 2, init
+    // A = B = 0 — the 1-D sibling of the ml_pipeline_logreg device,
+    // whose oracle unrolls the loop as chained CTEs), then report the
+    // 10-bin RELIABILITY TABLE the calibration literature grades on:
+    // per calibrated-probability decile, pair count, empirical
+    // positive rate, and mean calibrated probability. The margin is
+    // the linear price score (l_extendedprice - 53000)/30000 — an
+    // uncalibrated "regressor output" whose sigmoid map the fit must
+    // recover; labels are the usual price > 30000 cut. Determinism: iteration-1 sums are
+    // lattice-bounded like logreg; per-row calibrated probabilities
+    // QUANTIZE to integer micro-units before any aggregation, so bin
+    // membership, positive counts, and mean numerators are exact
+    // BIGINT arithmetic (the r8 quantize-then-integer-stats device) —
+    // coefficient noise from the two transcendental gradient rounds
+    // sits ~1e-15, absorbed by the r6 nudge exactly as in logreg.
+    // Scale shape: three full-scan aggregations (one per GD round) +
+    // one 10-row hash aggregation — no windows, no joins beyond
+    // 1-row broadcast weight states.
+    q("ml_platt_scaling",
+      """WITH z AS (SELECT (l_extendedprice - 53000) / 30000 s,
+        |    CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE 0.0 END y
+        |  FROM lineitem),
+        |n_ AS (SELECT count(*)::DOUBLE n FROM z),
+        |g1 AS (SELECT sum((0.5 - y) * s) ga, sum(0.5 - y) gb FROM z),
+        |w1 AS (SELECT -2.0 * ga / n a, -2.0 * gb / n b FROM g1, n_),
+        |g2 AS (SELECT sum((1/(1+exp(-(w.a*s + w.b))) - y) * s) ga,
+        |              sum(1/(1+exp(-(w.a*s + w.b))) - y) gb
+        |       FROM z, w1 w),
+        |w2 AS (SELECT w.a - 2.0 * g.ga / n a, w.b - 2.0 * g.gb / n b
+        |       FROM w1 w, g2 g, n_),
+        |g3 AS (SELECT sum((1/(1+exp(-(w.a*s + w.b))) - y) * s) ga,
+        |              sum(1/(1+exp(-(w.a*s + w.b))) - y) gb
+        |       FROM z, w2 w),
+        |w3 AS (SELECT w.a - 2.0 * g.ga / n a, w.b - 2.0 * g.gb / n b
+        |       FROM w2 w, g3 g, n_),
+        |pm AS (SELECT CAST(round(1/(1+exp(-(w.a*s + w.b))) * 1e6
+        |                         + 1e-9) AS BIGINT) p,
+        |              y::BIGINT yi, round(w.a + 1e-9, 6) ca,
+        |              round(w.b + 1e-9, 6) cb
+        |       FROM z, w3 w)
+        |SELECT least(p // 100000, 9)::INT AS bin, count(*)::BIGINT AS n,
+        |  sum(yi)::BIGINT AS n_pos,
+        |  round(sum(yi) / count(*)::DOUBLE + 1e-9, 6) AS frac_pos,
+        |  round(sum(p) / count(*)::DOUBLE / 1e6 + 1e-9, 6) AS mean_cal,
+        |  max(ca) AS coef_a, max(cb) AS coef_b
+        |FROM pm GROUP BY 1 ORDER BY bin""") { c =>
+      val z = c.lineitem.select(
+        ((col("l_extendedprice") - 53000) / 30000).as("s"),
+        (col("l_extendedprice") > 30000).cast("double").as("y"))
+        .persist()
+      val n = z.count().toDouble
+      def sig(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        lit(1.0) / (lit(1.0) + exp(-(a * col("s") + b)))
+      val w1 = z.agg(sum((lit(0.5) - col("y")) * col("s")).as("ga"),
+          sum(lit(0.5) - col("y")).as("gb"))
+        .select((lit(-2.0) * col("ga") / n).as("a"),
+          (lit(-2.0) * col("gb") / n).as("b"))
+      def step(w: org.apache.spark.sql.DataFrame) =
+        z.crossJoin(broadcast(w))
+          .agg(sum((sig(col("a"), col("b")) - col("y")) * col("s")).as("ga"),
+            sum(sig(col("a"), col("b")) - col("y")).as("gb"),
+            first(col("a")).as("a0"), first(col("b")).as("b0"))
+          .select((col("a0") - lit(2.0) * col("ga") / n).as("a"),
+            (col("b0") - lit(2.0) * col("gb") / n).as("b"))
+      val w3 = step(step(w1))
+      val pm = z.crossJoin(broadcast(w3))
+        .select(round(sig(col("a"), col("b")) * 1e6 + lit(1e-9))
+            .cast("long").as("p"),
+          col("y").cast("long").as("yi"),
+          r6(col("a")).as("ca"), r6(col("b")).as("cb"))
+      pm.groupBy(expr("least(p div 100000, 9)").cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("yi")).as("n_pos"),
+          r6(sum(col("yi")) / count(lit(1)).cast("double")).as("frac_pos"),
+          r6(sum(col("p")) / count(lit(1)).cast("double") / 1e6)
+            .as("mean_cal"),
+          max(col("ca")).as("coef_a"), max(col("cb")).as("coef_b"))
+        .orderBy("bin")
+    },
   )
 }

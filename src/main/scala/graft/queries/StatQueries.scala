@@ -4611,5 +4611,247 @@ object StatQueries {
             .as("r"))
         .orderBy("shift")
     },
+
+    // Bartlett's test for variance homogeneity (Bartlett 1937) — the
+    // PARAMETRIC sibling of stat_levene on the same design (groups =
+    // order priorities, response = totalprice cents): Levene is robust
+    // to non-normality, Bartlett is the more powerful test when
+    // normality holds, and a pipeline reports both. Per-group variance
+    // comes from EXACT integer moments (Σv BIGINT, Σv² through
+    // DECIMAL/HUGEINT — the levene/stump device), so every s²ᵢ is the
+    // identical correctly-rounded double on both engines; the k-term
+    // ln-sums run through the pinned-order sorted fold (the text_lm_ppl
+    // device). T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C with Bartlett's
+    // small-sample correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)).
+    // Scale shape: ONE hash aggregation to k=5 group rows, then k-row
+    // arithmetic — no windows, no per-row second pass.
+    q("stat_bartlett",
+      """WITH o AS (SELECT o_orderpriority pri,
+        |    CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) v
+        |  FROM orders),
+        |g AS (SELECT pri, count(*)::BIGINT n, sum(v)::BIGINT sv,
+        |        sum(v::HUGEINT * v) svv FROM o GROUP BY 1),
+        |s AS (SELECT pri, n,
+        |        (n * svv - sv::HUGEINT * sv)::DOUBLE /
+        |          (n::DOUBLE * (n - 1)) s2 FROM g),
+        |t AS (SELECT count(*)::BIGINT k, sum(n)::BIGINT nt,
+        |        list_reduce(list((n - 1) * s2 ORDER BY pri),
+        |          (a, x) -> a + x) wss,
+        |        list_reduce(list((n - 1) * ln(s2) ORDER BY pri),
+        |          (a, x) -> a + x) wls,
+        |        list_reduce(list(1.0 / (n - 1) ORDER BY pri),
+        |          (a, x) -> a + x) rin
+        |      FROM s)
+        |SELECT k, nt AS n_total,
+        |  round(wss / (nt - k) / 1e4 + 1e-9, 4) AS pooled_var,
+        |  round(((nt - k) * ln(wss / (nt - k)) - wls) /
+        |        (1 + (rin - 1.0 / (nt - k)) / (3 * (k - 1)))
+        |        + 1e-9, 6) AS bartlett_t
+        |FROM t""") { c =>
+      val o = c.orders.select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100 + lit(1e-9)).cast("long").as("v"))
+      val g = o.groupBy("pri").agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+      val s = g.select(col("pri"), col("n"),
+        ((col("n") * col("svv") -
+            col("sv").cast("decimal(38,0)") * col("sv")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1))).as("s2"))
+      def pinnedSum(term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col("pri"),
+            term.as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t"))
+      val t = s.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        pinnedSum((col("n") - 1) * col("s2")).as("wss"),
+        pinnedSum((col("n") - 1) * log(col("s2"))).as("wls"),
+        pinnedSum(lit(1.0) / (col("n") - 1)).as("rin"))
+      t.select(col("k"), col("nt").as("n_total"),
+        r4(col("wss") / (col("nt") - col("k")) / 1e4).as("pooled_var"),
+        r6(((col("nt") - col("k")) *
+              log(col("wss") / (col("nt") - col("k"))) - col("wls")) /
+          (lit(1.0) + (col("rin") - lit(1.0) / (col("nt") - col("k"))) /
+            (lit(3.0) * (col("k") - 1)))).as("bartlett_t"))
+    },
+
+    // Brunner–Munzel test (Brunner & Munzel 2000; the scipy
+    // `brunnermunzel` statistic) — the modern replacement for
+    // Mann–Whitney U when the two samples may have UNEQUAL variances
+    // (the nonparametric Behrens–Fisher problem): does the quantity of
+    // returned lines (flag R) stochastically dominate kept lines
+    // (flag N)? Everything runs on the (value → per-sample count)
+    // HISTOGRAM in 2×midrank integer units: combined and within-sample
+    // mid-ranks of a tied block are cumulative-count expressions, so
+    // the place differences P = R − R′ and their squares are EXACT
+    // BIGINTs; p̂ = P(X<Y)+½P(X=Y) and the studentized W both come from
+    // one pinned double expression over those integers. Scale shape:
+    // one hash aggregation to the ≤50-row quantity histogram, a window
+    // over that DOMAIN-BOUNDED aggregated relation, one final fold —
+    // the corpus is never ranked row-by-row.
+    q("stat_brunner_munzel",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |cw AS (SELECT v, cx, cy,
+        |        coalesce(sum(cx + cy) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb,
+        |        coalesce(sum(cx) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cxb,
+        |        coalesce(sum(cy) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cyb
+        |      FROM h),
+        |p AS (SELECT v, cx, cy,
+        |        2*cb + cx + cy + 1 r2,
+        |        2*cxb + cx + 1 rx2,
+        |        2*cyb + cy + 1 ry2 FROM cw),
+        |s AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny,
+        |        sum(cx * r2)::BIGINT srx2,
+        |        sum(cy * r2)::BIGINT sry2,
+        |        sum(cx * (r2 - rx2))::BIGINT spx2,
+        |        sum(cy * (r2 - ry2))::BIGINT spy2,
+        |        sum(cx * (r2 - rx2) * (r2 - rx2))::BIGINT sqx2,
+        |        sum(cy * (r2 - ry2) * (r2 - ry2))::BIGINT sqy2
+        |      FROM p)
+        |SELECT nx, ny,
+        |  round((sry2 / 2.0 / ny - (ny + 1) / 2.0) / nx + 1e-9, 6)
+        |    AS p_hat,
+        |  round((nx::DOUBLE * ny * (sry2/2.0/ny - srx2/2.0/nx) /
+        |           (nx + ny)) /
+        |        sqrt(nx * ((sqx2 - spx2::DOUBLE * spx2 / nx) /
+        |                     (4.0 * (nx - 1)))
+        |           + ny * ((sqy2 - spy2::DOUBLE * spy2 / ny) /
+        |                     (4.0 * (ny - 1))))
+        |        + 1e-9, 6) AS w_stat
+        |FROM s""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+        sum(lit(1L) - col("gx")).as("cy"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cw = h.select(col("v"), col("cx"), col("cy"),
+        coalesce(sum(col("cx") + col("cy")).over(w), lit(0L)).as("cb"),
+        coalesce(sum(col("cx")).over(w), lit(0L)).as("cxb"),
+        coalesce(sum(col("cy")).over(w), lit(0L)).as("cyb"))
+      val p = cw.select(col("cx"), col("cy"),
+        (lit(2) * col("cb") + col("cx") + col("cy") + 1).as("r2"),
+        (lit(2) * col("cxb") + col("cx") + 1).as("rx2"),
+        (lit(2) * col("cyb") + col("cy") + 1).as("ry2"))
+      val s = p.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"),
+        sum(col("cx") * col("r2")).as("srx2"),
+        sum(col("cy") * col("r2")).as("sry2"),
+        sum(col("cx") * (col("r2") - col("rx2"))).as("spx2"),
+        sum(col("cy") * (col("r2") - col("ry2"))).as("spy2"),
+        sum(col("cx") * (col("r2") - col("rx2")) *
+          (col("r2") - col("rx2"))).as("sqx2"),
+        sum(col("cy") * (col("r2") - col("ry2")) *
+          (col("r2") - col("ry2"))).as("sqy2"))
+      s.select(col("nx"), col("ny"),
+        r6((col("sry2") / 2.0 / col("ny") - (col("ny") + 1) / lit(2.0)) /
+          col("nx")).as("p_hat"),
+        r6((col("nx").cast("double") * col("ny") *
+              (col("sry2") / 2.0 / col("ny") -
+                col("srx2") / 2.0 / col("nx")) /
+              (col("nx") + col("ny"))) /
+          sqrt(col("nx") *
+              ((col("sqx2") - col("spx2").cast("double") * col("spx2") /
+                  col("nx")) / (lit(4.0) * (col("nx") - 1))) +
+            col("ny") *
+              ((col("sqy2") - col("spy2").cast("double") * col("spy2") /
+                  col("ny")) / (lit(4.0) * (col("ny") - 1)))))
+          .as("w_stat"))
+    },
+
+    // Breusch–Pagan LM test for heteroskedasticity (Breusch & Pagan
+    // 1979, Koenker's studentized n·R² form) — the regression
+    // diagnostic stat_overdispersion is to counts: after fitting
+    // price ~ quantity by OLS, do the SQUARED residuals still depend
+    // on quantity? OLS slope/intercept come from exact integer moment
+    // sums (cents × unit quantities), so (a, b) are bit-identical
+    // doubles on both engines; each residual is then RE-QUANTIZED to
+    // integer cents (round of an identical double — the lattice-free
+    // nudge makes the cut deterministic) so the auxiliary regression's
+    // moments Σu, Σu², Σxu (u = e²) are again EXACT integers through
+    // DECIMAL/HUGEINT, and LM = n·R²_aux is one pinned double
+    // expression. Scale shape: aggregate → 1-row broadcast → per-row
+    // residual map → aggregate; two corpus passes, no windows.
+    q("stat_breusch_pagan",
+      """WITH d AS (SELECT CAST(l_quantity AS BIGINT) x,
+        |    CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT) yc
+        |  FROM lineitem),
+        |m AS (SELECT count(*)::BIGINT n, sum(x)::BIGINT sx,
+        |        sum(x * x)::BIGINT sxx, sum(yc)::BIGINT sy,
+        |        sum(x::HUGEINT * yc) sxy FROM d),
+        |ab AS (SELECT n, sx, sxx,
+        |        (n * sxy - sx::HUGEINT * sy)::DOUBLE /
+        |          (n * sxx - sx::HUGEINT * sx)::DOUBLE b,
+        |        (sy - ((n * sxy - sx::HUGEINT * sy)::DOUBLE /
+        |                (n * sxx - sx::HUGEINT * sx)::DOUBLE) * sx) / n a
+        |      FROM m),
+        |e AS (SELECT x, n, sx, sxx, a, b,
+        |        CAST(round(yc - (a + b * x) + 1e-9) AS BIGINT) ec
+        |      FROM d, ab),
+        |u AS (SELECT max(n) n, max(sx) sx, max(sxx) sxx,
+        |        max(a) a, max(b) b,
+        |        sum(ec::HUGEINT * ec) su,
+        |        sum((ec::HUGEINT * ec) * (ec::HUGEINT * ec)) suu,
+        |        sum(x * (ec::HUGEINT * ec)) sux
+        |      FROM e)
+        |SELECT n, round(b / 100 + 1e-9, 6) AS slope,
+        |       round(a / 100 + 1e-9, 4) AS intercept,
+        |       round(n::DOUBLE *
+        |         ((n::DOUBLE * sux::DOUBLE - sx::DOUBLE * su::DOUBLE) *
+        |          (n::DOUBLE * sux::DOUBLE - sx::DOUBLE * su::DOUBLE)) /
+        |         ((n::DOUBLE * sxx - sx::DOUBLE * sx) *
+        |          (n::DOUBLE * suu::DOUBLE - su::DOUBLE * su::DOUBLE))
+        |         + 1e-9, 6) AS bp_lm
+        |FROM u""") { c =>
+      val d = c.lineitem.select(col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100 + lit(1e-9)).cast("long")
+          .as("yc"))
+      val m = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("yc")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("yc")).as("sxy"))
+      val ab = m.select(col("n"), col("sx"), col("sxx"), col("sy"),
+        ((col("n") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+          (col("n") * col("sxx").cast("decimal(38,0)") -
+            col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
+          .as("b"))
+        // oracle computes a as (sy − b·sx)/n with the SAME b double —
+        // reproduce the expression through the shared b column
+        .withColumn("a",
+          (col("sy") - col("b") * col("sx")) / col("n"))
+        .drop("sy")
+      val e = d.crossJoin(broadcast(ab))
+        .select(col("x"), col("n"), col("sx"), col("sxx"), col("a"),
+          col("b"),
+          round(col("yc") - (col("a") + col("b") * col("x")) + lit(1e-9))
+            .cast("long").as("ec"))
+      val u = e.agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
+        max(col("sxx")).as("sxx"), max(col("a")).as("a"),
+        max(col("b")).as("b"),
+        sum(col("ec").cast("decimal(38,0)") * col("ec")).as("su"),
+        sum((col("ec").cast("decimal(38,0)") * col("ec")) *
+          (col("ec").cast("decimal(38,0)") * col("ec"))).as("suu"),
+        sum(col("x") * (col("ec").cast("decimal(38,0)") * col("ec")))
+          .as("sux"))
+      u.select(col("n"), r6(col("b") / 100).as("slope"),
+        r4(col("a") / 100).as("intercept"),
+        r6(col("n").cast("double") *
+          ((col("n").cast("double") * col("sux").cast("double") -
+              col("sx").cast("double") * col("su").cast("double")) *
+            (col("n").cast("double") * col("sux").cast("double") -
+              col("sx").cast("double") * col("su").cast("double"))) /
+          ((col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")) *
+            (col("n").cast("double") * col("suu").cast("double") -
+              col("su").cast("double") * col("su").cast("double"))))
+          .as("bp_lm"))
+    },
   )
 }

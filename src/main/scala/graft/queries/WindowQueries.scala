@@ -703,5 +703,52 @@ object WindowQueries {
             count(lit(1)).over(w14) / 100).as("atr14"))
         .orderBy("day")
     },
+
+    // MACD momentum state per user series (Appel's moving-average
+    // convergence/divergence — the triple-EMA momentum feature beside
+    // win_rsi / win_bollinger / win_atr in any quant feature store):
+    // fast EMA (a=1/4), slow EMA (a=1/8), and the signal line smoothing
+    // the macd difference (a=1/2). Inherently sequential per series, so
+    // it runs as the Holt-device secondary-sort scan
+    // (ops/Holt.macd: repartition by user + sortWithinPartitions + one
+    // O(1)-state iterator pass — the 100 TB shape; no collect_list, no
+    // global sort). Dyadic smoothing factors keep 1-a exact in binary,
+    // so the recursive-CTE oracle replays a bit-identical recurrence.
+    q("win_macd",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) rn,
+        |         count(*) OVER (PARTITION BY user_id) n
+        |  FROM events WHERE user_id < 50),
+        |rec(user_id, rn, ef, es, sg, n) AS (
+        |  SELECT user_id, 1, value, value, 0.0::DOUBLE, n
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |         0.25::DOUBLE * s.value + 0.75::DOUBLE * rec.ef,
+        |         0.125::DOUBLE * s.value + 0.875::DOUBLE * rec.es,
+        |         0.5::DOUBLE * ((0.25::DOUBLE * s.value
+        |                         + 0.75::DOUBLE * rec.ef)
+        |                      - (0.125::DOUBLE * s.value
+        |                         + 0.875::DOUBLE * rec.es))
+        |           + 0.5::DOUBLE * rec.sg,
+        |         rec.n
+        |  FROM rec JOIN s ON s.user_id = rec.user_id
+        |                 AND s.rn = rec.rn + 1)
+        |SELECT user_id, n::BIGINT AS n,
+        |       round(ef - es + 1e-9, 4) AS macd,
+        |       round(sg + 1e-9, 4) AS sig,
+        |       round(ef - es - sg + 1e-9, 4) AS hist
+        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+      val fitted = graft.ops.Holt.macd(
+        c.events.filter(col("user_id") < 50),
+        key = "user_id", order = Seq(col("ts"), col("event_id")),
+        value = col("value"), aFast = 0.25, aSlow = 0.125, aSig = 0.5)
+      fitted.select(col("user_id"), col("n"),
+          r4(col("macd")).as("macd"), r4(col("signal")).as("sig"),
+          r4(col("macd") - col("signal")).as("hist"))
+        .orderBy("user_id")
+    },
   )
 }

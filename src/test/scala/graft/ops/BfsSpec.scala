@@ -41,4 +41,26 @@ class BfsSpec extends SparkSpec {
     val d = Bfs.hops(edges, srcDf("a"), maxHops = 10)
     assert(d.count() == 2)
   }
+
+  test("hopsFrom keeps per-root distances independent") {
+    // path a-b-c-d-e; roots a and e see mirrored distance profiles
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toDF("src", "dst")
+    val roots = Seq("a", "e").toDF("root")
+    val got = Bfs.hopsFrom(edges, roots, maxHops = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("a", "a")) == 0L && got(("a", "e")) == 4L)
+    assert(got(("e", "e")) == 0L && got(("e", "a")) == 4L)
+    assert(got(("a", "c")) == 2L && got(("e", "c")) == 2L)
+    assert(got.size == 10) // 2 roots x 5 nodes, nothing cross-labeled
+  }
+
+  test("hopsFrom bounds each root at maxHops; unreached pairs absent") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+      .flatMap { case (s, d) => Seq((s, d), (d, s)) }.toDF("src", "dst")
+    val got = Bfs.hopsFrom(edges, Seq("a").toDF("root"), maxHops = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L)) // d beyond 2 hops
+  }
 }

@@ -72,4 +72,51 @@ class HoltSpec extends SparkSpec {
       Holt.linear(df, "k", Seq(col("t")), col("y"), 0.5, 1.5)
     }
   }
+
+  private def macdRef(ys: Seq[Double], aF: Double, aS: Double,
+      aG: Double): (Long, Double, Double, Double) = {
+    var ef = ys.head; var es = ys.head; var sg = 0.0
+    ys.tail.foreach { y =>
+      ef = aF * y + (1 - aF) * ef
+      es = aS * y + (1 - aS) * es
+      sg = aG * (ef - es) + (1 - aG) * sg
+    }
+    (ys.length.toLong, ef, es, sg)
+  }
+
+  test("macd matches the sequential triple-EMA recurrence exactly") {
+    val rows = Seq(
+      (1L, 1, 10.0), (1L, 2, 14.0), (1L, 3, 9.0), (1L, 4, 17.0),
+      (1L, 5, 11.0),
+      (2L, 1, 3.0), (2L, 2, 4.0),
+      (3L, 1, 6.25))
+    val df = rows.toDF("k", "t", "y")
+    val got = Holt.macd(df, "k", Seq(col("t")), col("y"),
+        aFast = 0.25, aSlow = 0.125, aSig = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      val (n, ef, es, sg) = macdRef(ys, 0.25, 0.125, 0.5)
+      val (gn, gef, ges, gmacd, gsig) = got(k)
+      assert(gn == n && gef == ef && ges == es) // bit-exact, no epsilon
+      assert(gmacd == ef - es && gsig == sg)
+    }
+  }
+
+  test("macd single-observation series: macd 0, signal 0") {
+    val df = Seq((9L, 1, 42.0)).toDF("k", "t", "y")
+    val r = Holt.macd(df, "k", Seq(col("t")), col("y"), 0.5, 0.25, 0.5)
+      .collect().head
+    assert(r.getLong(1) == 1L && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 0.0)
+  }
+
+  test("macd guards: fast must smooth less than slow") {
+    val df = Seq((1L, 1, 1.0)).toDF("k", "t", "y")
+    intercept[IllegalArgumentException] {
+      Holt.macd(df, "k", Seq(col("t")), col("y"), 0.125, 0.25, 0.5)
+    }
+  }
 }

@@ -497,4 +497,52 @@ class MultimodalSpec extends SparkSpec {
       Seq((9L, Array[Byte](1, 2))).toDF("doc_id", "payload"),
       "doc_id", 2).count() == 0)
   }
+
+  test("otsuGray: clean bimodal image splits exactly between modes") {
+    val sp = spark
+    import sp.implicits._
+    // 4x2 gray image: left half ink (20), right half paper (200).
+    // Otsu's argmax (lowest-level tie rule) must land on the ink level.
+    def pixel(x: Int, y: Int, c: Int): Int = if (x < 2) 20 else 200
+    val df = Seq((1L, bmp24(4, 2, topDown = false, pixel)))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.otsuGray(df, "doc_id").collect().head
+    assert(r.threshold == 20 && r.n_px == 8L)
+    assert(r.n_bg == 4L && r.n_fg == 4L)
+    assert(r.sum_bg == 80L && r.sum_fg == 800L)
+  }
+
+  test("otsuGray: exact integer score against a brute-force replay") {
+    val sp = spark
+    import sp.implicits._
+    // non-trivial histogram; replay the integer sweep independently
+    def pixel(x: Int, y: Int, c: Int): Int = (x * 37 + y * 91) % 256
+    val vals = for (y <- 0 until 3; x <- 0 until 5)
+      yield pixel(x, y, 0)
+    val hist = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = vals.size.toLong
+    val sT = vals.map(_.toLong).sum
+    val cand = hist.keys.toSeq.sorted
+    var n0 = 0L; var s0 = 0L
+    val scored = cand.flatMap { v =>
+      n0 += hist(v); s0 += v * hist(v)
+      if (n0 < n) {
+        val num = n * s0 - sT * n0
+        Some(v -> num * num * 1048576L / (n0 * (n - n0)))
+      } else None
+    }
+    val (expT, expScore) = scored.maxBy { case (v, s) => (s, -v) }
+    val df = Seq((7L, bmp24(5, 3, topDown = true, pixel)))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.otsuGray(df, "doc_id").collect().head
+    assert(r.threshold == expT && r.score_q == expScore)
+  }
+
+  test("otsuGray: non-BMP payloads drop, nulls do not throw") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, Array[Byte](9, 9, 9)), (2L, null))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.otsuGray(df, "doc_id").count() == 0)
+  }
 }
