@@ -1481,5 +1481,122 @@ object FeatureQueries {
             (col("n1").cast("double") * col("s4"))).as("mase"))
         .orderBy("user_id")
     },
+
+    // Binary-segmentation changepoint detection (Scott & Knott 1974;
+    // the offline default in ruptures) on the daily revenue series —
+    // the BATCH sibling of the online ts_cusum_changepoint /
+    // ts_page_hinkley detectors: find the split minimizing total SSE,
+    // then recurse once into each half (depth 2, up to 3 change
+    // points). The variance-reduction ordering of split t is preserved
+    // by the EXACT integer score (cums_t*n - S*t)^2 // (t*(n-t)) — the
+    // Otsu device on the time axis (n constant per segment; BIGINT
+    // prefix sums of the kilodollar day series; squaring through
+    // DECIMAL(38); floor division; ties to the earliest day) — so both
+    // engines pick identical splits with zero FP in any argmax. Scale
+    // shape: ONE corpus aggregation to the ~2.4k-row day grid, windows
+    // only over that aggregated relation, three 1-row argmax limits
+    // broadcast back (the graph_diameter pivot pattern).
+    q("ts_binseg_changepoint",
+      """WITH daily AS (SELECT o_orderdate d,
+        |    (sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |     + 50000) // 100000 x
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT d, x,
+        |          row_number() OVER (ORDER BY d) t,
+        |          sum(x) OVER (ORDER BY d) cs
+        |        FROM daily),
+        |tot AS (SELECT count(*)::BIGINT n, sum(x)::BIGINT s FROM daily),
+        |s1 AS (SELECT t, d, cs,
+        |         ((cs * n - s * t)::HUGEINT * (cs * n - s * t))
+        |           // (t * (n - t)) sc, n, s
+        |       FROM cum, tot WHERE t < n),
+        |b1 AS (SELECT t t1, d d1, cs cs1, sc sc1, n, s FROM s1
+        |       ORDER BY sc DESC, t LIMIT 1),
+        |r1 AS (SELECT 1 rnd, 'all' seg, t1 split_t, d1::VARCHAR
+        |         split_day,
+        |         round(cs1 * 1.0 / t1 + 1e-9, 6) mean_left,
+        |         round((s - cs1) * 1.0 / (n - t1) + 1e-9, 6) mean_right,
+        |         sc1::BIGINT score
+        |       FROM b1),
+        |sl AS (SELECT c.t, c.d, c.cs, b.t1, b.cs1,
+        |         ((c.cs * b.t1 - b.cs1 * c.t)::HUGEINT
+        |          * (c.cs * b.t1 - b.cs1 * c.t))
+        |           // (c.t * (b.t1 - c.t)) sc
+        |       FROM cum c, b1 b WHERE c.t < b.t1),
+        |bl AS (SELECT * FROM sl ORDER BY sc DESC, t LIMIT 1),
+        |r2 AS (SELECT 2 rnd, 'left' seg, t split_t, d::VARCHAR
+        |         split_day,
+        |         round(cs * 1.0 / t + 1e-9, 6) mean_left,
+        |         round((cs1 - cs) * 1.0 / (t1 - t) + 1e-9, 6) mean_right,
+        |         sc::BIGINT score
+        |       FROM bl),
+        |sr AS (SELECT c.t, c.d, c.cs, b.t1, b.cs1, b.n, b.s,
+        |         (((c.cs - b.cs1) * (b.n - b.t1)
+        |           - (b.s - b.cs1) * (c.t - b.t1))::HUGEINT
+        |          * ((c.cs - b.cs1) * (b.n - b.t1)
+        |             - (b.s - b.cs1) * (c.t - b.t1)))
+        |           // ((c.t - b.t1) * (b.n - c.t)) sc
+        |       FROM cum c, b1 b WHERE c.t > b.t1 AND c.t < b.n),
+        |br AS (SELECT * FROM sr ORDER BY sc DESC, t LIMIT 1),
+        |r3 AS (SELECT 2 rnd, 'right' seg, t split_t, d::VARCHAR
+        |         split_day,
+        |         round((cs - cs1) * 1.0 / (t - t1) + 1e-9, 6) mean_left,
+        |         round((s - cs) * 1.0 / (n - t) + 1e-9, 6) mean_right,
+        |         sc::BIGINT score
+        |       FROM br)
+        |SELECT rnd, seg, split_t::BIGINT AS split_t, split_day,
+        |       mean_left, mean_right, score
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |      UNION ALL SELECT * FROM r3)
+        |ORDER BY rnd, seg""") { c =>
+      val daily = c.orders.groupBy(col("o_orderdate").as("d"))
+        .agg(expr("(sum(CAST(round(o_totalprice * 100 + 1e-9) AS " +
+          "BIGINT)) + 50000) div 100000").as("x"))
+      val w = Window.orderBy("d")
+      val cum = daily.select(col("d"), col("x"))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cs", sum(col("x")).over(w))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val s1 = cum.crossJoin(broadcast(tot)).filter(col("t") < col("n"))
+        .withColumn("sc", expr(
+          "CAST((CAST(cs * n - s * t AS DECIMAL(38,0)) * " +
+          "(cs * n - s * t)) div (t * (n - t)) AS BIGINT)"))
+      val b1 = s1.orderBy(col("sc").desc, col("t")).limit(1)
+        .select(col("t").as("t1"), col("d").as("d1"),
+          col("cs").as("cs1"), col("sc").as("sc1"), col("n"), col("s"))
+      val r1 = b1.select(lit(1).as("rnd"), lit("all").as("seg"),
+        col("t1").as("split_t"), col("d1").cast("string").as("split_day"),
+        r6(col("cs1") * 1.0 / col("t1")).as("mean_left"),
+        r6((col("s") - col("cs1")) * 1.0 / (col("n") - col("t1")))
+          .as("mean_right"),
+        col("sc1").as("score"))
+      val bb = broadcast(b1)
+      val sl = cum.crossJoin(bb).filter(col("t") < col("t1"))
+        .withColumn("sc", expr(
+          "CAST((CAST(cs * t1 - cs1 * t AS DECIMAL(38,0)) * " +
+          "(cs * t1 - cs1 * t)) div (t * (t1 - t)) AS BIGINT)"))
+      val r2 = sl.orderBy(col("sc").desc, col("t")).limit(1)
+        .select(lit(2).as("rnd"), lit("left").as("seg"),
+          col("t").as("split_t"), col("d").cast("string").as("split_day"),
+          r6(col("cs") * 1.0 / col("t")).as("mean_left"),
+          r6((col("cs1") - col("cs")) * 1.0 / (col("t1") - col("t")))
+            .as("mean_right"),
+          col("sc").as("score"))
+      val sr = cum.crossJoin(bb)
+        .filter(col("t") > col("t1") && col("t") < col("n"))
+        .withColumn("sc", expr(
+          "CAST((CAST((cs - cs1) * (n - t1) - (s - cs1) * (t - t1) AS " +
+          "DECIMAL(38,0)) * ((cs - cs1) * (n - t1) - (s - cs1) * " +
+          "(t - t1))) div ((t - t1) * (n - t)) AS BIGINT)"))
+      val r3 = sr.orderBy(col("sc").desc, col("t")).limit(1)
+        .select(lit(2).as("rnd"), lit("right").as("seg"),
+          col("t").as("split_t"), col("d").cast("string").as("split_day"),
+          r6((col("cs") - col("cs1")) * 1.0 / (col("t") - col("t1")))
+            .as("mean_left"),
+          r6((col("s") - col("cs")) * 1.0 / (col("n") - col("t")))
+            .as("mean_right"),
+          col("sc").as("score"))
+      r1.union(r2).union(r3).orderBy("rnd", "seg")
+    },
   )
 }

@@ -150,6 +150,173 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Mixed-language / code-switching detection — the SENTENCE-level
+    // refinement of text_lang_id that corpus curation actually needs
+    // (CCNet and fastText-based pipelines drop or split documents
+    // whose sentences disagree on language; a doc-level vote hides
+    // them). Same four pinned stopword votes and tie ladder as
+    // text_lang_id, applied per sentence ENTIRELY inside array HOFs:
+    // sentences = regex split on [.!?]+, per-sentence pred via
+    // transform(+inner filter), switch count via index lambdas over
+    // the pred array — zero explodes, zero joins, zero windows; one
+    // projection pass over the corpus, embarrassingly parallel at any
+    // scale. Output: per-doc sentence count, undetermined count,
+    // distinct determined languages, adjacent determined-language
+    // switches, and the is_mixed flag curation thresholds on.
+    q("text_mixed_language",
+      """WITH s AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '[.!?]+'),
+        |                x -> length(trim(x)) > 0) sents
+        |  FROM documents),
+        |v AS (SELECT doc_id, lang, len(sents)::BIGINT n_sent,
+        |    list_transform(sents, x -> [
+        |      len(list_filter(string_split_regex(lower(x), '\s+'),
+        |          w -> w IN ('the', 'a', 'of', 'and'))),
+        |      len(list_filter(string_split_regex(lower(x), '\s+'),
+        |          w -> w IN ('el', 'la', 'de', 'y'))),
+        |      len(list_filter(string_split_regex(lower(x), '\s+'),
+        |          w -> w IN ('der', 'die', 'das', 'und'))),
+        |      len(list_filter(string_split_regex(lower(x), '\s+'),
+        |          w -> w IN ('le', 'les', 'et', 'une')))]) votes
+        |  FROM s),
+        |pr AS (SELECT doc_id, lang, n_sent,
+        |    list_transform(votes, t -> CASE
+        |      WHEN greatest(t[1], t[2], t[3], t[4]) = 0 THEN 'und'
+        |      WHEN t[1] >= greatest(t[2], t[3], t[4]) THEN 'en'
+        |      WHEN t[2] >= greatest(t[3], t[4]) THEN 'es'
+        |      WHEN t[3] >= t[4] THEN 'de' ELSE 'fr' END) preds
+        |  FROM v)
+        |SELECT doc_id, lang, n_sent,
+        |  len(list_filter(preds, p -> p = 'und'))::BIGINT AS n_und,
+        |  len(list_distinct(list_filter(preds, p -> p <> 'und')))::BIGINT
+        |    AS n_langs,
+        |  len(list_filter(range(2, len(preds) + 1), i ->
+        |    preds[i] <> 'und' AND preds[i-1] <> 'und'
+        |    AND preds[i] <> preds[i-1]))::BIGINT AS n_switches,
+        |  CASE WHEN len(list_distinct(list_filter(preds,
+        |         p -> p <> 'und'))) >= 2 THEN 1 ELSE 0 END AS is_mixed
+        |FROM pr ORDER BY doc_id""") { c =>
+      val sents = filter(split(col("text"), "[.!?]+"),
+        x => length(trim(x)) > 0)
+      def vote(x: org.apache.spark.sql.Column, words: String*) =
+        size(filter(split(lower(x), "\\s+"),
+          t => t.isin(words.map(w => w: Any): _*)))
+      def predOf(x: org.apache.spark.sql.Column) = {
+        val se = vote(x, "the", "a", "of", "and")
+        val ss = vote(x, "el", "la", "de", "y")
+        val sd = vote(x, "der", "die", "das", "und")
+        val sf = vote(x, "le", "les", "et", "une")
+        when(greatest(se, ss, sd, sf) === 0, "und")
+          .when(se >= greatest(ss, sd, sf), "en")
+          .when(ss >= greatest(sd, sf), "es")
+          .when(sd >= sf, "de").otherwise("fr")
+      }
+      val pr = c.documents.select(col("doc_id"), col("lang"),
+        size(sents).cast("long").as("n_sent"),
+        transform(sents, x => predOf(x)).as("preds"))
+      val det = filter(col("preds"), p => p =!= "und")
+      pr.select(col("doc_id"), col("lang"), col("n_sent"),
+          size(filter(col("preds"), p => p === "und")).cast("long")
+            .as("n_und"),
+          size(array_distinct(det)).cast("long").as("n_langs"),
+          when(size(col("preds")) < 2, lit(0L)).otherwise(
+            size(filter(sequence(lit(2), size(col("preds"))), i =>
+              element_at(col("preds"), i) =!= "und" &&
+                element_at(col("preds"), i - 1) =!= "und" &&
+                element_at(col("preds"), i) =!=
+                  element_at(col("preds"), i - 1)))
+              .cast("long")).as("n_switches"),
+          (size(array_distinct(det)) >= 2).cast("int").as("is_mixed"))
+        .orderBy("doc_id")
+    },
+
+    // Burrows' Delta stylometric distance (Burrows 2002; Evert et al.
+    // 2017 for the z-score formulation) between language strata — the
+    // standard authorship / register-drift measure a corpus audit runs
+    // on function-word profiles: per stratum, rate-per-1000-tokens of
+    // the 16 pinned marker words; z-score each word across strata;
+    // Delta(a,b) = mean_w |z_w(a) - z_w(b)|. Determinism: occurrence
+    // and token counts are exact BIGINTs, each rate is ONE division of
+    // exact integers, and every cross-stratum reduction (mean, Sum r^2,
+    // the per-pair |dz| sum) runs through the pinned-order sorted fold
+    // (text_lm_ppl device); words with zero variance are excluded by a
+    // filter on the EXACT variance numerator BEFORE sqrt (k*Srr - Sr^2
+    // > 0 — also keeps DuckDB's sqrt off negative FP dust). Scale
+    // shape: one corpus explode filtered to 16 marker words into a
+    // (lang, word) hash aggregate; everything after is model-sized
+    // (k languages x 16 words).
+    q("text_burrows_delta",
+      """WITH docs AS (SELECT lang,
+        |    string_split_regex(lower(text), '\s+') toks FROM documents),
+        |tot AS (SELECT lang, sum(len(toks))::BIGINT t
+        |        FROM docs GROUP BY 1),
+        |occ AS (SELECT lang, w, count(*)::BIGINT o
+        |        FROM (SELECT lang, unnest(toks) w FROM docs)
+        |        WHERE w IN ('the', 'a', 'of', 'and', 'el', 'la', 'de',
+        |          'y', 'der', 'die', 'das', 'und', 'le', 'les', 'et',
+        |          'une')
+        |        GROUP BY 1, 2),
+        |wl AS (SELECT unnest(['the', 'a', 'of', 'and', 'el', 'la',
+        |          'de', 'y', 'der', 'die', 'das', 'und', 'le', 'les',
+        |          'et', 'une']) w),
+        |grid AS (SELECT tot.lang, wl.w,
+        |           coalesce(occ.o, 0) * 1000.0 / tot.t r
+        |         FROM tot CROSS JOIN wl
+        |         LEFT JOIN occ ON occ.lang = tot.lang AND occ.w = wl.w),
+        |st AS (SELECT w, count(*)::BIGINT k,
+        |         list_reduce(list(r ORDER BY lang), (a, x) -> a + x) sr,
+        |         list_reduce(list(r * r ORDER BY lang),
+        |           (a, x) -> a + x) srr
+        |       FROM grid GROUP BY 1),
+        |st2 AS (SELECT w, k, sr / k m, k * srr - sr * sr vnum FROM st),
+        |z AS (SELECT g.lang, g.w,
+        |        (g.r - s.m) / sqrt(s.vnum / (s.k * s.k)) z
+        |      FROM grid g JOIN st2 s ON g.w = s.w WHERE s.vnum > 0),
+        |p AS (SELECT a.lang la, b.lang lb, a.w, abs(a.z - b.z) dz
+        |      FROM z a JOIN z b ON a.w = b.w AND a.lang < b.lang)
+        |SELECT la AS lang_a, lb AS lang_b, count(*)::BIGINT AS n_words,
+        |  round(list_reduce(list(dz ORDER BY w), (a, x) -> a + x)
+        |        / count(*) + 1e-9, 6) AS delta
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""") { c =>
+      val markers = Seq("the", "a", "of", "and", "el", "la", "de", "y",
+        "der", "die", "das", "und", "le", "les", "et", "une")
+      val docs = c.documents.select(col("lang"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      val tot = docs.groupBy("lang")
+        .agg(sum(size(col("toks"))).cast("long").as("t"))
+      val occ = docs.select(col("lang"), explode(col("toks")).as("w"))
+        .filter(col("w").isin(markers.map(x => x: Any): _*))
+        .groupBy("lang", "w").agg(count(lit(1)).as("o"))
+      val grid = tot
+        .withColumn("w", explode(typedLit(markers)))
+        .join(occ, Seq("lang", "w"), "left")
+        .select(col("lang"), col("w"),
+          (coalesce(col("o"), lit(0L)) * 1000.0 / col("t")).as("r"))
+      def foldBy(key: String, term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col(key),
+            term.as("tm")))),
+          lit(0.0), (acc, x) => acc + x.getField("tm"))
+      val st = grid.groupBy("w").agg(count(lit(1)).as("k"),
+          foldBy("lang", col("r")).as("sr"),
+          foldBy("lang", col("r") * col("r")).as("srr"))
+        .select(col("w"), col("k"), (col("sr") / col("k")).as("m"),
+          (col("k") * col("srr") - col("sr") * col("sr")).as("vnum"))
+      val z = grid.join(broadcast(st), Seq("w"))
+        .filter(col("vnum") > 0)
+        .select(col("lang"), col("w"),
+          ((col("r") - col("m")) /
+            sqrt(col("vnum") / (col("k") * col("k")))).as("z"))
+      val p = z.as("a")
+        .join(z.as("b"),
+          col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          col("a.w").as("w"), abs(col("a.z") - col("b.z")).as("dz"))
+      p.groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_words"),
+          r6(foldBy("w", col("dz")) / count(lit(1))).as("delta"))
+        .orderBy("lang_a", "lang_b")
+    },
+
     // Repetition quality filters (Gopher / Rae et al. §A1.1 family):
     // duplicate-word occupancy and the most-frequent bi/trigram's
     // share of all n-gram slots — the standard "natural text vs
@@ -2005,6 +2172,77 @@ object LlmQueries {
         .select(col("doc_id"), col("width"), col("height"), col("n_px"),
           col("threshold"), col("n_bg"), col("n_fg"),
           col("sum_bg"), col("sum_fg"), col("score_q"))
+        .orderBy("doc_id")
+    },
+
+    // Connected-component BLOB labeling (4-connectivity) over
+    // binarized decoded BMPs — the post-Otsu figure-vs-speckle signal
+    // of a document-imaging pipeline (ops/Multimodal.blobsGray: a
+    // partition-local flat-array union-find per image; no shuffle, no
+    // per-pixel rows). The fixture's pseudo-random ink law
+    // (id*3 + p*7) % 5 < 2 gives ~40% foreground with nontrivial blob
+    // topology. The oracle regenerates the ink mask arithmetically and
+    // labels it with the er_entities device: a bounded recursive
+    // min-label propagation over the in-image 4-adjacency edges
+    // (<= 40 px per image, so the fixpoint is a few rounds).
+    q("mm_blob_labeling",
+      """WITH RECURSIVE d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |fg AS (SELECT doc_id, w, p FROM px
+        |       WHERE (doc_id * 3 + p * 7) % 5 < 2),
+        |e0 AS (SELECT a.doc_id, a.p pa, b.p pb
+        |       FROM fg a JOIN fg b ON a.doc_id = b.doc_id
+        |        AND ((b.p = a.p + 1 AND (a.p % a.w) < a.w - 1)
+        |             OR b.p = a.p + a.w)),
+        |e AS (SELECT doc_id, pa, pb FROM e0
+        |      UNION ALL SELECT doc_id, pb, pa FROM e0),
+        |walk(doc_id, p, comp) AS (
+        |  SELECT doc_id, p, p FROM fg
+        |  UNION
+        |  SELECT e.doc_id, e.pb, walk.comp
+        |  FROM walk JOIN e ON e.doc_id = walk.doc_id AND e.pa = walk.p),
+        |lab AS (SELECT doc_id, p, min(comp) comp FROM walk GROUP BY 1, 2),
+        |bl AS (SELECT doc_id, comp, count(*)::BIGINT sz
+        |       FROM lab GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*)::BIGINT n_blobs,
+        |          sum(sz)::BIGINT n_fg, max(sz)::BIGINT max_blob
+        |        FROM bl GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height,
+        |  coalesce(a.n_fg, 0)::BIGINT AS n_fg,
+        |  coalesce(a.n_blobs, 0)::BIGINT AS n_blobs,
+        |  coalesce(a.max_blob, 0)::BIGINT AS max_blob
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""") { c =>
+      val mkInkBmp = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id * 3 + p * 7) % 5 < 2) 30 else 220).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.blobsGray(
+          c.documents.select(col("doc_id"),
+            mkInkBmp(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_fg"), col("n_blobs"), col("max_blob"))
         .orderBy("doc_id")
     },
 

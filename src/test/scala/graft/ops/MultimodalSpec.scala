@@ -538,6 +538,39 @@ class MultimodalSpec extends SparkSpec {
     assert(r.threshold == expT && r.score_q == expScore)
   }
 
+  test("blobsGray: 4-connectivity labeling counts diagonal as separate") {
+    val sp = spark
+    import sp.implicits._
+    // 4x3 image: an L-shaped blob, an isolated pixel touching it only
+    // DIAGONALLY (must stay separate under 4-connectivity), and one
+    // more isolated pixel. ink=0, paper=255.
+    //   X . . Y      blob X: (0,0),(0,1),(1,1) via (0,1)? laid out:
+    //   X X . .      X at (0,0),(0,1),(1,1),(1,0)? use explicit set
+    //   . . Z .
+    val ink = Set((0, 0), (0, 1), (1, 1), (3, 0), (2, 2))
+    def pixel(x: Int, y: Int, c: Int): Int =
+      if (ink((x, y))) 0 else 255
+    val df = Seq((5L, bmp24(4, 3, topDown = false, pixel)))
+      .toDF("doc_id", "payload")
+    val r = Multimodal.blobsGray(df, "doc_id").collect().head
+    // (0,0)-(0,1)-(1,1) connect (left/up chain); (3,0) and (2,2) are
+    // isolated — (1,1) vs (2,2) is diagonal, NOT connected
+    assert(r.n_fg == 5L && r.n_blobs == 3L && r.max_blob == 3L)
+  }
+
+  test("blobsGray: all-background and all-foreground extremes") {
+    val sp = spark
+    import sp.implicits._
+    val all = Seq(
+      (1L, bmp24(3, 2, topDown = false, (_, _, _) => 255)), // no ink
+      (2L, bmp24(3, 2, topDown = true, (_, _, _) => 7)))    // all ink
+      .toDF("doc_id", "payload")
+    val got = Multimodal.blobsGray(all, "doc_id").collect()
+      .map(r => r.doc_id -> ((r.n_fg, r.n_blobs, r.max_blob))).toMap
+    assert(got(1L) == ((0L, 0L, 0L)))
+    assert(got(2L) == ((6L, 1L, 6L)))
+  }
+
   test("otsuGray: non-BMP payloads drop, nulls do not throw") {
     val sp = spark
     import sp.implicits._
