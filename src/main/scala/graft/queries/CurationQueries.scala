@@ -1782,5 +1782,102 @@ object CurationQueries {
             .otherwise(lit("nonmatch")).as("cls"))
         .orderBy(col("g1").desc, col("g2").desc, col("g3").desc)
     },
+
+    // Golden-record SURVIVORSHIP — the step AFTER er_entities'
+    // transitive clustering that an MDM / entity-resolution pipeline
+    // actually ships: per multi-member entity, merge the member
+    // records into one golden row under pinned, deterministic rules
+    // (longest name wins, ties to the lowest record id; most frequent
+    // brand, ties lexicographic; max price; min size — the standard
+    // recency/frequency/extremum survivorship vocabulary). Same
+    // name-record universe and blocked levenshtein match graph as
+    // er_entities (records = distinct part names keyed by their
+    // lowest p_partkey, attributes from that representative part);
+    // clusters from the shared Components fixpoint. Everything
+    // downstream is exact integers/strings through entity-partitioned
+    // windows — no FP anywhere. Scale: the match graph is the
+    // er_entities blocked self-join; survivorship is two hash
+    // aggregations + two entity-keyed window argmaxes.
+    q("er_survivorship",
+      """WITH RECURSIVE nd AS (SELECT p_name, min(p_partkey) nid
+        |                      FROM part GROUP BY 1),
+        |np AS (SELECT a.nid an, b.nid bn
+        |       FROM nd a JOIN nd b ON a.nid < b.nid
+        |       WHERE (left(a.p_name, 3) = left(b.p_name, 3)
+        |              OR right(a.p_name, 3) = right(b.p_name, 3))
+        |         AND levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT an a, bn b FROM np UNION ALL SELECT bn, an FROM np),
+        |walk(id, comp) AS (
+        |  SELECT nid, nid FROM nd
+        |  UNION
+        |  SELECT e.b, w.comp FROM walk w JOIN e ON e.a = w.id),
+        |lab AS (SELECT id, min(comp) entity FROM walk GROUP BY 1),
+        |rec AS (SELECT lab.entity, nd.nid, nd.p_name,
+        |          p.p_brand br,
+        |          CAST(round(p.p_retailprice * 100 + 1e-9) AS BIGINT) pr,
+        |          p.p_size sz
+        |        FROM nd JOIN lab ON nd.nid = lab.id
+        |        JOIN part p ON p.p_partkey = nd.nid),
+        |big AS (SELECT entity FROM rec GROUP BY 1 HAVING count(*) >= 2),
+        |nm AS (SELECT entity, p_name,
+        |         row_number() OVER (PARTITION BY entity
+        |           ORDER BY length(p_name) DESC, nid) rn
+        |       FROM rec),
+        |bc AS (SELECT entity, br, count(*) c FROM rec GROUP BY 1, 2),
+        |bw AS (SELECT entity, br,
+        |         row_number() OVER (PARTITION BY entity
+        |           ORDER BY c DESC, br) rn
+        |       FROM bc),
+        |ag AS (SELECT entity, count(*)::BIGINT n_members,
+        |         max(pr)::BIGINT max_price_cents,
+        |         min(sz)::INT min_size
+        |       FROM rec GROUP BY 1)
+        |SELECT ag.entity AS entity_id, ag.n_members,
+        |  nm.p_name AS golden_name, bw.br AS golden_brand,
+        |  ag.max_price_cents, ag.min_size
+        |FROM ag JOIN big ON ag.entity = big.entity
+        |JOIN nm ON nm.entity = ag.entity AND nm.rn = 1
+        |JOIN bw ON bw.entity = ag.entity AND bw.rn = 1
+        |ORDER BY entity_id""") { c =>
+      val nd = c.part.groupBy("p_name")
+        .agg(min(col("p_partkey")).as("nid"))
+      val a = nd.select(col("p_name").as("na"), col("nid").as("an"))
+      val b = nd.select(col("p_name").as("nb"), col("nid").as("bn"))
+      val np = a.join(b, col("an") < col("bn") &&
+          (expr("left(na, 3) = left(nb, 3)") ||
+            expr("right(na, 3) = right(nb, 3)")) &&
+          levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("an"), col("bn"))
+      val labels = graft.ops.Components.connectedComponents(np, "an", "bn")
+      val rec = nd
+        .join(broadcast(labels), col("nid") === col("id"), "left")
+        .select(coalesce(col("component"), col("nid")).as("entity"),
+          col("nid"), col("p_name"))
+        .join(c.part.select(col("p_partkey"), col("p_brand").as("br"),
+            round(col("p_retailprice") * 100 + lit(1e-9)).cast("long")
+              .as("pr"),
+            col("p_size").as("sz")),
+          col("nid") === col("p_partkey"))
+      val big = rec.groupBy("entity").agg(count(lit(1)).as("n_members"),
+          max(col("pr")).as("max_price_cents"),
+          min(col("sz")).cast("int").as("min_size"))
+        .filter(col("n_members") >= 2)
+      val wNm = Window.partitionBy("entity")
+        .orderBy(length(col("p_name")).desc, col("nid"))
+      val nm = rec.withColumn("rn", row_number().over(wNm))
+        .filter(col("rn") === 1)
+        .select(col("entity"), col("p_name").as("golden_name"))
+      val bc = rec.groupBy("entity", "br").agg(count(lit(1)).as("c"))
+      val wBr = Window.partitionBy("entity")
+        .orderBy(col("c").desc, col("br"))
+      val bw = bc.withColumn("rn", row_number().over(wBr))
+        .filter(col("rn") === 1)
+        .select(col("entity"), col("br").as("golden_brand"))
+      big.join(nm, Seq("entity")).join(bw, Seq("entity"))
+        .select(col("entity").as("entity_id"), col("n_members"),
+          col("golden_name"), col("golden_brand"),
+          col("max_price_cents"), col("min_size"))
+        .orderBy("entity_id")
+    },
   )
 }

@@ -1598,5 +1598,89 @@ object FeatureQueries {
           col("sc").as("score"))
       r1.union(r2).union(r3).orderBy("rnd", "seg")
     },
+
+    // Kleinberg two-state burst detection (Kleinberg 2002) in its
+    // ONLINE/FILTERED form over per-type daily event shares — the
+    // trending-topic automaton: state 0 expects the base share
+    // q0 = 1/8, state 1 the elevated q1 = 1/4, entering a burst pays a
+    // toll, each day's label is the argmin of the running path costs
+    // (ties to base). All four emission weights and the toll are
+    // PRE-SCALED INTEGER micro-nat constants (round(-ln(q)*1e6)
+    // computed offline — never an engine libm call), so the whole pass
+    // is exact BIGINT arithmetic on both engines. Runs as the
+    // Holt-device secondary-sort scan (ops/Burst.twoState); the oracle
+    // replays the identical integer recurrence as a recursive CTE with
+    // the holt_winters inner-derived-table device. The day x type grid
+    // is DENSE (absent combinations count 0 — the detector needs the
+    // gaps), built from one day aggregate x a broadcast type list.
+    q("ts_burst_kleinberg",
+      """WITH RECURSIVE ev AS (SELECT CAST(ts AS DATE) d, event_type et
+        |  FROM events),
+        |dt AS (SELECT d, count(*)::BIGINT n FROM ev GROUP BY 1),
+        |ty AS (SELECT DISTINCT et FROM ev),
+        |ct AS (SELECT d, et, count(*)::BIGINT k FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT ty.et, dt.d, coalesce(ct.k, 0)::BIGINT k, dt.n
+        |         FROM dt CROSS JOIN ty
+        |         LEFT JOIN ct ON ct.d = dt.d AND ct.et = ty.et),
+        |s AS (SELECT et, d, k, n,
+        |        row_number() OVER (PARTITION BY et ORDER BY d) rn,
+        |        count(*) OVER (PARTITION BY et) nd
+        |      FROM grid),
+        |rec(et, rn, c0, c1, prev, nb, ni, fb, nd) AS (
+        |  SELECT et, 1,
+        |    k * 2079442 + (n - k) * 133531,
+        |    4000000 + k * 1386294 + (n - k) * 287682,
+        |    CASE WHEN 4000000 + k * 1386294 + (n - k) * 287682
+        |              < k * 2079442 + (n - k) * 133531
+        |         THEN 1 ELSE 0 END,
+        |    CASE WHEN 4000000 + k * 1386294 + (n - k) * 287682
+        |              < k * 2079442 + (n - k) * 133531
+        |         THEN 1 ELSE 0 END,
+        |    CASE WHEN 4000000 + k * 1386294 + (n - k) * 287682
+        |              < k * 2079442 + (n - k) * 133531
+        |         THEN 1 ELSE 0 END,
+        |    CASE WHEN 4000000 + k * 1386294 + (n - k) * 287682
+        |              < k * 2079442 + (n - k) * 133531
+        |         THEN 1 ELSE 0 END,
+        |    nd
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT et, rn, nc0, nc1,
+        |    CASE WHEN nc1 < nc0 THEN 1 ELSE 0 END,
+        |    nb + CASE WHEN nc1 < nc0 THEN 1 ELSE 0 END,
+        |    ni + CASE WHEN nc1 < nc0 AND pv = 0 THEN 1 ELSE 0 END,
+        |    CASE WHEN fb > 0 THEN fb
+        |         WHEN nc1 < nc0 THEN rn ELSE 0 END,
+        |    nd
+        |  FROM (SELECT s.et, s.rn, rec.prev pv, rec.nb, rec.ni,
+        |          rec.fb, rec.nd,
+        |          least(rec.c0, rec.c1) + s.k * 2079442
+        |            + (s.n - s.k) * 133531 nc0,
+        |          least(rec.c1, rec.c0 + 4000000) + s.k * 1386294
+        |            + (s.n - s.k) * 287682 nc1
+        |        FROM rec JOIN s ON s.et = rec.et
+        |                       AND s.rn = rec.rn + 1))
+        |SELECT et AS event_type, nd::BIGINT AS n_days,
+        |  nb::BIGINT AS n_burst, ni::BIGINT AS n_intervals,
+        |  fb::BIGINT AS first_burst, least(c0, c1)::BIGINT AS cost
+        |FROM rec WHERE rn = nd ORDER BY et""") { c =>
+      val ev = c.events.select(col("ts").cast("date").as("d"),
+        col("event_type").as("et"))
+      val dayTot = ev.groupBy("d").agg(count(lit(1)).as("n"))
+      val cnt = ev.groupBy("d", "et").agg(count(lit(1)).as("k"))
+      val types = ev.select("et").distinct()
+      val grid = dayTot.crossJoin(broadcast(types))
+        .join(cnt, Seq("d", "et"), "left")
+        .select(col("et"), col("d"),
+          coalesce(col("k"), lit(0L)).as("k"), col("n"))
+      graft.ops.Burst.twoState(grid, "et", Seq(col("d")),
+          col("k"), col("n"),
+          a0 = 2079442L, b0 = 133531L, a1 = 1386294L, b1 = 287682L,
+          trans = 4000000L)
+        .select(col("et").as("event_type"), col("n_days"),
+          col("n_burst"), col("n_intervals"), col("first_burst"),
+          col("cost"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -518,6 +518,55 @@ object StreamOps {
       .toDF("key", "n", "size_level", "interval_level")
   }
 
+  /** Per-key streaming MACD state — the incremental counterpart of the
+    * `win_macd` batch scan (ops/Holt.macd): state per key is the O(1)
+    * quadruple (n, emaFast, emaSlow, signal); within each micro-batch
+    * rows replay in seq order, so ANY batch split of an in-order
+    * stream reproduces the batch triple-EMA recurrence BIT-EXACTLY
+    * (dyadic smoothing factors — spec-checked). Emits (key, n,
+    * ema_fast, ema_slow, macd, signal) after each batch; the histogram
+    * macd − signal is a read-time projection. */
+  def macdState(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      valCol: String,
+      aFast: Double,
+      aSlow: Double,
+      aSig: Double): DataFrame = {
+    require(aFast > aSlow, s"fast EMA must smooth less: $aFast <= $aSlow")
+    Seq("aFast" -> aFast, "aSlow" -> aSlow, "aSig" -> aSig).foreach {
+      case (nm, a) => require(a > 0 && a <= 1, s"$nm in (0,1], got $a")
+    }
+    val omF = 1 - aFast; val omS = 1 - aSlow; val omG = 1 - aSig
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(seqCol).cast("long").as("__s"),
+        col(valCol).cast("double").as("__y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Double, Double),
+        (Long, Long, Double, Double, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Double, Double, Double)]) =>
+          var (n, ef, es, sg) =
+            state.getOption.getOrElse((0L, 0.0, 0.0, 0.0))
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, y) =>
+            if (n == 0L) { n = 1L; ef = y; es = y; sg = 0.0 }
+            else {
+              ef = aFast * y + omF * ef
+              es = aSlow * y + omS * es
+              sg = aSig * (ef - es) + omG * sg
+              n += 1
+            }
+          }
+          state.update((n, ef, es, sg))
+          (key, n, ef, es, ef - es, sg)
+      }
+      .toDF("key", "n", "ema_fast", "ema_slow", "macd", "signal")
+  }
+
   /** Per-key streaming RSI state (the streaming counterpart of the
     * `win_rsi` batch query): state per key is (n, lastClose, the ring
     * of the last `period` integer diffs) — bounded state, exact

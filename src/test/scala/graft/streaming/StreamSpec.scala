@@ -899,6 +899,47 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MACD state equals the batch secondary-sort scan " +
+    "for any batch split (win_macd parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // (key, seq, value): key 1 spans the split mid-recurrence, key 2
+    // finishes in batch 1, key 3 appears only in batch 2; unordered
+    // seq WITHIN a batch exercises the in-batch sort
+    val ticks = Seq(
+      (1L, 10L, 100.0), (2L, 3L, 50.0), (1L, 12L, 140.0),
+      (2L, 9L, 75.0), (1L, 11L, 90.0),
+      (1L, 20L, 160.0), (3L, 5L, 20.0), (1L, 22L, 80.0))
+    val input = MemoryStream[(Long, Long, Double)]
+    val mac = StreamOps.macdState(
+      input.toDF.toDF("k", "s", "y"), "k", "s", "y",
+      aFast = 0.25, aSlow = 0.125, aSig = 0.5)
+    val q = mac.writeStream.format("memory")
+      .queryName("macd_stream").outputMode("update").start()
+    try {
+      input.addData(ticks.take(5))
+      q.processAllAvailable()
+      input.addData(ticks.drop(5))
+      q.processAllAvailable()
+      val streamed = sp.sql(
+        """SELECT key, n, ema_fast, ema_slow, macd, signal
+          |FROM macd_stream s
+          |WHERE n = (SELECT max(n) FROM macd_stream WHERE key = s.key)
+          |ORDER BY key""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val batch = graft.ops.Holt.macd(
+          ticks.toDF("k", "s", "y"), key = "k", order = Seq(col("s")),
+          value = col("y"), aFast = 0.25, aSlow = 0.125, aSig = 0.5)
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      assert(streamed == batch) // bit-identical doubles, no epsilon
+    } finally q.stop()
+  }
+
   test("streaming CDC apply materializes the same current image as " +
     "the batch keyed window for any batch split (rel_cdc_apply parity)") {
     val sp = spark
