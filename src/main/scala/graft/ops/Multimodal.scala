@@ -1056,6 +1056,49 @@ object Multimodal {
       })
   }
 
+  final case class ProfileStats(doc_id: Long, width: Int, height: Int,
+      n_inked_rows: Long, n_lines: Long, max_line_height: Long,
+      max_row_ink: Long)
+
+  /** Horizontal projection profile + text-line segmentation — the
+    * classic pre-OCR layout step (rows with ink form the profile;
+    * maximal runs of consecutive inked rows are the text lines).
+    * Foreground = gray value below `fgBelow`. Partition-local per
+    * image (one pass over the decoded rows; O(height) state), same
+    * decode path as [[otsuGray]]/[[blobsGray]]. */
+  def projectionProfile(df: DataFrame, idCol: String, fgBelow: Int = 128,
+      payloadCol: String = "payload"): Dataset[ProfileStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            var inked = 0L; var lines = 0L
+            var run = 0L; var maxRun = 0L; var maxInk = 0L
+            var y = 0
+            while (y < h) {
+              var ink = 0L
+              var x = 0
+              while (x < w) {
+                if (px((y * w + x) * 3) < fgBelow) ink += 1
+                x += 1
+              }
+              if (ink > 0) {
+                inked += 1
+                if (run == 0L) lines += 1
+                run += 1
+                if (run > maxRun) maxRun = run
+                if (ink > maxInk) maxInk = ink
+              } else run = 0L
+              y += 1
+            }
+            ProfileStats(id, w, h, inked, lines, maxRun, maxInk)
+          }
+      })
+  }
+
   /** Per-clip sample statistics from REAL PCM16 decoding — mean, RMS,
     * absolute peak over the interleaved samples. */
   final case class SampleStats(doc_id: Long, channels: Int,

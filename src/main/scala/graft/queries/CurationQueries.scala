@@ -1879,5 +1879,59 @@ object CurationQueries {
           col("max_price_cents"), col("min_size"))
         .orderBy("entity_id")
     },
+
+    // Kendall's coefficient of concordance W (Kendall & Babington
+    // Smith 1939) across m = 3 deterministic part rankings (by retail
+    // price, by size, by name; ties broken by key) — the multi-judge
+    // agreement statistic rank_rrf/rank_borda fuse without measuring:
+    // W = S / (m^2 (n^3 - n) / 12), reported with the mean pairwise
+    // Spearman rho = (mW - 1)/(m - 1). EXACT arithmetic throughout:
+    // with dev = 2(R_i) - 3(n+1) (twice the centered rank sum, always
+    // an integer), S4 = Sum dev^2 = 4S is a BIGINT and
+    // W = S4 / (3 (n^3 - n)) is the single final division. Global
+    // ranks use Positional.withRowNumber (range-bucketed two-phase
+    // numbering — never a single-partition window over the corpus);
+    // the three rank relations join back on the key.
+    q("rank_kendall_w",
+      """WITH b AS (SELECT p_partkey k,
+        |    CAST(round(p_retailprice * 100 + 1e-9) AS BIGINT) pr,
+        |    p_size sz, p_name nm FROM part),
+        |r AS (SELECT k,
+        |    row_number() OVER (ORDER BY pr, k)::BIGINT r1,
+        |    row_number() OVER (ORDER BY sz, k)::BIGINT r2,
+        |    row_number() OVER (ORDER BY nm, k)::BIGINT r3 FROM b),
+        |t AS (SELECT count(*)::BIGINT n FROM b),
+        |s AS (SELECT sum((2 * (r1 + r2 + r3) - 3 * (n + 1))
+        |               * (2 * (r1 + r2 + r3) - 3 * (n + 1)))::BIGINT s4,
+        |        max(n)::BIGINT n
+        |      FROM r, t)
+        |SELECT n AS n_items, s4,
+        |  round(s4 * 1.0 / (3 * (n * n * n - n)) + 1e-9, 6)
+        |    AS kendall_w,
+        |  round((3.0 * (s4 * 1.0 / (3 * (n * n * n - n))) - 1.0) / 2
+        |        + 1e-9, 6) AS rho_mean
+        |FROM s""") { c =>
+      import graft.ops.Positional
+      val base = c.part.select(col("p_partkey").as("k"),
+        round(col("p_retailprice") * 100 + lit(1e-9)).cast("long")
+          .as("pr"),
+        col("p_size").as("sz"), col("p_name").as("nm"))
+      def ranked(by: org.apache.spark.sql.Column, name: String) =
+        Positional.withRowNumber(base, Seq(by, col("k")), name)
+          .select(col("k"), col(name).cast("long").as(name))
+      val j = ranked(col("pr"), "r1")
+        .join(ranked(col("sz"), "r2"), Seq("k"))
+        .join(ranked(col("nm"), "r3"), Seq("k"))
+      val nn = base.count()
+      val dev = lit(2) * (col("r1") + col("r2") + col("r3")) -
+        lit(3L * (nn + 1))
+      val s = j.select(dev.as("dev"))
+        .agg(sum(col("dev") * col("dev")).as("s4"))
+      val den = 3L * (nn * nn * nn - nn)
+      val wExpr = col("s4") * 1.0 / den
+      s.select(lit(nn).as("n_items"), col("s4"),
+        r6(wExpr).as("kendall_w"),
+        r6((lit(3.0) * wExpr - 1.0) / 2).as("rho_mean"))
+    },
   )
 }

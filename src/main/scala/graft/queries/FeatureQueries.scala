@@ -1682,5 +1682,81 @@ object FeatureQueries {
           col("cost"))
         .orderBy("event_type")
     },
+
+    // SAX symbolic aggregate approximation (Lin, Keogh, Lonardi & Chiu
+    // 2003 — the discretization behind motif discovery and symbolic
+    // time-series indexing): per user series, 8-segment PAA of the
+    // cent-quantized values, z-normalized against the user's own
+    // mean/sd, mapped to a 4-letter alphabet at the Gaussian
+    // quartile breakpoints (+-0.6745, pinned literals — never an
+    // engine quantile call). Determinism: every count/sum is an exact
+    // BIGINT, mean and sd derive from the one-pass integer moments
+    // (vnum = n*Svv - Sv^2, exact; zero-variance series excluded on
+    // the INTEGER vnum before sqrt), so each z is the identical
+    // correctly-rounded double on both engines and every breakpoint
+    // comparison lands identically. Scale shape: one user-partitioned
+    // window pass for positions, two hash aggregations (user stats,
+    // user x segment PAA), string assembly from an 8-element sorted
+    // collect — never a corpus-wide sort or collect.
+    q("ts_sax_symbols",
+      """WITH e AS (SELECT user_id u,
+        |    CAST(round(value * 100 + 1e-9) AS BIGINT) v,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) rn,
+        |    count(*) OVER (PARTITION BY user_id) n
+        |  FROM events WHERE user_id < 30),
+        |us AS (SELECT u, max(n)::BIGINT n, sum(v)::BIGINT sv,
+        |         sum(v * v)::BIGINT svv FROM e GROUP BY 1),
+        |seg AS (SELECT u, (rn - 1) * 8 // n s, sum(v)::BIGINT ssum,
+        |          count(*)::BIGINT scnt FROM e GROUP BY 1, 2),
+        |z AS (SELECT seg.u, seg.s,
+        |        (seg.ssum * 1.0 / seg.scnt - us.sv * 1.0 / us.n)
+        |          / (sqrt((us.n * us.svv - us.sv * us.sv) * 1.0)
+        |             / us.n) zv,
+        |        us.n
+        |      FROM seg JOIN us ON seg.u = us.u
+        |      WHERE us.n * us.svv - us.sv * us.sv > 0),
+        |sym AS (SELECT u, s, n,
+        |          CASE WHEN zv < -0.6745 THEN 'a'
+        |               WHEN zv < 0.0 THEN 'b'
+        |               WHEN zv < 0.6745 THEN 'c'
+        |               ELSE 'd' END sy
+        |        FROM z)
+        |SELECT u AS user_id, max(n)::BIGINT AS n,
+        |  string_agg(sy, '' ORDER BY s) AS sax,
+        |  count(DISTINCT sy)::BIGINT AS n_sym
+        |FROM sym GROUP BY 1 ORDER BY user_id""") { c =>
+      val w = Window.partitionBy("u")
+        .orderBy(col("ts"), col("event_id"))
+      val e = c.events.filter(col("user_id") < 30)
+        .select(col("user_id").as("u"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("v"),
+          col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("u")).cast("long"))
+      val us = e.groupBy("u").agg(max(col("n")).as("n"),
+        sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+      val seg = e.groupBy(col("u"), expr("(rn - 1) * 8 div n").as("s"))
+        .agg(sum(col("v")).as("ssum"), count(lit(1)).as("scnt"))
+      val z = seg.join(us, Seq("u"))
+        .filter(col("n") * col("svv") - col("sv") * col("sv") > 0)
+        .select(col("u"), col("s"), col("n"),
+          ((col("ssum") * 1.0 / col("scnt") -
+              col("sv") * 1.0 / col("n")) /
+            (sqrt((col("n") * col("svv") - col("sv") * col("sv")) *
+              1.0) / col("n"))).as("zv"))
+      val sym = z.select(col("u"), col("s"), col("n"),
+        when(col("zv") < -0.6745, "a")
+          .when(col("zv") < 0.0, "b")
+          .when(col("zv") < 0.6745, "c").otherwise("d").as("sy"))
+      sym.groupBy(col("u").as("user_id"))
+        .agg(max(col("n")).as("n"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(s, sy))), " +
+            "x -> x.sy)"), "").as("sax"),
+          countDistinct(col("sy")).as("n_sym"))
+        .orderBy("user_id")
+    },
   )
 }

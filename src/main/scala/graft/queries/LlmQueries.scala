@@ -2246,6 +2246,77 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Horizontal projection-profile TEXT-LINE segmentation — the
+    // classic pre-OCR layout step beside mm_blob_labeling: rows with
+    // any ink form the profile, maximal runs of consecutive inked rows
+    // are the lines (ops/Multimodal.projectionProfile — one
+    // partition-local pass per decoded image, O(height) state). The
+    // fixture writes LINE-structured ink (rows with (id+y) % 3 = 0
+    // stay blank, others carry the speckle law), so line heights and
+    // gaps vary per doc key. The oracle regenerates the ink mask
+    // arithmetically and segments the inked rows with the
+    // gaps-and-islands window device (y - row_number() run groups).
+    q("mm_projection_profile",
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |ink AS (SELECT doc_id, p // w y FROM px
+        |        WHERE (doc_id + p // w) % 3 <> 0
+        |          AND (doc_id * 3 + p * 7) % 5 < 2),
+        |rw AS (SELECT doc_id, y, count(*)::BIGINT ink
+        |       FROM ink GROUP BY 1, 2),
+        |isl AS (SELECT doc_id, y, ink,
+        |          y - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY y) grp
+        |        FROM rw),
+        |ln AS (SELECT doc_id, grp, count(*)::BIGINT hgt
+        |       FROM isl GROUP BY 1, 2),
+        |la AS (SELECT doc_id, count(*)::BIGINT n_lines,
+        |         max(hgt)::BIGINT max_line_height FROM ln GROUP BY 1),
+        |ra AS (SELECT doc_id, count(*)::BIGINT n_inked_rows,
+        |         max(ink)::BIGINT max_row_ink FROM rw GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height,
+        |  coalesce(ra.n_inked_rows, 0)::BIGINT AS n_inked_rows,
+        |  coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+        |  coalesce(la.max_line_height, 0)::BIGINT AS max_line_height,
+        |  coalesce(ra.max_row_ink, 0)::BIGINT AS max_row_ink
+        |FROM d LEFT JOIN la ON d.doc_id = la.doc_id
+        |LEFT JOIN ra ON d.doc_id = ra.doc_id
+        |ORDER BY d.doc_id""") { c =>
+      val mkLineBmp = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val inked = (id + y) % 3 != 0 && (id * 3 + p * 7) % 5 < 2
+            val gv = (if (inked) 30 else 220).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.projectionProfile(
+          c.documents.select(col("doc_id"),
+            mkLineBmp(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_inked_rows"), col("n_lines"), col("max_line_height"),
+          col("max_row_ink"))
+        .orderBy("doc_id")
+    },
+
     q("mm_decode_bmp",
       """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT w,
         |                  (1 + doc_id % 2)::BIGINT h FROM documents),

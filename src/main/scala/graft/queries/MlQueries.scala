@@ -2137,5 +2137,60 @@ object MlQueries {
           max(col("ca")).as("coef_a"), max(col("cb")).as("coef_b"))
         .orderBy("bin")
     },
+
+    // Weight-of-Evidence / Information-Value binning (the credit-
+    // scoring standard behind scorecard feature selection, Siddiqi
+    // 2006): per quantity-quintile bin, WoE = ln(%good / %bad) and the
+    // IV contribution (%good - %bad) * WoE; total IV is the classic
+    // keep/drop feature gate (< 0.02 useless, > 0.3 strong).
+    // Determinism: bin counts are exact BIGINTs, each WoE is one ln()
+    // of a ratio of exact integer products (identical input double on
+    // both engines), and the total IV folds the 10 contributions in
+    // pinned bin order. Scale shape: ONE corpus hash aggregation to 10
+    // bins; everything after is 10-row arithmetic with 1-row
+    // broadcast totals.
+    q("ml_woe_iv",
+      """WITH d AS (SELECT (l_quantity::BIGINT - 1) // 5 bin,
+        |    CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END y
+        |  FROM lineitem),
+        |bb AS (SELECT bin, count(*)::BIGINT n, sum(y)::BIGINT g
+        |       FROM d GROUP BY 1),
+        |b2 AS (SELECT bin, n, g, n - g bd FROM bb),
+        |t AS (SELECT sum(g)::BIGINT gt, sum(bd)::BIGINT bt FROM b2),
+        |w AS (SELECT bin, n, g, bd, gt, bt,
+        |        ln((g * bt * 1.0) / (bd * gt)) wv,
+        |        g * 1.0 / gt - bd * 1.0 / bt dp FROM b2, t),
+        |w2 AS (SELECT bin, n, g n_good, bd n_bad, wv, dp * wv ivc
+        |       FROM w),
+        |iv AS (SELECT list_reduce(list(ivc ORDER BY bin),
+        |         (a, x) -> a + x) iv FROM w2)
+        |SELECT bin, n, n_good, n_bad, round(wv + 1e-9, 6) AS woe,
+        |  round(ivc + 1e-9, 6) AS iv_contrib,
+        |  round(iv.iv + 1e-9, 6) AS iv
+        |FROM w2, iv ORDER BY bin""") { c =>
+      val d = c.lineitem.select(
+        expr("(CAST(l_quantity AS BIGINT) - 1) div 5").as("bin"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      val b2 = d.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("g"))
+        .withColumn("bd", col("n") - col("g"))
+      val t = b2.agg(sum(col("g")).as("gt"), sum(col("bd")).as("bt"))
+      val w2 = b2.crossJoin(broadcast(t))
+        .select(col("bin"), col("n"), col("g").as("n_good"),
+          col("bd").as("n_bad"),
+          log((col("g") * col("bt") * 1.0) / (col("bd") * col("gt")))
+            .as("wv"),
+          (col("g") * 1.0 / col("gt") - col("bd") * 1.0 / col("bt"))
+            .as("dp"))
+        .withColumn("ivc", col("dp") * col("wv"))
+      val iv = w2.agg(aggregate(array_sort(collect_list(struct(
+          col("bin"), col("ivc").as("tm")))),
+        lit(0.0), (a, x) => a + x.getField("tm")).as("iv"))
+      w2.crossJoin(broadcast(iv))
+        .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+          r6(col("wv")).as("woe"), r6(col("ivc")).as("iv_contrib"),
+          r6(col("iv")).as("iv"))
+        .orderBy("bin")
+    },
   )
 }

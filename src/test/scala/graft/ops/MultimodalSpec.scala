@@ -571,6 +571,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == ((6L, 1L, 6L)))
   }
 
+  test("projectionProfile: line runs, heights, and blank images") {
+    val sp = spark
+    import sp.implicits._
+    // 3x5 image, rows 0-1 inked, row 2 blank, rows 3-4 inked:
+    // two lines, heights 2 and 2, max row ink varies by row
+    def pixel(x: Int, y: Int, c: Int): Int =
+      if (y == 2) 255                       // blank separator row
+      else if (y == 0) { if (x == 0) 0 else 255 } // row 0: 1 ink px
+      else if (x < 2) 10 else 255           // other inked rows: 2 px
+    val df = Seq(
+      (1L, bmp24(3, 5, topDown = false, pixel)),
+      (2L, bmp24(3, 2, topDown = true, (_, _, _) => 255))) // all blank
+      .toDF("doc_id", "payload")
+    val got = Multimodal.projectionProfile(df, "doc_id").collect()
+      .map(r => r.doc_id ->
+        ((r.n_inked_rows, r.n_lines, r.max_line_height, r.max_row_ink)))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 2L, 2L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("otsuGray: non-BMP payloads drop, nulls do not throw") {
     val sp = spark
     import sp.implicits._
