@@ -1758,5 +1758,83 @@ object FeatureQueries {
           countDistinct(col("sy")).as("n_sym"))
         .orderBy("user_id")
     },
+
+    // Matrix profile (Yeh et al. 2016, ICDM — THE modern time-series
+    // mining primitive): for every 7-day window of the daily revenue
+    // series, the distance to its nearest non-overlapping neighbor
+    // window; minima are MOTIFS (repeated structure), maxima are
+    // DISCORDS (anomalies). This is the non-normalized (Euclidean-on-
+    // levels) profile, so every pairwise distance is an EXACT BIGINT:
+    // windows hold kilodollar integers and d2 = Sum (a_i - b_i)^2 folds
+    // in one zip_with — both argmins and the motif/discord rankings
+    // order on exact integers with pinned day ties. Scale shape: one
+    // corpus aggregation to the day grid, a window-array projection
+    // over that AGGREGATED relation, and the day-grid x day-grid pair
+    // join (the documented ts_acf/day-grid BNLJ class, allowlisted
+    // with a machine-checked GRID_BOUND — the grid is bounded by the
+    // calendar, not the corpus). Top-5 motifs + top-5 discords out.
+    q("ts_matrix_profile",
+      """WITH daily AS (SELECT o_orderdate d,
+        |    (sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |     + 50000) // 100000 x
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT d, x, row_number() OVER (ORDER BY d) t,
+        |          list(x) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+        |            AND CURRENT ROW) wa
+        |        FROM daily),
+        |win AS (SELECT t, d, wa FROM cum WHERE len(wa) = 7),
+        |pr AS (SELECT a.t ta, a.d da, b.t tb,
+        |         list_reduce(list_transform(range(1, 8),
+        |           i -> (a.wa[i] - b.wa[i]) * (a.wa[i] - b.wa[i])),
+        |           (p, q) -> p + q) d2
+        |       FROM win a JOIN win b ON abs(a.t - b.t) >= 7),
+        |nn AS (SELECT ta, da, tb, d2,
+        |         row_number() OVER (PARTITION BY ta
+        |           ORDER BY d2, tb) rn
+        |       FROM pr),
+        |n1 AS (SELECT ta, da, tb, d2 FROM nn WHERE rn = 1),
+        |mo AS (SELECT 'motif' kind, ta, da, tb, d2,
+        |         row_number() OVER (ORDER BY d2, ta) rk FROM n1),
+        |di AS (SELECT 'discord' kind, ta, da, tb, d2,
+        |         row_number() OVER (ORDER BY d2 DESC, ta) rk FROM n1)
+        |SELECT kind, ta::BIGINT AS t, da::VARCHAR AS day,
+        |  tb::BIGINT AS nn_t, d2::BIGINT AS nn_dist2
+        |FROM (SELECT * FROM mo WHERE rk <= 5
+        |      UNION ALL SELECT * FROM di WHERE rk <= 5)
+        |ORDER BY kind, t""") { c =>
+      val daily = c.orders.groupBy(col("o_orderdate").as("d"))
+        .agg(expr("(sum(CAST(round(o_totalprice * 100 + 1e-9) AS " +
+          "BIGINT)) + 50000) div 100000").as("x"))
+      val wOrd = Window.orderBy("d")
+      val win = daily
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("wa", collect_list(col("x")).over(
+          wOrd.rowsBetween(-6, 0)))
+        .filter(size(col("wa")) === 7)
+        .select(col("t"), col("d"), col("wa"))
+      val pairs = win.as("a")
+        .join(win.as("b"), abs(col("a.t") - col("b.t")) >= 7)
+        .select(col("a.t").as("ta"), col("a.d").as("da"),
+          col("b.t").as("tb"), col("a.wa").as("waa"),
+          col("b.wa").as("wab"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(waa, wab, (p, q) -> (p - q) * (p - q)), " +
+          "0L, (acc, v) -> acc + v)"))
+      val n1 = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy("ta").orderBy(col("d2"), col("tb"))))
+        .filter(col("rn") === 1)
+        .select(col("ta"), col("da"), col("tb"), col("d2"))
+      val mo = n1.orderBy(col("d2").asc, col("ta")).limit(5)
+        .select(lit("motif").as("kind"), col("ta"), col("da"),
+          col("tb"), col("d2"))
+      val di = n1.orderBy(col("d2").desc, col("ta")).limit(5)
+        .select(lit("discord").as("kind"), col("ta"), col("da"),
+          col("tb"), col("d2"))
+      mo.union(di)
+        .select(col("kind"), col("ta").as("t"),
+          col("da").cast("string").as("day"), col("tb").as("nn_t"),
+          col("d2").as("nn_dist2"))
+        .orderBy("kind", "t")
+    },
   )
 }

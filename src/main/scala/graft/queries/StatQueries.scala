@@ -4853,5 +4853,59 @@ object StatQueries {
               col("su").cast("double") * col("su").cast("double"))))
           .as("bp_lm"))
     },
+
+    // Hodges–Lehmann pseudo-median (Hodges & Lehmann 1963) of the
+    // daily kilodollar revenue series — the rank-based location
+    // estimator behind the Wilcoxon signed-rank interval: the median
+    // of all Walsh averages (x_i + x_j)/2, i <= j. A mean that keeps
+    // ~29% breakdown robustness, reported beside the plain mean to
+    // expose skew. EXACT throughout: Walsh averages are carried as the
+    // INTEGER sums x_i + x_j; their median is the lower order
+    // statistic ceil(m/2) resolved by cumulative rank over the SUM
+    // HISTOGRAM (the grouped-exact-median device — bounded by the
+    // value domain, never a corpus sort); HL = median_sum / 2 is the
+    // single final division. Scale shape: one corpus aggregation to
+    // the day grid, the day-grid x day-grid pair join (documented
+    // GRID_BOUND BNLJ class), one hash aggregation to the sum
+    // histogram, a window over that aggregated relation, one 1-row
+    // limit.
+    q("stat_hodges_lehmann",
+      """WITH daily AS (SELECT o_orderdate d,
+        |    (sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |     + 50000) // 100000 x
+        |  FROM orders GROUP BY 1),
+        |pr AS (SELECT a.x + b.x s FROM daily a JOIN daily b
+        |       ON a.d <= b.d),
+        |h AS (SELECT s, count(*)::BIGINT cnt FROM pr GROUP BY 1),
+        |cu AS (SELECT s, cnt, sum(cnt) OVER (ORDER BY s) cum FROM h),
+        |t AS (SELECT count(*)::BIGINT n, sum(x)::BIGINT sx FROM daily),
+        |m AS (SELECT (n * (n + 1)) // 2 m, n, sx FROM t),
+        |med AS (SELECT cu.s FROM cu, m
+        |        WHERE cu.cum >= (m.m + 1) // 2
+        |        ORDER BY cu.s LIMIT 1)
+        |SELECT m.n AS n_days, m.m AS n_walsh,
+        |  round(med.s / 2.0 + 1e-9, 6) AS hl,
+        |  round(m.sx * 1.0 / m.n + 1e-9, 6) AS mean
+        |FROM m, med""") { c =>
+      val daily = c.orders.groupBy(col("o_orderdate").as("d"))
+        .agg(expr("(sum(CAST(round(o_totalprice * 100 + 1e-9) AS " +
+          "BIGINT)) + 50000) div 100000").as("x"))
+      val pr = daily.as("a")
+        .join(daily.as("b"), col("a.d") <= col("b.d"))
+        .select((col("a.x") + col("b.x")).as("s"))
+      val h = pr.groupBy("s").agg(count(lit(1)).as("cnt"))
+      val cu = h.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("s")))
+      val t = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .select(expr("(n * (n + 1)) div 2").as("m"), col("n"),
+          col("sx"))
+      val med = cu.crossJoin(broadcast(t))
+        .filter(col("cum") >= expr("(m + 1) div 2"))
+        .orderBy("s").limit(1).select(col("s"))
+      broadcast(t).crossJoin(broadcast(med))
+        .select(col("n").as("n_days"), col("m").as("n_walsh"),
+          r6(col("s") / 2.0).as("hl"),
+          r6(col("sx") * 1.0 / col("n")).as("mean"))
+    },
   )
 }

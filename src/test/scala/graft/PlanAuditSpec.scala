@@ -69,6 +69,10 @@ class PlanAuditSpec extends SparkSpec {
       // lang-domain class model (k ≈ 6 languages): the NB class grid
       // is a grouped aggregate over the language attribute domain
       "ml_naive_bayes" -> DOMAIN_BOUND,
+      // event_type has 5 values: the burst detector's dense day x type
+      // grid broadcasts the distinct-type list (an aggregate over that
+      // fixed attribute domain)
+      "ts_burst_kleinberg" -> DOMAIN_BOUND,
       // o_orderpriority has exactly 5 values: the (value × group)
       // lattice's group side is an aggregate over that fixed domain
       "stat_jonckheere" -> DOMAIN_BOUND,
@@ -90,6 +94,11 @@ class PlanAuditSpec extends SparkSpec {
       "stat_mann_kendall" -> GRID_BOUND,
       "stat_permutation_test" -> GRID_BOUND,
       "ts_acf" -> GRID_BOUND,
+      // day-grid x day-grid pair joins (matrix-profile windows; Walsh
+      // averages): both sides are the daily-revenue aggregate, bounded
+      // by the calendar range, not corpus row count
+      "ts_matrix_profile" -> GRID_BOUND,
+      "stat_hodges_lehmann" -> GRID_BOUND,
       "ts_pacf" -> GRID_BOUND,
       "ts_ljung_box" -> GRID_BOUND,
       "ts_backtest" -> GRID_BOUND,
