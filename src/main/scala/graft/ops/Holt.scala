@@ -342,4 +342,95 @@ object Holt {
       }
     }(Encoders.row(out))
   }
+
+  /** Simple-exponential-smoothing MODEL SELECTION per series: run the
+    * SES recurrence l = a*y + (1-a)*l simultaneously for every alpha
+    * in a pinned dyadic grid, accumulating the one-step-ahead SSE
+    * (e_t = y_t - l_{t-1}, from the second observation), and pick the
+    * argmin (ties to the smaller alpha). The hyperparameter sweep a
+    * forecasting pipeline runs per key — in ONE secondary-sort pass
+    * with O(|grid|) state, not |grid| passes. Dyadic alphas keep both
+    * engines' recurrences bit-identical, each SSE is the same
+    * sequential fold of identical doubles on both engines, and the
+    * argmin compares those identical doubles — so a recursive-CTE
+    * oracle carrying one (level, sse) pair per alpha replays the
+    * selection exactly. Output: (key, n, best_alpha, sse_best). */
+  def sesGrid(
+      df: DataFrame,
+      key: String,
+      order: Seq[Column],
+      value: Column,
+      alphas: Seq[Double]): DataFrame = {
+    require(alphas.nonEmpty && alphas == alphas.sorted &&
+      alphas.distinct == alphas,
+      s"alphas must be a sorted distinct grid, got $alphas")
+    alphas.foreach(a => require(a > 0 && a <= 1, s"alpha in (0,1]: $a"))
+    val keyType = df.schema(key).dataType
+    val out = StructType(Seq(
+      StructField(key, keyType),
+      StructField("n", LongType, nullable = false),
+      StructField("best_alpha", DoubleType, nullable = false),
+      StructField("sse_best", DoubleType, nullable = false)))
+    val as = alphas.toArray
+    val prepared = df
+      .select(Seq(col(key).as("__k"), value.cast("double").as("__y")) ++
+        order: _*)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k") +: order: _*)
+      .select(col("__k"), col("__y"))
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private val g = as.length
+        private var cur: Any = null
+        private var has = false
+        private var n = 0L
+        private val lvl = new Array[Double](g)
+        private val sse = new Array[Double](g)
+        private var pending: Row = null
+
+        private def emit(): Row = {
+          var best = 0
+          var i = 1
+          while (i < g) { // strict <: ties keep the smaller alpha
+            if (sse(i) < sse(best)) best = i
+            i += 1
+          }
+          Row(cur, n, as(best), sse(best))
+        }
+
+        override def hasNext: Boolean = pending != null || advance()
+
+        private def advance(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val y = r.getDouble(1)
+            if (!has || k != cur) {
+              val done = if (has) emit() else null
+              cur = k; has = true; n = 1L
+              var i = 0
+              while (i < g) { lvl(i) = y; sse(i) = 0.0; i += 1 }
+              if (done != null) { pending = done; return true }
+            } else {
+              var i = 0
+              while (i < g) {
+                val e = y - lvl(i)
+                sse(i) += e * e
+                lvl(i) = as(i) * y + (1 - as(i)) * lvl(i)
+                i += 1
+              }
+              n += 1
+            }
+          }
+          if (has) { pending = emit(); has = false; return true }
+          false
+        }
+
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r4 = pending; pending = null; r4
+        }
+      }
+    }(Encoders.row(out))
+  }
 }

@@ -1099,6 +1099,47 @@ object Multimodal {
       })
   }
 
+  final case class EntropyStats(doc_id: Long, width: Int, height: Int,
+      n_levels: Int, max_count: Long, entropy: Double)
+
+  /** Shannon entropy of the gray-level histogram per decoded BMP —
+    * the standard image-complexity / information-content screen (a
+    * blank scan has entropy ~0; dense text or texture approaches
+    * ln(levels)). H = ln(n) - (Sum_v cnt_v * ln(cnt_v)) / n with the
+    * level fold in PINNED ascending-v order, so the only FP inputs
+    * are ln() of exact integers — the same cross-engine class as the
+    * corpus ln queries, absorbed by the caller's rounding. Partition-
+    * local per image, O(256) state. */
+  def entropyGray(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[EntropyStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            val n = w.toLong * h
+            val hist = new Array[Long](256)
+            var i = 0
+            while (i < px.length) { hist(px(i)) += 1; i += 3 }
+            var levels = 0; var maxC = 0L; var acc = 0.0
+            var v = 0
+            while (v < 256) { // pinned ascending-v fold
+              val c = hist(v)
+              if (c > 0) {
+                levels += 1
+                if (c > maxC) maxC = c
+                acc += c * math.log(c.toDouble)
+              }
+              v += 1
+            }
+            EntropyStats(id, w, h, levels, maxC,
+              math.log(n.toDouble) - acc / n)
+          }
+      })
+  }
+
   /** Per-clip sample statistics from REAL PCM16 decoding — mean, RMS,
     * absolute peak over the interleaved samples. */
   final case class SampleStats(doc_id: Long, channels: Int,

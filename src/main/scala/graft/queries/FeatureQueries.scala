@@ -1836,5 +1836,52 @@ object FeatureQueries {
           col("d2").as("nn_dist2"))
         .orderBy("kind", "t")
     },
+
+    // SES hyperparameter selection per user series — the alpha sweep a
+    // forecasting pipeline actually runs before ts_holt: the simple-
+    // exponential-smoothing recurrence for the dyadic grid
+    // {1/4, 1/2, 3/4} evaluated SIMULTANEOUSLY in one secondary-sort
+    // pass (ops/Holt.sesGrid, O(|grid|) state — not |grid| passes),
+    // scored by one-step-ahead SSE, argmin with ties to the smaller
+    // alpha. Dyadic alphas keep the recurrences bit-identical across
+    // engines; the oracle carries one (level, sse) pair per alpha
+    // through the recursive CTE and replays the identical argmin.
+    q("ts_ses_grid",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) rn,
+        |         count(*) OVER (PARTITION BY user_id) n
+        |  FROM events WHERE user_id < 50),
+        |rec(user_id, rn, l1, s1, l2, s2, l3, s3, n) AS (
+        |  SELECT user_id, 1, value, 0.0::DOUBLE, value, 0.0::DOUBLE,
+        |         value, 0.0::DOUBLE, n
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    0.25::DOUBLE * s.value + 0.75::DOUBLE * rec.l1,
+        |    rec.s1 + (s.value - rec.l1) * (s.value - rec.l1),
+        |    0.5::DOUBLE * s.value + 0.5::DOUBLE * rec.l2,
+        |    rec.s2 + (s.value - rec.l2) * (s.value - rec.l2),
+        |    0.75::DOUBLE * s.value + 0.25::DOUBLE * rec.l3,
+        |    rec.s3 + (s.value - rec.l3) * (s.value - rec.l3),
+        |    rec.n
+        |  FROM rec JOIN s ON s.user_id = rec.user_id
+        |                 AND s.rn = rec.rn + 1)
+        |SELECT user_id, n::BIGINT AS n,
+        |  CASE WHEN s1 <= s2 AND s1 <= s3 THEN 0.25
+        |       WHEN s2 <= s3 THEN 0.5 ELSE 0.75 END AS best_alpha,
+        |  round(CASE WHEN s1 <= s2 AND s1 <= s3 THEN s1
+        |             WHEN s2 <= s3 THEN s2 ELSE s3 END + 1e-9, 4)
+        |    AS sse_best
+        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+      val fitted = graft.ops.Holt.sesGrid(
+        c.events.filter(col("user_id") < 50),
+        key = "user_id", order = Seq(col("ts"), col("event_id")),
+        value = col("value"), alphas = Seq(0.25, 0.5, 0.75))
+      fitted.select(col("user_id"), col("n"), col("best_alpha"),
+          r4(col("sse_best")).as("sse_best"))
+        .orderBy("user_id")
+    },
   )
 }

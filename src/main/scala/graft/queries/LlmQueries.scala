@@ -317,6 +317,85 @@ object LlmQueries {
         .orderBy("lang_a", "lang_b")
     },
 
+    // Stratified corpus sampling with EXACT Hamilton (largest-
+    // remainder) apportionment — the quota step of every
+    // cluster/language-balanced pretraining mix (D4 / SemDeDup-style
+    // diversity sampling): allocate a K=100-doc budget across language
+    // strata as base_i = floor(n_i*K/N) plus one extra for the largest
+    // remainders (ties to lang order), then draw each stratum's quota
+    // DETERMINISTICALLY (longest docs first, doc_id ties). Every
+    // quantity is an exact integer — floor quotas, modular remainders,
+    // rank cutoffs, sampled character sums — so the sample is
+    // bit-reproducible, the property a training-mix manifest needs.
+    // Scale shape: one corpus aggregation to k strata, k-row window
+    // arithmetic, one lang-partitioned corpus window for the draw.
+    q("llm_stratified_quota",
+      """WITH st AS (SELECT lang, count(*)::BIGINT n_docs
+        |            FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT nt FROM st),
+        |q0 AS (SELECT lang, n_docs, (n_docs * 100) // nt base,
+        |         (n_docs * 100) % nt rem FROM st, t),
+        |lo AS (SELECT 100 - sum(base)::BIGINT left_over FROM q0),
+        |rk AS (SELECT lang, n_docs, base, rem,
+        |         row_number() OVER (ORDER BY rem DESC, lang) rr
+        |       FROM q0),
+        |qf AS (SELECT lang, n_docs, base, rem,
+        |         base + CASE WHEN rr <= (SELECT left_over FROM lo)
+        |                     THEN 1 ELSE 0 END quota
+        |       FROM rk),
+        |samp AS (SELECT lang, doc_id, n_chars,
+        |           row_number() OVER (PARTITION BY lang
+        |             ORDER BY n_chars DESC, doc_id) rn
+        |         FROM documents),
+        |sel AS (SELECT s.lang, s.doc_id, s.n_chars
+        |        FROM samp s JOIN qf ON s.lang = qf.lang
+        |                           AND s.rn <= qf.quota),
+        |ag AS (SELECT lang, count(*)::BIGINT n_sampled,
+        |         min(doc_id)::BIGINT first_doc,
+        |         sum(n_chars)::BIGINT sample_chars
+        |       FROM sel GROUP BY 1)
+        |SELECT qf.lang, qf.n_docs, qf.base::BIGINT AS quota_base,
+        |  qf.rem::BIGINT AS remainder, qf.quota::BIGINT AS quota,
+        |  coalesce(ag.n_sampled, 0)::BIGINT AS n_sampled,
+        |  coalesce(ag.first_doc, 0)::BIGINT AS first_doc,
+        |  coalesce(ag.sample_chars, 0)::BIGINT AS sample_chars
+        |FROM qf LEFT JOIN ag ON qf.lang = ag.lang
+        |ORDER BY qf.lang""") { c =>
+      val st = c.documents.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val t = st.agg(sum(col("n_docs")).as("nt"))
+      val q0 = st.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"),
+          expr("(n_docs * 100) div nt").as("base"),
+          expr("(n_docs * 100) % nt").as("rem"))
+      val lo = q0.agg((lit(100) - sum(col("base"))).as("left_over"))
+      val qf = q0
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .crossJoin(broadcast(lo))
+        .select(col("lang"), col("n_docs"), col("base"), col("rem"),
+          (col("base") + when(col("rr") <= col("left_over"), 1L)
+            .otherwise(0L)).as("quota"))
+      val samp = c.documents
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rn"))
+      val sel = samp.join(broadcast(qf.select(col("lang"),
+          col("quota"))), Seq("lang"))
+        .filter(col("rn") <= col("quota"))
+      val ag = sel.groupBy("lang").agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("n_chars")).as("sample_chars"))
+      qf.join(ag, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          col("base").as("quota_base"), col("rem").as("remainder"),
+          col("quota"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("first_doc"), lit(0L)).as("first_doc"),
+          coalesce(col("sample_chars"), lit(0L)).as("sample_chars"))
+        .orderBy("lang")
+    },
+
     // Repetition quality filters (Gopher / Rae et al. §A1.1 family):
     // duplicate-word occupancy and the most-frequent bi/trigram's
     // share of all n-gram slots — the standard "natural text vs
@@ -2314,6 +2393,69 @@ object LlmQueries {
         .select(col("doc_id"), col("width"), col("height"),
           col("n_inked_rows"), col("n_lines"), col("max_line_height"),
           col("max_row_ink"))
+        .orderBy("doc_id")
+    },
+
+    // Gray-level histogram ENTROPY per decoded image — the standard
+    // image-complexity screen (blank scans ~0 bits, dense texture
+    // approaches ln(levels)) a multimodal curation pass thresholds on
+    // beside sharpness and quality. ops/Multimodal.entropyGray keeps
+    // the level fold in pinned ascending order so the only FP inputs
+    // are ln() of exact integer counts (the accepted engine-ln class);
+    // the oracle regenerates the bimodal pixel law (the
+    // mm_otsu_threshold fixture) and replays the identical
+    // ln(n) - sum(cnt*ln cnt)/n fold via list_reduce.
+    q("mm_image_entropy",
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h,
+        |        (CASE WHEN (doc_id + p) % 3 = 0
+        |              THEN 40 + (doc_id * 7 + p * 5) % 30
+        |              ELSE 170 + (doc_id * 3 + p * 11) % 40
+        |         END)::BIGINT v
+        |      FROM px),
+        |hist AS (SELECT doc_id, w, h, v, count(*)::BIGINT cnt
+        |         FROM g GROUP BY 1, 2, 3, 4),
+        |st AS (SELECT doc_id, max(w) w, max(h) h, sum(cnt)::BIGINT n,
+        |         count(*)::BIGINT lev, max(cnt)::BIGINT mx,
+        |         list_reduce(list(cnt * ln(cnt) ORDER BY v),
+        |           (a, x) -> a + x) acc
+        |       FROM hist GROUP BY 1)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT)
+        |  AS height, CAST(lev AS INT) AS n_levels,
+        |  mx AS max_count, round(ln(n) - acc / n + 1e-9, 6) AS entropy
+        |FROM st ORDER BY doc_id""") { c =>
+      val mkBimodalBmp = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.entropyGray(
+          c.documents.select(col("doc_id"),
+            mkBimodalBmp(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_levels"), col("max_count"),
+          r6(col("entropy")).as("entropy"))
         .orderBy("doc_id")
     },
 

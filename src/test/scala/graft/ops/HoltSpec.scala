@@ -119,4 +119,42 @@ class HoltSpec extends SparkSpec {
       Holt.macd(df, "k", Seq(col("t")), col("y"), 0.125, 0.25, 0.5)
     }
   }
+
+  test("sesGrid picks the replayed argmin SSE; ties to smaller alpha") {
+    val rows = Seq(
+      (1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 5.0), (1L, 4, 30.0),
+      (2L, 1, 7.0), (2L, 2, 7.0), (2L, 3, 7.0), // constant: all SSE 0
+      (3L, 1, 4.0))                              // single obs: SSE 0
+    val df = rows.toDF("k", "t", "y")
+    val grid = Seq(0.25, 0.5, 0.75)
+    val got = Holt.sesGrid(df, "k", Seq(col("t")), col("y"), grid)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def ref(ys: Seq[Double]): (Double, Double) = {
+      val scored = grid.map { a =>
+        var l = ys.head; var s = 0.0
+        ys.tail.foreach { y =>
+          val e = y - l; s += e * e; l = a * y + (1 - a) * l
+        }
+        (a, s)
+      }
+      scored.minBy(_._2) // stable minBy keeps the first (smaller a)
+    }
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val (a, s) = ref(rs.sortBy(_._2).map(_._3))
+      val (n, ga, gs) = got(k)
+      assert(n == rs.size && ga == a && gs == s, s"key $k")
+    }
+    assert(got(2L)._2 == 0.25 && got(2L)._3 == 0.0) // tie → smallest α
+  }
+
+  test("sesGrid guards: sorted distinct grid in (0,1]") {
+    val df = Seq((1L, 1, 1.0)).toDF("k", "t", "y")
+    intercept[IllegalArgumentException] {
+      Holt.sesGrid(df, "k", Seq(col("t")), col("y"), Seq(0.5, 0.25))
+    }
+    intercept[IllegalArgumentException] {
+      Holt.sesGrid(df, "k", Seq(col("t")), col("y"), Seq(0.25, 1.5))
+    }
+  }
 }

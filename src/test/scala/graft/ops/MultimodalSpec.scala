@@ -592,6 +592,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L, 0L, 0L)))
   }
 
+  test("entropyGray: uniform image is 0 bits; replay matches exactly") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, bmp24(4, 2, topDown = false, (_, _, _) => 99)), // flat
+      (2L, bmp24(4, 2, topDown = false, (x, y, _) => (x + 4 * y) * 20)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.entropyGray(df, "doc_id").collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(got(1L).n_levels == 1 && got(1L).entropy == 0.0)
+    // 8 distinct levels, all count 1: H = ln(8) exactly as computed
+    // by the same pinned fold (ln(n) - sum(1*ln 1)/n = ln 8)
+    assert(got(2L).n_levels == 8 &&
+      got(2L).entropy == math.log(8.0))
+  }
+
   test("otsuGray: non-BMP payloads drop, nulls do not throw") {
     val sp = spark
     import sp.implicits._
