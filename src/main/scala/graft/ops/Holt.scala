@@ -343,6 +343,82 @@ object Holt {
     }(Encoders.row(out))
   }
 
+  /** DAMPED-trend Holt smoothing (Gardner & McKenzie 1985 — the
+    * default long-horizon forecaster in the M-competitions; the
+    * damping factor phi < 1 flattens the trend extrapolation that
+    * plain Holt over-shoots):
+    *   l_t = a*y_t + (1-a)*(l_{t-1} + phi*b_{t-1})
+    *   b_t = b*(l_t - l_{t-1}) + (1-b)*phi*b_{t-1}
+    * Same secondary-sort O(1)-state scan as [[linear]]; dyadic
+    * a/b/phi keep both engines bit-identical. Output: (key, n, level,
+    * trend, forecast) where forecast = l + phi*b (the 1-step-ahead
+    * damped extrapolation). */
+  def damped(
+      df: DataFrame,
+      key: String,
+      order: Seq[Column],
+      value: Column,
+      alpha: Double,
+      beta: Double,
+      phi: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    require(phi > 0 && phi <= 1, s"phi in (0,1], got $phi")
+    val keyType = df.schema(key).dataType
+    val out = StructType(Seq(
+      StructField(key, keyType),
+      StructField("n", LongType, nullable = false),
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false),
+      StructField("forecast", DoubleType, nullable = false)))
+    val prepared = df
+      .select(Seq(col(key).as("__k"), value.cast("double").as("__y")) ++
+        order: _*)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k") +: order: _*)
+      .select(col("__k"), col("__y"))
+    val omA = 1 - alpha; val omB = 1 - beta
+    prepared.mapPartitions { it =>
+      new Iterator[Row] {
+        private var cur: Any = null
+        private var has = false
+        private var n = 0L
+        private var l = 0.0
+        private var b = 0.0
+        private var pending: Row = null
+
+        private def emit(): Row = Row(cur, n, l, b, l + phi * b)
+
+        override def hasNext: Boolean = pending != null || advance()
+
+        private def advance(): Boolean = {
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val y = r.getDouble(1)
+            if (!has || k != cur) {
+              val done = if (has) emit() else null
+              cur = k; has = true; n = 1L; l = y; b = 0.0
+              if (done != null) { pending = done; return true }
+            } else {
+              val lNew = alpha * y + omA * (l + phi * b)
+              b = beta * (lNew - l) + omB * (phi * b)
+              l = lNew
+              n += 1
+            }
+          }
+          if (has) { pending = emit(); has = false; return true }
+          false
+        }
+
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r5 = pending; pending = null; r5
+        }
+      }
+    }(Encoders.row(out))
+  }
+
   /** Simple-exponential-smoothing MODEL SELECTION per series: run the
     * SES recurrence l = a*y + (1-a)*l simultaneously for every alpha
     * in a pinned dyadic grid, accumulating the one-step-ahead SSE

@@ -1140,6 +1140,48 @@ object Multimodal {
       })
   }
 
+  final case class BboxStats(doc_id: Long, width: Int, height: Int,
+      n_fg: Long, x0: Int, x1: Int, y0: Int, y1: Int,
+      crop_w: Int, crop_h: Int)
+
+  /** Content bounding box per decoded BMP — the auto-crop step before
+    * OCR/thumbnailing: the tightest [x0,x1] x [y0,y1] rectangle
+    * containing every foreground (ink, gray < `fgBelow`) pixel.
+    * Blank images report an empty box (-1 coordinates, 0-sized crop).
+    * Partition-local single pass, O(1) state. */
+  def cropBbox(df: DataFrame, idCol: String, fgBelow: Int = 128,
+      payloadCol: String = "payload"): Dataset[BboxStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            var nFg = 0L
+            var x0 = -1; var x1 = -1; var y0 = -1; var y1 = -1
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                if (px((y * w + x) * 3) < fgBelow) {
+                  nFg += 1
+                  if (x0 < 0 || x < x0) x0 = x
+                  if (x > x1) x1 = x
+                  if (y0 < 0) y0 = y
+                  y1 = y
+                }
+                x += 1
+              }
+              y += 1
+            }
+            BboxStats(id, w, h, nFg, x0, x1, y0, y1,
+              if (nFg == 0L) 0 else x1 - x0 + 1,
+              if (nFg == 0L) 0 else y1 - y0 + 1)
+          }
+      })
+  }
+
   /** Per-clip sample statistics from REAL PCM16 decoding — mean, RMS,
     * absolute peak over the interleaved samples. */
   final case class SampleStats(doc_id: Long, channels: Int,

@@ -1883,5 +1883,47 @@ object FeatureQueries {
           r4(col("sse_best")).as("sse_best"))
         .orderBy("user_id")
     },
+
+    // DAMPED-trend Holt smoothing (Gardner & McKenzie 1985 — the
+    // long-horizon default of the M-competitions; phi = 1/2 flattens
+    // the trend extrapolation plain ts_holt overshoots). Completes the
+    // exponential-smoothing family (SES grid / Holt / Holt-Winters /
+    // Croston / MACD) on the same secondary-sort scan
+    // (ops/Holt.damped); dyadic alpha/beta/phi keep the recursive-CTE
+    // oracle bit-identical (inner derived table computes l_t first,
+    // the holt_winters device).
+    q("ts_holt_damped",
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) rn,
+        |         count(*) OVER (PARTITION BY user_id) n
+        |  FROM events WHERE user_id < 50),
+        |rec(user_id, rn, l, b, n) AS (
+        |  SELECT user_id, 1, value, 0.0::DOUBLE, n FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT user_id, rn, lnew,
+        |         0.25::DOUBLE * (lnew - lprev)
+        |           + 0.75::DOUBLE * (0.5::DOUBLE * bprev),
+        |         n
+        |  FROM (
+        |    SELECT s.user_id, s.rn, rec.l lprev, rec.b bprev, rec.n,
+        |           0.5::DOUBLE * s.value
+        |             + 0.5::DOUBLE * (rec.l + 0.5::DOUBLE * rec.b) lnew
+        |    FROM rec JOIN s ON s.user_id = rec.user_id
+        |                   AND s.rn = rec.rn + 1))
+        |SELECT user_id, n::BIGINT AS n, round(l + 1e-9, 4) AS level,
+        |       round(b + 1e-9, 4) AS trend,
+        |       round(l + 0.5::DOUBLE * b + 1e-9, 4) AS forecast
+        |FROM rec WHERE rn = n ORDER BY user_id""") { c =>
+      val fitted = graft.ops.Holt.damped(
+        c.events.filter(col("user_id") < 50),
+        key = "user_id", order = Seq(col("ts"), col("event_id")),
+        value = col("value"), alpha = 0.5, beta = 0.25, phi = 0.5)
+      fitted.select(col("user_id"), col("n"),
+          r4(col("level")).as("level"), r4(col("trend")).as("trend"),
+          r4(col("forecast")).as("forecast"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -1042,5 +1042,75 @@ object GraphQueries {
           r6(sum(expr("2520 div dist")) / lit(2520.0)).as("harmonic"))
         .orderBy("root")
     },
+
+    // EFFECTIVE diameter at the 90th percentile (Leskovec, Kleinberg &
+    // Faloutsos 2005 — the graph-over-time statistic; the exact
+    // diameter is outlier-driven, the 90%-quantile hop distance is the
+    // robust "how far apart are nodes really" number) from the SAME
+    // pinned seed sample and capped co-supply graph as
+    // graph_harmonic_closeness: pool every sampled (root, node) hop
+    // distance from ONE labeled multi-source BFS, histogram by
+    // distance (<= 8 bins), and take the smallest d with
+    // 10*cum >= 9*total — an exact integer rank, no FP percentile
+    // call. Mean distance reported from the same exact sums.
+    q("graph_effective_diameter",
+      """WITH RECURSIVE sp AS (SELECT DISTINCT l_partkey pk,
+        |    l_suppkey sk FROM lineitem WHERE l_quantity > 49),
+        |pdeg AS (SELECT pk, count(*) d FROM sp GROUP BY 1),
+        |kept AS (SELECT sp.pk, sp.sk FROM sp JOIN pdeg
+        |         ON sp.pk = pdeg.pk WHERE pdeg.d <= 40),
+        |e AS (SELECT DISTINCT a.sk u, b.sk v
+        |      FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk <> b.sk),
+        |seeds AS (SELECT DISTINCT u s FROM e WHERE u % 10 = 0),
+        |walk(root, node, dist) AS (
+        |  SELECT s, s, 0 FROM seeds
+        |  UNION
+        |  SELECT walk.root, e.v, walk.dist + 1
+        |  FROM walk JOIN e ON e.u = walk.node
+        |  WHERE walk.dist < 8),
+        |dd AS (SELECT root, node, min(dist) dist FROM walk
+        |       GROUP BY 1, 2),
+        |p AS (SELECT dist FROM dd WHERE node <> root),
+        |h AS (SELECT dist, count(*)::BIGINT cnt FROM p GROUP BY 1),
+        |cu AS (SELECT dist, cnt, sum(cnt) OVER (ORDER BY dist) cum
+        |       FROM h),
+        |t AS (SELECT count(*)::BIGINT m, sum(dist)::BIGINT sd,
+        |        max(dist)::BIGINT mx,
+        |        (SELECT count(*) FROM seeds)::BIGINT ns FROM p),
+        |ed AS (SELECT min(dist)::BIGINT d90 FROM cu, t
+        |       WHERE 10 * cum >= 9 * m)
+        |SELECT t.ns AS n_seeds, t.m AS n_pairs, t.mx AS max_dist,
+        |  ed.d90 AS eff_diameter_90,
+        |  round(t.sd * 1.0 / t.m + 1e-9, 6) AS mean_dist
+        |FROM t, ed""") { c =>
+      val sp = c.lineitem.filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pdeg = sp.groupBy("pk").agg(count(lit(1)).as("d"))
+      val kept = sp.join(pdeg, Seq("pk")).filter(col("d") <= 40)
+        .select(col("pk"), col("sk"))
+      val e = kept.as("a")
+        .join(kept.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val seeds = e.filter(col("src") % 10 === 0)
+        .select(col("src").as("root")).distinct()
+      val nSeeds = seeds.agg(count(lit(1)).as("ns"))
+      val p = graft.ops.Bfs.hopsFrom(e, seeds, maxHops = 8)
+        .filter(col("node") =!= col("root")).select(col("dist"))
+      val h = p.groupBy("dist").agg(count(lit(1)).as("cnt"))
+      val cu = h.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("dist")))
+      val t = p.agg(count(lit(1)).as("m"), sum(col("dist")).as("sd"),
+        max(col("dist")).as("mx"))
+      val ed = cu.crossJoin(broadcast(t))
+        .filter(lit(10) * col("cum") >= lit(9) * col("m"))
+        .agg(min(col("dist")).as("d90"))
+      broadcast(nSeeds).crossJoin(broadcast(t))
+        .crossJoin(broadcast(ed))
+        .select(col("ns").as("n_seeds"), col("m").as("n_pairs"),
+          col("mx").as("max_dist"), col("d90").as("eff_diameter_90"),
+          r6(col("sd") * 1.0 / col("m")).as("mean_dist"))
+    },
   )
 }

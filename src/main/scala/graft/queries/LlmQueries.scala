@@ -2459,6 +2459,69 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Content bounding box / AUTO-CROP per decoded image — the
+    // margin-removal step before OCR or thumbnailing: the tightest
+    // rectangle containing every ink pixel
+    // (ops/Multimodal.cropBbox — one partition-local pass, O(1)
+    // state; blank images report the -1 empty box). The fixture
+    // reuses the line-structured ink law of mm_projection_profile, so
+    // crops vary in both axes; the oracle recovers the box with
+    // min/max over the regenerated ink coordinates.
+    q("mm_crop_bbox",
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |ink AS (SELECT doc_id, p % w x, p // w y FROM px
+        |        WHERE (doc_id + p // w) % 3 <> 0
+        |          AND (doc_id * 3 + p * 7) % 5 < 2),
+        |a AS (SELECT doc_id, count(*)::BIGINT n_fg, min(x) x0,
+        |        max(x) x1, min(y) y0, max(y) y1 FROM ink GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height,
+        |  coalesce(a.n_fg, 0)::BIGINT AS n_fg,
+        |  CAST(coalesce(a.x0, -1) AS INT) AS x0,
+        |  CAST(coalesce(a.x1, -1) AS INT) AS x1,
+        |  CAST(coalesce(a.y0, -1) AS INT) AS y0,
+        |  CAST(coalesce(a.y1, -1) AS INT) AS y1,
+        |  CAST(CASE WHEN a.n_fg IS NULL THEN 0
+        |            ELSE a.x1 - a.x0 + 1 END AS INT) AS crop_w,
+        |  CAST(CASE WHEN a.n_fg IS NULL THEN 0
+        |            ELSE a.y1 - a.y0 + 1 END AS INT) AS crop_h
+        |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""") { c =>
+      val mkLineBmp2 = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val inked = (id + y) % 3 != 0 && (id * 3 + p * 7) % 5 < 2
+            val gv = (if (inked) 30 else 220).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.cropBbox(
+          c.documents.select(col("doc_id"),
+            mkLineBmp2(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_fg"), col("x0"), col("x1"), col("y0"), col("y1"),
+          col("crop_w"), col("crop_h"))
+        .orderBy("doc_id")
+    },
+
     q("mm_decode_bmp",
       """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT w,
         |                  (1 + doc_id % 2)::BIGINT h FROM documents),

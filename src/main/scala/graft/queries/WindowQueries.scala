@@ -750,5 +750,57 @@ object WindowQueries {
           r4(col("macd") - col("signal")).as("hist"))
         .orderBy("user_id")
     },
+
+    // Donchian channel (Richard Donchian's 20-day breakout system —
+    // the rolling-extremum channel beside win_bollinger's
+    // rolling-moment one): 20-day rolling high/low of the daily price
+    // extremes, integer midline, and the classic breakout flags
+    // (close crossing YESTERDAY's channel). All EXACT integer cents —
+    // rolling max/min, floor-divided midline, integer comparisons for
+    // the flags; the one global window runs over the aggregated day
+    // grid (the documented win_atr stance).
+    q("win_donchian",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT) hi,
+        |    CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT) lo,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |ch AS (SELECT dy, cl,
+        |    max(hi) OVER w20 up, min(lo) OVER w20 dn
+        |  FROM d
+        |  WINDOW w20 AS (ORDER BY dy ROWS BETWEEN 19 PRECEDING
+        |                 AND CURRENT ROW)),
+        |fl AS (SELECT dy, cl, up, dn, (up + dn) // 2 mid,
+        |    CASE WHEN cl > lag(up) OVER (ORDER BY dy)
+        |         THEN 1 ELSE 0 END bu,
+        |    CASE WHEN cl < lag(dn) OVER (ORDER BY dy)
+        |         THEN 1 ELSE 0 END bd
+        |  FROM ch)
+        |SELECT dy::VARCHAR AS day, up AS upper_cents,
+        |  dn AS lower_cents, mid AS mid_cents, cl AS close_cents,
+        |  bu AS breakout_up, bd AS breakout_down
+        |FROM fl ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        expr("CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("hi"),
+        expr("CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("lo"),
+        expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("cl"))
+      val o = Window.orderBy("dy")
+      val w20 = o.rowsBetween(-19, 0)
+      val ch = d.select(col("dy"), col("cl"),
+        max(col("hi")).over(w20).as("up"),
+        min(col("lo")).over(w20).as("dn"))
+      ch.select(col("dy").cast("string").as("day"),
+          col("up").as("upper_cents"), col("dn").as("lower_cents"),
+          expr("(up + dn) div 2").as("mid_cents"),
+          col("cl").as("close_cents"),
+          when(col("cl") > lag(col("up"), 1).over(o), 1)
+            .otherwise(0).as("breakout_up"),
+          when(col("cl") < lag(col("dn"), 1).over(o), 1)
+            .otherwise(0).as("breakout_down"))
+        .orderBy("day")
+    },
   )
 }

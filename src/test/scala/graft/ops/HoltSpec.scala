@@ -148,6 +148,27 @@ class HoltSpec extends SparkSpec {
     assert(got(2L)._2 == 0.25 && got(2L)._3 == 0.0) // tie → smallest α
   }
 
+  test("damped matches the sequential phi-recurrence exactly") {
+    val rows = Seq((1L, 1, 10.0), (1L, 2, 16.0), (1L, 3, 7.0),
+      (1L, 4, 21.0), (2L, 1, 5.0))
+    val df = rows.toDF("k", "t", "y")
+    val (a, b, phi) = (0.5, 0.25, 0.5)
+    val got = Holt.damped(df, "k", Seq(col("t")), col("y"), a, b, phi)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      var l = ys.head; var tr = 0.0
+      ys.tail.foreach { y =>
+        val ln = a * y + (1 - a) * (l + phi * tr)
+        tr = b * (ln - l) + (1 - b) * (phi * tr)
+        l = ln
+      }
+      assert(got(k) == ((ys.size.toLong, l, tr, l + phi * tr)), s"k=$k")
+    }
+  }
+
   test("sesGrid guards: sorted distinct grid in (0,1]") {
     val df = Seq((1L, 1, 1.0)).toDF("k", "t", "y")
     intercept[IllegalArgumentException] {

@@ -608,6 +608,25 @@ class MultimodalSpec extends SparkSpec {
       got(2L).entropy == math.log(8.0))
   }
 
+  test("cropBbox: tight box around scattered ink; empty box on blank") {
+    val sp = spark
+    import sp.implicits._
+    val ink = Set((1, 1), (3, 2), (2, 1))
+    val df = Seq(
+      (1L, bmp24(5, 4, topDown = false,
+        (x, y, _) => if (ink((x, y))) 0 else 255)),
+      (2L, bmp24(3, 2, topDown = true, (_, _, _) => 200))) // blank
+      .toDF("doc_id", "payload")
+    val got = Multimodal.cropBbox(df, "doc_id").collect()
+      .map(r => r.doc_id -> r).toMap
+    val b1 = got(1L)
+    assert(b1.n_fg == 3L && b1.x0 == 1 && b1.x1 == 3 &&
+      b1.y0 == 1 && b1.y1 == 2 && b1.crop_w == 3 && b1.crop_h == 2)
+    val b2 = got(2L)
+    assert(b2.n_fg == 0L && b2.x0 == -1 && b2.crop_w == 0 &&
+      b2.crop_h == 0)
+  }
+
   test("otsuGray: non-BMP payloads drop, nulls do not throw") {
     val sp = spark
     import sp.implicits._
