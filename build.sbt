@@ -36,33 +36,64 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 
 // Gate-time sharding (r9 verdict ask #6; golden-hashed r11 per r10
-// ask #1): the FullDeterminismShard0-3 suites each sweep a quarter of
+// ask #1; 6 shards r13 per r12 ask #1): the FullDeterminismShard0-5
+// suites each sweep a sixth of
 // the registry at shuffle partitions=1 against committed partitions=32
 // golden hashes (tools/determinism_golden_*.tsv, graft.GoldenGen) —
 // half the executions of the old two-run sweep, so the gate stays
 // sublinear in registry growth. Each shard goes to its OWN
-// forked JVM so the four sweeps run CONCURRENTLY, and each shard JVM
+// forked JVM so the six sweeps run CONCURRENTLY, and each shard JVM
 // gets a PRIVATE java.io.tmpdir: the src_*/cache queries write fixture
 // paths under the tmpdir (graft_src/, graft_cache/), so per-JVM
 // tmpdirs make the shards fully isolated — no shared SparkContext,
 // SQLConf, storage cache, or fixture directory anywhere.
+// r13 (r12 verdict ask #1): the main group — ~76 unit suites in ONE
+// forked JVM, hence strictly sequential under fork — had become the
+// gate's long pole (the 4 shard JVMs finished by ~6.5 min of an 18:57
+// wall). Split it into NMainGroups forked JVMs by suite-name hash;
+// suites are JVM-isolated already (in-memory Derby, ephemeral HTTP
+// ports, tmpdir-relative fixtures), so each split group just needs its
+// own tmpdir + derby log like the shards.
+val NMainGroups = 3
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val baseOpts = (Test / javaOptions).value.toVector
+  def grp(name: String, ts: Seq[TestDefinition], tmp: String) = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    Tests.Group(name, ts, Tests.SubProcess(ForkOptions()
+      .withRunJVMOptions(baseOpts ++ Seq(
+        s"-Djava.io.tmpdir=$tmp",
+        s"-Dderby.stream.error.file=$tmp/derby.log",
+        // 9 concurrent JVMs on one 32-core box: each JVM sizes every
+        // internal pool (GC ~23 threads, JIT, netty event loops,
+        // ForkJoin commonPool) for SOLE tenancy of all 32 cores, so
+        // the full gate ran thousands of runnable threads and every
+        // group measured 5-25x its solo wall (isolation A/B: the
+        // 500-case RelJson fuzz is 18 s among 4 JVMs, 8:21 among 9).
+        // ActiveProcessorCount is the canonical multi-tenant fix — the
+        // JVM sizes everything for 6 cores (Spark is local[4] inside);
+        // the explicit GC/JIT caps keep the two biggest pools tighter
+        // still. 9 groups x 6 procs ≈ the 32-core budget.
+        "-XX:ActiveProcessorCount=6",
+        "-XX:ParallelGCThreads=4", "-XX:ConcGCThreads=2",
+        "-XX:CICompilerCount=2"))))
+  }
   val (shards, rest) =
     tests.partition(_.name.startsWith("graft.FullDeterminismShard"))
   val shardGroups = shards.sortBy(_.name).map { t =>
-    val tmp = s"/tmp/graft_det_tmp_${t.name.takeRight(1)}"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
-    Tests.Group(t.name, Seq(t), Tests.SubProcess(ForkOptions()
-      .withRunJVMOptions(baseOpts :+ s"-Djava.io.tmpdir=$tmp")))
+    grp(t.name, Seq(t), s"/tmp/graft_det_tmp_${t.name.takeRight(1)}")
   }
-  Tests.Group("main", rest,
-    Tests.SubProcess(ForkOptions().withRunJVMOptions(baseOpts))) +:
-    shardGroups
+  val mainGroups = rest.groupBy(t =>
+      java.lang.Math.floorMod(t.name.hashCode, NMainGroups))
+    .toSeq.sortBy(_._1).map { case (i, ts) =>
+      grp(s"main$i", ts, s"/tmp/graft_main_tmp_$i")
+    }
+  mainGroups ++ shardGroups
 }
-// let all 5 forked groups (main + 4 shards) run at once; the box has
+// let all 9 forked groups (3 main + 6 shards) run at once; the box has
 // 32 CPUs and each JVM's Spark session is local[4]
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 5),
-  Tags.limitAll(16))
+  Tags.limit(Tags.ForkedTestGroup, 9),
+  Tags.limitAll(24))
+// per-test durations in the log (-oD) so group balance is auditable
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

@@ -10,6 +10,57 @@ import java.nio.file.{Files, Paths}
   * Regenerate with: sbt "runMain graft.Explain /root/testdata/sf0.01".
   */
 object Explain {
+
+  /** Collapse REPRINTED subtrees in a formatted plan (r12 verdict ask
+    * #5): Spark's formatted explain reprints the full child plan of a
+    * persisted/reused relation at EVERY reference site (plus once more
+    * in each `== Initial Plan ==` section) — the two SetSimJoin
+    * headliners alone reprinted ~12k of EXPLAIN.md's 18k lines. Node
+    * ids are unique per plan and a reprint reuses the ids of the first
+    * occurrence, so: in TREE lines (connector-prefixed `+- ` / `:-`),
+    * a node id seen before starts a reused run — keep its first line,
+    * tag it `[reused: see (id) above]`, and drop the contiguous
+    * already-seen remainder. Detail sections (`(N) NodeName` at column
+    * 0) print once per id already and pass through untouched, as does
+    * everything else — the audit content (PushedFilters, ReadSchema,
+    * join strategies, codegen spans) is intact, each subtree printed
+    * exactly once. */
+  def collapseReprints(plan: String): String = {
+    val idRe = """\((\d+)\)""".r
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val out = new StringBuilder
+    var skipping = false
+    var dropped = 0
+    plan.split("\n", -1).foreach { line =>
+      val t = line.trim
+      val treeLike = (line.contains("+- ") || t.startsWith(":-") ||
+        t.startsWith(": ")) && !t.startsWith("(")
+      if (treeLike) {
+        idRe.findFirstMatchIn(line).map(_.group(1).toInt) match {
+          case Some(n) if seen(n) =>
+            if (!skipping) {
+              out.append(line)
+                .append(s"   [reused: see ($n) above]\n")
+              skipping = true
+            } else dropped += 1
+          case Some(n) =>
+            seen += n; skipping = false
+            out.append(line).append('\n')
+          case None =>
+            if (skipping) dropped += 1
+            else out.append(line).append('\n')
+        }
+      } else {
+        skipping = false
+        out.append(line).append('\n')
+      }
+    }
+    if (dropped > 0)
+      out.append(s"[$dropped reprinted subtree lines collapsed — " +
+        "each reused subtree is printed once, at its first reference]\n")
+    out.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/root/repo/EXPLAIN.md"
@@ -34,7 +85,7 @@ object Explain {
       sb.append(s"\n## ${d.name}\n\n```\n")
       val plan = d.fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      sb.append(plan)
+      sb.append(collapseReprints(plan))
       sb.append("```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -166,9 +166,10 @@ object Estimators {
     case ridgeName(a) => Some(RidgeRegression(a.toDouble))
     case kmeansName(kk, it) => Some(KMeansEstimator(kk.toInt, it.toInt))
     case gbc2Name(lr) => Some(GradientBoostedClassifier2(lr.toDouble))
+    case CartClassifier2.name => Some(CartClassifier2)
     case _ => None
   }
   val builtinNames: Seq[String] =
     Seq(GaussianNB.name, MultinomialNB.name, "logreg_gd(I,LR)",
-      "ridge(ALPHA)", "kmeans(K,I)", "gbc2(LR)")
+      "ridge(ALPHA)", "kmeans(K,I)", "gbc2(LR)", CartClassifier2.name)
 }

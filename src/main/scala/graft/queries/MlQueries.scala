@@ -963,6 +963,100 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Deterministic depth-2 CART classifier (ml.CartClassifier2, r12
+    // verdict ask #4) through the FitRel/TransformRel estimator path:
+    // root split then the best split inside each child, all from the
+    // same exact cumulative-histogram machinery as Stump/Gbrt — every
+    // split score is dnum²/nl + dnum²/(n_c−nl) with dnum =
+    // posl·n_c − nl·pos_c an exact Long (for 0/1 labels this
+    // variance-gain argmax IS the weighted-Gini argmax), NO
+    // transcendental anywhere in the fit, and each leaf predicts its
+    // exact positive fraction. The oracle unrolls the whole fit as
+    // chained CTEs: root scan over the two per-feature histograms,
+    // then ONE side-tagged histogram pass whose cumulative left/right
+    // columns feed both child argmaxes; ties break (score desc,
+    // feature asc, threshold asc) on both engines. The child scans'
+    // candidate lattice is the full per-feature value set (zero-mass
+    // cells repeat the previous cumulative state), exactly as the
+    // estimator enumerates it; the estimator's no-candidate leaf
+    // fallback is unreachable on this fixture (both root sides carry
+    // multiple quantity AND discount values at every SF).
+    q("ml_pipeline_cart",
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity x1,
+        |             l_discount x2,
+        |             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |tot AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM d),
+        |h1 AS (SELECT 1 fi, x1 v, count(*)::BIGINT cnt, sum(y)::BIGINT py
+        |       FROM d GROUP BY 2
+        |       UNION ALL
+        |       SELECT 2, x2, count(*)::BIGINT, sum(y)::BIGINT
+        |       FROM d GROUP BY 2),
+        |c1 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h1),
+        |s1c AS (SELECT fi, v, nl, posl, n, pos,
+        |          (posl * n - nl * pos) dnum
+        |        FROM c1, tot WHERE nl < n),
+        |b1 AS (SELECT fi f1, v t1, nl nl1, posl psl1, n, pos,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s1c ORDER BY s DESC, fi, v LIMIT 1),
+        |h2 AS (SELECT 1 fi, x1 v, count(*)::BIGINT cnt, sum(y)::BIGINT py,
+        |         sum(CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |                    <= t1 THEN 1 ELSE 0 END)::BIGINT cl,
+        |         sum(CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |                    <= t1 THEN y ELSE 0 END)::BIGINT pl
+        |       FROM d, b1 GROUP BY 2
+        |       UNION ALL
+        |       SELECT 2, x2, count(*)::BIGINT, sum(y)::BIGINT,
+        |         sum(CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |                    <= t1 THEN 1 ELSE 0 END)::BIGINT,
+        |         sum(CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |                    <= t1 THEN y ELSE 0 END)::BIGINT
+        |       FROM d, b1 GROUP BY 2),
+        |c2 AS (SELECT fi, v,
+        |         sum(cl) OVER (PARTITION BY fi ORDER BY v) cnl,
+        |         sum(pl) OVER (PARTITION BY fi ORDER BY v) cpl,
+        |         sum(cnt - cl) OVER (PARTITION BY fi ORDER BY v) cnr,
+        |         sum(py - pl) OVER (PARTITION BY fi ORDER BY v) cpr
+        |       FROM h2),
+        |sL AS (SELECT fi, v, cnl nl, cpl posl, b1.nl1 nc, b1.psl1 psc,
+        |         (cpl * b1.nl1 - cnl * b1.psl1) dnum
+        |       FROM c2, b1 WHERE cnl > 0 AND cnl < b1.nl1),
+        |bL AS (SELECT fi fl, v tl, nl nll, posl psll, nc ncl, psc pscl,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (nc - nl) s
+        |       FROM sL ORDER BY s DESC, fi, v LIMIT 1),
+        |sR AS (SELECT fi, v, cnr nl, cpr posl,
+        |         (b1.n - b1.nl1) nc, (b1.pos - b1.psl1) psc,
+        |         (cpr * (b1.n - b1.nl1) - cnr * (b1.pos - b1.psl1)) dnum
+        |       FROM c2, b1 WHERE cnr > 0 AND cnr < b1.n - b1.nl1),
+        |bR AS (SELECT fi fr, v tr, nl nlr, posl pslr, nc ncr, psc pscr,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (nc - nl) s
+        |       FROM sR ORDER BY s DESC, fi, v LIMIT 1)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END) <= t1
+        |    THEN CASE WHEN (CASE WHEN fl = 1 THEN x1 ELSE x2 END) <= tl
+        |         THEN psll::DOUBLE / nll
+        |         ELSE (pscl - psll)::DOUBLE / (ncl - nll) END
+        |    ELSE CASE WHEN (CASE WHEN fr = 1 THEN x1 ELSE x2 END) <= tr
+        |         THEN pslr::DOUBLE / nlr
+        |         ELSE (pscr - pslr)::DOUBLE / (ncr - nlr) END
+        |    END + 1e-9, 6) AS prob
+        |FROM d, b1, bL, bR WHERE l_orderkey < 300 ORDER BY 1, 2""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"),
+        (col("l_extendedprice") > 30000).cast("double").as("y"))
+      val steps = Seq(graft.rel.EstimatorSpec("cart2",
+        Seq("l_quantity", "l_discount"), "y", "p1"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("p1")).as("prob"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Classification metrics (metrics.py:513-669): accuracy/precision/
     // recall/f1 from one counts aggregate; ROC AUC via the rank-sum
     // identity with midranks (≡ trapezoid with ties) over the grouped
@@ -2140,13 +2234,18 @@ object MlQueries {
 
     // Weight-of-Evidence / Information-Value binning (the credit-
     // scoring standard behind scorecard feature selection, Siddiqi
-    // 2006): per quantity-quintile bin, WoE = ln(%good / %bad) and the
+    // 2006): per quantity-quintile bin, WoE = ln(%good / %bad) with
+    // the standard +0.5 continuity correction on both counts (so a
+    // PURE bin — zero goods or zero bads — yields a large finite WoE
+    // instead of ln(0)/ln(inf), where Spark would return a silent
+    // NULL while DuckDB raises; the correction makes the engines
+    // agree on EVERY input, not just mixed bins) and the
     // IV contribution (%good - %bad) * WoE; total IV is the classic
     // keep/drop feature gate (< 0.02 useless, > 0.3 strong).
     // Determinism: bin counts are exact BIGINTs, each WoE is one ln()
-    // of a ratio of exact integer products (identical input double on
-    // both engines), and the total IV folds the 10 contributions in
-    // pinned bin order. Scale shape: ONE corpus hash aggregation to 10
+    // of a ratio built from +0.5-shifted counts (exact doubles below
+    // 2^52, identical on both engines), and the total IV folds the 10
+    // contributions in pinned bin order. Scale shape: ONE corpus hash aggregation to 10
     // bins; everything after is 10-row arithmetic with 1-row
     // broadcast totals.
     q("ml_woe_iv",
@@ -2158,7 +2257,7 @@ object MlQueries {
         |b2 AS (SELECT bin, n, g, n - g bd FROM bb),
         |t AS (SELECT sum(g)::BIGINT gt, sum(bd)::BIGINT bt FROM b2),
         |w AS (SELECT bin, n, g, bd, gt, bt,
-        |        ln((g * bt * 1.0) / (bd * gt)) wv,
+        |        ln(((g + 0.5) * bt) / ((bd + 0.5) * gt)) wv,
         |        g * 1.0 / gt - bd * 1.0 / bt dp FROM b2, t),
         |w2 AS (SELECT bin, n, g n_good, bd n_bad, wv, dp * wv ivc
         |       FROM w),
@@ -2178,7 +2277,8 @@ object MlQueries {
       val w2 = b2.crossJoin(broadcast(t))
         .select(col("bin"), col("n"), col("g").as("n_good"),
           col("bd").as("n_bad"),
-          log((col("g") * col("bt") * 1.0) / (col("bd") * col("gt")))
+          log(((col("g") + 0.5) * col("bt")) /
+              ((col("bd") + 0.5) * col("gt")))
             .as("wv"),
           (col("g") * 1.0 / col("gt") - col("bd") * 1.0 / col("bt"))
             .as("dp"))

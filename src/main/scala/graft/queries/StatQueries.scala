@@ -4681,8 +4681,10 @@ object StatQueries {
     // (flag N)? Everything runs on the (value → per-sample count)
     // HISTOGRAM in 2×midrank integer units: combined and within-sample
     // mid-ranks of a tied block are cumulative-count expressions, so
-    // the place differences P = R − R′ and their squares are EXACT
-    // BIGINTs; p̂ = P(X<Y)+½P(X=Y) and the studentized W both come from
+    // the place differences P = R − R′ are EXACT BIGINTs and their
+    // squared sums are carried through DECIMAL(38,0)/HUGEINT (raw
+    // Σ c·P² ~ 4·nx·ny² passes 2^63 near 2M rows per sample — the
+    // BIGINT carry would hit that scale cliff at roughly TPC-H SF1); p̂ = P(X<Y)+½P(X=Y) and the studentized W both come from
     // one pinned double expression over those integers. Scale shape:
     // one hash aggregation to the ≤50-row quantity histogram, a window
     // over that DOMAIN-BOUNDED aggregated relation, one final fold —
@@ -4711,8 +4713,8 @@ object StatQueries {
         |        sum(cy * r2)::BIGINT sry2,
         |        sum(cx * (r2 - rx2))::BIGINT spx2,
         |        sum(cy * (r2 - ry2))::BIGINT spy2,
-        |        sum(cx * (r2 - rx2) * (r2 - rx2))::BIGINT sqx2,
-        |        sum(cy * (r2 - ry2) * (r2 - ry2))::BIGINT sqy2
+        |        sum(cx::HUGEINT * (r2 - rx2) * (r2 - rx2)) sqx2,
+        |        sum(cy::HUGEINT * (r2 - ry2) * (r2 - ry2)) sqy2
         |      FROM p)
         |SELECT nx, ny,
         |  round((sry2 / 2.0 / ny - (ny + 1) / 2.0) / nx + 1e-9, 6)
@@ -4746,9 +4748,9 @@ object StatQueries {
         sum(col("cy") * col("r2")).as("sry2"),
         sum(col("cx") * (col("r2") - col("rx2"))).as("spx2"),
         sum(col("cy") * (col("r2") - col("ry2"))).as("spy2"),
-        sum(col("cx") * (col("r2") - col("rx2")) *
+        sum(col("cx").cast("decimal(38,0)") * (col("r2") - col("rx2")) *
           (col("r2") - col("rx2"))).as("sqx2"),
-        sum(col("cy") * (col("r2") - col("ry2")) *
+        sum(col("cy").cast("decimal(38,0)") * (col("r2") - col("ry2")) *
           (col("r2") - col("ry2"))).as("sqy2"))
       s.select(col("nx"), col("ny"),
         r6((col("sry2") / 2.0 / col("ny") - (col("ny") + 1) / lit(2.0)) /

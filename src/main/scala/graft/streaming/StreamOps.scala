@@ -473,6 +473,67 @@ object StreamOps {
       .toDF("group", "counters")
   }
 
+  /** Per-key streaming Kleinberg burst state (Kleinberg 2002, the
+    * two-state ONLINE/FILTERED automaton) — the incremental
+    * counterpart of the `ts_bursts` batch scan (ops/Burst.twoState):
+    * state per key is the O(1) tuple (n_days, c0, c1, prev_state,
+    * n_burst, n_intervals, first_burst); within each micro-batch rows
+    * replay in seq order, so ANY batch split of an in-order stream
+    * reproduces the batch forward pass BIT-EXACTLY — the whole
+    * recurrence is exact BIGINT arithmetic over the pre-scaled
+    * integer emission weights (micro-nat constants computed offline,
+    * never an engine libm call), so there is no FP drift to manage at
+    * all (spec-checked). Emits (key, n_days, n_burst, n_intervals,
+    * first_burst, cost) after each batch — the same schema as the
+    * batch scan, so parity is a column-for-column compare of the
+    * latest emission (ref analogue: the reference's streaming story
+    * is incremental Arrow batches over the same expression tree,
+    * ADR-0013). */
+  def burstState(
+      df: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      kCol: String,
+      nCol: String,
+      a0: Long, b0: Long, a1: Long, b1: Long,
+      trans: Long): DataFrame = {
+    require(a0 > a1 && b0 < b1,
+      "state 1 must be the elevated-rate state: a0 > a1 and b0 < b1")
+    require(trans > 0, s"transition toll must be positive, got $trans")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(seqCol).cast("long").as("__s"),
+        col(kCol).cast("long").as("__e"),
+        col(nCol).cast("long").as("__n"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key, rows,
+         state: GroupState[(Long, Long, Long, Long, Long, Long, Long)]) =>
+          var (nd, c0, c1, prev, nb, ni, fb) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, k, n) =>
+            val first = nd == 0L
+            nd += 1
+            val e0 = k * a0 + (n - k) * b0
+            val e1 = k * a1 + (n - k) * b1
+            val nc0 = if (first) e0 else math.min(c0, c1) + e0
+            val nc1 = if (first) trans + e1
+              else math.min(c1, c0 + trans) + e1
+            val st = if (nc1 < nc0) 1L else 0L
+            if (st == 1L && (first || prev == 0L)) ni += 1
+            if (st == 1L) { nb += 1; if (fb == 0L) fb = nd }
+            c0 = nc0; c1 = nc1; prev = st
+          }
+          state.update((nd, c0, c1, prev, nb, ni, fb))
+          (key, nd, nb, ni, fb, math.min(c0, c1))
+      }
+      .toDF("key", "n_days", "n_burst", "n_intervals", "first_burst",
+        "cost")
+  }
+
   /** Per-key streaming Croston state — the incremental counterpart of
     * the `ts_croston` batch scan (ops/Holt.croston): state per key is
     * the O(1) triple (n, z, x) plus the previous demand period;

@@ -100,14 +100,25 @@ abstract class FullDeterminismShard(shard: Int) extends SparkSpec {
   // catches a real cliff — a query that hangs or a registry that has
   // genuinely outgrown the sharding. Override for a known-slow host
   // with -Dgraft.shard.budget.sec=N (fail stays at 3x the override).
+  // r13: budget 300 -> 600 s for the 9-JVM gate layout (3 main groups
+  // + 6 shards share the box, so shard wall under a FULL gate is
+  // dominated by co-tenancy: measured quiet-window shard walls are
+  // 460-600 s at 470 queries vs 70-120 s solo), and the line now
+  // carries its own noise figure — host STEAL core-seconds across the
+  // sweep window, same /proc/stat convention as graft.Bench — so a
+  // breach can be adjudicated capacity-vs-noise on sight (the host
+  // swings byte-identical work ±45%, BENCH_AB.md).
   private val budgetSec =
-    sys.props.get("graft.shard.budget.sec").map(_.toDouble).getOrElse(300.0)
+    sys.props.get("graft.shard.budget.sec").map(_.toDouble).getOrElse(600.0)
+  private val steal0 = FullDeterminismShard.stealJiffies()
   test(f"shard $shard sweep stays inside its $budgetSec%.0f s budget " +
     "(warn; hard-fail at 3x; override: -Dgraft.shard.budget.sec)") {
     val total = timings.map(_._2).sum
+    val stealSec = (FullDeterminismShard.stealJiffies() - steal0) / 100.0
     val slowest = timings.sortBy(-_._2).take(8)
       .map { case (n, s) => f"$n=$s%.1fs" }.mkString(", ")
-    info(f"shard $shard: ${timings.size} queries in $total%.1f s; " +
+    info(f"shard $shard: ${timings.size} queries in $total%.1f s " +
+      f"(host steal $stealSec%.0f core-sec over the window); " +
       s"slowest: $slowest")
     if (total > budgetSec)
       // scalastyle:off println — the WARN must reach the sbt log even
@@ -131,6 +142,18 @@ object FullDeterminismShard {
   /** keep in sync with the number of concrete shard classes below AND
     * the testGrouping stanza in build.sbt */
   val N = GoldenGen.NShards
+
+  /** cumulative host steal jiffies (USER_HZ=100) — field 8 of
+    * /proc/stat's aggregate cpu line; 0 where unavailable. Same
+    * convention as graft.Bench's per-query noise figure. */
+  def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
 }
 
 class FullDeterminismShard0 extends FullDeterminismShard(0) {
@@ -157,3 +180,5 @@ class FullDeterminismShard0 extends FullDeterminismShard(0) {
 class FullDeterminismShard1 extends FullDeterminismShard(1)
 class FullDeterminismShard2 extends FullDeterminismShard(2)
 class FullDeterminismShard3 extends FullDeterminismShard(3)
+class FullDeterminismShard4 extends FullDeterminismShard(4)
+class FullDeterminismShard5 extends FullDeterminismShard(5)

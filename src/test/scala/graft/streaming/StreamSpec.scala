@@ -989,4 +989,68 @@ class StreamSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming Kleinberg burst state equals the batch two-state " +
+    "scan for any batch split (ts_burst_kleinberg parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // the ts_burst_kleinberg micro-nat constants: q0 = 1/8 base share,
+    // q1 = 1/4 elevated, toll 4e6
+    val (a0, b0, a1, b1, tr) =
+      (2079442L, 133531L, 1386294L, 287682L, 4000000L)
+    // (key, seq, k, n): key 1 enters a burst right at the batch split
+    // (the state-carry case: c0/c1/prev must survive), exits, then
+    // re-enters (n_intervals = 2); key 2 stays base throughout; key 3
+    // appears only in batch 2 and bursts on its FIRST day (the
+    // first-row toll path); unordered seq within a batch exercises
+    // the in-batch sort
+    val days = Seq(
+      (1L, 1L, 1L, 16L), (1L, 2L, 2L, 16L), (2L, 1L, 2L, 16L),
+      (1L, 4L, 12L, 16L), (1L, 3L, 10L, 16L), (2L, 2L, 1L, 16L),
+      // -- batch split here: key 1 is mid-burst --
+      (1L, 5L, 11L, 16L), (1L, 6L, 1L, 16L), (2L, 3L, 3L, 16L),
+      (1L, 8L, 13L, 16L), (1L, 7L, 2L, 16L), (3L, 1L, 15L, 16L),
+      (3L, 2L, 14L, 16L))
+    def run(splits: Seq[Seq[(Long, Long, Long, Long)]],
+            qn: String): Seq[(Long, Long, Long, Long, Long, Long)] = {
+      val input = MemoryStream[(Long, Long, Long, Long)]
+      val bs = StreamOps.burstState(
+        input.toDF.toDF("key", "s", "k", "n"), "key", "s", "k", "n",
+        a0, b0, a1, b1, tr)
+      val q = bs.writeStream.format("memory")
+        .queryName(qn).outputMode("update").start()
+      try {
+        splits.foreach { b => input.addData(b); q.processAllAvailable() }
+        sp.sql(
+          s"""SELECT key, n_days, n_burst, n_intervals, first_burst,
+             |  cost
+             |FROM $qn s
+             |WHERE n_days = (SELECT max(n_days) FROM $qn
+             |                WHERE key = s.key)
+             |ORDER BY key""".stripMargin)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      } finally q.stop()
+    }
+    val split2 = run(Seq(days.take(6), days.drop(6)), "burst_stream_2")
+    val split1 = run(Seq(days), "burst_stream_1")
+    val batch = graft.ops.Burst.twoState(
+        days.toDF("key", "s", "k", "n"), key = "key",
+        order = Seq(col("s")), kCol = col("k"), nCol = col("n"),
+        a0 = a0, b0 = b0, a1 = a1, b1 = b1, trans = tr)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // exact BIGINT recurrence on both sides: equality, no epsilon
+    assert(split2 == batch, s"mid-burst split drifted:\n$split2\nvs\n$batch")
+    assert(split1 == batch, s"one-batch drifted:\n$split1\nvs\n$batch")
+    // the fixture actually exercises what it claims: key 1 has two
+    // burst intervals, key 3 bursts from its first day
+    val byKey = batch.map(t => t._1 -> t).toMap
+    assert(byKey(1L)._4 == 2L, s"key 1 intervals: ${byKey(1L)}")
+    assert(byKey(3L)._5 == 1L, s"key 3 first_burst: ${byKey(3L)}")
+    assert(byKey(2L)._3 == 0L, s"key 2 burst days: ${byKey(2L)}")
+  }
 }
