@@ -33,7 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward the opt-in gate knobs into the FORKED test JVMs — a bare
+  // `sbt -Dk=v` only reaches the sbt JVM itself
+  Seq("graft.scale.ladder", "graft.shard.budget.sec")
+    .flatMap(k => sys.props.get(k).map(v => s"-D$k=$v"))
 
 // Gate-time sharding (r9 verdict ask #6; golden-hashed r11 per r10
 // ask #1; 6 shards r13 per r12 ask #1): the FullDeterminismShard0-5

@@ -999,6 +999,104 @@ object Multimodal {
       })
   }
 
+  final case class RleStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, n_fg: Long, n_runs: Long)
+
+  /** Per-image run-length statistics over binarized decoded gray BMPs
+    * — the compressibility signal of document imaging (a clean scan
+    * RLE-compresses to a handful of runs per row; dense noise/dither
+    * does not — the classic pre-OCR speckle/halftone discriminant,
+    * and the row-wise run model beneath CCITT G3/G4 fax coding).
+    * Foreground = gray value below `fgBelow` (ink on paper); a run is
+    * a maximal constant segment WITHIN one pixel row (rows never
+    * merge). Exact integer counting, partition-local per image via
+    * mapPartitions (same no-shuffle shape as [[otsuGray]]); run count
+    * is invariant to row order and scan direction, so it is
+    * reproducible from the generation law alone — what lets the
+    * DuckDB oracle replay it without a decoder. Images that fail to
+    * decode are dropped. */
+  def rleGray(df: DataFrame, idCol: String, fgBelow: Int = 128,
+      payloadCol: String = "payload"): Dataset[RleStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            var nFg = 0L; var nRuns = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              var prev = -1
+              while (x < w) {
+                val fg = if (px((y * w + x) * 3) < fgBelow) 1 else 0
+                nFg += fg
+                if (fg != prev) { nRuns += 1; prev = fg }
+                x += 1
+              }
+              y += 1
+            }
+            RleStats(id, w, h, w.toLong * h, nFg, nRuns)
+          }
+      })
+  }
+
+  final case class BlurStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, sum_nsum: Long, sum_ncnt: Long, lap_energy: Long)
+
+  /** 3×3 box-filter statistics over decoded gray BMPs — the local
+    * smoothness/edge-energy signal of image QA (a text scan has high
+    * Laplacian energy at glyph edges; a blank or blurred page has
+    * almost none — the same family as [[sharpnessGray]] but with the
+    * border handled by CLAMPED windows, so every pixel contributes).
+    * Per pixel p with 3×3 neighborhood (clamped at the borders,
+    * self included): nsum = Σ neighbor values, ncnt = window size,
+    * lap = v·ncnt − nsum (= Σ (v − v_b), an un-normalized clamped
+    * Laplacian — EXACT integers throughout, no division anywhere).
+    * Emits per image: Σnsum, Σncnt and the Laplacian energy Σ lap².
+    * Partition-local per image via mapPartitions — no shuffle, never
+    * per-pixel rows; the oracle replays the arithmetic pixel law on a
+    * generated grid with a 3×3 offset join. */
+  def boxBlurStats(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[BlurStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            var sNsum = 0L; var sNcnt = 0L; var lapE = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = px((y * w + x) * 3).toLong
+                var nsum = 0L; var ncnt = 0L
+                var dy = -1
+                while (dy <= 1) {
+                  var dx = -1
+                  while (dx <= 1) {
+                    val nx = x + dx; val ny = y + dy
+                    if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                      nsum += px((ny * w + nx) * 3); ncnt += 1
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                val lap = v * ncnt - nsum
+                sNsum += nsum; sNcnt += ncnt; lapE += lap * lap
+                x += 1
+              }
+              y += 1
+            }
+            BlurStats(id, w, h, w.toLong * h, sNsum, sNcnt, lapE)
+          }
+      })
+  }
+
   final case class BlobStats(doc_id: Long, width: Int, height: Int,
       n_fg: Long, n_blobs: Long, max_blob: Long)
 

@@ -952,5 +952,76 @@ object AggQueries {
             .as("kurtosis_excess"))
         .orderBy("flag")
     },
+
+    // KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; the
+    // k-minimum-values estimator behind Theta sketches) beside the
+    // HLL family: per order priority, the k=64 smallest PORTABLE
+    // 32-bit hashes (disjoint 8-hex md5 window — the engine-portable
+    // hash device) of the distinct customer ids; the estimate is
+    // (k−1)·2^32/h_(k). Everything except the final division is exact
+    // integer arithmetic on the DISTINCT (group, hash) relation, and
+    // the union sketch MERGES by construction — the bottom-64 of the
+    // union is the bottom-64 of the per-group bottom-64s, the
+    // mergeable-summary property that makes KMV shippable from
+    // 1000 executors. Output: per-group exact vs estimate, plus the
+    // merged global estimate replicated per row.
+    q("agg_kmv",
+      """WITH d AS (SELECT DISTINCT o_orderpriority pri,
+        |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT h
+        |  FROM orders),
+        |r AS (SELECT pri, h, row_number() OVER (PARTITION BY pri
+        |        ORDER BY h) rk FROM d),
+        |kth AS (SELECT pri, max(h) hk, count(*)::BIGINT kk
+        |        FROM r WHERE rk <= 64 GROUP BY 1),
+        |ex AS (SELECT o_orderpriority pri,
+        |         count(DISTINCT o_custkey)::BIGINT exact
+        |       FROM orders GROUP BY 1),
+        |g AS (SELECT h, row_number() OVER (ORDER BY h) rk
+        |      FROM (SELECT DISTINCT h FROM d)),
+        |gk AS (SELECT max(h) hk, count(*)::BIGINT kk FROM g
+        |       WHERE rk <= 64),
+        |gx AS (SELECT count(DISTINCT o_custkey)::BIGINT gexact
+        |       FROM orders)
+        |SELECT ex.pri, ex.exact,
+        |  CASE WHEN kth.kk < 64 THEN ex.exact ELSE
+        |    CAST(round((kth.kk - 1) * 4294967296.0 / kth.hk + 1e-9)
+        |         AS BIGINT) END AS kmv_est,
+        |  CASE WHEN gk.kk < 64 THEN gx.gexact ELSE
+        |    CAST(round((gk.kk - 1) * 4294967296.0 / gk.hk + 1e-9)
+        |         AS BIGINT) END AS kmv_union_est,
+        |  gx.gexact AS union_exact
+        |FROM ex JOIN kth ON ex.pri = kth.pri, gk, gx
+        |ORDER BY ex.pri""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val d = c.orders.select(col("o_orderpriority").as("pri"),
+          conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val r = d.withColumn("rk", row_number().over(
+        Window.partitionBy("pri").orderBy("h")))
+      val kth = r.filter(col("rk") <= 64).groupBy("pri")
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("kk"))
+      val ex = c.orders.groupBy(col("o_orderpriority").as("pri"))
+        .agg(countDistinct(col("o_custkey")).as("exact"))
+      val g = d.select("h").distinct()
+        .withColumn("rk", row_number().over(Window.orderBy("h")))
+      val gk = g.filter(col("rk") <= 64)
+        .agg(max(col("h")).as("hk2"), count(lit(1)).as("kk2"))
+      val gx = c.orders.agg(countDistinct(col("o_custkey")).as("gexact"))
+      def est(kk: org.apache.spark.sql.Column,
+          hk: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =
+        when(kk < 64, exact).otherwise(
+          round((kk - 1) * lit(4294967296.0) / hk + lit(1e-9))
+            .cast("long"))
+      ex.join(kth, Seq("pri"))
+        .crossJoin(broadcast(gk)).crossJoin(broadcast(gx))
+        .select(col("pri"), col("exact"),
+          est(col("kk"), col("hk"), col("exact")).as("kmv_est"),
+          est(col("kk2"), col("hk2"), col("gexact"))
+            .as("kmv_union_est"),
+          col("gexact").as("union_exact"))
+        .orderBy("pri")
+    },
   )
 }

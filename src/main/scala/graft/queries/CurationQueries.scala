@@ -1933,5 +1933,79 @@ object CurationQueries {
         r6(wExpr).as("kendall_w"),
         r6((lit(3.0) * wExpr - 1.0) / 2).as("rho_mean"))
     },
+
+    // Rank-biased overlap (Webber, Moffat & Zobel 2010 — the standard
+    // top-weighted similarity between two INDEFINITE rankings; unlike
+    // Kendall/Spearman it neither needs conjoint domains nor weighs
+    // rank 1 equally with rank 1000, which is why search and
+    // recommendation evals report it): parts ranked by total shipped
+    // quantity vs by total revenue, truncated at depth 20, p = 1/2 so
+    // every geometric weight is an exact dyadic double. Per depth d,
+    // the prefix overlap |A_d ∩ B_d| is an exact integer from the
+    // joined rank pairs; the 20 weighted agreement terms fold in
+    // PINNED depth order. Scale: two corpus aggregations, two
+    // top-20-bounded sorts — the depth grid is a 20-row literal.
+    q("rank_rbo",
+      """WITH qa AS (SELECT l_partkey pk,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT q
+        |  FROM lineitem GROUP BY 1),
+        |ra AS (SELECT pk, row_number() OVER (ORDER BY q DESC, pk) r
+        |       FROM qa),
+        |qb AS (SELECT l_partkey pk,
+        |    sum(CAST(round(l_extendedprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT v
+        |  FROM lineitem GROUP BY 1),
+        |rb AS (SELECT pk, row_number() OVER (ORDER BY v DESC, pk) r
+        |       FROM qb),
+        |j AS (SELECT ra.pk, ra.r ra2, rb.r rb2
+        |      FROM ra JOIN rb ON ra.pk = rb.pk
+        |      WHERE ra.r <= 20 AND rb.r <= 20),
+        |ds AS (SELECT unnest(generate_series(1, 20)) d),
+        |ov AS (SELECT ds.d,
+        |         coalesce(sum(CASE WHEN j.ra2 <= ds.d AND j.rb2 <= ds.d
+        |                           THEN 1 ELSE 0 END), 0)::BIGINT ov
+        |       FROM ds LEFT JOIN j ON TRUE GROUP BY 1),
+        |f AS (SELECT
+        |    list_reduce(list(0.5 * pow(0.5, d - 1) * (ov * 1.0 / d)
+        |                     ORDER BY d), (a, x) -> a + x) rbo,
+        |    max(CASE WHEN d = 5 THEN ov END)::BIGINT ov5,
+        |    max(CASE WHEN d = 10 THEN ov END)::BIGINT ov10,
+        |    max(CASE WHEN d = 20 THEN ov END)::BIGINT ov20
+        |  FROM ov)
+        |SELECT 20 AS depth, ov5, ov10, ov20,
+        |  round(rbo + 1e-9, 6) AS rbo FROM f""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val sp = c.spark
+      import sp.implicits._
+      def top20(agg: org.apache.spark.sql.DataFrame,
+          m: String): org.apache.spark.sql.DataFrame =
+        agg.orderBy(col(m).desc, col("pk")).limit(20)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col(m).desc, col("pk"))))
+          .select(col("pk"), col("r"))
+      val ra = top20(c.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("q")), "q")
+      val rb = top20(c.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100 + lit(1e-9))
+          .cast("long")).as("v")), "v")
+      val j = ra.as("a").join(rb.as("b"), col("a.pk") === col("b.pk"))
+        .select(col("a.r").as("ra2"), col("b.r").as("rb2"))
+      val ds = (1 to 20).toDF("d")
+      val ov = broadcast(ds).join(j, lit(true), "left")
+        .groupBy("d")
+        .agg(coalesce(sum(when(col("ra2") <= col("d") &&
+            col("rb2") <= col("d"), 1L).otherwise(0L)), lit(0L))
+          .as("ov"))
+      val f = ov.agg(
+        aggregate(array_sort(collect_list(struct(col("d"),
+            (lit(0.5) * pow(lit(0.5), col("d") - 1) *
+              (col("ov") * lit(1.0) / col("d"))).as("tm")))),
+          lit(0.0), (a, x) => a + x.getField("tm")).as("rbo"),
+        max(when(col("d") === 5, col("ov"))).as("ov5"),
+        max(when(col("d") === 10, col("ov"))).as("ov10"),
+        max(when(col("d") === 20, col("ov"))).as("ov20"))
+      f.select(lit(20).as("depth"), col("ov5"), col("ov10"),
+        col("ov20"), r6(col("rbo")).as("rbo"))
+    },
   )
 }

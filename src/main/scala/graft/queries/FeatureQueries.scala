@@ -1925,5 +1925,51 @@ object FeatureQueries {
           r4(col("forecast")).as("forecast"))
         .orderBy("user_id")
     },
+
+    // Hampel filter (Hampel 1974; Pearson's recommended despiker for
+    // sensor/metric streams — replace a point more than 3 scaled MADs
+    // from its rolling median, never smearing neighbors the way a
+    // moving average does) over the daily value series: centered
+    // 7-day window, median and MAD from the sorted window array, and
+    // the decision rule runs ENTIRELY in integers — |y−med|·10000 >
+    // 44478·mad encodes the 3·1.4826 Gaussian consistency constant
+    // exactly, so the flag can never split on an engine's rounding.
+    // Full windows only (the filter is undefined at the edges).
+    // Scale: one corpus aggregation to the calendar-bounded daily
+    // grid; the window runs over that model-sized relation.
+    q("ts_hampel",
+      """WITH d AS (SELECT CAST(ts AS DATE) d,
+        |    sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT d, y, list(y) OVER (ORDER BY d
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) arr
+        |      FROM d),
+        |f AS (SELECT d, y, arr, list_sort(arr)[4] med FROM a
+        |      WHERE len(arr) = 7),
+        |m AS (SELECT d, y, med,
+        |        list_sort([abs(x - med) for x in arr])[4] mad
+        |      FROM f)
+        |SELECT d::VARCHAR AS day, y, med AS med7, mad AS mad7,
+        |  abs(y - med) * 10000 > 44478 * mad AS is_outlier,
+        |  CASE WHEN abs(y - med) * 10000 > 44478 * mad
+        |       THEN med ELSE y END AS cleaned
+        |FROM m ORDER BY day""") { c =>
+      val d = c.events.select(col("ts").cast("date").as("d"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("c"))
+        .groupBy("d").agg(sum(col("c")).as("y"))
+      val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+      val a = d.withColumn("arr", collect_list(col("y")).over(w7))
+        .filter(size(col("arr")) === 7)
+        .withColumn("med", expr("element_at(array_sort(arr), 4)"))
+        .withColumn("mad",
+          expr("element_at(array_sort(transform(arr, x -> abs(x - med))), 4)"))
+      a.select(col("d").cast("string").as("day"), col("y"),
+          col("med").as("med7"), col("mad").as("mad7"),
+          (abs(col("y") - col("med")) * 10000 > col("mad") * 44478)
+            .as("is_outlier"),
+          when(abs(col("y") - col("med")) * 10000 > col("mad") * 44478,
+            col("med")).otherwise(col("y")).as("cleaned"))
+        .orderBy("day")
+    },
   )
 }

@@ -1108,5 +1108,64 @@ object GraphQueries {
           col("mx").as("max_dist"), col("d90").as("eff_diameter_90"),
           r6(col("sd") * 1.0 / col("m")).as("mean_dist"))
     },
+
+    // Power-law degree-distribution fit (Clauset, Shalizi & Newman
+    // 2009 — the continuous MLE α̂ = 1 + n·[Σ ln(d/(dmin−½))]⁻¹ with
+    // dmin pinned at 2): is the co-supply graph heavy-tailed, and how
+    // heavy? The diagnostic behind hub-aware partitioning decisions
+    // (an α near 2 says skew-salt your joins; see graph_rich_club for
+    // WHO the hubs are). Same capped co-supply projection as
+    // graph_betweenness. The degree HISTOGRAM is exact integers; each
+    // distinct degree contributes cnt·ln(d/1.5) with ln over an
+    // identical double ratio on both engines (the adamic-adar device),
+    // folded in PINNED degree order. Scale: the whole fit reads the
+    // ≤40-row degree histogram after one edge aggregation.
+    q("graph_powerlaw_mle",
+      """WITH sp AS (SELECT DISTINCT l_partkey pk, l_suppkey sk
+        |  FROM lineitem WHERE l_quantity > 49),
+        |pdeg AS (SELECT pk, count(*) d FROM sp GROUP BY 1),
+        |kept AS (SELECT sp.pk, sp.sk FROM sp JOIN pdeg
+        |         ON sp.pk = pdeg.pk WHERE pdeg.d <= 40),
+        |e AS (SELECT DISTINCT a.sk u, b.sk v
+        |      FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk),
+        |deg AS (SELECT node, count(*)::BIGINT d FROM (
+        |          SELECT u node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |h AS (SELECT d, count(*)::BIGINT cnt FROM deg
+        |      WHERE d >= 2 GROUP BY 1),
+        |f AS (SELECT sum(cnt)::BIGINT n_tail, max(d)::BIGINT max_d,
+        |        list_reduce(list(cnt * ln(d / 1.5) ORDER BY d),
+        |          (a, x) -> a + x) sl
+        |      FROM h)
+        |SELECT 2 AS dmin, n_tail, max_d,
+        |  round(1.0 + n_tail / sl + 1e-9, 6) AS alpha,
+        |  round((1.0 + n_tail / sl - 1.0) / sqrt(n_tail) + 1e-9, 6)
+        |    AS alpha_se
+        |FROM f""") { c =>
+      val sp2 = c.lineitem.filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pdeg = sp2.groupBy("pk").agg(count(lit(1)).as("d"))
+      val kept = sp2.join(pdeg, Seq("pk")).filter(col("d") <= 40)
+        .select(col("pk"), col("sk"))
+      val e = kept.as("a")
+        .join(kept.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val h = deg.filter(col("d") >= 2).groupBy("d")
+        .agg(count(lit(1)).as("cnt"))
+      val f = h.agg(sum(col("cnt")).as("n_tail"),
+        max(col("d")).as("max_d"),
+        aggregate(array_sort(collect_list(struct(col("d"),
+            (col("cnt") * log(col("d") / lit(1.5))).as("tm")))),
+          lit(0.0), (a, x) => a + x.getField("tm")).as("sl"))
+      f.select(lit(2).as("dmin"), col("n_tail"), col("max_d"),
+        r6(lit(1.0) + col("n_tail") / col("sl")).as("alpha"),
+        r6((lit(1.0) + col("n_tail") / col("sl") - lit(1.0)) /
+          sqrt(col("n_tail"))).as("alpha_se"))
+    },
   )
 }

@@ -2255,6 +2255,139 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Run-length statistics over the SAME decoded bimodal BMPs —
+    // the compressibility discriminant of document imaging (clean
+    // scans are a few runs per row, dithered noise is not; the
+    // row-run model beneath CCITT G3/G4 fax coding).
+    // ops/Multimodal.rleGray binarizes at gray < 128 and counts
+    // maximal constant segments per pixel row in exact integers,
+    // partition-local per image — no shuffle, no per-pixel rows. The
+    // oracle regenerates the pixel law arithmetically (ink mode
+    // 40-69 < 128 ≤ paper mode 170-209, so fg ⟺ (doc_id+p)%3=0) and
+    // counts run STARTS via the p-1 self-join on the generated grid:
+    // row head or a foreground flip starts a run. mean_run and the
+    // 2-bytes-per-run RLE ratio are single exact-integer divisions.
+    q("mm_rle",
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h, p,
+        |        CASE WHEN (doc_id + p) % 3 = 0 THEN 1 ELSE 0 END fg
+        |      FROM px),
+        |r AS (SELECT a.doc_id, max(a.w) w, max(a.h) h,
+        |        count(*)::BIGINT n_px, sum(a.fg)::BIGINT n_fg,
+        |        sum(CASE WHEN a.p % a.w = 0 OR a.fg <> b.fg
+        |                 THEN 1 ELSE 0 END)::BIGINT n_runs
+        |      FROM g a LEFT JOIN g b
+        |        ON b.doc_id = a.doc_id AND b.p = a.p - 1
+        |           AND (a.p % a.w) <> 0
+        |      GROUP BY 1)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  n_px, n_fg, n_runs,
+        |  round(n_px * 1.0 / n_runs + 1e-9, 6) AS mean_run,
+        |  round(n_runs * 2.0 / n_px + 1e-9, 6) AS rle_ratio
+        |FROM r ORDER BY doc_id""") { c =>
+      val mkBmp = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.rleGray(
+          c.documents.select(col("doc_id"),
+            mkBmp(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_px"), col("n_fg"), col("n_runs"),
+          r6(col("n_px") * lit(1.0) / col("n_runs")).as("mean_run"),
+          r6(col("n_runs") * lit(2.0) / col("n_px")).as("rle_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // 3x3 box-filter / clamped-Laplacian energy over the same decoded
+    // bimodal BMPs — the local-smoothness image-QA signal beside
+    // mm_image_sharpness: per pixel, nsum/ncnt over the border-clamped
+    // 3x3 window and lap = v·ncnt − nsum (= Σ (v − v_neighbor), self
+    // term zero), all EXACT integers with no division anywhere;
+    // per-image sums Σnsum, Σncnt and the edge energy Σ lap² are what
+    // a text-vs-blank-vs-blur router thresholds on.
+    // ops/Multimodal.boxBlurStats runs partition-local per image; the
+    // oracle regenerates the gray law on an (x, y) grid and replays
+    // the window with a 3x3 offset join bounded by the image borders.
+    q("mm_box_blur",
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT w,
+        |             (2 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h, p % w x, p // w y,
+        |        (CASE WHEN (doc_id + p) % 3 = 0
+        |              THEN 40 + (doc_id * 7 + p * 5) % 30
+        |              ELSE 170 + (doc_id * 3 + p * 11) % 40
+        |         END)::BIGINT v
+        |      FROM px),
+        |off AS (SELECT a.a dx, b.a dy
+        |        FROM (SELECT unnest([-1, 0, 1]) a) a,
+        |             (SELECT unnest([-1, 0, 1]) a) b),
+        |nb AS (SELECT a.doc_id, a.x, a.y, a.v,
+        |         sum(b.v)::BIGINT nsum, count(*)::BIGINT ncnt
+        |       FROM g a, off
+        |       JOIN g b ON b.doc_id = a.doc_id
+        |         AND b.x = a.x + off.dx AND b.y = a.y + off.dy
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, count(*)::BIGINT AS n_px,
+        |  sum(nsum)::BIGINT AS sum_nsum,
+        |  sum(ncnt)::BIGINT AS sum_ncnt,
+        |  sum((v * ncnt - nsum) * (v * ncnt - nsum))::BIGINT
+        |    AS lap_energy
+        |FROM nb GROUP BY 1 ORDER BY doc_id""") { c =>
+      val mkBmp2 = udf((id: Long) => {
+        val w = 4 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.boxBlurStats(
+          c.documents.select(col("doc_id"),
+            mkBmp2(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("n_px"), col("sum_nsum"),
+          col("sum_ncnt"), col("lap_energy"))
+        .orderBy("doc_id")
+    },
+
     // Connected-component BLOB labeling (4-connectivity) over
     // binarized decoded BMPs — the post-Otsu figure-vs-speckle signal
     // of a document-imaging pipeline (ops/Multimodal.blobsGray: a

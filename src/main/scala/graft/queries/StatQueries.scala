@@ -4909,5 +4909,249 @@ object StatQueries {
           r6(col("s") / 2.0).as("hl"),
           r6(col("sx") * 1.0 / col("n")).as("mean"))
     },
+
+    // Sample-ratio mismatch guardrail (the FIRST check any A/B readout
+    // runs: if assignment isn't hitting its designed split, every
+    // downstream lift number is invalid — Fabijan et al. 2019 diagnose
+    // SRM as the most common silent experiment corruption): arms from
+    // the user_id parity hash on signups, expected 50/50; chi-square
+    // with 1 df collapses to (n0-n1)^2/(n0+n1) on EXACT integer
+    // counts, one division at the end, and the pass/fail flag
+    // compares the ROUNDED statistic on both engines against the
+    // alpha=0.05 critical value 3.841459. One corpus aggregate.
+    q("ab_srm",
+      """WITH a AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT n0,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT n1
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT n0, n1,
+        |  round(n0 * 1.0 / (n0 + n1) + 1e-9, 6) AS ratio0,
+        |  round((n0 - n1) * 1.0 * (n0 - n1) / (n0 + n1) + 1e-9, 6)
+        |    AS chi2,
+        |  round((n0 - n1) * 1.0 * (n0 - n1) / (n0 + n1) + 1e-9, 6)
+        |    > 3.841459 AS srm_detected
+        |FROM a""") { c =>
+      val a = c.events.filter(col("event_type") === "signup").agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+      val chi2 = r6((col("n0") - col("n1")) * lit(1.0) *
+        (col("n0") - col("n1")) / (col("n0") + col("n1")))
+      a.select(col("n0"), col("n1"),
+        r6(col("n0") * lit(1.0) / (col("n0") + col("n1"))).as("ratio0"),
+        chi2.as("chi2"),
+        (chi2 > 3.841459).as("srm_detected"))
+    },
+
+    // Grubbs' test for a single outlier (Grubbs 1950 — the
+    // maximum-studentized-deviate screen run before any mean-based
+    // readout): G = max|x - x̄| / s over order totals. The argmax is
+    // EXACT integer arithmetic — |v·n − S| on cents never touches a
+    // double, so the flagged outlier (ties: lowest value) is
+    // deterministic at any partitioning; mean/sd come from exact
+    // integer moments (Σv² through DECIMAL(38,0)/HUGEINT) and G is one
+    // pinned double expression. Scale: one corpus aggregate + one
+    // argmax over the corpus — no sort, no window.
+    q("stat_grubbs",
+      """WITH b AS (SELECT CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) v
+        |           FROM orders),
+        |t AS (SELECT count(*)::BIGINT n, sum(v)::BIGINT s,
+        |        sum(v::HUGEINT * v) q FROM b),
+        |d AS (SELECT v, abs(v * n - s) dev FROM b, t),
+        |mx AS (SELECT max(dev) md FROM d),
+        |m AS (SELECT min(v) v, max(d.dev) dev FROM d, mx
+        |      WHERE d.dev = mx.md)
+        |SELECT n,
+        |  round(s * 1.0 / n / 100 + 1e-9, 4) AS mean,
+        |  round(sqrt((q::DOUBLE - s::DOUBLE * s / n) / (n - 1)) / 100
+        |        + 1e-9, 4) AS sd,
+        |  round(m.v / 100.0 + 1e-9, 2) AS outlier,
+        |  round((m.dev * 1.0 / n)
+        |        / sqrt((q::DOUBLE - s::DOUBLE * s / n) / (n - 1))
+        |        + 1e-9, 6) AS g
+        |FROM t, m""") { c =>
+      val b = c.orders.select(
+        round(col("o_totalprice") * 100 + lit(1e-9)).cast("long").as("v"))
+      val t = b.agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
+      val d = b.crossJoin(broadcast(t))
+        .select(col("v"), abs(col("v") * col("n") - col("s")).as("dev"),
+          col("n"), col("s"), col("q"))
+      val m = d.orderBy(col("dev").desc, col("v").asc).limit(1)
+      val sd = sqrt((col("q").cast("double") -
+        col("s").cast("double") * col("s") / col("n")) / (col("n") - 1))
+      m.select(col("n"),
+        r4(col("s") * lit(1.0) / col("n") / 100).as("mean"),
+        r4(sd / 100).as("sd"),
+        r2(col("v") / lit(100.0)).as("outlier"),
+        r6((col("dev") * lit(1.0) / col("n")) / sd).as("g"))
+    },
+
+    // Two-sample Kuiper test (Kuiper 1960 — the rotation-invariant
+    // sibling of Kolmogorov-Smirnov: V = D+ + D- weighs both tails
+    // equally, the right screen for cyclic or tail-asymmetric shifts
+    // KS under-weights): returned vs kept lineitem quantities. Both
+    // sups run on EXACT integers — cumx·ny − cumy·nx on the ≤50-row
+    // quantity histogram — with the single division at the end, so
+    // the statistic is bit-deterministic at any partitioning. Scale:
+    // one corpus hash aggregation to the bounded histogram, one
+    // window over that model-sized relation.
+    q("stat_kuiper",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny FROM h),
+        |c AS (SELECT v,
+        |        sum(cx) OVER (ORDER BY v) cumx,
+        |        sum(cy) OVER (ORDER BY v) cumy
+        |      FROM h),
+        |d AS (SELECT greatest(max(cumx * ny - cumy * nx), 0)::BIGINT dpi,
+        |             greatest(max(cumy * nx - cumx * ny), 0)::BIGINT dmi
+        |      FROM c, t)
+        |SELECT nx, ny,
+        |  round(dpi * 1.0 / (nx * ny) + 1e-9, 6) AS d_plus,
+        |  round(dmi * 1.0 / (nx * ny) + 1e-9, 6) AS d_minus,
+        |  round((dpi + dmi) * 1.0 / (nx * ny) + 1e-9, 6) AS kuiper_v,
+        |  round(sqrt(nx::DOUBLE * ny / (nx + ny))
+        |        * ((dpi + dmi) * 1.0 / (nx * ny)) + 1e-9, 6) AS v_scaled
+        |FROM d, t""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+        sum(lit(1L) - col("gx")).as("cy"))
+      val t = h.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"))
+      val w = Window.orderBy("v")
+      val cum = h.select(col("v"),
+        sum(col("cx")).over(w).as("cumx"),
+        sum(col("cy")).over(w).as("cumy"))
+      val d = cum.crossJoin(broadcast(t))
+        .agg(greatest(max(col("cumx") * col("ny") -
+            col("cumy") * col("nx")), lit(0L)).as("dpi"),
+          greatest(max(col("cumy") * col("nx") -
+            col("cumx") * col("ny")), lit(0L)).as("dmi"),
+          first(col("nx")).as("nx"), first(col("ny")).as("ny"))
+      d.select(col("nx"), col("ny"),
+        r6(col("dpi") * lit(1.0) / (col("nx") * col("ny"))).as("d_plus"),
+        r6(col("dmi") * lit(1.0) / (col("nx") * col("ny"))).as("d_minus"),
+        r6((col("dpi") + col("dmi")) * lit(1.0) /
+          (col("nx") * col("ny"))).as("kuiper_v"),
+        r6(sqrt(col("nx").cast("double") * col("ny") /
+            (col("nx") + col("ny"))) *
+          ((col("dpi") + col("dmi")) * lit(1.0) /
+            (col("nx") * col("ny")))).as("v_scaled"))
+    },
+
+    // Ansari-Bradley test (Ansari & Bradley 1960 — the rank-based
+    // SCALE test: are returned-line quantities more dispersed than
+    // kept ones, median shift aside?) on the double-ended midrank
+    // scores a(r) = min(r, N+1−r), ties averaged per block. The whole
+    // score machinery is EXACT integer arithmetic on the ≤50-row
+    // quantity histogram: the cumulative score prefix f(t) has the
+    // closed form k(k+1)/2 + [(N−k)(N−k+1) − (N−t)(N−t+1)]/2 (k =
+    // min(t, ⌈N/2⌉)), so each tied block's average score is one exact
+    // integer ratio, and the statistic T = Σ cx·ā(block), its moments
+    // E = nx·ā̄ and Var = nx·ny(Σc·ā² − N·ā̄²)/(N(N−1)), fold those
+    // ratios in PINNED v order (the bartlett device) before the one
+    // studentization. Scale: one hash aggregation to the bounded
+    // histogram; everything after is model-sized.
+    q("stat_ansari_bradley",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny,
+        |        sum(cx + cy)::BIGINT n,
+        |        (sum(cx + cy) + 1) // 2 half FROM h),
+        |cw AS (SELECT v, cx, cy, cx + cy c,
+        |        coalesce(sum(cx + cy) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb
+        |      FROM h),
+        |fb AS (SELECT v, cx, cy, c, cb, n, nx, ny, half,
+        |        (least(cb + c, half) * (least(cb + c, half) + 1)) // 2
+        |          + CASE WHEN cb + c > half THEN
+        |              ((n - half) * (n - half + 1)) // 2
+        |                - ((n - cb - c) * (n - cb - c + 1)) // 2
+        |            ELSE 0 END
+        |        - ((least(cb, half) * (least(cb, half) + 1)) // 2
+        |          + CASE WHEN cb > half THEN
+        |              ((n - half) * (n - half + 1)) // 2
+        |                - ((n - cb) * (n - cb + 1)) // 2
+        |            ELSE 0 END) bs
+        |      FROM cw, t),
+        |fold AS (SELECT
+        |    list_reduce(list(cx * (bs * 1.0 / c) ORDER BY v),
+        |      (a, x) -> a + x) tt,
+        |    list_reduce(list(c * (bs * 1.0 / c) * (bs * 1.0 / c)
+        |                     ORDER BY v), (a, x) -> a + x) sa2,
+        |    max(n) n, max(nx) nx, max(ny) ny, max(half) half
+        |  FROM fb),
+        |ab AS (SELECT nx, ny, n, tt, sa2,
+        |        ((least(n, half) * (least(n, half) + 1)) // 2
+        |         + CASE WHEN n > half THEN
+        |             ((n - half) * (n - half + 1)) // 2 ELSE 0 END)
+        |          * 1.0 / n abar
+        |      FROM fold)
+        |SELECT nx, ny, round(tt + 1e-9, 4) AS ab_t,
+        |  round(nx * abar + 1e-9, 4) AS e_t,
+        |  round((tt - nx * abar)
+        |        / sqrt(nx::DOUBLE * ny * (sa2 - n * abar * abar)
+        |               / (n * (n - 1.0))) + 1e-9, 6) AS z
+        |FROM ab""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+        sum(lit(1L) - col("gx")).as("cy"))
+      val t = h.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"),
+        sum(col("cx") + col("cy")).as("n"),
+        expr("(sum(cx + cy) + 1) div 2").as("half"))
+      val wb = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cw = h.select(col("v"), col("cx"), col("cy"),
+        (col("cx") + col("cy")).as("c"),
+        coalesce(sum(col("cx") + col("cy")).over(wb), lit(0L)).as("cb"))
+      // per-block score sum bs = f(cb+c) − f(cb) with the closed-form
+      // cumulative double-ended prefix f(t) — all exact integer div
+      val fb = cw.crossJoin(broadcast(t)).selectExpr("v", "cx", "cy",
+        "c", "cb", "n", "nx", "ny", "half",
+        """((least(cb + c, half) * (least(cb + c, half) + 1)) div 2
+          | + (CASE WHEN cb + c > half THEN
+          |     ((n - half) * (n - half + 1)) div 2
+          |       - ((n - cb - c) * (n - cb - c + 1)) div 2
+          |   ELSE 0 END)
+          | - ((least(cb, half) * (least(cb, half) + 1)) div 2
+          |   + (CASE WHEN cb > half THEN
+          |       ((n - half) * (n - half + 1)) div 2
+          |         - ((n - cb) * (n - cb + 1)) div 2
+          |     ELSE 0 END))) AS bs""".stripMargin.replace("\n", " "))
+      val fold = fb.agg(
+        aggregate(array_sort(collect_list(struct(col("v"),
+            (col("cx") * (col("bs") * lit(1.0) / col("c"))).as("tm")))),
+          lit(0.0), (a, x) => a + x.getField("tm")).as("tt"),
+        aggregate(array_sort(collect_list(struct(col("v"),
+            (col("c") * (col("bs") * lit(1.0) / col("c")) *
+              (col("bs") * lit(1.0) / col("c"))).as("tm")))),
+          lit(0.0), (a, x) => a + x.getField("tm")).as("sa2"),
+        max(col("n")).as("n"), max(col("nx")).as("nx"),
+        max(col("ny")).as("ny"), max(col("half")).as("half"))
+      val ab = fold.selectExpr("nx", "ny", "n", "tt", "sa2",
+        """((least(n, half) * (least(n, half) + 1)) div 2
+          | + (CASE WHEN n > half THEN
+          |     ((n - half) * (n - half + 1)) div 2 ELSE 0 END))
+          | * 1.0 / n AS abar""".stripMargin.replace("\n", " "))
+      ab.select(col("nx"), col("ny"), r4(col("tt")).as("ab_t"),
+        r4(col("nx") * col("abar")).as("e_t"),
+        r6((col("tt") - col("nx") * col("abar")) /
+          sqrt(col("nx").cast("double") * col("ny") *
+            (col("sa2") - col("n") * col("abar") * col("abar")) /
+            (col("n") * (col("n") - lit(1.0))))).as("z"))
+    },
   )
 }

@@ -802,5 +802,63 @@ object WindowQueries {
             .otherwise(0).as("breakout_down"))
         .orderBy("day")
     },
+
+    // Keltner channels in Chester Keltner's ORIGINAL 1960 form (the
+    // "ten-day moving average trading rule": centerline = 10-day SMA
+    // of the typical price (H+L+C)/3, bands at ± the 10-day SMA of
+    // the daily range H−L) over the same daily OHLC-from-lineitem
+    // grid as win_atr/win_donchian. Every rolling sum is an exact
+    // BIGINT over cents (3× typical kept integral as hi+lo+cl), the
+    // two divisions happen once per output row in the identical
+    // expression shape on both engines, and breakout flags compare
+    // the exact 2-decimal close against the ROUNDED band so no
+    // borderline day can flip per engine. Scale: corpus-sized daily
+    // aggregation, then a window over the calendar-bounded grid.
+    q("win_keltner",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT) hi,
+        |    CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT) lo,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |k AS (SELECT dy, cl,
+        |    sum(hi + lo + cl) OVER w styp,
+        |    sum(hi - lo) OVER w srng,
+        |    count(*) OVER w cnt
+        |  FROM d
+        |  WINDOW w AS (ORDER BY dy ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day,
+        |  round(styp * 1.0 / cnt / 3 / 100 + 1e-9, 4) AS mid,
+        |  round(styp * 1.0 / cnt / 3 / 100 + srng * 1.0 / cnt / 100
+        |        + 1e-9, 4) AS upper,
+        |  round(styp * 1.0 / cnt / 3 / 100 - srng * 1.0 / cnt / 100
+        |        + 1e-9, 4) AS lower,
+        |  round(cl / 100.0 + 1e-9, 2) AS close,
+        |  cl / 100.0 > round(styp * 1.0 / cnt / 3 / 100
+        |        + srng * 1.0 / cnt / 100 + 1e-9, 4) AS breakout_up,
+        |  cl / 100.0 < round(styp * 1.0 / cnt / 3 / 100
+        |        - srng * 1.0 / cnt / 100 + 1e-9, 4) AS breakdown
+        |FROM k ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        expr("CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("hi"),
+        expr("CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("lo"),
+        expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("cl"))
+      val w10 = Window.orderBy("dy").rowsBetween(-9, 0)
+      val k = d.select(col("dy"), col("cl"),
+        sum(col("hi") + col("lo") + col("cl")).over(w10).as("styp"),
+        sum(col("hi") - col("lo")).over(w10).as("srng"),
+        count(lit(1)).over(w10).as("cnt"))
+      val mid = col("styp") * lit(1.0) / col("cnt") / 3 / 100
+      val rng = col("srng") * lit(1.0) / col("cnt") / 100
+      k.select(col("dy").cast("string").as("day"),
+          r4(mid).as("mid"), r4(mid + rng).as("upper"),
+          r4(mid - rng).as("lower"),
+          r2(col("cl") / 100.0).as("close"),
+          (col("cl") / 100.0 > r4(mid + rng)).as("breakout_up"),
+          (col("cl") / 100.0 < r4(mid - rng)).as("breakdown"))
+        .orderBy("day")
+    },
   )
 }
