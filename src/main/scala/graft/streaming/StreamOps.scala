@@ -473,6 +473,60 @@ object StreamOps {
       .toDF("group", "counters")
   }
 
+  /** Keyed streaming KMV / bottom-k distinct sketch (Bar-Yossef et
+    * al. 2002) — the streaming counterpart of the batch `agg_kmv`
+    * query: state per group is the set of (at most) `m` SMALLEST
+    * distinct portable 32-bit hashes seen so far (the same
+    * first-8-hex-chars-of-md5 lattice the batch side and the DuckDB
+    * oracle use), and the distinct-count estimate is (m−1)·2³²/h₍ₘ₎
+    * (or the tracked set size, exact, while under capacity). The
+    * bottom-k set is a pure function of the input MULTISET — not of
+    * arrival order, batch boundaries, or duplication — so parity with
+    * the batch fold is exact under ANY split and any shuffling, the
+    * strongest determinism class in this file (spec-checked), and
+    * sketches merge downstream by unioning sets and re-taking the
+    * bottom m, the mergeable-summary property that makes the sketch
+    * shippable from 1000 executors. Emits (group, kk, hk, estimate)
+    * after each micro-batch. */
+  def kmvState(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      m: Int): DataFrame = {
+    require(m >= 2, s"need m >= 2 minima, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(keyCol).cast("string").as("__k"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[List[Long], (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (g, rows, state: GroupState[List[Long]]) =>
+          // state is kept SORTED ascending; size <= m
+          var mins = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, k) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val d = md.digest(k.getBytes("UTF-8"))
+            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            if (!mins.contains(h) &&
+                (mins.size < m || h < mins.last)) {
+              val grown = (h :: mins).sorted
+              mins = if (grown.size > m) grown.take(m) else grown
+            }
+          }
+          state.update(mins)
+          val kk = mins.size.toLong
+          val hk = if (mins.isEmpty) 0L else mins.last
+          val est =
+            if (kk < m) kk
+            else math.round((m - 1) * 4294967296.0 / hk + 1e-9)
+          (g, kk, hk, est)
+      }
+      .toDF("group", "kk", "hk", "estimate")
+  }
+
   /** Per-key streaming Kleinberg burst state (Kleinberg 2002, the
     * two-state ONLINE/FILTERED automaton) — the incremental
     * counterpart of the `ts_bursts` batch scan (ops/Burst.twoState):

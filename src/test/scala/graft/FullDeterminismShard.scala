@@ -112,19 +112,31 @@ abstract class FullDeterminismShard(shard: Int) extends SparkSpec {
     sys.props.get("graft.shard.budget.sec").map(_.toDouble).getOrElse(600.0)
   private val steal0 = FullDeterminismShard.stealJiffies()
   test(f"shard $shard sweep stays inside its $budgetSec%.0f s budget " +
-    "(warn; hard-fail at 3x; override: -Dgraft.shard.budget.sec)") {
+    "(steal-compensated warn; hard-fail at 3x; override: " +
+    "-Dgraft.shard.budget.sec)") {
     val total = timings.map(_._2).sum
     val stealSec = (FullDeterminismShard.stealJiffies() - steal0) / 100.0
+    // Steal compensation (r13): hypervisor steal inflates shard walls
+    // super-linearly (contention cascades through the 9 co-tenant
+    // JVMs). Two full-gate datapoints calibrate the slope: quiet host
+    // ~60 core-sec steal -> walls 165-305 s; stolen host ~1100
+    // core-sec -> walls 450-660 s, i.e. ~+1 wall-second per 3 steal
+    // core-seconds. Crediting steal/3 makes the WARN track CAPACITY
+    // (registry growth) instead of host weather; the hard fail stays
+    // an ABSOLUTE 3x so a genuine hang can never hide behind steal.
+    val budgetEff = budgetSec + stealSec / 3.0
     val slowest = timings.sortBy(-_._2).take(8)
       .map { case (n, s) => f"$n=$s%.1fs" }.mkString(", ")
     info(f"shard $shard: ${timings.size} queries in $total%.1f s " +
-      f"(host steal $stealSec%.0f core-sec over the window); " +
-      s"slowest: $slowest")
-    if (total > budgetSec)
+      f"(host steal $stealSec%.0f core-sec over the window -> " +
+      f"effective budget $budgetEff%.0f s); slowest: $slowest")
+    if (total > budgetEff)
       // scalastyle:off println — the WARN must reach the sbt log even
       // when the test passes; info() only shows on failure detail
       println(f"[determinism-tripwire] WARN shard $shard sweep " +
-        f"$total%.1f s > $budgetSec%.0f s budget. Slowest: $slowest. " +
+        f"$total%.1f s > $budgetEff%.0f s steal-compensated budget " +
+        f"($budgetSec%.0f s + $stealSec%.0f steal core-sec / 3). " +
+        s"Slowest: $slowest. " +
         "Speed these up, raise GoldenGen.NShards (+ build.sbt " +
         "testGrouping + golden regen), or raise " +
         "-Dgraft.shard.budget.sec before this hits the hard 3x fail.")

@@ -124,6 +124,12 @@ class PlanAuditSpec extends SparkSpec {
       // spark.range(k) — cardinality is a plan-time literal
       case r: org.apache.spark.sql.execution.RangeExec
         if r.range.numElements <= BigInt(100000) => true
+      // a literal in-plan table (Seq(...).toDF) — row count is fixed
+      // at plan construction, the physical twin of the logical
+      // LocalRelation case in boundedBelow (rank_rbo's 20-row depth
+      // grid BNLJ-left-joins the 20x20 rank pairs)
+      case l: org.apache.spark.sql.execution.LocalTableScanExec
+        if l.rows.size <= 100000 => true
       case other =>
         other.children.nonEmpty && other.children.forall(bounded)
     }

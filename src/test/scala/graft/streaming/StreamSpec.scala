@@ -1053,4 +1053,63 @@ class StreamSpec extends SparkSpec {
     assert(byKey(3L)._5 == 1L, s"key 3 first_burst: ${byKey(3L)}")
     assert(byKey(2L)._3 == 0L, s"key 2 burst days: ${byKey(2L)}")
   }
+
+  test("streaming KMV bottom-k sketch equals the batch md5 lattice " +
+    "for any batch split and any order (agg_kmv parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val m = 3
+    // (group, key): group a exceeds m distinct keys (evictions straddle
+    // the split, duplicates repeat across batches); group b stays under
+    // capacity; arrival order deliberately scrambled — the bottom-k set
+    // is a function of the multiset only
+    val rows = Seq(
+      ("a", "u7"), ("a", "u1"), ("b", "x1"), ("a", "u5"), ("a", "u1"),
+      ("a", "u3"), ("b", "x1"), ("a", "u9"), ("a", "u2"), ("b", "x2"),
+      ("a", "u5"), ("a", "u8"), ("a", "u4"), ("a", "u6"))
+    // batch reference on the SAME portable lattice the agg_kmv query
+    // and its DuckDB oracle use: first 8 hex chars of md5
+    val ref: Map[String, (Long, Long, Long)] = rows.toDF("g", "k")
+      .select(col("g"),
+        conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (g, rs) =>
+        val mins = rs.map(_.getLong(1)).sorted.take(m)
+        val kk = mins.length.toLong
+        val hk = mins.last
+        val est = if (kk < m) kk
+          else math.round((m - 1) * 4294967296.0 / hk + 1e-9)
+        g -> (kk, hk, est)
+      }
+    def run(splits: Seq[Seq[(String, String)]],
+        qn: String): Map[String, (Long, Long, Long)] = {
+      val input = MemoryStream[(String, String)]
+      val kmv = StreamOps.kmvState(
+        input.toDF.toDF("g", "k"), "g", "k", m)
+      val q = kmv.writeStream.format("memory")
+        .queryName(qn).outputMode("update").start()
+      try {
+        splits.foreach { b => input.addData(b); q.processAllAvailable() }
+        // latest emission per group: kk grows monotonically and hk
+        // only ever decreases at fixed kk — max(kk, -hk) is latest
+        sp.sql(s"""SELECT group, kk, hk, estimate FROM $qn s
+                  |WHERE struct(kk, -hk) = (SELECT max(struct(kk, -hk))
+                  |  FROM $qn WHERE group = s.group)""".stripMargin)
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3))).toMap
+      } finally q.stop()
+    }
+    val split3 = run(Seq(rows.take(5), rows.slice(5, 10), rows.drop(10)),
+      "kmv_stream_3")
+    val split1 = run(Seq(rows), "kmv_stream_1")
+    val reversed = run(Seq(rows.reverse), "kmv_stream_r")
+    assert(split3 == ref, s"3-split drifted:\n$split3\nvs\n$ref")
+    assert(split1 == ref, s"one-batch drifted:\n$split1\nvs\n$ref")
+    assert(reversed == ref, s"reversed-order drifted:\n$reversed\nvs\n$ref")
+    // the fixture exercises capacity: group a tracks exactly m minima
+    assert(ref("a")._1 == m.toLong)
+    assert(ref("b")._1 < m.toLong)
+  }
 }
