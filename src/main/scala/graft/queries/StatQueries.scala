@@ -5153,5 +5153,66 @@ object StatQueries {
             (col("sa2") - col("n") * col("abar") * col("abar")) /
             (col("n") * (col("n") - lit(1.0))))).as("z"))
     },
+
+    // Page's L trend test (Page 1963 — the ORDERED-alternative
+    // counterpart of Friedman's test for repeated measures: does mean
+    // order spend increase monotonically with priority WITHIN every
+    // market segment?): blocks = segments, treatments = the 5 ordered
+    // priorities, L = Σ_blocks Σ_j j·R_jb on within-block ranks of
+    // the treatment means. Ranks are EXACT integers — means compare
+    // by cross-multiplication (s'·n < s·n', ties to the lower
+    // priority), so no division ever feeds the ranking — and L, E[L]
+    // = b·k(k+1)²/4, Var[L] = b·k²(k+1)(k²−1)/144 are closed-form
+    // integers with one studentization at the end. Scale: one corpus
+    // join+aggregation to the 25-cell (segment × priority) relation;
+    // the rank self-join is 5×5 per block.
+    q("stat_page_trend",
+      """WITH cell AS (SELECT c_mktsegment seg,
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) j,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT s,
+        |    count(*)::BIGINT n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT a.seg, a.j,
+        |    1 + sum(CASE WHEN b.s * a.n < a.s * b.n
+        |                 OR (b.s * a.n = a.s * b.n AND b.j < a.j)
+        |            THEN 1 ELSE 0 END)::BIGINT rk
+        |  FROM cell a JOIN cell b ON a.seg = b.seg AND a.j <> b.j
+        |  GROUP BY 1, 2),
+        |l AS (SELECT sum(j * rk)::BIGINT pl FROM r),
+        |bk AS (SELECT count(DISTINCT seg)::BIGINT b, 5::BIGINT k
+        |       FROM cell)
+        |SELECT b, k, pl AS page_l,
+        |  (b * k * (k + 1) * (k + 1)) // 4 AS e_l,
+        |  round((pl - b * k * (k + 1) * (k + 1) / 4.0) /
+        |        sqrt(b * k * k * (k + 1) * (k * k - 1) / 144.0)
+        |        + 1e-9, 6) AS z
+        |FROM l, bk""") { c =>
+      val cell = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("j"))
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+          .cast("long")).as("s"), count(lit(1)).as("n"))
+      val r = cell.as("a")
+        .join(cell.as("b"),
+          col("a.seg") === col("b.seg") && col("a.j") =!= col("b.j"))
+        .groupBy(col("a.seg"), col("a.j"))
+        .agg((lit(1L) + sum(when(
+          col("b.s") * col("a.n") < col("a.s") * col("b.n") ||
+            (col("b.s") * col("a.n") === col("a.s") * col("b.n") &&
+              col("b.j") < col("a.j")), 1L).otherwise(0L))).as("rk"))
+      val l = r.agg(sum(col("j") * col("rk")).as("pl"))
+      val bk = cell.agg(countDistinct(col("seg")).as("b"),
+        lit(5L).as("k"))
+      l.crossJoin(broadcast(bk))
+        .select(col("b"), col("k"), col("pl").as("page_l"),
+          expr("(b * k * (k + 1) * (k + 1)) div 4").as("e_l"),
+          r6((col("pl") - col("b") * col("k") * (col("k") + 1) *
+              (col("k") + 1) / lit(4.0)) /
+            sqrt(col("b") * col("k") * col("k") * (col("k") + 1) *
+              (col("k") * col("k") - 1) / lit(144.0))).as("z"))
+    },
   )
 }
