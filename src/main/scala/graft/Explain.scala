@@ -20,8 +20,14 @@ object Explain {
     * occurrence, so: in TREE lines (connector-prefixed `+- ` / `:-`),
     * a node id seen before starts a reused run — keep its first line,
     * tag it `[reused: see (id) above]`, and drop the contiguous
-    * already-seen remainder. Detail sections (`(N) NodeName` at column
-    * 0) print once per id already and pass through untouched, as does
+    * already-seen remainder. A run ends at the first unseen id OR at
+    * any tree line whose connector depth is <= the depth of the line
+    * that started the run (driver ADVICE r13): a sibling branch
+    * opening at the same-or-shallower indentation is NOT part of the
+    * reused subtree even when its line carries no (id), so depth —
+    * not id sightings alone — bounds the skip. Detail sections
+    * (`(N) NodeName` at column 0) print once per id already and pass
+    * through untouched, as does
     * everything else — the audit content (PushedFilters, ReadSchema,
     * join strategies, codegen spans) is intact, each subtree printed
     * exactly once. */
@@ -30,18 +36,33 @@ object Explain {
     val seen = scala.collection.mutable.Set.empty[Int]
     val out = new StringBuilder
     var skipping = false
+    var skipDepth = -1
     var dropped = 0
+    // column of the line's tree connector: a later line whose
+    // connector sits at <= this column is a sibling/ancestor, not a
+    // descendant of the subtree that started a skip run
+    def connDepth(line: String): Int = {
+      val a = line.indexOf("+- ")
+      val b = line.indexOf(":- ")
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    }
     plan.split("\n", -1).foreach { line =>
       val t = line.trim
       val treeLike = (line.contains("+- ") || t.startsWith(":-") ||
         t.startsWith(": ")) && !t.startsWith("(")
       if (treeLike) {
+        val d = connDepth(line)
+        // depth bound (ADVICE r13): a connector at or above the run's
+        // start depth opens a sibling branch — the reused subtree is
+        // over even if this line carries no node id
+        if (skipping && d >= 0 && d <= skipDepth) skipping = false
         idRe.findFirstMatchIn(line).map(_.group(1).toInt) match {
           case Some(n) if seen(n) =>
             if (!skipping) {
               out.append(line)
                 .append(s"   [reused: see ($n) above]\n")
               skipping = true
+              skipDepth = d
             } else dropped += 1
           case Some(n) =>
             seen += n; skipping = false

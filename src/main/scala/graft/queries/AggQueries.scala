@@ -959,12 +959,19 @@ object AggQueries {
     // 32-bit hashes (disjoint 8-hex md5 window — the engine-portable
     // hash device) of the distinct customer ids; the estimate is
     // (k−1)·2^32/h_(k). Everything except the final division is exact
-    // integer arithmetic on the DISTINCT (group, hash) relation, and
-    // the union sketch MERGES by construction — the bottom-64 of the
-    // union is the bottom-64 of the per-group bottom-64s, the
-    // mergeable-summary property that makes KMV shippable from
-    // 1000 executors. Output: per-group exact vs estimate, plus the
-    // merged global estimate replicated per row.
+    // integer arithmetic, and the plan is the MERGEABLE two-stage
+    // shape (ops/Kmv.scala, r13 verdict #1): per-group sketches come
+    // out of a bounded Aggregator — map-side partials keep ≤64 longs
+    // per (partition, group), the exchange moves O(64·groups·parts)
+    // rows, never the corpus, and duplicates are absorbed by the
+    // dedup-aware fold so no distinct() shuffle precedes it — and the
+    // UNION sketch is computed FROM the ≤5×64 per-group sketch rows
+    // (the bottom-64 of the union IS the bottom-64 of the per-group
+    // bottom-64s), not from the corpus: no unpartitioned window
+    // anywhere. The ORACLE is the textbook row_number formulation the
+    // aggregate replaces — same rows, radically different plan at
+    // 100 TB. Output: per-group exact vs estimate, plus the merged
+    // global estimate replicated per row.
     q("agg_kmv",
       """WITH d AS (SELECT DISTINCT o_orderpriority pri,
         |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT h
@@ -992,21 +999,23 @@ object AggQueries {
         |  gx.gexact AS union_exact
         |FROM ex JOIN kth ON ex.pri = kth.pri, gk, gx
         |ORDER BY ex.pri""") { c =>
-      import org.apache.spark.sql.expressions.Window
-      val d = c.orders.select(col("o_orderpriority").as("pri"),
-          conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
-            16, 10).cast("long").as("h"))
-        .distinct()
-      val r = d.withColumn("rk", row_number().over(
-        Window.partitionBy("pri").orderBy("h")))
-      val kth = r.filter(col("rk") <= 64).groupBy("pri")
-        .agg(max(col("h")).as("hk"), count(lit(1)).as("kk"))
+      val bk = udaf(new graft.ops.Kmv.BottomKAgg(64))
+      val hashed = c.orders.select(col("o_orderpriority").as("pri"),
+        graft.ops.Kmv.portableHash(col("o_custkey")).as("h"))
+      // stage 1: bounded per-group sketches (≤64 longs each)
+      val sk = hashed.groupBy("pri").agg(bk(col("h")).as("mins"))
+        .localCheckpoint()
+      val kth = sk.select(col("pri"),
+        element_at(col("mins"), size(col("mins"))).as("hk"),
+        size(col("mins")).cast("long").as("kk"))
       val ex = c.orders.groupBy(col("o_orderpriority").as("pri"))
         .agg(countDistinct(col("o_custkey")).as("exact"))
-      val g = d.select("h").distinct()
-        .withColumn("rk", row_number().over(Window.orderBy("h")))
-      val gk = g.filter(col("rk") <= 64)
-        .agg(max(col("h")).as("hk2"), count(lit(1)).as("kk2"))
+      // stage 2: union sketch FROM the per-group sketches — a second
+      // bounded fold over ≤ 5×64 rows, never the corpus
+      val gk = sk.select(explode(col("mins")).as("h"))
+        .agg(bk(col("h")).as("gmins"))
+        .select(element_at(col("gmins"), size(col("gmins"))).as("hk2"),
+          size(col("gmins")).cast("long").as("kk2"))
       val gx = c.orders.agg(countDistinct(col("o_custkey")).as("gexact"))
       def est(kk: org.apache.spark.sql.Column,
           hk: org.apache.spark.sql.Column,

@@ -23,12 +23,21 @@ object RelationalQueries {
 
     // SKYLINE / Pareto frontier (Börzsönyi et al. 2001 — the classic
     // "best tradeoffs" operator: parts where no other part is both
-    // cheaper AND larger): the 2-D skyline needs ONE window scan over
-    // the distinct (price, size) pairs sorted by (price asc, size
-    // desc) — a point survives iff its size strictly exceeds every
-    // cheaper-or-tied point's running max. The window runs over
-    // DISTINCT value pairs (domain-bounded), never raw parts; exact
-    // integer cents/sizes end to end.
+    // cheaper AND larger): a point survives iff its size strictly
+    // exceeds the running size-max over all cheaper-or-tied points in
+    // (price asc, size desc) order. The distinct (price, size) relation
+    // is CORPUS-cardinality (price is SF-linear — the r14 plan-audit
+    // growth check caught the single-task window here), so the scan is
+    // the standard TWO-PHASE distributed skyline: skylines are
+    // mergeable (global skyline ⊆ union of partition skylines, and
+    // every dominated point has a surviving dominator by transitivity
+    // along the sort), so phase 1 runs the prefix-max filter inside 32
+    // hash buckets in parallel, and the global pass sees only the
+    // survivors — per bucket at most |size domain| = 50 prefix maxima
+    // can survive, so the final window input is ≤ 32×50 rows at ANY
+    // corpus scale (machine-checked by the sweep). Exact integer
+    // cents/sizes end to end; result set identical to the one-pass
+    // oracle by the domination-transitivity argument above.
     q("rel_skyline",
       """WITH p AS (SELECT
         |    CAST(round(p_retailprice * 100 + 1e-9) AS BIGINT) pc,
@@ -50,9 +59,20 @@ object RelationalQueries {
       val d = p.groupBy("pc", "sz")
         .agg(count(lit(1)).as("n_parts"),
           min(col("p_partkey")).cast("long").as("rep"))
+      // phase 1: partition-local skyline inside 32 hash buckets —
+      // removes only dominated points (keeps every true skyline point)
+      val w1 = Window
+        .partitionBy(pmod(hash(col("pc"), col("sz")), lit(32)))
+        .orderBy(col("pc"), col("sz").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = d.withColumn("mx1", max(col("sz")).over(w1))
+        .filter(col("mx1").isNull || col("sz") > col("mx1"))
+        .drop("mx1")
+      // phase 2: global prefix-max over the ≤ 32×|size-domain|
+      // survivors — model-sized at any SF
       val w = Window.orderBy(col("pc"), col("sz").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val s = d.withColumn("mx", max(col("sz")).over(w))
+      val s = local.withColumn("mx", max(col("sz")).over(w))
       s.filter(col("mx").isNull || col("sz") > col("mx"))
         .select(r2(col("pc") / 100.0).as("price_dollars"),
           col("sz").as("size"), col("n_parts"),

@@ -4992,7 +4992,11 @@ object StatQueries {
     // KS under-weights): returned vs kept lineitem quantities. Both
     // sups run on EXACT integers — cumx·ny − cumy·nx on the ≤50-row
     // quantity histogram — with the single division at the end, so
-    // the statistic is bit-deterministic at any partitioning. Scale:
+    // the statistic is bit-deterministic at any partitioning. The
+    // cross-products and nx·ny are SF² (past 2^63 near ~3e9 rows per
+    // sample, ~lineitem SF500), so they are carried through HUGEINT /
+    // DECIMAL(38,0) — the stat_brunner_munzel width discipline —
+    // keeping both engines exact to ~10^19 rows per sample. Scale:
     // one corpus hash aggregation to the bounded histogram, one
     // window over that model-sized relation.
     q("stat_kuiper",
@@ -5007,15 +5011,19 @@ object StatQueries {
         |        sum(cx) OVER (ORDER BY v) cumx,
         |        sum(cy) OVER (ORDER BY v) cumy
         |      FROM h),
-        |d AS (SELECT greatest(max(cumx * ny - cumy * nx), 0)::BIGINT dpi,
-        |             greatest(max(cumy * nx - cumx * ny), 0)::BIGINT dmi
+        |d AS (SELECT greatest(max(cumx::HUGEINT * ny
+        |                           - cumy::HUGEINT * nx), 0) dpi,
+        |             greatest(max(cumy::HUGEINT * nx
+        |                           - cumx::HUGEINT * ny), 0) dmi
         |      FROM c, t)
         |SELECT nx, ny,
-        |  round(dpi * 1.0 / (nx * ny) + 1e-9, 6) AS d_plus,
-        |  round(dmi * 1.0 / (nx * ny) + 1e-9, 6) AS d_minus,
-        |  round((dpi + dmi) * 1.0 / (nx * ny) + 1e-9, 6) AS kuiper_v,
+        |  round(dpi * 1.0 / (nx::HUGEINT * ny) + 1e-9, 6) AS d_plus,
+        |  round(dmi * 1.0 / (nx::HUGEINT * ny) + 1e-9, 6) AS d_minus,
+        |  round((dpi + dmi) * 1.0 / (nx::HUGEINT * ny) + 1e-9, 6)
+        |    AS kuiper_v,
         |  round(sqrt(nx::DOUBLE * ny / (nx + ny))
-        |        * ((dpi + dmi) * 1.0 / (nx * ny)) + 1e-9, 6) AS v_scaled
+        |        * ((dpi + dmi) * 1.0 / (nx::HUGEINT * ny)) + 1e-9, 6)
+        |    AS v_scaled
         |FROM d, t""") { c =>
       val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
         .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
@@ -5029,20 +5037,21 @@ object StatQueries {
         sum(col("cx")).over(w).as("cumx"),
         sum(col("cy")).over(w).as("cumy"))
       val d = cum.crossJoin(broadcast(t))
-        .agg(greatest(max(col("cumx") * col("ny") -
-            col("cumy") * col("nx")), lit(0L)).as("dpi"),
-          greatest(max(col("cumy") * col("nx") -
-            col("cumx") * col("ny")), lit(0L)).as("dmi"),
+        .agg(greatest(max(col("cumx").cast("decimal(38,0)") * col("ny") -
+            col("cumy").cast("decimal(38,0)") * col("nx")),
+            lit(0L).cast("decimal(38,0)")).as("dpi"),
+          greatest(max(col("cumy").cast("decimal(38,0)") * col("nx") -
+            col("cumx").cast("decimal(38,0)") * col("ny")),
+            lit(0L).cast("decimal(38,0)")).as("dmi"),
           first(col("nx")).as("nx"), first(col("ny")).as("ny"))
+      val nxy = col("nx").cast("decimal(38,0)") * col("ny")
       d.select(col("nx"), col("ny"),
-        r6(col("dpi") * lit(1.0) / (col("nx") * col("ny"))).as("d_plus"),
-        r6(col("dmi") * lit(1.0) / (col("nx") * col("ny"))).as("d_minus"),
-        r6((col("dpi") + col("dmi")) * lit(1.0) /
-          (col("nx") * col("ny"))).as("kuiper_v"),
+        r6(col("dpi") * lit(1.0) / nxy).as("d_plus"),
+        r6(col("dmi") * lit(1.0) / nxy).as("d_minus"),
+        r6((col("dpi") + col("dmi")) * lit(1.0) / nxy).as("kuiper_v"),
         r6(sqrt(col("nx").cast("double") * col("ny") /
             (col("nx") + col("ny"))) *
-          ((col("dpi") + col("dmi")) * lit(1.0) /
-            (col("nx") * col("ny")))).as("v_scaled"))
+          ((col("dpi") + col("dmi")) * lit(1.0) / nxy)).as("v_scaled"))
     },
 
     // Ansari-Bradley test (Ansari & Bradley 1960 — the rank-based
@@ -5161,7 +5170,12 @@ object StatQueries {
     // priorities, L = Σ_blocks Σ_j j·R_jb on within-block ranks of
     // the treatment means. Ranks are EXACT integers — means compare
     // by cross-multiplication (s'·n < s·n', ties to the lower
-    // priority), so no division ever feeds the ranking — and L, E[L]
+    // priority), so no division ever feeds the ranking. s is an
+    // SF-linear cents sum and n an SF-linear count, so the product
+    // grows ~SF² and passes 2^63 near SF~13 — carried through
+    // HUGEINT / DECIMAL(38,0) (38 digits ≈ SF~10^10) so both engines
+    // stay exact instead of Spark wrapping while DuckDB raises (the
+    // stat_brunner_munzel width discipline) — and L, E[L]
     // = b·k(k+1)²/4, Var[L] = b·k²(k+1)(k²−1)/144 are closed-form
     // integers with one studentization at the end. Scale: one corpus
     // join+aggregation to the 25-cell (segment × priority) relation;
@@ -5175,8 +5189,9 @@ object StatQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2),
         |r AS (SELECT a.seg, a.j,
-        |    1 + sum(CASE WHEN b.s * a.n < a.s * b.n
-        |                 OR (b.s * a.n = a.s * b.n AND b.j < a.j)
+        |    1 + sum(CASE WHEN b.s::HUGEINT * a.n < a.s::HUGEINT * b.n
+        |                 OR (b.s::HUGEINT * a.n = a.s::HUGEINT * b.n
+        |                     AND b.j < a.j)
         |            THEN 1 ELSE 0 END)::BIGINT rk
         |  FROM cell a JOIN cell b ON a.seg = b.seg AND a.j <> b.j
         |  GROUP BY 1, 2),
@@ -5200,8 +5215,10 @@ object StatQueries {
           col("a.seg") === col("b.seg") && col("a.j") =!= col("b.j"))
         .groupBy(col("a.seg"), col("a.j"))
         .agg((lit(1L) + sum(when(
-          col("b.s") * col("a.n") < col("a.s") * col("b.n") ||
-            (col("b.s") * col("a.n") === col("a.s") * col("b.n") &&
+          col("b.s").cast("decimal(38,0)") * col("a.n") <
+            col("a.s").cast("decimal(38,0)") * col("b.n") ||
+            (col("b.s").cast("decimal(38,0)") * col("a.n") ===
+              col("a.s").cast("decimal(38,0)") * col("b.n") &&
               col("b.j") < col("a.j")), 1L).otherwise(0L))).as("rk"))
       val l = r.agg(sum(col("j") * col("rk")).as("pl"))
       val bk = cell.agg(countDistinct(col("seg")).as("b"),

@@ -18,6 +18,13 @@ package object queries {
     def events: DataFrame     = t("events")
     def documents: DataFrame  = t("documents")
     def embeddings: DataFrame = t("embeddings")
+    /** True on the sf0.001 gate tier, where runs are golden-pinned
+      * (determinism-only) rather than oracle-compared — expensive
+      * algorithm knobs (training iterations, sketch widths, codebook
+      * sizes) may shrink here per the r13 verdict #3 budget rule
+      * ("the golden pins whatever the query declares"); oracle scales
+      * (sf0.01+) always run the full configuration. */
+    def smoke: Boolean = dir.contains("sf0.001")
   }
 
   def q(name: String, oracle: String, bench: Boolean = false)(

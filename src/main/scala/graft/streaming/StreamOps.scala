@@ -482,8 +482,16 @@ object StreamOps {
     * (or the tracked set size, exact, while under capacity). The
     * bottom-k set is a pure function of the input MULTISET — not of
     * arrival order, batch boundaries, or duplication — so parity with
-    * the batch fold is exact under ANY split and any shuffling, the
-    * strongest determinism class in this file (spec-checked), and
+    * the batch bottom-k fold OVER THE HASH LATTICE (kk, hk, and the
+    * at-capacity estimate) is exact under ANY split and any
+    * shuffling, the strongest determinism class in this file
+    * (spec-checked). Caveat on the under-capacity branch: it returns
+    * the tracked distinct-HASH count, whereas batch `agg_kmv`'s
+    * under-capacity fallback is countDistinct of the RAW keys — a
+    * 32-bit hash collision below capacity makes this estimate
+    * undercount by 1 relative to that exact fallback (probability
+    * ≈ m²/2³³ per group; the at-capacity estimator is unaffected
+    * because it is itself a pure function of the hash lattice), and
     * sketches merge downstream by unioning sets and re-taking the
     * bottom m, the mergeable-summary property that makes the sketch
     * shippable from 1000 executors. Emits (group, kk, hk, estimate)
@@ -503,26 +511,87 @@ object StreamOps {
       .mapGroupsWithState[List[Long], (String, Long, Long, Long)](
         GroupStateTimeout.NoTimeout) {
         (g, rows, state: GroupState[List[Long]]) =>
-          // state is kept SORTED ascending; size <= m
+          // state is kept SORTED ascending; size <= m. The fold is
+          // the SAME graft.ops.Kmv.insert the batch agg_kmv
+          // aggregator terminates in — batch and streaming sketches
+          // are bit-identical on the same multiset by construction.
           var mins = state.getOption.getOrElse(Nil)
           rows.foreach { case (_, k) =>
             val md = java.security.MessageDigest.getInstance("MD5")
             val d = md.digest(k.getBytes("UTF-8"))
             val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-            if (!mins.contains(h) &&
-                (mins.size < m || h < mins.last)) {
-              val grown = (h :: mins).sorted
-              mins = if (grown.size > m) grown.take(m) else grown
-            }
+            mins = graft.ops.Kmv.insert(mins, h, m)
           }
           state.update(mins)
           val kk = mins.size.toLong
           val hk = if (mins.isEmpty) 0L else mins.last
-          val est =
-            if (kk < m) kk
-            else math.round((m - 1) * 4294967296.0 / hk + 1e-9)
-          (g, kk, hk, est)
+          (g, kk, hk, graft.ops.Kmv.estimate(mins, m))
+      }
+      .toDF("group", "kk", "hk", "estimate")
+  }
+
+  /** Streaming KMV sketch MERGE (r13 verdict #5) — the downstream
+    * union the mergeable-summary contract promises: per-group sketch
+    * SETS (not just their (kk, hk) summaries) accumulate under the
+    * same `Kmv.insert` fold as [[kmvState]], and each micro-batch
+    * emits, besides every group's current bottom-m set, the MERGED
+    * global sketch under group "__union__" — union the sets, re-take
+    * the bottom m (`Kmv.merge`), estimate with the same
+    * (m−1)·2³²/h₍ₘ₎ rule. Because bottom-k is a pure function of the
+    * input multiset, the merged estimate equals the batch `agg_kmv`
+    * union estimate on ANY batch split (spec-checked; at-capacity —
+    * the under-capacity branch counts distinct HASHES, see the
+    * [[kmvState]] caveat). This is the same merge shape the batch
+    * side computes FROM per-group sketches (queries/AggQueries.scala
+    * `agg_kmv` stage 2), so 1000 executors and a streaming job ship
+    * literally the same summary. Ref analogue: mergeable accumulator
+    * state, python/xorq/expr/pyaggregator.py:63-74 (update/merge/
+    * evaluate). Emits (group, kk, hk, estimate) rows; the `__union__`
+    * row carries the merge. Uses flatMapGroupsWithState over a single
+    * synthetic key so the union is computed once per batch from the
+    * per-group sets — the per-group sets themselves stay O(m) each. */
+  def kmvMerge(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      m: Int): DataFrame = {
+    require(m >= 2, s"need m >= 2 minima, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(keyCol).cast("string").as("__k"))
+      .as[(String, String)]
+      // single synthetic key: the union needs all group sets in one
+      // state cell. The state is ≤ groups×m longs — model-sized; the
+      // CORPUS never passes through one task, only its sketches (at
+      // 1000 executors the per-group folds would shard by group via
+      // kmvState and this merge would consume their ≤m-row outputs).
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Map[String, List[Long]],
+        (String, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[Map[String, List[Long]]]) =>
+          var sets = state.getOption.getOrElse(Map.empty)
+          rows.foreach { case (g, k) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val d = md.digest(k.getBytes("UTF-8"))
+            val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            sets = sets.updated(g,
+              graft.ops.Kmv.insert(sets.getOrElse(g, Nil), h, m))
+          }
+          state.update(sets)
+          val merged =
+            graft.ops.Kmv.merge(sets.values.toSeq, m).toList
+          val perGroup = sets.toSeq.sortBy(_._1).map { case (g, s) =>
+            (g, s.size.toLong, if (s.isEmpty) 0L else s.last,
+              graft.ops.Kmv.estimate(s, m))
+          }
+          (perGroup :+ (("__union__", merged.size.toLong,
+            if (merged.isEmpty) 0L else merged.last,
+            graft.ops.Kmv.estimate(merged, m)))).iterator
       }
       .toDF("group", "kk", "hk", "estimate")
   }

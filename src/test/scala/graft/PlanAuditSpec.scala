@@ -135,11 +135,19 @@ class PlanAuditSpec extends SparkSpec {
     }
     // Window audit (the third scale-killer shape): `Window.orderBy`
     // with NO partition spec moves its ENTIRE input to one task —
-    // fine on a day-grid / rank / model relation (an Aggregate or a
-    // limit of the corpus, the documented ts_acf stance), fatal on a
-    // raw corpus scan (the Positional device exists for those).
+    // fine on a day-grid / rank / model relation, fatal on a raw
+    // corpus scan (the Positional device exists for those). The r13
+    // lesson (`agg_kmv`): `Aggregate => true` was a LOOPHOLE — a
+    // distinct()/group-by over a corpus-cardinality KEY is an
+    // Aggregate whose output IS corpus-sized. So an Aggregate no
+    // longer terminates the structural check; any window whose child
+    // is not structurally bounded gets MACHINE-CHECKED below (the r11
+    // BNLJ-bounds pattern): its child plan is EXECUTED at smoke scale
+    // and at 10× smoke scale, asserting (a) an absolute cardinality
+    // bound and (b) sub-linear growth — a calendar grid or value
+    // histogram saturates between sf0.001 and sf0.01 (≲2×), a
+    // corpus-keyed distinct grows ~10× and fails by name.
     def boundedBelow(p: logical.LogicalPlan): Boolean = p match {
-      case _: logical.Aggregate => true
       case _: logical.GlobalLimit => true
       // NO bare LocalLimit and NO Sample cases (ADVICE r10): a
       // per-partition limit scales with partition count and a sample
@@ -152,11 +160,77 @@ class PlanAuditSpec extends SparkSpec {
       case leaf if leaf.children.isEmpty => false
       case other => other.children.forall(boundedBelow)
     }
-    // rank_bradley_terry's final ranking window reads the
-    // localCheckpoint'd k-item strength model (k = #event types, the
-    // MM fit's output) — a LogicalRDD leaf the structural check
-    // cannot see through; model-sized by construction (reviewed)
-    val windowAllowlist: Set[String] = Set("rank_bradley_terry")
+    // Executed window-child bounds (r13 verdict #2). WINDOW_BOUND is
+    // the absolute smoke-scale ceiling for any unpartitioned window's
+    // input: day grids run ≤ ~2.5k (the 1993-98 calendar), value
+    // histograms ≤ ~few hundred, model relations ≤ k — all far below
+    // it; a corpus relation at sf0.001 (lineitem ~6k) is already
+    // above it. GROWTH_FACTOR bounds the sf0.001→sf0.01 cardinality
+    // ratio: saturating grids grow ≲2×, an SF-linear key grows ~10×.
+    // The +GROWTH_SLACK absolute term forgives small-n noise (a
+    // 40-row model growing to 80 is not a scale signal).
+    val WINDOW_BOUND = 5500L
+    val GROWTH_FACTOR = 3L
+    val GROWTH_SLACK = 500L
+    def countPlan(p: logical.LogicalPlan): Long =
+      new org.apache.spark.sql.execution.QueryExecution(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], p)
+        .executedPlan.execute().count()
+    def unpWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty &&
+          !boundedBelow(w.child) => w
+      }
+    val sf01Dir = "/root/testdata/sf0.01"
+    val haveSf01 = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(sf01Dir))
+    // Execute the window children of one query's plans at both scales
+    // and return violation strings (shared with the sanity test below,
+    // which proves the check catches the pre-fix agg_kmv shape).
+    def windowViolations(name: String,
+        wins: Seq[logical.Window],
+        wins01: => Seq[logical.Window]): Seq[String] = {
+      if (wins.isEmpty) Nil
+      else {
+        val n1s = wins.map(w => scala.util.Try(countPlan(w.child)))
+        val abs = wins.zip(n1s).collect {
+          case (w, scala.util.Success(n)) if n > WINDOW_BOUND =>
+            s"$name: unpartitioned window child has $n rows at smoke " +
+              s"scale (> $WINDOW_BOUND):\n" +
+              w.child.treeString.linesIterator.take(4).mkString("\n")
+          case (w, scala.util.Failure(e)) =>
+            s"$name: unpartitioned window child failed to execute " +
+              s"for the bound check (${e.getMessage}):\n" +
+              w.child.treeString.linesIterator.take(4).mkString("\n")
+        }
+        val growth = if (!haveSf01 || abs.nonEmpty) Nil else {
+          val w01 = scala.util.Try(wins01).getOrElse(Nil)
+          if (w01.size != wins.size)
+            Seq(s"$name: window census differs across scales " +
+              s"(${wins.size} at smoke vs ${w01.size} at 10x) — " +
+              "plan shape must not depend on SF")
+          else wins.zip(w01).zip(n1s).flatMap {
+            case ((_, w1), scala.util.Success(n1)) =>
+              scala.util.Try(countPlan(w1.child)) match {
+                case scala.util.Success(n2)
+                  if n2 > n1 * GROWTH_FACTOR + GROWTH_SLACK => Some(
+                    s"$name: unpartitioned window child grew $n1 -> " +
+                      s"$n2 rows from sf0.001 to sf0.01 — SF-linear " +
+                      "input funnels the corpus through one task " +
+                      "at 100x:\n" +
+                      w1.child.treeString.linesIterator.take(4)
+                        .mkString("\n"))
+                case scala.util.Success(_) => None
+                case scala.util.Failure(e) => Some(
+                  s"$name: window child failed at sf0.01 for the " +
+                    s"growth check (${e.getMessage})")
+              }
+            case _ => None
+          }
+        }
+        abs ++ growth
+      }
+    }
     // ONE df build per query serves all THREE plan checks (building a
     // df can run side-effect jobs — source writes, model-fit
     // collects — acceptable at sf0.001; assertions are on final plans)
@@ -208,12 +282,9 @@ class PlanAuditSpec extends SparkSpec {
                 Some(s"$name: unbounded BNLJ build side:\n$build")
             }
         }.flatten
-        val badWin = df.queryExecution.optimizedPlan.collect {
-          case w: logical.Window if w.partitionSpec.isEmpty &&
-            !boundedBelow(w.child) && !windowAllowlist(name) =>
-            s"$name: unpartitioned window over unaggregated input:\n" +
-              w.child.treeString.linesIterator.take(6).mkString("\n")
-        }
+        val badWin =
+          windowViolations(name, unpWindows(df),
+            unpWindows(fn(spark, sf01Dir)))
         spark.catalog.clearCache()
         (cart, badBnlj, badWin)
     }
@@ -260,6 +331,44 @@ class PlanAuditSpec extends SparkSpec {
       .execute().count()
     assert(c > 1000L,
       s"sanity: the corpus build should exceed the domain bound, got $c")
+    spark.catalog.clearCache()
+  }
+
+  test("the window growth check catches the pre-fix agg_kmv shape — " +
+    "a distinct() over a corpus-cardinality key feeding an " +
+    "unpartitioned window (sanity for r13 verdict #2)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    // the exact single-reducer shape r13 shipped in agg_kmv: global
+    // bottom-64 via row_number over ALL distinct customer hashes —
+    // correct at oracle scale, a one-task sort of every distinct key
+    // at 100×. The structural check can no longer bless it (Aggregate
+    // is not terminal), so it lands in the executed path, where the
+    // GROWTH leg must flag it: a day grid saturates between sf0.001
+    // and sf0.01, a corpus key grows ~10×.
+    def prefix(dir: String) = Tables(spark, dir, "orders")
+      .select(graft.ops.Kmv.portableHash(col("o_custkey")).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("h")))
+    def childCount(df: org.apache.spark.sql.DataFrame): Long = {
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(wins.nonEmpty, "expected an unpartitioned window")
+      new org.apache.spark.sql.execution.QueryExecution(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        wins.head.child).executedPlan.execute().count()
+    }
+    val n1 = childCount(prefix(sfDir))
+    val sf01 = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(sf01)), "sf0.01 testdata not present")
+    val n2 = childCount(prefix(sf01))
+    // same thresholds as the sweep: GROWTH_FACTOR=3, GROWTH_SLACK=500
+    assert(n2 > n1 * 3 + 500,
+      s"sanity: the corpus-keyed distinct must grow SF-linearly " +
+        s"($n1 -> $n2) for the growth leg to catch it")
     spark.catalog.clearCache()
   }
 
