@@ -158,7 +158,9 @@ object Estimators {
   private val ridgeName = """ridge\(([0-9.eE+-]+)\)""".r
   private val kmeansName = """kmeans\((\d+),(\d+)\)""".r
   private val gbc2Name = """gbc2\(([0-9.eE+-]+)\)""".r
+  private val rfName = """rf\((\d+),(-?\d+)\)""".r
   def builtin(name: String): Option[Estimator] = name match {
+    case rfName(t, s) => Some(BaggedStumps(t.toInt, s.toLong))
     case GaussianNB.name => Some(GaussianNB)
     case MultinomialNB.name => Some(MultinomialNB)
     case logRegName(it, lr) =>
@@ -171,5 +173,6 @@ object Estimators {
   }
   val builtinNames: Seq[String] =
     Seq(GaussianNB.name, MultinomialNB.name, "logreg_gd(I,LR)",
-      "ridge(ALPHA)", "kmeans(K,I)", "gbc2(LR)", CartClassifier2.name)
+      "ridge(ALPHA)", "kmeans(K,I)", "gbc2(LR)", CartClassifier2.name,
+      "rf(TREES,SEED)")
 }

@@ -871,3 +871,130 @@ object MultinomialNB extends Estimator {
     m.classes(best)
   }
 }
+
+/** Bagged deterministic-stump ensemble — the random-forest-style member
+  * of the zoo (Breiman 1996 bagging over depth-1 CART stumps), built by
+  * COMPOSITION per the r13 verdict #6 brief: the per-tree subsample is
+  * the split_lib hash-bucket seam ([[graft.ml.Splits]] /
+  * ref ml/split_lib.py:68-252 — assignment is a pure function of row
+  * content + tree index + seed, never randomSplit), and each tree is
+  * the exact variance-gain stump scan [[CartClassifier2]]'s root uses
+  * (for 0/1 labels the variance-reduction argmax IS the weighted-Gini
+  * argmax). No new kernel anywhere.
+  *
+  * Determinism + oracle parity (the Stump/Gbrt discipline): the bag
+  * membership hash is the PORTABLE md5 lattice over the row's
+  * canonical string (shortest-roundtrip double rendering — identical
+  * in Spark and DuckDB, the TopK-init device) joined with the tree
+  * index and seed, so the bags — and therefore the fit — are a
+  * deterministic function of the training MULTISET that an unrolled
+  * per-tree CTE oracle replays verbatim. Split scores are the pinned
+  * dnum²/nl + dnum²/(n−nl) integer-seeded shape; leaf values are
+  * single exact integer divisions; candidate ties break on (score
+  * desc, feature index asc, threshold asc). Prediction averages the
+  * per-tree leaf probabilities in tree order (fixed-length sum — no
+  * order-dependent reduction).
+  *
+  * A degenerate bag (empty, or no candidate with 0 < nl < n) yields a
+  * LEAF stump predicting the bag's positive fraction (0.5 on an empty
+  * bag), keeping the estimator total. */
+final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
+  require(trees >= 1 && trees <= 64, s"rf: trees $trees out of [1,64]")
+  val name = s"rf($trees,$seed)"
+
+  /** fi = 0 marks a leaf (thr unused, pl = pr = bag positive rate). */
+  final case class Stump1(fi: Int, thr: Double, pl: Double, pr: Double)
+    extends Serializable
+  final case class Model(stumps: Array[Stump1]) extends Serializable
+
+  /** Portable in-bag test: first 8 md5 hex chars of
+    * "x1|…|xd|y|t|seed" as unsigned int, even → in bag (a
+    * deterministic half-sample per tree; the same hash device the
+    * oracle writes as ('0x'||substr(md5(...),1,8))::BIGINT % 2). */
+  private def inBag(x: Array[Double], y: Double, t: Int): Boolean = {
+    val s = x.map(_.toString).mkString("|") +
+      "|" + y.toLong.toString + "|" + t + "|" + seed
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    h % 2 == 0
+  }
+
+  private def fitStump(xs: Array[Array[Double]],
+      ys: Array[Double]): Stump1 = {
+    val n = xs.length.toLong
+    if (n == 0L) return Stump1(0, 0.0, 0.5, 0.5)
+    val pos = ys.count(_ == 1.0).toLong
+    val d = xs(0).length
+    // per-feature value cells (v, cnt, posSum) — the integer
+    // sufficient statistics, cumulated in ascending v order
+    var best: (Double, Int, Double, Long, Long) = null
+    var f = 0
+    while (f < d) {
+      val m = scala.collection.mutable.HashMap.empty[Double, (Long, Long)]
+      var i = 0
+      while (i < xs.length) {
+        val v = xs(i)(f)
+        val (c, p) = m.getOrElse(v, (0L, 0L))
+        m(v) = (c + 1, p + ys(i).toLong)
+        i += 1
+      }
+      val cs = m.toArray.map { case (v, (c, p)) => (v, c, p) }.sortBy(_._1)
+      var nl = 0L; var posl = 0L
+      var i2 = 0
+      while (i2 < cs.length) {
+        nl += cs(i2)._2; posl += cs(i2)._3
+        if (nl < n) {
+          val dnum = posl * n - nl * pos
+          val s = dnum.toDouble * dnum / nl +
+            dnum.toDouble * dnum / (n - nl)
+          val fi = f + 1; val v = cs(i2)._1
+          if (best == null || s > best._1 || (s == best._1 &&
+            (fi < best._2 || (fi == best._2 && v < best._3))))
+            best = (s, fi, v, nl, posl)
+        }
+        i2 += 1
+      }
+      f += 1
+    }
+    if (best == null) Stump1(0, 0.0, pos.toDouble / n, pos.toDouble / n)
+    else {
+      val (_, fi, v, nl, posl) = best
+      Stump1(fi, v, posl.toDouble / nl,
+        (pos - posl).toDouble / (n - nl))
+    }
+  }
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    require(ys.forall(y => y == 0.0 || y == 1.0),
+      s"$name: labels must be exactly 0/1")
+    val stumps = (0 until trees).map { t =>
+      val idx = xs.indices.filter(i => inBag(xs(i), ys(i), t))
+      fitStump(idx.map(xs).toArray, idx.map(ys).toArray)
+    }.toArray
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(stumps)); out.flush(); bos.toByteArray }
+    finally out.close()
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[Model] finally in.close()
+  }
+
+  /** Returns mean over trees of P(y=1 | leaf) — summed in tree order
+    * (fixed length, both engines replay the same left fold). */
+  def predict(model: AnyRef, x: Array[Double]): Double = {
+    val m = model.asInstanceOf[Model]
+    var s = 0.0; var t = 0
+    while (t < m.stumps.length) {
+      val st = m.stumps(t)
+      s += (if (st.fi == 0 || x(st.fi - 1) <= st.thr) st.pl else st.pr)
+      t += 1
+    }
+    s / m.stumps.length
+  }
+}

@@ -1097,6 +1097,132 @@ object Multimodal {
       })
   }
 
+  final case class SobelStats(doc_id: Long, width: Int, height: Int,
+      n_interior: Long, sum_gx_abs: Long, sum_gy_abs: Long,
+      grad_energy: Long, max_grad: Long)
+
+  /** Sobel gradient statistics over decoded gray BMPs — the
+    * edge-density signal of an image-QA router (text scans and
+    * diagrams carry high |G|, blank/blurred frames near zero). The
+    * 3×3 Sobel pair Gx = [[-1,0,1],[-2,0,2],[-1,0,1]], Gy = Gxᵀ runs
+    * on INTERIOR pixels only (1..w−2 × 1..h−2 — no clamping
+    * ambiguity), per-pixel magnitude is the L1 |Gx|+|Gy| — EXACT
+    * integers end to end, no division, no sqrt. Emits per image:
+    * interior count, Σ|Gx|, Σ|Gy|, Σ(|Gx|+|Gy|)² (edge energy) and
+    * the max magnitude. Partition-local per image via mapPartitions —
+    * no shuffle, never per-pixel rows; the oracle replays the gray
+    * law on a generated grid with a 3×3 weighted offset join. */
+  def sobelStats(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[SobelStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            var n = 0L; var sgx = 0L; var sgy = 0L
+            var energy = 0L; var mx = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                var gx = 0L; var gy = 0L
+                var dy = -1
+                while (dy <= 1) {
+                  var dx = -1
+                  while (dx <= 1) {
+                    val v = px(((y + dy) * w + (x + dx)) * 3).toLong
+                    gx += dx * (if (dy == 0) 2L else 1L) * v
+                    gy += dy * (if (dx == 0) 2L else 1L) * v
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                val m = math.abs(gx) + math.abs(gy)
+                n += 1; sgx += math.abs(gx); sgy += math.abs(gy)
+                energy += m * m; if (m > mx) mx = m
+                x += 1
+              }
+              y += 1
+            }
+            SobelStats(id, w, h, n, sgx, sgy, energy, mx)
+          }
+      })
+  }
+
+  final case class HistEqStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, n_levels_before: Long, n_levels_after: Long,
+      sum_before: Long, sum_after: Long, min_after: Long,
+      max_after: Long)
+
+  /** Histogram equalization over decoded gray BMPs — the global
+    * tone-mapping normalizer of an imaging pipeline (stretches the
+    * gray CDF to the full 0..255 range before downstream feature
+    * extraction). Remap is the classic integer form
+    * v' = (cdf(v) − cdf_min) · 255 / (n_px − cdf_min) with FLOOR
+    * integer division (exact on both engines; a constant image maps
+    * to 0), so every emitted statistic is exact integer arithmetic.
+    * Emits per image: pixel count, distinct gray levels before/after,
+    * Σgray before/after, and the remapped min/max. Partition-local
+    * per image via mapPartitions; the oracle replays the gray law
+    * with a histogram + running-CDF window per image. */
+  def histEqStats(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[HistEqStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            val n = w.toLong * h
+            val hist = new Array[Long](256)
+            var i = 0
+            while (i < n) { hist(px(i.toInt * 3) & 0xff) += 1; i += 1 }
+            val cdf = new Array[Long](256)
+            var run = 0L
+            var v = 0
+            var cdfMin = 0L; var seenMin = false
+            while (v < 256) {
+              run += hist(v); cdf(v) = run
+              if (!seenMin && hist(v) > 0) { cdfMin = run; seenMin = true }
+              v += 1
+            }
+            val remap = new Array[Long](256)
+            v = 0
+            while (v < 256) {
+              remap(v) =
+                if (n == cdfMin) 0L
+                else (cdf(v) - cdfMin) * 255L / (n - cdfMin)
+              v += 1
+            }
+            var before = 0L; var after = 0L
+            var minA = 255L; var maxA = 0L
+            var levelsB = 0L
+            val seenAfter = new Array[Boolean](256)
+            var levelsA = 0L
+            v = 0
+            while (v < 256) {
+              if (hist(v) > 0) {
+                levelsB += 1
+                before += hist(v) * v
+                val r = remap(v)
+                after += hist(v) * r
+                if (r < minA) minA = r
+                if (r > maxA) maxA = r
+                if (!seenAfter(r.toInt)) { seenAfter(r.toInt) = true
+                  levelsA += 1 }
+              }
+              v += 1
+            }
+            if (levelsB == 0) { minA = 0L }
+            HistEqStats(id, w, h, n, levelsB, levelsA, before, after,
+              minA, maxA)
+          }
+      })
+  }
+
   final case class BlobStats(doc_id: Long, width: Int, height: Int,
       n_fg: Long, n_blobs: Long, max_blob: Long)
 

@@ -690,7 +690,8 @@ object VectorSim {
     * stance): `df` carries persist MARKERS on the encoded corpus and
     * the query LUTs; nothing executes until the caller's first action.
     * Call `release()` once consumed. */
-  final case class PqTopK(df: DataFrame, release: () => Unit)
+  final case class PqTopK(df: DataFrame, release: () => Unit,
+      rerankUsed: Int = 0)
 
   /** FLAT PQ search — prefer [[topKAnnIvfPq]] as the default front
     * door. This variant ADC-scores every (query × corpus row) pair,
@@ -782,7 +783,20 @@ object VectorSim {
     * one cell and probe cells are distinct, so a (q, n) pair matches
     * at most once — no distinct needed. Same output/recall-dial
     * contract as [[topKAnnIvf]]/[[topKAnnPq]]; recall dials are
-    * (nprobe, rerank). */
+    * (nprobe, rerank).
+    *
+    * Rerank sizing (the r13 SCALE.md ladder finding, operationalized):
+    * an ABSOLUTE rerank silently decays as the corpus grows — the
+    * measured 10× leg dropped recall@10 0.902→0.742 because a fixed
+    * 256 went from re-scoring 17% of the ADC candidate pool to 1.7%,
+    * while holding the POOL FRACTION restored 0.972. So the DEFAULT
+    * (`rerank = 0`) sizes the rescore as `rerankFraction` of the
+    * expected per-query pool `nprobe · n / cells` (floored at k) —
+    * recall then survives corpus growth by construction, and the
+    * rescore stays linear in the pool, never quadratic in the corpus.
+    * Pass `rerank > 0` as an absolute override (fixed-budget
+    * deployments; the measured graceful-decay regime). The used value
+    * is reported as [[PqTopK.rerankUsed]] (pinned by AnnRecallSpec). */
   def topKAnnIvfPq(
       queries: DataFrame, // (q_id, q_vec)
       corpus: DataFrame, // (n_id, n_vec)
@@ -790,16 +804,31 @@ object VectorSim {
       centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       nprobe: Int,
-      rerank: Int,
+      rerank: Int = 0,
+      rerankFraction: Double = 0.17,
       native: Boolean = false): PqTopK = {
-    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    require(rerank == 0 || rerank >= k,
+      s"rerank $rerank must be >= k $k (or 0 for the fraction default)")
     require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
+    require(rerankFraction > 0 && rerankFraction <= 1,
+      s"rerankFraction $rerankFraction out of (0, 1]")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one corpus scan: coarse cell + PQ codes (persist marker doubles
     // as the CollapseProject cost barrier — see topKAnnPq step 1)
     val codes = corpus.select(col("n_id"),
       element_at(nearestCells(col("n_vec"), centroids, 1), 1).as("cell"),
       pqEncode(col("n_vec"), books, native).as("codes")).persist(lvl)
+    val rerankEff =
+      if (rerank > 0) rerank
+      else {
+        // fraction of the EXPECTED per-query ADC pool; the count runs
+        // on the persisted codes relation (one cheap job, reused by
+        // the ADC join). math.max floors at k so tiny corpora still
+        // return k rows.
+        val n = codes.count()
+        math.max(k, math.ceil(
+          rerankFraction * nprobe * n / centroids.length).toInt)
+      }
     // query side: LUT once per query, exploded to its nprobe probe
     // cells (the LUT array is duplicated nprobe× — broadcast-sized)
     val luts = queries.select(col("q_id"),
@@ -814,7 +843,7 @@ object VectorSim {
     val wAdc = Window.partitionBy("q_id")
       .orderBy(round(col("adc") + lit(1e-9), 6).asc, col("n_id"))
     val cands = adc.withColumn("crk", row_number().over(wAdc))
-      .filter(col("crk") <= rerank)
+      .filter(col("crk") <= rerankEff)
       .select("q_id", "n_id")
     val rescored = cands
       .join(corpus, Seq("n_id"))
@@ -826,6 +855,7 @@ object VectorSim {
     val out = rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-    PqTopK(out, () => { codes.unpersist(); luts.unpersist(); () })
+    PqTopK(out, () => { codes.unpersist(); luts.unpersist(); () },
+      rerankUsed = rerankEff)
   }
 }

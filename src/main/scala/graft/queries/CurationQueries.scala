@@ -2007,5 +2007,154 @@ object CurationQueries {
       f.select(lit(20).as("depth"), col("ov5"), col("ov10"),
         col("ov20"), r6(col("rbo")).as("rbo"))
     },
+
+    // DPO/RLHF preference-pair construction — the alignment-data prep
+    // step after quality scoring: within each prompt group (docs
+    // bucketed by doc_id % 50 — the synthetic stand-in for N responses
+    // to one prompt), the HIGHEST-quality member becomes `chosen` and
+    // the lowest `rejected` (ties broken by doc_id, both engines), and
+    // degenerate groups (single member, or all-equal quality where
+    // chosen = rejected) are dropped. Quality is the alpha-ratio score
+    // ROUNDED ONCE per row (the dedup_cluster_keep_best device), so
+    // the per-group argmax/argmin ranks on an identical 1e-6 lattice
+    // in both engines. One corpus projection + two windows over the
+    // prompt-group relation.
+    q("llm_dpo_pairs",
+      """WITH q AS (SELECT doc_id, doc_id % 50 pid,
+        |    round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |          / length(text) + 1e-9, 6) qual
+        |  FROM documents),
+        |r AS (SELECT doc_id, pid, qual,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY qual DESC, doc_id) rb,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY qual ASC, doc_id) rw,
+        |        count(*) OVER (PARTITION BY pid) np
+        |      FROM q),
+        |ch AS (SELECT pid, doc_id cid, qual cq FROM r
+        |       WHERE rb = 1 AND np >= 2),
+        |rj AS (SELECT pid, doc_id rid, qual rq FROM r
+        |       WHERE rw = 1 AND np >= 2)
+        |SELECT pid AS prompt_id, cid AS chosen_id, cq AS chosen_q,
+        |  rid AS rejected_id, rq AS rejected_q,
+        |  round(cq - rq + 1e-9, 6) AS margin
+        |FROM ch JOIN rj USING (pid)
+        |WHERE cid <> rid ORDER BY prompt_id""") { c =>
+      val q = c.documents.select(col("doc_id"),
+        (col("doc_id") % 50).as("pid"),
+        r6(length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))).as("qual"))
+      val wb = Window.partitionBy("pid")
+        .orderBy(col("qual").desc, col("doc_id"))
+      val ww = Window.partitionBy("pid")
+        .orderBy(col("qual").asc, col("doc_id"))
+      val r = q.select(col("doc_id"), col("pid"), col("qual"),
+        row_number().over(wb).as("rb"), row_number().over(ww).as("rw"),
+        count(lit(1)).over(Window.partitionBy("pid")).as("np"))
+      val ch = r.filter(col("rb") === 1 && col("np") >= 2)
+        .select(col("pid"), col("doc_id").as("cid"),
+          col("qual").as("cq"))
+      val rj = r.filter(col("rw") === 1 && col("np") >= 2)
+        .select(col("pid"), col("doc_id").as("rid"),
+          col("qual").as("rq"))
+      ch.join(rj, Seq("pid"))
+        .filter(col("cid") =!= col("rid"))
+        .select(col("pid").as("prompt_id"), col("cid").as("chosen_id"),
+          col("cq").as("chosen_q"), col("rid").as("rejected_id"),
+          col("rq").as("rejected_q"),
+          r6(col("cq") - col("rq")).as("margin"))
+        .orderBy("prompt_id")
+    },
+
+    // Truncated PAIRWISE Katz link-prediction index (Katz 1953;
+    // Liben-Nowell & Kleinberg 2003 §3) on the co-purchase graph —
+    // the walk-counting link predictor beside graph_link_prediction's
+    // neighbor-overlap Adamic-Adar (and distinct from graph_katz,
+    // which is the per-NODE centrality on the nation graph):
+    // for non-adjacent candidate pairs, score = β²·walks₂ + β³·walks₃
+    // with β = 0.1, so katz = (10·w₂ + w₃)/1000 is EXACT integer
+    // arithmetic with one division at render. Scale shape: walk
+    // enumeration is Σ deg², so hub nodes (deg > 64) are excluded
+    // from INTERMEDIATE positions (the standard hub-suppression
+    // prefilter — hubs cost quadratically and carry no signal);
+    // candidates (walks₂ ≥ 2) stream through plain equi-joins and the
+    // existing-edge screen is a left-anti join. Same quantity>40
+    // co-purchase edge fixture as graph_triangles/clustering_coeff.
+    q("graph_katz_link",
+      """WITH e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) u,
+        |                  greatest(a.l_partkey, b.l_partkey) v
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey
+        |             AND a.l_quantity > 40 AND b.l_quantity > 40),
+        |adj AS (SELECT u a, v b FROM e UNION ALL SELECT v, u FROM e),
+        |d AS (SELECT a node, count(*)::BIGINT deg FROM adj GROUP BY 1),
+        |mid AS (SELECT adj.a w, adj.b x FROM adj
+        |        JOIN d ON adj.a = d.node WHERE d.deg <= 64),
+        |cadj AS (SELECT adj.a, adj.b FROM adj
+        |         JOIN d da ON adj.a = da.node
+        |         JOIN d db ON adj.b = db.node
+        |         WHERE da.deg <= 64 AND db.deg <= 64),
+        |w2 AS (SELECT m1.x x, m2.x z, count(*)::BIGINT p2
+        |       FROM mid m1 JOIN mid m2
+        |         ON m1.w = m2.w AND m1.x < m2.x
+        |       GROUP BY 1, 2),
+        |w3 AS (SELECT m1.x x, m3.x z, count(*)::BIGINT p3
+        |       FROM mid m1 JOIN cadj cb ON m1.w = cb.a
+        |       JOIN mid m3 ON cb.b = m3.w
+        |       WHERE m1.x < m3.x
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT w2.x, w2.z, w2.p2, coalesce(w3.p3, 0) p3
+        |         FROM w2 LEFT JOIN w3 ON w2.x = w3.x AND w2.z = w3.z
+        |         LEFT JOIN e ON e.u = w2.x AND e.v = w2.z
+        |         WHERE e.u IS NULL AND w2.p2 >= 2)
+        |SELECT x AS u, z AS v, p2 AS walks2, p3 AS walks3,
+        |  round((10 * p2 + p3) / 1000.0 + 1e-9, 6) AS katz
+        |FROM cand ORDER BY u, v""") { c =>
+      val hi = c.lineitem.filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = hi.as("a")
+        .join(hi.as("b"), col("a.l_orderkey") === col("b.l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint()
+      val d = adj.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val mid = adj.join(d.filter(col("deg") <= 64),
+          adj("a") === col("node"))
+        .select(col("a").as("w"), col("b").as("x"))
+        .localCheckpoint()
+      val cadj = adj
+        .join(d.filter(col("deg") <= 64).select(col("node").as("na")),
+          adj("a") === col("na"))
+        .join(d.filter(col("deg") <= 64).select(col("node").as("nb")),
+          adj("b") === col("nb"))
+        .select(col("a"), col("b"))
+      val w2 = mid.as("m1").join(mid.as("m2"),
+          col("m1.w") === col("m2.w") && col("m1.x") < col("m2.x"))
+        .groupBy(col("m1.x").as("x"), col("m2.x").as("z"))
+        .agg(count(lit(1)).as("p2"))
+      val w3 = mid.as("m1")
+        .join(cadj.as("cb"), col("m1.w") === col("cb.a"))
+        .join(mid.as("m3"), col("cb.b") === col("m3.w"))
+        .filter(col("m1.x") < col("m3.x"))
+        .groupBy(col("m1.x").as("x3"), col("m3.x").as("z3"))
+        .agg(count(lit(1)).as("p3"))
+      val cand = w2.filter(col("p2") >= 2)
+        .join(w3, col("x") === col("x3") && col("z") === col("z3"),
+          "left")
+        .select(col("x"), col("z"), col("p2"),
+          coalesce(col("p3"), lit(0L)).as("p3"))
+        .join(e, col("x") === col("u") && col("z") === col("v"),
+          "left_anti")
+      cand.select(col("x").as("u"), col("z").as("v"),
+          col("p2").as("walks2"), col("p3").as("walks3"),
+          r6((lit(10) * col("p2") + col("p3")) / 1000.0).as("katz"))
+        .orderBy("u", "v")
+    },
   )
 }

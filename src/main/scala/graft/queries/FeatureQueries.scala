@@ -1971,5 +1971,167 @@ object FeatureQueries {
             col("med")).otherwise(col("y")).as("cleaned"))
         .orderBy("day")
     },
+
+    // Lo–MacKinlay variance-ratio test (Lo & MacKinlay 1988) — the
+    // random-walk screen on the daily-revenue series: VR(q) compares
+    // the variance of q-day level changes to q× the 1-day variance
+    // (VR≈1 under a random walk, <1 mean-reverting, >1 trending).
+    // Every data reduction is an EXACT integer moment on the day-grid
+    // cents series (ΣD, ΣD² with squares carried through HUGEINT /
+    // DECIMAL(38,0)); the variances come out of the algebraic
+    // expansion Σ(D−qμ)² = ΣD² − 2qμΣD + n(qμ)² — one fixed double
+    // tree per engine, never an order-dependent sum of per-row
+    // doubles. Windows run over the calendar-day aggregate
+    // (machine-checked bounded by the plan audit).
+    q("ts_variance_ratio",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(sum(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |lg AS (SELECT dy, cl,
+        |    cl - lag(cl, 1) OVER (ORDER BY dy) d1,
+        |    cl - lag(cl, 2) OVER (ORDER BY dy) d2,
+        |    cl - lag(cl, 5) OVER (ORDER BY dy) d5
+        |  FROM d),
+        |m AS (SELECT count(d1)::BIGINT n1, sum(d1)::BIGINT s1,
+        |        sum(d1::HUGEINT * d1) q1,
+        |        count(d2)::BIGINT n2, sum(d2)::BIGINT s2,
+        |        sum(d2::HUGEINT * d2) q2,
+        |        count(d5)::BIGINT n5, sum(d5)::BIGINT s5,
+        |        sum(d5::HUGEINT * d5) q5
+        |      FROM lg),
+        |v AS (SELECT n1,
+        |        (q1::DOUBLE - 2 * (s1 * 1.0 / n1) * s1
+        |         + n1 * (s1 * 1.0 / n1) * (s1 * 1.0 / n1)) / n1 v1,
+        |        (q2::DOUBLE - 2 * (2 * (s1 * 1.0 / n1)) * s2
+        |         + n2 * (2 * (s1 * 1.0 / n1)) * (2 * (s1 * 1.0 / n1)))
+        |          / (n2 * 2) v2,
+        |        (q5::DOUBLE - 2 * (5 * (s1 * 1.0 / n1)) * s5
+        |         + n5 * (5 * (s1 * 1.0 / n1)) * (5 * (s1 * 1.0 / n1)))
+        |          / (n5 * 5) v5
+        |      FROM m)
+        |SELECT n1 AS n_diffs,
+        |  round(v2 / v1 + 1e-9, 6) AS vr2,
+        |  round(v5 / v1 + 1e-9, 6) AS vr5,
+        |  round((v2 / v1 - 1)
+        |        / sqrt(2.0 * (2 * 2 - 1) * (2 - 1) / (3.0 * 2 * n1))
+        |        + 1e-9, 6) AS z2,
+        |  round((v5 / v1 - 1)
+        |        / sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n1))
+        |        + 1e-9, 6) AS z5
+        |FROM v""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy"))
+        .agg(round(sum(col("l_extendedprice")) * 100 + lit(1e-9))
+          .cast("long").as("cl"))
+      val w = Window.orderBy("dy")
+      val lg = d.select(col("dy"), col("cl"),
+        (col("cl") - lag(col("cl"), 1).over(w)).as("d1"),
+        (col("cl") - lag(col("cl"), 2).over(w)).as("d2"),
+        (col("cl") - lag(col("cl"), 5).over(w)).as("d5"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val m = lg.agg(
+        count(col("d1")).as("n1"), sum(col("d1")).as("s1"),
+        sum(dec(col("d1")) * col("d1")).as("q1"),
+        count(col("d2")).as("n2"), sum(col("d2")).as("s2"),
+        sum(dec(col("d2")) * col("d2")).as("q2"),
+        count(col("d5")).as("n5"), sum(col("d5")).as("s5"),
+        sum(dec(col("d5")) * col("d5")).as("q5"))
+      val mu = col("s1") * lit(1.0) / col("n1")
+      def varq(qc: org.apache.spark.sql.Column,
+          sc: org.apache.spark.sql.Column,
+          nc: org.apache.spark.sql.Column, q: Int) = {
+        val qmu = if (q == 1) mu else lit(q) * mu
+        (qc.cast("double") - lit(2) * qmu * sc + nc * qmu * qmu) /
+          (if (q == 1) nc else nc * lit(q))
+      }
+      val v = m.select(col("n1"),
+        varq(col("q1"), col("s1"), col("n1"), 1).as("v1"),
+        varq(col("q2"), col("s2"), col("n2"), 2).as("v2"),
+        varq(col("q5"), col("s5"), col("n5"), 5).as("v5"))
+      def z(vr: org.apache.spark.sql.Column, q: Int) =
+        (vr - 1) / sqrt(lit(2.0) * (2 * q - 1) * (q - 1) /
+          (lit(3.0) * q * col("n1")))
+      v.select(col("n1").as("n_diffs"),
+        r6(col("v2") / col("v1")).as("vr2"),
+        r6(col("v5") / col("v1")).as("vr5"),
+        r6(z(col("v2") / col("v1"), 2)).as("z2"),
+        r6(z(col("v5") / col("v1"), 5)).as("z5"))
+    },
+
+    // Dickey–Fuller unit-root test (Dickey & Fuller 1979, the
+    // with-drift no-trend form): Δy_t = α + ρ·y_{t−1} + ε on the
+    // daily-revenue cents series; H₀ (unit root) is ρ = 0. The OLS
+    // fit is CLOSED-FORM over exact integer moments (Σx, Σz, Σx²,
+    // Σxz, Σz² with products through HUGEINT / DECIMAL(38,0)):
+    // ρ̂ = (nΣxz − ΣxΣz)/(nΣx² − (Σx)²), SSR by algebraic expansion,
+    // se(ρ̂) = √(s²·n/(nΣx²−(Σx)²)) — every double is one fixed
+    // expression tree over those integers, bit-identical on both
+    // engines; no per-row double ever sums.
+    q("ts_dickey_fuller",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(sum(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |lg AS (SELECT dy, cl,
+        |    lag(cl, 1) OVER (ORDER BY dy) x
+        |  FROM d),
+        |p AS (SELECT x, cl - x z FROM lg WHERE x IS NOT NULL),
+        |m AS (SELECT count(*)::BIGINT n, sum(x)::BIGINT sx,
+        |        sum(z)::BIGINT sz, sum(x::HUGEINT * x) sxx,
+        |        sum(x::HUGEINT * z) sxz, sum(z::HUGEINT * z) szz
+        |      FROM p),
+        |f AS (SELECT n, sx, sz, szz, sxz, sxx,
+        |        (n::HUGEINT * sxz - sx::HUGEINT * sz)::DOUBLE
+        |          / ((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) rho
+        |      FROM m),
+        |g AS (SELECT n, rho,
+        |        (sz - rho * sx) / n alpha,
+        |        sxx, sxz, szz, sx, sz FROM f),
+        |h AS (SELECT n, rho, alpha,
+        |        szz::DOUBLE - 2 * alpha * sz - 2 * rho * sxz::DOUBLE
+        |          + n * alpha * alpha + 2 * alpha * rho * sx
+        |          + rho * rho * sxx::DOUBLE ssr,
+        |        (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE dxx
+        |      FROM g)
+        |SELECT n,
+        |  round(rho + 1e-9, 6) AS rho,
+        |  round(alpha + 1e-9, 4) AS alpha,
+        |  round(rho / sqrt((ssr / (n - 2)) * n / dxx) + 1e-9, 4)
+        |    AS df_t
+        |FROM h""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy"))
+        .agg(round(sum(col("l_extendedprice")) * 100 + lit(1e-9))
+          .cast("long").as("cl"))
+      val w = Window.orderBy("dy")
+      val lg = d.select(col("dy"), col("cl"),
+        lag(col("cl"), 1).over(w).as("x"))
+      val p = lg.filter(col("x").isNotNull)
+        .select(col("x"), (col("cl") - col("x")).as("z"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val m = p.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("z")).as("sz"), sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("x")) * col("z")).as("sxz"),
+        sum(dec(col("z")) * col("z")).as("szz"))
+      val rho = (dec(col("n")) * col("sxz") -
+        dec(col("sx")) * col("sz")).cast("double") /
+        (dec(col("n")) * col("sxx") -
+          dec(col("sx")) * col("sx")).cast("double")
+      val f = m.select(col("n"), col("sx"), col("sz"), col("szz"),
+        col("sxz"), col("sxx"), rho.as("rho"))
+      val g = f.select(col("n"), col("rho"),
+        ((col("sz") - col("rho") * col("sx")) / col("n")).as("alpha"),
+        col("sxx"), col("sxz"), col("szz"), col("sx"), col("sz"))
+      val h = g.select(col("n"), col("rho"), col("alpha"),
+        (col("szz").cast("double") - lit(2) * col("alpha") * col("sz") -
+          lit(2) * col("rho") * col("sxz").cast("double") +
+          col("n") * col("alpha") * col("alpha") +
+          lit(2) * col("alpha") * col("rho") * col("sx") +
+          col("rho") * col("rho") * col("sxx").cast("double")).as("ssr"),
+        (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+          .cast("double").as("dxx"))
+      h.select(col("n"),
+        r6(col("rho")).as("rho"),
+        r4(col("alpha")).as("alpha"),
+        r4(col("rho") / sqrt((col("ssr") / (col("n") - 2)) * col("n") /
+          col("dxx"))).as("df_t"))
+    },
   )
 }

@@ -2398,6 +2398,152 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Sobel edge statistics (Sobel & Feldman 1968) over the decoded
+    // bimodal BMPs — the edge-density image-QA signal beside
+    // mm_box_blur's smoothness: the 3×3 Gx/Gy pair on INTERIOR pixels
+    // (no border clamping ambiguity), per-pixel L1 magnitude
+    // |Gx|+|Gy| — EXACT integers end to end, no division, no sqrt.
+    // ops/Multimodal.sobelStats runs partition-local per image; the
+    // oracle regenerates the gray law on an (x, y) grid and replays
+    // the kernel as a 3×3 WEIGHTED offset join restricted to the
+    // interior. Fixture dims 8..12 × 6..8 so every image has a
+    // nontrivial interior.
+    q("mm_sobel",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT w,
+        |             (6 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h, p % w x, p // w y,
+        |        (CASE WHEN (doc_id + p) % 3 = 0
+        |              THEN 40 + (doc_id * 7 + p * 5) % 30
+        |              ELSE 170 + (doc_id * 3 + p * 11) % 40
+        |         END)::BIGINT v
+        |      FROM px),
+        |off AS (SELECT a.a dx, b.a dy
+        |        FROM (SELECT unnest([-1, 0, 1]) a) a,
+        |             (SELECT unnest([-1, 0, 1]) a) b),
+        |nb AS (SELECT a.doc_id, a.x, a.y,
+        |         sum(off.dx * (CASE WHEN off.dy = 0 THEN 2 ELSE 1 END)
+        |             * b.v)::BIGINT gx,
+        |         sum(off.dy * (CASE WHEN off.dx = 0 THEN 2 ELSE 1 END)
+        |             * b.v)::BIGINT gy
+        |       FROM g a, off
+        |       JOIN g b ON b.doc_id = a.doc_id
+        |         AND b.x = a.x + off.dx AND b.y = a.y + off.dy
+        |       WHERE a.x >= 1 AND a.x <= a.w - 2
+        |         AND a.y >= 1 AND a.y <= a.h - 2
+        |       GROUP BY 1, 2, 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_interior,
+        |  sum(abs(gx))::BIGINT AS sum_gx_abs,
+        |  sum(abs(gy))::BIGINT AS sum_gy_abs,
+        |  sum((abs(gx) + abs(gy)) * (abs(gx) + abs(gy)))::BIGINT
+        |    AS grad_energy,
+        |  max(abs(gx) + abs(gy))::BIGINT AS max_grad
+        |FROM nb GROUP BY 1 ORDER BY doc_id""") { c =>
+      val mkBmp3 = udf((id: Long) => {
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.sobelStats(
+          c.documents.select(col("doc_id"),
+            mkBmp3(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("n_interior"), col("sum_gx_abs"),
+          col("sum_gy_abs"), col("grad_energy"), col("max_grad"))
+        .orderBy("doc_id")
+    },
+
+    // Histogram equalization (the classic integer CDF remap,
+    // Gonzalez & Woods §3.3) over the decoded bimodal BMPs — the
+    // global tone-mapping normalizer an imaging pipeline runs before
+    // feature extraction: v' = (cdf(v) − cdf_min)·255 // (n −
+    // cdf_min), FLOOR integer division, so every statistic is exact
+    // integer arithmetic on both engines. ops/Multimodal.histEqStats
+    // runs partition-local per image; the oracle replays the gray law
+    // with a per-image histogram + running-CDF window (a few dozen
+    // rows per image — model-sized).
+    q("mm_histogram_eq",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT w,
+        |             (6 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h, p % w x, p // w y,
+        |        (CASE WHEN (doc_id + p) % 3 = 0
+        |              THEN 40 + (doc_id * 7 + p * 5) % 30
+        |              ELSE 170 + (doc_id * 3 + p * 11) % 40
+        |         END)::BIGINT v
+        |      FROM px),
+        |hist AS (SELECT doc_id, v, count(*)::BIGINT cnt
+        |         FROM g GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(cnt)::BIGINT n FROM hist GROUP BY 1),
+        |cdf AS (SELECT doc_id, v, cnt,
+        |          sum(cnt) OVER (PARTITION BY doc_id ORDER BY v) cum
+        |        FROM hist),
+        |cm AS (SELECT doc_id, min(cum)::BIGINT cdfmin
+        |       FROM cdf GROUP BY 1),
+        |r AS (SELECT c.doc_id, c.v, c.cnt,
+        |        CASE WHEN t.n = cm.cdfmin THEN 0
+        |             ELSE (c.cum - cm.cdfmin) * 255 // (t.n - cm.cdfmin)
+        |        END rv
+        |      FROM cdf c JOIN cm USING (doc_id) JOIN t USING (doc_id))
+        |SELECT r.doc_id, max(t.n)::BIGINT AS n_px,
+        |  count(*)::BIGINT AS n_levels_before,
+        |  count(DISTINCT rv)::BIGINT AS n_levels_after,
+        |  sum(cnt * v)::BIGINT AS sum_before,
+        |  sum(cnt * rv)::BIGINT AS sum_after,
+        |  min(rv)::BIGINT AS min_after,
+        |  max(rv)::BIGINT AS max_after
+        |FROM r JOIN t USING (doc_id) GROUP BY 1 ORDER BY doc_id""") { c =>
+      val mkBmp4 = udf((id: Long) => {
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.histEqStats(
+          c.documents.select(col("doc_id"),
+            mkBmp4(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("n_px"), col("n_levels_before"),
+          col("n_levels_after"), col("sum_before"), col("sum_after"),
+          col("min_after"), col("max_after"))
+        .orderBy("doc_id")
+    },
+
     // Connected-component BLOB labeling (4-connectivity) over
     // binarized decoded BMPs — the post-Otsu figure-vs-speckle signal
     // of a document-imaging pipeline (ops/Multimodal.blobsGray: a
@@ -4038,10 +4184,14 @@ object LlmQueries {
         .select(col("q_id"), col("n_id"))
       // IVF-PQ (r9 verdict #2): the coarse cells bound each query's
       // candidate set (nprobe of 8 cells), ADC ranks within them, and
-      // rerank stays a FIXED 96 — flat PQ needed rerank ∝ 13% of the
+      // rerank here PINS the FIXED-96 budget regime (the explicit
+      // absolute override) — flat PQ needed rerank ∝ 13% of the
       // corpus to hold the floor on these unclustered random vectors,
       // i.e. a linear scan in disguise; the composition's per-query
       // cost is independent of corpus size (ncells scales as √n).
+      // NOTE the operator's DEFAULT (rerank omitted) is now the
+      // fraction-of-pool sizing (r13 verdict #4, AnnRecallSpec pin);
+      // this query keeps the absolute to exercise that override.
       // lifecycle lives here (the SimPairs stance): materialize the
       // reranked result while the code/LUT caches are live, release
       val pq = VectorSim.topKAnnIvfPq(queries, corpus, 3, cents, books,

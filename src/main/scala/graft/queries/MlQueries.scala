@@ -1057,6 +1057,97 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Bagged-stump ensemble (Breiman 1996) through FitRel/TransformRel
+    // — the random-forest-style member of the zoo (ref
+    // pipeline_lib.py:109-977), built by COMPOSITION (r13 verdict #6):
+    // each of the 3 trees trains the exact variance-gain stump on a
+    // DETERMINISTIC half-sample, membership = the portable md5
+    // hash-bucket of the row's canonical string + tree index + seed
+    // (the split_lib seam, ml/split_lib.py:68-252 — never randomSplit),
+    // so the whole fit is a pure function of the training multiset and
+    // the oracle unrolls one CTE chain per tree. Prediction averages
+    // the per-tree leaf rates in tree order (fixed 3-term sum).
+    q("ml_pipeline_rf",
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity x1,
+        |             l_discount x2,
+        |             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |g0 AS (SELECT * FROM d WHERE ('0x' || substr(md5(
+        |         x1::VARCHAR || '|' || x2::VARCHAR || '|' || y::VARCHAR
+        |         || '|0|42'), 1, 8))::BIGINT % 2 = 0),
+        |t0 AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM g0),
+        |h0 AS (SELECT 1 fi, x1 v, count(*)::BIGINT cnt, sum(y)::BIGINT py
+        |       FROM g0 GROUP BY 2
+        |       UNION ALL SELECT 2, x2, count(*)::BIGINT, sum(y)::BIGINT
+        |       FROM g0 GROUP BY 2),
+        |c0 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h0),
+        |s0 AS (SELECT fi, v, nl, posl, n, pos,
+        |         (posl * n - nl * pos) dnum FROM c0, t0 WHERE nl < n),
+        |b0 AS (SELECT fi f0, v thr0, posl::DOUBLE / nl pl0,
+        |         (pos - posl)::DOUBLE / (n - nl) pr0,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s0 ORDER BY s DESC, fi, v LIMIT 1),
+        |g1 AS (SELECT * FROM d WHERE ('0x' || substr(md5(
+        |         x1::VARCHAR || '|' || x2::VARCHAR || '|' || y::VARCHAR
+        |         || '|1|42'), 1, 8))::BIGINT % 2 = 0),
+        |t1 AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM g1),
+        |h1 AS (SELECT 1 fi, x1 v, count(*)::BIGINT cnt, sum(y)::BIGINT py
+        |       FROM g1 GROUP BY 2
+        |       UNION ALL SELECT 2, x2, count(*)::BIGINT, sum(y)::BIGINT
+        |       FROM g1 GROUP BY 2),
+        |c1 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h1),
+        |s1 AS (SELECT fi, v, nl, posl, n, pos,
+        |         (posl * n - nl * pos) dnum FROM c1, t1 WHERE nl < n),
+        |b1 AS (SELECT fi f1, v thr1, posl::DOUBLE / nl pl1,
+        |         (pos - posl)::DOUBLE / (n - nl) pr1,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s1 ORDER BY s DESC, fi, v LIMIT 1),
+        |g2 AS (SELECT * FROM d WHERE ('0x' || substr(md5(
+        |         x1::VARCHAR || '|' || x2::VARCHAR || '|' || y::VARCHAR
+        |         || '|2|42'), 1, 8))::BIGINT % 2 = 0),
+        |t2 AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM g2),
+        |h2 AS (SELECT 1 fi, x1 v, count(*)::BIGINT cnt, sum(y)::BIGINT py
+        |       FROM g2 GROUP BY 2
+        |       UNION ALL SELECT 2, x2, count(*)::BIGINT, sum(y)::BIGINT
+        |       FROM g2 GROUP BY 2),
+        |c2 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h2),
+        |s2 AS (SELECT fi, v, nl, posl, n, pos,
+        |         (posl * n - nl * pos) dnum FROM c2, t2 WHERE nl < n),
+        |b2 AS (SELECT fi f2, v thr2, posl::DOUBLE / nl pl2,
+        |         (pos - posl)::DOUBLE / (n - nl) pr2,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s2 ORDER BY s DESC, fi, v LIMIT 1)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(((CASE WHEN (CASE WHEN f0 = 1 THEN x1 ELSE x2 END)
+        |               <= thr0 THEN pl0 ELSE pr0 END)
+        |       + (CASE WHEN (CASE WHEN f1 = 1 THEN x1 ELSE x2 END)
+        |               <= thr1 THEN pl1 ELSE pr1 END)
+        |       + (CASE WHEN (CASE WHEN f2 = 1 THEN x1 ELSE x2 END)
+        |               <= thr2 THEN pl2 ELSE pr2 END)) / 3 + 1e-9, 6)
+        |    AS prob
+        |FROM d, b0, b1, b2 WHERE l_orderkey < 300 ORDER BY 1, 2""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"),
+        (col("l_extendedprice") > 30000).cast("double").as("y"))
+      val steps = Seq(graft.rel.EstimatorSpec("rf(3,42)",
+        Seq("l_quantity", "l_discount"), "y", "p1"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("p1")).as("prob"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Classification metrics (metrics.py:513-669): accuracy/precision/
     // recall/f1 from one counts aggregate; ROC AUC via the rank-sum
     // identity with midranks (≡ trapezoid with ties) over the grouped

@@ -5231,5 +5231,233 @@ object StatQueries {
             sqrt(col("b") * col("k") * col("k") * (col("k") + 1) *
               (col("k") * col("k") - 1) / lit(144.0))).as("z"))
     },
+
+    // Cramér's V + chi-square independence on the (returnflag ×
+    // linestatus) contingency table (Cramér 1946) — the categorical-
+    // association screen. One hash aggregation to the r×c (=3×2) cell
+    // table; chi² via the identity χ² = N·(Σ o²/(rᵢ·cⱼ) − 1) with the
+    // 6 cell terms folded in PINNED (rf, ls) order (the bartlett
+    // device — no order-dependent double sum), V = √(χ²/(N·min(r−1,
+    // c−1))). Cell counts and margins are exact integers; the fold
+    // terms are one fixed expression tree per engine.
+    q("stat_cramers_v",
+      """WITH ct AS (SELECT l_returnflag rf, l_linestatus ls,
+        |              count(*)::BIGINT o
+        |            FROM lineitem GROUP BY 1, 2),
+        |mg AS (SELECT rf, sum(o)::BIGINT ri FROM ct GROUP BY 1),
+        |mc AS (SELECT ls, sum(o)::BIGINT cj FROM ct GROUP BY 1),
+        |tot AS (SELECT sum(o)::BIGINT n,
+        |          count(DISTINCT rf)::BIGINT r,
+        |          count(DISTINCT ls)::BIGINT c FROM ct),
+        |term AS (SELECT ct.rf, ct.ls,
+        |           ct.o::DOUBLE * ct.o / (mg.ri::DOUBLE * mc.cj) t
+        |         FROM ct JOIN mg USING (rf) JOIN mc USING (ls)),
+        |s AS (SELECT list_reduce(list(t ORDER BY rf, ls),
+        |        (a, x) -> a + x) st FROM term)
+        |SELECT n, r, c,
+        |  round(n * (st - 1) + 1e-9, 6) AS chi2,
+        |  (r - 1) * (c - 1) AS dof,
+        |  round(sqrt((st - 1) / least(r - 1, c - 1)) + 1e-9, 6)
+        |    AS cramers_v
+        |FROM s, tot""") { c =>
+      val ct = c.lineitem.groupBy(col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls")).agg(count(lit(1)).as("o"))
+      val mg = ct.groupBy("rf").agg(sum(col("o")).as("ri"))
+      val mc = ct.groupBy("ls").agg(sum(col("o")).as("cj"))
+      val tot = ct.agg(sum(col("o")).as("n"),
+        countDistinct(col("rf")).as("r"),
+        countDistinct(col("ls")).as("c"))
+      val term = ct.join(broadcast(mg), Seq("rf"))
+        .join(broadcast(mc), Seq("ls"))
+        .select(col("rf"), col("ls"),
+          (col("o").cast("double") * col("o") /
+            (col("ri").cast("double") * col("cj"))).as("t"))
+      val s = term.agg(expr(
+        "aggregate(array_sort(collect_list(named_struct(" +
+          "'rf', rf, 'ls', ls, 't', t))), cast(0.0 as double), " +
+          "(a, x) -> a + x.t)").as("st"))
+      s.crossJoin(broadcast(tot))
+        .select(col("n"), col("r"), col("c"),
+          r6(col("n") * (col("st") - 1)).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          r6(sqrt((col("st") - 1) /
+            least(col("r") - 1, col("c") - 1))).as("cramers_v"))
+    },
+
+    // Two-sample Cramér–von Mises (Anderson 1962, ECDF form with
+    // multiplicity-weighted pooled points) — the INTEGRATED-squared
+    // ECDF-distance sibling of stat_kuiper's sup-distance: T =
+    // Σ_pooled (Fx − Fy)² · nm / N² = Σ_v cnt_v·d_v² / (nm·N²) with
+    // d_v = cumx·ny − cumy·nx on the ≤50-row quantity histogram —
+    // EXACT integer arithmetic (d² carried through HUGEINT /
+    // DECIMAL(38,0): d ≤ nm is SF², d² SF⁴ — 38 digits holds to
+    // ~SF100 lineitem) with ONE division at the end, so the statistic
+    // is bit-deterministic at any partitioning. Same returned-vs-kept
+    // framing as kuiper/KS; CvM weighs the whole distance profile
+    // where kuiper takes the two extremes.
+    q("stat_cvm",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny FROM h),
+        |c AS (SELECT v, cx + cy cnt,
+        |        sum(cx) OVER (ORDER BY v) cumx,
+        |        sum(cy) OVER (ORDER BY v) cumy
+        |      FROM h),
+        |d AS (SELECT sum((cnt::HUGEINT) *
+        |               ((cumx::HUGEINT * ny - cumy::HUGEINT * nx) *
+        |                (cumx::HUGEINT * ny - cumy::HUGEINT * nx))) sd2
+        |      FROM c, t)
+        |SELECT nx, ny,
+        |  round(sd2::DOUBLE
+        |        / ((nx::HUGEINT * ny * (nx + ny) * (nx + ny))::DOUBLE)
+        |        + 1e-9, 6) AS cvm_t,
+        |  round(sd2::DOUBLE
+        |        / ((nx::HUGEINT * ny * (nx + ny) * (nx + ny))::DOUBLE)
+        |        - (4.0 * nx * ny - 1) / (6.0 * (nx + ny)) / (nx + ny)
+        |        + 1e-9, 6) AS cvm_t_adj
+        |FROM d, t""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+        sum(lit(1L) - col("gx")).as("cy"))
+      val t = h.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"))
+      val w = Window.orderBy("v")
+      val cum = h.select(col("v"), (col("cx") + col("cy")).as("cnt"),
+        sum(col("cx")).over(w).as("cumx"),
+        sum(col("cy")).over(w).as("cumy"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val dv = dec(col("cumx")) * col("ny") - dec(col("cumy")) * col("nx")
+      val d = cum.crossJoin(broadcast(t))
+        .agg(sum(dec(col("cnt")) * (dv * dv)).as("sd2"),
+          first(col("nx")).as("nx"), first(col("ny")).as("ny"))
+      val nn = (dec(col("nx")) * col("ny") *
+        (col("nx") + col("ny")) * (col("nx") + col("ny"))).cast("double")
+      d.select(col("nx"), col("ny"),
+        r6(col("sd2").cast("double") / nn).as("cvm_t"),
+        r6(col("sd2").cast("double") / nn -
+          (lit(4.0) * col("nx") * col("ny") - 1) /
+            (lit(6.0) * (col("nx") + col("ny"))) /
+            (col("nx") + col("ny"))).as("cvm_t_adj"))
+    },
+
+    // Cohen's kappa (Cohen 1960) — chance-corrected inter-rater
+    // agreement between two derived binary "raters" on lineitems
+    // (high-quantity vs high-price flags): κ = (N·Σdiag − Σₖ rₖ·cₖ) /
+    // (N² − Σₖ rₖ·cₖ), ONE exact integer ratio from the 2×2
+    // contingency counts and margins — no FP enters until the final
+    // division (integer sums are order-independent, so no pinned fold
+    // is even needed). One corpus hash aggregation to the 4-cell
+    // table; everything after is model-sized.
+    q("stat_cohens_kappa",
+      """WITH s AS (SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END a,
+        |             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END b
+        |           FROM lineitem),
+        |ct AS (SELECT a, b, count(*)::BIGINT o FROM s GROUP BY 1, 2),
+        |mg AS (SELECT a, sum(o)::BIGINT ra FROM ct GROUP BY 1),
+        |mc AS (SELECT b, sum(o)::BIGINT cb FROM ct GROUP BY 1),
+        |agree AS (SELECT sum(CASE WHEN a = b THEN o ELSE 0 END)
+        |            ::BIGINT da, sum(o)::BIGINT n FROM ct),
+        |pe AS (SELECT sum(mg.ra::HUGEINT * mc.cb) rc
+        |       FROM mg JOIN mc ON mg.a = mc.b)
+        |SELECT n, da AS n_agree,
+        |  round(da * 1.0 / n + 1e-9, 6) AS p_observed,
+        |  round(rc * 1.0 / n / n + 1e-9, 6) AS p_expected,
+        |  round((n::HUGEINT * da - rc) * 1.0
+        |        / (n::HUGEINT * n - rc) + 1e-9, 6) AS kappa
+        |FROM agree, pe""") { c =>
+      val s = c.lineitem.select(
+        when(col("l_quantity") > 25, 1L).otherwise(0L).as("a"),
+        when(col("l_extendedprice") > 30000, 1L).otherwise(0L).as("b"))
+      val ct = s.groupBy("a", "b").agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val mg = ct.groupBy("a").agg(sum(col("o")).as("ra"))
+      val mc = ct.groupBy("b").agg(sum(col("o")).as("cb"))
+      val agree = ct.agg(
+        sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("da"),
+        sum(col("o")).as("n"))
+      val pe = mg.join(mc, col("a") === col("b"))
+        .agg(sum(col("ra").cast("decimal(38,0)") * col("cb")).as("rc"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      agree.crossJoin(broadcast(pe))
+        .select(col("n"), col("da").as("n_agree"),
+          r6(col("da") * lit(1.0) / col("n")).as("p_observed"),
+          r6(col("rc") * lit(1.0) / col("n") / col("n")).as("p_expected"),
+          r6((dec(col("n")) * col("da") - col("rc")) * lit(1.0) /
+            (dec(col("n")) * col("n") - col("rc"))).as("kappa"))
+    },
+
+    // Quade test (Quade 1979) — the blocked-design rank test that
+    // WEIGHTS blocks by their range, the higher-power alternative to
+    // stat_friedman when block effect sizes differ (here: do order
+    // priorities shift per-nation mean order value, weighting nations
+    // by how much their priorities differ at all?). Same n×k cell
+    // relation as friedman/nemenyi; within-block treatment ranks r and
+    // block-range ranks Q come from row_number over the n·k-row model
+    // relation; the statistic runs on the DOUBLED scores T = Q·(2r −
+    // k − 1) so every sum is an exact integer, and F₃ = (n−1)·ΣⱼSⱼ² /
+    // (n·ΣT² − ΣⱼSⱼ²) is one exact integer ratio (the ×4 scale
+    // cancels).
+    q("stat_quade",
+      """WITH cell AS (SELECT c.c_nationkey b, o.o_orderpriority tr,
+        |    sum(CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT s,
+        |    count(*)::BIGINT n
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT b, tr,
+        |    row_number() OVER (PARTITION BY b
+        |      ORDER BY s * 1.0 / n, tr) r
+        |  FROM cell),
+        |rg AS (SELECT b, max(s * 1.0 / n) - min(s * 1.0 / n) rng
+        |       FROM cell GROUP BY 1),
+        |qk AS (SELECT b, row_number() OVER (ORDER BY rng, b) q FROM rg),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT n,
+        |         count(DISTINCT tr)::BIGINT k FROM cell),
+        |sc AS (SELECT rk.b, rk.tr,
+        |         (qk.q * (2 * rk.r - nb.k - 1))::BIGINT t2
+        |       FROM rk JOIN qk USING (b), nb),
+        |sj AS (SELECT tr, sum(t2)::BIGINT sj2 FROM sc GROUP BY 1),
+        |ag AS (SELECT (SELECT sum(t2 * t2) FROM sc)::BIGINT a4,
+        |              (SELECT sum(sj2 * sj2) FROM sj)::BIGINT b4)
+        |SELECT nb.n AS n_blocks, nb.k AS k_treatments,
+        |  round((nb.n - 1) * b4 * 1.0 / (nb.n * a4 - b4) + 1e-9, 6)
+        |    AS quade_f
+        |FROM ag, nb""") { c =>
+      val cell = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("b"),
+          col("o_orderpriority").as("tr"))
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+            .cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      val wr = Window.partitionBy("b")
+        .orderBy(col("s") * lit(1.0) / col("n"), col("tr"))
+      val rk = cell.select(col("b"), col("tr"),
+        row_number().over(wr).cast("long").as("r"))
+      val rg = cell.groupBy("b").agg(
+        (max(col("s") * lit(1.0) / col("n")) -
+          min(col("s") * lit(1.0) / col("n"))).as("rng"))
+      val qk = rg.select(col("b"), row_number()
+        .over(Window.orderBy(col("rng"), col("b"))).cast("long").as("q"))
+      val nb = cell.agg(countDistinct(col("b")).as("n"),
+        countDistinct(col("tr")).as("k"))
+      val sc = rk.join(qk, Seq("b")).crossJoin(broadcast(nb))
+        .select(col("b"), col("tr"),
+          (col("q") * (lit(2L) * col("r") - col("k") - 1)).as("t2"))
+      val a4 = sc.agg(sum(col("t2") * col("t2")).as("a4"))
+      val b4 = sc.groupBy("tr").agg(sum(col("t2")).as("sj2"))
+        .agg(sum(col("sj2") * col("sj2")).as("b4"))
+      nb.crossJoin(broadcast(a4)).crossJoin(broadcast(b4))
+        .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+          r6((col("n") - 1) * col("b4") * lit(1.0) /
+            (col("n") * col("a4") - col("b4"))).as("quade_f"))
+    },
   )
 }

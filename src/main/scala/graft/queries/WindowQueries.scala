@@ -860,5 +860,118 @@ object WindowQueries {
           (col("cl") / 100.0 < r4(mid - rng)).as("breakdown"))
         .orderBy("day")
     },
+
+    // Ulcer Index (Martin 1987) — the drawdown-RMS risk measure next
+    // to win_drawdown/win_bollinger: per day, the percent drawdown vs
+    // the rolling 14-day high is QUANTIZED to integer basis points
+    // (round once per row), so the rolling sum of squared drawdowns
+    // is EXACT BIGINT arithmetic (the win_keltner cents discipline —
+    // dd ≤ 10⁴ bps, Σ14·dd² ≤ 1.4e9, no FP order anywhere) and
+    // UI = √(Σdd²/cnt)/100 is one fixed double tree per row. Windows
+    // run over the calendar-day aggregate (plan-audit bounded).
+    q("win_ulcer",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT dy, cl, max(cl) OVER w rmax
+        |      FROM d
+        |      WINDOW w AS (ORDER BY dy
+        |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT dy, cl,
+        |        CAST(round((rmax - cl) * 10000.0 / rmax + 1e-9)
+        |             AS BIGINT) dd
+        |      FROM r),
+        |u AS (SELECT dy, cl, dd,
+        |        sum(dd * dd) OVER w sdd2, count(*) OVER w cnt
+        |      FROM b
+        |      WINDOW w AS (ORDER BY dy
+        |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day,
+        |  round(cl / 100.0 + 1e-9, 2) AS close,
+        |  round(dd / 100.0 + 1e-9, 2) AS dd_pct,
+        |  round(sqrt(sdd2 * 1.0 / cnt) / 100 + 1e-9, 4) AS ulcer
+        |FROM u ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy"))
+        .agg(round(avg(col("l_extendedprice")) * 100 + lit(1e-9))
+          .cast("long").as("cl"))
+      val w14 = Window.orderBy("dy").rowsBetween(-13, 0)
+      val r = d.select(col("dy"), col("cl"),
+        max(col("cl")).over(w14).as("rmax"))
+      val b = r.select(col("dy"), col("cl"),
+        round((col("rmax") - col("cl")) * lit(10000.0) / col("rmax") +
+          lit(1e-9)).cast("long").as("dd"))
+      val u = b.select(col("dy"), col("cl"), col("dd"),
+        sum(col("dd") * col("dd")).over(w14).as("sdd2"),
+        count(lit(1)).over(w14).as("cnt"))
+      u.select(col("dy").cast("string").as("day"),
+          r2(col("cl") / 100.0).as("close"),
+          r2(col("dd") / 100.0).as("dd_pct"),
+          r4(sqrt(col("sdd2") * lit(1.0) / col("cnt")) / 100).as("ulcer"))
+        .orderBy("day")
+    },
+
+    // Ichimoku Kinkō Hyō (Hosoda 1969) — the multi-horizon
+    // midpoint-channel system beside Donchian/Keltner: tenkan (9-day
+    // hi-lo midpoint), kijun (26-day), senkou A = their average,
+    // senkou B (52-day midpoint), chikou = close led 26 days. All
+    // midpoints are integer-cents sums halved ONCE at render (the
+    // win_keltner discipline); the bullish signal compares
+    // 2·close > hi26+lo26 in EXACT integers, so no FP boundary can
+    // flip it. Windows run over the calendar-day aggregate
+    // (plan-audit bounded).
+    q("win_ichimoku",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT) hi,
+        |    CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT) lo,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |k AS (SELECT dy, cl,
+        |    max(hi) OVER w9 mh9, min(lo) OVER w9 ml9,
+        |    max(hi) OVER w26 mh26, min(lo) OVER w26 ml26,
+        |    max(hi) OVER w52 mh52, min(lo) OVER w52 ml52,
+        |    lead(cl, 26) OVER (ORDER BY dy) chikou
+        |  FROM d
+        |  WINDOW
+        |    w9 AS (ORDER BY dy ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (ORDER BY dy ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |    w52 AS (ORDER BY dy ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day,
+        |  round(cl / 100.0 + 1e-9, 2) AS close,
+        |  round((mh9 + ml9) * 1.0 / 2 / 100 + 1e-9, 4) AS tenkan,
+        |  round((mh26 + ml26) * 1.0 / 2 / 100 + 1e-9, 4) AS kijun,
+        |  round((mh9 + ml9 + mh26 + ml26) * 1.0 / 4 / 100 + 1e-9, 4)
+        |    AS senkou_a,
+        |  round((mh52 + ml52) * 1.0 / 2 / 100 + 1e-9, 4) AS senkou_b,
+        |  round(chikou / 100.0 + 1e-9, 2) AS chikou,
+        |  2 * cl > mh26 + ml26 AS bullish
+        |FROM k ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy"))
+        .agg(round(max(col("l_extendedprice")) * 100 + lit(1e-9))
+            .cast("long").as("hi"),
+          round(min(col("l_extendedprice")) * 100 + lit(1e-9))
+            .cast("long").as("lo"),
+          round(avg(col("l_extendedprice")) * 100 + lit(1e-9))
+            .cast("long").as("cl"))
+      def wn(n: Int) = Window.orderBy("dy").rowsBetween(-(n - 1), 0)
+      val k = d.select(col("dy"), col("cl"),
+        max(col("hi")).over(wn(9)).as("mh9"),
+        min(col("lo")).over(wn(9)).as("ml9"),
+        max(col("hi")).over(wn(26)).as("mh26"),
+        min(col("lo")).over(wn(26)).as("ml26"),
+        max(col("hi")).over(wn(52)).as("mh52"),
+        min(col("lo")).over(wn(52)).as("ml52"),
+        lead(col("cl"), 26).over(Window.orderBy("dy")).as("chikou"))
+      k.select(col("dy").cast("string").as("day"),
+          r2(col("cl") / 100.0).as("close"),
+          r4((col("mh9") + col("ml9")) * lit(1.0) / 2 / 100).as("tenkan"),
+          r4((col("mh26") + col("ml26")) * lit(1.0) / 2 / 100).as("kijun"),
+          r4((col("mh9") + col("ml9") + col("mh26") + col("ml26")) *
+            lit(1.0) / 4 / 100).as("senkou_a"),
+          r4((col("mh52") + col("ml52")) * lit(1.0) / 2 / 100)
+            .as("senkou_b"),
+          r2(col("chikou") / 100.0).as("chikou"),
+          (lit(2) * col("cl") > col("mh26") + col("ml26")).as("bullish"))
+        .orderBy("day")
+    },
   )
 }

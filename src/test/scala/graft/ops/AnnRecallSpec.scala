@@ -107,6 +107,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF-PQ recall@10 $r%.3f below the 0.9 floor")
   }
 
+  test("IVF-PQ DEFAULT rerank is the pool fraction (r13 verdict #4): " +
+    "rerankUsed == ceil(0.17 * nprobe * n / cells) and recall holds") {
+    // The r13 SCALE.md ladder proved an absolute rerank decays as the
+    // corpus grows (recall@10 0.902 -> 0.742 at 10x) while the POOL
+    // FRACTION restores it (0.972). This pins the operationalized
+    // default: rerank omitted -> the operator sizes the rescore as
+    // 17% of the expected per-query ADC pool nprobe*n/cells, so a
+    // 100 TB deployment that never sets the dial keeps its recall by
+    // construction. The explicit-override tests above are unchanged —
+    // fixed budgets remain expressible.
+    val cents = VectorSim.kmeansCentroids(corpus, col("n_vec"),
+      k = 16, iters = 5)
+    val books = VectorSim.pqCodebooks(corpus, col("n_vec"),
+      m = 16, ksub = 16, iters = 1)
+    val pq = VectorSim.topKAnnIvfPq(queries, corpus, k, cents, books,
+      nprobe = 12, native = true)
+    val ann = pq.df.localCheckpoint()
+    pq.release()
+    val n = corpus.count()
+    val expected = math.max(k,
+      math.ceil(0.17 * 12 * n / 16).toInt)
+    assert(pq.rerankUsed == expected,
+      s"default rerank ${pq.rerankUsed} != fraction-of-pool $expected")
+    val r = recallAt10(ann)
+    info(f"IVF-PQ recall@10 = $r%.3f (DEFAULT rerank=${pq.rerankUsed} " +
+      f"= 17%% of nprobe*n/cells)")
+    assert(r >= 0.9, f"IVF-PQ default-rerank recall@10 $r%.3f " +
+      "below the 0.9 floor")
+  }
+
   test("k-center greedy at sf0.1: selection distances non-increasing " +
     "and coverage radius bounded by the last pick (Gonzalez property)") {
     // Quality floor for sim_kcenter_coreset's device (r9 verdict

@@ -85,4 +85,39 @@ class SketchPropertySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("kmv bottom-k: the fold is a pure function of the multiset — " +
+    "order, duplication, and partition merge shape are invisible " +
+    "(12 cases)") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 400)
+      ks <- Gen.listOfN(n, Gen.chooseNum(0L, 1L << 32))
+      m <- Gen.chooseNum(2, 16)
+      cut <- Gen.chooseNum(0, n)
+    } yield (ks, m, cut)
+    samples(gen, 12).foreach { case (ks, m, cut) =>
+      val want = ks.distinct.sorted.take(m)
+      // sequential fold, any order
+      val seq1 = ks.foldLeft(List.empty[Long])(Kmv.insert(_, _, m))
+      val seqR = ks.reverse.foldLeft(List.empty[Long])(Kmv.insert(_, _, m))
+      assert(seq1 === want, "in-order fold != distinct bottom-m")
+      assert(seqR === want, "reversed fold != distinct bottom-m")
+      // duplication is absorbed
+      val dup = (ks ++ ks).foldLeft(List.empty[Long])(Kmv.insert(_, _, m))
+      assert(dup === want, "duplicated multiset drifted")
+      // aggregator merge of an arbitrary split == the whole fold
+      val agg = new Kmv.BottomKAgg(m)
+      val (a, b) = ks.splitAt(cut)
+      val pa = a.foldLeft(agg.zero)(agg.reduce)
+      val pb = b.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(pa, pb)) === want,
+        "partial-merge != whole-multiset fold")
+      // merge-of-sketches == sketch-of-union (the shippable property)
+      assert(Kmv.merge(Seq(pa, pb), m) === want,
+        "Kmv.merge drifted from the union bottom-m")
+      // estimate: exact (hash-lattice) under capacity
+      if (want.size < m)
+        assert(Kmv.estimate(want, m) === want.size.toLong)
+    }
+  }
 }
