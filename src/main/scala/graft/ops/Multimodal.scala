@@ -1223,6 +1223,58 @@ object Multimodal {
       })
   }
 
+  final case class MorphStats(doc_id: Long, width: Int, height: Int,
+      n_ink: Long, n_eroded: Long, n_dilated: Long, n_gradient: Long)
+
+  /** Binary 4-neighborhood morphology (erosion / dilation / gradient)
+    * over binarized decoded gray BMPs — the speckle/stroke-width
+    * signal of a document-imaging pipeline (erosion kills 1-px noise,
+    * the morphological gradient counts boundary pixels). Foreground =
+    * gray < `fgBelow` (ink); out-of-image counts as BACKGROUND, so a
+    * border ink pixel never survives erosion and always contributes
+    * to the gradient if retained by dilation. Exact integer counts:
+    * eroded = ink pixels whose 4 in-bounds neighbors are all ink
+    * (i.e. ink-neighbor count = 4); dilated = ink pixels + background
+    * pixels with ≥1 ink 4-neighbor; gradient = dilated − eroded.
+    * Partition-local per image via mapPartitions; the oracle replays
+    * the ink-mask law with a 4-offset neighbor join. */
+  def morphStats(df: DataFrame, idCol: String, fgBelow: Int = 128,
+      payloadCol: String = "payload"): Dataset[MorphStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            def ink(x: Int, y: Int): Boolean =
+              x >= 0 && x < w && y >= 0 && y < h &&
+                (px((y * w + x) * 3) & 0xff) < fgBelow
+            var nInk = 0L; var nEro = 0L; var nDil = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val self = ink(x, y)
+                var nn = 0
+                if (ink(x - 1, y)) nn += 1
+                if (ink(x + 1, y)) nn += 1
+                if (ink(x, y - 1)) nn += 1
+                if (ink(x, y + 1)) nn += 1
+                if (self) {
+                  nInk += 1
+                  if (nn == 4) nEro += 1
+                  nDil += 1
+                } else if (nn >= 1) nDil += 1
+                x += 1
+              }
+              y += 1
+            }
+            MorphStats(id, w, h, nInk, nEro, nDil, nDil - nEro)
+          }
+      })
+  }
+
   final case class BlobStats(doc_id: Long, width: Int, height: Int,
       n_fg: Long, n_blobs: Long, max_blob: Long)
 

@@ -2133,5 +2133,139 @@ object FeatureQueries {
         r4(col("rho") / sqrt((col("ssr") / (col("n") - 2)) * col("n") /
           col("dxx"))).as("df_t"))
     },
+
+    // Cross-correlation function (Box & Jenkins §11.1) between the
+    // daily click and purchase event-count series at lags −3..+3 —
+    // the lead/lag screen before any transfer-function fit: per lag,
+    // pairs join on an exact CALENDAR-day offset and r_k is the
+    // closed-form Pearson over exact integer moments (Σxy, Σx², Σy²
+    // through HUGEINT / DECIMAL(38,0)) — one fixed double tree per
+    // lag, no order-dependent sum. The lag grid is a 7-row literal;
+    // everything joins through plain equi-conditions on the day grid.
+    q("ts_ccf",
+      """WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) dy,
+        |             event_type FROM events),
+        |x AS (SELECT dy, count(*)::BIGINT xv FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |y AS (SELECT dy, count(*)::BIGINT yv FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |lg AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) k),
+        |p AS (SELECT lg.k, x.xv, y.yv
+        |      FROM lg, x JOIN y ON y.dy = x.dy + lg.k),
+        |m AS (SELECT k, count(*)::BIGINT n, sum(xv)::BIGINT sx,
+        |        sum(yv)::BIGINT sy, sum(xv::HUGEINT * yv) sxy,
+        |        sum(xv::HUGEINT * xv) sxx, sum(yv::HUGEINT * yv) syy
+        |      FROM p GROUP BY 1)
+        |SELECT k AS lag, n AS n_pairs,
+        |  round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+        |        / sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+        |               * ((n::HUGEINT * syy - sy::HUGEINT * sy)
+        |                  ::DOUBLE)) + 1e-9, 6) AS ccf
+        |FROM m ORDER BY lag""") { c =>
+      val e = c.events.select(col("ts").cast("date").as("dy"),
+        col("event_type"))
+      val x = e.filter(col("event_type") === "click")
+        .groupBy("dy").agg(count(lit(1)).as("xv"))
+      val y = e.filter(col("event_type") === "purchase")
+        .groupBy(col("dy").as("dy2")).agg(count(lit(1)).as("yv"))
+      val lg = c.spark.createDataFrame(
+        (-3 to 3).map(k => Tuple1(k.toLong))).toDF("k")
+      val p = x.crossJoin(broadcast(lg))
+        .join(y, col("dy2") === date_add(col("dy"), col("k").cast("int")))
+      val dec = (v: org.apache.spark.sql.Column) => v.cast("decimal(38,0)")
+      val m = p.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+        sum(dec(col("xv")) * col("yv")).as("sxy"),
+        sum(dec(col("xv")) * col("xv")).as("sxx"),
+        sum(dec(col("yv")) * col("yv")).as("syy"))
+      m.select(col("k").as("lag"), col("n").as("n_pairs"),
+          r6((dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+            .cast("double") /
+            sqrt((dec(col("n")) * col("sxx") -
+                dec(col("sx")) * col("sx")).cast("double") *
+              (dec(col("n")) * col("syy") -
+                dec(col("sy")) * col("sy")).cast("double"))).as("ccf"))
+        .orderBy("lag")
+    },
+
+    // Turning-point randomness test (Kendall & Stuart §45.18) on the
+    // daily-revenue series: T = #{t : x_t is a strict local max or
+    // min}, E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 — the whole
+    // statistic is exact integer compares on lag/lead over the
+    // calendar-day aggregate (strict inequalities, so a tie is
+    // deterministically NOT a turning point on both engines), with
+    // the one studentization at the end.
+    q("ts_turning_points",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(sum(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT dy, cl, lag(cl) OVER (ORDER BY dy) p,
+        |        lead(cl) OVER (ORDER BY dy) nx FROM d),
+        |tp AS (SELECT count(*)::BIGINT n FROM d),
+        |tc AS (SELECT sum(CASE WHEN (cl > p AND cl > nx)
+        |                         OR (cl < p AND cl < nx)
+        |                       THEN 1 ELSE 0 END)::BIGINT t
+        |       FROM w WHERE p IS NOT NULL AND nx IS NOT NULL)
+        |SELECT n, t AS turning_points,
+        |  round(2.0 * (n - 2) / 3 + 1e-9, 4) AS e_t,
+        |  round((t - 2.0 * (n - 2) / 3)
+        |        / sqrt((16 * n - 29) / 90.0) + 1e-9, 6) AS z
+        |FROM tp, tc""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy"))
+        .agg(round(sum(col("l_extendedprice")) * 100 + lit(1e-9))
+          .cast("long").as("cl"))
+      val wd = Window.orderBy("dy")
+      val w = d.select(col("dy"), col("cl"),
+        lag(col("cl"), 1).over(wd).as("p"),
+        lead(col("cl"), 1).over(wd).as("nx"))
+      val tp = d.agg(count(lit(1)).as("n"))
+      val tc = w.filter(col("p").isNotNull && col("nx").isNotNull)
+        .agg(sum(when((col("cl") > col("p") && col("cl") > col("nx")) ||
+          (col("cl") < col("p") && col("cl") < col("nx")), 1L)
+          .otherwise(0L)).as("t"))
+      tp.crossJoin(broadcast(tc))
+        .select(col("n"), col("t").as("turning_points"),
+          r4(lit(2.0) * (col("n") - 2) / 3).as("e_t"),
+          r6((col("t") - lit(2.0) * (col("n") - 2) / 3) /
+            sqrt((lit(16) * col("n") - 29) / lit(90.0))).as("z"))
+    },
+
+    // Smoothed target encoding (the Micci-Barreca 2001 empirical-Bayes
+    // form every tabular-ML pipeline ships): brand → encoded rate
+    // enc = (Σy + m·prior)/(cnt + m) with pinned smoothing m = 10,
+    // where y = the part was EVER returned on a lineitem. Exact
+    // integer sums end to end with ONE division per brand (and one
+    // for the prior); the per-brand relation is the 25-value brand
+    // domain — model-sized at any SF, one corpus join + aggregation.
+    q("fe_target_encode",
+      """WITH y AS (SELECT l_partkey,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) ret
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT p.p_brand brand, y.ret
+        |      FROM part p JOIN y ON p.p_partkey = y.l_partkey),
+        |g AS (SELECT brand, count(*)::BIGINT cnt, sum(ret)::BIGINT pos
+        |      FROM j GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT n, sum(pos)::BIGINT p FROM g)
+        |SELECT brand, cnt, pos,
+        |  round(pos * 1.0 / cnt + 1e-9, 6) AS raw_rate,
+        |  round((pos + 10 * (t.p * 1.0 / t.n)) / (cnt + 10) + 1e-9, 6)
+        |    AS enc_smooth
+        |FROM g, t ORDER BY brand""") { c =>
+      val y = c.lineitem.groupBy("l_partkey")
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("ret"))
+      val j = c.part
+        .join(y, col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand").as("brand"), col("ret"))
+      val g = j.groupBy("brand")
+        .agg(count(lit(1)).as("cnt"), sum(col("ret")).as("pos"))
+      val t = g.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
+      g.crossJoin(broadcast(t))
+        .select(col("brand"), col("cnt"), col("pos"),
+          r6(col("pos") * lit(1.0) / col("cnt")).as("raw_rate"),
+          r6((col("pos") + lit(10) * (col("p") * lit(1.0) / col("n"))) /
+            (col("cnt") + 10)).as("enc_smooth"))
+        .orderBy("brand")
+    },
   )
 }

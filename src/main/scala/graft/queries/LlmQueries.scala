@@ -2544,6 +2544,75 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Binary 4-neighborhood morphology (erosion / dilation /
+    // morphological gradient — Serra 1982) over binarized decoded
+    // BMPs: the speckle-vs-stroke signal beside mm_blob_labeling's
+    // component census (erosion kills 1-px noise; the gradient counts
+    // boundary pixels). Out-of-image is BACKGROUND, so border ink
+    // never survives erosion. ops/Multimodal.morphStats runs
+    // partition-local per image; the oracle regenerates the ink-mask
+    // law (the mm_blob_labeling fixture at the larger sobel dims) and
+    // replays the neighborhood with a 4-offset LEFT join — exact
+    // integer counts end to end.
+    q("mm_morphology",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT w,
+        |             (6 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h, p % w x, p // w y,
+        |        (doc_id * 3 + p * 7) % 5 < 2 ink
+        |      FROM px),
+        |fg AS (SELECT doc_id, x, y FROM g WHERE ink),
+        |off AS (SELECT * FROM (VALUES (-1, 0), (1, 0), (0, -1), (0, 1))
+        |        o(dx, dy)),
+        |nc AS (SELECT a.doc_id, a.x, a.y, a.ink,
+        |         count(f.x)::BIGINT nn
+        |       FROM g a CROSS JOIN off o
+        |       LEFT JOIN fg f ON f.doc_id = a.doc_id
+        |         AND f.x = a.x + o.dx AND f.y = a.y + o.dy
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id,
+        |  sum(CASE WHEN ink THEN 1 ELSE 0 END)::BIGINT AS n_ink,
+        |  sum(CASE WHEN ink AND nn = 4 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_eroded,
+        |  sum(CASE WHEN ink OR nn >= 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dilated,
+        |  sum(CASE WHEN ink OR nn >= 1 THEN 1 ELSE 0 END)::BIGINT
+        |  - sum(CASE WHEN ink AND nn = 4 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_gradient
+        |FROM nc GROUP BY 1 ORDER BY doc_id""") { c =>
+      val mkBmp5 = udf((id: Long) => {
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id * 3 + p * 7) % 5 < 2)
+                        40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.morphStats(
+          c.documents.select(col("doc_id"),
+            mkBmp5(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("n_ink"), col("n_eroded"),
+          col("n_dilated"), col("n_gradient"))
+        .orderBy("doc_id")
+    },
+
     // Connected-component BLOB labeling (4-connectivity) over
     // binarized decoded BMPs — the post-Otsu figure-vs-speckle signal
     // of a document-imaging pipeline (ops/Multimodal.blobsGray: a

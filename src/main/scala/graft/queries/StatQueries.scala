@@ -5459,5 +5459,109 @@ object StatQueries {
           r6((col("n") - 1) * col("b4") * lit(1.0) /
             (col("n") * col("a4") - col("b4"))).as("quade_f"))
     },
+
+    // Mood's squared-rank scale test (Mood 1954) — the companion to
+    // stat_ansari_bradley with the QUADRATIC score a(r) = (r−(N+1)/2)²
+    // in place of Ansari's double-ended min-rank (heavier tail weight;
+    // the classical pairing in the rank-scale family), ties averaged
+    // per block exactly as there. The cumulative score prefix has the
+    // closed form 3·S₂(t) = 2t(t+1)(2t+1) − 6(N+1)t(t+1) + 3t(N+1)²
+    // on the DOUBLED residuals u = 2r−(N+1) (so every block sum is an
+    // exact integer, carried through HUGEINT / DECIMAL(38,0) — the
+    // prefix is CUBIC in N and passes 2^63 near N~2M); each block's
+    // average score is one exact ratio bs₃/(12c), and T, E[T] =
+    // nx·ā̄, Var = nx·ny(Σc·ā² − N·ā̄²)/(N(N−1)) fold those ratios in
+    // PINNED v order (the bartlett device) before the one
+    // studentization; the GLOBAL mean score uses the closed identity
+    // 3·S₂(N) = N(N²−1) ⇒ ā̄ = (N²−1)/12, a small-double expression
+    // both engines evaluate bit-identically. Same returned-vs-kept
+    // quantity histogram fixture as ansari/kuiper/cvm.
+    q("stat_mood_scale",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny,
+        |        sum(cx + cy)::BIGINT n FROM h),
+        |cw AS (SELECT v, cx, cy, cx + cy c,
+        |        coalesce(sum(cx + cy) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb
+        |      FROM h),
+        |fb AS (SELECT v, cx, cy, c, cb, n, nx, ny,
+        |        (2 * (cb + c)::HUGEINT * (cb + c + 1) * (2 * (cb + c) + 1)
+        |         - 6 * (n + 1)::HUGEINT * (cb + c) * (cb + c + 1)
+        |         + 3 * (cb + c)::HUGEINT * (n + 1) * (n + 1))
+        |        - (2 * cb::HUGEINT * (cb + 1) * (2 * cb + 1)
+        |           - 6 * (n + 1)::HUGEINT * cb * (cb + 1)
+        |           + 3 * cb::HUGEINT * (n + 1) * (n + 1)) bs3
+        |      FROM cw, t),
+        |fold AS (SELECT
+        |    list_reduce(list(cx * (bs3 * 1.0 / (c * 12)) ORDER BY v),
+        |      (a, x) -> a + x) tt,
+        |    list_reduce(list(c * (bs3 * 1.0 / (c * 12))
+        |                       * (bs3 * 1.0 / (c * 12)) ORDER BY v),
+        |      (a, x) -> a + x) sa2,
+        |    max(n) n, max(nx) nx, max(ny) ny
+        |  FROM fb),
+        |md AS (SELECT nx, ny, n, tt, sa2,
+        |        (n::DOUBLE * n - 1) / 12 abar
+        |      FROM fold)
+        |SELECT nx, ny, round(tt + 1e-9, 4) AS mood_t,
+        |  round(nx * abar + 1e-9, 4) AS e_t,
+        |  round((tt - nx * abar)
+        |        / sqrt(nx::DOUBLE * ny * (sa2 - n * abar * abar)
+        |               / (n * (n - 1.0))) + 1e-9, 6) AS z
+        |FROM md""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+        sum(lit(1L) - col("gx")).as("cy"))
+      val t = h.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"),
+        sum(col("cx") + col("cy")).as("n"))
+      val wb = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cw = h.select(col("v"), col("cx"), col("cy"),
+        (col("cx") + col("cy")).as("c"),
+        coalesce(sum(col("cx") + col("cy")).over(wb), lit(0L)).as("cb"))
+      // 3·S2 prefix in decimal(38,0) — cubic in N, BIGINT dies at ~2M
+      val fb = cw.crossJoin(broadcast(t)).selectExpr("v", "cx", "cy",
+        "c", "cb", "n", "nx", "ny",
+        """((2 * cast(cb + c as decimal(38,0)) * (cb + c + 1)
+          |    * (2 * (cb + c) + 1)
+          |  - 6 * cast(n + 1 as decimal(38,0)) * (cb + c) * (cb + c + 1)
+          |  + 3 * cast(cb + c as decimal(38,0)) * (n + 1) * (n + 1))
+          | - (2 * cast(cb as decimal(38,0)) * (cb + 1) * (2 * cb + 1)
+          |  - 6 * cast(n + 1 as decimal(38,0)) * cb * (cb + 1)
+          |  + 3 * cast(cb as decimal(38,0)) * (n + 1) * (n + 1)))
+          | AS bs3""".stripMargin.replace("\n", " "))
+      val fold = fb.agg(
+        aggregate(array_sort(collect_list(struct(col("v"),
+            (col("cx") * (col("bs3") * lit(1.0) / (col("c") * 12)))
+              .as("tm")))),
+          lit(0.0), (a, x) => a + x.getField("tm")).as("tt"),
+        aggregate(array_sort(collect_list(struct(col("v"),
+            (col("c") * (col("bs3") * lit(1.0) / (col("c") * 12)) *
+              (col("bs3") * lit(1.0) / (col("c") * 12))).as("tm")))),
+          lit(0.0), (a, x) => a + x.getField("tm")).as("sa2"),
+        max(col("n")).as("n"), max(col("nx")).as("nx"),
+        max(col("ny")).as("ny"))
+      // mean score has the closed identity 3*S2(N) = N(N^2-1), so
+      // abar = (N^2-1)/12 — a SMALL-double expression both engines
+      // evaluate bit-identically (N^2 < 2^53 far beyond any SF here;
+      // the wide-decimal route divided by 12N was 13 ulps apart
+      // across engines at 2.7e12 magnitude)
+      val md = fold.selectExpr("nx", "ny", "n", "tt", "sa2",
+        "((cast(n as double) * n - 1) / 12) AS abar")
+      md.select(col("nx"), col("ny"), r4(col("tt")).as("mood_t"),
+        r4(col("nx") * col("abar")).as("e_t"),
+        r6((col("tt") - col("nx") * col("abar")) /
+          sqrt(col("nx").cast("double") * col("ny") *
+            (col("sa2") - col("n") * col("abar") * col("abar")) /
+            (col("n") * (col("n") - lit(1.0))))).as("z"))
+    },
   )
 }

@@ -973,5 +973,66 @@ object WindowQueries {
           (lit(2) * col("cl") > col("mh26") + col("ml26")).as("bullish"))
         .orderBy("day")
     },
+
+    // Sortino ratio (Sortino & Price 1994) — the downside-only risk
+    // measure beside win_ulcer's drawdown RMS: daily returns are
+    // QUANTIZED once to integer basis points, so the rolling mean and
+    // the downside second moment Σ min(ret,0)² are exact BIGINT
+    // window sums (ret ≤ 10⁴ bps ⇒ Σ14·ret² ≤ 1.4e9 — the
+    // win_keltner discipline), and the ratio is one fixed double tree
+    // per row; a window with zero downside emits NULL by an exact
+    // integer test, never an FP boundary. Windows run over the
+    // calendar-day aggregate (plan-audit bounded).
+    q("win_sortino",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT dy, cl, lag(cl) OVER (ORDER BY dy) p FROM d),
+        |b AS (SELECT dy,
+        |        CAST(round((cl - p) * 10000.0 / p + 1e-9) AS BIGINT) ret
+        |      FROM r WHERE p IS NOT NULL),
+        |u AS (SELECT dy, ret,
+        |        sum(ret) OVER w sr,
+        |        sum(CASE WHEN ret < 0 THEN ret * ret ELSE 0 END) OVER w
+        |          sd2,
+        |        count(*) OVER w cnt
+        |      FROM b
+        |      WINDOW w AS (ORDER BY dy
+        |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day,
+        |  round(ret / 100.0 + 1e-9, 2) AS ret_pct,
+        |  round(sr * 1.0 / cnt / 100 + 1e-9, 4) AS mean_ret_pct,
+        |  round(sqrt(sd2 * 1.0 / cnt) / 100 + 1e-9, 4)
+        |    AS downside_dev_pct,
+        |  CASE WHEN sd2 > 0 THEN
+        |    round((sr * 1.0 / cnt) / sqrt(sd2 * 1.0 / cnt) + 1e-9, 4)
+        |  END AS sortino
+        |FROM u ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy"))
+        .agg(round(avg(col("l_extendedprice")) * 100 + lit(1e-9))
+          .cast("long").as("cl"))
+      val wd = Window.orderBy("dy")
+      val r = d.select(col("dy"), col("cl"),
+        lag(col("cl"), 1).over(wd).as("p"))
+      val b = r.filter(col("p").isNotNull)
+        .select(col("dy"),
+          round((col("cl") - col("p")) * lit(10000.0) / col("p") +
+            lit(1e-9)).cast("long").as("ret"))
+      val w14 = Window.orderBy("dy").rowsBetween(-13, 0)
+      val u = b.select(col("dy"), col("ret"),
+        sum(col("ret")).over(w14).as("sr"),
+        sum(when(col("ret") < 0, col("ret") * col("ret"))
+          .otherwise(0L)).over(w14).as("sd2"),
+        count(lit(1)).over(w14).as("cnt"))
+      u.select(col("dy").cast("string").as("day"),
+          r2(col("ret") / 100.0).as("ret_pct"),
+          r4(col("sr") * lit(1.0) / col("cnt") / 100).as("mean_ret_pct"),
+          r4(sqrt(col("sd2") * lit(1.0) / col("cnt")) / 100)
+            .as("downside_dev_pct"),
+          when(col("sd2") > 0,
+            r4((col("sr") * lit(1.0) / col("cnt")) /
+              sqrt(col("sd2") * lit(1.0) / col("cnt")))).as("sortino"))
+        .orderBy("day")
+    },
   )
 }
