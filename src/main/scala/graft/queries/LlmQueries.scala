@@ -4286,6 +4286,74 @@ object LlmQueries {
     // doc grouping. The fixed mask pattern stands in for the span
     // sampler (randomness is a seed-policy choice; the tensorization
     // shape is what the operator owns).
+    // SFT/chat label masking — the supervised-fine-tuning sample prep
+    // beside llm_span_corruption's seq2seq masking: each doc's
+    // sentences become alternating user/assistant turns, the rendered
+    // sample tags every turn with its role, and the LOSS MASK keeps
+    // only assistant-turn tokens learnable (the standard chat-SFT
+    // convention — user turns are context, not targets). Pure per-doc
+    // list work: one split + one partitioned window for turn order +
+    // one ordered string fold (the established array_sort(collect_list)
+    // ≡ string_agg ORDER BY device); exact integer token counts.
+    q("llm_sft_mask",
+      """WITH d AS (SELECT doc_id, trim(text) t FROM documents
+        |           WHERE doc_id < 120),
+        |sp AS (SELECT doc_id, unnest(string_split(t, '.')) s,
+        |              unnest(range(len(string_split(t, '.')))) i
+        |       FROM d),
+        |tu AS (SELECT doc_id, i, trim(s) s FROM sp
+        |       WHERE length(trim(s)) > 0),
+        |r AS (SELECT doc_id, s,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |          turn
+        |      FROM tu),
+        |tok AS (SELECT doc_id, turn, s,
+        |          len(string_split_regex(s, '\s+'))::BIGINT ntok,
+        |          CASE WHEN turn % 2 = 1 THEN 'assistant' ELSE 'user'
+        |          END rl
+        |        FROM r),
+        |agg AS (SELECT doc_id, count(*)::BIGINT n_turns,
+        |          sum(ntok)::BIGINT n_tokens,
+        |          sum(CASE WHEN rl = 'assistant' THEN ntok ELSE 0
+        |              END)::BIGINT n_learnable,
+        |          string_agg('<|' || rl || '|>' || s, ''
+        |                     ORDER BY turn) rendered
+        |        FROM tok GROUP BY 1)
+        |SELECT doc_id, n_turns, n_tokens, n_learnable,
+        |  round(n_learnable * 1.0 / n_tokens + 1e-9, 4) AS mask_ratio,
+        |  substr(rendered, 1, 80) AS rendered_prefix
+        |FROM agg ORDER BY doc_id""") { c =>
+      import org.apache.spark.sql.expressions.Window
+      val d = c.documents.filter(col("doc_id") < 120)
+        .select(col("doc_id"), trim(col("text")).as("t"))
+      val sp = d.select(col("doc_id"),
+        posexplode(split(col("t"), "\\.")).as(Seq("i", "s")))
+      val tu = sp.select(col("doc_id"), col("i"),
+          trim(col("s")).as("s"))
+        .filter(length(col("s")) > 0)
+      val r = tu.withColumn("turn",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy("i")) - 1)
+      val tok = r.select(col("doc_id"), col("turn"), col("s"),
+        size(split(col("s"), "\\s+")).cast("long").as("ntok"),
+        when(col("turn") % 2 === 1, "assistant").otherwise("user")
+          .as("role"))
+      val agg = tok.groupBy("doc_id").agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(when(col("role") === "assistant", col("ntok"))
+          .otherwise(0L)).as("n_learnable"),
+        expr("concat_ws('', transform(array_sort(collect_list(" +
+          "named_struct('t', turn, 'p', " +
+          "concat('<|', role, '|>', s)))), x -> x.p))").as("rendered"))
+      agg.select(col("doc_id"), col("n_turns"), col("n_tokens"),
+          col("n_learnable"),
+          r4(col("n_learnable") * lit(1.0) / col("n_tokens"))
+            .as("mask_ratio"),
+          substring(col("rendered"), 1, 80).as("rendered_prefix"))
+        .orderBy("doc_id")
+    },
+
     q("llm_span_corruption",
       """WITH d AS (SELECT doc_id,
         |             regexp_extract_all(lower(text), '[a-z0-9]+') toks

@@ -5563,5 +5563,183 @@ object StatQueries {
             (col("sa2") - col("n") * col("abar") * col("abar")) /
             (col("n") * (col("n") - lit(1.0))))).as("z"))
     },
+
+    // 1-D Wasserstein / earth-mover distance (Kantorovich 1942;
+    // W₁ = ∫|Fx − Fy| dv) between returned and kept quantity
+    // distributions — the TRANSPORT-COST lens beside kuiper's sup and
+    // cvm's integrated square: on the ≤50-row histogram, each
+    // inter-value segment contributes |cumx·ny − cumy·nx| · gap in
+    // EXACT integers (HUGEINT / DECIMAL(38,0) — the cross-product is
+    // SF²), with the single division by nx·ny at the end — bit-exact
+    // at any partitioning, no folds needed (integer sums commute).
+    q("stat_wasserstein",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny FROM h),
+        |c AS (SELECT v, lead(v) OVER (ORDER BY v) nv,
+        |        sum(cx) OVER (ORDER BY v) cumx,
+        |        sum(cy) OVER (ORDER BY v) cumy
+        |      FROM h),
+        |d AS (SELECT sum(abs(cumx::HUGEINT * ny - cumy::HUGEINT * nx)
+        |               * (nv - v)) sw
+        |      FROM c, t WHERE nv IS NOT NULL)
+        |SELECT nx, ny,
+        |  round(sw::DOUBLE / ((nx::HUGEINT * ny)::DOUBLE) + 1e-9, 6)
+        |    AS w1
+        |FROM d, t""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+        sum(lit(1L) - col("gx")).as("cy"))
+      val t = h.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"))
+      val w = Window.orderBy("v")
+      val cum = h.select(col("v"), lead(col("v"), 1).over(w).as("nv"),
+        sum(col("cx")).over(w).as("cumx"),
+        sum(col("cy")).over(w).as("cumy"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val d = cum.crossJoin(broadcast(t)).filter(col("nv").isNotNull)
+        .agg(sum(abs(dec(col("cumx")) * col("ny") -
+          dec(col("cumy")) * col("nx")) * (col("nv") - col("v")))
+          .as("sw"), first(col("nx")).as("nx"),
+          first(col("ny")).as("ny"))
+      d.select(col("nx"), col("ny"),
+        r6(col("sw").cast("double") /
+          (dec(col("nx")) * col("ny")).cast("double")).as("w1"))
+    },
+
+    // Energy distance (Székely & Rizzo 2004) between returned and
+    // kept quantities — the DISTANCE-BASED two-sample test (consistent
+    // against ANY alternative, where rank tests see only location/
+    // scale): e = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, each expectation an
+    // EXACT integer sum Σ c_u·c_v·|u−v| over the ≤50×50 histogram
+    // pair lattice (HUGEINT / DECIMAL(38,0) — counts are SF-linear so
+    // products are SF²) divided once; the test statistic scales by
+    // nx·ny/(nx+ny). The pair join is value-domain bounded (≤50 rows
+    // a side — allowlisted with an executed bound in PlanAuditSpec).
+    q("stat_energy_distance",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny FROM h),
+        |p AS (SELECT a.v av, b.v bv, a.cx acx, a.cy acy,
+        |             b.cx bcx, b.cy bcy
+        |      FROM h a, h b),
+        |s AS (SELECT
+        |        sum(acx::HUGEINT * bcy * abs(av - bv)) sxy,
+        |        sum(acx::HUGEINT * bcx * abs(av - bv)) sxx,
+        |        sum(acy::HUGEINT * bcy * abs(av - bv)) syy
+        |      FROM p)
+        |SELECT nx, ny,
+        |  round(2.0 * sxy / ((nx::HUGEINT * ny)::DOUBLE)
+        |        - sxx::DOUBLE / ((nx::HUGEINT * nx)::DOUBLE)
+        |        - syy::DOUBLE / ((ny::HUGEINT * ny)::DOUBLE)
+        |        + 1e-9, 6) AS energy_e,
+        |  round((nx::DOUBLE * ny / (nx + ny))
+        |        * (2.0 * sxy / ((nx::HUGEINT * ny)::DOUBLE)
+        |           - sxx::DOUBLE / ((nx::HUGEINT * nx)::DOUBLE)
+        |           - syy::DOUBLE / ((ny::HUGEINT * ny)::DOUBLE))
+        |        + 1e-9, 4) AS energy_t
+        |FROM s, t""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+          sum(lit(1L) - col("gx")).as("cy"))
+        .localCheckpoint()
+      val t = h.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val p = h.as("a").crossJoin(broadcast(h.as("b")))
+      val s = p.agg(
+        sum(dec(col("a.cx")) * col("b.cy") *
+          abs(col("a.v") - col("b.v"))).as("sxy"),
+        sum(dec(col("a.cx")) * col("b.cx") *
+          abs(col("a.v") - col("b.v"))).as("sxx"),
+        sum(dec(col("a.cy")) * col("b.cy") *
+          abs(col("a.v") - col("b.v"))).as("syy"))
+      val e = lit(2.0) * col("sxy") /
+        (dec(col("nx")) * col("ny")).cast("double") -
+        col("sxx").cast("double") /
+          (dec(col("nx")) * col("nx")).cast("double") -
+        col("syy").cast("double") /
+          (dec(col("ny")) * col("ny")).cast("double")
+      s.crossJoin(broadcast(t))
+        .select(col("nx"), col("ny"),
+          r6(e).as("energy_e"),
+          r4((col("nx").cast("double") * col("ny") /
+            (col("nx") + col("ny"))) * e).as("energy_t"))
+    },
+
+    // Delete-one-group (grouped) jackknife CI for the mean order
+    // value (Quenouille 1956 / Tukey 1958; the deterministic
+    // resampling-inference member next to the closed-form CIs): 10
+    // folds by the PORTABLE md5 bucket of o_orderkey (the split_lib
+    // hash seam — never a random resample), each leave-one-fold-out
+    // mean is one exact integer ratio (S−sᵢ)/(N−nᵢ) in cents, and the
+    // jackknife variance (g−1)/g·Σ(θ̂₍ᵢ₎−θ̂₍·₎)² folds the 10 ratios
+    // in PINNED fold order. CI uses the pinned 1.96 normal quantile.
+    q("ab_jackknife_ci",
+      """WITH o AS (SELECT
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+        |      % 10 f,
+        |    CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT) cents
+        |  FROM orders),
+        |g AS (SELECT f, count(*)::BIGINT n, sum(cents)::BIGINT s
+        |      FROM o GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT tn, sum(s)::BIGINT ts FROM g),
+        |l AS (SELECT f, (ts - s) * 1.0 / (tn - n) th FROM g, t),
+        |m AS (SELECT list_reduce(list(th ORDER BY f),
+        |        (a, x) -> a + x) / 10 thbar FROM l),
+        |v AS (SELECT list_reduce(list((th - thbar) * (th - thbar)
+        |                              ORDER BY f),
+        |        (a, x) -> a + x) * 9 / 10 jvar FROM l, m)
+        |SELECT tn AS n,
+        |  round(ts * 1.0 / tn / 100 + 1e-9, 4) AS theta,
+        |  round(sqrt(jvar) / 100 + 1e-9, 6) AS se_jack,
+        |  round((ts * 1.0 / tn - 1.96 * sqrt(jvar)) / 100 + 1e-9, 4)
+        |    AS ci_lo,
+        |  round((ts * 1.0 / tn + 1.96 * sqrt(jvar)) / 100 + 1e-9, 4)
+        |    AS ci_hi
+        |FROM t, v""") { c =>
+      val o = c.orders.select(
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+          16, 10).cast("long") % 10).as("f"),
+        round(col("o_totalprice") * 100 + lit(1e-9)).cast("long")
+          .as("cents"))
+      val g = o.groupBy("f").agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"))
+      val t = g.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"))
+      val l = g.crossJoin(broadcast(t))
+        .select(col("f"),
+          ((col("ts") - col("s")) * lit(1.0) / (col("tn") - col("n")))
+            .as("th"))
+      val m = l.agg((expr(
+        "aggregate(array_sort(collect_list(named_struct(" +
+          "'f', f, 'th', th))), cast(0.0 as double), " +
+          "(a, x) -> a + x.th)") / 10).as("thbar"))
+      val v = l.crossJoin(broadcast(m))
+        .agg((expr(
+          "aggregate(array_sort(collect_list(named_struct(" +
+            "'f', f, 'tm', (th - thbar) * (th - thbar)))), " +
+            "cast(0.0 as double), (a, x) -> a + x.tm)") * 9 / 10)
+          .as("jvar"))
+      t.crossJoin(broadcast(v))
+        .select(col("tn").as("n"),
+          r4(col("ts") * lit(1.0) / col("tn") / 100).as("theta"),
+          r6(sqrt(col("jvar")) / 100).as("se_jack"),
+          r4((col("ts") * lit(1.0) / col("tn") -
+            lit(1.96) * sqrt(col("jvar"))) / 100).as("ci_lo"),
+          r4((col("ts") * lit(1.0) / col("tn") +
+            lit(1.96) * sqrt(col("jvar"))) / 100).as("ci_hi"))
+    },
   )
 }

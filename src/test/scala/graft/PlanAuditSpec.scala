@@ -80,6 +80,10 @@ class PlanAuditSpec extends SparkSpec {
       "stat_dunn" -> DOMAIN_BOUND,
       // pair walk over the 5-priority rank-sum relation
       "stat_nemenyi" -> DOMAIN_BOUND,
+      // 50x50 quantity-histogram pair lattice: both sides are the
+      // value-domain histogram (l_quantity has <= 50 values), cached
+      // behind a localCheckpoint the structural check cannot see
+      "stat_energy_distance" -> DOMAIN_BOUND,
       // SERIES/GRID-sized builds (the documented ts_acf stance): these
       // relations are bounded by the TIME RANGE (daily series, lag
       // grids, backtest folds, order-stat picks at rn=1 / top-decile,
