@@ -596,6 +596,49 @@ object StreamOps {
       .toDF("group", "kk", "hk", "estimate")
   }
 
+  /** Keyed streaming EXACT moments state — the incremental
+    * counterpart of the batch integer-moment discipline (`agg_moments`
+    * / the n·Σx² − (Σx)² variance device used registry-wide): state
+    * per group is the O(1) integer triple (n, Σx, Σx²) over
+    * caller-quantized integer values (cents/bps — size the lattice so
+    * Σx² fits a Long; same contract as the batch queries), so the
+    * fold is PURE INTEGER arithmetic — commutative and associative —
+    * and parity with the batch aggregation is exact under ANY batch
+    * split, any order, and any partitioning (the kmvState determinism
+    * class; spec-checked including reversed order). Mean and the
+    * population variance (n·Σx² − (Σx)²)/n² are derived per emission
+    * from the integer state — one fixed double tree, identical to
+    * the batch formula shape. Emits (group, n, sum, mean, variance)
+    * after each micro-batch. Ref analogue: mergeable accumulator
+    * state, python/xorq/expr/pyaggregator.py:25-79. */
+  def momentsState(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(valCol).cast("long").as("__v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long),
+        (String, Long, Long, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (g, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (n, s, q) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { case (_, v) =>
+            n += 1; s += v
+            q = Math.addExact(q, Math.multiplyExact(v, v))
+          }
+          state.update((n, s, q))
+          val mean = s.toDouble / n
+          val variance =
+            (n.toDouble * q - s.toDouble * s) / (n.toDouble * n)
+          (g, n, s, mean, variance)
+      }
+      .toDF("group", "n", "sum", "mean", "variance")
+  }
+
   /** Per-key streaming Kleinberg burst state (Kleinberg 2002, the
     * two-state ONLINE/FILTERED automaton) — the incremental
     * counterpart of the `ts_bursts` batch scan (ops/Burst.twoState):

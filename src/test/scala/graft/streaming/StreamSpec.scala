@@ -1179,4 +1179,52 @@ class StreamSpec extends SparkSpec {
     // estimate is the at-capacity formula, not the exact-count branch
     assert(refRow._1 == m.toLong)
   }
+
+  test("streaming exact-moments state equals the batch integer fold " +
+    "for any batch split and any order (multiset-pure class)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // (group, cents): integer lattice, duplicates included — the fold
+    // is commutative integer sums, so ANY split/order must reproduce
+    // the batch (n, sum, mean, variance) BIT-exactly
+    val rows = Seq(
+      ("a", 120L), ("a", -35L), ("b", 7L), ("a", 120L), ("b", 0L),
+      ("a", 9999L), ("b", -7L), ("a", 1L), ("b", 42L), ("a", -8000L))
+    val ref: Map[String, (Long, Long, Double, Double)] = rows
+      .groupBy(_._1).map { case (g, rs) =>
+        val n = rs.size.toLong
+        val s = rs.map(_._2).sum
+        val q = rs.map(v => v._2 * v._2).sum
+        g -> (n, s, s.toDouble / n,
+          (n.toDouble * q - s.toDouble * s) / (n.toDouble * n))
+      }
+    def run(splits: Seq[Seq[(String, Long)]],
+        qn: String): Map[String, (Long, Long, Double, Double)] = {
+      val input = MemoryStream[(String, Long)]
+      val mo = StreamOps.momentsState(
+        input.toDF.toDF("g", "v"), "g", "v")
+      val q = mo.writeStream.format("memory")
+        .queryName(qn).outputMode("update").start()
+      try {
+        splits.foreach { b => input.addData(b); q.processAllAvailable() }
+        // latest emission per group = max n
+        sp.sql(s"""SELECT group, n, sum, mean, variance FROM $qn s
+                  |WHERE n = (SELECT max(n) FROM $qn
+                  |           WHERE group = s.group)""".stripMargin)
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toMap
+      } finally q.stop()
+    }
+    val split3 = run(Seq(rows.take(3), rows.slice(3, 7), rows.drop(7)),
+      "moments_3")
+    val split1 = run(Seq(rows), "moments_1")
+    val reversed = run(Seq(rows.reverse), "moments_r")
+    assert(split3 == ref, s"3-split drifted:\n$split3\nvs\n$ref")
+    assert(split1 == ref, s"one-batch drifted:\n$split1\nvs\n$ref")
+    assert(reversed == ref, s"reversed drifted:\n$reversed\nvs\n$ref")
+    // negative values and duplicates are genuinely exercised
+    assert(ref("a")._2 == 120L - 35 + 120 + 9999 + 1 - 8000)
+  }
 }
