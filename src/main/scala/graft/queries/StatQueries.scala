@@ -5346,50 +5346,61 @@ object StatQueries {
             (col("nx") + col("ny"))).as("cvm_t_adj"))
     },
 
-    // Cohen's kappa (Cohen 1960) — chance-corrected inter-rater
-    // agreement between two derived binary "raters" on lineitems
-    // (high-quantity vs high-price flags): κ = (N·Σdiag − Σₖ rₖ·cₖ) /
-    // (N² − Σₖ rₖ·cₖ), ONE exact integer ratio from the 2×2
-    // contingency counts and margins — no FP enters until the final
-    // division (integer sums are order-independent, so no pinned fold
-    // is even needed). One corpus hash aggregation to the 4-cell
-    // table; everything after is model-sized.
-    q("stat_cohens_kappa",
-      """WITH s AS (SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END a,
-        |             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END b
-        |           FROM lineitem),
-        |ct AS (SELECT a, b, count(*)::BIGINT o FROM s GROUP BY 1, 2),
-        |mg AS (SELECT a, sum(o)::BIGINT ra FROM ct GROUP BY 1),
-        |mc AS (SELECT b, sum(o)::BIGINT cb FROM ct GROUP BY 1),
-        |agree AS (SELECT sum(CASE WHEN a = b THEN o ELSE 0 END)
-        |            ::BIGINT da, sum(o)::BIGINT n FROM ct),
-        |pe AS (SELECT sum(mg.ra::HUGEINT * mc.cb) rc
-        |       FROM mg JOIN mc ON mg.a = mc.b)
-        |SELECT n, da AS n_agree,
-        |  round(da * 1.0 / n + 1e-9, 6) AS p_observed,
-        |  round(rc * 1.0 / n / n + 1e-9, 6) AS p_expected,
-        |  round((n::HUGEINT * da - rc) * 1.0
-        |        / (n::HUGEINT * n - rc) + 1e-9, 6) AS kappa
-        |FROM agree, pe""") { c =>
-      val s = c.lineitem.select(
-        when(col("l_quantity") > 25, 1L).otherwise(0L).as("a"),
-        when(col("l_extendedprice") > 30000, 1L).otherwise(0L).as("b"))
-      val ct = s.groupBy("a", "b").agg(count(lit(1)).as("o"))
-        .localCheckpoint()
-      val mg = ct.groupBy("a").agg(sum(col("o")).as("ra"))
-      val mc = ct.groupBy("b").agg(sum(col("o")).as("cb"))
-      val agree = ct.agg(
-        sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("da"),
-        sum(col("o")).as("n"))
-      val pe = mg.join(mc, col("a") === col("b"))
-        .agg(sum(col("ra").cast("decimal(38,0)") * col("cb")).as("rc"))
+    // Cliff's delta + Vargha–Delaney Â (Cliff 1993; Vargha & Delaney
+    // 2000) — the nonparametric EFFECT SIZES the rank tests above
+    // only p-value: δ = P(X>Y) − P(X<Y) and Â = P(X>Y) + ½P(X=Y) for
+    // returned vs kept quantities. No pair join at all: on the ≤50-row
+    // histogram, #{X>Y} = Σᵥ cxᵥ·cumy(<v) and ties = Σᵥ cxᵥ·cyᵥ via
+    // ONE prefix window — exact integer sums through HUGEINT /
+    // DECIMAL(38,0) (the counts are SF-linear so products are SF²),
+    // one division each at the end.
+    q("stat_cliffs_delta",
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END gx,
+        |    CAST(l_quantity AS BIGINT) v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |h AS (SELECT v, sum(gx)::BIGINT cx, sum(1 - gx)::BIGINT cy
+        |      FROM li GROUP BY 1),
+        |t AS (SELECT sum(cx)::BIGINT nx, sum(cy)::BIGINT ny FROM h),
+        |c AS (SELECT v, cx, cy,
+        |        coalesce(sum(cy) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          cyb
+        |      FROM h),
+        |s AS (SELECT sum(cx::HUGEINT * cyb) gt,
+        |             sum(cx::HUGEINT * cy) tie,
+        |             sum(cx::HUGEINT * (ny - cyb - cy)) lt
+        |      FROM c, t)
+        |SELECT nx, ny,
+        |  round((gt - lt)::DOUBLE / ((nx::HUGEINT * ny)::DOUBLE)
+        |        + 1e-9, 6) AS cliffs_delta,
+        |  round((gt + 0.5 * tie) / ((nx::HUGEINT * ny)::DOUBLE)
+        |        + 1e-9, 6) AS vd_a
+        |FROM s, t""") { c =>
+      val li = c.lineitem.filter(col("l_returnflag").isin("R", "N"))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("gx"),
+          col("l_quantity").cast("long").as("v"))
+      val h = li.groupBy("v").agg(sum(col("gx")).as("cx"),
+        sum(lit(1L) - col("gx")).as("cy"))
+      val t = h.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"))
+      val wb = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = h.select(col("v"), col("cx"), col("cy"),
+        coalesce(sum(col("cy")).over(wb), lit(0L)).as("cyb"))
       val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
-      agree.crossJoin(broadcast(pe))
-        .select(col("n"), col("da").as("n_agree"),
-          r6(col("da") * lit(1.0) / col("n")).as("p_observed"),
-          r6(col("rc") * lit(1.0) / col("n") / col("n")).as("p_expected"),
-          r6((dec(col("n")) * col("da") - col("rc")) * lit(1.0) /
-            (dec(col("n")) * col("n") - col("rc"))).as("kappa"))
+      val s = cum.crossJoin(broadcast(t)).agg(
+        sum(dec(col("cx")) * col("cyb")).as("gt"),
+        sum(dec(col("cx")) * col("cy")).as("tie"),
+        sum(dec(col("cx")) * (col("ny") - col("cyb") - col("cy")))
+          .as("lt"))
+      s.crossJoin(broadcast(t))
+        .select(col("nx"), col("ny"),
+          r6((col("gt") - col("lt")).cast("double") /
+            (dec(col("nx")) * col("ny")).cast("double"))
+            .as("cliffs_delta"),
+          r6((col("gt") + lit(0.5) * col("tie")) /
+            (dec(col("nx")) * col("ny")).cast("double")).as("vd_a"))
     },
 
     // Quade test (Quade 1979) — the blocked-design rank test that
