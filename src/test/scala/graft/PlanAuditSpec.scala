@@ -437,4 +437,29 @@ class PlanAuditSpec extends SparkSpec {
           s"window over score must be bucket-partitioned:\n$w")
     }
   }
+
+  test("agg_kmv plans NO window and aggregates through the bounded " +
+    "typed-Aggregator path (r13 verdict #1 — the mergeable two-stage " +
+    "bottom-k, not a row_number sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("agg_kmv")(spark, sfDir)
+    // pre-fix, the sketch was two row_number windows (one per-group,
+    // one UNPARTITIONED over every distinct hash — a single task at
+    // 100x). The mergeable shape has no window anywhere: per-group
+    // bottom-64 is an ObjectHashAggregate over the BottomKAgg
+    // aggregator (map-side partials <= 64 longs per group), and the
+    // union sketch re-folds the <= 5x64 per-group sketch rows.
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"agg_kmv must not plan any window:\n${windows.mkString("\n")}")
+    val objAgg = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate
+        .ObjectHashAggregateExec => a
+    }
+    assert(objAgg.nonEmpty,
+      "expected the typed BottomKAgg to plan as ObjectHashAggregate")
+    spark.catalog.clearCache()
+  }
 }
