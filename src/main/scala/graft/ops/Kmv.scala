@@ -35,7 +35,11 @@ object Kmv {
     * tracked values all smaller, so `h >= mins.last` screens it), so
     * the fold over a multiset equals the fold over its distinct set. */
   def insert(mins: List[Long], h: Long, m: Int): List[Long] = {
-    if (mins.contains(h) || (mins.size >= m && h >= mins.last)) mins
+    // fast path first: once the sketch is full, almost every corpus
+    // row lands at-or-above the current kth minimum and is rejected
+    // with one list walk (h == last is also caught here — same result
+    // as the membership test); only candidate minima pay `contains`
+    if ((mins.size >= m && h >= mins.last) || mins.contains(h)) mins
     else {
       val grown = (h :: mins).sorted
       if (grown.size > m) grown.take(m) else grown
