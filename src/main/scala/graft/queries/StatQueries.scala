@@ -5403,6 +5403,118 @@ object StatQueries {
             (dec(col("nx")) * col("ny")).cast("double")).as("vd_a"))
     },
 
+    // Paired sign test (Arbuthnot 1710; the assumption-free paired
+    // location test under Wilcoxon signed-rank) — does the BUILDING
+    // segment out-earn the MACHINERY segment on the same calendar
+    // day? Pairs join on exact day; STRICT integer-cents compares
+    // (ties counted and dropped, the classical treatment); the
+    // statistic is the binomial normal approximation z = (2k − n)/√n
+    // — one fixed double tree over exact integers.
+    q("stat_sign_test",
+      """WITH r AS (SELECT o.o_orderdate dy, c.c_mktsegment seg,
+        |    sum(CAST(round(o.o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.dy, a.cents xa, b.cents xb
+        |      FROM r a JOIN r b ON a.dy = b.dy
+        |      WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY'),
+        |s AS (SELECT count(*)::BIGINT n_days,
+        |        sum(CASE WHEN xa > xb THEN 1 ELSE 0 END)::BIGINT k,
+        |        sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)::BIGINT t
+        |      FROM p)
+        |SELECT n_days, k AS n_building_wins, t AS n_ties,
+        |  round(k * 1.0 / (n_days - t) + 1e-9, 6) AS win_rate,
+        |  round((2.0 * k - (n_days - t)) / sqrt(n_days - t) + 1e-9, 6)
+        |    AS z
+        |FROM s""") { c =>
+      val r = c.orders
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("o_orderdate").as("dy"),
+          col("c_mktsegment").as("seg"))
+        .agg(sum(round(col("o_totalprice") * 100 + lit(1e-9))
+          .cast("long")).as("cents"))
+        .localCheckpoint()
+      val p = r.filter(col("seg") === "BUILDING").as("a")
+        .join(r.filter(col("seg") === "MACHINERY").as("b"),
+          col("a.dy") === col("b.dy"))
+        .select(col("a.cents").as("xa"), col("b.cents").as("xb"))
+      val s = p.agg(count(lit(1)).as("n_days"),
+        sum(when(col("xa") > col("xb"), 1L).otherwise(0L)).as("k"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("t"))
+      s.select(col("n_days"), col("k").as("n_building_wins"),
+        col("t").as("n_ties"),
+        r6(col("k") * lit(1.0) / (col("n_days") - col("t")))
+          .as("win_rate"),
+        r6((lit(2.0) * col("k") - (col("n_days") - col("t"))) /
+          sqrt(col("n_days") - col("t"))).as("z"))
+    },
+
+    // External clustering evaluation — Adjusted Rand Index (Hubert &
+    // Arabie 1985) + purity between two derived partitions of the
+    // document corpus (length terciles vs language): ARI is PURE
+    // integer pair-counting — Σij C(nij,2), row/column C(·,2) sums,
+    // and the expected-index correction, all exact (HUGEINT /
+    // DECIMAL(38,0) for the products) with one division; purity is
+    // Σ_clusters max_j nij / N, an exact integer ratio via one
+    // grouped max. The contingency table is (3 terciles × languages)
+    // — model-sized; one corpus aggregation feeds everything.
+    q("ml_rand_index",
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN n_chars < 200 THEN 0
+        |         WHEN n_chars < 350 THEN 1 ELSE 2 END cl
+        |  FROM documents),
+        |ct AS (SELECT cl, lang, count(*)::BIGINT nij
+        |       FROM d GROUP BY 1, 2),
+        |ra AS (SELECT cl, sum(nij)::BIGINT ai FROM ct GROUP BY 1),
+        |cb AS (SELECT lang, sum(nij)::BIGINT bj FROM ct GROUP BY 1),
+        |t AS (SELECT sum(nij)::BIGINT n FROM ct),
+        |sums AS (SELECT
+        |    (SELECT sum(nij::HUGEINT * (nij - 1)) FROM ct) // 2 sij,
+        |    (SELECT sum(ai::HUGEINT * (ai - 1)) FROM ra) // 2 sa,
+        |    (SELECT sum(bj::HUGEINT * (bj - 1)) FROM cb) // 2 sb,
+        |    (SELECT (n::HUGEINT * (n - 1)) // 2 FROM t) st),
+        |pur AS (SELECT sum(mx)::BIGINT pn FROM
+        |        (SELECT cl, max(nij) mx FROM ct GROUP BY 1))
+        |SELECT n,
+        |  round(pn * 1.0 / n + 1e-9, 6) AS purity,
+        |  round((sij::DOUBLE - sa::DOUBLE * sb / st::DOUBLE)
+        |        / ((sa::DOUBLE + sb) / 2 - sa::DOUBLE * sb / st::DOUBLE)
+        |        + 1e-9, 6) AS ari
+        |FROM sums, t, pur""") { c =>
+      val d = c.documents.select(col("doc_id"), col("lang"),
+        when(col("n_chars") < 200, 0).when(col("n_chars") < 350, 1)
+          .otherwise(2).as("cl"))
+      val ct = d.groupBy("cl", "lang").agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      def c2(x: org.apache.spark.sql.Column) =
+        (dec(x) * (x - 1)).cast("decimal(38,0)")
+      val sij = ct.agg((sum(c2(col("nij"))) / 2).cast("decimal(38,0)")
+        .as("sij"))
+      val sa = ct.groupBy("cl").agg(sum(col("nij")).as("ai"))
+        .agg((sum(c2(col("ai"))) / 2).cast("decimal(38,0)").as("sa"))
+      val sb = ct.groupBy("lang").agg(sum(col("nij")).as("bj"))
+        .agg((sum(c2(col("bj"))) / 2).cast("decimal(38,0)").as("sb"))
+      val t = ct.agg(sum(col("nij")).as("n"))
+      val st = t.select(col("n"),
+        ((dec(col("n")) * (col("n") - 1)) / 2).cast("decimal(38,0)")
+          .as("st"))
+      val pur = ct.groupBy("cl").agg(max(col("nij")).as("mx"))
+        .agg(sum(col("mx")).as("pn"))
+      val exp = col("sa").cast("double") * col("sb") /
+        col("st").cast("double")
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(st)).crossJoin(broadcast(pur))
+        .select(col("n"),
+          r6(col("pn") * lit(1.0) / col("n")).as("purity"),
+          r6((col("sij").cast("double") - exp) /
+            ((col("sa").cast("double") + col("sb")) / 2 - exp))
+            .as("ari"))
+    },
+
     // Quade test (Quade 1979) — the blocked-design rank test that
     // WEIGHTS blocks by their range, the higher-power alternative to
     // stat_friedman when block effect sizes differ (here: do order
