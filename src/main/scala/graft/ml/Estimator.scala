@@ -898,6 +898,26 @@ object MultinomialNB extends Estimator {
   * A degenerate bag (empty, or no candidate with 0 < nl < n) yields a
   * LEAF stump predicting the bag's positive fraction (0.5 on an empty
   * bag), keeping the estimator total. */
+/** Cross-engine canonical rendering for hash inputs. */
+object PortableRender {
+  /** Double → String exactly where Java and DuckDB agree. Both print
+    * the shortest-roundtrip DECIMAL form for |v| ∈ [1e-3, 1e7) (and
+    * ±0.0), but diverge outside it: Java switches to `1.0E7`-style
+    * scientific notation at |v| ≥ 1e7 or < 1e-3 while DuckDB keeps
+    * plain decimal (`10000000.0`) far further out — so an md5 over
+    * the rendered string would silently change bag membership there
+    * (r14 ADVICE #4). Out-of-domain values FAIL LOUDLY: rescale the
+    * feature (cents, bps) or hash a pre-rendered string column. */
+  def doubleString(v: Double): String = {
+    require(v == 0.0 || (math.abs(v) >= 1e-3 && math.abs(v) < 1e7),
+      s"portable double rendering: $v is outside [1e-3, 1e7), the " +
+        "domain where Java's Double.toString and DuckDB's " +
+        "double->VARCHAR coincide; rescale the value into the domain " +
+        "before hashing")
+    v.toString
+  }
+}
+
 final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
   require(trees >= 1 && trees <= 64, s"rf: trees $trees out of [1,64]")
   val name = s"rf($trees,$seed)"
@@ -910,9 +930,13 @@ final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
   /** Portable in-bag test: first 8 md5 hex chars of
     * "x1|…|xd|y|t|seed" as unsigned int, even → in bag (a
     * deterministic half-sample per tree; the same hash device the
-    * oracle writes as ('0x'||substr(md5(...),1,8))::BIGINT % 2). */
+    * oracle writes as ('0x'||substr(md5(...),1,8))::BIGINT % 2).
+    * Feature values render through [[PortableRender.doubleString]],
+    * which REJECTS values outside the domain where Java's and
+    * DuckDB's double→VARCHAR coincide (r14 ADVICE #4) — a silent
+    * rendering divergence would flip bag membership, not fail. */
   private def inBag(x: Array[Double], y: Double, t: Int): Boolean = {
-    val s = x.map(_.toString).mkString("|") +
+    val s = x.map(PortableRender.doubleString).mkString("|") +
       "|" + y.toLong.toString + "|" + t + "|" + seed
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

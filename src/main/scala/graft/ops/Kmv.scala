@@ -63,6 +63,35 @@ object Kmv {
   def portableHash(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** The sketch's θ — the EXCLUSIVE hash bound below which the sketch
+    * knows its set's hashes EXACTLY (the Theta-sketch view of KMV,
+    * Dasgupta et al. 2016 "Theta sketch framework"): at capacity the
+    * kth minimum; under capacity the whole 2³² lattice (every hash of
+    * the set is tracked). Every sketch entry < θ is a uniform sample
+    * of the set's hash population at rate θ/2³². */
+  def theta(mins: Seq[Long], m: Int): Long =
+    if (mins.size < m) 4294967296L else mins.last
+
+  /** Theta-style SET-OPERATION estimates from two bottom-m sketches:
+    * clip both to the common θ = min(θ_A, θ_B); below θ each sketch
+    * holds its set's hashes exactly, so |A∩B|, |A\B|, |B\A|, |A∪B|
+    * restricted to [0,θ) are EXACT set operations on ≤m-element sets,
+    * and each scales up by 2³²/θ. Returns (inter, aOnly, bOnly,
+    * union) estimates — the same rounding rule as [[estimate]]. Both
+    * batch `agg_kmv_setops` and the streaming spec fold THIS function
+    * over sketches, so the two paths agree by construction. */
+  def setOpEstimates(a: Seq[Long], b: Seq[Long],
+      m: Int): (Long, Long, Long, Long) = {
+    val th = math.min(theta(a, m), theta(b, m))
+    val sa = a.filter(_ < th).toSet
+    val sb = b.filter(_ < th).toSet
+    def est(c: Int): Long =
+      if (th == 4294967296L) c.toLong
+      else math.round(c * 4294967296.0 / th + 1e-9)
+    (est(sa.intersect(sb).size), est(sa.diff(sb).size),
+      est(sb.diff(sa).size), est(sa.union(sb).size))
+  }
+
   /** Bottom-k aggregator over pre-hashed longs. Buffer is the sorted
     * distinct bottom-k list (≤ k longs); reduce/merge both terminate
     * in the `insert` fold, so partial aggregation is exact. */

@@ -1032,5 +1032,113 @@ object AggQueries {
           col("gexact").as("union_exact"))
         .orderBy("pri")
     },
+
+    // KMV/Theta-sketch SET OPERATIONS (r14 verdict #6; Dasgupta,
+    // Lang, Rhodes, Thaler 2016 "Data Sketching with Theta" — the
+    // θ-clipping rule that turns two bottom-k sketches into
+    // intersection/difference/union ESTIMATORS): clip both sketches
+    // to the common θ = min(θ_A, θ_B) (θ = kth minimum at capacity,
+    // the whole 2³² lattice under it); below θ each sketch holds its
+    // set's hash population EXACTLY, so ∩ / \ / ∪ restricted to
+    // [0,θ) are exact set ops on ≤64-element arrays, each scaled by
+    // 2³²/θ. Sets: A = urgent-order customers, B = high-order
+    // customers (overlapping but distinct). Plan shape: ONE corpus
+    // aggregation per side — the bounded BottomKAgg sketches (≤64
+    // longs per partition×group map-side) and a per-custkey
+    // membership aggregate for the exact columns; every set
+    // operation then runs on two ≤64-long ARRAYS in a 1×1 broadcast
+    // cross join. `ops/Kmv.setOpEstimates` is the same math as a
+    // pure function — the streaming spec folds IT over kmvState
+    // sketches and must match this query's algebra. Oracle: the
+    // textbook row_number bottom-64 + θ-clip in SQL.
+    q("agg_kmv_setops",
+      """WITH base AS (SELECT
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+        |         ELSE 'b' END g,
+        |    o_custkey k,
+        |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT h
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |d AS (SELECT DISTINCT g, h FROM base),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g
+        |        ORDER BY h) rk FROM d),
+        |sk AS (SELECT g, h FROM r WHERE rk <= 64),
+        |kth AS (SELECT g, CASE WHEN count(*) < 64 THEN 4294967296
+        |          ELSE max(h) END theta FROM sk GROUP BY 1),
+        |th AS (SELECT min(theta) tv FROM kth),
+        |sa AS (SELECT h FROM sk, th WHERE g = 'a' AND h < tv),
+        |sb AS (SELECT h FROM sk, th WHERE g = 'b' AND h < tv),
+        |cnt AS (SELECT
+        |  (SELECT count(*) FROM sa JOIN sb USING (h)) ic,
+        |  (SELECT count(*) FROM sa
+        |     WHERE h NOT IN (SELECT h FROM sb)) ac,
+        |  (SELECT count(*) FROM sb
+        |     WHERE h NOT IN (SELECT h FROM sa)) bc,
+        |  (SELECT count(*) FROM
+        |     (SELECT h FROM sa UNION SELECT h FROM sb)) uc),
+        |mem AS (SELECT k,
+        |    max(CASE WHEN g = 'a' THEN 1 ELSE 0 END) ina,
+        |    max(CASE WHEN g = 'b' THEN 1 ELSE 0 END) inb
+        |  FROM base GROUP BY 1),
+        |ex AS (SELECT sum(ina)::BIGINT n_a, sum(inb)::BIGINT n_b,
+        |    sum(ina * inb)::BIGINT inter_exact,
+        |    count(*)::BIGINT union_exact FROM mem)
+        |SELECT ex.n_a, ex.n_b, ex.inter_exact, ex.union_exact,
+        |  CASE WHEN th.tv = 4294967296 THEN ic::BIGINT
+        |    ELSE CAST(round(ic * 4294967296.0 / th.tv + 1e-9)
+        |         AS BIGINT) END AS inter_est,
+        |  CASE WHEN th.tv = 4294967296 THEN ac::BIGINT
+        |    ELSE CAST(round(ac * 4294967296.0 / th.tv + 1e-9)
+        |         AS BIGINT) END AS a_only_est,
+        |  CASE WHEN th.tv = 4294967296 THEN bc::BIGINT
+        |    ELSE CAST(round(bc * 4294967296.0 / th.tv + 1e-9)
+        |         AS BIGINT) END AS b_only_est,
+        |  CASE WHEN th.tv = 4294967296 THEN uc::BIGINT
+        |    ELSE CAST(round(uc * 4294967296.0 / th.tv + 1e-9)
+        |         AS BIGINT) END AS union_est
+        |FROM ex, cnt, th""") { c =>
+      val bk = udaf(new graft.ops.Kmv.BottomKAgg(64))
+      val base = c.orders
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", "a")
+            .otherwise("b").as("g"),
+          col("o_custkey").as("k"),
+          graft.ops.Kmv.portableHash(col("o_custkey")).as("h"))
+      // one bounded corpus aggregation -> two ≤64-long sketch rows
+      val sk = base.groupBy("g").agg(bk(col("h")).as("mins"))
+        .localCheckpoint()
+      def theta(m: org.apache.spark.sql.Column) =
+        when(size(m) < 64, lit(4294967296L))
+          .otherwise(element_at(m, size(m)))
+      val w = sk.filter(col("g") === "a").select(col("mins").as("ma"))
+        .crossJoin(sk.filter(col("g") === "b")
+          .select(col("mins").as("mb")))
+        .withColumn("tv", least(theta(col("ma")), theta(col("mb"))))
+        .withColumn("sa", filter(col("ma"), h => h < col("tv")))
+        .withColumn("sb", filter(col("mb"), h => h < col("tv")))
+      def est(cnt: org.apache.spark.sql.Column) =
+        when(col("tv") === 4294967296L, cnt.cast("long"))
+          .otherwise(round(cnt * lit(4294967296.0) / col("tv") +
+            lit(1e-9)).cast("long"))
+      val ests = w.select(
+        est(size(array_intersect(col("sa"), col("sb"))))
+          .as("inter_est"),
+        est(size(array_except(col("sa"), col("sb")))).as("a_only_est"),
+        est(size(array_except(col("sb"), col("sa")))).as("b_only_est"),
+        est(size(array_union(col("sa"), col("sb")))).as("union_est"))
+      // exact columns from ONE per-custkey membership aggregate
+      val ex = base.groupBy("k").agg(
+          max(when(col("g") === "a", 1).otherwise(0)).as("ina"),
+          max(when(col("g") === "b", 1).otherwise(0)).as("inb"))
+        .agg(sum(col("ina")).cast("long").as("n_a"),
+          sum(col("inb")).cast("long").as("n_b"),
+          sum(col("ina") * col("inb")).cast("long").as("inter_exact"),
+          count(lit(1)).as("union_exact"))
+      ex.crossJoin(broadcast(ests))
+        .select(col("n_a"), col("n_b"), col("inter_exact"),
+          col("union_exact"), col("inter_est"), col("a_only_est"),
+          col("b_only_est"), col("union_est"))
+    },
   )
 }

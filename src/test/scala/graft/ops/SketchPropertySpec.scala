@@ -120,4 +120,54 @@ class SketchPropertySpec extends SparkSpec {
         assert(Kmv.estimate(want, m) === want.size.toLong)
     }
   }
+
+  test("kmv theta set-ops: estimates land in the k-driven error " +
+    "envelope on random overlapping sets (10 cases, r14 verdict #6)") {
+    def hash(k: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val m = 256
+    // RSE of a bottom-k estimator ~ 1/sqrt(m-2); set-op estimates
+    // inherit the union's sampling noise, so bound every component
+    // against the UNION size with a 5-sigma envelope
+    val tol = 5.0 / math.sqrt(m - 2.0)
+    val gen = for {
+      na <- Gen.chooseNum(2000, 8000)
+      nb <- Gen.chooseNum(2000, 8000)
+      ov <- Gen.chooseNum(0, math.min(na, nb))
+      tag <- Gen.chooseNum(0, 1 << 20)
+    } yield (na, nb, ov, tag)
+    samples(gen, 10).foreach { case (na, nb, ov, tag) =>
+      // A = [0, na), B = [na-ov, na-ov+nb) over tagged key strings —
+      // disjoint-by-construction outside the ov-sized overlap
+      val aKeys = (0 until na).map(i => s"k${tag}_$i")
+      val bKeys = (na - ov until na - ov + nb).map(i => s"k${tag}_$i")
+      val ska = aKeys.map(hash).foldLeft(List.empty[Long])(
+        Kmv.insert(_, _, m))
+      val skb = bKeys.map(hash).foldLeft(List.empty[Long])(
+        Kmv.insert(_, _, m))
+      val (ie, ae, be, ue) = Kmv.setOpEstimates(ska, skb, m)
+      val exactInter = ov.toLong
+      val exactAOnly = (na - ov).toLong
+      val exactBOnly = (nb - ov).toLong
+      val exactUnion = (na + nb - ov).toLong
+      val envelope = tol * exactUnion
+      assert(math.abs(ie - exactInter) <= envelope,
+        s"inter est $ie vs $exactInter (envelope $envelope)")
+      assert(math.abs(ae - exactAOnly) <= envelope,
+        s"a-only est $ae vs $exactAOnly (envelope $envelope)")
+      assert(math.abs(be - exactBOnly) <= envelope,
+        s"b-only est $be vs $exactBOnly (envelope $envelope)")
+      assert(math.abs(ue - exactUnion) <= envelope,
+        s"union est $ue vs $exactUnion (envelope $envelope)")
+      // partition identity: the three parts tile the union sample
+      // exactly BEFORE scaling; after the per-component round each
+      // term carries ≤0.5 of rounding, so the sum drifts ≤2 total
+      assert(math.abs(ie + ae + be - ue) <= 2,
+        s"partition identity broken beyond rounding: $ie+$ae+$be vs $ue")
+    }
+  }
 }

@@ -1180,6 +1180,141 @@ class StreamSpec extends SparkSpec {
     assert(refRow._1 == m.toLong)
   }
 
+  test("sharded kmvState -> kmvMergeSketches: two-stage composition " +
+    "equals the batch union sketch and only sketch rows cross the " +
+    "merge task (r14 verdict #1)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val m = 3
+    // the kmvState/kmvMerge fixture: group a at capacity, b under it
+    val rows = Seq(
+      ("a", "u7"), ("a", "u1"), ("b", "x1"), ("a", "u5"), ("a", "u1"),
+      ("a", "u3"), ("b", "x1"), ("a", "u9"), ("a", "u2"), ("b", "x2"),
+      ("a", "u5"), ("a", "u8"), ("a", "u4"), ("a", "u6"))
+    def hash(k: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val perGroupRef: Map[String, Seq[Long]] = rows.distinct
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => hash(r._2)).distinct.sorted.take(m).toSeq
+      }
+    val mergedRef = graft.ops.Kmv.merge(perGroupRef.values.toSeq, m)
+    // STAGE 1 — kmvState (in production: sharded by group across
+    // executors); capture each micro-batch's emitted SKETCH rows
+    val in1 = MemoryStream[(String, String)]
+    val st1 = StreamOps.kmvState(in1.toDF.toDF("g", "k"), "g", "k", m)
+    val q1 = st1.writeStream.format("memory").queryName("kmv2s_state")
+      .outputMode("update").start()
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Seq[(String, Seq[Long])]]()
+    try {
+      var seen = 0
+      Seq(rows.take(5), rows.slice(5, 10), rows.drop(10)).foreach { b =>
+        in1.addData(b); q1.processAllAvailable()
+        val all = sp.sql("SELECT group, mins FROM kmv2s_state")
+          .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq))
+        batches += all.drop(seen).toSeq
+        seen = all.length
+      }
+    } finally q1.stop()
+    // the seam contract: what crosses into the merge is sketches —
+    // O(groups) rows of <= m longs per batch, NEVER the corpus
+    val crossing = batches.flatten
+    assert(crossing.size <= 2 * 3 && crossing.size < rows.size,
+      s"merge input must be per-(group,batch) sketch rows, " +
+        s"got ${crossing.size}")
+    assert(crossing.forall(_._2.size <= m),
+      "every crossing row must be a <=m-long sketch")
+    // STAGE 2 — kmvMergeSketches over ONLY those sketch rows
+    val in2 = MemoryStream[(String, Seq[Long])]
+    val st2 = StreamOps.kmvMergeSketches(
+      in2.toDF.toDF("g", "mins"), "g", "mins", m)
+    val q2 = st2.writeStream.format("memory").queryName("kmv2s_merge")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+      // latest union emission (kk monotone, hk decreasing at fixed kk)
+      val u = sp.sql(
+        """SELECT kk, hk, estimate, mins FROM kmv2s_merge s
+          |WHERE is_union
+          |  AND struct(kk, -hk) = (SELECT max(struct(kk, -hk))
+          |    FROM kmv2s_merge WHERE is_union)""".stripMargin)
+        .collect().head
+      assert(u.getSeq[Long](3).toSeq == mergedRef,
+        s"merged sketch drifted: ${u.getSeq[Long](3)} vs $mergedRef")
+      assert((u.getLong(0), u.getLong(1), u.getLong(2)) ==
+        (mergedRef.size.toLong, mergedRef.last,
+          graft.ops.Kmv.estimate(mergedRef, m)),
+        "union summary must equal the batch agg_kmv stage-2 union")
+      // union rows carry a NULL group + flag, never an in-band name
+      assert(sp.sql("SELECT count(*) FROM kmv2s_merge WHERE is_union " +
+        "AND group IS NOT NULL").collect().head.getLong(0) == 0L)
+      // per-group final sketches round-trip through the merge intact
+      val pg = sp.sql(
+        """SELECT group, mins FROM kmv2s_merge s
+          |WHERE NOT is_union AND struct(kk, -hk) =
+          |  (SELECT max(struct(kk, -hk)) FROM kmv2s_merge
+          |   WHERE NOT is_union AND group = s.group)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+      assert(pg == perGroupRef,
+        s"per-group sketches drifted: $pg vs $perGroupRef")
+    } finally q2.stop()
+  }
+
+  test("streaming kmv sketches drive the same theta set-ops as the " +
+    "batch agg_kmv_setops algebra (r14 verdict #6 parity)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val m = 4
+    // two overlapping key sets: A = {u1..u6}, B = {u4..u9} (overlap 3)
+    val rows =
+      (1 to 6).map(i => ("a", s"u$i")) ++ (4 to 9).map(i => ("b", s"u$i"))
+    // batch path: the SAME BottomKAgg the agg_kmv_setops query uses
+    val agg = new graft.ops.Kmv.BottomKAgg(m)
+    def hash(k: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val batchSk: Map[String, Seq[Long]] = rows.groupBy(_._1).map {
+      case (g, rs) =>
+        g -> agg.finish(rs.map(r => hash(r._2)).foldLeft(agg.zero)(
+          agg.reduce))
+    }
+    val batchOps = graft.ops.Kmv.setOpEstimates(
+      batchSk("a"), batchSk("b"), m)
+    // streaming path: kmvState sketches, split mid-overlap
+    val input = MemoryStream[(String, String)]
+    val st = StreamOps.kmvState(input.toDF.toDF("g", "k"), "g", "k", m)
+    val q = st.writeStream.format("memory").queryName("kmv_setops")
+      .outputMode("update").start()
+    try {
+      Seq(rows.take(7), rows.drop(7)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamSk = sp.sql(
+        """SELECT group, mins FROM kmv_setops s
+          |WHERE struct(kk, -hk) = (SELECT max(struct(kk, -hk))
+          |  FROM kmv_setops WHERE group = s.group)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+        .toMap
+      assert(streamSk == batchSk,
+        s"streaming sketches drifted from batch: $streamSk vs $batchSk")
+      val streamOps = graft.ops.Kmv.setOpEstimates(
+        streamSk("a"), streamSk("b"), m)
+      assert(streamOps == batchOps,
+        "set-op estimates must agree between streaming and batch " +
+          s"sketches: $streamOps vs $batchOps")
+    } finally q.stop()
+  }
+
   test("streaming exact-moments state equals the batch integer fold " +
     "for any batch split and any order (multiset-pure class)") {
     val sp = spark
