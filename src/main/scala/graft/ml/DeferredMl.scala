@@ -159,8 +159,11 @@ object Estimators {
   private val kmeansName = """kmeans\((\d+),(\d+)\)""".r
   private val gbc2Name = """gbc2\(([0-9.eE+-]+)\)""".r
   private val rfName = """rf\((\d+),(-?\d+)\)""".r
+  private val rf2Name = """rf2\((\d+),(\d+),(-?\d+)\)""".r
   def builtin(name: String): Option[Estimator] = name match {
     case rfName(t, s) => Some(BaggedStumps(t.toInt, s.toLong))
+    case rf2Name(t, m, s) =>
+      Some(RandomForestStumps(t.toInt, m.toInt, s.toLong))
     case GaussianNB.name => Some(GaussianNB)
     case MultinomialNB.name => Some(MultinomialNB)
     case logRegName(it, lr) =>
@@ -174,5 +177,5 @@ object Estimators {
   val builtinNames: Seq[String] =
     Seq(GaussianNB.name, MultinomialNB.name, "logreg_gd(I,LR)",
       "ridge(ALPHA)", "kmeans(K,I)", "gbc2(LR)", CartClassifier2.name,
-      "rf(TREES,SEED)")
+      "rf(TREES,SEED)", "rf2(TREES,MTRY,SEED)")
 }

@@ -112,9 +112,10 @@ final class EstimatorFitAgg(est: Estimator,
     if (n > maxRows) throw new IllegalStateException(
       s"estimator ${est.name}: training group exceeds the $maxRows-row " +
         "fit buffer cap. A black-box fit collects the whole group into " +
-        "one task's memory; pre-sample the training frame (e.g. " +
-        "df.sample or Splits.trainTestSplit) or raise the cap via " +
-        "-Dgraft.ml.maxFitRows=N (per-instance: new EstimatorFitAgg(" +
+        "one task's memory; pre-sample the training frame " +
+        "deterministically (EstimatorOps.fitSubsample — the md5-bucket " +
+        "split_lib seam — or Splits.trainTestSplits) or raise the cap " +
+        "via -Dgraft.ml.maxFitRows=N (per-instance: new EstimatorFitAgg(" +
         "est, maxRows)) if the executors genuinely have the memory.")
   def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
   def reduce(b: Buf, a: (Seq[Double], Double)): Buf = {
@@ -155,6 +156,28 @@ object EstimatorOps {
     udaf(new EstimatorFitAgg(est)).apply(
       array(features.map(f => col(f).cast("double")): _*),
       col(label).cast("double"))
+
+  /** Deterministic pre-fit subsample — the remedy the maxFitRows cap
+    * error prescribes (r14 verdict #4): keep the rows whose portable
+    * md5 bucket of `keys` lands below `fraction` of the bucket space
+    * ([[Splits.bucketMd5]] — the split_lib seam, ref
+    * ml/split_lib.py:68-252). A pure per-row filter: no shuffle, no
+    * sampling pass, stable across runs / partitionings / ENGINES (an
+    * oracle can replay the same bucket test in SQL), and monotone in
+    * `fraction` (a smaller fraction keeps a subset of a larger one —
+    * the md5 bucket is fixed per key). Use BEFORE a whole-group
+    * estimator fit whose group would cross the cap; closed-form fits
+    * (ScaleSpec family) never need it. */
+  def fitSubsample(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], fraction: Double,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fitSubsample: fraction $fraction outside (0, 1]")
+    require(keys.nonEmpty, "fitSubsample: need at least one key column")
+    val buckets = 1 << 20
+    df.filter(Splits.bucketMd5(keys.map(col), buckets, seed) <
+      lit(math.round(fraction * buckets)))
+  }
 
   /** The predict projection as a Column: `modelB64` is a base64 model
     * column (broadcast-joined, constant per row), features are read
@@ -918,14 +941,17 @@ object PortableRender {
   }
 }
 
-final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
-  require(trees >= 1 && trees <= 64, s"rf: trees $trees out of [1,64]")
-  val name = s"rf($trees,$seed)"
-
+object BaggedStumps {
   /** fi = 0 marks a leaf (thr unused, pl = pr = bag positive rate). */
   final case class Stump1(fi: Int, thr: Double, pl: Double, pr: Double)
     extends Serializable
   final case class Model(stumps: Array[Stump1]) extends Serializable
+}
+
+final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
+  import BaggedStumps.{Model, Stump1}
+  require(trees >= 1 && trees <= 64, s"rf: trees $trees out of [1,64]")
+  val name = s"rf($trees,$seed)"
 
   /** Portable in-bag test: first 8 md5 hex chars of
     * "x1|…|xd|y|t|seed" as unsigned int, even → in bag (a
@@ -935,7 +961,7 @@ final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
     * which REJECTS values outside the domain where Java's and
     * DuckDB's double→VARCHAR coincide (r14 ADVICE #4) — a silent
     * rendering divergence would flip bag membership, not fail. */
-  private def inBag(x: Array[Double], y: Double, t: Int): Boolean = {
+  private[ml] def inBag(x: Array[Double], y: Double, t: Int): Boolean = {
     val s = x.map(PortableRender.doubleString).mkString("|") +
       "|" + y.toLong.toString + "|" + t + "|" + seed
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -946,16 +972,27 @@ final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
   }
 
   private def fitStump(xs: Array[Array[Double]],
-      ys: Array[Double]): Stump1 = {
+      ys: Array[Double]): Stump1 =
+    fitStumpOn(xs, ys,
+      if (xs.isEmpty) Array.empty[Int] else Array.range(0, xs(0).length))
+
+  /** The variance-gain stump scan restricted to CANDIDATE feature
+    * positions (0-based, ascending) — the shared kernel
+    * [[RandomForestStumps]] composes with per-tree mtry subsets;
+    * `feats = 0 until d` reproduces the original full scan
+    * byte-for-byte (same arithmetic, same (score desc, fi asc, thr
+    * asc) tie-break). */
+  private[ml] def fitStumpOn(xs: Array[Array[Double]],
+      ys: Array[Double], feats: Array[Int]): Stump1 = {
     val n = xs.length.toLong
     if (n == 0L) return Stump1(0, 0.0, 0.5, 0.5)
     val pos = ys.count(_ == 1.0).toLong
-    val d = xs(0).length
     // per-feature value cells (v, cnt, posSum) — the integer
     // sufficient statistics, cumulated in ascending v order
     var best: (Double, Int, Double, Long, Long) = null
-    var f = 0
-    while (f < d) {
+    var fc = 0
+    while (fc < feats.length) {
+      val f = feats(fc)
       val m = scala.collection.mutable.HashMap.empty[Double, (Long, Long)]
       var i = 0
       while (i < xs.length) {
@@ -980,7 +1017,7 @@ final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
         }
         i2 += 1
       }
-      f += 1
+      fc += 1
     }
     if (best == null) Stump1(0, 0.0, pos.toDouble / n, pos.toDouble / n)
     else {
@@ -1021,4 +1058,67 @@ final case class BaggedStumps(trees: Int, seed: Long) extends Estimator {
     }
     s / m.stumps.length
   }
+}
+
+/** Feature-subsampled bagged-stump forest — Breiman 2001's second
+  * randomization (mtry feature bagging) on top of [[BaggedStumps]]'s
+  * bootstrap bagging (Breiman 1996), completing the random-forest
+  * pair BY COMPOSITION (r14 verdict #5; ref seam pipeline_lib.py:
+  * 109-977): the bag-membership hash and the variance-gain stump
+  * scan are literally BaggedStumps' methods (`inBag`,
+  * `fitStumpOn`) — the ONLY new ingredient is the per-tree candidate
+  * set. Feature j (1-based) is a candidate for tree t iff (h_j(t), j)
+  * ranks among the `mtry` smallest under ascending lexicographic
+  * order, where h_j(t) = first-8-md5-hex("f|j|t|seed") on the same
+  * engine-portable lattice as the bag hash — a pure function of
+  * (d, trees, mtry, seed), no data-dependent selection, so an
+  * unrolled per-tree CTE oracle computes the identical subsets in
+  * SQL (ties, astronomically unlikely, exclude the LARGER index on
+  * both engines). Prediction is BaggedStumps' fixed-order leaf-rate
+  * mean. */
+final case class RandomForestStumps(trees: Int, mtry: Int, seed: Long)
+  extends Estimator {
+  import BaggedStumps.{Model, Stump1}
+  require(trees >= 1 && trees <= 64, s"rf2: trees $trees out of [1,64]")
+  require(mtry >= 1, s"rf2: mtry $mtry must be >= 1")
+  val name = s"rf2($trees,$mtry,$seed)"
+
+  private val bagging = BaggedStumps(trees, seed)
+
+  /** Portable per-(feature, tree) hash on the md5 lattice. */
+  private def featHash(j: Int, t: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"f|$j|$t|$seed".getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** The mtry candidate features of tree `t` as 0-BASED positions in
+    * ascending index order (the scan's tie-break expects ascending). */
+  private[ml] def candidates(d: Int, t: Int): Array[Int] = {
+    require(mtry <= d, s"rf2: mtry $mtry exceeds $d features")
+    (1 to d).sortBy(j => (featHash(j, t), j)).take(mtry)
+      .map(_ - 1).sorted.toArray
+  }
+
+  def fit(xs: Array[Array[Double]], ys: Array[Double]): Array[Byte] = {
+    require(ys.forall(y => y == 0.0 || y == 1.0),
+      s"$name: labels must be exactly 0/1")
+    val d = if (xs.isEmpty) mtry else xs(0).length
+    val stumps = (0 until trees).map { t =>
+      val idx = xs.indices.filter(i => bagging.inBag(xs(i), ys(i), t))
+      bagging.fitStumpOn(idx.map(xs).toArray, idx.map(ys).toArray,
+        candidates(d, t))
+    }.toArray
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.ObjectOutputStream(bos)
+    try { out.writeObject(Model(stumps)); out.flush(); bos.toByteArray }
+    finally out.close()
+  }
+
+  def deserialize(bytes: Array[Byte]): AnyRef =
+    bagging.deserialize(bytes)
+
+  def predict(model: AnyRef, x: Array[Double]): Double =
+    bagging.predict(model, x)
 }

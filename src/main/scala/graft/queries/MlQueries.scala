@@ -1148,6 +1148,131 @@ object MlQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Random forest proper (Breiman 2001 — BOTH randomizations:
+    // ml_pipeline_rf's bootstrap bagging PLUS per-tree mtry FEATURE
+    // bagging; r14 verdict #5) through FitRel/TransformRel, built by
+    // COMPOSITION: ml/Estimator.RandomForestStumps reuses
+    // BaggedStumps' portable-md5 bag test and variance-gain stump
+    // scan verbatim — the only new ingredient is the candidate set,
+    // drawn on the same md5 lattice (feature j joins tree t iff
+    // (md5-hash("f|j|t|seed"), j) ranks in the mtry smallest), so the
+    // subsets are pure functions of (d, trees, mtry, seed) that the
+    // oracle recomputes in SQL (sel0/sel1/sel2 CTEs; for this fixture
+    // tree 0 drops quantity, tree 1 drops discount, tree 2 drops
+    // quantity again). 3 trees, mtry = 2 of (quantity, discount,
+    // tax); everything else is the ml_pipeline_rf CTE chain with a
+    // third feature histogram and the exclusion filter.
+    q("ml_pipeline_rf2",
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity x1,
+        |             l_discount x2, l_tax x3,
+        |             CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END y
+        |           FROM lineitem),
+        |sel0 AS (SELECT CASE WHEN h3 >= h1 AND h3 >= h2 THEN 3
+        |           WHEN h2 >= h1 THEN 2 ELSE 1 END ex FROM (SELECT
+        |           ('0x' || substr(md5('f|1|0|7'), 1, 8))::BIGINT h1,
+        |           ('0x' || substr(md5('f|2|0|7'), 1, 8))::BIGINT h2,
+        |           ('0x' || substr(md5('f|3|0|7'), 1, 8))::BIGINT h3)),
+        |g0 AS (SELECT * FROM d WHERE ('0x' || substr(md5(
+        |         x1::VARCHAR || '|' || x2::VARCHAR || '|' || x3::VARCHAR
+        |         || '|' || y::VARCHAR || '|0|7'), 1, 8))::BIGINT % 2 = 0),
+        |t0 AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM g0),
+        |h0 AS (SELECT fi, v, cnt, py FROM (
+        |         SELECT 1 fi, x1 v, count(*)::BIGINT cnt,
+        |                sum(y)::BIGINT py FROM g0 GROUP BY 2
+        |         UNION ALL SELECT 2, x2, count(*)::BIGINT,
+        |                sum(y)::BIGINT FROM g0 GROUP BY 2
+        |         UNION ALL SELECT 3, x3, count(*)::BIGINT,
+        |                sum(y)::BIGINT FROM g0 GROUP BY 2
+        |       ), sel0 WHERE fi != ex),
+        |c0 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h0),
+        |s0 AS (SELECT fi, v, nl, posl, n, pos,
+        |         (posl * n - nl * pos) dnum FROM c0, t0 WHERE nl < n),
+        |b0 AS (SELECT fi f0, v thr0, posl::DOUBLE / nl pl0,
+        |         (pos - posl)::DOUBLE / (n - nl) pr0,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s0 ORDER BY s DESC, fi, v LIMIT 1),
+        |sel1 AS (SELECT CASE WHEN h3 >= h1 AND h3 >= h2 THEN 3
+        |           WHEN h2 >= h1 THEN 2 ELSE 1 END ex FROM (SELECT
+        |           ('0x' || substr(md5('f|1|1|7'), 1, 8))::BIGINT h1,
+        |           ('0x' || substr(md5('f|2|1|7'), 1, 8))::BIGINT h2,
+        |           ('0x' || substr(md5('f|3|1|7'), 1, 8))::BIGINT h3)),
+        |g1 AS (SELECT * FROM d WHERE ('0x' || substr(md5(
+        |         x1::VARCHAR || '|' || x2::VARCHAR || '|' || x3::VARCHAR
+        |         || '|' || y::VARCHAR || '|1|7'), 1, 8))::BIGINT % 2 = 0),
+        |t1 AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM g1),
+        |h1 AS (SELECT fi, v, cnt, py FROM (
+        |         SELECT 1 fi, x1 v, count(*)::BIGINT cnt,
+        |                sum(y)::BIGINT py FROM g1 GROUP BY 2
+        |         UNION ALL SELECT 2, x2, count(*)::BIGINT,
+        |                sum(y)::BIGINT FROM g1 GROUP BY 2
+        |         UNION ALL SELECT 3, x3, count(*)::BIGINT,
+        |                sum(y)::BIGINT FROM g1 GROUP BY 2
+        |       ), sel1 WHERE fi != ex),
+        |c1 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h1),
+        |s1 AS (SELECT fi, v, nl, posl, n, pos,
+        |         (posl * n - nl * pos) dnum FROM c1, t1 WHERE nl < n),
+        |b1 AS (SELECT fi f1, v thr1, posl::DOUBLE / nl pl1,
+        |         (pos - posl)::DOUBLE / (n - nl) pr1,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s1 ORDER BY s DESC, fi, v LIMIT 1),
+        |sel2 AS (SELECT CASE WHEN h3 >= h1 AND h3 >= h2 THEN 3
+        |           WHEN h2 >= h1 THEN 2 ELSE 1 END ex FROM (SELECT
+        |           ('0x' || substr(md5('f|1|2|7'), 1, 8))::BIGINT h1,
+        |           ('0x' || substr(md5('f|2|2|7'), 1, 8))::BIGINT h2,
+        |           ('0x' || substr(md5('f|3|2|7'), 1, 8))::BIGINT h3)),
+        |g2 AS (SELECT * FROM d WHERE ('0x' || substr(md5(
+        |         x1::VARCHAR || '|' || x2::VARCHAR || '|' || x3::VARCHAR
+        |         || '|' || y::VARCHAR || '|2|7'), 1, 8))::BIGINT % 2 = 0),
+        |t2 AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT pos FROM g2),
+        |h2 AS (SELECT fi, v, cnt, py FROM (
+        |         SELECT 1 fi, x1 v, count(*)::BIGINT cnt,
+        |                sum(y)::BIGINT py FROM g2 GROUP BY 2
+        |         UNION ALL SELECT 2, x2, count(*)::BIGINT,
+        |                sum(y)::BIGINT FROM g2 GROUP BY 2
+        |         UNION ALL SELECT 3, x3, count(*)::BIGINT,
+        |                sum(y)::BIGINT FROM g2 GROUP BY 2
+        |       ), sel2 WHERE fi != ex),
+        |c2 AS (SELECT fi, v,
+        |         sum(cnt) OVER (PARTITION BY fi ORDER BY v) nl,
+        |         sum(py) OVER (PARTITION BY fi ORDER BY v) posl
+        |       FROM h2),
+        |s2 AS (SELECT fi, v, nl, posl, n, pos,
+        |         (posl * n - nl * pos) dnum FROM c2, t2 WHERE nl < n),
+        |b2 AS (SELECT fi f2, v thr2, posl::DOUBLE / nl pl2,
+        |         (pos - posl)::DOUBLE / (n - nl) pr2,
+        |         dnum::DOUBLE * dnum / nl + dnum::DOUBLE * dnum / (n - nl) s
+        |       FROM s2 ORDER BY s DESC, fi, v LIMIT 1)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(((CASE WHEN (CASE WHEN f0 = 1 THEN x1
+        |                     WHEN f0 = 2 THEN x2 ELSE x3 END)
+        |               <= thr0 THEN pl0 ELSE pr0 END)
+        |       + (CASE WHEN (CASE WHEN f1 = 1 THEN x1
+        |                     WHEN f1 = 2 THEN x2 ELSE x3 END)
+        |               <= thr1 THEN pl1 ELSE pr1 END)
+        |       + (CASE WHEN (CASE WHEN f2 = 1 THEN x1
+        |                     WHEN f2 = 2 THEN x2 ELSE x3 END)
+        |               <= thr2 THEN pl2 ELSE pr2 END)) / 3 + 1e-9, 6)
+        |    AS prob
+        |FROM d, b0, b1, b2 WHERE l_orderkey < 300 ORDER BY 1, 2""") { c =>
+      val d = c.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        (col("l_extendedprice") > 30000).cast("double").as("y"))
+      val steps = Seq(graft.rel.EstimatorSpec("rf2(3,2,7)",
+        Seq("l_quantity", "l_discount", "l_tax"), "y", "p1"))
+      val model = DeferredMl.fit(d, steps)
+      DeferredMl.transform(d, model, steps)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r6(col("p1")).as("prob"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Classification metrics (metrics.py:513-669): accuracy/precision/
     // recall/f1 from one counts aggregate; ROC AUC via the rank-sum
     // identity with midranks (≡ trapezoid with ties) over the grouped

@@ -1006,8 +1006,8 @@ object StatQueries {
         |             sum(o.obs) OVER (PARTITION BY o.arm) ct,
         |             sum(o.obs) OVER () n
         |      FROM o)
-        |SELECT round(sum(pow(obs - rt * ct * 1.0 / n, 2)
-        |                 / (rt * ct * 1.0 / n)) + 1e-9, 4) AS chi2,
+        |SELECT round(sum(pow(obs - rt * (ct * 1.0) / n, 2)
+        |                 / (rt * (ct * 1.0) / n)) + 1e-9, 4) AS chi2,
         |       (count(DISTINCT event_type) - 1)
         |         * (count(DISTINCT arm) - 1) AS dof,
         |       max(n)::BIGINT AS n
@@ -1023,9 +1023,12 @@ object StatQueries {
         .withColumn("ct", sum(col("obs")).over(Window.partitionBy("arm")))
         .withColumn("n", sum(col("obs")).over(
           Window.partitionBy(lit(1))))
+      // rt·(ct·1.0): the margin product goes through DOUBLE — as a
+      // BIGINT product rt·ct is SF² and passes 2^63 near events
+      // SF~50 (WidthAuditSpec found the left-to-right grouping)
       m.agg(
-        r4(sum(pow(col("obs") - col("rt") * col("ct") * lit(1.0) / col("n"),
-          2) / (col("rt") * col("ct") * lit(1.0) / col("n")))).as("chi2"),
+        r4(sum(pow(col("obs") - col("rt") * (col("ct") * lit(1.0)) / col("n"),
+          2) / (col("rt") * (col("ct") * lit(1.0)) / col("n")))).as("chi2"),
         ((countDistinct(col("event_type")) - 1) *
           (countDistinct(col("arm")) - 1)).as("dof"),
         max(col("n")).as("n"))
@@ -1706,9 +1709,9 @@ object StatQueries {
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
         |  GROUP BY 1),
         |p AS (SELECT
-        |    sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+        |    sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0
         |        THEN 1 ELSE 0 END)::BIGINT cc,
-        |    sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+        |    sum(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
         |        THEN 1 ELSE 0 END)::BIGINT dd,
         |    sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)::BIGINT tx,
         |    sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT ty,
@@ -1730,11 +1733,16 @@ object StatQueries {
       val a = g.select(col("k"), col("x"), col("y"))
       val b = g.select(col("k").as("k2"), col("x").as("x2"),
         col("y").as("y2"))
+      // concordance needs only the SIGN of dx·dy: signum first, so no
+      // BIGINT cross-product of SF-linear cents sums ever forms (the
+      // raw product passes 2^63 near SF~70 — WidthAuditSpec class)
       val p = a.join(broadcast(b), col("k") < col("k2"))
         .agg(
-          sum(when((col("x") - col("x2")) * (col("y") - col("y2")) > 0,
+          sum(when(signum(col("x") - col("x2")) *
+            signum(col("y") - col("y2")) > 0,
             1L).otherwise(0L)).as("cc"),
-          sum(when((col("x") - col("x2")) * (col("y") - col("y2")) < 0,
+          sum(when(signum(col("x") - col("x2")) *
+            signum(col("y") - col("y2")) < 0,
             1L).otherwise(0L)).as("dd"),
           sum(when(col("x") === col("x2"), 1L).otherwise(0L)).as("tx"),
           sum(when(col("y") === col("y2"), 1L).otherwise(0L)).as("ty"),

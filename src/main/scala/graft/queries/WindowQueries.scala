@@ -1034,5 +1034,259 @@ object WindowQueries {
               sqrt(col("sd2") * lit(1.0) / col("cnt")))).as("sortino"))
         .orderBy("day")
     },
+
+    // Aroon indicator (Tushar Chande 1995 — "how long since the
+    // 25-day high/low?", the trend-age oscillator beside
+    // win_donchian's breakout channel). The days-since-extremum comes
+    // out of ONE window max via an ENCODING trick instead of a nested
+    // argmax: enc = value·4096 + rn packs the tie-break into the low
+    // bits (most recent wins ties, the Aroon convention; rn < 4096
+    // because the day grid is calendar-bounded), so
+    // max(enc) % 4096 IS the row number of the extremum — exact
+    // integer arithmetic, no struct comparisons, portable to both
+    // engines. Lows negate through an offset (1e8 > any price cents)
+    // to keep the encoding positive for %. aroon = 100·(len−ds)/len
+    // over the actual window length (ramp-up rows use their shorter
+    // frame). One global window over the bounded day grid.
+    q("win_aroon",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT) hi,
+        |    CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT) lo
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT dy, hi, lo,
+        |        row_number() OVER (ORDER BY dy) rn FROM d),
+        |e AS (SELECT dy, rn, hi, lo,
+        |        hi * 4096 + rn eu,
+        |        (100000000 - lo) * 4096 + rn el FROM r),
+        |w AS (SELECT dy, rn,
+        |        least(rn, 25) len,
+        |        max(eu) OVER w25 % 4096 up_rn,
+        |        max(el) OVER w25 % 4096 dn_rn
+        |      FROM e
+        |      WINDOW w25 AS (ORDER BY rn ROWS BETWEEN 24 PRECEDING
+        |                     AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day,
+        |  (rn - up_rn)::BIGINT AS days_since_high,
+        |  (rn - dn_rn)::BIGINT AS days_since_low,
+        |  round(100.0 * (len - (rn - up_rn)) / len + 1e-9, 4)
+        |    AS aroon_up,
+        |  round(100.0 * (len - (rn - dn_rn)) / len + 1e-9, 4)
+        |    AS aroon_down,
+        |  round(100.0 * (len - (rn - up_rn)) / len
+        |        - 100.0 * (len - (rn - dn_rn)) / len + 1e-9, 4)
+        |    AS aroon_osc
+        |FROM w ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        expr("CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("hi"),
+        expr("CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("lo"))
+      val o = Window.orderBy("rn")
+      val w25 = o.rowsBetween(-24, 0)
+      val r = d.withColumn("rn",
+        row_number().over(Window.orderBy("dy")))
+      val e = r.select(col("dy"), col("rn"),
+        least(col("rn"), lit(25)).as("len"),
+        (col("hi") * 4096 + col("rn")).as("eu"),
+        ((lit(100000000L) - col("lo")) * 4096 + col("rn")).as("el"))
+      val w = e.select(col("dy"), col("rn"), col("len"),
+        (max(col("eu")).over(w25) % 4096).as("up_rn"),
+        (max(col("el")).over(w25) % 4096).as("dn_rn"))
+      val up = lit(100.0) * (col("len") - (col("rn") - col("up_rn"))) /
+        col("len")
+      val dn = lit(100.0) * (col("len") - (col("rn") - col("dn_rn"))) /
+        col("len")
+      w.select(col("dy").cast("string").as("day"),
+          (col("rn") - col("up_rn")).cast("long").as("days_since_high"),
+          (col("rn") - col("dn_rn")).cast("long").as("days_since_low"),
+          r4(up).as("aroon_up"), r4(dn).as("aroon_down"),
+          r4(up - dn).as("aroon_osc"))
+        .orderBy("day")
+    },
+
+    // On-balance volume (Joseph Granville 1963 — THE classic
+    // volume-flow accumulator: volume counts toward the trend of the
+    // day's close). dir ∈ {−1, 0, +1} from an integer-cents compare
+    // with yesterday's close (no FP, no sign()); OBV is the running
+    // sum of dir·volume — EXACT integers end to end, one global
+    // window over the calendar-bounded day grid.
+    q("win_obv",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl,
+        |    CAST(sum(l_quantity) AS BIGINT) vol
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT dy, cl, vol,
+        |        CASE WHEN lag(cl) OVER w IS NULL THEN 0
+        |             WHEN cl > lag(cl) OVER w THEN 1
+        |             WHEN cl < lag(cl) OVER w THEN -1 ELSE 0 END dir
+        |      FROM d WINDOW w AS (ORDER BY dy))
+        |SELECT dy::VARCHAR AS day, cl AS close_cents, vol AS volume,
+        |  dir AS direction,
+        |  sum(dir * vol) OVER (ORDER BY dy)::BIGINT AS obv
+        |FROM s ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("cl"),
+        sum(col("l_quantity")).cast("long").as("vol"))
+      val o = Window.orderBy("dy")
+      val s = d.withColumn("dir",
+        when(lag(col("cl"), 1).over(o).isNull, 0)
+          .when(col("cl") > lag(col("cl"), 1).over(o), 1)
+          .when(col("cl") < lag(col("cl"), 1).over(o), -1)
+          .otherwise(0))
+      s.select(col("dy").cast("string").as("day"),
+          col("cl").as("close_cents"), col("vol").as("volume"),
+          col("dir").as("direction"),
+          sum(col("dir") * col("vol")).over(
+            o.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long").as("obv"))
+        .orderBy("day")
+    },
+
+    // Chaikin money flow (Marc Chaikin — where in the day's range did
+    // the close land, weighted by volume?): the money-flow multiplier
+    // ((cl−lo)−(hi−cl))/(hi−lo) is quantized ONCE per day to integer
+    // micro-units (round of an identical IEEE expression on both
+    // engines — the lattice device), so the 20-day rolling sums are
+    // exact integer window aggregates and CMF is a single division
+    // per row. Degenerate hi=lo days contribute 0 by convention.
+    q("win_cmf",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT) hi,
+        |    CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT) lo,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl,
+        |    CAST(sum(l_quantity) AS BIGINT) vol
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT dy, vol,
+        |        CASE WHEN hi = lo THEN 0
+        |             ELSE CAST(round((2 * cl - hi - lo) * 1e6 * vol
+        |                             / (hi - lo) + 1e-9) AS BIGINT)
+        |        END mfv
+        |      FROM d),
+        |w AS (SELECT dy,
+        |        sum(mfv) OVER w20 smfv, sum(vol) OVER w20 svol
+        |      FROM m
+        |      WINDOW w20 AS (ORDER BY dy ROWS BETWEEN 19 PRECEDING
+        |                     AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day,
+        |  round(smfv / (1e6 * svol) + 1e-9, 6) AS cmf
+        |FROM w ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        expr("CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("hi"),
+        expr("CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("lo"),
+        expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("cl"),
+        sum(col("l_quantity")).cast("long").as("vol"))
+      val m = d.select(col("dy"), col("vol"),
+        when(col("hi") === col("lo"), 0L).otherwise(
+          round((lit(2) * col("cl") - col("hi") - col("lo")) *
+            lit(1e6) * col("vol") / (col("hi") - col("lo")) + lit(1e-9))
+            .cast("long")).as("mfv"))
+      val w20 = Window.orderBy("dy").rowsBetween(-19, 0)
+      m.select(col("dy").cast("string").as("day"),
+          r6(sum(col("mfv")).over(w20) /
+            (lit(1e6) * sum(col("vol")).over(w20))).as("cmf"))
+        .orderBy("day")
+    },
+
+    // Commodity channel index (Donald Lambert 1980): how far is
+    // today's typical price from its 20-day mean, in units of the
+    // 20-day MEAN ABSOLUTE DEVIATION? The MAD needs every frame
+    // member's deviation from the frame's OWN mean — not expressible
+    // as one window function — so the frame is materialized as a
+    // BOUNDED 20-offset equi-join over the day grid (the mm_sobel
+    // offset-grid device, ~20·|days| rows at any corpus scale).
+    // Working in tp3 = hi+lo+cl (3× the typical price — the /3
+    // cancels in the ratio) keeps every intermediate an exact
+    // integer: cci = n·(n·tp3_t − Σ_f tp3)/(0.015·Σ_f|n·tp3_j − Σ_f|).
+    q("win_cci",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)
+        |      + CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)
+        |      + CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)
+        |      tp3
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT dy, tp3, row_number() OVER (ORDER BY dy) rn FROM d),
+        |w AS (SELECT dy, rn, tp3,
+        |        count(*) OVER w20 nf, sum(tp3) OVER w20 sf
+        |      FROM r
+        |      WINDOW w20 AS (ORDER BY rn ROWS BETWEEN 19 PRECEDING
+        |                     AND CURRENT ROW)),
+        |o AS (SELECT unnest(range(0, 20)) ofs),
+        |md AS (SELECT a.dy, a.rn, a.tp3, a.nf, a.sf,
+        |         sum(abs(a.nf * b.tp3 - a.sf))::BIGINT mdn
+        |       FROM w a, o JOIN r b ON b.rn = a.rn - o.ofs
+        |       GROUP BY 1, 2, 3, 4, 5)
+        |SELECT dy::VARCHAR AS day,
+        |  CASE WHEN mdn = 0 THEN 0.0
+        |       ELSE round(nf * (nf * tp3 - sf) / (0.015 * mdn)
+        |                  + 1e-9, 4) END AS cci
+        |FROM md ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        (expr("CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)") +
+          expr("CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)") +
+          expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)"))
+          .as("tp3"))
+      val r = d.withColumn("rn", row_number().over(Window.orderBy("dy")))
+      val w20 = Window.orderBy("rn").rowsBetween(-19, 0)
+      val w = r.select(col("dy"), col("rn"), col("tp3"),
+        count(lit(1)).over(w20).as("nf"),
+        sum(col("tp3")).over(w20).as("sf"))
+      val off = broadcast(c.spark.range(0, 20).select(
+        col("id").cast("int").as("off")))
+      val md = w.crossJoin(off)
+        .join(r.select(col("rn").as("rn2"), col("tp3").as("tp3b")),
+          col("rn2") === col("rn") - col("off"))
+        .groupBy("dy", "rn", "tp3", "nf", "sf")
+        .agg(sum(abs(col("nf") * col("tp3b") - col("sf"))).as("mdn"))
+      md.select(col("dy").cast("string").as("day"),
+          when(col("mdn") === 0, lit(0.0)).otherwise(
+            r4(col("nf") * (col("nf") * col("tp3") - col("sf")) /
+              (lit(0.015) * col("mdn")))).as("cci"))
+        .orderBy("day")
+    },
+
+    // Williams %R (Larry Williams — where is the close inside the
+    // 14-day high-low range, on a 0..−100 scale?): two rolling
+    // extrema + one pinned double division per row, integer cents
+    // throughout; a degenerate flat range reports the −50 midpoint by
+    // convention. The stochastic oscillator's inverse twin
+    // (win_stochastic measures closeness to the HIGH; %R to the LOW).
+    q("win_williams_r",
+      """WITH d AS (SELECT l_shipdate dy,
+        |    CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT) hi,
+        |    CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT) lo,
+        |    CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT) cl
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT dy, cl,
+        |        max(hi) OVER w14 hh, min(lo) OVER w14 ll
+        |      FROM d
+        |      WINDOW w14 AS (ORDER BY dy ROWS BETWEEN 13 PRECEDING
+        |                     AND CURRENT ROW))
+        |SELECT dy::VARCHAR AS day, hh AS hh14_cents, ll AS ll14_cents,
+        |  CASE WHEN hh = ll THEN -50.0
+        |       ELSE round(-100.0 * (hh - cl) / (hh - ll) + 1e-9, 4)
+        |  END AS williams_r
+        |FROM w ORDER BY day""") { c =>
+      val d = c.lineitem.groupBy(col("l_shipdate").as("dy")).agg(
+        expr("CAST(round(max(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("hi"),
+        expr("CAST(round(min(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("lo"),
+        expr("CAST(round(avg(l_extendedprice) * 100 + 1e-9) AS BIGINT)")
+          .as("cl"))
+      val w14 = Window.orderBy("dy").rowsBetween(-13, 0)
+      d.select(col("dy").cast("string").as("day"),
+          max(col("hi")).over(w14).as("hh14_cents"),
+          min(col("lo")).over(w14).as("ll14_cents"),
+          when(max(col("hi")).over(w14) === min(col("lo")).over(w14),
+            lit(-50.0)).otherwise(
+            r4(lit(-100.0) * (max(col("hi")).over(w14) - col("cl")) /
+              (max(col("hi")).over(w14) - min(col("lo")).over(w14))))
+            .as("williams_r"))
+        .orderBy("day")
+    },
   )
 }

@@ -84,6 +84,10 @@ class PlanAuditSpec extends SparkSpec {
       // value-domain histogram (l_quantity has <= 50 values), cached
       // behind a localCheckpoint the structural check cannot see
       "stat_energy_distance" -> DOMAIN_BOUND,
+      // theta-sketch set ops: both cross-join builds are <=1-row
+      // sketch relations (the per-priority bottom-64 aggregate rows,
+      // behind the localCheckpoint) — never more than 2 groups
+      "agg_kmv_setops" -> DOMAIN_BOUND,
       // SERIES/GRID-sized builds (the documented ts_acf stance): these
       // relations are bounded by the TIME RANGE (daily series, lag
       // grids, backtest folds, order-stat picks at rn=1 / top-decile,
@@ -185,6 +189,19 @@ class PlanAuditSpec extends SparkSpec {
         case w: logical.Window if w.partitionSpec.isEmpty &&
           !boundedBelow(w.child) => w
       }
+    // headroom the 10x-scale fit input must keep below the cap
+    val FIT_HEADROOM = 10L
+    def fitAggChildren(
+        df: org.apache.spark.sql.DataFrame): Seq[logical.LogicalPlan] =
+      df.queryExecution.optimizedPlan.collect {
+        case a: logical.Aggregate if a.aggregateExpressions.exists(
+          _.exists {
+            case s: org.apache.spark.sql.execution.aggregate
+              .ScalaAggregator[_, _, _] =>
+              s.agg.isInstanceOf[graft.ml.EstimatorFitAgg]
+            case _ => false
+          }) => a.child
+      }
     val sf01Dir = "/root/testdata/sf0.01"
     val haveSf01 = java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(sf01Dir))
@@ -193,8 +210,18 @@ class PlanAuditSpec extends SparkSpec {
     // which proves the check catches the pre-fix agg_kmv shape).
     def windowViolations(name: String,
         wins: Seq[logical.Window],
-        wins01: => Seq[logical.Window]): Seq[String] = {
-      if (wins.isEmpty) Nil
+        wins01: Seq[logical.Window]): Seq[String] = {
+      // a window present ONLY at the larger tier means a smoke-gated
+      // (Ctx.smoke) code path dodged the smoke-scale bound — the
+      // census at sf0.01 runs for EVERY query now, so a tier-
+      // dependent plan shape cannot escape both legs (r14 ADVICE #5)
+      if (wins.isEmpty && wins01.nonEmpty)
+        Seq(s"$name: unpartitioned window exists ONLY at sf0.01 " +
+          s"(${wins01.size} node(s), none at smoke scale) — a " +
+          "tier-gated plan shape dodged the smoke bound check:\n" +
+          wins01.head.child.treeString.linesIterator.take(4)
+            .mkString("\n"))
+      else if (wins.isEmpty) Nil
       else {
         val n1s = wins.map(w => scala.util.Try(countPlan(w.child)))
         val abs = wins.zip(n1s).collect {
@@ -208,7 +235,7 @@ class PlanAuditSpec extends SparkSpec {
               w.child.treeString.linesIterator.take(4).mkString("\n")
         }
         val growth = if (!haveSf01 || abs.nonEmpty) Nil else {
-          val w01 = scala.util.Try(wins01).getOrElse(Nil)
+          val w01 = wins01
           if (w01.size != wins.size)
             Seq(s"$name: window census differs across scales " +
               s"(${wins.size} at smoke vs ${w01.size} at 10x) — " +
@@ -286,11 +313,51 @@ class PlanAuditSpec extends SparkSpec {
                 Some(s"$name: unbounded BNLJ build side:\n$build")
             }
         }.flatten
+        // ONE sf0.01 build serves the window census (EVERY query —
+        // r14 ADVICE #5) and the fit-cardinality check; a build
+        // failure at the larger tier is itself a violation
+        val df01 = if (!haveSf01) None
+          else scala.util.Try(fn(spark, sf01Dir)) match {
+            case scala.util.Success(d) => Some(d)
+            case scala.util.Failure(e) => None
+          }
+        val wins01 = df01.map(unpWindows).getOrElse(Nil)
         val badWin =
-          windowViolations(name, unpWindows(df),
-            unpWindows(fn(spark, sf01Dir)))
+          windowViolations(name, unpWindows(df), wins01)
+        // EXECUTED fit-input cardinality (r14 verdict #4): every
+        // whole-group estimator fit aggregate's input is counted at
+        // both scales — the 10x-scale input must clear the maxFitRows
+        // cap with FIT_HEADROOM to spare, so the default full-fit
+        // path stays far from the cliff at oracle scales while the
+        // cap + fitSubsample seam carry the 100 TB story.
+        val fitKids = fitAggChildren(df)
+        val badFit = if (fitKids.isEmpty) Nil else {
+          val cap = graft.ml.EstimatorFitAgg.maxFitRows
+          val kids01 = df01.map(fitAggChildren).getOrElse(Nil)
+          val census =
+            if (haveSf01 && df01.nonEmpty && kids01.size != fitKids.size)
+              Seq(s"$name: estimator-fit census differs across scales " +
+                s"(${fitKids.size} at smoke vs ${kids01.size} at 10x)")
+            else Nil
+          val counted = kids01.flatMap { kid =>
+            scala.util.Try(countPlan(kid)) match {
+              case scala.util.Success(n)
+                if n * FIT_HEADROOM > cap => Some(
+                  s"$name: estimator fit input has $n rows at sf0.01 " +
+                    s"— within ${FIT_HEADROOM}x of the $cap-row fit " +
+                    "buffer cap; pre-sample via EstimatorOps." +
+                    "fitSubsample or shrink the training frame:\n" +
+                    kid.treeString.linesIterator.take(4).mkString("\n"))
+              case scala.util.Success(_) => None
+              case scala.util.Failure(e) => Some(
+                s"$name: estimator fit input failed to execute for " +
+                  s"the cardinality check (${e.getMessage})")
+            }
+          }
+          census ++ counted
+        }
         spark.catalog.clearCache()
-        (cart, badBnlj, badWin)
+        (cart, badBnlj, badWin ++ badFit)
     }
     val carts = rows.flatMap(_._1)
     val bnljs = rows.flatMap(_._2)
@@ -300,7 +367,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnljs.isEmpty,
       s"unbounded BNLJ build sides:\n${bnljs.mkString("\n")}")
     assert(wins.isEmpty,
-      s"unpartitioned windows over raw input:\n${wins.mkString("\n")}")
+      s"unpartitioned windows / estimator fits over raw input:\n" +
+        wins.mkString("\n"))
   }
 
   test("the allowlist bound check catches a corpus-sized build side " +

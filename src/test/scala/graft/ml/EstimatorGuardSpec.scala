@@ -56,6 +56,41 @@ class EstimatorGuardSpec extends SparkSpec {
     assert(agg.finish(b).nonEmpty)
   }
 
+  test("fitSubsample: deterministic md5-bucket pre-fit sample brings " +
+    "an over-cap group under the cap (r14 verdict #4)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, i.toDouble, (i % 2).toDouble))
+      .toDF("id", "x", "y")
+    val half = EstimatorOps.fitSubsample(df, Seq("id"), 0.5)
+    val n = half.count()
+    // binomial(2000, 0.5): 5 sigma ≈ 112
+    assert(math.abs(n - 1000L) <= 150, s"kept $n of 2000 at 0.5")
+    // deterministic: same rows under any partitioning, and monotone —
+    // a smaller fraction keeps a SUBSET (the bucket is fixed per key)
+    val ids = half.select("id").collect().map(_.getLong(0)).toSet
+    val ids7 = EstimatorOps.fitSubsample(df.repartition(7), Seq("id"), 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids7, "subsample must not depend on partitioning")
+    val quarter = EstimatorOps.fitSubsample(df, Seq("id"), 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(ids), "fractions must nest")
+    // the seam closes the cap: a fit that throws on the full group
+    // trains after the prescribed subsample
+    val fitCapped = udaf(new EstimatorFitAgg(GaussianNB, maxRows = 1200))
+    val e = intercept[Exception] {
+      df.agg(fitCapped(array(col("x")), col("y"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fitSubsample")),
+      "cap error must prescribe the subsample seam")
+    val model = half.agg(
+      fitCapped(array(col("x")), col("y"))).collect()
+    assert(model.head.get(0) != null, "subsampled fit must train")
+  }
+
   /** Estimator whose payload round-trips trivially — lets the cache be
     * exercised with arbitrary distinct keys. */
   private case object EchoEst extends Estimator {

@@ -34,4 +34,39 @@ class FitDeterminismSpec extends SparkSpec {
     val b = Stump.fit(data.repartition(8), Seq("fx", "fz"), col("yb"))
     assert(a == b)
   }
+
+  test("RandomForestStumps: mtry = d degrades to BaggedStumps " +
+    "exactly, and candidate subsets follow the portable hash lattice " +
+    "(r14 verdict #5)") {
+    val xs = Array.tabulate(200)(i =>
+      Array((i % 23).toDouble, (i % 7).toDouble, (i % 11).toDouble))
+    val ys = Array.tabulate(200)(i =>
+      if (i * 13 % 5 < 2) 1.0 else 0.0)
+    // composition pin: with every feature a candidate, the forest IS
+    // the bagged-stump ensemble — identical stumps, not just close
+    val full = RandomForestStumps(3, 3, 42)
+    val bag = BaggedStumps(3, 42)
+    val mf = full.deserialize(full.fit(xs, ys))
+      .asInstanceOf[BaggedStumps.Model]
+    val mb = bag.deserialize(bag.fit(xs, ys))
+      .asInstanceOf[BaggedStumps.Model]
+    assert(mf.stumps.toSeq == mb.stumps.toSeq,
+      "mtry=d must reproduce BaggedStumps stump-for-stump")
+    // the ml_pipeline_rf2 configuration: (trees=3, mtry=2, seed=7)
+    // over d=3 — subsets pinned against the independently computed
+    // md5 lattice (tree 0 and 2 drop feature 1, tree 1 drops 2)
+    val rf = RandomForestStumps(3, 2, 7)
+    assert(rf.candidates(3, 0).toSeq == Seq(1, 2))
+    assert(rf.candidates(3, 1).toSeq == Seq(0, 2))
+    assert(rf.candidates(3, 2).toSeq == Seq(1, 2))
+    // fitted trees split only on their candidates
+    val m = rf.deserialize(rf.fit(xs, ys))
+      .asInstanceOf[BaggedStumps.Model]
+    m.stumps.zipWithIndex.foreach { case (st, t) =>
+      assert(st.fi == 0 || rf.candidates(3, t).contains(st.fi - 1),
+        s"tree $t split on non-candidate feature ${st.fi}")
+    }
+    // determinism: refit is bit-identical
+    assert(rf.fit(xs, ys).toSeq == rf.fit(xs, ys).toSeq)
+  }
 }
