@@ -1151,6 +1151,114 @@ object Multimodal {
       })
   }
 
+  final case class IntegralStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, sat_corner: Long, sat_sum: Long, q00: Long, q10: Long,
+      q01: Long, q11: Long)
+
+  /** Summed-area table (integral image — Crow 1984; the constant-time
+    * box-sum primitive behind Viola-Jones features and fast box
+    * blurs) over decoded gray BMPs: SAT(x,y) = Σ_{x'≤x, y'≤y} v.
+    * Emitted stats pin BOTH construction and USE: `sat_corner` =
+    * SAT(w−1,h−1) (must equal the plain gray total), `sat_sum` =
+    // Σ over all cells of SAT (equals Σ v·(w−x)(h−y) — the identity
+    * an oracle can compute without materializing the table), and the
+    * four QUADRANT box sums read back through the classic 4-corner
+    * expression SAT(x2,y2) − SAT(x1−1,y2) − SAT(x2,y1−1) +
+    * SAT(x1−1,y1−1) — which must match direct conditional sums.
+    * Exact integers; partition-local per image (the 100 TB shape for
+    * per-asset work); the oracle replays the gray law on the (x, y)
+    * grid with conditional aggregates. */
+  def integralStats(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[IntegralStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            val sat = Array.ofDim[Long](h, w)
+            var y = 0
+            while (y < h) {
+              var rowSum = 0L
+              var x = 0
+              while (x < w) {
+                rowSum += px((y * w + x) * 3).toLong
+                sat(y)(x) = rowSum + (if (y > 0) sat(y - 1)(x) else 0L)
+                x += 1
+              }
+              y += 1
+            }
+            var satSum = 0L
+            y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { satSum += sat(y)(x); x += 1 }
+              y += 1
+            }
+            // quadrant box sums via the 4-corner identity; the
+            // quadrant split is at (w/2, h/2) (left/top halves get
+            // the floor-sized block)
+            val xm = w / 2; val ym = h / 2
+            def box(x1: Int, y1: Int, x2: Int, y2: Int): Long = {
+              val a = sat(y2)(x2)
+              val b = if (x1 > 0) sat(y2)(x1 - 1) else 0L
+              val cc = if (y1 > 0) sat(y1 - 1)(x2) else 0L
+              val d =
+                if (x1 > 0 && y1 > 0) sat(y1 - 1)(x1 - 1) else 0L
+              a - b - cc + d
+            }
+            IntegralStats(id, w, h, w.toLong * h,
+              sat(h - 1)(w - 1), satSum,
+              box(0, 0, xm - 1, ym - 1), box(xm, 0, w - 1, ym - 1),
+              box(0, ym, xm - 1, h - 1), box(xm, ym, w - 1, h - 1))
+          }
+      })
+  }
+
+  final case class BayerStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, n_on: Long, moment: Long)
+
+  /** Ordered (Bayer) dithering with the classic 4×4 index matrix
+    * (Bayer 1973): pixel (x, y) turns ON when its gray value exceeds
+    * the tiled threshold 16·B[y%4][x%4] + 8 (the exact integer form
+    * of (B + 0.5)·256/16) — the standard halftoning step before
+    * 1-bit image compression or display. Emits per image the ON
+    * count and the position-weighted moment Σ on·(x+1)·(y+3) (a
+    * checksum that pins WHICH pixels fired, not just how many).
+    * Exact integers; partition-local per image; the oracle tiles the
+    * same matrix as a flat 16-literal list indexed by
+    * (y%4)·4 + x%4. */
+  def bayerStats(df: DataFrame, idCol: String,
+      payloadCol: String = "payload"): Dataset[BayerStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bayer = Array(0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeBmp(if (bytes == null) Array.empty[Byte] else bytes)
+          .map { case (w, h, px) =>
+            var on = 0L; var moment = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = px((y * w + x) * 3).toLong
+                val thr = 16L * bayer((y % 4) * 4 + (x % 4)) + 8L
+                if (v > thr) {
+                  on += 1
+                  moment += (x + 1).toLong * (y + 3)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            BayerStats(id, w, h, w.toLong * h, on, moment)
+          }
+      })
+  }
+
   final case class HistEqStats(doc_id: Long, width: Int, height: Int,
       n_px: Long, n_levels_before: Long, n_levels_after: Long,
       sum_before: Long, sum_after: Long, min_after: Long,

@@ -1140,5 +1140,75 @@ object AggQueries {
           col("union_exact"), col("inter_est"), col("a_only_est"),
           col("b_only_est"), col("union_est"))
     },
+
+    // Deterministic "reservoir" sample — uniform k-of-n WITHOUT
+    // replacement as bottom-k by the portable md5 hash (Vitter 1985's
+    // reservoir semantics, made order/partition/engine-independent:
+    // the k smallest hashes of a uniform hash family ARE a uniform
+    // k-subset, and unlike a sequential reservoir the result is a
+    // pure function of the SET — reruns, repartitions, and the DuckDB
+    // oracle all pick identical rows; samples at different k NEST,
+    // the fitSubsample property). Plan shape: TakeOrderedAndProject —
+    // per-partition top-k heaps + one k-row merge, never a corpus
+    // sort; at 1000 executors only k·parts rows move.
+    q("agg_reservoir_sample",
+      """WITH h AS (SELECT o_orderkey, o_totalprice,
+        |    ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT hv
+        |  FROM orders),
+        |r AS (SELECT o_orderkey, o_totalprice, hv,
+        |        row_number() OVER (ORDER BY hv, o_orderkey) rk
+        |      FROM h)
+        |SELECT rk::BIGINT AS rk, o_orderkey,
+        |  round(o_totalprice + 1e-9, 2) AS total_price
+        |FROM r WHERE rk <= 10 ORDER BY rk""") { c =>
+      val h = c.orders.select(col("o_orderkey"), col("o_totalprice"),
+        graft.ops.Kmv.portableHash(col("o_orderkey")).as("hv"))
+      // orderBy + limit => TakeOrderedAndProject (distributed top-k)
+      val top = h.orderBy(col("hv"), col("o_orderkey")).limit(10)
+      top.select(
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("hv"), col("o_orderkey"))).cast("long")
+            .as("rk"),
+          col("o_orderkey"), r2(col("o_totalprice")).as("total_price"))
+        .orderBy("rk")
+    },
+
+    // Linear counting (Whang, Vander-Zanden & Taylor 1990 — the
+    // bitmap-occupancy cardinality estimator that PREDATES HLL and
+    // still beats it at small n/m): hash keys into m = 4096 buckets,
+    // count the DISTINCT buckets hit (k), estimate n̂ = −m·ln(1 −
+    // k/m). The whole sketch is a per-group set of ≤m bucket ids —
+    // a bounded aggregation with map-side combine (the agg_kmv plan
+    // stance); the ln runs once per group on an exact rational k/m.
+    // Saturated bitmaps (k = m) fall back to the exact count.
+    // Beside agg_approx_distinct (HLL) and agg_kmv (bottom-k): the
+    // THIRD classic cardinality sketch family.
+    q("agg_linear_counting",
+      """WITH b AS (SELECT o_orderpriority pri,
+        |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT
+        |      % 4096 bk,
+        |    o_custkey
+        |  FROM orders),
+        |g AS (SELECT pri, count(DISTINCT bk)::BIGINT k,
+        |        count(DISTINCT o_custkey)::BIGINT exact
+        |      FROM b GROUP BY 1)
+        |SELECT pri, exact, k AS k_buckets,
+        |  CASE WHEN k >= 4096 THEN exact
+        |       ELSE CAST(round(-4096.0 * ln(1.0 - k / 4096.0) + 1e-9)
+        |            AS BIGINT) END AS lc_est
+        |FROM g ORDER BY pri""") { c =>
+      val b = c.orders.select(col("o_orderpriority").as("pri"),
+        (graft.ops.Kmv.portableHash(col("o_custkey")) % 4096).as("bk"),
+        col("o_custkey"))
+      val g = b.groupBy("pri").agg(
+        countDistinct(col("bk")).as("k"),
+        countDistinct(col("o_custkey")).as("exact"))
+      g.select(col("pri"), col("exact"), col("k").as("k_buckets"),
+          when(col("k") >= 4096, col("exact")).otherwise(
+            round(lit(-4096.0) *
+              log(lit(1.0) - col("k") / lit(4096.0)) + lit(1e-9))
+              .cast("long")).as("lc_est"))
+        .orderBy("pri")
+    },
   )
 }

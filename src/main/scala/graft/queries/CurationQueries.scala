@@ -775,6 +775,44 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Simpson's diversity index per language (Simpson 1949 —
+    // D = Σ nᵢ(nᵢ−1)/(N(N−1)), the probability two tokens drawn
+    // without replacement coincide; 1−D and 1/D are the ecology-
+    // standard diversity readouts a corpus-mix monitor tracks beside
+    // text_entropy's Shannon view: Simpson weights DOMINANT types,
+    // entropy the whole tail). Token-type counts from one grouped
+    // aggregation; nᵢ(nᵢ−1) products carry through DECIMAL(38,0)/
+    // HUGEINT (type counts are SF-linear, so the product is SF² —
+    // the width-audit class); one division family at the end.
+    q("text_simpson_diversity",
+      """WITH w AS (SELECT lang, unnest(regexp_extract_all(text,
+        |             '[a-z]+')) tok FROM documents),
+        |tc AS (SELECT lang, tok, count(*)::BIGINT c FROM w
+        |       GROUP BY 1, 2),
+        |a AS (SELECT lang, sum(c)::BIGINT n, count(*)::BIGINT nt,
+        |        sum(c::HUGEINT * (c - 1))::DOUBLE pp FROM tc
+        |      GROUP BY 1)
+        |SELECT lang, n AS n_tokens, nt AS n_types,
+        |  round(pp / (n::DOUBLE * (n - 1)) + 1e-9, 6) AS simpson_d,
+        |  round(1 - pp / (n::DOUBLE * (n - 1)) + 1e-9, 6) AS diversity,
+        |  round(n::DOUBLE * (n - 1) / pp + 1e-9, 4) AS inv_simpson
+        |FROM a ORDER BY lang""") { c =>
+      val w = c.documents.select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tok"))
+      val tc = w.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val a = tc.groupBy("lang").agg(sum(col("c")).as("n"),
+        count(lit(1)).as("types"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1))
+          .cast("double").as("pp"))
+      val d = col("pp") / (col("n").cast("double") * (col("n") - 1))
+      a.select(col("lang"), col("n").as("n_tokens"),
+          col("types").as("n_types"),
+          r6(d).as("simpson_d"), r6(lit(1) - d).as("diversity"),
+          r4(col("n").cast("double") * (col("n") - 1) / col("pp"))
+            .as("inv_simpson"))
+        .orderBy("lang")
+    },
+
     // Johnson-Lindenstrauss random projection (VectorSim.randomProjectJl,
     // Achlioptas 2003 sign variant): 64-dim embeddings down to k=16 with
     // a DETERMINISTIC md5-derived ±1 matrix — no RNG state, no broadcast

@@ -1206,6 +1206,77 @@ object FeatureQueries {
         .orderBy("period_hours")
     },
 
+    // Spectral entropy over the ts_periodogram frequency probe set
+    // (Inouye et al. 1991; the "how concentrated is the power
+    // spectrum?" forecastability signal — white noise → H ≈ 1, a
+    // single dominant cycle → H ≈ 0). Same exactness device as the
+    // periodogram: per-term cos/sin products round ONCE to the 1e-4
+    // lattice before summing, each per-period power then rounds to a
+    // shared 4-decimal value on BOTH engines, and the entropy
+    // −Σ q·ln q / ln K folds over those ROUNDED powers in pinned
+    // period order — the engines' libm sees identical inputs in an
+    // identical expression tree. Zero-power periods contribute 0.
+    q("ts_spectral_entropy",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |    sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT s FROM h),
+        |d AS (SELECT hb, y * 1000 - (2 * s * 1000 + n) // (2 * n) yd, n
+        |      FROM h, t),
+        |p AS (SELECT unnest([6, 12, 24, 48, 168]) per),
+        |qt AS (SELECT p.per, d.n,
+        |        round(d.yd * cos(2 * pi() * d.hb / p.per) + 1e-6, 4) ct,
+        |        round(d.yd * sin(2 * pi() * d.hb / p.per) + 1e-6, 4) st_
+        |      FROM d, p),
+        |g AS (SELECT per, max(n) n, sum(ct) re, sum(st_) im
+        |      FROM qt GROUP BY 1),
+        |pw AS (SELECT per,
+        |         round((re * re + im * im) / (n::DOUBLE * n) / 1e10
+        |               + 1e-9, 4) pk
+        |       FROM g),
+        |tot AS (SELECT sum(pk) tp, count(*)::BIGINT k FROM pw),
+        |e AS (SELECT list_reduce(
+        |          list(CASE WHEN pk <= 0 THEN 0.0
+        |               ELSE -(pk / tp) * ln(pk / tp) END ORDER BY per),
+        |          (acc, x) -> acc + x) hsum, max(k) k
+        |      FROM pw, tot GROUP BY tp)
+        |SELECT k AS n_periods,
+        |  round(hsum / ln(k) + 1e-9, 6) AS spectral_entropy
+        |FROM e""") { c =>
+      val h = c.events.select(
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cv"))
+        .groupBy("hb").agg(sum(col("cv")).as("y"))
+      val t = h.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val d = h.crossJoin(broadcast(t))
+        .select(col("hb"),
+          (col("y") * 1000 -
+            expr("(2 * s * 1000 + n) div (2 * n)")).as("yd"), col("n"))
+      val p = d.select(col("hb"), col("yd"), col("n"),
+        explode(array(lit(6), lit(12), lit(24), lit(48), lit(168)))
+          .as("per"))
+      val theta = lit(2) * lit(math.Pi) * col("hb") / col("per")
+      val qt = p.select(col("per"), col("n"),
+        round(col("yd") * cos(theta) + lit(1e-6), 4).as("ct"),
+        round(col("yd") * sin(theta) + lit(1e-6), 4).as("st_"))
+      val pw = qt.groupBy("per").agg(max(col("n")).as("n"),
+          sum(col("ct")).as("re"), sum(col("st_")).as("im"))
+        .select(col("per"),
+          r4((col("re") * col("re") + col("im") * col("im")) /
+            (col("n").cast("double") * col("n")) / lit(1e10)).as("pk"))
+      val tot = pw.agg(sum(col("pk")).as("tp"),
+        count(lit(1)).as("k"))
+      pw.crossJoin(broadcast(tot))
+        .agg(aggregate(array_sort(collect_list(struct(col("per"),
+            when(col("pk") <= 0, lit(0.0)).otherwise(
+              -(col("pk") / col("tp")) * log(col("pk") / col("tp")))
+              .as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("hsum"),
+          max(col("k")).as("k"))
+        .select(col("k").as("n_periods"),
+          r6(col("hsum") / log(col("k"))).as("spectral_entropy"))
+    },
+
     // Scalar Kalman filter per user value series (random-walk state +
     // observation noise — the online denoiser beside Holt's trend
     // smoother). Same secondary-sort streaming scan (ops/Kalman.scala:

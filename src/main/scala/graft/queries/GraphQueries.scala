@@ -187,6 +187,70 @@ object GraphQueries {
         .limit(20)
     },
 
+    // Jaccard neighbor-overlap link prediction (Liben-Nowell &
+    // Kleinberg 2003's similarity-based family — the NORMALIZED
+    // common-neighbors score beside graph_link_prediction's
+    // Adamic-Adar weighting: J = |Γa∩Γb| / |Γa∪Γb| rewards pairs
+    // whose whole neighborhoods coincide, not just a large raw
+    // overlap): same big-ticket customer→supplier bipartite graph.
+    // Scale shape: the pair walk goes through shared suppliers with
+    // the graph_katz_link HUB SUPPRESSION (suppliers of degree > 64
+    // are excluded from the wedge join, so Σdeg² stays bounded; the
+    // reported overlap counts NON-HUB shared suppliers — hub
+    // co-purchase carries no discrimination signal anyway, the
+    // standard IDF-style argument); per-customer degrees come from
+    // one aggregation of the full edge set.
+    q("graph_jaccard_link",
+      """WITH e AS (SELECT DISTINCT 'c' || o_custkey c, 's' || l_suppkey s
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           WHERE l_quantity > 48),
+        |sd AS (SELECT s, count(*) d FROM e GROUP BY 1),
+        |cd AS (SELECT c, count(*)::BIGINT dc FROM e GROUP BY 1),
+        |w AS (SELECT a.c ca, b.c cb
+        |      FROM e a JOIN e b ON a.s = b.s
+        |      JOIN sd ON a.s = sd.s
+        |      WHERE a.c < b.c AND sd.d <= 64),
+        |p AS (SELECT ca, cb, count(*)::BIGINT common FROM w
+        |      GROUP BY 1, 2),
+        |j AS (SELECT p.ca, p.cb, p.common, da.dc da, db.dc db,
+        |        round(p.common * 1.0
+        |              / (da.dc + db.dc - p.common) + 1e-9, 6) jac
+        |      FROM p JOIN cd da ON p.ca = da.c
+        |             JOIN cd db ON p.cb = db.c)
+        |SELECT ca, cb, common AS common_neighbors, da AS deg_a,
+        |  db AS deg_b, jac AS jaccard
+        |FROM j ORDER BY jaccard DESC, ca, cb LIMIT 15""") { c =>
+      val e = c.lineitem.filter(col("l_quantity") > 48)
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val sd = e.groupBy("s").agg(count(lit(1)).as("d"))
+      val cd = e.groupBy("c").agg(count(lit(1)).as("dc"))
+      val w = e.as("a")
+        .join(e.as("b"), col("a.s") === col("b.s"))
+        .join(sd.filter(col("d") <= 64)
+            .select(col("s").as("sh")),
+          col("a.s") === col("sh"))
+        .filter(col("a.c") < col("b.c"))
+        .select(col("a.c").as("ca"), col("b.c").as("cb"))
+      val p = w.groupBy("ca", "cb").agg(count(lit(1)).as("common"))
+      val j = p
+        .join(cd.select(col("c"), col("dc").as("da")),
+          col("ca") === col("c")).drop("c")
+        .join(cd.select(col("c").as("c2"), col("dc").as("db")),
+          col("cb") === col("c2")).drop("c2")
+        .select(col("ca"), col("cb"), col("common"), col("da"),
+          col("db"),
+          r6(col("common") * lit(1.0) /
+            (col("da") + col("db") - col("common"))).as("jac"))
+      j.select(col("ca"), col("cb"),
+          col("common").as("common_neighbors"), col("da").as("deg_a"),
+          col("db").as("deg_b"), col("jac").as("jaccard"))
+        .orderBy(col("jaccard").desc, col("ca"), col("cb"))
+        .limit(15)
+    },
+
     // HITS hubs & authorities (Kleinberg 1999; 2 pinned rounds,
     // L2-normalized each half-step) on the directed customer→supplier
     // purchase graph: authorities = suppliers many strong hubs buy

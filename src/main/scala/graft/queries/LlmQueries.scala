@@ -2544,6 +2544,136 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Summed-area table / integral image (Crow 1984 — the O(1)
+    // box-sum primitive behind Viola-Jones features and fast box
+    // filters) over the decoded BMPs: ops/Multimodal.integralStats
+    // BUILDS the per-image SAT partition-locally and emits stats that
+    // pin both construction and USE — the far corner (≡ the gray
+    // total), the sum over all SAT cells (≡ Σ v·(w−x)·(h−y), which
+    // the oracle computes as a weighted conditional sum WITHOUT
+    // materializing the table), and the four quadrant box sums read
+    // back through the classic 4-corner identity (the oracle computes
+    // them as direct rectangle sums — equality IS the test). Exact
+    // integers end to end.
+    q("mm_integral_image",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT w,
+        |             (6 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h, p % w x, p // w y,
+        |        (CASE WHEN (doc_id + p) % 3 = 0
+        |              THEN 40 + (doc_id * 7 + p * 5) % 30
+        |              ELSE 170 + (doc_id * 3 + p * 11) % 40
+        |         END)::BIGINT v
+        |      FROM px)
+        |SELECT doc_id, max(w)::BIGINT AS width, max(h)::BIGINT AS height,
+        |  (max(w) * max(h))::BIGINT AS n_px,
+        |  sum(v)::BIGINT AS sat_corner,
+        |  sum(v * (w - x) * (h - y))::BIGINT AS sat_sum,
+        |  sum(CASE WHEN x < w // 2 AND y < h // 2 THEN v ELSE 0 END)
+        |    ::BIGINT AS q00,
+        |  sum(CASE WHEN x >= w // 2 AND y < h // 2 THEN v ELSE 0 END)
+        |    ::BIGINT AS q10,
+        |  sum(CASE WHEN x < w // 2 AND y >= h // 2 THEN v ELSE 0 END)
+        |    ::BIGINT AS q01,
+        |  sum(CASE WHEN x >= w // 2 AND y >= h // 2 THEN v ELSE 0 END)
+        |    ::BIGINT AS q11
+        |FROM g GROUP BY 1 ORDER BY doc_id""") { c =>
+      val mkBmp5 = udf((id: Long) => {
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.integralStats(
+          c.documents.select(col("doc_id"),
+            mkBmp5(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("sat_corner"), col("sat_sum"), col("q00"), col("q10"),
+          col("q01"), col("q11"))
+        .orderBy("doc_id")
+    },
+
+    // Ordered Bayer dithering (Bayer 1973 — the classic 4×4 index
+    // matrix halftoner that turns gray into a 1-bit pattern while
+    // preserving local density): pixel fires when gray exceeds the
+    // tiled integer threshold 16·B[y%4][x%4] + 8. ops/Multimodal
+    // .bayerStats runs partition-local per decoded BMP; the oracle
+    // tiles the SAME matrix as a flat 16-literal list indexed by
+    // (y%4)·4 + x%4. The position-weighted moment pins WHICH pixels
+    // fired, not just the count — exact integers end to end.
+    q("mm_bayer_dither",
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 5)::BIGINT w,
+        |             (6 + doc_id % 3)::BIGINT h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) p FROM d),
+        |g AS (SELECT doc_id, w, h, p % w x, p // w y,
+        |        (CASE WHEN (doc_id + p) % 3 = 0
+        |              THEN 40 + (doc_id * 7 + p * 5) % 30
+        |              ELSE 170 + (doc_id * 3 + p * 11) % 40
+        |         END)::BIGINT v
+        |      FROM px),
+        |t AS (SELECT doc_id, w, h, x, y, v,
+        |        16 * ([0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9,
+        |               15, 7, 13, 5][((y % 4) * 4 + (x % 4) + 1)::INT])
+        |          + 8 thr
+        |      FROM g)
+        |SELECT doc_id, max(w)::BIGINT AS width, max(h)::BIGINT AS height,
+        |  (max(w) * max(h))::BIGINT AS n_px,
+        |  sum(CASE WHEN v > thr THEN 1 ELSE 0 END)::BIGINT AS n_on,
+        |  sum(CASE WHEN v > thr THEN (x + 1) * (y + 3) ELSE 0 END)
+        |    ::BIGINT AS moment
+        |FROM t GROUP BY 1 ORDER BY doc_id""") { c =>
+      val mkBmp6 = udf((id: Long) => {
+        val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val b = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+          .putShort(0).putShort(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h)
+          .putShort(1).putShort(24).putInt(0)
+          .putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+        (0 until h).foreach { fileRow =>
+          val y = h - 1 - fileRow
+          (0 until w).foreach { x =>
+            val p = y.toLong * w + x
+            val gv = (if ((id + p) % 3 == 0) 40 + (id * 7 + p * 5) % 30
+                      else 170 + (id * 3 + p * 11) % 40).toByte
+            b.put(gv).put(gv).put(gv)
+          }
+          (w * 3 until rowSize).foreach(_ => b.put(0.toByte))
+        }
+        b.array()
+      })
+      Multimodal.bayerStats(
+          c.documents.select(col("doc_id"),
+            mkBmp6(col("doc_id")).as("payload")),
+          "doc_id")
+        .toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_px"),
+          col("n_on"), col("moment"))
+        .orderBy("doc_id")
+    },
+
     // Binary 4-neighborhood morphology (erosion / dilation /
     // morphological gradient — Serra 1982) over binarized decoded
     // BMPs: the speckle-vs-stroke signal beside mm_blob_labeling's

@@ -4203,10 +4203,10 @@ object StatQueries {
         |         FROM v GROUP BY 1),
         |tt AS (SELECT sum(ab)::BIGINT ta, sum(tot)::BIGINT n FROM cell)
         |SELECT max(tt.n) AS n, (SELECT m FROM med) AS median_cents,
-        |  round(sum(pow(ab - tot * ta * 1.0 / tt.n, 2)
-        |              / (tot * ta * 1.0 / tt.n)
-        |            + pow((tot - ab) - tot * (tt.n - ta) * 1.0 / tt.n, 2)
-        |              / (tot * (tt.n - ta) * 1.0 / tt.n)) + 1e-9, 4)
+        |  round(sum(pow(ab - tot * (ta * 1.0) / tt.n, 2)
+        |              / (tot * (ta * 1.0) / tt.n)
+        |            + pow((tot - ab) - tot * ((tt.n - ta) * 1.0) / tt.n, 2)
+        |              / (tot * ((tt.n - ta) * 1.0) / tt.n)) + 1e-9, 4)
         |    AS chi2,
         |  count(*) - 1 AS dof
         |FROM cell, tt""") { c =>
@@ -4227,12 +4227,14 @@ object StatQueries {
       val tt = cell.agg(sum(col("ab")).as("ta"), sum(col("tot")).as("n"))
       cell.crossJoin(broadcast(tt)).crossJoin(broadcast(med))
         .agg(max(col("n")).as("n"), max(col("m")).as("median_cents"),
+          // tot*(ta*1.0): margin products via DOUBLE — the BIGINT
+          // grouping is SF^2 (the stat_chi2 width-audit class)
           r4(sum(
-            pow(col("ab") - col("tot") * col("ta") * lit(1.0) / col("n"), 2)
-              / (col("tot") * col("ta") * lit(1.0) / col("n"))
+            pow(col("ab") - col("tot") * (col("ta") * lit(1.0)) / col("n"), 2)
+              / (col("tot") * (col("ta") * lit(1.0)) / col("n"))
             + pow((col("tot") - col("ab")) -
-                col("tot") * (col("n") - col("ta")) * lit(1.0) / col("n"), 2)
-              / (col("tot") * (col("n") - col("ta")) * lit(1.0) / col("n"))))
+                col("tot") * ((col("n") - col("ta")) * lit(1.0)) / col("n"), 2)
+              / (col("tot") * ((col("n") - col("ta")) * lit(1.0)) / col("n"))))
             .as("chi2"),
           (count(lit(1)) - 1).as("dof"))
     },
@@ -5871,6 +5873,345 @@ object StatQueries {
             lit(1.96) * sqrt(col("jvar"))) / 100).as("ci_lo"),
           r4((col("ts") * lit(1.0) / col("tn") +
             lit(1.96) * sqrt(col("jvar"))) / 100).as("ci_hi"))
+    },
+
+    // KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+    // Shin 1992 — the null-of-STATIONARITY complement to
+    // ts_dickey_fuller's null-of-unit-root; running both is the
+    // standard confirmatory pair): η = Σ_t S_t² / (m²·σ̂²) with S_t
+    // the partial sums of demeaned y (the lag-0 short-run variance —
+    // the textbook form). Exactness device: scale the residual by m
+    // so e′ = m·y − Σy and S′_t = Σ_{≤t} e′ are EXACT BIGINTs on the
+    // hourly cents grid, then η = ΣS′² / (m·Σe′²) with both
+    // squared sums through DECIMAL(38,0)/HUGEINT and ONE double
+    // division. Scale: one hourly aggregation, a cumsum over the
+    // time-bounded hour grid, one 1-row reduction.
+    q("ts_kpss",
+      """WITH h AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 hb,
+        |    sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT m, sum(y)::BIGINT s FROM h),
+        |e AS (SELECT hb, t.m * y - t.s ep, t.m m FROM h, t),
+        |cw AS (SELECT hb, m, ep, sum(ep) OVER (ORDER BY hb) sp FROM e),
+        |a AS (SELECT max(m) m, sum(sp::HUGEINT * sp) ss2,
+        |        sum(ep::HUGEINT * ep) se2 FROM cw)
+        |SELECT m AS n_hours,
+        |  round(ss2::DOUBLE / (m * se2::DOUBLE) + 1e-9, 6) AS kpss_eta,
+        |  CASE WHEN round(ss2::DOUBLE / (m * se2::DOUBLE) + 1e-9, 6)
+        |            > 0.463 THEN 1 ELSE 0 END AS reject_stationary
+        |FROM a""") { c =>
+      val h = c.events.select(
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hb"),
+          round(col("value") * 100 + lit(1e-9)).cast("long").as("cv"))
+        .groupBy("hb").agg(sum(col("cv")).as("y"))
+      val t = h.agg(count(lit(1)).as("m"), sum(col("y")).as("s"))
+      val e = h.crossJoin(broadcast(t))
+        .select(col("hb"), (col("m") * col("y") - col("s")).as("ep"),
+          col("m"))
+      val cw = e.withColumn("sp", sum(col("ep")).over(
+        Window.orderBy("hb")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val a = cw.agg(max(col("m")).as("m"),
+        sum(dec(col("sp")) * col("sp")).as("ss2"),
+        sum(dec(col("ep")) * col("ep")).as("se2"))
+      val eta = col("ss2").cast("double") /
+        (col("m") * col("se2").cast("double"))
+      a.select(col("m").as("n_hours"), r6(eta).as("kpss_eta"),
+        when(r6(eta) > 0.463, 1).otherwise(0).as("reject_stationary"))
+    },
+
+    // Seasonal strength via day-of-week variance decomposition
+    // (Hyndman & Athanasopoulos' STL strength-of-seasonality measure
+    // specialized to the weekly cycle, computed as the classic
+    // one-way η²: removing the per-DOW means from the daily series
+    // leaves remainder SS = SST − SSB by the ANOVA identity, so
+    // F_s = max(0, 1 − SSR/SST) = max(0, SSB/SST)). Every raw moment
+    // is an exact integer (Σy BIGINT, Σy² through DECIMAL(38)); the
+    // 7-term between-group sum folds in PINNED dow order; one final
+    // ratio. Output: the 7 DOW rows (n, mean) + the replicated
+    // strength — the practitioner's seasonality table.
+    q("ts_seasonal_strength",
+      """WITH d AS (SELECT o_orderdate dy, isodow(o_orderdate) dow,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT y
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT s,
+        |        sum(y::HUGEINT * y)::DOUBLE syy FROM d),
+        |g AS (SELECT dow, count(*)::BIGINT nw, sum(y)::BIGINT dw
+        |      FROM d GROUP BY 1),
+        |b AS (SELECT list_reduce(list(dw::DOUBLE * dw / nw
+        |                             ORDER BY dow),
+        |               (acc, x) -> acc + x) ssbr FROM g),
+        |f AS (SELECT greatest(0.0,
+        |        (ssbr - s::DOUBLE * s / n) / (syy - s::DOUBLE * s / n))
+        |        fs FROM b, t)
+        |SELECT g.dow::BIGINT AS dow, g.nw AS n_days,
+        |  round(g.dw * 1.0 / g.nw / 100 + 1e-9, 4) AS mean_dollars,
+        |  round(f.fs + 1e-9, 6) AS seasonal_strength
+        |FROM g, f ORDER BY dow""") { c =>
+      val d = c.orders.select(col("o_orderdate").as("dy"),
+          (weekday(col("o_orderdate")) + 1).as("dow"),
+          expr("CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT)")
+            .as("cents"))
+        .groupBy("dy", "dow").agg(sum(col("cents")).as("y"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val t = d.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(dec(col("y")) * col("y")).cast("double").as("syy"))
+      val g = d.groupBy("dow").agg(count(lit(1)).as("nw"),
+        sum(col("y")).as("dw"))
+      val b = g.agg(aggregate(array_sort(collect_list(struct(col("dow"),
+          (col("dw").cast("double") * col("dw") / col("nw")).as("t")))),
+        lit(0.0), (acc, x) => acc + x.getField("t")).as("ssbr"))
+      val f = b.crossJoin(broadcast(t)).select(
+        greatest(lit(0.0),
+          (col("ssbr") - col("s").cast("double") * col("s") / col("n")) /
+            (col("syy") - col("s").cast("double") * col("s") / col("n")))
+          .as("fs"))
+      g.crossJoin(broadcast(f))
+        .select(col("dow").cast("long").as("dow"),
+          col("nw").as("n_days"),
+          r4(col("dw") * lit(1.0) / col("nw") / 100).as("mean_dollars"),
+          r6(col("fs")).as("seasonal_strength"))
+        .orderBy("dow")
+    },
+
+    // Welch's heteroscedastic one-way ANOVA (Welch 1951 — the
+    // unequal-variances F test that stat_anova's classical F assumes
+    // away; the k-sample sibling of stat_ab_ttest's Welch t): weights
+    // w_i = n_i/s_i², weighted grand mean, F* with the Welch
+    // correction term Λ = Σ(1 − w_i/Σw)²/(n_i − 1), df2 = (k²−1)/3Λ.
+    // Every raw moment is an exact integer (Σy BIGINT, Σy² through
+    // DECIMAL(38)); the three k-term folds run in PINNED flag order
+    // (the aggregate/array_sort ≡ list_reduce ORDER BY device), so
+    // the libm-free part is bit-identical and the final statistic is
+    // one pinned double expression.
+    q("stat_welch_anova",
+      """WITH s AS (SELECT l_returnflag f, count(*)::BIGINT n,
+        |             sum(l_quantity::BIGINT)::BIGINT sy,
+        |             sum(l_quantity::BIGINT * l_quantity::BIGINT)
+        |               ::BIGINT qq
+        |           FROM lineitem GROUP BY 1),
+        |g AS (SELECT f, n, sy * 1.0 / n mu,
+        |        (n * qq - sy::HUGEINT * sy)::DOUBLE / (n * (n - 1.0))
+        |          s2
+        |      FROM s),
+        |w AS (SELECT f, n, mu, n / s2 wi FROM g),
+        |t AS (SELECT count(*)::BIGINT k,
+        |        list_reduce(list(wi ORDER BY f), (a, x) -> a + x) sw,
+        |        list_reduce(list(wi * mu ORDER BY f),
+        |          (a, x) -> a + x) swm
+        |      FROM w),
+        |l AS (SELECT k, sw, swm / sw mw,
+        |        (SELECT list_reduce(
+        |           list((1 - wi / t.sw) * (1 - wi / t.sw) / (n - 1)
+        |                ORDER BY f), (a, x) -> a + x) FROM w) lam
+        |      FROM t),
+        |f2 AS (SELECT k, sw, mw, lam,
+        |        (SELECT list_reduce(
+        |           list(wi * (mu - l.mw) * (mu - l.mw) ORDER BY f),
+        |           (a, x) -> a + x) FROM w) num
+        |      FROM l)
+        |SELECT k, round(mw + 1e-9, 6) AS weighted_mean,
+        |  round((num / (k - 1))
+        |        / (1 + 2.0 * (k - 2) / (k * k - 1) * lam) + 1e-9, 4)
+        |    AS f_star,
+        |  round((k * k - 1.0) / (3 * lam) + 1e-9, 2) AS df2
+        |FROM f2""") { c =>
+      val s = c.lineitem.select(col("l_returnflag").as("f"),
+          col("l_quantity").cast("long").as("y"))
+        .groupBy("f").agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("qq"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val g = s.select(col("f"), col("n"),
+        (col("sy") * lit(1.0) / col("n")).as("mu"),
+        ((col("n") * col("qq") - dec(col("sy")) * col("sy"))
+          .cast("double") / (col("n") * (col("n") - lit(1.0))))
+          .as("s2"))
+      val w = g.select(col("f"), col("n"), col("mu"),
+        (col("n") / col("s2")).as("wi"))
+      def pinned(term: org.apache.spark.sql.Column) =
+        aggregate(array_sort(collect_list(struct(col("f"),
+            term.as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t"))
+      val t = w.agg(count(lit(1)).as("k"), pinned(col("wi")).as("sw"),
+        pinned(col("wi") * col("mu")).as("swm"))
+      val l = w.crossJoin(broadcast(t)).agg(
+        max(col("k")).as("k"), max(col("sw")).as("sw"),
+        max(col("swm") / col("sw")).as("mw"),
+        pinned((lit(1) - col("wi") / col("sw")) *
+          (lit(1) - col("wi") / col("sw")) / (col("n") - 1)).as("lam"))
+      val f2 = w.crossJoin(broadcast(l)).agg(
+        max(col("k")).as("k"), max(col("mw")).as("mw"),
+        max(col("lam")).as("lam"),
+        pinned(col("wi") * (col("mu") - col("mw")) *
+          (col("mu") - col("mw"))).as("num"))
+      f2.select(col("k"), r6(col("mw")).as("weighted_mean"),
+        r4((col("num") / (col("k") - 1)) /
+          (lit(1) + lit(2.0) * (col("k") - 2) /
+            (col("k") * col("k") - 1) * col("lam"))).as("f_star"),
+        r2((col("k") * col("k") - lit(1.0)) / (lit(3) * col("lam")))
+          .as("df2"))
+    },
+
+    // Bartels' rank version of von Neumann's ratio (Bartels 1982 —
+    // the RANK test for serial randomness: is the daily revenue
+    // sequence exchangeable, or does it trend/oscillate?): doubled
+    // midranks of the daily totals over the calendar-bounded day
+    // grid, RVN = Σ(r_t − r_{t+1})² / Σ(r_t − r̄)² (the doubling
+    // cancels in the ratio; 2r̄ = n+1 exactly), z against the exact
+    // null moments E = 2, Var = 4(n−2)/((n+1)(n−1)). Integers
+    // until the final two divisions; every magnitude is bounded by
+    // the CUBE of the day-grid size — saturating, not SF-linear.
+    q("stat_bartels_rank",
+      """WITH d AS (SELECT o_orderdate dy,
+        |    sum(CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT))
+        |      ::BIGINT y
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT dy,
+        |        2 * rank() OVER (ORDER BY y)
+        |          + count(*) OVER (PARTITION BY y) - 1 r2
+        |      FROM d),
+        |sq AS (SELECT r2, lead(r2) OVER (ORDER BY dy) nx,
+        |         count(*) OVER () n FROM r),
+        |a AS (SELECT max(n) n,
+        |        sum(CASE WHEN nx IS NULL THEN 0
+        |            ELSE (r2 - nx) * (r2 - nx) END)::BIGINT nm,
+        |        sum((r2 - (n + 1)) * (r2 - (n + 1)))::BIGINT dd
+        |      FROM sq)
+        |SELECT n AS n_days,
+        |  round(nm::DOUBLE / dd + 1e-9, 6) AS rvn,
+        |  round((nm::DOUBLE / dd - 2)
+        |        / sqrt(4.0 * (n - 2) / ((n + 1.0) * (n - 1)))
+        |        + 1e-9, 4) AS z
+        |FROM a""") { c =>
+      val d = c.orders.select(col("o_orderdate").as("dy"),
+          expr("CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT)")
+            .as("cents"))
+        .groupBy("dy").agg(sum(col("cents")).as("y"))
+      val r = d.select(col("dy"),
+        (lit(2) * rank().over(Window.orderBy("y")) +
+          count(lit(1)).over(Window.partitionBy("y")) - 1).as("r2"))
+      val sq = r.select(col("r2"),
+        lead(col("r2"), 1).over(Window.orderBy("dy")).as("nx"),
+        count(lit(1)).over(Window.partitionBy(lit(1))).as("n"))
+      val a = sq.agg(max(col("n")).as("n"),
+        sum(when(col("nx").isNull, 0L).otherwise(
+          (col("r2") - col("nx")) * (col("r2") - col("nx")))).as("nm"),
+        sum((col("r2") - (col("n") + 1)) *
+          (col("r2") - (col("n") + 1))).as("dd"))
+      val rvn = col("nm").cast("double") / col("dd")
+      a.select(col("n").as("n_days"), r6(rvn).as("rvn"),
+        r4((rvn - 2) / sqrt(lit(4.0) * (col("n") - 2) /
+          ((col("n") + lit(1.0)) * (col("n") - 1)))).as("z"))
+    },
+
+    // Tukey's HSD studentized-range statistics (Tukey 1949 — the
+    // post-hoc pairwise follow-up once stat_anova rejects): for each
+    // return-flag pair, q = |m̄_i − m̄_j| / √(MSE/2·(1/n_i + 1/n_j))
+    // (the Tukey-Kramer unequal-n form). MSE comes from the exact
+    // integer within-group moments (Σy BIGINT, Σy² through
+    // DECIMAL(38); the group-mean squares fold in PINNED flag order);
+    // the 3 pair rows are a self-join over the 3-row group relation.
+    q("stat_tukey_hsd",
+      """WITH s AS (SELECT l_returnflag f, count(*)::BIGINT n,
+        |             sum(l_quantity::BIGINT)::BIGINT sy,
+        |             sum(l_quantity::BIGINT * l_quantity::BIGINT)
+        |               ::BIGINT qq
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT nt, count(*)::BIGINT k,
+        |        sum(qq)::DOUBLE sqq,
+        |        list_reduce(list(sy::DOUBLE * sy / n ORDER BY f),
+        |          (acc, x) -> acc + x) ssw FROM s),
+        |m AS (SELECT (sqq - ssw) / (nt - k) mse FROM t)
+        |SELECT a.f || '-' || b.f AS pair,
+        |  round(a.sy * 1.0 / a.n + 1e-9, 4) AS mean_i,
+        |  round(b.sy * 1.0 / b.n + 1e-9, 4) AS mean_j,
+        |  round(abs(a.sy * 1.0 / a.n - b.sy * 1.0 / b.n)
+        |        / sqrt(m.mse / 2 * (1.0 / a.n + 1.0 / b.n))
+        |        + 1e-9, 4) AS q_stat
+        |FROM s a JOIN s b ON a.f < b.f, m ORDER BY pair""") { c =>
+      val s = c.lineitem.select(col("l_returnflag").as("f"),
+          col("l_quantity").cast("long").as("y"))
+        .groupBy("f").agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("qq"))
+      val t = s.agg(sum(col("n")).as("nt"), count(lit(1)).as("k"),
+        sum(col("qq")).cast("double").as("sqq"),
+        aggregate(array_sort(collect_list(struct(col("f"),
+            (col("sy").cast("double") * col("sy") / col("n")).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("ssw"))
+      val m = t.select(
+        ((col("sqq") - col("ssw")) / (col("nt") - col("k"))).as("mse"))
+      val a = s.select(col("f"), col("n"), col("sy"))
+      val b = s.select(col("f").as("f2"), col("n").as("n2"),
+        col("sy").as("sy2"))
+      a.join(broadcast(b), col("f") < col("f2"))
+        .crossJoin(broadcast(m))
+        .select(concat(col("f"), lit("-"), col("f2")).as("pair"),
+          r4(col("sy") * lit(1.0) / col("n")).as("mean_i"),
+          r4(col("sy2") * lit(1.0) / col("n2")).as("mean_j"),
+          r4(abs(col("sy") * lit(1.0) / col("n") -
+            col("sy2") * lit(1.0) / col("n2")) /
+            sqrt(col("mse") / 2 *
+              (lit(1.0) / col("n") + lit(1.0) / col("n2"))))
+            .as("q_stat"))
+        .orderBy("pair")
+    },
+
+    // Median absolute deviation — the GLOBAL robust-σ estimate
+    // (σ̂ = 1.4826·MAD under normality; ts_hampel applies the same
+    // MAD idea as a per-window ROLLING filter — this is the
+    // corpus-level scale constant quality filters calibrate against):
+    // TWO chained histogram-median extractions, both
+    // on the mood_median device (exact cents histogram + Positional
+    // distributed cumsum — never a global sort of raw rows): first
+    // the grand median of order totals, then the median of the
+    // integer |cents − median| deviations. Exact integers end to
+    // end; the 1.4826 consistency constant is a pinned literal.
+    q("stat_mad",
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100 + 1e-9)
+        |             AS BIGINT) c FROM orders),
+        |h AS (SELECT c, count(*)::BIGINT cnt FROM v GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT n FROM h),
+        |cw AS (SELECT c, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) cum FROM h),
+        |med AS (SELECT min(c) m FROM cw, t
+        |        WHERE cum + cnt >= (t.n + 1) // 2),
+        |dv AS (SELECT abs(c - (SELECT m FROM med)) d FROM v),
+        |h2 AS (SELECT d, count(*)::BIGINT cnt FROM dv GROUP BY 1),
+        |cw2 AS (SELECT d, cnt,
+        |          coalesce(sum(cnt) OVER (ORDER BY d
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) cum FROM h2),
+        |mad AS (SELECT min(d) md FROM cw2, t
+        |        WHERE cum + cnt >= (t.n + 1) // 2)
+        |SELECT t.n AS n, med.m AS median_cents, mad.md AS mad_cents,
+        |  round(1.4826 * mad.md / 100 + 1e-9, 4) AS sigma_hat_dollars
+        |FROM t, med, mad""") { c =>
+      val v = c.orders.select(
+        expr("CAST(round(o_totalprice * 100 + 1e-9) AS BIGINT)").as("c"))
+      val h = v.groupBy("c").agg(count(lit(1)).as("cnt"))
+      val t = h.agg(sum(col("cnt")).as("n"))
+      def histMedian(hist: org.apache.spark.sql.DataFrame,
+          vc: String): org.apache.spark.sql.DataFrame = {
+        val cw = graft.ops.Positional.withCumSums(hist, Seq(col(vc)),
+          Seq(col("cnt") -> "cum"))
+        cw.crossJoin(broadcast(t))
+          .filter(col("cum") + col("cnt") >=
+            ((col("n") + 1) / 2).cast("long"))
+          .agg(min(col(vc)).as("m"))
+      }
+      val med = histMedian(h, "c")
+      val dv = v.crossJoin(broadcast(med)).select(
+        abs(col("c") - col("m")).as("d"))
+      val h2 = dv.groupBy("d").agg(count(lit(1)).as("cnt"))
+      val mad = histMedian(h2, "d").select(col("m").as("md"))
+      t.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .select(col("n"), col("m").as("median_cents"),
+          col("md").as("mad_cents"),
+          r4(lit(1.4826) * col("md") / 100).as("sigma_hat_dollars"))
     },
   )
 }

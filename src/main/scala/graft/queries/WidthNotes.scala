@@ -200,6 +200,11 @@ object WidthNotes {
     "stat_anderson_darling" -> Width("lineitem", 5, 1, D,
       "l*(nt*m1 - n1*b)^2 is SF^5; 38 digits hold to ~SF5 — " +
         "quantize the histogram counts beyond"),
+    // r15 additions
+    "stat_welch_anova" -> Width("lineitem", 1, 2500, L),
+    "stat_bartels_rank" -> Width("orders", 1, 2.1e4, L),
+    "stat_tukey_hsd" -> Width("lineitem", 1, 2500, L),
+    "stat_mad" -> Width("orders", 1, 1, L),
     "stat_jarque_bera" -> Width("orders", 1, 6.25e30, D,
       "4th-power cents sums exhaust DECIMAL(38) near SF~3; skewness/" +
         "kurtosis are scale-invariant — quantize cents to dollars " +
