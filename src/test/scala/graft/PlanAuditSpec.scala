@@ -78,6 +78,9 @@ class PlanAuditSpec extends SparkSpec {
       "stat_jonckheere" -> DOMAIN_BOUND,
       // pair walk over the 3-value returnflag group relation
       "stat_dunn" -> DOMAIN_BOUND,
+      // same shape: Tukey-Kramer pair walk over the 3-value returnflag
+      // group-moment relation (a.f < b.f theta join of the 3-row agg)
+      "stat_tukey_hsd" -> DOMAIN_BOUND,
       // pair walk over the 5-priority rank-sum relation
       "stat_nemenyi" -> DOMAIN_BOUND,
       // 50x50 quantity-histogram pair lattice: both sides are the
