@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage-level timing probe for optimization rounds: times
+  * labelled sub-pipelines of the expensive bench headliners with the
+  * noop sink (guide §1.4) so the computation is measured, not the
+  * sink. Not part of the driver contract; never registered in
+  * SparkEntry. Usage: runMain graft.Probe <sfDir> <probe>[,probe...] */
+object Probe {
+  private def time(label: String, spark: SparkSession)(df: => DataFrame): Unit = {
+    spark.sparkContext.setJobDescription(label)
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    spark.sparkContext.setJobDescription(null)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) args(1).split(",").toSet else Set("containment")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables(spark, sfDir, "documents")
+
+    if (which("containment")) {
+      // mirror of SetSimJoin.containmentBody stage by stage (r15 shape:
+      // window shingler + B-side positional filter)
+      val toks = docs
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 3)
+      val tau = 0.4
+      val tokRows = graft.ops.TextDedup
+        .wordShingleRows(toks, "doc_id", "ts", 3)
+        .withColumn("h", xxhash64(col("tok")))
+        .persist()
+      time("tokRows (explode+hash)", spark)(tokRows)
+      val hsets = tokRows.groupBy("id")
+        .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
+        .select(col("id"), col("hs0").as("hs")).persist()
+      time("hsets (collect_set)", spark)(hsets)
+      val freq = tokRows.groupBy("h").agg(count(lit(1)).as("f"))
+      time("freq", spark)(freq)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
+      val ws = Window.partitionBy("id")
+      val ordered = tokRows.join(freq, "h")
+        .withColumn("s", count(lit(1)).over(ws))
+        .withColumn("p", row_number().over(w))
+        .select(col("id"), col("s"), col("p"), col("h").as("tok"))
+        .persist()
+      time("ordered (freq join + windows)", spark)(ordered)
+      val aPrefix = ordered
+        .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
+        .select(col("id").as("a"), col("s").as("sa"), col("p").as("pa"),
+          col("tok"))
+      val bAll = ordered.select(col("id").as("b"), col("s").as("sb"),
+        col("p").as("pb"), col("tok"))
+      val candRaw = aPrefix.join(bAll, "tok")
+        .filter(col("a") =!= col("b"))
+        .filter(col("sb") >= ceil(lit(tau) * col("sa")))
+        .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+          ceil(lit(tau) * col("sa")))
+      spark.sparkContext.setJobDescription("cand count")
+      val t0 = System.nanoTime()
+      val nRaw = candRaw.count()
+      println(f"[probe] cand rows pre-distinct: $nRaw (${(System.nanoTime()-t0)/1e9}%.3f s)")
+      val cand = candRaw.select("a", "b").distinct().persist()
+      time("cand distinct", spark)(cand)
+      println(s"[probe] cand pairs: ${cand.count()}")
+      val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
+      val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
+      val s1 = cand.join(ha, "a").join(hb, "b")
+        .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .filter(col("ih").cast("double") / size(col("ha")) >= tau)
+        .select("a", "b").persist()
+      time("hashed verify", spark)(s1)
+      println(s"[probe] survivors: ${s1.count()}")
+      val ids = s1.select(explode(array(col("a"), col("b"))).as("id"))
+        .distinct()
+      val vtok = tokRows.join(broadcast(ids), "id")
+        .select(col("id"), col("tok"))
+      val inter = s1
+        .join(vtok.select(col("id").as("a"), col("tok")), "a")
+        .join(vtok.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      time("exact verify", spark)(inter)
+    }
+
+    if (which("shingle")) {
+      // A/B the two shingle-row formulations feeding SetSimJoin
+      import org.apache.spark.sql.expressions.Window
+      val toksDf = docs
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 3)
+      // current: interpreted HOF wordShingles + array_distinct + explode
+      val hof = toksDf
+        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+        .select(col("doc_id").as("id"),
+          explode(col("st")).as("tok"))
+      time("shingle rows: HOF path", spark)(hof)
+      time("shingle rows: HOF path (2nd)", spark)(hof)
+      // candidate: posexplode + window leads (codegen) + distinct
+      val tokRows = toksDf
+        .select(col("doc_id").as("id"), posexplode(col("ts")))
+        .toDF("id", "pos", "tok")
+      val w = Window.partitionBy("id").orderBy("pos")
+      val leads = col("tok") +:
+        (1 until 3).map(j => lead(col("tok"), j).over(w))
+      val winRows = tokRows
+        .select(col("id"), leads.last.isNotNull.as("full"), col("pos"),
+          concat_ws(" ", leads: _*).as("shingle"))
+        .filter(col("full") || col("pos") === 0)
+        .select(col("id"), col("shingle").as("tok"))
+        .distinct()
+      time("shingle rows: window path", spark)(winRows)
+      time("shingle rows: window path (2nd)", spark)(winRows)
+      println(s"[probe] hof rows=${hof.distinct().count()} win rows=${winRows.count()}")
+    }
+
+    if (which("emb")) {
+      graft.functions.GraftFunctions.register(spark)
+      val emb = Tables(spark, sfDir, "embeddings")
+      println(s"[probe] embeddings rows=${emb.count()} dim=" +
+        emb.select(size(col("embedding"))).head().getInt(0))
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.VectorSim.embeddingDedupPairs(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.4, native = true)
+      pairs.write.format("noop").mode("overwrite").save()
+      println(f"[probe] embeddingDedupPairs total ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+
+    if (which("als")) {
+      val lineitem = Tables(spark, sfDir, "lineitem")
+      val orders = Tables(spark, sfDir, "orders")
+      val ratings = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(avg(col("l_quantity")).as("r"))
+      time("als: ratings agg", spark)(ratings)
+      var t0 = System.nanoTime()
+      val (users, items) = graft.ml.Als.fit(ratings, lambda = 0.1, iters = 2)
+      println(f"[probe] als fit ${(System.nanoTime()-t0)/1e9}%.3f s")
+      t0 = System.nanoTime()
+      val pred = graft.ml.Als.predict(ratings, users, items)
+      val rmse = pred.agg(sqrt(avg((col("pred") - col("r")) * (col("pred") - col("r")))).as("v"))
+      val out = pred.crossJoin(broadcast(rmse)).filter(col("u") < 10)
+        .select(col("u"), col("i"), col("r"), col("pred"), col("v"))
+        .orderBy("u", "i")
+      out.write.format("noop").mode("overwrite").save()
+      println(f"[probe] als predict+rmse+out ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+
+    if (which("minhash")) {
+      graft.functions.GraftFunctions.register(spark)
+      val exploded = docs.select(col("doc_id").as("id"),
+        explode(call_function("graft_minhash_bands",
+          lower(trim(col("text"))), lit(3), lit(32), lit(16))).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.key"))
+        .persist()
+      time("native minhash bands", spark)(exploded)
+      val cands = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct().persist()
+      time("bucket-mate pairs", spark)(cands)
+      println(s"[probe] cand pairs: ${cands.count()}")
+      val candIds = cands.select(col("a_id").as("__cand_id"))
+        .union(cands.select(col("b_id"))).distinct()
+      val sets = graft.ops.TextDedup.shingleSets(
+        docs.join(broadcast(candIds), col("doc_id") === col("__cand_id"),
+          "left_semi"), "doc_id", "text", 3)
+      time("shingle sets (cands)", spark)(sets)
+      val verified = cands
+        .join(sets.as("sa"), col("a_id") === col("sa.id"))
+        .join(sets.as("sb"), col("b_id") === col("sb.id"))
+        .select(col("a_id"), col("b_id"),
+          graft.ops.TextDedup.jaccard(col("sa.sh"), col("sb.sh")).as("wjac"))
+        .filter(col("wjac") >= 0.8)
+      time("jaccard verify", spark)(verified)
+    }
+
+    if (which("sssp")) {
+      val lineitem = Tables(spark, sfDir, "lineitem")
+      val orders = Tables(spark, sfDir, "orders")
+      val e0 = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("s"),
+          concat(lit("s"), col("l_suppkey")).as("t"))
+        .distinct()
+      time("e0 distinct (strings)", spark)(e0)
+      val e0n = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("s"),
+          (col("l_suppkey") * 2 + 1).as("t"))
+        .distinct()
+      time("e0 distinct (longs)", spark)(e0n)
+      val e = e0.select(col("s").as("src"), col("t").as("dst"))
+        .union(e0.select(col("t").as("src"), col("s").as("dst")))
+      val src = orders.agg(concat(lit("c"), min(col("o_custkey"))).as("node"))
+      spark.sparkContext.setJobDescription("bfs strings")
+      var t0 = System.nanoTime()
+      val dist = graft.ops.Bfs.hops(e, src, maxHops = 4)
+      dist.write.format("noop").mode("overwrite").save()
+      println(f"[probe] bfs strings total ${(System.nanoTime()-t0)/1e9}%.3f s")
+      val en = e0n.select(col("s").as("src"), col("t").as("dst"))
+        .union(e0n.select(col("t").as("src"), col("s").as("dst")))
+      val srcn = orders.agg((min(col("o_custkey")) * 2).as("node"))
+      spark.sparkContext.setJobDescription("bfs longs")
+      t0 = System.nanoTime()
+      val distn = graft.ops.Bfs.hops(en, srcn, maxHops = 4)
+      distn.write.format("noop").mode("overwrite").save()
+      println(f"[probe] bfs longs total ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+
+    spark.stop()
+  }
+}

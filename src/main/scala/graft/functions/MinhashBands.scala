@@ -62,31 +62,82 @@ case class MinhashBands(child: Expression, shingleN: Int, k: Int,
 
 object MinhashBands {
 
-  /** Static kernel shared by eval and generated code. */
+  /** Java regex `\s` without UNICODE_CHARACTER_CLASS matches exactly
+    * the six ASCII whitespace bytes — and no UTF-8 continuation byte
+    * can collide with them — so tokenizing on these bytes over the raw
+    * UTF8String is bit-equivalent to `toString.split("\\s+", -1)`. */
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' ||
+      b == '\r'
+
+  /** Static kernel shared by eval and generated code.
+    *
+    * r15: runs entirely on the UTF8String's bytes — token boundaries
+    * from one whitespace scan (offset/length pairs into the original
+    * buffer), each shingle assembled into ONE reused byte buffer and
+    * hashed from there. The original materialized a Java String for
+    * the document, a String[] from the regex split, and a String +
+    * UTF8String per shingle — allocation/copy work that dominated the
+    * kernel (hash keys are unchanged bit-for-bit: same bytes, same
+    * seeds; MinhashBandsSpec pins parity with the aggregate path). */
   def compute(s: UTF8String, shingleN: Int, k: Int, bands: Int)
       : ArrayData = {
-    val toks = s.toString.split("\\s+", -1)
-    val nSh = if (toks.length < shingleN) 1 else toks.length - shingleN + 1
+    val n = s.numBytes
+    val bytes = new Array[Byte](n)
+    s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    // token spans, replicating split("\s+", -1): a leading whitespace
+    // run yields an empty first token; a trailing run an empty last
+    var nTok = 0
+    var offs = new Array[Int](16)
+    var lens = new Array[Int](16)
+    def push(off: Int, len: Int): Unit = {
+      if (nTok == offs.length) {
+        offs = java.util.Arrays.copyOf(offs, nTok * 2)
+        lens = java.util.Arrays.copyOf(lens, nTok * 2)
+      }
+      offs(nTok) = off; lens(nTok) = len; nTok += 1
+    }
+    var p = 0
+    var start = 0
+    while (p < n) {
+      if (isWs(bytes(p))) {
+        push(start, p - start)
+        p += 1
+        while (p < n && isWs(bytes(p))) p += 1
+        start = p
+      } else p += 1
+    }
+    push(start, n - start) // the final token ("" after a trailing run)
+
+    val nSh = if (nTok < shingleN) 1 else nTok - shingleN + 1
     // per-slot chain seeds: Spark's xxhash64(lit(s), shingle) hashes
     // the int literal against the default seed 42 first
+    val seeds = new Array[Long](k)
+    var sIdx = 0
+    while (sIdx < k) { seeds(sIdx) = XXH64.hashInt(sIdx, 42L); sIdx += 1 }
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val sb = new java.lang.StringBuilder
+    var buf = new Array[Byte](64)
     var i = 0
     while (i < nSh) {
-      sb.setLength(0)
-      val end = if (toks.length < shingleN) toks.length else i + shingleN
+      val end = if (nTok < shingleN) nTok else i + shingleN
+      var len = 0
       var t = i
       while (t < end) {
-        if (t > i) sb.append(' ')
-        sb.append(toks(t))
+        val tl = lens(t)
+        if (len + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, len + tl + 1))
+        if (t > i) { buf(len) = ' '; len += 1 }
+        System.arraycopy(bytes, offs(t), buf, len, tl)
+        len += tl
         t += 1
       }
-      val u = UTF8String.fromString(sb.toString)
-      var sIdx = 0
+      sIdx = 0
       while (sIdx < k) {
-        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-          u.numBytes, XXH64.hashInt(sIdx, 42L))
+        val h = XXH64.hashUnsafeBytes(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len,
+          seeds(sIdx))
         if (h < mins(sIdx)) mins(sIdx) = h
         sIdx += 1
       }

@@ -28,9 +28,14 @@ object Bfs {
     // InMemoryRelation keeps its HashPartitioning, so every round's
     // frontier join reuses it and only the (small) frontier side
     // shuffles — without this, all k rounds re-exchange the full edge
-    // relation (the dominant cost of a short BFS on a big graph)
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).persist()
+    // relation (the dominant cost of a short BFS on a big graph).
+    // repartition BEFORE dropDuplicates: HashPartitioning(src) already
+    // satisfies the dedup aggregate's (src, dst) clustering, so the
+    // dedup rides the same exchange — distinct().repartition(src) paid
+    // a second full shuffle of the edge relation for nothing (guide
+    // §2.4; plan: 2 Exchange → 1).
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist()
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist.select(col("node"))
@@ -89,8 +94,9 @@ object Bfs {
   def hopsFrom(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"bfs needs at least one hop, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).persist()
+    // one-exchange dedup+partition, exactly as in [[hops]]
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist()
     var dist = sources.select(col("root")).distinct()
       .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
       .localCheckpoint()

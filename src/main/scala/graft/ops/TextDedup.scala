@@ -105,6 +105,39 @@ object TextDedup {
       .select("id", "shingle")
   }
 
+  /** Distinct word n-gram shingles as FLAT (id, tok) ROWS from an
+    * already-materialized token-array column — the codegen-friendly
+    * twin of [[wordShingles]] for row-oriented consumers
+    * ([[SetSimJoin]]'s element universe). The array-lambda shingler is
+    * INTERPRETED (transform + per-element element_at/concat_ws) and
+    * measured ~9 s at sf0.1 where this posexplode + window-lead
+    * formulation runs in ~1 s (r15 probe): tokens explode once through
+    * a single Generate, the `lead` window builds each n-gram inside
+    * whole-stage codegen, and the per-doc distinct is an aggregate
+    * that RIDES the window's (id) partitioning — one exchange total.
+    * Row set is exactly explode(array_distinct(wordShingles(ts, n)))
+    * including the short-doc whole-run fallback (the pos-0 row).
+    */
+  def wordShingleRows(
+      docs: DataFrame,
+      idCol: String,
+      toksCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokRows = docs
+      .select(col(idCol).as("id"), posexplode(col(toksCol)))
+      .toDF("id", "pos", "tok")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = col("tok") +:
+      (1 until n).map(j => lead(col("tok"), j).over(w))
+    tokRows
+      .select(col("id"), leads.last.isNotNull.as("full"),
+        col("pos"), concat_ws(" ", leads: _*).as("shingle"))
+      .filter(col("full") || col("pos") === 0)
+      .select(col("id"), col("shingle").as("tok"))
+      .distinct() // per-(id, tok): reuses the window's id partitioning
+  }
+
   /** Distinct shingle SETS as arrays, one row per doc. Used only for
     * exact verification — call on the (small) candidate subset, not
     * the full corpus: collect_set is an object aggregate and must not
@@ -220,10 +253,16 @@ object TextDedup {
       .union(cands.select(col("b_id"))).distinct()
     // candidates are rare by construction → broadcast the semi-join so
     // the corpus is filtered scan-side with no shuffle
+    // persisted: the verify join consumes `sets` TWICE (sa and sb
+    // sides) and without the marker the whole shingleSets pipeline
+    // (semi-join + posexplode + window + collect_set) re-ran once per
+    // side (r15 probe) — the relation is candidate-doc-sized, so the
+    // cache is bounded by construction
     val sets = shingleSets(
       docs.join(broadcast(candIds), col(idCol) === col("__cand_id"),
         "left_semi"),
       idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cands
       .join(sets.as("sa"), col("a_id") === col("sa.id"))
       .join(sets.as("sb"), col("b_id") === col("sb.id"))
@@ -232,13 +271,14 @@ object TextDedup {
       .filter(col("wjac") >= threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (small, verified) result while sig/cands are
-    // still cached, then RELEASE both intermediates — in a long-lived
+    // still cached, then RELEASE the intermediates — in a long-lived
     // session (Registry, notebooks) they would otherwise accumulate
     // for the session lifetime (r2 finding). The returned frame stays
     // persisted: it is the product; callers may unpersist when done.
     verified.count()
     exploded.unpersist(false)
     cands.unpersist(false)
+    sets.unpersist(false)
     verified
   }
 

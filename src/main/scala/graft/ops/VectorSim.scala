@@ -408,12 +408,19 @@ object VectorSim {
       tables: Int = 8,
       probeHamming: Int = 2,
       native: Boolean = false): DataFrame = {
+    // persisted: `coded` feeds BOTH sides of the bucket self-join
+    // (probe fan-out left, base buckets right) — without the marker
+    // the per-vector signature computation ran twice, once per side
+    // (r15). The relation is (corpus × tables) narrow rows; the first
+    // consumer's action fills the cache, the session's ContextCleaner
+    // reclaims it when the returned frame is dropped.
     val coded = corpus.select(col("id"), col("vec"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           lshBucket(col("vec"), planes, t, native).as("bucket"))): _*))
         .as("tb"))
       .select(col("id"), col("tb.t"), col("tb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = coded.select(col("id").as("a_id"), col("t").as("at"),
       explode(probeBuckets(col("bucket"), planes, probeHamming)).as("probe"))
     val cands = probed.join(coded,

@@ -389,6 +389,15 @@ object CurationQueries {
         |SELECT doc_id, n_tri,
         |       round(exp(snll_u / 1e6 / n_tri) + 1e-9, 4) AS bs_ppl
         |FROM agg ORDER BY doc_id""", bench = true) { c =>
+      // NOTE (r15): an attempted single-pass restructure (one
+      // posexplode + window `lead`s feeding all four model tiers from
+      // a persisted flat token relation) measured SLOWER cold (2.04 s
+      // vs 1.68 s at sf0.1) and is structurally worse at scale: it
+      // trades four shuffle-free, pushdown-friendly scans for one
+      // corpus-wide window shuffle plus a corpus-sized token cache.
+      // The per-tier gram builder below is a per-row codegen-adjacent
+      // struct transform (no string concat), not the pathological
+      // wordShingles case — kept as is.
       val tok = c.documents.select(col("doc_id"),
         expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
       val mtok = tok.filter(col("doc_id") % 2 === 0)

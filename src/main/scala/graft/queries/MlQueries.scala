@@ -1548,12 +1548,21 @@ object MlQueries {
         |       round(pred + 1e-9, 4) pred, round(rmse.v + 1e-9, 4) rmse
         |FROM pred, rmse WHERE u < 10 ORDER BY u, i""",
       bench = true) { c =>
+      // ratings is consumed by fit (which persists its own projection
+      // but unpersists it on return), by predict, and transitively
+      // TWICE in the final plan (the rmse scalar branch and the output
+      // branch both contain pred) — without a barrier the
+      // lineitem⋈orders aggregation re-ran twice more after fit
+      // (r15 probe: predict+output leg 1.7 s, ~1.4 s of it the ratings
+      // re-aggregation). localCheckpoint makes ratings and pred plan
+      // LEAVES, so each is computed exactly once per invocation.
       val ratings = c.lineitem
         .join(c.orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
         .agg(avg(col("l_quantity")).as("r"))
+        .localCheckpoint()
       val (users, items) = Als.fit(ratings, lambda = 0.1, iters = 2)
-      val pred = Als.predict(ratings, users, items)
+      val pred = Als.predict(ratings, users, items).localCheckpoint()
       val rmse = pred.agg(
         sqrt(avg((col("pred") - col("r")) * (col("pred") - col("r"))))
           .as("v"))

@@ -428,22 +428,26 @@ object PipelineQueries {
         |       round(i::DOUBLE / (sa + sb - i) + 1e-9, 6) jac
         |FROM p WHERE i::DOUBLE / (sa + sb - i) >= 0.3
         |ORDER BY a, b""", bench = true) { c =>
+      // element rows come from the codegen'd window shingler — the
+      // interpreted array-lambda wordShingles path cost ~9 s of the
+      // query's sf0.1 runtime on its own (r15 probe; wordShingleRows
+      // produces the identical distinct (id, tok) row set in ~1 s)
       val toks = c.documents
         .select(col("doc_id"),
           expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
         .filter(size(col("ts")) >= 3)
-        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+      val rows = graft.ops.TextDedup.wordShingleRows(toks, "doc_id", "ts", 3)
       // lifecycle lives HERE, not in the operator (deferred library
       // semantics): materialize the verified pairs while the shared
       // intermediates are cached, then release them. The LAZY variant
-      // is deliberate for this repeat-invocation bench/service shape:
-      // its persist markers plan-match across invocations (warm runs
-      // reuse the cached intermediates), where the checkpointed
-      // variant's fresh LogicalRDD leaves cannot — measured 4x warm
-      // cost in the r12 A/B (BENCH_AB.md). One-shot pipelines should
-      // call jaccardSelfJoinCheckpointed instead (plan-leaf result,
-      // auto-released intermediates).
-      val pairs = graft.ops.SetSimJoin.jaccardSelfJoin(toks, "doc_id", "st", 0.3)
+      // stays the right call for THIS query (r15 A/B re-ran the r12
+      // one): at τ=0.3 the execution dominates and the persist markers
+      // plan-match across invocations, so warm legs reuse the cached
+      // pairs — lazy (cold 6.2 / warm 1.3) beats checkpointed
+      // (5.5 / 4.8) on everything but the pure cold leg.
+      // dedup_containment below measures the other way and is
+      // checkpointed.
+      val pairs = graft.ops.SetSimJoin.jaccardSelfJoinRows(rows, 0.3)
       pairs.df.count()
       pairs.release()
       pairs.df
@@ -479,14 +483,12 @@ object PipelineQueries {
         .select(col("doc_id"),
           expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
         .filter(size(col("ts")) >= 3)
-        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
-      // same lazy-variant stance as dedup_jaccard_prefix above (the
-      // repeat-invocation shape; see BENCH_AB.md r12)
-      val pairs = graft.ops.SetSimJoin.containmentSelfJoin(
-        toks, "doc_id", "st", 0.4)
-      pairs.df.count()
-      pairs.release()
-      pairs.df
+      val rows = graft.ops.TextDedup.wordShingleRows(toks, "doc_id", "ts", 3)
+      // same checkpointed + codegen-shingler stance as
+      // dedup_jaccard_prefix above (r15: cold leg was planning-bound)
+      val pairs = graft.ops.SetSimJoin.containmentSelfJoinRowsCheckpointed(
+        rows, 0.4)
+      pairs
         .select(col("a"), col("b"), col("inter"), col("size_a"),
           r6(col("cont")).as("cont"))
         .orderBy("a", "b")
