@@ -97,6 +97,60 @@ object Probe {
       time("exact verify", spark)(inter)
     }
 
+    if (which("jaccard")) {
+      // mirror of SetSimJoin.jaccardBody stage by stage (r15 shape)
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs
+        .select(col("doc_id"),
+          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
+        .filter(size(col("ts")) >= 3)
+      val tau = 0.3
+      val tokRows = graft.ops.TextDedup
+        .wordShingleRows(toks, "doc_id", "ts", 3)
+        .withColumn("h", xxhash64(col("tok")))
+        .persist()
+      time("j tokRows", spark)(tokRows)
+      val hsets = tokRows.groupBy("id")
+        .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
+        .select(col("id"), col("hs0").as("hs")).persist()
+      time("j hsets", spark)(hsets)
+      val freq = tokRows.groupBy("h").agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
+      val ws = Window.partitionBy("id")
+      val prefix = tokRows.join(freq, "h")
+        .withColumn("s", count(lit(1)).over(ws))
+        .withColumn("p", row_number().over(w))
+        .filter(col("p") <= col("s") - ceil(lit(tau) * col("s")) + 1)
+        .select(col("id"), col("s"), col("p"), col("h").as("tok"))
+        .persist()
+      time("j prefix (freq join + windows)", spark)(prefix)
+      val a = prefix.select(col("id").as("a"), col("s").as("sa"),
+        col("p").as("pa"), col("tok"))
+      val candRaw = a.join(prefix.select(col("id").as("b"),
+          col("s").as("sb"), col("p").as("pb"), col("tok")), "tok")
+        .filter(col("a") < col("b"))
+        .filter(col("sb") * tau <= col("sa") * lit(1.0 + 1e-12) + lit(1e-9) &&
+          col("sa") * tau <= col("sb") * lit(1.0 + 1e-12) + lit(1e-9))
+        .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+          ceil(lit(tau) / (1 + tau) * (col("sa") + col("sb"))))
+      val t0j = System.nanoTime()
+      val nRaw = candRaw.count()
+      println(f"[probe] j cand rows pre-distinct: $nRaw (${(System.nanoTime()-t0j)/1e9}%.3f s)")
+      val cand = candRaw.select("a", "b").distinct().persist()
+      time("j cand distinct", spark)(cand)
+      println(s"[probe] j cand pairs: ${cand.count()}")
+      val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
+      val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
+      val s1 = cand.join(ha, "a").join(hb, "b")
+        .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("uh",
+          (size(col("ha")) + size(col("hb"))).cast("long") - col("ih"))
+        .filter(col("ih").cast("double") / col("uh") >= tau)
+        .select("a", "b").persist()
+      time("j hashed verify", spark)(s1)
+      println(s"[probe] j survivors: ${s1.count()}")
+    }
+
     if (which("shingle")) {
       // A/B the two shingle-row formulations feeding SetSimJoin
       import org.apache.spark.sql.expressions.Window

@@ -153,6 +153,30 @@ object GraftFunctions {
           litInt(exprs(2), "k"), litInt(exprs(3), "bands"))
       })
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName,
+        "graft_word_shingles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_word_shingles(text, n, minTokens)")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_word_shingles: $what must be an integer literal")
+        }
+        WordShingles(exprs.head, litInt(exprs(1), "n"),
+          litInt(exprs(2), "minTokens"))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sorted_inter"),
+      new ExpressionInfo(classOf[SortedInterCount].getName,
+        "graft_sorted_inter"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_sorted_inter(a, b)")
+        SortedInterCount(exprs.head, exprs(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
       (exprs: Seq[Expression]) => {

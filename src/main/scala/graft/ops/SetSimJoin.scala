@@ -217,6 +217,7 @@ object SetSimJoin {
   private def jaccardBody(rows: DataFrame, tau: Double,
                           bar: Barrier): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    graft.functions.GraftFunctions.register(rows.sparkSession)
     // mark the flat (id, tok) rows — four consumers read this stage:
     // the frequency agg, the prefix build, the hashed-set agg, and
     // the exact verify.
@@ -226,15 +227,18 @@ object SetSimJoin {
     // map-side-combinable aggregate shape; raise_error fires on an
     // intra-set xxhash64 collision (the one case that could cost
     // recall — see scaladoc), so size(hs) below is EXACTLY the true
-    // distinct-element count of the set.
+    // distinct-element count of the set. SORTED ascending so the
+    // verify's intersection count runs as the allocation-free
+    // two-pointer merge (graft_sorted_inter) instead of the per-row
+    // hash-set build of array_intersect.
     val hsets = bar(tokRows.groupBy("id")
       .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
       .select(col("id"),
-        when(size(col("hs0")) < col("n"),
+        sort_array(when(size(col("hs0")) < col("n"),
           raise_error(concat(lit("SetSimJoin: intra-set xxhash64 " +
             "collision in set id="), col("id").cast("string")))
             .cast("array<bigint>"))
-          .otherwise(col("hs0")).as("hs")))
+          .otherwise(col("hs0"))).as("hs")))
 
     // global token frequencies — ONE corpus-wide aggregation (keyed by
     // the hash; the canonical order below uses the same key, so the
@@ -290,7 +294,8 @@ object SetSimJoin {
     val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
     val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
     val s1 = bar(cand.join(ha, "a").join(hb, "b")
-      .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("ih",
+        call_function("graft_sorted_inter", col("ha"), col("hb")))
       .withColumn("uh",
         (size(col("ha")) + size(col("hb"))).cast("long") - col("ih"))
       .filter(col("ih").cast("double") / col("uh") >= tau)
@@ -380,17 +385,19 @@ object SetSimJoin {
   private def containmentBody(rows: DataFrame, tau: Double,
                               bar: Barrier): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    graft.functions.GraftFunctions.register(rows.sparkSession)
     val tokRows = bar(rows.withColumn("h", xxhash64(col("tok"))))
 
-    // hashed sets + the intra-set collision guard (see jaccardSelfJoin)
+    // hashed sets + the intra-set collision guard, sorted for the
+    // merge-count verify (see jaccardSelfJoin)
     val hsets = bar(tokRows.groupBy("id")
       .agg(count(lit(1)).as("n"), collect_set(col("h")).as("hs0"))
       .select(col("id"),
-        when(size(col("hs0")) < col("n"),
+        sort_array(when(size(col("hs0")) < col("n"),
           raise_error(concat(lit("SetSimJoin: intra-set xxhash64 " +
             "collision in set id="), col("id").cast("string")))
             .cast("array<bigint>"))
-          .otherwise(col("hs0")).as("hs")))
+          .otherwise(col("hs0"))).as("hs")))
 
     val freq = tokRows.groupBy("h").agg(count(lit(1)).as("f"))
 
@@ -434,7 +441,8 @@ object SetSimJoin {
     val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
     val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
     val s1 = bar(cand.join(ha, "a").join(hb, "b")
-      .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("ih",
+        call_function("graft_sorted_inter", col("ha"), col("hb")))
       .filter(col("ih").cast("double") / size(col("ha")) >= tau)
       .select("a", "b"))
 

@@ -1466,20 +1466,24 @@ object LlmQueries {
         |  tot.n_cand,
         |  round(ht.th * 1.0 / tot.n_cand + 1e-9, 4) AS precision_vs_05
         |FROM bk, tot, ht ORDER BY bucket""") { c =>
-      val toks = c.documents
-        .select(col("doc_id"),
-          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
-        .filter(size(col("ts")) >= 3)
-        .withColumn("st", graft.ops.TextDedup.wordShingles(col("ts"), 3))
+      // native shingle rows feed BOTH legs (exact pairs + portable
+      // minhash) — same element set as the lambda/array formulation
+      // (WordShinglesSpec), one codegen pass instead of the
+      // interpreted HOF (r15)
+      graft.functions.GraftFunctions.register(c.spark)
+      val rows = c.documents
+        .select(col("doc_id").as("id"),
+          explode(call_function("graft_word_shingles",
+            col("text"), lit(3), lit(3))).as("tok"))
       // eager checkpointed variant (plan-leaf result; intermediates
       // released inside the operator) — the exact pair set is consumed
       // twice below (bucket table + the LEFT join), and the lazy
       // variant would re-inline its whole pipeline at both sites
-      val exq = graft.ops.SetSimJoin.jaccardSelfJoinCheckpointed(
-          toks, "doc_id", "st", 0.5)
+      val exq = graft.ops.SetSimJoin.jaccardSelfJoinRowsCheckpointed(
+          rows, 0.5)
         .select(col("a"), col("b"), r6(col("jac")).as("jac"))
-      val g = toks.select(col("doc_id"),
-        explode(col("st")).as("g")).persist()
+      val g = rows.select(col("id").as("doc_id"),
+        col("tok").as("g")).persist()
       val mh = graft.ops.TextDedup.portableMinhash8(g, "doc_id", "g")
         .persist()
       val bd = (0 until 4).map { bi =>

@@ -428,15 +428,19 @@ object PipelineQueries {
         |       round(i::DOUBLE / (sa + sb - i) + 1e-9, 6) jac
         |FROM p WHERE i::DOUBLE / (sa + sb - i) >= 0.3
         |ORDER BY a, b""", bench = true) { c =>
-      // element rows come from the codegen'd window shingler — the
+      // element rows come from the NATIVE shingle kernel — the
       // interpreted array-lambda wordShingles path cost ~9 s of the
-      // query's sf0.1 runtime on its own (r15 probe; wordShingleRows
-      // produces the identical distinct (id, tok) row set in ~1 s)
-      val toks = c.documents
-        .select(col("doc_id"),
-          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
-        .filter(size(col("ts")) >= 3)
-      val rows = graft.ops.TextDedup.wordShingleRows(toks, "doc_id", "ts", 3)
+      // query's sf0.1 runtime on its own, and even the window-lead
+      // reformulation paid a posexplode + per-doc ordering shuffle
+      // (~4 s); graft_word_shingles emits the identical distinct
+      // shingle set per doc in one codegen'd pass, minTokens=3
+      // replicating the size(ts) >= 3 filter (WordShinglesSpec pins
+      // the parity)
+      graft.functions.GraftFunctions.register(c.spark)
+      val rows = c.documents
+        .select(col("doc_id").as("id"),
+          explode(call_function("graft_word_shingles",
+            col("text"), lit(3), lit(3))).as("tok"))
       // lifecycle lives HERE, not in the operator (deferred library
       // semantics): materialize the verified pairs while the shared
       // intermediates are cached, then release them. The LAZY variant
@@ -479,13 +483,14 @@ object PipelineQueries {
         |       round(i::DOUBLE / sa + 1e-9, 6) cont
         |FROM p WHERE i::DOUBLE / sa >= 0.4
         |ORDER BY a, b""", bench = true) { c =>
-      val toks = c.documents
-        .select(col("doc_id"),
-          expr("regexp_extract_all(text, '[a-z]+', 0)").as("ts"))
-        .filter(size(col("ts")) >= 3)
-      val rows = graft.ops.TextDedup.wordShingleRows(toks, "doc_id", "ts", 3)
-      // same checkpointed + codegen-shingler stance as
-      // dedup_jaccard_prefix above (r15: cold leg was planning-bound)
+      graft.functions.GraftFunctions.register(c.spark)
+      val rows = c.documents
+        .select(col("doc_id").as("id"),
+          explode(call_function("graft_word_shingles",
+            col("text"), lit(3), lit(3))).as("tok"))
+      // same native-shingler stance as dedup_jaccard_prefix above;
+      // checkpointed lifecycle because this query's cold leg was
+      // planning-bound (r15: lazy 6.6 s cold vs checkpointed 4.0 s)
       val pairs = graft.ops.SetSimJoin.containmentSelfJoinRowsCheckpointed(
         rows, 0.4)
       pairs
