@@ -217,6 +217,38 @@ object Probe {
       println(f"[probe] als predict+rmse+out ${(System.nanoTime()-t0)/1e9}%.3f s")
     }
 
+    if (which("als2")) {
+      // A/B the halfStep join strategy: current (SMJ?) vs broadcast
+      // factors. Factors are entity-count-sized; decide per plan shape.
+      val lineitem = Tables(spark, sfDir, "lineitem")
+      val orders = Tables(spark, sfDir, "orders")
+      val ratings = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(avg(col("l_quantity")).as("r"))
+        .localCheckpoint()
+      val items = ratings.select(col("i")).distinct()
+        .select(col("i"), lit(1.0).as("q1"),
+          (((col("i") % 7) - 3) / lit(10.0)).cast("double").as("q2"))
+        .localCheckpoint()
+      println(s"[probe] items=${items.count()} ratings=${ratings.count()}")
+      def gram(f: org.apache.spark.sql.DataFrame) = ratings.join(f, Seq("i"))
+        .groupBy("u")
+        .agg(sum(col("q1") * col("q1")).as("a11"),
+          sum(col("q1") * col("q2")).as("a12"),
+          sum(col("q2") * col("q2")).as("a22"),
+          sum(col("q1") * col("r")).as("b1"),
+          sum(col("q2") * col("r")).as("b2"))
+      val plain = gram(items)
+      plain.explain("formatted")
+      time("als2 halfstep plain", spark)(plain)
+      time("als2 halfstep plain (2nd)", spark)(plain)
+      val bcast = gram(broadcast(items))
+      bcast.explain("formatted")
+      time("als2 halfstep bcast", spark)(bcast)
+      time("als2 halfstep bcast (2nd)", spark)(bcast)
+    }
+
     if (which("minhash")) {
       graft.functions.GraftFunctions.register(spark)
       val exploded = docs.select(col("doc_id").as("id"),

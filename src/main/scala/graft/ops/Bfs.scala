@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** Conservative bytes/row of a frontier/dist row (node key + dist +
+    * row overhead; node may be a string) for the broadcast estimate. */
+  private val RowBytes = 48L
+
+  /** Broadcast-hint a frontier/dist relation when its KNOWN row count
+    * (maintained from the per-level counts the loop already takes)
+    * fits the session broadcast threshold. The per-level relations are
+    * localCheckpoint leaves with no size statistics, so the planner
+    * was choosing SortMergeJoin for every frontier join and settled
+    * anti-join — shuffling and sorting both sides each round (guide
+    * §3.1). With the hint, a round's frontier join is a
+    * BroadcastHashJoin that streams the src-partitioned edge relation
+    * with NO exchange and no sort, and the anti-join builds the
+    * settled set once. Scale-adaptive: a frontier or settled set
+    * larger than the threshold (the 100 TB regime) keeps sort-merge. */
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
+    val t = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (t > 0 && rows * RowBytes <= t) broadcast(df) else df
+  }
+
   /** Hop distances from `sources` (a 1-column `node` DataFrame; any
     * orderable type matching the edge endpoints) after at most
     * `maxHops` expansion levels. Output columns: (node, dist). */
@@ -38,7 +58,11 @@ object Bfs {
       .repartition(col("src")).dropDuplicates("src", "dst").persist()
     var dist = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
+    // row counts ride the actions the loop already takes (the level
+    // emptiness check), so the broadcast decisions below are free
+    var distN = dist.count()
     var frontier = dist.select(col("node"))
+    var frontierN = distN
     var hop = 0
     var sinceCompact = 0
     var exhausted = false
@@ -54,12 +78,14 @@ object Bfs {
       // all previous levels, O(levels²) rows copied — the compaction
       // cadence amortizes that to O(levels²/compactEvery) only when
       // maxHops is large, and to zero extra work for short sweeps).
-      val next = e.join(frontier, e("src") === frontier("node"))
+      val fr = maybeBroadcast(frontier, frontierN)
+      val next = e.join(fr, e("src") === fr("node"))
         .select(col("dst").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(maybeBroadcast(dist, distN), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
         .localCheckpoint()
-      if (next.isEmpty) exhausted = true
+      val nextN = next.count()
+      if (nextN == 0) exhausted = true
       else {
         sinceCompact += 1
         dist =
@@ -67,7 +93,9 @@ object Bfs {
             sinceCompact = 0
             dist.union(next).localCheckpoint()
           } else dist.union(next)
+        distN += nextN
         frontier = next.select(col("node"))
+        frontierN = nextN
       }
     }
     e.unpersist()
@@ -100,20 +128,24 @@ object Bfs {
     var dist = sources.select(col("root")).distinct()
       .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
       .localCheckpoint()
+    var distN = dist.count()
     var frontier = dist.select(col("root"), col("node"))
+    var frontierN = distN
     var hop = 0
     var sinceCompact = 0
     var exhausted = false
     while (hop < maxHops && !exhausted) {
       hop += 1
-      // same incremental-union + periodic-compaction accumulation as
-      // [[hops]] — see the comment there
-      val next = e.join(frontier, e("src") === frontier("node"))
+      // same incremental-union + periodic-compaction accumulation and
+      // count-driven broadcast decisions as [[hops]] — see there
+      val fr = maybeBroadcast(frontier, frontierN)
+      val next = e.join(fr, e("src") === fr("node"))
         .select(col("root"), col("dst").as("node")).distinct()
-        .join(dist, Seq("root", "node"), "left_anti")
+        .join(maybeBroadcast(dist, distN), Seq("root", "node"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
         .localCheckpoint()
-      if (next.isEmpty) exhausted = true
+      val nextN = next.count()
+      if (nextN == 0) exhausted = true
       else {
         sinceCompact += 1
         dist =
@@ -121,7 +153,9 @@ object Bfs {
             sinceCompact = 0
             dist.union(next).localCheckpoint()
           } else dist.union(next)
+        distN += nextN
         frontier = next.select(col("root"), col("node"))
+        frontierN = nextN
       }
     }
     e.unpersist()
