@@ -194,6 +194,38 @@ object Probe {
         threshold = 0.4, native = true)
       pairs.write.format("noop").mode("overwrite").save()
       println(f"[probe] embeddingDedupPairs total ${(System.nanoTime()-t0)/1e9}%.3f s")
+      // stage mirror (current shape) for the per-stage split
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val planes = 4; val tables = 8
+      val coded = corpus.select(col("id"), col("vec"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            call_function("graft_lsh_bucket", col("vec"), lit(planes), lit(t))
+              .as("bucket"))): _*)).as("tb"))
+        .select(col("id"), col("tb.t"), col("tb.bucket")).persist()
+      time("emb coded", spark)(coded)
+      val probed = coded.select(col("id").as("a_id"), col("t").as("at"),
+        explode(graft.ops.VectorSim.probeBuckets(col("bucket"), planes, 2)).as("probe"))
+      val candsRaw = probed.join(coded,
+        col("at") === col("t") && col("probe") === col("bucket") &&
+          col("a_id") < col("id"))
+        .select(col("a_id"), col("id").as("b_id"))
+      var t1 = System.nanoTime()
+      println(s"[probe] emb candRaw rows=${candsRaw.count()} (${(System.nanoTime()-t1)/1e9} s)")
+      val cands = candsRaw.distinct().persist()
+      time("emb cands distinct", spark)(cands)
+      t1 = System.nanoTime()
+      println(s"[probe] emb cand pairs=${cands.count()} (${(System.nanoTime()-t1)/1e9} s)")
+      val va = corpus.select(col("id").as("__aid"), col("vec").as("a_vec"))
+      val vb = corpus.select(col("id").as("__bid"), col("vec").as("b_vec"))
+      val ver = cands.join(va, col("a_id") === col("__aid"))
+        .join(vb, col("b_id") === col("__bid"))
+        .select(col("a_id"), col("b_id"),
+          call_function("graft_cosine", col("a_vec"), col("b_vec")).as("cos"))
+        .filter(col("cos") >= 0.4)
+      time("emb verify join+cos", spark)(ver)
+      t1 = System.nanoTime()
+      println(s"[probe] emb out pairs=${ver.count()} (${(System.nanoTime()-t1)/1e9} s)")
     }
 
     if (which("als")) {
