@@ -70,22 +70,38 @@ object Components {
       (r.getLong(0), r.getLong(1))
     }
 
-    def largeStar(d: DataFrame): DataFrame = {
+    // Broadcast-hint the per-round min relation when the CURRENT edge
+    // count (already known from the convergence fingerprint — no extra
+    // action) bounds it under the session broadcast threshold: the
+    // checkpointed rounds carry no size statistics, so the planner
+    // picked SortMergeJoin and re-exchanged the edge relation twice
+    // per round (guide §3.1). |mins| ≤ 2·|E| (large-star, both
+    // orientations) / |E| (small-star); 48 bytes/row is conservative
+    // for (long, long). Past the threshold — the 100 TB early rounds —
+    // the joins stay sort-merge, which is right there; as the edge set
+    // contracts toward |V| the later rounds flip to broadcast.
+    def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
+      val t = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (t > 0 && rows * 48L <= t) broadcast(df) else df
+    }
+
+    def largeStar(d: DataFrame, en: Long): DataFrame = {
       val bi = d.select(col("s").as("u"), col("l").as("v"))
         .union(d.select(col("l").as("u"), col("s").as("v")))
       val mins = bi.groupBy("u")
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      bi.join(mins, "u")
+      bi.join(maybeBroadcast(mins, 2 * en), "u")
         .where(col("v") > col("u"))
         .select(col("m").as("s"), col("v").as("l")) // m <= u < v
         .where(col("s") =!= col("l"))
         .distinct()
     }
 
-    def smallStar(d: DataFrame): DataFrame = {
+    def smallStar(d: DataFrame, en: Long): DataFrame = {
       // edges oriented large→small: u = l, S(u) = {s}
-      val mins = d.groupBy(col("l").as("u")).agg(min(col("s")).as("m"))
+      val mins = maybeBroadcast(
+        d.groupBy(col("l").as("u")).agg(min(col("s")).as("m")), en)
       val hangSmaller = d.join(mins, d("l") === mins("u"))
         .select(col("m").as("s2"), d("s").as("l2")) // v ∈ S(u), v → m
       val hangSelf = mins.select(col("m").as("s2"), col("u").as("l2"))
@@ -96,13 +112,16 @@ object Components {
         .distinct()
     }
 
-    if (e.isEmpty) return e.select(col("s").as("id"), col("l").as("component"))
-
     var fp = fingerprint(e)
+    if (fp._1 == 0)
+      return e.select(col("s").as("id"), col("l").as("component"))
+
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // large-star emits ≤ |E| edges (one per (u,v) with v > u), so the
+      // incoming count bounds the small-star min relation too
+      val next = smallStar(largeStar(e, fp._1), fp._1).localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
       e = next
