@@ -249,6 +249,26 @@ object Probe {
       println(f"[probe] als predict+rmse+out ${(System.nanoTime()-t0)/1e9}%.3f s")
     }
 
+    if (which("reb")) {
+      graft.functions.GraftFunctions.register(spark)
+      println("stats bytes = " + docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+      println("defaultParallelism = " + spark.sparkContext.defaultParallelism)
+      val dist = docs.groupBy(spark_partition_id()).count().collect()
+      println("scan partition dist: " + dist.mkString(","))
+      val reb = graft.ops.TextDedup.rebalanceScan(docs, "doc_id")
+      println("rebalance fired: " +
+        reb.queryExecution.optimizedPlan.toString.contains("Repartition"))
+      def bands(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id").as("id"),
+          explode(call_function("graft_minhash_bands",
+            lower(trim(col("text"))), lit(3), lit(32), lit(16))).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.key"))
+      time("minhash bands (raw scan)", spark)(bands(docs))
+      time("minhash bands (raw scan) 2nd", spark)(bands(docs))
+      time("minhash bands (rebalanced)", spark)(bands(reb))
+      time("minhash bands (rebalanced) 2nd", spark)(bands(reb))
+    }
+
     if (which("als2")) {
       // A/B the halfStep join strategy: current (SMJ?) vs broadcast
       // factors. Factors are entity-count-sized; decide per plan shape.

@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Rebalance a corpus that arrived in (much) fewer partitions than
+    * the cluster has cores — the guide §2.5 "input skew" case: a small
+    * corpus is one single-row-group parquet file, so the scan is ONE
+    * task and every per-row expression pipeline above it (shingling,
+    * MinHash kernels) runs on one core until the first exchange.
+    * Conditional, so it is a no-op at scale (a 100 TB corpus arrives
+    * in far more splits than cores and must NOT pay a payload
+    * shuffle); locally it spreads the expensive projection across the
+    * cluster for one narrow exchange of the raw rows. Keyed by the
+    * doc id (unique → even spread, deterministic under retries). */
+  def rebalanceScan(df: DataFrame, key: String): DataFrame = {
+    // partition COUNT is not the signal: Spark byte-range-splits even a
+    // tiny file into defaultParallelism splits, but a single-row-group
+    // parquet file yields every row in ONE of them. Plan statistics
+    // (known for file scans, no job) give the honest trigger: when the
+    // whole input is under ~16 MB/core the repartition shuffle is
+    // trivial by construction and buys full-cluster parallelism for
+    // the expensive projection above it; a 100 TB corpus never fires.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(cores) * (16L << 20)) df.repartition(col(key))
+    else df
+  }
+
   /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
     * array column. IMPORTANT: pass an attribute (a `withColumn` output),
     * not a raw `split(...)` expression — higher-order functions are
@@ -217,6 +241,10 @@ object TextDedup {
     require(bands >= 1 && k >= bands && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands")
     val rowsPerBand = k / bands
+    // rebalanced: the fused minhash kernel is the pipeline's dominant
+    // per-row cost and otherwise runs inside the (often single-task)
+    // scan partition — see [[rebalanceScan]]
+    val src = if (native) rebalanceScan(docs, idCol) else docs
     // narrow (id + band/key) and consumed by BOTH sides of the bucket
     // self-join — persist so the signature work runs once.
     // native: ONE fused expression from cleaned text to (band, key)
@@ -224,7 +252,7 @@ object TextDedup {
     // once per row — no posexplode of tokens, no window pass, no
     // 32-column aggregate (bit-identical keys; MinhashBandsSpec).
     val exploded = (if (native)
-      docs.select(col(idCol).as("id"),
+      src.select(col(idCol).as("id"),
         explode(call_function("graft_minhash_bands",
           lower(trim(col(textCol))), lit(shingleN), lit(k), lit(bands)))
           .as("bk"))
@@ -307,7 +335,10 @@ object TextDedup {
     require(bands >= 1 && k >= bands && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands")
     val rowsPerBand = k / bands
-    def bandKeys(df: DataFrame): DataFrame =
+    def bandKeys(df0: DataFrame): DataFrame = {
+      // same scan-rebalance as minhashDedupPairs: the fused kernel must
+      // not run inside a single-task scan partition
+      val df = if (native) rebalanceScan(df0, idCol) else df0
       if (native)
         df.select(col(idCol).as("id"),
           explode(call_function("graft_minhash_bands",
@@ -319,6 +350,7 @@ object TextDedup {
           .select(col("id"),
             explode(lshBandKeyArray(bands, rowsPerBand)).as("bk"))
           .select(col("id"), col("bk.band"), col("bk.key"))
+    }
     // the band keys are deterministic functions of text, so identical
     // hash families apply to both sides — bucket-mates across frames
     // are exactly the cross-corpus LSH candidates
