@@ -269,6 +269,41 @@ object Probe {
       time("minhash bands (rebalanced) 2nd", spark)(bands(reb))
     }
 
+    if (which("q1")) {
+      val li = Tables(spark, sfDir, "lineitem")
+      def q1(d: org.apache.spark.sql.DataFrame) = d
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+      time("q1 raw scan", spark)(q1(li))
+      time("q1 raw scan 2nd", spark)(q1(li))
+      val reb = li.repartition(col("l_orderkey"), col("l_linenumber"))
+      time("q1 rebalanced", spark)(q1(reb))
+      time("q1 rebalanced 2nd", spark)(q1(reb))
+      // narrow projection first, then rebalance only needed cols
+      val cols = Seq("l_shipdate","l_returnflag","l_linestatus","l_quantity",
+        "l_extendedprice","l_discount").map(col)
+      val reb2 = li.select(cols: _*).repartition(col("l_shipdate"))
+      def q1b(d: org.apache.spark.sql.DataFrame) = d
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+      time("q1 narrow-rebalanced", spark)(q1b(reb2))
+      time("q1 narrow-rebalanced 2nd", spark)(q1b(reb2))
+    }
+
     if (which("als2")) {
       // A/B the halfStep join strategy: current (SMJ?) vs broadcast
       // factors. Factors are entity-count-sized; decide per plan shape.

@@ -100,6 +100,22 @@ object SetSimJoin {
     }
   }
 
+  /** Small-corpus regime detector (stats only, no job): when the
+    * element-row input's plan statistics put the WHOLE corpus under
+    * ~16 MB/core, every derived per-doc/per-token relation (global
+    * frequencies, hashed sets, sizes) fits a broadcast by construction,
+    * so the bodies hint their dimension-shaped join sides and the heavy
+    * pair/token streams stop re-exchanging once per join (guide §3.1 —
+    * the barrier-marked intermediates otherwise carry no size
+    * statistics and every join planned SortMergeJoin). A 100 TB corpus
+    * never triggers; there the frequency/set relations are
+    * corpus-sized and sort-merge is the correct strategy. */
+  private def smallInput(rows: DataFrame): Boolean = {
+    val cores = rows.sparkSession.sparkContext.defaultParallelism
+    rows.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(cores) * (16L << 20)
+  }
+
   private def persistMark(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -386,6 +402,8 @@ object SetSimJoin {
                               bar: Barrier): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     graft.functions.GraftFunctions.register(rows.sparkSession)
+    val bc: DataFrame => DataFrame =
+      if (smallInput(rows)) broadcast else identity
     val tokRows = bar(rows.withColumn("h", xxhash64(col("tok"))))
 
     // hashed sets + the intra-set collision guard, sorted for the
@@ -406,7 +424,7 @@ object SetSimJoin {
     // B side (sb rides along for the size filter).
     val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
     val ws = Window.partitionBy("id")
-    val ordered = bar(tokRows.join(freq, "h")
+    val ordered = bar(tokRows.join(bc(freq), "h")
       .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
       .select(col("id"), col("s"), col("p"), col("h").as("tok")))
@@ -440,7 +458,7 @@ object SetSimJoin {
     // tokens.
     val ha = hsets.select(col("id").as("a"), col("hs").as("ha"))
     val hb = hsets.select(col("id").as("b"), col("hs").as("hb"))
-    val s1 = bar(cand.join(ha, "a").join(hb, "b")
+    val s1 = bar(cand.join(bc(ha), "a").join(bc(hb), "b")
       .withColumn("ih",
         call_function("graft_sorted_inter", col("ha"), col("hb")))
       .filter(col("ih").cast("double") / size(col("ha")) >= tau)
@@ -456,7 +474,7 @@ object SetSimJoin {
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val sizes = hsets.select(col("id"), size(col("hs")).cast("long").as("sz"))
     inter
-      .join(sizes.select(col("id").as("a"), col("sz").as("size_a")), "a")
+      .join(bc(sizes.select(col("id").as("a"), col("sz").as("size_a"))), "a")
       .withColumn("cont", col("inter").cast("double") / col("size_a"))
       .filter(col("cont") >= tau)
       .select("a", "b", "inter", "size_a", "cont")
