@@ -32,10 +32,23 @@ object KCore {
     e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-  private def dropWeak(e: DataFrame, weak: DataFrame): DataFrame =
-    e.join(weak.select(col("node").as("u")), Seq("u"), "left_anti")
-      .join(weak.select(col("node").as("v")), Seq("v"), "left_anti")
+  /** Drop edges touching a weak node. `weakRows` (when known — the
+    * peel loops track the edge count anyway, and #nodes ≤ 2·#edges)
+    * lets the anti-joins build the weak set as a broadcast instead of
+    * re-exchanging the edge relation twice per round (guide §3.1; the
+    * checkpointed rounds have no size statistics, so the planner
+    * defaulted to SortMergeJoin). Past the threshold — the 100 TB
+    * early rounds — sort-merge stays. */
+  private def dropWeak(e: DataFrame, weak: DataFrame,
+                       weakRows: Long = -1L): DataFrame = {
+    val wu = JoinHints.maybeBroadcast(
+      weak.select(col("node").as("u")), weakRows)
+    val wv = JoinHints.maybeBroadcast(
+      weak.select(col("node").as("v")), weakRows)
+    e.join(wu, Seq("u"), "left_anti")
+      .join(wv, Seq("v"), "left_anti")
       .select("u", "v")
+  }
 
   /** `rounds` fixed peel iterations of the k-core filter; returns the
     * surviving edge set. A graph that converges earlier is unchanged by
@@ -49,6 +62,11 @@ object KCore {
     var i = 0
     while (i < rounds) {
       val weak = degrees(e).filter(col("deg") < k)
+      // no count-driven hint here: peelRounds is the count-free fast
+      // path, and an A/B at sf0.1 measured the per-round count jobs
+      // costing more than the broadcast anti-joins saved
+      // (1.65/1.59 s -> 1.85/1.90 s cold/warm) — core() below hints
+      // for free from the convergence counts it already takes
       e = dropWeak(e, weak).localCheckpoint(true)
       i += 1
     }
@@ -67,7 +85,7 @@ object KCore {
     var converged = n == 0
     while (!converged && i < maxRounds) {
       val weak = degrees(e).filter(col("deg") < k)
-      val next = dropWeak(e, weak).localCheckpoint(true)
+      val next = dropWeak(e, weak, 2 * n).localCheckpoint(true)
       val m = next.count()
       converged = m == n
       e = next; n = m; i += 1

@@ -35,23 +35,35 @@ object PageRank {
     require(iters >= 1, s"pagerank needs at least one round, got $iters")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .persist()
+    // partition the edge relation by src ONCE (the Bfs lesson): the
+    // cached InMemoryRelation keeps its HashPartitioning, so when the
+    // per-round contrib join stays sort-merge (big-graph regime) only
+    // the rank side exchanges; and the rank/outdeg vectors — n rows,
+    // counted anyway — get count-driven broadcast hints below the
+    // threshold (JoinHints), which drops every per-round exchange of
+    // the edge relation at once.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count().toDouble
+    val nRows = n.toLong
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val outdegB = JoinHints.maybeBroadcast(outdeg, nRows)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     (1 to iters).foreach { _ =>
-      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"),
+      val ranksB = JoinHints.maybeBroadcast(ranks, nRows)
+      // left_anti builds its RIGHT side — hint outdeg, not ranks
+      val dangling = ranks.join(outdegB, ranks("node") === outdeg("src"),
           "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+      val contrib = e.join(ranksB, e("src") === ranksB("node"))
+        .join(outdegB, "src")
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(JoinHints.maybeBroadcast(contrib, nRows),
+          Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
@@ -78,8 +90,9 @@ object PageRank {
     require(iters >= 1, s"pagerank needs at least one round, got $iters")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .persist()
+    // same once-partitioned edge cache + count-driven hints as [[run]]
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val src = sources.select(col("node")).distinct().persist()
@@ -89,18 +102,22 @@ object PageRank {
       .join(src.withColumn("__tp", lit(1.0 / nSrc)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__tp"), lit(0.0)).as("tp"))
       .persist()
+    val nRows = tpNodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val outdegB = JoinHints.maybeBroadcast(outdeg, nRows)
     var ranks = tpNodes.select(col("node"), col("tp").as("rank"))
     (1 to iters).foreach { _ =>
-      val dangling = ranks.join(outdeg, ranks("node") === outdeg("src"),
+      val ranksB = JoinHints.maybeBroadcast(ranks, nRows)
+      val dangling = ranks.join(outdegB, ranks("node") === outdeg("src"),
           "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+      val contrib = e.join(ranksB, e("src") === ranksB("node"))
+        .join(outdegB, "src")
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      ranks = tpNodes.join(contrib, Seq("node"), "left")
+      ranks = tpNodes.join(JoinHints.maybeBroadcast(contrib, nRows),
+          Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit(1 - damping) * col("tp") + lit(damping) *
