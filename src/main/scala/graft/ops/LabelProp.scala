@@ -22,17 +22,26 @@ object LabelProp {
   /** Labels after `iters` synchronous rounds; output (node, label). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"label propagation needs >= 1 round, got $iters")
+    // partition by the per-round join key ONCE (the Bfs/PageRank
+    // pattern: dedup rides the same exchange, sort-merge rounds then
+    // exchange only the label side), and broadcast-hint the label
+    // vector from the node count taken once — every node keeps exactly
+    // one label, so the count is round-invariant (guide §3.1; the
+    // checkpointed rounds otherwise planned SortMergeJoin both sides).
     val e = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct().persist()
+      .repartition(col("dst")).dropDuplicates("src", "dst").persist()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .localCheckpoint()
+    val nodeN = labels.count()
     val byCount = Window.partitionBy("node")
       .orderBy(col("cnt").desc, col("label"))
     (1 to iters).foreach { _ =>
-      labels = e.join(labels.withColumnRenamed("node", "__n"),
-          e("dst") === col("__n"))
+      val lb = JoinHints.maybeBroadcast(
+        labels.withColumnRenamed("node", "__n"), nodeN)
+      labels = e.join(lb, e("dst") === col("__n"))
         .select(col("src").as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
         .withColumn("__rn", row_number().over(byCount))

@@ -522,8 +522,11 @@ object StreamOps {
           // aggregator terminates in — batch and streaming sketches
           // are bit-identical on the same multiset by construction.
           var mins = state.getOption.getOrElse(Nil)
+          // one digest instance per state invocation, reset per row —
+          // not one allocation per row (the hllState/cmsState pattern)
+          val md = java.security.MessageDigest.getInstance("MD5")
           rows.foreach { case (_, k) =>
-            val md = java.security.MessageDigest.getInstance("MD5")
+            md.reset()
             val d = md.digest(k.getBytes("UTF-8"))
             val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -653,12 +656,13 @@ object StreamOps {
         GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[Map[String, List[Long]]]) =>
           var sets = state.getOption.getOrElse(Map.empty)
+          val md = java.security.MessageDigest.getInstance("MD5")
           rows.foreach { case (g, k) =>
             require(g != "__union__",
               "kmvMerge: input group '__union__' collides with the " +
                 "merged-row sentinel; rename the group (or use " +
                 "kmvMergeSketches, whose union row is a flag column)")
-            val md = java.security.MessageDigest.getInstance("MD5")
+            md.reset()
             val d = md.digest(k.getBytes("UTF-8"))
             val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
