@@ -418,28 +418,15 @@ object CurationQueries {
         count(lit(1)).as("v"))
       val dtri = grams(tok, 3).groupBy("doc_id", "w1", "w2", "w3")
         .agg(count(lit(1)).as("cnt"))
-      // the five model-table lookups join on FIVE different key sets,
-      // so each one re-exchanges the doc-trigram stream (5 SMJ
-      // exchanges). When the corpus is small by plan statistics the
-      // model tables are broadcast and the stream flows through all
-      // five lookups with no exchange at all (guide §3.1); at 100 TB
-      // the model tables are corpus-sized and sort-merge stays.
-      val bcModel: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame = {
-        val cores = c.spark.sparkContext.defaultParallelism
-        if (c.documents.queryExecution.optimizedPlan.stats.sizeInBytes <
-            BigInt(cores) * (16L << 20)) broadcast
-        else identity
-      }
       val j = dtri
-        .join(bcModel(mtri), Seq("w1", "w2", "w3"), "left")
-        .join(bcModel(mbi.select(col("w1"), col("w2"),
-          col("cb").as("c12"))), Seq("w1", "w2"), "left")
-        .join(bcModel(mbi.select(col("w1").as("w2"), col("w2").as("w3"),
-          col("cb").as("c23"))), Seq("w2", "w3"), "left")
-        .join(bcModel(muni.select(col("w").as("w2"), col("cu").as("cu2"))),
+        .join(mtri, Seq("w1", "w2", "w3"), "left")
+        .join(mbi.select(col("w1"), col("w2"), col("cb").as("c12")),
+          Seq("w1", "w2"), "left")
+        .join(mbi.select(col("w1").as("w2"), col("w2").as("w3"),
+          col("cb").as("c23")), Seq("w2", "w3"), "left")
+        .join(muni.select(col("w").as("w2"), col("cu").as("cu2")),
           Seq("w2"), "left")
-        .join(bcModel(muni.select(col("w").as("w3"), col("cu").as("cu3"))),
+        .join(muni.select(col("w").as("w3"), col("cu").as("cu3")),
           Seq("w3"), "left")
         .crossJoin(broadcast(sc0))
         .withColumn("s",
