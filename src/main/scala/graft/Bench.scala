@@ -168,7 +168,7 @@ object Bench {
         "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"steal_total":${r2(totalSteal)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r14: headliner set unchanged from r9 (27 queries); no headliner code touched this round. Per-query steal_load = [steal core-sec, window wall sec, load1] from /proc/stat + /proc/loadavg around the whole runs-loop window; reading convention in BENCH_AB.md (quiet-window >20% mover -> one A/B leg; high steal in the window -> host noise, byte-identical trees swung 45% in the r12 A/B)."}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"warm_total":${r3(totalWarm)},"first_total":${r3(totalFirst)},"steal_total":${r2(totalSteal)},"sf":"$sfDir","failed":${failed.size},"runs":$runs,"stat":"min","detail":"$outPath","note":"r15 (optimization round 1): headliner set unchanged from r9 (27 queries); same timing methodology (min-of-3 cold/warm checksum runs). Optimized this round: ALS factor-join broadcasts, LSH bucket-stream rebalance, star-contraction/BFS/PageRank count-driven broadcasts, containment verify-chain hints — all scale-gated (OPTIMIZATION_r15.md). Per-query steal_load = [steal core-sec, window wall sec, load1]; reading convention in BENCH_AB.md (quiet-window >20% mover -> one A/B leg; high steal in the window -> host noise)."}"""
     // stop Spark FIRST so no executor/shutdown log line can land after
     // the JSON, then say where the clean copy lives (stderr + stdout),
     // then print the JSON as the VERY LAST stdout line flush against
