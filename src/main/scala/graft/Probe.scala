@@ -304,6 +304,30 @@ object Probe {
       time("q1 narrow-rebalanced 2nd", spark)(q1b(reb2))
     }
 
+    if (which("ivf")) {
+      graft.functions.GraftFunctions.register(spark)
+      val emb = Tables(spark, sfDir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20).limit(20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = emb
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      var t0 = System.nanoTime()
+      val cents = graft.ops.VectorSim.kmeansCentroids(corpus, col("n_vec"),
+        k = 8, iters = 5, native = true)
+      println(f"[probe] (native kmeans)")
+      println(f"[probe] ivf kmeans (5 iters) ${(System.nanoTime()-t0)/1e9}%.3f s")
+      t0 = System.nanoTime()
+      val bf = graft.ops.VectorSim.topKBruteForce(queries, corpus, 3,
+        native = true).select(col("q_id"), col("n_id"))
+      bf.write.format("noop").mode("overwrite").save()
+      println(f"[probe] ivf bruteforce ${(System.nanoTime()-t0)/1e9}%.3f s")
+      t0 = System.nanoTime()
+      val ann = graft.ops.VectorSim.topKAnnIvf(queries, corpus, 3, cents,
+        nprobe = 5, native = true)
+      ann.write.format("noop").mode("overwrite").save()
+      println(f"[probe] ivf topKAnnIvf ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+
     if (which("als2")) {
       // A/B the halfStep join strategy: current (SMJ?) vs broadcast
       // factors. Factors are entity-count-sized; decide per plan shape.

@@ -207,6 +207,21 @@ object VectorSim {
     transform(slice(ranked, 1, nprobe), s => s.getField("cell"))
   }
 
+  /** The nprobe = 1 fast path of [[nearestCells]] through the NATIVE
+    * PQ kernel: one m = 1 subspace over the whole vector is exactly
+    * the whole-vector argmin with the same unit-normalization,
+    * left-to-right (x−y)² distance, null→MaxValue guard and
+    * lowest-cell tie rule (PqEncodeSpec pins kernel ≡ HOF; the HOF
+    * m = 1 form is term-for-term [[nearestCells]]'s ranking). The
+    * interpreted HOF costs O(cells · dim) lambda dispatches PER ROW —
+    * corpus-side cell assignment was the dominant cost of the IVF
+    * family (probe: kmeansCentroids 5 rounds 31.4 s → see
+    * OPTIMIZATION_r15.md) — while the kernel is one fused codegen
+    * loop. Requires GraftFunctions.register (the `native` flags). */
+  private def nearestCellNative(vec: Column,
+      centroids: Array[Array[Double]]): Column =
+    element_at(pqEncode(vec, Array(centroids), native = true), 1)
+
   /** Spherical k-means coarse quantizer: `iters` Lloyd rounds, each ONE
     * distributed aggregation (assign = argmin over centroid literals,
     * recenter = per-(cell,dim) mean). The k×dim collect per round is
@@ -306,7 +321,7 @@ object VectorSim {
   }
 
   def kmeansCentroids(corpus: DataFrame, vec: Column, k: Int,
-      iters: Int = 5): Array[Array[Double]] = {
+      iters: Int = 5, native: Boolean = false): Array[Array[Double]] = {
     val unitVecs0 = corpus.select(unit(vec).as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
     def toUnit(a: Array[Double]): Array[Double] = {
@@ -320,16 +335,21 @@ object VectorSim {
     // quantizer dimension = the hash-first vector's; other dims out
     val dim = init(0).length
     var cents = init.filter(_.length == dim)
-    val unitVecs = unitVecs0.where(size(col("v")) === dim)
+    // persisted ONCE: every Lloyd round re-read this relation, paying
+    // the corpus scan + the interpreted unit() normalization per round
+    val unitVecs = unitVecs0.where(size(col("v")) === dim).persist()
+    try {
     (0 until iters).foreach { _ =>
       // persist the assignment BEFORE the explode: without the
       // materialization barrier Catalyst hoists the argmin projection
       // above the Generate and re-evaluates the whole quantizer per
       // EXPLODED ELEMENT — dim× the work (caught via thread dump: one
       // task pinned in interpreted HOF eval)
+      val assign =
+        if (native) nearestCellNative(col("v"), cents)
+        else element_at(nearestCells(col("v"), cents, 1), 1)
       val assigned = unitVecs
-        .select(col("v"),
-          element_at(nearestCells(col("v"), cents, 1), 1).as("c"))
+        .select(col("v"), assign.as("c"))
         .persist()
       try {
         val means = assigned
@@ -346,6 +366,7 @@ object VectorSim {
         }
       } finally assigned.unpersist()
     }
+    } finally unitVecs.unpersist()
     cents
   }
 
@@ -362,8 +383,13 @@ object VectorSim {
       centroids: Array[Array[Double]],
       nprobe: Int,
       native: Boolean = false): DataFrame = {
+    // corpus-side cell assignment is the one per-row cost that scales
+    // with the corpus — native kernel under the flag; the query-side
+    // nprobe ranking stays the HOF (few rows, needs the top-nprobe)
     val celled = corpus.select(col("n_id"), col("n_vec"),
-      element_at(nearestCells(col("n_vec"), centroids, 1), 1).as("cell"))
+      (if (native) nearestCellNative(col("n_vec"), centroids)
+       else element_at(nearestCells(col("n_vec"), centroids, 1), 1))
+        .as("cell"))
     val probes = queries.select(col("q_id"), col("q_vec"),
       explode(nearestCells(col("q_vec"), centroids, nprobe)).as("pcell"))
     val scored = celled.join(probes,
@@ -554,21 +580,27 @@ object VectorSim {
     *
     * @return codebooks: m × ksub × (dim/m). */
   def pqCodebooks(corpus: DataFrame, vec: Column, m: Int, ksub: Int,
-      iters: Int = 4): Array[Array[Array[Double]]] = {
+      iters: Int = 4, native: Boolean = false): Array[Array[Array[Double]]] = {
     require(m >= 1 && ksub >= 1, s"bad m=$m ksub=$ksub")
-    val u0 = corpus.select(unit(vec).as("v"))
+    // raw vector rides along for the native rounds: the kernel
+    // normalizes internally (unitOrNull ≡ unit, PqEncodeSpec), so
+    // feeding it the RAW vector reproduces the single-normalization
+    // subvectors bit-for-bit
+    val u0 = corpus.select(vec.as("v0"), unit(vec).as("v"))
       .where(col("v").isNotNull && size(col("v")) > 0)
-    val dim = u0.limit(1).collect()(0).getSeq[Double](0).length
+    val dim = u0.limit(1).collect()(0).getSeq[Double](1).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    // (s, sv): every corpus vector contributes its m subvectors.
-    // Persisted once — the init pass and every Lloyd round re-read it
-    // (without the barrier each round re-scans + re-normalizes +
-    // re-explodes the corpus).
-    val subs = u0.where(size(col("v")) === dim)
+    // one persisted corpus projection; the init pass and every Lloyd
+    // round re-read it (without the barrier each round re-scans +
+    // re-normalizes the corpus)
+    val uv = u0.where(size(col("v")) === dim).persist()
+    // (s, sv): every corpus vector contributes its m subvectors —
+    // derived from the persisted uv, read by init (and by the HOF
+    // rounds when native = false)
+    val subs = uv
       .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("v"), s * dsub + lit(1), lit(dsub)))).as(Seq("s", "sv")))
-      .persist()
     // init: per subspace, bottom-ksub distinct subvectors by hash —
     // through the BOUNDED-HEAP top-k aggregate (ops/TopK), not a
     // window: `row_number().over(partitionBy("s"))` would route ALL
@@ -602,8 +634,19 @@ object VectorSim {
       val bl = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
       // persist before the dim-explode (the kmeansCentroids barrier:
       // Catalyst would hoist the argmin above the Generate and pay it
-      // per exploded element)
-      val assigned = subs.select(col("s"), col("sv"),
+      // per exploded element). native: ALL m per-subspace argmins come
+      // out of ONE fused kernel pass over the unexploded raw vector
+      // (bit-identical per-subspace codes — PqEncodeSpec), where the
+      // HOF form pays ksub × dsub interpreted lambda dispatches per
+      // (row, subspace); the subvector for the recenter step is then a
+      // plain codegen slice of the already-unit vector.
+      val assigned = (if (native)
+        uv.select(col("v"), posexplode(pqEncode(col("v0"), books,
+            native = true)))
+          .toDF("v", "s", "code")
+          .select(col("s"), col("code"),
+            slice(col("v"), col("s") * dsub + lit(1), lit(dsub)).as("sv"))
+      else subs.select(col("s"), col("sv"),
         element_at(array_sort(zip_with(
           element_at(bl, col("s") + 1),
           sequence(lit(0), lit(ksub - 1)),
@@ -612,7 +655,7 @@ object VectorSim {
               aggregate(zip_with(col("sv"), c, (x, y) => (x - y) * (x - y)),
                 lit(0.0), (a, x) => a + x),
               lit(Double.MaxValue)),
-            lit("c"), i))), 1).getField("c").as("code"))
+            lit("c"), i))), 1).getField("c").as("code")))
         .persist()
       try {
         val means = assigned
@@ -631,7 +674,7 @@ object VectorSim {
       } finally assigned.unpersist()
     }
     books
-    } finally subs.unpersist()
+    } finally uv.unpersist()
   }
 
   /** PQ-encode: the m nearest-code ids for `vec` against `books` —
@@ -833,7 +876,9 @@ object VectorSim {
     // one corpus scan: coarse cell + PQ codes (persist marker doubles
     // as the CollapseProject cost barrier — see topKAnnPq step 1)
     val codes = corpus.select(col("n_id"),
-      element_at(nearestCells(col("n_vec"), centroids, 1), 1).as("cell"),
+      (if (native) nearestCellNative(col("n_vec"), centroids)
+       else element_at(nearestCells(col("n_vec"), centroids, 1), 1))
+        .as("cell"),
       pqEncode(col("n_vec"), books, native).as("codes")).persist(lvl)
     val rerankEff =
       if (rerank > 0) rerank

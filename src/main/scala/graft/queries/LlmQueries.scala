@@ -1768,7 +1768,7 @@ object LlmQueries {
       // smoke tier: 3 Lloyd rounds (gate budget, r13 verdict #3) —
       // the recall contract below stays the checked output either way
       val cents = VectorSim.kmeansCentroids(corpus, col("n_vec"),
-        k = 8, iters = if (c.smoke) 3 else 5)
+        k = 8, iters = if (c.smoke) 3 else 5, native = true)
       val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
         .select(col("q_id"), col("n_id"))
       val ann = VectorSim.topKAnnIvf(queries, corpus, 3, cents,
@@ -4380,9 +4380,9 @@ object LlmQueries {
       // subspaces at smoke was tried and dropped: recall fell under
       // the 0.8 floor — the codebook width is load-bearing here.)
       val cents = VectorSim.kmeansCentroids(corpus, col("n_vec"),
-        k = 8, iters = if (c.smoke) 2 else 3)
+        k = 8, iters = if (c.smoke) 2 else 3, native = true)
       val books = VectorSim.pqCodebooks(corpus, col("n_vec"),
-        m = 16, ksub = 16, iters = 1)
+        m = 16, ksub = 16, iters = 1, native = true)
       val bf = VectorSim.topKBruteForce(queries, corpus, 3, native = true)
         .select(col("q_id"), col("n_id"))
       // IVF-PQ (r9 verdict #2): the coarse cells bound each query's
