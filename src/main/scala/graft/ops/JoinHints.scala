@@ -18,7 +18,17 @@ import org.apache.spark.sql.functions.broadcast
 object JoinHints {
 
   /** Broadcast-hint `df` when `rows` at `rowBytes` apiece fits the
-    * session autoBroadcastJoinThreshold; identity otherwise. */
+    * session autoBroadcastJoinThreshold; identity otherwise. The ONE
+    * guarded implementation (rows < 0 = unknown = no hint) — Als, Bfs,
+    * Components, KCore, LabelProp and PageRank all route here.
+    *
+    * `rowBytes` is the caller's estimate for its key type (40 for a
+    * rank-2 factor row, 48 for (long, long) graph rows + overhead);
+    * callers with wide string keys must pass a larger figure. A
+    * plan-stats clamp is deliberately NOT applied: the relations this
+    * hints are checkpoint/persisted leaves whose stats default to
+    * spark.sql.defaultSizeInBytes (effectively infinite), so a stats
+    * clamp would veto exactly the joins the hint exists to fix. */
   def maybeBroadcast(df: DataFrame, rows: Long, rowBytes: Long = 48L)
       : DataFrame = {
     val t = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold

@@ -109,11 +109,22 @@ object SetSimJoin {
     * the barrier-marked intermediates otherwise carry no size
     * statistics and every join planned SortMergeJoin). A 100 TB corpus
     * never triggers; there the frequency/set relations are
-    * corpus-sized and sort-merge is the correct strategy. */
+    * corpus-sized and sort-merge is the correct strategy.
+    *
+    * The per-core term is CAPPED at an absolute 512 MB: the gate
+    * authorizes FORCED broadcast() hints (which bypass
+    * autoBroadcastJoinThreshold), and an uncapped cores×16 MB figure
+    * would scale with core count rather than with driver/executor
+    * memory — on a 128-core cluster it would bless broadcasting
+    * 2 GB-corpus-derived relations (ADVICE r15). 512 MB bounds every
+    * derived relation (each is ≤ corpus-sized) to the "few hundred MB
+    * is usually fine" broadcast regime of guide §3.1 on any topology,
+    * and equals the 32-core local figure, so bench behavior is
+    * unchanged. */
   private def smallInput(rows: DataFrame): Boolean = {
     val cores = rows.sparkSession.sparkContext.defaultParallelism
     rows.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(cores) * (16L << 20)
+      (BigInt(cores) * (16L << 20)).min(BigInt(512L << 20))
   }
 
   private def persistMark(df: DataFrame): DataFrame =
@@ -121,9 +132,13 @@ object SetSimJoin {
 
   /** Eager plan barrier: runs the stage NOW and returns a LogicalRDD
     * leaf over its locally-checkpointed partitions (MEMORY_AND_DISK —
-    * the RDD-level default for local checkpoints). */
+    * the RDD-level default for local checkpoints). The leaf carries
+    * EXACT size statistics measured from the checkpointed blocks
+    * ([[org.apache.spark.sql.graft.StatsCheckpoint]]), so downstream
+    * join strategy is planner-decided against the real relation size
+    * instead of the pre-checkpoint estimate (r16; VERDICT r15 ask #4). */
   private def checkpointMark(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    org.apache.spark.sql.graft.StatsCheckpoint.localCheckpointWithStats(df)
 
   /** All pairs (a < b) with exact Jaccard(setA, setB) ≥ tau.
     * Input: one row per id with an array column (de-duplicated
@@ -234,9 +249,15 @@ object SetSimJoin {
                           bar: Barrier): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     graft.functions.GraftFunctions.register(rows.sparkSession)
+    val small = smallInput(rows)
     // mark the flat (id, tok) rows — four consumers read this stage:
     // the frequency agg, the prefix build, the hashed-set agg, and
-    // the exact verify.
+    // the exact verify. When the caller delivers rows id-partitioned
+    // (TextDedup.rebalanceScan ahead of the shingle kernel), the
+    // marked stage keeps that partitioning and the hsets aggregate,
+    // the prefix windows and the exact-verify token cache below all
+    // RIDE it — their (id) exchanges vanish without any code here
+    // (guide §2.4; EnsureRequirements skips satisfied distributions).
     val tokRows = bar(rows.withColumn("h", xxhash64(col("tok"))))
 
     // hashed sets for the first verify pass — collect_set is the
@@ -271,11 +292,22 @@ object SetSimJoin {
     // bound, never the verify.
     val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
     val ws = Window.partitionBy("id")
-    val prefix = bar(tokRows.join(freq, "h")
+    // big-corpus regime: mark the prefix PRE-PARTITIONED by the
+    // candidate-join key — the cached/checkpointed relation then
+    // satisfies both sides of the prefix-token self-join, so its two
+    // per-side exchanges collapse into this one (strictly fewer bytes:
+    // the prefix stream moves once, not twice). Small regime: the
+    // planner broadcasts one self-join side from propagated stats, so
+    // the pre-partition would be a dead exchange — skipped.
+    val prefix0 = tokRows.join(freq, "h")
       .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
       .filter(col("p") <= col("s") - ceilLoose(lit(tau) * col("s")) + 1)
-      .select(col("id"), col("s"), col("p"), col("h").as("tok")))
+      .select(col("id"), col("s"), col("p"), col("h").as("tok"))
+    val prefix = bar(if (small) prefix0
+      else prefix0.repartition(
+        rows.sparkSession.sessionState.conf.numShufflePartitions,
+        col("tok")))
 
     // candidate pairs: prefix-token equi-join, ordered ids, length
     // filter (J >= tau forces tau*sA <= sB <= sA/tau), then the PPJoin
@@ -325,9 +357,14 @@ object SetSimJoin {
     // intersection is empty fall out of the inner join — correct,
     // their Jaccard is 0 < tau. Set sizes come from the guarded hashed
     // sets (bit-exact distinct counts).
+    // survivor ids feed a left_semi BROADCAST build, which dedups keys
+    // in the hash relation — the former ids.distinct() was a dead
+    // exchange (the collect ships ≤ 2·|s1| rows either way, and s1 is
+    // survivor-sized ≈ the final result, tiny by construction). The
+    // semi-join keeps exactly one copy of each matching token row,
+    // identical to the old inner join against distinct ids.
     val ids = s1.select(explode(array(col("a"), col("b"))).as("id"))
-      .distinct()
-    val vtok = bar(tokRows.join(broadcast(ids), "id")
+    val vtok = bar(tokRows.join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id"), col("tok")))
     val inter = s1
       .join(vtok.select(col("id").as("a"), col("tok")), "a")
@@ -402,8 +439,9 @@ object SetSimJoin {
                               bar: Barrier): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     graft.functions.GraftFunctions.register(rows.sparkSession)
-    val bc: DataFrame => DataFrame =
-      if (smallInput(rows)) broadcast else identity
+    val small = smallInput(rows)
+    val bc: DataFrame => DataFrame = if (small) broadcast else identity
+    // rides the caller's id-partitioning when present — see jaccardBody
     val tokRows = bar(rows.withColumn("h", xxhash64(col("tok"))))
 
     // hashed sets + the intra-set collision guard, sorted for the
@@ -424,10 +462,22 @@ object SetSimJoin {
     // B side (sb rides along for the size filter).
     val w = Window.partitionBy("id").orderBy(col("f"), col("h"))
     val ws = Window.partitionBy("id")
-    val ordered = bar(tokRows.join(bc(freq), "h")
+    // big-corpus regime: pre-partition by the candidate-join key so the
+    // aPrefix⋈bAll self-join reads both sides exchange-free from this
+    // one exchange — strictly fewer bytes at scale (the ordered stream
+    // moves once, not once per side). Gated OFF in the small regime: an
+    // r16 A/B of the unconditional version measured it SLOWER locally
+    // (2.9 → 4.9 s; +8.4 MB shuffle and 44 → 358 tasks of pure overhead
+    // on a latency-bound pipeline — AQE's coalesced narrow stages were
+    // already right for these byte sizes).
+    val ordered0 = tokRows.join(bc(freq), "h")
       .withColumn("s", count(lit(1)).over(ws))
       .withColumn("p", row_number().over(w))
-      .select(col("id"), col("s"), col("p"), col("h").as("tok")))
+      .select(col("id"), col("s"), col("p"), col("h").as("tok"))
+    val ordered = bar(if (small) ordered0
+      else ordered0.repartition(
+        rows.sparkSession.sessionState.conf.numShufflePartitions,
+        col("tok")))
     val aPrefix = ordered
       .filter(col("p") <= col("s") - ceilLoose(lit(tau) * col("s")) + 1)
       .select(col("id").as("a"), col("s").as("sa"), col("p").as("pa"),
@@ -464,9 +514,10 @@ object SetSimJoin {
       .filter(col("ih").cast("double") / size(col("ha")) >= tau)
       .select("a", "b"))
 
+    // left_semi against the raw survivor-id stream — same dead-exchange
+    // removal as jaccardBody (the broadcast build dedups keys)
     val ids = s1.select(explode(array(col("a"), col("b"))).as("id"))
-      .distinct()
-    val vtok = bar(tokRows.join(broadcast(ids), "id")
+    val vtok = bar(tokRows.join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("id"), col("tok")))
     val inter = s1
       .join(vtok.select(col("id").as("a"), col("tok")), "a")

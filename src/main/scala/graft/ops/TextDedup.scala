@@ -33,18 +33,31 @@ object TextDedup {
     * shuffle); locally it spreads the expensive projection across the
     * cluster for one narrow exchange of the raw rows. Keyed by the
     * doc id (unique → even spread, deterministic under retries). */
-  def rebalanceScan(df: DataFrame, key: String): DataFrame = {
-    // partition COUNT is not the signal: Spark byte-range-splits even a
-    // tiny file into defaultParallelism splits, but a single-row-group
-    // parquet file yields every row in ONE of them. Plan statistics
-    // (known for file scans, no job) give the honest trigger: when the
-    // whole input is under ~16 MB/core the repartition shuffle is
-    // trivial by construction and buys full-cluster parallelism for
-    // the expensive projection above it; a 100 TB corpus never fires.
+  def rebalanceScan(df: DataFrame, key: String): DataFrame =
+    // keyed repartition WITHOUT a pinned count, deliberately: AQE may
+    // coalesce this exchange when the byte stream is tiny, which an
+    // r16 A/B measured as the right call — pinning it to the session
+    // shuffle parallelism spread even cheap kernels 32-way and the
+    // cascading per-task overhead cost more than the spread saved
+    // (containment 2.9 → 3.4 s). Where the kernel dominates (the
+    // minhash banding persist), the cached plan keeps the full width
+    // anyway (canChangeCachedPlanOutputPartitioning=false).
+    if (smallScan(df)) df.repartition(col(key)) else df
+
+  /** The rebalance trigger as a predicate (shared by [[rebalanceScan]]
+    * and the small-regime exchange-alignment gates in
+    * [[minhashDedupPairs]]): partition COUNT is not the signal — Spark
+    * byte-range-splits even a tiny file into defaultParallelism splits,
+    * but a single-row-group parquet file yields every row in ONE of
+    * them. Plan statistics (known for file scans, no job) give the
+    * honest trigger: when the whole input is under ~16 MB/core the
+    * repartition shuffle is trivial by construction and buys
+    * full-cluster parallelism for the expensive projection above it; a
+    * 100 TB corpus never fires. */
+  def smallScan(df: DataFrame): Boolean = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(cores) * (16L << 20)) df.repartition(col(key))
-    else df
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(cores) * (16L << 20)
   }
 
   /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
@@ -245,13 +258,28 @@ object TextDedup {
     // per-row cost and otherwise runs inside the (often single-task)
     // scan partition — see [[rebalanceScan]]
     val src = if (native) rebalanceScan(docs, idCol) else docs
+    // small-corpus regime (same stats trigger as rebalanceScan): gates
+    // the exchange-alignment tricks below that trade the distinct's
+    // map-side partial dedup for a rideable partitioning — a good trade
+    // only when the candidate stream is trivially small (r16)
+    val smallCorpus = smallScan(docs)
     // narrow (id + band/key) and consumed by BOTH sides of the bucket
     // self-join — persist so the signature work runs once.
+    // Big-corpus regime: persist PRE-PARTITIONED by the join key
+    // (band, key) — the cached relation then satisfies BOTH sides of
+    // the self-join, so the join's two per-side exchanges collapse
+    // into the one exchange paid at the persist (guide §2.4 "two
+    // operations keyed the same way share one exchange"; strictly
+    // fewer bytes: the same stream moves once, not twice). In the
+    // small regime the planner already BROADCASTS one side of the
+    // self-join (stats propagate through the persist marker —
+    // plans/r16/dedup_minhash_lsh_before.txt, node 26), so a
+    // pre-partition there would be a dead exchange and is skipped.
     // native: ONE fused expression from cleaned text to (band, key)
     // structs, fed straight into explode so the Generate evaluates it
     // once per row — no posexplode of tokens, no window pass, no
     // 32-column aggregate (bit-identical keys; MinhashBandsSpec).
-    val exploded = (if (native)
+    val exploded0 = (if (native)
       src.select(col(idCol).as("id"),
         explode(call_function("graft_minhash_bands",
           lower(trim(col(textCol))), lit(shingleN), lit(k), lit(bands)))
@@ -262,10 +290,16 @@ object TextDedup {
         .select(col("id"),
           explode(lshBandKeyArray(bands, rowsPerBand)).as("bk"))
         .select(col("id"), col("bk.band"), col("bk.key")))
+    val exploded = (if (smallCorpus) exploded0
+      else exploded0.repartition(col("band"), col("key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket-mate pairs: self-join restricted to the same (band, key);
-    // distinct because a pair can share several bands. Persisted — it is
-    // consumed three times below and is tiny by construction.
+    // distinct because a pair can share several bands (its map-side
+    // partial dedup shrinks the stream before the exchange — kept at
+    // every scale; the verify joins below are BroadcastHashJoin via
+    // propagated stats, so no downstream partitioning is needed from
+    // this exchange). Persisted — consumed three times below and tiny
+    // by construction.
     val cands = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -277,8 +311,13 @@ object TextDedup {
     // collect_set never touches the full corpus
     // distinctly-named join column: an alias of "id" would be ambiguous
     // whenever the caller's idCol is itself "id" (review-caught)
-    val candIds = cands.select(col("a_id").as("__cand_id"))
-      .union(cands.select(col("b_id"))).distinct()
+    // The union feeds a left_semi BROADCAST build, which dedups keys in
+    // the hash relation anyway — in the small regime the distinct is a
+    // dead exchange and is skipped; at scale it is kept so the driver
+    // collects |ids| rows, not 2·|pairs| (r16).
+    val candIds0 = cands.select(col("a_id").as("__cand_id"))
+      .union(cands.select(col("b_id")))
+    val candIds = if (smallCorpus) candIds0 else candIds0.distinct()
     // candidates are rare by construction → broadcast the semi-join so
     // the corpus is filtered scan-side with no shuffle
     // persisted: the verify join consumes `sets` TWICE (sa and sb

@@ -436,8 +436,13 @@ object PipelineQueries {
       // shingle set per doc in one codegen'd pass, minTokens=3
       // replicating the size(ts) >= 3 filter (WordShinglesSpec pins
       // the parity)
+      // rebalanceScan BEFORE the kernel (stats-gated, no-op at scale):
+      // spreads the single-row-group scan's shingle work across the
+      // cluster AND delivers the element rows id-partitioned, so the
+      // operator's hsets aggregate, prefix windows and verify-token
+      // cache all ride one exchange (r16; guide §2.4/§2.5)
       graft.functions.GraftFunctions.register(c.spark)
-      val rows = c.documents
+      val rows = graft.ops.TextDedup.rebalanceScan(c.documents, "doc_id")
         .select(col("doc_id").as("id"),
           explode(call_function("graft_word_shingles",
             col("text"), lit(3), lit(3))).as("tok"))
@@ -484,7 +489,8 @@ object PipelineQueries {
         |FROM p WHERE i::DOUBLE / sa >= 0.4
         |ORDER BY a, b""", bench = true) { c =>
       graft.functions.GraftFunctions.register(c.spark)
-      val rows = c.documents
+      // same gated pre-kernel rebalance as dedup_jaccard_prefix above
+      val rows = graft.ops.TextDedup.rebalanceScan(c.documents, "doc_id")
         .select(col("doc_id").as("id"),
           explode(call_function("graft_word_shingles",
             col("text"), lit(3), lit(3))).as("tok"))
