@@ -563,6 +563,20 @@ object Probe {
       }
     }
 
+    // `q:<declared-query-name>` meters any registry query end-to-end
+    // (noop sink), twice — generic before/after evidence for per-round
+    // job-cadence work on iterative ops (VERDICT r16 #6/#8).
+    which.filter(_.startsWith("q:")).map(_.stripPrefix("q:")).foreach { nm =>
+      SparkEntry.all.filter(_.name == nm).foreach { d =>
+        (1 to 2).foreach { run =>
+          meter(s"$nm#$run", spark) {
+            d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache(); System.gc()
+        }
+      }
+    }
+
     if (which("sssp")) {
       val lineitem = Tables(spark, sfDir, "lineitem")
       val orders = Tables(spark, sfDir, "orders")

@@ -79,14 +79,18 @@ object KCore {
   def core(edges: DataFrame, src: String, dst: String, k: Int,
            maxRounds: Int = 200): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = canon(edges, src, dst).localCheckpoint(true)
-    var n = e.count()
+    // FUSED per-round materialization (r16, the Bfs/Components seam):
+    // lazy checkpoint + the convergence count the loop already takes
+    // run as ONE job where eager-checkpoint-then-count paid two, and
+    // the leaf keeps exact measured stats for downstream planning
+    val ckc = org.apache.spark.sql.graft.StatsCheckpoint
+      .localCheckpointWithStatsAndCount(_)
+    var (e, n) = ckc(canon(edges, src, dst))
     var i = 0
     var converged = n == 0
     while (!converged && i < maxRounds) {
       val weak = degrees(e).filter(col("deg") < k)
-      val next = dropWeak(e, weak, 2 * n).localCheckpoint(true)
-      val m = next.count()
+      val (next, m) = ckc(dropWeak(e, weak, 2 * n))
       converged = m == n
       e = next; n = m; i += 1
     }

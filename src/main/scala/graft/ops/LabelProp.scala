@@ -32,10 +32,13 @@ object LabelProp {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .repartition(col("dst")).dropDuplicates("src", "dst").persist()
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    val nodeN = labels.count()
+    // FUSED init: lazy checkpoint + the node count the hints need —
+    // one job instead of eager-checkpoint-then-count's two (r16)
+    val (labels0, nodeN) = org.apache.spark.sql.graft.StatsCheckpoint
+      .localCheckpointWithStatsAndCount(
+        e.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node")))
+    var labels = labels0
     val byCount = Window.partitionBy("node")
       .orderBy(col("cnt").desc, col("label"))
     (1 to iters).foreach { _ =>
@@ -47,7 +50,10 @@ object LabelProp {
         .withColumn("__rn", row_number().over(byCount))
         .filter(col("__rn") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint()
+        // lazy per-round cut: materializes inside the next round's
+        // label-vector broadcast build instead of a dedicated job
+        // (the PageRank r16 pattern); hints stay count-driven
+        .localCheckpoint(false)
     }
     e.unpersist()
     labels

@@ -69,7 +69,14 @@ object PageRank {
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") / n))
             .as("rank"))
-        .localCheckpoint()
+        // LAZY checkpoint (r16, guide §2.4 fused actions): the round
+        // still computes exactly once and cuts lineage, but it
+        // materializes inside the NEXT round's first consumer job
+        // (the rank-vector broadcast build / dangling aggregate)
+        // instead of paying a dedicated eager job per round; the
+        // join decisions don't need leaf stats — the rank/contrib
+        // hints are count-driven from the one node count above
+        .localCheckpoint(false)
     }
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
     ranks
@@ -123,7 +130,8 @@ object PageRank {
           (lit(1 - damping) * col("tp") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("tp")))
             .as("rank"))
-        .localCheckpoint()
+        // lazy per-round cut, same reasoning as [[run]]
+        .localCheckpoint(false)
     }
     e.unpersist(); outdeg.unpersist(); tpNodes.unpersist(); src.unpersist()
     ranks
